@@ -31,12 +31,14 @@ object SparkEntry {
         .as("revenue"), count(lit(1)).as("n_items"))
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2, plus the KBO
+    * metric core (M1-M12 + wide records) and the LLM-data-pipeline ext/
+    * operators (dedup, similarity, text stats, multimodal). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries
+    RelationalQueries.queries ++ KboQueries.queries ++ ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles
+    RelationalQueries.oracles ++ KboQueries.oracles ++ ExtQueries.oracles
 }

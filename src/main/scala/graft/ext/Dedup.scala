@@ -1,0 +1,141 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for an LLM training-data pipeline.
+  *
+  * Scale design (the part that matters at 100 TB):
+  *  - exact dedup is a hash-aggregate on a 128-bit content digest — one
+  *    shuffle on the digest, map-side partial aggregation, no full-text
+  *    comparisons after the digest projection;
+  *  - near-dup is MinHash-LSH with BANDED candidate generation: documents
+  *    are joined only within equal (band_id, band_key) buckets — a plain
+  *    shuffle-hash join on a compact key. There is NO all-pairs crossJoin
+  *    anywhere; candidate count scales with true-duplicate density, not
+  *    with corpus size squared. Skewed buckets (boilerplate shingles) are
+  *    handled naturally by AQE skew-join splitting since the join is a
+  *    standard equi-join.
+  *  - the verify stage (exact Jaccard on candidate pairs only) touches
+  *    candidate pairs, not the corpus, so its cost is output-bounded.
+  *
+  * All hashes are the portable md5-based family from [[Hashing]], so
+  * identity assignments are reproducible across engines and runs.
+  */
+object Dedup {
+  import Hashing.P
+
+  /** MinHash permutation family h_i(x) = (a_i * x + b_i) mod P.
+    * Fixed constants => the signature of a document is a pure function of
+    * its text, stable across runs — required for incremental dedup. */
+  val numHashes = 16
+  val numBands = 4
+  val rowsPerBand: Int = numHashes / numBands
+  val hashA: Seq[Long] = (1 to numHashes).map(i => 1000003L * i + 12289L)
+  val hashB: Seq[Long] = (1 to numHashes).map(i => 7919L * i + 514229L)
+
+  /** Exact dedup: group by 128-bit content digest, keep the smallest id.
+    * Output: (content_md5, keep_id, n_copies). */
+  def exactDedup(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_md5"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct token n-gram shingles of a token array. */
+  def shingles(toks: Column, n: Int = 3): Column =
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws("_",
+          (0 until n).map(j => element_at(toks, i + j + 1)): _*))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Distinct shingle hashes in [0, P). */
+  def shingleHashes(toks: Column, n: Int = 3): Column =
+    array_distinct(transform(shingles(toks, n), s => Hashing.hashP(s)))
+
+  /** MinHash signature (numHashes longs) of a shingle-hash array.
+    * Empty shingle set => NULL minhashes => NULL band keys, which never
+    * join (SQL NULL semantics) — tiny docs are skipped, not clustered. */
+  def minhashes(sh: Column): Column =
+    array((hashA zip hashB).map { case (a, b) =>
+      array_min(transform(sh, x => (lit(a) * x + lit(b)) % P))
+    }: _*)
+
+  /** One band key per band: '_'-joined row minhashes. concat (not
+    * concat_ws) so a NULL minhash nulls the whole key. */
+  def bandKeys(mh: Column): Seq[Column] =
+    (0 until numBands).map { bnd =>
+      val parts = (0 until rowsPerBand).flatMap { r =>
+        val v = element_at(mh, bnd * rowsPerBand + r + 1).cast("string")
+        if (r == 0) Seq(v) else Seq(lit("_"), v)
+      }
+      concat(parts: _*)
+    }
+
+  /** (id, shingle-hash set) -> exploded (id, band_id, band_key) frame. */
+  def banded(sig: DataFrame, idCol: String): DataFrame = {
+    val mh = minhashes(col("sh"))
+    val bandStructs = array(bandKeys(mh).zipWithIndex.map { case (k, i) =>
+      struct(lit(i).as("band_id"), k.as("band_key"))
+    }: _*)
+    sig.select(col(idCol), explode(bandStructs).as("b"))
+      .select(col(idCol), col("b.band_id"), col("b.band_key"))
+      .filter(col("band_key").isNotNull)
+  }
+
+  /** Exact Jaccard of two distinct-element arrays (0 when both empty). */
+  def jaccard(a: Column, b: Column): Column = {
+    val u = size(array_union(a, b))
+    when(u === 0, lit(0.0))
+      .otherwise(size(array_intersect(a, b)).cast("double") / u)
+  }
+
+  /** MinHash-LSH near-duplicate pairs: banded candidates, then exact
+    * Jaccard verification at `threshold`. Output: (a_id, b_id, jacc),
+    * a_id < b_id. */
+  def minhashNearDups(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text",
+                      threshold: Double = 0.5): DataFrame =
+    minhashNearDupsFromTokens(
+      docs.select(col(idCol), Hashing.tokens(col(textCol)).as("tk")),
+      idCol, "tk", threshold)
+
+  /** Same, over a pre-tokenized (idCol, tokCol array<string>) frame. */
+  def minhashNearDupsFromTokens(toks: DataFrame, idCol: String,
+                                tokCol: String,
+                                threshold: Double): DataFrame = {
+    val sig = toks.select(col(idCol), shingleHashes(col(tokCol)).as("sh"))
+    val bands = banded(sig, idCol)
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+        col("x.band_key") === col("y.band_key") &&
+        col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"))
+      .distinct()
+    cand
+      .join(sig.select(col(idCol).as("a_id"), col("sh").as("sa")), Seq("a_id"))
+      .join(sig.select(col(idCol).as("b_id"), col("sh").as("sb")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"), jaccard(col("sa"), col("sb")).as("jacc"))
+      .filter(col("jacc") >= threshold)
+  }
+
+  /** 60-bit SimHash of a token multiset: bit j of the print is the sign of
+    * sum over tokens of (+1 / -1) on bit j of the token hash. Pure per-row
+    * array folds — no shuffle at all. */
+  val simhashBits = 60
+  def simhash(toks: Column): Column = {
+    val hs = transform(toks, t => Hashing.hash60(t))
+    (0 until simhashBits).map { j =>
+      val bitSum = aggregate(hs, lit(0L), (acc, h) =>
+        acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, lit(1L))
+          .otherwise(lit(-1L)))
+      when(bitSum > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** SimHash LSH keys: 4 x 15-bit chunks; near-dup candidates share at
+    * least one chunk (Hamming <= 3 guaranteed found). Same banded-join
+    * shape as MinHash — no all-pairs comparison at scale. */
+  def simhashChunks(sh: Column): Seq[Column] =
+    (0 until 4).map(b => shiftright(sh, b * 15).bitwiseAND(lit(0x7FFFL)))
+}

@@ -1,0 +1,115 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (array<float>).
+  *
+  * Numeric contract: dot products are LEFT-TO-RIGHT double folds
+  * (`aggregate` over `zip_with`) — bit-identical to a sequential sum in
+  * any engine (the DuckDB oracle mirrors it with list_reduce), so scores
+  * and therefore rankings are deterministic across partitionings.
+  *
+  * Scale design:
+  *  - brute-force top-k broadcasts the (small) query set against the
+  *    (huge) candidate side — candidates stream through a map-side
+  *    scoring projection; only (n_queries x k)-bounded data shuffles for
+  *    the final per-query top-k;
+  *  - the LSH path buckets both sides by a deterministic sign-random-
+  *    projection signature and joins bucket-to-bucket (equi-join, AQE
+  *    skew-safe) — candidate scoring cost scales with bucket density,
+  *    not corpus size. Signatures use fixed integer hyperplanes so the
+  *    index is reproducible and incrementally extendable.
+  */
+object Similarity {
+
+  /** Left-to-right double fold of elementwise products. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def normSq(a: Column): Column = dot(a, a)
+
+  /** cosine from precomputed squared norms. */
+  def cosine(dotAb: Column, nsqA: Column, nsqB: Column): Column =
+    dotAb / (sqrt(nsqA) * sqrt(nsqB))
+
+  /** Deterministic integer hyperplane family for sign-LSH:
+    * plane(b)(j) in [-1000, 1000]. */
+  def plane(b: Int, dims: Int): Seq[Long] =
+    (0 until dims).map(j => ((1103515245L * (b * dims + j) + 12345L) % 2001L) - 1000L)
+
+  /** Sign-random-projection bucket id from `bits` hyperplanes. */
+  def lshBucket(vec: Column, bits: Int, dims: Int): Column =
+    (0 until bits).map { b =>
+      val planeArr = array(plane(b, dims).map(l => lit(l.toDouble)): _*)
+      when(dot(vec, planeArr) > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Brute-force cosine top-k: for each query row (idCol, vecCol) the k
+    * nearest candidate rows by cosine, score rounded to 9 significant
+    * digits before ranking (rank ties broken by candidate id).
+    * Output: (qid, rank, cid, score). */
+  def bruteTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      normSq(col(vecCol)).as("qn"))
+    val c = candidates.select(col(idCol).as("cid"), col(vecCol).as("cv"),
+      normSq(col(vecCol)).as("cn"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"),
+        graft.queries.Q.sig9(
+          cosine(dot(col("qv"), col("cv")), col("qn"), col("cn")))
+          .as("score"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("cid").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("cid"), col("score"))
+  }
+
+  /** LSH-bucketed approximate top-k: candidates only from the query's
+    * bucket. Same output shape as bruteTopK. */
+  def lshTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+              bits: Int = 16, dims: Int = 64,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      normSq(col(vecCol)).as("qn"),
+      lshBucket(col(vecCol), bits, dims).as("bucket"))
+    val c = candidates.select(col(idCol).as("cid"), col(vecCol).as("cv"),
+      normSq(col(vecCol)).as("cn"),
+      lshBucket(col(vecCol), bits, dims).as("bucket"))
+    val scored = c.join(q, Seq("bucket"))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"),
+        graft.queries.Q.sig9(
+          cosine(dot(col("qv"), col("cv")), col("qn"), col("cn")))
+          .as("score"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("cid").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("cid"), col("score"))
+  }
+
+  /** Embedding near-duplicate pairs: each query row's candidates with
+    * cosine >= threshold. Queries broadcast (catalog-probe shape). */
+  def nearDupPairs(queries: DataFrame, candidates: DataFrame,
+                   threshold: Double, qIdCol: String, cIdCol: String,
+                   qVecCol: String, cVecCol: String): DataFrame = {
+    val q = queries.select(col(qIdCol).as("qid"), col(qVecCol).as("qv"),
+      normSq(col(qVecCol)).as("qn"))
+    val c = candidates.select(col(cIdCol).as("cid"), col(cVecCol).as("cv"),
+      normSq(col(cVecCol)).as("cn"))
+    c.crossJoin(broadcast(q))
+      .select(col("qid"), col("cid"),
+        graft.queries.Q.sig9(
+          cosine(dot(col("qv"), col("cv")), col("qn"), col("cn")))
+          .as("score"))
+      .filter(col("score") >= threshold)
+  }
+}

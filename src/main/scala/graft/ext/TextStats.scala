@@ -1,0 +1,55 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for an LLM training-data pipeline: per-document
+  * quality/statistics features, heuristic language ID, and document
+  * fingerprints. Everything is a narrow per-row projection over built-in
+  * expressions — embarrassingly parallel, no shuffle, whole-stage
+  * codegen'd; at 100 TB this runs at parquet-scan speed with the text
+  * column pruned in.
+  */
+object TextStats {
+
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "in", "to")
+
+  /** Per-document stats frame:
+    * n_tokens, n_uniq_tokens, n_chars, avg_token_len, stopword_ratio,
+    * alpha_ratio, lang_guess (stopword-frequency heuristic language ID —
+    * a real n-gram LM is a model artifact, not an operator; the pipeline
+    * shape is identical).
+    */
+  def stats(docs: DataFrame, idCol: String = "doc_id",
+            textCol: String = "text"): DataFrame = {
+    val toks = Hashing.tokens(col(textCol))
+    val nTok = size(toks).cast("long")
+    val sumLen = aggregate(transform(toks, t => length(t).cast("long")),
+      lit(0L), (acc, v) => acc + v)
+    val nStop = size(filter(toks, t => t.isin(stopwords: _*))).cast("long")
+    val nAlpha = length(regexp_replace(col(textCol), "[^A-Za-z]", ""))
+      .cast("long")
+    val nChars = length(col(textCol)).cast("long")
+    val stopRatio = when(nTok === 0, lit(null).cast("double"))
+      .otherwise(nStop.cast("double") / nTok)
+    docs.select(
+      col(idCol),
+      nTok.as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_uniq_tokens"),
+      nChars.as("n_chars"),
+      when(nTok === 0, lit(null).cast("double"))
+        .otherwise(sumLen.cast("double") / nTok).as("avg_token_len"),
+      stopRatio.as("stopword_ratio"),
+      when(nChars === 0, lit(null).cast("double"))
+        .otherwise(nAlpha.cast("double") / nChars).as("alpha_ratio"),
+      when(stopRatio >= 0.03, lit("en")).otherwise(lit("other"))
+        .as("lang_guess"))
+  }
+
+  /** Document fingerprints (rolling polynomial hash over the token
+    * stream) — order-sensitive content identity for incremental dedup. */
+  def fingerprints(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+      Hashing.fingerprint(Hashing.tokens(col(textCol))).as("fp"))
+}

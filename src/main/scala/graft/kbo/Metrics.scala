@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.Exprs
+import graft.queries.Q
 
 /** The reference's analytics surface, re-expressed as pure
   * `DataFrame => DataFrame` transforms (one object per reference DAG).
@@ -74,12 +75,16 @@ object Metrics {
     */
   def hitterWrc(gameRecords: DataFrame, hitters: DataFrame,
                 woba: DataFrame): DataFrame = {
+    // League scalars are decimal-routed (Q.dsum/davg) so the one-row frame
+    // is bit-identical across partitionings/topologies — the determinism
+    // contract every downstream row-wise formula inherits.
     val leagueRunsPa = gameRecords.agg(
-        (sum(col("away_score")) + sum(col("home_score"))).cast("double")
-          .as("league_runs"))
-      .crossJoin(hitters.agg(sum(col("pa")).cast("double").as("league_pa"),
-        avg(col("obp")).as("league_obp"), avg(col("slg")).as("league_slg")))
-    val leagueWoba = woba.agg(avg(col("wOBA")).as("league_woba"))
+        (sum(col("away_score")) + sum(col("home_score"))).cast("long")
+          .cast("double").as("league_runs"))
+      .crossJoin(hitters.agg(
+        sum(col("pa")).cast("long").cast("double").as("league_pa"),
+        Q.davg(col("obp")).as("league_obp"), Q.davg(col("slg")).as("league_slg")))
+    val leagueWoba = woba.agg(Q.davg(col("wOBA")).as("league_woba"))
     val scalars = broadcast(leagueRunsPa.crossJoin(leagueWoba)
       .withColumn("woba_scale",
         (col("league_woba") - col("league_obp")) /
@@ -112,11 +117,11 @@ object Metrics {
   def pitcherMetrics(pitchers: DataFrame): DataFrame = {
     val withIp = pitchers.withColumn("ip_f", Exprs.ipToFloat(col("ip")))
     val league = broadcast(withIp.agg(
-      sum(col("hr")).cast("double").as("lg_hr"),
-      sum(col("bb")).cast("double").as("lg_bb"),
-      sum(col("so")).cast("double").as("lg_so"),
-      sum(col("ip_f")).as("lg_ip"),
-      avg(col("era")).as("lg_era")))
+      sum(col("hr")).cast("long").cast("double").as("lg_hr"),
+      sum(col("bb")).cast("long").cast("double").as("lg_bb"),
+      sum(col("so")).cast("long").cast("double").as("lg_so"),
+      Q.dsum(col("ip_f")).as("lg_ip"),
+      Q.davg(col("era")).as("lg_era")))
     // M8 (ref :66): fip_constant = lgERA - (13*lgHR + 3*lgBB - 2*lgSO)/lgIP
     withIp.filter(col("ip_f") =!= 0.0)
       .crossJoin(league)
@@ -155,10 +160,18 @@ object Metrics {
     * (documented divergence, SURVEY §7): on pf=0 the reference leaves
     * OPS+ STALE from the previous loop iteration (bug); we emit NULL.
     */
+  /** League scalars for parkAdjusted as a ONE-ROW broadcastable frame —
+    * never driver-side Doubles (that would force a collect()). Decimal-
+    * routed for cross-topology determinism. */
+  def leagueScalars(hitters: DataFrame, wrc: DataFrame): DataFrame =
+    hitters.agg(
+        Q.davg(col("obp")).as("league_obp"),
+        Q.davg(col("slg")).as("league_slg"),
+        sum(col("pa")).cast("long").cast("double").as("league_pa"))
+      .crossJoin(wrc.agg(Q.dsum(col("wRC")).as("league_wrc")))
+
   def parkAdjusted(lineup: DataFrame, hitters: DataFrame, wrc: DataFrame,
-                   parkFactor: DataFrame, leagueObp: Double,
-                   leagueSlg: Double, leagueWrc: Double,
-                   leaguePa: Double): DataFrame = {
+                   parkFactor: DataFrame, scalars: DataFrame): DataFrame = {
     val hitterSide = hitters.select(col("hitter_id"), col("player_name"),
       col("team_name"), col("pa"), col("obp"), col("slg"))
       .join(wrc, Seq("hitter_id"))
@@ -167,14 +180,16 @@ object Metrics {
         lineup("player") === hitterSide("player_name") &&
         lineup("team") === hitterSide("team_name"))
       .join(broadcast(parkFactor), Seq("stadium"), "left")
+      .crossJoin(broadcast(scalars))
       .withColumn("pf", coalesce(col("park_factor"), lit(0.0)))
     val wrcPlus = when(col("pf") === 0.0 || col("pa") === 0,
         lit(null).cast("double"))
       .otherwise((col("wRC") / col("pa")) /
-        ((lit(leagueWrc) / lit(leaguePa)) / col("pf")) * lit(100.0))
+        ((col("league_wrc") / col("league_pa")) / col("pf")) * lit(100.0))
     val opsPlus = when(col("pf") === 0.0, lit(null).cast("double"))
       .otherwise((lit(100.0) / col("pf")) *
-        (col("obp") / lit(leagueObp) + col("slg") / lit(leagueSlg) - lit(1.0)))
+        (col("obp") / col("league_obp") + col("slg") / col("league_slg")
+          - lit(1.0)))
     joined.select(col("hitter_id"), col("player_name"), col("team_name"),
       col("stadium"), wrcPlus.as("wRC_plus"), opsPlus.as("OPS_plus"))
   }

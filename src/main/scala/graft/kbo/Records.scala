@@ -31,7 +31,9 @@ object Records {
   def wideRecord(lineup: DataFrame, players: DataFrame, metrics: DataFrame,
                  opponents: DataFrame, stadiums: DataFrame,
                  recentGames: DataFrame, idCol: String,
-                 isPitcher: Boolean, recentK: Int = 5): DataFrame = {
+                 isPitcher: Boolean, recentK: Int = 5,
+                 recentOrderCols: Seq[String] =
+                   Seq("game_date", "opponent_team")): DataFrame = {
     val side = if (isPitcher) lineup.filter(col("position") === 0)
                else lineup.filter(col("position") =!= 0)
     // J1: resolve (player, team) -> player_id; inner (skip-if-missing).
@@ -55,8 +57,10 @@ object Records {
     // W1: top-k recent games per player as a nested column.
     val gameCols = recentGames.columns.filterNot(c =>
       c == idCol || c == "updated_at")
+    // recentOrderCols must totally order a player's games (callers append a
+    // unique game id) or the top-k cut is nondeterministic under ties.
     val w = Window.partitionBy(col(idCol))
-      .orderBy(col("game_date").desc, col("opponent_team").desc)
+      .orderBy(recentOrderCols.map(c => col(c).desc): _*)
     val recent = recentGames
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= recentK)

@@ -1,0 +1,389 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ext.{Dedup, Hashing, Multimodal, Similarity, TextStats}
+import Q._
+
+/** The LLM-data-pipeline operator families (dedup, similarity search,
+  * multimodal, text analysis) under the DuckDB oracle, over the driver's
+  * `documents` / `embeddings` fixtures.
+  *
+  * All hashing is the portable md5-based family from graft.ext.Hashing, so
+  * the oracle SQL reproduces signatures exactly (`CAST('0x'||substr(
+  * md5(x),1,15) AS BIGINT)` == Spark `conv(substring(md5(x),1,15),16,10)`).
+  * Dot products are left-to-right double folds on both engines
+  * (Spark `aggregate` == DuckDB `list_reduce`), so cosine scores are
+  * bit-identical. Where an operator is approximate by nature (LSH-bucketed
+  * ANN), the query emits a deterministic recall self-check frame and the
+  * oracle pins the expected verdict.
+  *
+  * The fixtures contain no duplicates, so the dedup queries build a corpus
+  * with KNOWN duplicates deterministically (id-shifted exact copies /
+  * token-truncated near copies / perturbed embeddings) — the same
+  * construction in Spark and in the oracle SQL.
+  */
+object ExtQueries {
+  type QFn = (SparkSession, String) => DataFrame
+
+  private val P = Hashing.P
+  private val hashSql = (e: String) =>
+    s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+  private val hashPSql = (e: String) => s"${hashSql(e)} % $P"
+
+  /** Tokenized documents CTE (mirrors Hashing.tokens). */
+  private val toksSql =
+    """toks AS (
+      |  SELECT doc_id, lang, text,
+      |         list_filter(string_split(text, ' '), t -> t <> '') AS tk
+      |  FROM documents)""".stripMargin
+
+  /** Distinct shingle-hash CTE over a (doc_id, tk) frame `src`
+    * (mirrors Dedup.shingleHashes). */
+  private def shSql(src: String) =
+    s"""shs AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(
+       |      list_distinct(list_transform(range(0, len(tk) - 2),
+       |        i -> tk[i+1] || '_' || tk[i+2] || '_' || tk[i+3])),
+       |      s -> ${hashPSql("s")})) AS sh
+       |  FROM $src)""".stripMargin
+
+  /** Sequential double fold: sum of `itemExpr` over `rangeExpr`
+    * (mirrors Similarity.dot's aggregate fold). */
+  private def foldSql(listExpr: String) =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $listExpr), (a, b) -> a + b)"
+
+  private def dotSql(qa: String, ca: String) =
+    foldSql(s"list_transform(range(1, len($qa) + 1), " +
+      s"i -> CAST($qa[i] AS DOUBLE) * CAST($ca[i] AS DOUBLE))")
+
+  private def nsqSql(v: String) =
+    foldSql(s"list_transform($v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
+
+  // ===== text analysis ==================================================
+
+  private val textStats: QFn = (s, d) =>
+    TextStats.stats(Tables.documents(s, d))
+
+  private val textStatsSql = {
+    val stop = TextStats.stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH $toksSql,
+       |st AS (
+       |  SELECT doc_id,
+       |    len(tk) AS n_tokens,
+       |    len(list_distinct(tk)) AS n_uniq_tokens,
+       |    length(text) AS n_chars,
+       |    CASE WHEN len(tk) = 0 THEN NULL
+       |         ELSE CAST(list_sum(list_transform(tk,
+       |                t -> CAST(length(t) AS BIGINT))) AS DOUBLE) / len(tk)
+       |         END AS avg_token_len,
+       |    CASE WHEN len(tk) = 0 THEN NULL
+       |         ELSE CAST(len(list_filter(tk, t -> t IN ($stop))) AS DOUBLE)
+       |              / len(tk) END AS stopword_ratio,
+       |    CASE WHEN length(text) = 0 THEN NULL
+       |         ELSE CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+       |              AS DOUBLE) / length(text) END AS alpha_ratio
+       |  FROM toks)
+       |SELECT doc_id, n_tokens, n_uniq_tokens, n_chars, avg_token_len,
+       |  stopword_ratio, alpha_ratio,
+       |  CASE WHEN stopword_ratio >= CAST(0.03 AS DOUBLE) THEN 'en'
+       |       ELSE 'other' END AS lang_guess
+       |FROM st""".stripMargin
+  }
+
+  private val fingerprint: QFn = (s, d) =>
+    TextStats.fingerprints(Tables.documents(s, d))
+
+  private val fingerprintSql =
+    s"""WITH $toksSql
+       |SELECT doc_id,
+       |  list_reduce(
+       |    list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(tk, t -> ${hashPSql("t")})),
+       |    (a, b) -> (a * ${Hashing.B} + b) % $P) AS fp
+       |FROM toks""".stripMargin
+
+  // ===== dedup: exact ===================================================
+
+  private val dedupExact: QFn = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val corpus = docs.unionByName(
+      docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+    Dedup.exactDedup(corpus)
+  }
+
+  private val dedupExactSql =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000 AS doc_id, text FROM documents
+      |  WHERE doc_id % 5 = 0)
+      |SELECT md5(text) AS content_md5, MIN(doc_id) AS keep_id,
+      |       COUNT(*) AS n_copies
+      |FROM corpus GROUP BY md5(text)""".stripMargin
+
+  // ===== dedup: MinHash-LSH near-dup ====================================
+
+  /** Corpus with known near-dups: every 7th doc also appears with its
+    * last two tokens dropped, id-shifted by 20000. */
+  private def nearCorpus(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), Hashing.tokens(col("text")).as("tk"))
+    toks.unionByName(toks.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 20000).as("doc_id"),
+        slice(col("tk"), lit(1), greatest(size(col("tk")) - 2, lit(0)))
+          .as("tk")))
+  }
+
+  private val nearCorpusSql =
+    s"""corpus AS (
+       |  SELECT doc_id, tk FROM toks
+       |  UNION ALL
+       |  SELECT doc_id + 20000 AS doc_id,
+       |         tk[1:greatest(len(tk) - 2, 0)] AS tk
+       |  FROM toks WHERE doc_id % 7 = 0)""".stripMargin
+
+  private val dedupMinhash: QFn = (s, d) =>
+    Dedup.minhashNearDupsFromTokens(nearCorpus(s, d), "doc_id", "tk", 0.5)
+
+  private val dedupMinhashSql = {
+    val mh = (Dedup.hashA zip Dedup.hashB).map { case (a, b) =>
+      s"list_min(list_transform(sh, x -> ($a * x + $b) % $P))"
+    }
+    val mhList = mh.mkString("[", ",\n      ", "]")
+    val bandSelects = (0 until Dedup.numBands).map { bnd =>
+      val key = (0 until Dedup.rowsPerBand)
+        .map(r => s"CAST(mh[${bnd * Dedup.rowsPerBand + r + 1}] AS VARCHAR)")
+        .mkString(" || '_' || ")
+      s"SELECT doc_id, $bnd AS band_id, $key AS k FROM mh"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH $toksSql,
+       |$nearCorpusSql,
+       |${shSql("corpus")},
+       |mh AS (
+       |  SELECT doc_id, $mhList AS mh FROM shs),
+       |b AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+       |  FROM b x JOIN b y
+       |    ON x.band_id = y.band_id AND x.k = y.k AND x.doc_id < y.doc_id),
+       |j AS (
+       |  SELECT a_id, b_id,
+       |    CASE WHEN len(list_distinct(sa.sh || sb.sh)) = 0
+       |         THEN CAST(0.0 AS DOUBLE)
+       |         ELSE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |              / len(list_distinct(sa.sh || sb.sh)) END AS jacc
+       |  FROM cand
+       |  JOIN shs sa ON sa.doc_id = a_id
+       |  JOIN shs sb ON sb.doc_id = b_id)
+       |SELECT a_id, b_id, jacc FROM j
+       |WHERE jacc >= CAST(0.5 AS DOUBLE)""".stripMargin
+  }
+
+  // ===== dedup: SimHash fingerprints ====================================
+
+  private val simhash: QFn = (s, d) =>
+    Tables.documents(s, d).select(col("doc_id"),
+      Dedup.simhash(Hashing.tokens(col("text"))).as("simhash"))
+
+  private val simhashSql = {
+    val terms = (0 until Dedup.simhashBits).map { j =>
+      s"(CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN (x >> $j) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString("\n    + ")
+    s"""WITH $toksSql,
+       |th AS (
+       |  SELECT doc_id, list_transform(tk, t -> ${hashSql("t")}) AS hs
+       |  FROM toks)
+       |SELECT doc_id,
+       |    $terms AS simhash
+       |FROM th""".stripMargin
+  }
+
+  // ===== dedup: n-gram Jaccard nearest neighbor =========================
+
+  private val jaccardNn: QFn = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), Hashing.tokens(col("text")).as("tk"))
+    val sig = toks.select(col("doc_id"), col("lang"),
+      Dedup.shingleHashes(col("tk")).as("sh"))
+    val a = sig.select(col("doc_id"), col("lang"), col("sh").as("sa"))
+    val b = sig.select(col("doc_id").as("nn_id"), col("lang"),
+      col("sh").as("sb"))
+    val pairs = a.join(b, Seq("lang"))
+      .filter(col("doc_id") =!= col("nn_id"))
+      .select(col("doc_id"), col("nn_id"),
+        Dedup.jaccard(col("sa"), col("sb")).as("jacc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("jacc").desc, col("nn_id").asc)
+    pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("nn_id"), col("jacc"))
+  }
+
+  private val jaccardNnSql =
+    s"""WITH $toksSql,
+       |sh0 AS (
+       |  SELECT doc_id, lang,
+       |    list_distinct(list_transform(
+       |      list_distinct(list_transform(range(0, len(tk) - 2),
+       |        i -> tk[i+1] || '_' || tk[i+2] || '_' || tk[i+3])),
+       |      s -> ${hashPSql("s")})) AS sh
+       |  FROM toks),
+       |pairs AS (
+       |  SELECT a.doc_id, b.doc_id AS nn_id,
+       |    CASE WHEN len(list_distinct(a.sh || b.sh)) = 0
+       |         THEN CAST(0.0 AS DOUBLE)
+       |         ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |              / len(list_distinct(a.sh || b.sh)) END AS jacc
+       |  FROM sh0 a JOIN sh0 b
+       |    ON a.lang = b.lang AND a.doc_id <> b.doc_id),
+       |r AS (
+       |  SELECT doc_id, nn_id, jacc, ROW_NUMBER() OVER (
+       |    PARTITION BY doc_id ORDER BY jacc DESC, nn_id) AS rn
+       |  FROM pairs)
+       |SELECT doc_id, nn_id, jacc FROM r WHERE rn = 1""".stripMargin
+
+  // ===== similarity: brute-force cosine top-k ===========================
+
+  private val annBrute: QFn = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    Similarity.bruteTopK(emb.filter(col("vec_id") < 20), emb, 5)
+  }
+
+  private val annBruteSql =
+    s"""WITH n AS (
+       |  SELECT vec_id, embedding, ${nsqSql("embedding")} AS nsq
+       |  FROM embeddings),
+       |p AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |    ${dotSql("q.embedding", "c.embedding")}
+       |      / (sqrt(q.nsq) * sqrt(c.nsq)) AS cosv
+       |  FROM n q CROSS JOIN n c
+       |  WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id),
+       |r AS (
+       |  SELECT qid, cid, ${sqlSig9("cosv")} AS score FROM p),
+       |t AS (
+       |  SELECT qid, cid, score, ROW_NUMBER() OVER (
+       |    PARTITION BY qid ORDER BY score DESC, cid) AS rn
+       |  FROM r)
+       |SELECT qid, CAST(rn AS BIGINT) AS "rank", cid, score
+       |FROM t WHERE rn <= 5""".stripMargin
+
+  // ===== similarity: embedding near-dup (catalog probe) =================
+
+  /** Deterministically perturbed copies of every 5th vector, id-shifted
+    * by 30000 — ground-truth near-duplicates of their originals. */
+  private def perturbed(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 30000).as("qid"),
+        transform(col("embedding"), (x, i) =>
+          x.cast("double") +
+            lit(0.001) * ((col("vec_id") + i) % 7 - 3).cast("double"))
+          .as("qv"))
+
+  private val perturbedSql =
+    """q AS (
+      |  SELECT vec_id + 30000 AS qid,
+      |    list_transform(range(1, len(embedding) + 1),
+      |      i -> CAST(embedding[i] AS DOUBLE)
+      |           + CAST(0.001 AS DOUBLE)
+      |             * CAST((vec_id + i - 1) % 7 - 3 AS DOUBLE)) AS qv
+      |  FROM embeddings WHERE vec_id % 5 = 0)""".stripMargin
+
+  private val embedNearDup: QFn = (s, d) =>
+    Similarity.nearDupPairs(perturbed(s, d), Tables.embeddings(s, d),
+      0.99, "qid", "vec_id", "qv", "embedding")
+
+  private val embedNearDupSql =
+    s"""WITH $perturbedSql,
+       |qn AS (
+       |  SELECT qid, qv, ${foldSql("list_transform(qv, x -> x * x)")} AS nsq
+       |  FROM q),
+       |n AS (
+       |  SELECT vec_id, embedding, ${nsqSql("embedding")} AS nsq
+       |  FROM embeddings),
+       |p AS (
+       |  SELECT qn.qid, c.vec_id AS cid,
+       |    ${dotSql("qn.qv", "c.embedding")}
+       |      / (sqrt(qn.nsq) * sqrt(c.nsq)) AS cosv
+       |  FROM qn CROSS JOIN n c),
+       |r AS (
+       |  SELECT qid, cid, ${sqlSig9("cosv")} AS score FROM p)
+       |SELECT qid, cid, score FROM r
+       |WHERE score >= CAST(0.99 AS DOUBLE)""".stripMargin
+
+  // ===== similarity: LSH ANN recall self-check ==========================
+
+  /** LSH-bucketed ANN recall@1 against exact ground truth (the perturbed
+    * queries' originals). Approximate-by-nature => the oracle pins the
+    * deterministic verdict frame, not the per-pair scores. */
+  private val annLshRecall: QFn = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val q = perturbed(s, d)
+      .select(col("qid").as("vec_id"), col("qv").as("embedding"))
+    val top1 = Similarity.lshTopK(q, emb, k = 1, bits = 16, dims = 64)
+      .filter(col("rank") === 1)
+    val hits = q.select(col("vec_id").as("qid"))
+      .join(top1, Seq("qid"), "left")
+      .select(when(col("cid") === col("qid") - 30000, lit(1.0))
+        .otherwise(lit(0.0)).as("hit"))
+    hits.agg(count(lit(1)).as("n_queries"),
+        (sum(col("hit")) / count(lit(1)) >= 0.75).as("pass"))
+      .select(lit("lsh_recall_at_1").as("metric"), col("n_queries"),
+        col("pass"))
+  }
+
+  private val annLshRecallSql =
+    """SELECT 'lsh_recall_at_1' AS metric,
+      |  (SELECT COUNT(*) FROM embeddings WHERE vec_id % 5 = 0) AS n_queries,
+      |  CAST(1 AS BOOLEAN) AS pass""".stripMargin
+
+  // ===== multimodal: binary column + metadata + feature stub ============
+
+  private val multimodal: QFn = (s, d) => {
+    val media = Multimodal.packAsMedia(Tables.documents(s, d))
+    Multimodal.extractFeaturesColumnar(media)
+      .join(media.select(col("doc_id"), col("meta.n_bytes").as("n_bytes")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("n_bytes"),
+        col("feat0"), col("feat1"), col("feat2"), col("feat3"))
+  }
+
+  private val multimodalSql = {
+    val feats = (0 until 4).map(j =>
+      s"CAST('0x' || substr(md5(text), ${j * 4 + 1}, 4) AS BIGINT) " +
+        s"/ CAST(65535.0 AS DOUBLE) AS feat$j").mkString(",\n  ")
+    s"""SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+       |  $feats
+       |FROM documents""".stripMargin
+  }
+
+  val queries: Map[String, QFn] = Map(
+    "q_x_text_stats" -> textStats,
+    "q_x_fingerprint" -> fingerprint,
+    "q_x_dedup_exact" -> dedupExact,
+    "q_x_dedup_minhash" -> dedupMinhash,
+    "q_x_simhash" -> simhash,
+    "q_x_jaccard_nn" -> jaccardNn,
+    "q_x_ann_brute" -> annBrute,
+    "q_x_embed_neardup" -> embedNearDup,
+    "q_x_ann_lsh_recall" -> annLshRecall,
+    "q_x_multimodal" -> multimodal)
+
+  val oracles: Map[String, String] = Map(
+    "q_x_text_stats" -> textStatsSql,
+    "q_x_fingerprint" -> fingerprintSql,
+    "q_x_dedup_exact" -> dedupExactSql,
+    "q_x_dedup_minhash" -> dedupMinhashSql,
+    "q_x_simhash" -> simhashSql,
+    "q_x_jaccard_nn" -> jaccardNnSql,
+    "q_x_ann_brute" -> annBruteSql,
+    "q_x_embed_neardup" -> embedNearDupSql,
+    "q_x_ann_lsh_recall" -> annLshRecallSql,
+    "q_x_multimodal" -> multimodalSql)
+}

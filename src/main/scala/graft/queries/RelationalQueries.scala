@@ -197,9 +197,9 @@ object RelationalQueries {
       |    COUNT(*) AS games
       |  FROM orders GROUP BY o_orderpriority)
       |SELECT o_orderpriority, scored, allowed, games,
-      |  SUM(scored) OVER () - scored AS oth_scored,
-      |  SUM(allowed) OVER () - allowed AS oth_allowed,
-      |  SUM(games) OVER () - games AS oth_games
+      |  CAST(SUM(scored) OVER () - scored AS BIGINT) AS oth_scored,
+      |  CAST(SUM(allowed) OVER () - allowed AS BIGINT) AS oth_allowed,
+      |  CAST(SUM(games) OVER () - games AS BIGINT) AS oth_games
       |FROM per""".stripMargin
 
   // --- G3: league-wide scalar aggregates (one row) ----------------------
