@@ -1,5 +1,21 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Per-round benchmark over the full oracle-checked query surface.
+  *
+  * Methodology (fixes the round-1 harness):
+  *  - one untimed WARM-UP pass first, so JIT/codegen compilation cost is
+  *    not attributed to whichever query happens to run first;
+  *  - full materialization via queryExecution.toRdd.count() — NOT
+  *    DataFrame.count(), which lets Catalyst prune projections and answer
+  *    unfiltered parquet scans from footer metadata;
+  *  - failures are recorded per-query and fail the run (nonzero exit),
+  *    never silently timed as fast queries;
+  *  - the JSON line goes to stdout AND to BENCH.json in the working
+  *    directory so log-tail truncation cannot lose it.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +23,33 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def runOnce(name: String): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+        }
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    names.foreach(runOnce) // warm-up pass, untimed
+    val results = names.map(n => n -> runOnce(n))
+    val failed = results.collect { case (n, (_, false)) => n }
+    val qs = results.map { case (n, (sec, _)) => s"\"$n\":$sec" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.map(_._2._1).sum
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    println(json)
+    Files.writeString(Paths.get("BENCH.json"), json + "\n")
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -53,7 +53,8 @@ object Dedup {
   def shingleHashes(toks: Column, n: Int = 3): Column =
     array_distinct(transform(shingles(toks, n), s => Hashing.hashP(s)))
 
-  /** MinHash signature (numHashes longs) of a shingle-hash array.
+  /** MinHash signature (numHashes longs) of a shingle-hash array — the
+    * per-row reference formula (the oracle SQL mirrors this shape).
     * Empty shingle set => NULL minhashes => NULL band keys, which never
     * join (SQL NULL semantics) — tiny docs are skipped, not clustered. */
   def minhashes(sh: Column): Column =
@@ -61,22 +62,32 @@ object Dedup {
       array_min(transform(sh, x => (lit(a) * x + lit(b)) % P))
     }: _*)
 
-  /** One band key per band: '_'-joined row minhashes. concat (not
-    * concat_ws) so a NULL minhash nulls the whole key. */
-  def bandKeys(mh: Column): Seq[Column] =
-    (0 until numBands).map { bnd =>
-      val parts = (0 until rowsPerBand).flatMap { r =>
-        val v = element_at(mh, bnd * rowsPerBand + r + 1).cast("string")
-        if (r == 0) Seq(v) else Seq(lit("_"), v)
-      }
-      concat(parts: _*)
+  /** Signature frame (id, mh0..mh15, sh) in ONE pass over exploded shingle
+    * hashes. Spark does not CSE independent higher-order folds, so the
+    * per-row form re-derives the md5 shingle hashes once per permutation;
+    * here tokenize+md5 run once, the 16 mins partial-aggregate map-side,
+    * and the single doc-keyed exchange is shared by the band and verify
+    * branches (ReuseExchange). Docs with no shingles drop out (same
+    * outcome as their NULL band keys never joining). */
+  def minhashSig(toks: DataFrame, idCol: String, tokCol: String): DataFrame = {
+    val ex = toks.select(col(idCol),
+      explode(shingleHashes(col(tokCol))).as("h"))
+    val minExprs = (hashA zip hashB).zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("h") + lit(b)) % P).as(s"mh$i")
     }
+    ex.groupBy(col(idCol))
+      .agg(minExprs.head,
+        (minExprs.tail :+ collect_set(col("h")).as("sh")): _*)
+  }
 
-  /** (id, shingle-hash set) -> exploded (id, band_id, band_key) frame. */
+  /** (id, mh0..mh15, ...) -> exploded (id, band_id, band_key) frame. */
   def banded(sig: DataFrame, idCol: String): DataFrame = {
-    val mh = minhashes(col("sh"))
-    val bandStructs = array(bandKeys(mh).zipWithIndex.map { case (k, i) =>
-      struct(lit(i).as("band_id"), k.as("band_key"))
+    val bandStructs = array((0 until numBands).map { bnd =>
+      val key = concat((0 until rowsPerBand).flatMap { r =>
+        val v = col(s"mh${bnd * rowsPerBand + r}").cast("string")
+        if (r == 0) Seq(v) else Seq(lit("_"), v)
+      }: _*)
+      struct(lit(bnd).as("band_id"), key.as("band_key"))
     }: _*)
     sig.select(col(idCol), explode(bandStructs).as("b"))
       .select(col(idCol), col("b.band_id"), col("b.band_key"))
@@ -104,7 +115,7 @@ object Dedup {
   def minhashNearDupsFromTokens(toks: DataFrame, idCol: String,
                                 tokCol: String,
                                 threshold: Double): DataFrame = {
-    val sig = toks.select(col(idCol), shingleHashes(col(tokCol)).as("sh"))
+    val sig = minhashSig(toks, idCol, tokCol)
     val bands = banded(sig, idCol)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band_id") === col("y.band_id") &&
@@ -120,17 +131,26 @@ object Dedup {
   }
 
   /** 60-bit SimHash of a token multiset: bit j of the print is the sign of
-    * sum over tokens of (+1 / -1) on bit j of the token hash. Pure per-row
-    * array folds — no shuffle at all. */
+    * sum over tokens of (+1 / -1) on bit j of the token hash.
+    *
+    * Shape: explode token hashes, 60 conditional sums in one hash
+    * aggregate. The 60 sums partial-aggregate map-side, so the doc-keyed
+    * shuffle carries one 61-column row per doc — and the md5 token hash is
+    * computed exactly once per token (60 independent per-row folds would
+    * re-derive it per bit; Spark does not CSE across higher-order
+    * lambdas — measured 100x slower). Docs with zero tokens drop out. */
   val simhashBits = 60
-  def simhash(toks: Column): Column = {
-    val hs = transform(toks, t => Hashing.hash60(t))
-    (0 until simhashBits).map { j =>
-      val bitSum = aggregate(hs, lit(0L), (acc, h) =>
-        acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, lit(1L))
-          .otherwise(lit(-1L)))
-      when(bitSum > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+  def simhashDf(toks: DataFrame, idCol: String, tokCol: String): DataFrame = {
+    val ex = toks.select(col(idCol),
+      explode(transform(col(tokCol), t => Hashing.hash60(t))).as("h"))
+    val bitSums = (0 until simhashBits).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, lit(1L))
+        .otherwise(lit(-1L))).as(s"b$j"))
+    ex.groupBy(col(idCol))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol), (0 until simhashBits).map(j =>
+        when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _).as("simhash"))
   }
 
   /** SimHash LSH keys: 4 x 15-bit chunks; near-dup candidates share at

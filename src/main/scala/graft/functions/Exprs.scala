@@ -31,11 +31,15 @@ object Exprs {
       .otherwise(wholeV + fracV)
   }
 
-  /** F4 — "-" placeholder to NULL, else cast to double.
+  /** F4 — "-" placeholder to NULL, else cast to double; any other
+    * unparseable input is NULL too (ANSI mode would otherwise throw on the
+    * cast — the numeric guard keeps the expression total).
     * Ref: dags/010_scrape_hitters_stats.py:30-33. */
-  def dashNull(c: Column): Column =
-    when(trim(c) === "-" || trim(c) === "", lit(null).cast(DoubleType))
-      .otherwise(c.cast(DoubleType))
+  def dashNull(c: Column): Column = {
+    val t = trim(c)
+    when(t.rlike("^[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?$"),
+      t.cast(DoubleType)).otherwise(lit(null).cast(DoubleType))
+  }
 
   /** F5 — percentage normalize (x/100 with dash-null).
     * Ref: dags/010_scrape_hitters_stats.py:110. */
@@ -91,4 +95,17 @@ object Exprs {
     * Ref: dags/040_baseball_lineup_scraper.py:173-175. */
   def parseDotTimestamp(c: Column): Column =
     to_timestamp(trim(c), "yyyy.M.d H:mm")
+
+  /** F13 — audit timestamp column (updated_at DEFAULT CURRENT_TIMESTAMP on
+    * every reference stat table; dags/0_init_baseball_table.py:76 et al.).
+    * Non-deterministic by nature, so it never appears in oracle-checked
+    * outputs; writers attach it at the sink. */
+  def auditTimestamp(): Column = current_timestamp()
+
+  /** S5 — KST (Asia/Seoul) pinning: the reference runs wall-clock KST
+    * (execution_date + 9h, dags/031_schedule_dag_for_get_today_line_up
+    * .py:11-12); our sessions run UTC, so KST-local semantics are an
+    * explicit conversion, never an ambient timezone. */
+  def toKst(ts: Column): Column = from_utc_timestamp(ts, "Asia/Seoul")
+  def kstDate(ts: Column): Column = to_date(toKst(ts))
 }

@@ -37,19 +37,27 @@ object Records {
     val side = if (isPitcher) lineup.filter(col("position") === 0)
                else lineup.filter(col("position") =!= 0)
     // J1: resolve (player, team) -> player_id; inner (skip-if-missing).
-    val base = side.join(broadcast(players),
-      side("player") === players("player_name") &&
-      side("team") === players("team_name"))
+    // The record carries the resolved identity under the reference's
+    // player_name/team_name names (ref 050:87-127); audit columns never
+    // leak through the split prefixes.
+    val p = players.drop("updated_at")
+    val base = side.join(broadcast(p),
+        side("player") === p("player_name") &&
+        side("team") === p("team_name"))
+      .drop(p("player_name")).drop(p("team_name"))
     // J2: metrics, left (missing => NULL metrics).
-    val withMetrics = base.join(broadcast(metrics), Seq(idCol), "left")
+    val withMetrics = base.join(
+      broadcast(metrics.drop("updated_at")), Seq(idCol), "left")
     // J3: vs-opponent splits, left, opponent_ prefix.
-    val opp = prefixed(opponents, "opponent_", Seq(idCol, "opponent_team"))
+    val opp = prefixed(opponents.drop("updated_at"), "opponent_",
+      Seq(idCol, "opponent_team"))
     val withOpp = withMetrics.join(broadcast(opp),
       withMetrics(idCol) === opp(idCol) &&
       withMetrics("opponent") === opp("opponent_team"), "left")
       .drop(opp(idCol)).drop("opponent_team")
     // J4: by-stadium splits, left, stadium_ prefix.
-    val std = prefixed(stadiums, "stadium_", Seq(idCol, "stadium"))
+    val std = prefixed(stadiums.drop("updated_at"), "stadium_",
+      Seq(idCol, "stadium"))
     val withStd = withOpp.join(broadcast(std),
       withOpp(idCol) === std(idCol) &&
       withOpp("stadium") === std("stadium"), "left")
@@ -67,7 +75,13 @@ object Records {
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(struct(gameCols.map(col): _*)), asc = false)
         .as("recent_games"))
-    withStd.join(recent, Seq(idCol), "left")
-      .drop("player_name", "team_name", "updated_at")
+    val joined = withStd.join(recent, Seq(idCol), "left")
+      .withColumnRenamed("player", "player_name")
+      .withColumnRenamed("team", "team_name")
+      .withColumnRenamed("opponent", "opponent_team")
+      .drop("updated_at")
+    // pitcher_records carries no batting-order column (position is always
+    // 0 on the pitcher side; ref dags/0_init_baseball_table.py:392-478).
+    if (isPitcher) joined.drop("position") else joined
   }
 }

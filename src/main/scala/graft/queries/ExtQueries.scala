@@ -187,8 +187,10 @@ object ExtQueries {
   // ===== dedup: SimHash fingerprints ====================================
 
   private val simhash: QFn = (s, d) =>
-    Tables.documents(s, d).select(col("doc_id"),
-      Dedup.simhash(Hashing.tokens(col("text"))).as("simhash"))
+    Dedup.simhashDf(
+      Tables.documents(s, d)
+        .select(col("doc_id"), Hashing.tokens(col("text")).as("tk")),
+      "doc_id", "tk")
 
   private val simhashSql = {
     val terms = (0 until Dedup.simhashBits).map { j =>
@@ -205,15 +207,21 @@ object ExtQueries {
 
   // ===== dedup: n-gram Jaccard nearest neighbor =========================
 
+  /** Exact n-gram-Jaccard nearest neighbor for a PROBE SET (every 25th
+    * doc) against the lang-blocked corpus — the "match an incoming batch
+    * against the catalog" shape. Probe-bounded, so cost is
+    * O(|probes| x |block|), not corpus-quadratic; full-corpus NN at scale
+    * goes through the MinHash-LSH path (q_x_dedup_minhash). */
   private val jaccardNn: QFn = (s, d) => {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), Hashing.tokens(col("text")).as("tk"))
     val sig = toks.select(col("doc_id"), col("lang"),
       Dedup.shingleHashes(col("tk")).as("sh"))
-    val a = sig.select(col("doc_id"), col("lang"), col("sh").as("sa"))
+    val a = sig.filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id"), col("lang"), col("sh").as("sa"))
     val b = sig.select(col("doc_id").as("nn_id"), col("lang"),
       col("sh").as("sb"))
-    val pairs = a.join(b, Seq("lang"))
+    val pairs = b.join(broadcast(a), Seq("lang"))
       .filter(col("doc_id") =!= col("nn_id"))
       .select(col("doc_id"), col("nn_id"),
         Dedup.jaccard(col("sa"), col("sb")).as("jacc"))
@@ -241,7 +249,8 @@ object ExtQueries {
        |         ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
        |              / len(list_distinct(a.sh || b.sh)) END AS jacc
        |  FROM sh0 a JOIN sh0 b
-       |    ON a.lang = b.lang AND a.doc_id <> b.doc_id),
+       |    ON a.lang = b.lang AND a.doc_id <> b.doc_id
+       |  WHERE a.doc_id % 25 = 0),
        |r AS (
        |  SELECT doc_id, nn_id, jacc, ROW_NUMBER() OVER (
        |    PARTITION BY doc_id ORDER BY jacc DESC, nn_id) AS rn

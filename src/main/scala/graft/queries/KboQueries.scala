@@ -401,7 +401,8 @@ object KboQueries {
        |                      'T' || CAST(o_orderkey % 5 AS VARCHAR) DESC,
        |                      o_orderkey DESC) AS rn
        |    FROM orders) t WHERE rn <= 5 GROUP BY hitter_id)
-       |SELECT l.player, l.team, l.opponent, l.stadium, l.pos AS "position",
+       |SELECT l.player AS player_name, l.team AS team_name,
+       |  l.opponent AS opponent_team, l.stadium, l.pos AS "position",
        |  h.hitter_id, h.pa, h.bb, h.ibb, h.hbp, h.hits, h.doubles, h.triples,
        |  h.hr, h.sb, h.cs, h.sac, h.so, h.sf, h.ab, h.obp, h.slg,
        |  m.met_a, m.met_b, o.opponent_val0, st.stadium_val0,
@@ -484,7 +485,8 @@ object KboQueries {
        |                      'T' || CAST(o_orderkey % 5 AS VARCHAR) DESC,
        |                      o_orderkey DESC) AS rn
        |    FROM orders) t WHERE rn <= 5 GROUP BY pitcher_id)
-       |SELECT l.player, l.team, l.opponent, l.stadium, l.pos AS "position",
+       |SELECT l.player AS player_name, l.team AS team_name,
+       |  l.opponent AS opponent_team, l.stadium,
        |  p.pitcher_id, p.hr, p.bb, p.so, p.era, p.ip,
        |  m.met_fip, o.opponent_val0, st.stadium_val0,
        |  r.recent_n, r.recent_qty_sum

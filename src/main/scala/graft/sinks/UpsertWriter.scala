@@ -27,15 +27,26 @@ object UpsertWriter {
             versionCol: String): DataFrame = {
     val tagged = existing.withColumn("__src", lit(0))
       .unionByName(incoming.withColumn("__src", lit(1)))
+    // Total order: src, version, then every remaining column — two rows
+    // with equal key AND equal version must still collapse the same way on
+    // every run/topology, or the merge is nondeterministic exactly when
+    // the input is dirtiest.
+    val rest = tagged.columns
+      .filterNot(c => keys.contains(c) || c == "__src" || c == versionCol)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__src").desc, col(versionCol).desc)
+      .orderBy((col("__src").desc +: col(versionCol).desc +:
+        rest.map(col(_).desc)): _*)
     tagged.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__src", "__rn")
   }
 
   /** Lake upsert: read current table (if any), merge, overwrite atomically
-    * via a staging write. */
+    * via a staging write.
+    *
+    * NOTE: full-table rewrite — correct but O(table) per batch. Use
+    * [[upsertBucketed]] for anything that grows: it rewrites only the
+    * key-buckets the incoming batch touches. */
   def upsertParquet(incoming: DataFrame, path: String, keys: Seq[String],
                     versionCol: String): Unit = {
     val spark = incoming.sparkSession
@@ -49,6 +60,84 @@ object UpsertWriter {
     merged.write.mode(SaveMode.Overwrite).parquet(staging)
     spark.read.parquet(staging).write.mode(SaveMode.Overwrite).parquet(path)
     fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+  }
+
+  private val BucketCol = "__bucket"
+
+  /** Scale-safe lake upsert: the base table is hash-partitioned on a
+    * key-derived bucket column; an incoming batch (1) computes its touched
+    * buckets, (2) reads ONLY those partitions back (partition pruning on
+    * the scan), (3) merges, and (4) rewrites ONLY those partitions via
+    * dynamic partition overwrite. A daily few-GB batch against a 100 TB
+    * base rewrites a few buckets, not the table — and untouched partition
+    * directories are bit-untouched on disk (asserted by UpsertWriterSpec).
+    */
+  def upsertBucketed(incoming: DataFrame, path: String, keys: Seq[String],
+                     versionCol: String, numBuckets: Int = 256): Unit = {
+    val spark = incoming.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val bucket = pmod(hash(keys.map(col): _*), lit(numBuckets))
+    val tagged = incoming.withColumn(BucketCol, bucket)
+    val exists = fs.exists(new org.apache.hadoop.fs.Path(path))
+    val merged = if (exists) {
+      // Touched buckets: tiny distinct-aggregate on the (small) batch.
+      val touched = tagged.select(col(BucketCol)).distinct()
+        .collect().map(_.getInt(0)).sorted
+      val base = spark.read.parquet(path)
+        .filter(col(BucketCol).isin(touched.map(Integer.valueOf): _*))
+      merge(base, tagged, keys :+ BucketCol, versionCol)
+    } else tagged
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try merged.write.mode(SaveMode.Overwrite)
+      .partitionBy(BucketCol).parquet(path)
+    finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  /** Read a bucketed-upsert table without the internal bucket column. */
+  def readBucketed(spark: org.apache.spark.sql.SparkSession,
+                   path: String): DataFrame =
+    spark.read.parquet(path).drop(BucketCol)
+
+  /** JDBC upsert mode (the reference's INSERT ... ON DUPLICATE KEY UPDATE,
+    * dags/utils/queries.py:5-261): batched per-partition statements against
+    * a MySQL-dialect URL. Same latest-wins contract as the lake modes —
+    * the incoming frame is pre-collapsed per key so statement order within
+    * a batch cannot change the outcome. No JDBC driver ships in this
+    * sandbox, so this stays an un-exercised (but complete) code path.
+    */
+  def upsertJdbc(incoming: DataFrame, url: String, table: String,
+                 keys: Seq[String], versionCol: String,
+                 props: java.util.Properties = new java.util.Properties(),
+                 batchSize: Int = 1000): Unit = {
+    val collapsed = merge(incoming.limit(0), incoming, keys, versionCol)
+    val cols = collapsed.columns.toSeq
+    val placeholders = cols.map(_ => "?").mkString(", ")
+    val updates = cols.filterNot(keys.contains)
+      .map(c => s"$c = VALUES($c)").mkString(", ")
+    val sql = s"INSERT INTO $table (${cols.mkString(", ")}) " +
+      s"VALUES ($placeholders) ON DUPLICATE KEY UPDATE $updates"
+    collapsed.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      val conn = java.sql.DriverManager.getConnection(url, props)
+      try {
+        conn.setAutoCommit(false)
+        val st = conn.prepareStatement(sql)
+        var n = 0
+        rows.foreach { r =>
+          cols.indices.foreach(i => st.setObject(i + 1, r.get(i)))
+          st.addBatch(); n += 1
+          if (n % batchSize == 0) st.executeBatch()
+        }
+        st.executeBatch()
+        conn.commit()
+      } finally conn.close()
+    }
   }
 }
 

@@ -1,0 +1,70 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog tonight again"),
+    (2L, "the quick brown fox jumps over the lazy dog tonight"), // near-dup of 1
+    (3L, "completely different words about spark query engines here"),
+    (4L, "the quick brown fox jumps over the lazy dog tonight again"), // exact dup of 1
+    (5L, "tiny doc")) // < 3 tokens after shingling guard
+    .toDF("doc_id", "text")
+
+  test("exactDedup groups identical content, keeps smallest id") {
+    val r = Dedup.exactDedup(corpus)
+      .select("keep_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(r == Set((1L, 2L), (2L, 1L), (3L, 1L), (5L, 1L)))
+  }
+
+  test("minhash LSH finds near and exact dup pairs, not unrelated docs") {
+    val pairs = Dedup.minhashNearDups(corpus, threshold = 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L))) // exact dup: jaccard 1.0
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 4L))) // near-dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("jaccard: exact on known sets, 0 on empty") {
+    val r = Seq(
+      (Seq(1L, 2L, 3L), Seq(2L, 3L, 4L)),
+      (Seq.empty[Long], Seq.empty[Long]))
+      .toDF("a", "b")
+      .select(Dedup.jaccard(col("a"), col("b"))).as[Double].collect()
+    assert(r(0) == 0.5 && r(1) == 0.0)
+  }
+
+  private def simhashes: Map[Long, Long] =
+    Dedup.simhashDf(
+      corpus.select(col("doc_id"), Hashing.tokens(col("text")).as("tk")),
+      "doc_id", "tk").as[(Long, Long)].collect().toMap
+
+  test("simhash: identical docs equal; near-dups within small hamming") {
+    val r = simhashes
+    assert(r(1L) == r(4L))
+    val hamming = java.lang.Long.bitCount(r(1L) ^ r(2L))
+    assert(hamming <= 20, s"near-dup hamming too large: $hamming")
+    val hammingFar = java.lang.Long.bitCount(r(1L) ^ r(3L))
+    assert(hammingFar > hamming)
+  }
+
+  test("simhashChunks: equal fingerprints share all 4 chunks") {
+    val r = simhashes
+    val chunks = Seq(r(1L), r(4L)).toDF("sh")
+      .select(Dedup.simhashChunks(col("sh")).head)
+      .as[Long].collect()
+    assert(chunks(0) == chunks(1))
+  }
+
+  test("shingles: fewer than n tokens -> empty, order-sensitive") {
+    val r = Seq("a b", "a b c d").toDF("t")
+      .select(Dedup.shingles(Hashing.tokens(col("t"))))
+      .as[Seq[String]].collect()
+    assert(r(0).isEmpty)
+    assert(r(1) == Seq("a_b_c", "b_c_d"))
+  }
+}

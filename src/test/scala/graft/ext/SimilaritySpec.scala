@@ -1,0 +1,60 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic pseudo-random 8-dim vectors (period 97 > id range, so
+  // no two ids share a vector and cosine ties cannot shadow rank 1)
+  private def vec(id: Long): Seq[Float] =
+    (0 until 8).map(j => (((id * 131 + j * 37) % 97) - 48).toFloat / 48f)
+
+  private val base = (0L until 40L).map(i => (i, vec(i)))
+    .toDF("vec_id", "embedding")
+
+  test("dot is a sequential fold matching local computation") {
+    val r = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f)))
+      .toDF("a", "b").select(Similarity.dot(col("a"), col("b")))
+      .as[Double].head()
+    assert(r == (1.0 * 4 + 2.0 * 5) + 3.0 * 6)
+  }
+
+  test("bruteTopK ranks a perturbed copy's original at rank 1") {
+    val queries = base.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000).as("vec_id"),
+        transform(col("embedding"),
+          x => x.cast("double") + lit(0.001)).as("embedding"))
+    val top = Similarity.bruteTopK(queries, base, k = 3)
+    val rank1 = top.filter(col("rank") === 1)
+      .select("qid", "cid").as[(Long, Long)].collect().toMap
+    (0L until 40L by 10).foreach { id =>
+      assert(rank1(id + 1000) == id, s"query ${id + 1000}")
+    }
+  }
+
+  test("lshTopK achieves high recall@1 on perturbed copies") {
+    val queries = base
+      .select((col("vec_id") + 1000).as("vec_id"),
+        transform(col("embedding"),
+          x => x.cast("double") + lit(0.0005)).as("embedding"))
+    val top1 = Similarity.lshTopK(queries, base, k = 1, bits = 8, dims = 8)
+      .filter(col("rank") === 1)
+    val hits = top1
+      .filter(col("cid") === col("qid") - 1000).count()
+    assert(hits >= 30, s"recall@1 = $hits/40")
+  }
+
+  test("nearDupPairs finds only true near-duplicates at 0.99") {
+    val queries = base.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 1000).as("qid"),
+        transform(col("embedding"),
+          x => x.cast("double") * lit(1.001)).as("qv"))
+    val pairs = Similarity.nearDupPairs(queries, base, 0.99,
+        "qid", "vec_id", "qv", "embedding")
+      .select("qid", "cid").as[(Long, Long)].collect()
+    // scaled copy has cosine exactly ~1 with its original
+    (0L until 5L).foreach(id => assert(pairs.contains((id + 1000, id))))
+  }
+}
