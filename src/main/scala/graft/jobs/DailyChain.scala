@@ -1,0 +1,65 @@
+package graft.jobs
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.kbo.{Metrics, Records}
+
+/** The reference's daily analytics chain (SURVEY.md §3 entry point 1:
+  * DAGs 001 -> 011 -> 012 -> 013 -> 021 -> 041 -> 050 -> 060) as one pure
+  * DataFrame program. The reference hands each stage through MySQL; here
+  * stages compose in-plan (Catalyst sees the whole chain; common inputs
+  * like the league scalars are computed once per run). Orchestration
+  * (Airflow scheduling, scrape triggering) stays external — inputs are the
+  * already-landed tables, outputs the derived metric/record tables.
+  */
+object DailyChain {
+
+  /** Run the full metric chain. Inputs are reference-shaped frames (see
+    * graft.kbo.Schemas); output map keys = reference table names. */
+  def run(gameRecords: DataFrame, hitters: DataFrame, pitchers: DataFrame,
+          lineup: DataFrame, hitterOpponents: DataFrame,
+          hitterStadiums: DataFrame, hitterGames: DataFrame,
+          pitcherOpponents: DataFrame, pitcherStadiums: DataFrame,
+          pitcherGames: DataFrame): Map[String, DataFrame] = {
+
+    // 001: park factor
+    val parkFactor = Metrics.parkFactor(gameRecords)
+
+    // 011-013: hitter metric chain
+    val woba = Metrics.hitterWoba(hitters)
+    val wrc = Metrics.hitterWrc(gameRecords, hitters, woba)
+    val rates = Metrics.hitterRates(hitters)
+
+    // 021: pitcher metrics
+    val pitcherMetrics = Metrics.pitcherMetrics(pitchers)
+
+    // 041: park-adjusted wRC+/OPS+
+    val scalars = Metrics.leagueScalars(hitters, wrc)
+    val adjusted = Metrics.parkAdjusted(lineup, hitters, wrc,
+      parkFactor, scalars)
+
+    // hitter_metrics table shape: one row per hitter with all metrics
+    // (ref dags/0_init_baseball_table.py:284-293)
+    val hitterMetrics = woba
+      .join(wrc, Seq("hitter_id"), "left")
+      .join(rates, Seq("hitter_id"), "left")
+      .join(adjusted.select(col("hitter_id"), col("wRC_plus"),
+        col("OPS_plus")).dropDuplicates("hitter_id"),
+        Seq("hitter_id"), "left")
+
+    // 050/060: wide integration records
+    val hitterRecord = Records.wideRecord(lineup, hitters, hitterMetrics,
+      hitterOpponents, hitterStadiums, hitterGames, "hitter_id",
+      isPitcher = false)
+    val pitcherRecord = Records.wideRecord(lineup, pitchers, pitcherMetrics,
+      pitcherOpponents, pitcherStadiums, pitcherGames, "pitcher_id",
+      isPitcher = true)
+
+    Map(
+      "park_factor" -> parkFactor,
+      "hitter_metrics" -> hitterMetrics,
+      "pitcher_metrics" -> pitcherMetrics,
+      "hitter_records" -> hitterRecord,
+      "pitcher_records" -> pitcherRecord)
+  }
+}

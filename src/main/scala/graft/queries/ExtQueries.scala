@@ -352,6 +352,21 @@ object ExtQueries {
       |  (SELECT COUNT(*) FROM embeddings WHERE vec_id % 5 = 0) AS n_queries,
       |  CAST(1 AS BOOLEAN) AS pass""".stripMargin
 
+  // ===== streaming batch twin: event-time tumbling window ===============
+
+  /** graft.streaming.EventPipeline.windowedStats run over the batch
+    * events table — the same plan a streaming run produces per window
+    * once the watermark passes (the analyzer strips the watermark in
+    * batch). Streaming-mode behavior is covered by StreamingSpec. */
+  private val eventWindow: QFn = (s, d) =>
+    graft.streaming.EventPipeline.windowedStats(Tables.events(s, d))
+
+  private val eventWindowSql =
+    s"""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       |  event_type, COUNT(*) AS n_events,
+       |  ${sqlDsum("value")} AS sum_value
+       |FROM events GROUP BY 1, 2""".stripMargin
+
   // ===== multimodal: binary column + metadata + feature stub ============
 
   private val multimodal: QFn = (s, d) => {
@@ -382,7 +397,8 @@ object ExtQueries {
     "q_x_ann_brute" -> annBrute,
     "q_x_embed_neardup" -> embedNearDup,
     "q_x_ann_lsh_recall" -> annLshRecall,
-    "q_x_multimodal" -> multimodal)
+    "q_x_multimodal" -> multimodal,
+    "q_s_event_window" -> eventWindow)
 
   val oracles: Map[String, String] = Map(
     "q_x_text_stats" -> textStatsSql,
@@ -394,5 +410,6 @@ object ExtQueries {
     "q_x_ann_brute" -> annBruteSql,
     "q_x_embed_neardup" -> embedNearDupSql,
     "q_x_ann_lsh_recall" -> annLshRecallSql,
-    "q_x_multimodal" -> multimodalSql)
+    "q_x_multimodal" -> multimodalSql,
+    "q_s_event_window" -> eventWindowSql)
 }

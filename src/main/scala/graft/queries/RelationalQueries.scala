@@ -294,13 +294,20 @@ object RelationalQueries {
        |GROUP BY r_name, n_name""".stripMargin
 
   // --- J2: left join with NULL padding ----------------------------------
+  // Orders pre-aggregate BEFORE the left join: the join input shrinks to
+  // one row per customer and the post-join re-shuffle of wide joined rows
+  // disappears — same answer, one less exchange at any scale.
   private val j2: QFn = (s, d) => {
     val c = Tables.customer(s, d)
-    val big = Tables.orders(s, d).filter(col("o_totalprice") > 300000.0)
-    c.join(big, col("c_custkey") === col("o_custkey"), "left")
-      .groupBy(col("c_custkey"))
-      .agg(count(col("o_orderkey")).as("n_big"),
-        coalesce(dsum(col("o_totalprice")), lit(0.0)).as("sum_big"))
+    val perCust = Tables.orders(s, d)
+      .filter(col("o_totalprice") > 300000.0)
+      .groupBy(col("o_custkey"))
+      .agg(count(col("o_orderkey")).as("cnt"),
+        dsum(col("o_totalprice")).as("tot"))
+    c.join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"),
+        coalesce(col("cnt"), lit(0L)).as("n_big"),
+        coalesce(col("tot"), lit(0.0)).as("sum_big"))
   }
 
   private val j2Sql =

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.queries.Q
+
+/** Structured-Streaming surface of the engine over the `events` table
+  * shape (event_id, ts, user_id, event_type, value, props).
+  *
+  * The reference itself is cron-batch (SURVEY.md §2.H) — its event-time
+  * behaviors map here: the daily full refresh (S1/S2) is the same pipeline
+  * run with Trigger.AvailableNow over a file source; the t-minus-15-min
+  * lineup trigger (S3) is `dueWithin`; idempotent re-scrape (S4) is the
+  * latest-wins UpsertWriter on the sink side.
+  *
+  * Every transform below is identical for batch and streaming input
+  * (watermarks are eliminated by the analyzer in batch), so correctness is
+  * oracle-checked on the batch twin and the streaming path is covered by
+  * MemoryStream tests.
+  */
+object EventPipeline {
+
+  /** Tumbling event-time window aggregate with a late-data watermark.
+    * State is bounded by (watermark horizon x event_types); at scale the
+    * shuffle is keyed (window, event_type) with map-side partial
+    * aggregation. */
+  def windowedStats(events: DataFrame, windowLen: String = "1 day",
+                    watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), Q.dsum(col("value")).as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** S3 — event-time job trigger: rows whose start time falls inside
+    * (now, now + lead]; the engine-side equivalent of the reference's
+    * t-15min DAG trigger (dags/031_schedule_dag_for_get_today_line_up
+    * .py:19-57). `now` is a parameter, never the wall clock —
+    * determinism contract. */
+  def dueWithin(todayGames: DataFrame, now: java.sql.Timestamp,
+                leadMinutes: Int = 15): DataFrame =
+    todayGames.filter(col("game_date") > lit(now) &&
+      col("game_date") <= lit(now) + expr(s"INTERVAL $leadMinutes MINUTES"))
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  case class UserSession(user_id: Long, n_events: Long, total: Double)
+
+  /** Custom keyed state: running per-user session rollup via
+    * mapGroupsWithState. (State eviction in production would add a
+    * timeout; NoTimeout keeps micro-batch scheduling quiescent so
+    * AvailableNow-style runs terminate.) */
+  def userSessions(events: Dataset[Event],
+                   spark: SparkSession): Dataset[UserSession] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[UserSession]) =>
+          val prev = state.getOption.getOrElse(UserSession(uid, 0L, 0.0))
+          val batch = it.toSeq
+          val next = UserSession(uid, prev.n_events + batch.size,
+            prev.total + batch.map(_.value).sum)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Wire a streaming source through windowedStats to a sink path with
+    * AvailableNow semantics (the S1/S2 "daily run" as a streaming job:
+    * processes everything available, then stops; checkpoint makes re-runs
+    * incremental and idempotent). */
+  def runAvailableNow(spark: SparkSession, sourceDir: String,
+                      schema: org.apache.spark.sql.types.StructType,
+                      sinkDir: String, checkpointDir: String): Unit = {
+    val in = spark.readStream.schema(schema).parquet(sourceDir)
+    windowedStats(in)
+      .writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("parquet")
+      .option("path", sinkDir)
+      .start()
+      .awaitTermination()
+  }
+}
