@@ -24,8 +24,15 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Left-to-right double fold of elementwise products. */
+  /** Left-to-right double product sum. The native codegen'd expression
+    * (graft.functions.DotProduct via GraftExtensions) — bit-identical to
+    * the composable fold below, which stays as the reference
+    * implementation the tests compare against. */
   def dot(a: Column, b: Column): Column =
+    graft.functions.VectorExprs.dotProduct(a, b)
+
+  /** Reference implementation: higher-order fold (CodegenFallback). */
+  def dotFold(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 

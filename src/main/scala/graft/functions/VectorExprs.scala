@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+
+/** Native vector expressions for the similarity operators.
+  *
+  * The composable form — `aggregate(zip_with(a, b, _*_), 0.0, _+_)` — is a
+  * HigherOrderFunction chain: CodegenFallback, per-element closure calls,
+  * and two materialized intermediate arrays per row. This expression
+  * computes the same LEFT-TO-RIGHT double sum (bit-identical results, so
+  * the DuckDB list_reduce oracle still matches) in one codegen'd loop over
+  * the unsafe array data — no allocation, no virtual calls. On a 100 TB
+  * scan the dot product is the innermost loop of every ANN/near-dup
+  * operator, so this is the difference between scan-bound and
+  * interpreter-bound.
+  *
+  * Accepts float or double arrays on either side (floats are widened
+  * exactly, as the fold's `x.cast("double")` did). NULL if either side or
+  * any touched element is NULL; arrays may differ in length (the shorter
+  * prefix is used — zip_with-with-nulls semantics are NOT reproduced;
+  * callers use equal-length vectors).
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(lt, _), ArrayType(rt, _))
+        if Seq(lt, rt).forall(t => t == FloatType || t == DoubleType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"dot_product needs array<float|double> inputs, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  private def elemIsFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val lf = elemIsFloat(left)
+    val rf = elemIsFloat(right)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xv * yv
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val lGet = if (elemIsFloat(left)) "getFloat" else "getDouble"
+    val rGet = if (elemIsFloat(right)) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = Math.min($x.numElements(), $y.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  $acc += ((double) $x.$lGet($i)) * ((double) $y.$rGet($i));
+         |}
+         |if (!${ev.isNull}) { ${ev.value} = $acc; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorExprs {
+  /** Column API for the native dot product. Resolves through the
+    * function registry, so the session must carry [[graft.GraftExtensions]]
+    * (`spark.sql.extensions=graft.GraftExtensions`). */
+  def dotProduct(a: Column, b: Column): Column =
+    call_function("dot_product", a, b)
+}

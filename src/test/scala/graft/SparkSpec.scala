@@ -9,6 +9,7 @@ trait SparkSpec extends AnyFunSuite {
     .master("local[2]")
     .config("spark.sql.shuffle.partitions", "2")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.extensions", "graft.GraftExtensions")
     .config("spark.ui.enabled", "false")
     .appName("graft-test")
     .getOrCreate()

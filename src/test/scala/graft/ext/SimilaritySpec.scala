@@ -21,6 +21,25 @@ class SimilaritySpec extends SparkSpec {
     assert(r == (1.0 * 4 + 2.0 * 5) + 3.0 * 6)
   }
 
+  test("native dot_product expression is bit-identical to the fold") {
+    // float x float over the corpus vectors
+    val both = base.as("x").crossJoin(base.as("y"))
+      .select(
+        Similarity.dot(col("x.embedding"), col("y.embedding")).as("native"),
+        Similarity.dotFold(col("x.embedding"), col("y.embedding")).as("fold"))
+    assert(both.filter(col("native") =!= col("fold")).count() == 0)
+    // mixed double x float and NULL propagation
+    val mixed = Seq((Seq(0.5, -1.5), Seq(2.0f, 4.0f))).toDF("a", "b")
+      .select(Similarity.dot(col("a"), col("b")).as("n"),
+        Similarity.dotFold(col("a"), col("b")).as("f"))
+      .as[(Double, Double)].head()
+    assert(mixed._1 == mixed._2)
+    val nul = Seq((Option.empty[Seq[Double]], Some(Seq(1.0))))
+      .toDF("a", "b")
+      .select(Similarity.dot(col("a"), col("b"))).as[Option[Double]].head()
+    assert(nul.isEmpty)
+  }
+
   test("bruteTopK ranks a perturbed copy's original at rank 1") {
     val queries = base.filter(col("vec_id") % 10 === 0)
       .select((col("vec_id") + 1000).as("vec_id"),
