@@ -172,11 +172,13 @@ object Metrics {
 
   def parkAdjusted(lineup: DataFrame, hitters: DataFrame, wrc: DataFrame,
                    parkFactor: DataFrame, scalars: DataFrame): DataFrame = {
+    // hitterSide is player-grain: no broadcast hint (AQE decides);
+    // parkFactor is stadium-grain — O(10) rows forever — hinted.
     val hitterSide = hitters.select(col("hitter_id"), col("player_name"),
       col("team_name"), col("pa"), col("obp"), col("slg"))
       .join(wrc, Seq("hitter_id"))
     val joined = lineup.filter(col("position") =!= 0)
-      .join(broadcast(hitterSide),
+      .join(hitterSide,
         lineup("player") === hitterSide("player_name") &&
         lineup("team") === hitterSide("team_name"))
       .join(broadcast(parkFactor), Seq("stadium"), "left")

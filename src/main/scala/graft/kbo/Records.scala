@@ -39,26 +39,29 @@ object Records {
     // J1: resolve (player, team) -> player_id; inner (skip-if-missing).
     // The record carries the resolved identity under the reference's
     // player_name/team_name names (ref 050:87-127); audit columns never
-    // leak through the split prefixes.
+    // leak through the split prefixes. The right sides are player-grain
+    // dimensions — small today, but NOT hinted broadcast: AQE picks
+    // broadcast when they fit and falls back to a shuffle join when a
+    // 1000x catalog doesn't, instead of OOMing on a forced build side.
     val p = players.drop("updated_at")
-    val base = side.join(broadcast(p),
+    val base = side.join(p,
         side("player") === p("player_name") &&
         side("team") === p("team_name"))
       .drop(p("player_name")).drop(p("team_name"))
     // J2: metrics, left (missing => NULL metrics).
     val withMetrics = base.join(
-      broadcast(metrics.drop("updated_at")), Seq(idCol), "left")
+      metrics.drop("updated_at"), Seq(idCol), "left")
     // J3: vs-opponent splits, left, opponent_ prefix.
     val opp = prefixed(opponents.drop("updated_at"), "opponent_",
       Seq(idCol, "opponent_team"))
-    val withOpp = withMetrics.join(broadcast(opp),
+    val withOpp = withMetrics.join(opp,
       withMetrics(idCol) === opp(idCol) &&
       withMetrics("opponent") === opp("opponent_team"), "left")
       .drop(opp(idCol)).drop("opponent_team")
     // J4: by-stadium splits, left, stadium_ prefix.
     val std = prefixed(stadiums.drop("updated_at"), "stadium_",
       Seq(idCol, "stadium"))
-    val withStd = withOpp.join(broadcast(std),
+    val withStd = withOpp.join(std,
       withOpp(idCol) === std(idCol) &&
       withOpp("stadium") === std("stadium"), "left")
       .drop(std(idCol)).drop(std("stadium"))
