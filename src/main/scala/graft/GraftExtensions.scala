@@ -3,13 +3,15 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, SortedIntersectCount}
 
 /** Engine extensions, registered the public way
   * (`spark.sql.extensions=graft.GraftExtensions` or
   * `builder.withExtensions(new GraftExtensions)`): native expressions the
-  * built-in surface can't express efficiently. Currently: `dot_product`,
-  * the codegen'd vector dot product behind every similarity operator.
+  * built-in surface can't express efficiently —
+  *  - `dot_product`: codegen'd vector dot product (similarity operators);
+  *  - `sorted_intersect_count`: codegen'd merge-walk set intersection
+  *    (Jaccard verify over shingle-hash sets).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -17,5 +19,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName,
+        "sorted_intersect_count"),
+      (children: Seq[Expression]) =>
+        SortedIntersectCount(children.head, children(1))))
   }
 }

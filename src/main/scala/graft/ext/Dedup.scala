@@ -77,7 +77,8 @@ object Dedup {
     }
     ex.groupBy(col(idCol))
       .agg(minExprs.head,
-        (minExprs.tail :+ collect_set(col("h")).as("sh")): _*)
+        (minExprs.tail :+
+          sort_array(collect_set(col("h"))).as("sh")): _*)
   }
 
   /** (id, mh0..mh15, ...) -> exploded (id, band_id, band_key) frame. */
@@ -94,8 +95,17 @@ object Dedup {
       .filter(col("band_key").isNotNull)
   }
 
-  /** Exact Jaccard of two distinct-element arrays (0 when both empty). */
+  /** Exact Jaccard of two SORTED distinct-element long arrays (0 when
+    * both empty): |I| via the codegen'd merge walk, |U| = |a|+|b|-|I| —
+    * no hash-set materialization per pair. */
   def jaccard(a: Column, b: Column): Column = {
+    val i = graft.functions.VectorExprs.sortedIntersectCount(a, b)
+    val u = size(a) + size(b) - i
+    when(u === 0, lit(0.0)).otherwise(i.cast("double") / u)
+  }
+
+  /** jaccard for arbitrary (unsorted, any element type) arrays. */
+  def jaccardUnsorted(a: Column, b: Column): Column = {
     val u = size(array_union(a, b))
     when(u === 0, lit(0.0))
       .otherwise(size(array_intersect(a, b)).cast("double") / u)
@@ -158,4 +168,46 @@ object Dedup {
     * shape as MinHash — no all-pairs comparison at scale. */
   def simhashChunks(sh: Column): Seq[Column] =
     (0 until 4).map(b => shiftright(sh, b * 15).bitwiseAND(lit(0x7FFFL)))
+
+  /** Duplicate-cluster assignment: connected components over near-dup
+    * pairs, each doc labeled with the minimum doc id in its component
+    * (the cluster representative to KEEP; the rest are the drop set).
+    *
+    * Iterative min-label propagation: every round each node takes the min
+    * of its own and its neighbors' labels; converges in diameter rounds
+    * (dup clusters are shallow — chains of mutated copies — so this is
+    * small). Lineage is truncated per round with localCheckpoint so the
+    * plan does not grow unboundedly; on a cluster with a checkpoint dir,
+    * `df.checkpoint()` is the durable equivalent. The per-round
+    * convergence count is the standard iterative-algorithm driver check,
+    * not a data collect. */
+  def dupClusters(pairs: DataFrame, aCol: String = "a_id",
+                  bCol: String = "b_id", maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("x"), col(bCol).as("y"))
+    val sym = edges
+      .unionByName(edges.select(col("y").as("x"), col("x").as("y")))
+      .distinct()
+    var labels = sym.select(col("x").as("node")).distinct()
+      .withColumn("cluster", col("node"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (i < maxIter && !converged) {
+      val nbrMin = sym.join(labels, sym("y") === labels("node"))
+        .groupBy(col("x")).agg(min(col("cluster")).as("nc"))
+      val updated = labels.as("l")
+        .join(nbrMin, col("l.node") === nbrMin("x"), "left")
+        .select(col("l.node").as("node"),
+          least(col("l.cluster"), coalesce(col("nc"), col("l.cluster")))
+            .as("cluster"))
+        .localCheckpoint()
+      converged = updated.as("u")
+        .join(labels.as("l2"), col("u.node") === col("l2.node"))
+        .filter(col("u.cluster") =!= col("l2.cluster"))
+        .isEmpty
+      labels = updated
+      i += 1
+    }
+    labels.select(col("node").as("doc_id"), col("cluster").as("cluster_id"))
+  }
 }

@@ -52,4 +52,23 @@ object TextStats {
                    textCol: String = "text"): DataFrame =
     docs.select(col(idCol),
       Hashing.fingerprint(Hashing.tokens(col(textCol))).as("fp"))
+
+  /** Quality gate: per-doc keep/drop with the FIRST failing rule as the
+    * reason (the standard LLM training-data filter; rule order is part of
+    * the contract so drop accounting is stable). */
+  def qualityFilter(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text", minTokens: Long = 10L,
+                    maxAvgTokenLen: Double = 12.0,
+                    minStopwordRatio: Double = 0.01,
+                    minAlphaRatio: Double = 0.5): DataFrame = {
+    val st = stats(docs, idCol, textCol)
+    val reason =
+      when(col("n_tokens") < minTokens, lit("too_short"))
+        .when(col("avg_token_len") > maxAvgTokenLen, lit("gibberish"))
+        .when(col("stopword_ratio") < minStopwordRatio, lit("low_stopword"))
+        .when(col("alpha_ratio") < minAlphaRatio, lit("low_alpha"))
+        .otherwise(lit("ok"))
+    st.select(col(idCol), reason.as("reason"),
+      (reason === "ok").as("keep"))
+  }
 }

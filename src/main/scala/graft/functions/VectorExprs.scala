@@ -86,10 +86,73 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Count of common elements between two SORTED long arrays (distinct
+  * elements, no NULL elements) — a codegen'd merge walk. The Jaccard
+  * verify stage over shingle-hash sets is intersect/union-bound;
+  * `array_intersect`+`array_union` each build a per-call hash set, while
+  * the merge walk is branch-predictable O(n+m) with zero allocation, and
+  * |union| falls out as |a|+|b|-|intersect|. Inputs MUST be sorted
+  * ascending (signature builders sort once at aggregation time).
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"sorted_intersect_count needs array<bigint> inputs, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (nx, ny) = (x.numElements(), y.numElements())
+    var i = 0; var j = 0; var c = 0L
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { c += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |int $i = 0; int $j = 0; long $c = 0L;
+         |while ($i < $x.numElements() && $j < $y.numElements()) {
+         |  long $xv = $x.getLong($i); long $yv = $y.getLong($j);
+         |  if ($xv == $yv) { $c++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExprs {
-  /** Column API for the native dot product. Resolves through the
+  /** Column API for the native expressions. These resolve through the
     * function registry, so the session must carry [[graft.GraftExtensions]]
     * (`spark.sql.extensions=graft.GraftExtensions`). */
   def dotProduct(a: Column, b: Column): Column =
     call_function("dot_product", a, b)
+
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    call_function("sorted_intersect_count", a, b)
 }

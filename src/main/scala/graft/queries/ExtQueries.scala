@@ -96,6 +96,37 @@ object ExtQueries {
   private val fingerprint: QFn = (s, d) =>
     TextStats.fingerprints(Tables.documents(s, d))
 
+  private val qualityFilter: QFn = (s, d) =>
+    TextStats.qualityFilter(Tables.documents(s, d))
+
+  private val qualityFilterSql =
+    s"""WITH $toksSql,
+       |st AS (
+       |  SELECT doc_id, len(tk) AS n_tokens,
+       |    CASE WHEN len(tk) = 0 THEN NULL
+       |         ELSE CAST(list_sum(list_transform(tk,
+       |                t -> CAST(length(t) AS BIGINT))) AS DOUBLE) / len(tk)
+       |         END AS avg_token_len,
+       |    CASE WHEN len(tk) = 0 THEN NULL
+       |         ELSE CAST(len(list_filter(tk,
+       |                t -> t IN (${TextStats.stopwords.map(w => s"'$w'")
+                           .mkString(", ")}))) AS DOUBLE)
+       |              / len(tk) END AS stopword_ratio,
+       |    CASE WHEN length(text) = 0 THEN NULL
+       |         ELSE CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+       |              AS DOUBLE) / length(text) END AS alpha_ratio
+       |  FROM toks),
+       |r AS (
+       |  SELECT doc_id,
+       |    CASE WHEN n_tokens < 10 THEN 'too_short'
+       |         WHEN avg_token_len > CAST(12.0 AS DOUBLE) THEN 'gibberish'
+       |         WHEN stopword_ratio < CAST(0.01 AS DOUBLE)
+       |           THEN 'low_stopword'
+       |         WHEN alpha_ratio < CAST(0.5 AS DOUBLE) THEN 'low_alpha'
+       |         ELSE 'ok' END AS reason
+       |  FROM st)
+       |SELECT doc_id, reason, reason = 'ok' AS keep FROM r""".stripMargin
+
   private val fingerprintSql =
     s"""WITH $toksSql
        |SELECT doc_id,
@@ -149,7 +180,9 @@ object ExtQueries {
   private val dedupMinhash: QFn = (s, d) =>
     Dedup.minhashNearDupsFromTokens(nearCorpus(s, d), "doc_id", "tk", 0.5)
 
-  private val dedupMinhashSql = {
+  /** Shared CTE chain: tokens -> near corpus -> shingle hashes ->
+    * minhash signatures -> bands -> candidates -> verified pairs `j`. */
+  private val minhashCtes = {
     val mh = (Dedup.hashA zip Dedup.hashB).map { case (a, b) =>
       s"list_min(list_transform(sh, x -> ($a * x + $b) % $P))"
     }
@@ -160,7 +193,7 @@ object ExtQueries {
         .mkString(" || '_' || ")
       s"SELECT doc_id, $bnd AS band_id, $key AS k FROM mh"
     }.mkString("\n  UNION ALL\n  ")
-    s"""WITH $toksSql,
+    s"""$toksSql,
        |$nearCorpusSql,
        |${shSql("corpus")},
        |mh AS (
@@ -179,10 +212,34 @@ object ExtQueries {
        |              / len(list_distinct(sa.sh || sb.sh)) END AS jacc
        |  FROM cand
        |  JOIN shs sa ON sa.doc_id = a_id
-       |  JOIN shs sb ON sb.doc_id = b_id)
+       |  JOIN shs sb ON sb.doc_id = b_id)""".stripMargin
+  }
+
+  private val dedupMinhashSql =
+    s"""WITH $minhashCtes
        |SELECT a_id, b_id, jacc FROM j
        |WHERE jacc >= CAST(0.5 AS DOUBLE)""".stripMargin
-  }
+
+  // ===== dedup: duplicate-cluster assignment (connected components) =====
+
+  private val dedupClusters: QFn = (s, d) =>
+    Dedup.dupClusters(
+      Dedup.minhashNearDupsFromTokens(nearCorpus(s, d), "doc_id", "tk", 0.5))
+
+  private val dedupClustersSql =
+    s"""WITH RECURSIVE $minhashCtes,
+       |pairs AS (
+       |  SELECT a_id, b_id FROM j WHERE jacc >= CAST(0.5 AS DOUBLE)),
+       |nodes(id) AS (
+       |  SELECT a_id FROM pairs UNION SELECT b_id FROM pairs),
+       |sym(x, y) AS (
+       |  SELECT a_id, b_id FROM pairs UNION SELECT b_id, a_id FROM pairs),
+       |reach(node, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT s.y, r.r FROM reach r JOIN sym s ON s.x = r.node)
+       |SELECT node AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
+       |FROM reach GROUP BY node""".stripMargin
 
   // ===== dedup: SimHash fingerprints ====================================
 
@@ -216,7 +273,7 @@ object ExtQueries {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), Hashing.tokens(col("text")).as("tk"))
     val sig = toks.select(col("doc_id"), col("lang"),
-      Dedup.shingleHashes(col("tk")).as("sh"))
+      array_sort(Dedup.shingleHashes(col("tk"))).as("sh"))
     val a = sig.filter(col("doc_id") % 25 === 0)
       .select(col("doc_id"), col("lang"), col("sh").as("sa"))
     val b = sig.select(col("doc_id").as("nn_id"), col("lang"),
@@ -398,6 +455,8 @@ object ExtQueries {
     "q_x_embed_neardup" -> embedNearDup,
     "q_x_ann_lsh_recall" -> annLshRecall,
     "q_x_multimodal" -> multimodal,
+    "q_x_dedup_clusters" -> dedupClusters,
+    "q_x_quality_filter" -> qualityFilter,
     "q_s_event_window" -> eventWindow)
 
   val oracles: Map[String, String] = Map(
@@ -411,5 +470,7 @@ object ExtQueries {
     "q_x_embed_neardup" -> embedNearDupSql,
     "q_x_ann_lsh_recall" -> annLshRecallSql,
     "q_x_multimodal" -> multimodalSql,
+    "q_x_dedup_clusters" -> dedupClustersSql,
+    "q_x_quality_filter" -> qualityFilterSql,
     "q_s_event_window" -> eventWindowSql)
 }

@@ -60,6 +60,26 @@ class DedupSpec extends SparkSpec {
     assert(chunks(0) == chunks(1))
   }
 
+  test("jaccard (sorted merge-walk) equals jaccardUnsorted") {
+    val pairs = Seq(
+      (Seq(1L, 2L, 3L, 9L), Seq(2L, 3L, 4L)),
+      (Seq(1L, 5L), Seq(7L, 9L)),
+      (Seq(1L, 2L), Seq(1L, 2L)))
+      .toDF("a", "b")
+      .select(Dedup.jaccard(col("a"), col("b")).as("s"),
+        Dedup.jaccardUnsorted(col("a"), col("b")).as("u"))
+      .as[(Double, Double)].collect()
+    pairs.foreach { case (s, u) => assert(s == u) }
+  }
+
+  test("dupClusters labels each component with its min doc id") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (7L, 9L))
+      .toDF("a_id", "b_id")
+    val r = Dedup.dupClusters(pairs).as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L,
+      7L -> 7L, 8L -> 7L, 9L -> 7L))
+  }
+
   test("shingles: fewer than n tokens -> empty, order-sensitive") {
     val r = Seq("a b", "a b c d").toDF("t")
       .select(Dedup.shingles(Hashing.tokens(col("t"))))

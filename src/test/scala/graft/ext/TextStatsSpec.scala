@@ -35,6 +35,23 @@ class TextStatsSpec extends SparkSpec {
     assert(fp.values.forall(v => v >= 0 && v < Hashing.P))
   }
 
+  test("qualityFilter: first failing rule wins; clean docs keep") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat with a dog and a bird near it"),
+      (2L, "short doc"),
+      (3L, "the extraordinarily incomprehensible antidisestablishment " +
+        "hippopotomonstrous supercalifragilistic deinstitutionalization " +
+        "overintellectualization compartmentalization characteristically " +
+        "internationalization"))
+      .toDF("doc_id", "text")
+    val r = TextStats.qualityFilter(docs)
+      .as[(Long, String, Boolean)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(r(1L) == (("ok", true)))
+    assert(r(2L) == (("too_short", false)))
+    assert(r(3L) == (("gibberish", false)))
+  }
+
   test("tokens drops empty strings from repeated separators") {
     val r = Seq("  a   b  ").toDF("t")
       .select(Hashing.tokens(col("t"))).as[Seq[String]].head()
