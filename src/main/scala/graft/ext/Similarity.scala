@@ -103,6 +103,84 @@ object Similarity {
       .select(col("qid"), col("rank"), col("cid"), col("score"))
   }
 
+  /** IVF (inverted-file) index: K centroids from deterministic seeds +
+    * one Lloyd refinement, then every vector assigned to its nearest
+    * centroid. At scale this is the classic two-level ANN layout: the
+    * centroid table is tiny and broadcast; the corpus carries a
+    * `centroid_id` partition/cluster key, so a probe touches only
+    * nprobe/K of the data. Centroid refinement is a posexplode +
+    * per-(centroid, dim) average — decimal-routed so the index is
+    * bit-reproducible across topologies (an index that drifts per run
+    * cannot be incrementally maintained). */
+  def ivfIndex(vectors: DataFrame, k: Int, idCol: String = "vec_id",
+               vecCol: String = "embedding"): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.DataFrame
+    val v = vectors.select(col(idCol).as("vid"), col(vecCol).as("vv"))
+    // deterministic seeds: the k smallest ids (stable under re-runs)
+    val seeds = v.orderBy(col("vid")).limit(k)
+      .select(col("vid").as("cid"), col("vv").as("cv"))
+    def assign(cents: DataFrame, centVec: String): DataFrame = {
+      val scored = v.crossJoin(broadcast(cents))
+        .select(col("vid"), col("cid"),
+          graft.queries.Q.sig9(
+            cosine(dot(col("vv"), col(centVec)),
+              normSq(col("vv")), normSq(col(centVec)))).as("score"))
+      val w = Window.partitionBy(col("vid"))
+        .orderBy(col("score").desc, col("cid").asc)
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select(col("vid"), col("cid"))
+    }
+    // one Lloyd step: mean vector per seed-assigned cluster, per dim
+    val a0 = assign(seeds, "cv")
+    val centroids = v.join(a0, Seq("vid"))
+      .select(col("cid"), posexplode(col("vv")).as(Seq("dim", "x")))
+      .groupBy(col("cid"), col("dim"))
+      .agg(graft.queries.Q.davg(col("x").cast("double")).as("m"))
+      .groupBy(col("cid"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("m"))))
+        .as("dm"))
+      .select(col("cid"),
+        transform(col("dm"), s => s.getField("m")).as("cv"))
+    val index = assign(centroids, "cv")
+      .select(col("vid").as(idCol), col("cid").as("centroid_id"))
+    (centroids.select(col("cid").as("centroid_id"), col("cv")), index)
+  }
+
+  /** IVF top-k: probe the `nprobe` nearest centroids, exact-rank inside
+    * their inverted lists. */
+  def ivfTopK(queries: DataFrame, vectors: DataFrame, centroids: DataFrame,
+              index: DataFrame, k: Int, nprobe: Int = 2,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      normSq(col(vecCol)).as("qn"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .select(col("qid"), col("centroid_id"),
+        graft.queries.Q.sig9(
+          cosine(dot(col("qv"), col("cv")), col("qn"), normSq(col("cv"))))
+          .as("cscore"))
+    val wp = Window.partitionBy(col("qid"))
+      .orderBy(col("cscore").desc, col("centroid_id").asc)
+    val probed = probes.withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= nprobe)
+      .select(col("qid"), col("centroid_id"))
+    val cands = probed
+      .join(index.withColumnRenamed(idCol, "cid"), Seq("centroid_id"))
+      .join(q, Seq("qid"))
+      .join(vectors.select(col(idCol).as("cid"), col(vecCol).as("cv"),
+        normSq(col(vecCol)).as("cn")), Seq("cid"))
+      .filter(col("cid") =!= col("qid"))
+      .select(col("qid"), col("cid"),
+        graft.queries.Q.sig9(
+          cosine(dot(col("qv"), col("cv")), col("qn"), col("cn")))
+          .as("score"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("cid").asc)
+    cands.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("cid"), col("score"))
+  }
+
   /** Embedding near-duplicate pairs: each query row's candidates with
     * cosine >= threshold. Queries broadcast (catalog-probe shape). */
   def nearDupPairs(queries: DataFrame, candidates: DataFrame,

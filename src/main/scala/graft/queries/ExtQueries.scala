@@ -409,6 +409,31 @@ object ExtQueries {
       |  (SELECT COUNT(*) FROM embeddings WHERE vec_id % 5 = 0) AS n_queries,
       |  CAST(1 AS BOOLEAN) AS pass""".stripMargin
 
+  /** IVF recall@1 self-check, same contract as the LSH one: ground truth
+    * is each perturbed query's original; the oracle pins the verdict. */
+  private val annIvfRecall: QFn = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val (centroids, index) = Similarity.ivfIndex(emb, k = 16)
+    val q = perturbed(s, d)
+      .select(col("qid").as("vec_id"), col("qv").as("embedding"))
+    val top1 = Similarity
+      .ivfTopK(q, emb, centroids, index, k = 1, nprobe = 2)
+      .filter(col("rank") === 1)
+    val hits = q.select(col("vec_id").as("qid"))
+      .join(top1, Seq("qid"), "left")
+      .select(when(col("cid") === col("qid") - 30000, lit(1.0))
+        .otherwise(lit(0.0)).as("hit"))
+    hits.agg(count(lit(1)).as("n_queries"),
+        (sum(col("hit")) / count(lit(1)) >= 0.7).as("pass"))
+      .select(lit("ivf_recall_at_1").as("metric"), col("n_queries"),
+        col("pass"))
+  }
+
+  private val annIvfRecallSql =
+    """SELECT 'ivf_recall_at_1' AS metric,
+      |  (SELECT COUNT(*) FROM embeddings WHERE vec_id % 5 = 0) AS n_queries,
+      |  CAST(1 AS BOOLEAN) AS pass""".stripMargin
+
   // ===== streaming batch twin: event-time tumbling window ===============
 
   /** graft.streaming.EventPipeline.windowedStats run over the batch
@@ -454,6 +479,7 @@ object ExtQueries {
     "q_x_ann_brute" -> annBrute,
     "q_x_embed_neardup" -> embedNearDup,
     "q_x_ann_lsh_recall" -> annLshRecall,
+    "q_x_ann_ivf_recall" -> annIvfRecall,
     "q_x_multimodal" -> multimodal,
     "q_x_dedup_clusters" -> dedupClusters,
     "q_x_quality_filter" -> qualityFilter,
@@ -469,6 +495,7 @@ object ExtQueries {
     "q_x_ann_brute" -> annBruteSql,
     "q_x_embed_neardup" -> embedNearDupSql,
     "q_x_ann_lsh_recall" -> annLshRecallSql,
+    "q_x_ann_ivf_recall" -> annIvfRecallSql,
     "q_x_multimodal" -> multimodalSql,
     "q_x_dedup_clusters" -> dedupClustersSql,
     "q_x_quality_filter" -> qualityFilterSql,

@@ -65,6 +65,24 @@ class SimilaritySpec extends SparkSpec {
     assert(hits >= 30, s"recall@1 = $hits/40")
   }
 
+  test("ivfIndex assigns every vector; ivfTopK finds perturbed originals") {
+    val (centroids, index) = Similarity.ivfIndex(base, k = 4)
+    assert(index.count() == 40)
+    assert(centroids.count() == 4)
+    assert(index.select("centroid_id").distinct().count() <= 4)
+    val queries = base.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000).as("vec_id"),
+        transform(col("embedding"),
+          x => x.cast("double") + lit(0.0005)).as("embedding"))
+    val top1 = Similarity
+      .ivfTopK(queries, base, centroids, index, k = 1, nprobe = 2)
+      .filter(col("rank") === 1)
+      .select("qid", "cid").as[(Long, Long)].collect().toMap
+    val hits = (0L until 40L by 10)
+      .count(id => top1.get(id + 1000).contains(id))
+    assert(hits >= 3, s"ivf recall $hits/4")
+  }
+
   test("nearDupPairs finds only true near-duplicates at 0.99") {
     val queries = base.filter(col("vec_id") < 5)
       .select((col("vec_id") + 1000).as("qid"),
