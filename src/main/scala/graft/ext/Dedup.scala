@@ -169,6 +169,42 @@ object Dedup {
   def simhashChunks(sh: Column): Seq[Column] =
     (0 until 4).map(b => shiftright(sh, b * 15).bitwiseAND(lit(0x7FFFL)))
 
+  /** Persist a corpus's signature table for INCREMENTAL dedup: new
+    * batches probe stored signatures instead of re-shingling the corpus.
+    * This is the 100 TB shape — signatures are ~1% of text bytes, written
+    * once, and the portable hash family means any engine (or a later
+    * engine version) reproduces them bit-for-bit. */
+  def writeSignatures(toks: DataFrame, idCol: String, tokCol: String,
+                      path: String): Unit =
+    minhashSig(toks, idCol, tokCol)
+      .write.mode("overwrite").parquet(path)
+
+  /** Near-dup pairs of a NEW batch against the stored corpus signatures
+    * AND within the batch itself. Output (a_id, b_id, jacc) where a_id is
+    * always the new-batch doc. */
+  def probeSignatures(newToks: DataFrame, idCol: String, tokCol: String,
+                      sigPath: String, threshold: Double): DataFrame = {
+    val stored = newToks.sparkSession.read.parquet(sigPath)
+    val newSig = minhashSig(newToks, idCol, tokCol)
+    val newBands = banded(newSig, idCol)
+    val allBands = newBands.unionByName(banded(stored, idCol))
+    val cand = newBands.as("x").join(allBands.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+        col("x.band_key") === col("y.band_key") &&
+        col(s"x.$idCol") =!= col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"))
+      .distinct()
+    val allSig = newSig.unionByName(stored)
+    cand
+      .join(newSig.select(col(idCol).as("a_id"), col("sh").as("sa")),
+        Seq("a_id"))
+      .join(allSig.select(col(idCol).as("b_id"), col("sh").as("sb")),
+        Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        jaccard(col("sa"), col("sb")).as("jacc"))
+      .filter(col("jacc") >= threshold)
+  }
+
   /** Duplicate-cluster assignment: connected components over near-dup
     * pairs, each doc labeled with the minimum doc id in its component
     * (the cluster representative to KEEP; the rest are the drop set).

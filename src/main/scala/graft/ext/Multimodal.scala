@@ -58,6 +58,23 @@ object Multimodal {
       .toDF(idCol, "feat0", "feat1", "feat2", "feat3")
   }
 
+  /** Frame sampling: k evenly-spaced fixed-size byte windows from each
+    * payload (the video-frame-sample shape: deterministic offsets, typed
+    * per-frame metadata, still one row per media item with a nested
+    * frames column — explode() downstream for per-frame work). Pure
+    * column ops: substring on BINARY is zero-copy into the payload. */
+  def sampleFrames(media: DataFrame, k: Int = 4, frameBytes: Int = 16,
+                   idCol: String = "doc_id"): DataFrame = {
+    val n = col("meta.n_bytes")
+    val frames = transform(sequence(lit(0), lit(k - 1)), i => {
+      val offset = (i * greatest(n - frameBytes, lit(1L)) /
+        lit(math.max(k - 1, 1))).cast("long")
+      struct(i.cast("int").as("frame_idx"), offset.as("offset"),
+        col("media").substr(offset + 1, lit(frameBytes)).as("bytes"))
+    })
+    media.select(col(idCol), col("meta"), frames.as("frames"))
+  }
+
   /** The same features as a pure column projection (codegen'd, no
     * mapPartitions) — the oracle-checkable twin of extractFeatures; a
     * ScalaTest asserts both paths agree. */

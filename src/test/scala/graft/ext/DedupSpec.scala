@@ -80,6 +80,25 @@ class DedupSpec extends SparkSpec {
       7L -> 7L, 8L -> 7L, 9L -> 7L))
   }
 
+  test("incremental: probe a new batch against stored signatures") {
+    val dir = java.nio.file.Files.createTempDirectory("sigs").toFile
+      .getAbsolutePath
+    val toks = corpus.select(col("doc_id"),
+      Hashing.tokens(col("text")).as("tk"))
+    Dedup.writeSignatures(toks, "doc_id", "tk", s"$dir/sigs")
+    // batch: one near-dup of stored doc 1, one fresh doc
+    val batch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog tonight"),
+      (101L, "entirely novel content no overlap with anything stored"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Hashing.tokens(col("text")).as("tk"))
+    val pairs = Dedup
+      .probeSignatures(batch, "doc_id", "tk", s"$dir/sigs", 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((100L, 1L)) && pairs.contains((100L, 4L)))
+    assert(!pairs.exists(p => p._1 == 101L))
+  }
+
   test("shingles: fewer than n tokens -> empty, order-sensitive") {
     val r = Seq("a b", "a b c d").toDF("t")
       .select(Dedup.shingles(Hashing.tokens(col("t"))))

@@ -29,6 +29,26 @@ class MultimodalSpec extends SparkSpec {
     assert(a.size == 10)
   }
 
+  test("sampleFrames: k fixed-size frames at deterministic offsets") {
+    val media = Multimodal.packAsMedia(docs)
+    val r = Multimodal.sampleFrames(media, k = 4, frameBytes = 8)
+    assert(r.schema("frames").dataType.simpleString ==
+      "array<struct<frame_idx:int,offset:bigint,bytes:binary>>")
+    import org.apache.spark.sql.Row
+    val frames = r.filter(col("doc_id") === 1)
+      .select("frames").head().getAs[scala.collection.Seq[Row]](0)
+    assert(frames.size == 4)
+    assert(frames.map(_.getAs[Int]("frame_idx")) == Seq(0, 1, 2, 3))
+    val offs = frames.map(_.getAs[Long]("offset"))
+    assert(offs == offs.sorted && offs.distinct.size == 4)
+    assert(frames.forall(_.getAs[Array[Byte]]("bytes").length <= 8))
+    // deterministic across runs
+    val again = Multimodal.sampleFrames(media, k = 4, frameBytes = 8)
+      .filter(col("doc_id") === 1).select("frames").head()
+      .getAs[scala.collection.Seq[Row]](0).map(_.getAs[Long]("offset"))
+    assert(again == offs)
+  }
+
   test("stubFeatures is deterministic and bounded") {
     val f1 = Multimodal.stubFeatures("abc".getBytes("UTF-8"))
     val f2 = Multimodal.stubFeatures("abc".getBytes("UTF-8"))
