@@ -220,9 +220,13 @@ object Dedup {
   def dupClusters(pairs: DataFrame, aCol: String = "a_id",
                   bCol: String = "b_id", maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col(aCol).as("x"), col(bCol).as("y"))
+    // checkpoint the edge set BEFORE the loop: it is joined every round,
+    // and without this the whole upstream pair-generation pipeline
+    // (shingling, banding, verification) re-executes per iteration.
     val sym = edges
       .unionByName(edges.select(col("y").as("x"), col("x").as("y")))
       .distinct()
+      .localCheckpoint()
     var labels = sym.select(col("x").as("node")).distinct()
       .withColumn("cluster", col("node"))
       .localCheckpoint()

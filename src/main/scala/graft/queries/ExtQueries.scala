@@ -434,6 +434,30 @@ object ExtQueries {
       |  (SELECT COUNT(*) FROM embeddings WHERE vec_id % 5 = 0) AS n_queries,
       |  CAST(1 AS BOOLEAN) AS pass""".stripMargin
 
+  // ===== sketches: HLL distinct-count self-check ========================
+
+  /** approx_count_distinct (HyperLogLog++) against the exact count — the
+    * sketch is deterministic for fixed data/rsd, but its value is
+    * engine-specific, so the oracle pins the exact count and the
+    * error-bound verdict rather than the sketch itself. */
+  private val approxDistinct: QFn = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    li.agg(
+        countDistinct(col("l_orderkey")).cast("long").as("exact_n"),
+        approx_count_distinct(col("l_orderkey"), 0.02).cast("long")
+          .as("approx_n"))
+      .select(lit("approx_distinct_orderkeys").as("metric"),
+        col("exact_n"),
+        (abs(col("approx_n") - col("exact_n")).cast("double")
+          / col("exact_n") <= 0.05).as("pass"))
+  }
+
+  private val approxDistinctSql =
+    """SELECT 'approx_distinct_orderkeys' AS metric,
+      |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_n,
+      |  CAST(1 AS BOOLEAN) AS pass
+      |FROM lineitem""".stripMargin
+
   // ===== streaming batch twin: event-time tumbling window ===============
 
   /** graft.streaming.EventPipeline.windowedStats run over the batch
@@ -483,6 +507,7 @@ object ExtQueries {
     "q_x_multimodal" -> multimodal,
     "q_x_dedup_clusters" -> dedupClusters,
     "q_x_quality_filter" -> qualityFilter,
+    "q_x_approx_distinct" -> approxDistinct,
     "q_s_event_window" -> eventWindow)
 
   val oracles: Map[String, String] = Map(
@@ -499,5 +524,6 @@ object ExtQueries {
     "q_x_multimodal" -> multimodalSql,
     "q_x_dedup_clusters" -> dedupClustersSql,
     "q_x_quality_filter" -> qualityFilterSql,
+    "q_x_approx_distinct" -> approxDistinctSql,
     "q_s_event_window" -> eventWindowSql)
 }
