@@ -473,6 +473,57 @@ object ExtQueries {
        |  ${sqlDsum("value")} AS sum_value
        |FROM events GROUP BY 1, 2""".stripMargin
 
+  // ===== events: JSON property extraction ===============================
+
+  /** Semi-structured props: JSON path extraction pushed through a typed
+    * cast, then keyed aggregation — the props-bag pattern every event
+    * pipeline has. */
+  private val eventProps: QFn = (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).cast("long").as("sum_k"),
+        count(col("k")).as("n_k"))
+
+  private val eventPropsSql =
+    """SELECT event_type,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+      |    AS BIGINT) AS sum_k,
+      |  COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k
+      |FROM events GROUP BY event_type""".stripMargin
+
+  // ===== events: time-series window functions ===========================
+
+  /** Per-user event-time series: lag + rolling 3-event mean (decimal-
+    * routed so the frame sum is order-exact). The one-shuffle-per-user
+    * window is the scale shape for per-entity session features. */
+  private val userSeries: QFn = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val w3 = w.rowsBetween(-2, 0)
+    Tables.events(s, d)
+      .filter(col("user_id") % 20 === 0)
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+        col("value"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        sig9(sum(col("value").cast("decimal(38,15)")).over(w3)
+          .cast("double") / count(lit(1)).over(w3)).as("mov3"))
+  }
+
+  private val userSeriesSql = {
+    val frame = "PARTITION BY user_id ORDER BY ts, event_id " +
+      "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW"
+    s"""SELECT event_id, user_id,
+       |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, value,
+       |  lag(value, 1) OVER (PARTITION BY user_id
+       |    ORDER BY ts, event_id) AS prev_value,
+       |  ${sqlSig9(s"(CAST(SUM(CAST(value AS DECIMAL(38,15))) OVER ($frame) AS DOUBLE) / COUNT(*) OVER ($frame))")} AS mov3
+       |FROM events WHERE user_id % 20 = 0""".stripMargin
+  }
+
   // ===== multimodal: binary column + metadata + feature stub ============
 
   private val multimodal: QFn = (s, d) => {
@@ -508,7 +559,9 @@ object ExtQueries {
     "q_x_dedup_clusters" -> dedupClusters,
     "q_x_quality_filter" -> qualityFilter,
     "q_x_approx_distinct" -> approxDistinct,
-    "q_s_event_window" -> eventWindow)
+    "q_s_event_window" -> eventWindow,
+    "q_s_event_props" -> eventProps,
+    "q_s_user_series" -> userSeries)
 
   val oracles: Map[String, String] = Map(
     "q_x_text_stats" -> textStatsSql,
@@ -525,5 +578,7 @@ object ExtQueries {
     "q_x_dedup_clusters" -> dedupClustersSql,
     "q_x_quality_filter" -> qualityFilterSql,
     "q_x_approx_distinct" -> approxDistinctSql,
-    "q_s_event_window" -> eventWindowSql)
+    "q_s_event_window" -> eventWindowSql,
+    "q_s_event_props" -> eventPropsSql,
+    "q_s_user_series" -> userSeriesSql)
 }

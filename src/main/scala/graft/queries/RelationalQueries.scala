@@ -274,6 +274,22 @@ object RelationalQueries {
        |  FROM lineitem GROUP BY l_suppkey)
        |SELECT l_suppkey, num / den AS ratio FROM t WHERE den <> 0""".stripMargin
 
+  // --- G7: hierarchical rollup (subtotals + grand total) ----------------
+  // Not in the reference surface (SURVEY notes it comes free from Spark);
+  // declared + oracle-checked so the capability is verified, not assumed.
+  private val g7: QFn = (s, d) =>
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(lsum(floor(col("l_quantity")).cast("long")).as("sum_qty"),
+        count(lit(1)).as("cnt"))
+
+  private val g7Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  COUNT(*) AS cnt
+      |FROM lineitem
+      |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin
+
   // --- J1: dimension-chain inner join (broadcast) -----------------------
   private val j1: QFn = (s, d) => {
     val c = Tables.customer(s, d)
@@ -421,6 +437,7 @@ object RelationalQueries {
     "q_g4_first5_sum" -> g4,
     "q_g5_nullskip_avg" -> g5,
     "q_g6_guarded_ratio" -> g6,
+    "q_g7_rollup" -> g7,
     "q_j1_star_inner" -> j1,
     "q_j2_left_null_pad" -> j2,
     "q_j5_revenue_rollup" -> j5,
@@ -441,6 +458,7 @@ object RelationalQueries {
     "q_g4_first5_sum" -> g4Sql,
     "q_g5_nullskip_avg" -> g5Sql,
     "q_g6_guarded_ratio" -> g6Sql,
+    "q_g7_rollup" -> g7Sql,
     "q_j1_star_inner" -> j1Sql,
     "q_j2_left_null_pad" -> j2Sql,
     "q_j5_revenue_rollup" -> j5Sql,
