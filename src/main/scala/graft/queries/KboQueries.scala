@@ -297,6 +297,60 @@ object KboQueries {
        |CROSS JOIN scal2 s2
        |WHERE l.pos <> 0""".stripMargin
 
+  // ===== 070: first-5-innings result (G4 array form + F10) ==============
+
+  /** Scoreboard with per-inning ARRAY columns derived from lineitem
+    * (inning i = linenumber i), then Metrics.fiveInningResult: slice
+    * innings 1..5, fold, sign. Exercises the array-typed variant of G4 —
+    * the column-typed variant is covered by q_g4/q_f10.
+    * l_linenumber repeats within an order, so the sort key is
+    * (linenumber, run value): the array_sort(struct(...)) total order
+    * Spark applies, mirrored by ORDER BY ln, value in the oracle —
+    * beyond that ties are between equal values and cannot change the
+    * first-5 sum. */
+  private val m070: QFn = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_partkey") % 5).cast("int").as("away_runs"),
+        (col("l_suppkey") % 5).cast("int").as("home_runs"))
+    val board = li.groupBy(col("l_orderkey"))
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("l_linenumber"),
+            col("away_runs")))), x => x.getField("away_runs"))
+          .as("away_innings"),
+        transform(
+          array_sort(collect_list(struct(col("l_linenumber"),
+            col("home_runs")))), x => x.getField("home_runs"))
+          .as("home_innings"))
+      .select(col("l_orderkey").as("game_date"),
+        lit("AWAY").as("away_team"), lit("HOME").as("home_team"),
+        col("away_innings"), col("home_innings"))
+    Metrics.fiveInningResult(board)
+      .select(col("game_date"), col("away_team"), col("home_team"),
+        col("result").cast("long").as("result"))
+  }
+
+  private val m070Sql =
+    """WITH b AS (
+      |  SELECT l_orderkey AS game_date,
+      |    list(CAST(l_partkey % 5 AS INTEGER)
+      |         ORDER BY l_linenumber, CAST(l_partkey % 5 AS INTEGER))
+      |      AS ai,
+      |    list(CAST(l_suppkey % 5 AS INTEGER)
+      |         ORDER BY l_linenumber, CAST(l_suppkey % 5 AS INTEGER))
+      |      AS hi
+      |  FROM lineitem GROUP BY l_orderkey),
+      |s AS (
+      |  SELECT game_date,
+      |    list_sum(ai[1:least(5, len(ai))]) AS a5,
+      |    list_sum(hi[1:least(5, len(hi))]) AS h5
+      |  FROM b)
+      |SELECT game_date, 'AWAY' AS away_team, 'HOME' AS home_team,
+      |  CAST(CASE WHEN a5 > h5 THEN -1 WHEN a5 = h5 THEN 0 ELSE 1 END
+      |    AS BIGINT) AS result
+      |FROM s""".stripMargin
+
   // ===== wide records (J1-J4/J7 + W1 + nested recent games) =============
   //
   // The nested recent_games array<struct> is digested to (recent_n,
@@ -522,6 +576,7 @@ object KboQueries {
     "q_m3m4_wrc" -> m3m4,
     "q_m5m7_rates" -> m5m7,
     "q_m8m10_fip" -> m8m10,
+    "q_m070_five_inning" -> m070,
     "q_m11m12_park_adjusted" -> m11m12,
     "q_rec_wide_hitter" -> recHitter,
     "q_rec_wide_pitcher" -> recPitcher)
@@ -532,6 +587,7 @@ object KboQueries {
     "q_m3m4_wrc" -> m3m4Sql,
     "q_m5m7_rates" -> m5m7Sql,
     "q_m8m10_fip" -> m8m10Sql,
+    "q_m070_five_inning" -> m070Sql,
     "q_m11m12_park_adjusted" -> m11m12Sql,
     "q_rec_wide_hitter" -> recHitterSql,
     "q_rec_wide_pitcher" -> recPitcherSql)

@@ -67,6 +67,24 @@ object EventPipeline {
       }
   }
 
+  /** Streaming upsert sink (S4 — idempotent re-scrape semantics, live):
+    * each micro-batch latest-wins-merges into a bucketed lake table via
+    * foreachBatch + UpsertWriter.upsertBucketed. Re-delivered batches
+    * collapse onto their natural keys, so at-least-once sources yield
+    * exactly-once table state. Returns the started query (caller stops). */
+  def upsertSink(stream: DataFrame, path: String, keys: Seq[String],
+                 versionCol: String, checkpointDir: String,
+                 numBuckets: Int = 16)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sinks.UpsertWriter.upsertBucketed(batch, path, keys,
+          versionCol, numBuckets)
+      }
+      .start()
+
   /** Wire a streaming source through windowedStats to a sink path with
     * AvailableNow semantics (the S1/S2 "daily run" as a streaming job:
     * processes everything available, then stops; checkpoint makes re-runs

@@ -53,6 +53,25 @@ class StreamingSpec extends SparkSpec {
     assert(last(8L) == UserSession(8L, 1L, 1.0))
   }
 
+  test("upsertSink: micro-batches latest-wins-merge into the lake table") {
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("sus").toFile
+      .getAbsolutePath
+    val ms = MemoryStream[(Long, Double, Long)]
+    val q = EventPipeline.upsertSink(
+      ms.toDF().toDF("key", "val", "updated_at"),
+      s"$dir/t", Seq("key"), "updated_at", s"$dir/cp", numBuckets = 4)
+    try {
+      ms.addData(Seq((1L, 1.0, 1L), (2L, 2.0, 1L)))
+      q.processAllAvailable()
+      ms.addData(Seq((1L, 9.0, 2L), (3L, 3.0, 1L))) // update + insert
+      q.processAllAvailable()
+    } finally q.stop()
+    val r = graft.sinks.UpsertWriter.readBucketed(spark, s"$dir/t")
+      .as[(Long, Double, Long)].collect().toSet
+    assert(r == Set((1L, 9.0, 2L), (2L, 2.0, 1L), (3L, 3.0, 1L)))
+  }
+
   test("dueWithin selects only rows inside the lead window") {
     val games = Seq(
       ("g1", ts("2024-03-01 18:10:00")),
