@@ -65,6 +65,25 @@ class SimilaritySpec extends SparkSpec {
     assert(hits >= 30, s"recall@1 = $hits/40")
   }
 
+  test("native expressions resolve in SQL via GraftExtensions") {
+    base.createOrReplaceTempView("emb_t")
+    val r = spark.sql(
+      """SELECT dot_product(embedding, embedding) AS n,
+        |       sorted_intersect_count(array(1L, 2L, 5L),
+        |                              array(2L, 5L, 9L)) AS c
+        |FROM emb_t WHERE vec_id = 0""".stripMargin)
+      .as[(Double, Long)].head()
+    assert(r._1 > 0.0 && r._2 == 2L)
+  }
+
+  test("dot_product rejects non-numeric-array inputs at analysis") {
+    val bad = Seq((Seq("a"), Seq(1.0f))).toDF("a", "b")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      bad.select(Similarity.dot(col("a"), col("b"))).collect()
+    }
+    assert(e.getMessage.contains("dot_product"))
+  }
+
   test("ivfIndex assigns every vector; ivfTopK finds perturbed originals") {
     val (centroids, index) = Similarity.ivfIndex(base, k = 4)
     assert(index.count() == 40)
