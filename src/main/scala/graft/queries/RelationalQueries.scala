@@ -290,6 +290,77 @@ object RelationalQueries {
       |FROM lineitem
       |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin
 
+  // --- G8: exact percentiles (median / p90) -----------------------------
+  private val g8: QFn = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(percentile(col("l_quantity"), lit(0.5)).as("p50"),
+        percentile(col("l_quantity"), lit(0.9)).as("p90"),
+        count(lit(1)).as("cnt"))
+
+  private val g8Sql =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.5) AS p50,
+      |  quantile_cont(l_quantity, 0.9) AS p90,
+      |  COUNT(*) AS cnt
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  // --- J9: semi / anti joins --------------------------------------------
+  private val j9: QFn = (s, d) => {
+    val c = Tables.customer(s, d)
+    val urgent = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("c_custkey"))
+    val semi = c.join(urgent, Seq("c_custkey"), "left_semi")
+      .agg(count(lit(1)).as("n_cust"))
+      .select(lit("with_urgent").as("kind"), col("n_cust"))
+    val anti = c.join(urgent, Seq("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n_cust"))
+      .select(lit("without_urgent").as("kind"), col("n_cust"))
+    semi.unionByName(anti)
+  }
+
+  private val j9Sql =
+    """SELECT 'with_urgent' AS kind, COUNT(*) AS n_cust FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      |              AND o.o_orderpriority = '1-URGENT')
+      |UNION ALL
+      |SELECT 'without_urgent', COUNT(*) FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                  AND o.o_orderpriority = '1-URGENT')""".stripMargin
+
+  // --- SET: union / intersect / except ----------------------------------
+  private val setOps: QFn = (s, d) => {
+    val o = Tables.orders(s, d)
+    def custs(yr: Int) = o.filter(year(col("o_orderdate")) === yr)
+      .select(col("o_custkey")).distinct()
+    val a = custs(1995)
+    val b = custs(1996)
+    Seq(
+      ("union", a.union(b).distinct()),
+      ("intersect", a.intersect(b)),
+      ("except", a.except(b)))
+      .map { case (k, df) =>
+        df.agg(count(lit(1)).as("n")).select(lit(k).as("op"), col("n"))
+      }
+      .reduce(_ unionByName _)
+  }
+
+  private val setOpsSql =
+    """WITH a AS (SELECT DISTINCT o_custkey FROM orders
+      |           WHERE EXTRACT(YEAR FROM o_orderdate) = 1995),
+      |b AS (SELECT DISTINCT o_custkey FROM orders
+      |      WHERE EXTRACT(YEAR FROM o_orderdate) = 1996)
+      |SELECT 'union' AS op,
+      |  (SELECT COUNT(*) FROM (SELECT * FROM a UNION SELECT * FROM b)) AS n
+      |UNION ALL
+      |SELECT 'intersect',
+      |  (SELECT COUNT(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b))
+      |UNION ALL
+      |SELECT 'except',
+      |  (SELECT COUNT(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b))""".stripMargin
+
   // --- J1: dimension-chain inner join (broadcast) -----------------------
   private val j1: QFn = (s, d) => {
     val c = Tables.customer(s, d)
@@ -438,6 +509,9 @@ object RelationalQueries {
     "q_g5_nullskip_avg" -> g5,
     "q_g6_guarded_ratio" -> g6,
     "q_g7_rollup" -> g7,
+    "q_g8_percentiles" -> g8,
+    "q_j9_semi_anti" -> j9,
+    "q_set_ops" -> setOps,
     "q_j1_star_inner" -> j1,
     "q_j2_left_null_pad" -> j2,
     "q_j5_revenue_rollup" -> j5,
@@ -459,6 +533,9 @@ object RelationalQueries {
     "q_g5_nullskip_avg" -> g5Sql,
     "q_g6_guarded_ratio" -> g6Sql,
     "q_g7_rollup" -> g7Sql,
+    "q_g8_percentiles" -> g8Sql,
+    "q_j9_semi_anti" -> j9Sql,
+    "q_set_ops" -> setOpsSql,
     "q_j1_star_inner" -> j1Sql,
     "q_j2_left_null_pad" -> j2Sql,
     "q_j5_revenue_rollup" -> j5Sql,
