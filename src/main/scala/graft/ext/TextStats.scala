@@ -53,6 +53,23 @@ object TextStats {
     docs.select(col(idCol),
       Hashing.fingerprint(Hashing.tokens(col(textCol))).as("fp"))
 
+  /** BPE-ish sub-word tokenization approximation: letter runs, digit
+    * runs, and single non-alphanumeric marks — the pre-merge word-piece
+    * boundary pass of a GPT-2-style tokenizer (the merge table itself is
+    * a model artifact; counting these units tracks real token counts
+    * closely enough for length budgeting). Pattern kept to constructs
+    * with identical semantics in Java regex and RE2-style engines. */
+  val bpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(text, lit(bpeishPattern), lit(0))
+
+  /** Token-count frame: whitespace tokens vs BPE-ish units per doc. */
+  def tokenCounts(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+      size(Hashing.tokens(col(textCol))).cast("long").as("n_ws_tokens"),
+      size(bpeishTokens(col(textCol))).cast("long").as("n_bpeish_tokens"))
+
   /** Quality gate: per-doc keep/drop with the FIRST failing rule as the
     * reason (the standard LLM training-data filter; rule order is part of
     * the contract so drop accounting is stable). */

@@ -99,6 +99,17 @@ object ExtQueries {
   private val qualityFilter: QFn = (s, d) =>
     TextStats.qualityFilter(Tables.documents(s, d))
 
+  private val tokenCount: QFn = (s, d) =>
+    TextStats.tokenCounts(Tables.documents(s, d))
+
+  private val tokenCountSql =
+    s"""SELECT doc_id,
+       |  CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+       |    AS BIGINT) AS n_ws_tokens,
+       |  CAST(len(regexp_extract_all(text, '${TextStats.bpeishPattern}'))
+       |    AS BIGINT) AS n_bpeish_tokens
+       |FROM documents""".stripMargin
+
   private val qualityFilterSql =
     s"""WITH $toksSql,
        |st AS (
@@ -558,6 +569,7 @@ object ExtQueries {
     "q_x_multimodal" -> multimodal,
     "q_x_dedup_clusters" -> dedupClusters,
     "q_x_quality_filter" -> qualityFilter,
+    "q_x_token_count" -> tokenCount,
     "q_x_approx_distinct" -> approxDistinct,
     "q_s_event_window" -> eventWindow,
     "q_s_event_props" -> eventProps,
@@ -577,6 +589,7 @@ object ExtQueries {
     "q_x_multimodal" -> multimodalSql,
     "q_x_dedup_clusters" -> dedupClustersSql,
     "q_x_quality_filter" -> qualityFilterSql,
+    "q_x_token_count" -> tokenCountSql,
     "q_x_approx_distinct" -> approxDistinctSql,
     "q_s_event_window" -> eventWindowSql,
     "q_s_event_props" -> eventPropsSql,

@@ -52,6 +52,15 @@ class TextStatsSpec extends SparkSpec {
     assert(r(3L) == (("gibberish", false)))
   }
 
+  test("bpeish token count: letter runs, digit runs, single marks") {
+    val r = TextStats.tokenCounts(
+      Seq((1L, "hello world42, don't!")).toDF("doc_id", "text"))
+      .as[(Long, Long, Long)].head()
+    // ws: [hello, world42,, don't!] = 3
+    // bpeish: hello|world|42|,|don|'|t|! = 8
+    assert(r == ((1L, 3L, 8L)))
+  }
+
   test("tokens drops empty strings from repeated separators") {
     val r = Seq("  a   b  ").toDF("t")
       .select(Hashing.tokens(col("t"))).as[Seq[String]].head()
