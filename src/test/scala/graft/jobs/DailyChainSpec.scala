@@ -67,6 +67,12 @@ class DailyChainSpec extends SparkSpec {
     assert(pf("B") == ((1.0 + 0.0) / 1) / ((8.0 + 6.0) / 2))
   }
 
+  test("hitter_metrics output carries the reference metric column set") {
+    val cols = out("hitter_metrics").columns.toSet
+    assert(cols == graft.kbo.Schemas.hitterMetrics.fieldNames.toSet,
+      s"got $cols")
+  }
+
   test("wOBA: guard drops pa-ibb-sac == 0; value matches formula") {
     val m = out("hitter_metrics")
     val rows = m.select("hitter_id", "wOBA")
