@@ -504,6 +504,34 @@ object ExtQueries {
       |  COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k
       |FROM events GROUP BY event_type""".stripMargin
 
+  // ===== events: sessionization (batch twin) ============================
+
+  private val userSessionsQ: QFn = (s, d) =>
+    graft.streaming.EventPipeline.userSessionsWindowed(
+      Tables.events(s, d).filter(col("user_id") % 10 === 0))
+
+  /** Gaps-and-islands rewrite of session_window: a session boundary is an
+    * event more than `gap` after its predecessor; cumulative boundary
+    * count = session id; session start = min ts per island. */
+  private val userSessionsSql =
+    s"""WITH e AS (
+       |  SELECT user_id, ts, value,
+       |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+       |           > INTERVAL 30 MINUTE OR
+       |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+       |         THEN 1 ELSE 0 END AS is_start
+       |  FROM events WHERE user_id % 10 = 0),
+       |i AS (
+       |  SELECT user_id, ts, value,
+       |    SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+       |      ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM e)
+       |SELECT user_id,
+       |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       |  COUNT(*) AS n_events,
+       |  ${sqlDsum("value")} AS sum_value
+       |FROM i GROUP BY user_id, sid""".stripMargin
+
   // ===== events: time-series window functions ===========================
 
   /** Per-user event-time series: lag + rolling 3-event mean (decimal-
@@ -573,7 +601,8 @@ object ExtQueries {
     "q_x_approx_distinct" -> approxDistinct,
     "q_s_event_window" -> eventWindow,
     "q_s_event_props" -> eventProps,
-    "q_s_user_series" -> userSeries)
+    "q_s_user_series" -> userSeries,
+    "q_s_user_sessions" -> userSessionsQ)
 
   val oracles: Map[String, String] = Map(
     "q_x_text_stats" -> textStatsSql,
@@ -593,5 +622,6 @@ object ExtQueries {
     "q_x_approx_distinct" -> approxDistinctSql,
     "q_s_event_window" -> eventWindowSql,
     "q_s_event_props" -> eventPropsSql,
-    "q_s_user_series" -> userSeriesSql)
+    "q_s_user_series" -> userSeriesSql,
+    "q_s_user_sessions" -> userSessionsSql)
 }

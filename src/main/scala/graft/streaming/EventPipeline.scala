@@ -34,6 +34,22 @@ object EventPipeline {
       .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Event-time sessionization: events of a user closer than `gap` merge
+    * into one session (session_window — dynamic-length state, works
+    * batch and streaming; in streaming the watermark bounds session
+    * state). Output: one row per session with its start and rollups.
+    * The oracle checks the batch twin via the gaps-and-islands rewrite
+    * (lag + cumulative boundary count). */
+  def userSessionsWindowed(events: DataFrame,
+                           gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"), Q.dsum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        col("n_events"), col("sum_value"))
+
   /** S3 — event-time job trigger: rows whose start time falls inside
     * (now, now + lead]; the engine-side equivalent of the reference's
     * t-15min DAG trigger (dags/031_schedule_dag_for_get_today_line_up
