@@ -14,6 +14,36 @@ import graft.kbo.{Metrics, Records}
   */
 object DailyChain {
 
+  /** The hitter_metrics table (ref dags/0_init_baseball_table.py:284-293)
+    * from raw inputs: wOBA -> wRC -> rates -> park-adjusted, one row per
+    * hitter. Factored out of run() so the oracle query checks exactly the
+    * production composition. */
+  def hitterMetricsTable(gameRecords: DataFrame, hitters: DataFrame,
+                         lineup: DataFrame,
+                         parkFactor: DataFrame): DataFrame = {
+    val woba = Metrics.hitterWoba(hitters)
+    val wrc = Metrics.hitterWrc(gameRecords, hitters, woba)
+    val rates = Metrics.hitterRates(hitters)
+    val scalars = Metrics.leagueScalars(hitters, wrc)
+    val adjusted = Metrics.parkAdjusted(lineup, hitters, wrc,
+      parkFactor, scalars)
+    // A hitter can appear in several lineup rows (different stadiums =>
+    // different wRC+/OPS+); the reference's per-row upsert loop kept
+    // whichever ran last — nondeterministic under parallelism. We pin the
+    // FIRST stadium in lexicographic order.
+    val wAdj = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("hitter_id"))
+      .orderBy(col("stadium").asc)
+    val adjustedOne = adjusted
+      .withColumn("__rn", row_number().over(wAdj))
+      .filter(col("__rn") === 1)
+      .select(col("hitter_id"), col("wRC_plus"), col("OPS_plus"))
+    woba
+      .join(wrc, Seq("hitter_id"), "left")
+      .join(rates, Seq("hitter_id"), "left")
+      .join(adjustedOne, Seq("hitter_id"), "left")
+  }
+
   /** Run the full metric chain. Inputs are reference-shaped frames (see
     * graft.kbo.Schemas); output map keys = reference table names. */
   def run(gameRecords: DataFrame, hitters: DataFrame, pitchers: DataFrame,
@@ -25,27 +55,12 @@ object DailyChain {
     // 001: park factor
     val parkFactor = Metrics.parkFactor(gameRecords)
 
-    // 011-013: hitter metric chain
-    val woba = Metrics.hitterWoba(hitters)
-    val wrc = Metrics.hitterWrc(gameRecords, hitters, woba)
-    val rates = Metrics.hitterRates(hitters)
+    // 011-013 + 041: the hitter metric chain -> hitter_metrics table
+    val hitterMetrics = hitterMetricsTable(gameRecords, hitters, lineup,
+      parkFactor)
 
     // 021: pitcher metrics
     val pitcherMetrics = Metrics.pitcherMetrics(pitchers)
-
-    // 041: park-adjusted wRC+/OPS+
-    val scalars = Metrics.leagueScalars(hitters, wrc)
-    val adjusted = Metrics.parkAdjusted(lineup, hitters, wrc,
-      parkFactor, scalars)
-
-    // hitter_metrics table shape: one row per hitter with all metrics
-    // (ref dags/0_init_baseball_table.py:284-293)
-    val hitterMetrics = woba
-      .join(wrc, Seq("hitter_id"), "left")
-      .join(rates, Seq("hitter_id"), "left")
-      .join(adjusted.select(col("hitter_id"), col("wRC_plus"),
-        col("OPS_plus")).dropDuplicates("hitter_id"),
-        Seq("hitter_id"), "left")
 
     // 050/060: wide integration records
     val hitterRecord = Records.wideRecord(lineup, hitters, hitterMetrics,

@@ -570,6 +570,64 @@ object KboQueries {
       |              ELSE CAST(s_suppkey % 9 AS VARCHAR) END AS ip
       |  FROM supplier)""".stripMargin
 
+  // ===== flagship: the whole hitter metric chain in one artifact ========
+
+  /** DailyChain.hitterMetricsTable over the fixture-derived KBO frames —
+    * wOBA -> wRC -> rates -> park-adjusted composed exactly as production
+    * runs them, hash-checked end to end. One transposed coefficient or
+    * wrong join anywhere in the chain fails this row. */
+  private val chainHitterMetrics: QFn = (s, d) =>
+    graft.jobs.DailyChain.hitterMetricsTable(
+        kboGames(s, d), kboHitters(s, d), kboLineup(s, d),
+        kboParkFactors(s, d))
+      .select(col("hitter_id"), col("wOBA").as("woba"),
+        col("wRC").as("wrc"), col("k_rate"), col("bb_rate"), col("babip"),
+        col("wRC_plus").as("wrc_plus"), col("OPS_plus").as("ops_plus"))
+
+  private val chainHitterMetricsSql =
+    s"""WITH $gamesSql, $hittersSql, $wobaSql, $wrcSql, $lineupSql, $pfSql,
+       |rates AS (
+       |  SELECT hitter_id,
+       |    CAST(so AS DOUBLE) / pa AS k_rate,
+       |    CAST(bb AS DOUBLE) / pa AS bb_rate,
+       |    CAST(hits - hr AS DOUBLE) / (ab - so - hr + sf) AS babip
+       |  FROM hitters WHERE pa <> 0 AND ab - so - hr + sf <> 0),
+       |scal2 AS (
+       |  SELECT (SELECT ${sqlDavg("obp")} FROM hitters) AS league_obp,
+       |         (SELECT ${sqlDavg("slg")} FROM hitters) AS league_slg,
+       |         (SELECT CAST(CAST(SUM(pa) AS BIGINT) AS DOUBLE) FROM hitters)
+       |           AS league_pa,
+       |         (SELECT ${sqlDsum("v")} FROM wrc) AS league_wrc),
+       |adj AS (
+       |  SELECT h.hitter_id, l.stadium,
+       |    CASE WHEN COALESCE(p.park_factor, 0.0) = 0.0 OR h.pa = 0
+       |         THEN NULL
+       |         ELSE (w.v / h.pa)
+       |              / ((s2.league_wrc / s2.league_pa)
+       |                 / COALESCE(p.park_factor, 0.0))
+       |              * CAST(100.0 AS DOUBLE) END AS wrc_plus,
+       |    CASE WHEN COALESCE(p.park_factor, 0.0) = 0.0 THEN NULL
+       |         ELSE (CAST(100.0 AS DOUBLE) / COALESCE(p.park_factor, 0.0))
+       |              * (h.obp / s2.league_obp + h.slg / s2.league_slg
+       |                 - CAST(1.0 AS DOUBLE)) END AS ops_plus
+       |  FROM lineup l
+       |  JOIN hitters h ON l.player = h.player_name AND l.team = h.team_name
+       |  JOIN wrc w ON w.hitter_id = h.hitter_id
+       |  LEFT JOIN pf p ON l.stadium = p.stadium
+       |  CROSS JOIN scal2 s2
+       |  WHERE l.pos <> 0),
+       |adj1 AS (
+       |  SELECT hitter_id, wrc_plus, ops_plus FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY hitter_id
+       |      ORDER BY stadium) AS rn FROM adj) t
+       |  WHERE rn = 1)
+       |SELECT w.hitter_id, w.v AS woba, wr.v AS wrc,
+       |  r.k_rate, r.bb_rate, r.babip, a.wrc_plus, a.ops_plus
+       |FROM woba w
+       |LEFT JOIN wrc wr ON wr.hitter_id = w.hitter_id
+       |LEFT JOIN rates r ON r.hitter_id = w.hitter_id
+       |LEFT JOIN adj1 a ON a.hitter_id = w.hitter_id""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "q_m1_park_factor" -> m1,
     "q_m2_woba" -> m2,
@@ -579,7 +637,8 @@ object KboQueries {
     "q_m070_five_inning" -> m070,
     "q_m11m12_park_adjusted" -> m11m12,
     "q_rec_wide_hitter" -> recHitter,
-    "q_rec_wide_pitcher" -> recPitcher)
+    "q_rec_wide_pitcher" -> recPitcher,
+    "q_chain_hitter_metrics" -> chainHitterMetrics)
 
   val oracles: Map[String, String] = Map(
     "q_m1_park_factor" -> m1Sql,
@@ -590,5 +649,6 @@ object KboQueries {
     "q_m070_five_inning" -> m070Sql,
     "q_m11m12_park_adjusted" -> m11m12Sql,
     "q_rec_wide_hitter" -> recHitterSql,
-    "q_rec_wide_pitcher" -> recPitcherSql)
+    "q_rec_wide_pitcher" -> recPitcherSql,
+    "q_chain_hitter_metrics" -> chainHitterMetricsSql)
 }
