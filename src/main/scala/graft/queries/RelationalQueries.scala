@@ -305,6 +305,41 @@ object RelationalQueries {
       |  COUNT(*) AS cnt
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  // --- G9: pivot (long -> wide reshaping) -------------------------------
+  // Explicit pivot values => deterministic output columns (never let
+  // pivot() scan for values at scale — that is an extra job over the
+  // whole input).
+  private val g9: QFn = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_linestatus"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(sum(floor(col("l_quantity")).cast("long")).cast("long"))
+
+  private val g9Sql = {
+    def c(f: String) =
+      s"""CAST(SUM(CASE WHEN l_returnflag = '$f'
+         |  THEN CAST(FLOOR(l_quantity) AS BIGINT) END) AS BIGINT) AS "$f""""
+        .stripMargin.replace("\n", " ")
+    s"""SELECT l_linestatus, ${c("A")}, ${c("N")}, ${c("R")}
+       |FROM lineitem GROUP BY l_linestatus""".stripMargin
+  }
+
+  // --- F15: generator (explode array -> rows) ---------------------------
+  private val f15: QFn = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") % 100 === 0)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("ln"),
+        posexplode(sequence(lit(1L), col("l_linenumber").cast("long"))))
+      .select(col("l_orderkey"), col("ln"), col("pos").cast("long").as("pos"),
+        col("col").as("val"))
+
+  private val f15Sql =
+    """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS ln,
+      |  u.val - 1 AS pos, u.val
+      |FROM lineitem,
+      |  LATERAL (SELECT unnest(range(1, l_linenumber + 1)) AS val) u
+      |WHERE l_orderkey % 100 = 0""".stripMargin
+
   // --- J9: semi / anti joins --------------------------------------------
   private val j9: QFn = (s, d) => {
     val c = Tables.customer(s, d)
@@ -510,6 +545,8 @@ object RelationalQueries {
     "q_g6_guarded_ratio" -> g6,
     "q_g7_rollup" -> g7,
     "q_g8_percentiles" -> g8,
+    "q_g9_pivot" -> g9,
+    "q_f15_explode" -> f15,
     "q_j9_semi_anti" -> j9,
     "q_set_ops" -> setOps,
     "q_j1_star_inner" -> j1,
@@ -534,6 +571,8 @@ object RelationalQueries {
     "q_g6_guarded_ratio" -> g6Sql,
     "q_g7_rollup" -> g7Sql,
     "q_g8_percentiles" -> g8Sql,
+    "q_g9_pivot" -> g9Sql,
+    "q_f15_explode" -> f15Sql,
     "q_j9_semi_anti" -> j9Sql,
     "q_set_ops" -> setOpsSql,
     "q_j1_star_inner" -> j1Sql,
