@@ -102,6 +102,31 @@ object ExtQueries {
   private val tokenCount: QFn = (s, d) =>
     TextStats.tokenCounts(Tables.documents(s, d))
 
+  /** Heuristic lang-ID confusion counts against the labeled lang column —
+    * the evaluation artifact a real lang-ID stage ships with. (The
+    * fixture text is synthetic English-ish regardless of label, so the
+    * numbers measure the heuristic's determinism, not linguistics.) */
+  private val langEval: QFn = (s, d) =>
+    TextStats.stats(Tables.documents(s, d))
+      .join(Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        Seq("doc_id"))
+      .groupBy(col("lang"), col("lang_guess"))
+      .agg(count(lit(1)).as("n"))
+
+  private val langEvalSql = {
+    val stop = TextStats.stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH $toksSql,
+       |g AS (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN (CASE WHEN len(tk) = 0 THEN NULL
+       |          ELSE CAST(len(list_filter(tk, t -> t IN ($stop)))
+       |               AS DOUBLE) / len(tk) END) >= CAST(0.03 AS DOUBLE)
+       |         THEN 'en' ELSE 'other' END AS lang_guess
+       |  FROM toks)
+       |SELECT lang, lang_guess, COUNT(*) AS n
+       |FROM g GROUP BY lang, lang_guess""".stripMargin
+  }
+
   private val tokenCountSql =
     s"""SELECT doc_id,
        |  CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
@@ -598,6 +623,7 @@ object ExtQueries {
     "q_x_dedup_clusters" -> dedupClusters,
     "q_x_quality_filter" -> qualityFilter,
     "q_x_token_count" -> tokenCount,
+    "q_x_lang_eval" -> langEval,
     "q_x_approx_distinct" -> approxDistinct,
     "q_s_event_window" -> eventWindow,
     "q_s_event_props" -> eventProps,
@@ -619,6 +645,7 @@ object ExtQueries {
     "q_x_dedup_clusters" -> dedupClustersSql,
     "q_x_quality_filter" -> qualityFilterSql,
     "q_x_token_count" -> tokenCountSql,
+    "q_x_lang_eval" -> langEvalSql,
     "q_x_approx_distinct" -> approxDistinctSql,
     "q_s_event_window" -> eventWindowSql,
     "q_s_event_props" -> eventPropsSql,
