@@ -35,10 +35,12 @@ object SparkEntry {
     * metric core (M1-M12 + wide records) and the LLM-data-pipeline ext/
     * operators (dedup, similarity, text stats, multimodal). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ KboQueries.queries ++ ExtQueries.queries
+    RelationalQueries.queries ++ KboQueries.queries ++ ExtQueries.queries ++
+      TemporalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ KboQueries.oracles ++ ExtQueries.oracles
+    RelationalQueries.oracles ++ KboQueries.oracles ++ ExtQueries.oracles ++
+      TemporalQueries.oracles
 }

@@ -1,0 +1,96 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Temporal join operators Spark lacks natively: as-of join and
+  * interval/range join. Both are implemented with scale-safe plans —
+  * a single keyed shuffle for the as-of join (no join at all), and
+  * coarse-bucket blocking for the range join (equi-join on a derived
+  * bucket key; never a nested-loop / cartesian comparison).
+  *
+  * The reference has no temporal joins (SURVEY.md §2.D: equi-joins
+  * only), but a training-data pipeline needs them constantly — attach
+  * the latest model-version / config snapshot to each example (as-of),
+  * or collect all events inside an incident/campaign window (range).
+  */
+object TemporalJoins {
+
+  /** As-of join: for each probe row, attach the payload of the most
+    * recent quote row with the same key and quote time <= probe time
+    * (inclusive). Left semantics: probes with no preceding quote keep
+    * NULL payload.
+    *
+    * Plan: tag both sides, unionByName, one window over (keys, time)
+    * with last(payload, ignoreNulls) — a SINGLE shuffle on the key
+    * columns, linear scan within each partition. This is the 100 TB
+    * plan: no per-row subquery, no range join, and skew is bounded by
+    * the per-key series length, exactly like any keyed window.
+    *
+    * Ties: quotes sort before probes at equal time (inclusive as-of);
+    * among equal-time quotes the one with the greatest `tieBreak`
+    * value wins — pass a unique column to make the result
+    * deterministic when (key, time) can repeat on the quote side.
+    *
+    * @param payload quote columns to carry onto probe rows; names must
+    *                not collide with probe columns.
+    */
+  def asOfJoin(probes: DataFrame, quotes: DataFrame, keys: Seq[String],
+               timeCol: String, payload: Seq[String],
+               tieBreak: Column = lit(0L)): DataFrame = {
+    val side = "__graft_side"
+    val tie = "__graft_tie"
+    val qts = "__graft_quote_ts"
+    val probeCols = probes.columns.toSeq
+    val p = probes.withColumn(side, lit(1)).withColumn(tie, lit(null).cast("long"))
+    val q = quotes
+      .withColumn(tie, tieBreak.cast("long")) // before projecting quote cols away
+      .select((keys :+ timeCol).map(col) ++ payload.map(col) :+ col(tie): _*)
+      .withColumn(side, lit(0))
+      .withColumn(qts, col(timeCol))
+    val unioned = p.unionByName(q, allowMissingColumns = true)
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(timeCol).asc, col(side).asc, col(tie).asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = (payload :+ qts).foldLeft(unioned) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    filled
+      .filter(col(side) === 1)
+      .select((probeCols ++ payload :+ qts).map(col): _*)
+      .withColumnRenamed(qts, "asof_time")
+  }
+
+  /** Interval containment join: count (or collect) the rows of `points`
+    * whose `pointTime` falls inside each [lo, hi] interval of
+    * `intervals`. Left semantics: empty intervals keep n = 0.
+    *
+    * Plan: block on a coarse time bucket. Each interval explodes to the
+    * (few) buckets it overlaps via `sequence`; each point has exactly
+    * one bucket, so the bucket equi-join matches every qualifying pair
+    * exactly once — no dedup needed — and Catalyst runs it as a plain
+    * shuffle (or broadcast) hash join. Cost is |points| + sum of
+    * interval spans / bucketLen, never |points| x |intervals|. Pick
+    * bucketSeconds close to the typical interval length so most
+    * intervals explode to 1-2 buckets.
+    */
+  def rangeJoinCount(intervals: DataFrame, idCol: String, loCol: String,
+                     hiCol: String, points: DataFrame, pointTime: String,
+                     bucketSeconds: Long = 3600L): DataFrame = {
+    val b = lit(bucketSeconds)
+    val iv = intervals.select(col(idCol), col(loCol), col(hiCol),
+      explode(sequence(floor(unix_timestamp(col(loCol)) / b).cast("long"),
+        floor(unix_timestamp(col(hiCol)) / b).cast("long"))).as("__bucket"))
+    val pt = points
+      .select(col(pointTime).as("__pt"),
+        floor(unix_timestamp(col(pointTime)) / b).cast("long").as("__bucket"))
+    iv.join(pt,
+        iv("__bucket") === pt("__bucket") &&
+          col("__pt") >= col(loCol) && col("__pt") <= col(hiCol),
+        "left")
+      .groupBy(col(idCol))
+      .agg(count(col("__pt")).as("n_in_window"))
+  }
+}

@@ -1,0 +1,79 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class TemporalJoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("asOfJoin attaches latest preceding quote, inclusive at ties") {
+    val probes = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")), // after q1
+      (2L, 10L, ts("2024-01-01 12:00:00")), // exactly at q2 -> inclusive
+      (3L, 10L, ts("2024-01-01 09:00:00")), // before any quote -> null
+      (4L, 20L, ts("2024-01-01 10:00:00")) // other key, no quotes -> null
+    ).toDF("event_id", "user_id", "ts")
+    val quotes = Seq(
+      (10L, ts("2024-01-01 09:30:00"), 1.0),
+      (10L, ts("2024-01-01 12:00:00"), 2.0)
+    ).toDF("user_id", "ts", "v")
+
+    val out = TemporalJoins
+      .asOfJoin(probes, quotes, Seq("user_id"), "ts", Seq("v"))
+      .select("event_id", "v", "asof_time")
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    assert(out(1L).getDouble(1) == 1.0)
+    assert(out(2L).getDouble(1) == 2.0) // quote at equal ts wins (>=)
+    assert(out(2L).getTimestamp(2) == ts("2024-01-01 12:00:00"))
+    assert(out(3L).isNullAt(1) && out(3L).isNullAt(2))
+    assert(out(4L).isNullAt(1))
+  }
+
+  test("asOfJoin tieBreak picks the greatest among equal-time quotes") {
+    val probes = Seq((1L, 5L, ts("2024-01-01 10:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val quotes = Seq(
+      (5L, ts("2024-01-01 09:00:00"), 100L, 1.0),
+      (5L, ts("2024-01-01 09:00:00"), 200L, 2.0),
+      (5L, ts("2024-01-01 09:00:00"), 150L, 3.0)
+    ).toDF("user_id", "ts", "qid", "v")
+    val out = TemporalJoins.asOfJoin(probes, quotes, Seq("user_id"), "ts",
+      Seq("v"), tieBreak = col("qid"))
+    assert(out.select("v").head.getDouble(0) == 2.0) // qid=200 wins
+  }
+
+  test("rangeJoinCount: boundaries inclusive, bucket-spanning, empty=0") {
+    // 30-min buckets force the 2h interval to span 5 buckets.
+    val intervals = Seq(
+      (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 12:00:00")),
+      (2L, ts("2024-03-01 00:00:00"), ts("2024-03-01 01:00:00")) // empty
+    ).toDF("id", "lo", "hi")
+    val points = Seq(
+      ts("2024-01-01 10:00:00"), // == lo, inclusive
+      ts("2024-01-01 11:15:30"),
+      ts("2024-01-01 12:00:00"), // == hi, inclusive
+      ts("2024-01-01 12:00:01"), // just outside
+      ts("2024-01-01 09:59:59") // just outside
+    ).toDF("pt")
+    val out = TemporalJoins
+      .rangeJoinCount(intervals, "id", "lo", "hi", points, "pt",
+        bucketSeconds = 1800L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 3L, 2L -> 0L))
+  }
+
+  test("rangeJoinCount never double-counts a point (multi-bucket span)") {
+    val intervals = Seq((1L, ts("2024-01-01 00:00:00"),
+      ts("2024-01-03 00:00:00"))).toDF("id", "lo", "hi") // 48h, many buckets
+    val points = (0 until 100)
+      .map(i => ts(f"2024-01-01 ${i % 24}%02d:30:00")).toDF("pt")
+    val n = TemporalJoins
+      .rangeJoinCount(intervals, "id", "lo", "hi", points, "pt")
+      .head.getLong(1)
+    assert(n == 100L)
+  }
+}
