@@ -25,6 +25,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // Codegen compile failures normally fall back to interpreted
+      // execution — correct but several times slower, and invisible in a
+      // timing-only harness. The bench is the perf gate, so make them
+      // loud failures instead.
+      .config("spark.sql.codegen.fallback", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

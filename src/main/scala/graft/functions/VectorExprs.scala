@@ -43,6 +43,20 @@ case class DotProduct(left: Expression, right: Expression)
   private def elemIsFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
+  private def mayHaveNullElements: Boolean =
+    Seq(left, right).exists(_.dataType match {
+      case ArrayType(_, containsNull) => containsNull
+      case _ => false
+    })
+
+  /** Unlike the BinaryExpression default, this can be NULL with non-null
+    * inputs: a NULL *element* nulls the product. Declaring that here is
+    * load-bearing for codegen — with nullable=false, nullSafeCodeGen never
+    * declares ev.isNull, and a resultCode that assigns it generates
+    * uncompilable Java (silent interpreted fallback for the whole stage). */
+  override def nullable: Boolean =
+    left.nullable || right.nullable || mayHaveNullElements
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -69,14 +83,30 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      // Touch ev.isNull ONLY when elements can be null (then nullable is
+      // true and ev.isNull is a declared variable); with containsNull
+      // false on both sides the check is dead code and the loop is a
+      // branch-free multiply-add.
+      val body =
+        if (mayHaveNullElements)
+          s"""
+             |for (int $i = 0; $i < $n; $i++) {
+             |  if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
+             |  $acc += ((double) $x.$lGet($i)) * ((double) $y.$rGet($i));
+             |}
+             |if (!${ev.isNull}) { ${ev.value} = $acc; }
+           """.stripMargin
+        else
+          s"""
+             |for (int $i = 0; $i < $n; $i++) {
+             |  $acc += ((double) $x.$lGet($i)) * ((double) $y.$rGet($i));
+             |}
+             |${ev.value} = $acc;
+           """.stripMargin
       s"""
          |int $n = Math.min($x.numElements(), $y.numElements());
          |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |  $acc += ((double) $x.$lGet($i)) * ((double) $y.$rGet($i));
-         |}
-         |if (!${ev.isNull}) { ${ev.value} = $acc; }
+         |$body
        """.stripMargin
     })
   }
