@@ -83,6 +83,68 @@ object EventPipeline {
       }
   }
 
+  /** Streaming exact dedup for at-least-once sources: drop re-deliveries
+    * of the same key arriving within the watermark horizon. This is the
+    * streaming face of the exact-dedup pipeline operator (ext/Dedup) —
+    * state holds one entry per key seen inside the horizon and is
+    * evicted by the watermark, so memory is bounded by (arrival rate x
+    * horizon), not by stream length. Emits first-seen rows only. */
+  def dedupWithinWatermark(events: DataFrame, keys: Seq[String],
+                           watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  case class SessionAcc(start: java.sql.Timestamp, end: java.sql.Timestamp,
+                        n: Long, total: Double)
+  case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
+                           n_events: Long, total: Double)
+
+  /** Event-time sessionization with *closed-session* emission via
+    * flatMapGroupsWithState: a session is emitted exactly once, when a
+    * larger-than-gap silence closes it — either observed inside a batch
+    * or declared by the event-time timeout when the watermark passes
+    * session_end + gap. Complements `userSessionsWindowed` (which emits
+    * per-window aggregates) for sinks that want only finalized rows.
+    * State per key is one small SessionAcc, watermark-evicted. */
+  def closedSessions(events: Dataset[Event], spark: SparkSession,
+                     gapMinutes: Int = 30, watermark: String = "1 hour")
+      : Dataset[ClosedSession] = {
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[SessionAcc]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(ClosedSession(uid, s.start, s.n, s.total))
+          } else {
+            val out = Seq.newBuilder[ClosedSession]
+            var cur = state.getOption
+            it.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              cur match {
+                case Some(s) if e.ts.getTime - s.end.getTime <= gapMs =>
+                  cur = Some(SessionAcc(s.start, e.ts, s.n + 1, s.total + e.value))
+                case Some(s) => // in-batch gap: close and restart
+                  out += ClosedSession(uid, s.start, s.n, s.total)
+                  cur = Some(SessionAcc(e.ts, e.ts, 1L, e.value))
+                case None =>
+                  cur = Some(SessionAcc(e.ts, e.ts, 1L, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end.getTime + gapMs)
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   /** Streaming upsert sink (S4 — idempotent re-scrape semantics, live):
     * each micro-batch latest-wins-merges into a bucketed lake table via
     * foreachBatch + UpsertWriter.upsertBucketed. Re-delivered batches

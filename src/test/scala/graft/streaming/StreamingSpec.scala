@@ -72,6 +72,52 @@ class StreamingSpec extends SparkSpec {
     assert(r == Set((1L, 9.0, 2L), (2L, 2.0, 1L), (3L, 3.0, 1L)))
   }
 
+  test("dedupWithinWatermark drops cross-batch re-deliveries of a key") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = EventPipeline
+      .dedupWithinWatermark(ms.toDF(), Seq("event_id"), "1 hour")
+      .writeStream.format("memory").queryName("dd")
+      .outputMode("append").start()
+    try {
+      ms.addData(Seq(sample(0), sample(1)))
+      q.processAllAvailable()
+      ms.addData(Seq(sample(1), sample(2))) // event 2 re-delivered
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("dd").select("event_id").as[Long].collect().toSeq
+    assert(ids.sorted == Seq(1L, 2L, 3L)) // each key exactly once
+  }
+
+  test("closedSessions emits a session once, when gap or timeout closes it") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = EventPipeline.closedSessions(ms.toDS(), spark, gapMinutes = 30)
+      .writeStream.format("memory").queryName("cs")
+      .outputMode("append").start()
+    try {
+      // user 7: two events 10min apart (one session), then an in-batch
+      // 2h gap opens a second session.
+      ms.addData(Seq(
+        Event(1L, ts("2024-03-01 10:00:00"), 7L, "click", 1.0),
+        Event(2L, ts("2024-03-01 10:10:00"), 7L, "click", 2.0),
+        Event(3L, ts("2024-03-01 12:30:00"), 7L, "click", 4.0)))
+      q.processAllAvailable()
+      // advance the watermark far past 12:30+30min so the open session
+      // times out; the extra batch triggers timeout processing.
+      ms.addData(Seq(Event(9L, ts("2024-03-02 12:00:00"), 8L, "view", 0.5)))
+      q.processAllAvailable()
+      ms.addData(Seq(Event(10L, ts("2024-03-03 12:00:00"), 8L, "view", 0.5)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("cs")
+      .as[EventPipeline.ClosedSession].collect()
+      .filter(_.user_id == 7L).sortBy(_.session_start.getTime)
+    assert(rows.map(s => (s.session_start, s.n_events, s.total)).toSeq == Seq(
+      (ts("2024-03-01 10:00:00"), 2L, 3.0), // closed by in-batch gap
+      (ts("2024-03-01 12:30:00"), 1L, 4.0))) // closed by event-time timeout
+  }
+
   test("dueWithin selects only rows inside the lead window") {
     val games = Seq(
       ("g1", ts("2024-03-01 18:10:00")),
