@@ -1,0 +1,56 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** numOutputRows of the parquet scan node = rows the reader surfaced
+    * AFTER row-group/page skipping on min/max stats (the exact filter
+    * runs later in FilterExec) — i.e. a direct measure of pruning. */
+  private def scanRows(df: DataFrame): Long = {
+    df.collect()
+    val scan = df.queryExecution.executedPlan.collectFirst {
+      case s: FileSourceScanExec => s
+    }.get
+    scan.metrics("numOutputRows").value
+  }
+
+  test("compact bin-packs small files, preserving data") {
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString
+    val path = s"$dir/t"
+    (1L to 10000L).toDF("k").repartition(50)
+      .write.parquet(path)
+    assert(Layout.dataFiles(path).size == 50)
+    Layout.compact(spark, path, targetBytes = 64L * 1024 * 1024)
+    assert(Layout.dataFiles(path).size <= 2)
+    val back = spark.read.parquet(path).as[Long].collect().sorted
+    assert(back.toSeq == (1L to 10000L))
+  }
+
+  test("sortedWrite makes row-group stats selective for range predicates") {
+    val dir = java.nio.file.Files.createTempDirectory("sorted").toString
+    // small row groups so one file holds many prunable groups
+    spark.conf.set("spark.sql.parquet.blockSize", (64 * 1024).toString)
+    val n = 200000L
+    val df = spark.range(n)
+      .select((col("id") * 2654435761L % n).as("v")) // scrambled order
+    val pred = col("v") >= 1000 && col("v") < 2000
+
+    df.write.mode("overwrite").parquet(s"$dir/unsorted")
+    Layout.sortedWrite(df, s"$dir/sorted", "v", partitions = 4)
+
+    val unsortedRead = scanRows(spark.read.parquet(s"$dir/unsorted").filter(pred))
+    val sortedRead = scanRows(spark.read.parquet(s"$dir/sorted").filter(pred))
+    // same answer either way...
+    assert(spark.read.parquet(s"$dir/sorted").filter(pred).count() ==
+      spark.read.parquet(s"$dir/unsorted").filter(pred).count())
+    // ...but the sorted layout reads a small fraction of the rows
+    assert(unsortedRead == n) // scrambled: stats prune nothing
+    assert(sortedRead <= n / 10,
+      s"sorted scan surfaced $sortedRead rows; expected heavy pruning")
+  }
+}
