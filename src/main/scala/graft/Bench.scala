@@ -46,7 +46,15 @@ object Bench {
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach(runOnce) // warm-up pass, untimed
-    val results = names.map(n => n -> runOnce(n))
+    // two timed passes, min per query: a single pass is exposed to
+    // one-off JIT/GC/host noise (round-2 log had a 12 s outlier on a
+    // 0.4 s regex query).
+    val pass1 = names.map(n => n -> runOnce(n)).toMap
+    val pass2 = names.map(n => n -> runOnce(n)).toMap
+    val results = names.map { n =>
+      val ((t1, ok1), (t2, ok2)) = (pass1(n), pass2(n))
+      n -> (math.min(t1, t2), ok1 && ok2)
+    }
     val failed = results.collect { case (n, (_, false)) => n }
     val qs = results.map { case (n, (sec, _)) => s"\"$n\":$sec" }
       .mkString("{", ",", "}")
