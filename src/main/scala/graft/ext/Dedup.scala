@@ -235,17 +235,18 @@ object Dedup {
     while (i < maxIter && !converged) {
       val nbrMin = sym.join(labels, sym("y") === labels("node"))
         .groupBy(col("x")).agg(min(col("cluster")).as("nc"))
+      // carry a changed flag through the update so convergence reads the
+      // already-materialized checkpoint instead of re-joining old labels
       val updated = labels.as("l")
         .join(nbrMin, col("l.node") === nbrMin("x"), "left")
         .select(col("l.node").as("node"),
           least(col("l.cluster"), coalesce(col("nc"), col("l.cluster")))
-            .as("cluster"))
+            .as("cluster"),
+          (col("nc").isNotNull && col("nc") < col("l.cluster"))
+            .as("changed"))
         .localCheckpoint()
-      converged = updated.as("u")
-        .join(labels.as("l2"), col("u.node") === col("l2.node"))
-        .filter(col("u.cluster") =!= col("l2.cluster"))
-        .isEmpty
-      labels = updated
+      converged = updated.filter(col("changed")).isEmpty
+      labels = updated.select(col("node"), col("cluster"))
       i += 1
     }
     labels.select(col("node").as("doc_id"), col("cluster").as("cluster_id"))

