@@ -70,6 +70,55 @@ object TextStats {
       size(Hashing.tokens(col(textCol))).cast("long").as("n_ws_tokens"),
       size(bpeishTokens(col(textCol))).cast("long").as("n_bpeish_tokens"))
 
+  /** Gopher-style repetition signals (the "repetitious document" family
+    * of training-data filters): fraction of the document taken by its
+    * most frequent token, and fraction of duplicate bigrams. Computed by
+    * explode + per-doc aggregation — two shuffles keyed by doc id (the
+    * measured-faster shape vs per-row array folds), embarrassingly
+    * parallel across documents at any corpus size. */
+  def repetition(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    val base = docs.select(col(idCol), Hashing.tokens(col(textCol)).as("tk"))
+    val uni = base
+      .select(col(idCol), explode(col("tk")).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg((max(col("c")).cast("double") / sum(col("c")).cast("double"))
+        .as("top_unigram_frac"))
+    val bigrams = zip_with(
+      slice(col("tk"), lit(1), size(col("tk")) - 1),
+      slice(col("tk"), lit(2), size(col("tk")) - 1),
+      (x, y) => concat_ws(" ", x, y))
+    val big = base
+      .select(col(idCol), explode(bigrams).as("bg"))
+      .groupBy(col(idCol))
+      .agg((lit(1.0) - countDistinct(col("bg")).cast("double") /
+        count(lit(1)).cast("double")).as("dup_bigram_frac"))
+    base.select(col(idCol))
+      .join(uni, Seq(idCol), "left")
+      .join(big, Seq(idCol), "left")
+  }
+
+  /** PII redaction: mask emails and long digit runs (id/phone-shaped),
+    * reporting per-doc match counts for drop-rate accounting. Patterns
+    * restricted to constructs with identical semantics in Java regex and
+    * RE2-style engines (no backrefs, no lookaround). */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val longNumPattern = "[0-9]{7,}"
+
+  def redactPii(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.select(col(idCol),
+      regexp_replace(
+        regexp_replace(t, emailPattern, "<EMAIL>"),
+        longNumPattern, "<NUM>").as("redacted"),
+      size(regexp_extract_all(t, lit(emailPattern), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(t, lit(longNumPattern), lit(0)))
+        .cast("long").as("n_longnums"))
+  }
+
   /** Quality gate: per-doc keep/drop with the FIRST failing rule as the
     * reason (the standard LLM training-data filter; rule order is part of
     * the contract so drop accounting is stable). */

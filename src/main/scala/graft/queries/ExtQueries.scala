@@ -608,7 +608,62 @@ object ExtQueries {
        |FROM documents""".stripMargin
   }
 
+  // ===== repetition signals + PII redaction =============================
+
+  private val repetitionQ: QFn = (s, d) =>
+    TextStats.repetition(Tables.documents(s, d))
+
+  private val repetitionSql =
+    s"""WITH $toksSql,
+       |u AS (SELECT doc_id, unnest(tk) AS tok FROM toks),
+       |uc AS (SELECT doc_id, tok, COUNT(*) AS c FROM u GROUP BY 1, 2),
+       |uni AS (
+       |  SELECT doc_id, CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+       |    AS top_unigram_frac
+       |  FROM uc GROUP BY 1),
+       |bg0 AS (
+       |  SELECT doc_id, list_transform(range(1, len(tk)),
+       |    i -> tk[i] || ' ' || tk[i+1]) AS bgs
+       |  FROM toks),
+       |bge AS (SELECT doc_id, unnest(bgs) AS bg FROM bg0),
+       |big AS (
+       |  SELECT doc_id, 1.0 - CAST(COUNT(DISTINCT bg) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS dup_bigram_frac
+       |  FROM bge GROUP BY 1)
+       |SELECT t.doc_id, uni.top_unigram_frac, big.dup_bigram_frac
+       |FROM toks t
+       |LEFT JOIN uni USING (doc_id)
+       |LEFT JOIN big USING (doc_id)""".stripMargin
+
+  /** The fixture corpus is clean, so PII-shaped content is synthesized
+    * deterministically from doc_id (same construction in the oracle). */
+  private val piiRedact: QFn = (s, d) => {
+    val aug = Tables.documents(s, d).select(col("doc_id"),
+      concat(col("text"), lit(" contact user"), col("doc_id"),
+        lit("@mail.example.com or call "),
+        (col("doc_id") * lit(987654321L)).cast("string")).as("text"))
+    TextStats.redactPii(aug)
+  }
+
+  private val piiRedactSql = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val num = "[0-9]{7,}"
+    s"""WITH aug AS (
+       |  SELECT doc_id,
+       |    text || ' contact user' || doc_id || '@mail.example.com or call '
+       |      || CAST(doc_id * 987654321 AS VARCHAR) AS text
+       |  FROM documents)
+       |SELECT doc_id,
+       |  regexp_replace(regexp_replace(text, '$email', '<EMAIL>', 'g'),
+       |    '$num', '<NUM>', 'g') AS redacted,
+       |  CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(text, '$num')) AS BIGINT) AS n_longnums
+       |FROM aug""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q_x_repetition" -> repetitionQ,
+    "q_x_pii_redact" -> piiRedact,
     "q_x_text_stats" -> textStats,
     "q_x_fingerprint" -> fingerprint,
     "q_x_dedup_exact" -> dedupExact,
@@ -631,6 +686,8 @@ object ExtQueries {
     "q_s_user_sessions" -> userSessionsQ)
 
   val oracles: Map[String, String] = Map(
+    "q_x_repetition" -> repetitionSql,
+    "q_x_pii_redact" -> piiRedactSql,
     "q_x_text_stats" -> textStatsSql,
     "q_x_fingerprint" -> fingerprintSql,
     "q_x_dedup_exact" -> dedupExactSql,

@@ -66,4 +66,30 @@ class TextStatsSpec extends SparkSpec {
       .select(Hashing.tokens(col("t"))).as[Seq[String]].head()
     assert(r == Seq("a", "b"))
   }
+
+  test("repetition: top-unigram and duplicate-bigram fractions") {
+    val docs = Seq(
+      (1L, "a a a b"), // top unigram a: 3/4; bigrams [a a, a a, a b]: 1 - 2/3
+      (2L, "x y z"), // all unique: 1/3 and 0.0
+      (3L, "solo")) // single token: no bigrams -> null
+      .toDF("doc_id", "text")
+    val r = TextStats.repetition(docs).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getDouble(1) == 0.75)
+    assert(math.abs(r(1L).getDouble(2) - (1.0 - 2.0 / 3.0)) < 1e-15)
+    assert(r(2L).getDouble(1) == 1.0 / 3.0 && r(2L).getDouble(2) == 0.0)
+    assert(r(3L).getDouble(1) == 1.0 && r(3L).isNullAt(2))
+  }
+
+  test("redactPii masks emails and long digit runs, counts matches") {
+    val docs = Seq(
+      (1L, "mail bob.smith+x@corp.example.org now"),
+      (2L, "call 12345678 or 999 ext 4321"), // only the 8-digit run
+      (3L, "clean text")).toDF("doc_id", "text")
+    val r = TextStats.redactPii(docs)
+      .as[(Long, String, Long, Long)].collect().map(t => t._1 -> t).toMap
+    assert(r(1L)._2 == "mail <EMAIL> now" && r(1L)._3 == 1L)
+    assert(r(2L)._2 == "call <NUM> or 999 ext 4321" && r(2L)._4 == 1L)
+    assert(r(3L) == ((3L, "clean text", 0L, 0L)))
+  }
 }
