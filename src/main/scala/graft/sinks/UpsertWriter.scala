@@ -106,35 +106,63 @@ object UpsertWriter {
     spark.read.parquet(path).drop(BucketCol)
 
   /** JDBC upsert mode (the reference's INSERT ... ON DUPLICATE KEY UPDATE,
-    * dags/utils/queries.py:5-261): batched per-partition statements against
-    * a MySQL-dialect URL. Same latest-wins contract as the lake modes —
-    * the incoming frame is pre-collapsed per key so statement order within
-    * a batch cannot change the outcome. No JDBC driver ships in this
-    * sandbox, so this stays an un-exercised (but complete) code path.
+    * dags/utils/queries.py:5-261): per-partition statements over a pooled
+    * connection. Same latest-wins contract as the lake modes — the incoming
+    * frame is pre-collapsed per key, so statement order within a batch
+    * cannot change the outcome.
+    *
+    * Dialects:
+    *  - "mysql": batched `INSERT ... ON DUPLICATE KEY UPDATE` (the
+    *    reference's statement shape, fastest where supported);
+    *  - "generic": portable UPDATE-else-INSERT per row — works on any
+    *    ANSI JDBC database (exercised against embedded Derby in
+    *    UpsertWriterSpec).
     */
   def upsertJdbc(incoming: DataFrame, url: String, table: String,
                  keys: Seq[String], versionCol: String,
                  props: java.util.Properties = new java.util.Properties(),
-                 batchSize: Int = 1000): Unit = {
+                 batchSize: Int = 1000, dialect: String = "mysql"): Unit = {
     val collapsed = merge(incoming.limit(0), incoming, keys, versionCol)
     val cols = collapsed.columns.toSeq
-    val placeholders = cols.map(_ => "?").mkString(", ")
-    val updates = cols.filterNot(keys.contains)
-      .map(c => s"$c = VALUES($c)").mkString(", ")
-    val sql = s"INSERT INTO $table (${cols.mkString(", ")}) " +
-      s"VALUES ($placeholders) ON DUPLICATE KEY UPDATE $updates"
+    val nonKeys = cols.filterNot(keys.contains)
     collapsed.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
       val conn = java.sql.DriverManager.getConnection(url, props)
       try {
         conn.setAutoCommit(false)
-        val st = conn.prepareStatement(sql)
-        var n = 0
-        rows.foreach { r =>
-          cols.indices.foreach(i => st.setObject(i + 1, r.get(i)))
-          st.addBatch(); n += 1
-          if (n % batchSize == 0) st.executeBatch()
+        dialect match {
+          case "mysql" =>
+            val placeholders = cols.map(_ => "?").mkString(", ")
+            val updates = nonKeys.map(c => s"$c = VALUES($c)").mkString(", ")
+            val st = conn.prepareStatement(
+              s"INSERT INTO $table (${cols.mkString(", ")}) " +
+                s"VALUES ($placeholders) ON DUPLICATE KEY UPDATE $updates")
+            var n = 0
+            rows.foreach { r =>
+              cols.indices.foreach(i => st.setObject(i + 1, r.get(i)))
+              st.addBatch(); n += 1
+              if (n % batchSize == 0) st.executeBatch()
+            }
+            st.executeBatch()
+          case "generic" =>
+            val upd = conn.prepareStatement(
+              s"UPDATE $table SET ${nonKeys.map(_ + " = ?").mkString(", ")} " +
+                s"WHERE ${keys.map(_ + " = ?").mkString(" AND ")}")
+            val ins = conn.prepareStatement(
+              s"INSERT INTO $table (${cols.mkString(", ")}) " +
+                s"VALUES (${cols.map(_ => "?").mkString(", ")})")
+            rows.foreach { r =>
+              nonKeys.zipWithIndex.foreach { case (c, i) =>
+                upd.setObject(i + 1, r.get(cols.indexOf(c))) }
+              keys.zipWithIndex.foreach { case (k, i) =>
+                upd.setObject(nonKeys.size + i + 1, r.get(cols.indexOf(k))) }
+              if (upd.executeUpdate() == 0) {
+                cols.indices.foreach(i => ins.setObject(i + 1, r.get(i)))
+                ins.executeUpdate()
+              }
+            }
+          case other =>
+            throw new IllegalArgumentException(s"unknown dialect: $other")
         }
-        st.executeBatch()
         conn.commit()
       } finally conn.close()
     }

@@ -25,6 +25,21 @@ object Ingest {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.schema(Schemas.all(name)).parquet(s"$dir/$name.parquet")
 
+  /** A11 JDBC mode — the reference's `pd.read_sql("SELECT * FROM t")`
+    * (dags/001_park_factor_calculation.py:40). `partitionOn` + bounds
+    * turn the single-cursor read into a partition-parallel one; without
+    * it Spark reads through one connection (fine for dimension tables,
+    * never for facts). */
+  def jdbcTable(spark: SparkSession, url: String, table: String,
+                props: java.util.Properties = new java.util.Properties(),
+                partitionOn: Option[(String, Long, Long, Int)] = None)
+      : DataFrame =
+    partitionOn match {
+      case Some((column, lower, upper, numParts)) =>
+        spark.read.jdbc(url, table, column, lower, upper, numParts, props)
+      case None => spark.read.jdbc(url, table, props)
+    }
+
   /** Schema-applied JSON-lines read for raw scraper output (A1–A10). */
   def rawJson(spark: SparkSession, path: String, name: String): DataFrame =
     spark.read.schema(Schemas.all(name)).json(path)
