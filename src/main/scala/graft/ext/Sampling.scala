@@ -1,0 +1,40 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for corpus construction.
+  *
+  * Training-data pipelines re-weight sources (web 1 epoch, books 3,
+  * code 0.5, ...) by sampling. rand()-based sampling is useless there:
+  * re-runs, retries, and incremental additions must make the SAME
+  * keep/drop decision per document, or the corpus drifts and ablations
+  * don't reproduce. So the sampling coin is a pure function of the
+  * document id: a salted portable hash mapped to [0, 1), compared
+  * against the stratum's rate. Embarrassingly parallel, no shuffle,
+  * and adding documents later never flips an earlier decision.
+  */
+object Sampling {
+
+  private val M = 1000000L
+
+  /** Deterministic uniform [0,1) coin from a key column (salted so
+    * different sampling decisions are independent). */
+  def unitHash(key: Column, salt: String): Column =
+    (Hashing.hash60(concat(lit(salt + ":"), key.cast("string"))) % M)
+      .cast("double") / M.toDouble
+
+  /** Per-stratum keep/drop: `rates` maps stratum value -> keep rate,
+    * `defaultRate` covers unlisted strata. Output keeps every input row
+    * with its coin and decision (filter on `keep` to materialize the
+    * sample; keeping the flag makes drop accounting auditable). */
+  def stratified(df: DataFrame, keyCol: String, stratumCol: String,
+                 rates: Map[String, Double], defaultRate: Double,
+                 salt: String = "mix"): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (s, r)) =>
+      when(col(stratumCol) === s, lit(r)).otherwise(acc)
+    }
+    df.withColumn("u", unitHash(col(keyCol), salt))
+      .withColumn("keep", col("u") < rate)
+  }
+}

@@ -70,6 +70,33 @@ object TextStats {
       size(Hashing.tokens(col(textCol))).cast("long").as("n_ws_tokens"),
       size(bpeishTokens(col(textCol))).cast("long").as("n_bpeish_tokens"))
 
+  /** Fixed-size token chunking with overlap — the pre-training prep step
+    * that turns documents into model-context-sized windows. Chunk i
+    * covers tokens [i*step, i*step + chunkTokens) with
+    * step = chunkTokens - overlap; starts are every step boundary below
+    * the document length (a short trailing chunk is kept — standard
+    * practice, the tail is real data). Generator-style explode: output
+    * size is corpus tokens / step, embarrassingly parallel. */
+  def chunk(docs: DataFrame, idCol: String = "doc_id",
+            textCol: String = "text", chunkTokens: Int = 50,
+            overlap: Int = 10): DataFrame = {
+    require(overlap < chunkTokens, "overlap must be < chunkTokens")
+    val step = (chunkTokens - overlap).toLong
+    val base = docs
+      .select(col(idCol), Hashing.tokens(col(textCol)).as("tk"))
+      .filter(size(col("tk")) > 0) // sequence(0,-1) would count DOWN
+    val nChunks = ceil(size(col("tk")).cast("double") / step)
+    base
+      .select(col(idCol), col("tk"),
+        explode(sequence(lit(0L), nChunks - 1)).as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        array_join(
+          slice(col("tk"), col("chunk_id") * step + 1, lit(chunkTokens)),
+          " ").as("chunk_text"),
+        size(slice(col("tk"), col("chunk_id") * step + 1, lit(chunkTokens)))
+          .cast("long").as("n_chunk_tokens"))
+  }
+
   /** Gopher-style repetition signals (the "repetitious document" family
     * of training-data filters): fraction of the document taken by its
     * most frequent token, and fraction of duplicate bigrams. Computed by

@@ -661,7 +661,50 @@ object ExtQueries {
        |FROM aug""".stripMargin
   }
 
+  // ===== chunking + deterministic source-mix sampling ===================
+
+  private val chunkingQ: QFn = (s, d) =>
+    TextStats.chunk(Tables.documents(s, d), chunkTokens = 50, overlap = 10)
+
+  private val chunkingSql =
+    s"""WITH $toksSql,
+       |c AS (
+       |  SELECT doc_id, tk,
+       |    unnest(range(0, CAST(ceil(len(tk) / 40.0) AS BIGINT)))
+       |      AS chunk_id
+       |  FROM toks WHERE len(tk) > 0)
+       |SELECT doc_id, chunk_id,
+       |  array_to_string(list_slice(tk, chunk_id*40 + 1, chunk_id*40 + 50),
+       |    ' ') AS chunk_text,
+       |  CAST(len(list_slice(tk, chunk_id*40 + 1, chunk_id*40 + 50))
+       |    AS BIGINT) AS n_chunk_tokens
+       |FROM c""".stripMargin
+
+  private val mixRates = Seq("src0" -> 0.9, "src1" -> 0.5, "src2" -> 0.1)
+  private val mixDefault = 0.3
+
+  private val sourceMix: QFn = (s, d) =>
+    graft.ext.Sampling.stratified(
+      Tables.documents(s, d).select(col("doc_id"), col("source")),
+      "doc_id", "source", mixRates.toMap, mixDefault)
+
+  private val sourceMixSql = {
+    val cases = mixRates
+      .map { case (src, r) => s"WHEN '$src' THEN CAST($r AS DOUBLE)" }
+      .mkString(" ")
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |    CAST(${hashSql("'mix:' || CAST(doc_id AS VARCHAR)")} % 1000000
+       |      AS DOUBLE) / 1000000.0 AS u
+       |  FROM documents)
+       |SELECT doc_id, source, u,
+       |  u < CASE source $cases ELSE CAST($mixDefault AS DOUBLE) END AS keep
+       |FROM t""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q_x_chunking" -> chunkingQ,
+    "q_x_source_mix" -> sourceMix,
     "q_x_repetition" -> repetitionQ,
     "q_x_pii_redact" -> piiRedact,
     "q_x_text_stats" -> textStats,
@@ -686,6 +729,8 @@ object ExtQueries {
     "q_s_user_sessions" -> userSessionsQ)
 
   val oracles: Map[String, String] = Map(
+    "q_x_chunking" -> chunkingSql,
+    "q_x_source_mix" -> sourceMixSql,
     "q_x_repetition" -> repetitionSql,
     "q_x_pii_redact" -> piiRedactSql,
     "q_x_text_stats" -> textStatsSql,

@@ -1,0 +1,46 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = (1L to 4000L)
+    .map(i => (i, s"src${i % 4}")).toDF("id", "src")
+
+  test("stratified sampling hits per-stratum rates and is deterministic") {
+    val rates = Map("src0" -> 0.9, "src1" -> 0.1)
+    val once = Sampling.stratified(docs, "id", "src", rates, 0.5)
+    val twice = Sampling.stratified(docs, "id", "src", rates, 0.5)
+    // identical decisions on identical input (no rand() anywhere)
+    assert(once.collect().toSet == twice.collect().toSet)
+    val kept = once.filter(col("keep")).groupBy("src").count()
+      .as[(String, Long)].collect().toMap
+    // 1000 ids per stratum; hash coin should land within a loose band
+    assert(kept("src0") > 850 && kept("src0") <= 1000)
+    assert(kept("src1") > 50 && kept("src1") < 150)
+    assert(kept("src2") > 400 && kept("src2") < 600) // default rate
+  }
+
+  test("adding rows never flips an earlier decision") {
+    val r1 = Sampling.stratified(docs.limit(100), "id", "src",
+      Map.empty, 0.5).filter(col("keep")).select("id")
+      .as[Long].collect().toSet
+    val r2 = Sampling.stratified(docs, "id", "src", Map.empty, 0.5)
+      .filter(col("keep") && col("id") <= 100L).select("id")
+      .as[Long].collect().toSet
+    assert(r1 == r2)
+  }
+
+  test("different salts draw independent coins") {
+    val a = Sampling.stratified(docs, "id", "src", Map.empty, 0.5, "a")
+      .filter(col("keep")).select("id").as[Long].collect().toSet
+    val b = Sampling.stratified(docs, "id", "src", Map.empty, 0.5, "b")
+      .filter(col("keep")).select("id").as[Long].collect().toSet
+    assert(a != b)
+    // ~half the keep decisions should agree by chance, not ~all
+    val agree = a.intersect(b).size.toDouble / math.max(a.size, 1)
+    assert(agree > 0.3 && agree < 0.7)
+  }
+}

@@ -81,6 +81,21 @@ class TextStatsSpec extends SparkSpec {
     assert(r(3L).getDouble(1) == 1.0 && r(3L).isNullAt(2))
   }
 
+  test("chunk: overlapping windows, short tail kept, empty doc dropped") {
+    val text = (1 to 95).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, text), (2L, ""), (3L, "a b")).toDF("doc_id", "text")
+    val r = TextStats.chunk(docs, chunkTokens = 50, overlap = 10)
+      .as[(Long, Long, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    // doc 1: starts 0, 40, 80 -> lengths 50, 50, 15
+    assert(r(1L).map(_._4).toSeq == Seq(50L, 50L, 15L))
+    assert(r(1L)(0)._3.startsWith("t1 ") && r(1L)(1)._3.startsWith("t41 "))
+    // 10-token overlap: chunk 0 ends with t50, chunk 1 starts at t41
+    assert(r(1L)(0)._3.endsWith(" t50") && r(1L)(2)._3.endsWith(" t95"))
+    assert(!r.contains(2L)) // empty doc -> no chunks
+    assert(r(3L).map(x => (x._2, x._4)).toSeq == Seq((0L, 2L)))
+  }
+
   test("redactPii masks emails and long digit runs, counts matches") {
     val docs = Seq(
       (1L, "mail bob.smith+x@corp.example.org now"),
