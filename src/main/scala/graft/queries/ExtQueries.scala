@@ -477,11 +477,16 @@ object ExtQueries {
     * engine-specific, so the oracle pins the exact count and the
     * error-bound verdict rather than the sketch itself. */
   private val approxDistinct: QFn = (s, d) => {
-    val li = Tables.lineitem(s, d)
-    li.agg(
-        countDistinct(col("l_orderkey")).cast("long").as("exact_n"),
-        approx_count_distinct(col("l_orderkey"), 0.02).cast("long")
-          .as("approx_n"))
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"))
+    // separate single-purpose aggregates: mixing a distinct and a
+    // non-distinct aggregate in one agg() plans an Expand (2x rows
+    // through the shuffle); two scans of one pruned column are cheaper
+    // at every scale.
+    val exact = li.agg(countDistinct(col("l_orderkey")).cast("long")
+      .as("exact_n"))
+    val approx = li.agg(approx_count_distinct(col("l_orderkey"), 0.02)
+      .cast("long").as("approx_n"))
+    exact.crossJoin(approx)
       .select(lit("approx_distinct_orderkeys").as("metric"),
         col("exact_n"),
         (abs(col("approx_n") - col("exact_n")).cast("double")
