@@ -205,6 +205,42 @@ object Dedup {
       .filter(col("jacc") >= threshold)
   }
 
+  /** Append a batch's signatures to an existing store. */
+  def appendSignatures(toks: DataFrame, idCol: String, tokCol: String,
+                       path: String): Unit =
+    minhashSig(toks, idCol, tokCol).write.mode("append").parquet(path)
+
+  /** Incremental near-dup dedup of a new batch against (and within) the
+    * signature store: returns the KEPT rows and appends their signatures,
+    * so the next batch probes an up-to-date store. Keep rules: a stored
+    * doc always beats a new one; within a batch the smallest id wins.
+    * This is the streaming-ingest shape at 100 TB — each batch costs
+    * O(batch) shingling plus an LSH-bucket join against stored
+    * signatures (~1% of corpus bytes), never a corpus rescan. */
+  def incrementalDedup(batch: DataFrame, idCol: String, tokCol: String,
+                       sigPath: String, threshold: Double): DataFrame = {
+    val spark = batch.sparkSession
+    val p = new org.apache.hadoop.fs.Path(sigPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) // first batch: empty store, right schema
+      minhashSig(batch.limit(0), idCol, tokCol).write.parquet(sigPath)
+    val pairs = probeSignatures(batch, idCol, tokCol, sigPath, threshold)
+    val storedIds = spark.read.parquet(sigPath)
+      .select(col(idCol).as("b_id")).distinct()
+    val drops = pairs.join(storedIds, Seq("b_id"), "left_semi")
+      .select(col("a_id"))
+      .unionByName(pairs.filter(col("a_id") > col("b_id"))
+        .select(col("a_id")))
+      .distinct()
+    // materialize before appending: the kept plan READS sigPath, and the
+    // signature append WRITES it — break the self-reference first.
+    val kept = batch
+      .join(drops, batch(idCol) === drops("a_id"), "left_anti")
+      .localCheckpoint()
+    appendSignatures(kept, idCol, tokCol, sigPath)
+    kept
+  }
+
   /** Duplicate-cluster assignment: connected components over near-dup
     * pairs, each doc labeled with the minimum doc id in its component
     * (the cluster representative to KEEP; the rest are the drop set).

@@ -163,6 +163,29 @@ object EventPipeline {
       }
       .start()
 
+  /** Streaming ingest dedup: each micro-batch of documents is near-dup
+    * filtered against (and within) the incremental MinHash signature
+    * store, survivors land in `keptPath` and their signatures extend the
+    * store — the streaming face of ext/Dedup at corpus scale (per batch:
+    * O(batch) shingling + an LSH-bucket probe of stored signatures;
+    * never a corpus rescan). */
+  def dedupIngestSink(docs: DataFrame, idCol: String, textCol: String,
+                      sigPath: String, keptPath: String,
+                      checkpointDir: String, threshold: Double = 0.7)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val toks = batch.withColumn("__tk",
+          graft.ext.Hashing.tokens(col(textCol)))
+        graft.ext.Dedup
+          .incrementalDedup(toks, idCol, "__tk", sigPath, threshold)
+          .drop("__tk")
+          .write.mode("append").parquet(keptPath)
+      }
+      .start()
+
   /** Wire a streaming source through windowedStats to a sink path with
     * AvailableNow semantics (the S1/S2 "daily run" as a streaming job:
     * processes everything available, then stops; checkpoint makes re-runs

@@ -118,6 +118,37 @@ class StreamingSpec extends SparkSpec {
       (ts("2024-03-01 12:30:00"), 1L, 4.0))) // closed by event-time timeout
   }
 
+  test("dedupIngestSink: near-dups filtered across and within batches") {
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ddi").toString
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val ms = MemoryStream[(Long, String)]
+    val q = EventPipeline.dedupIngestSink(
+      ms.toDF().toDF("doc_id", "text"),
+      "doc_id", "text", s"$dir/sigs", s"$dir/kept", s"$dir/cp", 0.5)
+    try {
+      // batch 1: two genuinely different docs
+      ms.addData(Seq(
+        (1L, base),
+        (2L, (1 to 30).map(i => s"x$i").mkString(" "))))
+      q.processAllAvailable()
+      // batch 2: 3 = near-copy of stored 1; 4 = new; 5 = in-batch
+      // near-copy of 4 (smaller id wins)
+      ms.addData(Seq(
+        (3L, base + " tail"),
+        (4L, (1 to 30).map(i => s"y$i").mkString(" ")),
+        (5L, (1 to 30).map(i => s"y$i").mkString(" ") + " tail")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.read.parquet(s"$dir/kept")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 4L))
+    // the store carries signatures for exactly the kept docs
+    val sigIds = spark.read.parquet(s"$dir/sigs")
+      .select("doc_id").as[Long].collect().toSet
+    assert(sigIds == Set(1L, 2L, 4L))
+  }
+
   test("dueWithin selects only rows inside the lead window") {
     val games = Seq(
       ("g1", ts("2024-03-01 18:10:00")),
