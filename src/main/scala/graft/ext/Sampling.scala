@@ -37,4 +37,19 @@ object Sampling {
     df.withColumn("u", unitHash(col(keyCol), salt))
       .withColumn("keep", col("u") < rate)
   }
+
+  /** Cap each stratum at `maxPerStratum` rows ("at most N documents per
+    * domain"): rows ranked by the salted hash coin (tie-broken by key)
+    * so the retained subset is a uniform, reproducible sample of the
+    * stratum, not whatever N arrived first. One keyed window shuffle;
+    * heavy strata are exactly the ones the cap shrinks. */
+  def capPerStratum(df: DataFrame, keyCol: String, stratumCol: String,
+                    maxPerStratum: Int, salt: String = "cap"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(unitHash(col(keyCol), salt).asc, col(keyCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxPerStratum)
+      .drop("__rn")
+  }
 }

@@ -707,7 +707,106 @@ object ExtQueries {
        |FROM t""".stripMargin
   }
 
+  private val sourceCap: QFn = (s, d) =>
+    graft.ext.Sampling.capPerStratum(
+      Tables.documents(s, d).select(col("doc_id"), col("source")),
+      "doc_id", "source", maxPerStratum = 15)
+
+  private val sourceCapSql = {
+    val u = s"CAST(${hashSql("'cap:' || CAST(doc_id AS VARCHAR)")} % 1000000" +
+      " AS DOUBLE) / 1000000.0"
+    s"""SELECT doc_id, source FROM (
+       |  SELECT doc_id, source,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY $u, doc_id)
+       |      AS rn
+       |  FROM documents)
+       |WHERE rn <= 15""".stripMargin
+  }
+
+  // ===== flagship: the whole training-data prep pipeline ================
+
+  /** quality gate -> exact dedup -> deterministic source sampling ->
+    * chunking, composed exactly as a production prep run: one wrong
+    * stage anywhere fails the hash. Corpus carries known duplicates
+    * (same construction as q_x_dedup_exact). */
+  private val pipelineE2e: QFn = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("source"))
+    val corpus = docs.unionByName(
+      docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text"),
+          col("source")))
+    val quality = TextStats.qualityFilter(corpus)
+      .filter(col("keep")).select(col("doc_id"))
+    val kept = corpus.join(quality, Seq("doc_id"))
+    val keepIds = Dedup.exactDedup(kept)
+      .select(col("keep_id").as("doc_id"))
+    val deduped = kept.join(keepIds, Seq("doc_id"))
+    val sampled = graft.ext.Sampling
+      .stratified(deduped, "doc_id", "source", Map.empty, 0.5)
+      .filter(col("keep")).select(col("doc_id"), col("text"))
+    TextStats.chunk(sampled, chunkTokens = 20, overlap = 5)
+  }
+
+  private val pipelineE2eSql = {
+    val stop = TextStats.stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text, source FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 10000 AS doc_id, text, source FROM documents
+       |  WHERE doc_id % 5 = 0),
+       |ctoks AS (
+       |  SELECT doc_id, source, text,
+       |         list_filter(string_split(text, ' '), t -> t <> '') AS tk
+       |  FROM corpus),
+       |st AS (
+       |  SELECT doc_id, len(tk) AS n_tokens,
+       |    CASE WHEN len(tk) = 0 THEN NULL
+       |         ELSE CAST(list_sum(list_transform(tk,
+       |                t -> CAST(length(t) AS BIGINT))) AS DOUBLE) / len(tk)
+       |         END AS avg_token_len,
+       |    CASE WHEN len(tk) = 0 THEN NULL
+       |         ELSE CAST(len(list_filter(tk, t -> t IN ($stop)))
+       |              AS DOUBLE) / len(tk) END AS stopword_ratio,
+       |    CASE WHEN length(text) = 0 THEN NULL
+       |         ELSE CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+       |              AS DOUBLE) / length(text) END AS alpha_ratio
+       |  FROM ctoks),
+       |r AS (
+       |  SELECT doc_id,
+       |    CASE WHEN n_tokens < 10 THEN 'too_short'
+       |         WHEN avg_token_len > CAST(12.0 AS DOUBLE) THEN 'gibberish'
+       |         WHEN stopword_ratio < CAST(0.01 AS DOUBLE)
+       |           THEN 'low_stopword'
+       |         WHEN alpha_ratio < CAST(0.5 AS DOUBLE) THEN 'low_alpha'
+       |         ELSE 'ok' END AS reason
+       |  FROM st),
+       |kept AS (
+       |  SELECT c.* FROM ctoks c
+       |  JOIN r ON r.doc_id = c.doc_id AND r.reason = 'ok'),
+       |keepids AS (
+       |  SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+       |ded AS (SELECT k.* FROM kept k JOIN keepids USING (doc_id)),
+       |samp AS (
+       |  SELECT doc_id, tk FROM ded
+       |  WHERE CAST(${hashSql("'mix:' || CAST(doc_id AS VARCHAR)")} % 1000000
+       |          AS DOUBLE) / 1000000.0 < CAST(0.5 AS DOUBLE)),
+       |c AS (
+       |  SELECT doc_id, tk,
+       |    unnest(range(0, CAST(ceil(len(tk) / 15.0) AS BIGINT)))
+       |      AS chunk_id
+       |  FROM samp WHERE len(tk) > 0)
+       |SELECT doc_id, chunk_id,
+       |  array_to_string(list_slice(tk, chunk_id*15 + 1, chunk_id*15 + 20),
+       |    ' ') AS chunk_text,
+       |  CAST(len(list_slice(tk, chunk_id*15 + 1, chunk_id*15 + 20))
+       |    AS BIGINT) AS n_chunk_tokens
+       |FROM c""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q_x_pipeline_e2e" -> pipelineE2e,
+    "q_x_source_cap" -> sourceCap,
     "q_x_chunking" -> chunkingQ,
     "q_x_source_mix" -> sourceMix,
     "q_x_repetition" -> repetitionQ,
@@ -734,6 +833,8 @@ object ExtQueries {
     "q_s_user_sessions" -> userSessionsQ)
 
   val oracles: Map[String, String] = Map(
+    "q_x_pipeline_e2e" -> pipelineE2eSql,
+    "q_x_source_cap" -> sourceCapSql,
     "q_x_chunking" -> chunkingSql,
     "q_x_source_mix" -> sourceMixSql,
     "q_x_repetition" -> repetitionSql,
