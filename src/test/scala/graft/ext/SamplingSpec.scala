@@ -33,6 +33,19 @@ class SamplingSpec extends SparkSpec {
     assert(r1 == r2)
   }
 
+  test("capPerStratum bounds each stratum with a reproducible subset") {
+    val capped = Sampling.capPerStratum(docs, "id", "src", 100)
+    val counts = capped.groupBy("src").count().as[(String, Long)]
+      .collect().toMap
+    assert(counts.values.forall(_ == 100L)) // 1000 per stratum -> capped
+    val again = Sampling.capPerStratum(docs, "id", "src", 100)
+      .select("id").as[Long].collect().toSet
+    assert(again == capped.select("id").as[Long].collect().toSet)
+    // under-cap strata pass through untouched
+    val small = Sampling.capPerStratum(docs.limit(50), "id", "src", 100)
+    assert(small.count() == 50)
+  }
+
   test("different salts draw independent coins") {
     val a = Sampling.stratified(docs, "id", "src", Map.empty, 0.5, "a")
       .filter(col("keep")).select("id").as[Long].collect().toSet
