@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, SortedIntersectCount}
+import graft.functions.{DotProduct, Sig9, SortedIntersectCount}
 
 /** Engine extensions, registered the public way
   * (`spark.sql.extensions=graft.GraftExtensions` or
@@ -25,5 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "sorted_intersect_count"),
       (children: Seq[Expression]) =>
         SortedIntersectCount(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("sig9_round"),
+      new ExpressionInfo(classOf[Sig9].getName, "sig9_round"),
+      (children: Seq[Expression]) => Sig9(children.head)))
   }
 }

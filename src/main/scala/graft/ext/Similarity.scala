@@ -42,6 +42,20 @@ object Similarity {
   def cosine(dotAb: Column, nsqA: Column, nsqB: Column): Column =
     dotAb / (sqrt(nsqA) * sqrt(nsqB))
 
+  /** Project `raw` once, then round it to 9 significant digits in a
+    * SECOND projection. sig9 references its argument ~5 times and Spark
+    * does not subexpression-eliminate across when() branches, so
+    * inlining sig9(cosine(dot(...))) recomputes the dot product per
+    * reference (measured 4-5x per pair). The projection boundary pins
+    * one evaluation — CollapseProject keeps it because a non-cheap
+    * producer expression with multiple consumer references is not
+    * merged. */
+  private def sig9Score(df: DataFrame, keepCols: Seq[String], raw: Column,
+                        scoreName: String): DataFrame =
+    df.select(keepCols.map(col) :+ raw.as("__raw_score"): _*)
+      .select(keepCols.map(col) :+
+        graft.queries.Q.sig9(col("__raw_score")).as(scoreName): _*)
+
   /** Deterministic integer hyperplane family for sign-LSH:
     * plane(b)(j) in [-1000, 1000]. */
   def plane(b: Int, dims: Int): Seq[Long] =
@@ -65,12 +79,10 @@ object Similarity {
       normSq(col(vecCol)).as("qn"))
     val c = candidates.select(col(idCol).as("cid"), col(vecCol).as("cv"),
       normSq(col(vecCol)).as("cn"))
-    val scored = c.crossJoin(broadcast(q))
-      .filter(col("cid") =!= col("qid"))
-      .select(col("qid"), col("cid"),
-        graft.queries.Q.sig9(
-          cosine(dot(col("qv"), col("cv")), col("qn"), col("cn")))
-          .as("score"))
+    val scored = sig9Score(
+      c.crossJoin(broadcast(q)).filter(col("cid") =!= col("qid")),
+      Seq("qid", "cid"),
+      cosine(dot(col("qv"), col("cv")), col("qn"), col("cn")), "score")
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("cid").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -90,12 +102,10 @@ object Similarity {
     val c = candidates.select(col(idCol).as("cid"), col(vecCol).as("cv"),
       normSq(col(vecCol)).as("cn"),
       lshBucket(col(vecCol), bits, dims).as("bucket"))
-    val scored = c.join(q, Seq("bucket"))
-      .filter(col("cid") =!= col("qid"))
-      .select(col("qid"), col("cid"),
-        graft.queries.Q.sig9(
-          cosine(dot(col("qv"), col("cv")), col("qn"), col("cn")))
-          .as("score"))
+    val scored = sig9Score(
+      c.join(q, Seq("bucket")).filter(col("cid") =!= col("qid")),
+      Seq("qid", "cid"),
+      cosine(dot(col("qv"), col("cv")), col("qn"), col("cn")), "score")
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("cid").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -120,11 +130,11 @@ object Similarity {
     val seeds = v.orderBy(col("vid")).limit(k)
       .select(col("vid").as("cid"), col("vv").as("cv"))
     def assign(cents: DataFrame, centVec: String): DataFrame = {
-      val scored = v.crossJoin(broadcast(cents))
-        .select(col("vid"), col("cid"),
-          graft.queries.Q.sig9(
-            cosine(dot(col("vv"), col(centVec)),
-              normSq(col("vv")), normSq(col(centVec)))).as("score"))
+      val scored = sig9Score(
+        v.crossJoin(broadcast(cents)),
+        Seq("vid", "cid"),
+        cosine(dot(col("vv"), col(centVec)),
+          normSq(col("vv")), normSq(col(centVec))), "score")
       val w = Window.partitionBy(col("vid"))
         .orderBy(col("score").desc, col("cid").asc)
       scored.withColumn("rn", row_number().over(w))
@@ -154,26 +164,25 @@ object Similarity {
               vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
       normSq(col(vecCol)).as("qn"))
-    val probes = q.crossJoin(broadcast(centroids))
-      .select(col("qid"), col("centroid_id"),
-        graft.queries.Q.sig9(
-          cosine(dot(col("qv"), col("cv")), col("qn"), normSq(col("cv"))))
-          .as("cscore"))
+    val probes = sig9Score(
+      q.crossJoin(broadcast(centroids)),
+      Seq("qid", "centroid_id"),
+      cosine(dot(col("qv"), col("cv")), col("qn"), normSq(col("cv"))),
+      "cscore")
     val wp = Window.partitionBy(col("qid"))
       .orderBy(col("cscore").desc, col("centroid_id").asc)
     val probed = probes.withColumn("rn", row_number().over(wp))
       .filter(col("rn") <= nprobe)
       .select(col("qid"), col("centroid_id"))
-    val cands = probed
-      .join(index.withColumnRenamed(idCol, "cid"), Seq("centroid_id"))
-      .join(q, Seq("qid"))
-      .join(vectors.select(col(idCol).as("cid"), col(vecCol).as("cv"),
-        normSq(col(vecCol)).as("cn")), Seq("cid"))
-      .filter(col("cid") =!= col("qid"))
-      .select(col("qid"), col("cid"),
-        graft.queries.Q.sig9(
-          cosine(dot(col("qv"), col("cv")), col("qn"), col("cn")))
-          .as("score"))
+    val cands = sig9Score(
+      probed
+        .join(index.withColumnRenamed(idCol, "cid"), Seq("centroid_id"))
+        .join(q, Seq("qid"))
+        .join(vectors.select(col(idCol).as("cid"), col(vecCol).as("cv"),
+          normSq(col(vecCol)).as("cn")), Seq("cid"))
+        .filter(col("cid") =!= col("qid")),
+      Seq("qid", "cid"),
+      cosine(dot(col("qv"), col("cv")), col("qn"), col("cn")), "score")
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("cid").asc)
     cands.withColumn("rank", row_number().over(w).cast("long"))
@@ -190,11 +199,8 @@ object Similarity {
       normSq(col(qVecCol)).as("qn"))
     val c = candidates.select(col(cIdCol).as("cid"), col(cVecCol).as("cv"),
       normSq(col(cVecCol)).as("cn"))
-    c.crossJoin(broadcast(q))
-      .select(col("qid"), col("cid"),
-        graft.queries.Q.sig9(
-          cosine(dot(col("qv"), col("cv")), col("qn"), col("cn")))
-          .as("score"))
+    sig9Score(c.crossJoin(broadcast(q)), Seq("qid", "cid"),
+        cosine(dot(col("qv"), col("cv")), col("qn"), col("cn")), "score")
       .filter(col("score") >= threshold)
   }
 }

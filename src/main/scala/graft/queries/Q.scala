@@ -22,11 +22,17 @@ import org.apache.spark.sql.types._
   */
 object Q {
 
-  /** Round to 9 significant digits (tie-insensitive to 1-ulp input skew). */
-  def sig9(c: Column): Column = {
-    val p = pow(lit(10.0), lit(9) - floor(log10(abs(c))))
-    when(c.isNull || c === 0.0, c).otherwise(round(c * p) / p)
-  }
+  /** Round to 9 significant digits (tie-insensitive to 1-ulp input skew).
+    *
+    * Native expression (graft.functions.Sig9 via GraftExtensions), not
+    * the composed when/round/pow form: the composed form references its
+    * argument five times, Spark does not CSE across when() branches, and
+    * predicate pushdown happily inlines the whole thing into join
+    * conditions — so an expensive argument (a cosine over a dot product)
+    * was evaluated 5-6x per row. The native expression evaluates its
+    * child exactly once wherever it lands, bit-identically
+    * (Sig9ParitySpec sweeps it; note StrictMath in GraftMath). */
+  def sig9(c: Column): Column = call_function("sig9_round", c.cast("double"))
 
   /** Order-independent exact sum of a double column -> double (9 sig). */
   def dsum(c: Column): Column =
