@@ -203,13 +203,21 @@ object RelationalQueries {
       |FROM per""".stripMargin
 
   // --- G3: league-wide scalar aggregates (one row) ----------------------
-  private val g3: QFn = (s, d) =>
-    Tables.lineitem(s, d).agg(
+  private val g3: QFn = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    // countDistinct kept OUT of the main agg: mixing a distinct with
+    // non-distinct aggregates plans an Expand (rows x 2 through the
+    // shuffle, with the decimal sums along for the ride). Two scans of
+    // pruned columns + a 1-row cross join are ~3x cheaper.
+    val main = li.agg(
       dsum(col("l_quantity")).as("sum_qty"),
       dsum(col("l_extendedprice")).as("sum_price"),
       davg(col("l_discount")).as("avg_disc"),
-      count(lit(1)).as("cnt"),
+      count(lit(1)).as("cnt"))
+    val nd = li.agg(
       countDistinct(col("l_orderkey")).cast("long").as("n_orders"))
+    main.crossJoin(nd)
+  }
 
   private val g3Sql =
     s"""SELECT ${sqlDsum("l_quantity")} AS sum_qty,
