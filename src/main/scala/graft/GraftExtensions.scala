@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{DotProduct, Sig9, SortedIntersectCount}
+import graft.functions.{DotProduct, Sig9, SortedIntersectCount, SortedJaccard}
 
 /** Engine extensions, registered the public way
   * (`spark.sql.extensions=graft.GraftExtensions` or
@@ -29,5 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("sig9_round"),
       new ExpressionInfo(classOf[Sig9].getName, "sig9_round"),
       (children: Seq[Expression]) => Sig9(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("sorted_jaccard"),
+      new ExpressionInfo(classOf[SortedJaccard].getName, "sorted_jaccard"),
+      (children: Seq[Expression]) =>
+        SortedJaccard(children.head, children(1))))
   }
 }

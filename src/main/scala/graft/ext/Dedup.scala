@@ -98,11 +98,8 @@ object Dedup {
   /** Exact Jaccard of two SORTED distinct-element long arrays (0 when
     * both empty): |I| via the codegen'd merge walk, |U| = |a|+|b|-|I| —
     * no hash-set materialization per pair. */
-  def jaccard(a: Column, b: Column): Column = {
-    val i = graft.functions.VectorExprs.sortedIntersectCount(a, b)
-    val u = size(a) + size(b) - i
-    when(u === 0, lit(0.0)).otherwise(i.cast("double") / u)
-  }
+  def jaccard(a: Column, b: Column): Column =
+    graft.functions.VectorExprs.sortedJaccard(a, b)
 
   /** jaccard for arbitrary (unsorted, any element type) arrays. */
   def jaccardUnsorted(a: Column, b: Column): Column = {

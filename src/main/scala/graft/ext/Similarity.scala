@@ -151,9 +151,16 @@ object Similarity {
         .as("dm"))
       .select(col("cid"),
         transform(col("dm"), s => s.getField("m")).as("cv"))
-    val index = assign(centroids, "cv")
+    // An index IS a materialized artifact: checkpoint both outputs, or
+    // every consumer (probe stage, candidate join, recall check)
+    // re-executes the whole centroid-refinement subtree lazily.
+    val centOut = centroids.select(col("cid").as("centroid_id"), col("cv"))
+      .localCheckpoint()
+    val index = assign(centOut.select(col("centroid_id").as("cid"),
+        col("cv")), "cv")
       .select(col("vid").as(idCol), col("cid").as("centroid_id"))
-    (centroids.select(col("cid").as("centroid_id"), col("cv")), index)
+      .localCheckpoint()
+    (centOut, index)
   }
 
   /** IVF top-k: probe the `nprobe` nearest centroids, exact-rank inside

@@ -176,6 +176,67 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Jaccard similarity of two SORTED distinct long arrays in ONE
+  * evaluation: |I| by merge walk, |U| = |a|+|b|-|I|, empty-union => 0.0.
+  * Exists as a single expression for the same reason as Sig9: the
+  * composed form references the merge walk three times, and predicate
+  * pushdown inlines threshold filters into join conditions — tripling
+  * the verify cost of every LSH candidate pair. */
+case class SortedJaccard(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"sorted_jaccard needs array<bigint> inputs, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (nx, ny) = (x.numElements(), y.numElements())
+    var i = 0; var j = 0; var c = 0L
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { c += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    val u = nx.toLong + ny.toLong - c
+    if (u == 0L) 0.0 else c.toDouble / u
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val u = ctx.freshName("u")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |int $i = 0; int $j = 0; long $c = 0L;
+         |while ($i < $x.numElements() && $j < $y.numElements()) {
+         |  long $xv = $x.getLong($i); long $yv = $y.getLong($j);
+         |  if ($xv == $yv) { $c++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |}
+         |long $u = (long) $x.numElements() + (long) $y.numElements() - $c;
+         |${ev.value} = ($u == 0L) ? 0.0 : ((double) $c) / $u;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedJaccard =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExprs {
   /** Column API for the native expressions. These resolve through the
     * function registry, so the session must carry [[graft.GraftExtensions]]
@@ -185,4 +246,7 @@ object VectorExprs {
 
   def sortedIntersectCount(a: Column, b: Column): Column =
     call_function("sorted_intersect_count", a, b)
+
+  def sortedJaccard(a: Column, b: Column): Column =
+    call_function("sorted_jaccard", a, b)
 }

@@ -34,6 +34,21 @@ class VectorCodegenSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.codegen.fallback", "true")
   }
 
+  test("sorted_jaccard compiles in whole-stage codegen, matches composed") {
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = Seq(
+        (Array(1L, 3L, 5L), Array(3L, 4L, 5L)), // |I|=2 |U|=4
+        (Array.empty[Long], Array.empty[Long]), // empty union -> 0.0
+        (Array(1L, 2L), Array(3L, 4L))) // disjoint -> 0.0
+        .toDF("a", "b")
+      val out = df.select(
+        call_function("sorted_jaccard", col("a"), col("b")).as("j"))
+        .as[Double].collect().sorted
+      assert(out.toSeq == Seq(0.0, 0.0, 0.5))
+    } finally spark.conf.set("spark.sql.codegen.fallback", "true")
+  }
+
   test("dot_product null-element propagates NULL, and nullable is declared") {
     val df = Seq(1).toDF("x").select(
       array(lit(1.0), lit(null).cast("double")).as("a"),
