@@ -13,6 +13,39 @@ import graft.functions.{DotProduct, Sig9, SortedIntersectCount, SortedJaccard}
   *  - `sorted_intersect_count`: codegen'd merge-walk set intersection
   *    (Jaccard verify over shingle-hash sets).
   */
+object GraftExtensions {
+  import org.apache.spark.sql.SparkSession
+  import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
+
+  private def entries: Seq[(FunctionIdentifier, ExpressionInfo, FunctionBuilder)] = Seq(
+    (new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (children: Seq[Expression]) => DotProduct(children.head, children(1))),
+    (new FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName,
+        "sorted_intersect_count"),
+      (children: Seq[Expression]) =>
+        SortedIntersectCount(children.head, children(1))),
+    (new FunctionIdentifier("sig9_round"),
+      new ExpressionInfo(classOf[Sig9].getName, "sig9_round"),
+      (children: Seq[Expression]) => Sig9(children.head)),
+    (new FunctionIdentifier("sorted_jaccard"),
+      new ExpressionInfo(classOf[SortedJaccard].getName, "sorted_jaccard"),
+      (children: Seq[Expression]) =>
+        SortedJaccard(children.head, children(1))))
+
+  /** Late registration into an already-built session, for callers that
+    * did not set spark.sql.extensions — the query surface depends on
+    * these functions, so SparkEntry guards every entry point with this.
+    * Idempotent. */
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    entries.foreach { case (id, info, builder) =>
+      if (!reg.functionExists(id)) reg.registerFunction(id, info, builder)
+    }
+  }
+}
+
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((

@@ -13,6 +13,7 @@ object SparkEntry {
     * scan pushdown, two broadcast joins, one shuffle agg, and a window.
     */
   def entry(spark: SparkSession): DataFrame = {
+    GraftExtensions.ensureRegistered(spark)
     val d = "/root/testdata/sf0.001"
     val li = Tables.lineitem(spark, d)
       .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
@@ -35,8 +36,16 @@ object SparkEntry {
     * metric core (M1-M12 + wide records) and the LLM-data-pipeline ext/
     * operators (dedup, similarity, text stats, multimodal). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ KboQueries.queries ++ ExtQueries.queries ++
-      TemporalQueries.queries
+    (RelationalQueries.queries ++ KboQueries.queries ++ ExtQueries.queries ++
+      TemporalQueries.queries).map { case (name, fn) =>
+      name -> { (s: SparkSession, d: String) =>
+        // native expressions resolve through the function registry; make
+        // the surface work even on sessions built without
+        // spark.sql.extensions=graft.GraftExtensions
+        GraftExtensions.ensureRegistered(s)
+        fn(s, d)
+      }
+    }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
