@@ -66,6 +66,47 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(out == Map(1L -> 3L, 2L -> 0L))
   }
 
+  test("asOfJoin matches a brute-force reference on random data") {
+    val rnd = new scala.util.Random(42)
+    def t(offsetMin: Int) =
+      new java.sql.Timestamp(1700000000000L + offsetMin * 60000L)
+    val probes = (1L to 300L)
+      .map(i => (i, rnd.nextInt(5).toLong, t(rnd.nextInt(1000))))
+    val quotes = (1L to 300L)
+      .map(i => (rnd.nextInt(5).toLong, t(rnd.nextInt(1000)), i, i * 0.5))
+    val out = TemporalJoins.asOfJoin(
+        probes.toDF("event_id", "user_id", "ts"),
+        quotes.toDF("user_id", "ts", "qid", "v"),
+        Seq("user_id"), "ts", Seq("v"), tieBreak = col("qid"))
+      .select("event_id", "v").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    val brute = probes.map { case (id, k, ts) =>
+      val eligible = quotes.filter(q => q._1 == k && !q._2.after(ts))
+      id -> (if (eligible.isEmpty) None
+             else Some(eligible.maxBy(q => (q._2.getTime, q._3))._4))
+    }.toMap
+    assert(out == brute)
+  }
+
+  test("rangeJoinCount matches a brute-force reference on random data") {
+    val rnd = new scala.util.Random(7)
+    def t(offsetSec: Int) =
+      new java.sql.Timestamp(1700000000000L + offsetSec * 1000L)
+    val intervals = (1L to 100L).map { i =>
+      val lo = rnd.nextInt(50000); (i, t(lo), t(lo + rnd.nextInt(8000)))
+    }
+    val points = (1 to 2000).map(_ => t(rnd.nextInt(60000)))
+    val out = TemporalJoins.rangeJoinCount(
+        intervals.toDF("id", "lo", "hi"), "id", "lo", "hi",
+        points.toDF("pt"), "pt", bucketSeconds = 600L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = intervals.map { case (id, lo, hi) =>
+      id -> points.count(p => !p.before(lo) && !p.after(hi)).toLong
+    }.toMap
+    assert(out == brute)
+  }
+
   test("rangeJoinCount never double-counts a point (multi-bucket span)") {
     val intervals = Seq((1L, ts("2024-01-01 00:00:00"),
       ts("2024-01-03 00:00:00"))).toDF("id", "lo", "hi") // 48h, many buckets
