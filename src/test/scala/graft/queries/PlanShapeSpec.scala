@@ -1,0 +1,56 @@
+package graft.queries
+
+import graft.{SparkSpec, SparkEntry}
+import org.apache.spark.sql.DataFrame
+
+/** Regression guards for the plan properties the 100 TB design depends
+  * on. These are the facts PLANS.md claims; if a refactor quietly adds
+  * a shuffle to the as-of join or turns the range join into a nested
+  * loop, this fails before the bench does. */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Final (post-AQE) physical plan text. */
+  private def planOf(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def count(plan: String, op: String): Int =
+    op.r.findAllIn(plan).length
+
+  test("as-of join: one shuffle per row, no join operator") {
+    val p = planOf(SparkEntry.queries("q_j10_asof")(spark, sf))
+    // the union's two branches each show an Exchange node, but every row
+    // crosses exactly one shuffle boundary; more than two would mean a
+    // second shuffle appeared after the union
+    assert(count(p, "Exchange hashpartitioning") <= 2, p.take(800))
+    assert(!p.contains("Join"), "as-of must not plan a join")
+    assert(count(p, "Window") == 1)
+  }
+
+  test("range join: hash join on the bucket key, never nested-loop") {
+    val p = planOf(SparkEntry.queries("q_j11_range")(spark, sf))
+    assert(p.contains("HashJoin"), p.take(800))
+    assert(!p.contains("NestedLoop"),
+      "interval join must block on buckets, not cross-compare")
+  }
+
+  test("group-by aggregates are two-phase (map-side partial)") {
+    val p = planOf(SparkEntry.queries("q_g1_groupby_agg")(spark, sf))
+    assert(count(p, "HashAggregate") >= 2, p.take(800))
+  }
+
+  test("flagship entry broadcasts its dimension joins") {
+    val p = planOf(SparkEntry.entry(spark))
+    assert(count(p, "BroadcastHashJoin") >= 3, p.take(800))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("native expressions appear in plans (not the composed forms)") {
+    val p = planOf(SparkEntry.queries("q_x_embed_neardup")(spark, sf))
+    assert(p.contains("sig9"), "score must route through sig9_round")
+    assert(p.contains("dotproduct"), "dot must be the native expression")
+  }
+}
