@@ -54,9 +54,14 @@ object TemporalJoins {
       .partitionBy(keys.map(col): _*)
       .orderBy(col(timeCol).asc, col(side).asc, col(tie).asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = (payload :+ qts).foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
+    // all windowed fills in ONE select: chained withColumn would insert
+    // Projects between Window ops and defeat CollapseWindow, walking the
+    // sorted partitions once per payload column
+    val fillCols = (payload :+ qts).toSet
+    val filled = unioned.select(
+      unioned.columns.filterNot(fillCols).map(col) ++
+        (payload :+ qts).map(c =>
+          last(col(c), ignoreNulls = true).over(w).as(c)): _*)
     filled
       .filter(col(side) === 1)
       .select((probeCols ++ payload :+ qts).map(col): _*)
