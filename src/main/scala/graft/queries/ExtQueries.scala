@@ -804,7 +804,40 @@ object ExtQueries {
        |FROM c""".stripMargin
   }
 
+  // ===== multimodal: deterministic frame sampling, flattened ===========
+
+  /** sampleFrames exploded to one row per frame with hex'd bytes — the
+    * shape a video pipeline feeds to a per-frame model stage; the
+    * DuckDB twin reproduces offsets and byte windows on the BLOB. */
+  private val framesQ: QFn = (s, d) => {
+    val media = Multimodal.packAsMedia(Tables.documents(s, d))
+    Multimodal.sampleFrames(media, k = 4, frameBytes = 16)
+      .select(col("doc_id"), explode(col("frames")).as("f"))
+      .select(col("doc_id"), col("f.frame_idx").as("frame_idx"),
+        col("f.offset").as("frame_offset"),
+        hex(col("f.bytes")).as("frame_hex"))
+  }
+
+  // DuckDB has no BLOB substring/slice; hex the whole payload and slice
+  // the hex string instead (2 chars per byte) — byte-exact for any
+  // content, clamping at the end like Spark's binary substr.
+  private val framesSql =
+    """WITH m AS (
+      |  SELECT doc_id, hex(encode(text)) AS media_hex,
+      |         CAST(octet_length(encode(text)) AS BIGINT) AS n
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, media_hex, n, unnest(range(0, 4)) AS i FROM m)
+      |SELECT doc_id, CAST(i AS INT) AS frame_idx,
+      |  CAST(FLOOR(i * greatest(n - 16, 1) / 3.0) AS BIGINT)
+      |    AS frame_offset,
+      |  substring(media_hex,
+      |    2 * CAST(FLOOR(i * greatest(n - 16, 1) / 3.0) AS BIGINT) + 1, 32)
+      |    AS frame_hex
+      |FROM f""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q_x_frames" -> framesQ,
     "q_x_pipeline_e2e" -> pipelineE2e,
     "q_x_source_cap" -> sourceCap,
     "q_x_chunking" -> chunkingQ,
@@ -833,6 +866,7 @@ object ExtQueries {
     "q_s_user_sessions" -> userSessionsQ)
 
   val oracles: Map[String, String] = Map(
+    "q_x_frames" -> framesSql,
     "q_x_pipeline_e2e" -> pipelineE2eSql,
     "q_x_source_cap" -> sourceCapSql,
     "q_x_chunking" -> chunkingSql,
