@@ -122,7 +122,15 @@ object Dedup {
   def minhashNearDupsFromTokens(toks: DataFrame, idCol: String,
                                 tokCol: String,
                                 threshold: Double): DataFrame = {
-    val sig = minhashSig(toks, idCol, tokCol)
+    // materialize the signature frame ONCE: it feeds the band self-join
+    // (twice) and both verify joins, and ObjectHashAggregate subtrees
+    // are not deduplicated by ReuseExchange — without this the corpus
+    // is shingled ~4x inside one query. localCheckpoint (not persist):
+    // it is computed eagerly, is invisible to the CacheManager (so
+    // repeated runs re-measure honestly), and needs no unpersist hook.
+    // On a multi-executor cluster with a checkpoint dir, checkpoint()
+    // is the durable equivalent — same as dupClusters below.
+    val sig = minhashSig(toks, idCol, tokCol).localCheckpoint()
     val bands = banded(sig, idCol)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band_id") === col("y.band_id") &&
@@ -182,7 +190,9 @@ object Dedup {
   def probeSignatures(newToks: DataFrame, idCol: String, tokCol: String,
                       sigPath: String, threshold: Double): DataFrame = {
     val stored = newToks.sparkSession.read.parquet(sigPath)
-    val newSig = minhashSig(newToks, idCol, tokCol)
+    // batch-sized, but still referenced by banding + both verify joins:
+    // materialize once (same rationale as minhashNearDupsFromTokens)
+    val newSig = minhashSig(newToks, idCol, tokCol).localCheckpoint()
     val newBands = banded(newSig, idCol)
     val allBands = newBands.unionByName(banded(stored, idCol))
     val cand = newBands.as("x").join(allBands.as("y"),

@@ -23,10 +23,19 @@ object TemporalJoins {
     * NULL payload.
     *
     * Plan: tag both sides, unionByName, one window over (keys, time)
-    * with last(payload, ignoreNulls) — a SINGLE shuffle on the key
-    * columns, linear scan within each partition. This is the 100 TB
-    * plan: no per-row subquery, no range join, and skew is bounded by
-    * the per-key series length, exactly like any keyed window.
+    * filling last(quote-row STRUCT, ignoreNulls) — a SINGLE shuffle on
+    * the key columns, linear scan within each partition. This is the
+    * 100 TB plan: no per-row subquery, no range join, and skew is
+    * bounded by the per-key series length, exactly like any keyed
+    * window.
+    *
+    * The payload travels as ONE struct so the probe row always gets the
+    * columns of a single real quote row. (Filling each payload column
+    * independently with last(col, ignoreNulls) — the obvious shape —
+    * is WRONG when payload values can be NULL: a latest quote
+    * (a=NULL, b=5) over an older (a=3, b=7) would stitch (a=3, b=5),
+    * a row that never existed. The struct itself is never NULL on a
+    * quote row, so ignoreNulls skips only probe rows.)
     *
     * Ties: quotes sort before probes at equal time (inclusive as-of);
     * among equal-time quotes the one with the greatest `tieBreak`
@@ -41,31 +50,28 @@ object TemporalJoins {
                tieBreak: Column = lit(0L)): DataFrame = {
     val side = "__graft_side"
     val tie = "__graft_tie"
-    val qts = "__graft_quote_ts"
+    val pay = "__graft_pay"
+    val qts = "__graft_qts"
     val probeCols = probes.columns.toSeq
     val p = probes.withColumn(side, lit(1)).withColumn(tie, lit(null).cast("long"))
     val q = quotes
       .withColumn(tie, tieBreak.cast("long")) // before projecting quote cols away
-      .select((keys :+ timeCol).map(col) ++ payload.map(col) :+ col(tie): _*)
+      .select((keys :+ timeCol).map(col) :+ col(tie) :+
+        struct(payload.map(col) :+ col(timeCol).as(qts): _*).as(pay): _*)
       .withColumn(side, lit(0))
-      .withColumn(qts, col(timeCol))
+    // probe rows get pay = NULL from the missing-column union, so the
+    // ignoreNulls fill skips them and lands on whole quote rows only
     val unioned = p.unionByName(q, allowMissingColumns = true)
     val w = Window
       .partitionBy(keys.map(col): _*)
       .orderBy(col(timeCol).asc, col(side).asc, col(tie).asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // all windowed fills in ONE select: chained withColumn would insert
-    // Projects between Window ops and defeat CollapseWindow, walking the
-    // sorted partitions once per payload column
-    val fillCols = (payload :+ qts).toSet
-    val filled = unioned.select(
-      unioned.columns.filterNot(fillCols).map(col) ++
-        (payload :+ qts).map(c =>
-          last(col(c), ignoreNulls = true).over(w).as(c)): _*)
-    filled
+    unioned
+      .withColumn(pay, last(col(pay), ignoreNulls = true).over(w))
       .filter(col(side) === 1)
-      .select((probeCols ++ payload :+ qts).map(col): _*)
-      .withColumnRenamed(qts, "asof_time")
+      .select(probeCols.map(col) ++
+        payload.map(c => col(pay).getField(c).as(c)) :+
+        col(pay).getField(qts).as("asof_time"): _*)
   }
 
   /** Interval containment join: count (or collect) the rows of `points`

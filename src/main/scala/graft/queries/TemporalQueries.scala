@@ -18,19 +18,24 @@ object TemporalQueries {
   private val fmt = "yyyy-MM-dd HH:mm:ss"
 
   // --- J10: as-of join — each click gets the user's latest preceding
-  // purchase (value + time); clicks before any purchase keep NULLs.
+  // purchase (value + floor + time); clicks before any purchase keep
+  // NULLs. The two payload columns go NULL under COMPLEMENTARY value
+  // ranges, so stitching columns from different quote rows (the
+  // per-column last(ignoreNulls) anti-pattern) would diverge from
+  // DuckDB's native ASOF JOIN — the payload must arrive as one row.
   private val j10: QFn = (s, d) => {
     val ev = Tables.events(s, d)
     val probes = ev.filter(col("event_type") === "click")
       .select(col("event_id"), col("user_id"), col("ts"))
     val quotes = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"),
-        col("value").as("last_purchase_value"))
+        when(col("value") >= 100.0, col("value")).as("last_purchase_value"),
+        when(col("value") < 200.0, floor(col("value"))).as("purchase_floor"))
     TemporalJoins.asOfJoin(probes, quotes, Seq("user_id"), "ts",
-        Seq("last_purchase_value"))
+        Seq("last_purchase_value", "purchase_floor"))
       .select(col("event_id"), col("user_id"),
         date_format(col("ts"), fmt).as("ts_s"),
-        col("last_purchase_value"),
+        col("last_purchase_value"), col("purchase_floor"),
         date_format(col("asof_time"), fmt).as("purchase_ts_s"))
   }
 
@@ -38,10 +43,14 @@ object TemporalQueries {
     """WITH probes AS (
       |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
       |quotes AS (
-      |  SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+      |  SELECT user_id, ts,
+      |    CASE WHEN value >= CAST(100.0 AS DOUBLE) THEN value END AS v,
+      |    CASE WHEN value < CAST(200.0 AS DOUBLE)
+      |      THEN CAST(floor(value) AS BIGINT) END AS vf
+      |  FROM events WHERE event_type = 'purchase')
       |SELECT p.event_id, p.user_id,
       |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
-      |  q.value AS last_purchase_value,
+      |  q.v AS last_purchase_value, q.vf AS purchase_floor,
       |  strftime(q.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts_s
       |FROM probes p ASOF LEFT JOIN quotes q
       |  ON p.user_id = q.user_id AND p.ts >= q.ts""".stripMargin

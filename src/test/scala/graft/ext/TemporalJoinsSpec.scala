@@ -46,6 +46,25 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(out.select("v").head.getDouble(0) == 2.0) // qid=200 wins
   }
 
+  test("asOfJoin with NULL payload values returns the latest quote ROW, " +
+      "never columns stitched from different quotes") {
+    // latest quote has a=NULL, b=5; an older one has a=3, b=7. Per-column
+    // last(ignoreNulls) would fabricate (a=3, b=5); the correct answer is
+    // the latest row as-is: (NULL, 5).
+    val probes = Seq((1L, 10L, ts("2024-01-01 12:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val quotes = Seq(
+      (10L, ts("2024-01-01 09:00:00"), Some(3.0), Some(7L)),
+      (10L, ts("2024-01-01 10:00:00"), Option.empty[Double], Some(5L))
+    ).toDF("user_id", "ts", "a", "b")
+    val r = TemporalJoins
+      .asOfJoin(probes, quotes, Seq("user_id"), "ts", Seq("a", "b"))
+      .select("a", "b", "asof_time").head
+    assert(r.isNullAt(0), "a must be NULL — from the latest quote row")
+    assert(r.getLong(1) == 5L)
+    assert(r.getTimestamp(2) == ts("2024-01-01 10:00:00"))
+  }
+
   test("rangeJoinCount: boundaries inclusive, bucket-spanning, empty=0") {
     // 30-min buckets force the 2h interval to span 5 buckets.
     val intervals = Seq(
@@ -66,25 +85,35 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(out == Map(1L -> 3L, 2L -> 0L))
   }
 
-  test("asOfJoin matches a brute-force reference on random data") {
+  test("asOfJoin matches a brute-force reference on random data " +
+      "with NULL-bearing payload columns") {
     val rnd = new scala.util.Random(42)
     def t(offsetMin: Int) =
       new java.sql.Timestamp(1700000000000L + offsetMin * 60000L)
     val probes = (1L to 300L)
       .map(i => (i, rnd.nextInt(5).toLong, t(rnd.nextInt(1000))))
-    val quotes = (1L to 300L)
-      .map(i => (rnd.nextInt(5).toLong, t(rnd.nextInt(1000)), i, i * 0.5))
+    // two payload columns, each independently NULL ~1/3 of the time —
+    // exercises the whole-row (vs per-column-stitched) contract
+    val quotes = (1L to 300L).map { i =>
+      (rnd.nextInt(5).toLong, t(rnd.nextInt(1000)), i,
+        if (rnd.nextInt(3) == 0) None else Some(i * 0.5),
+        if (rnd.nextInt(3) == 0) None else Some(i * 7L))
+    }
     val out = TemporalJoins.asOfJoin(
         probes.toDF("event_id", "user_id", "ts"),
-        quotes.toDF("user_id", "ts", "qid", "v"),
-        Seq("user_id"), "ts", Seq("v"), tieBreak = col("qid"))
-      .select("event_id", "v").collect()
+        quotes.toDF("user_id", "ts", "qid", "v", "u"),
+        Seq("user_id"), "ts", Seq("v", "u"), tieBreak = col("qid"))
+      .select("event_id", "v", "u").collect()
       .map(r => r.getLong(0) ->
-        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+         if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
     val brute = probes.map { case (id, k, ts) =>
       val eligible = quotes.filter(q => q._1 == k && !q._2.after(ts))
-      id -> (if (eligible.isEmpty) None
-             else Some(eligible.maxBy(q => (q._2.getTime, q._3))._4))
+      id -> (if (eligible.isEmpty) (None, None)
+             else {
+               val w = eligible.maxBy(q => (q._2.getTime, q._3))
+               (w._4, w._5)
+             })
     }.toMap
     assert(out == brute)
   }

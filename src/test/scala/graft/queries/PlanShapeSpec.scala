@@ -55,6 +55,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("minhash near-dup: signature subtree materialized once — the " +
+      "final plan reads the checkpoint, never re-shingles the corpus") {
+    val p = planOf(SparkEntry.queries("q_x_dedup_minhash")(spark, sf))
+    assert(p.contains("ExistingRDD"),
+      "band/verify branches must read the checkpointed signature frame")
+    assert(!p.toLowerCase.contains("scan parquet"),
+      "corpus re-shingling leaked into the query plan:\n" + p.take(800))
+  }
+
   test("native expressions appear in plans (not the composed forms)") {
     val p = planOf(SparkEntry.queries("q_x_embed_neardup")(spark, sf))
     assert(p.contains("sig9"), "score must route through sig9_round")
