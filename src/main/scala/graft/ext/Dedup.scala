@@ -176,46 +176,74 @@ object Dedup {
 
   /** Persist a corpus's signature table for INCREMENTAL dedup: new
     * batches probe stored signatures instead of re-shingling the corpus.
-    * This is the 100 TB shape — signatures are ~1% of text bytes, written
-    * once, and the portable hash family means any engine (or a later
-    * engine version) reproduces them bit-for-bit. */
+    * The store carries ONLY (id, mh0..mh15) — ~136 bytes per document
+    * regardless of text length, NOT the full shingle-hash set (which at
+    * 8 bytes per shingle is roughly the size of the text itself).
+    * Exact-Jaccard verification re-shingles just the CANDIDATE stored
+    * docs (see [[probeSignatures]]), so probe cost stays
+    * candidate-bounded while the store stays a vanishing fraction of
+    * corpus bytes. The portable hash family means any engine (or a
+    * later engine version) reproduces signatures bit-for-bit. */
   def writeSignatures(toks: DataFrame, idCol: String, tokCol: String,
                       path: String): Unit =
-    minhashSig(toks, idCol, tokCol)
+    minhashSig(toks, idCol, tokCol).drop("sh")
       .write.mode("overwrite").parquet(path)
 
   /** Near-dup pairs of a NEW batch against the stored corpus signatures
     * AND within the batch itself. Output (a_id, b_id, jacc) where a_id is
-    * always the new-batch doc. */
+    * always the new-batch doc.
+    *
+    * `corpusToks` supplies (idCol, tokCol) for the STORED docs — the
+    * kept corpus the store indexes. It is touched only through a
+    * semi-join on the candidate ids, so the expensive re-shingling runs
+    * on candidate docs alone (LSH-bounded, not corpus-bounded); with a
+    * kept table laid out on the id column the scan itself prunes too.
+    * Stored candidates missing from `corpusToks` cannot be verified and
+    * are skipped. */
   def probeSignatures(newToks: DataFrame, idCol: String, tokCol: String,
-                      sigPath: String, threshold: Double): DataFrame = {
+                      sigPath: String, threshold: Double,
+                      corpusToks: DataFrame): DataFrame = {
     val stored = newToks.sparkSession.read.parquet(sigPath)
     // batch-sized, but still referenced by banding + both verify joins:
     // materialize once (same rationale as minhashNearDupsFromTokens)
     val newSig = minhashSig(newToks, idCol, tokCol).localCheckpoint()
     val newBands = banded(newSig, idCol)
     val allBands = newBands.unionByName(banded(stored, idCol))
+    // candidate pairs are LSH-bounded; materialize because they feed the
+    // b-id semi-join AND the verify join below
     val cand = newBands.as("x").join(allBands.as("y"),
         col("x.band_id") === col("y.band_id") &&
         col("x.band_key") === col("y.band_key") &&
         col(s"x.$idCol") =!= col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"))
       .distinct()
-    val allSig = newSig.unionByName(stored)
+      .localCheckpoint()
+    // shingle sets for the b side: batch docs carry them in-flight in
+    // newSig; stored candidates are re-shingled from corpusToks after
+    // the semi-join prunes it to candidate ids
+    val storedCandSh = corpusToks
+      .join(cand.select(col("b_id")), corpusToks(idCol) === col("b_id"),
+        "left_semi")
+      .join(newSig.select(col(idCol)), Seq(idCol), "left_anti")
+      .select(col(idCol).as("b_id"),
+        sort_array(shingleHashes(col(tokCol))).as("sb"))
+    val bSh = newSig.select(col(idCol).as("b_id"), col("sh").as("sb"))
+      .unionByName(storedCandSh)
     cand
       .join(newSig.select(col(idCol).as("a_id"), col("sh").as("sa")),
         Seq("a_id"))
-      .join(allSig.select(col(idCol).as("b_id"), col("sh").as("sb")),
-        Seq("b_id"))
+      .join(bSh, Seq("b_id"))
       .select(col("a_id"), col("b_id"),
         jaccard(col("sa"), col("sb")).as("jacc"))
       .filter(col("jacc") >= threshold)
   }
 
-  /** Append a batch's signatures to an existing store. */
+  /** Append a batch's signatures (id + minhashes only) to an existing
+    * store. */
   def appendSignatures(toks: DataFrame, idCol: String, tokCol: String,
                        path: String): Unit =
-    minhashSig(toks, idCol, tokCol).write.mode("append").parquet(path)
+    minhashSig(toks, idCol, tokCol).drop("sh")
+      .write.mode("append").parquet(path)
 
   /** Incremental near-dup dedup of a new batch against (and within) the
     * signature store: returns the KEPT rows and appends their signatures,
@@ -223,15 +251,25 @@ object Dedup {
     * doc always beats a new one; within a batch the smallest id wins.
     * This is the streaming-ingest shape at 100 TB — each batch costs
     * O(batch) shingling plus an LSH-bucket join against stored
-    * signatures (~1% of corpus bytes), never a corpus rescan. */
+    * signatures (~136 B/doc), never a corpus rescan; only candidate
+    * stored docs are re-read from `corpus` for exact verification.
+    *
+    * Each append lands one parquet delta; once the store exceeds
+    * `compactAfterFiles` files it is bin-packed via [[Layout.compact]],
+    * so a year of hourly batches probes a handful of right-sized files,
+    * not 8760 fragments. */
   def incrementalDedup(batch: DataFrame, idCol: String, tokCol: String,
-                       sigPath: String, threshold: Double): DataFrame = {
+                       sigPath: String, threshold: Double,
+                       corpus: DataFrame,
+                       compactAfterFiles: Int = 64): DataFrame = {
     val spark = batch.sparkSession
     val p = new org.apache.hadoop.fs.Path(sigPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) // first batch: empty store, right schema
-      minhashSig(batch.limit(0), idCol, tokCol).write.parquet(sigPath)
-    val pairs = probeSignatures(batch, idCol, tokCol, sigPath, threshold)
+      minhashSig(batch.limit(0), idCol, tokCol).drop("sh")
+        .write.parquet(sigPath)
+    val pairs =
+      probeSignatures(batch, idCol, tokCol, sigPath, threshold, corpus)
     val storedIds = spark.read.parquet(sigPath)
       .select(col(idCol).as("b_id")).distinct()
     val drops = pairs.join(storedIds, Seq("b_id"), "left_semi")
@@ -245,6 +283,8 @@ object Dedup {
       .join(drops, batch(idCol) === drops("a_id"), "left_anti")
       .localCheckpoint()
     appendSignatures(kept, idCol, tokCol, sigPath)
+    if (Layout.dataFiles(spark, sigPath).size > compactAfterFiles)
+      Layout.compact(spark, sigPath)
     kept
   }
 

@@ -1,9 +1,8 @@
 package graft.ext
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import java.nio.file.{Files, Paths, StandardCopyOption}
-import scala.jdk.CollectionConverters._
 
 /** Physical data-layout utilities for the lake tables.
   *
@@ -19,14 +18,43 @@ import scala.jdk.CollectionConverters._
   * range-partitions and sorts on the hot column so row-group stats
   * become selective (the poor man's clustering key — same idea as
   * Delta/Iceberg OPTIMIZE ... ZORDER with one dimension).
+  *
+  * All paths go through the Hadoop `FileSystem` API, so these run
+  * unchanged on file://, hdfs:// and s3a:// — the substrates a real
+  * 100 TB lake lives on. The staged-swap rename in `compact` is an
+  * atomic metadata operation on HDFS; on S3-like object stores rename
+  * is a copy, so there compaction should target per-partition
+  * directories (bounded rewrite unit) or be delegated to a table
+  * format's OPTIMIZE. Readers concurrent with the swap window on an
+  * object store can observe a missing directory — the single-writer,
+  * no-concurrent-reader maintenance contract of a manual lake.
   */
 object Layout {
 
-  /** Parquet data files under a local table path (ignores _SUCCESS etc). */
-  def dataFiles(path: String): Seq[java.nio.file.Path] =
-    Files.walk(Paths.get(path)).iterator().asScala
-      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
-      .toSeq
+  private def fsFor(spark: SparkSession, path: String): (FileSystem, Path) = {
+    val p = new Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Parquet data files under a table path with their sizes (ignores
+    * _SUCCESS and other sidecars), via the recursive listing so
+    * partitioned layouts are covered. */
+  def dataFileSizes(spark: SparkSession, path: String): Seq[(Path, Long)] = {
+    val (fs, root) = fsFor(spark, path)
+    if (!fs.exists(root)) return Nil
+    val it = fs.listFiles(root, true)
+    val buf = Seq.newBuilder[(Path, Long)]
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && f.getPath.getName.endsWith(".parquet"))
+        buf += ((f.getPath, f.getLen))
+    }
+    buf.result()
+  }
+
+  /** Parquet data files under a table path (ignores _SUCCESS etc). */
+  def dataFiles(spark: SparkSession, path: String): Seq[Path] =
+    dataFileSizes(spark, path).map(_._1)
 
   /** Rewrite a parquet table into ceil(totalBytes/targetBytes) files.
     * Two full passes over the data (read + write) but only of THIS
@@ -36,18 +64,24 @@ object Layout {
     * reader never sees a half-written table. */
   def compact(spark: SparkSession, path: String,
               targetBytes: Long = 128L * 1024 * 1024): Unit = {
-    val files = dataFiles(path)
+    val (fs, root) = fsFor(spark, path)
+    val files = dataFileSizes(spark, path)
     if (files.isEmpty) return
-    val total = files.map(Files.size).sum
+    val total = files.map(_._2).sum
     val n = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
-    val staging = path + ".compact-staging"
+    val staging = new Path(path + ".compact-staging")
+    val old = new Path(path + ".compact-old")
+    fs.delete(old, true) // stale leftover from a crashed earlier run
     spark.read.parquet(path)
       .repartition(n)
-      .write.mode(SaveMode.Overwrite).parquet(staging)
-    val old = path + ".compact-old"
-    Files.move(Paths.get(path), Paths.get(old), StandardCopyOption.ATOMIC_MOVE)
-    Files.move(Paths.get(staging), Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(old))
+      .write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    if (!fs.rename(root, old))
+      throw new java.io.IOException(s"compact: cannot stage out $root")
+    if (!fs.rename(staging, root)) { // restore, then fail loudly
+      fs.rename(old, root)
+      throw new java.io.IOException(s"compact: cannot swap in $staging")
+    }
+    fs.delete(old, true)
   }
 
   /** Range-partition on `sortCol` and sort rows within each partition

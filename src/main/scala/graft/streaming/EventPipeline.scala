@@ -177,10 +177,23 @@ object EventPipeline {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
         val toks = batch.withColumn("__tk",
           graft.ext.Hashing.tokens(col(textCol)))
+        // the kept table IS the stored corpus — candidate stored docs
+        // are re-shingled from it at verify time (the signature store
+        // itself carries only id + minhashes)
+        val kp = new org.apache.hadoop.fs.Path(keptPath)
+        val corpus =
+          if (kp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .exists(kp))
+            spark.read.parquet(keptPath)
+              .select(col(idCol),
+                graft.ext.Hashing.tokens(col(textCol)).as("__tk"))
+          else toks.select(col(idCol), col("__tk")).limit(0)
         graft.ext.Dedup
-          .incrementalDedup(toks, idCol, "__tk", sigPath, threshold)
+          .incrementalDedup(toks, idCol, "__tk", sigPath, threshold,
+            corpus)
           .drop("__tk")
           .write.mode("append").parquet(keptPath)
       }

@@ -93,10 +93,39 @@ class DedupSpec extends SparkSpec {
       .toDF("doc_id", "text")
       .select(col("doc_id"), Hashing.tokens(col("text")).as("tk"))
     val pairs = Dedup
-      .probeSignatures(batch, "doc_id", "tk", s"$dir/sigs", 0.5)
+      .probeSignatures(batch, "doc_id", "tk", s"$dir/sigs", 0.5, toks)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
     assert(pairs.contains((100L, 1L)) && pairs.contains((100L, 4L)))
     assert(!pairs.exists(p => p._1 == 101L))
+    // the store is id + minhashes only — never the shingle sets, whose
+    // bytes scale with the text
+    assert(!spark.read.parquet(s"$dir/sigs").columns.contains("sh"))
+  }
+
+  test("signature store is a vanishing fraction of corpus bytes and " +
+      "compaction keeps its file count bounded") {
+    val dir = java.nio.file.Files.createTempDirectory("sigsz").toString
+    val docs = (1 to 200).map { i =>
+      (i.toLong, (1 to 300).map(j => s"tok${i}_$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val toks = docs.select(col("doc_id"),
+      Hashing.tokens(col("text")).as("tk"))
+    val corpusBytes = docs.select(sum(length(col("text"))))
+      .head.getLong(0)
+    // simulate an append-per-batch ingest cadence
+    (0 until 10).foreach { b =>
+      Dedup.appendSignatures(toks.filter(col("doc_id") % 10 === b),
+        "doc_id", "tk", s"$dir/sigs")
+    }
+    val storeBytes = Layout.dataFileSizes(spark, s"$dir/sigs").map(_._2).sum
+    assert(storeBytes < corpusBytes / 5,
+      s"store $storeBytes B vs corpus $corpusBytes B — not bounded")
+    assert(Layout.dataFiles(spark, s"$dir/sigs").size >= 10)
+    Layout.compact(spark, s"$dir/sigs", targetBytes = 64L * 1024 * 1024)
+    assert(Layout.dataFiles(spark, s"$dir/sigs").size <= 2)
+    val ids = spark.read.parquet(s"$dir/sigs")
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == (1L to 200L).toSet)
   }
 
   test("shingles: fewer than n tokens -> empty, order-sensitive") {

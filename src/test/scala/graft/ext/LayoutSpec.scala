@@ -24,9 +24,9 @@ class LayoutSpec extends SparkSpec {
     val path = s"$dir/t"
     (1L to 10000L).toDF("k").repartition(50)
       .write.parquet(path)
-    assert(Layout.dataFiles(path).size == 50)
+    assert(Layout.dataFiles(spark, path).size == 50)
     Layout.compact(spark, path, targetBytes = 64L * 1024 * 1024)
-    assert(Layout.dataFiles(path).size <= 2)
+    assert(Layout.dataFiles(spark, path).size <= 2)
     val back = spark.read.parquet(path).as[Long].collect().sorted
     assert(back.toSeq == (1L to 10000L))
   }
