@@ -64,6 +64,14 @@ object Bench {
     println(json)
     Files.writeString(Paths.get("BENCH.json"), json + "\n")
     spark.stop()
+    // The log-tail consumer keeps only the last ~2000 characters; the
+    // full per-query line above is longer than that, so its head (with
+    // the "metric" key) falls outside the window. Emit a compact,
+    // self-contained summary as the LAST line so whatever survives the
+    // tail is parseable; per-query detail stays in BENCH.json and the
+    // full line above.
+    val compact = s"""{"metric":"total","value":${math.rint(total * 1000) / 1000},"unit":"sec","n_queries":${results.size},"failed":$failedJson,"sf":"$sfDir","detail":"BENCH.json"}"""
+    println(compact)
     if (failed.nonEmpty) sys.exit(1)
   }
 }

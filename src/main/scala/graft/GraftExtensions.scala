@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import graft.functions.{DotProduct, Sig9, SortedIntersectCount, SortedJaccard}
 
 /** Engine extensions, registered the public way
@@ -11,13 +11,20 @@ import graft.functions.{DotProduct, Sig9, SortedIntersectCount, SortedJaccard}
   * built-in surface can't express efficiently —
   *  - `dot_product`: codegen'd vector dot product (similarity operators);
   *  - `sorted_intersect_count`: codegen'd merge-walk set intersection
-  *    (Jaccard verify over shingle-hash sets).
+  *    (Jaccard verify over shingle-hash sets);
+  *  - `bloom_might_contain`: Spark's own runtime-filter membership
+  *    expression, exposed so BloomPrune probes stay codegen'd.
   */
 object GraftExtensions {
   import org.apache.spark.sql.SparkSession
   import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
 
-  private def entries: Seq[(FunctionIdentifier, ExpressionInfo, FunctionBuilder)] = Seq(
+  private[graft] def entries: Seq[(FunctionIdentifier, ExpressionInfo, FunctionBuilder)] = Seq(
+    (new FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomFilterMightContain].getName,
+        "bloom_might_contain"),
+      (children: Seq[Expression]) =>
+        BloomFilterMightContain(children.head, children(1))),
     (new FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (children: Seq[Expression]) => DotProduct(children.head, children(1))),
@@ -47,25 +54,6 @@ object GraftExtensions {
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("dot_product"),
-      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (children: Seq[Expression]) => DotProduct(children.head, children(1))))
-    ext.injectFunction((
-      new FunctionIdentifier("sorted_intersect_count"),
-      new ExpressionInfo(classOf[SortedIntersectCount].getName,
-        "sorted_intersect_count"),
-      (children: Seq[Expression]) =>
-        SortedIntersectCount(children.head, children(1))))
-    ext.injectFunction((
-      new FunctionIdentifier("sig9_round"),
-      new ExpressionInfo(classOf[Sig9].getName, "sig9_round"),
-      (children: Seq[Expression]) => Sig9(children.head)))
-    ext.injectFunction((
-      new FunctionIdentifier("sorted_jaccard"),
-      new ExpressionInfo(classOf[SortedJaccard].getName, "sorted_jaccard"),
-      (children: Seq[Expression]) =>
-        SortedJaccard(children.head, children(1))))
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.entries.foreach(ext.injectFunction)
 }

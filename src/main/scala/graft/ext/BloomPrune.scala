@@ -22,14 +22,22 @@ object BloomPrune {
 
   /** Rows of `big` whose `bigKey` might be present in `keys(keyCol)`.
     * `expectedItems` sizes the filter: ~1.2 bytes/item at fpp 1e-2,
-    * ~2.4 at 1e-4 — a 10M-key dimension costs ~12-24 MB broadcast. */
+    * ~2.4 at 1e-4 — a 10M-key dimension costs ~12-24 MB broadcast.
+    *
+    * The probe is Spark's own codegen'd `BloomFilterMightContain`
+    * (the expression behind AQE runtime row-level filtering) over the
+    * serialized sketch — not a scalar UDF, which would box every key
+    * and break whole-stage codegen for the surrounding 100 TB scan.
+    * NULL keys probe to NULL, which the filter drops — same rows as the
+    * exact join that follows would keep. */
   def pruneByBloom(big: DataFrame, bigKey: String, keys: DataFrame,
                    keyCol: String, expectedItems: Long,
                    fpp: Double = 0.01): DataFrame = {
     val bloom = keys.stat.bloomFilter(keyCol, expectedItems, fpp)
-    val mightContain = udf((k: java.lang.Long) =>
-      k != null && bloom.mightContainLong(k))
-    big.filter(mightContain(col(bigKey).cast("long")))
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    big.filter(graft.functions.VectorExprs.bloomMightContain(
+      lit(bos.toByteArray), col(bigKey).cast("long")))
   }
 
   /** Bloom-pruned inner equi-join: prune `big` with a bloom over the

@@ -245,6 +245,23 @@ object Dedup {
     minhashSig(toks, idCol, tokCol).drop("sh")
       .write.mode("append").parquet(path)
 
+  /** Tombstone dropped documents: rewrite the store without `ids`
+    * (takedowns, retention expiry, re-ingest corrections). The rewrite
+    * is STORE-bounded — an anti-join over ~136 B/doc rows, never a
+    * corpus pass — and lands via the same staged swap as compaction,
+    * so concurrent probes never see a half-written store. Batch
+    * tombstones on the same maintenance cadence as [[Layout.compact]];
+    * per-document rewrites of a large store are the anti-pattern. */
+  def deleteSignatures(ids: DataFrame, idCol: String,
+                       sigPath: String): Unit = {
+    val spark = ids.sparkSession
+    val staging = sigPath + ".tombstone-staging"
+    spark.read.parquet(sigPath)
+      .join(ids.select(col(idCol)), Seq(idCol), "left_anti")
+      .write.mode("overwrite").parquet(staging)
+    Layout.swapIn(spark, sigPath, staging)
+  }
+
   /** Incremental near-dup dedup of a new batch against (and within) the
     * signature store: returns the KEPT rows and appends their signatures,
     * so the next batch probes an up-to-date store. Keep rules: a stored

@@ -56,6 +56,23 @@ object Layout {
   def dataFiles(spark: SparkSession, path: String): Seq[Path] =
     dataFileSizes(spark, path).map(_._1)
 
+  /** Replace the table at `path` with the directory at `staging` via
+    * two renames, so a reader never sees a half-written table (see the
+    * class doc for object-store rename caveats). The staging dir must
+    * be on the same filesystem. */
+  def swapIn(spark: SparkSession, path: String, staging: String): Unit = {
+    val (fs, root) = fsFor(spark, path)
+    val old = new Path(path + ".swap-old")
+    fs.delete(old, true) // stale leftover from a crashed earlier run
+    if (!fs.rename(root, old))
+      throw new java.io.IOException(s"swapIn: cannot stage out $root")
+    if (!fs.rename(new Path(staging), root)) { // restore, then fail loudly
+      fs.rename(old, root)
+      throw new java.io.IOException(s"swapIn: cannot swap in $staging")
+    }
+    fs.delete(old, true)
+  }
+
   /** Rewrite a parquet table into ceil(totalBytes/targetBytes) files.
     * Two full passes over the data (read + write) but only of THIS
     * table; on a partitioned lake you compact per partition, so the
@@ -64,24 +81,15 @@ object Layout {
     * reader never sees a half-written table. */
   def compact(spark: SparkSession, path: String,
               targetBytes: Long = 128L * 1024 * 1024): Unit = {
-    val (fs, root) = fsFor(spark, path)
     val files = dataFileSizes(spark, path)
     if (files.isEmpty) return
     val total = files.map(_._2).sum
     val n = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
-    val staging = new Path(path + ".compact-staging")
-    val old = new Path(path + ".compact-old")
-    fs.delete(old, true) // stale leftover from a crashed earlier run
+    val staging = path + ".compact-staging"
     spark.read.parquet(path)
       .repartition(n)
-      .write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    if (!fs.rename(root, old))
-      throw new java.io.IOException(s"compact: cannot stage out $root")
-    if (!fs.rename(staging, root)) { // restore, then fail loudly
-      fs.rename(old, root)
-      throw new java.io.IOException(s"compact: cannot swap in $staging")
-    }
-    fs.delete(old, true)
+      .write.mode(SaveMode.Overwrite).parquet(staging)
+    swapIn(spark, path, staging)
   }
 
   /** Range-partition on `sortCol` and sort rows within each partition

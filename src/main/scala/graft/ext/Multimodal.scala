@@ -40,22 +40,24 @@ object Multimodal {
 
   /** Batched per-partition feature extraction over (id, media) — the
     * mapInPandas-shaped operator: partitions stream in fixed-size batches
-    * through the (stubbed) codec. Output: (doc_id, feat0..feat3). */
+    * through the (stubbed) codec. Output: (idCol, feat0..feat3).
+    * The id column passes through untyped (Row encoder over the input's
+    * own id field), so long, string/UUID or any other id scheme works. */
   def extractFeatures(media: DataFrame, batchSize: Int = 64,
                       idCol: String = "doc_id"): DataFrame = {
-    val spark = media.sparkSession
-    import spark.implicits._
-    media.select(col(idCol), col("media")).as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        it.grouped(batchSize).flatMap { batch =>
-          // per-batch setup would init the codec once here
-          batch.iterator.map { case (id, bytes) =>
-            val f = stubFeatures(bytes)
-            (id, f(0), f(1), f(2), f(3))
-          }
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    val in = media.select(col(idCol), col("media"))
+    val outSchema = StructType(in.schema.head +:
+      (0 until 4).map(j => StructField(s"feat$j", DoubleType, false)))
+    in.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // per-batch setup would init the codec once here
+        batch.iterator.map { r =>
+          val f = stubFeatures(r.getAs[Array[Byte]](1))
+          org.apache.spark.sql.Row(r.get(0), f(0), f(1), f(2), f(3))
         }
       }
-      .toDF(idCol, "feat0", "feat1", "feat2", "feat3")
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   /** Frame sampling: k evenly-spaced fixed-size byte windows from each

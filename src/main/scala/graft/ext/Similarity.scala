@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -122,24 +122,30 @@ object Similarity {
     * per-(centroid, dim) average — decimal-routed so the index is
     * bit-reproducible across topologies (an index that drifts per run
     * cannot be incrementally maintained). */
+  /** Nearest-centroid assignment of a (vid, vv) frame against a
+    * broadcast (cid, cv) centroid table — the shared kernel of index
+    * build and incremental extension. */
+  private def assignToCentroids(v: DataFrame, cents: DataFrame): DataFrame = {
+    val scored = sig9Score(
+      v.crossJoin(broadcast(cents)),
+      Seq("vid", "cid"),
+      cosine(dot(col("vv"), col("cv")),
+        normSq(col("vv")), normSq(col("cv"))), "score")
+    val w = Window.partitionBy(col("vid"))
+      .orderBy(col("score").desc, col("cid").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select(col("vid"), col("cid"))
+  }
+
   def ivfIndex(vectors: DataFrame, k: Int, idCol: String = "vec_id",
                vecCol: String = "embedding"): (DataFrame, DataFrame) = {
-    import org.apache.spark.sql.DataFrame
     val v = vectors.select(col(idCol).as("vid"), col(vecCol).as("vv"))
     // deterministic seeds: the k smallest ids (stable under re-runs)
     val seeds = v.orderBy(col("vid")).limit(k)
       .select(col("vid").as("cid"), col("vv").as("cv"))
-    def assign(cents: DataFrame, centVec: String): DataFrame = {
-      val scored = sig9Score(
-        v.crossJoin(broadcast(cents)),
-        Seq("vid", "cid"),
-        cosine(dot(col("vv"), col(centVec)),
-          normSq(col("vv")), normSq(col(centVec))), "score")
-      val w = Window.partitionBy(col("vid"))
-        .orderBy(col("score").desc, col("cid").asc)
-      scored.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1).select(col("vid"), col("cid"))
-    }
+    def assign(cents: DataFrame, centVec: String): DataFrame =
+      assignToCentroids(v,
+        cents.select(col("cid"), col(centVec).as("cv")))
     // one Lloyd step: mean vector per seed-assigned cluster, per dim
     val a0 = assign(seeds, "cv")
     val centroids = v.join(a0, Seq("vid"))
@@ -161,6 +167,46 @@ object Similarity {
       .select(col("vid").as(idCol), col("cid").as("centroid_id"))
       .localCheckpoint()
     (centOut, index)
+  }
+
+  /** Persist an IVF index (centroids + assignments) as parquet. An
+    * index is a cross-job ARTIFACT: the two assignment passes and the
+    * Lloyd step are paid once per corpus version at build time, and any
+    * number of later probe jobs read the parquet tables instead of
+    * re-running them (the localCheckpoint inside [[ivfIndex]] is
+    * session-lifetime only). The assignments table is the natural
+    * clustering key for the corpus itself — co-partition the vectors by
+    * centroid_id and a probe touches nprobe/K of the data. */
+  def saveIndex(centroids: DataFrame, index: DataFrame,
+                path: String): Unit = {
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    index.write.mode("overwrite").parquet(s"$path/assignments")
+  }
+
+  /** Load a persisted IVF index: (centroids, assignments) — the same
+    * pair [[ivfIndex]] returns, ready for [[ivfTopK]]. */
+  def loadIndex(spark: SparkSession, path: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$path/centroids"),
+      spark.read.parquet(s"$path/assignments"))
+
+  /** Incrementally extend a persisted index: assign ONLY the new
+    * vectors to the existing (frozen) centroids and append their
+    * assignments — O(batch x K) per ingest batch, never a rebuild.
+    * Centroids are immutable within an index version (the standard IVF
+    * maintenance contract: rebuild to re-center once drift matters),
+    * so signatures stay reproducible and probes of old and new vectors
+    * agree on the partitioning. */
+  def extendIndex(newVectors: DataFrame, path: String,
+                  idCol: String = "vec_id",
+                  vecCol: String = "embedding"): Unit = {
+    val spark = newVectors.sparkSession
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("centroid_id").as("cid"), col("cv"))
+    assignToCentroids(
+        newVectors.select(col(idCol).as("vid"), col(vecCol).as("vv")),
+        cents)
+      .select(col("vid").as(idCol), col("cid").as("centroid_id"))
+      .write.mode("append").parquet(s"$path/assignments")
   }
 
   /** IVF top-k: probe the `nprobe` nearest centroids, exact-rank inside

@@ -249,4 +249,9 @@ object VectorExprs {
 
   def sortedJaccard(a: Column, b: Column): Column =
     call_function("sorted_jaccard", a, b)
+
+  /** Membership probe against a serialized bloom filter (binary literal)
+    * — Spark's own BloomFilterMightContain, codegen'd. */
+  def bloomMightContain(bloomBytes: Column, value: Column): Column =
+    call_function("bloom_might_contain", bloomBytes, value)
 }

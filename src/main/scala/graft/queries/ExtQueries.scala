@@ -449,7 +449,14 @@ object ExtQueries {
     * is each perturbed query's original; the oracle pins the verdict. */
   private val annIvfRecall: QFn = (s, d) => {
     val emb = Tables.embeddings(s, d)
-    val (centroids, index) = Similarity.ivfIndex(emb, k = 16)
+    // an index is a cross-job artifact: build once, persist, and probe
+    // the LOADED parquet tables — the path every later job takes (the
+    // in-session frames are localCheckpoints, session-lifetime only)
+    val (builtC, builtI) = Similarity.ivfIndex(emb, k = 16)
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft-ivf").toString + "/idx"
+    Similarity.saveIndex(builtC, builtI, idxPath)
+    val (centroids, index) = Similarity.loadIndex(s, idxPath)
     val q = perturbed(s, d)
       .select(col("qid").as("vec_id"), col("qv").as("embedding"))
     val top1 = Similarity

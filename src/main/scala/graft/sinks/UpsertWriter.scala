@@ -1,6 +1,7 @@
 package graft.sinks
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -41,6 +42,43 @@ object UpsertWriter {
       .drop("__src", "__rn")
   }
 
+  /** Advisory writer lock — the lake upserts assume a SINGLE WRITER per
+    * table (the reference runs them from a serial DAG chain). Without
+    * it, two concurrent merges on overlapping buckets silently lose one
+    * writer's rows: the second read-merge-overwrite never saw the
+    * first's. The lock makes that contract explicit and LOUD: an
+    * atomic exclusive create of `<path>.__lock` guards the
+    * read-merge-write window, a competing writer fails fast instead of
+    * corrupting, and a crashed writer's lock is broken once older than
+    * `staleMs`. Atomic create is a real mutex on HDFS and local
+    * filesystems; on S3-like stores create-no-overwrite is best-effort
+    * — there, serialize writers externally (scheduler-level, as the
+    * reference does) or move the table to a transactional format. */
+  def withWriterLock[T](spark: SparkSession, path: String,
+                        staleMs: Long = 30L * 60 * 1000)(body: => T): T = {
+    val lock = new Path(path + ".__lock")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def tryAcquire(): Boolean =
+      try {
+        val out = fs.create(lock, false) // throws if the lock exists
+        out.writeLong(System.currentTimeMillis()); out.close(); true
+      } catch { case _: java.io.IOException => false }
+    var acquired = tryAcquire()
+    if (!acquired) {
+      val age =
+        try {
+          val in = fs.open(lock)
+          val t = try in.readLong() finally in.close()
+          System.currentTimeMillis() - t
+        } catch { case _: java.io.IOException => Long.MaxValue } // unreadable => stale
+      if (age > staleMs) { fs.delete(lock, false); acquired = tryAcquire() }
+    }
+    if (!acquired) throw new IllegalStateException(
+      s"upsert target $path is locked by a concurrent writer " +
+        s"(single-writer contract; stale locks break after ${staleMs}ms)")
+    try body finally fs.delete(lock, false)
+  }
+
   /** Lake upsert: read current table (if any), merge, overwrite atomically
     * via a staging write.
     *
@@ -50,16 +88,18 @@ object UpsertWriter {
   def upsertParquet(incoming: DataFrame, path: String, keys: Seq[String],
                     versionCol: String): Unit = {
     val spark = incoming.sparkSession
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val exists = fs.exists(new org.apache.hadoop.fs.Path(path))
-    val merged =
-      if (exists) merge(spark.read.parquet(path), incoming, keys, versionCol)
-      else incoming
-    val staging = path + "__staging"
-    merged.write.mode(SaveMode.Overwrite).parquet(staging)
-    spark.read.parquet(staging).write.mode(SaveMode.Overwrite).parquet(path)
-    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    withWriterLock(spark, path) {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      val exists = fs.exists(new org.apache.hadoop.fs.Path(path))
+      val merged =
+        if (exists) merge(spark.read.parquet(path), incoming, keys, versionCol)
+        else incoming
+      val staging = path + "__staging"
+      merged.write.mode(SaveMode.Overwrite).parquet(staging)
+      spark.read.parquet(staging).write.mode(SaveMode.Overwrite).parquet(path)
+      fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    }
   }
 
   private val BucketCol = "__bucket"
@@ -75,6 +115,15 @@ object UpsertWriter {
   def upsertBucketed(incoming: DataFrame, path: String, keys: Seq[String],
                      versionCol: String, numBuckets: Int = 256): Unit = {
     val spark = incoming.sparkSession
+    withWriterLock(spark, path) {
+      upsertBucketedLocked(incoming, spark, path, keys, versionCol, numBuckets)
+    }
+  }
+
+  private def upsertBucketedLocked(incoming: DataFrame, spark: SparkSession,
+                                   path: String, keys: Seq[String],
+                                   versionCol: String,
+                                   numBuckets: Int): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val bucket = pmod(hash(keys.map(col): _*), lit(numBuckets))

@@ -64,22 +64,43 @@ object EventPipeline {
                    event_type: String, value: Double)
   case class UserSession(user_id: Long, n_events: Long, total: Double)
 
-  /** Custom keyed state: running per-user session rollup via
-    * mapGroupsWithState. (State eviction in production would add a
-    * timeout; NoTimeout keeps micro-batch scheduling quiescent so
-    * AvailableNow-style runs terminate.) */
-  def userSessions(events: Dataset[Event],
-                   spark: SparkSession): Dataset[UserSession] = {
+  /** Custom keyed state: running per-user rollup via mapGroupsWithState
+    * with EVENT-TIME state eviction — a key idle past `idleMinutes`
+    * (as judged by the watermark) has its state re-emitted once and
+    * dropped, so state is bounded by (keys active within the horizon),
+    * never by all keys ever seen. A NoTimeout rollup on an unbounded
+    * key space grows forever; this is the only honest contract an
+    * unbounded stream can keep. An evicted key that re-appears
+    * restarts its rollup from zero — the operator models "activity
+    * within the horizon", and the Update-mode sink upserts by key
+    * either way. */
+  def userSessions(events: Dataset[Event], spark: SparkSession,
+                   watermark: String = "1 hour",
+                   idleMinutes: Int = 60): Dataset[UserSession] = {
     import spark.implicits._
-    events.groupByKey(_.user_id)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+    val idleMs = idleMinutes * 60000L
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, it: Iterator[Event], state: GroupState[UserSession]) =>
-          val prev = state.getOption.getOrElse(UserSession(uid, 0L, 0.0))
-          val batch = it.toSeq
-          val next = UserSession(uid, prev.n_events + batch.size,
-            prev.total + batch.map(_.value).sum)
-          state.update(next)
-          next
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            last // final re-emission; the upsert sink is idempotent
+          } else {
+            val prev = state.getOption.getOrElse(UserSession(uid, 0L, 0.0))
+            val batch = it.toSeq
+            val next = UserSession(uid, prev.n_events + batch.size,
+              prev.total + batch.map(_.value).sum)
+            state.update(next)
+            // timeout must land beyond the current watermark (late
+            // batches could otherwise set one already in the past)
+            state.setTimeoutTimestamp(math.max(
+              batch.map(_.ts.getTime).max + idleMs,
+              state.getCurrentWatermarkMs + 1))
+            next
+          }
       }
   }
 

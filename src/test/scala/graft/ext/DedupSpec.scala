@@ -128,6 +128,28 @@ class DedupSpec extends SparkSpec {
     assert(ids == (1L to 200L).toSet)
   }
 
+  test("deleteSignatures tombstones dropped docs; later probes no " +
+      "longer match them") {
+    val dir = java.nio.file.Files.createTempDirectory("tomb").toString
+    val toks = corpus.select(col("doc_id"),
+      Hashing.tokens(col("text")).as("tk"))
+    Dedup.writeSignatures(toks, "doc_id", "tk", s"$dir/sigs")
+    Dedup.deleteSignatures(Seq(1L, 4L).toDF("doc_id"), "doc_id",
+      s"$dir/sigs")
+    val left = spark.read.parquet(s"$dir/sigs")
+      .select("doc_id").as[Long].collect().toSet
+    assert(left == Set(2L, 3L)) // 5 never stored (no shingles)
+    // an exact copy of doc 2 now matches ONLY doc 2 — 1/4 are gone
+    val batch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Hashing.tokens(col("text")).as("tk"))
+    val hit = Dedup
+      .probeSignatures(batch, "doc_id", "tk", s"$dir/sigs", 0.5, toks)
+      .select("b_id").as[Long].collect().toSet
+    assert(hit == Set(2L))
+  }
+
   test("shingles: fewer than n tokens -> empty, order-sensitive") {
     val r = Seq("a b", "a b c d").toDF("t")
       .select(Dedup.shingles(Hashing.tokens(col("t"))))

@@ -29,6 +29,19 @@ class MultimodalSpec extends SparkSpec {
     assert(a.size == 10)
   }
 
+  test("extractFeatures passes string/UUID-style doc ids through " +
+      "(id column is not pinned to Long)") {
+    val sdocs = (1 to 10)
+      .map(i => (s"doc-$i-uuid", s"document body $i payload"))
+      .toDF("doc_id", "text")
+    val media = Multimodal.packAsMedia(sdocs)
+    val a = Multimodal.extractFeatures(media, batchSize = 3)
+    assert(a.schema("doc_id").dataType.simpleString == "string")
+    val b = Multimodal.extractFeaturesColumnar(media)
+    assert(a.as[(String, Double, Double, Double, Double)].collect().toSet ==
+      b.as[(String, Double, Double, Double, Double)].collect().toSet)
+  }
+
   test("sampleFrames: k fixed-size frames at deterministic offsets") {
     val media = Multimodal.packAsMedia(docs)
     val r = Multimodal.sampleFrames(media, k = 4, frameBytes = 8)

@@ -102,6 +102,45 @@ class SimilaritySpec extends SparkSpec {
     assert(hits >= 3, s"ivf recall $hits/4")
   }
 
+  test("saveIndex/loadIndex round-trips; probing the loaded artifact " +
+      "gives the same top-1 as the in-session index") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    val (centroids, index) = Similarity.ivfIndex(base, k = 4)
+    Similarity.saveIndex(centroids, index, s"$dir/idx")
+    val (lc, li) = Similarity.loadIndex(spark, s"$dir/idx")
+    assert(lc.as[(Long, Seq[Double])].collect().toMap ==
+      centroids.as[(Long, Seq[Double])].collect().toMap)
+    assert(li.as[(Long, Long)].collect().toMap ==
+      index.as[(Long, Long)].collect().toMap)
+    val queries = base.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000).as("vec_id"),
+        transform(col("embedding"),
+          x => x.cast("double") + lit(0.0005)).as("embedding"))
+    def top1(c: org.apache.spark.sql.DataFrame,
+             i: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfTopK(queries, base, c, i, k = 1, nprobe = 2)
+        .filter(col("rank") === 1)
+        .select("qid", "cid", "score")
+        .as[(Long, Long, Double)].collect().toSet
+    assert(top1(lc, li) == top1(centroids, index))
+  }
+
+  test("extendIndex assigns new vectors to the frozen centroids " +
+      "without a rebuild") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfext").toString
+    val (centroids, index) = Similarity.ivfIndex(base, k = 4)
+    Similarity.saveIndex(centroids, index, s"$dir/idx")
+    // clones of vectors 0..9 under new ids — must land on the same
+    // centroids as their originals (same scores, same tie-break)
+    val extra = (0L until 10L).map(i => (i + 100, vec(i)))
+      .toDF("vec_id", "embedding")
+    Similarity.extendIndex(extra, s"$dir/idx")
+    val (_, li) = Similarity.loadIndex(spark, s"$dir/idx")
+    val m = li.as[(Long, Long)].collect().toMap
+    assert(m.size == 50)
+    (0L until 10L).foreach(i => assert(m(i + 100) == m(i)))
+  }
+
   test("nearDupPairs finds only true near-duplicates at 0.99") {
     val queries = base.filter(col("vec_id") < 5)
       .select((col("vec_id") + 1000).as("qid"),

@@ -64,6 +64,15 @@ class PlanShapeSpec extends SparkSpec {
       "corpus re-shingling leaked into the query plan:\n" + p.take(800))
   }
 
+  test("bloom prune probes via the native might_contain, not a UDF") {
+    // sf0.01 like the range join: a non-degenerate fact side
+    val p = planOf(SparkEntry.queries("q_j12_bloom_prune")(spark,
+      "/root/testdata/sf0.01"))
+    assert(p.contains("might_contain"), p.take(800))
+    assert(!p.contains("UDF"),
+      "bloom probe must stay codegen'd — no boxing scalar UDF")
+  }
+
   test("native expressions appear in plans (not the composed forms)") {
     val p = planOf(SparkEntry.queries("q_x_embed_neardup")(spark, sf))
     assert(p.contains("sig9"), "score must route through sig9_round")

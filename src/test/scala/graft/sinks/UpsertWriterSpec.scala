@@ -91,6 +91,34 @@ class UpsertWriterSpec extends SparkSpec {
     assert(untouchedBefore.nonEmpty, "test must cover untouched buckets")
   }
 
+  test("writer lock: a held lock fails a second writer fast; a stale " +
+      "lock is broken; the lock is released after success") {
+    val dir = java.nio.file.Files.createTempDirectory("lock").toString
+    val path = s"$dir/t"
+    val batch = Seq((1L, 1.0, 1L)).toDF("k", "v", "ver")
+    // hold the lock as a concurrent writer would
+    UpsertWriter.withWriterLock(spark, path) {
+      val e = intercept[IllegalStateException] {
+        UpsertWriter.upsertBucketed(batch, path, Seq("k"), "ver", 4)
+      }
+      assert(e.getMessage.contains("single-writer"))
+    }
+    // released on exit: the same upsert now succeeds
+    UpsertWriter.upsertBucketed(batch, path, Seq("k"), "ver", 4)
+    // stale lock (crashed writer): acquired by breaking, not an error
+    val lock = new org.apache.hadoop.fs.Path(s"$path.__lock")
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(lock, false)
+    out.writeLong(System.currentTimeMillis() - 60L * 60 * 1000)
+    out.close()
+    UpsertWriter.upsertBucketed(
+      Seq((2L, 2.0, 1L)).toDF("k", "v", "ver"), path, Seq("k"), "ver", 4)
+    assert(!fs.exists(lock))
+    assert(UpsertWriter.readBucketed(spark, path)
+      .as[(Long, Double, Long)].collect().toSet ==
+      Set((1L, 1.0, 1L), (2L, 2.0, 1L)))
+  }
+
   test("upsertJdbc(generic) round-trips latest-wins through embedded Derby") {
     val url = "jdbc:derby:memory:graftdb;create=true"
     val conn = java.sql.DriverManager.getConnection(url)

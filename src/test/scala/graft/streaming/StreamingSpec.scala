@@ -46,11 +46,20 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       ms.addData(sample.drop(3))
       q.processAllAvailable()
+      // advance the watermark far past user 7's idle timeout: state is
+      // evicted, and a later re-appearance restarts the rollup at 1
+      ms.addData(Seq(Event(90L, ts("2024-03-04 00:00:00"), 9L, "x", 0.0)))
+      q.processAllAvailable()
+      ms.addData(Seq(Event(91L, ts("2024-03-04 01:00:00"), 7L, "click", 9.9)))
+      q.processAllAvailable()
     } finally q.stop()
-    val last = spark.table("us").as[UserSession].collect()
+    val rows = spark.table("us").as[UserSession].collect()
+    val last = rows
       .groupBy(_.user_id).map { case (k, vs) => k -> vs.maxBy(_.n_events) }
     assert(last(7L) == UserSession(7L, 3L, 8.0))
     assert(last(8L) == UserSession(8L, 1L, 1.0))
+    assert(rows.contains(UserSession(7L, 1L, 9.9)),
+      "evicted key must restart from zero, not resume the old rollup")
   }
 
   test("upsertSink: micro-batches latest-wins-merge into the lake table") {
