@@ -92,6 +92,29 @@ object Layout {
     swapIn(spark, path, staging)
   }
 
+  /** Compact each leaf partition directory of a partitioned table
+    * independently (e.g. the `__bucket=N` dirs the bucketed upsert sink
+    * writes — every upsert batch appends files to its touched buckets).
+    * The unit of rewrite is ONE partition, so maintenance cost is
+    * bounded by partition size no matter how large the table grows, and
+    * partitions can be compacted on independent cadences. Partition
+    * values stay encoded in the directory names, so rewriting a leaf
+    * dir in place preserves the table's partitioning for readers of the
+    * root path. Only partitions fragmented past `minFiles` are
+    * rewritten. */
+  def compactPartitions(spark: SparkSession, path: String,
+                        targetBytes: Long = 128L * 1024 * 1024,
+                        minFiles: Int = 2): Unit = {
+    val (fs, root) = fsFor(spark, path)
+    if (!fs.exists(root)) return
+    fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .foreach { part =>
+        if (dataFileSizes(spark, part.getPath.toString).size > minFiles)
+          compact(spark, part.getPath.toString, targetBytes)
+      }
+  }
+
   /** Range-partition on `sortCol` and sort rows within each partition
     * before writing: each output file (and each row group inside it)
     * covers a narrow, nearly disjoint slice of the sort-column domain,

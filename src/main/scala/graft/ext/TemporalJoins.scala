@@ -42,33 +42,58 @@ object TemporalJoins {
     * value wins — pass a unique column to make the result
     * deterministic when (key, time) can repeat on the quote side.
     *
+    * Direction: "backward" (default) attaches the latest quote at or
+    * before the probe time — the market-data/feature-snapshot shape;
+    * "forward" attaches the EARLIEST quote at or after it — the
+    * next-maintenance / next-session shape (pandas merge_asof
+    * direction='forward'). Same single-shuffle plan either way: the
+    * forward fill is `first` over the mirrored window frame.
+    *
     * @param payload quote columns to carry onto probe rows; names must
     *                not collide with probe columns.
     */
   def asOfJoin(probes: DataFrame, quotes: DataFrame, keys: Seq[String],
                timeCol: String, payload: Seq[String],
-               tieBreak: Column = lit(0L)): DataFrame = {
+               tieBreak: Column = lit(0L),
+               direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
+    val backward = direction == "backward"
     val side = "__graft_side"
     val tie = "__graft_tie"
     val pay = "__graft_pay"
     val qts = "__graft_qts"
     val probeCols = probes.columns.toSeq
-    val p = probes.withColumn(side, lit(1)).withColumn(tie, lit(null).cast("long"))
+    // quotes sort toward the probe at equal time: before it (side asc,
+    // probe=1) for backward, after it (probe=0) for forward — equal-time
+    // quotes are included in both directions
+    val p = probes.withColumn(side, lit(if (backward) 1 else 0))
+      .withColumn(tie, lit(null).cast("long"))
     val q = quotes
       .withColumn(tie, tieBreak.cast("long")) // before projecting quote cols away
       .select((keys :+ timeCol).map(col) :+ col(tie) :+
         struct(payload.map(col) :+ col(timeCol).as(qts): _*).as(pay): _*)
-      .withColumn(side, lit(0))
+      .withColumn(side, lit(if (backward) 0 else 1))
     // probe rows get pay = NULL from the missing-column union, so the
     // ignoreNulls fill skips them and lands on whole quote rows only
     val unioned = p.unionByName(q, allowMissingColumns = true)
-    val w = Window
+    // greatest tieBreak wins in both directions: asc under last() (the
+    // greatest sorts nearest the probe), desc under first()
+    val tieOrd = if (backward) col(tie).asc_nulls_last
+                 else col(tie).desc_nulls_last
+    val w0 = Window
       .partitionBy(keys.map(col): _*)
-      .orderBy(col(timeCol).asc, col(side).asc, col(tie).asc_nulls_last)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      .orderBy(col(timeCol).asc, col(side).asc, tieOrd)
+    val filled =
+      if (backward)
+        last(col(pay), ignoreNulls = true)
+          .over(w0.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      else
+        first(col(pay), ignoreNulls = true)
+          .over(w0.rowsBetween(Window.currentRow, Window.unboundedFollowing))
     unioned
-      .withColumn(pay, last(col(pay), ignoreNulls = true).over(w))
-      .filter(col(side) === 1)
+      .withColumn(pay, filled)
+      .filter(col(side) === lit(if (backward) 1 else 0))
       .select(probeCols.map(col) ++
         payload.map(c => col(pay).getField(c).as(c)) :+
         col(pay).getField(qts).as("asof_time"): _*)

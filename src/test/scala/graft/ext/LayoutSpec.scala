@@ -31,6 +31,27 @@ class LayoutSpec extends SparkSpec {
     assert(back.toSeq == (1L to 10000L))
   }
 
+  test("compactPartitions rewrites fragmented buckets in place, " +
+      "preserving partition values and data") {
+    val dir = java.nio.file.Files.createTempDirectory("cpart").toString
+    val path = s"$dir/t"
+    // a stream of small appends fragments each partition (the
+    // streaming-ingest pathology compaction exists for)
+    (1 to 6).foreach { b =>
+      Seq((b.toLong, b * 1.0, b % 2)).toDF("k", "v", "p")
+        .write.mode("append").partitionBy("p").parquet(path)
+    }
+    val before = spark.read.parquet(path)
+      .as[(Long, Double, Int)].collect().toSet
+    assert(Layout.dataFiles(spark, path).size >= 6)
+    Layout.compactPartitions(spark, path, minFiles = 1)
+    // one file per partition now; rows and partition values intact
+    assert(Layout.dataFiles(spark, path).size <= 2)
+    val after = spark.read.parquet(path)
+      .as[(Long, Double, Int)].collect().toSet
+    assert(after == before)
+  }
+
   test("sortedWrite makes row-group stats selective for range predicates") {
     val dir = java.nio.file.Files.createTempDirectory("sorted").toString
     // small row groups so one file holds many prunable groups

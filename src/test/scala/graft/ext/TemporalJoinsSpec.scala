@@ -65,6 +65,55 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(r.getTimestamp(2) == ts("2024-01-01 10:00:00"))
   }
 
+  test("asOfJoin direction=forward attaches the earliest following " +
+      "quote, inclusive at equal time") {
+    val probes = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")), // between q1 and q2 -> q2
+      (2L, 10L, ts("2024-01-01 12:00:00")), // exactly at q2 -> inclusive
+      (3L, 10L, ts("2024-01-01 13:00:00")) // after all quotes -> null
+    ).toDF("event_id", "user_id", "ts")
+    val quotes = Seq(
+      (10L, ts("2024-01-01 09:30:00"), 1.0),
+      (10L, ts("2024-01-01 12:00:00"), 2.0)
+    ).toDF("user_id", "ts", "v")
+    val out = TemporalJoins
+      .asOfJoin(probes, quotes, Seq("user_id"), "ts", Seq("v"),
+        direction = "forward")
+      .select("event_id", "v", "asof_time")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getDouble(1) == 2.0)
+    assert(out(2L).getDouble(1) == 2.0) // equal time matches forward too
+    assert(out(2L).getTimestamp(2) == ts("2024-01-01 12:00:00"))
+    assert(out(3L).isNullAt(1) && out(3L).isNullAt(2))
+  }
+
+  test("asOfJoin direction=forward matches a brute-force reference " +
+      "(greatest tieBreak wins at equal time)") {
+    val rnd = new scala.util.Random(17)
+    def t(offsetMin: Int) =
+      new java.sql.Timestamp(1700000000000L + offsetMin * 60000L)
+    val probes = (1L to 300L)
+      .map(i => (i, rnd.nextInt(5).toLong, t(rnd.nextInt(1000))))
+    val quotes = (1L to 300L).map { i =>
+      (rnd.nextInt(5).toLong, t(rnd.nextInt(1000)), i,
+        if (rnd.nextInt(3) == 0) None else Some(i * 0.5))
+    }
+    val out = TemporalJoins.asOfJoin(
+        probes.toDF("event_id", "user_id", "ts"),
+        quotes.toDF("user_id", "ts", "qid", "v"),
+        Seq("user_id"), "ts", Seq("v"), tieBreak = col("qid"),
+        direction = "forward")
+      .select("event_id", "v").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    val brute = probes.map { case (id, k, ts) =>
+      val eligible = quotes.filter(q => q._1 == k && !q._2.before(ts))
+      id -> (if (eligible.isEmpty) None
+             else eligible.minBy(q => (q._2.getTime, -q._3))._4)
+    }.toMap
+    assert(out == brute)
+  }
+
   test("rangeJoinCount: boundaries inclusive, bucket-spanning, empty=0") {
     // 30-min buckets force the 2h interval to span 5 buckets.
     val intervals = Seq(
