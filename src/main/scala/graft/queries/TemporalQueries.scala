@@ -55,6 +55,43 @@ object TemporalQueries {
       |FROM probes p ASOF LEFT JOIN quotes q
       |  ON p.user_id = q.user_id AND p.ts >= q.ts""".stripMargin
 
+  // --- J10b: FORWARD as-of join — each click gets the user's EARLIEST
+  // purchase at or after it (the next-event shape). Same
+  // complementary-NULL payload columns as J10; the oracle is DuckDB's
+  // native ASOF with the inequality flipped (p.ts <= q.ts).
+  private val j10b: QFn = (s, d) => {
+    val ev = Tables.events(s, d)
+    val probes = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val quotes = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        when(col("value") >= 100.0, col("value")).as("next_purchase_value"),
+        when(col("value") < 200.0, floor(col("value"))).as("purchase_floor"))
+    TemporalJoins.asOfJoin(probes, quotes, Seq("user_id"), "ts",
+        Seq("next_purchase_value", "purchase_floor"),
+        direction = "forward")
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), fmt).as("ts_s"),
+        col("next_purchase_value"), col("purchase_floor"),
+        date_format(col("asof_time"), fmt).as("purchase_ts_s"))
+  }
+
+  private val j10bSql =
+    """WITH probes AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      |quotes AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN value >= CAST(100.0 AS DOUBLE) THEN value END AS v,
+      |    CASE WHEN value < CAST(200.0 AS DOUBLE)
+      |      THEN CAST(floor(value) AS BIGINT) END AS vf
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT p.event_id, p.user_id,
+      |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+      |  q.v AS next_purchase_value, q.vf AS purchase_floor,
+      |  strftime(q.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts_s
+      |FROM probes p ASOF LEFT JOIN quotes q
+      |  ON p.user_id = q.user_id AND p.ts <= q.ts""".stripMargin
+
   // --- J11: interval containment join — count all events inside each
   // +/-30min window around a high-value error event (empty windows = 0).
   private val j11: QFn = (s, d) => {
@@ -164,6 +201,7 @@ object TemporalQueries {
 
   val queries: Map[String, QFn] = Map(
     "q_j10_asof" -> j10,
+    "q_j10b_asof_forward" -> j10b,
     "q_j11_range" -> j11,
     "q_j12_bloom_prune" -> j12,
     "q_j13_salted_join" -> j13,
@@ -172,6 +210,7 @@ object TemporalQueries {
 
   val oracles: Map[String, String] = Map(
     "q_j10_asof" -> j10Sql,
+    "q_j10b_asof_forward" -> j10bSql,
     "q_j11_range" -> j11Sql,
     "q_j12_bloom_prune" -> j12Sql,
     "q_j13_salted_join" -> j13Sql,
