@@ -255,7 +255,8 @@ object Dedup {
   def deleteSignatures(ids: DataFrame, idCol: String,
                        sigPath: String): Unit = {
     val spark = ids.sparkSession
-    val staging = sigPath + ".tombstone-staging"
+    Layout.recoverSwap(spark, sigPath)
+    val staging = Layout.hiddenSibling(sigPath, ".tombstone-staging")
     spark.read.parquet(sigPath)
       .join(ids.select(col(idCol)), Seq(idCol), "left_anti")
       .write.mode("overwrite").parquet(staging)
@@ -274,12 +275,23 @@ object Dedup {
     * Each append lands one parquet delta; once the store exceeds
     * `compactAfterFiles` files it is bin-packed via [[Layout.compact]],
     * so a year of hourly batches probes a handful of right-sized files,
-    * not 8760 fragments. */
+    * not 8760 fragments.
+    *
+    * `keptSink` persists the kept rows and runs BEFORE the signature
+    * append: a crash between the two leaves kept docs without
+    * signatures — future near-dups of them may be re-admitted
+    * (redundancy, recoverable by re-signing). The reverse order would
+    * register signatures for docs that never landed, silently dropping
+    * every future copy of them. */
   def incrementalDedup(batch: DataFrame, idCol: String, tokCol: String,
                        sigPath: String, threshold: Double,
                        corpus: DataFrame,
-                       compactAfterFiles: Int = 64): DataFrame = {
+                       compactAfterFiles: Int = 64,
+                       keptSink: DataFrame => Unit = _ => ()): DataFrame = {
     val spark = batch.sparkSession
+    // a compaction crash must surface as a recoverable swap, never as a
+    // missing store that silently restarts dedup from scratch
+    Layout.recoverSwap(spark, sigPath)
     val p = new org.apache.hadoop.fs.Path(sigPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) // first batch: empty store, right schema
@@ -299,6 +311,7 @@ object Dedup {
     val kept = batch
       .join(drops, batch(idCol) === drops("a_id"), "left_anti")
       .localCheckpoint()
+    keptSink(kept)
     appendSignatures(kept, idCol, tokCol, sigPath)
     if (Layout.dataFiles(spark, sigPath).size > compactAfterFiles)
       Layout.compact(spark, sigPath)

@@ -56,13 +56,38 @@ object Layout {
   def dataFiles(spark: SparkSession, path: String): Seq[Path] =
     dataFileSizes(spark, path).map(_._1)
 
+  /** Sibling of `path` named `.<name><suffix>` — the dot prefix makes
+    * it invisible to Spark's partition discovery, so staging/backup
+    * dirs for a partition can live inside the table tree without being
+    * read as partition values (a crash must never poison the table). */
+  private[ext] def hiddenSibling(path: String, suffix: String): String = {
+    val p = new Path(path)
+    new Path(p.getParent, "." + p.getName + suffix).toString
+  }
+
+  private def oldPathOf(path: String): String =
+    hiddenSibling(path, ".swap-old")
+
+  /** Recover from a crash inside a previous [[swapIn]]: if the table
+    * dir is missing but its swap backup exists, restore the backup.
+    * Call before reading any swap-maintained table. Returns true if a
+    * restore happened. */
+  def recoverSwap(spark: SparkSession, path: String): Boolean = {
+    val (fs, root) = fsFor(spark, path)
+    val old = new Path(oldPathOf(path))
+    if (!fs.exists(root) && fs.exists(old)) fs.rename(old, root)
+    else false
+  }
+
   /** Replace the table at `path` with the directory at `staging` via
     * two renames, so a reader never sees a half-written table (see the
     * class doc for object-store rename caveats). The staging dir must
-    * be on the same filesystem. */
+    * be on the same filesystem. A crash between the renames leaves the
+    * data intact in the hidden `.swap-old` sibling; [[recoverSwap]]
+    * restores it. */
   def swapIn(spark: SparkSession, path: String, staging: String): Unit = {
     val (fs, root) = fsFor(spark, path)
-    val old = new Path(path + ".swap-old")
+    val old = new Path(oldPathOf(path))
     fs.delete(old, true) // stale leftover from a crashed earlier run
     if (!fs.rename(root, old))
       throw new java.io.IOException(s"swapIn: cannot stage out $root")
@@ -81,11 +106,12 @@ object Layout {
     * reader never sees a half-written table. */
   def compact(spark: SparkSession, path: String,
               targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    recoverSwap(spark, path)
     val files = dataFileSizes(spark, path)
     if (files.isEmpty) return
     val total = files.map(_._2).sum
     val n = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
-    val staging = path + ".compact-staging"
+    val staging = hiddenSibling(path, ".compact-staging")
     spark.read.parquet(path)
       .repartition(n)
       .write.mode(SaveMode.Overwrite).parquet(staging)
@@ -107,12 +133,19 @@ object Layout {
                         minFiles: Int = 2): Unit = {
     val (fs, root) = fsFor(spark, path)
     if (!fs.exists(root)) return
-    fs.listStatus(root)
-      .filter(s => s.isDirectory && s.getPath.getName.contains("="))
-      .foreach { part =>
-        if (dataFileSizes(spark, part.getPath.toString).size > minFiles)
-          compact(spark, part.getPath.toString, targetBytes)
-      }
+    // recurse to LEAF partition dirs: compacting a non-leaf level would
+    // read nested partition columns as data and flatten the layout
+    def leaves(dir: Path): Seq[Path] = {
+      val parts = fs.listStatus(dir).filter(s =>
+        s.isDirectory && s.getPath.getName.contains("=") &&
+          !s.getPath.getName.startsWith("."))
+      if (parts.isEmpty) Seq(dir)
+      else parts.toSeq.flatMap(p => leaves(p.getPath))
+    }
+    leaves(root).filter(_ != root).foreach { part =>
+      if (dataFileSizes(spark, part.toString).size > minFiles)
+        compact(spark, part.toString, targetBytes)
+    }
   }
 
   /** Range-partition on `sortCol` and sort rows within each partition

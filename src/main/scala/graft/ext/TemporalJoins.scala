@@ -46,8 +46,11 @@ object TemporalJoins {
     * before the probe time — the market-data/feature-snapshot shape;
     * "forward" attaches the EARLIEST quote at or after it — the
     * next-maintenance / next-session shape (pandas merge_asof
-    * direction='forward'). Same single-shuffle plan either way: the
-    * forward fill is `first` over the mirrored window frame.
+    * direction='forward'). Forward is the SAME plan with only the time
+    * sort mirrored (desc): the fill stays `last` over the running
+    * [unboundedPreceding, currentRow] frame, which Spark evaluates
+    * incrementally — an UnboundedFollowing frame would be recomputed
+    * per row, O(n^2) on a hot key.
     *
     * @param payload quote columns to carry onto probe rows; names must
     *                not collide with probe columns.
@@ -64,36 +67,25 @@ object TemporalJoins {
     val pay = "__graft_pay"
     val qts = "__graft_qts"
     val probeCols = probes.columns.toSeq
-    // quotes sort toward the probe at equal time: before it (side asc,
-    // probe=1) for backward, after it (probe=0) for forward — equal-time
-    // quotes are included in both directions
-    val p = probes.withColumn(side, lit(if (backward) 1 else 0))
-      .withColumn(tie, lit(null).cast("long"))
+    val p = probes.withColumn(side, lit(1)).withColumn(tie, lit(null).cast("long"))
     val q = quotes
       .withColumn(tie, tieBreak.cast("long")) // before projecting quote cols away
       .select((keys :+ timeCol).map(col) :+ col(tie) :+
         struct(payload.map(col) :+ col(timeCol).as(qts): _*).as(pay): _*)
-      .withColumn(side, lit(if (backward) 0 else 1))
+      .withColumn(side, lit(0))
     // probe rows get pay = NULL from the missing-column union, so the
-    // ignoreNulls fill skips them and lands on whole quote rows only
+    // ignoreNulls fill skips them and lands on whole quote rows only.
+    // In both directions quotes sort toward the probe (side asc at equal
+    // time => inclusive) and the greatest tieBreak lands nearest it.
     val unioned = p.unionByName(q, allowMissingColumns = true)
-    // greatest tieBreak wins in both directions: asc under last() (the
-    // greatest sorts nearest the probe), desc under first()
-    val tieOrd = if (backward) col(tie).asc_nulls_last
-                 else col(tie).desc_nulls_last
-    val w0 = Window
+    val timeOrd = if (backward) col(timeCol).asc else col(timeCol).desc
+    val w = Window
       .partitionBy(keys.map(col): _*)
-      .orderBy(col(timeCol).asc, col(side).asc, tieOrd)
-    val filled =
-      if (backward)
-        last(col(pay), ignoreNulls = true)
-          .over(w0.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-      else
-        first(col(pay), ignoreNulls = true)
-          .over(w0.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+      .orderBy(timeOrd, col(side).asc, col(tie).asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
-      .withColumn(pay, filled)
-      .filter(col(side) === lit(if (backward) 1 else 0))
+      .withColumn(pay, last(col(pay), ignoreNulls = true).over(w))
+      .filter(col(side) === 1)
       .select(probeCols.map(col) ++
         payload.map(c => col(pay).getField(c).as(c)) :+
         col(pay).getField(qts).as("asof_time"): _*)

@@ -453,8 +453,10 @@ object ExtQueries {
     // the LOADED parquet tables — the path every later job takes (the
     // in-session frames are localCheckpoints, session-lifetime only)
     val (builtC, builtI) = Similarity.ivfIndex(emb, k = 16)
-    val idxPath = java.nio.file.Files
-      .createTempDirectory("graft-ivf").toString + "/idx"
+    // fixed per-dataset location, overwritten each run — repeated bench
+    // passes must not leak an index copy per invocation
+    val idxPath = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft-ivf-${Integer.toHexString(d.hashCode)}").getAbsolutePath
     Similarity.saveIndex(builtC, builtI, idxPath)
     val (centroids, index) = Similarity.loadIndex(s, idxPath)
     val q = perturbed(s, d)

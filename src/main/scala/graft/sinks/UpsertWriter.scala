@@ -58,25 +58,45 @@ object UpsertWriter {
                         staleMs: Long = 30L * 60 * 1000)(body: => T): T = {
     val lock = new Path(path + ".__lock")
     val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the token identifies THIS writer's lock: release deletes only a
+    // lock we still own, never one a stale-break usurper re-created
+    val token = java.util.UUID.randomUUID().toString
     def tryAcquire(): Boolean =
       try {
         val out = fs.create(lock, false) // throws if the lock exists
-        out.writeLong(System.currentTimeMillis()); out.close(); true
+        out.writeLong(System.currentTimeMillis())
+        out.writeUTF(token); out.close(); true
       } catch { case _: java.io.IOException => false }
+    def readLock(): Option[(Long, String)] =
+      try {
+        val in = fs.open(lock)
+        try Some((in.readLong(), in.readUTF())) finally in.close()
+      } catch { case _: java.io.IOException => None } // gone or unreadable
     var acquired = tryAcquire()
     if (!acquired) {
-      val age =
-        try {
-          val in = fs.open(lock)
-          val t = try in.readLong() finally in.close()
-          System.currentTimeMillis() - t
-        } catch { case _: java.io.IOException => Long.MaxValue } // unreadable => stale
-      if (age > staleMs) { fs.delete(lock, false); acquired = tryAcquire() }
+      val stale = readLock() match {
+        case Some((ts, _)) => System.currentTimeMillis() - ts > staleMs
+        case None => true // vanished or unreadable: retry the acquire
+      }
+      if (stale) {
+        // break by RENAME (atomic): of N waiters, exactly one moves the
+        // stale lock aside; a plain delete could remove the winner's
+        // freshly created lock and let two writers in
+        val broken = new Path(path + ".__lock.broken")
+        fs.delete(broken, false)
+        if (fs.rename(lock, broken)) fs.delete(broken, false)
+        acquired = tryAcquire()
+      }
     }
     if (!acquired) throw new IllegalStateException(
       s"upsert target $path is locked by a concurrent writer " +
-        s"(single-writer contract; stale locks break after ${staleMs}ms)")
-    try body finally fs.delete(lock, false)
+        s"(single-writer contract; stale locks break after ${staleMs}ms — " +
+        "set staleMs above the worst-case upsert duration)")
+    try body finally {
+      // release only our own lock: if it outlived staleMs and was
+      // usurped, the usurper's lock must survive us
+      if (readLock().exists(_._2 == token)) fs.delete(lock, false)
+    }
   }
 
   /** Lake upsert: read current table (if any), merge, overwrite atomically

@@ -74,6 +74,11 @@ object EventPipeline {
     * restarts its rollup from zero — the operator models "activity
     * within the horizon", and the Update-mode sink upserts by key
     * either way. */
+  /** Internal state for [[userSessions]]: the rollup plus the greatest
+    * event time seen, so a purely-late batch can never pull the idle
+    * timeout EARLIER than the key's true latest activity. */
+  case class RollupState(n_events: Long, total: Double, last_seen: Long)
+
   def userSessions(events: Dataset[Event], spark: SparkSession,
                    watermark: String = "1 hour",
                    idleMinutes: Int = 60): Dataset[UserSession] = {
@@ -83,23 +88,26 @@ object EventPipeline {
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.EventTimeTimeout) {
-        (uid: Long, it: Iterator[Event], state: GroupState[UserSession]) =>
+        (uid: Long, it: Iterator[Event], state: GroupState[RollupState]) =>
           if (state.hasTimedOut) {
-            val last = state.get
+            val s = state.get
             state.remove()
-            last // final re-emission; the upsert sink is idempotent
+            // final re-emission; the upsert sink is idempotent
+            UserSession(uid, s.n_events, s.total)
           } else {
-            val prev = state.getOption.getOrElse(UserSession(uid, 0L, 0.0))
+            val prev = state.getOption.getOrElse(RollupState(0L, 0.0, 0L))
             val batch = it.toSeq
-            val next = UserSession(uid, prev.n_events + batch.size,
-              prev.total + batch.map(_.value).sum)
+            val next = RollupState(prev.n_events + batch.size,
+              prev.total + batch.map(_.value).sum,
+              math.max(prev.last_seen, batch.map(_.ts.getTime).max))
             state.update(next)
-            // timeout must land beyond the current watermark (late
-            // batches could otherwise set one already in the past)
+            // timeout measures idleness from the LATEST activity ever
+            // seen, and must land beyond the current watermark (a late
+            // batch could otherwise set one already in the past)
             state.setTimeoutTimestamp(math.max(
-              batch.map(_.ts.getTime).max + idleMs,
+              next.last_seen + idleMs,
               state.getCurrentWatermarkMs + 1))
-            next
+            UserSession(uid, next.n_events, next.total)
           }
       }
   }
@@ -212,11 +220,14 @@ object EventPipeline {
               .select(col(idCol),
                 graft.ext.Hashing.tokens(col(textCol)).as("__tk"))
           else toks.select(col(idCol), col("__tk")).limit(0)
+        // kept rows land via keptSink BEFORE their signatures are
+        // registered — see incrementalDedup's crash-ordering contract
         graft.ext.Dedup
           .incrementalDedup(toks, idCol, "__tk", sigPath, threshold,
-            corpus)
-          .drop("__tk")
-          .write.mode("append").parquet(keptPath)
+            corpus,
+            keptSink = kept => kept.drop("__tk")
+              .write.mode("append").parquet(keptPath))
+        ()
       }
       .start()
 

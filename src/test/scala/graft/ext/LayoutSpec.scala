@@ -52,6 +52,45 @@ class LayoutSpec extends SparkSpec {
     assert(after == before)
   }
 
+  test("recoverSwap restores a table stranded by a crash between the " +
+      "two swap renames") {
+    val dir = java.nio.file.Files.createTempDirectory("rec").toString
+    val path = s"$dir/t"
+    (1L to 100L).toDF("k").write.parquet(path)
+    // simulate the crash window: table staged out, new one never moved in
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(s"$dir/.t.swap-old")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path)))
+    assert(Layout.recoverSwap(spark, path))
+    assert(spark.read.parquet(path).count() == 100)
+    // compact also self-recovers before reading
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(s"$dir/.t.swap-old")))
+    Layout.compact(spark, path)
+    assert(spark.read.parquet(path).count() == 100)
+  }
+
+  test("compactPartitions recurses to LEAF partitions on a multi-level " +
+      "layout — nested partition columns survive") {
+    val dir = java.nio.file.Files.createTempDirectory("cp2").toString
+    val path = s"$dir/t"
+    (1 to 6).foreach { b =>
+      Seq((b.toLong, b % 2, b % 3)).toDF("k", "p", "q")
+        .write.mode("append").partitionBy("p", "q").parquet(path)
+    }
+    val before = spark.read.parquet(path)
+      .as[(Long, Int, Int)].collect().toSet
+    Layout.compactPartitions(spark, path, minFiles = 1)
+    val after = spark.read.parquet(path)
+      .as[(Long, Int, Int)].collect().toSet
+    assert(after == before) // p and q still partition columns, data intact
+    // every leaf is a single file now
+    assert(Layout.dataFiles(spark, path).size <=
+      before.map(t => (t._2, t._3)).size)
+  }
+
   test("sortedWrite makes row-group stats selective for range predicates") {
     val dir = java.nio.file.Files.createTempDirectory("sorted").toString
     // small row groups so one file holds many prunable groups
