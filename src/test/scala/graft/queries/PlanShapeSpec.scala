@@ -34,6 +34,16 @@ class PlanShapeSpec extends SparkSpec {
       p.take(800))
   }
 
+  test("forward as-of join keeps the single-window no-join plan (and " +
+      "the incremental running frame, not UnboundedFollowing)") {
+    val p = planOf(SparkEntry.queries("q_j10b_asof_forward")(spark, sf))
+    assert(count(p, "Exchange hashpartitioning") <= 2, p.take(800))
+    assert(!p.contains("Join"), "forward as-of must not plan a join")
+    assert(count(p, "Window \\[") == 1, p.take(800))
+    assert(!p.contains("unboundedfollowing"),
+      "forward fill must use the incremental preceding frame")
+  }
+
   test("range join: hash join on the bucket key, never nested-loop") {
     // sf0.01: at sf0.001 the interval side can be empty and AQE plans
     // the join away entirely
