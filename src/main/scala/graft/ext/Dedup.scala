@@ -183,7 +183,14 @@ object Dedup {
     * docs (see [[probeSignatures]]), so probe cost stays
     * candidate-bounded while the store stays a vanishing fraction of
     * corpus bytes. The portable hash family means any engine (or a
-    * later engine version) reproduces signatures bit-for-bit. */
+    * later engine version) reproduces signatures bit-for-bit.
+    *
+    * Scale note: each probe's band join exchanges the stored-side band
+    * rows once (a billion-doc store is ~10s of GB — one modest shuffle,
+    * and AQE splits skewed boilerplate buckets). If even that shuffle
+    * matters at your batch cadence, register the banded form as a
+    * catalog table bucketed on band_key (the technique BucketedJoinSpec
+    * pins) and the probe join plans exchange-free on the stored side. */
   def writeSignatures(toks: DataFrame, idCol: String, tokCol: String,
                       path: String): Unit =
     minhashSig(toks, idCol, tokCol).drop("sh")
