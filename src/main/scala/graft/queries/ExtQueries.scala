@@ -258,6 +258,9 @@ object ExtQueries {
 
   // ===== dedup: duplicate-cluster assignment (connected components) =====
 
+  // label propagation carries the oracle row (cheapest on the shallow
+  // components near-dup graphs actually have); the O(log n)-round star
+  // variant is pinned equal by DedupSpec for the deep-graph regime
   private val dedupClusters: QFn = (s, d) =>
     Dedup.dupClusters(
       Dedup.minhashNearDupsFromTokens(nearCorpus(s, d), "doc_id", "tk", 0.5))

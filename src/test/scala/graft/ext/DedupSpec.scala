@@ -128,6 +128,31 @@ class DedupSpec extends SparkSpec {
     assert(ids == (1L to 200L).toSet)
   }
 
+  test("dupClustersStar equals dupClusters on chains, random graphs " +
+      "and the known fixture") {
+    def labelsOf(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long)].collect().toMap
+    // long chain: diameter 100 — the case star rounds exist for
+    val chain = (0L until 100L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val starChain = labelsOf(Dedup.dupClustersStar(chain))
+    assert(starChain == (0L to 100L).map(_ -> 0L).toMap)
+    // the hand-checked fixture
+    val fix = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (7L, 9L))
+      .toDF("a_id", "b_id")
+    assert(labelsOf(Dedup.dupClustersStar(fix)) ==
+      labelsOf(Dedup.dupClusters(fix)))
+    // random graphs: both implementations must agree exactly
+    val rnd = new scala.util.Random(11)
+    (1 to 3).foreach { _ =>
+      val pairs = (1 to 150)
+        .map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+        .filter(p => p._1 != p._2)
+        .toDF("a_id", "b_id")
+      assert(labelsOf(Dedup.dupClustersStar(pairs)) ==
+        labelsOf(Dedup.dupClusters(pairs, maxIter = 100)))
+    }
+  }
+
   test("deleteSignatures tombstones dropped docs; later probes no " +
       "longer match them") {
     val dir = java.nio.file.Files.createTempDirectory("tomb").toString
