@@ -346,12 +346,15 @@ object Dedup {
     */
   def dupClustersStar(pairs: DataFrame, aCol: String = "a_id",
                       bCol: String = "b_id", maxIter: Int = 50): DataFrame = {
+    // nodes come from the UNFILTERED pairs: a doc appearing only in a
+    // self-pair is a singleton cluster, not absent (same contract as
+    // dupClusters)
+    val allNodes = pairs.select(col(aCol).as("node"))
+      .unionByName(pairs.select(col(bCol).as("node"))).distinct()
+      .localCheckpoint()
     var edges = pairs.select(col(aCol).as("x"), col(bCol).as("y"))
       .filter(col("x") =!= col("y"))
       .distinct()
-      .localCheckpoint()
-    val allNodes = edges.select(col("x").as("node"))
-      .unionByName(edges.select(col("y").as("node"))).distinct()
       .localCheckpoint()
 
     // large-star: processed from the SMALLER endpoint u of every edge,
@@ -384,11 +387,18 @@ object Dedup {
     var i = 0
     while (i < maxIter && !converged) {
       val next = smallStar(largeStar(edges)).localCheckpoint()
-      converged = next.exceptAll(edges).isEmpty &&
-        edges.exceptAll(next).isEmpty
+      // both sides are distinct sets: equal counts + empty one-sided
+      // difference is full set equality at half the anti-join cost
+      converged = next.count() == edges.count() &&
+        next.exceptAll(edges).isEmpty
       edges = next
       i += 1
     }
+    // a NON-converged edge set is not a star forest — labeling it would
+    // emit duplicate doc_id rows with conflicting clusters. Fail loudly.
+    if (!converged) throw new IllegalStateException(
+      s"dupClustersStar did not converge in $maxIter rounds " +
+        "(rounds needed = O(log n)); raise maxIter")
     // converged edge set is a star forest: (node, root) with node>root;
     // roots have no outgoing edge and label themselves
     allNodes

@@ -130,12 +130,21 @@ class DedupSpec extends SparkSpec {
 
   test("dupClustersStar equals dupClusters on chains, random graphs " +
       "and the known fixture") {
-    def labelsOf(df: org.apache.spark.sql.DataFrame) =
-      df.as[(Long, Long)].collect().toMap
+    def labelsOf(df: org.apache.spark.sql.DataFrame) = {
+      val rows = df.as[(Long, Long)].collect()
+      // exactly one row per doc — toMap must not mask duplicates
+      assert(rows.length == rows.map(_._1).distinct.length,
+        "cluster assignment emitted duplicate doc_id rows")
+      rows.toMap
+    }
     // long chain: diameter 100 — the case star rounds exist for
     val chain = (0L until 100L).map(i => (i, i + 1)).toDF("a_id", "b_id")
     val starChain = labelsOf(Dedup.dupClustersStar(chain))
     assert(starChain == (0L to 100L).map(_ -> 0L).toMap)
+    // a self-pair-only doc is a singleton cluster, not absent
+    assert(labelsOf(Dedup.dupClustersStar(
+      Seq((5L, 5L), (1L, 2L)).toDF("a_id", "b_id"))) ==
+      Map(5L -> 5L, 1L -> 1L, 2L -> 1L))
     // the hand-checked fixture
     val fix = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (7L, 9L))
       .toDF("a_id", "b_id")
@@ -173,6 +182,27 @@ class DedupSpec extends SparkSpec {
       .probeSignatures(batch, "doc_id", "tk", s"$dir/sigs", 0.5, toks)
       .select("b_id").as[Long].collect().toSet
     assert(hit == Set(2L))
+  }
+
+  test("incrementalDedup compacts the store on cadence and keeps " +
+      "kept-before-signatures ordering") {
+    val dir = java.nio.file.Files.createTempDirectory("inc").toString
+    var sinkCalls = 0
+    (1 to 6).foreach { b =>
+      val batch = Seq((b * 10L, (1 to 25).map(j => s"w${b}_$j").mkString(" ")))
+        .toDF("doc_id", "text")
+        .select(col("doc_id"), Hashing.tokens(col("text")).as("tk"))
+      val kept = Dedup.incrementalDedup(batch, "doc_id", "tk",
+        s"$dir/sigs", 0.5, corpus = batch.limit(0),
+        compactAfterFiles = 2,
+        keptSink = k => { sinkCalls += 1; assert(k.count() == 1) })
+      assert(kept.count() == 1) // all docs distinct: everything kept
+    }
+    assert(sinkCalls == 6)
+    // the append-per-batch cadence was compacted back under the bound
+    assert(Layout.dataFiles(spark, s"$dir/sigs").size <= 3,
+      "store file count must stay bounded by the compaction cadence")
+    assert(spark.read.parquet(s"$dir/sigs").count() == 6)
   }
 
   test("shingles: fewer than n tokens -> empty, order-sensitive") {
