@@ -124,17 +124,19 @@ object Similarity {
     * cannot be incrementally maintained). */
   /** Nearest-centroid assignment of a (vid, vv) frame against a
     * broadcast (cid, cv) centroid table — the shared kernel of index
-    * build and incremental extension. */
+    * build and incremental extension. The argmax is a struct-max hash
+    * aggregate (max score, ties to the smallest cid via negated id),
+    * which partial-aggregates map-side — cheaper than a sort-window
+    * rank at every scale, and the n x K scored rows never shuffle. */
   private def assignToCentroids(v: DataFrame, cents: DataFrame): DataFrame = {
     val scored = sig9Score(
       v.crossJoin(broadcast(cents)),
       Seq("vid", "cid"),
       cosine(dot(col("vv"), col("cv")),
         normSq(col("vv")), normSq(col("cv"))), "score")
-    val w = Window.partitionBy(col("vid"))
-      .orderBy(col("score").desc, col("cid").asc)
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).select(col("vid"), col("cid"))
+    scored.groupBy(col("vid"))
+      .agg(max(struct(col("score"), (-col("cid")).as("negCid"))).as("b"))
+      .select(col("vid"), (-col("b.negCid")).cast("long").as("cid"))
   }
 
   def ivfIndex(vectors: DataFrame, k: Int, idCol: String = "vec_id",
