@@ -41,13 +41,25 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("content_md5"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Distinct token n-gram shingles of a token array. */
-  def shingles(toks: Column, n: Int = 3): Column =
-    when(size(toks) >= n,
-      array_distinct(transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws("_",
-          (0 until n).map(j => element_at(toks, i + j + 1)): _*))))
-      .otherwise(array().cast("array<string>"))
+  /** Distinct token n-gram shingles of a token array.
+    *
+    * The token expression is bound to a lambda variable via a
+    * single-element array before the per-position lambda touches it:
+    * Spark evaluates lambda ARGUMENTS once but does no CSE INSIDE
+    * higher-order-function lambdas, and project collapse happily
+    * inlines an upstream `tokens(text)` projection into every
+    * `element_at` reference — n references per position x L positions
+    * = O(n*L) re-tokenizations per document (measured 8x on the
+    * decontamination query before this binding). */
+  def shingles(toks: Column, n: Int = 3): Column = {
+    def over(tk: Column) =
+      when(size(tk) >= n,
+        array_distinct(transform(sequence(lit(0), size(tk) - n),
+          i => concat_ws("_",
+            (0 until n).map(j => element_at(tk, i + j + 1)): _*))))
+        .otherwise(array().cast("array<string>"))
+    element_at(transform(array(toks), tk => over(tk)), 1)
+  }
 
   /** Distinct shingle hashes in [0, P). */
   def shingleHashes(toks: Column, n: Int = 3): Column =

@@ -1,0 +1,62 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-statistics language-model scoring: per-document signals
+  * derived from a unigram frequency model of the corpus itself —
+  * the cheap LM-quality proxy every training-data pipeline runs
+  * before paying for a neural scorer.
+  *
+  * All scores are exact rationals (token count ratios), not log-probs:
+  * ln() is libm-dependent and order-sensitive, while count ratios are
+  * bit-reproducible across engines, runs and partitionings — the same
+  * determinism contract as the rest of the dedup/sampling family. The
+  * per-document mean routes through DECIMAL(38,15) so the sum is
+  * partition-order-independent.
+  *
+  * Scale shape: one corpus-keyed shuffle for the vocabulary counts,
+  * then a token-keyed shuffle join of the exploded corpus against the
+  * vocabulary, then one doc-keyed aggregation. The vocabulary join is
+  * the skewed one (stopwords hit every partition) — it is a standard
+  * equi-join, so AQE skew splitting applies; salting via [[Skew]] is
+  * the manual fallback.
+  */
+object LangModel {
+
+  /** Corpus unigram counts: (tok, c) — the "model". Persist this frame
+    * once per corpus snapshot; scoring batches join against it. */
+  def unigramCounts(toks: DataFrame, tokCol: String): DataFrame =
+    toks.select(explode(col(tokCol)).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+
+  /** Per-document unigram scores against `counts` (typically
+    * [[unigramCounts]] of the same corpus, or of a reference corpus):
+    *
+    *  - mean_tok_prob: mean over token POSITIONS of c(tok)/N — high for
+    *    documents made of common words;
+    *  - min_tok_prob: the rarest token's probability — a gibberish /
+    *    OCR-noise tripwire;
+    *  - rare_frac: fraction of positions whose token has corpus count
+    *    <= rareMax — the "mostly-unseen vocabulary" filter signal.
+    *
+    * Documents with zero tokens have no positions and drop out (same
+    * contract as the explode-based dedup operators).
+    */
+  def score(toks: DataFrame, idCol: String, tokCol: String,
+            counts: DataFrame, rareMax: Long = 2L): DataFrame = {
+    val ex = toks.select(col(idCol), explode(col(tokCol)).as("tok"))
+    val total = counts.agg(sum(col("c")).cast("long").as("n_total"))
+    val j = ex.join(counts, Seq("tok"))
+      .crossJoin(broadcast(total))
+      .select(col(idCol),
+        (col("c").cast("double") / col("n_total").cast("double")).as("p"),
+        col("c"))
+    j.groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        graft.queries.Q.davg(col("p")).as("mean_tok_prob"),
+        min(col("p")).as("min_tok_prob"),
+        (sum(when(col("c") <= rareMax, lit(1L)).otherwise(lit(0L)))
+          .cast("double") / count(lit(1))).as("rare_frac"))
+  }
+}

@@ -1,0 +1,81 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.queries.Q
+
+/** Sparse-lexical retrieval over the corpus: BM25 ranking of documents
+  * against a small query-term set — the retrieval primitive behind
+  * RAG indexing, targeted corpus audits ("show me the docs about X"),
+  * and lexical hard-negative mining.
+  *
+  * Scale design: query terms are a broadcast-sized frame, so the
+  * corpus side is explode -> broadcast-hash semi-join (map-only: the
+  * corpus is never shuffled at full width) -> per-(doc, term) counts
+  * keyed on the matched subset only. Corpus statistics (N, avgdl) are
+  * one-row broadcast frames, never driver-side collects. The final
+  * top-k is TakeOrderedAndProject (per-partition heaps + a k-row
+  * merge), not a global sort.
+  *
+  * Determinism contract: idf values are sig9-normalized (ln is the one
+  * libm-dependent step; a handful of per-term values are normalized,
+  * never per-row math), per-document term sums route through
+  * DECIMAL(38,15), and ties rank by doc id.
+  */
+object Retrieval {
+
+  /** BM25 top-k. `toks`: (idCol, tokCol: array<string>); `terms`: a
+    * small one-column frame of query terms (deduplicated internally).
+    * Output: (idCol, rank, score, n_terms_matched), rank 1..k.
+    */
+  def bm25TopK(toks: DataFrame, idCol: String, tokCol: String,
+               terms: DataFrame, k: Int = 20,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val termCol = terms.columns.head
+    val k1p1 = k1 + 1
+    val oneMinusB = 1 - b
+
+    val dl = toks.select(col(idCol), size(col(tokCol)).cast("long").as("dl"))
+      .filter(col("dl") > 0)
+    val stats = dl.agg(count(lit(1)).cast("long").as("n_docs"),
+      Q.davg(col("dl").cast("double")).as("avgdl"))
+
+    val tf = toks.select(col(idCol), explode(col(tokCol)).as("term"))
+      .join(broadcast(terms.select(col(termCol).as("term")).distinct()),
+        Seq("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+
+    // Robertson-Sparck Jones idf with the +1 floor (Lucene form): always
+    // positive, so matching a common term never pushes a doc below a
+    // non-matching one.
+    val idf = tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast("long").as("df"))
+      .crossJoin(broadcast(stats.select(col("n_docs"))))
+      .select(col("term"), Q.sig9(log(
+        (col("n_docs").cast("double") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5)) + lit(1.0))).as("idf"))
+
+    val perTerm = tf.join(broadcast(idf), Seq("term"))
+      .join(dl, Seq(idCol))
+      .crossJoin(broadcast(stats.select(col("avgdl"))))
+      .select(col(idCol),
+        ((col("idf") * (col("tf").cast("double") * lit(k1p1))) /
+          (col("tf").cast("double") + lit(k1) *
+            (lit(oneMinusB) + lit(b) * col("dl").cast("double")
+              / col("avgdl")))).as("s"))
+
+    val scored = perTerm.groupBy(col(idCol))
+      .agg(Q.sig9(sum(col("s").cast(DecimalType(38, 15))).cast("double"))
+        .as("score"),
+        count(lit(1)).cast("long").as("n_terms_matched"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k) // TakeOrderedAndProject — no global sort at scale
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col(idCol).asc) // k rows — safe
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col(idCol), col("rank"), col("score"),
+        col("n_terms_matched"))
+  }
+}

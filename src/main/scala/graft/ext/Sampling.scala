@@ -38,6 +38,31 @@ object Sampling {
       .withColumn("keep", col("u") < rate)
   }
 
+  /** Deterministic train/val/test split assignment: the same salted
+    * hash coin as [[stratified]], cut at the cumulative weight
+    * boundaries. Appending documents later never reassigns an earlier
+    * one, and the same key always lands in the same split across runs
+    * and engines — the property that keeps eval sets honest. Cumulative
+    * boundaries are computed once in driver Scala and embedded as
+    * literals, so float-summation order is fixed.
+    *
+    * `weights`: ordered (name, weight) pairs summing to 1; the last
+    * split takes the remainder so rounding can never orphan a row. */
+  def splitAssign(df: DataFrame, keyCol: String,
+                  weights: Seq[(String, Double)],
+                  salt: String = "split"): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 >= 0) &&
+      math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
+      "weights must be non-negative and sum to 1")
+    val u = unitHash(col(keyCol), salt)
+    val cum = weights.map(_._2).scanLeft(0.0)(_ + _).tail
+    val split = weights.init.zip(cum.init)
+      .foldRight(lit(weights.last._1): Column) { case (((name, _), c), acc) =>
+        when(u < c, lit(name)).otherwise(acc)
+      }
+    df.withColumn("u", u).withColumn("split", split)
+  }
+
   /** Cap each stratum at `maxPerStratum` rows ("at most N documents per
     * domain"): rows ranked by the salted hash coin (tie-broken by key)
     * so the retained subset is a uniform, reproducible sample of the

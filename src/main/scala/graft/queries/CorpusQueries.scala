@@ -1,0 +1,222 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ext.{Decontam, Hashing, LangModel, Layout, Retrieval, Sampling}
+import Q._
+
+/** Round-5 corpus operators under the DuckDB oracle: benchmark
+  * decontamination, unigram-LM scoring, BM25 retrieval, deterministic
+  * split assignment, and the z-order clustering value. Same parity
+  * conventions as [[ExtQueries]] (portable md5 hashing, decimal-routed
+  * double aggregation, sig9 normalization of the only libm-dependent
+  * step).
+  */
+object CorpusQueries {
+  type QFn = (SparkSession, String) => DataFrame
+
+  private val P = Hashing.P
+  private val hashSql = (e: String) =>
+    s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+  private val hashPSql = (e: String) => s"${hashSql(e)} % $P"
+
+  private val toksSql =
+    """toks AS (
+      |  SELECT doc_id, source,
+      |         list_filter(string_split(text, ' '), t -> t <> '') AS tk
+      |  FROM documents)""".stripMargin
+
+  /** Distinct 5-gram hashes of a token-array column (mirrors
+    * Dedup.shingleHashes(_, 5): distinct shingle strings, then distinct
+    * hashes). */
+  private def ng5Sql(arr: String) = {
+    val shingle = (1 to 5).map(j => s"$arr[i+$j]").mkString(" || '_' || ")
+    s"list_distinct(list_transform(list_distinct(list_transform(" +
+      s"range(0, len($arr) - 4), i -> $shingle)), s -> ${hashPSql("s")}))"
+  }
+
+  // ===== benchmark decontamination ======================================
+
+  /** The benchmark set is a 10-token excerpt (tokens 3..12) of every
+    * 31st document — so those documents are planted true positives and
+    * the oracle adjudicates both the hit accounting and the negatives. */
+  private val decontam: QFn = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), Hashing.tokens(col("text")).as("tk"))
+    val benchTk = toks.filter(col("doc_id") % 31 === 0)
+      .select(slice(col("tk"), 3, 10).as("bt"))
+    Decontam.overlap(toks, "doc_id", "tk",
+      Decontam.benchNgrams(benchTk, "bt", 5), 5)
+  }
+
+  private val decontamSql =
+    s"""WITH $toksSql,
+       |bex AS (
+       |  SELECT tk[3:12] AS bt FROM toks WHERE doc_id % 31 = 0),
+       |bng AS (
+       |  SELECT DISTINCT unnest(${ng5Sql("bt")}) AS h FROM bex),
+       |dng AS (
+       |  SELECT doc_id, ${ng5Sql("tk")} AS ng FROM toks),
+       |hits AS (
+       |  SELECT u.doc_id, CAST(COUNT(*) AS BIGINT) AS nh
+       |  FROM (SELECT doc_id, unnest(ng) AS h FROM dng) u
+       |  JOIN bng USING (h)
+       |  GROUP BY u.doc_id)
+       |SELECT doc_id, CAST(len(ng) AS BIGINT) AS n_ngrams,
+       |  CAST(COALESCE(nh, 0) AS BIGINT) AS n_hits,
+       |  CASE WHEN len(ng) > 0
+       |       THEN CAST(COALESCE(nh, 0) AS DOUBLE) / len(ng)
+       |       ELSE NULL END AS contam_frac,
+       |  COALESCE(nh, 0) > 0 AS contaminated
+       |FROM dng LEFT JOIN hits USING (doc_id)""".stripMargin
+
+  // ===== unigram-LM scoring =============================================
+
+  private val unigramLm: QFn = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), Hashing.tokens(col("text")).as("tk"))
+    LangModel.score(toks, "doc_id", "tk",
+      LangModel.unigramCounts(toks, "tk"))
+  }
+
+  private val unigramLmSql =
+    s"""WITH $toksSql,
+       |u AS (SELECT doc_id, unnest(tk) AS tok FROM toks),
+       |c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM u GROUP BY tok),
+       |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM c),
+       |j AS (
+       |  SELECT u.doc_id,
+       |         CAST(c.c AS DOUBLE) / CAST(n.n_total AS DOUBLE) AS p,
+       |         c.c AS c
+       |  FROM u JOIN c USING (tok) CROSS JOIN n)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  ${sqlDavg("p")} AS mean_tok_prob,
+       |  MIN(p) AS min_tok_prob,
+       |  CAST(SUM(CASE WHEN c <= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+       |    AS rare_frac
+       |FROM j GROUP BY doc_id""".stripMargin
+
+  // ===== BM25 retrieval =================================================
+
+  private val bm25K1 = 1.2
+  private val bm25B = 0.75
+
+  /** Query terms: the distinct first 12 tokens of document 7 — a
+    * deterministic stand-in for user query input. */
+  private val bm25: QFn = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), Hashing.tokens(col("text")).as("tk"))
+    val terms = toks.filter(col("doc_id") === 7)
+      .select(explode(slice(col("tk"), 1, 12)).as("term")).distinct()
+    Retrieval.bm25TopK(toks, "doc_id", "tk", terms, k = 20,
+      k1 = bm25K1, b = bm25B)
+  }
+
+  private val bm25Sql = {
+    val k1p1 = bm25K1 + 1
+    val oneMinusB = 1 - bm25B
+    val idfExpr = "ln((CAST(n_docs AS DOUBLE) - df + CAST(0.5 AS DOUBLE)) " +
+      "/ (df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))"
+    val sExpr = s"(idf * (CAST(tf AS DOUBLE) * CAST($k1p1 AS DOUBLE))) " +
+      s"/ (CAST(tf AS DOUBLE) + CAST($bm25K1 AS DOUBLE) " +
+      s"* (CAST($oneMinusB AS DOUBLE) " +
+      s"+ CAST($bm25B AS DOUBLE) * CAST(dl AS DOUBLE) / avgdl))"
+    s"""WITH $toksSql,
+       |dl AS (
+       |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl
+       |  FROM toks WHERE len(tk) > 0),
+       |st AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |         ${sqlDavg("CAST(dl AS DOUBLE)")} AS avgdl
+       |  FROM dl),
+       |terms AS (
+       |  SELECT DISTINCT unnest(tk[1:12]) AS term FROM toks
+       |  WHERE doc_id = 7),
+       |u AS (SELECT doc_id, unnest(tk) AS term FROM toks),
+       |tf AS (
+       |  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM u JOIN terms USING (term) GROUP BY doc_id, term),
+       |dfq AS (
+       |  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+       |idf AS (
+       |  SELECT term, ${sqlSig9(idfExpr)} AS idf FROM dfq CROSS JOIN st),
+       |sc AS (
+       |  SELECT tf.doc_id, $sExpr AS s
+       |  FROM tf JOIN idf USING (term) JOIN dl USING (doc_id)
+       |  CROSS JOIN st),
+       |ag AS (
+       |  SELECT doc_id, ${sqlDsum("s")} AS score,
+       |         CAST(COUNT(*) AS BIGINT) AS n_terms_matched
+       |  FROM sc GROUP BY doc_id),
+       |r AS (
+       |  SELECT doc_id, score, n_terms_matched,
+       |         ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn
+       |  FROM ag)
+       |SELECT doc_id, CAST(rn AS BIGINT) AS "rank", score, n_terms_matched
+       |FROM r WHERE rn <= 20""".stripMargin
+  }
+
+  // ===== deterministic split assignment =================================
+
+  private val splitWeights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+  // cumulative boundaries computed ONCE here and embedded as literals on
+  // both sides, so float-summation order cannot diverge
+  private val splitCum =
+    splitWeights.map(_._2).scanLeft(0.0)(_ + _).tail
+
+  private val splitAssignQ: QFn = (s, d) =>
+    Sampling.splitAssign(
+      Tables.documents(s, d).select(col("doc_id"), col("source")),
+      "doc_id", splitWeights)
+
+  private val splitAssignSql = {
+    val cases = splitWeights.init.zip(splitCum.init)
+      .map { case ((name, _), c) =>
+        s"WHEN u < CAST($c AS DOUBLE) THEN '$name'"
+      }.mkString(" ")
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |    CAST(${hashSql("'split:' || CAST(doc_id AS VARCHAR)")} % 1000000
+       |      AS DOUBLE) / 1000000.0 AS u
+       |  FROM documents)
+       |SELECT doc_id, source, u,
+       |  CASE $cases ELSE '${splitWeights.last._1}' END AS split
+       |FROM t""".stripMargin
+  }
+
+  // ===== z-order clustering value =======================================
+
+  /** The z-value itself is the oracle-checkable part of z-order
+    * clustering (the layout effect is pinned by LayoutSpec on scan
+    * metrics): 16-bit interleave of (l_partkey, l_suppkey) per
+    * lineitem row. */
+  private val zorderQ: QFn = (s, d) =>
+    Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+      Layout.zorderValue(col("l_partkey"), col("l_suppkey"), 16).as("zval"))
+
+  private val zorderSql = {
+    val terms = (0 until 16).flatMap { i =>
+      Seq(
+        s"((((CAST(l_partkey AS BIGINT) & 65535) >> $i) & 1) << ${2 * i})",
+        s"((((CAST(l_suppkey AS BIGINT) & 65535) >> $i) & 1) << ${2 * i + 1})")
+    }.mkString(" + ")
+    s"""SELECT l_orderkey, l_linenumber,
+       |  CAST($terms AS BIGINT) AS zval
+       |FROM lineitem""".stripMargin
+  }
+
+  val queries: Map[String, QFn] = Map(
+    "q_x_decontam" -> decontam,
+    "q_x_unigram_lm" -> unigramLm,
+    "q_x_bm25" -> bm25,
+    "q_x_split" -> splitAssignQ,
+    "q_x_zorder" -> zorderQ)
+
+  val oracles: Map[String, String] = Map(
+    "q_x_decontam" -> decontamSql,
+    "q_x_unigram_lm" -> unigramLmSql,
+    "q_x_bm25" -> bm25Sql,
+    "q_x_split" -> splitAssignSql,
+    "q_x_zorder" -> zorderSql)
+}

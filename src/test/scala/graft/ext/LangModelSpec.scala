@@ -1,0 +1,51 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LangModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val toks = Seq(
+    (1L, "a a b"), (2L, "b c"), (3L, ""))
+    .toDF("doc_id", "text")
+    .select(col("doc_id"), Hashing.tokens(col("text")).as("tk"))
+
+  test("unigramCounts counts corpus occurrences") {
+    val c = LangModel.unigramCounts(toks, "tk")
+      .as[(String, Long)].collect().toMap
+    assert(c == Map("a" -> 2L, "b" -> 2L, "c" -> 1L))
+  }
+
+  test("score: exact probabilities, min, and rare fraction; empty docs " +
+      "drop out") {
+    val counts = LangModel.unigramCounts(toks, "tk")
+    // N = 5; p(a) = p(b) = 0.4, p(c) = 0.2
+    val r = LangModel.score(toks, "doc_id", "tk", counts, rareMax = 1L)
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(r.keySet == Set(1L, 2L)) // doc 3 has no positions
+    val d1 = r(1L)
+    assert(d1.getLong(1) == 3L)
+    assert(math.abs(d1.getDouble(2) - 0.4) < 1e-9) // (.4+.4+.4)/3
+    assert(d1.getDouble(3) == 0.4)
+    assert(d1.getDouble(4) == 0.0) // no token with corpus count <= 1
+    val d2 = r(2L)
+    assert(d2.getLong(1) == 2L)
+    assert(math.abs(d2.getDouble(2) - 0.3) < 1e-9) // (.4+.2)/2
+    assert(d2.getDouble(3) == 0.2)
+    assert(d2.getDouble(4) == 0.5) // c is rare
+  }
+
+  test("scoring is deterministic across runs and partitionings") {
+    val docs = (1L to 500L)
+      .map(i => (i, s"tok${i % 7} tok${i % 13} tok${i % 7}"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Hashing.tokens(col("text")).as("tk"))
+    val counts = LangModel.unigramCounts(docs, "tk")
+    val once = LangModel.score(docs, "doc_id", "tk", counts)
+      .collect().toSet
+    val again = LangModel.score(docs.repartition(7), "doc_id", "tk",
+      LangModel.unigramCounts(docs.repartition(3), "tk")).collect().toSet
+    assert(once == again)
+  }
+}

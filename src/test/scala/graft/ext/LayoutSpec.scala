@@ -91,6 +91,55 @@ class LayoutSpec extends SparkSpec {
       before.map(t => (t._2, t._3)).size)
   }
 
+  test("zorderValue interleaves bits (a even positions, b odd) and " +
+      "masks to the bit budget") {
+    val df = Seq((3L, 5L)).toDF("a", "b")
+    // a=11b, b=101b: z = a0 + 2*b0 + 4*a1 + 8*b1 + 16*a2 + 32*b2 = 39
+    val z = df.select(Layout.zorderValue(col("a"), col("b"), 8))
+      .as[Long].head()
+    assert(z == 39L)
+    // values beyond the budget wrap via masking: 7 & 3 == 3
+    val z2 = df.select(Layout.zorderValue(col("a") + 4, col("b"), 2))
+      .as[Long].head()
+    assert(z2 == df.select(Layout.zorderValue(col("a"), col("b"), 2))
+      .as[Long].head())
+  }
+
+  test("zorderedWrite prunes scans on BOTH dimensions where a " +
+      "single-column sort serves only its own") {
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    spark.conf.set("spark.sql.parquet.blockSize", (64 * 1024).toString)
+    // 256x256 grid, scrambled input order
+    val n = 256
+    val df = spark.range(n.toLong * n)
+      .select((col("id") * 2654435761L % (n.toLong * n)).as("i"))
+      .select((col("i") % n).as("x"), (col("i") / n).as("y"))
+    val predY = col("y") >= 0 && col("y") < 8 // thin slice on y
+
+    // 32 z-range files ~= 32 spatial tiles; a thin slice on either
+    // dimension intersects only the tiles straddling it
+    Layout.sortedWrite(df, s"$dir/byx", "x", partitions = 4)
+    Layout.zorderedWrite(df, s"$dir/z", "x", "y", partitions = 32, bits = 8)
+
+    // same rows either way, helper column dropped
+    assert(spark.read.parquet(s"$dir/z").columns.toSeq == Seq("x", "y"))
+    assert(spark.read.parquet(s"$dir/z").filter(predY).count() ==
+      spark.read.parquet(s"$dir/byx").filter(predY).count())
+
+    val xSortedRead = scanRows(spark.read.parquet(s"$dir/byx").filter(predY))
+    val zRead = scanRows(spark.read.parquet(s"$dir/z").filter(predY))
+    assert(xSortedRead == n.toLong * n) // sorted on x: y stats prune nothing
+    assert(zRead <= n.toLong * n / 3,
+      s"z-ordered scan surfaced $zRead rows; expected spatial pruning")
+    // and the x dimension still prunes too (coarser: with 2048-row
+    // tiles the even-bit dimension spans 64-wide x 32-tall rectangles,
+    // so an x slice crosses 2x more tiles than a y slice)
+    val zReadX = scanRows(spark.read.parquet(s"$dir/z")
+      .filter(col("x") >= 0 && col("x") < 8))
+    assert(zReadX <= n.toLong * n * 2 / 5,
+      s"z-ordered x-scan surfaced $zReadX rows; expected spatial pruning")
+  }
+
   test("sortedWrite makes row-group stats selective for range predicates") {
     val dir = java.nio.file.Files.createTempDirectory("sorted").toString
     // small row groups so one file holds many prunable groups

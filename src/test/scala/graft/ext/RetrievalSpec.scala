@@ -1,0 +1,57 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def toks(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+      .select(col("doc_id"), Hashing.tokens(col("text")).as("tk"))
+
+  private val corpus = toks(
+    1L -> "x x x y pad pad pad",
+    2L -> "x z pad pad pad pad pad",
+    3L -> "w w pad pad pad pad pad")
+  private val terms = Seq("x", "y").toDF("term")
+
+  test("bm25 ranks by matched-term weight; non-matching docs are absent") {
+    val r = Retrieval.bm25TopK(corpus, "doc_id", "tk", terms)
+      .collect().map(x =>
+        (x.getLong(0), x.getLong(1), x.getDouble(2), x.getLong(3)))
+      .sortBy(_._2)
+    assert(r.map(_._1).toSeq == Seq(1L, 2L)) // doc 3 matches nothing
+    assert(r.map(_._2).toSeq == Seq(1L, 2L)) // ranks 1..k, no gaps
+    val byDoc = r.map(x => x._1 -> x).toMap
+    assert(byDoc(1L)._3 > byDoc(2L)._3) // tf 3+1 on both terms beats tf 1
+    assert(byDoc(1L)._4 == 2L && byDoc(2L)._4 == 1L) // n_terms_matched
+    assert(r.forall(_._3 > 0)) // the +1 idf floor keeps scores positive
+  }
+
+  test("k truncates the ranking deterministically") {
+    val top1 = Retrieval.bm25TopK(corpus, "doc_id", "tk", terms, k = 1)
+      .collect()
+    assert(top1.length == 1 && top1.head.getLong(0) == 1L)
+  }
+
+  test("duplicate query terms don't double-count") {
+    val dup = Seq("x", "x", "y").toDF("term")
+    val a = Retrieval.bm25TopK(corpus, "doc_id", "tk", terms).collect().toSet
+    val b = Retrieval.bm25TopK(corpus, "doc_id", "tk", dup).collect().toSet
+    assert(a == b)
+  }
+
+  test("scores are reproducible across partitionings") {
+    val docs = (1L to 300L)
+      .map(i => (i, s"t${i % 5} t${i % 11} t${i % 3} filler$i"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Hashing.tokens(col("text")).as("tk"))
+    val q = Seq("t1", "t2", "t4").toDF("term")
+    val once = Retrieval.bm25TopK(docs, "doc_id", "tk", q)
+      .collect().toSet
+    val again = Retrieval.bm25TopK(docs.repartition(13), "doc_id", "tk", q)
+      .collect().toSet
+    assert(once == again)
+  }
+}

@@ -46,6 +46,35 @@ class SamplingSpec extends SparkSpec {
     assert(small.count() == 50)
   }
 
+  test("splitAssign partitions every row into named splits at ~weights") {
+    val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val r = Sampling.splitAssign(docs, "id", w)
+    assert(r.count() == 4000) // every row assigned
+    val counts = r.groupBy("split").count().as[(String, Long)]
+      .collect().toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts("train") > 3000 && counts("train") < 3400)
+    assert(counts("val") > 250 && counts("val") < 550)
+    assert(counts("test") > 250 && counts("test") < 550)
+  }
+
+  test("splitAssign is append-stable: later rows never reassign " +
+      "earlier ones") {
+    val w = Seq("train" -> 0.5, "val" -> 0.5)
+    val first = Sampling.splitAssign(docs.limit(200), "id", w)
+      .select("id", "split").as[(Long, String)].collect().toSet
+    val later = Sampling.splitAssign(docs, "id", w)
+      .filter(col("id") <= 200L)
+      .select("id", "split").as[(Long, String)].collect().toSet
+    assert(first == later)
+  }
+
+  test("splitAssign rejects weights that don't sum to 1") {
+    intercept[IllegalArgumentException] {
+      Sampling.splitAssign(docs, "id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
   test("different salts draw independent coins") {
     val a = Sampling.stratified(docs, "id", "src", Map.empty, 0.5, "a")
       .filter(col("keep")).select("id").as[Long].collect().toSet
