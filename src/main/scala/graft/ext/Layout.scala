@@ -169,26 +169,30 @@ object Layout {
     * OPTIMIZE ZORDER does). Statically unrolled bit ops — one codegen'd
     * projection, no UDF. Values above 2^bits wrap via masking; rank or
     * bucket wide-domain columns into the bit budget first. */
-  def zorderValue(a: Column, b: Column, bits: Int = 16): Column = {
-    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+  def zorderValue(a: Column, b: Column, bits: Int = 16): Column =
+    zorderValueN(Seq(a, b), bits)
+
+  /** N-column z-value: bit i of column j lands at position i*k + j.
+    * k*bits must fit a positive long (<= 63). */
+  def zorderValueN(cols: Seq[Column], bits: Int): Column = {
+    val k = cols.size
+    require(k >= 1 && bits >= 1 && k * bits <= 63,
+      s"need 1 <= cols*bits <= 63, got $k x $bits")
     val mask = (1L << bits) - 1
-    val am = a.cast("long").bitwiseAND(lit(mask))
-    val bm = b.cast("long").bitwiseAND(lit(mask))
-    (0 until bits).map { i =>
-      shiftleft(shiftrightunsigned(am, i).bitwiseAND(lit(1L)), 2 * i)
-        .bitwiseOR(
-          shiftleft(shiftrightunsigned(bm, i).bitwiseAND(lit(1L)), 2 * i + 1))
-    }.reduce(_ bitwiseOR _)
+    val masked = cols.map(_.cast("long").bitwiseAND(lit(mask)))
+    (for { i <- 0 until bits; (c, j) <- masked.zipWithIndex }
+      yield shiftleft(shiftrightunsigned(c, i).bitwiseAND(lit(1L)), i * k + j))
+      .reduce(_ bitwiseOR _)
   }
 
-  /** Write `df` clustered by the z-order of (colA, colB): range-
-    * partition on the z-value, sort within partitions, drop the helper
-    * column. After this, a range predicate on EITHER column prunes row
+  /** Write `df` clustered by the z-order of `zCols`: range-partition on
+    * the z-value, sort within partitions, drop the helper column. After
+    * this, a range predicate on ANY of the clustered columns prunes row
     * groups/files by min/max stats (LayoutSpec proves it on scan
     * metrics); a single-column sort only serves its own column. */
-  def zorderedWrite(df: DataFrame, path: String, colA: String, colB: String,
+  def zorderedWrite(df: DataFrame, path: String, zCols: Seq[String],
                     partitions: Int, bits: Int = 16): Unit =
-    df.withColumn("__z", zorderValue(col(colA), col(colB), bits))
+    df.withColumn("__z", zorderValueN(zCols.map(col), bits))
       .repartitionByRange(partitions, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")

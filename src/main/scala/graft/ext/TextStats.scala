@@ -116,11 +116,16 @@ object TextStats {
       slice(col("tk"), lit(1), size(col("tk")) - 1),
       slice(col("tk"), lit(2), size(col("tk")) - 1),
       (x, y) => concat_ws(" ", x, y))
+    // two-level aggregate, not countDistinct+count in one agg: mixing a
+    // distinct and a plain aggregate plans an Expand (2x rows through
+    // the shuffle); per-(doc, bigram) counts partial-aggregate map-side
+    // and the second level reads distinct-count as count(*) for free
     val big = base
       .select(col(idCol), explode(bigrams).as("bg"))
+      .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("c"))
       .groupBy(col(idCol))
-      .agg((lit(1.0) - countDistinct(col("bg")).cast("double") /
-        count(lit(1)).cast("double")).as("dup_bigram_frac"))
+      .agg((lit(1.0) - count(lit(1)).cast("double") /
+        sum(col("c")).cast("double")).as("dup_bigram_frac"))
     base.select(col(idCol))
       .join(uni, Seq(idCol), "left")
       .join(big, Seq(idCol), "left")

@@ -103,6 +103,15 @@ class LayoutSpec extends SparkSpec {
       .as[Long].head()
     assert(z2 == df.select(Layout.zorderValue(col("a"), col("b"), 2))
       .as[Long].head())
+    // N-column form: bit i of column j lands at position i*k + j
+    // a=10b, b=1b, c=1b: b0 of b -> pos 1, b0 of c -> pos 2, b1 of a -> pos 3
+    val z3 = Seq((2L, 1L, 1L)).toDF("a", "b", "c")
+      .select(Layout.zorderValueN(Seq(col("a"), col("b"), col("c")), 4))
+      .as[Long].head()
+    assert(z3 == 14L)
+    intercept[IllegalArgumentException] {
+      Layout.zorderValueN(Seq(col("a"), col("b"), col("c")), 22) // 66 bits
+    }
   }
 
   test("zorderedWrite prunes scans on BOTH dimensions where a " +
@@ -119,7 +128,8 @@ class LayoutSpec extends SparkSpec {
     // 32 z-range files ~= 32 spatial tiles; a thin slice on either
     // dimension intersects only the tiles straddling it
     Layout.sortedWrite(df, s"$dir/byx", "x", partitions = 4)
-    Layout.zorderedWrite(df, s"$dir/z", "x", "y", partitions = 32, bits = 8)
+    Layout.zorderedWrite(df, s"$dir/z", Seq("x", "y"), partitions = 32,
+      bits = 8)
 
     // same rows either way, helper column dropped
     assert(spark.read.parquet(s"$dir/z").columns.toSeq == Seq("x", "y"))
