@@ -17,12 +17,19 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // optional comma-separated subset for fast local iteration; the
-    // driver sets nothing and gets the full surface
+    // driver sets nothing and gets the full surface. Unknown names are
+    // a loud failure — a typo must not produce a vacuous green run.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
-    SparkEntry.queries
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(names.nonEmpty && unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY: empty or unknown queries: ${unknown.mkString(",")}")
+    }
+    val selected = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    println(s"[verify] running ${selected.size} queries")
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -42,16 +42,23 @@ object LangModel {
     *
     * Documents with zero tokens have no positions and drop out (same
     * contract as the explode-based dedup operators).
+    *
+    * Out-of-vocabulary tokens (absent from `counts` — only possible
+    * when scoring against a REFERENCE corpus) score p = 0 and count as
+    * rare: the left join keeps every position, so a document the
+    * reference has never seen scores as maximally suspicious instead
+    * of silently scoring only its common tokens (or vanishing).
     */
   def score(toks: DataFrame, idCol: String, tokCol: String,
             counts: DataFrame, rareMax: Long = 2L): DataFrame = {
     val ex = toks.select(col(idCol), explode(col(tokCol)).as("tok"))
     val total = counts.agg(sum(col("c")).cast("long").as("n_total"))
-    val j = ex.join(counts, Seq("tok"))
+    val j = ex.join(counts, Seq("tok"), "left")
       .crossJoin(broadcast(total))
       .select(col(idCol),
-        (col("c").cast("double") / col("n_total").cast("double")).as("p"),
-        col("c"))
+        (coalesce(col("c"), lit(0L)).cast("double")
+          / col("n_total").cast("double")).as("p"),
+        coalesce(col("c"), lit(0L)).as("c"))
     j.groupBy(col(idCol))
       .agg(count(lit(1)).cast("long").as("n_tokens"),
         graft.queries.Q.davg(col("p")).as("mean_tok_prob"),

@@ -16,10 +16,8 @@ import Q._
 object CorpusQueries {
   type QFn = (SparkSession, String) => DataFrame
 
-  private val P = Hashing.P
-  private val hashSql = (e: String) =>
-    s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
-  private val hashPSql = (e: String) => s"${hashSql(e)} % $P"
+  private val hashSql = (e: String) => sqlHash60(e)
+  private val hashPSql = (e: String) => sqlHashP(e)
 
   private val toksSql =
     """toks AS (

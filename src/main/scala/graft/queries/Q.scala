@@ -44,6 +44,14 @@ object Q {
   /** Integer sum normalized to BIGINT. */
   def lsum(c: Column): Column = sum(c).cast(LongType)
 
+  /** DuckDB-side portable hash (mirrors graft.ext.Hashing.hash60/hashP —
+    * the cross-engine determinism contract; ONE definition, delegated to
+    * by every oracle module). */
+  def sqlHash60(e: String): String =
+    s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+  def sqlHashP(e: String): String =
+    s"${sqlHash60(e)} % ${graft.ext.Hashing.P}"
+
   /** DuckDB-side equivalents (string builders for oracle SQL). */
   def sqlSig9(e: String): String =
     s"(CASE WHEN ($e) IS NULL OR ($e) = 0 THEN ($e) ELSE " +

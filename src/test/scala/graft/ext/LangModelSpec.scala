@@ -36,6 +36,27 @@ class LangModelSpec extends SparkSpec {
     assert(d2.getDouble(4) == 0.5) // c is rare
   }
 
+  test("reference-corpus scoring: OOV tokens score p=0 and count as " +
+      "rare instead of being dropped") {
+    val counts = LangModel.unigramCounts(toks, "tk") // vocab: a, b, c
+    val unseen = Seq((10L, "zz qq a")).toDF("doc_id", "text")
+      .select(col("doc_id"), Hashing.tokens(col("text")).as("tk"))
+    val r = LangModel.score(unseen, "doc_id", "tk", counts, rareMax = 1L)
+      .collect()
+    assert(r.length == 1) // doc present even though mostly OOV
+    val d = r.head
+    assert(d.getLong(1) == 3L) // every position kept
+    assert(d.getDouble(3) == 0.0) // min prob: the unseen tokens
+    assert(math.abs(d.getDouble(4) - 2.0 / 3) < 1e-9) // zz, qq rare
+    assert(math.abs(d.getDouble(2) - 0.4 / 3) < 1e-9) // (0+0+0.4)/3
+    // a fully-OOV doc still scores (maximally suspicious), not vanishes
+    val allOov = LangModel.score(
+      Seq((11L, "xx yy")).toDF("doc_id", "text")
+        .select(col("doc_id"), Hashing.tokens(col("text")).as("tk")),
+      "doc_id", "tk", counts).collect()
+    assert(allOov.length == 1 && allOov.head.getDouble(4) == 1.0)
+  }
+
   test("scoring is deterministic across runs and partitionings") {
     val docs = (1L to 500L)
       .map(i => (i, s"tok${i % 7} tok${i % 13} tok${i % 7}"))
