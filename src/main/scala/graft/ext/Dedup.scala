@@ -442,8 +442,12 @@ object Dedup {
       .unionByName(edges.select(col("y").as("x"), col("x").as("y")))
       .distinct()
       .localCheckpoint()
-    var labels = sym.select(col("x").as("node")).distinct()
-      .withColumn("cluster", col("node"))
+    // start from round 1's state directly: with identity labels the
+    // first round computes least(self, min neighbor) — one grouped min,
+    // no join. Saves a full join+agg round every query.
+    var labels = sym.groupBy(col("x").as("node"))
+      .agg(min(col("y")).as("mn"))
+      .select(col("node"), least(col("node"), col("mn")).as("cluster"))
       .localCheckpoint()
     var converged = false
     var i = 0

@@ -231,6 +231,62 @@ object EventPipeline {
       }
       .start()
 
+  /** The WHOLE training-data prep pipeline as one streaming ingest:
+    * quality gate -> benchmark decontamination -> incremental near-dup
+    * dedup -> deterministic split assignment, per micro-batch. This is
+    * the streaming face of `q_x_pipeline_e2e` plus the round-5 gates:
+    *
+    *  - gate + decontam are STATELESS (per-row projection + broadcast
+    *    join against the benchmark n-gram set) — they run at batch
+    *    scan speed and drop rows before anything pays shuffle;
+    *  - dedup is the O(batch)-cost incremental signature-store probe
+    *    ([[dedupIngestSink]]'s machinery, same crash-ordering
+    *    contract);
+    *  - split assignment is a pure hash of the doc id, so a document
+    *    lands in the same split no matter which batch delivered it.
+    *
+    * Kept rows land in `keptPath` WITH their split column; the kept
+    * table is also the corpus that candidate stored docs are
+    * re-shingled from at verify time. */
+  def corpusIngestSink(docs: DataFrame, idCol: String, textCol: String,
+                       benchNgrams: DataFrame, sigPath: String,
+                       keptPath: String, checkpointDir: String,
+                       threshold: Double = 0.7,
+                       splits: Seq[(String, Double)] =
+                         Seq("train" -> 0.9, "val" -> 0.1))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val gateIds = graft.ext.TextStats
+          .qualityFilter(batch, idCol, textCol)
+          .filter(col("keep")).select(col(idCol))
+        val gated = batch.join(gateIds, Seq(idCol), "left_semi")
+          .withColumn("__tk", graft.ext.Hashing.tokens(col(textCol)))
+        val cleanIds = graft.ext.Decontam
+          .overlap(gated, idCol, "__tk", benchNgrams)
+          .filter(!col("contaminated")).select(col(idCol))
+        val clean = gated.join(cleanIds, Seq(idCol), "left_semi")
+        val kp = new org.apache.hadoop.fs.Path(keptPath)
+        val corpus =
+          if (kp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .exists(kp))
+            spark.read.parquet(keptPath)
+              .select(col(idCol),
+                graft.ext.Hashing.tokens(col(textCol)).as("__tk"))
+          else clean.select(col(idCol), col("__tk")).limit(0)
+        graft.ext.Dedup
+          .incrementalDedup(clean, idCol, "__tk", sigPath, threshold,
+            corpus,
+            keptSink = kept => graft.ext.Sampling
+              .splitAssign(kept.drop("__tk"), idCol, splits)
+              .write.mode("append").parquet(keptPath))
+        ()
+      }
+      .start()
+
   /** Wire a streaming source through windowedStats to a sink path with
     * AvailableNow semantics (the S1/S2 "daily run" as a streaming job:
     * processes everything available, then stops; checkpoint makes re-runs

@@ -158,6 +158,49 @@ class StreamingSpec extends SparkSpec {
     assert(sigIds == Set(1L, 2L, 4L))
   }
 
+  test("corpusIngestSink: gate -> decontam -> dedup -> split as one " +
+      "streaming ingest") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("cis").toString
+    // letter-only tokens with one stopword so the quality gate passes
+    def words(seed: Char) = "the " +
+      (1 to 29).map(i => s"$seed${('a' + i % 26).toChar}x").mkString(" ")
+    val benchText = "qq ww ee rr tt" // one benchmark 5-gram
+    val bench = graft.ext.Decontam.benchNgrams(
+      Seq(benchText).toDF("text")
+        .select(graft.ext.Hashing.tokens(col("text")).as("tk")), "tk")
+    val ms = MemoryStream[(Long, String)]
+    val q = EventPipeline.corpusIngestSink(
+      ms.toDF().toDF("doc_id", "text"), "doc_id", "text", bench,
+      s"$dir/sigs", s"$dir/kept", s"$dir/cp", threshold = 0.5)
+    try {
+      ms.addData(Seq(
+        (1L, words('a')), // good
+        (2L, words('b') + " " + benchText), // contaminated
+        (3L, "tiny doc"))) // fails the quality gate
+      q.processAllAvailable()
+      ms.addData(Seq(
+        (4L, words('a') + " tail"), // near-dup of stored 1
+        (5L, words('c')))) // good
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.read.parquet(s"$dir/kept")
+    assert(kept.select("doc_id").as[Long].collect().toSet == Set(1L, 5L))
+    // split travels with the kept rows and is recomputable from the id
+    val stored = kept.select("doc_id", "split").as[(Long, String)]
+      .collect().toMap
+    val expected = graft.ext.Sampling.splitAssign(
+        kept.select("doc_id"), "doc_id",
+        Seq("train" -> 0.9, "val" -> 0.1))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(stored == expected)
+    assert(stored.values.forall(Set("train", "val")))
+    // the signature store tracks exactly the kept docs
+    assert(spark.read.parquet(s"$dir/sigs")
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 5L))
+  }
+
   test("runAvailableNow: file-source daily run, idempotent via checkpoint") {
     val dir = java.nio.file.Files.createTempDirectory("anow").toString
     // append-mode windows only finalize once the watermark passes them:
