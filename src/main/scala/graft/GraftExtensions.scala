@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
-import graft.functions.{DotProduct, Sig9, SortedIntersectCount, SortedJaccard}
+import graft.functions.{DotProduct, MisraGries, Sig9, SortedIntersectCount, SortedJaccard}
 
 /** Engine extensions, registered the public way
   * (`spark.sql.extensions=graft.GraftExtensions` or
@@ -39,7 +39,11 @@ object GraftExtensions {
     (new FunctionIdentifier("sorted_jaccard"),
       new ExpressionInfo(classOf[SortedJaccard].getName, "sorted_jaccard"),
       (children: Seq[Expression]) =>
-        SortedJaccard(children.head, children(1))))
+        SortedJaccard(children.head, children(1))),
+    (new FunctionIdentifier("misra_gries"),
+      new ExpressionInfo(classOf[MisraGries].getName, "misra_gries"),
+      (children: Seq[Expression]) => MisraGries(children.head,
+        children(1).eval().asInstanceOf[Number].intValue())))
 
   /** Late registration into an already-built session, for callers that
     * did not set spark.sql.extensions — the query surface depends on

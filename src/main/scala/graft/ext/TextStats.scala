@@ -169,4 +169,42 @@ object TextStats {
     st.select(col(idCol), reason.as("reason"),
       (reason === "ok").as("keep"))
   }
+
+  /** Exact corpus heavy hitters — every token with frequency > N/k —
+    * computed sketch-first so the distinct token space never shuffles:
+    *
+    *  pass 1: one scan reduced map-side to a Misra–Gries summary of
+    *          `4*k` counters per partition (graft.functions.MisraGries;
+    *          merged summaries provably retain every token with
+    *          freq > N/(4k+1), a strict superset of the > N/k answer)
+    *          plus the total token count, in ONE aggregate — the only
+    *          data that moves is the per-partition summaries;
+    *  pass 2: a second scan counts ONLY the <= 4k candidate tokens
+    *          (broadcast hash semi-join on the exploded summary), so the
+    *          exact-count shuffle carries at most 4k groups.
+    *
+    * The naive groupBy(token).count shuffles the full vocabulary —
+    * web-scale corpora have billions of distinct tokens, nearly all of
+    * frequency 1. Here the shuffled bytes are O(k + partitions*k)
+    * regardless of corpus size, and the output is EXACT (the sketch only
+    * prunes; it never decides), so the result is partition-order
+    * invariant and hash-matchable against any engine.
+    *
+    * Output: (tok, cnt, n_total) for tokens with cnt * k > n_total.
+    */
+  def heavyHitters(docs: DataFrame, k: Int, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val toks = docs.select(
+      explode(Hashing.tokens(col(textCol))).as("tok"))
+    val summary = toks.agg(
+      graft.functions.SketchAggs.misraGries(col("tok"), 4 * k).as("cands"),
+      count(lit(1)).as("n_total"))
+    val cands = summary.select(col("n_total"),
+      explode(col("cands")).as("tok"))
+    toks.join(broadcast(cands), Seq("tok"))
+      .groupBy(col("tok"), col("n_total"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * k > col("n_total"))
+      .select(col("tok"), col("cnt"), col("n_total"))
+  }
 }

@@ -204,17 +204,38 @@ object CorpusQueries {
        |FROM lineitem""".stripMargin
   }
 
+  // ===== exact heavy hitters (sketch-pruned) ============================
+
+  /** Spark side runs the Misra–Gries two-pass (candidates never exceed
+    * 4k, shuffle is O(k)); the oracle is the direct exact definition —
+    * the sketch only prunes, so both must agree token-for-token. */
+  private val heavyHittersQ: QFn = (s, d) =>
+    graft.ext.TextStats.heavyHitters(Tables.documents(s, d), k = 40)
+
+  private val heavyHittersSql =
+    """WITH toks AS (
+      |  SELECT unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+      |         AS tok
+      |  FROM documents),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM toks)
+      |SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt, n_total
+      |FROM toks, tot
+      |GROUP BY tok, n_total
+      |HAVING COUNT(*) * 40 > n_total""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "q_x_decontam" -> decontam,
     "q_x_unigram_lm" -> unigramLm,
     "q_x_bm25" -> bm25,
     "q_x_split" -> splitAssignQ,
-    "q_x_zorder" -> zorderQ)
+    "q_x_zorder" -> zorderQ,
+    "q_x_heavy_hitters" -> heavyHittersQ)
 
   val oracles: Map[String, String] = Map(
     "q_x_decontam" -> decontamSql,
     "q_x_unigram_lm" -> unigramLmSql,
     "q_x_bm25" -> bm25Sql,
     "q_x_split" -> splitAssignSql,
-    "q_x_zorder" -> zorderSql)
+    "q_x_zorder" -> zorderSql,
+    "q_x_heavy_hitters" -> heavyHittersSql)
 }

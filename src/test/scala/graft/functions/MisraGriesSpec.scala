@@ -1,0 +1,66 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.ext.TextStats
+import org.apache.spark.sql.functions._
+
+/** The Misra–Gries aggregate and the exact two-pass heavy-hitters query
+  * built on it. The sketch's contract is a RETENTION guarantee (every
+  * item with freq > N/(capacity+1) survives any merge order), not a
+  * deterministic candidate set — so the properties pinned here are the
+  * guarantee itself, the exactness of the verified output, and its
+  * invariance under partitioning.
+  */
+class MisraGriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def candidates(rows: Seq[String], cap: Int, parts: Int): Set[String] =
+    rows.toDF("tok").repartition(parts)
+      .agg(SketchAggs.misraGries(col("tok"), cap).as("c"))
+      .select(explode(col("c")).as("t")).as[String].collect().toSet
+
+  test("retention guarantee: freq > N/(cap+1) items survive any partitioning") {
+    // 60x "hot", 25x "warm", 40 singletons -> N = 125
+    val rows = Seq.fill(60)("hot") ++ Seq.fill(25)("warm") ++
+      (0 until 40).map(i => s"noise_$i")
+    val shuffled = new scala.util.Random(7).shuffle(rows)
+    for (parts <- Seq(1, 2, 5); cap <- Seq(4, 8)) {
+      val c = candidates(shuffled, cap, parts)
+      // hot: 60 > 125/5; warm: 25 > 125/9 (cap 8 only)
+      assert(c.contains("hot"), s"parts=$parts cap=$cap lost 'hot'")
+      if (cap == 8) assert(c.contains("warm"), s"parts=$parts lost 'warm'")
+      assert(c.size <= cap)
+    }
+  }
+
+  test("summary merges across partitions (counts sum, not clamp)") {
+    // each partition alone would tie 'a' with noise; summed, 'a' dominates
+    val rows = (0 until 6).flatMap(p => "a" +: (0 until 3).map(i => s"p${p}_$i"))
+    assert(candidates(new scala.util.Random(3).shuffle(rows), 3, 6)
+      .contains("a"))
+  }
+
+  test("null tokens are skipped, not counted") {
+    val df = Seq(Some("x"), None, Some("x"), None, None).toDF("tok")
+    val c = df.agg(SketchAggs.misraGries(col("tok"), 4).as("c"))
+      .select(explode(col("c")).as("t")).as[String].collect().toSet
+    assert(c == Set("x"))
+  }
+
+  test("heavyHitters output is exact and partition-order invariant") {
+    val docs = (
+      Seq.fill(30)("spark spark shuffle") ++
+      Seq.fill(10)("codegen scan") ++
+      (0 until 50).map(i => s"tail_$i")
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    // N = 30*3 + 10*2 + 50 = 160; k=5 -> threshold 32: spark(60),
+    // shuffle(30) misses, codegen/scan(10) miss
+    def run(parts: Int) =
+      TextStats.heavyHitters(
+        docs.toDF("doc_id", "text").repartition(parts), k = 5)
+        .as[(String, Long, Long)].collect().toSet
+    val expect = Set(("spark", 60L, 160L))
+    assert(run(1) == expect)
+    assert(run(7) == expect)
+  }
+}
