@@ -245,6 +245,48 @@ object Similarity {
       .select(col("qid"), col("rank"), col("cid"), col("score"))
   }
 
+  /** Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster the
+    * embedding space, then drop near-duplicates WITHIN each cluster —
+    * the cluster assignment turns the quadratic all-pairs problem into
+    * an equi-join on `centroid_id`, so candidate-pair count scales with
+    * cluster density, not corpus size. Reuses [[ivfIndex]] (deterministic
+    * seeds + one decimal-routed Lloyd step), so the clustering — and
+    * therefore the dedup decision — is bit-reproducible across runs,
+    * partitionings and engines.
+    *
+    * Keep rule: a vector is dropped iff some SMALLER-id vector in its
+    * cluster has sig9(cosine) >= threshold — the same deterministic
+    * keep-first contract as the exact/minhash dedup family (greedy
+    * transitive closure would make the decision order-dependent).
+    *
+    * At 100 TB: k should grow ~sqrt(n) so per-cluster membership stays
+    * bounded; the pair join is AQE-skew-safe and the per-pair kernel is
+    * the codegen'd dot_product. Output: (idCol, centroid_id, keep).
+    */
+  def semDedup(vectors: DataFrame, k: Int, threshold: Double,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    val (cents, index) = ivfIndex(vectors, k, idCol, vecCol)
+    val v = vectors.select(col(idCol).as("vid"), col(vecCol).as("vv"),
+      normSq(col(vecCol)).as("nsq"))
+    val m = v.join(index.withColumnRenamed(idCol, "vid"), Seq("vid"))
+    val a = m.select(col("centroid_id"), col("vid").as("aid"),
+      col("vv").as("av"), col("nsq").as("an"))
+    val b = m.select(col("centroid_id"), col("vid").as("bid"),
+      col("vv").as("bv"), col("nsq").as("bn"))
+    val pairs = sig9Score(
+      a.join(b, Seq("centroid_id")).filter(col("aid") < col("bid")),
+      Seq("aid", "bid"),
+      cosine(dot(col("av"), col("bv")), col("an"), col("bn")), "score")
+    val dropped = pairs.filter(col("score") >= threshold)
+      .select(col("bid").as("vid")).distinct()
+      .withColumn("is_dup", lit(true))
+    m.select(col("vid"), col("centroid_id"))
+      .join(dropped, Seq("vid"), "left")
+      .select(col("vid").as(idCol), col("centroid_id"),
+        coalesce(col("is_dup") === false, lit(true)).as("keep"))
+  }
+
   /** Embedding near-duplicate pairs: each query row's candidates with
     * cosine >= threshold. Queries broadcast (catalog-probe shape). */
   def nearDupPairs(queries: DataFrame, candidates: DataFrame,

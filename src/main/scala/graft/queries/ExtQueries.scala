@@ -421,6 +421,66 @@ object ExtQueries {
        |SELECT qid, cid, score FROM r
        |WHERE score >= CAST(0.99 AS DOUBLE)""".stripMargin
 
+  // ===== similarity: semantic dedup =====================================
+
+  /** Corpus = base embeddings + the perturbed copies — every perturbed
+    * row is a planted semantic duplicate of its original, so the
+    * expected decision is fully adjudicated: originals keep, perturbed
+    * drop (they pair with a smaller id at cosine ~0.9998), distinct
+    * vectors keep. The oracle replicates the ENTIRE deterministic chain
+    * — seed selection, argmax assignment, decimal Lloyd step,
+    * reassignment, pair threshold — in SQL, so clustering drift on
+    * either side turns the row red. */
+  private val semDedupQ: QFn = (s, d) => {
+    val base = Tables.embeddings(s, d).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("embedding"))
+    val pert = perturbed(s, d)
+      .select(col("qid").as("vec_id"), col("qv").as("embedding"))
+    Similarity.semDedup(base.unionByName(pert), k = 16, threshold = 0.99)
+      .select(col("vec_id"), col("centroid_id").cast("long").as("centroid_id"),
+        col("keep"))
+  }
+
+  private val semDedupSql = {
+    def argmin(src: String): String =
+      s"""(SELECT vid, cid FROM (
+         |    SELECT c.vid, s.cid,
+         |      ${sqlSig9(s"(${dotSql("c.vv", "s.cv")}) / (sqrt(c.nsq) * sqrt(${nsqSql("s.cv")}))")} AS score
+         |    FROM corpus c CROSS JOIN $src s)
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vid
+         |                             ORDER BY score DESC, cid) = 1)""".stripMargin
+    s"""WITH $perturbedSql,
+       |corpus AS (
+       |  SELECT vec_id AS vid,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv,
+       |         ${nsqSql("embedding")} AS nsq
+       |  FROM embeddings
+       |  UNION ALL
+       |  SELECT qid, qv, ${nsqSql("qv")} FROM q),
+       |seeds AS (
+       |  SELECT vid AS cid, vv AS cv FROM corpus ORDER BY vid LIMIT 16),
+       |a0 AS ${argmin("seeds")},
+       |mem AS (SELECT a0.cid, c.vv FROM a0 JOIN corpus c USING (vid)),
+       |md AS (
+       |  SELECT cid, i AS dim, ${sqlDavg("vv[i]")} AS m
+       |  FROM mem CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d
+       |  GROUP BY cid, i),
+       |cents AS (
+       |  SELECT cid, list(m ORDER BY dim) AS cv FROM md GROUP BY cid),
+       |a1 AS ${argmin("cents")},
+       |mm AS (
+       |  SELECT a1.cid, c.vid, c.vv, c.nsq FROM a1 JOIN corpus c USING (vid)),
+       |p AS (
+       |  SELECT a.vid AS aid, b.vid AS bid,
+       |    ${sqlSig9(s"(${dotSql("a.vv", "b.vv")}) / (sqrt(a.nsq) * sqrt(b.nsq))")} AS score
+       |  FROM mm a JOIN mm b ON a.cid = b.cid AND a.vid < b.vid),
+       |dropped AS (
+       |  SELECT DISTINCT bid FROM p WHERE score >= CAST(0.99 AS DOUBLE))
+       |SELECT mm.vid AS vec_id, CAST(mm.cid AS BIGINT) AS centroid_id,
+       |       (dropped.bid IS NULL) AS keep
+       |FROM mm LEFT JOIN dropped ON mm.vid = dropped.bid""".stripMargin
+  }
+
   // ===== similarity: LSH ANN recall self-check ==========================
 
   /** LSH-bucketed ANN recall@1 against exact ground truth (the perturbed
@@ -863,6 +923,7 @@ object ExtQueries {
     "q_x_jaccard_nn" -> jaccardNn,
     "q_x_ann_brute" -> annBrute,
     "q_x_embed_neardup" -> embedNearDup,
+    "q_x_semdedup" -> semDedupQ,
     "q_x_ann_lsh_recall" -> annLshRecall,
     "q_x_ann_ivf_recall" -> annIvfRecall,
     "q_x_multimodal" -> multimodal,
@@ -892,6 +953,7 @@ object ExtQueries {
     "q_x_jaccard_nn" -> jaccardNnSql,
     "q_x_ann_brute" -> annBruteSql,
     "q_x_embed_neardup" -> embedNearDupSql,
+    "q_x_semdedup" -> semDedupSql,
     "q_x_ann_lsh_recall" -> annLshRecallSql,
     "q_x_ann_ivf_recall" -> annIvfRecallSql,
     "q_x_multimodal" -> multimodalSql,
