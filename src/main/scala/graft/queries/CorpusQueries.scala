@@ -223,13 +223,58 @@ object CorpusQueries {
       |GROUP BY tok, n_total
       |HAVING COUNT(*) * 40 > n_total""".stripMargin
 
+  // ===== DSIR importance resampling =====================================
+
+  /** Target domain = source 'src0'; corpus = all documents. The full
+    * ranking is emitted (not just the winners) so both the selection
+    * and every negative's rank are adjudicated. */
+  private val dsirQ: QFn = (s, d) => {
+    val docs = Tables.documents(s, d)
+    graft.ext.Dsir.selectTopK(
+      graft.ext.Dsir.importanceWeights(
+        docs, docs.filter(col("source") === "src0"), buckets = 512),
+      k = 100)
+  }
+
+  private val dsirSql = {
+    val uni = s"list_transform(tk, t -> ${hashPSql("t")} % 512)"
+    val bi = "list_transform(range(0, len(tk) - 1), " +
+      s"i -> ${hashPSql("tk[i+1] || '_' || tk[i+2]")} % 512)"
+    s"""WITH $toksSql,
+       |feats AS (
+       |  SELECT doc_id, source, unnest(list_concat($uni, $bi)) AS b
+       |  FROM toks),
+       |tc AS (SELECT b, COUNT(*) AS ct FROM feats
+       |       WHERE source = 'src0' GROUP BY b),
+       |qc AS (SELECT b, COUNT(*) AS cq FROM feats GROUP BY b),
+       |nt AS (SELECT COUNT(*) AS tn FROM feats WHERE source = 'src0'),
+       |nq AS (SELECT COUNT(*) AS qn FROM feats),
+       |lr AS (
+       |  SELECT qc.b,
+       |    ${Q.sqlSig9("ln(CAST((COALESCE(tc.ct, 0) + 1) * (nq.qn + 512) AS DOUBLE) / CAST((qc.cq + 1) * (nt.tn + 512) AS DOUBLE))")} AS lr
+       |  FROM qc LEFT JOIN tc USING (b), nt, nq),
+       |ws AS (
+       |  SELECT f.doc_id, ${Q.sqlDsum("lr.lr")} AS w
+       |  FROM feats f JOIN lr ON f.b = lr.b GROUP BY f.doc_id),
+       |al AS (
+       |  SELECT d.doc_id, COALESCE(ws.w, CAST(0.0 AS DOUBLE)) AS weight
+       |  FROM documents d LEFT JOIN ws USING (doc_id))
+       |SELECT doc_id, weight,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY weight DESC, doc_id)
+       |       AS BIGINT) AS sel_rank,
+       |  (ROW_NUMBER() OVER (ORDER BY weight DESC, doc_id) <= 100)
+       |    AS selected
+       |FROM al""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
     "q_x_decontam" -> decontam,
     "q_x_unigram_lm" -> unigramLm,
     "q_x_bm25" -> bm25,
     "q_x_split" -> splitAssignQ,
     "q_x_zorder" -> zorderQ,
-    "q_x_heavy_hitters" -> heavyHittersQ)
+    "q_x_heavy_hitters" -> heavyHittersQ,
+    "q_x_dsir" -> dsirQ)
 
   val oracles: Map[String, String] = Map(
     "q_x_decontam" -> decontamSql,
@@ -237,5 +282,6 @@ object CorpusQueries {
     "q_x_bm25" -> bm25Sql,
     "q_x_split" -> splitAssignSql,
     "q_x_zorder" -> zorderSql,
-    "q_x_heavy_hitters" -> heavyHittersSql)
+    "q_x_heavy_hitters" -> heavyHittersSql,
+    "q_x_dsir" -> dsirSql)
 }
