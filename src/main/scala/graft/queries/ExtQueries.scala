@@ -585,6 +585,22 @@ object ExtQueries {
        |  ${sqlDsum("value")} AS sum_value
        |FROM events GROUP BY 1, 2""".stripMargin
 
+  // ===== events: stream-stream attribution join (batch twin) ============
+
+  private val attribution: QFn = (s, d) =>
+    graft.streaming.EventPipeline.attributedPurchases(Tables.events(s, d))
+
+  private val attributionSql =
+    """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+      |  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+      |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+      |  p.value
+      |FROM events c JOIN events p
+      |  ON c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND c.user_id = p.user_id
+      | AND p.ts >= c.ts
+      | AND p.ts <= c.ts + INTERVAL 30 MINUTE""".stripMargin
+
   // ===== events: JSON property extraction ===============================
 
   /** Semi-structured props: JSON path extraction pushed through a typed
@@ -933,6 +949,7 @@ object ExtQueries {
     "q_x_lang_eval" -> langEval,
     "q_x_approx_distinct" -> approxDistinct,
     "q_s_event_window" -> eventWindow,
+    "q_s_attribution" -> attribution,
     "q_s_event_props" -> eventProps,
     "q_s_user_series" -> userSeries,
     "q_s_user_sessions" -> userSessionsQ)
@@ -963,6 +980,7 @@ object ExtQueries {
     "q_x_lang_eval" -> langEvalSql,
     "q_x_approx_distinct" -> approxDistinctSql,
     "q_s_event_window" -> eventWindowSql,
+    "q_s_attribution" -> attributionSql,
     "q_s_event_props" -> eventPropsSql,
     "q_s_user_series" -> userSeriesSql,
     "q_s_user_sessions" -> userSessionsSql)

@@ -60,6 +60,48 @@ object EventPipeline {
     todayGames.filter(col("game_date") > lit(now) &&
       col("game_date") <= lit(now) + expr(s"INTERVAL $leadMinutes MINUTES"))
 
+  /** Watermarked stream-stream interval join: every purchase paired
+    * with each click by the same user within `attributionWindow` before
+    * it — the canonical streaming attribution shape (impressions x
+    * conversions). Works batch and streaming from the SAME plan; in
+    * streaming, BOTH sides carry a watermark and the join condition
+    * bounds purchase_ts relative to click_ts, so Spark derives a state
+    * eviction horizon for each side (clicks are held `watermark +
+    * attributionWindow`, purchases `watermark`) instead of buffering
+    * either stream forever. State is keyed by user_id — the join
+    * shuffle is an equi-join on the user with the range condition
+    * applied post-match, AQE/skew rules apply in batch.
+    *
+    * "Most recent click wins" attribution is a downstream as-of join
+    * (ext/TemporalJoins.asOfJoin) over this pair stream in batch;
+    * emitting ALL in-window pairs is what keeps the streaming operator
+    * append-mode-clean (a per-purchase argmax would need an aggregation
+    * after a stream-stream join).
+    */
+  def attributedPurchases(events: DataFrame,
+                          attributionWindow: String = "30 minutes",
+                          watermark: String = "1 hour"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("purchase_user"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"),
+        col("value"))
+      .withWatermark("purchase_ts", watermark)
+    clicks.join(purchases,
+        col("user_id") === col("purchase_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <=
+          col("click_ts") + expr(s"INTERVAL $attributionWindow"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"),
+        date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss")
+          .as("purchase_ts"),
+        col("value"))
+  }
+
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                    event_type: String, value: Double)
   case class UserSession(user_id: Long, n_events: Long, total: Double)

@@ -237,4 +237,32 @@ class StreamingSpec extends SparkSpec {
       .select("game").as[String].collect().toSet
     assert(due == Set("g1", "g2"))
   }
+
+  test("attributedPurchases: stream-stream interval join equals batch twin") {
+    implicit val ctx = spark.sqlContext
+    val evts = Seq(
+      Event(1L, ts("2024-03-01 10:00:00"), 7L, "click", 0.0),
+      Event(2L, ts("2024-03-01 10:20:00"), 7L, "purchase", 9.5), // <- 1
+      Event(3L, ts("2024-03-01 11:30:00"), 7L, "purchase", 3.0), // no click in window
+      Event(4L, ts("2024-03-01 10:10:00"), 8L, "purchase", 1.0), // other user, no click
+      Event(5L, ts("2024-03-01 10:05:00"), 7L, "click", 0.0))    // second click -> also pairs with 2
+    val ms = MemoryStream[Event]
+    val q = EventPipeline.attributedPurchases(ms.toDF())
+      .writeStream.format("memory").queryName("attr")
+      .outputMode("append").start()
+    try {
+      ms.addData(evts.take(3))
+      q.processAllAvailable()
+      ms.addData(evts.drop(3))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streaming = spark.table("attr")
+      .as[(Long, Long, Long, String, String, Double)].collect().toSet
+    val batch = EventPipeline.attributedPurchases(evts.toDF())
+      .as[(Long, Long, Long, String, String, Double)].collect().toSet
+    assert(batch == Set(
+      (7L, 1L, 2L, "2024-03-01 10:00:00", "2024-03-01 10:20:00", 9.5),
+      (7L, 5L, 2L, "2024-03-01 10:05:00", "2024-03-01 10:20:00", 9.5)))
+    assert(streaming == batch)
+  }
 }
