@@ -49,6 +49,45 @@ object LangModel {
     * reference has never seen scores as maximally suspicious instead
     * of silently scoring only its common tokens (or vanishing).
     */
+  /** Vocabulary build with coverage accounting — the tokenizer-prep op:
+    * the top-V tokens by corpus frequency, each with its rank and the
+    * CUMULATIVE fraction of all token positions covered by the
+    * vocabulary up to it ("the top 100 tokens cover 38% of the
+    * corpus"). The curve is how a vocabulary size is chosen.
+    *
+    * Scale shape: the vocabulary count is the one aggregation that
+    * genuinely needs the full distinct token space (map-side partial
+    * aggregation carries it); the top-V cut is TakeOrderedAndProject
+    * (per-partition heaps — the full vocabulary is never sorted), and
+    * only the V surviving rows enter the single-partition cumulative
+    * window. Ties break by token so the vocabulary is re-run-stable.
+    *
+    * Coverage stays an exact rational: cumulative BIGINT sum divided by
+    * the BIGINT total — one correctly-rounded double per row, identical
+    * in any engine.
+    */
+  def vocabCoverage(toks: DataFrame, tokCol: String, topV: Int): DataFrame = {
+    // the counts frame feeds BOTH the top-V cut and the grand total;
+    // unmaterialized, each consumer would re-run the full corpus scan
+    // (vocab-sized checkpoint vs a second 100 TB pass — same contract
+    // as the ivfIndex artifact; on a cluster use checkpoint() with a
+    // reliable dir)
+    val counts = unigramCounts(toks, tokCol).localCheckpoint()
+    val total = counts.agg(sum(col("c")).cast("long").as("n_total"))
+    val top = counts.orderBy(col("c").desc, col("tok").asc).limit(topV)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c").desc, col("tok").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    top.crossJoin(broadcast(total))
+      .select(
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("c").desc, col("tok").asc)).cast("long")
+          .as("vocab_rank"),
+        col("tok"), col("c").as("cnt"),
+        (sum(col("c")).over(w).cast("double")
+          / col("n_total").cast("double")).as("cum_cov"))
+  }
+
   def score(toks: DataFrame, idCol: String, tokCol: String,
             counts: DataFrame, rareMax: Long = 2L): DataFrame = {
     val ex = toks.select(col(idCol), explode(col(tokCol)).as("tok"))

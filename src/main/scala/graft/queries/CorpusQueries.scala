@@ -267,6 +267,31 @@ object CorpusQueries {
        |FROM al""".stripMargin
   }
 
+  // ===== vocabulary build + coverage ====================================
+
+  private val vocabQ: QFn = (s, d) =>
+    graft.ext.LangModel.vocabCoverage(
+      Tables.documents(s, d)
+        .select(graft.ext.Hashing.tokens(col("text")).as("tk")),
+      "tk", topV = 100)
+
+  private val vocabSql =
+    s"""WITH $toksSql,
+       |cs AS (
+       |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(tk) AS tok FROM toks) GROUP BY tok),
+       |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM cs),
+       |top AS (
+       |  SELECT tok, cnt FROM cs ORDER BY cnt DESC, tok LIMIT 100)
+       |SELECT
+       |  CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS BIGINT)
+       |    AS vocab_rank,
+       |  tok, cnt,
+       |  CAST(SUM(cnt) OVER (ORDER BY cnt DESC, tok
+       |         ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+       |    / CAST(n_total AS DOUBLE) AS cum_cov
+       |FROM top, tot""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "q_x_decontam" -> decontam,
     "q_x_unigram_lm" -> unigramLm,
@@ -274,7 +299,8 @@ object CorpusQueries {
     "q_x_split" -> splitAssignQ,
     "q_x_zorder" -> zorderQ,
     "q_x_heavy_hitters" -> heavyHittersQ,
-    "q_x_dsir" -> dsirQ)
+    "q_x_dsir" -> dsirQ,
+    "q_x_vocab_coverage" -> vocabQ)
 
   val oracles: Map[String, String] = Map(
     "q_x_decontam" -> decontamSql,
@@ -283,5 +309,6 @@ object CorpusQueries {
     "q_x_split" -> splitAssignSql,
     "q_x_zorder" -> zorderSql,
     "q_x_heavy_hitters" -> heavyHittersSql,
-    "q_x_dsir" -> dsirSql)
+    "q_x_dsir" -> dsirSql,
+    "q_x_vocab_coverage" -> vocabSql)
 }

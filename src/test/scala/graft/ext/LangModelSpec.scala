@@ -69,4 +69,26 @@ class LangModelSpec extends SparkSpec {
       LangModel.unigramCounts(docs.repartition(3), "tk")).collect().toSet
     assert(once == again)
   }
+
+  test("vocabCoverage: rank by (count desc, tok), exact cumulative coverage") {
+    // counts: a=4, b=3, c=3, d=1 -> N=11
+    val docs = Seq("a a b c", "a b c d", "a b c").toDF("text")
+      .select(Hashing.tokens(col("text")).as("tk"))
+    val r = LangModel.vocabCoverage(docs, "tk", topV = 3)
+      .as[(Long, String, Long, Double)].collect().toList
+    assert(r == List(
+      (1L, "a", 4L, 4.0 / 11),
+      (2L, "b", 3L, 7.0 / 11), // tie at 3 -> 'b' before 'c'
+      (3L, "c", 3L, 10.0 / 11)))
+  }
+
+  test("vocabCoverage is partition-invariant and topV-bounded") {
+    val docs = (1L to 200L).map(i => s"tok${i % 9} tok${i % 4}")
+      .toDF("text").select(Hashing.tokens(col("text")).as("tk"))
+    def run(parts: Int) =
+      LangModel.vocabCoverage(docs.repartition(parts), "tk", topV = 5)
+        .collect().toList
+    assert(run(1) == run(6))
+    assert(run(1).size == 5)
+  }
 }
