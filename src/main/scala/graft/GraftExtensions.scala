@@ -42,8 +42,19 @@ object GraftExtensions {
         SortedJaccard(children.head, children(1))),
     (new FunctionIdentifier("misra_gries"),
       new ExpressionInfo(classOf[MisraGries].getName, "misra_gries"),
-      (children: Seq[Expression]) => MisraGries(children.head,
-        children(1).eval().asInstanceOf[Number].intValue())))
+      (children: Seq[Expression]) => {
+        // validate up front: a column reference or string literal here
+        // would otherwise surface as an unbound-attribute NPE / CCE
+        // deep in planning with no mention of the function
+        import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+        val cap = children(1)
+        val integral = Seq(ByteType, ShortType, IntegerType, LongType)
+        if (!cap.foldable || !integral.contains(cap.dataType))
+          throw new IllegalArgumentException(
+            "misra_gries(tok, capacity): capacity must be an integer literal")
+        MisraGries(children.head,
+          cap.eval().asInstanceOf[Number].intValue())
+      }))
 
   /** Late registration into an already-built session, for callers that
     * did not set spark.sql.extensions — the query surface depends on

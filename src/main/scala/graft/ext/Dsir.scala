@@ -20,10 +20,13 @@ import graft.queries.Q
   * doc-keyed decimal sum. Nothing about the model grows with corpus
   * size, and re-scoring a new batch reuses the frozen ratio table.
   *
-  * Determinism contract: the ratio argument is assembled as exact
-  * BIGINT products cast to double (one correctly-rounded division), so
-  * ln() sees bit-identical input in any engine; sig9 absorbs the ulp
-  * spread of libm; per-doc sums are decimal-routed. Selection ranks by
+  * Determinism contract: each ratio FACTOR is an exact BIGINT cast to
+  * double (counts < 2^53 are exact), then multiplied and divided as
+  * doubles — two correctly-rounded IEEE steps, bit-identical in any
+  * engine, and immune to the BIGINT overflow that an integer product
+  * (ct+1)*(Nq+B) would hit once feature totals pass ~1e14 at corpus
+  * scale. ln() therefore sees identical input everywhere; sig9 absorbs
+  * the ulp spread of libm; per-doc sums are decimal-routed. Selection ranks by
   * (weight desc, id) — the paper's Gumbel-noise sampling is replaced by
   * the deterministic top-k so re-runs pick the same documents.
   */
@@ -52,19 +55,26 @@ object Dsir {
     * feature stream plus two one-row total frames (broadcast). */
   def logRatios(targetFeats: DataFrame, rawFeats: DataFrame,
                 buckets: Int): DataFrame = {
+    // the B-row count frames are checkpointed: the totals are derived
+    // from THEM (sum over B rows), not from a second global aggregate
+    // whose plan would re-run the full tokenize+explode corpus scan —
+    // one scan per corpus, guaranteed, not left to exchange reuse
     val tc = targetFeats.groupBy(col("b")).agg(count(lit(1)).as("ct"))
+      .localCheckpoint()
     val qc = rawFeats.groupBy(col("b")).agg(count(lit(1)).as("cq"))
-    val nt = targetFeats.agg(count(lit(1)).as("nt"))
-    val nq = rawFeats.agg(count(lit(1)).as("nq"))
+      .localCheckpoint()
+    val nt = tc.agg(sum(col("ct")).as("nt"))
+    val nq = qc.agg(sum(col("cq")).as("nq"))
     // raw-side buckets drive the table: a bucket never seen in the raw
     // corpus can never be referenced by a scored document
     qc.join(tc, Seq("b"), "left")
       .crossJoin(broadcast(nt)).crossJoin(broadcast(nq))
       .select(col("b"),
         Q.sig9(log(
-          ((coalesce(col("ct"), lit(0L)) + 1L) * (col("nq") + buckets))
-            .cast("double") /
-          ((col("cq") + 1L) * (col("nt") + buckets)).cast("double")))
+          ((coalesce(col("ct"), lit(0L)) + 1L).cast("double") *
+            (col("nq") + buckets).cast("double")) /
+          ((col("cq") + 1L).cast("double") *
+            (col("nt") + buckets).cast("double"))))
           .as("lr"))
   }
 

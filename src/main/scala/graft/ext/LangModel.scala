@@ -49,6 +49,24 @@ object LangModel {
     * reference has never seen scores as maximally suspicious instead
     * of silently scoring only its common tokens (or vanishing).
     */
+  def score(toks: DataFrame, idCol: String, tokCol: String,
+            counts: DataFrame, rareMax: Long = 2L): DataFrame = {
+    val ex = toks.select(col(idCol), explode(col(tokCol)).as("tok"))
+    val total = counts.agg(sum(col("c")).cast("long").as("n_total"))
+    val j = ex.join(counts, Seq("tok"), "left")
+      .crossJoin(broadcast(total))
+      .select(col(idCol),
+        (coalesce(col("c"), lit(0L)).cast("double")
+          / col("n_total").cast("double")).as("p"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    j.groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        graft.queries.Q.davg(col("p")).as("mean_tok_prob"),
+        min(col("p")).as("min_tok_prob"),
+        (sum(when(col("c") <= rareMax, lit(1L)).otherwise(lit(0L)))
+          .cast("double") / count(lit(1))).as("rare_frac"))
+  }
+
   /** Vocabulary build with coverage accounting — the tokenizer-prep op:
     * the top-V tokens by corpus frequency, each with its rank and the
     * CUMULATIVE fraction of all token positions covered by the
@@ -86,23 +104,5 @@ object LangModel {
         col("tok"), col("c").as("cnt"),
         (sum(col("c")).over(w).cast("double")
           / col("n_total").cast("double")).as("cum_cov"))
-  }
-
-  def score(toks: DataFrame, idCol: String, tokCol: String,
-            counts: DataFrame, rareMax: Long = 2L): DataFrame = {
-    val ex = toks.select(col(idCol), explode(col(tokCol)).as("tok"))
-    val total = counts.agg(sum(col("c")).cast("long").as("n_total"))
-    val j = ex.join(counts, Seq("tok"), "left")
-      .crossJoin(broadcast(total))
-      .select(col(idCol),
-        (coalesce(col("c"), lit(0L)).cast("double")
-          / col("n_total").cast("double")).as("p"),
-        coalesce(col("c"), lit(0L)).as("c"))
-    j.groupBy(col(idCol))
-      .agg(count(lit(1)).cast("long").as("n_tokens"),
-        graft.queries.Q.davg(col("p")).as("mean_tok_prob"),
-        min(col("p")).as("min_tok_prob"),
-        (sum(when(col("c") <= rareMax, lit(1L)).otherwise(lit(0L)))
-          .cast("double") / count(lit(1))).as("rare_frac"))
   }
 }

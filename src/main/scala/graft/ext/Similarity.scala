@@ -281,10 +281,12 @@ object Similarity {
     val dropped = pairs.filter(col("score") >= threshold)
       .select(col("bid").as("vid")).distinct()
       .withColumn("is_dup", lit(true))
-    m.select(col("vid"), col("centroid_id"))
+    // the (vid, centroid_id) universe IS the checkpointed index frame —
+    // rebuilding it from m would re-scan the vectors and re-join
+    index.withColumnRenamed(idCol, "vid")
       .join(dropped, Seq("vid"), "left")
       .select(col("vid").as(idCol), col("centroid_id"),
-        coalesce(col("is_dup") === false, lit(true)).as("keep"))
+        col("is_dup").isNull.as("keep"))
   }
 
   /** Embedding near-duplicate pairs: each query row's candidates with

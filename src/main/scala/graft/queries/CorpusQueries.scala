@@ -251,7 +251,7 @@ object CorpusQueries {
        |nq AS (SELECT COUNT(*) AS qn FROM feats),
        |lr AS (
        |  SELECT qc.b,
-       |    ${Q.sqlSig9("ln(CAST((COALESCE(tc.ct, 0) + 1) * (nq.qn + 512) AS DOUBLE) / CAST((qc.cq + 1) * (nt.tn + 512) AS DOUBLE))")} AS lr
+       |    ${Q.sqlSig9("ln((CAST(COALESCE(tc.ct, 0) + 1 AS DOUBLE) * CAST(nq.qn + 512 AS DOUBLE)) / (CAST(qc.cq + 1 AS DOUBLE) * CAST(nt.tn + 512 AS DOUBLE)))")} AS lr
        |  FROM qc LEFT JOIN tc USING (b), nt, nq),
        |ws AS (
        |  SELECT f.doc_id, ${Q.sqlDsum("lr.lr")} AS w
