@@ -170,6 +170,46 @@ object TextStats {
       (reason === "ok").as("keep"))
   }
 
+  /** Compression-ratio quality signal: DEFLATE ratio of the UTF-8 text
+    * (compressed bytes / raw bytes) — the cheap information-density
+    * gate: templated/repeated boilerplate compresses far below natural
+    * prose, while random noise / base64 blobs sit near (or above) 1.0.
+    *
+    * Per-partition codec reuse (one `Deflater` reset per document, not
+    * allocated per row) via the same Row-encoder mapPartitions shape as
+    * Multimodal.extractFeatures — embarrassingly parallel, no shuffle.
+    * Fixed level + strategy keeps the signal deterministic for a given
+    * zlib build; it feeds threshold gates, not hash-compared outputs,
+    * so there is deliberately NO DuckDB twin (no SQL engine exposes
+    * zlib) — covered by spec, like the other I/O-boundary operators.
+    * Output: (idCol, n_bytes, n_deflate, deflate_ratio — NULL for empty
+    * text).
+    */
+  def compressionRatio(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    val in = docs.select(col(idCol), col(textCol))
+    val outSchema = StructType(Seq(in.schema.head,
+      StructField("n_bytes", LongType, false),
+      StructField("n_deflate", LongType, false),
+      StructField("deflate_ratio", DoubleType, true)))
+    in.mapPartitions { it =>
+      val deflater = new java.util.zip.Deflater(6)
+      val buf = new Array[Byte](8192)
+      it.map { r =>
+        val raw = Option(r.getString(1)).getOrElse("")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        deflater.reset()
+        deflater.setInput(raw)
+        deflater.finish()
+        var n = 0L
+        while (!deflater.finished()) n += deflater.deflate(buf)
+        org.apache.spark.sql.Row(r.get(0), raw.length.toLong, n,
+          if (raw.length == 0) null else n.toDouble / raw.length)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** Exact corpus heavy hitters — every token with frequency > N/k —
     * computed sketch-first so the distinct token space never shuffles:
     *

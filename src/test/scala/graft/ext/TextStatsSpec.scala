@@ -107,4 +107,26 @@ class TextStatsSpec extends SparkSpec {
     assert(r(2L)._2 == "call <NUM> or 999 ext 4321" && r(2L)._4 == 1L)
     assert(r(3L) == ((3L, "clean text", 0L, 0L)))
   }
+
+  test("compressionRatio: repetition compresses, noise doesn't; empty is NULL") {
+    val rep = "lorem ipsum " * 200
+    val noise = new scala.util.Random(11).alphanumeric.take(2400).mkString
+    val docs = Seq((1L, rep), (2L, noise), (3L, ""))
+      .toDF("doc_id", "text")
+    val r = TextStats.compressionRatio(docs)
+      .as[(Long, Long, Long, Option[Double])].collect()
+      .map(t => t._1 -> t).toMap
+    assert(r(1L)._2 == 2400L && r(1L)._4.get < 0.05,
+      s"boilerplate should crush: ${r(1L)}")
+    assert(r(2L)._4.get > 0.5, s"alnum noise barely compresses: ${r(2L)}")
+    assert(r(3L) == ((3L, 0L, r(3L)._3, None)))
+  }
+
+  test("compressionRatio is partition-invariant and id-type-agnostic") {
+    val docs = Seq(("a", "x y z x y z x y z"), ("b", "qqq"))
+      .toDF("doc_id", "text")
+    def run(parts: Int) = TextStats.compressionRatio(docs.repartition(parts))
+      .as[(String, Long, Long, Option[Double])].collect().toSet
+    assert(run(1) == run(3))
+  }
 }
