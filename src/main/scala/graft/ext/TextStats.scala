@@ -170,6 +170,33 @@ object TextStats {
       (reason === "ok").as("keep"))
   }
 
+  /** N-gram novelty: per document, the fraction of its distinct n-gram
+    * hashes whose GLOBAL first occurrence (min doc id) is this document
+    * — the duplication-aware curriculum/memorization-risk signal: a doc
+    * of mostly already-seen n-grams adds little new text even if no
+    * single near-duplicate exists.
+    *
+    * One n-gram-keyed shuffle (window min over the hash — not a
+    * groupBy + self-join, which would shuffle the exploded frame
+    * twice), then one doc-keyed aggregate; both partial-aggregate /
+    * AQE-skew-safe. Deterministic: first occurrence is min over ids,
+    * not arrival order. Docs too short for an n-gram drop out (dedup-
+    * family contract). Output: (idCol, n_ngrams, n_novel, novel_frac).
+    */
+  def novelty(docs: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text", n: Int = 3): DataFrame = {
+    val ex = docs.select(col(idCol),
+      explode(Dedup.shingleHashes(Hashing.tokens(col(textCol)), n)).as("h"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    ex.withColumn("first_id", min(col(idCol)).over(w))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(when(col("first_id") === col(idCol), lit(1L)).otherwise(lit(0L)))
+          .as("n_novel"))
+      .select(col(idCol), col("n_ngrams"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_ngrams")).as("novel_frac"))
+  }
+
   /** Compression-ratio quality signal: DEFLATE ratio of the UTF-8 text
     * (compressed bytes / raw bytes) — the cheap information-density
     * gate: templated/repeated boilerplate compresses far below natural

@@ -292,6 +292,33 @@ object CorpusQueries {
        |    / CAST(n_total AS DOUBLE) AS cum_cov
        |FROM top, tot""".stripMargin
 
+  // ===== n-gram novelty =================================================
+
+  private val noveltyQ: QFn = (s, d) =>
+    graft.ext.TextStats.novelty(Tables.documents(s, d), n = 3)
+
+  /** Mirrors Dedup.shingleHashes(_, 3): distinct 3-gram strings, then
+    * distinct hashes (same two-level distinct as ng5Sql). */
+  private val ng3Sql = {
+    val shingle = (1 to 3).map(j => s"tk[i+$j]").mkString(" || '_' || ")
+    s"list_distinct(list_transform(list_distinct(list_transform(" +
+      s"range(0, len(tk) - 2), i -> $shingle)), s -> ${hashPSql("s")}))"
+  }
+
+  private val noveltySql =
+    s"""WITH $toksSql,
+       |dng AS (SELECT doc_id, unnest($ng3Sql) AS h FROM toks),
+       |f AS (
+       |  SELECT doc_id,
+       |         MIN(doc_id) OVER (PARTITION BY h) AS first_id
+       |  FROM dng)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+       |  CAST(SUM(CASE WHEN first_id = doc_id THEN 1 ELSE 0 END)
+       |       AS BIGINT) AS n_novel,
+       |  CAST(SUM(CASE WHEN first_id = doc_id THEN 1 ELSE 0 END)
+       |       AS DOUBLE) / COUNT(*) AS novel_frac
+       |FROM f GROUP BY doc_id""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "q_x_decontam" -> decontam,
     "q_x_unigram_lm" -> unigramLm,
@@ -300,7 +327,8 @@ object CorpusQueries {
     "q_x_zorder" -> zorderQ,
     "q_x_heavy_hitters" -> heavyHittersQ,
     "q_x_dsir" -> dsirQ,
-    "q_x_vocab_coverage" -> vocabQ)
+    "q_x_vocab_coverage" -> vocabQ,
+    "q_x_novelty" -> noveltyQ)
 
   val oracles: Map[String, String] = Map(
     "q_x_decontam" -> decontamSql,
@@ -310,5 +338,6 @@ object CorpusQueries {
     "q_x_zorder" -> zorderSql,
     "q_x_heavy_hitters" -> heavyHittersSql,
     "q_x_dsir" -> dsirSql,
-    "q_x_vocab_coverage" -> vocabSql)
+    "q_x_vocab_coverage" -> vocabSql,
+    "q_x_novelty" -> noveltySql)
 }

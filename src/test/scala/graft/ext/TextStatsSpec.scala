@@ -108,6 +108,30 @@ class TextStatsSpec extends SparkSpec {
     assert(r(3L) == ((3L, "clean text", 0L, 0L)))
   }
 
+  test("novelty: first occurrence by min doc id; repeats score 0; short docs drop") {
+    val docs = Seq(
+      (1L, "a b c d"),          // trigrams: a_b_c, b_c_d — both first here
+      (2L, "a b c x y"),        // a_b_c repeats; b_c_x, c_x_y novel
+      (3L, "a b c d"),          // exact repeat of doc 1 -> fully stale
+      (4L, "t u")               // too short for a trigram -> drops out
+    ).toDF("doc_id", "text")
+    val r = TextStats.novelty(docs, n = 3)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(t => t._1 -> t).toMap
+    assert(r.keySet == Set(1L, 2L, 3L))
+    assert(r(1L) == ((1L, 2L, 2L, 1.0)))
+    assert(r(2L) == ((2L, 3L, 2L, 2.0 / 3)))
+    assert(r(3L) == ((3L, 2L, 0L, 0.0)))
+  }
+
+  test("novelty is partition-invariant") {
+    val docs = (1L to 120L).map(i => (i, s"w${i % 5} w${i % 7} w${i % 3} w${i % 5}"))
+      .toDF("doc_id", "text")
+    def run(parts: Int) = TextStats.novelty(docs.repartition(parts))
+      .collect().toSet
+    assert(run(1) == run(7))
+  }
+
   test("compressionRatio: repetition compresses, noise doesn't; empty is NULL") {
     val rep = "lorem ipsum " * 200
     val noise = new scala.util.Random(11).alphanumeric.take(2400).mkString
