@@ -176,12 +176,17 @@ object TextStats {
     * of mostly already-seen n-grams adds little new text even if no
     * single near-duplicate exists.
     *
-    * One n-gram-keyed shuffle (window min over the hash — not a
-    * groupBy + self-join, which would shuffle the exploded frame
-    * twice), then one doc-keyed aggregate; both partial-aggregate /
-    * AQE-skew-safe. Deterministic: first occurrence is min over ids,
-    * not arrival order. Docs too short for an n-gram drop out (dedup-
-    * family contract). Output: (idCol, n_ngrams, n_novel, novel_frac).
+    * One n-gram-keyed shuffle (window min over the hash — the
+    * groupBy + self-join alternative pays that full shuffle TWICE),
+    * then one doc-keyed partial-aggregating rollup. Skew note: AQE
+    * splits skewed JOINS, not windows, so a pathologically hot n-gram
+    * concentrates one window partition; on heavy-tailed corpora
+    * switch to first-occurrence = groupBy(h).agg(min) (partial
+    * aggregation is skew-immune) + an AQE-skew-splittable join back —
+    * two shuffles, each bounded. Deterministic: first occurrence is
+    * min over ids, not arrival order. Docs too short for an n-gram
+    * drop out (dedup-family contract).
+    * Output: (idCol, n_ngrams, n_novel, novel_frac).
     */
   def novelty(docs: DataFrame, idCol: String = "doc_id",
               textCol: String = "text", n: Int = 3): DataFrame = {
