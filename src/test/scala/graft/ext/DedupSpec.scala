@@ -212,4 +212,26 @@ class DedupSpec extends SparkSpec {
     assert(r(0).isEmpty)
     assert(r(1) == Seq("a_b_c", "b_c_d"))
   }
+
+  test("per-row minhashes formula equals the aggregate-form signature") {
+    // the cross-form contract: the oracle SQL mirrors the per-row
+    // formula (minhashes), the engine computes the explode+min
+    // aggregate (minhashSig) — they must agree signature-for-signature
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs today ok"),
+      (3L, "the quick brown fox jumps over the lazy cat"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Hashing.tokens(col("text")).as("tk"))
+    val perRow = docs
+      .select(col("doc_id"),
+        Dedup.minhashes(Dedup.shingleHashes(col("tk"))).as("mh"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val agg = Dedup.minhashSig(docs, "doc_id", "tk")
+      .select(col("doc_id"),
+        array((0 until 16).map(i => col(s"mh$i")): _*).as("mh"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(perRow.keySet == agg.keySet)
+    perRow.foreach { case (id, mh) => assert(mh == agg(id), s"doc $id") }
+  }
 }
