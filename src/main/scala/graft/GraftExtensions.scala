@@ -46,7 +46,14 @@ object GraftExtensions {
         // validate up front: a column reference or string literal here
         // would otherwise surface as an unbound-attribute NPE / CCE
         // deep in planning with no mention of the function
-        import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+        import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
+        if (children.length != 2)
+          throw new IllegalArgumentException(
+            s"misra_gries(tok, capacity) takes 2 arguments, got ${children.length}")
+        if (children.head.resolved && children.head.dataType != StringType)
+          throw new IllegalArgumentException(
+            "misra_gries(tok, capacity): tok must be a string column, got " +
+              children.head.dataType.simpleString)
         val cap = children(1)
         val integral = Seq(ByteType, ShortType, IntegerType, LongType)
         if (!cap.foldable || !integral.contains(cap.dataType))

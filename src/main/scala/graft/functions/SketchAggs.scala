@@ -46,6 +46,16 @@ case class MisraGries(
   require(capacity >= 1, s"misra_gries capacity must be >= 1, got $capacity")
 
   override def prettyName: String = "misra_gries"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"misra_gries requires a string token column, got " +
+          child.dataType.simpleString)
+
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = false
 

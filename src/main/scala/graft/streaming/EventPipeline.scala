@@ -41,8 +41,10 @@ object EventPipeline {
     * The oracle checks the batch twin via the gaps-and-islands rewrite
     * (lag + cumulative boundary count). */
   def userSessionsWindowed(events: DataFrame,
-                           gap: String = "30 minutes"): DataFrame =
+                           gap: String = "30 minutes",
+                           watermark: String = "1 hour"): DataFrame =
     events
+      .withWatermark("ts", watermark)
       .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
       .agg(count(lit(1)).as("n_events"), Q.dsum(col("value")).as("sum_value"))
       .select(col("user_id"),
@@ -199,7 +201,12 @@ object EventPipeline {
             it.toSeq.sortBy(_.ts.getTime).foreach { e =>
               cur match {
                 case Some(s) if e.ts.getTime - s.end.getTime <= gapMs =>
-                  cur = Some(SessionAcc(s.start, e.ts, s.n + 1, s.total + e.value))
+                  // a late-but-in-watermark event (ts < s.end) must never
+                  // regress the session end — the gap is measured from the
+                  // LATEST activity, and the timeout is derived from it
+                  val st = if (e.ts.before(s.start)) e.ts else s.start
+                  val en = if (e.ts.after(s.end)) e.ts else s.end
+                  cur = Some(SessionAcc(st, en, s.n + 1, s.total + e.value))
                 case Some(s) => // in-batch gap: close and restart
                   out += ClosedSession(uid, s.start, s.n, s.total)
                   cur = Some(SessionAcc(e.ts, e.ts, 1L, e.value))
@@ -209,7 +216,10 @@ object EventPipeline {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.end.getTime + gapMs)
+              // must land beyond the current watermark (a batch of only
+              // late events could otherwise set one already in the past)
+              state.setTimeoutTimestamp(math.max(s.end.getTime + gapMs,
+                state.getCurrentWatermarkMs + 1))
             }
             out.result().iterator
           }

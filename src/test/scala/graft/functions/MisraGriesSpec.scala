@@ -40,6 +40,23 @@ class MisraGriesSpec extends SparkSpec {
       .contains("a"))
   }
 
+  test("registration rejects bad arity / non-string token descriptively") {
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT misra_gries(text) FROM VALUES ('a') t(text)").collect()
+    }
+    assert(e1.getMessage.contains("misra_gries"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT misra_gries(n, 4) FROM VALUES (1) t(n)").collect()
+    }
+    assert(e2.getMessage.contains("misra_gries") &&
+      e2.getMessage.toLowerCase.contains("string"), e2.getMessage)
+    val e3 = intercept[Exception] {
+      spark.sql("SELECT misra_gries(text, text) FROM VALUES ('a') t(text)")
+        .collect()
+    }
+    assert(e3.getMessage.contains("capacity"), e3.getMessage)
+  }
+
   test("null tokens are skipped, not counted") {
     val df = Seq(Some("x"), None, Some("x"), None, None).toDF("tok")
     val c = df.agg(SketchAggs.misraGries(col("tok"), 4).as("c"))

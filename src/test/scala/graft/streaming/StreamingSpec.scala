@@ -127,6 +127,42 @@ class StreamingSpec extends SparkSpec {
       (ts("2024-03-01 12:30:00"), 1L, 4.0))) // closed by event-time timeout
   }
 
+  test("closedSessions: late in-watermark event does not regress the end") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = EventPipeline.closedSessions(ms.toDS(), spark, gapMinutes = 30)
+      .writeStream.format("memory").queryName("cslate")
+      .outputMode("append").start()
+    try {
+      // batch 1: session [10:00, 10:20] (watermark after: 09:20)
+      ms.addData(Seq(
+        Event(1L, ts("2024-03-01 10:00:00"), 7L, "click", 1.0),
+        Event(2L, ts("2024-03-01 10:20:00"), 7L, "click", 2.0)))
+      q.processAllAvailable()
+      // batch 2: a LATE but in-watermark event at 10:05 merges; the
+      // session end must stay 10:20, not regress to 10:05
+      ms.addData(Seq(
+        Event(3L, ts("2024-03-01 10:05:00"), 7L, "click", 0.5),
+        Event(4L, ts("2024-03-01 10:30:00"), 8L, "view", 0.0)))
+      q.processAllAvailable()
+      // batch 3: 10:45 is 25 min after the TRUE end (10:20) => same
+      // session; a regressed end (10:05) would see a 40-min gap and
+      // wrongly split here
+      ms.addData(Seq(Event(5L, ts("2024-03-01 10:45:00"), 7L, "click", 1.5)))
+      q.processAllAvailable()
+      // advance the watermark far past 10:45+30min to time out + emit
+      ms.addData(Seq(Event(9L, ts("2024-03-02 12:00:00"), 8L, "view", 0.5)))
+      q.processAllAvailable()
+      ms.addData(Seq(Event(10L, ts("2024-03-03 12:00:00"), 8L, "view", 0.5)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("cslate")
+      .as[EventPipeline.ClosedSession].collect()
+      .filter(_.user_id == 7L).sortBy(_.session_start.getTime)
+    assert(rows.map(s => (s.session_start, s.n_events, s.total)).toSeq ==
+      Seq((ts("2024-03-01 10:00:00"), 4L, 5.0)))
+  }
+
   test("dedupIngestSink: near-dups filtered across and within batches") {
     implicit val ctx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("ddi").toString
