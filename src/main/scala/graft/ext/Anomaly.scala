@@ -1,0 +1,62 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ingestion anomaly detection: a 100 TB pipeline's first operational
+  * question is "did a source silently break / explode today?". The
+  * detector flags per-stream daily volumes whose z-score against the
+  * trailing window exceeds a threshold — the standard volume-drift
+  * monitor run after every ingest batch.
+  *
+  * Determinism contract: the rolling moments come from EXACT integer
+  * sums (counts, and sums of squared counts, are BIGINTs — no float
+  * summation anywhere), so mean/variance are identical IEEE expressions
+  * of identical integers in any engine; the z-score is sig9-normalized
+  * before thresholding so both engines flag the same days.
+  *
+  * Scale shape: the daily rollup is one map-side-combined aggregate of
+  * the event stream; everything after runs on the O(streams × days)
+  * rollup frame, whose per-stream window partitions are bounded by the
+  * retention horizon — this never needs the two-phase scan treatment.
+  */
+object Anomaly {
+
+  /** Per (stream, day) volume with trailing-window z-score.
+    *
+    * The window is the `lookback` preceding OBSERVED days (ROWS, not
+    * RANGE: a silent gap day shifts the window rather than shrinking
+    * it — a day with zero events produces no row, which is itself the
+    * anomaly the `n_win < lookback` null-z rows surface). z is null
+    * until the window is full or when the window variance is zero.
+    * Output: (stream, day, cnt, n_win, mean_cnt, z, is_anomaly). */
+  def dailyVolume(events: DataFrame, tsCol: String = "ts",
+                  typeCol: String = "event_type", lookback: Int = 7,
+                  zThreshold: Double = 3.0): DataFrame = {
+    val daily = events
+      .groupBy(col(typeCol).as("stream"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("stream")).orderBy(col("day"))
+      .rowsBetween(-lookback, -1)
+    val mo = daily
+      .withColumn("n_win", count(col("cnt")).over(w))
+      .withColumn("s1", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .withColumn("s2", coalesce(sum(col("cnt") * col("cnt")).over(w), lit(0L)))
+    val n = col("n_win").cast("double")
+    val mean = col("s1").cast("double") / n
+    val vr = (col("s2").cast("double")
+      - col("s1").cast("double") * col("s1").cast("double") / n) / n
+    val full = col("n_win") === lookback
+    val zRaw = (col("cnt").cast("double") - mean) / sqrt(vr)
+    mo.withColumn("mean_cnt",
+        when(full, graft.queries.Q.sig9(mean)))
+      .withColumn("z",
+        when(full && vr > 0, graft.queries.Q.sig9(zRaw)))
+      .withColumn("is_anomaly",
+        coalesce(abs(col("z")) > zThreshold, lit(false)))
+      .select(col("stream"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"), col("cnt"),
+        col("n_win"), col("mean_cnt"), col("z"), col("is_anomaly"))
+  }
+}

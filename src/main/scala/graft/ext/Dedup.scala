@@ -41,6 +41,70 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("content_md5"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Consecutive `width`-token segments of a token array (last segment
+    * may be shorter) — the segmentation under [[segmentDedup]]. Bound
+    * through a single-element array for the same lambda-CSE reason as
+    * [[shingles]]. */
+  def segments(toks: Column, width: Int): Column = {
+    def over(tk: Column) =
+      when(size(tk) > 0,
+        transform(
+          sequence(lit(0),
+            floor((size(tk) - 1).cast("double") / width).cast("int")),
+          i => array_join(slice(tk, i * width + lit(1), lit(width)), " ")))
+        .otherwise(array().cast("array<string>"))
+    element_at(transform(array(toks), tk => over(tk)), 1)
+  }
+
+  /** Segment-level exact dedup (the C4/CCNet move, reference semantics
+    * from Raffel et al. 2020 §2.2 / Wenzek et al. 2020 §3.1, applied at
+    * fixed token-window granularity because this corpus has no newline
+    * structure): any `width`-token segment occurring in >= `minDocs`
+    * DISTINCT documents is boilerplate and is removed from every
+    * document; the per-document text is rebuilt from the surviving
+    * segments in order.
+    *
+    * Scale shape: ONE text pass produces the exploded segment frame;
+    * occurrence counting groups the distinct (segment-hash, doc) pairs
+    * (map-side partial, one shuffle of 8-byte keys); the count joins
+    * back to the segment frame as a plain equi-join (AQE skew-splits
+    * boilerplate keys — exactly the rows this operator deletes).
+    * Documents whose every segment was dropped (or that had no tokens)
+    * re-enter through an id-only columnar scan, not a second text pass.
+    * Identity is the portable 60-bit md5 hash: collision odds at 2^60
+    * are negligible and BOTH engines hash identically, so the decision
+    * is reproducible across runs, engines and partitionings.
+    * Output: (idCol, n_segs, n_kept, new_text). */
+  def segmentDedup(docs: DataFrame, width: Int = 8, minDocs: Int = 2,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val seg = docs
+      .select(col(idCol), segments(Hashing.tokens(col(textCol)), width)
+        .as("segs"))
+      .select(col(idCol), posexplode(col("segs")).as(Seq("pos", "seg")))
+      .withColumn("h", Hashing.hash60(col("seg")))
+    val nDocs = seg.select(col("h"), col(idCol)).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
+    val rebuilt = seg.join(nDocs, Seq("h"))
+      .withColumn("keep", col("n_docs") < minDocs)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            filter(
+              array_sort(collect_list(struct(col("pos"),
+                when(col("keep"), col("seg")).as("seg")))),
+              s => s.getField("seg").isNotNull),
+            s => s.getField("seg")),
+          " ").as("new_text"))
+    docs.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_segs"), lit(0L)).as("n_segs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("new_text"), lit("")).as("new_text"))
+  }
+
   /** Distinct token n-gram shingles of a token array.
     *
     * The token expression is bound to a lambda variable via a

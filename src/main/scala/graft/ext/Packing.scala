@@ -1,0 +1,71 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM training: documents are concatenated in a
+  * deterministic order (id order within a group) and the token stream is
+  * chopped into fixed-`capacity` training sequences (the GPT-2/LLaMA
+  * concatenate-and-chunk recipe). The operator computes, per document,
+  * its global token offset in the group's stream and the first/last
+  * sequence ids it lands in — everything a downstream packer/writer
+  * needs to emit the actual blocks, and everything an attention-masking
+  * audit needs (`spans_boundary` marks documents split across
+  * sequences).
+  *
+  * Scale design — the offset is a distributed prefix sum, NOT one
+  * window per group: `SUM() OVER (PARTITION BY group ORDER BY id)` puts
+  * an entire group on one reducer, which dies exactly when one source
+  * dominates the corpus (the normal case: web text is most of a 100 TB
+  * mix). Instead the classic two-phase scan:
+  *
+  *  1. bucket documents by id range; a windowed sum WITHIN (group,
+  *     bucket) runs on bounded partitions regardless of group skew;
+  *  2. per-bucket token totals — an O(#buckets) frame — get a running
+  *     base offset per group (tiny window), and broadcast-join back.
+  *
+  * offset = bucket base + within-bucket prefix. Identical result to the
+  * single-window form (the DuckDB oracle IS the single-window form),
+  * but every shuffle partition is bounded by `bucketSize` documents.
+  */
+object Packing {
+
+  /** Per-document packing coordinates.
+    *
+    * Input: one row per document with a group column (stream identity:
+    * source, split, ...), an orderable id, and a token count. Output
+    * adds: `tok_offset` (tokens before this doc in its group's stream),
+    * `first_seq`/`last_seq` (sequence ids of capacity `capacity` the
+    * doc occupies; empty docs take first_seq), `spans_boundary`.
+    */
+  def packSequences(df: DataFrame, capacity: Int,
+                    groupCol: String = "source", idCol: String = "doc_id",
+                    nTokCol: String = "n_tokens",
+                    bucketSize: Long = 4096L): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val b = df.select(col(groupCol).as("grp"), col(idCol).as("id"),
+        col(nTokCol).cast("long").as("n_tok"))
+      .withColumn("bkt", (col("id").cast("long") / bucketSize).cast("long"))
+    val wIn = Window.partitionBy(col("grp"), col("bkt")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val within = b.withColumn("local_off",
+      coalesce(sum(col("n_tok")).over(wIn), lit(0L)))
+    val wBkt = Window.partitionBy(col("grp")).orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = b.groupBy(col("grp"), col("bkt"))
+      .agg(sum(col("n_tok")).as("bkt_tok"))
+      .withColumn("base", coalesce(sum(col("bkt_tok")).over(wBkt), lit(0L)))
+      .select(col("grp"), col("bkt"), col("base"))
+    // integer `div`, not double `/`: a 100 TB group's token offsets
+    // exceed 2^53 and double division would misplace sequence ids
+    within.join(broadcast(bases), Seq("grp", "bkt"))
+      .withColumn("tok_offset", col("base") + col("local_off"))
+      .select(col("grp").as(groupCol), col("id").as(idCol),
+        col("n_tok").as("n_tokens"), col("tok_offset"))
+      .withColumn("first_seq", expr(s"tok_offset div ${capacity.toLong}L"))
+      .withColumn("last_seq",
+        expr(s"(tok_offset + greatest(n_tokens, 1L) - 1L) div ${capacity.toLong}L"))
+      .withColumn("spans_boundary", col("first_seq") =!= col("last_seq"))
+  }
+}

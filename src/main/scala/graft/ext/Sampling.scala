@@ -63,6 +63,40 @@ object Sampling {
     df.withColumn("u", u).withColumn("split", split)
   }
 
+  /** Temperature-based stratum re-weighting (the multilingual-sampling
+    * move, e.g. XLM-R: p_s ∝ n_s^alpha with alpha < 1 upsampling tail
+    * strata relative to their natural share). Sampling weight
+    * w_s = n_s^alpha / Σ n_s^alpha; the per-stratum acceptance rate is
+    * min(1, targetFrac·N·w_s / n_s), applied with the same deterministic
+    * per-key hash coin as [[stratified]]. Re-runs are bit-identical; the
+    * per-key coin is append-stable, but the RATES recompute with corpus
+    * composition (inherent to temperature mixing — the natural shares
+    * move), so pin a rate schedule (the broadcast `rates` frame) when
+    * incremental batches must agree with a frozen mix.
+    *
+    * Determinism contract: the weight normalizer Σ n_s^alpha routes
+    * through the decimal order-independent sum and the final rate is
+    * sig9-normalized BEFORE the coin comparison, so both engines gate on
+    * the identical number. Per-stratum counts and the one-row totals
+    * frame are broadcast; the corpus side is one map-side pass. */
+  def temperatureMix(df: DataFrame, keyCol: String, stratumCol: String,
+                     targetFrac: Double, alpha: Double = 0.5,
+                     salt: String = "temp"): DataFrame = {
+    import graft.queries.Q
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_s"))
+    val wr = counts.withColumn("w_raw", pow(col("n_s").cast("double"), alpha))
+    val tot = wr.agg(Q.dsum(col("w_raw")).as("denom"),
+      sum(col("n_s")).as("n_total"))
+    val rates = wr.crossJoin(broadcast(tot))
+      .withColumn("rate", Q.sig9(
+        least(lit(1.0), lit(targetFrac) * col("n_total").cast("double")
+          * col("w_raw") / col("denom") / col("n_s").cast("double"))))
+      .select(col(stratumCol), col("n_s"), col("rate"))
+    df.join(broadcast(rates), Seq(stratumCol))
+      .withColumn("u", unitHash(col(keyCol), salt))
+      .withColumn("accept", col("u") < col("rate"))
+  }
+
   /** Cap each stratum at `maxPerStratum` rows ("at most N documents per
     * domain"): rows ranked by the salted hash coin (tie-broken by key)
     * so the retained subset is a uniform, reproducible sample of the

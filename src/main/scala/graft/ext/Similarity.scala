@@ -289,6 +289,43 @@ object Similarity {
         col("is_dup").isNull.as("keep"))
   }
 
+  /** k-NN label classification over embeddings: each query vector takes
+    * the majority label of its k nearest (cosine) labeled reference
+    * vectors. The label-propagation face of the ANN stack — auto-label
+    * new corpus slices from a small curated seed set.
+    *
+    * Ties are broken deterministically: most votes, then the label whose
+    * nearest voting neighbor ranks closest, then the smaller label — so
+    * the prediction is a pure function of the data (re-runs and engines
+    * agree, which is what makes propagated labels auditable).
+    *
+    * Scale shape: [[bruteTopK]] broadcasts the (small) query set and
+    * streams the reference corpus map-side; the |Q| x k winner frame is
+    * then itself broadcast back against the reference labels, so the big
+    * side is scanned, never shuffled. The argmax over (votes, rank,
+    * label) is a struct-max hash aggregate — no sort window.
+    * Output: (qid, pred_label, votes, true_label, correct). */
+  def knnClassify(queries: DataFrame, refs: DataFrame, k: Int,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  labelCol: String = "label"): DataFrame = {
+    val top = bruteTopK(queries, refs, k, idCol, vecCol)
+    val nbr = refs
+      .select(col(idCol).as("cid"), col(labelCol).cast("long").as("nlabel"))
+      .join(broadcast(top), Seq("cid"))
+    val votes = nbr.groupBy(col("qid"), col("nlabel"))
+      .agg(count(lit(1)).as("votes"), min(col("rank")).as("best_rank"))
+    val pred = votes.groupBy(col("qid"))
+      .agg(max(struct(col("votes"), (-col("best_rank")).as("nbr"),
+        (-col("nlabel")).as("nnl"))).as("b"))
+      .select(col("qid"), (-col("b.nnl")).cast("long").as("pred_label"),
+        col("b.votes").as("votes"))
+    val truth = queries.select(col(idCol).as("qid"),
+      col(labelCol).cast("long").as("true_label"))
+    pred.join(broadcast(truth), Seq("qid"))
+      .select(col("qid"), col("pred_label"), col("votes"), col("true_label"),
+        (col("pred_label") === col("true_label")).as("correct"))
+  }
+
   /** Embedding near-duplicate pairs: each query row's candidates with
     * cosine >= threshold. Queries broadcast (catalog-probe shape). */
   def nearDupPairs(queries: DataFrame, candidates: DataFrame,

@@ -49,17 +49,11 @@ object ExtQueries {
        |      s -> ${hashPSql("s")})) AS sh
        |  FROM $src)""".stripMargin
 
-  /** Sequential double fold: sum of `itemExpr` over `rangeExpr`
-    * (mirrors Similarity.dot's aggregate fold). */
-  private def foldSql(listExpr: String) =
-    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $listExpr), (a, b) -> a + b)"
-
-  private def dotSql(qa: String, ca: String) =
-    foldSql(s"list_transform(range(1, len($qa) + 1), " +
-      s"i -> CAST($qa[i] AS DOUBLE) * CAST($ca[i] AS DOUBLE))")
-
-  private def nsqSql(v: String) =
-    foldSql(s"list_transform($v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
+  /** Sequential double fold / dot / norm — delegated to the shared
+    * cross-engine definitions in [[Q]]. */
+  private def foldSql(listExpr: String) = Q.sqlFold(listExpr)
+  private def dotSql(qa: String, ca: String) = Q.sqlDot(qa, ca)
+  private def nsqSql(v: String) = Q.sqlNsq(v)
 
   // ===== text analysis ==================================================
 

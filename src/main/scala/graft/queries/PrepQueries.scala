@@ -1,0 +1,223 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ext.{Anomaly, Dedup, Hashing, Packing, Sampling, Similarity}
+import Q._
+
+/** Round-6 training-prep operators under the DuckDB oracle: k-NN label
+  * propagation, segment-level (C4/CCNet-style) dedup, sequence packing,
+  * temperature-based source mixing, and ingest anomaly detection. Same
+  * parity conventions as [[ExtQueries]]/[[CorpusQueries]] (portable md5
+  * hashing, decimal-routed double aggregation, sig9 normalization of
+  * every libm-dependent value before it is compared or thresholded).
+  */
+object PrepQueries {
+  type QFn = (SparkSession, String) => DataFrame
+
+  private val toksSql =
+    """toks AS (
+      |  SELECT doc_id, source,
+      |         list_filter(string_split(text, ' '), t -> t <> '') AS tk
+      |  FROM documents)""".stripMargin
+
+  // ===== k-NN label classification ======================================
+
+  /** Queries = every 20th vector (the "unlabeled" slice), references =
+    * the rest; k = 5 cosine neighbors, majority vote. The true labels
+    * ride along so accuracy itself is part of the adjudicated output. */
+  private val knnLabel: QFn = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    Similarity.knnClassify(emb.filter(col("vec_id") % 20 === 0),
+      emb.filter(col("vec_id") % 20 =!= 0), k = 5)
+  }
+
+  private val knnLabelSql =
+    s"""WITH n AS (
+       |  SELECT vec_id, label, embedding, ${sqlNsq("embedding")} AS nsq
+       |  FROM embeddings),
+       |p AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |    CAST(c.label AS BIGINT) AS nlabel,
+       |    ${sqlDot("q.embedding", "c.embedding")}
+       |      / (sqrt(q.nsq) * sqrt(c.nsq)) AS cosv
+       |  FROM n q CROSS JOIN n c
+       |  WHERE q.vec_id % 20 = 0 AND c.vec_id % 20 <> 0),
+       |r AS (SELECT qid, cid, nlabel, ${sqlSig9("cosv")} AS score FROM p),
+       |t AS (
+       |  SELECT qid, nlabel, ROW_NUMBER() OVER (
+       |    PARTITION BY qid ORDER BY score DESC, cid) AS rn
+       |  FROM r),
+       |v AS (
+       |  SELECT qid, nlabel, CAST(COUNT(*) AS BIGINT) AS votes,
+       |         MIN(rn) AS best_rank
+       |  FROM t WHERE rn <= 5 GROUP BY qid, nlabel),
+       |w AS (
+       |  SELECT qid, nlabel, votes, ROW_NUMBER() OVER (
+       |    PARTITION BY qid ORDER BY votes DESC, best_rank, nlabel) AS wr
+       |  FROM v)
+       |SELECT w.qid, w.nlabel AS pred_label, w.votes,
+       |  CAST(e.label AS BIGINT) AS true_label,
+       |  w.nlabel = CAST(e.label AS BIGINT) AS correct
+       |FROM w JOIN embeddings e ON w.qid = e.vec_id
+       |WHERE w.wr = 1""".stripMargin
+
+  // ===== segment-level exact dedup ======================================
+
+  private val segWidth = 8
+
+  private val segmentDedupQ: QFn = (s, d) =>
+    Dedup.segmentDedup(Tables.documents(s, d), width = segWidth, minDocs = 2)
+
+  private val segmentDedupSql = {
+    val w = segWidth
+    s"""WITH $toksSql,
+       |segd AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(tk) > 0 THEN
+       |      list_transform(range(0, CAST(ceil(len(tk) / $w.0) AS BIGINT)),
+       |        i -> array_to_string(tk[i*$w+1 : i*$w+$w], ' '))
+       |    ELSE CAST([] AS VARCHAR[]) END AS segs
+       |  FROM toks),
+       |u AS (
+       |  SELECT doc_id, unnest(segs) AS seg,
+       |         unnest(range(0, len(segs))) AS pos
+       |  FROM segd),
+       |hd AS (
+       |  SELECT ${sqlHash60("seg")} AS h,
+       |         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+       |  FROM u GROUP BY 1),
+       |j AS (
+       |  SELECT u.doc_id, u.pos, u.seg, hd.n_docs
+       |  FROM u JOIN hd ON ${sqlHash60("u.seg")} = hd.h),
+       |r AS (
+       |  SELECT doc_id,
+       |    CAST(COUNT(*) AS BIGINT) AS n_segs,
+       |    CAST(COUNT(*) FILTER (WHERE n_docs < 2) AS BIGINT) AS n_kept,
+       |    COALESCE(string_agg(seg, ' ' ORDER BY pos)
+       |             FILTER (WHERE n_docs < 2), '') AS new_text
+       |  FROM j GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  COALESCE(r.n_segs, CAST(0 AS BIGINT)) AS n_segs,
+       |  COALESCE(r.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+       |  COALESCE(r.new_text, '') AS new_text
+       |FROM documents d LEFT JOIN r USING (doc_id)""".stripMargin
+  }
+
+  // ===== sequence packing ===============================================
+
+  private val packCap = 256
+
+  private val seqPackQ: QFn = (s, d) =>
+    Packing.packSequences(
+      Tables.documents(s, d).select(col("doc_id"), col("source"),
+        size(Hashing.tokens(col("text"))).cast("long").as("n_tokens")),
+      capacity = packCap, bucketSize = 64L)
+
+  /** The oracle is the single-window form — the two-phase bucket scan
+    * must be bit-identical to it. */
+  private val seqPackSql =
+    s"""WITH $toksSql,
+       |t AS (
+       |  SELECT source, doc_id, CAST(len(tk) AS BIGINT) AS n_tokens
+       |  FROM toks),
+       |o AS (
+       |  SELECT source, doc_id, n_tokens,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (
+       |      PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS tok_offset
+       |  FROM t)
+       |SELECT source, doc_id, n_tokens, tok_offset,
+       |  CAST(tok_offset // $packCap AS BIGINT) AS first_seq,
+       |  CAST((tok_offset + GREATEST(n_tokens, 1) - 1) // $packCap
+       |       AS BIGINT) AS last_seq,
+       |  (tok_offset // $packCap)
+       |    <> ((tok_offset + GREATEST(n_tokens, 1) - 1) // $packCap)
+       |    AS spans_boundary
+       |FROM o""".stripMargin
+
+  // ===== temperature-based source mixing ================================
+
+  private val tempFrac = 0.5
+
+  private val temperatureMixQ: QFn = (s, d) =>
+    Sampling.temperatureMix(
+      Tables.documents(s, d).select(col("doc_id"), col("lang")),
+      "doc_id", "lang", targetFrac = tempFrac)
+
+  private val temperatureMixSql =
+    s"""WITH c AS (
+       |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_s
+       |  FROM documents GROUP BY lang),
+       |w AS (
+       |  SELECT lang, n_s,
+       |    power(CAST(n_s AS DOUBLE), CAST(0.5 AS DOUBLE)) AS w_raw
+       |  FROM c),
+       |t AS (
+       |  SELECT ${sqlDsum("w_raw")} AS denom,
+       |         CAST(SUM(n_s) AS BIGINT) AS n_total
+       |  FROM w),
+       |r AS (
+       |  SELECT lang, n_s,
+       |    ${sqlSig9(s"LEAST(CAST(1.0 AS DOUBLE), CAST($tempFrac AS DOUBLE) * CAST(n_total AS DOUBLE) * w_raw / denom / CAST(n_s AS DOUBLE))")}
+       |      AS rate
+       |  FROM w CROSS JOIN t),
+       |p AS (
+       |  SELECT d.lang, d.doc_id, r.n_s, r.rate,
+       |    CAST(${sqlHash60("'temp:' || CAST(doc_id AS VARCHAR)")} % 1000000
+       |      AS DOUBLE) / 1000000.0 AS u
+       |  FROM documents d JOIN r USING (lang))
+       |SELECT lang, doc_id, n_s, rate, u, u < rate AS accept
+       |FROM p""".stripMargin
+
+  // ===== ingest anomaly detection =======================================
+
+  private val anomalyQ: QFn = (s, d) =>
+    Anomaly.dailyVolume(Tables.events(s, d))
+
+  private val anomalySql = {
+    val vr = "(CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)" +
+      " / CAST(n_win AS DOUBLE)) / CAST(n_win AS DOUBLE)"
+    s"""WITH daily AS (
+       |  SELECT event_type AS stream, CAST(ts AS DATE) AS day,
+       |         CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM events GROUP BY 1, 2),
+       |m AS (
+       |  SELECT stream, day, cnt,
+       |    CAST(COUNT(cnt) OVER win AS BIGINT) AS n_win,
+       |    CAST(COALESCE(SUM(cnt) OVER win, 0) AS BIGINT) AS s1,
+       |    CAST(COALESCE(SUM(cnt * cnt) OVER win, 0) AS BIGINT) AS s2
+       |  FROM daily
+       |  WINDOW win AS (PARTITION BY stream ORDER BY day
+       |                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+       |z AS (
+       |  SELECT stream, day, cnt, n_win,
+       |    CASE WHEN n_win = 7 THEN
+       |      ${sqlSig9("CAST(s1 AS DOUBLE) / CAST(n_win AS DOUBLE)")}
+       |    END AS mean_cnt,
+       |    CASE WHEN n_win = 7 AND $vr > 0 THEN
+       |      ${sqlSig9(s"(CAST(cnt AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n_win AS DOUBLE)) / sqrt($vr)")}
+       |    END AS z
+       |  FROM m)
+       |SELECT stream, strftime(day, '%Y-%m-%d') AS day, cnt, n_win,
+       |  mean_cnt, z,
+       |  COALESCE(abs(z) > 3.0, false) AS is_anomaly
+       |FROM z""".stripMargin
+  }
+
+  val queries: Map[String, QFn] = Map(
+    "q_x_knn_label" -> knnLabel,
+    "q_x_segment_dedup" -> segmentDedupQ,
+    "q_x_seq_pack" -> seqPackQ,
+    "q_x_temperature_mix" -> temperatureMixQ,
+    "q_x_anomaly" -> anomalyQ)
+
+  val oracles: Map[String, String] = Map(
+    "q_x_knn_label" -> knnLabelSql,
+    "q_x_segment_dedup" -> segmentDedupSql,
+    "q_x_seq_pack" -> seqPackSql,
+    "q_x_temperature_mix" -> temperatureMixSql,
+    "q_x_anomaly" -> anomalySql)
+}

@@ -52,6 +52,17 @@ object Q {
   def sqlHashP(e: String): String =
     s"${sqlHash60(e)} % ${graft.ext.Hashing.P}"
 
+  /** DuckDB-side sequential double fold / dot product / squared norm
+    * (mirror Similarity.dot's left-to-right fold — ONE definition of
+    * the cross-engine vector-math contract). */
+  def sqlFold(listExpr: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $listExpr), (a, b) -> a + b)"
+  def sqlDot(qa: String, ca: String): String =
+    sqlFold(s"list_transform(range(1, len($qa) + 1), " +
+      s"i -> CAST($qa[i] AS DOUBLE) * CAST($ca[i] AS DOUBLE))")
+  def sqlNsq(v: String): String =
+    sqlFold(s"list_transform($v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
+
   /** DuckDB-side equivalents (string builders for oracle SQL). */
   def sqlSig9(e: String): String =
     s"(CASE WHEN ($e) IS NULL OR ($e) = 0 THEN ($e) ELSE " +

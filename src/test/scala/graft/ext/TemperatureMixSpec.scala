@@ -1,0 +1,35 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TemperatureMixSpec extends SparkSpec {
+  import spark.implicits._
+
+  // heavily skewed strata: 900 "big" rows vs 100 "small"
+  private def docs = (1L to 1000L)
+    .map(i => (i, if (i <= 900) "big" else "small"))
+    .toDF("id", "stratum")
+
+  test("alpha=0.5 upsamples the tail stratum relative to natural share") {
+    val r = Sampling.temperatureMix(docs, "id", "stratum", targetFrac = 0.5)
+    val rates = r.select("stratum", "rate").distinct()
+      .as[(String, Double)].collect().toMap
+    // w ∝ sqrt(n): big 30, small 10 -> shares 0.75 / 0.25;
+    // target 500 -> big rate 375/900 ≈ 0.4167, small 125/100 -> capped 1.0
+    assert(rates("small") == 1.0)
+    assert(math.abs(rates("big") - 0.4166667) < 1e-6)
+    val kept = r.filter(col("accept")).groupBy("stratum").count()
+      .as[(String, Long)].collect().toMap
+    assert(kept("small") == 100L)                  // rate 1: all kept
+    assert(kept("big") > 300L && kept("big") < 450L)
+  }
+
+  test("decisions are a pure function of the input (re-run identical)") {
+    val all = Sampling.temperatureMix(docs, "id", "stratum", 0.5)
+      .filter(col("accept")).select("id").as[Long].collect().toSet
+    val again = Sampling.temperatureMix(docs, "id", "stratum", 0.5)
+      .filter(col("accept")).select("id").as[Long].collect().toSet
+    assert(all == again)
+  }
+}
