@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
-import graft.ext.{Anomaly, Dedup, Hashing, Packing, Sampling, Similarity}
+import graft.ext.{Anomaly, Bpe, CorpusDiff, Curriculum, Dedup, Hashing,
+  Packing, Profile, Sampling, Similarity}
 import Q._
 
 /** Round-6 training-prep operators under the DuckDB oracle: k-NN label
@@ -207,17 +208,144 @@ object PrepQueries {
        |FROM z""".stripMargin
   }
 
+  // ===== BPE vocabulary induction =======================================
+
+  private val bpeQ: QFn = (s, d) =>
+    Bpe.train(Tables.documents(s, d)
+      .select(Hashing.tokens(col("text")).as("tk")), "tk", merges = 3)
+
+  /** One CTE chain per merge round, each applying the same 4-pass
+    * padded replace as the engine (replace is left-to-right
+    * non-overlapping in both engines — the semantics ARE the
+    * contract). */
+  private val bpeSql = {
+    def rep4(inner: String) = (1 to 4).foldLeft(inner)((acc, _) =>
+      s"replace($acc, ' '||l||' '||r||' ', ' '||l||r||' ')")
+    def pairs(w: String) =
+      s"""(SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS pair_count
+         |   FROM (SELECT unnest(s[1:len(s)-1]) AS l,
+         |                unnest(s[2:len(s)]) AS r, cnt
+         |         FROM (SELECT string_split(trim(sym), ' ') AS s, cnt
+         |               FROM $w))
+         |   GROUP BY l, r)""".stripMargin
+    def top(p: String) =
+      s"(SELECT l, r, pair_count FROM $p ORDER BY pair_count DESC, l, r LIMIT 1)"
+    def merge(w: String, t: String) =
+      s"(SELECT ${rep4("sym")} AS sym, cnt FROM $w CROSS JOIN $t)"
+    s"""WITH $toksSql,
+       |w0 AS (
+       |  SELECT ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' '
+       |           AS sym,
+       |         cnt
+       |  FROM (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+       |        FROM (SELECT unnest(tk) AS w FROM toks) GROUP BY w)),
+       |t1 AS ${top(pairs("w0"))},
+       |w1 AS ${merge("w0", "t1")},
+       |t2 AS ${top(pairs("w1"))},
+       |w2 AS ${merge("w1", "t2")},
+       |t3 AS ${top(pairs("w2"))}
+       |SELECT CAST(1 AS BIGINT) AS step, l AS lhs, r AS rhs,
+       |       l||r AS merged, pair_count FROM t1
+       |UNION ALL
+       |SELECT CAST(2 AS BIGINT), l, r, l||r, pair_count FROM t2
+       |UNION ALL
+       |SELECT CAST(3 AS BIGINT), l, r, l||r, pair_count FROM t3""".stripMargin
+  }
+
+  // ===== column profiling ===============================================
+
+  private val profileCols = Seq("doc_id", "lang", "source", "n_chars")
+
+  private val profileQ: QFn = (s, d) =>
+    Profile.profile(Tables.documents(s, d), profileCols)
+
+  private val profileSql = profileCols.map { c =>
+    s"""SELECT * FROM (
+       |  SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |    CAST(COUNT(*) - COUNT(vc) AS BIGINT) AS n_nulls,
+       |    CAST(COUNT(DISTINCT vc) AS BIGINT) AS n_distinct,
+       |    MIN(vc) AS min_value, MAX(vc) AS max_value
+       |  FROM (SELECT CAST($c AS VARCHAR) AS vc FROM documents))
+       |CROSS JOIN (
+       |  SELECT vc AS top_value, CAST(COUNT(*) AS BIGINT) AS top_count
+       |  FROM (SELECT CAST($c AS VARCHAR) AS vc FROM documents)
+       |  WHERE vc IS NOT NULL
+       |  GROUP BY vc ORDER BY top_count DESC, top_value LIMIT 1)"""
+      .stripMargin
+  }.mkString("\nUNION ALL\n")
+
+  // ===== corpus version diff ============================================
+
+  /** New version derived deterministically from the same table on both
+    * sides: every 17th doc removed, every 13th doc's text edited,
+    * every 23rd doc re-added under a shifted id. */
+  private val corpusDiffQ: QFn = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val newV = docs.filter(col("doc_id") % 17 =!= 0)
+      .withColumn("text", when(col("doc_id") % 13 === 0,
+        concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      .unionByName(docs.filter(col("doc_id") % 23 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+    CorpusDiff.diff(docs, newV)
+  }
+
+  private val corpusDiffSql =
+    """WITH newv AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END
+      |      AS text
+      |  FROM documents WHERE doc_id % 17 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text
+      |  FROM documents WHERE doc_id % 23 = 0),
+      |o AS (SELECT doc_id AS id, md5(text) AS old_md5 FROM documents),
+      |n AS (SELECT doc_id AS id, md5(text) AS new_md5 FROM newv)
+      |SELECT COALESCE(o.id, n.id) AS doc_id, old_md5, new_md5,
+      |  CASE WHEN old_md5 IS NULL THEN 'added'
+      |       WHEN new_md5 IS NULL THEN 'removed'
+      |       WHEN old_md5 <> new_md5 THEN 'changed'
+      |       ELSE 'unchanged' END AS status
+      |FROM o FULL OUTER JOIN n ON o.id = n.id""".stripMargin
+
+  // ===== curriculum ordering ============================================
+
+  private val curriculumQ: QFn = (s, d) =>
+    Curriculum.buckets(
+      Tables.documents(s, d).select(col("doc_id"),
+        size(Hashing.tokens(col("text"))).cast("long").as("score")),
+      "doc_id", "score", nBuckets = 4)
+
+  private val curriculumSql =
+    s"""WITH $toksSql,
+       |sc AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS score FROM toks),
+       |b AS (SELECT quantile_cont(score, [0.25, 0.5, 0.75]) AS bounds
+       |      FROM sc)
+       |SELECT doc_id, score,
+       |  CAST(len(list_filter(bounds, x -> CAST(score AS DOUBLE) > x))
+       |       AS BIGINT) AS bucket,
+       |  CAST(${sqlHash60("'curriculum:' || CAST(doc_id AS VARCHAR)")}
+       |       % 1000000 AS DOUBLE) / 1000000.0 AS ord
+       |FROM sc CROSS JOIN b""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "q_x_knn_label" -> knnLabel,
     "q_x_segment_dedup" -> segmentDedupQ,
     "q_x_seq_pack" -> seqPackQ,
     "q_x_temperature_mix" -> temperatureMixQ,
-    "q_x_anomaly" -> anomalyQ)
+    "q_x_anomaly" -> anomalyQ,
+    "q_x_bpe" -> bpeQ,
+    "q_x_profile" -> profileQ,
+    "q_x_corpus_diff" -> corpusDiffQ,
+    "q_x_curriculum" -> curriculumQ)
 
   val oracles: Map[String, String] = Map(
     "q_x_knn_label" -> knnLabelSql,
     "q_x_segment_dedup" -> segmentDedupSql,
     "q_x_seq_pack" -> seqPackSql,
     "q_x_temperature_mix" -> temperatureMixSql,
-    "q_x_anomaly" -> anomalySql)
+    "q_x_anomaly" -> anomalySql,
+    "q_x_bpe" -> bpeSql,
+    "q_x_profile" -> profileSql,
+    "q_x_corpus_diff" -> corpusDiffSql,
+    "q_x_curriculum" -> curriculumSql)
 }
