@@ -105,6 +105,31 @@ object Dedup {
         coalesce(col("new_text"), lit("")).as("new_text"))
   }
 
+  /** Pick the representative of each duplicate cluster by BEST score
+    * (ties to the smallest id) — the production keep rule: after
+    * clustering, keep the highest-quality copy, not whichever happens
+    * to carry the smallest id. `clusters` = (idCol, cluster_id) as
+    * produced by [[dupClusters]]/[[dupClustersStar]]; `scores` =
+    * (idCol, scoreCol) from any deterministic quality signal (token
+    * count, unigram-LM score, compression ratio, ...).
+    *
+    * Scale shape: the argmax is a struct-max hash aggregate per
+    * cluster (map-side partial, no sort window); the best-frame joins
+    * back by cluster_id as a plain equi-join. Output:
+    * (idCol, cluster_id, score, keep). */
+  def clusterRepresentatives(clusters: DataFrame, scores: DataFrame,
+                             idCol: String = "doc_id",
+                             scoreCol: String = "score"): DataFrame = {
+    val j = clusters.join(
+      scores.select(col(idCol), col(scoreCol).as("score")), Seq(idCol))
+    val best = j.groupBy(col("cluster_id"))
+      .agg(max(struct(col("score"), (-col(idCol)).as("nid"))).as("b"))
+      .select(col("cluster_id"), (-col("b.nid")).as("rep_id"))
+    j.join(best, Seq("cluster_id"))
+      .select(col(idCol), col("cluster_id"), col("score"),
+        (col(idCol) === col("rep_id")).as("keep"))
+  }
+
   /** Distinct token n-gram shingles of a token array.
     *
     * The token expression is bound to a lambda variable via a

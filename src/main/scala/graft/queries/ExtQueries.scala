@@ -273,6 +273,47 @@ object ExtQueries {
        |SELECT node AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
        |FROM reach GROUP BY node""".stripMargin
 
+  // ===== dedup: best-quality cluster representative =====================
+
+  /** The production keep rule on top of the cluster assignment: keep
+    * the highest-scoring member (score = token count here — any
+    * deterministic quality signal plugs in), ties to the smallest id. */
+  private val clusterRep: QFn = (s, d) => {
+    val corpus = nearCorpus(s, d)
+    val clusters = Dedup.dupClusters(
+      Dedup.minhashNearDupsFromTokens(corpus, "doc_id", "tk", 0.5))
+    Dedup.clusterRepresentatives(clusters,
+      corpus.select(col("doc_id"), size(col("tk")).cast("long").as("score")))
+  }
+
+  private val clusterRepSql =
+    s"""WITH RECURSIVE $minhashCtes,
+       |pairs AS (
+       |  SELECT a_id, b_id FROM j WHERE jacc >= CAST(0.5 AS DOUBLE)),
+       |nodes(id) AS (
+       |  SELECT a_id FROM pairs UNION SELECT b_id FROM pairs),
+       |sym(x, y) AS (
+       |  SELECT a_id, b_id FROM pairs UNION SELECT b_id, a_id FROM pairs),
+       |reach(node, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT s.y, r.r FROM reach r JOIN sym s ON s.x = r.node),
+       |cl AS (
+       |  SELECT node AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
+       |  FROM reach GROUP BY node),
+       |jn AS (
+       |  SELECT cl.doc_id, cl.cluster_id, CAST(len(c.tk) AS BIGINT)
+       |           AS score
+       |  FROM cl JOIN corpus c USING (doc_id)),
+       |best AS (
+       |  SELECT cluster_id, doc_id AS rep_id FROM (
+       |    SELECT cluster_id, doc_id, ROW_NUMBER() OVER (
+       |      PARTITION BY cluster_id ORDER BY score DESC, doc_id) AS rn
+       |    FROM jn) WHERE rn = 1)
+       |SELECT jn.doc_id, jn.cluster_id, jn.score,
+       |       jn.doc_id = best.rep_id AS keep
+       |FROM jn JOIN best USING (cluster_id)""".stripMargin
+
   // ===== dedup: SimHash fingerprints ====================================
 
   private val simhash: QFn = (s, d) =>
@@ -938,6 +979,7 @@ object ExtQueries {
     "q_x_ann_ivf_recall" -> annIvfRecall,
     "q_x_multimodal" -> multimodal,
     "q_x_dedup_clusters" -> dedupClusters,
+    "q_x_cluster_rep" -> clusterRep,
     "q_x_quality_filter" -> qualityFilter,
     "q_x_token_count" -> tokenCount,
     "q_x_lang_eval" -> langEval,
@@ -969,6 +1011,7 @@ object ExtQueries {
     "q_x_ann_ivf_recall" -> annIvfRecallSql,
     "q_x_multimodal" -> multimodalSql,
     "q_x_dedup_clusters" -> dedupClustersSql,
+    "q_x_cluster_rep" -> clusterRepSql,
     "q_x_quality_filter" -> qualityFilterSql,
     "q_x_token_count" -> tokenCountSql,
     "q_x_lang_eval" -> langEvalSql,
