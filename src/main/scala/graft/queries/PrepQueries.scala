@@ -327,6 +327,116 @@ object PrepQueries {
        |       % 1000000 AS DOUBLE) / 1000000.0 AS ord
        |FROM sc CROSS JOIN b""".stripMargin
 
+  // ===== pipeline v2 (round-6 flagship composition) =====================
+
+  /** The round-6 stages composed as ONE program: segment dedup ->
+    * min-length gate on the deduped text -> temperature mix over lang
+    * -> split assignment -> sequence packing per split. Each stage is
+    * individually oracle-checked; this query adjudicates that they
+    * COMPOSE (one plan, one hash) against a single DuckDB CTE chain. */
+  private val pipeline2Q: QFn = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val deduped = Dedup.segmentDedup(docs, width = segWidth, minDocs = 2)
+      .select(col("doc_id"),
+        size(Hashing.tokens(col("new_text"))).cast("long").as("n_tokens"))
+    val gated = deduped.filter(col("n_tokens") >= 40)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val mixed = Sampling.temperatureMix(gated, "doc_id", "lang",
+        targetFrac = tempFrac)
+      .filter(col("accept"))
+    val split = Sampling.splitAssign(
+      mixed.select(col("doc_id"), col("lang"), col("n_tokens")),
+      "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("split"))
+    Packing.packSequences(split, capacity = packCap,
+        groupCol = "split", bucketSize = 64L)
+      .join(split.select(col("doc_id"), col("lang")), Seq("doc_id"))
+  }
+
+  private val pipeline2Sql = {
+    val w = segWidth
+    val rateExpr = sqlSig9(s"LEAST(CAST(1.0 AS DOUBLE), " +
+      s"CAST($tempFrac AS DOUBLE) * CAST(n_total AS DOUBLE) * w_raw " +
+      s"/ denom / CAST(n_s AS DOUBLE))")
+    s"""WITH $toksSql,
+       |segd AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(tk) > 0 THEN
+       |      list_transform(range(0, CAST(ceil(len(tk) / $w.0) AS BIGINT)),
+       |        i -> array_to_string(tk[i*$w+1 : i*$w+$w], ' '))
+       |    ELSE CAST([] AS VARCHAR[]) END AS segs
+       |  FROM toks),
+       |u AS (
+       |  SELECT doc_id, unnest(segs) AS seg,
+       |         unnest(range(0, len(segs))) AS pos
+       |  FROM segd),
+       |hd AS (
+       |  SELECT ${sqlHash60("seg")} AS h,
+       |         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+       |  FROM u GROUP BY 1),
+       |j AS (
+       |  SELECT u.doc_id, u.pos, u.seg, hd.n_docs
+       |  FROM u JOIN hd ON ${sqlHash60("u.seg")} = hd.h),
+       |r AS (
+       |  SELECT doc_id,
+       |    COALESCE(string_agg(seg, ' ' ORDER BY pos)
+       |             FILTER (WHERE n_docs < 2), '') AS new_text
+       |  FROM j GROUP BY doc_id),
+       |dd AS (
+       |  SELECT d.doc_id,
+       |    CAST(len(list_filter(string_split(COALESCE(r.new_text, ''), ' '),
+       |                         t -> t <> '')) AS BIGINT) AS n_tokens
+       |  FROM documents d LEFT JOIN r USING (doc_id)),
+       |gated AS (
+       |  SELECT dd.doc_id, dd.n_tokens, d.lang
+       |  FROM dd JOIN documents d USING (doc_id)
+       |  WHERE dd.n_tokens >= 40),
+       |c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_s
+       |      FROM gated GROUP BY lang),
+       |wts AS (
+       |  SELECT lang, n_s,
+       |    power(CAST(n_s AS DOUBLE), CAST(0.5 AS DOUBLE)) AS w_raw
+       |  FROM c),
+       |tt AS (
+       |  SELECT ${sqlDsum("w_raw")} AS denom,
+       |         CAST(SUM(n_s) AS BIGINT) AS n_total
+       |  FROM wts),
+       |rates AS (
+       |  SELECT lang, $rateExpr AS rate FROM wts CROSS JOIN tt),
+       |mixed AS (
+       |  SELECT g.doc_id, g.lang, g.n_tokens
+       |  FROM gated g JOIN rates USING (lang)
+       |  WHERE CAST(${sqlHash60("'temp:' || CAST(doc_id AS VARCHAR)")}
+       |        % 1000000 AS DOUBLE) / 1000000.0 < rates.rate),
+       |sp AS (
+       |  SELECT doc_id, lang, n_tokens,
+       |    CASE WHEN CAST(${sqlHash60("'split:' || CAST(doc_id AS VARCHAR)")}
+       |           % 1000000 AS DOUBLE) / 1000000.0 < CAST(0.8 AS DOUBLE)
+       |         THEN 'train'
+       |         WHEN CAST(${sqlHash60("'split:' || CAST(doc_id AS VARCHAR)")}
+       |           % 1000000 AS DOUBLE) / 1000000.0
+       |           < CAST(${0.8 + 0.1} AS DOUBLE)
+       |         THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM mixed),
+       |o AS (
+       |  SELECT split, doc_id, lang, n_tokens,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (
+       |      PARTITION BY split ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS tok_offset
+       |  FROM sp)
+       |SELECT doc_id, split, n_tokens, tok_offset,
+       |  CAST(tok_offset // $packCap AS BIGINT) AS first_seq,
+       |  CAST((tok_offset + GREATEST(n_tokens, 1) - 1) // $packCap
+       |       AS BIGINT) AS last_seq,
+       |  (tok_offset // $packCap)
+       |    <> ((tok_offset + GREATEST(n_tokens, 1) - 1) // $packCap)
+       |    AS spans_boundary,
+       |  lang
+       |FROM o""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
     "q_x_knn_label" -> knnLabel,
     "q_x_segment_dedup" -> segmentDedupQ,
@@ -336,7 +446,8 @@ object PrepQueries {
     "q_x_bpe" -> bpeQ,
     "q_x_profile" -> profileQ,
     "q_x_corpus_diff" -> corpusDiffQ,
-    "q_x_curriculum" -> curriculumQ)
+    "q_x_curriculum" -> curriculumQ,
+    "q_x_pipeline2" -> pipeline2Q)
 
   val oracles: Map[String, String] = Map(
     "q_x_knn_label" -> knnLabelSql,
@@ -347,5 +458,6 @@ object PrepQueries {
     "q_x_bpe" -> bpeSql,
     "q_x_profile" -> profileSql,
     "q_x_corpus_diff" -> corpusDiffSql,
-    "q_x_curriculum" -> curriculumSql)
+    "q_x_curriculum" -> curriculumSql,
+    "q_x_pipeline2" -> pipeline2Sql)
 }
