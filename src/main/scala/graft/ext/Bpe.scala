@@ -53,7 +53,10 @@ object Bpe {
   def train(toks: DataFrame, tokCol: String, merges: Int): DataFrame = {
     require(merges >= 1, "merges must be >= 1")
     var words = wordDict(toks, tokCol).localCheckpoint()
-    val rules = (1 to merges).map { step =>
+    val rules = Seq.newBuilder[DataFrame]
+    var step = 1
+    var exhausted = false
+    while (step <= merges && !exhausted) {
       val syms = split(trim(col("sym")), " ")
       val pairs = words
         .select(col("cnt"), explode(adjacentPairs(syms)).as("p"))
@@ -62,19 +65,36 @@ object Bpe {
       val top = pairs
         .orderBy(col("pair_count").desc, col("l").asc, col("r").asc)
         .limit(1).localCheckpoint()
-      val pat = concat(lit(" "), col("l"), lit(" "), col("r"), lit(" "))
-      val rep = concat(lit(" "), col("l"), col("r"), lit(" "))
-      val merged4 = (1 to 4).foldLeft(col("sym")) { (c, _) =>
-        call_function("replace", c, pat, rep)
+      // no pairs left (every word is a single symbol): the vocabulary
+      // is exhausted — stop with the rules learned so far, like any
+      // BPE trainer, instead of letting an empty crossJoin silently
+      // wipe the dict and emit phantom empty rounds
+      if (top.isEmpty) { exhausted = true }
+      else {
+        rules += top.select(lit(step.toLong).as("step"),
+          col("l").as("lhs"), col("r").as("rhs"),
+          concat(col("l"), col("r")).as("merged"), col("pair_count"))
+        if (step < merges) { // the final round's dict is never read
+          val pat = concat(lit(" "), col("l"), lit(" "), col("r"), lit(" "))
+          val rep = concat(lit(" "), col("l"), col("r"), lit(" "))
+          val merged4 = (1 to 4).foldLeft(col("sym")) { (c, _) =>
+            call_function("replace", c, pat, rep)
+          }
+          words = words.crossJoin(broadcast(top))
+            .select(merged4.as("sym"), col("cnt"))
+            .localCheckpoint()
+        }
+        step += 1
       }
-      words = words.crossJoin(broadcast(top))
-        .select(merged4.as("sym"), col("cnt"))
-        .localCheckpoint()
-      top.select(lit(step.toLong).as("step"), col("l").as("lhs"),
-        col("r").as("rhs"), concat(col("l"), col("r")).as("merged"),
-        col("pair_count"))
     }
-    rules.reduce(_.unionByName(_))
+    val out = rules.result()
+    if (out.nonEmpty) out.reduce(_.unionByName(_))
+    else {
+      val s = toks.sparkSession
+      import s.implicits._
+      Seq.empty[(Long, String, String, String, Long)]
+        .toDF("step", "lhs", "rhs", "merged", "pair_count")
+    }
   }
 
   /** Adjacent (l, r) symbol pairs of a symbol array (empty when fewer

@@ -25,8 +25,14 @@ object Curriculum {
     require(nBuckets >= 2, "nBuckets must be >= 2")
     val probs = (1 until nBuckets).map(i =>
       lit(i.toDouble / nBuckets))
+    // sig9 the interpolated boundaries before comparing: Spark and
+    // DuckDB interpolate quantiles with differently-ordered (same-value)
+    // formulas, and a raw 1-ulp boundary difference could flip the
+    // bucket of a score sitting exactly on it (module convention: every
+    // engine-formula-dependent value is normalized before thresholding)
     val bounds = df.agg(
-      percentile(col(scoreCol), array(probs: _*)).as("bounds"))
+      transform(percentile(col(scoreCol), array(probs: _*)),
+        b => graft.queries.Q.sig9(b)).as("bounds"))
     df.crossJoin(broadcast(bounds))
       .withColumn("bucket",
         aggregate(col("bounds"), lit(0L),

@@ -113,19 +113,23 @@ object Dedup {
     * (idCol, scoreCol) from any deterministic quality signal (token
     * count, unigram-LM score, compression ratio, ...).
     *
-    * Scale shape: the argmax is a struct-max hash aggregate per
-    * cluster (map-side partial, no sort window); the best-frame joins
-    * back by cluster_id as a plain equi-join. Output:
-    * (idCol, cluster_id, score, keep). */
+    * Scale shape: two hash aggregates per cluster (best score, then
+    * smallest id among the best-scoring members — type-agnostic, so
+    * string/UUID ids work like every other dedup entry point; an
+    * arithmetic-negation tie-break would null out on non-numeric ids)
+    * plus equi-joins back; everything map-side partials, no sort
+    * window. Output: (idCol, cluster_id, score, keep). */
   def clusterRepresentatives(clusters: DataFrame, scores: DataFrame,
                              idCol: String = "doc_id",
                              scoreCol: String = "score"): DataFrame = {
     val j = clusters.join(
       scores.select(col(idCol), col(scoreCol).as("score")), Seq(idCol))
     val best = j.groupBy(col("cluster_id"))
-      .agg(max(struct(col("score"), (-col(idCol)).as("nid"))).as("b"))
-      .select(col("cluster_id"), (-col("b.nid")).as("rep_id"))
-    j.join(best, Seq("cluster_id"))
+      .agg(max(col("score")).as("__best"))
+    val rep = j.join(best, Seq("cluster_id"))
+      .filter(col("score") === col("__best"))
+      .groupBy(col("cluster_id")).agg(min(col(idCol)).as("rep_id"))
+    j.join(rep, Seq("cluster_id"))
       .select(col(idCol), col("cluster_id"), col("score"),
         (col(idCol) === col("rep_id")).as("keep"))
   }

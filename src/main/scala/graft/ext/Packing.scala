@@ -38,6 +38,18 @@ object Packing {
     * adds: `tok_offset` (tokens before this doc in its group's stream),
     * `first_seq`/`last_seq` (sequence ids of capacity `capacity` the
     * doc occupies; empty docs take first_seq), `spans_boundary`.
+    *
+    * Bucketing contract: buckets are ID-RANGE slices (`id div
+    * bucketSize`), so the two-phase bound holds for reasonably DENSE
+    * numeric ids — pick bucketSize ≈ id_span / desired_buckets. Sparse
+    * 60-bit hash ids would put ~1 doc per bucket (the bases frame then
+    * approaches one row per doc and the per-group bucket window
+    * re-centralizes): densify such ids to ordinals first. Non-numeric
+    * ids cast to NULL — every row lands in one bucket per group, which
+    * stays CORRECT but degrades to the naive single-window shape. The
+    * bases join deliberately carries no broadcast hint: AQE broadcasts
+    * it while it is small and falls back to a shuffle join if a
+    * degenerate bucketing inflates it, instead of OOMing the driver.
     */
   def packSequences(df: DataFrame, capacity: Int,
                     groupCol: String = "source", idCol: String = "doc_id",
@@ -59,7 +71,7 @@ object Packing {
       .select(col("grp"), col("bkt"), col("base"))
     // integer `div`, not double `/`: a 100 TB group's token offsets
     // exceed 2^53 and double division would misplace sequence ids
-    within.join(broadcast(bases), Seq("grp", "bkt"))
+    within.join(bases, Seq("grp", "bkt"))
       .withColumn("tok_offset", col("base") + col("local_off"))
       .select(col("grp").as(groupCol), col("id").as(idCol),
         col("n_tok").as("n_tokens"), col("tok_offset"))

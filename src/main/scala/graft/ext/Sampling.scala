@@ -91,10 +91,14 @@ object Sampling {
       .withColumn("rate", Q.sig9(
         least(lit(1.0), lit(targetFrac) * col("n_total").cast("double")
           * col("w_raw") / col("denom") / col("n_s").cast("double"))))
-      .select(col(stratumCol), col("n_s"), col("rate"))
-    df.join(broadcast(rates), Seq(stratumCol))
+      .select(col(stratumCol).as("__stratum"), col("n_s"), col("rate"))
+    // null-safe join: a NULL stratum is a stratum (groupBy keeps it as
+    // a group; a plain equi-join would silently drop its rows and break
+    // the family's keep-every-row audit contract)
+    df.join(broadcast(rates), col(stratumCol) <=> col("__stratum"), "left")
+      .drop("__stratum")
       .withColumn("u", unitHash(col(keyCol), salt))
-      .withColumn("accept", col("u") < col("rate"))
+      .withColumn("accept", coalesce(col("u") < col("rate"), lit(false)))
   }
 
   /** Cap each stratum at `maxPerStratum` rows ("at most N documents per

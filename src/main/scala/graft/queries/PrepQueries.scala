@@ -266,11 +266,11 @@ object PrepQueries {
        |    CAST(COUNT(DISTINCT vc) AS BIGINT) AS n_distinct,
        |    MIN(vc) AS min_value, MAX(vc) AS max_value
        |  FROM (SELECT CAST($c AS VARCHAR) AS vc FROM documents))
-       |CROSS JOIN (
+       |LEFT JOIN (
        |  SELECT vc AS top_value, CAST(COUNT(*) AS BIGINT) AS top_count
        |  FROM (SELECT CAST($c AS VARCHAR) AS vc FROM documents)
        |  WHERE vc IS NOT NULL
-       |  GROUP BY vc ORDER BY top_count DESC, top_value LIMIT 1)"""
+       |  GROUP BY vc ORDER BY top_count DESC, top_value LIMIT 1) ON TRUE"""
       .stripMargin
   }.mkString("\nUNION ALL\n")
 
@@ -318,7 +318,8 @@ object PrepQueries {
   private val curriculumSql =
     s"""WITH $toksSql,
        |sc AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS score FROM toks),
-       |b AS (SELECT quantile_cont(score, [0.25, 0.5, 0.75]) AS bounds
+       |b AS (SELECT list_transform(quantile_cont(score, [0.25, 0.5, 0.75]),
+       |               x -> ${sqlSig9("x")}) AS bounds
        |      FROM sc)
        |SELECT doc_id, score,
        |  CAST(len(list_filter(bounds, x -> CAST(score AS DOUBLE) > x))

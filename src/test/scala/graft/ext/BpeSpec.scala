@@ -29,6 +29,20 @@ class BpeSpec extends SparkSpec {
       (3L, "l", "o", "lo", 7L)))  // l-o 7 ties o-w 7
   }
 
+  test("vocabulary exhaustion stops the loop instead of wiping the dict") {
+    // single-character words carry no pairs after one merge is learned
+    val tiny = Seq(Tuple1(Seq("ab", "ab", "c", "d"))).toDF("tk")
+    val rules = Bpe.train(tiny, "tk", merges = 5)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    assert(rules == Seq((1L, "a", "b", "ab", 2L))) // then exhausted
+    // no pairs at all -> empty rules frame with the right schema
+    val none = Seq(Tuple1(Seq("x", "y"))).toDF("tk")
+    val r2 = Bpe.train(none, "tk", merges = 2)
+    assert(r2.columns.toSeq ==
+      Seq("step", "lhs", "rhs", "merged", "pair_count"))
+    assert(r2.count() == 0)
+  }
+
   test("consecutive merge runs resolve greedily (a a a a -> aa aa)") {
     val rep = Seq(Tuple1(Seq.fill(3)("aaaa"))).toDF("tk")
     val rules = Bpe.train(rep, "tk", merges = 2)

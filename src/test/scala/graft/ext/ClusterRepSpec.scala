@@ -19,6 +19,18 @@ class ClusterRepSpec extends SparkSpec {
       10L -> true, 11L -> false)) // cluster 10: tie 4/4 -> smaller id
   }
 
+  test("string ids work (no arithmetic tie-break)") {
+    val clusters = Seq(("u-b", 1L), ("u-a", 1L), ("u-c", 1L))
+      .toDF("doc_id", "cluster_id")
+    val scores = Seq(("u-b", 5L), ("u-a", 5L), ("u-c", 2L))
+      .toDF("doc_id", "score")
+    val r = Dedup.clusterRepresentatives(clusters, scores)
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(t => t._1 -> t._4).toMap
+    // tie on score 5 -> lexicographically smaller id wins
+    assert(r == Map("u-a" -> true, "u-b" -> false, "u-c" -> false))
+  }
+
   test("every cluster keeps exactly one representative") {
     val clusters = (1L to 30L).map(i => (i, i % 5)).toDF("doc_id", "cluster_id")
     val scores = (1L to 30L).map(i => (i, (i * 7) % 11)).toDF("doc_id", "score")

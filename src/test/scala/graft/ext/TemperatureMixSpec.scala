@@ -25,6 +25,19 @@ class TemperatureMixSpec extends SparkSpec {
     assert(kept("big") > 300L && kept("big") < 450L)
   }
 
+  test("null strata keep their rows and get a decision (audit contract)") {
+    val withNull = (1L to 100L)
+      .map(i => (i, if (i <= 90) Some("big") else None))
+      .toDF("id", "stratum")
+    val r = Sampling.temperatureMix(withNull, "id", "stratum", 0.5)
+    assert(r.count() == 100) // nothing silently dropped
+    val nulls = r.filter(col("stratum").isNull)
+    assert(nulls.count() == 10)
+    // NULL is a stratum: it got a rate and real accept decisions
+    assert(nulls.filter(col("rate").isNull).count() == 0)
+    assert(nulls.filter(col("accept").isNull).count() == 0)
+  }
+
   test("decisions are a pure function of the input (re-run identical)") {
     val all = Sampling.temperatureMix(docs, "id", "stratum", 0.5)
       .filter(col("accept")).select("id").as[Long].collect().toSet
