@@ -33,13 +33,22 @@ object Anomaly {
     * Output: (stream, day, cnt, n_win, mean_cnt, z, is_anomaly). */
   def dailyVolume(events: DataFrame, tsCol: String = "ts",
                   typeCol: String = "event_type", lookback: Int = 7,
-                  zThreshold: Double = 3.0): DataFrame = {
-    val daily = events
-      .groupBy(col(typeCol).as("stream"), to_date(col(tsCol)).as("day"))
-      .agg(count(lit(1)).as("cnt"))
+                  zThreshold: Double = 3.0): DataFrame =
+    fromDailyCounts(
+      events.groupBy(col(typeCol).as("stream"),
+          to_date(col(tsCol)).as("day"))
+        .agg(count(lit(1)).as("cnt")),
+      lookback, zThreshold)
+
+  /** Same detector over a PRE-AGGREGATED (stream, day, cnt) rollup —
+    * the entry point the streaming monitor uses: micro-batches merge
+    * additively into the rollup and only the rollup (O(streams ×
+    * days)) is re-scored, never the event history. */
+  def fromDailyCounts(daily: DataFrame, lookback: Int = 7,
+                      zThreshold: Double = 3.0): DataFrame = {
     val w = Window.partitionBy(col("stream")).orderBy(col("day"))
       .rowsBetween(-lookback, -1)
-    val mo = daily
+    val mo = daily.select(col("stream"), col("day"), col("cnt"))
       .withColumn("n_win", count(col("cnt")).over(w))
       .withColumn("s1", coalesce(sum(col("cnt")).over(w), lit(0L)))
       .withColumn("s2", coalesce(sum(col("cnt") * col("cnt")).over(w), lit(0L)))

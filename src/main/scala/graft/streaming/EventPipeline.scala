@@ -339,6 +339,49 @@ object EventPipeline {
       }
       .start()
 
+  /** Streaming ops monitor — the live face of ext/Anomaly: each
+    * micro-batch's (stream, day) counts merge ADDITIVELY into a rollup
+    * table (O(streams × days) rows — a full rewrite per batch is
+    * cheaper than merge machinery at that size, and the merged frame is
+    * localCheckpoint'ed before the overwrite so the read never races
+    * its own rewrite), then the trailing-window z-score detector
+    * re-scores the ROLLUP and replaces the alert table with the
+    * currently-flagged days. Per-batch cost is O(batch) + O(rollup);
+    * the event history is never rescanned. Late events for an already-
+    * scored day are folded in additively, and the day's z-score is
+    * re-evaluated on the next batch — alerts are a live view, not an
+    * append-only log. */
+  def volumeMonitorSink(events: DataFrame, rollupPath: String,
+                        alertPath: String, checkpointDir: String,
+                        lookback: Int = 7, zThreshold: Double = 3.0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val bc = batch
+          .groupBy(col("event_type").as("stream"),
+            to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("cnt"))
+        val rp = new org.apache.hadoop.fs.Path(rollupPath)
+        val existing =
+          if (rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .exists(rp))
+            spark.read.parquet(rollupPath)
+          else bc.limit(0)
+        val merged = existing.unionByName(bc)
+          .groupBy(col("stream"), col("day"))
+          .agg(sum(col("cnt")).as("cnt"))
+          .localCheckpoint()
+        merged.write.mode("overwrite").parquet(rollupPath)
+        graft.ext.Anomaly.fromDailyCounts(merged, lookback, zThreshold)
+          .filter(col("is_anomaly"))
+          .write.mode("overwrite").parquet(alertPath)
+        ()
+      }
+      .start()
+
   /** Wire a streaming source through windowedStats to a sink path with
     * AvailableNow semantics (the S1/S2 "daily run" as a streaming job:
     * processes everything available, then stops; checkpoint makes re-runs
