@@ -14,6 +14,23 @@ object TextStats {
 
   val stopwords: Seq[String] = Seq("the", "a", "of", "and", "in", "to")
 
+  /** Canonical text normalization — the first stage of every corpus
+    * pipeline: lowercase, control characters to spaces, whitespace runs
+    * collapsed, ends trimmed. Deliberately ASCII-conservative (no
+    * Unicode NFC/NFKC — normalization forms are locale/library
+    * artifacts that differ across engines; the portable subset here is
+    * identical in any RE2/Java regex engine). Pure codegen'd per-row
+    * projection, scan-speed. Output adds `norm_text`, `n_chars_norm`
+    * next to the original. */
+  def normalize(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val cleaned = trim(regexp_replace(
+      regexp_replace(lower(col(textCol)), "[\\x00-\\x1f\\x7f]", " "),
+      "\\s+", " "))
+    docs.withColumn("norm_text", cleaned)
+      .withColumn("n_chars_norm", length(col("norm_text")).cast("long"))
+  }
+
   /** Per-document stats frame:
     * n_tokens, n_uniq_tokens, n_chars, avg_token_len, stopword_ratio,
     * alpha_ratio, lang_guess (stopword-frequency heuristic language ID —

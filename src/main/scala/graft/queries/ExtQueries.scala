@@ -314,6 +314,42 @@ object ExtQueries {
        |       jn.doc_id = best.rep_id AS keep
        |FROM jn JOIN best USING (cluster_id)""".stripMargin
 
+  // ===== contrastive training pairs =====================================
+
+  /** (anchor, positive) from the verified near-dup pairs; negative =
+    * deterministic bucket-min hash-pick from the near corpus. */
+  private val contrastive: QFn = (s, d) => {
+    val corpus = nearCorpus(s, d)
+    graft.ext.Contrastive.pairs(
+      Dedup.minhashNearDupsFromTokens(corpus, "doc_id", "tk", 0.5),
+      corpus.select(col("doc_id")))
+  }
+
+  private val contrastiveSql =
+    s"""WITH $minhashCtes,
+       |nd AS (SELECT a_id, b_id FROM j WHERE jacc >= CAST(0.5 AS DOUBLE)),
+       |bm AS (
+       |  SELECT ${hashSql("CAST(doc_id AS VARCHAR)")} % 64 AS bkt,
+       |         MIN(doc_id) AS m
+       |  FROM corpus GROUP BY 1),
+       |pr AS (
+       |  SELECT a_id, b_id,
+       |         ${hashSql("'neg:' || CAST(a_id AS VARCHAR)")} % 64 AS h0
+       |  FROM nd)
+       |SELECT pr.a_id AS anchor_id, pr.b_id AS pos_id,
+       |  CASE
+       |    WHEN m0.m IS NOT NULL AND m0.m <> a_id AND m0.m <> b_id
+       |      THEN m0.m
+       |    WHEN m1.m IS NOT NULL AND m1.m <> a_id AND m1.m <> b_id
+       |      THEN m1.m
+       |    WHEN m2.m IS NOT NULL AND m2.m <> a_id AND m2.m <> b_id
+       |      THEN m2.m
+       |  END AS neg_id
+       |FROM pr
+       |LEFT JOIN bm m0 ON m0.bkt = pr.h0
+       |LEFT JOIN bm m1 ON m1.bkt = (pr.h0 + 1) % 64
+       |LEFT JOIN bm m2 ON m2.bkt = (pr.h0 + 2) % 64""".stripMargin
+
   // ===== dedup: SimHash fingerprints ====================================
 
   private val simhash: QFn = (s, d) =>
@@ -980,6 +1016,7 @@ object ExtQueries {
     "q_x_multimodal" -> multimodal,
     "q_x_dedup_clusters" -> dedupClusters,
     "q_x_cluster_rep" -> clusterRep,
+    "q_x_contrastive" -> contrastive,
     "q_x_quality_filter" -> qualityFilter,
     "q_x_token_count" -> tokenCount,
     "q_x_lang_eval" -> langEval,
@@ -1012,6 +1049,7 @@ object ExtQueries {
     "q_x_multimodal" -> multimodalSql,
     "q_x_dedup_clusters" -> dedupClustersSql,
     "q_x_cluster_rep" -> clusterRepSql,
+    "q_x_contrastive" -> contrastiveSql,
     "q_x_quality_filter" -> qualityFilterSql,
     "q_x_token_count" -> tokenCountSql,
     "q_x_lang_eval" -> langEvalSql,

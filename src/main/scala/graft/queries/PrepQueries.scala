@@ -328,6 +328,37 @@ object PrepQueries {
        |       % 1000000 AS DOUBLE) / 1000000.0 AS ord
        |FROM sc CROSS JOIN b""".stripMargin
 
+  // ===== text normalization =============================================
+
+  /** Input is deliberately perturbed on BOTH sides (upper-cased thirds,
+    * injected runs and tabs) so the oracle adjudicates the lowering,
+    * control-char mapping, and whitespace collapse — on the raw fixture
+    * text normalization would be a no-op. */
+  private val normalizeQ: QFn = (s, d) => {
+    val perturbed = Tables.documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, upper(col("text")))
+          .otherwise(col("text")).as("text"))
+      .withColumn("text", regexp_replace(col("text"), " the ", "  the\t"))
+    graft.ext.TextStats.normalize(perturbed)
+      .select(col("doc_id"), col("norm_text"), col("n_chars_norm"))
+  }
+
+  private val normalizeSql =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    regexp_replace(
+      |      CASE WHEN doc_id % 3 = 0 THEN upper(text) ELSE text END,
+      |      ' the ', e'  the\t', 'g') AS text
+      |  FROM documents),
+      |n AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(regexp_replace(lower(text),
+      |      '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g')) AS norm_text
+      |  FROM p)
+      |SELECT doc_id, norm_text,
+      |  CAST(length(norm_text) AS BIGINT) AS n_chars_norm
+      |FROM n""".stripMargin
+
   // ===== pipeline v2 (round-6 flagship composition) =====================
 
   /** The round-6 stages composed as ONE program: segment dedup ->
@@ -448,6 +479,7 @@ object PrepQueries {
     "q_x_profile" -> profileQ,
     "q_x_corpus_diff" -> corpusDiffQ,
     "q_x_curriculum" -> curriculumQ,
+    "q_x_normalize" -> normalizeQ,
     "q_x_pipeline2" -> pipeline2Q)
 
   val oracles: Map[String, String] = Map(
@@ -460,5 +492,6 @@ object PrepQueries {
     "q_x_profile" -> profileSql,
     "q_x_corpus_diff" -> corpusDiffSql,
     "q_x_curriculum" -> curriculumSql,
+    "q_x_normalize" -> normalizeSql,
     "q_x_pipeline2" -> pipeline2Sql)
 }
