@@ -67,6 +67,59 @@ object LangModel {
           .cast("double") / count(lit(1))).as("rare_frac"))
   }
 
+  /** Adjacent (t1, t2) token pairs; bound through a single-element
+    * array so an inlined upstream tokenizer evaluates once (the
+    * Dedup.shingles lambda-CSE lesson). */
+  private def pairsOf(tk0: org.apache.spark.sql.Column) =
+    element_at(transform(array(tk0), tk =>
+      when(size(tk) >= 2,
+        transform(sequence(lit(0), size(tk) - 2), i =>
+          struct(element_at(tk, i + 1).as("t1"),
+            element_at(tk, i + 2).as("t2"))))
+        .otherwise(array().cast("array<struct<t1:string,t2:string>>"))), 1)
+
+  /** Corpus bigram counts: (t1, t2, c2) — the second model frame.
+    * Persist alongside [[unigramCounts]] per corpus snapshot. */
+  def bigramCounts(toks: DataFrame, tokCol: String): DataFrame =
+    toks.select(explode(pairsOf(col(tokCol))).as("p"))
+      .groupBy(col("p.t1").as("t1"), col("p.t2").as("t2"))
+      .agg(count(lit(1)).as("c2"))
+
+  /** Interpolated bigram scoring — the CCNet-style perplexity gate in
+    * its engine-portable, ln()-free form. Per bigram position:
+    * p = lambda·(c2(t1,t2)/c1(t1)) + (1−lambda)·(c1(t2)/N) — the
+    * Jelinek-Mercer interpolation on raw probabilities, so every value
+    * stays a ratio of exact BIGINTs combined by identical IEEE ops in
+    * any engine. Documents with fewer than two tokens carry no
+    * positions and drop (the unigram scorer covers them). OOV tokens
+    * (reference-corpus scoring) contribute 0 to both terms; the
+    * c1(t1) denominator coalesces to 1 in that case — c2 is
+    * necessarily 0, so the bigram term is exactly 0, never 0/0.
+    * Output: (idCol, n_bigrams, mean_interp_p, min_interp_p). */
+  def bigramScore(toks: DataFrame, idCol: String, tokCol: String,
+                  uni: DataFrame, bi: DataFrame,
+                  lambda: Double = 0.7): DataFrame = {
+    val total = uni.agg(sum(col("c")).cast("long").as("n_total"))
+    val ex = toks.select(col(idCol), explode(pairsOf(col(tokCol))).as("p"))
+      .select(col(idCol), col("p.t1").as("t1"), col("p.t2").as("t2"))
+    val j = ex
+      .join(bi, Seq("t1", "t2"), "left")
+      .join(uni.select(col("tok").as("t1"), col("c").as("c1_t1")),
+        Seq("t1"), "left")
+      .join(uni.select(col("tok").as("t2"), col("c").as("c1_t2")),
+        Seq("t2"), "left")
+      .crossJoin(broadcast(total))
+      .select(col(idCol),
+        (lit(lambda) * (coalesce(col("c2"), lit(0L)).cast("double")
+            / coalesce(col("c1_t1"), lit(1L)).cast("double"))
+          + lit(1 - lambda) * (coalesce(col("c1_t2"), lit(0L)).cast("double")
+            / col("n_total").cast("double"))).as("p"))
+    j.groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        graft.queries.Q.davg(col("p")).as("mean_interp_p"),
+        min(col("p")).as("min_interp_p"))
+  }
+
   /** Vocabulary build with coverage accounting — the tokenizer-prep op:
     * the top-V tokens by corpus frequency, each with its rank and the
     * CUMULATIVE fraction of all token positions covered by the

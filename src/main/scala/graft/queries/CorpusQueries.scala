@@ -95,6 +95,52 @@ object CorpusQueries {
        |    AS rare_frac
        |FROM j GROUP BY doc_id""".stripMargin
 
+  // ===== interpolated bigram-LM scoring =================================
+
+  private val bigramLambda = 0.7
+
+  private val bigramLm: QFn = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), Hashing.tokens(col("text")).as("tk"))
+    LangModel.bigramScore(toks, "doc_id", "tk",
+      LangModel.unigramCounts(toks, "tk"),
+      LangModel.bigramCounts(toks, "tk"), bigramLambda)
+  }
+
+  private val bigramLmSql = {
+    // 1 - 0.7 computed in Scala and embedded at full precision so both
+    // engines multiply by the identical IEEE double
+    val oneMinus = 1 - bigramLambda
+    s"""WITH $toksSql,
+       |u AS (SELECT unnest(tk) AS tok FROM toks),
+       |c1 AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM u
+       |       GROUP BY tok),
+       |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM c1),
+       |bg AS (
+       |  SELECT doc_id, unnest(tk[1:len(tk)-1]) AS t1,
+       |         unnest(tk[2:len(tk)]) AS t2
+       |  FROM toks),
+       |c2 AS (SELECT t1, t2, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg
+       |       GROUP BY t1, t2),
+       |j AS (
+       |  SELECT bg.doc_id,
+       |    CAST($bigramLambda AS DOUBLE)
+       |      * (CAST(COALESCE(c2.c2, 0) AS DOUBLE)
+       |         / CAST(COALESCE(a.c, 1) AS DOUBLE))
+       |    + CAST($oneMinus AS DOUBLE)
+       |      * (CAST(COALESCE(b.c, 0) AS DOUBLE)
+       |         / CAST(n.n_total AS DOUBLE)) AS p
+       |  FROM bg
+       |  LEFT JOIN c2 ON c2.t1 = bg.t1 AND c2.t2 = bg.t2
+       |  LEFT JOIN c1 a ON a.tok = bg.t1
+       |  LEFT JOIN c1 b ON b.tok = bg.t2
+       |  CROSS JOIN n)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |  ${sqlDavg("p")} AS mean_interp_p,
+       |  MIN(p) AS min_interp_p
+       |FROM j GROUP BY doc_id""".stripMargin
+  }
+
   // ===== BM25 retrieval =================================================
 
   private val bm25K1 = 1.2
@@ -322,6 +368,7 @@ object CorpusQueries {
   val queries: Map[String, QFn] = Map(
     "q_x_decontam" -> decontam,
     "q_x_unigram_lm" -> unigramLm,
+    "q_x_bigram_lm" -> bigramLm,
     "q_x_bm25" -> bm25,
     "q_x_split" -> splitAssignQ,
     "q_x_zorder" -> zorderQ,
@@ -333,6 +380,7 @@ object CorpusQueries {
   val oracles: Map[String, String] = Map(
     "q_x_decontam" -> decontamSql,
     "q_x_unigram_lm" -> unigramLmSql,
+    "q_x_bigram_lm" -> bigramLmSql,
     "q_x_bm25" -> bm25Sql,
     "q_x_split" -> splitAssignSql,
     "q_x_zorder" -> zorderSql,
