@@ -31,13 +31,18 @@ object Anomaly {
     * anomaly the `n_win < lookback` null-z rows surface). z is null
     * until the window is full or when the window variance is zero.
     * Output: (stream, day, cnt, n_win, mean_cnt, z, is_anomaly). */
+  /** The (stream, day) volume rollup — ONE definition shared by the
+    * batch detector and the streaming monitor, so the two can never
+    * silently diverge on counting semantics. */
+  def dailyCounts(events: DataFrame, tsCol: String = "ts",
+                  typeCol: String = "event_type"): DataFrame =
+    events.groupBy(col(typeCol).as("stream"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+
   def dailyVolume(events: DataFrame, tsCol: String = "ts",
                   typeCol: String = "event_type", lookback: Int = 7,
                   zThreshold: Double = 3.0): DataFrame =
-    fromDailyCounts(
-      events.groupBy(col(typeCol).as("stream"),
-          to_date(col(tsCol)).as("day"))
-        .agg(count(lit(1)).as("cnt")),
+    fromDailyCounts(dailyCounts(events, tsCol, typeCol),
       lookback, zThreshold)
 
   /** Same detector over a PRE-AGGREGATED (stream, day, cnt) rollup —

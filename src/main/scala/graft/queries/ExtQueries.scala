@@ -328,6 +328,10 @@ object ExtQueries {
   private val contrastiveSql =
     s"""WITH $minhashCtes,
        |nd AS (SELECT a_id, b_id FROM j WHERE jacc >= CAST(0.5 AS DOUBLE)),
+       |sym AS (
+       |  SELECT a_id AS x, b_id AS y FROM nd
+       |  UNION
+       |  SELECT b_id AS x, a_id AS y FROM nd),
        |bm AS (
        |  SELECT ${hashSql("CAST(doc_id AS VARCHAR)")} % 64 AS bkt,
        |         MIN(doc_id) AS m
@@ -339,16 +343,22 @@ object ExtQueries {
        |SELECT pr.a_id AS anchor_id, pr.b_id AS pos_id,
        |  CASE
        |    WHEN m0.m IS NOT NULL AND m0.m <> a_id AND m0.m <> b_id
+       |         AND s0.y IS NULL
        |      THEN m0.m
        |    WHEN m1.m IS NOT NULL AND m1.m <> a_id AND m1.m <> b_id
+       |         AND s1.y IS NULL
        |      THEN m1.m
        |    WHEN m2.m IS NOT NULL AND m2.m <> a_id AND m2.m <> b_id
+       |         AND s2.y IS NULL
        |      THEN m2.m
        |  END AS neg_id
        |FROM pr
        |LEFT JOIN bm m0 ON m0.bkt = pr.h0
        |LEFT JOIN bm m1 ON m1.bkt = (pr.h0 + 1) % 64
-       |LEFT JOIN bm m2 ON m2.bkt = (pr.h0 + 2) % 64""".stripMargin
+       |LEFT JOIN bm m2 ON m2.bkt = (pr.h0 + 2) % 64
+       |LEFT JOIN sym s0 ON s0.x = pr.a_id AND s0.y = m0.m
+       |LEFT JOIN sym s1 ON s1.x = pr.a_id AND s1.y = m1.m
+       |LEFT JOIN sym s2 ON s2.x = pr.a_id AND s2.y = m2.m""".stripMargin
 
   // ===== dedup: SimHash fingerprints ====================================
 

@@ -339,46 +339,90 @@ object EventPipeline {
       }
       .start()
 
+  /** Complete (batch-id-named, _SUCCESS-committed) rollup versions
+    * under `rollupPath`, ascending. */
+  private def rollupVersions(spark: SparkSession,
+                             rollupPath: String): Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(rollupPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .filter(s =>
+        fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.stripPrefix("v=").toLong).sorted
+  }
+
+  /** Current volume rollup (latest complete version) — the consumer
+    * face of [[volumeMonitorSink]]'s state. */
+  def readVolumeRollup(spark: SparkSession, rollupPath: String): DataFrame = {
+    val vs = rollupVersions(spark, rollupPath)
+    require(vs.nonEmpty, s"no complete rollup version under $rollupPath")
+    spark.read.parquet(s"$rollupPath/v=${vs.last}")
+  }
+
+  /** One micro-batch of the volume monitor — IDEMPOTENT per batchId,
+    * so foreachBatch's at-least-once re-delivery cannot double-count:
+    * the merged rollup commits to the batch-id-named version dir
+    * `v=<batchId>` (parquet's _SUCCESS is the commit marker; a crashed
+    * partial write has no marker, is ignored by readers, and is simply
+    * overwritten on re-delivery), and a re-delivered batch whose
+    * version already exists skips the merge entirely. The previous
+    * version is never modified — no delete-then-write window in which
+    * a crash could lose the count history; superseded complete
+    * versions are pruned only AFTER the new one commits. Alerts are
+    * derived data re-written from the current rollup each batch (a
+    * crash mid-alert-write is healed by the next batch). */
+  def mergeVolumeBatch(batch: DataFrame, batchId: Long, rollupPath: String,
+                       alertPath: String, tsCol: String = "ts",
+                       typeCol: String = "event_type", lookback: Int = 7,
+                       zThreshold: Double = 3.0): Unit = {
+    val spark = batch.sparkSession
+    val versions = rollupVersions(spark, rollupPath)
+    if (!versions.lastOption.exists(_ >= batchId)) {
+      val bc = graft.ext.Anomaly.dailyCounts(batch, tsCol, typeCol)
+      val existing = versions.lastOption
+        .map(v => spark.read.parquet(s"$rollupPath/v=$v"))
+        .getOrElse(bc.limit(0))
+      existing.unionByName(bc)
+        .groupBy(col("stream"), col("day"))
+        .agg(sum(col("cnt")).as("cnt"))
+        .write.mode("overwrite").parquet(s"$rollupPath/v=$batchId")
+      val fs = new org.apache.hadoop.fs.Path(rollupPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      versions.filter(_ < batchId).foreach(v =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$rollupPath/v=$v"), true))
+    }
+    graft.ext.Anomaly
+      .fromDailyCounts(readVolumeRollup(spark, rollupPath),
+        lookback, zThreshold)
+      .filter(col("is_anomaly"))
+      .write.mode("overwrite").parquet(alertPath)
+  }
+
   /** Streaming ops monitor — the live face of ext/Anomaly: each
     * micro-batch's (stream, day) counts merge ADDITIVELY into a rollup
-    * table (O(streams × days) rows — a full rewrite per batch is
-    * cheaper than merge machinery at that size, and the merged frame is
-    * localCheckpoint'ed before the overwrite so the read never races
-    * its own rewrite), then the trailing-window z-score detector
-    * re-scores the ROLLUP and replaces the alert table with the
-    * currently-flagged days. Per-batch cost is O(batch) + O(rollup);
-    * the event history is never rescanned. Late events for an already-
-    * scored day are folded in additively, and the day's z-score is
-    * re-evaluated on the next batch — alerts are a live view, not an
-    * append-only log. */
+    * (O(streams × days) rows — a full rewrite per batch is cheaper
+    * than merge machinery at that size), then the trailing-window
+    * z-score detector re-scores the ROLLUP and replaces the alert
+    * table with the currently-flagged days. Per-batch cost is
+    * O(batch) + O(rollup); the event history is never rescanned. Late
+    * events for an already-scored day fold in additively and the day
+    * re-scores — alerts are a live view, not an append-only log. All
+    * merge/commit semantics live in [[mergeVolumeBatch]] (idempotent
+    * per batch id, crash-atomic versioned state). */
   def volumeMonitorSink(events: DataFrame, rollupPath: String,
                         alertPath: String, checkpointDir: String,
+                        tsCol: String = "ts",
+                        typeCol: String = "event_type",
                         lookback: Int = 7, zThreshold: Double = 3.0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     events.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val bc = batch
-          .groupBy(col("event_type").as("stream"),
-            to_date(col("ts")).as("day"))
-          .agg(count(lit(1)).as("cnt"))
-        val rp = new org.apache.hadoop.fs.Path(rollupPath)
-        val existing =
-          if (rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-              .exists(rp))
-            spark.read.parquet(rollupPath)
-          else bc.limit(0)
-        val merged = existing.unionByName(bc)
-          .groupBy(col("stream"), col("day"))
-          .agg(sum(col("cnt")).as("cnt"))
-          .localCheckpoint()
-        merged.write.mode("overwrite").parquet(rollupPath)
-        graft.ext.Anomaly.fromDailyCounts(merged, lookback, zThreshold)
-          .filter(col("is_anomaly"))
-          .write.mode("overwrite").parquet(alertPath)
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeVolumeBatch(batch, batchId, rollupPath, alertPath,
+          tsCol, typeCol, lookback, zThreshold)
       }
       .start()
 

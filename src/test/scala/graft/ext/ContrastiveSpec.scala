@@ -21,6 +21,20 @@ class ContrastiveSpec extends SparkSpec {
     }
   }
 
+  test("an anchor's OTHER near-dup partners are never its negative") {
+    // corpus contains ONLY the anchor and its two verified partners:
+    // every bucket-min candidate is anchor-or-partner, so the pick
+    // must fall through to NULL rather than emit a contradictory triple
+    val c3 = Seq(1L, 2L, 3L).toDF("doc_id")
+    val nd = Seq((1L, 2L), (1L, 3L)).toDF("a_id", "b_id")
+    val r = Contrastive.pairs(nd, c3)
+      .as[(Long, Long, Option[Long])].collect()
+    assert(r.length == 2)
+    r.foreach { case (a, p, n) =>
+      assert(n.isEmpty, s"triple ($a,$p) picked a near-dup partner $n")
+    }
+  }
+
   test("pair construction is deterministic") {
     val a = Contrastive.pairs(nearDups, corpus).collect().toSet
     val b = Contrastive.pairs(nearDups, corpus).collect().toSet

@@ -30,7 +30,7 @@ class VolumeMonitorSpec extends SparkSpec {
       ms.addData(day(11, 40, idBase = 500L))
       q.processAllAvailable()
     } finally q.stop()
-    val rollup = spark.read.parquet(s"$dir/rollup")
+    val rollup = EventPipeline.readVolumeRollup(spark, s"$dir/rollup")
       .as[(String, java.sql.Date, Long)].collect()
     assert(rollup.length == 11)
     assert(rollup.find(_._2.toString == "2024-03-11").map(_._3)
@@ -38,5 +38,23 @@ class VolumeMonitorSpec extends SparkSpec {
     val flagged = spark.read.parquet(s"$dir/alerts")
       .select("day").as[String].collect().toSet
     assert(flagged == Set("2024-03-11"))
+  }
+
+  test("a re-delivered batch id is merged exactly once") {
+    val dir = java.nio.file.Files.createTempDirectory("vmi").toFile
+      .getAbsolutePath
+    val b0 = day(1, 10).toDF("event_id", "ts", "event_type")
+    EventPipeline.mergeVolumeBatch(b0, 0L, s"$dir/r", s"$dir/a")
+    // at-least-once re-delivery of the SAME batch id: no double count
+    EventPipeline.mergeVolumeBatch(b0, 0L, s"$dir/r", s"$dir/a")
+    val afterReplay = EventPipeline.readVolumeRollup(spark, s"$dir/r")
+      .as[(String, java.sql.Date, Long)].collect()
+    assert(afterReplay.map(_._3).toSeq == Seq(10L))
+    // a NEW batch id for the same day folds in additively
+    val b1 = day(1, 5, idBase = 100L).toDF("event_id", "ts", "event_type")
+    EventPipeline.mergeVolumeBatch(b1, 1L, s"$dir/r", s"$dir/a")
+    val after = EventPipeline.readVolumeRollup(spark, s"$dir/r")
+      .as[(String, java.sql.Date, Long)].collect()
+    assert(after.map(_._3).toSeq == Seq(15L))
   }
 }
