@@ -101,6 +101,37 @@ object Sampling {
       .withColumn("accept", coalesce(col("u") < col("rate"), lit(false)))
   }
 
+  /** Epoch-aware oversampling — the other half of source re-weighting:
+    * [[temperatureMix]] subsamples heavy strata, this REPEATS light
+    * high-value ones (the books-see-3-epochs move in published LLM
+    * data mixes). Each row emits floor(e_s) copies plus one more when
+    * its deterministic coin lands under frac(e_s), so the stratum's
+    * expected multiplicity is exactly e_s while every decision stays a
+    * pure function of the key (re-runs identical, appends never flip
+    * earlier rows). Rows with zero copies (e_s < 1 and coin high) drop
+    * out. Output: one row per (row, copy) with `copy_idx` 0..n-1 — the
+    * copy index is the downstream shuffle/pack discriminator so
+    * repeated copies can land in different training sequences.
+    * Embarrassingly parallel: no shuffle, the per-row explode is
+    * bounded by ceil(max epochs). */
+  def epochMix(df: DataFrame, keyCol: String, stratumCol: String,
+               epochs: Map[String, Double], defaultEpochs: Double = 1.0,
+               salt: String = "epoch"): DataFrame = {
+    require(epochs.values.forall(_ >= 0) && defaultEpochs >= 0,
+      "epochs must be non-negative")
+    val e = epochs.foldLeft(lit(defaultEpochs)) { case (acc, (s, v)) =>
+      when(col(stratumCol) === s, lit(v)).otherwise(acc)
+    }
+    df.withColumn("u", unitHash(col(keyCol), salt))
+      .withColumn("n_copies",
+        (floor(e) + when(col("u") < e - floor(e), 1L).otherwise(0L))
+          .cast("long"))
+      .withColumn("copy_idx",
+        explode(when(col("n_copies") > 0,
+          sequence(lit(0L), col("n_copies") - 1))
+          .otherwise(array().cast("array<bigint>"))))
+  }
+
   /** Cap each stratum at `maxPerStratum` rows ("at most N documents per
     * domain"): rows ranked by the salted hash coin (tie-broken by key)
     * so the retained subset is a uniform, reproducible sample of the

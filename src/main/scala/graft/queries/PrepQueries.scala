@@ -359,6 +359,36 @@ object PrepQueries {
       |  CAST(length(norm_text) AS BIGINT) AS n_chars_norm
       |FROM n""".stripMargin
 
+  // ===== epoch-aware oversampling =======================================
+
+  private val epochsByLang = Seq("en" -> 1.0, "fr" -> 2.5, "de" -> 2.0,
+    "es" -> 1.5, "zh" -> 0.5)
+
+  private val epochMixQ: QFn = (s, d) =>
+    Sampling.epochMix(
+      Tables.documents(s, d).select(col("doc_id"), col("lang")),
+      "doc_id", "lang", epochsByLang.toMap)
+
+  private val epochMixSql = {
+    val cases = epochsByLang.reverse.map { case (l, v) =>
+      s"WHEN lang = '$l' THEN CAST($v AS DOUBLE)"
+    }.mkString(" ")
+    s"""WITH p AS (
+       |  SELECT doc_id, lang,
+       |    CASE $cases ELSE CAST(1.0 AS DOUBLE) END AS e,
+       |    CAST(${sqlHash60("'epoch:' || CAST(doc_id AS VARCHAR)")}
+       |      % 1000000 AS DOUBLE) / 1000000.0 AS u
+       |  FROM documents),
+       |n AS (
+       |  SELECT doc_id, lang, u,
+       |    CAST(floor(e) + CASE WHEN u < e - floor(e) THEN 1 ELSE 0 END
+       |         AS BIGINT) AS n_copies
+       |  FROM p)
+       |SELECT doc_id, lang, u, n_copies,
+       |       CAST(unnest(range(0, n_copies)) AS BIGINT) AS copy_idx
+       |FROM n""".stripMargin
+  }
+
   // ===== pipeline v2 (round-6 flagship composition) =====================
 
   /** The round-6 stages composed as ONE program: segment dedup ->
@@ -480,6 +510,7 @@ object PrepQueries {
     "q_x_corpus_diff" -> corpusDiffQ,
     "q_x_curriculum" -> curriculumQ,
     "q_x_normalize" -> normalizeQ,
+    "q_x_epoch_mix" -> epochMixQ,
     "q_x_pipeline2" -> pipeline2Q)
 
   val oracles: Map[String, String] = Map(
@@ -493,5 +524,6 @@ object PrepQueries {
     "q_x_corpus_diff" -> corpusDiffSql,
     "q_x_curriculum" -> curriculumSql,
     "q_x_normalize" -> normalizeSql,
+    "q_x_epoch_mix" -> epochMixSql,
     "q_x_pipeline2" -> pipeline2Sql)
 }

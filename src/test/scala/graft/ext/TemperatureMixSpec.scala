@@ -38,6 +38,32 @@ class TemperatureMixSpec extends SparkSpec {
     assert(nulls.filter(col("accept").isNull).count() == 0)
   }
 
+  test("epochMix: expected multiplicity per stratum, deterministic") {
+    val r = Sampling.epochMix(docs, "id", "stratum",
+      Map("big" -> 0.5, "small" -> 2.5))
+    val counts = r.groupBy("stratum").count()
+      .as[(String, Long)].collect().toMap
+    // big: 900 rows x 0.5 epochs ~ 450; small: 100 x 2.5 ~ 250
+    assert(counts("big") > 380 && counts("big") < 520)
+    assert(counts("small") > 215 && counts("small") < 285)
+    // integer epochs are exact: every small row has copies 0 and 1
+    val copies = r.filter(col("stratum") === "small")
+      .groupBy("id").count().as[(Long, Long)].collect()
+    assert(copies.forall(c => c._2 == 2L || c._2 == 3L))
+    val again = Sampling.epochMix(docs, "id", "stratum",
+      Map("big" -> 0.5, "small" -> 2.5))
+      .select("id", "copy_idx").collect().toSet
+    assert(again == r.select("id", "copy_idx").collect().toSet)
+  }
+
+  test("epochMix: zero-epoch strata vanish; 1.0-epoch strata are identity") {
+    val r = Sampling.epochMix(docs, "id", "stratum",
+      Map("big" -> 1.0, "small" -> 0.0))
+    assert(r.filter(col("stratum") === "small").count() == 0)
+    assert(r.filter(col("stratum") === "big").count() == 900)
+    assert(r.filter(col("copy_idx") =!= 0).count() == 0)
+  }
+
   test("decisions are a pure function of the input (re-run identical)") {
     val all = Sampling.temperatureMix(docs, "id", "stratum", 0.5)
       .filter(col("accept")).select("id").as[Long].collect().toSet
