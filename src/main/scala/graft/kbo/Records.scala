@@ -76,7 +76,7 @@ object Records {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= recentK)
       .groupBy(col(idCol))
-      .agg(sort_array(collect_list(struct(gameCols.map(col): _*)), asc = false)
+      .agg(sort_array(collect_list(struct(gameCols.toIndexedSeq.map(col): _*)), asc = false)
         .as("recent_games"))
     val joined = withStd.join(recent, Seq(idCol), "left")
       .withColumnRenamed("player", "player_name")

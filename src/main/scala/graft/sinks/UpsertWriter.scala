@@ -36,7 +36,7 @@ object UpsertWriter {
       .filterNot(c => keys.contains(c) || c == "__src" || c == versionCol)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy((col("__src").desc +: col(versionCol).desc +:
-        rest.map(col(_).desc)): _*)
+        rest.map(col(_).desc)).toIndexedSeq: _*)
     tagged.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__src", "__rn")
@@ -154,7 +154,7 @@ object UpsertWriter {
       val touched = tagged.select(col(BucketCol)).distinct()
         .collect().map(_.getInt(0)).sorted
       val base = spark.read.parquet(path)
-        .filter(col(BucketCol).isin(touched.map(Integer.valueOf): _*))
+        .filter(col(BucketCol).isin(touched.toIndexedSeq.map(Integer.valueOf): _*))
       merge(base, tagged, keys :+ BucketCol, versionCol)
     } else tagged
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")

@@ -150,7 +150,7 @@ object EventPipeline {
             // batch could otherwise set one already in the past)
             state.setTimeoutTimestamp(math.max(
               next.last_seen + idleMs,
-              state.getCurrentWatermarkMs + 1))
+              state.getCurrentWatermarkMs() + 1))
             UserSession(uid, next.n_events, next.total)
           }
       }
@@ -219,7 +219,7 @@ object EventPipeline {
               // must land beyond the current watermark (a batch of only
               // late events could otherwise set one already in the past)
               state.setTimeoutTimestamp(math.max(s.end.getTime + gapMs,
-                state.getCurrentWatermarkMs + 1))
+                state.getCurrentWatermarkMs() + 1))
             }
             out.result().iterator
           }
