@@ -2,7 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 import org.apache.spark.sql.execution.window.WindowExec
@@ -32,9 +32,18 @@ object PlanLint {
   case class Finding(check: String, severity: String, node: String,
                      detail: String)
 
+  /** Full traversal: through the adaptive root (without re-yielding
+    * it), INTO materialized AQE query stages (their subtree hangs off
+    * `.plan`, not `children` — after an action the naive child walk
+    * sees only stage leaves and would pass a cartesian product as
+    * clean), and into expression subquery plans (a flagged shape inside
+    * a scalar/IN subquery still runs at scale). */
   private def walk(p: SparkPlan): Seq[SparkPlan] = p match {
-    case a: AdaptiveSparkPlanExec => a.executedPlan +: walk(a.executedPlan)
-    case _ => p +: p.children.flatMap(walk)
+    case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+    case q: QueryStageExec => q +: walk(q.plan)
+    case _ =>
+      (p +: p.children.flatMap(walk)) ++
+        p.subqueries.flatMap(walk)
   }
 
   def findings(df: DataFrame): Seq[Finding] = {

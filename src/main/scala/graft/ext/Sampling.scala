@@ -24,6 +24,16 @@ object Sampling {
     (Hashing.hash60(concat(lit(salt + ":"), key.cast("string"))) % M)
       .cast("double") / M.toDouble
 
+  /** Per-stratum literal lookup as a CASE chain — ONE definition shared
+    * by [[stratified]] and [[epochMix]] so the two sampling halves can
+    * never diverge on stratum matching (conditions are disjoint, fold
+    * order is irrelevant; a NULL stratum falls through to the default). */
+  private def stratumCase(stratumCol: String, values: Map[String, Double],
+                          default: Double): Column =
+    values.foldLeft(lit(default)) { case (acc, (s, v)) =>
+      when(col(stratumCol) === s, lit(v)).otherwise(acc)
+    }
+
   /** Per-stratum keep/drop: `rates` maps stratum value -> keep rate,
     * `defaultRate` covers unlisted strata. Output keeps every input row
     * with its coin and decision (filter on `keep` to materialize the
@@ -31,9 +41,7 @@ object Sampling {
   def stratified(df: DataFrame, keyCol: String, stratumCol: String,
                  rates: Map[String, Double], defaultRate: Double,
                  salt: String = "mix"): DataFrame = {
-    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (s, r)) =>
-      when(col(stratumCol) === s, lit(r)).otherwise(acc)
-    }
+    val rate = stratumCase(stratumCol, rates, defaultRate)
     df.withColumn("u", unitHash(col(keyCol), salt))
       .withColumn("keep", col("u") < rate)
   }
@@ -117,11 +125,14 @@ object Sampling {
   def epochMix(df: DataFrame, keyCol: String, stratumCol: String,
                epochs: Map[String, Double], defaultEpochs: Double = 1.0,
                salt: String = "epoch"): DataFrame = {
-    require(epochs.values.forall(_ >= 0) && defaultEpochs >= 0,
-      "epochs must be non-negative")
-    val e = epochs.foldLeft(lit(defaultEpochs)) { case (acc, (s, v)) =>
-      when(col(stratumCol) === s, lit(v)).otherwise(acc)
-    }
+    // finiteness + sanity bound: floor(Infinity) would defer to an
+    // obscure runtime sequence/explode failure, and a finite 1e9 is an
+    // accidental 1e9x row explosion, not a data mix
+    def sane(v: Double) =
+      java.lang.Double.isFinite(v) && v >= 0 && v <= 1000
+    require(epochs.values.forall(sane) && sane(defaultEpochs),
+      "epochs must be finite and in [0, 1000]")
+    val e = stratumCase(stratumCol, epochs, defaultEpochs)
     df.withColumn("u", unitHash(col(keyCol), salt))
       .withColumn("n_copies",
         (floor(e) + when(col("u") < e - floor(e), 1L).otherwise(0L))

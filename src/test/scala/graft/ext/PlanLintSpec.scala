@@ -38,6 +38,23 @@ class PlanLintSpec extends SparkSpec {
     assert(info.size == 1 && info.head.severity == "info")
   }
 
+  test("post-execution (materialized AQE stages) still lints dirty") {
+    val d = df
+    val other = (1L to 10L).toDF("k")
+    val cart = d.crossJoin(other.hint("shuffle_replicate_nl"))
+      .groupBy("grp").count()
+    cart.collect() // AQE materializes stages; subtree moves off children
+    assert(PlanLint.findings(cart)
+      .exists(f => f.check == "cartesian-product"), "stage walk lost it")
+  }
+
+  test("findings are not duplicated through the adaptive root") {
+    val bad = df.withColumn("rn",
+      row_number().over(Window.orderBy(col("v"))))
+    val gw = PlanLint.findings(bad).filter(_.check == "global-window")
+    assert(gw.size == 1, s"expected one finding, got ${gw.size}")
+  }
+
   test("lint output is a composable DataFrame") {
     val out = PlanLint.lint(df.groupBy("grp").count())
     assert(out.columns.toSeq ==

@@ -56,6 +56,16 @@ class TemperatureMixSpec extends SparkSpec {
     assert(again == r.select("id", "copy_idx").collect().toSet)
   }
 
+  test("epochMix rejects non-finite and absurd epoch values loudly") {
+    intercept[IllegalArgumentException] {
+      Sampling.epochMix(docs, "id", "stratum",
+        Map("big" -> Double.PositiveInfinity))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.epochMix(docs, "id", "stratum", Map("big" -> 1e9))
+    }
+  }
+
   test("epochMix: zero-epoch strata vanish; 1.0-epoch strata are identity") {
     val r = Sampling.epochMix(docs, "id", "stratum",
       Map("big" -> 1.0, "small" -> 0.0))
