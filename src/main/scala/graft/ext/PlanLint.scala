@@ -1,8 +1,10 @@
 package graft.ext
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.catalyst.expressions.aggregate.Percentile
+import org.apache.spark.sql.execution.{GenerateExec, SparkPlan}
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 import org.apache.spark.sql.execution.window.WindowExec
@@ -21,6 +23,18 @@ import org.apache.spark.sql.execution.window.WindowExec
   *  - `nested-loop-join`: a BroadcastNestedLoopJoinExec — legitimate
   *    for one-row scalar frames (the league-scalar pattern), fatal if
   *    the broadcast side is a real table; flagged for confirmation;
+  *  - `exact-percentile`: Spark's exact Percentile aggregate — its
+  *    buffer is an O(distinct values) OpenHashMap merged on ONE final
+  *    reducer; on continuous scores distinct ~ rows, i.e. a hidden
+  *    corpus-sized single-node buffer (the shape Curriculum's
+  *    histogram-refine boundaries exist to avoid). Acceptable only
+  *    over provably bounded value domains;
+  *  - `window-after-explode`: a partitioned WindowExec with a
+  *    GenerateExec below it and no aggregation barrier between — the
+  *    window key's cardinality rides the exploded frame, and AQE
+  *    splits skewed JOINS, not windows, so one hot key (a boilerplate
+  *    n-gram) is one hot reducer. Prefer groupBy + equi-join back
+  *    (the novelty shape);
   *  - `shuffle-count`: informational total of exchanges in the plan.
   *
   * Findings are returned as a DataFrame so lint output composes with
@@ -46,6 +60,17 @@ object PlanLint {
         p.subqueries.flatMap(walk)
   }
 
+  /** A GenerateExec (explode) below `p` with no aggregation barrier in
+    * between — an aggregate collapses the exploded cardinality, so a
+    * window above one is keyed on bounded data again. */
+  private def generateBelow(p: SparkPlan): Boolean = p match {
+    case _: BaseAggregateExec => false
+    case _: GenerateExec => true
+    case a: AdaptiveSparkPlanExec => generateBelow(a.executedPlan)
+    case q: QueryStageExec => generateBelow(q.plan)
+    case other => other.children.exists(generateBelow)
+  }
+
   def findings(df: DataFrame): Seq[Finding] = {
     val nodes = walk(df.queryExecution.executedPlan)
     val fs = Seq.newBuilder[Finding]
@@ -55,6 +80,25 @@ object PlanLint {
           "window with empty PARTITION BY moves ALL rows to one " +
             "reducer; acceptable only over post-aggregate O(groups) " +
             "inputs - confirm the input is aggregated, or partition it")
+      case w: WindowExec if generateBelow(w.child) =>
+        fs += Finding("window-after-explode", "warn", w.nodeName,
+          "window keyed on an exploded frame: partition cardinality " +
+            "rides the explode, and AQE skew-splits joins, not " +
+            "windows - one hot key is one hot reducer. Prefer " +
+            "groupBy + equi-join back, or confirm the generator " +
+            "output is bounded per key")
+      // flag the merging side only (Final/Complete) so a two-phase
+      // aggregate yields one finding, not one per phase
+      case a: BaseAggregateExec if a.aggregateExpressions.exists(e =>
+          e.aggregateFunction.isInstanceOf[Percentile] &&
+            (e.mode == org.apache.spark.sql.catalyst.expressions.aggregate.Final ||
+              e.mode == org.apache.spark.sql.catalyst.expressions.aggregate.Complete)) =>
+        fs += Finding("exact-percentile", "warn", a.nodeName,
+          "exact Percentile buffers O(distinct values) in one " +
+            "OpenHashMap merged on a single reducer; on continuous " +
+            "inputs that is a corpus-sized buffer. Use " +
+            "Curriculum.exactBoundaries (histogram-refine) or " +
+            "approx_percentile, or confirm the value domain is bounded")
       case c: CartesianProductExec =>
         fs += Finding("cartesian-product", "error", c.nodeName,
           "unbounded all-pairs join; add an equi-join key, bucket/band " +

@@ -193,24 +193,26 @@ object TextStats {
     * of mostly already-seen n-grams adds little new text even if no
     * single near-duplicate exists.
     *
-    * One n-gram-keyed shuffle (window min over the hash — the
-    * groupBy + self-join alternative pays that full shuffle TWICE),
-    * then one doc-keyed partial-aggregating rollup. Skew note: AQE
-    * splits skewed JOINS, not windows, so a pathologically hot n-gram
-    * concentrates one window partition; on heavy-tailed corpora
-    * switch to first-occurrence = groupBy(h).agg(min) (partial
-    * aggregation is skew-immune) + an AQE-skew-splittable join back —
-    * two shuffles, each bounded. Deterministic: first occurrence is
+    * Skew-safe shape: first occurrence is `groupBy(h).agg(min(id))` —
+    * partial aggregation is skew-immune, a pathologically hot n-gram
+    * (boilerplate) collapses map-side — then an equi-join back, which
+    * AQE skew-splits. The window-over-h alternative pays one fewer
+    * text pass but concentrates every occurrence of a hot n-gram on
+    * ONE window partition, and AQE splits skewed JOINS, not windows —
+    * that is the 100 TB killer this shape avoids. The price is the
+    * exploded frame being derived twice (two map-side tokenize+md5
+    * passes; materializing it would cost more than recomputing), and
+    * both shuffles stay bounded. Deterministic: first occurrence is
     * min over ids, not arrival order. Docs too short for an n-gram
     * drop out (dedup-family contract).
     * Output: (idCol, n_ngrams, n_novel, novel_frac).
     */
   def novelty(docs: DataFrame, idCol: String = "doc_id",
               textCol: String = "text", n: Int = 3): DataFrame = {
-    val ex = docs.select(col(idCol),
+    def ex = docs.select(col(idCol),
       explode(Dedup.shingleHashes(Hashing.tokens(col(textCol)), n)).as("h"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
-    ex.withColumn("first_id", min(col(idCol)).over(w))
+    val firstIds = ex.groupBy(col("h")).agg(min(col(idCol)).as("first_id"))
+    ex.join(firstIds, Seq("h"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_ngrams"),
         sum(when(col("first_id") === col(idCol), lit(1L)).otherwise(lit(0L)))

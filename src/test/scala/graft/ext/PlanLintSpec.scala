@@ -55,6 +55,39 @@ class PlanLintSpec extends SparkSpec {
     assert(gw.size == 1, s"expected one finding, got ${gw.size}")
   }
 
+  test("exact Percentile aggregate is flagged once; the " +
+      "histogram-refine boundaries are not") {
+    val bad = df.agg(expr("percentile(v, array(0.25, 0.5, 0.75))"))
+    val hits = PlanLint.findings(bad).filter(_.check == "exact-percentile")
+    assert(hits.size == 1 && hits.head.severity == "warn")
+    val good = Curriculum.exactBoundaries(df, "v", 4)
+    assert(!PlanLint.findings(good).exists(_.check == "exact-percentile"))
+    assert(PlanLint.clean(good))
+  }
+
+  test("window keyed on an exploded frame is flagged; the groupBy+join " +
+      "novelty shape is not") {
+    // the pre-fix novelty shape: explode n-grams, window over the hash
+    val ex = df.select(col("id"),
+      explode(split(lit("a b c a"), " ")).as("h"))
+    val bad = ex.withColumn("first_id",
+      min(col("id")).over(Window.partitionBy(col("h"))))
+    assert(PlanLint.findings(bad)
+      .exists(f => f.check == "window-after-explode" && f.severity == "warn"))
+    // an aggregation barrier between explode and window resets
+    // cardinality - must NOT flag
+    val barrier = ex.groupBy("h").agg(min("id").as("m"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("h").orderBy(col("m"))))
+    assert(!PlanLint.findings(barrier)
+      .exists(_.check == "window-after-explode"))
+    // the post-fix implementation itself
+    val docs = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
+    val post = TextStats.novelty(docs)
+    assert(!PlanLint.findings(post).exists(_.check == "window-after-explode"))
+    assert(PlanLint.clean(post))
+  }
+
   test("lint output is a composable DataFrame") {
     val out = PlanLint.lint(df.groupBy("grp").count())
     assert(out.columns.toSeq ==

@@ -83,6 +83,21 @@ class PlanShapeSpec extends SparkSpec {
       "bloom probe must stay codegen'd — no boxing scalar UDF")
   }
 
+  test("novelty: first occurrence via groupBy+join — no window keyed " +
+      "on the n-gram hash") {
+    val p = planOf(SparkEntry.queries("q_x_novelty")(spark, sf))
+    assert(count(p, "Window \\[") == 0,
+      "novelty must not window over the exploded n-gram frame:\n" +
+        p.take(800))
+    assert(p.contains("Join"), "first-occurrence must join back")
+  }
+
+  test("curriculum: boundaries plan carries no exact Percentile buffer") {
+    val df = SparkEntry.queries("q_x_curriculum")(spark, sf)
+    assert(!graft.ext.PlanLint.findings(df)
+      .exists(_.check == "exact-percentile"))
+  }
+
   test("native expressions appear in plans (not the composed forms)") {
     val p = planOf(SparkEntry.queries("q_x_embed_neardup")(spark, sf))
     assert(p.contains("sig9"), "score must route through sig9_round")
