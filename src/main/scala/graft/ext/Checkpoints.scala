@@ -1,0 +1,31 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+
+/** Materialization policy for iterative operators (connected
+  * components, Lloyd refinement, BPE rounds): every round's
+  * loop-carried frame must be cut from its lineage or each iteration
+  * lazily re-runs all prior ones.
+  *
+  * `localCheckpoint` (the default) stores blocks on the executors —
+  * right for a single-JVM session and for honest re-measurement (it is
+  * invisible to the CacheManager), but blocks die with an executor, so
+  * a long-running cluster job would recompute from nothing it can
+  * reach. Passing `checkpointDir` switches to durable `checkpoint()`
+  * into that directory (HDFS/S3 on a real cluster) — the posture the
+  * scaladocs of [[Dedup.dupClusters]] and friends have always named;
+  * this makes it a one-argument switch instead of a fork of the
+  * operator. */
+object Checkpoints {
+
+  /** Cut `df`'s lineage: durable `checkpoint()` under `dir` when set,
+    * else executor-local `localCheckpoint()`. Both are eager. */
+  def cut(df: DataFrame, dir: Option[String]): DataFrame = dir match {
+    case Some(d) =>
+      val sc = df.sparkSession.sparkContext
+      // setCheckpointDir is idempotent per dir; scope it to the caller
+      if (!sc.getCheckpointDir.contains(d)) sc.setCheckpointDir(d)
+      df.checkpoint()
+    case None => df.localCheckpoint()
+  }
+}

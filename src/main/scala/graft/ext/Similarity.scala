@@ -113,15 +113,31 @@ object Similarity {
       .select(col("qid"), col("rank"), col("cid"), col("score"))
   }
 
-  /** IVF (inverted-file) index: K centroids from deterministic seeds +
-    * one Lloyd refinement, then every vector assigned to its nearest
-    * centroid. At scale this is the classic two-level ANN layout: the
-    * centroid table is tiny and broadcast; the corpus carries a
-    * `centroid_id` partition/cluster key, so a probe touches only
-    * nprobe/K of the data. Centroid refinement is a posexplode +
-    * per-(centroid, dim) average — decimal-routed so the index is
-    * bit-reproducible across topologies (an index that drifts per run
-    * cannot be incrementally maintained). */
+  /** IVF (inverted-file) index: K centroids from deterministic
+    * hash-spread seeds + `iters` Lloyd refinements, then every vector
+    * assigned to its nearest centroid. At scale this is the classic
+    * two-level ANN layout: the centroid table is tiny and broadcast;
+    * the corpus carries a `centroid_id` partition/cluster key, so a
+    * probe touches only nprobe/K of the data. Centroid refinement is a
+    * posexplode + per-(centroid, dim) average — decimal-routed so the
+    * index is bit-reproducible across topologies (an index that drifts
+    * per run cannot be incrementally maintained).
+    *
+    * Seeding: the k vectors MINIMIZING the salted portable hash of
+    * their id (ties to the smaller id) — a deterministic uniform draw
+    * over the corpus. Seeding by smallest ids (the obvious stable
+    * choice) is id-CORRELATED: ingest order usually correlates with
+    * content (crawl batches, sorted exports), so id-prefix seeds start
+    * every centroid in one corner of the embedding space, and one
+    * Lloyd step from there leaves unbalanced clusters — which turns
+    * every downstream `centroid_id` equi-join (ivfTopK, semDedup) into
+    * a hot-key join and depresses recall. The hash draw is just as
+    * reproducible (pure function of ids) without the correlation;
+    * selection is a TakeOrderedAndProject top-k, never a full sort.
+    *
+    * `checkpointDir` switches the per-iteration and index
+    * materialization to durable `checkpoint()` ([[Checkpoints.cut]]) —
+    * pass a reachable HDFS/S3 dir on a real cluster. */
   /** Nearest-centroid assignment of a (vid, vv) frame against a
     * broadcast (cid, cv) centroid table — the shared kernel of index
     * build and incremental extension. The argmax is a struct-max hash
@@ -139,35 +155,50 @@ object Similarity {
       .select(col("vid"), (-col("b.negCid")).cast("long").as("cid"))
   }
 
+  /** Salt for the seed draw — distinct from every sampling salt so the
+    * seed choice is independent of any keep/drop decision. */
+  private val seedSalt = "ivfseed:"
+
   def ivfIndex(vectors: DataFrame, k: Int, idCol: String = "vec_id",
-               vecCol: String = "embedding"): (DataFrame, DataFrame) = {
+               vecCol: String = "embedding", iters: Int = 1,
+               checkpointDir: Option[String] = None): (DataFrame, DataFrame) = {
+    require(iters >= 1, "iters must be >= 1")
     val v = vectors.select(col(idCol).as("vid"), col(vecCol).as("vv"))
-    // deterministic seeds: the k smallest ids (stable under re-runs)
-    val seeds = v.orderBy(col("vid")).limit(k)
+    // deterministic hash-spread seeds: k minimum-by-hash60 ids (see
+    // scaladoc); top-k select, not a global sort
+    val seeds = v
+      .orderBy(Hashing.hash60(concat(lit(seedSalt),
+        col("vid").cast("string"))).asc, col("vid").asc)
+      .limit(k)
       .select(col("vid").as("cid"), col("vv").as("cv"))
-    def assign(cents: DataFrame, centVec: String): DataFrame =
-      assignToCentroids(v,
-        cents.select(col("cid"), col(centVec).as("cv")))
-    // one Lloyd step: mean vector per seed-assigned cluster, per dim
-    val a0 = assign(seeds, "cv")
-    val centroids = v.join(a0, Seq("vid"))
-      .select(col("cid"), posexplode(col("vv")).as(Seq("dim", "x")))
-      .groupBy(col("cid"), col("dim"))
-      .agg(graft.queries.Q.davg(col("x").cast("double")).as("m"))
-      .groupBy(col("cid"))
-      .agg(array_sort(collect_list(struct(col("dim"), col("m"))))
-        .as("dm"))
-      .select(col("cid"),
-        transform(col("dm"), s => s.getField("m")).as("cv"))
-    // An index IS a materialized artifact: checkpoint both outputs, or
-    // every consumer (probe stage, candidate join, recall check)
-    // re-executes the whole centroid-refinement subtree lazily.
-    val centOut = centroids.select(col("cid").as("centroid_id"), col("cv"))
-      .localCheckpoint()
-    val index = assign(centOut.select(col("centroid_id").as("cid"),
-        col("cv")), "cv")
-      .select(col("vid").as(idCol), col("cid").as("centroid_id"))
-      .localCheckpoint()
+    def assign(cents: DataFrame): DataFrame =
+      assignToCentroids(v, cents.select(col("cid"), col("cv")))
+    // Lloyd refinement: mean vector per assigned cluster, per dim.
+    // Each round's centroid table is the loop-carried artifact —
+    // materialized per iteration or round i lazily re-runs rounds 1..i-1.
+    var cents = seeds
+    for (_ <- 1 to iters) {
+      val a = assign(cents)
+      cents = Checkpoints.cut(
+        v.join(a, Seq("vid"))
+          .select(col("cid"), posexplode(col("vv")).as(Seq("dim", "x")))
+          .groupBy(col("cid"), col("dim"))
+          .agg(graft.queries.Q.davg(col("x").cast("double")).as("m"))
+          .groupBy(col("cid"))
+          .agg(array_sort(collect_list(struct(col("dim"), col("m"))))
+            .as("dm"))
+          .select(col("cid"),
+            transform(col("dm"), s => s.getField("m")).as("cv")),
+        checkpointDir)
+    }
+    // An index IS a materialized artifact: the centroid table above is
+    // already cut; materialize the assignment too, or every consumer
+    // (probe stage, candidate join, recall check) re-runs it lazily.
+    val centOut = cents.select(col("cid").as("centroid_id"), col("cv"))
+    val index = Checkpoints.cut(
+      assign(cents)
+        .select(col("vid").as(idCol), col("cid").as("centroid_id")),
+      checkpointDir)
     (centOut, index)
   }
 
@@ -249,10 +280,10 @@ object Similarity {
     * embedding space, then drop near-duplicates WITHIN each cluster —
     * the cluster assignment turns the quadratic all-pairs problem into
     * an equi-join on `centroid_id`, so candidate-pair count scales with
-    * cluster density, not corpus size. Reuses [[ivfIndex]] (deterministic
-    * seeds + one decimal-routed Lloyd step), so the clustering — and
-    * therefore the dedup decision — is bit-reproducible across runs,
-    * partitionings and engines.
+    * cluster density, not corpus size. Reuses [[ivfIndex]] (hash-spread
+    * deterministic seeds + decimal-routed Lloyd steps), so the
+    * clustering — and therefore the dedup decision — is
+    * bit-reproducible across runs, partitionings and engines.
     *
     * Keep rule: a vector is dropped iff some SMALLER-id vector in its
     * cluster has sig9(cosine) >= threshold — the same deterministic
@@ -265,8 +296,10 @@ object Similarity {
     */
   def semDedup(vectors: DataFrame, k: Int, threshold: Double,
                idCol: String = "vec_id",
-               vecCol: String = "embedding"): DataFrame = {
-    val (cents, index) = ivfIndex(vectors, k, idCol, vecCol)
+               vecCol: String = "embedding", iters: Int = 1,
+               checkpointDir: Option[String] = None): DataFrame = {
+    val (cents, index) = ivfIndex(vectors, k, idCol, vecCol, iters,
+      checkpointDir)
     val v = vectors.select(col(idCol).as("vid"), col(vecCol).as("vv"),
       normSq(col(vecCol)).as("nsq"))
     val m = v.join(index.withColumnRenamed(idCol, "vid"), Seq("vid"))

@@ -539,7 +539,9 @@ object ExtQueries {
        |  UNION ALL
        |  SELECT qid, qv, ${nsqSql("qv")} FROM q),
        |seeds AS (
-       |  SELECT vid AS cid, vv AS cv FROM corpus ORDER BY vid LIMIT 16),
+       |  SELECT vid AS cid, vv AS cv FROM corpus
+       |  ORDER BY ${hashSql("'ivfseed:' || CAST(vid AS VARCHAR)")}, vid
+       |  LIMIT 16),
        |a0 AS ${argmin("seeds")},
        |mem AS (SELECT a0.cid, c.vv FROM a0 JOIN corpus c USING (vid)),
        |md AS (

@@ -141,6 +141,41 @@ class SimilaritySpec extends SparkSpec {
     (0L until 10L).foreach(i => assert(m(i + 100) == m(i)))
   }
 
+  test("hash-spread seeding keeps clusters balanced on an id-sorted " +
+      "corpus (the id-prefix trap fixture)") {
+    // ids arrive SORTED BY CONTENT: block b = ids [20b, 20b+20) all sit
+    // near axis b. Seeding by smallest ids would put all 8 seeds in
+    // block 0 and leave the other 7 blocks split across whatever
+    // centroid drifted their way; hash-spread seeds + one Lloyd step
+    // must keep per-centroid membership near the 20-vector mean.
+    def blockVec(id: Long): Seq[Float] = {
+      val b = (id / 20).toInt
+      (0 until 8).map(j => (if (j == b) 1f else 0f) +
+        (((id * 131 + j * 37) % 97) - 48).toFloat / 4800f)
+    }
+    val sorted = (0L until 160L).map(i => (i, blockVec(i)))
+      .toDF("vec_id", "embedding")
+    val (_, index) = Similarity.ivfIndex(sorted, k = 8)
+    val sizes = index.groupBy("centroid_id").count()
+      .as[(Long, Long)].collect().map(_._2)
+    val maxOverMean = sizes.max.toDouble / (160.0 / 8)
+    assert(maxOverMean <= 2.0,
+      s"unbalanced clusters: sizes=${sizes.sorted.mkString(",")}")
+  }
+
+  test("extra Lloyd iterations refine deterministically; durable " +
+      "checkpointDir path matches the local one") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfck").toString
+    val (c1, i1) = Similarity.ivfIndex(base, k = 4, iters = 2)
+    val (c2, i2) = Similarity.ivfIndex(base, k = 4, iters = 2,
+      checkpointDir = Some(dir))
+    assert(i1.count() == 40)
+    assert(c1.as[(Long, Seq[Double])].collect().toMap ==
+      c2.as[(Long, Seq[Double])].collect().toMap)
+    assert(i1.as[(Long, Long)].collect().toMap ==
+      i2.as[(Long, Long)].collect().toMap)
+  }
+
   test("nearDupPairs finds only true near-duplicates at 0.99") {
     val queries = base.filter(col("vec_id") < 5)
       .select((col("vec_id") + 1000).as("qid"),
