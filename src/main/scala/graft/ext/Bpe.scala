@@ -26,13 +26,25 @@ import org.apache.spark.sql.functions._
   * whose leading space was consumed by the preceding match ("a b a b"),
   * so the replace is applied 4 times per round — enough for merge runs
   * up to 16 consecutive occurrences, i.e. words of > 32 repeated
-  * symbols, far past natural-language word lengths; the fixpoint equals
-  * greedy BPE ("a a a" -> "aa a", never "a aa").
+  * symbols, far past natural-language word lengths.
   *
-  * The dict is localCheckpoint'ed each round: it is the loop-carried
-  * artifact, and without materialization every round's argmax would
-  * lazily re-run all prior rounds (on a real cluster use
-  * `checkpoint()` with a dir, as in Dedup.dupClusters).
+  * Merge-placement contract: the 4-pass replace fixpoint IS the
+  * portable semantics, and it is NOT always greedy left-to-right BPE.
+  * For a SELF-merged pair (l == r) over an odd run of >= 5 symbols,
+  * non-overlapping replace leaves the stranded odd symbol mid-run
+  * ("a a a a a" -> "aa a aa", a stable fixpoint) where greedy BPE
+  * strands it at the end ("aa aa a") — same merge count, different
+  * placement, so later-round pair counts can deviate from reference
+  * Sennrich output on such runs (BpeSpec pins the odd-run case). For
+  * non-self pairs and runs <= 4 the fixpoint equals greedy. Spark and
+  * the DuckDB oracle share the replace semantics, so cross-engine
+  * parity is unaffected — the deviation is a documented contract, not
+  * a divergence.
+  *
+  * The dict is lineage-cut each round ([[Checkpoints.cut]]): it is the
+  * loop-carried artifact, and without materialization every round's
+  * argmax would lazily re-run all prior rounds. Pass `checkpointDir`
+  * for the durable `checkpoint()` posture on a real cluster.
   */
 object Bpe {
 
@@ -46,13 +58,26 @@ object Bpe {
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .select(spaced(col("w")).as("sym"), col("cnt"))
 
+  /** The 4-pass padded literal replace of rule (`l`, `r`) applied to
+    * `sym` — ONE definition shared by train and encode so the two
+    * halves of the tokenizer can never disagree on merge semantics. */
+  private def merge4(sym: Column, l: Column, r: Column): Column = {
+    val pat = concat(lit(" "), l, lit(" "), r, lit(" "))
+    val rep = concat(lit(" "), l, r, lit(" "))
+    (1 to 4).foldLeft(sym) { (c, _) =>
+      call_function("replace", c, pat, rep)
+    }
+  }
+
   /** Train `merges` BPE merge rules over the token arrays in
     * (toks, tokCol). Output one row per rule:
     * (step, lhs, rhs, merged, pair_count) — the merges table IS the
-    * tokenizer artifact. */
-  def train(toks: DataFrame, tokCol: String, merges: Int): DataFrame = {
+    * tokenizer artifact (steps contiguous from 1; fewer rows than
+    * `merges` when the vocabulary exhausts early). */
+  def train(toks: DataFrame, tokCol: String, merges: Int,
+            checkpointDir: Option[String] = None): DataFrame = {
     require(merges >= 1, "merges must be >= 1")
-    var words = wordDict(toks, tokCol).localCheckpoint()
+    var words = Checkpoints.cut(wordDict(toks, tokCol), checkpointDir)
     val rules = Seq.newBuilder[DataFrame]
     var step = 1
     var exhausted = false
@@ -75,14 +100,11 @@ object Bpe {
           col("l").as("lhs"), col("r").as("rhs"),
           concat(col("l"), col("r")).as("merged"), col("pair_count"))
         if (step < merges) { // the final round's dict is never read
-          val pat = concat(lit(" "), col("l"), lit(" "), col("r"), lit(" "))
-          val rep = concat(lit(" "), col("l"), col("r"), lit(" "))
-          val merged4 = (1 to 4).foldLeft(col("sym")) { (c, _) =>
-            call_function("replace", c, pat, rep)
-          }
-          words = words.crossJoin(broadcast(top))
-            .select(merged4.as("sym"), col("cnt"))
-            .localCheckpoint()
+          words = Checkpoints.cut(
+            words.crossJoin(broadcast(top))
+              .select(merge4(col("sym"), col("l"), col("r")).as("sym"),
+                col("cnt")),
+            checkpointDir)
         }
         step += 1
       }
@@ -95,6 +117,58 @@ object Bpe {
       Seq.empty[(Long, String, String, String, Long)]
         .toDF("step", "lhs", "rhs", "merged", "pair_count")
     }
+  }
+
+  /** Encode: apply a trained merge-rule table to the token arrays —
+    * the other half of the tokenizer, turning text into the symbol
+    * sequences [[Packing]] counts and packs.
+    *
+    * Two-level shape, like train: the R rules fold over the DISTINCT
+    * token dict (Zipf-bounded — each rule is one broadcast crossJoin +
+    * literal replace, never a corpus pass; the dict lineage is cut
+    * every 16 rules so plan depth stays bounded at large R), then the
+    * corpus rebuilds per document through one equi-join on the token
+    * and one doc-keyed aggregation. Merge semantics are [[merge4]] —
+    * the same portable contract as train, in both engines.
+    *
+    * The rule STEPS are read to the driver to drive the fold — R longs
+    * of an O(vocab) artifact table (like reading its count), not a
+    * data collect; steps must be contiguous from 1 (train's output
+    * contract) and are validated loudly.
+    *
+    * Output: (idCol, n_syms, bpe_text) — bpe_text is the
+    * space-separated symbol sequence of the document in token order;
+    * token-less documents keep (0, ""). */
+  def encode(docs: DataFrame, idCol: String, tokCol: String,
+             rules: DataFrame,
+             checkpointDir: Option[String] = None): DataFrame = {
+    val steps = rules.select(col("step").cast("long"))
+      .collect().map(_.getLong(0)).sorted
+    require(steps.zipWithIndex.forall { case (s, i) => s == i + 1 },
+      s"rules.step must be contiguous from 1, got ${steps.mkString(",")}")
+    val dict0 = docs.select(explode(col(tokCol)).as("w")).distinct()
+      .select(col("w"), spaced(col("w")).as("sym"))
+    val dict = steps.foldLeft(dict0) { (d, i) =>
+      val rule = rules.filter(col("step") === i)
+        .select(col("lhs"), col("rhs"))
+      val next = d.crossJoin(broadcast(rule))
+        .select(col("w"), merge4(col("sym"), col("lhs"), col("rhs")).as("sym"))
+      if (i % 16 == 0) Checkpoints.cut(next, checkpointDir) else next
+    }
+    val ex = docs.select(col(idCol), posexplode(col(tokCol)).as(Seq("pos", "w")))
+    val rebuilt = ex.join(dict, Seq("w"))
+      .groupBy(col(idCol))
+      .agg(sum(size(split(trim(col("sym")), " "))).cast("long").as("n_syms"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"),
+              trim(col("sym")).as("t")))),
+            s => s.getField("t")),
+          " ").as("bpe_text"))
+    docs.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_syms"), lit(0L)).as("n_syms"),
+        coalesce(col("bpe_text"), lit("")).as("bpe_text"))
   }
 
   /** Adjacent (l, r) symbol pairs of a symbol array (empty when fewer

@@ -217,10 +217,19 @@ object PrepQueries {
   /** One CTE chain per merge round, each applying the same 4-pass
     * padded replace as the engine (replace is left-to-right
     * non-overlapping in both engines — the semantics ARE the
-    * contract). */
+    * contract).
+    *
+    * Fixture assumption: the oracle unconditionally emits 3 rounds
+    * while the engine truncates on vocabulary exhaustion; the
+    * documents fixture is nowhere near exhaustion in 3 merges (its
+    * word dict keeps thousands of multi-symbol entries), so the two
+    * agree — a fixture that exhausts within 3 merges would need the
+    * round SELECTs guarded with WHERE EXISTS on the pair CTE. */
+  private def bpeRep4(inner: String) = (1 to 4).foldLeft(inner)((acc, _) =>
+    s"replace($acc, ' '||l||' '||r||' ', ' '||l||r||' ')")
+
   private val bpeSql = {
-    def rep4(inner: String) = (1 to 4).foldLeft(inner)((acc, _) =>
-      s"replace($acc, ' '||l||' '||r||' ', ' '||l||r||' ')")
+    def rep4(inner: String) = bpeRep4(inner)
     def pairs(w: String) =
       s"""(SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS pair_count
          |   FROM (SELECT unnest(s[1:len(s)-1]) AS l,
@@ -250,6 +259,68 @@ object PrepQueries {
        |SELECT CAST(2 AS BIGINT), l, r, l||r, pair_count FROM t2
        |UNION ALL
        |SELECT CAST(3 AS BIGINT), l, r, l||r, pair_count FROM t3""".stripMargin
+  }
+
+  // ===== BPE encoding (apply trained merges) ============================
+
+  /** Train 3 merges, then tokenize the corpus with them — the full
+    * text -> symbol-sequence path a training pipeline feeds into
+    * Packing. The oracle re-derives the SAME rules (t1..t3 chain) and
+    * folds the distinct-word dict through them, so rule learning AND
+    * application are both adjudicated in one row-hash. */
+  private val bpeEncodeQ: QFn = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), Hashing.tokens(col("text")).as("tk"))
+    Bpe.encode(toks, "doc_id", "tk", Bpe.train(toks, "tk", merges = 3))
+  }
+
+  /** Same fixture assumption as [[bpeSql]] (3 non-exhausted rounds). */
+  private val bpeEncodeSql = {
+    def pairs(w: String) =
+      s"""(SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS pair_count
+         |   FROM (SELECT unnest(s[1:len(s)-1]) AS l,
+         |                unnest(s[2:len(s)]) AS r, cnt
+         |         FROM (SELECT string_split(trim(sym), ' ') AS s, cnt
+         |               FROM $w))
+         |   GROUP BY l, r)""".stripMargin
+    def top(p: String) =
+      s"(SELECT l, r, pair_count FROM $p ORDER BY pair_count DESC, l, r LIMIT 1)"
+    def merge(w: String, t: String) =
+      s"(SELECT ${bpeRep4("sym")} AS sym, cnt FROM $w CROSS JOIN $t)"
+    def applyRule(d0: String, t: String) =
+      s"(SELECT w, ${bpeRep4("sym")} AS sym FROM $d0 CROSS JOIN $t)"
+    s"""WITH $toksSql,
+       |w0 AS (
+       |  SELECT ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' '
+       |           AS sym,
+       |         cnt
+       |  FROM (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+       |        FROM (SELECT unnest(tk) AS w FROM toks) GROUP BY w)),
+       |t1 AS ${top(pairs("w0"))},
+       |w1 AS ${merge("w0", "t1")},
+       |t2 AS ${top(pairs("w1"))},
+       |w2 AS ${merge("w1", "t2")},
+       |t3 AS ${top(pairs("w2"))},
+       |d0 AS (
+       |  SELECT w, ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' '
+       |           AS sym
+       |  FROM (SELECT DISTINCT unnest(tk) AS w FROM toks)),
+       |d1 AS ${applyRule("d0", "t1")},
+       |d2 AS ${applyRule("d1", "t2")},
+       |d3 AS ${applyRule("d2", "t3")},
+       |e AS (
+       |  SELECT doc_id, unnest(tk) AS w,
+       |         unnest(range(0, len(tk))) AS pos
+       |  FROM toks),
+       |r AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(len(string_split(trim(sym), ' '))) AS BIGINT) AS n_syms,
+       |    string_agg(trim(sym), ' ' ORDER BY pos) AS bpe_text
+       |  FROM e JOIN d3 USING (w) GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  COALESCE(r.n_syms, CAST(0 AS BIGINT)) AS n_syms,
+       |  COALESCE(r.bpe_text, '') AS bpe_text
+       |FROM documents d LEFT JOIN r USING (doc_id)""".stripMargin
   }
 
   // ===== column profiling ===============================================
@@ -506,6 +577,7 @@ object PrepQueries {
     "q_x_temperature_mix" -> temperatureMixQ,
     "q_x_anomaly" -> anomalyQ,
     "q_x_bpe" -> bpeQ,
+    "q_x_bpe_encode" -> bpeEncodeQ,
     "q_x_profile" -> profileQ,
     "q_x_corpus_diff" -> corpusDiffQ,
     "q_x_curriculum" -> curriculumQ,
@@ -520,6 +592,7 @@ object PrepQueries {
     "q_x_temperature_mix" -> temperatureMixSql,
     "q_x_anomaly" -> anomalySql,
     "q_x_bpe" -> bpeSql,
+    "q_x_bpe_encode" -> bpeEncodeSql,
     "q_x_profile" -> profileSql,
     "q_x_corpus_diff" -> corpusDiffSql,
     "q_x_curriculum" -> curriculumSql,

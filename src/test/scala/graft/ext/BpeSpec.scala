@@ -53,4 +53,64 @@ class BpeSpec extends SparkSpec {
       (1L, "a", "a", "aa", 9L),
       (2L, "aa", "aa", "aaaa", 3L)))
   }
+
+  test("odd self-merge runs pin the PORTABLE placement, not greedy " +
+      "('aaaaa' -> 'aa a aa', never 'aa aa a')") {
+    // the documented contract deviation: non-overlapping replace
+    // strands the odd symbol mid-run, greedy BPE at the end; both
+    // engines share the replace semantics, so round-2 counts follow
+    // the portable placement
+    val odd = Seq(Tuple1(Seq.fill(2)("aaaaa"))).toDF("tk")
+    val rules = Bpe.train(odd, "tk", merges = 2)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    // round 1: 4 a-a pairs x 2 words = 8; dict word becomes "aa a aa",
+    // whose pairs are (aa,a) and (a,aa) x 2 words each; argmax at equal
+    // count 2 is lexicographic -> (a, aa). Greedy placement "aa aa a"
+    // would have learned (aa, aa) counts instead.
+    assert(rules == Seq(
+      (1L, "a", "a", "aa", 8L),
+      (2L, "a", "aa", "aaa", 2L)))
+  }
+
+  test("encode applies trained rules to the corpus (dict two-level " +
+      "shape) and keeps token-less docs") {
+    val docs = Seq(
+      (1L, Seq("low", "lower", "newest")),
+      (2L, Seq("widest", "low")),
+      (3L, Seq.empty[String])).toDF("doc_id", "tk")
+    val rules = Bpe.train(corpus, "tk", merges = 3)
+    val enc = Bpe.encode(docs, "doc_id", "tk", rules)
+      .as[(Long, Long, String)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    // rules: (e,s), (es,t), (l,o) — "low" -> "lo w", "lower" ->
+    // "lo w e r", "newest" -> "n e w est", "widest" -> "w i d est"
+    assert(enc(1L) == (10L, "lo w lo w e r n e w est"))
+    assert(enc(2L) == (6L, "w i d est lo w"))
+    assert(enc(3L) == (0L, ""))
+  }
+
+  test("encode pins the odd-run portable placement and validates rule " +
+      "contiguity") {
+    val docs = Seq((1L, Seq("aaaaa"))).toDF("doc_id", "tk")
+    val rule = Seq((1L, "a", "a", "aa", 4L))
+      .toDF("step", "lhs", "rhs", "merged", "pair_count")
+    val enc = Bpe.encode(docs, "doc_id", "tk", rule)
+      .as[(Long, Long, String)].head()
+    assert(enc == ((1L, 3L, "aa a aa")))
+    val gap = Seq((2L, "a", "a", "aa", 4L))
+      .toDF("step", "lhs", "rhs", "merged", "pair_count")
+    val e = intercept[IllegalArgumentException] {
+      Bpe.encode(docs, "doc_id", "tk", gap)
+    }
+    assert(e.getMessage.contains("contiguous"))
+  }
+
+  test("train with a durable checkpointDir matches the local path") {
+    val dir = java.nio.file.Files.createTempDirectory("bpeck").toString
+    val a = Bpe.train(corpus, "tk", merges = 3)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    val b = Bpe.train(corpus, "tk", merges = 3, checkpointDir = Some(dir))
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    assert(a == b)
+  }
 }
