@@ -40,25 +40,37 @@ object Packing {
     * doc occupies; empty docs take first_seq), `spans_boundary`.
     *
     * Bucketing contract: buckets are ID-RANGE slices (`id div
-    * bucketSize`), so the two-phase bound holds for reasonably DENSE
-    * numeric ids — pick bucketSize ≈ id_span / desired_buckets. Sparse
-    * 60-bit hash ids would put ~1 doc per bucket (the bases frame then
-    * approaches one row per doc and the per-group bucket window
-    * re-centralizes): densify such ids to ordinals first. Non-numeric
-    * ids cast to NULL — every row lands in one bucket per group, which
-    * stays CORRECT but degrades to the naive single-window shape. The
-    * bases join deliberately carries no broadcast hint: AQE broadcasts
-    * it while it is small and falls back to a shuffle join if a
-    * degenerate bucketing inflates it, instead of OOMing the driver.
+    * bucketSize`), derived ONLY when the id column is a numeric type —
+    * the bucket must be monotone in the same order the within-bucket
+    * window sorts by, and for a STRING id holding numeric text the
+    * numeric cast buckets '600' before '5000' while the window sorts
+    * it after (a silent wrong-offset path). Non-numeric id columns
+    * therefore take a constant bucket: every row lands in one bucket
+    * per group, which stays CORRECT (offsets follow the column's own
+    * lexicographic order) but degrades to the naive single-window
+    * shape — densify string ids to numeric ordinals to get the
+    * two-phase bound back. For numeric ids pick bucketSize ≈ id_span /
+    * desired_buckets; sparse 60-bit hash ids would put ~1 doc per
+    * bucket (the bases frame then approaches one row per doc and the
+    * per-group bucket window re-centralizes): densify those first too.
+    * The bases join deliberately carries no broadcast hint: AQE
+    * broadcasts it while it is small and falls back to a shuffle join
+    * if a degenerate bucketing inflates it, instead of OOMing the
+    * driver.
     */
   def packSequences(df: DataFrame, capacity: Int,
                     groupCol: String = "source", idCol: String = "doc_id",
                     nTokCol: String = "n_tokens",
                     bucketSize: Long = 4096L): DataFrame = {
     require(capacity > 0, "capacity must be positive")
+    val numericId = df.select(col(idCol)).schema.head.dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    val bktExpr =
+      if (numericId) (col("id").cast("long") / bucketSize).cast("long")
+      else lit(0L)
     val b = df.select(col(groupCol).as("grp"), col(idCol).as("id"),
         col(nTokCol).cast("long").as("n_tok"))
-      .withColumn("bkt", (col("id").cast("long") / bucketSize).cast("long"))
+      .withColumn("bkt", bktExpr)
     val wIn = Window.partitionBy(col("grp"), col("bkt")).orderBy(col("id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val within = b.withColumn("local_off",
@@ -79,5 +91,44 @@ object Packing {
       .withColumn("last_seq",
         expr(s"(tok_offset + greatest(n_tokens, 1L) - 1L) div ${capacity.toLong}L"))
       .withColumn("spans_boundary", col("first_seq") =!= col("last_seq"))
+  }
+
+  /** Materialize the per-sequence block layout from [[packSequences]]
+    * coordinates — the rows a block writer consumes to emit actual
+    * fixed-`capacity` training sequences, and the other half of the
+    * packing pair (coordinates say WHERE each document lands; blocks
+    * say what each SEQUENCE contains).
+    *
+    * One row per (sequence, document-slice): `seq_off` is where the
+    * slice starts inside the sequence, `doc_off` where it starts
+    * inside the document, `len` its token length. A document spanning
+    * a boundary appears in BOTH adjacent sequences with complementary
+    * slices (doc_off partitions its tokens exactly); zero-token
+    * documents surface with len 0 in their first_seq, keeping the
+    * audit contract that every input row is accounted for.
+    *
+    * Scale shape: a pure map-side explode of `sequence(first_seq,
+    * last_seq)` — output rows = total sequence-slices, the inherent
+    * output size (a document of T tokens lands in ceil(T/capacity)+1
+    * sequences at most); no shuffle, no window. Writers group by
+    * (groupCol, seq_id) and order slices by seq_off.
+    *
+    * Pass the SAME `capacity` the coordinates were computed with —
+    * it is part of the coordinate system, not a free knob here. */
+  def emitBlocks(coords: DataFrame, capacity: Int,
+                 groupCol: String = "source",
+                 idCol: String = "doc_id"): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val cap = lit(capacity.toLong)
+    coords
+      .select(col(groupCol), col(idCol), col("n_tokens"), col("tok_offset"),
+        explode(sequence(col("first_seq"), col("last_seq"))).as("seq_id"))
+      .select(col(groupCol), col("seq_id"), col(idCol),
+        greatest(col("tok_offset") - col("seq_id") * cap, lit(0L))
+          .as("seq_off"),
+        greatest(col("seq_id") * cap - col("tok_offset"), lit(0L))
+          .as("doc_off"),
+        (least(col("tok_offset") + col("n_tokens"), (col("seq_id") + 1) * cap)
+          - greatest(col("tok_offset"), col("seq_id") * cap)).as("len"))
   }
 }

@@ -139,6 +139,52 @@ object PrepQueries {
        |    AS spans_boundary
        |FROM o""".stripMargin
 
+  // ===== sequence block emission ========================================
+
+  /** The block-writer face of packing: coordinates -> one row per
+    * (sequence, document-slice). The oracle derives the same layout
+    * from the single-window offsets, so the explode arithmetic
+    * (complementary slices across a spanned boundary, len-0 rows for
+    * empty docs) is fully adjudicated. */
+  private val seqBlocksQ: QFn = (s, d) =>
+    Packing.emitBlocks(
+      Packing.packSequences(
+        Tables.documents(s, d).select(col("doc_id"), col("source"),
+          size(Hashing.tokens(col("text"))).cast("long").as("n_tokens")),
+        capacity = packCap, bucketSize = 64L),
+      capacity = packCap)
+
+  private val seqBlocksSql =
+    s"""WITH $toksSql,
+       |t AS (
+       |  SELECT source, doc_id, CAST(len(tk) AS BIGINT) AS n_tokens
+       |  FROM toks),
+       |o AS (
+       |  SELECT source, doc_id, n_tokens,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (
+       |      PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS tok_offset
+       |  FROM t),
+       |b AS (
+       |  SELECT source, doc_id, n_tokens, tok_offset,
+       |    CAST(tok_offset // $packCap AS BIGINT) AS first_seq,
+       |    CAST((tok_offset + GREATEST(n_tokens, 1) - 1) // $packCap
+       |         AS BIGINT) AS last_seq
+       |  FROM o),
+       |u AS (
+       |  SELECT source, doc_id, n_tokens, tok_offset,
+       |         unnest(range(first_seq, last_seq + 1)) AS seq_id
+       |  FROM b)
+       |SELECT source, CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+       |  CAST(GREATEST(tok_offset - seq_id * $packCap, 0) AS BIGINT)
+       |    AS seq_off,
+       |  CAST(GREATEST(seq_id * $packCap - tok_offset, 0) AS BIGINT)
+       |    AS doc_off,
+       |  CAST(LEAST(tok_offset + n_tokens, (seq_id + 1) * $packCap)
+       |       - GREATEST(tok_offset, seq_id * $packCap) AS BIGINT) AS len
+       |FROM u""".stripMargin
+
   // ===== temperature-based source mixing ================================
 
   private val tempFrac = 0.5
@@ -574,6 +620,7 @@ object PrepQueries {
     "q_x_knn_label" -> knnLabel,
     "q_x_segment_dedup" -> segmentDedupQ,
     "q_x_seq_pack" -> seqPackQ,
+    "q_x_seq_blocks" -> seqBlocksQ,
     "q_x_temperature_mix" -> temperatureMixQ,
     "q_x_anomaly" -> anomalyQ,
     "q_x_bpe" -> bpeQ,
@@ -589,6 +636,7 @@ object PrepQueries {
     "q_x_knn_label" -> knnLabelSql,
     "q_x_segment_dedup" -> segmentDedupSql,
     "q_x_seq_pack" -> seqPackSql,
+    "q_x_seq_blocks" -> seqBlocksSql,
     "q_x_temperature_mix" -> temperatureMixSql,
     "q_x_anomaly" -> anomalySql,
     "q_x_bpe" -> bpeSql,
