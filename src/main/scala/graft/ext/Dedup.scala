@@ -25,14 +25,43 @@ import org.apache.spark.sql.functions._
 object Dedup {
   import Hashing.P
 
-  /** MinHash permutation family h_i(x) = (a_i * x + b_i) mod P.
-    * Fixed constants => the signature of a document is a pure function of
-    * its text, stable across runs — required for incremental dedup. */
-  val numHashes = 16
-  val numBands = 4
-  val rowsPerBand: Int = numHashes / numBands
-  val hashA: Seq[Long] = (1 to numHashes).map(i => 1000003L * i + 12289L)
-  val hashB: Seq[Long] = (1 to numHashes).map(i => 7919L * i + 514229L)
+  /** MinHash family geometry: `numHashes` permutations
+    * h_i(x) = (a_i * x + b_i) mod P, split into `numBands` bands of
+    * numHashes/numBands rows each. Fixed constants per (i) => the
+    * signature of a document is a pure function of its text AND the
+    * geometry, stable across runs — required for incremental dedup
+    * (a signature store is only probe-able with the family that wrote
+    * it; [[Dedup.probeSignatures]] takes the family for exactly that
+    * reason).
+    *
+    * Tuning (the S-curve): with r = rows/band and b = bands, a pair at
+    * Jaccard j becomes a candidate with probability 1 - (1 - j^r)^b,
+    * which rises steeply around the threshold j* ≈ (1/b)^(1/r).
+    *  - defaults (16, 4): r=4, j* ≈ 0.71 — the web-dedup sweet spot;
+    *  - (32, 8): same r=4, same j*, twice the bands — HIGHER recall
+    *    near the threshold (more chances to collide) at ~2x signature
+    *    and band-join cost, with precision recovered by the exact
+    *    verify stage;
+    *  - (32, 4): r=8, j* ≈ 0.84 — a STRICTER curve for
+    *    near-identical-only dedup.
+    * Candidate cost scales with bands x bucket density; the exact
+    * Jaccard verify keeps end precision at any geometry. */
+  final case class MinHashFamily(numHashes: Int = 16, numBands: Int = 4) {
+    require(numHashes > 0 && numBands > 0 && numHashes % numBands == 0,
+      s"numBands must divide numHashes, got ($numHashes, $numBands)")
+    val rowsPerBand: Int = numHashes / numBands
+    val hashA: Seq[Long] = (1 to numHashes).map(i => 1000003L * i + 12289L)
+    val hashB: Seq[Long] = (1 to numHashes).map(i => 7919L * i + 514229L)
+  }
+
+  /** The default (16 hashes, 4 bands) family — the geometry every
+    * oracle query and the signature-store format use. */
+  val DefaultFamily: MinHashFamily = MinHashFamily()
+  val numHashes: Int = DefaultFamily.numHashes
+  val numBands: Int = DefaultFamily.numBands
+  val rowsPerBand: Int = DefaultFamily.rowsPerBand
+  val hashA: Seq[Long] = DefaultFamily.hashA
+  val hashB: Seq[Long] = DefaultFamily.hashB
 
   /** Exact dedup: group by 128-bit content digest, keep the smallest id.
     * Output: (content_md5, keep_id, n_copies). */
@@ -162,8 +191,9 @@ object Dedup {
     * per-row reference formula (the oracle SQL mirrors this shape).
     * Empty shingle set => NULL minhashes => NULL band keys, which never
     * join (SQL NULL semantics) — tiny docs are skipped, not clustered. */
-  def minhashes(sh: Column): Column =
-    array((hashA zip hashB).map { case (a, b) =>
+  def minhashes(sh: Column,
+                family: MinHashFamily = DefaultFamily): Column =
+    array((family.hashA zip family.hashB).map { case (a, b) =>
       array_min(transform(sh, x => (lit(a) * x + lit(b)) % P))
     }: _*)
 
@@ -174,23 +204,26 @@ object Dedup {
     * and the single doc-keyed exchange is shared by the band and verify
     * branches (ReuseExchange). Docs with no shingles drop out (same
     * outcome as their NULL band keys never joining). */
-  def minhashSig(toks: DataFrame, idCol: String, tokCol: String): DataFrame = {
+  def minhashSig(toks: DataFrame, idCol: String, tokCol: String,
+                 family: MinHashFamily = DefaultFamily): DataFrame = {
     val ex = toks.select(col(idCol),
       explode(shingleHashes(col(tokCol))).as("h"))
-    val minExprs = (hashA zip hashB).zipWithIndex.map { case ((a, b), i) =>
-      min((lit(a) * col("h") + lit(b)) % P).as(s"mh$i")
-    }
+    val minExprs = (family.hashA zip family.hashB).zipWithIndex
+      .map { case ((a, b), i) =>
+        min((lit(a) * col("h") + lit(b)) % P).as(s"mh$i")
+      }
     ex.groupBy(col(idCol))
       .agg(minExprs.head,
         (minExprs.tail :+
           sort_array(collect_set(col("h"))).as("sh")): _*)
   }
 
-  /** (id, mh0..mh15, ...) -> exploded (id, band_id, band_key) frame. */
-  def banded(sig: DataFrame, idCol: String): DataFrame = {
-    val bandStructs = array((0 until numBands).map { bnd =>
-      val key = concat((0 until rowsPerBand).flatMap { r =>
-        val v = col(s"mh${bnd * rowsPerBand + r}").cast("string")
+  /** (id, mh0..mhN-1, ...) -> exploded (id, band_id, band_key) frame. */
+  def banded(sig: DataFrame, idCol: String,
+             family: MinHashFamily = DefaultFamily): DataFrame = {
+    val bandStructs = array((0 until family.numBands).map { bnd =>
+      val key = concat((0 until family.rowsPerBand).flatMap { r =>
+        val v = col(s"mh${bnd * family.rowsPerBand + r}").cast("string")
         if (r == 0) Seq(v) else Seq(lit("_"), v)
       }: _*)
       struct(lit(bnd).as("band_id"), key.as("band_key"))
@@ -218,15 +251,18 @@ object Dedup {
     * a_id < b_id. */
   def minhashNearDups(docs: DataFrame, idCol: String = "doc_id",
                       textCol: String = "text",
-                      threshold: Double = 0.5): DataFrame =
+                      threshold: Double = 0.5,
+                      family: MinHashFamily = DefaultFamily): DataFrame =
     minhashNearDupsFromTokens(
       docs.select(col(idCol), Hashing.tokens(col(textCol)).as("tk")),
-      idCol, "tk", threshold)
+      idCol, "tk", threshold, family)
 
   /** Same, over a pre-tokenized (idCol, tokCol array<string>) frame. */
   def minhashNearDupsFromTokens(toks: DataFrame, idCol: String,
                                 tokCol: String,
-                                threshold: Double): DataFrame = {
+                                threshold: Double,
+                                family: MinHashFamily = DefaultFamily)
+      : DataFrame = {
     // materialize the signature frame ONCE: it feeds the band self-join
     // (twice) and both verify joins, and ObjectHashAggregate subtrees
     // are not deduplicated by ReuseExchange — without this the corpus
@@ -235,8 +271,8 @@ object Dedup {
     // repeated runs re-measure honestly), and needs no unpersist hook.
     // On a multi-executor cluster with a checkpoint dir, checkpoint()
     // is the durable equivalent — same as dupClusters below.
-    val sig = minhashSig(toks, idCol, tokCol).localCheckpoint()
-    val bands = banded(sig, idCol)
+    val sig = minhashSig(toks, idCol, tokCol, family).localCheckpoint()
+    val bands = banded(sig, idCol, family)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band_id") === col("y.band_id") &&
         col("x.band_key") === col("y.band_key") &&
@@ -297,8 +333,9 @@ object Dedup {
     * catalog table bucketed on band_key (the technique BucketedJoinSpec
     * pins) and the probe join plans exchange-free on the stored side. */
   def writeSignatures(toks: DataFrame, idCol: String, tokCol: String,
-                      path: String): Unit =
-    minhashSig(toks, idCol, tokCol).drop("sh")
+                      path: String,
+                      family: MinHashFamily = DefaultFamily): Unit =
+    minhashSig(toks, idCol, tokCol, family).drop("sh")
       .write.mode("overwrite").parquet(path)
 
   /** Near-dup pairs of a NEW batch against the stored corpus signatures
@@ -314,13 +351,17 @@ object Dedup {
     * are skipped. */
   def probeSignatures(newToks: DataFrame, idCol: String, tokCol: String,
                       sigPath: String, threshold: Double,
-                      corpusToks: DataFrame): DataFrame = {
+                      corpusToks: DataFrame,
+                      family: MinHashFamily = DefaultFamily): DataFrame = {
     val stored = newToks.sparkSession.read.parquet(sigPath)
+    require(stored.columns.count(_.startsWith("mh")) == family.numHashes,
+      s"signature store at $sigPath was written with a different " +
+        s"MinHash family than (${family.numHashes}, ${family.numBands})")
     // batch-sized, but still referenced by banding + both verify joins:
     // materialize once (same rationale as minhashNearDupsFromTokens)
-    val newSig = minhashSig(newToks, idCol, tokCol).localCheckpoint()
-    val newBands = banded(newSig, idCol)
-    val allBands = newBands.unionByName(banded(stored, idCol))
+    val newSig = minhashSig(newToks, idCol, tokCol, family).localCheckpoint()
+    val newBands = banded(newSig, idCol, family)
+    val allBands = newBands.unionByName(banded(stored, idCol, family))
     // candidate pairs are LSH-bounded; materialize because they feed the
     // b-id semi-join AND the verify join below
     val cand = newBands.as("x").join(allBands.as("y"),
@@ -353,8 +394,9 @@ object Dedup {
   /** Append a batch's signatures (id + minhashes only) to an existing
     * store. */
   def appendSignatures(toks: DataFrame, idCol: String, tokCol: String,
-                       path: String): Unit =
-    minhashSig(toks, idCol, tokCol).drop("sh")
+                       path: String,
+                       family: MinHashFamily = DefaultFamily): Unit =
+    minhashSig(toks, idCol, tokCol, family).drop("sh")
       .write.mode("append").parquet(path)
 
   /** Tombstone dropped documents: rewrite the store without `ids`
@@ -399,7 +441,8 @@ object Dedup {
                        sigPath: String, threshold: Double,
                        corpus: DataFrame,
                        compactAfterFiles: Int = 64,
-                       keptSink: DataFrame => Unit = _ => ()): DataFrame = {
+                       keptSink: DataFrame => Unit = _ => (),
+                       family: MinHashFamily = DefaultFamily): DataFrame = {
     val spark = batch.sparkSession
     // a compaction crash must surface as a recoverable swap, never as a
     // missing store that silently restarts dedup from scratch
@@ -407,10 +450,11 @@ object Dedup {
     val p = new org.apache.hadoop.fs.Path(sigPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) // first batch: empty store, right schema
-      minhashSig(batch.limit(0), idCol, tokCol).drop("sh")
+      minhashSig(batch.limit(0), idCol, tokCol, family).drop("sh")
         .write.parquet(sigPath)
     val pairs =
-      probeSignatures(batch, idCol, tokCol, sigPath, threshold, corpus)
+      probeSignatures(batch, idCol, tokCol, sigPath, threshold, corpus,
+        family)
     val storedIds = spark.read.parquet(sigPath)
       .select(col(idCol).as("b_id")).distinct()
     val drops = pairs.join(storedIds, Seq("b_id"), "left_semi")
@@ -424,7 +468,7 @@ object Dedup {
       .join(drops, batch(idCol) === drops("a_id"), "left_anti")
       .localCheckpoint()
     keptSink(kept)
-    appendSignatures(kept, idCol, tokCol, sigPath)
+    appendSignatures(kept, idCol, tokCol, sigPath, family)
     if (Layout.dataFiles(spark, sigPath).size > compactAfterFiles)
       Layout.compact(spark, sigPath)
     kept
@@ -450,17 +494,20 @@ object Dedup {
     * diameter is unknown or large (transitive chains, link graphs).
     */
   def dupClustersStar(pairs: DataFrame, aCol: String = "a_id",
-                      bCol: String = "b_id", maxIter: Int = 50): DataFrame = {
+                      bCol: String = "b_id", maxIter: Int = 50,
+                      checkpointDir: Option[String] = None): DataFrame = {
     // nodes come from the UNFILTERED pairs: a doc appearing only in a
     // self-pair is a singleton cluster, not absent (same contract as
     // dupClusters)
-    val allNodes = pairs.select(col(aCol).as("node"))
-      .unionByName(pairs.select(col(bCol).as("node"))).distinct()
-      .localCheckpoint()
-    var edges = pairs.select(col(aCol).as("x"), col(bCol).as("y"))
-      .filter(col("x") =!= col("y"))
-      .distinct()
-      .localCheckpoint()
+    val allNodes = Checkpoints.cut(
+      pairs.select(col(aCol).as("node"))
+        .unionByName(pairs.select(col(bCol).as("node"))).distinct(),
+      checkpointDir)
+    var edges = Checkpoints.cut(
+      pairs.select(col(aCol).as("x"), col(bCol).as("y"))
+        .filter(col("x") =!= col("y"))
+        .distinct(),
+      checkpointDir)
 
     // large-star: processed from the SMALLER endpoint u of every edge,
     // each larger neighbor re-links to min(neighborhood(u) + u)
@@ -491,7 +538,7 @@ object Dedup {
     var converged = false
     var i = 0
     while (i < maxIter && !converged) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val next = Checkpoints.cut(smallStar(largeStar(edges)), checkpointDir)
       // both sides are distinct sets: equal counts + empty one-sided
       // difference is full set equality at half the anti-join cost
       converged = next.count() == edges.count() &&
@@ -520,28 +567,31 @@ object Dedup {
     * Iterative min-label propagation: every round each node takes the min
     * of its own and its neighbors' labels; converges in diameter rounds
     * (dup clusters are shallow — chains of mutated copies — so this is
-    * small). Lineage is truncated per round with localCheckpoint so the
-    * plan does not grow unboundedly; on a cluster with a checkpoint dir,
-    * `df.checkpoint()` is the durable equivalent. The per-round
-    * convergence count is the standard iterative-algorithm driver check,
-    * not a data collect. */
+    * small). Lineage is truncated per round ([[Checkpoints.cut]]):
+    * executor-local by default, durable `checkpoint()` under
+    * `checkpointDir` on a real cluster. The per-round convergence count
+    * is the standard iterative-algorithm driver check, not a data
+    * collect. */
   def dupClusters(pairs: DataFrame, aCol: String = "a_id",
-                  bCol: String = "b_id", maxIter: Int = 20): DataFrame = {
+                  bCol: String = "b_id", maxIter: Int = 20,
+                  checkpointDir: Option[String] = None): DataFrame = {
     val edges = pairs.select(col(aCol).as("x"), col(bCol).as("y"))
     // checkpoint the edge set BEFORE the loop: it is joined every round,
     // and without this the whole upstream pair-generation pipeline
     // (shingling, banding, verification) re-executes per iteration.
-    val sym = edges
-      .unionByName(edges.select(col("y").as("x"), col("x").as("y")))
-      .distinct()
-      .localCheckpoint()
+    val sym = Checkpoints.cut(
+      edges
+        .unionByName(edges.select(col("y").as("x"), col("x").as("y")))
+        .distinct(),
+      checkpointDir)
     // start from round 1's state directly: with identity labels the
     // first round computes least(self, min neighbor) — one grouped min,
     // no join. Saves a full join+agg round every query.
-    var labels = sym.groupBy(col("x").as("node"))
-      .agg(min(col("y")).as("mn"))
-      .select(col("node"), least(col("node"), col("mn")).as("cluster"))
-      .localCheckpoint()
+    var labels = Checkpoints.cut(
+      sym.groupBy(col("x").as("node"))
+        .agg(min(col("y")).as("mn"))
+        .select(col("node"), least(col("node"), col("mn")).as("cluster")),
+      checkpointDir)
     var converged = false
     var i = 0
     while (i < maxIter && !converged) {
@@ -549,14 +599,15 @@ object Dedup {
         .groupBy(col("x")).agg(min(col("cluster")).as("nc"))
       // carry a changed flag through the update so convergence reads the
       // already-materialized checkpoint instead of re-joining old labels
-      val updated = labels.as("l")
-        .join(nbrMin, col("l.node") === nbrMin("x"), "left")
-        .select(col("l.node").as("node"),
-          least(col("l.cluster"), coalesce(col("nc"), col("l.cluster")))
-            .as("cluster"),
-          (col("nc").isNotNull && col("nc") < col("l.cluster"))
-            .as("changed"))
-        .localCheckpoint()
+      val updated = Checkpoints.cut(
+        labels.as("l")
+          .join(nbrMin, col("l.node") === nbrMin("x"), "left")
+          .select(col("l.node").as("node"),
+            least(col("l.cluster"), coalesce(col("nc"), col("l.cluster")))
+              .as("cluster"),
+            (col("nc").isNotNull && col("nc") < col("l.cluster"))
+              .as("changed")),
+        checkpointDir)
       converged = updated.filter(col("changed")).isEmpty
       labels = updated.select(col("node"), col("cluster"))
       i += 1

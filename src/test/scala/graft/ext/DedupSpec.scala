@@ -205,6 +205,52 @@ class DedupSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/sigs").count() == 6)
   }
 
+  test("MinHash family geometry moves candidate recall on the S-curve: " +
+      "(32, 8) finds more moderate-Jaccard planted pairs than (16, 4)") {
+    // 60 planted near-dup pairs at shingle-Jaccard ~0.43 (12 tokens,
+    // last 4 replaced: 6 shared of 14 distinct 3-gram shingles) - well
+    // BELOW the r=4 threshold j* ~ 0.71, where band count is the only
+    // recall lever: P(candidate) = 1-(1-j^4)^b ~ 13% at b=4, ~24% at
+    // b=8. The fixture is deterministic, so the found sets are frozen;
+    // the assertion pins the S-curve direction, and the exact verify
+    // keeps precision 1.0 at either geometry.
+    val docs = (0 until 60).flatMap { i =>
+      val base = (0 until 12).map(j => s"w${i}_$j")
+      val near = base.take(8) ++ (8 until 12).map(j => s"x${i}_$j")
+      Seq((i.toLong * 2, base.mkString(" ")),
+        (i.toLong * 2 + 1, near.mkString(" ")))
+    }.toDF("doc_id", "text")
+    def found(family: Dedup.MinHashFamily): Set[(Long, Long)] =
+      Dedup.minhashNearDups(docs, threshold = 0.3, family = family)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val planted = (0 until 60)
+      .map(i => (i.toLong * 2, i.toLong * 2 + 1)).toSet
+    val small = found(Dedup.MinHashFamily(16, 4))
+    val big = found(Dedup.MinHashFamily(32, 8))
+    assert(small.subsetOf(planted) && big.subsetOf(planted),
+      "verify stage must keep only planted pairs (precision)")
+    assert(big.size > small.size,
+      s"expected more bands -> more recall, got ${big.size} vs ${small.size}")
+    // geometry validation is loud
+    intercept[IllegalArgumentException](Dedup.MinHashFamily(16, 5))
+  }
+
+  test("dupClusters/dupClustersStar with a durable checkpointDir match " +
+      "the local path") {
+    val dir = java.nio.file.Files.createTempDirectory("ccck").toString
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (7L, 9L))
+      .toDF("a_id", "b_id")
+    val local = Dedup.dupClusters(pairs).as[(Long, Long)].collect().toMap
+    val durable = Dedup.dupClusters(pairs, checkpointDir = Some(s"$dir/a"))
+      .as[(Long, Long)].collect().toMap
+    assert(local == durable)
+    val localS = Dedup.dupClustersStar(pairs).as[(Long, Long)].collect().toMap
+    val durableS = Dedup
+      .dupClustersStar(pairs, checkpointDir = Some(s"$dir/b"))
+      .as[(Long, Long)].collect().toMap
+    assert(localS == durableS)
+  }
+
   test("shingles: fewer than n tokens -> empty, order-sensitive") {
     val r = Seq("a b", "a b c d").toDF("t")
       .select(Dedup.shingles(Hashing.tokens(col("t"))))
