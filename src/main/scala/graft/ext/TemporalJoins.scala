@@ -52,13 +52,24 @@ object TemporalJoins {
     * incrementally — an UnboundedFollowing frame would be recomputed
     * per row, O(n^2) on a hot key.
     *
+    * Tolerance: with `toleranceSeconds` set, a probe matches only a
+    * quote within that many seconds (pandas merge_asof tolerance);
+    * staler matches revert to the no-match NULL payload. Because the
+    * as-of candidate is the NEAREST quote in the match direction,
+    * "nearest is too stale" implies every other candidate is staler —
+    * so nulling the filled payload after the window is exactly "match
+    * only within tolerance", at zero extra plan cost (a map-side
+    * projection on the already-filled row; `timeCol` must be a
+    * timestamp when a tolerance is used).
+    *
     * @param payload quote columns to carry onto probe rows; names must
     *                not collide with probe columns.
     */
   def asOfJoin(probes: DataFrame, quotes: DataFrame, keys: Seq[String],
                timeCol: String, payload: Seq[String],
                tieBreak: Column = lit(0L),
-               direction: String = "backward"): DataFrame = {
+               direction: String = "backward",
+               toleranceSeconds: Option[Long] = None): DataFrame = {
     require(direction == "backward" || direction == "forward",
       s"direction must be backward|forward, got $direction")
     val backward = direction == "backward"
@@ -83,9 +94,25 @@ object TemporalJoins {
       .partitionBy(keys.map(col): _*)
       .orderBy(timeOrd, col(side).asc, col(tie).asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    unioned
+    val filled = unioned
       .withColumn(pay, last(col(pay), ignoreNulls = true).over(w))
       .filter(col(side) === 1)
+    val gated = toleranceSeconds match {
+      case Some(t) =>
+        require(t >= 0, s"toleranceSeconds must be >= 0, got $t")
+        val staleness =
+          if (backward)
+            unix_timestamp(col(timeCol)) -
+              unix_timestamp(col(pay).getField(qts))
+          else
+            unix_timestamp(col(pay).getField(qts)) -
+              unix_timestamp(col(timeCol))
+        // NULL payload (no match) keeps NULL: staleness is NULL, the
+        // when() falls through to the null branch
+        filled.withColumn(pay, when(staleness <= t, col(pay)))
+      case None => filled
+    }
+    gated
       .select(probeCols.map(col) ++
         payload.map(c => col(pay).getField(c).as(c)) :+
         col(pay).getField(qts).as("asof_time"): _*)

@@ -92,6 +92,52 @@ object TemporalQueries {
       |FROM probes p ASOF LEFT JOIN quotes q
       |  ON p.user_id = q.user_id AND p.ts <= q.ts""".stripMargin
 
+  // --- J10c: as-of join WITH tolerance — each click gets the latest
+  // preceding purchase only if it happened within 30 minutes; staler
+  // matches revert to the no-match NULLs. The oracle is DuckDB's
+  // native ASOF with a tolerance CASE over the matched row (nearest
+  // too stale => all staler: identical semantics).
+  private val j10c: QFn = (s, d) => {
+    val ev = Tables.events(s, d)
+    val probes = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val quotes = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        when(col("value") >= 100.0, col("value")).as("last_purchase_value"),
+        when(col("value") < 200.0, floor(col("value"))).as("purchase_floor"))
+    TemporalJoins.asOfJoin(probes, quotes, Seq("user_id"), "ts",
+        Seq("last_purchase_value", "purchase_floor"),
+        toleranceSeconds = Some(1800L))
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), fmt).as("ts_s"),
+        col("last_purchase_value"), col("purchase_floor"),
+        date_format(col("asof_time"), fmt).as("purchase_ts_s"))
+  }
+
+  private val j10cSql =
+    """WITH probes AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      |quotes AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN value >= CAST(100.0 AS DOUBLE) THEN value END AS v,
+      |    CASE WHEN value < CAST(200.0 AS DOUBLE)
+      |      THEN CAST(floor(value) AS BIGINT) END AS vf
+      |  FROM events WHERE event_type = 'purchase'),
+      |m AS (
+      |  SELECT p.event_id, p.user_id, p.ts AS pts, q.ts AS qts,
+      |         q.v, q.vf
+      |  FROM probes p ASOF LEFT JOIN quotes q
+      |    ON p.user_id = q.user_id AND p.ts >= q.ts)
+      |SELECT event_id, user_id,
+      |  strftime(pts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+      |  CASE WHEN date_diff('second', qts, pts) <= 1800 THEN v END
+      |    AS last_purchase_value,
+      |  CASE WHEN date_diff('second', qts, pts) <= 1800 THEN vf END
+      |    AS purchase_floor,
+      |  CASE WHEN date_diff('second', qts, pts) <= 1800
+      |    THEN strftime(qts, '%Y-%m-%d %H:%M:%S') END AS purchase_ts_s
+      |FROM m""".stripMargin
+
   // --- J11: interval containment join — count all events inside each
   // +/-30min window around a high-value error event (empty windows = 0).
   private val j11: QFn = (s, d) => {
@@ -202,6 +248,7 @@ object TemporalQueries {
   val queries: Map[String, QFn] = Map(
     "q_j10_asof" -> j10,
     "q_j10b_asof_forward" -> j10b,
+    "q_j10c_asof_tolerance" -> j10c,
     "q_j11_range" -> j11,
     "q_j12_bloom_prune" -> j12,
     "q_j13_salted_join" -> j13,
@@ -211,6 +258,7 @@ object TemporalQueries {
   val oracles: Map[String, String] = Map(
     "q_j10_asof" -> j10Sql,
     "q_j10b_asof_forward" -> j10bSql,
+    "q_j10c_asof_tolerance" -> j10cSql,
     "q_j11_range" -> j11Sql,
     "q_j12_bloom_prune" -> j12Sql,
     "q_j13_salted_join" -> j13Sql,

@@ -33,6 +33,35 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(out(4L).isNullAt(1))
   }
 
+  test("asOfJoin tolerance nulls stale matches in both directions, " +
+      "keeps fresh and boundary ones") {
+    val probes = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")), // 30min after q1: boundary
+      (2L, 10L, ts("2024-01-01 11:00:00")), // 90min after q1: stale
+      (3L, 10L, ts("2024-01-01 09:00:00"))  // no preceding quote
+    ).toDF("event_id", "user_id", "ts")
+    val quotes = Seq((10L, ts("2024-01-01 09:30:00"), 1.0))
+      .toDF("user_id", "ts", "v")
+    val back = TemporalJoins.asOfJoin(probes, quotes, Seq("user_id"), "ts",
+        Seq("v"), toleranceSeconds = Some(1800L))
+      .select("event_id", "v").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
+        else Some(r.getDouble(1)))).toMap
+    assert(back == Map(1L -> Some(1.0), 2L -> None, 3L -> None))
+    // forward: probe 3 is 30min BEFORE the quote (boundary keep),
+    // probe at 08:00 is 90min before (stale)
+    val probesF = Seq(
+      (3L, 10L, ts("2024-01-01 09:00:00")),
+      (5L, 10L, ts("2024-01-01 08:00:00"))
+    ).toDF("event_id", "user_id", "ts")
+    val fwd = TemporalJoins.asOfJoin(probesF, quotes, Seq("user_id"), "ts",
+        Seq("v"), direction = "forward", toleranceSeconds = Some(1800L))
+      .select("event_id", "v").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None
+        else Some(r.getDouble(1)))).toMap
+    assert(fwd == Map(3L -> Some(1.0), 5L -> None))
+  }
+
   test("asOfJoin tieBreak picks the greatest among equal-time quotes") {
     val probes = Seq((1L, 5L, ts("2024-01-01 10:00:00")))
       .toDF("event_id", "user_id", "ts")
