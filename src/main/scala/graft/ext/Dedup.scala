@@ -147,16 +147,28 @@ object Dedup {
     * string/UUID ids work like every other dedup entry point; an
     * arithmetic-negation tie-break would null out on non-numeric ids)
     * plus equi-joins back; everything map-side partials, no sort
-    * window. Output: (idCol, cluster_id, score, keep). */
+    * window.
+    *
+    * Scores are attached with a LEFT join: a cluster member absent
+    * from `scores` stays in the output (NULL score, keep audit
+    * completeness — an inner join would silently erase it from the
+    * keep/drop ledger) but is treated as WORST — it can only become
+    * representative when its whole cluster is unscored, where the
+    * smallest id wins (the null-safe `<=>` best-match). Output:
+    * (idCol, cluster_id, score, keep). */
   def clusterRepresentatives(clusters: DataFrame, scores: DataFrame,
                              idCol: String = "doc_id",
                              scoreCol: String = "score"): DataFrame = {
     val j = clusters.join(
-      scores.select(col(idCol), col(scoreCol).as("score")), Seq(idCol))
+      scores.select(col(idCol), col(scoreCol).as("score")), Seq(idCol),
+      "left")
+    // max() skips NULLs: __best is the best SCORED member, or NULL for
+    // an all-unscored cluster — where the null-safe match below lets
+    // every member through and min(id) picks the rep
     val best = j.groupBy(col("cluster_id"))
       .agg(max(col("score")).as("__best"))
     val rep = j.join(best, Seq("cluster_id"))
-      .filter(col("score") === col("__best"))
+      .filter(col("score") <=> col("__best"))
       .groupBy(col("cluster_id")).agg(min(col(idCol)).as("rep_id"))
     j.join(rep, Seq("cluster_id"))
       .select(col(idCol), col("cluster_id"), col("score"),

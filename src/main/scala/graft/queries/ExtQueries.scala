@@ -277,13 +277,18 @@ object ExtQueries {
 
   /** The production keep rule on top of the cluster assignment: keep
     * the highest-scoring member (score = token count here — any
-    * deterministic quality signal plugs in), ties to the smallest id. */
+    * deterministic quality signal plugs in), ties to the smallest id.
+    * Every 7th doc is deliberately UNSCORED so the partial-coverage
+    * contract (left-join: unscored members stay in the ledger as
+    * worst, never become rep unless the whole cluster is unscored) is
+    * itself adjudicated. */
   private val clusterRep: QFn = (s, d) => {
     val corpus = nearCorpus(s, d)
     val clusters = Dedup.dupClusters(
       Dedup.minhashNearDupsFromTokens(corpus, "doc_id", "tk", 0.5))
     Dedup.clusterRepresentatives(clusters,
-      corpus.select(col("doc_id"), size(col("tk")).cast("long").as("score")))
+      corpus.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), size(col("tk")).cast("long").as("score")))
   }
 
   private val clusterRepSql =
@@ -302,13 +307,15 @@ object ExtQueries {
        |  SELECT node AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
        |  FROM reach GROUP BY node),
        |jn AS (
-       |  SELECT cl.doc_id, cl.cluster_id, CAST(len(c.tk) AS BIGINT)
-       |           AS score
-       |  FROM cl JOIN corpus c USING (doc_id)),
+       |  SELECT cl.doc_id, cl.cluster_id, sc.score
+       |  FROM cl LEFT JOIN (
+       |    SELECT doc_id, CAST(len(tk) AS BIGINT) AS score
+       |    FROM corpus WHERE doc_id % 7 <> 0) sc USING (doc_id)),
        |best AS (
        |  SELECT cluster_id, doc_id AS rep_id FROM (
        |    SELECT cluster_id, doc_id, ROW_NUMBER() OVER (
-       |      PARTITION BY cluster_id ORDER BY score DESC, doc_id) AS rn
+       |      PARTITION BY cluster_id
+       |      ORDER BY score DESC NULLS LAST, doc_id) AS rn
        |    FROM jn) WHERE rn = 1)
        |SELECT jn.doc_id, jn.cluster_id, jn.score,
        |       jn.doc_id = best.rep_id AS keep

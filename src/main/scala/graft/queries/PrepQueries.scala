@@ -189,15 +189,26 @@ object PrepQueries {
 
   private val tempFrac = 0.5
 
+  /** A synthetic NULL-lang row rides along on BOTH sides so the
+    * null-safe stratum contract (a NULL stratum IS a stratum: groupBy
+    * keeps it, the `<=>` join keeps its rows, accept stays a real
+    * decision) is adjudicated rather than merely documented — the
+    * fixture itself has no NULL langs. */
   private val temperatureMixQ: QFn = (s, d) =>
     Sampling.temperatureMix(
-      Tables.documents(s, d).select(col("doc_id"), col("lang")),
+      Tables.documents(s, d).select(col("doc_id"), col("lang"))
+        .unionByName(s.range(1).select(lit(-1L).as("doc_id"),
+          lit(null).cast("string").as("lang"))),
       "doc_id", "lang", targetFrac = tempFrac)
 
   private val temperatureMixSql =
-    s"""WITH c AS (
+    s"""WITH docs2 AS (
+       |  SELECT doc_id, lang FROM documents
+       |  UNION ALL
+       |  SELECT CAST(-1 AS BIGINT), CAST(NULL AS VARCHAR)),
+       |c AS (
        |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_s
-       |  FROM documents GROUP BY lang),
+       |  FROM docs2 GROUP BY lang),
        |w AS (
        |  SELECT lang, n_s,
        |    power(CAST(n_s AS DOUBLE), CAST(0.5 AS DOUBLE)) AS w_raw
@@ -215,8 +226,9 @@ object PrepQueries {
        |  SELECT d.lang, d.doc_id, r.n_s, r.rate,
        |    CAST(${sqlHash60("'temp:' || CAST(doc_id AS VARCHAR)")} % 1000000
        |      AS DOUBLE) / 1000000.0 AS u
-       |  FROM documents d JOIN r USING (lang))
-       |SELECT lang, doc_id, n_s, rate, u, u < rate AS accept
+       |  FROM docs2 d LEFT JOIN r ON d.lang IS NOT DISTINCT FROM r.lang)
+       |SELECT lang, doc_id, n_s, rate, u,
+       |  COALESCE(u < rate, false) AS accept
        |FROM p""".stripMargin
 
   // ===== ingest anomaly detection =======================================

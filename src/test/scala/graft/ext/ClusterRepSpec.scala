@@ -31,6 +31,24 @@ class ClusterRepSpec extends SparkSpec {
     assert(r == Map("u-a" -> true, "u-b" -> false, "u-c" -> false))
   }
 
+  test("partially scored clusters: unscored members stay in the " +
+      "ledger as worst; all-unscored clusters fall back to min id") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L),
+      (11L, 10L)).toDF("doc_id", "cluster_id")
+    // doc 2 (the would-be score winner's rival) and all of cluster 10
+    // are unscored
+    val scores = Seq((1L, 5L), (3L, 7L)).toDF("doc_id", "score")
+    val r = Dedup.clusterRepresentatives(clusters, scores)
+      .as[(Long, Long, Option[Long], Boolean)].collect()
+      .map(t => t._1 -> ((t._3, t._4))).toMap
+    assert(r.size == 5, "no member may vanish from the keep/drop ledger")
+    assert(r(2L) == ((None, false)), "unscored member is never rep")
+    assert(r(3L) == ((Some(7L), true)), "best SCORED member wins")
+    assert(r(1L) == ((Some(5L), false)))
+    // all-unscored cluster: min id represents it
+    assert(r(10L) == ((None, true)) && r(11L) == ((None, false)))
+  }
+
   test("every cluster keeps exactly one representative") {
     val clusters = (1L to 30L).map(i => (i, i % 5)).toDF("doc_id", "cluster_id")
     val scores = (1L to 30L).map(i => (i, (i * 7) % 11)).toDF("doc_id", "score")
