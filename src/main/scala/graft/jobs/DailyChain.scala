@@ -24,25 +24,41 @@ object DailyChain {
     val woba = Metrics.hitterWoba(hitters)
     val wrc = Metrics.hitterWrc(gameRecords, hitters, woba)
     val rates = Metrics.hitterRates(hitters)
+    assembleHitterMetrics(woba, wrc, rates,
+      adjustedOnePerHitter(lineup, hitters, wrc, parkFactor))
+  }
+
+  /** Reference DAG 041's output, one row per hitter: park-adjusted
+    * wRC+/OPS+. A hitter can appear in several lineup rows (different
+    * stadiums => different wRC+/OPS+); the reference's per-row upsert
+    * loop kept whichever ran last — nondeterministic under
+    * parallelism. We pin the FIRST stadium in lexicographic order.
+    * Shared by the in-process chain and the per-stage deployment main
+    * ([[graft.jobs.stages]]) so the two compositions cannot diverge. */
+  def adjustedOnePerHitter(lineup: DataFrame, hitters: DataFrame,
+                           wrc: DataFrame,
+                           parkFactor: DataFrame): DataFrame = {
     val scalars = Metrics.leagueScalars(hitters, wrc)
     val adjusted = Metrics.parkAdjusted(lineup, hitters, wrc,
       parkFactor, scalars)
-    // A hitter can appear in several lineup rows (different stadiums =>
-    // different wRC+/OPS+); the reference's per-row upsert loop kept
-    // whichever ran last — nondeterministic under parallelism. We pin the
-    // FIRST stadium in lexicographic order.
     val wAdj = org.apache.spark.sql.expressions.Window
       .partitionBy(col("hitter_id"))
       .orderBy(col("stadium").asc)
-    val adjustedOne = adjusted
+    adjusted
       .withColumn("__rn", row_number().over(wAdj))
       .filter(col("__rn") === 1)
       .select(col("hitter_id"), col("wRC_plus"), col("OPS_plus"))
+  }
+
+  /** The hitter_metrics row shape from its four ingredient frames —
+    * the reference's table assembled by DAGs 011/012/013/041. */
+  def assembleHitterMetrics(woba: DataFrame, wrc: DataFrame,
+                            rates: DataFrame,
+                            adjustedOne: DataFrame): DataFrame =
     woba
       .join(wrc, Seq("hitter_id"), "left")
       .join(rates, Seq("hitter_id"), "left")
       .join(adjustedOne, Seq("hitter_id"), "left")
-  }
 
   /** Run the full metric chain. Inputs are reference-shaped frames (see
     * graft.kbo.Schemas); output map keys = reference table names. */

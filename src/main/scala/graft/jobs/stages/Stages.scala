@@ -1,0 +1,233 @@
+package graft.jobs.stages
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.jobs.DailyChain
+import graft.kbo.{Metrics, Records}
+
+/** The deployment face of the daily chain: one thin `spark-submit`
+  * main per reference DAG stage, exchanging REFERENCE-SHAPED parquet
+  * tables through a lake directory — the posture an Airflow operator
+  * chain drives (see `deploy/airflow/graft_daily_chain_dag.py`, which
+  * mirrors the reference's TriggerDagRunOperator wiring,
+  * `dags/000_scrape_games_result.py:147-153` →
+  * `dags/001_park_factor_calculation.py:106-113` → … → 060).
+  *
+  * Every stage calls the SAME `graft.kbo.Metrics` /
+  * [[graft.jobs.DailyChain]] functions as the in-process chain — the
+  * staged composition and the one-plan composition cannot diverge
+  * (StagesSpec adjudicates their equality). The reference hands each
+  * stage through MySQL upserts; here each stage lands an overwrite
+  * parquet table, and Airflow owns retries/scheduling exactly as in
+  * the reference.
+  *
+  * [[Stage000LandTables]] stands in for the scrape boundary (reference
+  * DAGs 000/010/020/030/040): in production the Playwright scrapers
+  * land the same table shapes; for a fixture run it derives them
+  * deterministically from the TPC-H-ish testdata (the same
+  * derivations the oracle queries use).
+  */
+object StageIO {
+
+  /** Session for a stage main: under `spark-submit` the master comes
+    * from the submit conf; standalone (tests, local runs) falls back
+    * to local cores with right-sized shuffle partitions. */
+  def session(name: String): SparkSession = {
+    val b = SparkSession.builder().appName(name)
+      .config("spark.sql.session.timeZone", "UTC")
+    val s =
+      if (SparkSession.getActiveSession.isDefined ||
+          sys.props.contains("spark.master")) b.getOrCreate()
+      else {
+        val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+        b.master(s"local[$cpus]")
+          .config("spark.sql.shuffle.partitions", cpus).getOrCreate()
+      }
+    graft.GraftExtensions.ensureRegistered(s)
+    s
+  }
+
+  def read(s: SparkSession, lake: String, table: String): DataFrame =
+    s.read.parquet(s"$lake/$table")
+
+  /** Overwrite-land a stage output — the parquet equivalent of the
+    * reference's per-table upsert target. */
+  def write(df: DataFrame, lake: String, table: String): Unit =
+    df.write.mode("overwrite").parquet(s"$lake/$table")
+}
+
+/** Scrape-boundary stand-in (reference 000/010/020/030/040): land the
+  * reference-shaped input tables. args = (fixtureDir, lakeDir). */
+object Stage000LandTables {
+  import graft.queries.KboQueries
+
+  /** The landed input tables, fixture-derived (deterministic). */
+  def tables(s: SparkSession, fixture: String): Map[String, DataFrame] = {
+    val cust = graft.core.Tables.customer(s, fixture)
+    val supp = graft.core.Tables.supplier(s, fixture)
+    val k = col("c_custkey")
+    val sk = col("s_suppkey")
+    val day = lit(java.sql.Timestamp.valueOf("2024-03-01 00:00:00"))
+    // hitter lineup rows resolve against hitters (customer-derived,
+    // position 1..9); pitcher rows against pitchers (supplier-derived,
+    // position 0 — the reference's pitcher marker, F2)
+    val lineup = cust.filter(k % 3 === 0).select(
+      col("c_name").as("player"),
+      concat(lit("T"), (col("c_nationkey") % 5).cast("string")).as("team"),
+      concat(lit("T"), ((col("c_nationkey") + 1) % 5).cast("string"))
+        .as("opponent"),
+      concat(lit("S"), (k % 7).cast("string")).as("stadium"),
+      (k % 9 + 1).as("position"), day.as("game_date"))
+      .unionByName(supp.filter(sk % 2 === 0).select(
+        col("s_name").as("player"),
+        concat(lit("T"), (col("s_nationkey") % 5).cast("string")).as("team"),
+        concat(lit("T"), ((col("s_nationkey") + 1) % 5).cast("string"))
+          .as("opponent"),
+        concat(lit("S"), (sk % 7).cast("string")).as("stadium"),
+        lit(0L).as("position"), day.as("game_date")))
+    Map(
+      "game_records" -> KboQueries.kboGames(s, fixture),
+      "hitters" -> KboQueries.kboHitters(s, fixture),
+      "pitchers" -> KboQueries.kboPitchers(s, fixture),
+      "today_lineup" -> lineup,
+      "hitter_opponents" -> cust.select(k.as("hitter_id"),
+        concat(lit("T"), (k % 5).cast("string")).as("opponent_team"),
+        ((k % 40).cast("double") / 100.0 + 0.2).as("avg")),
+      "hitter_stadiums" -> cust.select(k.as("hitter_id"),
+        concat(lit("S"), (k % 7).cast("string")).as("stadium"),
+        ((k % 35).cast("double") / 100.0 + 0.2).as("avg")),
+      "hitter_games" -> graft.core.Tables.orders(s, fixture).select(
+        col("o_custkey").as("hitter_id"),
+        col("o_orderdate").as("game_date"),
+        concat(lit("T"), (col("o_orderkey") % 5).cast("string"))
+          .as("opponent_team"),
+        (col("o_orderkey") % 6).as("hits")),
+      "pitcher_opponents" -> supp.select(sk.as("pitcher_id"),
+        concat(lit("T"), (sk % 5).cast("string")).as("opponent_team"),
+        ((sk % 50).cast("double") / 10.0 + 1.0).as("era")),
+      "pitcher_stadiums" -> supp.select(sk.as("pitcher_id"),
+        concat(lit("S"), (sk % 7).cast("string")).as("stadium"),
+        ((sk % 45).cast("double") / 10.0 + 1.0).as("era")),
+      "pitcher_games" -> graft.core.Tables.lineitem(s, fixture)
+        .filter(col("l_linenumber") === 1).select(
+          col("l_suppkey").as("pitcher_id"),
+          col("l_shipdate").as("game_date"),
+          concat(lit("T"), (col("l_orderkey") % 5).cast("string"))
+            .as("opponent_team"),
+          (col("l_orderkey") % 9).as("so")))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(fixture, lake) = args
+    val s = StageIO.session("graft-000-land")
+    tables(s, fixture).foreach { case (name, df) =>
+      StageIO.write(df, lake, name)
+    }
+  }
+}
+
+/** Reference 001: park factor from game_records. */
+object Stage001ParkFactor {
+  def main(args: Array[String]): Unit = {
+    val Array(lake) = args
+    val s = StageIO.session("graft-001-park-factor")
+    StageIO.write(Metrics.parkFactor(StageIO.read(s, lake, "game_records")),
+      lake, "park_factor")
+  }
+}
+
+/** Reference 011: per-hitter wOBA. */
+object Stage011HitterWoba {
+  def main(args: Array[String]): Unit = {
+    val Array(lake) = args
+    val s = StageIO.session("graft-011-woba")
+    StageIO.write(Metrics.hitterWoba(StageIO.read(s, lake, "hitters")),
+      lake, "hitter_woba")
+  }
+}
+
+/** Reference 012: wRC from league scalars + wOBA. */
+object Stage012HitterWrc {
+  def main(args: Array[String]): Unit = {
+    val Array(lake) = args
+    val s = StageIO.session("graft-012-wrc")
+    StageIO.write(
+      Metrics.hitterWrc(StageIO.read(s, lake, "game_records"),
+        StageIO.read(s, lake, "hitters"),
+        StageIO.read(s, lake, "hitter_woba")),
+      lake, "hitter_wrc")
+  }
+}
+
+/** Reference 013: k_rate / bb_rate / BABIP. */
+object Stage013HitterRates {
+  def main(args: Array[String]): Unit = {
+    val Array(lake) = args
+    val s = StageIO.session("graft-013-rates")
+    StageIO.write(Metrics.hitterRates(StageIO.read(s, lake, "hitters")),
+      lake, "hitter_rates")
+  }
+}
+
+/** Reference 021: pitcher FIP + per-9 rates. */
+object Stage021PitcherMetrics {
+  def main(args: Array[String]): Unit = {
+    val Array(lake) = args
+    val s = StageIO.session("graft-021-pitcher-metrics")
+    StageIO.write(Metrics.pitcherMetrics(StageIO.read(s, lake, "pitchers")),
+      lake, "pitcher_metrics")
+  }
+}
+
+/** Reference 041: park-adjusted wRC+/OPS+ assembled with the staged
+  * wOBA/wRC/rates into the hitter_metrics table. */
+object Stage041HitterMetrics {
+  def main(args: Array[String]): Unit = {
+    val Array(lake) = args
+    val s = StageIO.session("graft-041-hitter-metrics")
+    val wrc = StageIO.read(s, lake, "hitter_wrc")
+    val adjustedOne = DailyChain.adjustedOnePerHitter(
+      StageIO.read(s, lake, "today_lineup"),
+      StageIO.read(s, lake, "hitters"), wrc,
+      StageIO.read(s, lake, "park_factor"))
+    StageIO.write(
+      DailyChain.assembleHitterMetrics(
+        StageIO.read(s, lake, "hitter_woba"), wrc,
+        StageIO.read(s, lake, "hitter_rates"), adjustedOne),
+      lake, "hitter_metrics")
+  }
+}
+
+/** Reference 050: wide hitter integration records. */
+object Stage050HitterRecords {
+  def main(args: Array[String]): Unit = {
+    val Array(lake) = args
+    val s = StageIO.session("graft-050-hitter-records")
+    StageIO.write(
+      Records.wideRecord(StageIO.read(s, lake, "today_lineup"),
+        StageIO.read(s, lake, "hitters"),
+        StageIO.read(s, lake, "hitter_metrics"),
+        StageIO.read(s, lake, "hitter_opponents"),
+        StageIO.read(s, lake, "hitter_stadiums"),
+        StageIO.read(s, lake, "hitter_games"),
+        "hitter_id", isPitcher = false),
+      lake, "hitter_records")
+  }
+}
+
+/** Reference 060: wide pitcher integration records. */
+object Stage060PitcherRecords {
+  def main(args: Array[String]): Unit = {
+    val Array(lake) = args
+    val s = StageIO.session("graft-060-pitcher-records")
+    StageIO.write(
+      Records.wideRecord(StageIO.read(s, lake, "today_lineup"),
+        StageIO.read(s, lake, "pitchers"),
+        StageIO.read(s, lake, "pitcher_metrics"),
+        StageIO.read(s, lake, "pitcher_opponents"),
+        StageIO.read(s, lake, "pitcher_stadiums"),
+        StageIO.read(s, lake, "pitcher_games"),
+        "pitcher_id", isPitcher = true),
+      lake, "pitcher_records")
+  }
+}
