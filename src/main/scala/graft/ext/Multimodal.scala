@@ -4,17 +4,116 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media as opaque BINARY columns with a typed
-  * metadata struct, plus a batch feature-extraction operator.
+  * metadata struct, plus batch decode operators.
   *
-  * The decode step is a clearly-marked deterministic STUB (`stubFeatures`)
-  * — image/audio codecs are not in this container — but the Spark-side
-  * plumbing is real and is what matters at 100 TB: binary payloads stay
-  * columnar in parquet, metadata travels in a typed struct so planners can
-  * prune/filter on it without touching bytes, and extraction runs as a
-  * batched mapPartitions (the JVM shape of a mapInPandas/Arrow-batch UDF:
-  * per-partition iterator, amortized per-batch setup, bounded memory).
+  * Two decode tiers:
+  *  - [[decodeHeaders]] is a REAL container-format parser (PNG / JPEG /
+  *    GIF / RIFF-WAV magic numbers, big/little-endian dimension fields,
+  *    JPEG SOF marker walk) — header sniffing needs no codec library
+  *    and is exactly what a 100 TB media-ingest pipeline runs first:
+  *    route by actual format (not file extension), drop/flag payloads
+  *    whose bytes disagree with their claimed metadata, and size-filter
+  *    without decoding pixels;
+  *  - full pixel/sample decode (`stubFeatures`) stays a clearly-marked
+  *    deterministic STUB — image/audio codecs are not in this
+  *    container — but the Spark-side plumbing is real and is what
+  *    matters at scale: binary payloads stay columnar in parquet,
+  *    metadata travels in a typed struct so planners can prune/filter
+  *    on it without touching bytes, and extraction runs as a batched
+  *    mapPartitions (the JVM shape of a mapInPandas/Arrow-batch UDF:
+  *    per-partition iterator, amortized per-batch setup, bounded
+  *    memory).
   */
 object Multimodal {
+
+  /** Parsed container header: format tag or NULL fields when the
+    * payload matches no known magic. */
+  case class MediaHeader(format: String, width: Long, height: Long,
+                        channels: Long)
+
+  private def be16(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 8) | (b(i + 1) & 0xffL)
+  private def be32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+  private def le16(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8)
+  private def le32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+
+  /** Real header parse of one payload. PNG: 8-byte signature + IHDR
+    * (width/height BE32 at 16/20, color type at 25 mapped to channel
+    * count). JPEG: FF D8 then a marker walk to the first SOFn
+    * (C0-CF minus C4/C8/CC): height/width BE16 at +5/+7 (after the
+    * 2-byte length and precision byte), component count at +9.
+    * GIF87a/89a: width/height LE16 at 6/8. RIFF-WAVE: channels LE16
+    * at 22, sample rate LE32 at 24 (surfaced as width=sample rate,
+    * height=0 — the audio shape has no pixel dims). Anything else
+    * (or a truncated header) parses to (null, null, null, null):
+    * malformed bytes must yield a flaggable row, never an exception
+    * that kills the ingest task. */
+  def parseHeader(b: Array[Byte]): MediaHeader = {
+    def png = b.length >= 26 &&
+      (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G' &&
+      b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R'
+    def jpeg = b.length >= 4 &&
+      (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8
+    def gif = b.length >= 10 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F'
+    def wav = b.length >= 28 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+    if (png) {
+      val channels = (b(25) & 0xff) match {
+        case 0 => 1L; case 2 => 3L; case 3 => 1L; case 4 => 2L; case 6 => 4L
+        case _ => 0L
+      }
+      MediaHeader("png", be32(b, 16), be32(b, 20), channels)
+    } else if (gif) {
+      MediaHeader("gif", le16(b, 6), le16(b, 8), 3L)
+    } else if (wav) {
+      MediaHeader("wav", le32(b, 24), 0L, le16(b, 22))
+    } else if (jpeg) {
+      // marker walk: FF <marker> <len16 incl itself> payload ...
+      var i = 2
+      while (i + 9 < b.length && (b(i) & 0xff) == 0xff) {
+        val m = b(i + 1) & 0xff
+        if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc)
+          return MediaHeader("jpeg", be16(b, i + 7), be16(b, i + 5),
+            b(i + 9) & 0xffL)
+        if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7)) i += 2 // bare markers
+        else i += 2 + be16(b, i + 2).toInt
+      }
+      MediaHeader("jpeg", -1L, -1L, -1L) // JPEG magic but no SOF found
+    } else MediaHeader(null, -1L, -1L, -1L)
+  }
+
+  /** Batched real header decode over (idCol, media): one row per
+    * payload with (format, width, height, channels) — NULL-valued
+    * dims for unparseable payloads. Same mapPartitions batch shape as
+    * [[extractFeatures]]; parsing touches only the leading bytes of
+    * each payload (header sniffing, not decoding). */
+  def decodeHeaders(media: DataFrame, batchSize: Int = 64,
+                    idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val in = media.select(col(idCol), col("media"))
+    val outSchema = StructType(in.schema.head +: Seq(
+      StructField("format", StringType, true),
+      StructField("width", LongType, true),
+      StructField("height", LongType, true),
+      StructField("channels", LongType, true)))
+    in.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val h = parseHeader(r.getAs[Array[Byte]](1))
+          def n(v: Long) = if (v < 0) null else java.lang.Long.valueOf(v)
+          org.apache.spark.sql.Row(r.get(0), h.format,
+            if (h.format == null) null else n(h.width),
+            if (h.format == null) null else n(h.height),
+            if (h.format == null) null else n(h.channels))
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
 
   /** Wrap a text corpus as fake media rows: (doc_id, media BINARY,
     * meta STRUCT<mime, n_bytes>) — the schema/partitioning shape of a real

@@ -981,6 +981,45 @@ object ExtQueries {
        |FROM c""".stripMargin
   }
 
+  // ===== multimodal: REAL container-header decode ======================
+
+  /** Synthesize REAL PNG / JPEG headers byte-for-byte from each doc's
+    * (n_chars, doc_id) — signature, IHDR/SOF0 layout, big-endian dims —
+    * plus a deliberately corrupt payload every 3rd doc, then run the
+    * actual parser ([[Multimodal.decodeHeaders]]) over them. The
+    * oracle computes the EXPECTED dims from the same arithmetic
+    * without touching bytes, so the build->parse round-trip (magic
+    * check, endianness, field offsets, malformed fallback) is fully
+    * adjudicated. */
+  private val mediaHeadersQ: QFn = (s, d) => {
+    def be(c: org.apache.spark.sql.Column, hexLen: Int) =
+      unhex(lpad(hex(c), hexLen, "0"))
+    val w = col("n_chars") % 1000 + 1
+    val h = col("doc_id") % 500 + 1
+    val png = concat(unhex(lit("89504E470D0A1A0A0000000D")),
+      lit("IHDR").cast("binary"), be(w, 8), be(h, 8),
+      unhex(lit("080600000000000000")))
+    val jpg = concat(unhex(lit("FFD8FFC0001108")), be(h, 4), be(w, 4),
+      unhex(lit("03")))
+    val media = Tables.documents(s, d).select(col("doc_id"),
+      when(col("doc_id") % 3 === 0, png)
+        .when(col("doc_id") % 3 === 1, jpg)
+        .otherwise(unhex(lit("0011223344"))).as("media"))
+    Multimodal.decodeHeaders(media)
+  }
+
+  private val mediaHeadersSql =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN 'png'
+      |       WHEN doc_id % 3 = 1 THEN 'jpeg' END AS format,
+      |  CAST(CASE WHEN doc_id % 3 = 2 THEN NULL
+      |            ELSE n_chars % 1000 + 1 END AS BIGINT) AS width,
+      |  CAST(CASE WHEN doc_id % 3 = 2 THEN NULL
+      |            ELSE doc_id % 500 + 1 END AS BIGINT) AS height,
+      |  CAST(CASE WHEN doc_id % 3 = 0 THEN 4
+      |            WHEN doc_id % 3 = 1 THEN 3 END AS BIGINT) AS channels
+      |FROM documents""".stripMargin
+
   // ===== multimodal: deterministic frame sampling, flattened ===========
 
   /** sampleFrames exploded to one row per frame with hex'd bytes — the
@@ -1014,6 +1053,7 @@ object ExtQueries {
       |FROM f""".stripMargin
 
   val queries: Map[String, QFn] = Map(
+    "q_x_media_headers" -> mediaHeadersQ,
     "q_x_frames" -> framesQ,
     "q_x_pipeline_e2e" -> pipelineE2e,
     "q_x_source_cap" -> sourceCap,
@@ -1047,6 +1087,7 @@ object ExtQueries {
     "q_s_user_sessions" -> userSessionsQ)
 
   val oracles: Map[String, String] = Map(
+    "q_x_media_headers" -> mediaHeadersSql,
     "q_x_frames" -> framesSql,
     "q_x_pipeline_e2e" -> pipelineE2eSql,
     "q_x_source_cap" -> sourceCapSql,
