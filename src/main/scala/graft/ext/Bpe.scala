@@ -171,6 +171,51 @@ object Bpe {
         coalesce(col("bpe_text"), lit("")).as("bpe_text"))
   }
 
+  /** Vocabulary table (sym, sym_id) for a trained rule set: base
+    * symbols are the corpus's distinct characters with ids assigned by
+    * lexicographic rank (0..C-1), merged symbols take C + step - 1 —
+    * the Sennrich id layout (alphabet first, merges in learned order).
+    *
+    * Rank assignment avoids a global-order window: the alphabet is
+    * collected into ONE bounded row (`collect_set` over distinct
+    * single characters — state O(alphabet), the league-scalar
+    * posture) and posexploded back with its sort position. Should two
+    * rules produce the same merged string (possible from different
+    * splits), the EARLIEST id wins — the table stays unique per sym,
+    * so the encode join never fans out. */
+  def vocab(docs: DataFrame, tokCol: String, rules: DataFrame): DataFrame = {
+    val alpha = docs.select(explode(col(tokCol)).as("w"))
+      .select(explode(split(trim(spaced(col("w"))), " ")).as("sym"))
+      .distinct()
+      .agg(array_sort(collect_set(col("sym"))).as("a"))
+      .select(posexplode(col("a")).as(Seq("id", "sym")))
+      .select(col("sym"), col("id").cast("long").as("sym_id"))
+    val c = alpha.agg(count(lit(1)).as("c"))
+    val merged = rules.crossJoin(broadcast(c))
+      .select(col("merged").as("sym"),
+        (col("c") + col("step") - 1).cast("long").as("sym_id"))
+    alpha.unionByName(merged)
+      .groupBy(col("sym")).agg(min(col("sym_id")).as("sym_id"))
+  }
+
+  /** Tokenize to integer ids: [[encode]]'s symbol sequences joined to
+    * the [[vocab]] table — one row per (document, position): (idCol,
+    * pos, sym, sym_id). The shape a trainer consumes (and what
+    * [[Packing]] packs once aggregated to counts); token-less docs
+    * contribute no rows here (their accounting lives in encode's
+    * n_syms=0). */
+  def encodeIds(docs: DataFrame, idCol: String, tokCol: String,
+                rules: DataFrame,
+                checkpointDir: Option[String] = None): DataFrame = {
+    val enc = encode(docs, idCol, tokCol, rules, checkpointDir)
+    enc.filter(col("n_syms") > 0)
+      .select(col(idCol),
+        posexplode(split(col("bpe_text"), " ")).as(Seq("pos", "sym")))
+      .join(vocab(docs, tokCol, rules), Seq("sym"))
+      .select(col(idCol), col("pos").cast("long").as("pos"), col("sym"),
+        col("sym_id"))
+  }
+
   /** Adjacent (l, r) symbol pairs of a symbol array (empty when fewer
     * than two symbols — such words carry no pairs). */
   private def adjacentPairs(syms: Column): Column =

@@ -332,8 +332,12 @@ object PrepQueries {
     Bpe.encode(toks, "doc_id", "tk", Bpe.train(toks, "tk", merges = 3))
   }
 
-  /** Same fixture assumption as [[bpeSql]] (3 non-exhausted rounds). */
-  private val bpeEncodeSql = {
+  /** Shared train-3-rounds + encode CTE chain (w0..t3 relearn the
+    * rules; d0..d3 fold the distinct-word dict through them; e/r
+    * rebuild per-doc symbol sequences) — reused by the encode, ids and
+    * pipeline-3 oracles so the contract has ONE definition. Same
+    * fixture assumption as [[bpeSql]] (3 non-exhausted rounds). */
+  private val bpeEncodeCtes = {
     def pairs(w: String) =
       s"""(SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS pair_count
          |   FROM (SELECT unnest(s[1:len(s)-1]) AS l,
@@ -347,8 +351,7 @@ object PrepQueries {
       s"(SELECT ${bpeRep4("sym")} AS sym, cnt FROM $w CROSS JOIN $t)"
     def applyRule(d0: String, t: String) =
       s"(SELECT w, ${bpeRep4("sym")} AS sym FROM $d0 CROSS JOIN $t)"
-    s"""WITH $toksSql,
-       |w0 AS (
+    s"""w0 AS (
        |  SELECT ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' '
        |           AS sym,
        |         cnt
@@ -374,12 +377,114 @@ object PrepQueries {
        |  SELECT doc_id,
        |    CAST(SUM(len(string_split(trim(sym), ' '))) AS BIGINT) AS n_syms,
        |    string_agg(trim(sym), ' ' ORDER BY pos) AS bpe_text
-       |  FROM e JOIN d3 USING (w) GROUP BY doc_id)
+       |  FROM e JOIN d3 USING (w) GROUP BY doc_id)""".stripMargin
+  }
+
+  private val bpeEncodeSql =
+    s"""WITH $toksSql,
+       |$bpeEncodeCtes
        |SELECT d.doc_id,
        |  COALESCE(r.n_syms, CAST(0 AS BIGINT)) AS n_syms,
        |  COALESCE(r.bpe_text, '') AS bpe_text
        |FROM documents d LEFT JOIN r USING (doc_id)""".stripMargin
+
+  // ===== BPE vocabulary ids =============================================
+
+  /** Symbol-sequence to integer ids: alphabet ranked lexicographically,
+    * merges at C + step - 1 (the Sennrich id layout). One row per
+    * (doc, position). */
+  private val bpeIdsQ: QFn = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), Hashing.tokens(col("text")).as("tk"))
+    Bpe.encodeIds(toks, "doc_id", "tk", Bpe.train(toks, "tk", merges = 3))
   }
+
+  private val bpeIdsSql =
+    s"""WITH $toksSql,
+       |$bpeEncodeCtes,
+       |alpha AS (
+       |  SELECT sym,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY sym) - 1 AS BIGINT) AS sym_id
+       |  FROM (SELECT DISTINCT unnest(string_split(trim(sym), ' ')) AS sym
+       |        FROM d0)),
+       |voc AS (
+       |  SELECT sym, CAST(MIN(sym_id) AS BIGINT) AS sym_id FROM (
+       |    SELECT sym, sym_id FROM alpha
+       |    UNION ALL
+       |    SELECT l || r,
+       |      (SELECT COUNT(*) FROM alpha) + st - 1 FROM (
+       |        SELECT l, r, 1 AS st FROM t1
+       |        UNION ALL SELECT l, r, 2 FROM t2
+       |        UNION ALL SELECT l, r, 3 FROM t3))
+       |  GROUP BY sym),
+       |px AS (
+       |  SELECT doc_id, unnest(string_split(bpe_text, ' ')) AS sym,
+       |         unnest(range(0, len(string_split(bpe_text, ' ')))) AS pos
+       |  FROM r WHERE n_syms > 0)
+       |SELECT px.doc_id, CAST(px.pos AS BIGINT) AS pos, px.sym, voc.sym_id
+       |FROM px JOIN voc USING (sym)""".stripMargin
+
+  // ===== pipeline v3: text -> tokenizer -> blocks =======================
+
+  /** The full training-data path composed as ONE program: learn a BPE
+    * tokenizer, encode the corpus with it, split train/val/test, pack
+    * the token counts into fixed-capacity sequences and emit the
+    * per-sequence block layout — raw text in, block coordinates out,
+    * one plan, one hash. */
+  private val pipeline3Q: QFn = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), Hashing.tokens(col("text")).as("tk"))
+    val enc = Bpe.encode(toks, "doc_id", "tk", Bpe.train(toks, "tk", 3))
+      .select(col("doc_id"), col("n_syms").as("n_tokens"))
+    val split = Sampling.splitAssign(enc, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select(col("doc_id"), col("n_tokens"), col("split"))
+    Packing.emitBlocks(
+      Packing.packSequences(split, capacity = 128, groupCol = "split",
+        bucketSize = 64L),
+      capacity = 128, groupCol = "split")
+  }
+
+  private val pipeline3Sql =
+    s"""WITH $toksSql,
+       |$bpeEncodeCtes,
+       |enc AS (
+       |  SELECT d.doc_id, COALESCE(r.n_syms, CAST(0 AS BIGINT)) AS n_tokens
+       |  FROM documents d LEFT JOIN r USING (doc_id)),
+       |sp AS (
+       |  SELECT doc_id, n_tokens,
+       |    CASE WHEN CAST(${sqlHash60("'split:' || CAST(doc_id AS VARCHAR)")}
+       |           % 1000000 AS DOUBLE) / 1000000.0 < CAST(0.8 AS DOUBLE)
+       |         THEN 'train'
+       |         WHEN CAST(${sqlHash60("'split:' || CAST(doc_id AS VARCHAR)")}
+       |           % 1000000 AS DOUBLE) / 1000000.0
+       |           < CAST(${0.8 + 0.1} AS DOUBLE)
+       |         THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM enc),
+       |o AS (
+       |  SELECT split, doc_id, n_tokens,
+       |    CAST(COALESCE(SUM(n_tokens) OVER (
+       |      PARTITION BY split ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS tok_offset
+       |  FROM sp),
+       |b AS (
+       |  SELECT split, doc_id, n_tokens, tok_offset,
+       |    CAST(tok_offset // 128 AS BIGINT) AS first_seq,
+       |    CAST((tok_offset + GREATEST(n_tokens, 1) - 1) // 128
+       |         AS BIGINT) AS last_seq
+       |  FROM o),
+       |u AS (
+       |  SELECT split, doc_id, n_tokens, tok_offset,
+       |         unnest(range(first_seq, last_seq + 1)) AS seq_id
+       |  FROM b)
+       |SELECT split, CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+       |  CAST(GREATEST(tok_offset - seq_id * 128, 0) AS BIGINT) AS seq_off,
+       |  CAST(GREATEST(seq_id * 128 - tok_offset, 0) AS BIGINT) AS doc_off,
+       |  CAST(LEAST(tok_offset + n_tokens, (seq_id + 1) * 128)
+       |       - GREATEST(tok_offset, seq_id * 128) AS BIGINT) AS len
+       |FROM u""".stripMargin
 
   // ===== column profiling ===============================================
 
@@ -637,6 +742,8 @@ object PrepQueries {
     "q_x_anomaly" -> anomalyQ,
     "q_x_bpe" -> bpeQ,
     "q_x_bpe_encode" -> bpeEncodeQ,
+    "q_x_bpe_ids" -> bpeIdsQ,
+    "q_x_pipeline3" -> pipeline3Q,
     "q_x_profile" -> profileQ,
     "q_x_corpus_diff" -> corpusDiffQ,
     "q_x_curriculum" -> curriculumQ,
@@ -653,6 +760,8 @@ object PrepQueries {
     "q_x_anomaly" -> anomalySql,
     "q_x_bpe" -> bpeSql,
     "q_x_bpe_encode" -> bpeEncodeSql,
+    "q_x_bpe_ids" -> bpeIdsSql,
+    "q_x_pipeline3" -> pipeline3Sql,
     "q_x_profile" -> profileSql,
     "q_x_corpus_diff" -> corpusDiffSql,
     "q_x_curriculum" -> curriculumSql,

@@ -105,6 +105,33 @@ class BpeSpec extends SparkSpec {
     assert(e.getMessage.contains("contiguous"))
   }
 
+  test("vocab: alphabet ranked lexicographically, merges appended in " +
+      "learned order; encodeIds maps every position") {
+    val docs = Seq((1L, Seq("low", "lower")), (2L, Seq("newest")))
+      .toDF("doc_id", "tk")
+    val corpusToks = corpus
+    val rules = Bpe.train(corpusToks, "tk", merges = 3) // (e,s),(es,t),(l,o)
+    // alphabet of the ENCODED docs' corpus is derived from docs
+    val v = Bpe.vocab(docs, "tk", rules)
+      .as[(String, Long)].collect().toMap
+    // distinct chars of {low, lower, newest}: d? no - e,l,n,o,r,s,t,w
+    val alpha = Seq("e", "l", "n", "o", "r", "s", "t", "w")
+    alpha.zipWithIndex.foreach { case (ch, i) => assert(v(ch) == i.toLong) }
+    assert(v("es") == alpha.size + 0L)
+    assert(v("est") == alpha.size + 1L)
+    assert(v("lo") == alpha.size + 2L)
+    val ids = Bpe.encodeIds(docs, "doc_id", "tk", rules)
+      .as[(Long, Long, String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(t => (t._3, t._4)))
+      .toMap
+    // doc 1: "low lower" -> lo w lo w e r
+    assert(ids(1L).toSeq == Seq("lo" -> v("lo"), "w" -> v("w"),
+      "lo" -> v("lo"), "w" -> v("w"), "e" -> v("e"), "r" -> v("r")))
+    // doc 2: newest -> n e w est
+    assert(ids(2L).toSeq == Seq("n" -> v("n"), "e" -> v("e"),
+      "w" -> v("w"), "est" -> v("est")))
+  }
+
   test("train with a durable checkpointDir matches the local path") {
     val dir = java.nio.file.Files.createTempDirectory("bpeck").toString
     val a = Bpe.train(corpus, "tk", merges = 3)
