@@ -359,6 +359,47 @@ object Similarity {
         (col("pred_label") === col("true_label")).as("correct"))
   }
 
+  /** Per-dimension affine int8 quantization of an embedding corpus —
+    * the standard 4x storage/bandwidth cut for billion-vector ANN
+    * serving (a 100 TB float corpus becomes 25 TB of codes + a
+    * 64-row stats table). code = clamp(floor((x - mn)/scale + 0.5),
+    * 0, 255) with scale = (mx - mn)/255; `floor(+0.5)` instead of
+    * round() because round's half-way rule differs across engines and
+    * the codes must be bit-reproducible (the dedup-family contract).
+    * Constant dimensions (scale 0) code to 0 and dequantize to mn —
+    * no ANSI division-by-zero.
+    *
+    * Scale shape: per-dim stats are a posexplode + (dim)-keyed
+    * min/max aggregate — O(dims) output, partial-aggregated map-side —
+    * broadcast back over one corpus pass; codes and the dequantized
+    * vectors reassemble via the same sorted collect_list as the IVF
+    * centroid build. Output: (idCol, qcodes array<int>, dequant
+    * array<double>). Asymmetric scoring (full-precision query against
+    * dequantized candidates — ADC) goes through [[bruteTopK]] /
+    * [[lshTopK]] on the `dequant` column unchanged. */
+  def quantizeInt8(vectors: DataFrame, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val ex = vectors.select(col(idCol).as("vid"),
+      posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .select(col("vid"), col("dim"), col("x").cast("double").as("x"))
+    val stats = ex.groupBy(col("dim"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .withColumn("scale", (col("mx") - col("mn")) / 255.0)
+    val coded = ex.join(broadcast(stats), Seq("dim"))
+      .withColumn("code",
+        when(col("scale") === 0.0, lit(0L))
+          .otherwise(greatest(lit(0L), least(lit(255L),
+            floor((col("x") - col("mn")) / col("scale") + 0.5)))))
+      .withColumn("v", col("mn") + col("code") * col("scale"))
+    coded.groupBy(col("vid"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("code"), col("v"))))
+        .as("dcv"))
+      .select(col("vid").as(idCol),
+        transform(col("dcv"), s => s.getField("code").cast("int"))
+          .as("qcodes"),
+        transform(col("dcv"), s => s.getField("v")).as("dequant"))
+  }
+
   /** Embedding near-duplicate pairs: each query row's candidates with
     * cosine >= threshold. Queries broadcast (catalog-probe shape). */
   def nearDupPairs(queries: DataFrame, candidates: DataFrame,

@@ -631,6 +631,56 @@ object ExtQueries {
       |  (SELECT COUNT(*) FROM embeddings WHERE vec_id % 5 = 0) AS n_queries,
       |  CAST(1 AS BOOLEAN) AS pass""".stripMargin
 
+  // ===== similarity: int8-quantized ANN (ADC) ===========================
+
+  /** Asymmetric scoring over the int8-quantized corpus: full-precision
+    * perturbed queries against dequantized candidates, top-1. The
+    * oracle replicates the ENTIRE quantization chain (per-dim min/max,
+    * floor(+0.5) codes, clamp, dequantize) and the ranking, so codes
+    * and scores are fully adjudicated — not just a recall verdict. */
+  private val annInt8: QFn = (s, d) => {
+    val dq = Similarity.quantizeInt8(Tables.embeddings(s, d))
+      .select(col("vec_id"), col("dequant").as("embedding"))
+    val q = perturbed(s, d)
+      .select(col("qid").as("vec_id"), col("qv").as("embedding"))
+    Similarity.bruteTopK(q, dq, k = 1)
+  }
+
+  private val annInt8Sql =
+    s"""WITH $perturbedSql,
+       |dims AS (SELECT unnest(range(1, 65)) AS i),
+       |mm AS (
+       |  SELECT d.i AS dim,
+       |    MIN(CAST(e.embedding[d.i] AS DOUBLE)) AS mn,
+       |    MAX(CAST(e.embedding[d.i] AS DOUBLE)) AS mx
+       |  FROM embeddings e CROSS JOIN dims d GROUP BY d.i),
+       |st AS (SELECT dim, mn, (mx - mn) / 255.0 AS s FROM mm),
+       |dq AS (
+       |  SELECT vid, list(v ORDER BY dim) AS cv FROM (
+       |    SELECT e.vec_id AS vid, st.dim,
+       |      CASE WHEN st.s = 0 THEN st.mn
+       |           ELSE st.mn + GREATEST(0, LEAST(255,
+       |             FLOOR((CAST(e.embedding[st.dim] AS DOUBLE) - st.mn)
+       |                   / st.s + 0.5))) * st.s END AS v
+       |    FROM embeddings e CROSS JOIN st)
+       |  GROUP BY vid),
+       |qn AS (SELECT qid, qv, ${foldSql("list_transform(qv, x -> x * x)")}
+       |         AS nsq FROM q),
+       |cn AS (SELECT vid, cv, ${foldSql("list_transform(cv, x -> x * x)")}
+       |         AS nsq FROM dq),
+       |p AS (
+       |  SELECT qn.qid, cn.vid AS cid,
+       |    ${dotSql("qn.qv", "cn.cv")} / (sqrt(qn.nsq) * sqrt(cn.nsq))
+       |      AS cosv
+       |  FROM qn CROSS JOIN cn WHERE cn.vid <> qn.qid),
+       |r AS (SELECT qid, cid, ${sqlSig9("cosv")} AS score FROM p),
+       |t AS (
+       |  SELECT qid, cid, score, ROW_NUMBER() OVER (
+       |    PARTITION BY qid ORDER BY score DESC, cid) AS rn
+       |  FROM r)
+       |SELECT qid, CAST(rn AS BIGINT) AS "rank", cid, score
+       |FROM t WHERE rn <= 1""".stripMargin
+
   // ===== sketches: HLL distinct-count self-check ========================
 
   /** approx_count_distinct (HyperLogLog++) against the exact count — the
@@ -1072,6 +1122,7 @@ object ExtQueries {
     "q_x_semdedup" -> semDedupQ,
     "q_x_ann_lsh_recall" -> annLshRecall,
     "q_x_ann_ivf_recall" -> annIvfRecall,
+    "q_x_ann_int8" -> annInt8,
     "q_x_multimodal" -> multimodal,
     "q_x_dedup_clusters" -> dedupClusters,
     "q_x_cluster_rep" -> clusterRep,
@@ -1106,6 +1157,7 @@ object ExtQueries {
     "q_x_semdedup" -> semDedupSql,
     "q_x_ann_lsh_recall" -> annLshRecallSql,
     "q_x_ann_ivf_recall" -> annIvfRecallSql,
+    "q_x_ann_int8" -> annInt8Sql,
     "q_x_multimodal" -> multimodalSql,
     "q_x_dedup_clusters" -> dedupClustersSql,
     "q_x_cluster_rep" -> clusterRepSql,

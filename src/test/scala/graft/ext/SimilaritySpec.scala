@@ -176,6 +176,48 @@ class SimilaritySpec extends SparkSpec {
       i2.as[(Long, Long)].collect().toMap)
   }
 
+  test("quantizeInt8: codes in [0,255], endpoints exact, constant dims " +
+      "safe, dequant error bounded by scale/2, ADC recall intact") {
+    val r = Similarity.quantizeInt8(base)
+      .as[(Long, Seq[Int], Seq[Double])].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(r.size == 40)
+    val orig = (0L until 40L).map(i => i -> vec(i)).toMap
+    // per-dim min/max + scale recomputed locally
+    val dims = 0 until 8
+    val mn = dims.map(j => orig.values.map(_(j).toDouble).min)
+    val mx = dims.map(j => orig.values.map(_(j).toDouble).max)
+    val sc = dims.map(j => (mx(j) - mn(j)) / 255.0)
+    r.foreach { case (id, (codes, dq)) =>
+      codes.foreach(c => assert(c >= 0 && c <= 255))
+      dims.foreach { j =>
+        assert(math.abs(dq(j) - orig(id)(j)) <= sc(j) / 2 + 1e-12,
+          s"id=$id dim=$j")
+        // endpoints map exactly to codes 0 / 255
+        if (orig(id)(j).toDouble == mn(j)) assert(codes(j) == 0)
+        if (orig(id)(j).toDouble == mx(j)) assert(codes(j) == 255)
+      }
+    }
+    // a constant dimension codes to 0 and dequantizes to the value
+    val const = (0L until 5L).map(i => (i, Seq(1.5f, i.toFloat)))
+      .toDF("vec_id", "embedding")
+    val c = Similarity.quantizeInt8(const)
+      .as[(Long, Seq[Int], Seq[Double])].collect()
+    assert(c.forall(t => t._2.head == 0 && t._3.head == 1.5))
+    // asymmetric scoring on dequantized vectors still finds originals
+    val dq = Similarity.quantizeInt8(base)
+      .select(col("vec_id"), col("dequant").as("embedding"))
+    val queries = base.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000).as("vec_id"),
+        transform(col("embedding"),
+          x => x.cast("double") + lit(0.0005)).as("embedding"))
+    val top1 = Similarity.bruteTopK(queries, dq, k = 1)
+      .filter(col("rank") === 1)
+      .select("qid", "cid").as[(Long, Long)].collect().toMap
+    val hits = (0L until 40L by 10).count(id => top1.get(id + 1000).contains(id))
+    assert(hits == 4, s"ADC recall $hits/4")
+  }
+
   test("nearDupPairs finds only true near-duplicates at 0.99") {
     val queries = base.filter(col("vec_id") < 5)
       .select((col("vec_id") + 1000).as("qid"),
