@@ -22,6 +22,30 @@ class PrepPropertySpec extends SparkSpec {
     Gen.listOfN(n, rowGen).apply(Gen.Parameters.default, Seed(seed)).get
       .distinctBy(t => (t._1, t._2))
 
+  test("curriculum: histogram-refine boundaries == exact percentile " +
+      "on random distributions (ties, negatives, skew, tiny frames)") {
+    val scoreGen = Gen.oneOf(
+      Gen.choose(-1000.0, 1000.0),                  // continuous
+      Gen.choose(-5L, 5L).map(_.toDouble),          // heavy ties
+      Gen.choose(0.0, 1.0).map(x => x * x * x))     // skewed
+    (1 to 8).foreach { i =>
+      val n = Seq(1, 2, 3, 7, 50, 200, 512, 1000)(i - 1)
+      val rows = Gen.listOfN(n, scoreGen)
+        .apply(Gen.Parameters.default, Seed(i * 97L)).get
+        .zipWithIndex.map { case (sc, id) => (id.toLong, sc) }
+      val df = rows.toDF("id", "score")
+      val nb = Seq(2, 3, 4, 10)(i % 4)
+      val probs = (1 until nb).map(j => lit(j.toDouble / nb))
+      val exp = df.agg(transform(
+          percentile(col("score"), array(probs: _*)),
+          b => graft.queries.Q.sig9(b)).as("p"))
+        .as[Seq[Double]].head()
+      val got = Curriculum.exactBoundaries(df, "score", nb, nBins = 16)
+        .as[Seq[Double]].head()
+      assert(got == exp, s"seed $i n=$n nBuckets=$nb")
+    }
+  }
+
   test("packing: two-phase == single-window on random frames/buckets") {
     (1 to 8).foreach { i =>
       val df = sample(i * 31L, 120).toDF("source", "doc_id", "n_tokens")
