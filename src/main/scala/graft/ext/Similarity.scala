@@ -400,6 +400,115 @@ object Similarity {
         transform(col("dcv"), s => s.getField("v")).as("dequant"))
   }
 
+  /** The m contiguous subspace slices of a (double-array) vector: the
+    * last subspace takes the remainder when m does not divide d. ONE
+    * definition shared by PQ training, encoding and query-side LUT
+    * building — slice boundaries may never diverge between them. */
+  private def subSlices(vv: Column, m: Int): Column = {
+    val ds = size(vv) / m
+    transform(sequence(lit(0), lit(m - 1)), s =>
+      when(s === m - 1, slice(vv, s * ds + 1, size(vv)))
+        .otherwise(slice(vv, s * ds + 1, ds)))
+  }
+
+  /** Product quantization (Jégou et al. 2011): split each vector into
+    * `m` contiguous subspaces and learn a `k`-codeword codebook per
+    * subspace (hash-spread seeds + one decimal-routed Lloyd step — the
+    * same deterministic kernel as [[ivfIndex]], so codebooks are a
+    * pure function of the corpus). A vector stores m small codes
+    * instead of d floats: at m=16, k=256 a 64-dim float corpus
+    * compresses 16x, and asymmetric scoring ([[pqTopK]]) ranks against
+    * codes without reconstructing the corpus.
+    *
+    * Scale shape: subspaces are EXPLODED into one frame (vid, sub,
+    * subvec) — codebook training and assignment are single plans over
+    * it (broadcast-codebook L2 argmin, per-(sub, cid, dim) decimal
+    * means), never m driver-side loops. Codeword assignment minimizes
+    * sig9'd squared L2 distance with ties to the smaller codeword id,
+    * so codes are bit-reproducible across engines and partitionings.
+    * Seeds are ONE hash-spread draw of k vectors sliced per subspace
+    * (rank inside one bounded collect_list row — no global window).
+    * Codes are (vid, sub, code) rows — the SQL-portable layout; a
+    * serving layer would pivot to a packed array column.
+    *
+    * Returns (codebook, codes): codebook = (sub, cid, cv), codes =
+    * (vid, sub, code). Codewords that lose every member in the Lloyd
+    * step drop out (standard k-means-with-empty-clusters behavior). */
+  def pqTrain(vectors: DataFrame, m: Int, k: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              checkpointDir: Option[String] = None)
+      : (DataFrame, DataFrame) = {
+    require(m >= 1 && k >= 1, "m and k must be >= 1")
+    val v = vectors.select(col(idCol).as("vid"),
+      transform(col(vecCol), x => x.cast("double")).as("vv"))
+    val sv = v.select(col("vid"),
+      posexplode(subSlices(col("vv"), m)).as(Seq("sub", "sv")))
+    // seed codebook: the k hash-spread vectors, ranked 0..k-1 by the
+    // draw order inside ONE bounded row, sliced per subspace
+    val seedbook = v
+      .withColumn("__h", Hashing.hash60(concat(lit(seedSalt),
+        col("vid").cast("string"))))
+      .orderBy(col("__h").asc, col("vid").asc).limit(k)
+      .agg(array_sort(collect_list(struct(col("__h"), col("vid"),
+        col("vv")))).as("a"))
+      .select(posexplode(col("a")).as(Seq("cid", "s")))
+      .select(col("cid").cast("long").as("cid"),
+        posexplode(subSlices(col("s.vv"), m)).as(Seq("sub", "cv")))
+    def assign(book: DataFrame): DataFrame =
+      sig9Score(sv.join(broadcast(book), Seq("sub")),
+          Seq("vid", "sub", "cid"),
+          normSq(col("sv")) - lit(2.0) * dot(col("sv"), col("cv"))
+            + normSq(col("cv")), "d2")
+        .groupBy(col("vid"), col("sub"))
+        .agg(min(struct(col("d2"), col("cid"))).as("b"))
+        .select(col("vid"), col("sub"), col("b.cid").as("code"))
+    // one Lloyd step: per-(sub, codeword, dim) decimal mean
+    val a0 = assign(seedbook)
+    val codebook = Checkpoints.cut(
+      sv.join(a0, Seq("vid", "sub"))
+        .select(col("sub"), col("code").as("cid"),
+          posexplode(col("sv")).as(Seq("dim", "x")))
+        .groupBy(col("sub"), col("cid"), col("dim"))
+        .agg(graft.queries.Q.davg(col("x")).as("mv"))
+        .groupBy(col("sub"), col("cid"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("mv"))))
+          .as("dm"))
+        .select(col("sub"), col("cid"),
+          transform(col("dm"), s => s.getField("mv")).as("cv")),
+      checkpointDir)
+    val codes = Checkpoints.cut(assign(codebook), checkpointDir)
+    (codebook, codes)
+  }
+
+  /** Asymmetric-distance top-k over PQ codes: per query, an m x k
+    * lookup table of inner products against the codebook (tiny,
+    * broadcast), then each candidate's score is the order-independent
+    * decimal sum of its m looked-up partials — the corpus side touches
+    * only (vid, sub, code) rows, never a float vector. Ranking is by
+    * inner product with the RECONSTRUCTED vector (IP-ADC); rank ties
+    * break on candidate id. `m` must equal the training m. Output:
+    * (qid, rank, cid, score). */
+  def pqTopK(queries: DataFrame, codebook: DataFrame, codes: DataFrame,
+             m: Int, topK: Int, idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"),
+      transform(col(vecCol), x => x.cast("double")).as("qv"))
+    val qsub = q.select(col("qid"),
+      posexplode(subSlices(col("qv"), m)).as(Seq("sub", "qsv")))
+    val lut = sig9Score(qsub.join(broadcast(codebook), Seq("sub")),
+      Seq("qid", "sub", "cid"), dot(col("qsv"), col("cv")), "p")
+    val scored = codes
+      .join(broadcast(lut),
+        codes("sub") === lut("sub") && codes("code") === lut("cid"))
+      .groupBy(col("qid"), col("vid"))
+      .agg(graft.queries.Q.dsum(col("p")).as("score"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("vid").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("qid"), col("rank"), col("vid").as("cid"), col("score"))
+  }
+
   /** Embedding near-duplicate pairs: each query row's candidates with
     * cosine >= threshold. Queries broadcast (catalog-probe shape). */
   def nearDupPairs(queries: DataFrame, candidates: DataFrame,

@@ -681,6 +681,95 @@ object ExtQueries {
        |SELECT qid, CAST(rn AS BIGINT) AS "rank", cid, score
        |FROM t WHERE rn <= 1""".stripMargin
 
+  // ===== similarity: product quantization (ADC) =========================
+
+  /** PQ with m=2 subspaces, 4 codewords each, then IP-ADC top-1 for the
+    * perturbed queries. The oracle re-derives EVERYTHING in SQL — the
+    * hash-spread seed draw, per-subspace L2 argmin, the decimal Lloyd
+    * step, the code assignment, the per-query lookup table and the
+    * decimal-summed ADC ranking — so codebooks, codes and scores are
+    * all bit-adjudicated. */
+  private val annPq: QFn = (s, d) => {
+    val (book, codes) = Similarity.pqTrain(Tables.embeddings(s, d),
+      m = 2, k = 4)
+    val q = perturbed(s, d)
+      .select(col("qid").as("vec_id"), col("qv").as("embedding"))
+    Similarity.pqTopK(q, book, codes, m = 2, topK = 1)
+  }
+
+  private val annPqSql = {
+    // the engine's subSlices for m=2: sub 0 takes [1, ds], sub 1 (the
+    // last) takes the remainder
+    def sliceSql(v: String) =
+      s"(CASE WHEN sub = 1 THEN $v[sub * (len($v) // 2) + 1 : len($v)] " +
+        s"ELSE $v[sub * (len($v) // 2) + 1 : " +
+        s"sub * (len($v) // 2) + (len($v) // 2)] END)"
+    def d2Sql(a: String, b: String) =
+      sqlSig9(s"${nsqSql(a)} - 2.0 * (${dotSql(a, b)}) + ${nsqSql(b)}")
+    s"""WITH $perturbedSql,
+       |corpus AS (
+       |  SELECT vec_id AS vid,
+       |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
+       |  FROM embeddings),
+       |subs AS (SELECT unnest(range(0, 2)) AS sub),
+       |sv AS (
+       |  SELECT vid, sub, ${sliceSql("vv")} AS sv
+       |  FROM corpus CROSS JOIN subs),
+       |seeds AS (
+       |  SELECT vv, CAST(ROW_NUMBER() OVER w - 1 AS BIGINT) AS cid
+       |  FROM corpus
+       |  WINDOW w AS (
+       |    ORDER BY ${hashSql("'ivfseed:' || CAST(vid AS VARCHAR)")}, vid)
+       |  QUALIFY ROW_NUMBER() OVER w <= 4),
+       |sb AS (
+       |  SELECT cid, sub, ${sliceSql("vv")} AS cv
+       |  FROM seeds CROSS JOIN subs),
+       |a0 AS (
+       |  SELECT vid, sub, cid AS code FROM (
+       |    SELECT s.vid, s.sub, b.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vid, s.sub
+       |        ORDER BY ${d2Sql("s.sv", "b.cv")}, b.cid) AS rn
+       |    FROM sv s JOIN sb b ON b.sub = s.sub)
+       |  WHERE rn = 1),
+       |mem AS (
+       |  SELECT a0.sub, a0.code AS cid, s.sv
+       |  FROM a0 JOIN sv s ON s.vid = a0.vid AND s.sub = a0.sub),
+       |mx AS (
+       |  SELECT sub, cid, unnest(sv) AS x,
+       |         unnest(range(0, len(sv))) AS dim
+       |  FROM mem),
+       |md AS (
+       |  SELECT sub, cid, dim, ${sqlDavg("x")} AS mv
+       |  FROM mx GROUP BY sub, cid, dim),
+       |cents AS (
+       |  SELECT sub, cid, list(mv ORDER BY dim) AS cv
+       |  FROM md GROUP BY sub, cid),
+       |codes AS (
+       |  SELECT vid, sub, cid AS code FROM (
+       |    SELECT s.vid, s.sub, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vid, s.sub
+       |        ORDER BY ${d2Sql("s.sv", "c.cv")}, c.cid) AS rn
+       |    FROM sv s JOIN cents c ON c.sub = s.sub)
+       |  WHERE rn = 1),
+       |qsub AS (
+       |  SELECT qid, sub, ${sliceSql("qv")} AS qsv
+       |  FROM q CROSS JOIN subs),
+       |lut AS (
+       |  SELECT qs.qid, c.sub, c.cid,
+       |         ${sqlSig9(dotSql("qs.qsv", "c.cv"))} AS p
+       |  FROM qsub qs JOIN cents c ON c.sub = qs.sub),
+       |sc AS (
+       |  SELECT l.qid, k.vid, ${sqlDsum("p")} AS score
+       |  FROM codes k JOIN lut l ON l.sub = k.sub AND l.cid = k.code
+       |  GROUP BY l.qid, k.vid),
+       |t AS (
+       |  SELECT qid, vid, score, ROW_NUMBER() OVER (
+       |    PARTITION BY qid ORDER BY score DESC, vid) AS rn
+       |  FROM sc)
+       |SELECT qid, CAST(rn AS BIGINT) AS "rank", vid AS cid, score
+       |FROM t WHERE rn <= 1""".stripMargin
+  }
+
   // ===== sketches: HLL distinct-count self-check ========================
 
   /** approx_count_distinct (HyperLogLog++) against the exact count — the
@@ -1123,6 +1212,7 @@ object ExtQueries {
     "q_x_ann_lsh_recall" -> annLshRecall,
     "q_x_ann_ivf_recall" -> annIvfRecall,
     "q_x_ann_int8" -> annInt8,
+    "q_x_ann_pq" -> annPq,
     "q_x_multimodal" -> multimodal,
     "q_x_dedup_clusters" -> dedupClusters,
     "q_x_cluster_rep" -> clusterRep,
@@ -1158,6 +1248,7 @@ object ExtQueries {
     "q_x_ann_lsh_recall" -> annLshRecallSql,
     "q_x_ann_ivf_recall" -> annIvfRecallSql,
     "q_x_ann_int8" -> annInt8Sql,
+    "q_x_ann_pq" -> annPqSql,
     "q_x_multimodal" -> multimodalSql,
     "q_x_dedup_clusters" -> dedupClustersSql,
     "q_x_cluster_rep" -> clusterRepSql,

@@ -218,6 +218,36 @@ class SimilaritySpec extends SparkSpec {
     assert(hits == 4, s"ADC recall $hits/4")
   }
 
+  test("pqTrain: one code per (vector, subspace), codes reproducible; " +
+      "pqTopK ADC finds exact-duplicate queries' originals") {
+    val (book, codes) = Similarity.pqTrain(base, m = 2, k = 4)
+    // codebook: subspaces 0/1, <= 4 codewords each, 4-dim sub-vectors
+    val b = book.as[(Int, Long, Seq[Double])].collect()
+    assert(b.map(_._1).toSet == Set(0, 1))
+    assert(b.forall(_._3.size == 4))
+    assert(b.count(_._1 == 0) <= 4 && b.count(_._1 == 1) <= 4)
+    val c = codes.as[(Long, Int, Long)].collect()
+    assert(c.length == 40 * 2)
+    assert(c.groupBy(t => (t._1, t._2)).forall(_._2.length == 1))
+    // bit-reproducible across runs
+    val (_, codes2) = Similarity.pqTrain(base, m = 2, k = 4)
+    assert(codes2.as[(Long, Int, Long)].collect().toSet == c.toSet)
+    // ADC: an EXACT copy of a corpus vector shares its codes, so its
+    // reconstructed score ties the original's and rank-1 must be a
+    // vector with the same code pair (usually the original itself)
+    val q = base.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000).as("vec_id"), col("embedding"))
+    val top1 = Similarity.pqTopK(q, book, codes, m = 2, topK = 1)
+      .select("qid", "cid").as[(Long, Long)].collect().toMap
+    val codeOf = c.groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    (0L until 40L by 10).foreach { id =>
+      val got = top1(id + 1000)
+      assert(codeOf(got) == codeOf(id),
+        s"query ${id + 1000}: rank-1 $got has different codes than $id")
+    }
+  }
+
   test("nearDupPairs finds only true near-duplicates at 0.99") {
     val queries = base.filter(col("vec_id") < 5)
       .select((col("vec_id") + 1000).as("qid"),
