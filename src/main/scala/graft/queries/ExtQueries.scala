@@ -830,6 +830,33 @@ object ExtQueries {
       | AND p.ts >= c.ts
       | AND p.ts <= c.ts + INTERVAL 30 MINUTE""".stripMargin
 
+  // ===== events: streaming as-of enrichment (batch twin) ================
+
+  /** EventPipeline.enrichedPurchasesBatch — the exact as-of twin of the
+    * flatMapGroupsWithState enrichment (StreamingSpec adjudicates the
+    * streaming path against this); oracle is DuckDB's native ASOF. */
+  private val enrich: QFn = (s, d) =>
+    graft.streaming.EventPipeline.enrichedPurchasesBatch(Tables.events(s, d))
+      .select(col("user_id"), col("purchase_id"),
+        date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss")
+          .as("purchase_ts"),
+        col("value"), col("click_id"),
+        date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss").as("click_ts"))
+
+  private val enrichSql =
+    """WITH probes AS (
+      |  SELECT event_id AS purchase_id, user_id, ts, value
+      |  FROM events WHERE event_type = 'purchase'),
+      |quotes AS (
+      |  SELECT user_id, ts, event_id AS click_id
+      |  FROM events WHERE event_type = 'click')
+      |SELECT p.user_id, p.purchase_id,
+      |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts, p.value,
+      |  q.click_id,
+      |  strftime(q.ts, '%Y-%m-%d %H:%M:%S') AS click_ts
+      |FROM probes p ASOF LEFT JOIN quotes q
+      |  ON p.user_id = q.user_id AND p.ts >= q.ts""".stripMargin
+
   // ===== events: JSON property extraction ===============================
 
   /** Semi-structured props: JSON path extraction pushed through a typed
@@ -1223,6 +1250,7 @@ object ExtQueries {
     "q_x_approx_distinct" -> approxDistinct,
     "q_s_event_window" -> eventWindow,
     "q_s_attribution" -> attribution,
+    "q_s_enrich" -> enrich,
     "q_s_event_props" -> eventProps,
     "q_s_user_series" -> userSeries,
     "q_s_user_sessions" -> userSessionsQ)
@@ -1259,6 +1287,7 @@ object ExtQueries {
     "q_x_approx_distinct" -> approxDistinctSql,
     "q_s_event_window" -> eventWindowSql,
     "q_s_attribution" -> attributionSql,
+    "q_s_enrich" -> enrichSql,
     "q_s_event_props" -> eventPropsSql,
     "q_s_user_series" -> userSeriesSql,
     "q_s_user_sessions" -> userSessionsSql)

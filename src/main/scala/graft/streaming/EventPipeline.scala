@@ -156,6 +156,100 @@ object EventPipeline {
       }
   }
 
+  case class EnrichedPurchase(user_id: Long, purchase_id: Long,
+                              purchase_ts: java.sql.Timestamp,
+                              value: Double, click_id: Option[Long],
+                              click_ts: Option[java.sql.Timestamp])
+
+  /** Per-user latest-click state for [[enrichedPurchases]]: the best
+    * (ts, event_id) click seen so far plus the greatest event time, so
+    * a purely-late batch can never pull the idle timeout earlier. */
+  case class ClickState(click_id: Long, click_ts: Long, last_seen: Long)
+
+  /** Streaming as-of enrichment — the streaming face of
+    * `ext/TemporalJoins.asOfJoin`: each purchase is emitted once,
+    * carrying the user's latest click at-or-before it (ties at equal
+    * time: the click wins — inclusive as-of — and among equal-time
+    * clicks the greatest event_id, matching the batch twin's tieBreak).
+    *
+    * This is the attach-the-snapshot-at-ingest shape (latest model
+    * version / config / consent record per key). State per key is ONE
+    * small ClickState, evicted by event-time timeout after
+    * `idleMinutes` of watermark-judged silence — bounded by keys
+    * active within the horizon.
+    *
+    * Ordering contract: events are processed in event-time order
+    * WITHIN each micro-batch (the iterator is sorted); a click that
+    * arrives in a LATER batch than a purchase it precedes in event
+    * time cannot retro-enrich it — the emitted row reflects clicks
+    * seen so far, disorder bounded by the trigger interval. The batch
+    * twin ([[enrichedPurchasesBatch]], oracle-checked) is exact; the
+    * streaming spec adjudicates the in-order case against it. */
+  def enrichedPurchases(events: Dataset[Event], spark: SparkSession,
+                        watermark: String = "1 hour",
+                        idleMinutes: Int = 120): Dataset[EnrichedPurchase] = {
+    import spark.implicits._
+    val idleMs = idleMinutes * 60000L
+    events
+      .filter(e => e.event_type == "click" || e.event_type == "purchase")
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[ClickState]) =>
+          if (state.hasTimedOut) {
+            state.remove() // nothing to emit: purchases were emitted live
+            Iterator.empty
+          } else {
+            val out = Seq.newBuilder[EnrichedPurchase]
+            var cur = state.getOption
+            var lastSeen = cur.map(_.last_seen).getOrElse(0L)
+            // event-time order; clicks before purchases at equal ts
+            // (inclusive as-of), greater event_id last so it wins
+            val batch = it.toSeq.sortBy(e =>
+              (e.ts.getTime, if (e.event_type == "click") 0 else 1,
+                e.event_id))
+            batch.foreach { e =>
+              lastSeen = math.max(lastSeen, e.ts.getTime)
+              if (e.event_type == "click") {
+                val better = cur.forall(s =>
+                  e.ts.getTime > s.click_ts ||
+                    (e.ts.getTime == s.click_ts && e.event_id > s.click_id))
+                if (better)
+                  cur = Some(ClickState(e.event_id, e.ts.getTime, lastSeen))
+              } else {
+                val hit = cur.filter(_.click_ts <= e.ts.getTime)
+                out += EnrichedPurchase(uid, e.event_id, e.ts, e.value,
+                  hit.map(_.click_id),
+                  hit.map(s => new java.sql.Timestamp(s.click_ts)))
+              }
+            }
+            cur = cur.map(_.copy(last_seen = lastSeen))
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(math.max(s.last_seen + idleMs,
+                state.getCurrentWatermarkMs() + 1))
+            }
+            out.result().iterator
+          }
+      }
+  }
+
+  /** Batch twin of [[enrichedPurchases]]: the exact as-of join
+    * (purchases probe, clicks quote, greatest-event_id tiebreak). */
+  def enrichedPurchasesBatch(events: DataFrame): DataFrame = {
+    val probes = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts"), col("value"))
+    val quotes = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    graft.ext.TemporalJoins.asOfJoin(probes, quotes, Seq("user_id"), "ts",
+        Seq("click_id"), tieBreak = col("click_id"))
+      .select(col("user_id"), col("purchase_id"),
+        col("ts").as("purchase_ts"), col("value"), col("click_id"),
+        col("asof_time").as("click_ts"))
+  }
+
   /** Streaming exact dedup for at-least-once sources: drop re-deliveries
     * of the same key arriving within the watermark horizon. This is the
     * streaming face of the exact-dedup pipeline operator (ext/Dedup) —

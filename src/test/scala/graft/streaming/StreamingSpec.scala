@@ -35,6 +35,44 @@ class StreamingSpec extends SparkSpec {
       ("2024-03-02", "click", 1L, 4.0)))
   }
 
+  test("enrichedPurchases: streaming as-of enrichment equals the exact " +
+      "batch twin on in-order batches; clicks never retro-enrich") {
+    implicit val ctx = spark.sqlContext
+    // delivered in event-time order across batches (the operator's
+    // documented contract; a sub-watermark late purchase would be
+    // dropped by the watermark like in any stateful streaming op)
+    val events = Seq(
+      Event(14L, ts("2024-03-01 08:00:00"), 8L, "purchase", 70.0), // no click before
+      Event(10L, ts("2024-03-01 09:00:00"), 7L, "click", 0.0),
+      Event(11L, ts("2024-03-01 09:30:00"), 7L, "purchase", 50.0),
+      Event(12L, ts("2024-03-01 10:00:00"), 7L, "click", 0.0),
+      Event(13L, ts("2024-03-01 10:00:00"), 7L, "purchase", 60.0), // tie: click 12 wins (inclusive)
+      Event(15L, ts("2024-03-01 11:00:00"), 8L, "click", 0.0),
+      Event(16L, ts("2024-03-01 12:00:00"), 8L, "purchase", 80.0))
+    val ms = MemoryStream[Event]
+    val q = EventPipeline.enrichedPurchases(ms.toDS(), spark)
+      .writeStream.format("memory").queryName("enr")
+      .outputMode("append").start()
+    try {
+      ms.addData(events.take(5))
+      q.processAllAvailable()
+      ms.addData(events.drop(5))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streaming = spark.table("enr")
+      .as[EventPipeline.EnrichedPurchase].collect()
+      .map(e => e.purchase_id -> ((e.click_id, e.click_ts))).toMap
+    assert(streaming(11L) == ((Some(10L), Some(ts("2024-03-01 09:00:00")))))
+    assert(streaming(13L) == ((Some(12L), Some(ts("2024-03-01 10:00:00")))))
+    assert(streaming(14L) == ((None, None)))
+    assert(streaming(16L) == ((Some(15L), Some(ts("2024-03-01 11:00:00")))))
+    // the exact batch twin agrees row for row on this in-order data
+    val batch = EventPipeline.enrichedPurchasesBatch(events.toDF())
+      .as[EventPipeline.EnrichedPurchase].collect()
+      .map(e => e.purchase_id -> ((e.click_id, e.click_ts))).toMap
+    assert(streaming == batch)
+  }
+
   test("userSessions accumulates keyed state across micro-batches") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[Event]
