@@ -78,4 +78,35 @@ object Retrieval {
       .select(col(idCol), col("rank"), col("score"),
         col("n_terms_matched"))
   }
+
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR 2009): fuse any
+    * number of per-query rankings into one, score = Σ 1/(k0 + rank)
+    * over the rankings that contain the (query, doc) pair — the
+    * standard hybrid-retrieval combiner (BM25 + ANN, or any mix),
+    * robust because it reads only RANKS, never incomparable scores.
+    *
+    * Scale shape: a union + one (query, doc)-keyed hash aggregate
+    * (map-side partial) + a per-query rank window — input is already
+    * top-k-bounded per ranking, so the window partitions are
+    * O(Σ k_i), never corpus-sized. The per-term 1/(k0+rank) is exact
+    * in both engines (double division of small integers); the sum is
+    * decimal-routed and sig9'd, so fused ranks are engine-portable.
+    * Output: (qCol, docCol, n_rankings, rrf_score, fused_rank). */
+  def rrf(rankings: Seq[DataFrame], k0: Int = 60,
+          qCol: String = "qid", docCol: String = "doc_id",
+          rankCol: String = "rank"): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(k0 >= 1, "k0 must be >= 1")
+    val unioned = rankings
+      .map(_.select(col(qCol), col(docCol), col(rankCol).cast("long")
+        .as("__r")))
+      .reduce(_.unionByName(_))
+    val fused = unioned.groupBy(col(qCol), col(docCol))
+      .agg(count(lit(1)).as("n_rankings"),
+        Q.dsum(lit(1.0) / (lit(k0.toLong) + col("__r"))).as("rrf_score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(qCol))
+      .orderBy(col("rrf_score").desc, col(docCol).asc)
+    fused.withColumn("fused_rank", row_number().over(w).cast("long"))
+  }
 }

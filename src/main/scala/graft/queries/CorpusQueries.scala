@@ -143,6 +143,54 @@ object CorpusQueries {
 
   // ===== BM25 retrieval =================================================
 
+  // ===== reciprocal-rank fusion =========================================
+
+  /** Fuse two per-lang top-10 rankings (by n_chars and by token count)
+    * with RRF — the hybrid-retrieval combiner; the whole fused ranking
+    * (membership counts, decimal-summed scores, fused ranks) is
+    * adjudicated. */
+  private val rrfQ: QFn = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val w1 = Window.partitionBy(col("lang"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    val r1 = docs.withColumn("rank", row_number().over(w1))
+      .filter(col("rank") <= 10)
+      .select(col("lang").as("qid"), col("doc_id"), col("rank"))
+    val w2 = Window.partitionBy(col("lang"))
+      .orderBy(size(Hashing.tokens(col("text"))).desc, col("doc_id").asc)
+    val r2 = docs.withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= 10)
+      .select(col("lang").as("qid"), col("doc_id"), col("rank"))
+    Retrieval.rrf(Seq(r1, r2))
+  }
+
+  private val rrfSql =
+    s"""WITH $toksSql,
+       |r1 AS (
+       |  SELECT qid, doc_id, r FROM (
+       |    SELECT lang AS qid, doc_id, CAST(ROW_NUMBER() OVER (
+       |      PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS BIGINT)
+       |      AS r
+       |    FROM documents) WHERE r <= 10),
+       |r2 AS (
+       |  SELECT qid, doc_id, r FROM (
+       |    SELECT d.lang AS qid, d.doc_id, CAST(ROW_NUMBER() OVER (
+       |      PARTITION BY d.lang ORDER BY len(t.tk) DESC, d.doc_id)
+       |      AS BIGINT) AS r
+       |    FROM documents d JOIN toks t ON t.doc_id = d.doc_id)
+       |  WHERE r <= 10),
+       |u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2),
+       |f AS (
+       |  SELECT qid, doc_id, CAST(COUNT(*) AS BIGINT) AS n_rankings,
+       |         ${sqlDsum("1.0 / (60 + r)")} AS rrf_score
+       |  FROM u GROUP BY qid, doc_id)
+       |SELECT qid, doc_id, n_rankings, rrf_score,
+       |  CAST(ROW_NUMBER() OVER (
+       |    PARTITION BY qid ORDER BY rrf_score DESC, doc_id) AS BIGINT)
+       |    AS fused_rank
+       |FROM f""".stripMargin
+
   private val bm25K1 = 1.2
   private val bm25B = 0.75
 
@@ -375,7 +423,8 @@ object CorpusQueries {
     "q_x_heavy_hitters" -> heavyHittersQ,
     "q_x_dsir" -> dsirQ,
     "q_x_vocab_coverage" -> vocabQ,
-    "q_x_novelty" -> noveltyQ)
+    "q_x_novelty" -> noveltyQ,
+    "q_x_rrf" -> rrfQ)
 
   val oracles: Map[String, String] = Map(
     "q_x_decontam" -> decontamSql,
@@ -387,5 +436,6 @@ object CorpusQueries {
     "q_x_heavy_hitters" -> heavyHittersSql,
     "q_x_dsir" -> dsirSql,
     "q_x_vocab_coverage" -> vocabSql,
-    "q_x_novelty" -> noveltySql)
+    "q_x_novelty" -> noveltySql,
+    "q_x_rrf" -> rrfSql)
 }

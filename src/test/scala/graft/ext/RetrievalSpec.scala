@@ -42,6 +42,25 @@ class RetrievalSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("rrf: consensus docs outrank single-ranking wins; absent pairs " +
+      "contribute nothing; ties break by doc id") {
+    val r1 = Seq(("q", 1L, 1L), ("q", 2L, 2L), ("q", 3L, 3L))
+      .toDF("qid", "doc_id", "rank")
+    val r2 = Seq(("q", 2L, 1L), ("q", 4L, 2L), ("q", 1L, 3L))
+      .toDF("qid", "doc_id", "rank")
+    val fused = Retrieval.rrf(Seq(r1, r2))
+      .as[(String, Long, Long, Double, Long)].collect()
+      .map(t => t._2 -> ((t._3, t._4, t._5))).toMap
+    // doc 2: 1/62 + 1/61 beats doc 1: 1/61 + 1/63
+    assert(fused(2L)._3 == 1L && fused(1L)._3 == 2L)
+    assert(fused(2L)._1 == 2L && fused(4L)._1 == 1L)
+    // docs 3 and 4: 1/63 vs 1/62 - doc 4 ahead; both rank behind
+    // the two-ranking docs
+    assert(fused(4L)._3 == 3L && fused(3L)._3 == 4L)
+    // score sanity: decimal-summed, sig9'd
+    assert(math.abs(fused(2L)._2 - (1.0 / 62 + 1.0 / 61)) < 1e-9)
+  }
+
   test("scores are reproducible across partitionings") {
     val docs = (1L to 300L)
       .map(i => (i, s"t${i % 5} t${i % 11} t${i % 3} filler$i"))
