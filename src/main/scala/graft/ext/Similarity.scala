@@ -509,6 +509,65 @@ object Similarity {
       .select(col("qid"), col("rank"), col("vid").as("cid"), col("score"))
   }
 
+  /** IVF-PQ: the billion-scale serving composition — route each query
+    * to its `nprobe` nearest IVF centroids (cosine, like [[ivfTopK]]),
+    * then rank ONLY those inverted lists' members by PQ codes
+    * ([[pqTopK]]'s ADC lookup-table sum). The corpus contributes its
+    * (vid, centroid_id) routing rows and (vid, sub, code) code rows —
+    * float vectors are never touched at query time, which is the whole
+    * point: at m=16/k=256 the serving set is ~17 bytes/vector vs 256
+    * for the floats.
+    *
+    * Scale shape: probes and the per-query LUT are tiny and broadcast
+    * (catalog-probe contract: |Q| bounded; for huge query sets swap
+    * the broadcast hints for plain equi-joins and let AQE choose);
+    * candidate scoring is an equi-join on the candidate (qid, vid)
+    * pairs — cost tracks list density x nprobe/K, not corpus size.
+    * Routing is cosine, ranking is reconstructed inner product
+    * (IP-ADC) — the standard mixed-metric IVF-PQ posture. Output:
+    * (qid, rank, cid, score). */
+  def ivfPqTopK(queries: DataFrame, centroids: DataFrame, index: DataFrame,
+                codebook: DataFrame, codes: DataFrame, m: Int, topK: Int,
+                nprobe: Int = 2, idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"),
+      transform(col(vecCol), x => x.cast("double")).as("qv"),
+      normSq(col(vecCol)).as("qn"))
+    val probes = sig9Score(
+      q.crossJoin(broadcast(centroids)),
+      Seq("qid", "centroid_id"),
+      cosine(dot(col("qv"), col("cv")), col("qn"), normSq(col("cv"))),
+      "cscore")
+    val wp = Window.partitionBy(col("qid"))
+      .orderBy(col("cscore").desc, col("centroid_id").asc)
+    val probed = probes.withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= nprobe)
+      .select(col("qid"), col("centroid_id"))
+    val cands = probed
+      .join(index.select(col(idCol).as("vid"), col("centroid_id")),
+        Seq("centroid_id"))
+      .filter(col("vid") =!= col("qid"))
+      .select(col("qid"), col("vid"))
+    val qsub = q.select(col("qid"),
+      posexplode(subSlices(col("qv"), m)).as(Seq("sub", "qsv")))
+    val lut = sig9Score(qsub.join(broadcast(codebook), Seq("sub")),
+      Seq("qid", "sub", "cid"), dot(col("qsv"), col("cv")), "p")
+    val lutR = lut.select(col("qid").as("__lq"), col("sub").as("__ls"),
+      col("cid").as("__lc"), col("p"))
+    val scored = cands
+      .join(codes.select(col("vid"), col("sub"), col("code")), Seq("vid"))
+      .join(broadcast(lutR),
+        col("qid") === col("__lq") && col("sub") === col("__ls") &&
+          col("code") === col("__lc"))
+      .groupBy(col("qid"), col("vid"))
+      .agg(graft.queries.Q.dsum(col("p")).as("score"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("vid").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("qid"), col("rank"), col("vid").as("cid"), col("score"))
+  }
+
   /** Embedding near-duplicate pairs: each query row's candidates with
     * cosine >= threshold. Queries broadcast (catalog-probe shape). */
   def nearDupPairs(queries: DataFrame, candidates: DataFrame,

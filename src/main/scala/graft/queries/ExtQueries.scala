@@ -770,6 +770,38 @@ object ExtQueries {
        |FROM t WHERE rn <= 1""".stripMargin
   }
 
+  // ===== similarity: IVF-PQ recall self-check ===========================
+
+  /** The full serving composition — IVF routing (k=16, nprobe=2) over
+    * PQ scoring (m=4, 8 codewords) — recall@1 against each perturbed
+    * query's original. Both halves are individually bit-adjudicated
+    * (`q_x_ann_ivf_recall`, `q_x_ann_pq`); this row pins the composed
+    * verdict (approximate-by-nature, so the oracle pins the
+    * deterministic verdict frame like the other recall checks). */
+  private val annIvfPq: QFn = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val (cents, index) = Similarity.ivfIndex(emb, k = 16)
+    val (book, codes) = Similarity.pqTrain(emb, m = 4, k = 8)
+    val q = perturbed(s, d)
+      .select(col("qid").as("vec_id"), col("qv").as("embedding"))
+    val top1 = Similarity
+      .ivfPqTopK(q, cents, index, book, codes, m = 4, topK = 1, nprobe = 2)
+      .filter(col("rank") === 1)
+    val hits = q.select(col("vec_id").as("qid"))
+      .join(top1, Seq("qid"), "left")
+      .select(when(col("cid") === col("qid") - 30000, lit(1.0))
+        .otherwise(lit(0.0)).as("hit"))
+    hits.agg(count(lit(1)).as("n_queries"),
+        (sum(col("hit")) / count(lit(1)) >= 0.4).as("pass"))
+      .select(lit("ivfpq_recall_at_1").as("metric"), col("n_queries"),
+        col("pass"))
+  }
+
+  private val annIvfPqSql =
+    """SELECT 'ivfpq_recall_at_1' AS metric,
+      |  (SELECT COUNT(*) FROM embeddings WHERE vec_id % 5 = 0) AS n_queries,
+      |  CAST(1 AS BOOLEAN) AS pass""".stripMargin
+
   // ===== sketches: HLL distinct-count self-check ========================
 
   /** approx_count_distinct (HyperLogLog++) against the exact count — the
@@ -1240,6 +1272,7 @@ object ExtQueries {
     "q_x_ann_ivf_recall" -> annIvfRecall,
     "q_x_ann_int8" -> annInt8,
     "q_x_ann_pq" -> annPq,
+    "q_x_ann_ivfpq" -> annIvfPq,
     "q_x_multimodal" -> multimodal,
     "q_x_dedup_clusters" -> dedupClusters,
     "q_x_cluster_rep" -> clusterRep,
@@ -1277,6 +1310,7 @@ object ExtQueries {
     "q_x_ann_ivf_recall" -> annIvfRecallSql,
     "q_x_ann_int8" -> annInt8Sql,
     "q_x_ann_pq" -> annPqSql,
+    "q_x_ann_ivfpq" -> annIvfPqSql,
     "q_x_multimodal" -> multimodalSql,
     "q_x_dedup_clusters" -> dedupClustersSql,
     "q_x_cluster_rep" -> clusterRepSql,

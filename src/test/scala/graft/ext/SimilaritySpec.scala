@@ -248,6 +248,27 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfPqTopK: code-only serving path finds exact-copy queries' " +
+      "code-equivalents; candidates come only from probed lists") {
+    val (cents, index) = Similarity.ivfIndex(base, k = 4)
+    val (book, codes) = Similarity.pqTrain(base, m = 2, k = 8)
+    val q = base.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000).as("vec_id"), col("embedding"))
+    val top1 = Similarity
+      .ivfPqTopK(q, cents, index, book, codes, m = 2, topK = 1, nprobe = 2)
+      .select("qid", "cid").as[(Long, Long)].collect().toMap
+    val codeOf = codes.as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    val listOf = index.as[(Long, Long)].collect().toMap
+    (0L until 40L by 10).foreach { id =>
+      val got = top1(id + 1000)
+      // the winner shares the exact query's PQ codes (usually IS the
+      // original) and came from a probed inverted list
+      assert(codeOf(got) == codeOf(id), s"query ${id + 1000}")
+      assert(listOf.contains(got))
+    }
+  }
+
   test("nearDupPairs finds only true near-duplicates at 0.99") {
     val queries = base.filter(col("vec_id") < 5)
       .select((col("vec_id") + 1000).as("qid"),
