@@ -124,6 +124,27 @@ class TextStatsSpec extends SparkSpec {
     assert(r(3L) == ((3L, 2L, 0L, 0.0)))
   }
 
+  test("novelty: a pathologically hot n-gram (shared boilerplate in " +
+      "every doc) stays exact — the shape the skew-safe plan exists for") {
+    // 400 docs all sharing one boilerplate prefix: its trigrams occur
+    // 400x (the hot reducer under the old window-by-hash plan; here
+    // they collapse map-side in the groupBy partial). Unique suffixes
+    // give each doc some novel trigrams. Expected values are
+    // closed-form: doc 1 owns the 4 boilerplate trigrams + its 3
+    // suffix/bridge trigrams; later docs own only their 3.
+    val docs = (1L to 400L)
+      .map(i => (i, s"the same boiler plate text in u$i v$i w$i"))
+      .toDF("doc_id", "text")
+    val r = TextStats.novelty(docs, n = 3)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(r.size == 400)
+    // 9 tokens -> 7 trigrams; 4 are pure boilerplate ("the same
+    // boiler".."plate text in"), 3 touch the unique tokens
+    assert(r(1L) == ((7L, 7L)))
+    (2L to 400L).foreach(i => assert(r(i) == ((7L, 3L)), s"doc $i"))
+  }
+
   test("novelty is partition-invariant") {
     val docs = (1L to 120L).map(i => (i, s"w${i % 5} w${i % 7} w${i % 3} w${i % 5}"))
       .toDF("doc_id", "text")
