@@ -18,13 +18,29 @@ import org.apache.spark.sql.DataFrame
   * operator. */
 object Checkpoints {
 
+  /** The dir LAST PASSED to setCheckpointDir per context. SparkContext
+    * itself stores `<dir>/<random UUID>` (it appends a fresh UUID
+    * subdirectory on every call), so `getCheckpointDir` can never
+    * equal the caller's dir — re-setting per cut would scatter each
+    * iteration's checkpoint into its own UUID directory and pay a
+    * mkdirs RPC per round. Weak keys: contexts stop pinning entries
+    * once they are collectable. */
+  private val lastSet = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.SparkContext, String]())
+
   /** Cut `df`'s lineage: durable `checkpoint()` under `dir` when set,
-    * else executor-local `localCheckpoint()`. Both are eager. */
+    * else executor-local `localCheckpoint()`. Both are eager. A given
+    * dir is installed once per SparkContext; consecutive cuts (the
+    * iterative-operator loop) share one UUID checkpoint directory. */
   def cut(df: DataFrame, dir: Option[String]): DataFrame = dir match {
     case Some(d) =>
       val sc = df.sparkSession.sparkContext
-      // setCheckpointDir is idempotent per dir; scope it to the caller
-      if (!sc.getCheckpointDir.contains(d)) sc.setCheckpointDir(d)
+      lastSet.synchronized {
+        if (lastSet.get(sc) != d) {
+          sc.setCheckpointDir(d)
+          lastSet.put(sc, d)
+        }
+      }
       df.checkpoint()
     case None => df.localCheckpoint()
   }

@@ -80,19 +80,23 @@ object Multimodal {
         if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc)
           return MediaHeader("jpeg", be16(b, i + 7), be16(b, i + 5),
             b(i + 9) & 0xffL)
-        if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7)) i += 2 // bare markers
+        if (m == 0xff) i += 1 // fill byte: any number may pad a marker
+        else if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7))
+          i += 2 // bare markers (SOI, TEM, RSTn) carry no length
         else i += 2 + be16(b, i + 2).toInt
       }
       MediaHeader("jpeg", -1L, -1L, -1L) // JPEG magic but no SOF found
     } else MediaHeader(null, -1L, -1L, -1L)
   }
 
-  /** Batched real header decode over (idCol, media): one row per
-    * payload with (format, width, height, channels) — NULL-valued
-    * dims for unparseable payloads. Same mapPartitions batch shape as
-    * [[extractFeatures]]; parsing touches only the leading bytes of
-    * each payload (header sniffing, not decoding). */
-  def decodeHeaders(media: DataFrame, batchSize: Int = 64,
+  /** Real header decode over (idCol, media): one row per payload with
+    * (format, width, height, channels) — NULL-valued fields for
+    * unparseable or NULL payloads (a NULL binary is a routine state in
+    * an ingest table and must surface as a flaggable row, never an
+    * NPE). Row-at-a-time mapPartitions: header sniffing has no
+    * per-batch setup to amortize, unlike [[extractFeatures]]'s codec
+    * slot, so no batching layer. */
+  def decodeHeaders(media: DataFrame,
                     idCol: String = "doc_id"): DataFrame = {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val in = media.select(col(idCol), col("media"))
@@ -102,15 +106,16 @@ object Multimodal {
       StructField("height", LongType, true),
       StructField("channels", LongType, true)))
     in.mapPartitions { it =>
-      it.grouped(batchSize).flatMap { batch =>
-        batch.iterator.map { r =>
-          val h = parseHeader(r.getAs[Array[Byte]](1))
-          def n(v: Long) = if (v < 0) null else java.lang.Long.valueOf(v)
-          org.apache.spark.sql.Row(r.get(0), h.format,
-            if (h.format == null) null else n(h.width),
-            if (h.format == null) null else n(h.height),
-            if (h.format == null) null else n(h.channels))
-        }
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        val h =
+          if (bytes == null) MediaHeader(null, -1L, -1L, -1L)
+          else parseHeader(bytes)
+        def n(v: Long) = if (v < 0) null else java.lang.Long.valueOf(v)
+        org.apache.spark.sql.Row(r.get(0), h.format,
+          if (h.format == null) null else n(h.width),
+          if (h.format == null) null else n(h.height),
+          if (h.format == null) null else n(h.channels))
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }

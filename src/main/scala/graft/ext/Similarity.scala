@@ -403,12 +403,29 @@ object Similarity {
   /** The m contiguous subspace slices of a (double-array) vector: the
     * last subspace takes the remainder when m does not divide d. ONE
     * definition shared by PQ training, encoding and query-side LUT
-    * building — slice boundaries may never diverge between them. */
+    * building — slice boundaries may never diverge between them.
+    *
+    * ds is truncated to int ONCE: `size/m` is double division, and
+    * letting each slice's start offset truncate independently
+    * (s * (d/m) cast per slice) drops interior dimensions whenever m
+    * does not divide d — e.g. d=11, m=3 sliced [1..3],[4..6],[8..11],
+    * silently ignoring element 7 in every codebook and score. */
   private def subSlices(vv: Column, m: Int): Column = {
-    val ds = size(vv) / m
+    val ds = (size(vv) / m).cast("int")
     transform(sequence(lit(0), lit(m - 1)), s =>
       when(s === m - 1, slice(vv, s * ds + 1, size(vv)))
         .otherwise(slice(vv, s * ds + 1, ds)))
+  }
+
+  /** Per-query ADC lookup table: inner product of each query subspace
+    * against each codeword — ONE definition shared by [[pqTopK]] and
+    * [[ivfPqTopK]] so the two serving paths can never de-synchronize.
+    * Output: (qid, sub, cid, p). */
+  private def adcLut(q: DataFrame, codebook: DataFrame, m: Int): DataFrame = {
+    val qsub = q.select(col("qid"),
+      posexplode(subSlices(col("qv"), m)).as(Seq("sub", "qsv")))
+    sig9Score(qsub.join(broadcast(codebook), Seq("sub")),
+      Seq("qid", "sub", "cid"), dot(col("qsv"), col("cv")), "p")
   }
 
   /** Product quantization (Jégou et al. 2011): split each vector into
@@ -493,10 +510,7 @@ object Similarity {
              vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("qid"),
       transform(col(vecCol), x => x.cast("double")).as("qv"))
-    val qsub = q.select(col("qid"),
-      posexplode(subSlices(col("qv"), m)).as(Seq("sub", "qsv")))
-    val lut = sig9Score(qsub.join(broadcast(codebook), Seq("sub")),
-      Seq("qid", "sub", "cid"), dot(col("qsv"), col("cv")), "p")
+    val lut = adcLut(q, codebook, m)
     val scored = codes
       .join(broadcast(lut),
         codes("sub") === lut("sub") && codes("code") === lut("cid"))
@@ -548,12 +562,9 @@ object Similarity {
         Seq("centroid_id"))
       .filter(col("vid") =!= col("qid"))
       .select(col("qid"), col("vid"))
-    val qsub = q.select(col("qid"),
-      posexplode(subSlices(col("qv"), m)).as(Seq("sub", "qsv")))
-    val lut = sig9Score(qsub.join(broadcast(codebook), Seq("sub")),
-      Seq("qid", "sub", "cid"), dot(col("qsv"), col("cv")), "p")
-    val lutR = lut.select(col("qid").as("__lq"), col("sub").as("__ls"),
-      col("cid").as("__lc"), col("p"))
+    val lutR = adcLut(q.select(col("qid"), col("qv")), codebook, m)
+      .select(col("qid").as("__lq"), col("sub").as("__ls"),
+        col("cid").as("__lc"), col("p"))
     val scored = cands
       .join(codes.select(col("vid"), col("sub"), col("code")), Seq("vid"))
       .join(broadcast(lutR),

@@ -100,16 +100,19 @@ object TemporalJoins {
     val gated = toleranceSeconds match {
       case Some(t) =>
         require(t >= 0, s"toleranceSeconds must be >= 0, got $t")
+        // cast-to-double keeps fractional seconds; unix_timestamp()
+        // truncates to whole seconds and would misclassify sub-second
+        // staleness exactly at the boundary (merge_asof is exact)
         val staleness =
           if (backward)
-            unix_timestamp(col(timeCol)) -
-              unix_timestamp(col(pay).getField(qts))
+            col(timeCol).cast("double") -
+              col(pay).getField(qts).cast("double")
           else
-            unix_timestamp(col(pay).getField(qts)) -
-              unix_timestamp(col(timeCol))
+            col(pay).getField(qts).cast("double") -
+              col(timeCol).cast("double")
         // NULL payload (no match) keeps NULL: staleness is NULL, the
         // when() falls through to the null branch
-        filled.withColumn(pay, when(staleness <= t, col(pay)))
+        filled.withColumn(pay, when(staleness <= t.toDouble, col(pay)))
       case None => filled
     }
     gated

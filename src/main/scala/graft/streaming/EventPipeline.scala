@@ -161,10 +161,16 @@ object EventPipeline {
                               value: Double, click_id: Option[Long],
                               click_ts: Option[java.sql.Timestamp])
 
-  /** Per-user latest-click state for [[enrichedPurchases]]: the best
-    * (ts, event_id) click seen so far plus the greatest event time, so
-    * a purely-late batch can never pull the idle timeout earlier. */
-  case class ClickState(click_id: Long, click_ts: Long, last_seen: Long)
+  /** Per-user click buffer for [[enrichedPurchases]]: the clicks that
+    * can still be "latest at-or-before" for SOME future in-watermark
+    * purchase — every click with ts >= watermark plus the single
+    * latest older one — as (ts, event_id) pairs, plus the greatest
+    * event time seen (so a purely-late batch can never pull the idle
+    * timeout earlier). Keeping only the single latest click (the
+    * obvious state) is WRONG across batches: a purchase arriving one
+    * batch after a NEWER click would find no at-or-before match even
+    * though an older buffered click was correct. */
+  case class ClickState(clicks: Seq[(Long, Long)], last_seen: Long)
 
   /** Streaming as-of enrichment — the streaming face of
     * `ext/TemporalJoins.asOfJoin`: each purchase is emitted once,
@@ -173,18 +179,22 @@ object EventPipeline {
     * clicks the greatest event_id, matching the batch twin's tieBreak).
     *
     * This is the attach-the-snapshot-at-ingest shape (latest model
-    * version / config / consent record per key). State per key is ONE
-    * small ClickState, evicted by event-time timeout after
-    * `idleMinutes` of watermark-judged silence — bounded by keys
-    * active within the horizon.
+    * version / config / consent record per key). State per key is the
+    * watermark-pruned click buffer above — bounded by clicks per key
+    * per horizon — evicted entirely by event-time timeout after
+    * `idleMinutes` of watermark-judged silence.
     *
-    * Ordering contract: events are processed in event-time order
-    * WITHIN each micro-batch (the iterator is sorted); a click that
-    * arrives in a LATER batch than a purchase it precedes in event
-    * time cannot retro-enrich it — the emitted row reflects clicks
-    * seen so far, disorder bounded by the trigger interval. The batch
-    * twin ([[enrichedPurchasesBatch]], oracle-checked) is exact; the
-    * streaming spec adjudicates the in-order case against it. */
+    * Ordering contract: EXACT (equal to the batch twin) for any
+    * arrival interleaving in which each purchase is delivered no
+    * earlier than the clicks at-or-before it that it should match, and
+    * in particular for any cross-batch disorder where the purchase
+    * arrives LATER than those clicks (the buffer serves it). The one
+    * inherent gap of append-mode streaming remains: a click arriving
+    * in a later batch than a purchase it should have enriched cannot
+    * retract the already-emitted row; sub-watermark-late events are
+    * dropped by the watermark like in every stateful operator. The
+    * batch twin ([[enrichedPurchasesBatch]], oracle-checked) is exact
+    * unconditionally. */
   def enrichedPurchases(events: Dataset[Event], spark: SparkSession,
                         watermark: String = "1 hour",
                         idleMinutes: Int = 120): Dataset[EnrichedPurchase] = {
@@ -202,32 +212,37 @@ object EventPipeline {
             Iterator.empty
           } else {
             val out = Seq.newBuilder[EnrichedPurchase]
-            var cur = state.getOption
-            var lastSeen = cur.map(_.last_seen).getOrElse(0L)
+            var buf = state.getOption.map(_.clicks).getOrElse(Seq.empty)
+            var lastSeen = state.getOption.map(_.last_seen).getOrElse(0L)
             // event-time order; clicks before purchases at equal ts
-            // (inclusive as-of), greater event_id last so it wins
+            // (inclusive as-of)
             val batch = it.toSeq.sortBy(e =>
               (e.ts.getTime, if (e.event_type == "click") 0 else 1,
                 e.event_id))
             batch.foreach { e =>
               lastSeen = math.max(lastSeen, e.ts.getTime)
               if (e.event_type == "click") {
-                val better = cur.forall(s =>
-                  e.ts.getTime > s.click_ts ||
-                    (e.ts.getTime == s.click_ts && e.event_id > s.click_id))
-                if (better)
-                  cur = Some(ClickState(e.event_id, e.ts.getTime, lastSeen))
+                buf = buf :+ (e.ts.getTime, e.event_id)
               } else {
-                val hit = cur.filter(_.click_ts <= e.ts.getTime)
+                // latest at-or-before: max by (ts, id) — greatest
+                // event_id wins equal-time ties, like the batch twin
+                val hit = buf.filter(_._1 <= e.ts.getTime)
+                  .maxOption(Ordering.Tuple2[Long, Long])
                 out += EnrichedPurchase(uid, e.event_id, e.ts, e.value,
-                  hit.map(_.click_id),
-                  hit.map(s => new java.sql.Timestamp(s.click_ts)))
+                  hit.map(_._2),
+                  hit.map(h => new java.sql.Timestamp(h._1)))
               }
             }
-            cur = cur.map(_.copy(last_seen = lastSeen))
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(math.max(s.last_seen + idleMs,
+            if (buf.nonEmpty) {
+              // prune: keep clicks that can still serve a future
+              // in-watermark purchase — all at-or-after the watermark
+              // plus the single latest older one
+              val wm = state.getCurrentWatermarkMs()
+              val (fresh, old) = buf.partition(_._1 >= wm)
+              buf = (old.maxOption(Ordering.Tuple2[Long, Long]).toSeq ++
+                fresh).sorted
+              state.update(ClickState(buf, lastSeen))
+              state.setTimeoutTimestamp(math.max(lastSeen + idleMs,
                 state.getCurrentWatermarkMs() + 1))
             }
             out.result().iterator

@@ -101,6 +101,14 @@ class MultimodalSpec extends SparkSpec {
     // JPEG magic but no SOF before the bytes run out
     assert(Multimodal.parseHeader(hexBytes("FFD8 FFE0 0004 0000"))
       == Multimodal.MediaHeader("jpeg", -1L, -1L, -1L))
+    // fill bytes (any number of 0xFF) may pad a marker; TEM (0x01) is
+    // bare - both are standards-valid and must not derail the walk
+    assert(Multimodal.parseHeader(
+      hexBytes("FFD8 FF FFC0 0011 08 0100 0180 03"))
+      == Multimodal.MediaHeader("jpeg", 384L, 256L, 3L))
+    assert(Multimodal.parseHeader(
+      hexBytes("FFD8 FF01 FFC0 0011 08 0100 0180 03"))
+      == Multimodal.MediaHeader("jpeg", 384L, 256L, 3L))
     // unknown magic and truncated PNG signature
     assert(Multimodal.parseHeader(hexBytes("0011223344")).format == null)
     assert(Multimodal.parseHeader(hexBytes("89504E47")).format == null)
@@ -116,13 +124,15 @@ class MultimodalSpec extends SparkSpec {
       unhex(lpad(hex(w), 8, "0")), unhex(lit("00000040")),
       unhex(lit("080200000000000000")))
     val media = docs.select(col("doc_id"),
-      when(col("doc_id") =!= 2, png)
-        .otherwise(unhex(lit("DEADBEEF"))).as("media"))
+      when(col("doc_id") === 2, unhex(lit("DEADBEEF")))
+        .when(col("doc_id") === 3, lit(null).cast("binary")) // NULL payload
+        .otherwise(png).as("media"))
     val r = Multimodal.decodeHeaders(media)
       .as[(Long, Option[String], Option[Long], Option[Long], Option[Long])]
       .collect().map(t => t._1 -> t).toMap
     r.foreach { case (id, (_, fmt, wd, ht, ch)) =>
-      if (id == 2) assert(fmt.isEmpty && wd.isEmpty)
+      if (id == 2 || id == 3) assert(fmt.isEmpty && wd.isEmpty,
+        s"id=$id must degrade to a NULL row, not a task kill")
       else {
         assert(fmt.contains("png") && wd.contains(id * 10 + 1))
         assert(ht.contains(64L) && ch.contains(3L)) // color type 2 = RGB

@@ -248,6 +248,21 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("pqTrain covers EVERY dimension when m does not divide d " +
+      "(the last subspace takes the remainder)") {
+    // 11-dim vectors, m=3: per-slice double-truncated offsets would
+    // slice [1..3],[4..6],[8..11] and silently drop element 7
+    val odd = (0L until 30L).map(i => (i, (0 until 11)
+      .map(j => (((i * 37 + j * 13) % 23) - 11).toFloat / 11f)))
+      .toDF("vec_id", "embedding")
+    val (book, codes) = Similarity.pqTrain(odd, m = 3, k = 4)
+    val bySub = book.as[(Int, Long, Seq[Double])].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._3.size).toSet).toMap
+    assert(bySub(0) == Set(3) && bySub(1) == Set(3) && bySub(2) == Set(5),
+      s"subspace widths wrong: $bySub")
+    assert(codes.as[(Long, Int, Long)].collect().length == 30 * 3)
+  }
+
   test("ivfPqTopK: code-only serving path finds exact-copy queries' " +
       "code-equivalents; candidates come only from probed lists") {
     val (cents, index) = Similarity.ivfIndex(base, k = 4)

@@ -62,6 +62,20 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(fwd == Map(3L -> Some(1.0), 5L -> None))
   }
 
+  test("asOfJoin tolerance is exact at sub-second resolution " +
+      "(no whole-second truncation at the boundary)") {
+    val probes = Seq((1L, 10L, ts("2024-01-01 10:30:00.1")))
+      .toDF("event_id", "user_id", "ts")
+    val quotes = Seq((10L, ts("2024-01-01 09:59:59.9"), 1.0))
+      .toDF("user_id", "ts", "v")
+    // true staleness 1800.2s: second-truncated arithmetic would compute
+    // 1800 <= 1800 and wrongly keep the match
+    val r = TemporalJoins.asOfJoin(probes, quotes, Seq("user_id"), "ts",
+        Seq("v"), toleranceSeconds = Some(1800L))
+      .select("v").collect()
+    assert(r.head.isNullAt(0), "1800.2s staleness must be stale at 1800")
+  }
+
   test("asOfJoin tieBreak picks the greatest among equal-time quotes") {
     val probes = Seq((1L, 5L, ts("2024-01-01 10:00:00")))
       .toDF("event_id", "user_id", "ts")

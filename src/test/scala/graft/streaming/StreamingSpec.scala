@@ -73,6 +73,31 @@ class StreamingSpec extends SparkSpec {
     assert(streaming == batch)
   }
 
+  test("enrichedPurchases: a purchase arriving a batch AFTER a newer " +
+      "click still matches the older buffered click") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Event]
+    val q = EventPipeline.enrichedPurchases(ms.toDS(), spark)
+      .writeStream.format("memory").queryName("enr2")
+      .outputMode("append").start()
+    try {
+      // batch 1: clicks A (09:00) and B (10:00) - single-latest-click
+      // state would discard A here
+      ms.addData(Seq(
+        Event(20L, ts("2024-03-01 09:00:00"), 7L, "click", 0.0),
+        Event(21L, ts("2024-03-01 10:00:00"), 7L, "click", 0.0)))
+      q.processAllAvailable()
+      // batch 2: purchase at 09:30 - within the 1h watermark, between
+      // the two clicks: the correct match is A, not none
+      ms.addData(Seq(
+        Event(22L, ts("2024-03-01 09:30:00"), 7L, "purchase", 10.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("enr2").as[EventPipeline.EnrichedPurchase]
+      .collect().map(e => e.purchase_id -> e.click_id).toMap
+    assert(got == Map(22L -> Some(20L)))
+  }
+
   test("userSessions accumulates keyed state across micro-batches") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[Event]
