@@ -119,42 +119,53 @@ object Bpe {
     }
   }
 
-  /** Encode: apply a trained merge-rule table to the token arrays —
-    * the other half of the tokenizer, turning text into the symbol
-    * sequences [[Packing]] counts and packs.
-    *
-    * Two-level shape, like train: the R rules fold over the DISTINCT
-    * token dict (Zipf-bounded — each rule is one broadcast crossJoin +
-    * literal replace, never a corpus pass; the dict lineage is cut
-    * every 16 rules so plan depth stays bounded at large R), then the
-    * corpus rebuilds per document through one equi-join on the token
-    * and one doc-keyed aggregation. Merge semantics are [[merge4]] —
-    * the same portable contract as train, in both engines.
-    *
-    * The rule STEPS are read to the driver to drive the fold — R longs
-    * of an O(vocab) artifact table (like reading its count), not a
-    * data collect; steps must be contiguous from 1 (train's output
-    * contract) and are validated loudly.
-    *
-    * Output: (idCol, n_syms, bpe_text) — bpe_text is the
-    * space-separated symbol sequence of the document in token order;
-    * token-less documents keep (0, ""). */
-  def encode(docs: DataFrame, idCol: String, tokCol: String,
-             rules: DataFrame,
-             checkpointDir: Option[String] = None): DataFrame = {
-    val steps = rules.select(col("step").cast("long"))
-      .collect().map(_.getLong(0)).sorted
+  /** Ordered (lhs, rhs) rule list of a trained merge table, validated
+    * contiguous from 1 (train's output contract). This reads the rule
+    * TABLE to the driver — R short strings of an O(vocab) artifact,
+    * i.e. the tokenizer file every BPE implementation ships, not a
+    * data collect. */
+  private def orderedRules(rules: DataFrame): Array[(String, String)] = {
+    val rows = rules.select(col("step").cast("long"), col("lhs"), col("rhs"))
+      .collect().sortBy(_.getLong(0))
+    val steps = rows.map(_.getLong(0))
     require(steps.zipWithIndex.forall { case (s, i) => s == i + 1 },
       s"rules.step must be contiguous from 1, got ${steps.mkString(",")}")
-    val dict0 = docs.select(explode(col(tokCol)).as("w")).distinct()
-      .select(col("w"), spaced(col("w")).as("sym"))
-    val dict = steps.foldLeft(dict0) { (d, i) =>
-      val rule = rules.filter(col("step") === i)
-        .select(col("lhs"), col("rhs"))
-      val next = d.crossJoin(broadcast(rule))
-        .select(col("w"), merge4(col("sym"), col("lhs"), col("rhs")).as("sym"))
-      if (i % 16 == 0) Checkpoints.cut(next, checkpointDir) else next
+    rows.map(r => (r.getString(1), r.getString(2)))
+  }
+
+  /** Local twin of [[spaced]]: the same Java-regex spacing Spark
+    * executes for the Column form, so the local encoder and the SQL
+    * fold can never disagree on symbol boundaries. */
+  private val spacedRe = java.util.regex.Pattern.compile("(.)")
+  private[ext] def spacedLocal(w: String): String =
+    " " + spacedRe.matcher(w).replaceAll("$1 ").trim + " "
+
+  /** Local twin of [[merge4]]: `String.replace` is literal,
+    * left-to-right and non-overlapping — exactly the Spark/DuckDB
+    * `replace` semantics — so folding the rule list locally produces
+    * bit-identical symbol strings to the R-stage SQL fold. The
+    * `contains` guard only skips no-op passes (replace without a match
+    * is identity), it cannot change the result. */
+  private[ext] def mergeLocal(sym: String,
+                              rules: Array[(String, String)]): String = {
+    var s = sym
+    var i = 0
+    while (i < rules.length) {
+      val (l, r) = rules(i)
+      val pat = " " + l + " " + r + " "
+      val rep = " " + l + r + " "
+      var k = 0
+      while (k < 4 && s.contains(pat)) { s = s.replace(pat, rep); k += 1 }
+      i += 1
     }
+    s
+  }
+
+  /** Rebuild per-document symbol sequences from a (w, sym) dict —
+    * the corpus half shared by both encode paths: one equi-join on the
+    * token, one doc-keyed aggregation; token-less docs keep (0, ""). */
+  private def rebuild(docs: DataFrame, idCol: String, tokCol: String,
+                      dict: DataFrame): DataFrame = {
     val ex = docs.select(col(idCol), posexplode(col(tokCol)).as(Seq("pos", "w")))
     val rebuilt = ex.join(dict, Seq("w"))
       .groupBy(col(idCol))
@@ -171,25 +182,96 @@ object Bpe {
         coalesce(col("bpe_text"), lit("")).as("bpe_text"))
   }
 
-  /** Vocabulary table (sym, sym_id) for a trained rule set: base
-    * symbols are the corpus's distinct characters with ids assigned by
-    * lexicographic rank (0..C-1), merged symbols take C + step - 1 —
-    * the Sennrich id layout (alphabet first, merges in learned order).
+  /** Encode: apply a trained merge-rule table to the token arrays —
+    * the other half of the tokenizer, turning text into the symbol
+    * sequences [[Packing]] counts and packs.
+    *
+    * Single-pass shape (the standard tokenizer deployment): the whole
+    * rule table is broadcast and the R merges fold over each DISTINCT
+    * token locally inside ONE `mapPartitions` stage — plan depth and
+    * stage count are flat in R, so a production 32k–100k-merge
+    * tokenizer costs the same number of Spark jobs as a 3-merge
+    * fixture. Merge semantics are [[mergeLocal]], the bit-exact local
+    * twin of [[merge4]] — [[encodeSqlFold]] keeps the R-stage SQL fold
+    * as this path's cross-engine oracle twin (BpeSpec pins local ==
+    * fold on the Sennrich fixture and the odd-run edge). The corpus
+    * then rebuilds per document through [[rebuild]]'s equi-join on the
+    * Zipf-bounded dict.
+    *
+    * `checkpointDir` is accepted for signature compatibility with the
+    * fold twin; the local path has no loop-carried lineage to cut.
+    *
+    * Output: (idCol, n_syms, bpe_text) — bpe_text is the
+    * space-separated symbol sequence of the document in token order;
+    * token-less documents keep (0, ""). */
+  def encode(docs: DataFrame, idCol: String, tokCol: String,
+             rules: DataFrame,
+             checkpointDir: Option[String] = None): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ruleArr = orderedRules(rules)
+    val bc = spark.sparkContext.broadcast(ruleArr)
+    val dict = docs.select(explode(col(tokCol)).as("w")).distinct()
+      .as[String]
+      .mapPartitions { it =>
+        val rs = bc.value
+        it.map(w => (w, mergeLocal(spacedLocal(w), rs)))
+      }
+      .toDF("w", "sym")
+    rebuild(docs, idCol, tokCol, dict)
+  }
+
+  /** The R-stage SQL-fold encoder — [[encode]]'s oracle twin and the
+    * cross-engine-portable formulation (each rule is one broadcast
+    * crossJoin + [[merge4]] literal replace over the distinct-token
+    * dict, lineage cut every 16 rules). Sequential in R by
+    * construction — R scheduler rounds — which is why [[encode]]'s
+    * single-pass local fold is the production path; this stays as the
+    * executable contract both engines share. */
+  def encodeSqlFold(docs: DataFrame, idCol: String, tokCol: String,
+                    rules: DataFrame,
+                    checkpointDir: Option[String] = None): DataFrame = {
+    val steps = orderedRules(rules).indices.map(_ + 1L)
+    val dict0 = docs.select(explode(col(tokCol)).as("w")).distinct()
+      .select(col("w"), spaced(col("w")).as("sym"))
+    val dict = steps.foldLeft(dict0) { (d, i) =>
+      val rule = rules.filter(col("step") === i)
+        .select(col("lhs"), col("rhs"))
+      val next = d.crossJoin(broadcast(rule))
+        .select(col("w"), merge4(col("sym"), col("lhs"), col("rhs")).as("sym"))
+      if (i % 16 == 0) Checkpoints.cut(next, checkpointDir) else next
+    }
+    rebuild(docs, idCol, tokCol, dict)
+  }
+
+  /** Base-symbol alphabet of the TRAINING corpus: (sym, sym_id) with
+    * ids assigned by lexicographic rank 0..C-1. This is part of the
+    * tokenizer ARTIFACT — train it once with the rules and persist the
+    * pair; every later [[vocab]]/[[encodeIds]] call derives ids from
+    * it, so sym_ids are a pure function of the artifact, never of the
+    * batch being encoded (two batches with different character sets
+    * still agree on every shared id).
     *
     * Rank assignment avoids a global-order window: the alphabet is
     * collected into ONE bounded row (`collect_set` over distinct
     * single characters — state O(alphabet), the league-scalar
-    * posture) and posexploded back with its sort position. Should two
-    * rules produce the same merged string (possible from different
-    * splits), the EARLIEST id wins — the table stays unique per sym,
-    * so the encode join never fans out. */
-  def vocab(docs: DataFrame, tokCol: String, rules: DataFrame): DataFrame = {
-    val alpha = docs.select(explode(col(tokCol)).as("w"))
+    * posture) and posexploded back with its sort position. */
+  def alphabet(toks: DataFrame, tokCol: String): DataFrame =
+    toks.select(explode(col(tokCol)).as("w"))
       .select(explode(split(trim(spaced(col("w"))), " ")).as("sym"))
       .distinct()
       .agg(array_sort(collect_set(col("sym"))).as("a"))
       .select(posexplode(col("a")).as(Seq("id", "sym")))
       .select(col("sym"), col("id").cast("long").as("sym_id"))
+
+  /** Vocabulary table (sym, sym_id) for a tokenizer artifact
+    * (alphabet + rules): base symbols keep their alphabet ids
+    * (0..C-1), merged symbols take C + step - 1 — the Sennrich id
+    * layout (alphabet first, merges in learned order). Should two
+    * rules produce the same merged string (possible from different
+    * splits), the EARLIEST id wins — the table stays unique per sym,
+    * so the encode join never fans out. */
+  def vocab(alpha: DataFrame, rules: DataFrame): DataFrame = {
     val c = alpha.agg(count(lit(1)).as("c"))
     val merged = rules.crossJoin(broadcast(c))
       .select(col("merged").as("sym"),
@@ -198,20 +280,39 @@ object Bpe {
       .groupBy(col("sym")).agg(min(col("sym_id")).as("sym_id"))
   }
 
+  /** Convenience overload deriving the alphabet from `docs` — ONLY
+    * valid when `docs` IS the training corpus (otherwise ids would
+    * depend on the encoded batch; use [[alphabet]] on the training
+    * toks and the two-argument [[vocab]]). */
+  def vocab(docs: DataFrame, tokCol: String, rules: DataFrame): DataFrame =
+    vocab(alphabet(docs, tokCol), rules)
+
   /** Tokenize to integer ids: [[encode]]'s symbol sequences joined to
-    * the [[vocab]] table — one row per (document, position): (idCol,
-    * pos, sym, sym_id). The shape a trainer consumes (and what
-    * [[Packing]] packs once aggregated to counts); token-less docs
-    * contribute no rows here (their accounting lives in encode's
-    * n_syms=0). */
+    * the vocabulary — one row per (document, position): (idCol, pos,
+    * sym, sym_id). The shape a trainer consumes (and what [[Packing]]
+    * packs once aggregated to counts); token-less docs contribute no
+    * rows here (their accounting lives in encode's n_syms=0).
+    *
+    * Pass `vocabTable` (built from the TRAINING corpus's [[alphabet]]
+    * + the rules — the persisted tokenizer artifact) whenever the
+    * batch being encoded is not the training corpus itself: ids must
+    * be a function of the artifact, not of the batch. Symbols outside
+    * the artifact's vocabulary (a new batch with unseen characters)
+    * keep their row with sym_id NULL — surfaced, never silently
+    * dropped — so a downstream trainer can route them to its UNK id
+    * or quarantine them. When `vocabTable` is None the vocabulary is
+    * derived from `docs` (valid only for docs == training corpus,
+    * where it covers every symbol by construction). */
   def encodeIds(docs: DataFrame, idCol: String, tokCol: String,
                 rules: DataFrame,
+                vocabTable: Option[DataFrame] = None,
                 checkpointDir: Option[String] = None): DataFrame = {
+    val voc = vocabTable.getOrElse(vocab(docs, tokCol, rules))
     val enc = encode(docs, idCol, tokCol, rules, checkpointDir)
     enc.filter(col("n_syms") > 0)
       .select(col(idCol),
         posexplode(split(col("bpe_text"), " ")).as(Seq("pos", "sym")))
-      .join(vocab(docs, tokCol, rules), Seq("sym"))
+      .join(voc, Seq("sym"), "left")
       .select(col(idCol), col("pos").cast("long").as("pos"), col("sym"),
         col("sym_id"))
   }

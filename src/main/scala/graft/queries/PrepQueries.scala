@@ -396,7 +396,12 @@ object PrepQueries {
   private val bpeIdsQ: QFn = (s, d) => {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"), Hashing.tokens(col("text")).as("tk"))
-    Bpe.encodeIds(toks, "doc_id", "tk", Bpe.train(toks, "tk", merges = 3))
+    val rules = Bpe.train(toks, "tk", merges = 3)
+    // ids from the persisted tokenizer artifact (training alphabet +
+    // rules), the batch-independent path — here the encoded batch IS
+    // the training corpus, so the oracle's derive-from-docs SQL agrees
+    Bpe.encodeIds(toks, "doc_id", "tk", rules,
+      vocabTable = Some(Bpe.vocab(Bpe.alphabet(toks, "tk"), rules)))
   }
 
   private val bpeIdsSql =

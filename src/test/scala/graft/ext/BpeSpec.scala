@@ -132,6 +132,76 @@ class BpeSpec extends SparkSpec {
       "w" -> v("w"), "est" -> v("est")))
   }
 
+  test("single-pass local encode == SQL-fold twin on the Sennrich " +
+      "fixture and the odd-run edge") {
+    val docs = Seq(
+      (1L, Seq("low", "lower", "newest")),
+      (2L, Seq("widest", "low", "aaaaa")),
+      (3L, Seq("aaaa", "abab")),
+      (4L, Seq.empty[String])).toDF("doc_id", "tk")
+    // rules trained on the fixture PLUS a self-merge rule family so the
+    // odd-run stranding path (the documented contract deviation from
+    // greedy BPE) is exercised through BOTH encoders
+    val trained = Bpe.train(corpus, "tk", merges = 3)
+    val selfish = Seq(
+      (4L, "a", "a", "aa", 0L), (5L, "aa", "aa", "aaaa", 0L))
+      .toDF("step", "lhs", "rhs", "merged", "pair_count")
+    val rules = trained.unionByName(selfish)
+    val local = Bpe.encode(docs, "doc_id", "tk", rules)
+      .as[(Long, Long, String)].collect().toSet
+    val fold = Bpe.encodeSqlFold(docs, "doc_id", "tk", rules)
+      .as[(Long, Long, String)].collect().toSet
+    assert(local == fold)
+    // and the odd-run placement is the portable one, through the local path
+    val m = local.map(r => r._1 -> r._3).toMap
+    assert(m(2L).endsWith("aa a aa")) // "aaaaa" strands mid-run
+    assert(m(3L).startsWith("aaaa"))  // "aaaa" fully merges via rule 5
+  }
+
+  test("local encode plan shape is flat in R (one stage regardless of " +
+      "rule count)") {
+    val docs = Seq((1L, Seq("low", "newest"))).toDF("doc_id", "tk")
+    def synthRules(n: Int) =
+      (1 to n).map(i => (i.toLong, s"z$i", "q", s"z${i}q", 1L))
+        .toDF("step", "lhs", "rhs", "merged", "pair_count")
+    def planNodes(n: Int) = {
+      val plan = Bpe.encode(docs, "doc_id", "tk", synthRules(n))
+        .queryExecution.optimizedPlan
+      (plan.collect { case p => p }.length, plan.toString)
+    }
+    val (n4, _) = planNodes(4)
+    val (n64, p64) = planNodes(64)
+    assert(n4 == n64,
+      s"local-path plan must not grow with R: R=4 -> $n4 nodes, R=64 -> $n64")
+    // the R-fold's signature shape (one broadcast crossJoin per rule)
+    // must be absent entirely
+    assert(!p64.contains("Cross"), s"unexpected cross join in:\n$p64")
+  }
+
+  test("vocab ids are a pure function of the tokenizer artifact " +
+      "across batches; unseen symbols surface as NULL") {
+    val rules = Bpe.train(corpus, "tk", merges = 3) // (e,s),(es,t),(l,o)
+    val artifact = Bpe.vocab(Bpe.alphabet(corpus, "tk"), rules)
+    // batch A: a subset of the training corpus's token shapes
+    val a = Seq((1L, Seq("low", "newest"))).toDF("doc_id", "tk")
+    // batch B: shares symbols with A but has a DIFFERENT character set
+    // (adds 'x' / 'z', drops most of A's); pre-fix, deriving the
+    // alphabet from each batch would shift every shared id
+    val b = Seq((9L, Seq("low", "xz"))).toDF("doc_id", "tk")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      Bpe.encodeIds(df, "doc_id", "tk", rules, vocabTable = Some(artifact))
+        .select(col("sym"), col("sym_id")).as[(String, Option[Long])]
+        .collect().toMap
+    val ia = ids(a)
+    val ib = ids(b)
+    // shared symbols agree across batches — the artifact decides
+    for (sym <- Seq("lo", "w")) assert(ia(sym) == ib(sym), sym)
+    // training corpus chars: d,e,i,l,n,o,r,s,t,w (10) -> merges at 10..12
+    assert(ib("lo") == Some(12L))
+    // batch-B symbols outside the artifact alphabet surface as NULL
+    assert(ib("x").isEmpty && ib("z").isEmpty)
+  }
+
   test("train with a durable checkpointDir matches the local path") {
     val dir = java.nio.file.Files.createTempDirectory("bpeck").toString
     val a = Bpe.train(corpus, "tk", merges = 3)
