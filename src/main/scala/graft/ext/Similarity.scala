@@ -400,6 +400,22 @@ object Similarity {
         transform(col("dcv"), s => s.getField("v")).as("dequant"))
   }
 
+  /** 1-byte serving layout for [[quantizeInt8]] codes: (idCol, pcodes
+    * array<tinyint>) storing code - 128 — int8's qcodes column is
+    * already one row per vector, but its array<int> elements cost 4
+    * bytes each; this is the actual-8-bit form a serving table ships
+    * (the remaining 4x of the quantization's promised storage cut).
+    * qcodes stays the oracle layout; [[unpackInt8]] restores it
+    * bit-exactly. */
+  def packInt8(quantized: DataFrame, idCol: String = "vec_id"): DataFrame =
+    quantized.select(col(idCol),
+      transform(col("qcodes"), c => (c - 128).cast("byte")).as("pcodes"))
+
+  /** Restore the array<int> qcodes layout from [[packInt8]] output. */
+  def unpackInt8(packed: DataFrame, idCol: String = "vec_id"): DataFrame =
+    packed.select(col(idCol),
+      transform(col("pcodes"), c => c.cast("int") + 128).as("qcodes"))
+
   /** The m contiguous subspace slices of a (double-array) vector: the
     * last subspace takes the remainder when m does not divide d. ONE
     * definition shared by PQ training, encoding and query-side LUT
@@ -471,14 +487,7 @@ object Similarity {
       .select(posexplode(col("a")).as(Seq("cid", "s")))
       .select(col("cid").cast("long").as("cid"),
         posexplode(subSlices(col("s.vv"), m)).as(Seq("sub", "cv")))
-    def assign(book: DataFrame): DataFrame =
-      sig9Score(sv.join(broadcast(book), Seq("sub")),
-          Seq("vid", "sub", "cid"),
-          normSq(col("sv")) - lit(2.0) * dot(col("sv"), col("cv"))
-            + normSq(col("cv")), "d2")
-        .groupBy(col("vid"), col("sub"))
-        .agg(min(struct(col("d2"), col("cid"))).as("b"))
-        .select(col("vid"), col("sub"), col("b.cid").as("code"))
+    def assign(book: DataFrame): DataFrame = pqAssign(sv, book)
     // one Lloyd step: per-(sub, codeword, dim) decimal mean
     val a0 = assign(seedbook)
     val codebook = Checkpoints.cut(
@@ -495,6 +504,65 @@ object Similarity {
       checkpointDir)
     val codes = Checkpoints.cut(assign(codebook), checkpointDir)
     (codebook, codes)
+  }
+
+  /** Codeword assignment of an exploded (vid, sub, sv) subspace frame
+    * against a broadcast codebook — the shared kernel of [[pqTrain]]
+    * and [[pqEncode]] (sig9'd squared L2 argmin, ties to the smaller
+    * codeword id, so codes are bit-reproducible). */
+  private def pqAssign(sv: DataFrame, book: DataFrame): DataFrame =
+    sig9Score(sv.join(broadcast(book), Seq("sub")),
+        Seq("vid", "sub", "cid"),
+        normSq(col("sv")) - lit(2.0) * dot(col("sv"), col("cv"))
+          + normSq(col("cv")), "d2")
+      .groupBy(col("vid"), col("sub"))
+      .agg(min(struct(col("d2"), col("cid"))).as("b"))
+      .select(col("vid"), col("sub"), col("b.cid").as("code"))
+
+  /** Encode a vector batch against a FROZEN trained codebook — the
+    * appending half of the PQ artifact ([[extendIndex]]'s twin on the
+    * code side): O(batch x k) per ingest batch, never a retrain. Uses
+    * the exact assignment kernel [[pqTrain]] used for its own codes,
+    * so encoding the training corpus reproduces the training codes
+    * bit-for-bit (spec-pinned), and appended batches rank identically
+    * to a from-scratch assignment under the same codebook (codebooks
+    * are immutable within an artifact version — the IVF centroid
+    * contract). `m` must equal the training m. Output: (vid, sub,
+    * code) rows; [[packCodes]] for the serving layout. */
+  def pqEncode(newVectors: DataFrame, codebook: DataFrame, m: Int,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    val v = newVectors.select(col(idCol).as("vid"),
+      transform(col(vecCol), x => x.cast("double")).as("vv"))
+    val sv = v.select(col("vid"),
+      posexplode(subSlices(col("vv"), m)).as(Seq("sub", "sv")))
+    pqAssign(sv, codebook)
+  }
+
+  /** Persist a PQ artifact: codebook + PACKED codes (the serving
+    * layout — one row, m bytes per vector). */
+  def savePq(codebook: DataFrame, packed: DataFrame, path: String): Unit = {
+    codebook.write.mode("overwrite").parquet(s"$path/codebook")
+    packed.write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Load a persisted PQ artifact: (codebook, packed codes). */
+  def loadPq(spark: SparkSession, path: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$path/codebook"),
+      spark.read.parquet(s"$path/codes"))
+
+  /** Incrementally extend a persisted PQ artifact: encode ONLY the new
+    * vectors against the frozen codebook and append their packed
+    * rows — the PQ half of the append-only ingest pattern
+    * ([[extendIndex]] keeps the IVF routing current; this keeps the
+    * code table current; probes of old and new vectors then share one
+    * serving path). */
+  def extendPq(newVectors: DataFrame, path: String, m: Int,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): Unit = {
+    val book = newVectors.sparkSession.read.parquet(s"$path/codebook")
+    packCodes(pqEncode(newVectors, book, m, idCol, vecCol), m)
+      .write.mode("append").parquet(s"$path/codes")
   }
 
   /** Asymmetric-distance top-k over PQ codes: per query, an m x k
@@ -523,6 +591,54 @@ object Similarity {
       .select(col("qid"), col("rank"), col("vid").as("cid"), col("score"))
   }
 
+  /** Pivot (vid, sub, code) PQ code rows into ONE row per vector:
+    * (vid, pcodes array<tinyint>) with pcodes(sub) storing code - 128
+    * (exact for the k <= 256 codeword range PQ uses; out-of-range
+    * codes and vectors missing a subspace raise). This is the SERVING
+    * layout: the row form costs m rows per vector through every
+    * downstream shuffle, the packed form one row and one byte per
+    * code — at m=16 over a billion vectors, the difference between a
+    * join side that fits and one that doesn't. The row layout stays
+    * the SQL-portable oracle form ([[unpackCodes]] restores it
+    * bit-exactly; SimilaritySpec pins the round-trip and packed==row
+    * serving parity). */
+  def packCodes(codes: DataFrame, m: Int): DataFrame =
+    codes.groupBy(col("vid"))
+      .agg(array_sort(collect_list(struct(col("sub"), col("code")))).as("sc"))
+      .select(col("vid"),
+        when(size(col("sc")) === m,
+          transform(col("sc"), s =>
+            when(s.getField("code").between(0, 255),
+              (s.getField("code") - 128).cast("byte"))
+              .otherwise(raise_error(concat(lit("packCodes: code "),
+                s.getField("code").cast("string"),
+                lit(" outside the tinyint-packable range 0..255"))))))
+          .otherwise(raise_error(concat(lit("packCodes: vector "),
+            col("vid").cast("string"), lit(" carries "),
+            size(col("sc")).cast("string"),
+            lit(s" subspace codes, expected $m"))))
+          .as("pcodes"))
+
+  /** Restore the (vid, sub, code) row layout from [[packCodes]] output
+    * — the oracle/back-compat direction; also the in-plan unpack the
+    * packed serving paths use right before the (broadcast) ADC LUT
+    * join, where the explode is map-side and never crosses a
+    * shuffle. */
+  def unpackCodes(packed: DataFrame): DataFrame =
+    packed.select(col("vid"), posexplode(col("pcodes")).as(Seq("sub", "pc")))
+      .select(col("vid"), col("sub"),
+        (col("pc").cast("long") + 128L).as("code"))
+
+  /** [[pqTopK]] over the packed (vid, pcodes) layout: identical scores
+    * and ranking (the map-side unpack feeds the same broadcast-LUT
+    * join and decimal sum), but the corpus-side artifact carries one
+    * row per vector. */
+  def pqTopKPacked(queries: DataFrame, codebook: DataFrame,
+                   packed: DataFrame, m: Int, topK: Int,
+                   idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame =
+    pqTopK(queries, codebook, unpackCodes(packed), m, topK, idCol, vecCol)
+
   /** IVF-PQ: the billion-scale serving composition — route each query
     * to its `nprobe` nearest IVF centroids (cosine, like [[ivfTopK]]),
     * then rank ONLY those inverted lists' members by PQ codes
@@ -543,7 +659,38 @@ object Similarity {
   def ivfPqTopK(queries: DataFrame, centroids: DataFrame, index: DataFrame,
                 codebook: DataFrame, codes: DataFrame, m: Int, topK: Int,
                 nprobe: Int = 2, idCol: String = "vec_id",
-                vecCol: String = "embedding"): DataFrame = {
+                vecCol: String = "embedding"): DataFrame =
+    ivfPqCore(queries, centroids, index, codebook, m, topK, nprobe, idCol,
+      vecCol,
+      cands => cands.join(codes.select(col("vid"), col("sub"), col("code")),
+        Seq("vid")))
+
+  /** [[ivfPqTopK]] over the packed (vid, pcodes) layout. The candidate
+    * (qid, vid) pairs join ONE packed row per vector — the m-way code
+    * explode happens after that join, map-side, feeding the broadcast
+    * LUT directly — so no shuffle anywhere carries m rows per vector.
+    * Scores are identical to the row-layout path. */
+  def ivfPqTopKPacked(queries: DataFrame, centroids: DataFrame,
+                      index: DataFrame, codebook: DataFrame,
+                      packed: DataFrame, m: Int, topK: Int,
+                      nprobe: Int = 2, idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame =
+    ivfPqCore(queries, centroids, index, codebook, m, topK, nprobe, idCol,
+      vecCol,
+      cands => cands.join(packed, Seq("vid"))
+        .select(col("qid"), col("vid"),
+          posexplode(col("pcodes")).as(Seq("sub", "pc")))
+        .select(col("qid"), col("vid"), col("sub"),
+          (col("pc").cast("long") + 128L).as("code")))
+
+  /** Shared IVF-PQ core: `attachCodes` turns the candidate (qid, vid)
+    * pairs into (qid, vid, sub, code) rows — the only step where the
+    * row and packed layouts differ. */
+  private def ivfPqCore(queries: DataFrame, centroids: DataFrame,
+                        index: DataFrame, codebook: DataFrame, m: Int,
+                        topK: Int, nprobe: Int, idCol: String,
+                        vecCol: String,
+                        attachCodes: DataFrame => DataFrame): DataFrame = {
     val q = queries.select(col(idCol).as("qid"),
       transform(col(vecCol), x => x.cast("double")).as("qv"),
       normSq(col(vecCol)).as("qn"))
@@ -565,8 +712,7 @@ object Similarity {
     val lutR = adcLut(q.select(col("qid"), col("qv")), codebook, m)
       .select(col("qid").as("__lq"), col("sub").as("__ls"),
         col("cid").as("__lc"), col("p"))
-    val scored = cands
-      .join(codes.select(col("vid"), col("sub"), col("code")), Seq("vid"))
+    val scored = attachCodes(cands)
       .join(broadcast(lutR),
         col("qid") === col("__lq") && col("sub") === col("__ls") &&
           col("code") === col("__lc"))

@@ -694,7 +694,10 @@ object ExtQueries {
       m = 2, k = 4)
     val q = perturbed(s, d)
       .select(col("qid").as("vec_id"), col("qv").as("embedding"))
-    Similarity.pqTopK(q, book, codes, m = 2, topK = 1)
+    // serve over the packed one-row-per-vector layout; the oracle's
+    // (vid, sub, code) row formulation adjudicates it bit-for-bit
+    Similarity.pqTopKPacked(q, book, Similarity.packCodes(codes, 2),
+      m = 2, topK = 1)
   }
 
   private val annPqSql = {
@@ -785,7 +788,8 @@ object ExtQueries {
     val q = perturbed(s, d)
       .select(col("qid").as("vec_id"), col("qv").as("embedding"))
     val top1 = Similarity
-      .ivfPqTopK(q, cents, index, book, codes, m = 4, topK = 1, nprobe = 2)
+      .ivfPqTopKPacked(q, cents, index, book,
+        Similarity.packCodes(codes, 4), m = 4, topK = 1, nprobe = 2)
       .filter(col("rank") === 1)
     val hits = q.select(col("vec_id").as("qid"))
       .join(top1, Seq("qid"), "left")

@@ -284,6 +284,95 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("packCodes round-trips bit-exactly and raises on malformed " +
+      "code tables") {
+    val (_, codes) = Similarity.pqTrain(base, m = 2, k = 4)
+    val packed = Similarity.packCodes(codes, 2)
+    // one row per vector, tinyint elements
+    assert(packed.count() == 40)
+    assert(packed.schema("pcodes").dataType.simpleString == "array<tinyint>")
+    val back = Similarity.unpackCodes(packed).as[(Long, Int, Long)]
+      .collect().toSet
+    assert(back == codes.as[(Long, Int, Long)].collect().toSet)
+    // a vector missing a subspace row raises
+    val broken = codes.filter(!(col("vid") === 7L && col("sub") === 1))
+    val e = intercept[Exception] {
+      Similarity.packCodes(broken, 2).collect()
+    }
+    assert(e.getMessage.contains("packCodes"), e.getMessage)
+    // an out-of-range code raises
+    val big = Seq((1L, 0, 300L), (1L, 1, 2L)).toDF("vid", "sub", "code")
+    val e2 = intercept[Exception] {
+      Similarity.packCodes(big, 2).collect()
+    }
+    assert(e2.getMessage.contains("0..255"), e2.getMessage)
+  }
+
+  test("packInt8 round-trips qcodes bit-exactly at 1 byte per code") {
+    val quant = Similarity.quantizeInt8(base)
+    val packed = Similarity.packInt8(quant)
+    assert(packed.schema("pcodes").dataType.simpleString == "array<tinyint>")
+    val back = Similarity.unpackInt8(packed)
+      .as[(Long, Seq[Int])].collect().toMap
+    quant.select(col("vec_id"), col("qcodes")).as[(Long, Seq[Int])]
+      .collect().foreach { case (id, qs) => assert(back(id) == qs, s"id $id") }
+  }
+
+  test("packed serving paths score identically to the row layout " +
+      "(pqTopKPacked and ivfPqTopKPacked)") {
+    val (cents, index) = Similarity.ivfIndex(base, k = 4)
+    val (book, codes) = Similarity.pqTrain(base, m = 2, k = 8)
+    val packed = Similarity.packCodes(codes, 2)
+    val q = base.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000).as("vec_id"), col("embedding"))
+    val rowPq = Similarity.pqTopK(q, book, codes, m = 2, topK = 3)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val pkdPq = Similarity.pqTopKPacked(q, book, packed, m = 2, topK = 3)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(rowPq == pkdPq)
+    val rowIvf = Similarity
+      .ivfPqTopK(q, cents, index, book, codes, m = 2, topK = 3, nprobe = 2)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val pkdIvf = Similarity
+      .ivfPqTopKPacked(q, cents, index, book, packed, m = 2, topK = 3,
+        nprobe = 2)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(rowIvf == pkdIvf)
+  }
+
+  test("pqEncode against the frozen codebook reproduces training codes; " +
+      "extendPq serves appended vectors retrain-free") {
+    val dir = java.nio.file.Files.createTempDirectory("pqstore").toString
+    val (book, codes) = Similarity.pqTrain(base, m = 2, k = 8)
+    // encoding the training corpus with the frozen book == the codes
+    // pqTrain itself produced (same assignment kernel)
+    val re = Similarity.pqEncode(base, book, m = 2)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(re == codes.as[(Long, Int, Long)].collect().toSet)
+    // append-only store: save base artifact, extend with a new batch
+    Similarity.savePq(book, Similarity.packCodes(codes, 2), dir)
+    val appended = base.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 500).as("vec_id"), col("embedding"))
+    Similarity.extendPq(appended, dir, m = 2)
+    val (book2, packed2) = Similarity.loadPq(spark, dir)
+    assert(packed2.count() == 50)
+    // retrain-free parity: the appended copies carry the SAME codes as
+    // their originals (exact duplicates under a frozen codebook), and
+    // the packed serving path ranks a perturbed query of an appended
+    // vector onto a code-equivalent of it
+    val codeOf = Similarity.unpackCodes(packed2).as[(Long, Int, Long)]
+      .collect().groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    (0L until 10L).foreach(id => assert(codeOf(id + 500) == codeOf(id)))
+    val q = base.filter(col("vec_id") < 3)
+      .select((col("vec_id") + 2000).as("vec_id"), col("embedding"))
+    val top1 = Similarity.pqTopKPacked(q, book2, packed2, m = 2, topK = 1)
+      .select("qid", "cid").as[(Long, Long)].collect().toMap
+    (0L until 3L).foreach { id =>
+      assert(codeOf(top1(id + 2000)) == codeOf(id), s"query ${id + 2000}")
+    }
+  }
+
   test("nearDupPairs finds only true near-duplicates at 0.99") {
     val queries = base.filter(col("vec_id") < 5)
       .select((col("vec_id") + 1000).as("qid"),
