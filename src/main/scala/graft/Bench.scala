@@ -44,7 +44,14 @@ object Bench {
       ((System.nanoTime() - t0) / 1e9, ok)
     }
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // SPARK_GRAFT_QUERIES=a,b,c restricts the run to a subset — the
+    // isolation knob for re-measuring one query without the other 100
+    // competing for the same 32 cores (unknown names fail loudly).
+    val subset = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    subset.foreach(qs => qs.foreach(q =>
+      require(SparkEntry.queries.contains(q), s"unknown bench query: $q")))
+    val names = subset.getOrElse(SparkEntry.queries.keys.toSeq).sorted
     names.foreach(runOnce) // warm-up pass, untimed
     // two timed passes, min per query: a single pass is exposed to
     // one-off JIT/GC/host noise (round-2 log had a 12 s outlier on a
