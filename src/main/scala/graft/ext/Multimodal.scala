@@ -14,15 +14,22 @@ import org.apache.spark.sql.functions._
   *    route by actual format (not file extension), drop/flag payloads
   *    whose bytes disagree with their claimed metadata, and size-filter
   *    without decoding pixels;
-  *  - full pixel/sample decode (`stubFeatures`) stays a clearly-marked
-  *    deterministic STUB — image/audio codecs are not in this
-  *    container — but the Spark-side plumbing is real and is what
-  *    matters at scale: binary payloads stay columnar in parquet,
-  *    metadata travels in a typed struct so planners can prune/filter
-  *    on it without touching bytes, and extraction runs as a batched
-  *    mapPartitions (the JVM shape of a mapInPandas/Arrow-batch UDF:
-  *    per-partition iterator, amortized per-batch setup, bounded
-  *    memory).
+  *  - [[extractPixelFeatures]] is a REAL pixel decode for the formats
+  *    the JRE ships codecs for (PNG / GIF / BMP / JPEG via
+  *    `javax.imageio`): mean luma + a luma histogram per payload,
+  *    computed inside the same batched `mapPartitions` shape. Payloads
+  *    no JRE codec accepts (audio, unknown bytes) degrade to a flagged
+  *    row carrying the deterministic byte-stub value — never a task
+  *    kill;
+  *  - `stubFeatures` remains the deterministic fake for feature
+  *    EMBEDDINGS (a learned vision encoder is not in any JVM) and the
+  *    fallback above. The Spark-side plumbing is real either way and
+  *    is what matters at scale: binary payloads stay columnar in
+  *    parquet, metadata travels in a typed struct so planners can
+  *    prune/filter on it without touching bytes, and extraction runs
+  *    as a batched mapPartitions (the JVM shape of a mapInPandas/
+  *    Arrow-batch UDF: per-partition iterator, amortized per-batch
+  *    setup, bounded memory).
   */
 object Multimodal {
 
@@ -83,7 +90,19 @@ object Multimodal {
         if (m == 0xff) i += 1 // fill byte: any number may pad a marker
         else if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7))
           i += 2 // bare markers (SOI, TEM, RSTn) carry no length
-        else i += 2 + be16(b, i + 2).toInt
+        else if (m == 0xd9)
+          // EOI ends the stream: no SOF was seen, terminate the walk
+          // explicitly (EOI carries no length field — reading one would
+          // advance by whatever bytes follow the stream)
+          return MediaHeader("jpeg", -1L, -1L, -1L)
+        else {
+          // every other non-bare marker carries a 2-byte length that
+          // INCLUDES itself, so < 2 is structurally corrupt — stop the
+          // walk deterministically instead of skipping pseudo-randomly
+          val len = be16(b, i + 2)
+          if (len < 2) return MediaHeader("jpeg", -1L, -1L, -1L)
+          i += 2 + len.toInt
+        }
       }
       MediaHeader("jpeg", -1L, -1L, -1L) // JPEG magic but no SOF found
     } else MediaHeader(null, -1L, -1L, -1L)
@@ -159,6 +178,78 @@ object Multimodal {
         batch.iterator.map { r =>
           val f = stubFeatures(r.getAs[Array[Byte]](1))
           org.apache.spark.sql.Row(r.get(0), f(0), f(1), f(2), f(3))
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** REAL pixel decode over (idCol, media) via `javax.imageio` —
+    * covers the JRE-native codecs (PNG, GIF, BMP, JPEG, WBMP). Output
+    * one row per payload: (idCol, decoded, mean_luma, luma_hist):
+    *
+    *  - decodable image: decoded=true, mean_luma = the row-major mean
+    *    of Rec.601 luma (0.299 R + 0.587 G + 0.114 B)/255 in [0, 1],
+    *    luma_hist = `bins` equal-width luma bins as fractions summing
+    *    to 1 (the standard exposure/quality signal a media curation
+    *    pipeline filters on);
+    *  - undecodable payload: decoded=false, mean_luma = the
+    *    deterministic [[stubFeatures]] fallback (first stub feature),
+    *    luma_hist NULL — flagged and routable, never a task kill;
+    *  - NULL payload: decoded=false, both stats NULL.
+    *
+    * Batched mapPartitions like [[extractFeatures]] (ImageIO's disk
+    * cache is disabled once per partition — the per-batch codec-setup
+    * slot the stub documents). Decode cost is O(pixels) per payload on
+    * the executor — embarrassingly parallel, no shuffle; at 100 TB the
+    * scan IS the job, which is exactly right. */
+  def extractPixelFeatures(media: DataFrame, batchSize: Int = 64,
+                           bins: Int = 8,
+                           idCol: String = "doc_id"): DataFrame = {
+    require(bins >= 1, "bins must be >= 1")
+    import org.apache.spark.sql.types.{ArrayType, BooleanType, DoubleType, StructField, StructType}
+    val in = media.select(col(idCol), col("media"))
+    val outSchema = StructType(in.schema.head +: Seq(
+      StructField("decoded", BooleanType, false),
+      StructField("mean_luma", DoubleType, true),
+      StructField("luma_hist", ArrayType(DoubleType, false), true)))
+    in.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false) // no temp-file cache on executors
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          val img =
+            if (bytes == null) null
+            else
+              try javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(bytes))
+              catch { case _: Exception => null } // malformed: flag, don't throw
+          if (img == null || img.getWidth <= 0 || img.getHeight <= 0) {
+            val fallback =
+              if (bytes == null) null
+              else java.lang.Double.valueOf(stubFeatures(bytes)(0))
+            org.apache.spark.sql.Row(r.get(0), false, fallback, null)
+          } else {
+            val w = img.getWidth
+            val h = img.getHeight
+            val hist = new Array[Long](bins)
+            var sum = 0.0
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y)
+                val lum = (0.299 * ((rgb >> 16) & 0xff) +
+                  0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)) / 255.0
+                sum += lum
+                hist(math.min(bins - 1, (lum * bins).toInt)) += 1
+                x += 1
+              }
+              y += 1
+            }
+            val n = w.toDouble * h
+            org.apache.spark.sql.Row(r.get(0), true, sum / n,
+              hist.toSeq.map(_ / n))
+          }
         }
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))

@@ -992,6 +992,25 @@ object ExtQueries {
        |FROM documents""".stripMargin
   }
 
+  /** The REAL-decode operator's oracle face: documents wrapped as fake
+    * media are undecodable by every JRE codec, so each row must take
+    * the flagged fallback path (decoded=false, mean_luma = the first
+    * md5 stub feature — the same cross-engine md5 contract
+    * q_x_multimodal pins). The decode=true path has no SQL oracle by
+    * nature (no pixel codec in DuckDB) and is spec-pinned instead on
+    * ImageIO-encoded PNG/GIF fixtures with known pixel stats. */
+  private val pixelsQ: QFn = (s, d) => {
+    val media = Multimodal.packAsMedia(Tables.documents(s, d))
+    Multimodal.extractPixelFeatures(media)
+      .select(col("doc_id"), col("decoded"), col("mean_luma"))
+  }
+
+  private val pixelsSql =
+    s"""SELECT doc_id, false AS decoded,
+       |  CAST('0x' || substr(md5(text), 1, 4) AS BIGINT)
+       |    / CAST(65535.0 AS DOUBLE) AS mean_luma
+       |FROM documents""".stripMargin
+
   // ===== repetition signals + PII redaction =============================
 
   private val repetitionQ: QFn = (s, d) =>
@@ -1278,6 +1297,7 @@ object ExtQueries {
     "q_x_ann_pq" -> annPq,
     "q_x_ann_ivfpq" -> annIvfPq,
     "q_x_multimodal" -> multimodal,
+    "q_x_pixels" -> pixelsQ,
     "q_x_dedup_clusters" -> dedupClusters,
     "q_x_cluster_rep" -> clusterRep,
     "q_x_contrastive" -> contrastive,
@@ -1316,6 +1336,7 @@ object ExtQueries {
     "q_x_ann_pq" -> annPqSql,
     "q_x_ann_ivfpq" -> annIvfPqSql,
     "q_x_multimodal" -> multimodalSql,
+    "q_x_pixels" -> pixelsSql,
     "q_x_dedup_clusters" -> dedupClustersSql,
     "q_x_cluster_rep" -> clusterRepSql,
     "q_x_contrastive" -> contrastiveSql,

@@ -115,6 +115,96 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseHeader(Array.emptyByteArray).format == null)
   }
 
+  test("parseHeader: EOI terminates the JPEG walk; corrupt length " +
+      "fields stop deterministically instead of skipping by garbage") {
+    // EOI (FFD9) before any SOF: must end the walk with the no-SOF
+    // flag, not read a phantom length from the trailing bytes (here the
+    // trailer LOOKS like a huge length that would skip past a real SOF)
+    assert(Multimodal.parseHeader(
+      hexBytes("FFD8 FFD9 FFC0 0011 08 0100 0180 03"))
+      == Multimodal.MediaHeader("jpeg", -1L, -1L, -1L))
+    // a segment whose declared length is < 2 (cannot include itself) is
+    // structurally corrupt: terminate, don't loop or jump pseudo-randomly
+    assert(Multimodal.parseHeader(
+      hexBytes("FFD8 FFE0 0001 FFC0 0011 08 0100 0180 03"))
+      == Multimodal.MediaHeader("jpeg", -1L, -1L, -1L))
+    assert(Multimodal.parseHeader(
+      hexBytes("FFD8 FFE0 0000 FFC0 0011 08 0100 0180 03"))
+      == Multimodal.MediaHeader("jpeg", -1L, -1L, -1L))
+    // a valid walk with a zero-padded APPn still reaches the SOF
+    assert(Multimodal.parseHeader(
+      hexBytes("FFD8 FFE0 0002 FFC0 0011 08 0100 0180 03"))
+      == Multimodal.MediaHeader("jpeg", 384L, 256L, 3L))
+  }
+
+  /** Encode a BufferedImage to bytes with the JRE's own codec. */
+  private def imageBytes(fmt: String,
+                         pixels: Seq[Seq[Int]]): Array[Byte] = {
+    val h = pixels.size
+    val w = pixels.head.size
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pixels(y)(x))
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, out), s"no $fmt writer")
+    out.toByteArray
+  }
+
+  private def lum(rgb: Int): Double =
+    (0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+      0.114 * (rgb & 0xff)) / 255.0
+
+  test("extractPixelFeatures decodes real PNG/GIF pixels to known " +
+      "luma stats; fakes and NULLs degrade to flagged fallback rows") {
+    val pngPx = Seq(Seq(0xffffff, 0x000000), Seq(0xff0000, 0x00ff00))
+    // b/w only (GIF palette keeps them exact) and 8x8 (the JRE GIF
+    // writer drops the final row of very small 2x2/4x4 images — an
+    // empirically-pinned codec quirk; at 8x8 the round-trip is exact):
+    // rows 0-1 black, rows 2-7 white -> mean luma 6/8
+    val gifPx = Seq.tabulate(8, 8)((y, _) =>
+      if (y < 2) 0x000000 else 0xffffff).map(_.toSeq)
+    val rows = Seq(
+      (1L, imageBytes("png", pngPx)),
+      (2L, imageBytes("gif", gifPx)),
+      (3L, "not an image at all".getBytes("UTF-8")),
+      (4L, null.asInstanceOf[Array[Byte]]))
+    val media = rows.toDF("doc_id", "media")
+    val r = Multimodal.extractPixelFeatures(media, batchSize = 2, bins = 8)
+      .as[(Long, Boolean, Option[Double], Option[Seq[Double]])]
+      .collect().map(t => t._1 -> t).toMap
+    // PNG: white/black/red/green — mean and 8-bin histogram, exact math
+    val (_, dec1, ml1, h1) = r(1L)
+    val exp1 = pngPx.flatten.map(lum)
+    assert(dec1)
+    assert(math.abs(ml1.get - exp1.sum / 4) < 1e-12)
+    val expHist = Array.fill(8)(0.0)
+    exp1.foreach(l => expHist(math.min(7, (l * 8).toInt)) += 0.25)
+    h1.get.zip(expHist).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-12) }
+    // GIF: 16 black + 48 white pixels
+    val (_, dec2, ml2, h2) = r(2L)
+    assert(dec2)
+    assert(math.abs(ml2.get - 0.75) < 1e-12)
+    assert(math.abs(h2.get(0) - 0.25) < 1e-12 &&
+      math.abs(h2.get(7) - 0.75) < 1e-12)
+    // and the canonical minimal 1x1 white GIF decodes through the
+    // operator too (a hand-crafted byte fixture, not our own writer)
+    val gif1 = hexBytes("474946383961 0100 0100 80 00 00 ffffff 000000" +
+      " 2c 00000000 0100 0100 00 02 02 44 01 00 3b")
+    val one = Multimodal.extractPixelFeatures(
+        Seq((9L, gif1)).toDF("doc_id", "media"), bins = 8)
+      .as[(Long, Boolean, Option[Double], Option[Seq[Double]])].head()
+    assert(one._2 && math.abs(one._3.get - lum(0xffffff)) < 1e-12)
+    // fake bytes: flagged, deterministic stub fallback, no histogram
+    val (_, dec3, ml3, h3) = r(3L)
+    assert(!dec3 && h3.isEmpty)
+    assert(ml3.contains(
+      Multimodal.stubFeatures("not an image at all".getBytes("UTF-8"))(0)))
+    // NULL payload: flagged with NULL stats
+    val (_, dec4, ml4, h4) = r(4L)
+    assert(!dec4 && ml4.isEmpty && h4.isEmpty)
+  }
+
   test("decodeHeaders surfaces parsed dims per row with NULLs for " +
       "unparseable payloads") {
     import org.apache.spark.sql.functions.{concat, lit, unhex, lpad, hex, when}
