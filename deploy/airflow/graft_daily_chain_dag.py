@@ -16,9 +16,12 @@
 # table shapes (game_records, hitters, pitchers, today_lineup, the
 # opponent/stadium/game splits); everything downstream is unchanged.
 #
-# Deployment artifact only - not executed in this repository's test
-# environment (no Airflow scheduler here); compiled counterpart mains
-# are exercised by graft.jobs.StagesSpec.
+# Executed in CI by tools/run_dag_smoke.py (no Airflow scheduler in
+# the test environment): the smoke runs THIS file under a minimal
+# operator shim, pins the `>>` wiring against the reference chain,
+# launches each task's main over the sf0.001 fixture in topological
+# order, and adjudicates staged == in-process via graft.jobs.ChainCheck
+# (the same equality graft.jobs.StagesSpec proves in-JVM).
 
 import os
 from datetime import datetime, timedelta
