@@ -18,30 +18,55 @@ import org.apache.spark.sql.DataFrame
   * operator. */
 object Checkpoints {
 
-  /** The dir LAST PASSED to setCheckpointDir per context. SparkContext
-    * itself stores `<dir>/<random UUID>` (it appends a fresh UUID
-    * subdirectory on every call), so `getCheckpointDir` can never
-    * equal the caller's dir — re-setting per cut would scatter each
-    * iteration's checkpoint into its own UUID directory and pay a
-    * mkdirs RPC per round. Weak keys: contexts stop pinning entries
-    * once they are collectable. */
-  private val lastSet = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[org.apache.spark.SparkContext, String]())
+  /** What THIS object installed per context: (caller dir, the resolved
+    * `<dir>/<random UUID>` SparkContext actually stores — it appends a
+    * fresh UUID subdirectory on every setCheckpointDir call, so
+    * `getCheckpointDir` can never equal the caller's dir). Weak keys:
+    * contexts stop pinning entries once they are collectable. */
+  private val installed = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.SparkContext,
+      (String, Option[String])]())
 
   /** Cut `df`'s lineage: durable `checkpoint()` under `dir` when set,
-    * else executor-local `localCheckpoint()`. Both are eager. A given
-    * dir is installed once per SparkContext; consecutive cuts (the
-    * iterative-operator loop) share one UUID checkpoint directory. */
+    * else executor-local `localCheckpoint()`. Both are eager.
+    *
+    * Dir policy (per context):
+    *  - consecutive cuts to ONE dir — the iterative-operator loop —
+    *    install it once and share one UUID checkpoint directory;
+    *  - a checkpoint dir configured OUTSIDE this object is never
+    *    silently overridden: the first durable cut on such a context
+    *    fails loudly (clear the external dir, or route the operator's
+    *    cuts to it by passing None? — None means local; pass the same
+    *    dir to agree with it);
+    *  - operators alternating DIFFERENT dirs on one context are legal
+    *    but re-pay setCheckpointDir per flip (a fresh UUID subdir +
+    *    mkdirs): SparkContext holds exactly one checkpoint dir and no
+    *    public API re-enters a previous UUID subdir. Prefer one
+    *    durable dir per session. */
   def cut(df: DataFrame, dir: Option[String]): DataFrame = dir match {
     case Some(d) =>
       val sc = df.sparkSession.sparkContext
-      lastSet.synchronized {
-        if (lastSet.get(sc) != d) {
+      installed.synchronized {
+        val cur = installed.get(sc)
+        val active = sc.getCheckpointDir
+        val cachedAndUntouched =
+          cur != null && cur._1 == d && active == cur._2
+        if (!cachedAndUntouched) {
+          require(cur != null || active.isEmpty,
+            s"SparkContext already has checkpoint dir ${active.orNull} " +
+              "configured outside graft.ext.Checkpoints; refusing to " +
+              s"silently override it with $d — clear it or pass the same dir")
           sc.setCheckpointDir(d)
-          lastSet.put(sc, d)
+          installed.put(sc, (d, sc.getCheckpointDir))
         }
       }
       df.checkpoint()
     case None => df.localCheckpoint()
   }
+
+  /** Test hook: forget what was installed for `sc` (specs share one
+    * context per JVM and need a clean slate to exercise the
+    * first-install paths). */
+  private[ext] def forget(sc: org.apache.spark.SparkContext): Unit =
+    installed.synchronized { installed.remove(sc); () }
 }

@@ -884,8 +884,15 @@ object ExtQueries {
       |  SELECT event_id AS purchase_id, user_id, ts, value
       |  FROM events WHERE event_type = 'purchase'),
       |quotes AS (
-      |  SELECT user_id, ts, event_id AS click_id
-      |  FROM events WHERE event_type = 'click')
+      |  -- pre-reduced to one row per (user_id, ts) keeping the GREATEST
+      |  -- click_id: bare ASOF leaves the pick among equal-ts quotes
+      |  -- unspecified, while the engine tie-breaks deterministically by
+      |  -- greatest click_id (asOfJoin tieBreak) — this makes the
+      |  -- adjudicated contract total on ANY fixture, not just ones
+      |  -- without equal-ts clicks
+      |  SELECT user_id, ts, MAX(event_id) AS click_id
+      |  FROM events WHERE event_type = 'click'
+      |  GROUP BY user_id, ts)
       |SELECT p.user_id, p.purchase_id,
       |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts, p.value,
       |  q.click_id,

@@ -23,15 +23,36 @@ object TemporalQueries {
   // ranges, so stitching columns from different quote rows (the
   // per-column last(ignoreNulls) anti-pattern) would diverge from
   // DuckDB's native ASOF JOIN — the payload must arrive as one row.
+
+  /** Purchase quotes pre-reduced to ONE row per (user_id, ts) keeping
+    * max(value): the as-of pick among equal-timestamp quotes is
+    * otherwise unspecified on BOTH sides (engine default tieBreak,
+    * DuckDB bare ASOF), so the reduction makes the adjudicated
+    * contract a total function of any fixture — the ADVICE-r7 move,
+    * mirrored exactly by the quotes subselect in the three oracles. */
+  private def purchaseQuotes(ev: DataFrame, valueName: String): DataFrame =
+    ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("value"))
+      .select(col("user_id"), col("ts"),
+        when(col("value") >= 100.0, col("value")).as(valueName),
+        when(col("value") < 200.0, floor(col("value"))).as("purchase_floor"))
+
+  private val quotesSql =
+    """  SELECT user_id, ts,
+      |    CASE WHEN value >= CAST(100.0 AS DOUBLE) THEN value END AS v,
+      |    CASE WHEN value < CAST(200.0 AS DOUBLE)
+      |      THEN CAST(floor(value) AS BIGINT) END AS vf
+      |  FROM (SELECT user_id, ts, MAX(value) AS value
+      |        FROM events WHERE event_type = 'purchase'
+      |        GROUP BY user_id, ts)""".stripMargin
+
   private val j10: QFn = (s, d) => {
     val ev = Tables.events(s, d)
     val probes = ev.filter(col("event_type") === "click")
       .select(col("event_id"), col("user_id"), col("ts"))
-    val quotes = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts"),
-        when(col("value") >= 100.0, col("value")).as("last_purchase_value"),
-        when(col("value") < 200.0, floor(col("value"))).as("purchase_floor"))
-    TemporalJoins.asOfJoin(probes, quotes, Seq("user_id"), "ts",
+    TemporalJoins.asOfJoin(probes, purchaseQuotes(ev, "last_purchase_value"),
+        Seq("user_id"), "ts",
         Seq("last_purchase_value", "purchase_floor"))
       .select(col("event_id"), col("user_id"),
         date_format(col("ts"), fmt).as("ts_s"),
@@ -40,14 +61,10 @@ object TemporalQueries {
   }
 
   private val j10Sql =
-    """WITH probes AS (
+    s"""WITH probes AS (
       |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
       |quotes AS (
-      |  SELECT user_id, ts,
-      |    CASE WHEN value >= CAST(100.0 AS DOUBLE) THEN value END AS v,
-      |    CASE WHEN value < CAST(200.0 AS DOUBLE)
-      |      THEN CAST(floor(value) AS BIGINT) END AS vf
-      |  FROM events WHERE event_type = 'purchase')
+      |$quotesSql)
       |SELECT p.event_id, p.user_id,
       |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
       |  q.v AS last_purchase_value, q.vf AS purchase_floor,
@@ -63,11 +80,8 @@ object TemporalQueries {
     val ev = Tables.events(s, d)
     val probes = ev.filter(col("event_type") === "click")
       .select(col("event_id"), col("user_id"), col("ts"))
-    val quotes = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts"),
-        when(col("value") >= 100.0, col("value")).as("next_purchase_value"),
-        when(col("value") < 200.0, floor(col("value"))).as("purchase_floor"))
-    TemporalJoins.asOfJoin(probes, quotes, Seq("user_id"), "ts",
+    TemporalJoins.asOfJoin(probes, purchaseQuotes(ev, "next_purchase_value"),
+        Seq("user_id"), "ts",
         Seq("next_purchase_value", "purchase_floor"),
         direction = "forward")
       .select(col("event_id"), col("user_id"),
@@ -77,14 +91,10 @@ object TemporalQueries {
   }
 
   private val j10bSql =
-    """WITH probes AS (
+    s"""WITH probes AS (
       |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
       |quotes AS (
-      |  SELECT user_id, ts,
-      |    CASE WHEN value >= CAST(100.0 AS DOUBLE) THEN value END AS v,
-      |    CASE WHEN value < CAST(200.0 AS DOUBLE)
-      |      THEN CAST(floor(value) AS BIGINT) END AS vf
-      |  FROM events WHERE event_type = 'purchase')
+      |$quotesSql)
       |SELECT p.event_id, p.user_id,
       |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
       |  q.v AS next_purchase_value, q.vf AS purchase_floor,
@@ -96,16 +106,18 @@ object TemporalQueries {
   // preceding purchase only if it happened within 30 minutes; staler
   // matches revert to the no-match NULLs. The oracle is DuckDB's
   // native ASOF with a tolerance CASE over the matched row (nearest
-  // too stale => all staler: identical semantics).
+  // too stale => all staler: identical semantics). The tolerance gate
+  // compares epoch MICROSECONDS — the engine's staleness is exact
+  // fractional seconds (timestamp cast to double), and
+  // date_diff('second') truncates, which would accept e.g. a 1800.5 s
+  // staleness the engine rejects (ADVICE r7; masked on whole-second
+  // fixtures, wrong on sub-second ones).
   private val j10c: QFn = (s, d) => {
     val ev = Tables.events(s, d)
     val probes = ev.filter(col("event_type") === "click")
       .select(col("event_id"), col("user_id"), col("ts"))
-    val quotes = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts"),
-        when(col("value") >= 100.0, col("value")).as("last_purchase_value"),
-        when(col("value") < 200.0, floor(col("value"))).as("purchase_floor"))
-    TemporalJoins.asOfJoin(probes, quotes, Seq("user_id"), "ts",
+    TemporalJoins.asOfJoin(probes, purchaseQuotes(ev, "last_purchase_value"),
+        Seq("user_id"), "ts",
         Seq("last_purchase_value", "purchase_floor"),
         toleranceSeconds = Some(1800L))
       .select(col("event_id"), col("user_id"),
@@ -114,15 +126,12 @@ object TemporalQueries {
         date_format(col("asof_time"), fmt).as("purchase_ts_s"))
   }
 
-  private val j10cSql =
-    """WITH probes AS (
+  private val j10cSql = {
+    val fresh = "epoch_us(pts) - epoch_us(qts) <= 1800 * 1000000"
+    s"""WITH probes AS (
       |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
       |quotes AS (
-      |  SELECT user_id, ts,
-      |    CASE WHEN value >= CAST(100.0 AS DOUBLE) THEN value END AS v,
-      |    CASE WHEN value < CAST(200.0 AS DOUBLE)
-      |      THEN CAST(floor(value) AS BIGINT) END AS vf
-      |  FROM events WHERE event_type = 'purchase'),
+      |$quotesSql),
       |m AS (
       |  SELECT p.event_id, p.user_id, p.ts AS pts, q.ts AS qts,
       |         q.v, q.vf
@@ -130,13 +139,14 @@ object TemporalQueries {
       |    ON p.user_id = q.user_id AND p.ts >= q.ts)
       |SELECT event_id, user_id,
       |  strftime(pts, '%Y-%m-%d %H:%M:%S') AS ts_s,
-      |  CASE WHEN date_diff('second', qts, pts) <= 1800 THEN v END
+      |  CASE WHEN $fresh THEN v END
       |    AS last_purchase_value,
-      |  CASE WHEN date_diff('second', qts, pts) <= 1800 THEN vf END
+      |  CASE WHEN $fresh THEN vf END
       |    AS purchase_floor,
-      |  CASE WHEN date_diff('second', qts, pts) <= 1800
+      |  CASE WHEN $fresh
       |    THEN strftime(qts, '%Y-%m-%d %H:%M:%S') END AS purchase_ts_s
       |FROM m""".stripMargin
+  }
 
   // --- J11: interval containment join — count all events inside each
   // +/-30min window around a high-value error event (empty windows = 0).
