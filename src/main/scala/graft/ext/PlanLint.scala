@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.Percentile
 import org.apache.spark.sql.execution.{GenerateExec, SparkPlan}
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
-import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 import org.apache.spark.sql.execution.window.WindowExec
 
@@ -35,6 +35,19 @@ import org.apache.spark.sql.execution.window.WindowExec
   *    splits skewed JOINS, not windows, so one hot key (a boilerplate
   *    n-gram) is one hot reducer. Prefer groupBy + equi-join back
   *    (the novelty shape);
+  *  - `deep-plan`: the physical tree's spine depth exceeds `maxDepth`
+  *    — the signature of an UN-CUT iterative fold (a per-round
+  *    join/merge loop whose lineage was never truncated): each extra
+  *    round deepens the plan, blows up planning/codegen time and, for
+  *    RDD lineage, risks stack overflow on task serialization. Cut the
+  *    loop-carried frame per round ([[Checkpoints.cut]]) — the cut
+  *    version of the same loop lints clean;
+  *  - `oversized-broadcast`: a broadcast exchange whose build side is
+  *    estimated (or measured, post-execution) above
+  *    `spark.sql.autoBroadcastJoinThreshold` — an explicit
+  *    `broadcast()` hint bypasses the planner's own size check, so a
+  *    "small dim table" that grew ships a multi-GB blob to every
+  *    executor; confirm the side is bounded or drop the hint;
   *  - `shuffle-count`: informational total of exchanges in the plan.
   *
   * Findings are returned as a DataFrame so lint output composes with
@@ -71,9 +84,44 @@ object PlanLint {
     case other => other.children.exists(generateBelow)
   }
 
-  def findings(df: DataFrame): Seq[Finding] = {
+  /** Spine depth of the physical tree (through the adaptive root and
+    * into materialized stages; subquery trees are separate spines and
+    * lint on their own nodes). */
+  private def depth(p: SparkPlan): Int = p match {
+    case a: AdaptiveSparkPlanExec => depth(a.executedPlan)
+    case q: QueryStageExec => 1 + depth(q.plan)
+    case _ if p.children.isEmpty => 1
+    case _ => 1 + p.children.map(depth).max
+  }
+
+  def findings(df: DataFrame, maxDepth: Int = 64): Seq[Finding] = {
     val nodes = walk(df.queryExecution.executedPlan)
     val fs = Seq.newBuilder[Finding]
+    val threshold = {
+      val conf = df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+      if (conf > 0) BigInt(conf) else BigInt(10L * 1024 * 1024)
+    }
+    val spine = depth(df.queryExecution.executedPlan)
+    if (spine > maxDepth)
+      fs += Finding("deep-plan", "warn", "plan",
+        s"physical plan spine is $spine nodes deep (> $maxDepth): the " +
+          "shape of an un-cut iterative fold - cut the loop-carried " +
+          "frame per round (Checkpoints.cut) so planning cost and " +
+          "lineage stay bounded")
+    nodes.foreach {
+      case b: BroadcastExchangeExec =>
+        val runtime = b.metrics.get("dataSize").map(_.value).filter(_ > 0)
+        val est = runtime.map(BigInt(_))
+          .orElse(b.child.logicalLink.map(_.stats.sizeInBytes))
+        est.filter(_ > threshold).foreach { sz =>
+          fs += Finding("oversized-broadcast", "warn", b.nodeName,
+            s"broadcast build side ~$sz bytes exceeds the " +
+              s"$threshold-byte autoBroadcastJoinThreshold: an explicit " +
+              "broadcast() hint bypasses the planner's size check - " +
+              "confirm the side is bounded or drop the hint")
+        }
+      case _ => ()
+    }
     nodes.foreach {
       case w: WindowExec if w.partitionSpec.isEmpty =>
         fs += Finding("global-window", "error", w.nodeName,
@@ -117,13 +165,13 @@ object PlanLint {
   }
 
   /** Findings as a frame (check, severity, node, detail). */
-  def lint(df: DataFrame): DataFrame = {
+  def lint(df: DataFrame, maxDepth: Int = 64): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    findings(df).toDF()
+    findings(df, maxDepth).toDF()
   }
 
   /** True when the plan carries no error-severity findings. */
-  def clean(df: DataFrame): Boolean =
-    findings(df).forall(_.severity != "error")
+  def clean(df: DataFrame, maxDepth: Int = 64): Boolean =
+    findings(df, maxDepth).forall(_.severity != "error")
 }

@@ -235,6 +235,43 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException](Dedup.MinHashFamily(16, 5))
   }
 
+  test("production families (64,16)/(128,32) recover planted " +
+      "0.8-Jaccard near-dups at the production threshold with " +
+      "exact-verify precision 1.0") {
+    // 150 planted pairs at shingle-Jaccard ~0.806: 30 tokens, last 2
+    // replaced -> 3-gram shingles share 25 of 31. Both production
+    // geometries have r=4 (j* = (1/b)^(1/4): 0.50 at b=16, 0.42 at
+    // b=32), so at j=0.8 the S-curve predicts candidate recall
+    // 1-(1-j^4)^b ~ 0.9998 (b=16) and ~1-5e-8 (b=32); the exact
+    // Jaccard verify at 0.7 then keeps only true pairs. Numbers are
+    // recorded in NOTES_r08.md so a user picks a family from data.
+    val docs = (0 until 150).flatMap { i =>
+      val base = (0 until 30).map(j => s"w${i}_$j")
+      val near = base.take(28) ++ Seq(s"x${i}_28", s"x${i}_29")
+      Seq((i.toLong * 2, base.mkString(" ")),
+        (i.toLong * 2 + 1, near.mkString(" ")))
+    }.toDF("doc_id", "text")
+    val planted = (0 until 150)
+      .map(i => (i.toLong * 2, i.toLong * 2 + 1)).toSet
+    for (fam <- Seq(Dedup.MinHashFamily(64, 16),
+        Dedup.MinHashFamily(128, 32))) {
+      val found = Dedup.minhashNearDups(docs, threshold = 0.7, family = fam)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      val hit = found.intersect(planted).size
+      val recall = hit.toDouble / planted.size
+      val precision =
+        if (found.isEmpty) 0.0 else hit.toDouble / found.size
+      info(f"family (${fam.numHashes},${fam.numBands}): " +
+        f"recall=$recall%.4f precision=$precision%.4f " +
+        f"(${found.size} found / ${planted.size} planted)")
+      assert(precision == 1.0,
+        s"exact verify must keep only planted pairs, found $found")
+      assert(recall >= 0.95,
+        f"family (${fam.numHashes},${fam.numBands}) recall $recall%.4f " +
+          "below the production expectation")
+    }
+  }
+
   test("dupClusters/dupClustersStar with a durable checkpointDir match " +
       "the local path") {
     val dir = java.nio.file.Files.createTempDirectory("ccck").toString

@@ -88,6 +88,52 @@ class PlanLintSpec extends SparkSpec {
     assert(PlanLint.clean(post))
   }
 
+  test("an un-cut 64-round iterative fold is flagged deep-plan; the " +
+      "Checkpoints-cut version of the same loop is clean") {
+    import org.apache.spark.sql.functions.broadcast
+    val one = Seq(Tuple1(1L)).toDF("o")
+    def round(d: org.apache.spark.sql.DataFrame, cut: Boolean, i: Int) = {
+      val next = d.crossJoin(broadcast(one))
+        .select((col("id") + col("o")).as("id"))
+      if (cut && i % 16 == 0) Checkpoints.cut(next, None) else next
+    }
+    val base = Seq(Tuple1(0L)).toDF("id")
+    val uncut = (1 to 64).foldLeft(base)((d, i) => round(d, cut = false, i))
+    val hits = PlanLint.findings(uncut).filter(_.check == "deep-plan")
+    assert(hits.size == 1 && hits.head.severity == "warn", hits.toString)
+    // the same loop with per-16-round lineage cuts stays shallow
+    val cutted = (1 to 64).foldLeft(base)((d, i) => round(d, cut = true, i))
+    assert(!PlanLint.findings(cutted).exists(_.check == "deep-plan"))
+    // and the single-pass BPE encoder (the operator this check guards)
+    // is structurally flat regardless of rule count
+    val rules = (1 to 64).map(i => (i.toLong, s"z$i", "q", s"z${i}q", 1L))
+      .toDF("step", "lhs", "rhs", "merged", "pair_count")
+    val docs = Seq((1L, Seq("low", "newest"))).toDF("doc_id", "tk")
+    assert(!PlanLint.findings(Bpe.encode(docs, "doc_id", "tk", rules))
+      .exists(_.check == "deep-plan"))
+  }
+
+  test("a broadcast build side above autoBroadcastJoinThreshold is " +
+      "flagged; bounded broadcasts are not") {
+    import org.apache.spark.sql.functions.broadcast
+    val conf = spark.conf
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = conf.get(key)
+    try {
+      conf.set(key, "1024") // 1 KiB: the 200-row side below exceeds it
+      val big = (1 to 200)
+        .map(i => (i.toLong, "x" * 64)).toDF("id", "pad")
+      val joined = df.join(broadcast(big), Seq("id"))
+      val hits = PlanLint.findings(joined)
+        .filter(_.check == "oversized-broadcast")
+      assert(hits.size == 1 && hits.head.severity == "warn", hits.toString)
+      // a genuinely tiny broadcast under the same threshold is clean
+      val small = Seq((1L, "a")).toDF("id", "tag")
+      assert(!PlanLint.findings(df.join(broadcast(small), Seq("id")))
+        .exists(_.check == "oversized-broadcast"))
+    } finally conf.set(key, saved)
+  }
+
   test("lint output is a composable DataFrame") {
     val out = PlanLint.lint(df.groupBy("grp").count())
     assert(out.columns.toSeq ==
