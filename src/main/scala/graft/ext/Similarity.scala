@@ -440,8 +440,13 @@ object Similarity {
   private def adcLut(q: DataFrame, codebook: DataFrame, m: Int): DataFrame = {
     val qsub = q.select(col("qid"),
       posexplode(subSlices(col("qv"), m)).as(Seq("sub", "qsv")))
+    // pd: the partial pre-cast to DECIMAL(38,15) HERE, on the |Q|*m*k
+    // LUT rows, so the candidate-side sum adds decimals instead of
+    // re-running the Double.toString-backed cast once per scored
+    // (qid, vid, sub) row — the profiled hotspot of ADC serving.
     sig9Score(qsub.join(broadcast(codebook), Seq("sub")),
-      Seq("qid", "sub", "cid"), dot(col("qsv"), col("cv")), "p")
+        Seq("qid", "sub", "cid"), dot(col("qsv"), col("cv")), "p")
+      .withColumn("pd", graft.queries.Q.dec15(col("p")))
   }
 
   /** Product quantization (Jégou et al. 2011): split each vector into
@@ -583,7 +588,7 @@ object Similarity {
       .join(broadcast(lut),
         codes("sub") === lut("sub") && codes("code") === lut("cid"))
       .groupBy(col("qid"), col("vid"))
-      .agg(graft.queries.Q.dsum(col("p")).as("score"))
+      .agg(graft.queries.Q.dsumPre(col("pd")).as("score"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("vid").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -711,13 +716,13 @@ object Similarity {
       .select(col("qid"), col("vid"))
     val lutR = adcLut(q.select(col("qid"), col("qv")), codebook, m)
       .select(col("qid").as("__lq"), col("sub").as("__ls"),
-        col("cid").as("__lc"), col("p"))
+        col("cid").as("__lc"), col("pd"))
     val scored = attachCodes(cands)
       .join(broadcast(lutR),
         col("qid") === col("__lq") && col("sub") === col("__ls") &&
           col("code") === col("__lc"))
       .groupBy(col("qid"), col("vid"))
-      .agg(graft.queries.Q.dsum(col("p")).as("score"))
+      .agg(graft.queries.Q.dsumPre(col("pd")).as("score"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("vid").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))

@@ -38,6 +38,22 @@ object Q {
   def dsum(c: Column): Column =
     sig9(sum(c.cast(DecimalType(38, 15))).cast(DoubleType))
 
+  /** Pre-cast half of the [[dsum]] contract: double -> DECIMAL(38,15)
+    * where the value is PRODUCED. Spark's double->decimal cast routes
+    * through BigDecimal.valueOf, i.e. Double.toString — profiled as
+    * the dominant cost of wide fan-out aggregations (ADC scoring
+    * spends its single hot task in FloatingDecimal). When the summed
+    * values come from a small broadcast side (a lookup table joined
+    * against millions of candidate rows), casting the table ONCE and
+    * summing with [[dsumPre]] removes the per-candidate conversion
+    * while summing exactly the same decimal values. */
+  def dec15(c: Column): Column = c.cast(DecimalType(38, 15))
+
+  /** [[dsum]] over an already-[[dec15]]-cast column: bit-identical
+    * (decimal addition is exact and order-independent, and the same
+    * decimal values are summed), minus the per-row cast. */
+  def dsumPre(c: Column): Column = sig9(sum(c).cast(DoubleType))
+
   /** Order-independent avg (null-skipping, like the oracle's SUM/COUNT). */
   def davg(c: Column): Column = dsum(c) / count(c)
 
