@@ -584,9 +584,20 @@ object Similarity {
     val q = queries.select(col(idCol).as("qid"),
       transform(col(vecCol), x => x.cast("double")).as("qv"))
     val lut = adcLut(q, codebook, m)
-    val scored = codes
+    // The LUT join multiplies the corpus side |Q|-fold, but any
+    // upstream shuffle (packCodes' pivot, a parquet scan of a small
+    // code table) is sized by AQE from its INPUT bytes — a few KB of
+    // codes coalesce to one partition, and the |Q| x N x m explosion
+    // plus the (qid, vid) aggregation then run on one core. Spread the
+    // corpus side by vid first (explicit partition count, so AQE
+    // cannot re-coalesce it): vid is a subset of the grouping keys, so
+    // the partial agg completes without a further exchange.
+    val spread = codes.repartition(
+      codes.sparkSession.sessionState.conf.numShufflePartitions,
+      col("vid"))
+    val scored = spread
       .join(broadcast(lut),
-        codes("sub") === lut("sub") && codes("code") === lut("cid"))
+        spread("sub") === lut("sub") && spread("code") === lut("cid"))
       .groupBy(col("qid"), col("vid"))
       .agg(graft.queries.Q.dsumPre(col("pd")).as("score"))
     val w = Window.partitionBy(col("qid"))
@@ -709,11 +720,23 @@ object Similarity {
     val probed = probes.withColumn("rn", row_number().over(wp))
       .filter(col("rn") <= nprobe)
       .select(col("qid"), col("centroid_id"))
+    // Same explosion-after-tiny-shuffle trap as pqTopK: the candidate
+    // (qid, vid) pairs fan out |Q| x listDensity x nprobe-fold from
+    // byte-small inputs (probe pairs + the id-only index), so AQE
+    // under-partitions them; everything downstream (code attach, m-way
+    // explode, LUT join, aggregation) inherits that. Spread by the
+    // grouping keys with an explicit count — when the code table is
+    // big enough to force a real vid-shuffle join instead of a
+    // broadcast, that join's own distribution supersedes this one, so
+    // the spread only pays where it is needed.
     val cands = probed
       .join(index.select(col(idCol).as("vid"), col("centroid_id")),
         Seq("centroid_id"))
       .filter(col("vid") =!= col("qid"))
       .select(col("qid"), col("vid"))
+      .repartition(
+        queries.sparkSession.sessionState.conf.numShufflePartitions,
+        col("qid"), col("vid"))
     val lutR = adcLut(q.select(col("qid"), col("qv")), codebook, m)
       .select(col("qid").as("__lq"), col("sub").as("__ls"),
         col("cid").as("__lc"), col("pd"))
