@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** sf1.0 soak of the heavy ext family (VERDICT r7 #9).
+  *
+  * The driver's test data tops out at sf0.1 (5k documents / 2k
+  * embeddings), so every 100 TB judgment in this repo is extrapolated
+  * from one decade of bench data. This main buys a second decade: it
+  * scales the sf0.1 `documents`/`embeddings` tables 10x
+  * DETERMINISTICALLY, runs the five most expensive ext queries at both
+  * scales (same Bench methodology: untimed warm-up, two timed passes,
+  * min, full `toRdd.count()` materialization), and reports the scaling
+  * exponent per query — `log10(t_sf1 / t_sf01)`, so 1.0 = linear,
+  * <1 = sublinear (fixed overhead amortizing), >1 = superlinear (a
+  * shape that will NOT survive 100 TB).
+  *
+  * Scaling construction (the part that must not lie):
+  *  - documents: replica i > 0 re-ids rows by `i * (max_id + 1)` and
+  *    suffixes every whitespace token with `_r$i`. Replicas are
+  *    therefore DISJOINT in token/shingle space — 10 independent copies
+  *    of the sf0.1 problem in one table. Near-dup candidate pairs grow
+  *    linearly (within-replica only), never quadratically as exact
+  *    text replication would cause (10 exact copies of each doc =
+  *    45 cross-replica dup pairs per doc — a different, denser problem
+  *    than "10x more data"). The BPE token dictionary, curriculum
+  *    score distribution and packing load all scale 10x true-to-shape.
+  *  - embeddings: replica i > 0 re-ids by `i * (max_id + 1)` and adds
+  *    per-(replica, vector, dim) deterministic noise of ~±0.1 — 10x
+  *    distinct vectors with the same geometry, not 10 coincident
+  *    copies that would collapse IVF/PQ centroids onto sf0.1's.
+  *  - replica 0 is the identity, so sf1.0 contains sf0.1 verbatim.
+  *
+  * Env: SPARK_GRAFT_SOAK_BASE (default /root/testdata/sf0.1),
+  * SPARK_GRAFT_SOAK_DIR (default /tmp/graft_soak_sf1, generated iff
+  * missing), SPARK_GRAFT_SOAK_REPLICAS (default 10),
+  * SPARK_GRAFT_CPUS (default 4). Output: one JSON line to stdout +
+  * SOAK.json, per-query {base_sec, soak_sec, ratio, exponent}.
+  */
+object Soak {
+
+  /** Deterministic 10x scale-up of the two LLM-pipeline tables. */
+  def generate(spark: SparkSession, base: String, out: String,
+      replicas: Int): Unit = {
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+    val docStep = docs.agg(max("doc_id")).head().getLong(0) + 1
+    val embStep = emb.agg(max("vec_id")).head().getLong(0) + 1
+
+    val scaledDocs = (0 until replicas).map { i =>
+      if (i == 0) docs
+      else {
+        val text = array_join(
+          transform(filter(split(col("text"), " "), t => t =!= ""),
+            t => concat(t, lit(s"_r$i"))), " ")
+        docs.select((col("doc_id") + lit(i * docStep)).as("doc_id"),
+          text.as("text"), col("lang"), col("source"),
+          length(text).cast("long").as("n_chars"))
+      }
+    }.reduce(_ unionByName _)
+
+    val scaledEmb = (0 until replicas).map { i =>
+      if (i == 0) emb
+      else emb.select((col("vec_id") + lit(i * embStep)).as("vec_id"),
+        transform(col("embedding"), (x, j) =>
+          (x + (((col("vec_id") * 31 + lit(i * 17) + j) % 101 - 50)
+            .cast("float") / lit(500.0f))).cast("float"))
+          .as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _)
+
+    scaledDocs.repartition(8).write.mode("overwrite")
+      .parquet(s"$out/documents.parquet")
+    scaledEmb.repartition(8).write.mode("overwrite")
+      .parquet(s"$out/embeddings.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SOAK_BASE",
+      "/root/testdata/sf0.1")
+    val out = sys.env.getOrElse("SPARK_GRAFT_SOAK_DIR",
+      "/tmp/graft_soak_sf1")
+    val replicas = sys.env.getOrElse("SPARK_GRAFT_SOAK_REPLICAS", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.codegen.fallback", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if (!Files.exists(Paths.get(out, "documents.parquet"))) {
+      System.err.println(s"[soak] generating ${replicas}x fixtures at $out")
+      generate(spark, base, out, replicas)
+    }
+
+    val names = Seq("q_x_curriculum", "q_x_dedup_clusters",
+      "q_x_pipeline3", "q_x_ann_pq", "q_x_ann_ivfpq")
+
+    def runOnce(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def timeAll(dir: String): Map[String, Double] = {
+      names.foreach(runOnce(_, dir)) // warm-up, untimed
+      val p1 = names.map(n => n -> runOnce(n, dir)).toMap
+      val p2 = names.map(n => n -> runOnce(n, dir)).toMap
+      names.map(n => n -> math.min(p1(n), p2(n))).toMap
+    }
+
+    val tBase = timeAll(base)
+    val tSoak = timeAll(out)
+    val rows = names.map { n =>
+      val ratio = tSoak(n) / tBase(n)
+      val exp = math.log(ratio) / math.log(replicas.toDouble)
+      f""""$n":{"base_sec":${tBase(n)}%.3f,"soak_sec":${tSoak(n)}%.3f,"ratio":$ratio%.2f,"exponent":$exp%.3f}"""
+    }
+    val json = s"""{"metric":"soak","replicas":$replicas,"base":"$base","queries":${rows.mkString("{", ",", "}")}}"""
+    println(json)
+    Files.writeString(Paths.get("SOAK.json"), json + "\n")
+    spark.stop()
+  }
+}

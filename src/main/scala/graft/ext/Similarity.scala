@@ -591,9 +591,14 @@ object Similarity {
     // plus the (qid, vid) aggregation then run on one core. Spread the
     // corpus side by vid first (explicit partition count, so AQE
     // cannot re-coalesce it): vid is a subset of the grouping keys, so
-    // the partial agg completes without a further exchange.
+    // the partial agg completes without a further exchange. The count
+    // must DIFFER from spark.sql.shuffle.partitions: packCodes'
+    // groupBy(vid) upstream already emits HashPartitioning(vid, n),
+    // and a repartition identical to its child's partitioning is
+    // optimized away — which re-opens the one-core trap it exists to
+    // close (caught by the sf1.0 soak; PlanShapeSpec pins the survival).
     val spread = codes.repartition(
-      codes.sparkSession.sessionState.conf.numShufflePartitions,
+      2 * codes.sparkSession.sessionState.conf.numShufflePartitions,
       col("vid"))
     val scored = spread
       .join(broadcast(lut),
@@ -735,7 +740,7 @@ object Similarity {
       .filter(col("vid") =!= col("qid"))
       .select(col("qid"), col("vid"))
       .repartition(
-        queries.sparkSession.sessionState.conf.numShufflePartitions,
+        2 * queries.sparkSession.sessionState.conf.numShufflePartitions,
         col("qid"), col("vid"))
     val lutR = adcLut(q.select(col("qid"), col("qv")), codebook, m)
       .select(col("qid").as("__lq"), col("sub").as("__ls"),

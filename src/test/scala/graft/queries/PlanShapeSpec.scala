@@ -98,6 +98,28 @@ class PlanShapeSpec extends SparkSpec {
       .exists(_.check == "exact-percentile"))
   }
 
+  test("PQ serving: the candidate spread survives as an explicit " +
+      "REPARTITION_BY_NUM exchange AQE cannot coalesce") {
+    // The ADC LUT join's corpus side arrives from tiny upstream
+    // shuffles (packCodes' pivot is a few KB) that AQE coalesces to one
+    // partition — the |Q| x N x m explosion then runs on one core. The
+    // fix is an explicit repartition at 2x shuffle.partitions (a count
+    // identical to the upstream hashpartitioning(vid, n) would be
+    // optimized away as redundant). Pin both: the distinct count AND
+    // the uncoalescible REPARTITION_BY_NUM origin.
+    val n2 = 2 * spark.sessionState.conf.numShufflePartitions
+    val pq = planOf(SparkEntry.queries("q_x_ann_pq")(spark, sf))
+    assert(s"hashpartitioning\\(vid#\\d+L?, $n2\\), REPARTITION_BY_NUM".r
+      .findFirstIn(pq).isDefined,
+      "PQ candidate spread was eliminated or coalesced:\n" + pq.take(800))
+    val ivfpq = planOf(SparkEntry.queries("q_x_ann_ivfpq")(spark, sf))
+    assert(
+      s"hashpartitioning\\(qid#\\d+L?, vid#\\d+L?, $n2\\), REPARTITION_BY_NUM"
+        .r.findFirstIn(ivfpq).isDefined,
+      "IVF-PQ candidate spread was eliminated or coalesced:\n" +
+        ivfpq.take(800))
+  }
+
   test("native expressions appear in plans (not the composed forms)") {
     val p = planOf(SparkEntry.queries("q_x_embed_neardup")(spark, sf))
     assert(p.contains("sig9"), "score must route through sig9_round")
