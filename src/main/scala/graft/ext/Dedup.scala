@@ -134,6 +134,93 @@ object Dedup {
         coalesce(col("new_text"), lit("")).as("new_text"))
   }
 
+  /** Overlapping `k`-token windows of a token array (stride 1, one per
+    * start position 0..n-k; empty when the document is shorter than k)
+    * — the span alphabet under [[spanDedup]]. Bound through a
+    * single-element array for the same lambda-CSE reason as
+    * [[shingles]]. */
+  def spanWindows(toks: Column, k: Int): Column = {
+    def over(tk: Column) =
+      when(size(tk) >= k,
+        transform(sequence(lit(0), size(tk) - k),
+          p => array_join(slice(tk, p + 1, lit(k)), " ")))
+        .otherwise(array().cast("array<string>"))
+    element_at(transform(array(toks), tk => over(tk)), 1)
+  }
+
+  /** Exact duplicated-SPAN dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better", arXiv:2107.06499 §3
+    * ExactSubstr, at fixed k-token window granularity instead of
+    * suffix-array maximal matches): every k-token span occurring
+    * `minOccurs`+ times ANYWHERE in the corpus — across documents or
+    * within one — is removed from every occurrence except the first
+    * (ordered by (doc, position)). A token survives iff no removed
+    * occurrence's window covers it; the text is rebuilt from surviving
+    * tokens in order. Two exact copies of a document therefore keep the
+    * first copy byte-identical and reduce the second to "" — the
+    * suffix-array method's behavior at window resolution.
+    *
+    * This differs from [[segmentDedup]] (non-overlapping segments,
+    * cross-DOCUMENT boilerplate, canonical copy also deleted): sliding
+    * windows catch spans at ANY offset, the first occurrence is kept,
+    * and within-document repetition counts.
+    *
+    * Scale shape: one text pass emits the window frame (n-k+1 rows per
+    * n-token doc); duplication stats are a hash-aggregate on the 8-byte
+    * window hash (map-side partial; `min(struct(doc, pos))` picks the
+    * canonical occurrence in the same pass — no window function, so a
+    * boilerplate span occurring millions of times costs its ONE reducer
+    * only a count+min, and the join back is AQE-skew-splittable);
+    * removal intervals then group per document, where interval merging
+    * and token filtering are pure map-side array folds. Identity is the
+    * portable 60-bit md5 hash (collision odds negligible at 2^60, both
+    * engines hash identically).
+    * Output: (idCol, n_tokens, n_removed, new_text). */
+  def spanDedup(docs: DataFrame, k: Int = 8, minOccurs: Int = 2,
+                idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol),
+      Hashing.tokens(col(textCol)).as("tk"))
+    val occ = toks
+      .select(col(idCol), posexplode(spanWindows(col("tk"), k))
+        .as(Seq("pos", "w")))
+      .select(col(idCol), col("pos"), Hashing.hash60(col("w")).as("h"))
+    val stats = occ.groupBy(col("h"))
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col(idCol).as("cid"), col("pos").as("cpos")))
+          .as("canon"))
+    val rem = occ.join(stats, Seq("h"))
+      .filter(col("cnt") >= minOccurs &&
+        !(col(idCol) === col("canon.cid") &&
+          col("pos") === col("canon.cpos")))
+      .select(col(idCol), col("pos").as("s"), (col("pos") + k).as("e"))
+    // per-doc disjoint removal intervals: sort by start, fold-merge
+    val ivs = rem.groupBy(col(idCol))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("s"), col("e")))),
+        array().cast("array<struct<s:int,e:int>>"),
+        (acc, iv) => when(size(acc) === 0, array(iv))
+          .when(iv.getField("s") <= element_at(acc, -1).getField("e"),
+            concat(slice(acc, lit(1), size(acc) - 1),
+              array(struct(
+                element_at(acc, -1).getField("s").as("s"),
+                greatest(element_at(acc, -1).getField("e"),
+                  iv.getField("e")).as("e")))))
+          .otherwise(concat(acc, array(iv)))).as("ivs"))
+    toks.join(ivs, Seq(idCol), "left")
+      .select(col(idCol), col("tk"),
+        coalesce(col("ivs"), array().cast("array<struct<s:int,e:int>>"))
+          .as("ivs"))
+      .select(col(idCol),
+        size(col("tk")).cast("long").as("n_tokens"),
+        filter(col("tk"), (t, i) => !exists(col("ivs"),
+          iv => i >= iv.getField("s") && i < iv.getField("e")))
+          .as("kept"))
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") - size(col("kept"))).as("n_removed"),
+        array_join(col("kept"), " ").as("new_text"))
+  }
+
   /** Pick the representative of each duplicate cluster by BEST score
     * (ties to the smallest id) — the production keep rule: after
     * clustering, keep the highest-quality copy, not whichever happens

@@ -697,34 +697,102 @@ object Similarity {
                       nprobe: Int = 2, idCol: String = "vec_id",
                       vecCol: String = "embedding"): DataFrame =
     ivfPqCore(queries, centroids, index, codebook, m, topK, nprobe, idCol,
-      vecCol,
-      cands => cands.join(packed, Seq("vid"))
-        .select(col("qid"), col("vid"),
-          posexplode(col("pcodes")).as(Seq("sub", "pc")))
-        .select(col("qid"), col("vid"), col("sub"),
-          (col("pc").cast("long") + 128L).as("code")))
+      vecCol, packedAttach(packed))
+
+  /** The packed-layout code attach ([[ivfPqTopKPacked]] and the
+    * residual path): candidates join ONE packed row per vector, the
+    * m-way explode is map-side after it. Non-(qid, vid) candidate
+    * columns (the residual qcd term) ride through. */
+  private def packedAttach(packed: DataFrame)
+      : DataFrame => DataFrame = { cands =>
+    val extra = cands.columns.filterNot(Set("qid", "vid")).map(col).toSeq
+    cands.join(packed, Seq("vid"))
+      .select(Seq(col("qid"), col("vid")) ++ extra :+
+        posexplode(col("pcodes")).as(Seq("sub", "pc")): _*)
+      .select(Seq(col("qid"), col("vid")) ++ extra ++ Seq(col("sub"),
+        (col("pc").cast("long") + 128L).as("code")): _*)
+  }
+
+  /** Residual IVF-PQ training (Jégou et al. 2011 §III): PQ codebooks
+    * learned on r = v - centroid(v) instead of v. Residuals concentrate
+    * around zero with far less variance than raw vectors, so the same
+    * (m, k) code budget quantizes them with less error — the standard
+    * IVF-PQ formulation. Assignment/centroid frames come from
+    * [[ivfIndex]]; training reuses [[pqTrain]] verbatim on the residual
+    * frame (broadcast k-row centroid attach + one zip_with — map-side),
+    * so codebooks stay a pure deterministic function of (corpus, IVF).
+    * Returns (codebook, codes) in pqTrain's shapes; [[packCodes]] for
+    * the serving layout. Serve with [[ivfPqResidualTopKPacked]] —
+    * residual codes are meaningless to the non-residual scorers. */
+  def ivfPqResidualTrain(vectors: DataFrame, centroids: DataFrame,
+                         index: DataFrame, m: Int, k: Int,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding",
+                         checkpointDir: Option[String] = None)
+      : (DataFrame, DataFrame) = {
+    val v = vectors.select(col(idCol).as("vid"),
+      transform(col(vecCol), x => x.cast("double")).as("vv"))
+    val r = v
+      .join(index.select(col(idCol).as("vid"), col("centroid_id")),
+        Seq("vid"))
+      .join(broadcast(centroids.select(col("centroid_id"), col("cv"))),
+        Seq("centroid_id"))
+      .select(col("vid"),
+        zip_with(col("vv"), col("cv"), (a, b) => a - b).as("rv"))
+    pqTrain(r, m, k, idCol = "vid", vecCol = "rv",
+      checkpointDir = checkpointDir)
+  }
+
+  /** [[ivfPqTopKPacked]] over residual codes: identical routing,
+    * candidate and LUT shapes (the LUT is the RAW query against the
+    * residual codebook), plus the exact per-(query, probed-centroid)
+    * dot(q, c_v) correction — see [[ivfPqCore]]. Output:
+    * (qid, rank, cid, score), score = IP against the residual
+    * reconstruction c_v + r-hat. */
+  def ivfPqResidualTopKPacked(queries: DataFrame, centroids: DataFrame,
+                              index: DataFrame, codebook: DataFrame,
+                              packed: DataFrame, m: Int, topK: Int,
+                              nprobe: Int = 2, idCol: String = "vec_id",
+                              vecCol: String = "embedding"): DataFrame =
+    ivfPqCore(queries, centroids, index, codebook, m, topK, nprobe, idCol,
+      vecCol, packedAttach(packed), residual = true)
 
   /** Shared IVF-PQ core: `attachCodes` turns the candidate (qid, vid)
     * pairs into (qid, vid, sub, code) rows — the only step where the
-    * row and packed layouts differ. */
+    * row and packed layouts differ. With `residual = true` the codes
+    * are assumed to encode r = v - centroid(v) ([[ivfPqResidualTrain]])
+    * and scoring adds the exact dot(q, centroid(v)) term:
+    * dot(q, v-hat) = dot(q, c_v) + sum_sub dot(q_sub, codeword_sub) —
+    * the LUT keeps its exact non-residual shape (built from the RAW
+    * query against the residual codebook), and the correction is one
+    * scalar per (query, probed centroid), computed on the tiny probe
+    * frame, never per candidate. */
   private def ivfPqCore(queries: DataFrame, centroids: DataFrame,
                         index: DataFrame, codebook: DataFrame, m: Int,
                         topK: Int, nprobe: Int, idCol: String,
                         vecCol: String,
-                        attachCodes: DataFrame => DataFrame): DataFrame = {
+                        attachCodes: DataFrame => DataFrame,
+                        residual: Boolean = false): DataFrame = {
     val q = queries.select(col(idCol).as("qid"),
       transform(col(vecCol), x => x.cast("double")).as("qv"),
       normSq(col(vecCol)).as("qn"))
-    val probes = sig9Score(
-      q.crossJoin(broadcast(centroids)),
-      Seq("qid", "centroid_id"),
-      cosine(dot(col("qv"), col("cv")), col("qn"), normSq(col("cv"))),
-      "cscore")
+    // two raw scores through one projection boundary (the sig9Score
+    // move, widened): routing cosine + the residual correction dot
+    val probes = q.crossJoin(broadcast(centroids))
+      .select(col("qid"), col("centroid_id"),
+        cosine(dot(col("qv"), col("cv")), col("qn"), normSq(col("cv")))
+          .as("__rc"),
+        (if (residual) dot(col("qv"), col("cv")) else lit(0.0)).as("__rq"))
+      .select(col("qid"), col("centroid_id"),
+        graft.queries.Q.sig9(col("__rc")).as("cscore"),
+        graft.queries.Q.sig9(col("__rq")).as("qc"))
     val wp = Window.partitionBy(col("qid"))
       .orderBy(col("cscore").desc, col("centroid_id").asc)
     val probed = probes.withColumn("rn", row_number().over(wp))
       .filter(col("rn") <= nprobe)
-      .select(col("qid"), col("centroid_id"))
+      .select(Seq(col("qid"), col("centroid_id")) ++
+        (if (residual) Seq(graft.queries.Q.dec15(col("qc")).as("qcd"))
+         else Nil): _*)
     // Same explosion-after-tiny-shuffle trap as pqTopK: the candidate
     // (qid, vid) pairs fan out |Q| x listDensity x nprobe-fold from
     // byte-small inputs (probe pairs + the id-only index), so AQE
@@ -738,7 +806,8 @@ object Similarity {
       .join(index.select(col(idCol).as("vid"), col("centroid_id")),
         Seq("centroid_id"))
       .filter(col("vid") =!= col("qid"))
-      .select(col("qid"), col("vid"))
+      .select(Seq(col("qid"), col("vid")) ++
+        (if (residual) Seq(col("qcd")) else Nil): _*)
       .repartition(
         2 * queries.sparkSession.sessionState.conf.numShufflePartitions,
         col("qid"), col("vid"))
@@ -750,7 +819,13 @@ object Similarity {
         col("qid") === col("__lq") && col("sub") === col("__ls") &&
           col("code") === col("__lc"))
       .groupBy(col("qid"), col("vid"))
-      .agg(graft.queries.Q.dsumPre(col("pd")).as("score"))
+      .agg(
+        if (residual)
+          // qcd is constant within the (qid, vid) group (one probed
+          // centroid per candidate); max() reads it deterministically
+          graft.queries.Q.sig9(
+            (sum(col("pd")) + max(col("qcd"))).cast("double")).as("score")
+        else graft.queries.Q.dsumPre(col("pd")).as("score"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("vid").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))

@@ -806,6 +806,39 @@ object ExtQueries {
       |  (SELECT COUNT(*) FROM embeddings WHERE vec_id % 5 = 0) AS n_queries,
       |  CAST(1 AS BOOLEAN) AS pass""".stripMargin
 
+  /** Residual IVF-PQ at the SAME geometry as `q_x_ann_ivfpq` (k=16,
+    * nprobe=2, m=4, 8 codewords): codes quantize r = v - centroid(v),
+    * serving adds the exact dot(q, c_v) term. Residuals carry far less
+    * variance than raw vectors, so recall@1 must clear a HIGHER bar
+    * than the non-residual path's 0.4 — the verdict frame pins that
+    * the residual formulation actually buys accuracy, not just
+    * different codes. */
+  private val annIvfPqRes: QFn = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val (cents, index) = Similarity.ivfIndex(emb, k = 16)
+    val (book, codes) =
+      Similarity.ivfPqResidualTrain(emb, cents, index, m = 4, k = 8)
+    val q = perturbed(s, d)
+      .select(col("qid").as("vec_id"), col("qv").as("embedding"))
+    val top1 = Similarity
+      .ivfPqResidualTopKPacked(q, cents, index, book,
+        Similarity.packCodes(codes, 4), m = 4, topK = 1, nprobe = 2)
+      .filter(col("rank") === 1)
+    val hits = q.select(col("vec_id").as("qid"))
+      .join(top1, Seq("qid"), "left")
+      .select(when(col("cid") === col("qid") - 30000, lit(1.0))
+        .otherwise(lit(0.0)).as("hit"))
+    hits.agg(count(lit(1)).as("n_queries"),
+        (sum(col("hit")) / count(lit(1)) >= 0.6).as("pass"))
+      .select(lit("ivfpq_residual_recall_at_1").as("metric"),
+        col("n_queries"), col("pass"))
+  }
+
+  private val annIvfPqResSql =
+    """SELECT 'ivfpq_residual_recall_at_1' AS metric,
+      |  (SELECT COUNT(*) FROM embeddings WHERE vec_id % 5 = 0) AS n_queries,
+      |  CAST(1 AS BOOLEAN) AS pass""".stripMargin
+
   // ===== sketches: HLL distinct-count self-check ========================
 
   /** approx_count_distinct (HyperLogLog++) against the exact count — the
@@ -1303,6 +1336,7 @@ object ExtQueries {
     "q_x_ann_int8" -> annInt8,
     "q_x_ann_pq" -> annPq,
     "q_x_ann_ivfpq" -> annIvfPq,
+    "q_x_ann_ivfpq_res" -> annIvfPqRes,
     "q_x_multimodal" -> multimodal,
     "q_x_pixels" -> pixelsQ,
     "q_x_dedup_clusters" -> dedupClusters,
@@ -1342,6 +1376,7 @@ object ExtQueries {
     "q_x_ann_int8" -> annInt8Sql,
     "q_x_ann_pq" -> annPqSql,
     "q_x_ann_ivfpq" -> annIvfPqSql,
+    "q_x_ann_ivfpq_res" -> annIvfPqResSql,
     "q_x_multimodal" -> multimodalSql,
     "q_x_pixels" -> pixelsSql,
     "q_x_dedup_clusters" -> dedupClustersSql,

@@ -106,6 +106,61 @@ object PrepQueries {
        |FROM documents d LEFT JOIN r USING (doc_id)""".stripMargin
   }
 
+  // ===== duplicated-span (ExactSubstr-style) dedup ======================
+
+  private val spanK = 8
+
+  private val spanDedupQ: QFn = (s, d) =>
+    Dedup.spanDedup(Tables.documents(s, d), k = spanK, minOccurs = 2)
+
+  /** The oracle is the flat window-position formulation: every k-token
+    * window hashed, occurrence count + first-occurrence rank per hash
+    * via windows over h (fine in DuckDB — the engine side uses the
+    * skew-safe groupBy+min instead), covered token positions expanded
+    * and anti-joined against the token frame. */
+  private val spanDedupSql = {
+    val k = spanK
+    s"""WITH $toksSql,
+       |wf AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(tk) >= $k THEN
+       |      list_transform(range(0, len(tk) - $k + 1),
+       |        p -> array_to_string(tk[p+1 : p+$k], ' '))
+       |    ELSE CAST([] AS VARCHAR[]) END AS wins
+       |  FROM toks),
+       |u AS (
+       |  SELECT doc_id, unnest(wins) AS w,
+       |         unnest(range(0, len(wins))) AS pos
+       |  FROM wf),
+       |o AS (SELECT doc_id, pos, ${sqlHash60("w")} AS h FROM u),
+       |o2 AS (
+       |  SELECT doc_id, pos,
+       |    COUNT(*) OVER (PARTITION BY h) AS cnt,
+       |    ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+       |  FROM o),
+       |rem0 AS (SELECT doc_id, pos FROM o2 WHERE cnt >= 2 AND rn > 1),
+       |rem AS (
+       |  SELECT DISTINCT doc_id, pos + unnest(range(0, $k)) AS t
+       |  FROM rem0),
+       |tp AS (
+       |  SELECT doc_id, unnest(tk) AS tok,
+       |         unnest(range(0, len(tk))) AS p
+       |  FROM toks),
+       |kept AS (
+       |  SELECT tp.doc_id, tp.tok, tp.p
+       |  FROM tp LEFT JOIN rem ON rem.doc_id = tp.doc_id AND rem.t = tp.p
+       |  WHERE rem.t IS NULL),
+       |r AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       |         string_agg(tok, ' ' ORDER BY p) AS new_text
+       |  FROM kept GROUP BY doc_id),
+       |n AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM toks)
+       |SELECT n.doc_id, n.n_tokens,
+       |  n.n_tokens - COALESCE(r.n_kept, CAST(0 AS BIGINT)) AS n_removed,
+       |  COALESCE(r.new_text, '') AS new_text
+       |FROM n LEFT JOIN r USING (doc_id)""".stripMargin
+  }
+
   // ===== sequence packing ===============================================
 
   private val packCap = 256
@@ -741,6 +796,7 @@ object PrepQueries {
   val queries: Map[String, QFn] = Map(
     "q_x_knn_label" -> knnLabel,
     "q_x_segment_dedup" -> segmentDedupQ,
+    "q_x_span_dedup" -> spanDedupQ,
     "q_x_seq_pack" -> seqPackQ,
     "q_x_seq_blocks" -> seqBlocksQ,
     "q_x_temperature_mix" -> temperatureMixQ,
@@ -759,6 +815,7 @@ object PrepQueries {
   val oracles: Map[String, String] = Map(
     "q_x_knn_label" -> knnLabelSql,
     "q_x_segment_dedup" -> segmentDedupSql,
+    "q_x_span_dedup" -> spanDedupSql,
     "q_x_seq_pack" -> seqPackSql,
     "q_x_seq_blocks" -> seqBlocksSql,
     "q_x_temperature_mix" -> temperatureMixSql,

@@ -317,4 +317,38 @@ class DedupSpec extends SparkSpec {
     assert(perRow.keySet == agg.keySet)
     perRow.foreach { case (id, mh) => assert(mh == agg(id), s"doc $id") }
   }
+
+  test("spanDedup: first occurrence kept, later cross-doc / within-doc " +
+      "occurrences removed, overlaps merged, short docs untouched") {
+    val docs = Seq(
+      (1L, "w1 w2 a b c d w3 w4"), // canonical home of "a b c d"
+      (2L, "x1 a b c d x2"), //        later occurrence -> span removed
+      (3L, "p q r s p q r s"), //      within-doc repeat of "p q r s"
+      (4L, "u v w"), //                shorter than k -> no windows
+      (5L, "m n o p q"), //            canonical copy of the exact dup
+      (6L, "m n o p q"), //            exact dup: overlapping windows
+      (7L, "")) //                     empty doc
+      .toDF("doc_id", "text")
+    val r = Dedup.spanDedup(docs, k = 4, minOccurs = 2)
+      .select("doc_id", "n_tokens", "n_removed", "new_text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(x => x._1 -> ((x._2, x._3, x._4))).toMap
+    assert(r(1L) == ((8L, 0L, "w1 w2 a b c d w3 w4")))
+    assert(r(2L) == ((6L, 4L, "x1 x2")))
+    assert(r(3L) == ((8L, 4L, "p q r s")))
+    assert(r(4L) == ((3L, 0L, "u v w")))
+    assert(r(5L) == ((5L, 0L, "m n o p q")))
+    // both windows of the dup removed; [0,4) and [1,5) merge to [0,5)
+    assert(r(6L) == ((5L, 5L, "")))
+    assert(r(7L) == ((0L, 0L, "")))
+  }
+
+  test("spanDedup plan: no window functions (duplication stats are a " +
+      "skew-safe hash aggregate)") {
+    val docs = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val plan = Dedup.spanDedup(docs, k = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "spanDedup must not plan a Window operator:\n" + plan.take(500))
+  }
 }

@@ -340,6 +340,68 @@ class SimilaritySpec extends SparkSpec {
     assert(rowIvf == pkdIvf)
   }
 
+  // 4 well-separated centers + small deterministic noise — the regime
+  // an IVF index explains most variance in, which is exactly the regime
+  // residual PQ exists for (residual energy << vector energy). On
+  // unclustered data the residual/plain ordering is seeding luck.
+  private def cvec(i: Long): Seq[Float] = {
+    val c = (i % 4).toInt
+    (0 until 8).map { j =>
+      val center = if (j / 2 == c) 3.0f else 0.0f
+      center + (((i * 131 + j * 37) % 97) - 48).toFloat / 480f
+    }
+  }
+  private val clustered = (0L until 40L).map(i => (i, cvec(i)))
+    .toDF("vec_id", "embedding")
+
+  test("residual IVF-PQ: ADC scores approximate the exact inner product " +
+      "strictly better than non-residual codes; training deterministic") {
+    val base = clustered
+    val (cents, index) = Similarity.ivfIndex(base, k = 4, iters = 3)
+    val q = base.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 1000).as("vec_id"),
+        transform(col("embedding"),
+          x => x.cast("double") + lit(0.002)).as("embedding"))
+    // exact IPs for every (query, corpus) pair — the approximation target
+    val exact = q.as("q").crossJoin(base.as("c"))
+      .select(col("q.vec_id").as("qid"), col("c.vec_id").as("cid"),
+        Similarity.dot(col("q.embedding"), col("c.embedding")).as("ip"))
+      .as[(Long, Long, Double)].collect()
+      .map(x => (x._1, x._2) -> x._3).toMap
+    def mse(scored: Array[(Long, Long, Double)]): Double = {
+      val errs = scored.map { case (qid, cid, s) =>
+        val e = s - exact((qid, cid)); e * e
+      }
+      errs.sum / errs.length
+    }
+    val (rbook, rcodes) =
+      Similarity.ivfPqResidualTrain(base, cents, index, m = 2, k = 8)
+    val resScored = Similarity
+      .ivfPqResidualTopKPacked(q, cents, index, rbook,
+        Similarity.packCodes(rcodes, 2), m = 2, topK = 40, nprobe = 2)
+      .select(col("qid"), col("cid"), col("score"))
+      .as[(Long, Long, Double)].collect()
+    val (book, codes) = Similarity.pqTrain(base, m = 2, k = 8)
+    val plainScored = Similarity
+      .ivfPqTopKPacked(q, cents, index, book,
+        Similarity.packCodes(codes, 2), m = 2, topK = 40, nprobe = 2)
+      .select(col("qid"), col("cid"), col("score"))
+      .as[(Long, Long, Double)].collect()
+    // identical routing -> identical candidate sets; only scores differ
+    assert(resScored.map(x => (x._1, x._2)).toSet ==
+      plainScored.map(x => (x._1, x._2)).toSet)
+    assert(mse(resScored) < mse(plainScored),
+      s"residual MSE ${mse(resScored)} not < plain ${mse(plainScored)}")
+    // training is a pure function of (corpus, IVF): bit-equal on re-run
+    val (_, rcodes2) =
+      Similarity.ivfPqResidualTrain(base, cents, index, m = 2, k = 8)
+    assert(rcodes.as[(Long, Int, Long)].collect().toSet ==
+      rcodes2.as[(Long, Int, Long)].collect().toSet)
+    // and it genuinely quantizes residuals, not the raw vectors
+    assert(rcodes.as[(Long, Int, Long)].collect().toSet !=
+      codes.as[(Long, Int, Long)].collect().toSet)
+  }
+
   test("pqEncode against the frozen codebook reproduces training codes; " +
       "extendPq serves appended vectors retrain-free") {
     val dir = java.nio.file.Files.createTempDirectory("pqstore").toString
