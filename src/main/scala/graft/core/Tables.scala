@@ -2,6 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver fixtures under /root/testdata (see TESTDATA.md).
   *
@@ -26,14 +27,22 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark's parquet
-    * reader only surfaces as a nanos Long (legacy conf); convert to a
-    * micros timestamp explicitly (floor division — exact for the
-    * second-resolution fixture data). */
+  /** events.parquet's `ts` has shipped in two vintages: TIMESTAMP(NANOS),
+    * which Spark's parquet reader only surfaces as a nanos Long (legacy
+    * conf), and native TIMESTAMP(MICROS), which surfaces as TIMESTAMP_NTZ.
+    * Sniff the loaded type and normalize both to a session-tz
+    * TimestampType (session tz is pinned to UTC by every entrypoint, so
+    * the NTZ cast preserves wall-clock values). */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      // `div` is exact integral division; `/` would go through double and
+      // lose micros for epoch-nanos values beyond 2^53.
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
