@@ -99,8 +99,15 @@ object Soak {
       generate(spark, base, out, replicas)
     }
 
+    // r8 set + the r8 additions (span/segment dedup, BM25 — verdict r8
+    // #5) + the bounded-|Q| PQ serving row (verdict r8 #7: ann_pq's 1.50
+    // exponent measures |Q|x|N| because the full row's query count grows
+    // with the corpus; ann_pq_serve pins |Q|=32 so its exponent measures
+    // the serving regime the 100 TB claim actually rests on).
     val names = Seq("q_x_curriculum", "q_x_dedup_clusters",
-      "q_x_pipeline3", "q_x_ann_pq", "q_x_ann_ivfpq")
+      "q_x_pipeline3", "q_x_ann_pq", "q_x_ann_ivfpq",
+      "q_x_ann_pq_serve", "q_x_span_dedup", "q_x_segment_dedup",
+      "q_x_bm25")
 
     def runOnce(name: String, dir: String): Double = {
       val t0 = System.nanoTime()

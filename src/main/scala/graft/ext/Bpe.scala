@@ -119,6 +119,82 @@ object Bpe {
     }
   }
 
+  /** Batched BPE trainer: up to `batch` MUTUALLY NON-INTERACTING merge
+    * rules per Spark round, for production merge counts (R = 32k–100k)
+    * where [[train]]'s one-rule-per-round loop is scheduler-floor bound
+    * (R sequential pair-count jobs).
+    *
+    * Per round: one pair-count aggregate (same as [[train]]), then the
+    * top candidates (count desc, lexicographic — a bounded
+    * `limit(4*batch)` rule-artifact fetch, like [[orderedRules]])
+    * are walked greedily on the driver keeping a pair only when its
+    * {lhs, rhs, merged} strings are disjoint from every already-kept
+    * pair's. Disjointness makes the kept pairs' counted occurrences
+    * EXACTLY valid after each other's replaces (merging " a b " can
+    * neither create nor destroy a " c d " adjacency when
+    * {a,b} ∩ {c,d} = ∅), so all kept rules apply in ONE [[merge4]]
+    * fold projection over the dict.
+    *
+    * Contract vs sequential BPE: rule ORDER within a batch follows the
+    * stale (round-start) counts — a pair involving a freshly merged
+    * symbol ("ab", c) cannot be selected until the next round, where
+    * sequential BPE might rank it above the batch's later picks. This
+    * is the standard multi-merge-per-round trade (batched/blocked BPE
+    * training) and is documented, flagged behavior — `batch = 1`
+    * degenerates EXACTLY to [[train]]'s semantics (BpeSpec pins it).
+    * Encode/vocab/ids consume the output unchanged: same
+    * (step, lhs, rhs, merged, pair_count) schema, steps contiguous
+    * from 1. */
+  def trainBatched(toks: DataFrame, tokCol: String, merges: Int,
+                   batch: Int = 32,
+                   checkpointDir: Option[String] = None): DataFrame = {
+    require(merges >= 1, "merges must be >= 1")
+    require(batch >= 1, "batch must be >= 1")
+    val spark = toks.sparkSession
+    import spark.implicits._
+    var words = Checkpoints.cut(wordDict(toks, tokCol), checkpointDir)
+    val rules = Seq.newBuilder[(Long, String, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= merges && !exhausted) {
+      val want = math.min(batch, merges - step + 1)
+      val syms = split(trim(col("sym")), " ")
+      val top = words
+        .select(col("cnt"), explode(adjacentPairs(syms)).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("l").asc, col("r").asc)
+        .limit(4 * want)
+        .collect()
+      if (top.isEmpty) { exhausted = true }
+      else {
+        var occupied = Set.empty[String]
+        val kept = top.iterator.flatMap { r =>
+          val (l, rr, c) = (r.getString(0), r.getString(1), r.getLong(2))
+          val touch = Set(l, rr, l + rr)
+          if (touch.intersect(occupied).isEmpty) {
+            occupied ++= touch
+            Some((l, rr, c))
+          } else None
+        }.take(want).toSeq
+        kept.zipWithIndex.foreach { case ((l, r, c), i) =>
+          rules += ((step + i.toLong, l, r, l + r, c))
+        }
+        if (step + kept.size <= merges) {
+          words = Checkpoints.cut(
+            kept.foldLeft(words.select(col("sym"), col("cnt"))) {
+              case (d, (l, r, _)) =>
+                d.select(merge4(col("sym"), lit(l), lit(r)).as("sym"),
+                  col("cnt"))
+            }, checkpointDir)
+        }
+        step += kept.size
+      }
+    }
+    rules.result()
+      .toDF("step", "lhs", "rhs", "merged", "pair_count")
+  }
+
   /** Ordered (lhs, rhs) rule list of a trained merge table, validated
     * contiguous from 1 (train's output contract). This reads the rule
     * TABLE to the driver — R short strings of an O(vocab) artifact,

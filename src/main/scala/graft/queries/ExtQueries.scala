@@ -700,7 +700,25 @@ object ExtQueries {
       m = 2, topK = 1)
   }
 
-  private val annPqSql = {
+  /** Bounded-|Q| PQ serving: identical train + ADC path to `q_x_ann_pq`
+    * but the query batch is FIXED at the 32 perturbed vectors with
+    * vec_id < 160 (present at every SF, soak replicas included). The
+    * full-|Q| row's query count grows with the corpus (every 5th
+    * vector), so its measured soak exponent (~1.5) tracks |Q|x|N| —
+    * not the serving regime the 100 TB story rests on (fixed query
+    * batch, growing corpus). This row is the one whose exponent should
+    * read ~linear: train is one Lloyd pass over N, serving is a flat
+    * ADC scan of N codes for a constant 32 queries. */
+  private val annPqServe: QFn = (s, d) => {
+    val (book, codes) = Similarity.pqTrain(Tables.embeddings(s, d),
+      m = 2, k = 4)
+    val q = perturbed(s, d).filter(col("qid") < 30160)
+      .select(col("qid").as("vec_id"), col("qv").as("embedding"))
+    Similarity.pqTopKPacked(q, book, Similarity.packCodes(codes, 2),
+      m = 2, topK = 1)
+  }
+
+  private def annPqSqlFrom(qCte: String) = {
     // the engine's subSlices for m=2: sub 0 takes [1, ds], sub 1 (the
     // last) takes the remainder
     def sliceSql(v: String) =
@@ -709,7 +727,7 @@ object ExtQueries {
         s"sub * (len($v) // 2) + (len($v) // 2)] END)"
     def d2Sql(a: String, b: String) =
       sqlSig9(s"${nsqSql(a)} - 2.0 * (${dotSql(a, b)}) + ${nsqSql(b)}")
-    s"""WITH $perturbedSql,
+    s"""WITH $qCte,
        |corpus AS (
        |  SELECT vec_id AS vid,
        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vv
@@ -772,6 +790,12 @@ object ExtQueries {
        |SELECT qid, CAST(rn AS BIGINT) AS "rank", vid AS cid, score
        |FROM t WHERE rn <= 1""".stripMargin
   }
+
+  private val annPqSql = annPqSqlFrom(perturbedSql)
+
+  /** Same adjudicated SQL body with the fixed 32-query batch. */
+  private val annPqServeSql = annPqSqlFrom(perturbedSql.replace(
+    "WHERE vec_id % 5 = 0)", "WHERE vec_id % 5 = 0 AND vec_id < 160)"))
 
   // ===== similarity: IVF-PQ recall self-check ===========================
 
@@ -1335,6 +1359,7 @@ object ExtQueries {
     "q_x_ann_ivf_recall" -> annIvfRecall,
     "q_x_ann_int8" -> annInt8,
     "q_x_ann_pq" -> annPq,
+    "q_x_ann_pq_serve" -> annPqServe,
     "q_x_ann_ivfpq" -> annIvfPq,
     "q_x_ann_ivfpq_res" -> annIvfPqRes,
     "q_x_multimodal" -> multimodal,
@@ -1375,6 +1400,7 @@ object ExtQueries {
     "q_x_ann_ivf_recall" -> annIvfRecallSql,
     "q_x_ann_int8" -> annInt8Sql,
     "q_x_ann_pq" -> annPqSql,
+    "q_x_ann_pq_serve" -> annPqServeSql,
     "q_x_ann_ivfpq" -> annIvfPqSql,
     "q_x_ann_ivfpq_res" -> annIvfPqResSql,
     "q_x_multimodal" -> multimodalSql,

@@ -202,6 +202,47 @@ class BpeSpec extends SparkSpec {
     assert(ib("x").isEmpty && ib("z").isEmpty)
   }
 
+  test("trainBatched(batch=1) degenerates exactly to sequential train") {
+    for (corpusDf <- Seq(corpus,
+        Seq(Tuple1(Seq.fill(2)("aaaaa"))).toDF("tk"))) {
+      val seqR = Bpe.train(corpusDf, "tk", merges = 3)
+        .as[(Long, String, String, String, Long)].collect().toSeq
+      val batR = Bpe.trainBatched(corpusDf, "tk", merges = 3, batch = 1)
+        .as[(Long, String, String, String, Long)].collect().toSeq
+      assert(seqR == batR)
+    }
+  }
+
+  test("trainBatched keeps only non-interacting pairs per round and " +
+      "numbers steps contiguously") {
+    // Round-1 pair counts on the Sennrich fixture, ordered (count desc,
+    // lex): (e,s) 9, (s,t) 9, (w,e) 8, (l,o) 7, (o,w) 7, (e,w) 6,
+    // (n,e) 6, (d,e) 3, (i,d) 3, (w,i) 3, (e,r) 2. The greedy disjoint
+    // walk keeps (e,s), skips (s,t)/(w,e) [s, e taken], keeps (l,o),
+    // skips (o,w)/(e,w)/(n,e)/(d,e) [o, e taken], keeps (i,d) — round 1
+    // = 3 rules. Round 2 recounts on the merged dict and learns (es,t)
+    // count 9 — the pair sequential BPE would have learned at step 2
+    // arrives at step 4, the documented stale-count trade.
+    val rules = Bpe.trainBatched(corpus, "tk", merges = 4, batch = 8)
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    assert(rules == Seq(
+      (1L, "e", "s", "es", 9L),
+      (2L, "l", "o", "lo", 7L),
+      (3L, "i", "d", "id", 3L),
+      (4L, "es", "t", "est", 9L)))
+  }
+
+  test("trainBatched output drives encode like any rule table") {
+    val docs = Seq((1L, Seq("low", "newest", "widest"))).toDF("doc_id", "tk")
+    val rules = Bpe.trainBatched(corpus, "tk", merges = 4, batch = 8)
+    val enc = Bpe.encode(docs, "doc_id", "tk", rules)
+      .as[(Long, Long, String)].collect()
+      .map { case (k, _, t) => k -> t }.toMap
+    // rules (e,s),(l,o),(i,d),(es,t): low -> "lo w", newest ->
+    // "n e w est", widest -> "w id est"
+    assert(enc(1L) == "lo w n e w est w id est")
+  }
+
   test("train with a durable checkpointDir matches the local path") {
     val dir = java.nio.file.Files.createTempDirectory("bpeck").toString
     val a = Bpe.train(corpus, "tk", merges = 3)
