@@ -470,8 +470,15 @@ object ExtQueries {
 
   /** Deterministically perturbed copies of every 5th vector, id-shifted
     * by 30000 — ground-truth near-duplicates of their originals. */
-  private def perturbed(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d).filter(col("vec_id") % 5 === 0)
+  private def perturbed(s: SparkSession, d: String,
+                        idBound: Option[Long] = None): DataFrame =
+    Tables.embeddings(s, d)
+      // bound BEFORE the +30000 projection: `vec_id < b` is a pushable
+      // parquet predicate, `(vec_id + 30000) < b'` is not (ANSI
+      // overflow rules block the rewrite), and at 100 TB the bounded
+      // serving batch must prune row groups, not scan-and-discard
+      .filter(idBound.map(col("vec_id") < _).getOrElse(lit(true)))
+      .filter(col("vec_id") % 5 === 0)
       .select((col("vec_id") + 30000).as("qid"),
         transform(col("embedding"), (x, i) =>
           x.cast("double") +
@@ -712,7 +719,7 @@ object ExtQueries {
   private val annPqServe: QFn = (s, d) => {
     val (book, codes) = Similarity.pqTrain(Tables.embeddings(s, d),
       m = 2, k = 4)
-    val q = perturbed(s, d).filter(col("qid") < 30160)
+    val q = perturbed(s, d, idBound = Some(160L))
       .select(col("qid").as("vec_id"), col("qv").as("embedding"))
     Similarity.pqTopKPacked(q, book, Similarity.packCodes(codes, 2),
       m = 2, topK = 1)
