@@ -393,6 +393,26 @@ object Bpe {
         col("sym_id"))
   }
 
+  /** Persist a tokenizer artifact — the (rules, alphabet) pair that
+    * fully determines [[encode]]/[[vocab]]/[[encodeIds]] behavior —
+    * as two parquet tables, mirroring `Similarity.saveIndex`'s
+    * artifact posture: train once on the corpus, ship the artifact,
+    * encode any later batch against it (ids stay a pure function of
+    * the artifact, never of the batch — the contract BpeSpec pins).
+    * Both tables are O(vocab): rules has R rows, alphabet C rows. */
+  def saveTokenizer(rules: DataFrame, alpha: DataFrame,
+                    path: String): Unit = {
+    rules.write.mode("overwrite").parquet(s"$path/rules")
+    alpha.write.mode("overwrite").parquet(s"$path/alphabet")
+  }
+
+  /** Load a persisted tokenizer artifact: (rules, alphabet), ready for
+    * [[encode]] and the two-argument [[vocab]]. */
+  def loadTokenizer(spark: org.apache.spark.sql.SparkSession,
+                    path: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$path/rules"),
+      spark.read.parquet(s"$path/alphabet"))
+
   /** Adjacent (l, r) symbol pairs of a symbol array (empty when fewer
     * than two symbols — such words carry no pairs). */
   private def adjacentPairs(syms: Column): Column =

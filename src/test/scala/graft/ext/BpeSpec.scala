@@ -243,6 +243,22 @@ class BpeSpec extends SparkSpec {
     assert(enc(1L) == "lo w n e w est w id est")
   }
 
+  test("tokenizer artifact round-trips through parquet and encodes " +
+      "identically") {
+    val dir = java.nio.file.Files.createTempDirectory("bpetok").toString
+    val rules = Bpe.train(corpus, "tk", merges = 3)
+    val alpha = Bpe.alphabet(corpus, "tk")
+    Bpe.saveTokenizer(rules, alpha, dir)
+    val (rules2, alpha2) = Bpe.loadTokenizer(spark, dir)
+    val docs = Seq((1L, Seq("low", "newest"))).toDF("doc_id", "tk")
+    def ids(r: org.apache.spark.sql.DataFrame,
+            a: org.apache.spark.sql.DataFrame) =
+      Bpe.encodeIds(docs, "doc_id", "tk", r,
+        vocabTable = Some(Bpe.vocab(a, r)))
+        .as[(Long, Long, String, Option[Long])].collect().sortBy(t => (t._1, t._2)).toSeq
+    assert(ids(rules, alpha) == ids(rules2, alpha2))
+  }
+
   test("train with a durable checkpointDir matches the local path") {
     val dir = java.nio.file.Files.createTempDirectory("bpeck").toString
     val a = Bpe.train(corpus, "tk", merges = 3)
