@@ -870,6 +870,40 @@ object ExtQueries {
       |  (SELECT COUNT(*) FROM embeddings WHERE vec_id % 5 = 0) AS n_queries,
       |  CAST(1 AS BOOLEAN) AS pass""".stripMargin
 
+  /** Residual IVF-PQ at the PRODUCTION geometry (m=8 subspaces): the
+    * round-9 recall/nprobe sweep (RECALL_SWEEP.json, NOTES_r09 §6)
+    * adjudicated the (m=4, k=8) sf0.1 recall sag as codebook CAPACITY
+    * (flat-to-declining in nprobe; 1.000 at m=8 at the same serve
+    * latency class), so the m-scaled geometry is the one the 100 TB
+    * story ships — this row pins it at a 0.9 bar (measured 1.000 at
+    * all three SFs) so a codebook/serving refactor that degrades the
+    * production operating point fails correctness, not just NOTES. */
+  private val annIvfPqRes8: QFn = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val (cents, index) = Similarity.ivfIndex(emb, k = 16)
+    val (book, codes) =
+      Similarity.ivfPqResidualTrain(emb, cents, index, m = 8, k = 8)
+    val q = perturbed(s, d)
+      .select(col("qid").as("vec_id"), col("qv").as("embedding"))
+    val top1 = Similarity
+      .ivfPqResidualTopKPacked(q, cents, index, book,
+        Similarity.packCodes(codes, 8), m = 8, topK = 1, nprobe = 2)
+      .filter(col("rank") === 1)
+    val hits = q.select(col("vec_id").as("qid"))
+      .join(top1, Seq("qid"), "left")
+      .select(when(col("cid") === col("qid") - 30000, lit(1.0))
+        .otherwise(lit(0.0)).as("hit"))
+    hits.agg(count(lit(1)).as("n_queries"),
+        (sum(col("hit")) / count(lit(1)) >= 0.9).as("pass"))
+      .select(lit("ivfpq_residual8_recall_at_1").as("metric"),
+        col("n_queries"), col("pass"))
+  }
+
+  private val annIvfPqRes8Sql =
+    """SELECT 'ivfpq_residual8_recall_at_1' AS metric,
+      |  (SELECT COUNT(*) FROM embeddings WHERE vec_id % 5 = 0) AS n_queries,
+      |  CAST(1 AS BOOLEAN) AS pass""".stripMargin
+
   // ===== sketches: HLL distinct-count self-check ========================
 
   /** approx_count_distinct (HyperLogLog++) against the exact count — the
@@ -1369,6 +1403,7 @@ object ExtQueries {
     "q_x_ann_pq_serve" -> annPqServe,
     "q_x_ann_ivfpq" -> annIvfPq,
     "q_x_ann_ivfpq_res" -> annIvfPqRes,
+    "q_x_ann_ivfpq_res8" -> annIvfPqRes8,
     "q_x_multimodal" -> multimodal,
     "q_x_pixels" -> pixelsQ,
     "q_x_dedup_clusters" -> dedupClusters,
@@ -1410,6 +1445,7 @@ object ExtQueries {
     "q_x_ann_pq_serve" -> annPqServeSql,
     "q_x_ann_ivfpq" -> annIvfPqSql,
     "q_x_ann_ivfpq_res" -> annIvfPqResSql,
+    "q_x_ann_ivfpq_res8" -> annIvfPqRes8Sql,
     "q_x_multimodal" -> multimodalSql,
     "q_x_pixels" -> pixelsSql,
     "q_x_dedup_clusters" -> dedupClustersSql,

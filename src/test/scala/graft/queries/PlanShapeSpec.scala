@@ -120,6 +120,20 @@ class PlanShapeSpec extends SparkSpec {
         ivfpq.take(800))
   }
 
+  test("bounded-|Q| serving batch pushes its id bound into the parquet " +
+      "scan") {
+    // the bound is applied BEFORE the +30000 qid projection so it
+    // stays a pushable predicate; filtering the projected qid strands
+    // it above the scan (ANSI overflow rules block the rewrite) and at
+    // 100 TB the serving batch would scan the corpus and discard
+    val df = SparkEntry.queries("q_x_ann_pq_serve")(spark, sf)
+    df.collect()
+    val scans = df.queryExecution.executedPlan.toString
+    assert(scans.contains("LessThan(vec_id,160)"),
+      "serving-batch bound missing from PushedFilters:\n" +
+        scans.take(800))
+  }
+
   test("native expressions appear in plans (not the composed forms)") {
     val p = planOf(SparkEntry.queries("q_x_embed_neardup")(spark, sf))
     assert(p.contains("sig9"), "score must route through sig9_round")
