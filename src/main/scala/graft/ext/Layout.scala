@@ -197,4 +197,24 @@ object Layout {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
       .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Materialize a corpus in TRAINING ORDER as balanced shard files —
+    * the writer half of [[Sampling.epochShuffle]]. Input rows carry
+    * `shardCol`/`orderCol` (shard id + position within shard); output
+    * is one directory per shard (`shard=<k>/`) holding ONE parquet
+    * file whose row order is exactly the training order, so a data
+    * loader streams shard k sequentially with zero further sorting.
+    *
+    * Shape: `repartition(shardCol)` co-locates each shard on one task
+    * (a shard is sized to fit a worker by construction — shardSize is
+    * the knob), the within-partition sort orders by (shard, pos)
+    * without any global sort, and `partitionBy` splits tasks that hold
+    * several shards into per-shard files. Parquet preserves row order,
+    * so ordered-read-back is a format guarantee, not luck. */
+  def shardedWrite(df: DataFrame, path: String,
+                   shardCol: String = "shard",
+                   orderCol: String = "shard_pos"): Unit =
+    df.repartition(col(shardCol))
+      .sortWithinPartitions(col(shardCol), col(orderCol))
+      .write.mode(SaveMode.Overwrite).partitionBy(shardCol).parquet(path)
 }

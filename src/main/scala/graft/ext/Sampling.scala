@@ -157,4 +157,66 @@ object Sampling {
       .filter(col("__rn") <= maxPerStratum)
       .drop("__rn")
   }
+
+  /** Deterministic epoch shuffle + shard layout: assign every row an
+    * exact global position 0..n-1 in a reproducible pseudo-random
+    * training order (rank by salted portable hash of the key, ties to
+    * the key), plus the balanced shard it lands in — the
+    * randomize-then-shard step between corpus construction and block
+    * writing. `rand()` cannot do this job (re-runs must produce the
+    * same order for resumable training and ablation parity), and the
+    * obvious `row_number() OVER (ORDER BY hash)` is a GLOBAL sort — a
+    * single-reducer rank that dies at corpus scale.
+    *
+    * Scale shape — the Packing/Curriculum two-phase prefix sum, with a
+    * twist that makes it immune to the id-range caveat documented on
+    * [[Packing.packSequences]]: the bucket is the hash value's own
+    * high bits (`h div 2^60/nBuckets`), which is monotone in the rank
+    * key BY CONSTRUCTION and uniform because h is — so bucket sizes
+    * concentrate at n/nBuckets regardless of key distribution, no
+    * densify step ever needed. Within-bucket `row_number` runs on
+    * bounded partitions; per-bucket counts reduce to ONE O(nBuckets)
+    * row whose array fold yields each bucket's base (the
+    * Curriculum/league-scalar lint posture — no global-order window
+    * anywhere), joined back un-hinted (AQE broadcasts while small).
+    *
+    * `pos` is exact and gap-free, so `shard = pos div shardSize` gives
+    * every shard except the last exactly `shardSize` rows, in training
+    * order — a block writer partitions by `shard` and sorts by
+    * `shard_pos`. By design NOT append-stable: a shuffle is an
+    * artifact of one corpus version + seed (new docs must be able to
+    * land anywhere in the order); version the output like any index.
+    *
+    * Output: key column, `pos`, `shard`, `shard_pos`. Integer `div`
+    * arithmetic throughout — positions in a 100 TB corpus exceed
+    * 2^53. */
+  def epochShuffle(df: DataFrame, keyCol: String, seed: String,
+                   shardSize: Long, nBuckets: Int = 256): DataFrame = {
+    require(shardSize > 0, "shardSize must be positive")
+    require(nBuckets > 0 && (nBuckets & (nBuckets - 1)) == 0,
+      "nBuckets must be a power of two (exact 2^60 bucket split)")
+    val bucketWidth = (1L << 60) / nBuckets
+    val b = df.select(col(keyCol).as("key"))
+      .withColumn("h",
+        Hashing.hash60(concat(lit(seed + ":"), col("key").cast("string"))))
+      .withColumn("bkt", expr(s"h div ${bucketWidth}L"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bkt")).orderBy(col("h").asc, col("key").asc)
+    val within = b.withColumn("local", row_number().over(wIn).cast("long") - 1L)
+    // per-bucket bases: prefix over the bucket axis inside ONE
+    // O(nBuckets) row (array fold) — no unpartitioned window
+    val bases = b.groupBy(col("bkt")).agg(count(lit(1)).as("bkt_n"))
+      .agg(array_sort(collect_list(struct(col("bkt"), col("bkt_n")))).as("a"))
+      .select(explode(transform(col("a"), (x, i) =>
+        struct(x.getField("bkt").as("bkt"),
+          aggregate(slice(col("a"), lit(1), i), lit(0L),
+            (acc, y) => acc + y.getField("bkt_n")).as("base")))).as("p"))
+      .select(col("p.bkt").as("bkt"), col("p.base").as("base"))
+    within.join(bases, Seq("bkt"))
+      .withColumn("pos", col("base") + col("local"))
+      .withColumn("shard", expr(s"pos div ${shardSize}L"))
+      .withColumn("shard_pos", col("pos") - col("shard") * shardSize)
+      .select(col("key").as(keyCol), col("pos"), col("shard"),
+        col("shard_pos"))
+  }
 }

@@ -413,7 +413,34 @@ object CorpusQueries {
        |       AS DOUBLE) / COUNT(*) AS novel_frac
        |FROM f GROUP BY doc_id""".stripMargin
 
+  // ===== deterministic epoch shuffle ====================================
+
+  /** Reproducible pseudo-random global training order + balanced shard
+    * layout over the documents corpus. The oracle IS the naive
+    * single-window form (`row_number` over the global hash order), so
+    * the two-phase hash-bucket prefix sum is adjudicated to exact
+    * global positions end to end. */
+  private val epochShuffleQ: QFn = (s, d) =>
+    Sampling.epochShuffle(
+      Tables.documents(s, d).select(col("doc_id")),
+      "doc_id", "ep0", 512L, 64)
+
+  private val epochShuffleSql =
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |    ${hashSql("'ep0:' || CAST(doc_id AS VARCHAR)")} AS hv
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY hv, doc_id) - 1 AS BIGINT) AS pos
+       |  FROM h)
+       |SELECT doc_id, pos,
+       |  CAST(pos // 512 AS BIGINT) AS shard,
+       |  CAST(pos % 512 AS BIGINT) AS shard_pos
+       |FROM r""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q_x_epoch_shuffle" -> epochShuffleQ,
     "q_x_decontam" -> decontam,
     "q_x_unigram_lm" -> unigramLm,
     "q_x_bigram_lm" -> bigramLm,
@@ -427,6 +454,7 @@ object CorpusQueries {
     "q_x_rrf" -> rrfQ)
 
   val oracles: Map[String, String] = Map(
+    "q_x_epoch_shuffle" -> epochShuffleSql,
     "q_x_decontam" -> decontamSql,
     "q_x_unigram_lm" -> unigramLmSql,
     "q_x_bigram_lm" -> bigramLmSql,

@@ -273,6 +273,57 @@ object ExtQueries {
        |SELECT node AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
        |FROM reach GROUP BY node""".stripMargin
 
+  // ===== train/eval split leakage =======================================
+
+  /** Eval-contamination QA: verified near-dup pairs that STRADDLE a
+    * train/val/test boundary — the post-split check that keeps held-out
+    * sets honest (a near-duplicate of a training document sitting in
+    * val/test silently inflates eval). Composes the adjudicated MinHash
+    * chain with the deterministic split assignment; at scale the cost
+    * is the LSH candidate join (never all-pairs) plus two id-keyed
+    * joins against the O(1)-per-row split projection — the split label
+    * is a pure hash function of the id, so the "split frame" needs no
+    * shuffle of its own. The planted near corpus guarantees straddling
+    * pairs exist (pair members draw independent split coins). */
+  private val leakWeights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+  private val splitLeakage: QFn = (s, d) => {
+    val corpus = nearCorpus(s, d)
+    val pairs = Dedup.minhashNearDupsFromTokens(corpus, "doc_id", "tk", 0.5)
+    val splits = graft.ext.Sampling
+      .splitAssign(corpus.select(col("doc_id")), "doc_id", leakWeights)
+      .select(col("doc_id"), col("split"))
+    pairs
+      .join(splits.select(col("doc_id").as("a_id"),
+        col("split").as("a_split")), Seq("a_id"))
+      .join(splits.select(col("doc_id").as("b_id"),
+        col("split").as("b_split")), Seq("b_id"))
+      .filter(col("a_split") =!= col("b_split"))
+      .select(col("a_id"), col("b_id"), col("jacc"),
+        col("a_split"), col("b_split"))
+  }
+
+  private val splitLeakageSql = {
+    val cum = leakWeights.map(_._2).scanLeft(0.0)(_ + _).tail
+    val cases = leakWeights.init.zip(cum.init)
+      .map { case ((name, _), c) => s"WHEN u < CAST($c AS DOUBLE) THEN '$name'" }
+      .mkString(" ")
+    s"""WITH $minhashCtes,
+       |sp AS (
+       |  SELECT doc_id,
+       |    CASE $cases ELSE '${leakWeights.last._1}' END AS split
+       |  FROM (
+       |    SELECT doc_id,
+       |      CAST(${hashSql("'split:' || CAST(doc_id AS VARCHAR)")} % 1000000
+       |        AS DOUBLE) / 1000000.0 AS u
+       |    FROM corpus))
+       |SELECT a_id, b_id, jacc, sa.split AS a_split, sb.split AS b_split
+       |FROM j
+       |JOIN sp sa ON sa.doc_id = a_id
+       |JOIN sp sb ON sb.doc_id = b_id
+       |WHERE jacc >= CAST(0.5 AS DOUBLE) AND sa.split <> sb.split""".stripMargin
+  }
+
   // ===== dedup: best-quality cluster representative =====================
 
   /** The production keep rule on top of the cluster assignment: keep
@@ -1391,6 +1442,7 @@ object ExtQueries {
     "q_x_fingerprint" -> fingerprint,
     "q_x_dedup_exact" -> dedupExact,
     "q_x_dedup_minhash" -> dedupMinhash,
+    "q_x_split_leakage" -> splitLeakage,
     "q_x_simhash" -> simhash,
     "q_x_jaccard_nn" -> jaccardNn,
     "q_x_ann_brute" -> annBrute,
@@ -1433,6 +1485,7 @@ object ExtQueries {
     "q_x_fingerprint" -> fingerprintSql,
     "q_x_dedup_exact" -> dedupExactSql,
     "q_x_dedup_minhash" -> dedupMinhashSql,
+    "q_x_split_leakage" -> splitLeakageSql,
     "q_x_simhash" -> simhashSql,
     "q_x_jaccard_nn" -> jaccardNnSql,
     "q_x_ann_brute" -> annBruteSql,

@@ -172,4 +172,33 @@ class LayoutSpec extends SparkSpec {
     assert(sortedRead <= n / 10,
       s"sorted scan surfaced $sortedRead rows; expected heavy pruning")
   }
+
+  test("shardedWrite: one ordered file per shard, training order " +
+      "preserved on read-back") {
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString
+    val path = s"$dir/corpus"
+    val docs = (1L to 1000L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val laid = Sampling.epochShuffle(docs, "doc_id", "sw", 250L, 16)
+      .join(docs, Seq("doc_id"))
+    Layout.shardedWrite(laid, path)
+    // 1000 rows / 250 per shard -> 4 shard dirs, one data file each
+    val files = Layout.dataFiles(spark, path)
+    assert(files.size == 4)
+    assert(files.map(_.getParent.getName).toSet ==
+      Set("shard=0", "shard=1", "shard=2", "shard=3"))
+    // each shard file streams in exact training order without sorting
+    val expected = laid.select("doc_id", "pos", "shard_pos")
+      .as[(Long, Long, Long)].collect()
+      .groupBy(t => t._2 / 250).map { case (s, ts) =>
+        s -> ts.sortBy(_._3).map(_._1).toSeq
+      }
+    for (f <- files) {
+      val shardId = f.getParent.getName.stripPrefix("shard=").toLong
+      val inFile = spark.read.parquet(f.toString)
+        .select("doc_id").as[Long].collect().toSeq
+      assert(inFile == expected(shardId),
+        s"shard $shardId not in training order")
+      assert(inFile.size == 250)
+    }
+  }
 }

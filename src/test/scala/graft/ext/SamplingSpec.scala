@@ -85,4 +85,53 @@ class SamplingSpec extends SparkSpec {
     val agree = a.intersect(b).size.toDouble / math.max(a.size, 1)
     assert(agree > 0.3 && agree < 0.7)
   }
+
+  test("epochShuffle: gap-free permutation, matches the single-window " +
+    "reference at any bucket count, shards balanced") {
+    val out = Sampling.epochShuffle(docs, "id", "s1", 100L, 16)
+      .select("id", "pos", "shard", "shard_pos")
+      .as[(Long, Long, Long, Long)].collect()
+    // pos is a permutation of 0..n-1
+    assert(out.map(_._2).sorted.toSeq == (0L until 4000L))
+    // shard layout derives exactly from pos
+    assert(out.forall { case (_, p, s, sp) => s == p / 100 && sp == p % 100 })
+    // every shard full (4000 = 40 exact shards of 100)
+    val perShard = out.groupBy(_._3).map(_._2.length).toSet
+    assert(perShard == Set(100))
+    // nBuckets is a pure execution knob: 1 bucket (the naive
+    // single-window shape) and 16 buckets agree on every position
+    val ref = Sampling.epochShuffle(docs, "id", "s1", 100L, 1)
+      .select("id", "pos").as[(Long, Long)].collect().toMap
+    assert(out.forall { case (id, p, _, _) => ref(id) == p })
+  }
+
+  test("epochShuffle: order is seed-keyed and reproducible, not id order") {
+    val a = Sampling.epochShuffle(docs, "id", "seedA", 512L)
+      .select("id", "pos").as[(Long, Long)].collect().toMap
+    val a2 = Sampling.epochShuffle(docs, "id", "seedA", 512L)
+      .select("id", "pos").as[(Long, Long)].collect().toMap
+    assert(a == a2) // same seed -> identical order
+    val b = Sampling.epochShuffle(docs, "id", "seedB", 512L)
+      .select("id", "pos").as[(Long, Long)].collect().toMap
+    assert(a != b) // different seed -> different permutation
+    // and it is actually shuffled: id order and pos order disagree a lot
+    val sortedById = a.toSeq.sortBy(_._1).map(_._2)
+    val inversionsSample = sortedById.sliding(2).count(w => w(0) > w(1))
+    assert(inversionsSample > 1000)
+  }
+
+  test("epochShuffle plan is lint-clean (no global-order window)") {
+    val out = Sampling.epochShuffle(docs, "id", "s1", 100L, 16)
+    out.collect()
+    assert(PlanLint.clean(out), PlanLint.findings(out).mkString("; "))
+  }
+
+  test("epochShuffle rejects non-power-of-two bucket counts") {
+    intercept[IllegalArgumentException] {
+      Sampling.epochShuffle(docs, "id", "s", 100L, 12)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.epochShuffle(docs, "id", "s", 0L)
+    }
+  }
 }
