@@ -1302,9 +1302,14 @@ object ExtQueries {
     TextStats.chunk(sampled, chunkTokens = 20, overlap = 5)
   }
 
-  private val pipelineE2eSql = {
+  /** Shared gate+dedup CTE prefix (quality gate over the planted-dup
+    * corpus, then exact keep-first dedup) — byte-identical to what
+    * `q_x_pipeline_e2e` always inlined; factored so `q_x_pipeline4`
+    * composes the SAME adjudicated stages rather than a re-derivation
+    * that could drift. */
+  private lazy val gateDedupCtes = {
     val stop = TextStats.stopwords.map(w => s"'$w'").mkString(", ")
-    s"""WITH corpus AS (
+    s"""corpus AS (
        |  SELECT doc_id, text, source FROM documents
        |  UNION ALL
        |  SELECT doc_id + 10000 AS doc_id, text, source FROM documents
@@ -1340,7 +1345,12 @@ object ExtQueries {
        |  JOIN r ON r.doc_id = c.doc_id AND r.reason = 'ok'),
        |keepids AS (
        |  SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
-       |ded AS (SELECT k.* FROM kept k JOIN keepids USING (doc_id)),
+       |ded AS (SELECT k.* FROM kept k JOIN keepids USING (doc_id))"""
+      .stripMargin
+  }
+
+  private val pipelineE2eSql =
+    s"""WITH $gateDedupCtes,
        |samp AS (
        |  SELECT doc_id, tk FROM ded
        |  WHERE CAST(${hashSql("'mix:' || CAST(doc_id AS VARCHAR)")} % 1000000
@@ -1356,6 +1366,64 @@ object ExtQueries {
        |  CAST(len(list_slice(tk, chunk_id*15 + 1, chunk_id*15 + 20))
        |    AS BIGINT) AS n_chunk_tokens
        |FROM c""".stripMargin
+
+  // ===== flagship v4: gate -> dedup -> split -> shuffle -> shards =======
+
+  /** The corpus-to-training-layout tail as ONE program: quality gate ->
+    * exact dedup -> split assignment -> deterministic epoch shuffle of
+    * the survivors -> balanced shard layout. Extends the pipeline
+    * flagship family with the round-9 ordering stage: raw text in,
+    * (split, global position, shard, shard position) out — what a
+    * block writer consumes. One plan, one hash; the oracle chains the
+    * SAME adjudicated CTE stages and ranks survivors with the naive
+    * global window the distributed shuffle must match exactly. */
+  private val pipeline4: QFn = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("source"))
+    val corpus = docs.unionByName(
+      docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text"),
+          col("source")))
+    val quality = TextStats.qualityFilter(corpus)
+      .filter(col("keep")).select(col("doc_id"))
+    val kept = corpus.join(quality, Seq("doc_id"))
+    val keepIds = Dedup.exactDedup(kept)
+      .select(col("keep_id").as("doc_id"))
+    val deduped = kept.join(keepIds, Seq("doc_id"))
+    val splits = graft.ext.Sampling
+      .splitAssign(deduped.select(col("doc_id")), "doc_id", leakWeights)
+      .select(col("doc_id"), col("split"))
+    val laid = graft.ext.Sampling.epochShuffle(
+      splits.select(col("doc_id")), "doc_id", "p4", 256L, 64)
+    laid.join(splits, Seq("doc_id"))
+      .select(col("doc_id"), col("split"), col("pos"), col("shard"),
+        col("shard_pos"))
+  }
+
+  private val pipeline4Sql = {
+    val cum = leakWeights.map(_._2).scanLeft(0.0)(_ + _).tail
+    val cases = leakWeights.init.zip(cum.init)
+      .map { case ((name, _), c) => s"WHEN u < CAST($c AS DOUBLE) THEN '$name'" }
+      .mkString(" ")
+    s"""WITH $gateDedupCtes,
+       |sp AS (
+       |  SELECT doc_id,
+       |    CASE $cases ELSE '${leakWeights.last._1}' END AS split
+       |  FROM (
+       |    SELECT doc_id,
+       |      CAST(${hashSql("'split:' || CAST(doc_id AS VARCHAR)")} % 1000000
+       |        AS DOUBLE) / 1000000.0 AS u
+       |    FROM ded)),
+       |rk AS (
+       |  SELECT doc_id,
+       |    CAST(ROW_NUMBER() OVER (
+       |      ORDER BY ${hashSql("'p4:' || CAST(doc_id AS VARCHAR)")},
+       |               doc_id) - 1 AS BIGINT) AS pos
+       |  FROM ded)
+       |SELECT rk.doc_id, sp.split, rk.pos,
+       |  CAST(rk.pos // 256 AS BIGINT) AS shard,
+       |  CAST(rk.pos % 256 AS BIGINT) AS shard_pos
+       |FROM rk JOIN sp ON sp.doc_id = rk.doc_id""".stripMargin
   }
 
   // ===== multimodal: REAL container-header decode ======================
@@ -1433,6 +1501,7 @@ object ExtQueries {
     "q_x_media_headers" -> mediaHeadersQ,
     "q_x_frames" -> framesQ,
     "q_x_pipeline_e2e" -> pipelineE2e,
+    "q_x_pipeline4" -> pipeline4,
     "q_x_source_cap" -> sourceCap,
     "q_x_chunking" -> chunkingQ,
     "q_x_source_mix" -> sourceMix,
@@ -1476,6 +1545,7 @@ object ExtQueries {
     "q_x_media_headers" -> mediaHeadersSql,
     "q_x_frames" -> framesSql,
     "q_x_pipeline_e2e" -> pipelineE2eSql,
+    "q_x_pipeline4" -> pipeline4Sql,
     "q_x_source_cap" -> sourceCapSql,
     "q_x_chunking" -> chunkingSql,
     "q_x_source_mix" -> sourceMixSql,
