@@ -96,4 +96,27 @@ class PrepPropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("epochShuffle: two-phase == single-window on random id sets " +
+      "(sparse/negative ids, nBuckets beyond n, tiny frames)") {
+    val idGen = Gen.oneOf(
+      Gen.choose(-5000L, 5000L),                    // negatives included
+      Gen.choose(0L, Long.MaxValue / 4))            // sparse 60-bit-ish
+    (1 to 8).foreach { i =>
+      val n = Seq(1, 2, 3, 10, 64, 150, 400, 777)(i - 1)
+      val ids = Gen.listOfN(n, idGen)
+        .apply(Gen.Parameters.default, Seed(i * 53L)).get.distinct
+      val df = ids.toDF("id")
+      val nb = Seq(1, 2, 16, 256)(i % 4)
+      val got = Sampling.epochShuffle(df, "id", s"pp$i", 37L, nb)
+        .select("id", "pos").as[(Long, Long)].collect().toMap
+      val ref = df
+        .withColumn("h", Hashing.hash60(
+          concat(lit(s"pp$i:"), col("id").cast("string"))))
+        .withColumn("pos", row_number().over(
+          Window.orderBy(col("h").asc, col("id").asc)).cast("long") - 1L)
+        .select("id", "pos").as[(Long, Long)].collect().toMap
+      assert(got == ref, s"seed $i n=${ids.size} nBuckets=$nb")
+    }
+  }
 }
