@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media as opaque BINARY columns with a typed
@@ -282,5 +282,132 @@ object Multimodal {
       (conv(substring(hex, j * 4 + 1, 4), 16, 10).cast("long") / lit(65535.0))
         .as(s"feat$j"))
     media.select(col(idCol) +: feats: _*)
+  }
+
+  // ===== perceptual image dedup (dHash) =================================
+
+  /** dHash grid geometry: 6 rows x 11 columns of pooled luma, giving
+    * 6 x 10 = 60 horizontal-gradient comparison bits — 60 on purpose,
+    * matching the repo's portable-hash convention ([[Dedup.simhashBits]],
+    * [[Hashing.hash60]]) so the hash stays a positive BIGINT in every
+    * engine (no sign-bit arithmetic anywhere) and the SimHash 4x15-bit
+    * LSH chunk scheme applies unchanged. */
+  val dhashRows = 6
+  val dhashCols = 11
+  val dhashBits: Int = dhashRows * (dhashCols - 1) // 60
+
+  /** 60-bit difference hash of a row-major luma grid column
+    * (`array<numeric>` of length rows*cols): bit r*(cols-1)+c is set
+    * when cell (r, c+1) > cell (r, c) — the classic dHash gradient
+    * sign, invariant to global brightness/contrast shifts. Statically
+    * unrolled sum of 60 conditionals (one codegen'd projection, no
+    * UDF — the [[Layout.zorderValueN]] pattern). */
+  def dhash60(grid: Column): Column =
+    (for { r <- 0 until dhashRows; c <- 0 until dhashCols - 1 } yield
+      when(element_at(grid, r * dhashCols + c + 2) >
+           element_at(grid, r * dhashCols + c + 1),
+        lit(1L << (r * (dhashCols - 1) + c))).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  /** REAL decode -> pooled luma grid over (idCol, media): each payload
+    * `javax.imageio` decodes (PNG/GIF/BMP/JPEG/WBMP) and average-pools
+    * into the [[dhashRows]] x [[dhashCols]] Rec.601 luma grid dHash
+    * consumes; undecodable/NULL payloads yield decoded=false and a
+    * NULL grid (flagged and routable, never a task kill). Same batched
+    * mapPartitions shape as [[extractPixelFeatures]]: no shuffle, the
+    * scan is the job. */
+  def extractLumaGrid(media: DataFrame, batchSize: Int = 64,
+                      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, BooleanType, DoubleType, StructField, StructType}
+    val in = media.select(col(idCol), col("media"))
+    val outSchema = StructType(in.schema.head +: Seq(
+      StructField("decoded", BooleanType, false),
+      StructField("grid", ArrayType(DoubleType, false), true)))
+    val (gr, gc) = (dhashRows, dhashCols)
+    in.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          val img =
+            if (bytes == null) null
+            else
+              try javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(bytes))
+              catch { case _: Exception => null }
+          if (img == null || img.getWidth <= 0 || img.getHeight <= 0)
+            org.apache.spark.sql.Row(r.get(0), false, null)
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            val grid = new Array[Double](gr * gc)
+            var cr = 0
+            while (cr < gr) {
+              val y0 = cr * h / gr
+              val y1 = math.max(y0 + 1, (cr + 1) * h / gr)
+              var cc = 0
+              while (cc < gc) {
+                val x0 = cc * w / gc
+                val x1 = math.max(x0 + 1, (cc + 1) * w / gc)
+                var sum = 0.0
+                var y = y0
+                while (y < math.min(y1, h)) {
+                  var x = x0
+                  while (x < math.min(x1, w)) {
+                    val rgb = img.getRGB(x, y)
+                    sum += (0.299 * ((rgb >> 16) & 0xff) +
+                      0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)) / 255.0
+                    x += 1
+                  }
+                  y += 1
+                }
+                val n = (math.min(y1, h) - y0).toDouble *
+                  (math.min(x1, w) - x0)
+                grid(cr * gc + cc) = sum / math.max(n, 1.0)
+                cc += 1
+              }
+              cr += 1
+            }
+            org.apache.spark.sql.Row(r.get(0), true, grid.toSeq)
+          }
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** Perceptual near-duplicate image pairs from a (idCol, gridCol)
+    * frame: dHash each grid, LSH-band the 60-bit hash into the SimHash
+    * 4 x 15-bit chunks (Hamming <= 3 pairs share a chunk by
+    * pigeonhole — guaranteed candidates), then verify candidates
+    * exactly with `bit_count(a XOR b) <= maxHamming`. Output
+    * (a_id, b_id, hamming), a_id < b_id.
+    *
+    * Scale shape: identical to the SimHash text path — banded
+    * equi-join on (band_id, band_key), never an all-pairs comparison;
+    * the verify join touches only candidate pairs. Re-scaled or
+    * re-encoded copies of an image pool to near-identical grids, so
+    * this catches the transform dupes exact byte-hash dedup misses. */
+  def imageNearDups(grids: DataFrame, idCol: String = "doc_id",
+                    gridCol: String = "grid",
+                    maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "4x15 banding guarantees recall only for maxHamming <= 3")
+    val h = grids.select(col(idCol).as("id"),
+      dhash60(col(gridCol)).as("dh"))
+    val bands = h.select(col("id"), col("dh"),
+      posexplode(array(Dedup.simhashChunks(col("dh")): _*))
+        .as(Seq("band_id", "band_key")))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+        col("x.band_key") === col("y.band_key") &&
+        col("x.id") < col("y.id"))
+      .select(col("x.id").as("a_id"), col("x.dh").as("a_dh"),
+        col("y.id").as("b_id"), col("y.dh").as("b_dh"))
+      .distinct()
+    cand
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_dh").bitwiseXOR(col("b_dh"))).cast("long")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
   }
 }

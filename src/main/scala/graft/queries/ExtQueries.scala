@@ -1167,6 +1167,77 @@ object ExtQueries {
        |    / CAST(65535.0 AS DOUBLE) AS mean_luma
        |FROM documents""".stripMargin
 
+  // ===== perceptual image dedup (dHash) =================================
+
+  /** The dHash machinery (gradient hash -> 4x15 LSH banding -> exact
+    * Hamming verify) adjudicated end to end over DETERMINISTIC luma
+    * grids (cell = hash60 arithmetic — the engine-reproducible stand-in
+    * for decoded pixels, same convention as q_x_multimodal's stub
+    * features; the REAL ImageIO decode->grid path is spec-pinned in
+    * MultimodalSpec, no SQL engine has a pixel codec). Every 9th doc
+    * plants a near-dup copy with ONE cell perturbed — <= 2 gradient
+    * bits flip, so the pair must survive banding AND the Hamming gate;
+    * unrelated grids differ in ~30 bits and must not pair. */
+  private val imageDedupQ: QFn = (s, d) => {
+    val base = Tables.documents(s, d).select(col("doc_id"))
+    val corpus = base.unionByName(
+      base.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 30000).as("doc_id")))
+    val baseId = when(col("doc_id") >= 30000, col("doc_id") - 30000)
+      .otherwise(col("doc_id"))
+    val cells0 = transform(sequence(lit(0), lit(65)), p =>
+      Hashing.hash60(concat(lit("px:"), baseId.cast("string"),
+        lit(":"), p.cast("string"))) % 256)
+    val cells = transform(cells0, (x, i) =>
+      when(col("doc_id") >= 30000 && i === 7, (x + 1) % 256).otherwise(x))
+    Multimodal.imageNearDups(
+      corpus.select(col("doc_id"), cells.as("grid")), "doc_id", "grid", 3)
+  }
+
+  private val imageDedupSql = {
+    val cell = (id: String, p: String) =>
+      s"${hashSql(s"'px:' || CAST($id AS VARCHAR) || ':' || CAST($p AS VARCHAR)")} % 256"
+    val dhTerms = (for { r <- 0 until 6; c <- 0 until 10 } yield {
+      val a = r * 11 + c + 1 // 1-based list index of cell (r, c)
+      s"CASE WHEN cl[${a + 1}] > cl[$a] THEN ${1L << (r * 10 + c)} ELSE 0 END"
+    }).mkString("\n      + ")
+    val bandSelects = (0 until 4).map(b =>
+      s"SELECT doc_id, dh, $b AS band_id, (dh >> ${b * 15}) & 32767 AS k FROM dh")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH ids AS (SELECT doc_id FROM documents),
+       |corpus AS (
+       |  SELECT doc_id FROM ids
+       |  UNION ALL
+       |  SELECT doc_id + 30000 AS doc_id FROM ids WHERE doc_id % 9 = 0),
+       |cl AS (
+       |  SELECT doc_id,
+       |    list_transform(range(0, 66), p ->
+       |      CASE WHEN doc_id >= 30000 AND p = 7
+       |           THEN (${cell("base_id", "p")} + 1) % 256
+       |           ELSE ${cell("base_id", "p")} END) AS cl
+       |  FROM (
+       |    SELECT doc_id,
+       |      CASE WHEN doc_id >= 30000 THEN doc_id - 30000 ELSE doc_id
+       |        END AS base_id
+       |    FROM corpus)),
+       |dh AS (
+       |  SELECT doc_id,
+       |    CAST($dhTerms AS BIGINT) AS dh
+       |  FROM cl),
+       |b AS (
+       |  $bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a_id, x.dh AS a_dh,
+       |                  y.doc_id AS b_id, y.dh AS b_dh
+       |  FROM b x JOIN b y
+       |    ON x.band_id = y.band_id AND x.k = y.k AND x.doc_id < y.doc_id)
+       |SELECT a_id, b_id, hamming FROM (
+       |  SELECT a_id, b_id,
+       |    CAST(bit_count(xor(a_dh, b_dh)) AS BIGINT) AS hamming
+       |  FROM cand)
+       |WHERE hamming <= 3""".stripMargin
+  }
+
   // ===== repetition signals + PII redaction =============================
 
   private val repetitionQ: QFn = (s, d) =>
@@ -1512,6 +1583,7 @@ object ExtQueries {
     "q_x_dedup_exact" -> dedupExact,
     "q_x_dedup_minhash" -> dedupMinhash,
     "q_x_split_leakage" -> splitLeakage,
+    "q_x_image_dedup" -> imageDedupQ,
     "q_x_simhash" -> simhash,
     "q_x_jaccard_nn" -> jaccardNn,
     "q_x_ann_brute" -> annBrute,
@@ -1556,6 +1628,7 @@ object ExtQueries {
     "q_x_dedup_exact" -> dedupExactSql,
     "q_x_dedup_minhash" -> dedupMinhashSql,
     "q_x_split_leakage" -> splitLeakageSql,
+    "q_x_image_dedup" -> imageDedupSql,
     "q_x_simhash" -> simhashSql,
     "q_x_jaccard_nn" -> jaccardNnSql,
     "q_x_ann_brute" -> annBruteSql,

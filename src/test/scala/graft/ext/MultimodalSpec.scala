@@ -229,4 +229,47 @@ class MultimodalSpec extends SparkSpec {
       }
     }
   }
+
+  test("dHash image dedup: REAL PNG decode -> pooled luma grid -> " +
+      "near-dup pair found, distinct images and junk stay apart") {
+    // 33x18 horizontal gradient, a one-pixel perturbation of it, the
+    // reversed gradient, and an undecodable payload
+    val (w, h) = (33, 18)
+    def px(f: (Int, Int) => Int): Seq[Seq[Int]] =
+      Seq.tabulate(h, w)((y, x) => f(x, y)).map(_.toSeq)
+    def grey(v: Int) = (v << 16) | (v << 8) | v
+    val imgA = px((x, _) => grey(x * 255 / (w - 1)))
+    val imgB = px((x, y) => grey(
+      if (x == 0 && y == 0) math.min(x * 255 / (w - 1) + 8, 255)
+      else x * 255 / (w - 1)))
+    val imgC = px((x, _) => grey(255 - x * 255 / (w - 1)))
+    val media = Seq(
+      (1L, imageBytes("png", imgA)),
+      (2L, imageBytes("png", imgB)),
+      (3L, imageBytes("png", imgC)),
+      (4L, "junk bytes, not an image".getBytes("UTF-8")))
+      .toDF("doc_id", "media")
+    val grids = Multimodal.extractLumaGrid(media, batchSize = 2)
+      .as[(Long, Boolean, Option[Seq[Double]])].collect()
+      .map(t => t._1 -> t).toMap
+    // real decodes carry a full 6x11 grid; junk is flagged with NULL
+    (1L to 3L).foreach { id =>
+      assert(grids(id)._2 && grids(id)._3.get.size == 66, s"id=$id")
+    }
+    assert(!grids(4L)._2 && grids(4L)._3.isEmpty)
+    // monotone gradient -> every horizontal comparison fires: the
+    // decoded grid's dHash is all-60-bits-set; the reverse is zero
+    val gdf = Multimodal.extractLumaGrid(media, batchSize = 2)
+      .filter(org.apache.spark.sql.functions.col("decoded"))
+    val dh = gdf.select(org.apache.spark.sql.functions.col("doc_id"),
+        Multimodal.dhash60(org.apache.spark.sql.functions.col("grid"))
+          .as("dh"))
+      .as[(Long, Long)].collect().toMap
+    assert(dh(1L) == (1L << 60) - 1 && dh(3L) == 0L)
+    // the perturbed copy pools to (near-)identical gradients: paired;
+    // the reversed image pairs with nothing
+    val pairs = Multimodal.imageNearDups(gdf, "doc_id", "grid")
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
 }
