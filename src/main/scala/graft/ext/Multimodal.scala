@@ -375,6 +375,92 @@ object Multimodal {
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
+  /** REAL RIFF-WAV PCM parse -> pooled RMS-energy grid: walks the RIFF
+    * chunk list to `fmt ` (PCM format 1, 16-bit) and `data`, decodes
+    * the little-endian samples of channel 0 and RMS-pools them into
+    * the SAME row-major [[dhashRows]] x [[dhashCols]] grid [[dhash60]]
+    * consumes — the amplitude-envelope fingerprint, so the banded
+    * [[imageNearDups]] machinery applies to audio UNCHANGED (re-coded
+    * or re-sampled copies of a clip pool to near-identical envelopes).
+    * Non-WAV / compressed / non-16-bit / empty payloads flag
+    * decoded=false with a NULL grid — same fallback contract as every
+    * decode tier here. Batched mapPartitions, no shuffle. */
+  def extractAudioEnvelope(media: DataFrame, batchSize: Int = 64,
+                           idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, BooleanType, DoubleType, StructField, StructType}
+    val in = media.select(col(idCol), col("media"))
+    val outSchema = StructType(in.schema.head +: Seq(
+      StructField("decoded", BooleanType, false),
+      StructField("grid", ArrayType(DoubleType, false), true)))
+    val nWin = dhashRows * dhashCols
+    in.mapPartitions { it =>
+      def le16(b: Array[Byte], o: Int): Int =
+        (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+      def le32(b: Array[Byte], o: Int): Long =
+        (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+          ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+      def envelope(b: Array[Byte]): Array[Double] = {
+        if (b == null || b.length < 28 ||
+          b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+          b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E')
+          return null
+        // RIFF chunk walk: [id 4][size LE32][payload, even-padded]
+        var off = 12
+        var fmtOk = false
+        var blockAlign = 0
+        var dataOff = -1
+        var dataLen = 0L
+        while (off + 8 <= b.length && (dataOff < 0 || !fmtOk)) {
+          val size = le32(b, off + 4)
+          val body = off + 8
+          if (b(off) == 'f' && b(off + 1) == 'm' && b(off + 2) == 't' &&
+            b(off + 3) == ' ' && body + 16 <= b.length) {
+            val audioFormat = le16(b, body)
+            val bits = le16(b, body + 14)
+            blockAlign = le16(b, body + 12)
+            fmtOk = audioFormat == 1 && bits == 16 && blockAlign >= 2
+          } else if (b(off) == 'd' && b(off + 1) == 'a' &&
+            b(off + 2) == 't' && b(off + 3) == 'a') {
+            dataOff = body
+            dataLen = size
+          }
+          off = body + size.toInt + (size.toInt & 1)
+        }
+        if (!fmtOk || dataOff < 0) return null
+        val avail = math.min(dataLen, (b.length - dataOff).toLong)
+        val n = (avail / blockAlign).toInt
+        if (n <= 0) return null
+        val grid = new Array[Double](nWin)
+        var w = 0
+        while (w < nWin) {
+          val i0 = (w.toLong * n / nWin).toInt
+          val i1 = math.max(i0 + 1, ((w + 1).toLong * n / nWin).toInt)
+          var sumSq = 0.0
+          var i = i0
+          while (i < math.min(i1, n)) {
+            val raw = le16(b, dataOff + i * blockAlign)
+            val s = (if (raw >= 0x8000) raw - 0x10000 else raw) / 32768.0
+            sumSq += s * s
+            i += 1
+          }
+          grid(w) = math.sqrt(sumSq / math.max(math.min(i1, n) - i0, 1))
+          w += 1
+        }
+        grid
+      }
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          val env =
+            try envelope(r.getAs[Array[Byte]](1))
+            catch { case _: Exception => null } // malformed: flag, don't throw
+          if (env == null)
+            org.apache.spark.sql.Row(r.get(0), false, null)
+          else org.apache.spark.sql.Row(r.get(0), true, env.toSeq)
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
   /** Perceptual near-duplicate image pairs from a (idCol, gridCol)
     * frame: dHash each grid, LSH-band the 60-bit hash into the SimHash
     * 4 x 15-bit chunks (Hamming <= 3 pairs share a chunk by

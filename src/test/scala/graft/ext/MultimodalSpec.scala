@@ -272,4 +272,67 @@ class MultimodalSpec extends SparkSpec {
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  /** Hand-built 16-bit mono PCM RIFF-WAV (the byte layout decodeHeaders
+    * and extractAudioEnvelope both parse). */
+  private def wavBytes(samples: Seq[Double], rate: Int = 8000): Array[Byte] = {
+    val n = samples.size
+    val dataLen = n * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(rate).putInt(rate * 2)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach { s =>
+      buf.putShort(math.max(-32768, math.min(32767,
+        math.round(s * 32767).toInt)).toShort)
+    }
+    buf.array()
+  }
+
+  test("audio envelope dedup: REAL WAV PCM parse -> RMS grid -> the " +
+      "same dHash banding pairs a re-coded copy, not a different clip") {
+    val n = 66 * 40 // 40 samples per pooled window
+    def clip(ramp: Double => Double, f: Double): Seq[Double] =
+      (0 until n).map { i =>
+        val t = i.toDouble / n
+        ramp(t) * math.sin(2 * math.Pi * f * i / 8000.0)
+      }
+    // 400 Hz at 8 kHz = 20-sample period: each 40-sample pooled window
+    // holds exactly two cycles, so window RMS tracks the amplitude ramp
+    // monotonically (a non-integer cycle count would add phase jitter
+    // comparable to the per-window ramp step)
+    val up = clip(t => 0.05 + 0.9 * t, 400.0)        // rising envelope
+    val upCopy = clip(t => (0.05 + 0.9 * t) * 0.8, 400.0) // re-leveled
+    // copy: uniform gain change scales every window RMS equally, so all
+    // gradient SIGNS survive — dHash is gain-invariant by construction
+    val down = clip(t => 0.95 - 0.9 * t, 400.0)      // falling envelope
+    val media = Seq(
+      (1L, wavBytes(up)), (2L, wavBytes(upCopy)), (3L, wavBytes(down)),
+      (4L, "not audio".getBytes("UTF-8")))
+      .toDF("doc_id", "media")
+    val env = Multimodal.extractAudioEnvelope(media, batchSize = 2)
+    val rows = env.as[(Long, Boolean, Option[Seq[Double]])].collect()
+      .map(t => t._1 -> t).toMap
+    (1L to 3L).foreach { id =>
+      assert(rows(id)._2 && rows(id)._3.get.size == 66, s"id=$id")
+    }
+    assert(!rows(4L)._2 && rows(4L)._3.isEmpty)
+    // rising envelope -> every within-row gradient comparison fires
+    val dh = env.filter(org.apache.spark.sql.functions.col("decoded"))
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        Multimodal.dhash60(org.apache.spark.sql.functions.col("grid"))
+          .as("dh"))
+      .as[(Long, Long)].collect().toMap
+    assert(dh(1L) == (1L << 60) - 1 && dh(3L) == 0L)
+    // the image near-dup machinery applies to audio unchanged
+    val pairs = Multimodal.imageNearDups(
+        env.filter(org.apache.spark.sql.functions.col("decoded")),
+        "doc_id", "grid")
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
 }
