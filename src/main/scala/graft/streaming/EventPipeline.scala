@@ -392,6 +392,84 @@ object EventPipeline {
       }
       .start()
 
+  /** Streaming MEDIA ingest dedup — the perceptual face of
+    * [[dedupIngestSink]]: each micro-batch of (idCol, media) payloads
+    * is decoded to fingerprint grids (default
+    * [[graft.ext.Multimodal.extractLumaGrid]]; pass
+    * `Multimodal.extractAudioEnvelope(_)` for WAV streams), dHashed,
+    * and Hamming-checked against (and within) the incremental store;
+    * survivors land in `keptPath` and their hashes extend the store.
+    *
+    * The store is (id, dh) — 16 bytes per item regardless of payload
+    * size, and unlike the MinHash store no corpus re-read is ever
+    * needed at verify time: the stored dHash IS the exact fingerprint,
+    * so per batch the cost is O(batch) decode + a banded probe of the
+    * store projection. Undecodable payloads can't be fingerprinted and
+    * pass through to `keptPath` flagged `decoded=false` (routable,
+    * never silently dropped). Kept rows land BEFORE their hashes are
+    * registered — the [[graft.ext.Dedup.incrementalDedup]]
+    * crash-ordering contract (a replayed batch re-drops against the
+    * store instead of orphaning hashes). In-batch rule: keep-first by
+    * id, matching the text sink. */
+  def mediaIngestSink(media: DataFrame, idCol: String,
+                      storePath: String, keptPath: String,
+                      checkpointDir: String, maxHamming: Int = 3,
+                      decode: DataFrame => DataFrame =
+                        graft.ext.Multimodal.extractLumaGrid(_))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    media.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        import graft.ext.{Dedup, Multimodal}
+        // decode is a mapPartitions codec pass — materialize once, or
+        // every downstream branch re-decodes the batch
+        val g = decode(batch).localCheckpoint()
+        val hashed = g.filter(col("decoded"))
+          .select(col(idCol), Multimodal.dhash60(col("grid")).as("dh"))
+          .localCheckpoint()
+        val sp = new org.apache.hadoop.fs.Path(storePath)
+        val store =
+          if (sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .exists(sp))
+            spark.read.parquet(storePath)
+          else hashed.limit(0)
+        def bands(df: DataFrame, id: String, dh: String) =
+          df.select(col(idCol).as(id), col("dh").as(dh),
+            posexplode(array(Dedup.simhashChunks(col("dh")): _*))
+              .as(Seq("band_id", "band_key")))
+        val nb = bands(hashed, "n_id", "n_dh")
+        val dropVsStore = nb.join(bands(store, "s_id", "s_dh"),
+            Seq("band_id", "band_key"))
+          .filter(bit_count(col("n_dh").bitwiseXOR(col("s_dh")))
+            <= maxHamming)
+          .select(col("n_id").as(idCol)).distinct()
+        val dropInBatch = nb.as("x")
+          .join(bands(hashed, "p_id", "p_dh").as("y"),
+            col("x.band_id") === col("y.band_id") &&
+            col("x.band_key") === col("y.band_key") &&
+            col("x.n_id") > col("y.p_id"))
+          .filter(bit_count(col("x.n_dh").bitwiseXOR(col("y.p_dh")))
+            <= maxHamming)
+          .select(col("x.n_id").as(idCol)).distinct()
+        val keptHashes = hashed
+          .join(dropVsStore.union(dropInBatch).distinct(), Seq(idCol),
+            "left_anti")
+          .localCheckpoint()
+        // kept payloads (decoded survivors + flagged undecodables)
+        // land FIRST, then the store extension
+        batch
+          .join(g.select(col(idCol), col("decoded")), Seq(idCol))
+          .join(keptHashes.select(col(idCol)).union(
+              g.filter(!col("decoded")).select(col(idCol))),
+            Seq(idCol))
+          .write.mode("append").parquet(keptPath)
+        keptHashes.write.mode("append").parquet(storePath)
+        ()
+      }
+      .start()
+
   /** The WHOLE training-data prep pipeline as one streaming ingest:
     * quality gate -> benchmark decontamination -> incremental near-dup
     * dedup -> deterministic split assignment, per micro-batch. This is

@@ -364,4 +364,61 @@ class StreamingSpec extends SparkSpec {
       (7L, 5L, 2L, "2024-03-01 10:05:00", "2024-03-01 10:20:00", 9.5)))
     assert(streaming == batch)
   }
+
+  /** PNG bytes via the JRE's own codec (same helper shape as
+    * MultimodalSpec's). */
+  private def pngBytes(pixels: Seq[Seq[Int]]): Array[Byte] = {
+    val h = pixels.size; val w = pixels.head.size
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pixels(y)(x))
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", out), "no png writer")
+    out.toByteArray
+  }
+
+  test("mediaIngestSink: perceptual near-dup images filtered across " +
+      "and within batches; undecodable payloads kept flagged") {
+    implicit val ctx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("mdi").toString
+    val (w, h) = (33, 18)
+    def grey(v: Int) = (v << 16) | (v << 8) | v
+    def px(f: (Int, Int) => Int): Seq[Seq[Int]] =
+      Seq.tabulate(h, w)((y, x) => f(x, y)).map(_.toSeq)
+    val up = px((x, _) => grey(x * 255 / (w - 1)))
+    val upPerturbed = px((x, y) => grey(
+      if (x == 0 && y == 0) 8 else x * 255 / (w - 1)))
+    val down = px((x, _) => grey(255 - x * 255 / (w - 1)))
+    // rise-then-fall: a third distinct gradient signature
+    val tent = px((x, _) => grey(
+      if (x < w / 2) x * 510 / w else 510 - x * 510 / w))
+    val tentPerturbed = px((x, y) => grey(
+      if (x == 1 && y == 0) 250
+      else if (x < w / 2) x * 510 / w else 510 - x * 510 / w))
+    val ms = MemoryStream[(Long, Array[Byte])]
+    val q = EventPipeline.mediaIngestSink(
+      ms.toDF().toDF("doc_id", "media"),
+      "doc_id", s"$dir/store", s"$dir/kept", s"$dir/cp")
+    try {
+      // batch 1: two genuinely different images
+      ms.addData(Seq((1L, pngBytes(up)), (2L, pngBytes(down))))
+      q.processAllAvailable()
+      // batch 2: 3 = perceptual copy of stored 1; 4 = new pattern;
+      // 5 = in-batch copy of 4 (smaller id wins); 6 = undecodable
+      ms.addData(Seq(
+        (3L, pngBytes(upPerturbed)),
+        (4L, pngBytes(tent)),
+        (5L, pngBytes(tentPerturbed)),
+        (6L, "not an image".getBytes("UTF-8"))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.read.parquet(s"$dir/kept")
+      .select("doc_id", "decoded").as[(Long, Boolean)].collect().toMap
+    assert(kept.keySet == Set(1L, 2L, 4L, 6L))
+    assert(kept(6L) == false && kept(1L) && kept(2L) && kept(4L))
+    // the store carries hashes for exactly the kept DECODED items
+    val stored = spark.read.parquet(s"$dir/store")
+      .select("doc_id").as[Long].collect().toSet
+    assert(stored == Set(1L, 2L, 4L))
+  }
 }
