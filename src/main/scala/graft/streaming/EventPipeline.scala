@@ -410,7 +410,16 @@ object EventPipeline {
     * registered — the [[graft.ext.Dedup.incrementalDedup]]
     * crash-ordering contract (a replayed batch re-drops against the
     * store instead of orphaning hashes). In-batch rule: keep-first by
-    * id, matching the text sink. */
+    * id, matching the text sink.
+    *
+    * Store maintenance reuses the Dedup/Layout utilities UNCHANGED —
+    * the store is a plain (id, hash) parquet table, so
+    * [[graft.ext.Dedup.deleteSignatures]] tombstones items (staged
+    * swap, spec-proven: a deleted item's re-sent copy is kept again)
+    * and [[graft.ext.Layout.compact]] bin-packs append deltas on the
+    * same cadence. At production scale, partition the store on a dh
+    * prefix so the per-batch probe prunes to matching buckets instead
+    * of scanning every store file. */
   def mediaIngestSink(media: DataFrame, idCol: String,
                       storePath: String, keptPath: String,
                       checkpointDir: String, maxHamming: Int = 3,

@@ -420,5 +420,23 @@ class StreamingSpec extends SparkSpec {
     val stored = spark.read.parquet(s"$dir/store")
       .select("doc_id").as[Long].collect().toSet
     assert(stored == Set(1L, 2L, 4L))
+    // store maintenance reuses the Dedup utilities unchanged (the
+    // store is just an (id, hash) parquet table): tombstone item 1,
+    // then a re-sent perceptual copy of it is KEPT by a fresh sink
+    graft.ext.Dedup.deleteSignatures(
+      Seq(1L).toDF("doc_id"), "doc_id", s"$dir/store")
+    assert(spark.read.parquet(s"$dir/store")
+      .select("doc_id").as[Long].collect().toSet == Set(2L, 4L))
+    val ms2 = MemoryStream[(Long, Array[Byte])]
+    val q2 = EventPipeline.mediaIngestSink(
+      ms2.toDF().toDF("doc_id", "media"),
+      "doc_id", s"$dir/store", s"$dir/kept", s"$dir/cp2")
+    try {
+      ms2.addData(Seq((7L, pngBytes(up))))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(spark.read.parquet(s"$dir/kept")
+      .select("doc_id").as[Long].collect().toSet
+      == Set(1L, 2L, 4L, 6L, 7L))
   }
 }
