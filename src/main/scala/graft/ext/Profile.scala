@@ -39,4 +39,31 @@ object Profile {
           col("n_distinct"), col("min_value"), col("max_value"),
           col("top_value"), col("top_count"))
     }.reduce(_.unionByName(_))
+
+  /** Schema drift between two frame versions — the generalized form of
+    * the fixture-schema contract that round 9's events regression
+    * taught (a silent upstream re-type surfaces as N scattered
+    * analysis errors unless ONE check catches it at the boundary).
+    * Compares column names and DataTypes of `old`/`new` and returns
+    * one row per drifted column: status `added` / `removed` /
+    * `retyped` (with both type strings), empty when the schemas agree.
+    * Pure metadata — no job runs; wire it ahead of any ingest append
+    * and fail loudly on non-empty. Column ORDER is deliberately not
+    * compared: columnar formats and `unionByName` make order
+    * insignificant, and flagging it would cry wolf. */
+  def schemaDiff(oldDf: DataFrame, newDf: DataFrame): DataFrame = {
+    val spark = oldDf.sparkSession
+    import spark.implicits._
+    val o = oldDf.schema.map(f => f.name -> f.dataType.simpleString).toMap
+    val n = newDf.schema.map(f => f.name -> f.dataType.simpleString).toMap
+    val rows =
+      (n.keySet -- o.keySet).toSeq.sorted.map(c =>
+        (c, "added", null.asInstanceOf[String], n(c))) ++
+      (o.keySet -- n.keySet).toSeq.sorted.map(c =>
+        (c, "removed", o(c), null.asInstanceOf[String])) ++
+      (o.keySet & n.keySet).toSeq.sorted.collect {
+        case c if o(c) != n(c) => (c, "retyped", o(c), n(c))
+      }
+    rows.toDF("col_name", "status", "old_type", "new_type")
+  }
 }

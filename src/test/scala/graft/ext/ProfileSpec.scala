@@ -26,4 +26,23 @@ class ProfileSpec extends SparkSpec {
       .head()
     assert(r._5 == "10" && r._6 == "2") // "10" < "2" lexicographically
   }
+
+  test("schemaDiff flags added/removed/retyped columns, ignores order") {
+    val a = Seq((1L, "x", 1.5)).toDF("id", "name", "score")
+    val b = Seq(("y", 2L, 3, true)).toDF("name", "id", "score", "flag")
+    val d = Profile.schemaDiff(a, b)
+      .as[(String, String, Option[String], Option[String])]
+      .collect().toSet
+    assert(d == Set(
+      ("flag", "added", None, Some("boolean")),
+      ("score", "retyped", Some("double"), Some("int"))))
+    // identical schema in different column order: no drift
+    assert(Profile.schemaDiff(a, a.select("score", "id", "name"))
+      .count() == 0)
+    // removed column
+    val r = Profile.schemaDiff(a, a.drop("name"))
+      .as[(String, String, Option[String], Option[String])]
+      .collect().toSet
+    assert(r == Set(("name", "removed", Some("string"), None)))
+  }
 }
