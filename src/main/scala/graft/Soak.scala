@@ -107,7 +107,8 @@ object Soak {
     val names = Seq("q_x_curriculum", "q_x_dedup_clusters",
       "q_x_pipeline3", "q_x_ann_pq", "q_x_ann_ivfpq",
       "q_x_ann_pq_serve", "q_x_span_dedup", "q_x_segment_dedup",
-      "q_x_bm25", "q_x_epoch_shuffle")
+      "q_x_bm25", "q_x_epoch_shuffle", "q_x_pipeline4",
+      "q_x_split_leakage", "q_x_image_dedup")
 
     def runOnce(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
