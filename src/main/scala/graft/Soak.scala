@@ -77,6 +77,49 @@ object Soak {
       .parquet(s"$out/embeddings.parquet")
   }
 
+  /** Deterministic scale-up of the `part` / `events` tables (round-9
+    * soak coverage for the fuzzy join and SCD2 rows). Same philosophy:
+    *  - part: replica i > 0 re-ids p_partkey and suffixes every
+    *    p_name/p_type token with `_r$i` — brands keep their sizes, so
+    *    both join sides grow 10x while replicas stay DISJOINT in token
+    *    space: 10 independent matching problems, candidate pairs grow
+    *    linearly (exact copies would grow them quadratically).
+    *  - events: replica i > 0 re-ids event_id and user_id — 10x
+    *    dimension KEYS with the same per-key history length, the way a
+    *    dimension change log actually grows.
+    */
+  def generateRelational(spark: SparkSession, base: String, out: String,
+      replicas: Int): Unit = {
+    val part = spark.read.parquet(s"$base/part.parquet")
+    val ev = spark.read.parquet(s"$base/events.parquet")
+    val partStep = part.agg(max("p_partkey")).head().getLong(0) + 1
+    val evStep = ev.agg(max("event_id")).head().getLong(0) + 1
+    val userStep = ev.agg(max("user_id")).head().getLong(0) + 1
+
+    def suffix(c: org.apache.spark.sql.Column, i: Int) = array_join(
+      transform(filter(split(c, " "), t => t =!= ""),
+        t => concat(t, lit(s"_r$i"))), " ")
+    val scaledPart = (0 until replicas).map { i =>
+      if (i == 0) part
+      else part.select((col("p_partkey") + lit(i * partStep)).as("p_partkey"),
+        suffix(col("p_name"), i).as("p_name"), col("p_brand"),
+        suffix(col("p_type"), i).as("p_type"), col("p_size"),
+        col("p_retailprice"))
+    }.reduce(_ unionByName _)
+
+    val scaledEv = (0 until replicas).map { i =>
+      if (i == 0) ev
+      else ev.select((col("event_id") + lit(i * evStep)).as("event_id"),
+        col("ts"), (col("user_id") + lit(i * userStep)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _)
+
+    scaledPart.repartition(4).write.mode("overwrite")
+      .parquet(s"$out/part.parquet")
+    scaledEv.repartition(8).write.mode("overwrite")
+      .parquet(s"$out/events.parquet")
+  }
+
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SOAK_BASE",
       "/root/testdata/sf0.1")
@@ -98,6 +141,10 @@ object Soak {
       System.err.println(s"[soak] generating ${replicas}x fixtures at $out")
       generate(spark, base, out, replicas)
     }
+    if (!Files.exists(Paths.get(out, "part.parquet"))) {
+      System.err.println(s"[soak] generating ${replicas}x part/events at $out")
+      generateRelational(spark, base, out, replicas)
+    }
 
     // r8 set + the r8 additions (span/segment dedup, BM25 — verdict r8
     // #5) + the bounded-|Q| PQ serving row (verdict r8 #7: ann_pq's 1.50
@@ -108,7 +155,8 @@ object Soak {
       "q_x_pipeline3", "q_x_ann_pq", "q_x_ann_ivfpq",
       "q_x_ann_pq_serve", "q_x_span_dedup", "q_x_segment_dedup",
       "q_x_bm25", "q_x_epoch_shuffle", "q_x_pipeline4",
-      "q_x_split_leakage", "q_x_image_dedup")
+      "q_x_split_leakage", "q_x_image_dedup",
+      "q_x_fuzzy_join", "q_x_scd2")
 
     def runOnce(name: String, dir: String): Double = {
       val t0 = System.nanoTime()

@@ -1,0 +1,132 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Set-similarity JOIN between two tables — entity resolution across
+  * catalogs ("is brand A's `small ring ECONOMY` the same product as
+  * brand B's?"), cross-corpus near-match linking, fuzzy key recovery
+  * when the natural key is a name rather than an id.
+  *
+  * [[Dedup]] answers the SELF-join form of this question (near-dup
+  * pairs within one corpus); this is the two-table form, and it gets a
+  * different algorithm because the banding trick is probabilistic while
+  * record linkage usually wants the EXACT threshold join: every pair
+  * with Jaccard >= t, no recall knob. The classic exact plan is
+  * prefix filtering (AllPairs / PPJoin family — Bayardo et al. WWW'07,
+  * Xiao et al. WWW'08): under any global token order, if
+  * J(A,B) >= t then the two records' rarest-token PREFIXES must share
+  * a token, so an equi-join on prefix tokens is a complete candidate
+  * generator, and it is cheapest exactly when the order is
+  * ascending document frequency (rare tokens first — the prefix is the
+  * part of the record least likely to collide).
+  *
+  * Why the prefix lemma holds (per-side prefix p(x) = |x| - ceil(t*|x|)
+  * + 1): J(A,B) >= t forces |A∩B| >= t*|A∪B| >= ceil(t*max(|A|,|B|)).
+  * Let c be the globally smallest common token. Within A, every token
+  * ranked before c is not common, so c sits at position <=
+  * |A| - |A∩B| + 1 <= p(A); same within B — c is in both prefixes.
+  *
+  * Everything is hash-space: tokens map through [[Hashing.hashP]] (the
+  * portable md5 family), so similarity is Jaccard over distinct token
+  * HASHES — the same contract every dedup operator here uses, exactly
+  * reproducible in the DuckDB oracle.
+  *
+  * Scale shape (the 100 TB posture):
+  *   - document frequencies = one explode + hash-aggregate over both
+  *     sides (map-side combined);
+  *   - per-record token sort + prefix slice happen inside a groupBy
+  *     over the record id — bounded by record length, never a global
+  *     sort or window;
+  *   - candidates come from an equi-join on PREFIX tokens only; the
+  *     frequency order makes hot tokens (stopwords) ineligible for
+  *     most prefixes, which is the known fix for the hot-key blowup a
+  *     naive shared-any-token block suffers;
+  *   - a size filter (t*|A| <= |B| <= |A|/t, necessary for J >= t)
+  *     prunes candidates before the verify join;
+  *   - verify = two id equi-joins to fetch the sorted hash arrays plus
+  *     one codegen'd merge-intersection ([[graft.functions.VectorExprs]]
+  *     `sorted_intersect_count`) — no re-shingling, no explode.
+  * No cross join exists anywhere in the plan at any threshold.
+  */
+object FuzzyJoin {
+
+  /** All pairs (left_id, right_id, jaccard) with
+    * J(tokens(left), tokens(right)) >= threshold. Token columns are
+    * array&lt;string&gt;; ids must be long-castable and unique per side.
+    * Empty token sets never match (J is undefined there).
+    */
+  def jaccardJoin(
+      left: DataFrame, leftId: String, leftToks: String,
+      right: DataFrame, rightId: String, rightToks: String,
+      threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+
+    // Each side's hashed-set frame is read three times (df counts,
+    // prefix generation, verify fetch) and the df aggregate twice (one
+    // prefix join per side): materialize both once so the corpus is
+    // scanned and token-hashed exactly once per side — the
+    // Dedup.minhashNearDups localCheckpoint convention (durable
+    // checkpoint dir is the multi-executor equivalent).
+    val l = hashSets(left, leftId, leftToks).localCheckpoint()
+    val r = hashSets(right, rightId, rightToks).localCheckpoint()
+
+    // Global document frequency of every token hash across BOTH sides:
+    // the shared total order that makes the two prefixes comparable.
+    val dfc = l.select(explode(col("hs")).as("h"))
+      .unionAll(r.select(explode(col("hs")).as("h")))
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .localCheckpoint()
+
+    val lp = prefixTokens(l, dfc, threshold)
+      .select(col("id").as("left_id"), col("n").as("ln"), col("h"))
+    val rp = prefixTokens(r, dfc, threshold)
+      .select(col("id").as("right_id"), col("n").as("rn"), col("h"))
+
+    // Candidate pairs: prefix-token equi-join + the size necessary
+    // condition for J >= t (|A∩B| <= min sizes, |A∪B| >= max sizes).
+    val cand = lp.join(rp, "h")
+      .where(col("rn") >= col("ln") * threshold &&
+        col("ln") >= col("rn") * threshold)
+      .select("left_id", "right_id").distinct()
+
+    // Verify: exact merge-intersection over the sorted hash arrays.
+    val inter = graft.functions.VectorExprs.sortedIntersectCount(
+      col("lhs"), col("rhs"))
+    cand
+      .join(l.select(col("id").as("left_id"), col("hs").as("lhs"),
+        col("n").as("ln")), Seq("left_id"))
+      .join(r.select(col("id").as("right_id"), col("hs").as("rhs"),
+        col("n").as("rn")), Seq("right_id"))
+      .withColumn("inter", inter)
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("ln") + col("rn") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("left_id"), col("right_id"), col("jaccard"))
+  }
+
+  /** (id, hs = sorted distinct token hashes, n = |hs|), empty sets
+    * dropped. */
+  private def hashSets(df: DataFrame, id: String, toks: String) =
+    df.select(col(id).cast("long").as("id"),
+        array_sort(array_distinct(transform(col(toks),
+          t => Hashing.hashP(t)))).as("hs"))
+      .withColumn("n", size(col("hs")))
+      .where(col("n") > 0)
+
+  /** Exploded prefix tokens (id, n, h): each record's
+    * p = n - ceil(t*n) + 1 rarest tokens under the (df, h) order.
+    * The sort and slice run inside a per-record groupBy — bounded by
+    * record length. */
+  private def prefixTokens(s: DataFrame, dfc: DataFrame, t: Double) = {
+    val p = (col("n") - ceil(col("n") * t) + 1).cast("int")
+    s.select(col("id"), col("n"), explode(col("hs")).as("h"))
+      .join(dfc, "h")
+      .groupBy("id", "n")
+      .agg(slice(array_sort(collect_list(struct(col("df"), col("h")))),
+        lit(1), p).as("pref"))
+      .select(col("id"), col("n"), explode(col("pref.h")).as("h"))
+  }
+}

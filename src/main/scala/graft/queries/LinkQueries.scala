@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ext.{FuzzyJoin, Hashing, Scd2}
+import Q._
+
+/** Record-linkage and dimension-historization operators under the
+  * DuckDB oracle: the exact-threshold set-similarity JOIN
+  * ([[graft.ext.FuzzyJoin]]) and SCD2 historization
+  * ([[graft.ext.Scd2]]). Same parity conventions as [[ExtQueries]]
+  * (portable md5 hashing, second-formatted timestamps, integer-ratio
+  * doubles left raw — single IEEE divisions are bit-identical).
+  */
+object LinkQueries {
+  type QFn = (SparkSession, String) => DataFrame
+
+  private val fmt = "yyyy-MM-dd HH:mm:ss"
+
+  // ===== exact-threshold fuzzy join (entity resolution) ================
+
+  /** Two catalogs = two brands of the `part` table; match products by
+    * Jaccard >= 0.5 over (name + type) token hashes. The DuckDB twin is
+    * the NAIVE cross join — the prefix-filtered plan is adjudicated
+    * against brute force, which is the point: prefix filtering is an
+    * exact method, so the result sets must be identical, not merely
+    * high-recall. */
+  private val fuzzyJoin: QFn = (s, d) => {
+    val toks = Hashing.tokens(concat_ws(" ", col("p_name"), col("p_type")))
+    def side(brand: String) = Tables.part(s, d)
+      .where(col("p_brand") === brand)
+      .select(col("p_partkey"), toks.as("tk"))
+    FuzzyJoin.jaccardJoin(
+      side("Brand#11"), "p_partkey", "tk",
+      side("Brand#22"), "p_partkey", "tk", threshold = 0.5)
+  }
+
+  private val fuzzyJoinSql = {
+    val hs = "list_sort(list_distinct(list_transform(" +
+      "list_filter(string_split(p_name || ' ' || p_type, ' '), " +
+      s"t -> t <> ''), t -> ${sqlHashP("t")})))"
+    s"""WITH l AS (
+       |  SELECT p_partkey AS id, $hs AS hs FROM part
+       |  WHERE p_brand = 'Brand#11'),
+       |r AS (
+       |  SELECT p_partkey AS id, $hs AS hs FROM part
+       |  WHERE p_brand = 'Brand#22'),
+       |p AS (
+       |  SELECT l.id AS left_id, r.id AS right_id,
+       |    CAST(len(list_intersect(l.hs, r.hs)) AS DOUBLE) /
+       |      (len(l.hs) + len(r.hs) - len(list_intersect(l.hs, r.hs)))
+       |      AS jaccard
+       |  FROM l, r WHERE len(l.hs) > 0 AND len(r.hs) > 0)
+       |SELECT left_id, right_id, jaccard FROM p
+       |WHERE jaccard >= CAST(0.5 AS DOUBLE)""".stripMargin
+  }
+
+  // ===== SCD2 historization ===========================================
+
+  /** events as a change log of each user's `event_type` attribute:
+    * consecutive same-type events collapse, each surviving change
+    * opens a version closed by the next change. The oracle rebuilds
+    * the identical history with DuckDB's own window functions. */
+  private val scd2: QFn = (s, d) => {
+    val log = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
+    Scd2.historize(log, Seq("user_id"), "ts",
+        tracked = Seq("event_type"), tieBreak = Seq("event_id"))
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        date_format(col("valid_from"), fmt).as("valid_from_s"),
+        date_format(col("valid_to"), fmt).as("valid_to_s"),
+        col("is_current"))
+  }
+
+  private val scd2Sql =
+    """WITH o AS (
+      |  SELECT user_id, event_type, event_id, ts,
+      |         row_number() OVER w AS rn,
+      |         lag(event_type) OVER w AS prev
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |c AS (
+      |  SELECT user_id, event_type, event_id, ts AS valid_from
+      |  FROM o WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+      |v AS (
+      |  SELECT user_id, event_type, event_id, valid_from,
+      |         lead(valid_from) OVER
+      |           (PARTITION BY user_id ORDER BY valid_from, event_id)
+      |           AS valid_to
+      |  FROM c)
+      |SELECT user_id, event_type, event_id,
+      |  strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from_s,
+      |  strftime(valid_to, '%Y-%m-%d %H:%M:%S') AS valid_to_s,
+      |  valid_to IS NULL AS is_current
+      |FROM v""".stripMargin
+
+  val queries: Map[String, QFn] = Map(
+    "q_x_fuzzy_join" -> fuzzyJoin,
+    "q_x_scd2" -> scd2)
+
+  val oracles: Map[String, String] = Map(
+    "q_x_fuzzy_join" -> fuzzyJoinSql,
+    "q_x_scd2" -> scd2Sql)
+}
