@@ -38,7 +38,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     (RelationalQueries.queries ++ KboQueries.queries ++ ExtQueries.queries ++
       TemporalQueries.queries ++ CorpusQueries.queries ++
-      PrepQueries.queries).map { case (name, fn) =>
+      PrepQueries.queries ++ LinkQueries.queries ++
+      BehaviorQueries.queries).map { case (name, fn) =>
       name -> { (s: SparkSession, d: String) =>
         // native expressions resolve through the function registry; make
         // the surface work even on sessions built without
@@ -52,5 +53,6 @@ object SparkEntry {
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ KboQueries.oracles ++ ExtQueries.oracles ++
-      TemporalQueries.oracles ++ CorpusQueries.oracles ++ PrepQueries.oracles
+      TemporalQueries.oracles ++ CorpusQueries.oracles ++
+      PrepQueries.oracles ++ LinkQueries.oracles ++ BehaviorQueries.oracles
 }

@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ext.Behavior
+
+/** User-behavior analytics over the `events` fixture under the DuckDB
+  * oracle: ordered conversion funnels and daily cohort retention
+  * ([[graft.ext.Behavior]]). All outputs are integers, strings, or
+  * single integer-ratio divisions — bit-identical across engines with
+  * no sig9 normalization needed.
+  */
+object BehaviorQueries {
+  type QFn = (SparkSession, String) => DataFrame
+
+  private val fmt = "yyyy-MM-dd HH:mm:ss"
+
+  // ===== ordered conversion funnel ====================================
+
+  /** view -> click -> purchase within 24h of the previous step,
+    * first-touch attribution; one row per user per reached step. */
+  private val funnel: QFn = (s, d) => {
+    Behavior.conversionFunnel(Tables.events(s, d), "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"),
+        maxGap = Some(expr("INTERVAL 24 HOURS")))
+      .select(col("user").as("user_id"),
+        col("step_idx").cast("long").as("step_idx"), col("step"),
+        date_format(col("ts"), fmt).as("ts_s"))
+  }
+
+  private val funnelSql =
+    """WITH s0 AS (
+      |  SELECT user_id AS u, min(ts) AS t FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |s1 AS (
+      |  SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+      |  JOIN s0 ON e.user_id = s0.u
+      |  WHERE e.event_type = 'click' AND e.ts > s0.t
+      |    AND e.ts <= s0.t + INTERVAL 24 HOUR GROUP BY 1),
+      |s2 AS (
+      |  SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+      |  JOIN s1 ON e.user_id = s1.u
+      |  WHERE e.event_type = 'purchase' AND e.ts > s1.t
+      |    AND e.ts <= s1.t + INTERVAL 24 HOUR GROUP BY 1)
+      |SELECT u AS user_id, CAST(0 AS BIGINT) AS step_idx, 'view' AS step,
+      |       strftime(t, '%Y-%m-%d %H:%M:%S') AS ts_s FROM s0
+      |UNION ALL
+      |SELECT u, CAST(1 AS BIGINT), 'click',
+      |       strftime(t, '%Y-%m-%d %H:%M:%S') FROM s1
+      |UNION ALL
+      |SELECT u, CAST(2 AS BIGINT), 'purchase',
+      |       strftime(t, '%Y-%m-%d %H:%M:%S') FROM s2""".stripMargin
+
+  // ===== daily cohort retention =======================================
+
+  private val retentionQ: QFn = (s, d) => {
+    Behavior.retention(Tables.events(s, d), "user_id", "ts")
+      .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day_s"),
+        col("day_offset"), col("n_active"), col("cohort_size"),
+        col("retention"))
+  }
+
+  private val retentionSql =
+    """WITH c AS (
+      |  SELECT user_id AS u, min(CAST(ts AS DATE)) AS cd FROM events
+      |  GROUP BY 1),
+      |sz AS (
+      |  SELECT cd, CAST(count(*) AS BIGINT) AS cohort_size FROM c
+      |  GROUP BY 1),
+      |a AS (
+      |  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day FROM events),
+      |r AS (
+      |  SELECT c.cd, date_diff('day', c.cd, a.day) AS day_offset,
+      |         CAST(count(DISTINCT a.u) AS BIGINT) AS n_active
+      |  FROM a JOIN c ON a.u = c.u GROUP BY 1, 2)
+      |SELECT strftime(r.cd, '%Y-%m-%d') AS cohort_day_s, r.day_offset,
+      |  r.n_active, sz.cohort_size,
+      |  CAST(r.n_active AS DOUBLE) / sz.cohort_size AS retention
+      |FROM r JOIN sz ON r.cd = sz.cd""".stripMargin
+
+  // ===== first-order transition matrix ================================
+
+  private val transitionsQ: QFn = (s, d) => {
+    Behavior.transitions(Tables.events(s, d), "user_id", "ts",
+      "event_type", tieBreak = Seq("event_id"))
+  }
+
+  private val transitionsSql =
+    """WITH p AS (
+      |  SELECT event_type AS from_type,
+      |         lead(event_type) OVER
+      |           (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |c AS (
+      |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      |  FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |t AS (
+      |  SELECT from_type, CAST(sum(n) AS BIGINT) AS n_out FROM c
+      |  GROUP BY 1)
+      |SELECT c.from_type, c.to_type, c.n,
+      |  CAST(c.n AS DOUBLE) / t.n_out AS frac
+      |FROM c JOIN t USING (from_type)""".stripMargin
+
+  // ===== exponentially time-decayed engagement ========================
+
+  private val decayHalfLifeSec = 604800.0 // 7 days
+  private val decayAt = "2024-02-01 00:00:00"
+
+  private val decayQ: QFn = (s, d) => {
+    Behavior.decayedSum(Tables.events(s, d), "user_id", "ts", "value",
+      decayHalfLifeSec, to_timestamp(lit(decayAt)))
+  }
+
+  private val decaySql = {
+    // the decay constant is computed ONCE here and embedded at full
+    // round-trip precision so both engines scale ages by the identical
+    // IEEE double (the bigram-LM lambda convention)
+    val lam = math.log(2.0) / decayHalfLifeSec
+    val dt = s"(CAST(epoch_us(TIMESTAMP '$decayAt') - epoch_us(ts) " +
+      "AS DOUBLE) / 1000000.0)"
+    val term = Q.sqlSig9(s"value * exp(-$lam * $dt)")
+    s"""SELECT user_id AS user, ${Q.sqlDsum(term)} AS decayed_value,
+       |  CAST(count(*) AS BIGINT) AS n_events
+       |FROM events GROUP BY user_id""".stripMargin
+  }
+
+  val queries: Map[String, QFn] = Map(
+    "q_x_funnel" -> funnel,
+    "q_x_retention" -> retentionQ,
+    "q_x_transitions" -> transitionsQ,
+    "q_x_decay" -> decayQ)
+
+  val oracles: Map[String, String] = Map(
+    "q_x_funnel" -> funnelSql,
+    "q_x_retention" -> retentionSql,
+    "q_x_transitions" -> transitionsSql,
+    "q_x_decay" -> decaySql)
+}

@@ -1,0 +1,147 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class BehaviorSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (user, type, ts) with ts as a plain long — both operators are
+  // generic over the timestamp type; maxGap is then a long delta.
+  private def ev(rows: (String, String, Long)*): DataFrame =
+    rows.toDF("u", "et", "ts")
+
+  private def funnelRows(df: DataFrame): Set[(String, Int, String, Long)] =
+    Behavior.conversionFunnel(df, "u", "ts", "et",
+        Seq("view", "click", "buy"), maxGap = Some(lit(100L)))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getLong(3))).toSet
+
+  test("strict order: steps must occur after the previous step's time") {
+    val f = funnelRows(ev(
+      ("u1", "view", 10), ("u1", "click", 20), ("u1", "buy", 30),
+      // u2 clicked BEFORE viewing — click doesn't count
+      ("u2", "click", 5), ("u2", "view", 10),
+      // u3 never clicked; the buy can't skip the click step
+      ("u3", "view", 10), ("u3", "buy", 20)))
+    assert(f === Set(
+      ("u1", 0, "view", 10L), ("u1", 1, "click", 20L), ("u1", 2, "buy", 30L),
+      ("u2", 0, "view", 10L),
+      ("u3", 0, "view", 10L)))
+  }
+
+  test("maxGap cuts conversions; earliest qualifying event is chosen") {
+    val f = funnelRows(ev(
+      // click 150 after view — outside gap 100
+      ("u1", "view", 10), ("u1", "click", 160),
+      // two qualifying clicks — earliest (30) wins
+      ("u2", "view", 10), ("u2", "click", 30), ("u2", "click", 50)))
+    assert(f === Set(
+      ("u1", 0, "view", 10L),
+      ("u2", 0, "view", 10L), ("u2", 1, "click", 30L)))
+  }
+
+  test("first-touch attribution: later first-step events are not retried") {
+    // view@10 -> no click within 100; view@200 -> click@210 would
+    // convert, but first-touch pins the funnel to view@10.
+    val f = funnelRows(ev(
+      ("u1", "view", 10), ("u1", "view", 200), ("u1", "click", 210)))
+    assert(f === Set(("u1", 0, "view", 10L)))
+  }
+
+  test("funnelSummary counts users per step with step-over-step conversion") {
+    val s = Behavior.funnelSummary(Behavior.conversionFunnel(ev(
+        ("u1", "view", 1), ("u1", "click", 2),
+        ("u2", "view", 1), ("u2", "click", 2),
+        ("u3", "view", 1),
+        ("u4", "view", 1), ("u4", "click", 2), ("u4", "buy", 3)),
+        "u", "ts", "et", Seq("view", "click", "buy")))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+    assert(s === Set(
+      (0, "view", 4L, None),
+      (1, "click", 3L, Some(0.75)),
+      (2, "buy", 1L, Some(1.0 / 3))))
+  }
+
+  test("retention: cohort by first day, offsets count distinct actives") {
+    def ts(day: Int) = s"2024-01-0$day 12:00:00"
+    val df = Seq(
+      ("u1", ts(1)), ("u1", ts(2)), ("u1", ts(2)), // dup same day
+      ("u2", ts(1)), ("u2", ts(3)),
+      ("u3", ts(2)))
+      .toDF("u", "s").withColumn("ts", to_timestamp(col("s")))
+    val r = Behavior.retention(df, "u", "ts")
+      .collect().map(x => (x.getDate(0).toString, x.getLong(1),
+        x.getLong(2), x.getLong(3), x.getDouble(4))).toSet
+    assert(r === Set(
+      ("2024-01-01", 0L, 2L, 2L, 1.0),
+      ("2024-01-01", 1L, 1L, 2L, 0.5),
+      ("2024-01-01", 2L, 1L, 2L, 0.5),
+      ("2024-01-02", 0L, 1L, 1L, 1.0)))
+  }
+
+  test("transitions count ordered adjacencies with per-source fractions") {
+    val t = Behavior.transitions(ev(
+        ("u1", "view", 1), ("u1", "click", 2), ("u1", "view", 3),
+        ("u1", "click", 4),
+        ("u2", "view", 1), ("u2", "buy", 2)),
+        "u", "ts", "et")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(t === Set(
+      ("view", "click", 2L, 2.0 / 3),
+      ("view", "buy", 1L, 1.0 / 3),
+      ("click", "view", 1L, 1.0)))
+  }
+
+  test("transitions break timestamp ties on the tieBreak column") {
+    val df = Seq(("u1", "a", 1L, 10L), ("u1", "b", 2L, 10L),
+      ("u1", "c", 3L, 20L)).toDF("u", "et", "seq", "ts")
+    val t = Behavior.transitions(df, "u", "ts", "et", Seq("seq"))
+      .select("from_type", "to_type").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(t === Set(("a", "b"), ("b", "c")))
+  }
+
+  test("decayedSum: zero age keeps the value; one half-life halves it") {
+    val df = Seq(("u1", "2024-01-08 00:00:00", 10.0), // exactly 7d old
+      ("u2", "2024-01-15 00:00:00", 8.0)) // zero age
+      .toDF("u", "s", "value").withColumn("ts", to_timestamp(col("s")))
+    val at = to_timestamp(lit("2024-01-15 00:00:00"))
+    val r = Behavior.decayedSum(df, "u", "ts", "value",
+        halfLifeSec = 7 * 86400.0, at = at)
+      .collect().map(x => x.getString(0) -> (x.getDouble(1), x.getLong(2)))
+      .toMap
+    assert(r("u1") === ((5.0, 1L))) // 10 * exp(-ln2) sig9-rounds to 5
+    assert(r("u2") === ((8.0, 1L)))
+  }
+
+  test("decayedSum folds multiple events per user order-independently") {
+    val df = Seq(("u1", "2024-01-15 00:00:00", 2.0),
+      ("u1", "2024-01-08 00:00:00", 4.0),
+      ("u1", "2024-01-01 00:00:00", 8.0)) // 2 half-lives
+      .toDF("u", "s", "value").withColumn("ts", to_timestamp(col("s")))
+    val at = to_timestamp(lit("2024-01-15 00:00:00"))
+    val r = Behavior.decayedSum(df, "u", "ts", "value", 7 * 86400.0, at)
+      .collect().head
+    assert(r.getDouble(1) === 2.0 + 2.0 + 2.0) // 2 + 4/2 + 8/4
+    assert(r.getLong(2) === 3L)
+  }
+
+  test("plans are lint-clean (user/cohort-keyed shuffles only)") {
+    val df = ev(("u1", "view", 10), ("u1", "click", 20))
+    assert(PlanLint.clean(Behavior.conversionFunnel(df, "u", "ts", "et",
+      Seq("view", "click"))))
+    val tdf = Seq(("u1", "2024-01-01 00:00:00")).toDF("u", "s")
+      .withColumn("ts", to_timestamp(col("s")))
+    assert(PlanLint.clean(Behavior.retention(tdf, "u", "ts")))
+  }
+
+  test("empty steps are rejected") {
+    intercept[IllegalArgumentException] {
+      Behavior.conversionFunnel(ev(("u1", "view", 1)), "u", "ts", "et", Nil)
+    }
+  }
+}
