@@ -51,6 +51,45 @@ object Profile {
     * and fail loudly on non-empty. Column ORDER is deliberately not
     * compared: columnar formats and `unionByName` make order
     * insignificant, and flagging it would cry wolf. */
+  /** Per-group Pearson correlation between two numeric columns,
+    * bit-reproducible across engines and topologies — the metric-vs-
+    * metric sanity check ("does quality score track document length
+    * inside each source?") that `corr()` cannot serve here because
+    * float-sum aggregation is partition-order dependent.
+    *
+    * Contract: the five sufficient statistics (Σx, Σy, Σx², Σy², Σxy)
+    * accumulate EXACTLY through DECIMAL(38,15) and normalize to 9
+    * significant digits ([[graft.queries.Q.dsum]]); the closed-form
+    * combine then runs on those identical doubles in both engines —
+    * products/differences/division are IEEE-determined and sqrt is
+    * correctly rounded by the standard, so the result is bit-identical.
+    * This is the naive (uncentered) formula: under extreme cancellation
+    * (|ρ| estimates from sums agreeing to >9 digits) precision degrades
+    * — identically on every engine; zero variance yields NULL.
+    * Pairwise-complete semantics: rows where either side is NULL are
+    * excluded (matching SQL corr()).
+    *
+    * One map-side-combined aggregate over a pruned scan; group count
+    * bounded by the key cardinality. */
+  def groupCorr(df: DataFrame, keys: Seq[String], xCol: String,
+      yCol: String): DataFrame = {
+    import graft.queries.Q
+    val x = col(xCol).cast("double"); val y = col(yCol).cast("double")
+    val agg = df.where(x.isNotNull && y.isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        Q.dsum(x).as("sx"), Q.dsum(y).as("sy"),
+        Q.dsum(x * x).as("sxx"), Q.dsum(y * y).as("syy"),
+        Q.dsum(x * y).as("sxy"))
+    val nd = col("n").cast("double")
+    val num = nd * col("sxy") - col("sx") * col("sy")
+    val vx = nd * col("sxx") - col("sx") * col("sx")
+    val vy = nd * col("syy") - col("sy") * col("sy")
+    agg.withColumn("corr",
+        when(vx > 0 && vy > 0, Q.sig9(num / sqrt(vx * vy))))
+      .select(keys.map(col) :+ col("n") :+ col("corr"): _*)
+  }
+
   def schemaDiff(oldDf: DataFrame, newDf: DataFrame): DataFrame = {
     val spark = oldDf.sparkSession
     import spark.implicits._

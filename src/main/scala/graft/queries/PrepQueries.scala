@@ -793,7 +793,45 @@ object PrepQueries {
        |FROM o""".stripMargin
   }
 
+  // ===== grouped exact-decimal Pearson correlation ======================
+
+  /** corr(l_quantity, l_extendedprice) per (returnflag, linestatus):
+    * the oracle recomputes the identical sufficient-statistic combine
+    * (NOT DuckDB's corr() — float-sum corr is partition-order dependent
+    * and would not hash-match itself across runs, which is the point of
+    * the decimal routing). */
+  private val groupCorrQ: QFn = (s, d) =>
+    graft.ext.Profile.groupCorr(Tables.lineitem(s, d),
+      Seq("l_returnflag", "l_linestatus"), "l_quantity", "l_extendedprice")
+
+  private val groupCorrSql = {
+    val sx = sqlDsum("x"); val sy = sqlDsum("y")
+    val sxx = sqlDsum("x * x"); val syy = sqlDsum("y * y")
+    val sxy = sqlDsum("x * y")
+    s"""WITH b AS (
+       |  SELECT l_returnflag, l_linestatus,
+       |         CAST(l_quantity AS DOUBLE) AS x,
+       |         CAST(l_extendedprice AS DOUBLE) AS y
+       |  FROM lineitem
+       |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+       |a AS (
+       |  SELECT l_returnflag, l_linestatus,
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    $sx AS sx, $sy AS sy, $sxx AS sxx, $syy AS syy, $sxy AS sxy
+       |  FROM b GROUP BY 1, 2)
+       |SELECT l_returnflag, l_linestatus, n,
+       |  CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0
+       |        AND CAST(n AS DOUBLE) * syy - sy * sy > 0
+       |    THEN ${Q.sqlSig9(
+              "(CAST(n AS DOUBLE) * sxy - sx * sy) / " +
+              "sqrt((CAST(n AS DOUBLE) * sxx - sx * sx) * " +
+              "(CAST(n AS DOUBLE) * syy - sy * sy))")}
+       |  END AS corr
+       |FROM a""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q_x_group_corr" -> groupCorrQ,
     "q_x_knn_label" -> knnLabel,
     "q_x_segment_dedup" -> segmentDedupQ,
     "q_x_span_dedup" -> spanDedupQ,
@@ -813,6 +851,7 @@ object PrepQueries {
     "q_x_pipeline2" -> pipeline2Q)
 
   val oracles: Map[String, String] = Map(
+    "q_x_group_corr" -> groupCorrSql,
     "q_x_knn_label" -> knnLabelSql,
     "q_x_segment_dedup" -> segmentDedupSql,
     "q_x_span_dedup" -> spanDedupSql,

@@ -45,4 +45,33 @@ class ProfileSpec extends SparkSpec {
       .collect().toSet
     assert(r == Set(("name", "removed", Some("string"), None)))
   }
+
+  test("groupCorr: exact +1/-1 on linear groups, NULL on zero variance") {
+    val d = Seq(
+      ("up", 1.0, 2.0), ("up", 2.0, 4.0), ("up", 3.0, 6.0),
+      ("down", 1.0, 9.0), ("down", 2.0, 6.0), ("down", 3.0, 3.0),
+      ("flat", 1.0, 5.0), ("flat", 2.0, 5.0), ("flat", 3.0, 5.0))
+      .toDF("g", "x", "y")
+    val r = Profile.groupCorr(d, Seq("g"), "x", "y")
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), if (x.isNullAt(2)) None else Some(x.getDouble(2))))
+      .toMap
+    assert(r("up") === ((3L, Some(1.0))))
+    assert(r("down") === ((3L, Some(-1.0))))
+    assert(r("flat") === ((3L, None))) // y variance is zero
+  }
+
+  test("groupCorr matches a hand-computed non-degenerate value and " +
+      "excludes null pairs") {
+    val d = Seq(("g", Some(1.0), Some(1.0)), ("g", Some(2.0), Some(3.0)),
+      ("g", Some(3.0), Some(2.0)), ("g", Some(4.0), Some(5.0)),
+      ("g", None, Some(99.0)), ("g", Some(99.0), None))
+      .toDF("g", "x", "y")
+    val Array(row) = Profile.groupCorr(d, Seq("g"), "x", "y").collect()
+    assert(row.getLong(1) === 4L)
+    // n=4: nSxy=4*33=132, SxSy=10*11=110; nSxx=4*30=120, Sx2=100;
+    // nSyy=4*39=156, Sy2=121 => 22/sqrt(20*35)
+    val expected = 22.0 / math.sqrt(700.0)
+    assert(math.abs(row.getDouble(2) - expected) < 1e-9)
+  }
 }
