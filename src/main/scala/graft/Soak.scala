@@ -156,7 +156,9 @@ object Soak {
       "q_x_ann_pq_serve", "q_x_span_dedup", "q_x_segment_dedup",
       "q_x_bm25", "q_x_epoch_shuffle", "q_x_pipeline4",
       "q_x_split_leakage", "q_x_image_dedup",
-      "q_x_fuzzy_join", "q_x_scd2")
+      "q_x_fuzzy_join", "q_x_scd2",
+      "q_x_funnel", "q_x_retention", "q_x_transitions", "q_x_decay",
+      "q_x_ann_ivfpq_sample")
 
     def runOnce(name: String, dir: String): Double = {
       val t0 = System.nanoTime()

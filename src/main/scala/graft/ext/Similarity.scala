@@ -157,22 +157,45 @@ object Similarity {
 
   /** Salt for the seed draw — distinct from every sampling salt so the
     * seed choice is independent of any keep/drop decision. */
-  private val seedSalt = "ivfseed:"
+    private val seedSalt = "ivfseed:"
+
+  /** Salt for the training-subset draw ([[ivfIndex]]/[[pqTrain]]
+    * trainFrac) — independent of the seed draw and of every sampling
+    * salt. */
+  private val trainSalt = "ivftrain:"
+
+  /** Deterministic hash-coin training subset: the FAISS-style
+    * train-on-sample move. Lloyd cost is O(|train| x K x d) per round
+    * while assignment stays O(N) — at corpus scale the codebook only
+    * needs a representative sample (256·K vectors is the standard
+    * guidance), so `trainFrac` bounds the train scan instead of paying
+    * the full corpus per refinement round. Pure function of ids:
+    * reproducible across runs/topologies like every other draw here. */
+  private def trainSubset(v: DataFrame, trainFrac: Double): DataFrame = {
+    require(trainFrac > 0.0 && trainFrac <= 1.0,
+      s"trainFrac must be in (0, 1], got $trainFrac")
+    if (trainFrac >= 1.0) v
+    else v.where(Hashing.hashP(concat(lit(trainSalt),
+      col("vid").cast("string"))).cast("double") <
+      lit(trainFrac * Hashing.P.toDouble))
+  }
 
   def ivfIndex(vectors: DataFrame, k: Int, idCol: String = "vec_id",
                vecCol: String = "embedding", iters: Int = 1,
-               checkpointDir: Option[String] = None): (DataFrame, DataFrame) = {
+               checkpointDir: Option[String] = None,
+               trainFrac: Double = 1.0): (DataFrame, DataFrame) = {
     require(iters >= 1, "iters must be >= 1")
     val v = vectors.select(col(idCol).as("vid"), col(vecCol).as("vv"))
+    val tv = trainSubset(v, trainFrac)
     // deterministic hash-spread seeds: k minimum-by-hash60 ids (see
     // scaladoc); top-k select, not a global sort
-    val seeds = v
+    val seeds = tv
       .orderBy(Hashing.hash60(concat(lit(seedSalt),
         col("vid").cast("string"))).asc, col("vid").asc)
       .limit(k)
       .select(col("vid").as("cid"), col("vv").as("cv"))
     def assign(cents: DataFrame): DataFrame =
-      assignToCentroids(v, cents.select(col("cid"), col("cv")))
+      assignToCentroids(tv, cents.select(col("cid"), col("cv")))
     // Lloyd refinement: mean vector per assigned cluster, per dim.
     // Each round's centroid table is the loop-carried artifact —
     // materialized per iteration or round i lazily re-runs rounds 1..i-1.
@@ -180,7 +203,7 @@ object Similarity {
     for (_ <- 1 to iters) {
       val a = assign(cents)
       cents = Checkpoints.cut(
-        v.join(a, Seq("vid"))
+        tv.join(a, Seq("vid"))
           .select(col("cid"), posexplode(col("vv")).as(Seq("dim", "x")))
           .groupBy(col("cid"), col("dim"))
           .agg(graft.queries.Q.davg(col("x").cast("double")).as("m"))
@@ -195,8 +218,10 @@ object Similarity {
     // already cut; materialize the assignment too, or every consumer
     // (probe stage, candidate join, recall check) re-runs it lazily.
     val centOut = cents.select(col("cid").as("centroid_id"), col("cv"))
+    // assignment always covers the FULL corpus, whatever trained the
+    // centroids — train-on-sample never drops vectors from the index
     val index = Checkpoints.cut(
-      assign(cents)
+      assignToCentroids(v, cents.select(col("cid"), col("cv")))
         .select(col("vid").as(idCol), col("cid").as("centroid_id")),
       checkpointDir)
     (centOut, index)
@@ -474,16 +499,21 @@ object Similarity {
     * step drop out (standard k-means-with-empty-clusters behavior). */
   def pqTrain(vectors: DataFrame, m: Int, k: Int,
               idCol: String = "vec_id", vecCol: String = "embedding",
-              checkpointDir: Option[String] = None)
+              checkpointDir: Option[String] = None,
+              trainFrac: Double = 1.0)
       : (DataFrame, DataFrame) = {
     require(m >= 1 && k >= 1, "m and k must be >= 1")
     val v = vectors.select(col(idCol).as("vid"),
       transform(col(vecCol), x => x.cast("double")).as("vv"))
+    val tv = trainSubset(v, trainFrac)
     val sv = v.select(col("vid"),
       posexplode(subSlices(col("vv"), m)).as(Seq("sub", "sv")))
+    val tsv = if (trainFrac >= 1.0) sv
+      else tv.select(col("vid"),
+        posexplode(subSlices(col("vv"), m)).as(Seq("sub", "sv")))
     // seed codebook: the k hash-spread vectors, ranked 0..k-1 by the
     // draw order inside ONE bounded row, sliced per subspace
-    val seedbook = v
+    val seedbook = tv
       .withColumn("__h", Hashing.hash60(concat(lit(seedSalt),
         col("vid").cast("string"))))
       .orderBy(col("__h").asc, col("vid").asc).limit(k)
@@ -492,11 +522,11 @@ object Similarity {
       .select(posexplode(col("a")).as(Seq("cid", "s")))
       .select(col("cid").cast("long").as("cid"),
         posexplode(subSlices(col("s.vv"), m)).as(Seq("sub", "cv")))
-    def assign(book: DataFrame): DataFrame = pqAssign(sv, book)
-    // one Lloyd step: per-(sub, codeword, dim) decimal mean
-    val a0 = assign(seedbook)
+    // one Lloyd step over the TRAINING subset: per-(sub, codeword, dim)
+    // decimal mean; code assignment below always covers the full corpus
+    val a0 = pqAssign(tsv, seedbook)
     val codebook = Checkpoints.cut(
-      sv.join(a0, Seq("vid", "sub"))
+      tsv.join(a0, Seq("vid", "sub"))
         .select(col("sub"), col("code").as("cid"),
           posexplode(col("sv")).as(Seq("dim", "x")))
         .groupBy(col("sub"), col("cid"), col("dim"))
@@ -507,7 +537,7 @@ object Similarity {
         .select(col("sub"), col("cid"),
           transform(col("dm"), s => s.getField("mv")).as("cv")),
       checkpointDir)
-    val codes = Checkpoints.cut(assign(codebook), checkpointDir)
+    val codes = Checkpoints.cut(pqAssign(sv, codebook), checkpointDir)
     (codebook, codes)
   }
 

@@ -888,6 +888,38 @@ object ExtQueries {
       |  (SELECT COUNT(*) FROM embeddings WHERE vec_id % 5 = 0) AS n_queries,
       |  CAST(1 AS BOOLEAN) AS pass""".stripMargin
 
+  /** The production train-on-sample regime: centroids AND codebooks
+    * learned from a deterministic 25% hash subset (FAISS-style — Lloyd
+    * cost bounded by the sample, 4x cheaper per round at this frac),
+    * while assignment/encoding still covers every vector. Recall must
+    * clear the SAME 0.4 bar as the full-train row: a representative
+    * sample is all a codebook needs, and this row pins that claim. */
+  private val annIvfPqSample: QFn = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val (cents, index) = Similarity.ivfIndex(emb, k = 16, trainFrac = 0.25)
+    val (book, codes) = Similarity.pqTrain(emb, m = 4, k = 8,
+      trainFrac = 0.25)
+    val q = perturbed(s, d)
+      .select(col("qid").as("vec_id"), col("qv").as("embedding"))
+    val top1 = Similarity
+      .ivfPqTopKPacked(q, cents, index, book,
+        Similarity.packCodes(codes, 4), m = 4, topK = 1, nprobe = 2)
+      .filter(col("rank") === 1)
+    val hits = q.select(col("vec_id").as("qid"))
+      .join(top1, Seq("qid"), "left")
+      .select(when(col("cid") === col("qid") - 30000, lit(1.0))
+        .otherwise(lit(0.0)).as("hit"))
+    hits.agg(count(lit(1)).as("n_queries"),
+        (sum(col("hit")) / count(lit(1)) >= 0.4).as("pass"))
+      .select(lit("ivfpq_sample_recall_at_1").as("metric"),
+        col("n_queries"), col("pass"))
+  }
+
+  private val annIvfPqSampleSql =
+    """SELECT 'ivfpq_sample_recall_at_1' AS metric,
+      |  (SELECT COUNT(*) FROM embeddings WHERE vec_id % 5 = 0) AS n_queries,
+      |  CAST(1 AS BOOLEAN) AS pass""".stripMargin
+
   /** Residual IVF-PQ at the SAME geometry as `q_x_ann_ivfpq` (k=16,
     * nprobe=2, m=4, 8 codewords): codes quantize r = v - centroid(v),
     * serving adds the exact dot(q, c_v) term. Residuals carry far less
@@ -1595,6 +1627,7 @@ object ExtQueries {
     "q_x_ann_pq" -> annPq,
     "q_x_ann_pq_serve" -> annPqServe,
     "q_x_ann_ivfpq" -> annIvfPq,
+    "q_x_ann_ivfpq_sample" -> annIvfPqSample,
     "q_x_ann_ivfpq_res" -> annIvfPqRes,
     "q_x_ann_ivfpq_res8" -> annIvfPqRes8,
     "q_x_multimodal" -> multimodal,
@@ -1640,6 +1673,7 @@ object ExtQueries {
     "q_x_ann_pq" -> annPqSql,
     "q_x_ann_pq_serve" -> annPqServeSql,
     "q_x_ann_ivfpq" -> annIvfPqSql,
+    "q_x_ann_ivfpq_sample" -> annIvfPqSampleSql,
     "q_x_ann_ivfpq_res" -> annIvfPqResSql,
     "q_x_ann_ivfpq_res8" -> annIvfPqRes8Sql,
     "q_x_multimodal" -> multimodalSql,

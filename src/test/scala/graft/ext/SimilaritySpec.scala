@@ -102,6 +102,29 @@ class SimilaritySpec extends SparkSpec {
     assert(hits >= 3, s"ivf recall $hits/4")
   }
 
+  test("trainFrac: sampled-Lloyd centroids still cover EVERY vector, " +
+      "deterministically; frac=1 is exactly the full-train path") {
+    val (cF, iF) = Similarity.ivfIndex(base, k = 4)
+    val (c1, i1) = Similarity.ivfIndex(base, k = 4, trainFrac = 1.0)
+    // frac=1 is the identical program, not merely an equivalent one
+    assert(c1.collect().toSet === cF.collect().toSet)
+    assert(i1.collect().toSet === iF.collect().toSet)
+    val (cS, iS) = Similarity.ivfIndex(base, k = 4, trainFrac = 0.5)
+    assert(iS.count() == 40, "sampled train must still index all vectors")
+    val (cS2, iS2) = Similarity.ivfIndex(base, k = 4, trainFrac = 0.5)
+    assert(cS.collect().toSet === cS2.collect().toSet,
+      "sampled centroids must be a pure function of the corpus")
+    assert(iS.collect().toSet === iS2.collect().toSet)
+    val (book, codes) = Similarity.pqTrain(base, m = 2, k = 4,
+      trainFrac = 0.5)
+    assert(codes.select("vid").distinct().count() == 40,
+      "sampled-train PQ must still encode all vectors")
+    assert(book.select("sub").distinct().count() == 2)
+    intercept[IllegalArgumentException] {
+      Similarity.ivfIndex(base, k = 4, trainFrac = 0.0)
+    }
+  }
+
   test("saveIndex/loadIndex round-trips; probing the loaded artifact " +
       "gives the same top-1 as the in-session index") {
     val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
