@@ -158,6 +158,59 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis 2006,
+    * algorithm A-Res): keep the k rows maximizing u^(1/w) where u is a
+    * uniform draw — inclusion probability proportional to weight, no
+    * replacement, single pass. The draw here is the deterministic
+    * salted hash coin (re-runs and retries keep the same sample; the
+    * rand() version cannot build reproducible eval panels or
+    * importance-weighted subsets).
+    *
+    * Portability: ranked by sig9(ln(u)/w) — the same ordering as
+    * u^(1/w) (monotone transform) but with the libm step normalized to
+    * 9 significant digits ([[graft.queries.Q.sig9]]) so both engines
+    * rank identical keys; ln spreads values instead of compressing
+    * them against 1.0, so the 9 digits resolve any weight scale
+    * (selection order is invariant to weight rescaling — only relative
+    * weights matter). Ties (coins collide at the 1e-6 resolution)
+    * break on the row key. u ∈ (0, 1]: never a log(0).
+    *
+    * Rows with NULL or non-positive weight are excluded (E-S: w=0 is
+    * never selected). With `stratumCol`, k rows per stratum via a
+    * stratum-keyed window (bounded partitions); without, a global
+    * top-k (TakeOrdered — per-partition heads merge, no global sort)
+    * ranked after the limit on the ≤k-row result (the O(k) small-frame
+    * window exception documented in PLANS.md).
+    *
+    * Output: input columns + `ws_rank` (1-based selection rank). */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+                     k: Int, seed: String,
+                     stratumCol: Option[String] = None): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val h = Hashing.hash60(concat(lit(s"wsample:$seed:"),
+      col(keyCol).cast("string"))) % M
+    val u = (h + 1).cast("double") / (M + 1).toDouble
+    val key9 = graft.queries.Q.sig9(log(u) / col(weightCol).cast("double"))
+    val base = df
+      .where(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__wk", key9)
+    stratumCol match {
+      case Some(s) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(s))
+          .orderBy(col("__wk").desc, col(keyCol).asc)
+        base.withColumn("ws_rank", row_number().over(w).cast("long"))
+          .filter(col("ws_rank") <= k)
+          .drop("__wk")
+      case None =>
+        val top = base.orderBy(col("__wk").desc, col(keyCol).asc).limit(k)
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("__wk").desc, col(keyCol).asc)
+        top.withColumn("ws_rank", row_number().over(w).cast("long"))
+          .drop("__wk")
+    }
+  }
+
   /** Deterministic epoch shuffle + shard layout: assign every row an
     * exact global position 0..n-1 in a reproducible pseudo-random
     * training order (rank by salted portable hash of the key, ties to

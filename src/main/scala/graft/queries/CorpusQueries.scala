@@ -439,7 +439,35 @@ object CorpusQueries {
        |  CAST(pos % 512 AS BIGINT) AS shard_pos
        |FROM r""".stripMargin
 
+  // ===== weighted sampling without replacement ==========================
+
+  /** Efraimidis–Spirakis A-Res per language: 20 docs per lang with
+    * inclusion probability proportional to n_chars. The oracle
+    * recomputes the identical sig9(ln(u)/w) keys and ranks them with
+    * DuckDB's own window — selection AND rank order adjudicated. */
+  private val weightedSampleQ: QFn = (s, d) =>
+    graft.ext.Sampling.weightedSample(Tables.documents(s, d), "doc_id",
+        "n_chars", k = 20, seed = "s42", stratumCol = Some("lang"))
+      .select(col("lang"), col("doc_id"), col("ws_rank"))
+
+  private val weightedSampleSql = {
+    val h = hashSql("'wsample:s42:' || CAST(doc_id AS VARCHAR)")
+    val key = sqlSig9(s"ln(CAST($h % 1000000 + 1 AS DOUBLE) / 1000001.0)" +
+      " / CAST(n_chars AS DOUBLE)")
+    s"""WITH b AS (
+       |  SELECT lang, doc_id, $key AS k9 FROM documents
+       |  WHERE n_chars IS NOT NULL AND n_chars > 0),
+       |r AS (
+       |  SELECT lang, doc_id,
+       |    CAST(row_number() OVER
+       |      (PARTITION BY lang ORDER BY k9 DESC, doc_id) AS BIGINT)
+       |      AS ws_rank
+       |  FROM b)
+       |SELECT lang, doc_id, ws_rank FROM r WHERE ws_rank <= 20""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q_x_weighted_sample" -> weightedSampleQ,
     "q_x_epoch_shuffle" -> epochShuffleQ,
     "q_x_decontam" -> decontam,
     "q_x_unigram_lm" -> unigramLm,
@@ -454,6 +482,7 @@ object CorpusQueries {
     "q_x_rrf" -> rrfQ)
 
   val oracles: Map[String, String] = Map(
+    "q_x_weighted_sample" -> weightedSampleSql,
     "q_x_epoch_shuffle" -> epochShuffleSql,
     "q_x_decontam" -> decontamSql,
     "q_x_unigram_lm" -> unigramLmSql,

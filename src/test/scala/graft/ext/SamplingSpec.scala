@@ -134,4 +134,50 @@ class SamplingSpec extends SparkSpec {
       Sampling.epochShuffle(docs, "id", "s", 0L)
     }
   }
+
+  test("weightedSample: k per stratum without replacement, gap-free ranks") {
+    val d = (1L to 200L).map(i => (i, s"s${i % 2}", 1.0 + (i % 7)))
+      .toDF("id", "grp", "w")
+    val s = Sampling.weightedSample(d, "id", "w", k = 10, seed = "a",
+      stratumCol = Some("grp"))
+    val rows = s.select("grp", "id", "ws_rank")
+      .as[(String, Long, Long)].collect()
+    assert(rows.length == 20)
+    assert(rows.map(_._2).distinct.length == 20) // no replacement
+    for (g <- Seq("s0", "s1"))
+      assert(rows.filter(_._1 == g).map(_._3).sorted.toSeq ==
+        (1L to 10L), s"ranks in $g")
+  }
+
+  test("weightedSample favors heavy weights and keys on the seed") {
+    // one 1000x-weight item among 50: it should be drawn at rank 1 in
+    // nearly every seed (P[miss] ~ 49/1049 per E-S draw)
+    val d = (1L to 50L).map(i => (i, if (i == 7L) 1000.0 else 1.0))
+      .toDF("id", "w")
+    val seeds = (0 until 8).map(i => s"seed$i")
+    val rank1 = seeds.map { sd =>
+      Sampling.weightedSample(d, "id", "w", k = 1, seed = sd)
+        .select("id").as[Long].head()
+    }
+    assert(rank1.count(_ == 7L) >= 6, s"heavy item won ${rank1} only")
+    assert(seeds.map(sd => Sampling.weightedSample(d, "id", "w", 5, sd)
+      .select("id").as[Long].collect().toSet).distinct.size > 1,
+      "different seeds must draw different samples")
+  }
+
+  test("weightedSample selection is invariant to weight rescaling and " +
+      "excludes non-positive weights") {
+    val d = (1L to 100L).map(i => (i, (i % 11).toDouble)) // some w=0
+      .toDF("id", "w")
+    val a = Sampling.weightedSample(d, "id", "w", 15, "s")
+      .select("id", "ws_rank").as[(Long, Long)].collect().toSet
+    val scaled = d.withColumn("w", col("w") * 12345.0)
+    val b = Sampling.weightedSample(scaled, "id", "w", 15, "s")
+      .select("id", "ws_rank").as[(Long, Long)].collect().toSet
+    assert(a == b, "E-S order depends only on relative weights")
+    val zeros = d.where(col("w") <= 0).select("id").as[Long].collect().toSet
+    assert(a.map(_._1).intersect(zeros).isEmpty)
+    // global variant returns exactly k gap-free ranks
+    assert(a.map(_._2).toSeq.sorted == (1L to 15L))
+  }
 }
