@@ -420,6 +420,49 @@ object EventPipeline {
     * same cadence. At production scale, partition the store on a dh
     * prefix so the per-batch probe prunes to matching buckets instead
     * of scanning every store file. */
+  /** Streaming SCD2 sink: each micro-batch of change-log rows folds
+    * into the historized dimension table at `historyPath` via
+    * [[graft.ext.Scd2.merge]] — the streaming face of ext/Scd2, so the
+    * same point-in-time table serves batch jobs while a live stream
+    * maintains it. Only the batch's keys re-historize (semi/anti split
+    * inside merge); the rewrite lands through a staging dir +
+    * [[graft.ext.Layout.swapIn]] so a concurrent reader never sees a
+    * half-written table, and a crash between renames restores via
+    * `recoverSwap` on the next batch. Idempotent under foreachBatch's
+    * at-least-once re-delivery: a replayed log row is null-safe-equal
+    * to the change point it already created and collapses as a no-op
+    * (Scd2Spec pins merge idempotence). */
+  def scd2Sink(updates: DataFrame, historyPath: String, key: Seq[String],
+               ts: String, tracked: Seq[String], tieBreak: Seq[String],
+               checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        import graft.ext.{Layout, Scd2}
+        Layout.recoverSwap(spark, historyPath)
+        val hp = new org.apache.hadoop.fs.Path(historyPath)
+        val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!fs.exists(hp)) {
+          Scd2.historize(batch, key, ts, tracked, tieBreak)
+            .write.mode("overwrite").parquet(historyPath)
+        } else {
+          val merged = Scd2.merge(spark.read.parquet(historyPath), batch,
+            key, ts, tracked, tieBreak)
+          val staging = new org.apache.hadoop.fs.Path(hp.getParent,
+            "." + hp.getName + ".scd2-staging").toString
+          fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+          // staging write materializes the merge BEFORE the old table
+          // moves — the read and the swap never overlap
+          merged.write.mode("overwrite").parquet(staging)
+          Layout.swapIn(spark, historyPath, staging)
+        }
+        ()
+      }
+      .start()
+
   def mediaIngestSink(media: DataFrame, idCol: String,
                       storePath: String, keptPath: String,
                       checkpointDir: String, maxHamming: Int = 3,

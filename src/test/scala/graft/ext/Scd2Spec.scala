@@ -77,6 +77,15 @@ class Scd2Spec extends SparkSpec {
       ("u2", "Y", 4L, 30L, None, true)))
   }
 
+  test("merge is idempotent: re-delivering the same batch changes nothing") {
+    val base = hist(log(("u1", "A", 1, 10)))
+    val batch = log(("u1", "B", 2, 20), ("u2", "X", 3, 15))
+    val once = Scd2.merge(base, batch, Seq("k"), "ts", Seq("v"), Seq("seq"))
+    val twice = Scd2.merge(once, batch, Seq("k"), "ts", Seq("v"), Seq("seq"))
+    assert(rows(twice) === rows(once),
+      "at-least-once re-delivery must collapse as no-ops")
+  }
+
   test("asOf picks the version live at the probe time") {
     val h = hist(log(("u1", "A", 1, 10), ("u1", "B", 2, 30)))
     def at(t: Long) =

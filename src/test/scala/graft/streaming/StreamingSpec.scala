@@ -439,4 +439,51 @@ class StreamingSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
       == Set(1L, 2L, 4L, 6L, 7L))
   }
+
+  test("scd2Sink maintains the historized dimension across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("scd2s").toString
+    val hist = s"$dir/history"
+    // (user, plan, seq, ts-long) change log
+    val ms = MemoryStream[(String, String, Long, Long)]
+    val q = EventPipeline.scd2Sink(
+      ms.toDF().toDF("u", "plan", "seq", "ts"), hist,
+      key = Seq("u"), ts = "ts", tracked = Seq("plan"),
+      tieBreak = Seq("seq"), checkpointDir = s"$dir/cp")
+    def history() = spark.read.parquet(hist)
+      .select("u", "plan", "valid_from", "valid_to", "is_current")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4)))
+      .toSet
+    try {
+      ms.addData(Seq(("u1", "free", 1L, 10L), ("u2", "pro", 2L, 15L)))
+      q.processAllAvailable()
+      assert(history() === Set(
+        ("u1", "free", 10L, None, true),
+        ("u2", "pro", 15L, None, true)))
+      // batch 2: u1 upgrades (new version), u2 no-op (collapses),
+      // u3 appears; u2's rows must pass through untouched
+      ms.addData(Seq(("u1", "pro", 3L, 30L), ("u2", "pro", 4L, 40L),
+        ("u3", "free", 5L, 50L)))
+      q.processAllAvailable()
+      assert(history() === Set(
+        ("u1", "free", 10L, Some(30L), false),
+        ("u1", "pro", 30L, None, true),
+        ("u2", "pro", 15L, None, true),
+        ("u3", "free", 50L, None, true)))
+    } finally q.stop()
+    // the sink's result equals the batch historize of the whole log —
+    // the streaming/batch twin contract
+    val full = graft.ext.Scd2.historize(
+      Seq(("u1", "free", 1L, 10L), ("u2", "pro", 2L, 15L),
+        ("u1", "pro", 3L, 30L), ("u2", "pro", 4L, 40L),
+        ("u3", "free", 5L, 50L)).toDF("u", "plan", "seq", "ts"),
+      Seq("u"), "ts", Seq("plan"), Seq("seq"))
+      .select("u", "plan", "valid_from", "valid_to", "is_current")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4)))
+      .toSet
+    assert(history() === full)
+  }
 }
