@@ -217,4 +217,89 @@ object Layout {
     df.repartition(col(shardCol))
       .sortWithinPartitions(col(shardCol), col(orderCol))
       .write.mode(SaveMode.Overwrite).partitionBy(shardCol).parquet(path)
+
+  // ===== file-level data-skipping manifest ==============================
+
+  /** Manifest location: hidden sibling, invisible to partition
+    * discovery (the [[hiddenSibling]] contract). */
+  def manifestPath(path: String): String = hiddenSibling(path, ".manifest")
+
+  /** Build + persist a FILE-level min/max manifest for `cols` — the
+    * Delta/Iceberg data-skipping move, one tier above parquet's own
+    * row-group stats. Parquet pruning still OPENS every file to read
+    * its footer; at 100 TB a narrow time-range query against a
+    * [[sortedWrite]]/[[zorderedWrite]] layout spends its wall-clock on
+    * that file-open storm. The manifest is one tiny parquet table
+    * (file, size, n_rows, min/max per tracked column), so planning
+    * reads ONE object and hands Spark only the overlapping files.
+    *
+    * Cost: one pruned scan of exactly `cols` (+ the file name), one
+    * hash aggregate keyed on the file — rebuild after maintenance
+    * ([[compact]]/[[swapIn]] invalidate it; [[prunedFiles]] detects
+    * staleness and fails loudly rather than silently missing files). */
+  def writeManifest(spark: SparkSession, path: String,
+                    cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "manifest needs at least one column")
+    // identity = (file name, size): part-file names carry a write-UUID,
+    // and the FileSystem listing (scheme-free) must agree with the
+    // scan-side input_file_name (a URI) — joining on the name sidesteps
+    // scheme/authority/encoding mismatches between the two views
+    val sizes = dataFileSizes(spark, path)
+      .map { case (p, len) => (p.getName, len) }
+    val sizeDf = spark.createDataFrame(sizes).toDF("file_name", "size")
+    val aggs = cols.flatMap { c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))
+    } :+ count(lit(1)).as("n_rows")
+    val stats = spark.read.parquet(path)
+      .groupBy(input_file_name().as("file_path"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("file_name",
+        element_at(split(url_decode(col("file_path")), "/"), -1))
+    val staging = hiddenSibling(path, ".manifest-staging")
+    val (fs, _) = fsFor(spark, path)
+    fs.delete(new Path(staging), true)
+    stats.join(sizeDf, Seq("file_name"))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(staging)
+    val mp = new Path(manifestPath(path))
+    fs.delete(mp, true)
+    if (!fs.rename(new Path(staging), mp))
+      throw new java.io.IOException(s"writeManifest: cannot move into $mp")
+  }
+
+  /** Files whose [min, max] range on `colName` overlaps [lo, hi] —
+    * the planning-time skip, returned as readable URIs. All-NULL files
+    * prune too (a range predicate never matches NULL). Fails loudly if
+    * the manifest does not exactly describe the current data files
+    * (name + size): a stale manifest must never silently hide rows. */
+  def prunedFiles(spark: SparkSession, path: String, colName: String,
+                  lo: Any, hi: Any): Seq[String] = {
+    val man = spark.read.parquet(manifestPath(path))
+    val manifest = man.select("file_name", "size")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val current = dataFileSizes(spark, path)
+      .map { case (p, len) => (p.getName, len) }.toSet
+    if (manifest != current)
+      throw new IllegalStateException(
+        s"stale manifest for $path: rebuild with writeManifest " +
+          s"(${(current -- manifest).size} new, " +
+          s"${(manifest -- current).size} vanished files)")
+    man.where(col(s"min_$colName") <= lit(hi) &&
+        col(s"max_$colName") >= lit(lo))
+      .select("file_path").collect().map(_.getString(0)).toSeq
+  }
+
+  /** Range read through the manifest: open only overlapping files,
+    * then apply the exact residual predicate. Equal to the naive
+    * full-table filter by construction (LayoutSpec proves equality and
+    * counts the skipped files). */
+  def prunedRead(spark: SparkSession, path: String, colName: String,
+                 lo: Any, hi: Any): DataFrame = {
+    val files = prunedFiles(spark, path, colName, lo, hi)
+    val base =
+      if (files.isEmpty)
+        spark.read.parquet(path).limit(0)
+      else spark.read.parquet(files: _*)
+    base.where(col(colName) >= lit(lo) && col(colName) <= lit(hi))
+  }
 }

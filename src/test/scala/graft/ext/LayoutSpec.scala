@@ -201,4 +201,47 @@ class LayoutSpec extends SparkSpec {
       assert(inFile.size == 250)
     }
   }
+
+  test("manifest prunedRead skips non-overlapping files and equals the " +
+      "naive full filter") {
+    val dir = java.nio.file.Files.createTempDirectory("manif").toString
+    val n = 10000L
+    val df = spark.range(n).select(col("id"),
+      (col("id") * 2654435761L % n).as("v"))
+    Layout.sortedWrite(df, s"$dir/t", "v", partitions = 8)
+    Layout.writeManifest(spark, s"$dir/t", Seq("v"))
+    val man = spark.read.parquet(Layout.manifestPath(s"$dir/t"))
+    assert(man.count() == Layout.dataFiles(spark, s"$dir/t").size)
+    assert(man.agg(sum("n_rows")).head().getLong(0) == n)
+    // a narrow range overlaps few of the 8 range-partitioned files
+    val pruned = Layout.prunedFiles(spark, s"$dir/t", "v", 100L, 600L)
+    assert(pruned.nonEmpty && pruned.size <= 2,
+      s"expected <=2 overlapping files, got ${pruned.size}")
+    val got = Layout.prunedRead(spark, s"$dir/t", "v", 100L, 600L)
+      .select("id").as[Long].collect().toSet
+    val want = df.where(col("v") >= 100 && col("v") <= 600)
+      .select("id").as[Long].collect().toSet
+    assert(got === want)
+    // empty range: no files, empty frame, correct schema
+    val none = Layout.prunedRead(spark, s"$dir/t", "v", -50L, -10L)
+    assert(none.count() == 0 &&
+      none.columns.toSeq == Seq("id", "v"))
+  }
+
+  test("a stale manifest fails loudly instead of silently hiding rows") {
+    val dir = java.nio.file.Files.createTempDirectory("manifstale").toString
+    spark.range(100).select(col("id"), col("id").as("v"))
+      .coalesce(1).write.parquet(s"$dir/t")
+    Layout.writeManifest(spark, s"$dir/t", Seq("v"))
+    // append new data behind the manifest's back
+    spark.range(100, 200).select(col("id"), col("id").as("v"))
+      .coalesce(1).write.mode("append").parquet(s"$dir/t")
+    intercept[IllegalStateException] {
+      Layout.prunedFiles(spark, s"$dir/t", "v", 0L, 10L)
+    }
+    // rebuild heals it
+    Layout.writeManifest(spark, s"$dir/t", Seq("v"))
+    assert(Layout.prunedRead(spark, s"$dir/t", "v", 150L, 160L)
+      .count() == 11)
+  }
 }
