@@ -156,6 +156,59 @@ object EventPipeline {
       }
   }
 
+  case class FunnelHit(user_id: Long, step_idx: Int, step: String,
+                       ts: java.sql.Timestamp)
+
+  /** Per-user funnel cursor for [[streamingFunnel]]: the next step
+    * awaited and the chosen time of the last completed step. Two longs
+    * per user — the smallest state any stateful operator here carries. */
+  case class FunnelState(next_idx: Int, last_ts: Long)
+
+  /** Streaming conversion funnel — the live face of
+    * [[graft.ext.Behavior.conversionFunnel]]: emits a [[FunnelHit]]
+    * the moment a user completes their next funnel step (strict order,
+    * first-touch, optional max gap in ms), instead of recomputing the
+    * whole funnel per dashboard refresh.
+    *
+    * Equal to the batch twin under in-order per-user delivery (events
+    * inside a batch are sorted by event time before advancing the
+    * cursor, so intra-batch disorder is free); an event arriving in a
+    * LATER batch than a same-user event with greater event time can be
+    * matched differently than the batch twin would — the inherent
+    * append-mode gap every stateful operator here documents. The
+    * batch twin is exact unconditionally and oracle-checked
+    * (`q_x_funnel`). */
+  def streamingFunnel(events: Dataset[Event], spark: SparkSession,
+                      steps: Seq[String], maxGapMs: Option[Long] = None)
+      : Dataset[FunnelHit] = {
+    import spark.implicits._
+    require(steps.nonEmpty, "funnel needs at least one step")
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[FunnelState]) =>
+          var s = state.getOption.getOrElse(FunnelState(0, 0L))
+          val hits = Seq.newBuilder[FunnelHit]
+          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            if (s.next_idx < steps.length &&
+                e.event_type == steps(s.next_idx)) {
+              val t = e.ts.getTime
+              val ok =
+                if (s.next_idx == 0) true
+                else t > s.last_ts &&
+                  maxGapMs.forall(g => t <= s.last_ts + g)
+              if (ok) {
+                hits += FunnelHit(uid, s.next_idx, steps(s.next_idx), e.ts)
+                s = FunnelState(s.next_idx + 1, t)
+              }
+            }
+          }
+          state.update(s)
+          hits.result().iterator
+      }
+  }
+
   case class EnrichedPurchase(user_id: Long, purchase_id: Long,
                               purchase_ts: java.sql.Timestamp,
                               value: Double, click_id: Option[Long],

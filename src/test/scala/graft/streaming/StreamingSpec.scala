@@ -440,6 +440,53 @@ class StreamingSpec extends SparkSpec {
       == Set(1L, 2L, 4L, 6L, 7L))
   }
 
+  test("streamingFunnel emits step completions live and matches the " +
+      "batch twin on the full log") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val log = Seq(
+      Event(1L, ts("2024-03-01 10:00:00"), 7L, "view", 0),
+      Event(2L, ts("2024-03-01 10:05:00"), 7L, "click", 0),
+      Event(3L, ts("2024-03-01 10:04:00"), 8L, "click", 0), // before view
+      Event(4L, ts("2024-03-01 10:06:00"), 8L, "view", 0),
+      Event(5L, ts("2024-03-01 10:30:00"), 7L, "buy", 0),
+      Event(6L, ts("2024-03-02 12:00:00"), 8L, "click", 0), // gap > 1h
+      Event(7L, ts("2024-03-01 10:20:00"), 9L, "view", 0))
+    val (b1, b2) = log.splitAt(4)
+    val gapMs = Some(3600L * 1000)
+    val ms = MemoryStream[Event]
+    val q = EventPipeline.streamingFunnel(ms.toDS(), spark,
+        Seq("view", "click", "buy"), gapMs)
+      .writeStream.format("memory").queryName("funnel_hits")
+      .outputMode("append").start()
+    try {
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    val live = spark.table("funnel_hits")
+      .select("user_id", "step_idx", "step", "ts")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getTimestamp(3))).toSet
+    // u7 completes all three; u8's early click doesn't count and the
+    // next-day click misses the gap; u9 only views
+    assert(live === Set(
+      (7L, 0, "view", ts("2024-03-01 10:00:00")),
+      (7L, 1, "click", ts("2024-03-01 10:05:00")),
+      (7L, 2, "buy", ts("2024-03-01 10:30:00")),
+      (8L, 0, "view", ts("2024-03-01 10:06:00")),
+      (9L, 0, "view", ts("2024-03-01 10:20:00"))))
+    // batch-twin equality on the same log
+    val batch = graft.ext.Behavior.conversionFunnel(
+        log.toDF().withColumnRenamed("event_type", "et"),
+        "user_id", "ts", "et", Seq("view", "click", "buy"),
+        maxGap = Some(org.apache.spark.sql.functions
+          .expr("INTERVAL 1 HOUR")))
+      .select(col("user"), col("step_idx"), col("step"), col("ts"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getTimestamp(3))).toSet
+    assert(live === batch)
+  }
+
   test("scd2Sink maintains the historized dimension across micro-batches") {
     implicit val ctx = spark.sqlContext
     import org.apache.spark.sql.functions.col
