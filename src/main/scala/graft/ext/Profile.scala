@@ -90,6 +90,34 @@ object Profile {
       .select(keys.map(col) :+ col("n") :+ col("corr"): _*)
   }
 
+  /** Equi-width histogram of a numeric column: `bins` buckets spanning
+    * [min, max], the top edge inclusive (its values clamp into the last
+    * bin). Two aggregates — a min/max row broadcast onto the scan (the
+    * one-row league-scalar pattern) and a bin-keyed count; empty bins
+    * are absent. All arithmetic is plain IEEE (subtract/divide/floor),
+    * so bucket boundaries and counts are bit-identical across engines;
+    * a constant column degenerates to one bin. NULLs are excluded.
+    * Output: bin, bin_lo, bin_hi, n. */
+  def histogram(df: DataFrame, colName: String, bins: Int): DataFrame = {
+    require(bins >= 1, "bins must be >= 1")
+    val x = col(colName).cast("double")
+    val v = df.where(x.isNotNull).select(x.as("x"))
+    val stats = v.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    v.crossJoin(broadcast(stats))
+      .withColumn("__w", (col("hi") - col("lo")) / bins)
+      .withColumn("bin", when(col("hi") > col("lo"),
+          least(floor((col("x") - col("lo")) / col("__w")),
+            lit((bins - 1).toLong)))
+        .otherwise(lit(0L)))
+      .groupBy(col("bin"), col("lo"), col("__w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("bin"),
+        (col("lo") + col("bin").cast("double") * col("__w")).as("bin_lo"),
+        (col("lo") + (col("bin") + 1).cast("double") * col("__w"))
+          .as("bin_hi"),
+        col("n"))
+  }
+
   def schemaDiff(oldDf: DataFrame, newDf: DataFrame): DataFrame = {
     val spark = oldDf.sparkSession
     import spark.implicits._

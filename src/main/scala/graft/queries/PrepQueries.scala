@@ -830,7 +830,31 @@ object PrepQueries {
        |FROM a""".stripMargin
   }
 
+  // ===== equi-width histogram ===========================================
+
+  private val histogramQ: QFn = (s, d) =>
+    graft.ext.Profile.histogram(Tables.lineitem(s, d),
+      "l_extendedprice", bins = 16)
+
+  private val histogramSql =
+    """WITH v AS (
+      |  SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
+      |  WHERE l_extendedprice IS NOT NULL),
+      |s AS (SELECT min(x) AS lo, max(x) AS hi FROM v),
+      |w AS (SELECT lo, hi, (hi - lo) / 16 AS wd FROM s),
+      |b AS (
+      |  SELECT CASE WHEN hi > lo
+      |           THEN LEAST(CAST(floor((x - lo) / wd) AS BIGINT), 15)
+      |           ELSE 0 END AS bin,
+      |         lo, wd
+      |  FROM v CROSS JOIN w)
+      |SELECT bin, lo + CAST(bin AS DOUBLE) * wd AS bin_lo,
+      |  lo + CAST(bin + 1 AS DOUBLE) * wd AS bin_hi,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM b GROUP BY bin, lo, wd""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q_x_histogram" -> histogramQ,
     "q_x_group_corr" -> groupCorrQ,
     "q_x_knn_label" -> knnLabel,
     "q_x_segment_dedup" -> segmentDedupQ,
@@ -851,6 +875,7 @@ object PrepQueries {
     "q_x_pipeline2" -> pipeline2Q)
 
   val oracles: Map[String, String] = Map(
+    "q_x_histogram" -> histogramSql,
     "q_x_group_corr" -> groupCorrSql,
     "q_x_knn_label" -> knnLabelSql,
     "q_x_segment_dedup" -> segmentDedupSql,

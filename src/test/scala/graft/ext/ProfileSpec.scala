@@ -46,6 +46,27 @@ class ProfileSpec extends SparkSpec {
     assert(r == Set(("name", "removed", Some("string"), None)))
   }
 
+  test("histogram: exact bins, inclusive top edge, constant degeneracy") {
+    val d = Seq(0.0, 1.0, 2.5, 4.9, 5.0, 5.0, 9.9, 10.0).toDF("v")
+    val h = Profile.histogram(d, "v", 4) // width 2.5 over [0, 10]
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2),
+        r.getLong(3))).toMap
+    assert(h(0L) === ((0.0, 2.5, 2L)))  // 0.0, 1.0
+    assert(h(1L) === ((2.5, 5.0, 2L)))  // 2.5, 4.9
+    assert(h(2L) === ((5.0, 7.5, 2L)))  // 5.0 x2
+    assert(h(3L) === ((7.5, 10.0, 2L))) // 9.9 and max clamps in
+    // constant column: one bin holding everything
+    val c = Seq(3.0, 3.0, 3.0).toDF("v")
+    val hc = Profile.histogram(c, "v", 8).collect()
+    assert(hc.length == 1 && hc.head.getLong(0) == 0L &&
+      hc.head.getLong(3) == 3L)
+    // nulls excluded
+    val n = Seq(Some(1.0), None, Some(2.0)).toDF("v")
+    assert(Profile.histogram(n, "v", 2)
+      .agg(org.apache.spark.sql.functions.sum("n"))
+      .head().getLong(0) == 2L)
+  }
+
   test("groupCorr: exact +1/-1 on linear groups, NULL on zero variance") {
     val d = Seq(
       ("up", 1.0, 2.0), ("up", 2.0, 4.0), ("up", 3.0, 6.0),
