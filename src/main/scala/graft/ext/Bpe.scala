@@ -393,6 +393,32 @@ object Bpe {
         col("sym_id"))
   }
 
+  /** Invert [[encodeIds]] against a vocabulary: (idCol, pos, sym_id)
+    * rows back to each document's (n_syms, bpe_text) symbol stream —
+    * the verification face of a shipped id stream ("do these ids
+    * really spell the corpus?") and the debugging detokenizer. Uses
+    * ONLY the ids (never the sym column a pipeline may have dropped);
+    * ids outside the vocabulary surface as `<unk>`, never silently
+    * dropped. Word boundaries are not marked in the stream by design
+    * (this tokenizer has no end-of-word marker), so decode targets the
+    * SYMBOL stream; raw-text reconstruction would need a marker
+    * symbol in the alphabet (the byte-level-BPE convention).
+    * Round-trip contract (BpeSpec-pinned and oracle-adjudicated via
+    * `q_x_bpe_decode`): decodeIds(encodeIds(docs, rules), vocab) ==
+    * [[encode]](docs, rules) restricted to token-bearing docs. */
+  def decodeIds(ids: DataFrame, voc: DataFrame,
+                idCol: String = "doc_id"): DataFrame =
+    ids.select(col(idCol), col("pos"), col("sym_id"))
+      .join(voc.select(col("sym_id"), col("sym")), Seq("sym_id"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_syms"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"),
+              coalesce(col("sym"), lit("<unk>")).as("t")))),
+            s => s.getField("t")),
+          " ").as("bpe_text"))
+
   /** Persist a tokenizer artifact — the (rules, alphabet) pair that
     * fully determines [[encode]]/[[vocab]]/[[encodeIds]] behavior —
     * as two parquet tables, mirroring `Similarity.saveIndex`'s

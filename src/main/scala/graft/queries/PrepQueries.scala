@@ -443,6 +443,27 @@ object PrepQueries {
        |  COALESCE(r.bpe_text, '') AS bpe_text
        |FROM documents d LEFT JOIN r USING (doc_id)""".stripMargin
 
+  // ===== BPE id-stream decode ===========================================
+
+  /** decode(encodeIds(docs)) from the ids ALONE must reproduce
+    * encode's symbol streams — the oracle is the SAME adjudicated
+    * train+encode CTE chain restricted to token-bearing docs, so a
+    * decode bug (ordering, vocab join, unk handling) hash-fails. */
+  private val bpeDecodeQ: QFn = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), Hashing.tokens(col("text")).as("tk"))
+    val rules = Bpe.train(toks, "tk", merges = 3)
+    val voc = Bpe.vocab(Bpe.alphabet(toks, "tk"), rules)
+    Bpe.decodeIds(
+      Bpe.encodeIds(toks, "doc_id", "tk", rules, vocabTable = Some(voc)),
+      voc)
+  }
+
+  private val bpeDecodeSql =
+    s"""WITH $toksSql,
+       |$bpeEncodeCtes
+       |SELECT doc_id, n_syms, bpe_text FROM r""".stripMargin
+
   // ===== BPE vocabulary ids =============================================
 
   /** Symbol-sequence to integer ids: alphabet ranked lexicographically,
@@ -865,6 +886,7 @@ object PrepQueries {
     "q_x_anomaly" -> anomalyQ,
     "q_x_bpe" -> bpeQ,
     "q_x_bpe_encode" -> bpeEncodeQ,
+    "q_x_bpe_decode" -> bpeDecodeQ,
     "q_x_bpe_ids" -> bpeIdsQ,
     "q_x_pipeline3" -> pipeline3Q,
     "q_x_profile" -> profileQ,
@@ -886,6 +908,7 @@ object PrepQueries {
     "q_x_anomaly" -> anomalySql,
     "q_x_bpe" -> bpeSql,
     "q_x_bpe_encode" -> bpeEncodeSql,
+    "q_x_bpe_decode" -> bpeDecodeSql,
     "q_x_bpe_ids" -> bpeIdsSql,
     "q_x_pipeline3" -> pipeline3Sql,
     "q_x_profile" -> profileSql,

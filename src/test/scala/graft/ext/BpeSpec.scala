@@ -259,6 +259,31 @@ class BpeSpec extends SparkSpec {
     assert(ids(rules, alpha) == ids(rules2, alpha2))
   }
 
+  test("decodeIds round-trips encodeIds from the ids alone; unknown " +
+      "ids surface as <unk>") {
+    val docs = Seq((1L, Seq("low", "lowest")), (2L, Seq("newest")),
+      (3L, Seq.empty[String])).toDF("doc_id", "tk")
+    val rules = Bpe.train(corpus, "tk", merges = 3)
+    val voc = Bpe.vocab(Bpe.alphabet(corpus, "tk"), rules)
+    val ids = Bpe.encodeIds(docs, "doc_id", "tk", rules,
+      vocabTable = Some(voc))
+    val decoded = Bpe.decodeIds(ids, voc)
+      .as[(Long, Long, String)].collect().toSet
+    val expected = Bpe.encode(docs, "doc_id", "tk", rules)
+      .filter(col("n_syms") > 0)
+      .as[(Long, Long, String)].collect().toSet
+    assert(decoded === expected) // doc 3 (token-less) absent from both
+    // corrupt one id beyond the vocabulary: surfaced, not dropped
+    val bad = ids.withColumn("sym_id",
+      when(col("doc_id") === 2L && col("pos") === 0L, lit(99999L))
+        .otherwise(col("sym_id")))
+    val d2 = Bpe.decodeIds(bad, voc).filter(col("doc_id") === 2L)
+      .as[(Long, Long, String)].head()
+    assert(d2._3.startsWith("<unk>"))
+    assert(d2._2 == expected.find(_._1 == 2L).get._2,
+      "unk must keep its position, not shrink the stream")
+  }
+
   test("train with a durable checkpointDir matches the local path") {
     val dir = java.nio.file.Files.createTempDirectory("bpeck").toString
     val a = Bpe.train(corpus, "tk", merges = 3)
