@@ -114,10 +114,22 @@ object Soak {
         col("event_type"), col("value"), col("props"))
     }.reduce(_ unionByName _)
 
+    // lineitem feeds aggregate-only soak rows (histogram, group corr):
+    // straight replication with re-idd order keys is shape-true there
+    // (10x the rows, identical value distribution)
+    val li = spark.read.parquet(s"$base/lineitem.parquet")
+    val liStep = li.agg(max("l_orderkey")).head().getLong(0) + 1
+    val scaledLi = (0 until replicas).map { i =>
+      if (i == 0) li
+      else li.withColumn("l_orderkey", col("l_orderkey") + lit(i * liStep))
+    }.reduce(_ unionByName _)
+
     scaledPart.repartition(4).write.mode("overwrite")
       .parquet(s"$out/part.parquet")
     scaledEv.repartition(8).write.mode("overwrite")
       .parquet(s"$out/events.parquet")
+    scaledLi.repartition(8).write.mode("overwrite")
+      .parquet(s"$out/lineitem.parquet")
   }
 
   def main(args: Array[String]): Unit = {
@@ -141,8 +153,9 @@ object Soak {
       System.err.println(s"[soak] generating ${replicas}x fixtures at $out")
       generate(spark, base, out, replicas)
     }
-    if (!Files.exists(Paths.get(out, "part.parquet"))) {
-      System.err.println(s"[soak] generating ${replicas}x part/events at $out")
+    if (!Files.exists(Paths.get(out, "lineitem.parquet"))) {
+      System.err.println(
+        s"[soak] generating ${replicas}x part/events/lineitem at $out")
       generateRelational(spark, base, out, replicas)
     }
 
@@ -158,7 +171,9 @@ object Soak {
       "q_x_split_leakage", "q_x_image_dedup",
       "q_x_fuzzy_join", "q_x_scd2",
       "q_x_funnel", "q_x_retention", "q_x_transitions", "q_x_decay",
-      "q_x_ann_ivfpq_sample")
+      "q_x_ann_ivfpq_sample",
+      "q_x_weighted_sample", "q_x_bpe_decode",
+      "q_x_group_corr", "q_x_histogram")
 
     def runOnce(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
