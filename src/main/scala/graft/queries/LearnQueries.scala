@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ext.{Classifier, Hashing}
+import Q._
+
+/** In-engine model training under the DuckDB oracle: full-batch
+  * logistic regression ([[graft.ext.Classifier]]). The oracle
+  * re-derives the ENTIRE training trajectory — every gradient sum and
+  * weight update across all iterations, generated programmatically as
+  * one CTE chain — so the adjudication covers training, not just a
+  * frozen scoring pass. Possible because the trajectory is
+  * deterministic by construction: sig9'd sigmoids, DECIMAL gradient
+  * sums, fixed IEEE update expressions (see Classifier's scaladoc).
+  */
+object LearnQueries {
+  type QFn = (SparkSession, String) => DataFrame
+
+  private val feats = Seq("f1", "f2", "f3")
+  private val lrRate = 0.5
+  private val iters = 3
+
+  /** Weak-label quality-classifier shape over `documents`: predict
+    * lang == 'en' from (scaled length, scaled token count, bias). */
+  private val logisticQ: QFn = (s, d) => {
+    val toks = Hashing.tokens(col("text"))
+    val f = Tables.documents(s, d).select(col("doc_id"),
+      (col("n_chars").cast("double") / 1000.0).as("f1"),
+      (size(toks).cast("double") / 100.0).as("f2"),
+      lit(1.0).as("f3"),
+      when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+    val w = Classifier.logisticTrain(f, feats, "y", iters, lrRate)
+    Classifier.score(f, feats, w)
+      .select(col("doc_id"), col("score"), col("score_pred").as("pred"))
+  }
+
+  private val logisticSql = {
+    def sigmoid(z: String) = sqlSig9(s"1.0 / (1.0 + exp(-($z)))")
+    // z against the weight columns of CTE w{i}: matches the Spark
+    // side's left-to-right fold f1*w1 + f2*w2 + f3*w3
+    def z(wcte: String) = feats.zipWithIndex
+      .map { case (f, j) => s"$f * $wcte.a${j + 1}" }.mkString(" + ")
+    val w0 = feats.indices.map(j => s"0.0 AS a${j + 1}").mkString(", ")
+    val rounds = (1 to iters).map { i =>
+      val prev = s"w${i - 1}"
+      val err = s"(${sigmoid(z(prev))} - y)"
+      val gs = feats.zipWithIndex.map { case (f, j) =>
+        s"${sqlDsum(s"$err * $f")} AS g${j + 1}"
+      }.mkString(",\n    ")
+      val ws = feats.indices.map { j =>
+        s"$prev.a${j + 1} - $lrRate * g${j + 1} / n.n AS a${j + 1}"
+      }.mkString(",\n    ")
+      s"""g$i AS (
+         |  SELECT $gs
+         |  FROM f CROSS JOIN $prev),
+         |w$i AS (
+         |  SELECT $ws
+         |  FROM $prev CROSS JOIN g$i CROSS JOIN n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    CAST(n_chars AS DOUBLE) / 1000.0 AS f1,
+       |    CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+       |      AS DOUBLE) / 100.0 AS f2,
+       |    1.0 AS f3,
+       |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+       |  FROM documents),
+       |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM f),
+       |w0 AS (SELECT $w0),
+       |$rounds
+       |SELECT doc_id, score, score >= 0.5 AS pred FROM (
+       |  SELECT f.doc_id, ${sigmoid(z(s"w$iters"))} AS score
+       |  FROM f CROSS JOIN w$iters)""".stripMargin
+  }
+
+  val queries: Map[String, QFn] = Map(
+    "q_x_logistic" -> logisticQ)
+
+  val oracles: Map[String, String] = Map(
+    "q_x_logistic" -> logisticSql)
+}

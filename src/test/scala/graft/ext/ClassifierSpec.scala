@@ -1,0 +1,59 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  // linearly separable: y = 1 iff x > 0, bias included
+  private def separable = (1 to 100).map { i =>
+    val x = if (i % 2 == 0) 1.0 + (i % 7) * 0.1 else -1.0 - (i % 7) * 0.1
+    (x, 1.0, if (x > 0) 1.0 else 0.0)
+  }.toDF("x", "b", "y")
+
+  test("GD separates a linearly separable set; more iterations improve " +
+      "the fit monotonically toward it") {
+    val d = separable
+    val w = Classifier.logisticTrain(d, Seq("x", "b"), "y",
+      iters = 50, lr = 1.0)
+    val scored = Classifier.score(d, Seq("x", "b"), w)
+    val acc = scored
+      .where((col("score_pred") && col("y") === 1.0) ||
+        (!col("score_pred") && col("y") === 0.0))
+      .count()
+    assert(acc == 100L, s"expected perfect separation, got $acc/100")
+    assert(w(0) > 0, "positive-direction weight must be positive")
+  }
+
+  test("the training trajectory is deterministic across runs and " +
+      "partitionings") {
+    val d = separable
+    val w1 = Classifier.logisticTrain(d, Seq("x", "b"), "y", 5, 0.5)
+    val w2 = Classifier.logisticTrain(d.repartition(7), Seq("x", "b"),
+      "y", 5, 0.5)
+    assert(w1.toSeq == w2.toSeq,
+      "decimal-routed gradients must not depend on partitioning")
+  }
+
+  test("score is monotone in a positively-weighted feature") {
+    val w = Array(2.0, -0.5)
+    val d = Seq((0.0, 1.0), (1.0, 1.0), (2.0, 1.0)).toDF("x", "b")
+    val s = Classifier.score(d, Seq("x", "b"), w)
+      .orderBy("x").select("score").as[Double].collect()
+    assert(s.sliding(2).forall(p => p(0) < p(1)))
+  }
+
+  test("null feature rows are excluded from training; validation guards") {
+    val d = Seq((Some(1.0), 1.0, 1.0), (None, 1.0, 0.0),
+      (Some(-1.0), 1.0, 0.0)).toDF("x", "b", "y")
+    val w = Classifier.logisticTrain(d, Seq("x", "b"), "y", 2, 0.5)
+    assert(w.length == 2) // trains on the 2 complete rows
+    intercept[IllegalArgumentException] {
+      Classifier.logisticTrain(d, Seq("x", "b"), "y", 0, 0.5)
+    }
+    intercept[IllegalArgumentException] {
+      Classifier.score(d, Seq("x", "b"), Array(1.0))
+    }
+  }
+}
