@@ -37,12 +37,11 @@ object Classifier {
       .reduce(_ + _)
 
   /** Full-batch GD from w = 0: `iters` rounds of
-    * w_j <- w_j - lr * dsum((sigmoid9(w·x) - y) * x_j) / n.
-    * Include a constant 1.0 column among `features` for the bias.
-    * Label must be 0.0/1.0. Returns the learned weights, one per
-    * feature, in feature order. */
-  def logisticTrain(df: DataFrame, features: Seq[String], label: String,
-                    iters: Int, lr: Double): Array[Double] = {
+    * w_j <- w_j - lr * dsum(err(w·x, y) * x_j) / n, with the error
+    * function supplied by the caller (logistic / linear below). */
+  private def gdTrain(df: DataFrame, features: Seq[String], label: String,
+                      iters: Int, lr: Double,
+                      err: (Column, Column) => Column): Array[Double] = {
     require(features.nonEmpty && iters >= 1 && lr > 0,
       "need features, iters >= 1, lr > 0")
     val base = df.select((label +: features).map(col): _*)
@@ -51,17 +50,41 @@ object Classifier {
     require(n > 0, "empty training frame")
     var w = Array.fill(features.size)(0.0)
     for (_ <- 1 to iters) {
-      val err = sigmoid9(zOf(features, w)) - col(label)
+      val e = err(zOf(features, w), col(label))
       val g = base.agg(
-        Q.dsum(err * col(features.head)).as("g0"),
+        Q.dsum(e * col(features.head)).as("g0"),
         features.tail.zipWithIndex.map { case (f, j) =>
-          Q.dsum(err * col(f)).as(s"g${j + 1}")
+          Q.dsum(e * col(f)).as(s"g${j + 1}")
         }: _*).head()
       w = w.zipWithIndex.map { case (wj, j) =>
         wj - lr * g.getDouble(j) / n
       }
     }
     w
+  }
+
+  /** Logistic regression: err = sigmoid9(w·x) - y. Include a constant
+    * 1.0 column among `features` for the bias; label must be 0.0/1.0.
+    * Returns learned weights in feature order. */
+  def logisticTrain(df: DataFrame, features: Seq[String], label: String,
+                    iters: Int, lr: Double): Array[Double] =
+    gdTrain(df, features, label, iters, lr,
+      (z, y) => sigmoid9(z) - y)
+
+  /** Least-squares linear regression by the same GD loop: err =
+    * (w·x - y). No libm step ANYWHERE on this path — the trajectory is
+    * exact decimal + fixed IEEE arithmetic, no sig9 normalization
+    * needed beyond [[Q.dsum]]'s own. Scale features to O(1) so the
+    * un-normalized gradient doesn't need a tiny lr. */
+  def linearTrain(df: DataFrame, features: Seq[String], label: String,
+                  iters: Int, lr: Double): Array[Double] =
+    gdTrain(df, features, label, iters, lr, (z, y) => z - y)
+
+  /** Linear prediction w·x (same left-to-right fold as training). */
+  def predict(df: DataFrame, features: Seq[String], w: Array[Double],
+              outCol: String = "yhat"): DataFrame = {
+    require(features.size == w.length, "weights/features length mismatch")
+    df.withColumn(outCol, zOf(features, w))
   }
 
   /** Score a frame with learned weights: sig9'd probability +

@@ -75,9 +75,66 @@ object LearnQueries {
        |  FROM f CROSS JOIN w$iters)""".stripMargin
   }
 
+  // ===== linear regression (exact trajectory — no libm at all) =========
+
+  private val linFeats = Seq("x1", "x2")
+  private val linIters = 3
+  private val linLr = 0.5
+
+  /** Price-from-quantity fit over lineitem (features scaled to O(1)):
+    * the GD error is plain (w·x − y), so the whole trajectory is exact
+    * decimal + fixed IEEE arithmetic — not even a sig9'd libm step. */
+  private val linregQ: QFn = (s, d) => {
+    val f = Tables.lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      (col("l_quantity").cast("double") / 50.0).as("x1"),
+      lit(1.0).as("x2"),
+      (col("l_extendedprice").cast("double") / 100000.0).as("y"))
+    val w = Classifier.linearTrain(f, linFeats, "y", linIters, linLr)
+    Classifier.predict(f, linFeats, w)
+      .select(col("l_orderkey"),
+        col("l_linenumber").cast("long").as("l_linenumber"),
+        col("yhat"))
+  }
+
+  private val linregSql = {
+    def z(wcte: String) = linFeats.zipWithIndex
+      .map { case (f, j) => s"$f * $wcte.a${j + 1}" }.mkString(" + ")
+    val w0 = linFeats.indices.map(j => s"0.0 AS a${j + 1}").mkString(", ")
+    val rounds = (1 to linIters).map { i =>
+      val prev = s"w${i - 1}"
+      val err = s"((${z(prev)}) - y)"
+      val gs = linFeats.zipWithIndex.map { case (f, j) =>
+        s"${sqlDsum(s"$err * $f")} AS g${j + 1}"
+      }.mkString(",\n    ")
+      val ws = linFeats.indices.map { j =>
+        s"$prev.a${j + 1} - $linLr * g${j + 1} / n.n AS a${j + 1}"
+      }.mkString(",\n    ")
+      s"""g$i AS (
+         |  SELECT $gs
+         |  FROM f CROSS JOIN $prev),
+         |w$i AS (
+         |  SELECT $ws
+         |  FROM $prev CROSS JOIN g$i CROSS JOIN n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH f AS (
+       |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       |    CAST(l_quantity AS DOUBLE) / 50.0 AS x1,
+       |    1.0 AS x2,
+       |    CAST(l_extendedprice AS DOUBLE) / 100000.0 AS y
+       |  FROM lineitem),
+       |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM f),
+       |w0 AS (SELECT $w0),
+       |$rounds
+       |SELECT l_orderkey, l_linenumber, ${z(s"w$linIters")} AS yhat
+       |FROM f CROSS JOIN w$linIters""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
-    "q_x_logistic" -> logisticQ)
+    "q_x_logistic" -> logisticQ,
+    "q_x_linreg" -> linregQ)
 
   val oracles: Map[String, String] = Map(
-    "q_x_logistic" -> logisticSql)
+    "q_x_logistic" -> logisticSql,
+    "q_x_linreg" -> linregSql)
 }

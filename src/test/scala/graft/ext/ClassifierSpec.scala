@@ -44,6 +44,30 @@ class ClassifierSpec extends SparkSpec {
     assert(s.sliding(2).forall(p => p(0) < p(1)))
   }
 
+  test("linearTrain converges toward a noiseless linear relation") {
+    // y = 2x + 1 over x in [-1, 1]
+    val d = (-10 to 10).map(i => (i / 10.0, 1.0, 2.0 * (i / 10.0) + 1.0))
+      .toDF("x", "b", "y")
+    val w = Classifier.linearTrain(d, Seq("x", "b"), "y",
+      iters = 200, lr = 0.5)
+    assert(math.abs(w(0) - 2.0) < 0.01 && math.abs(w(1) - 1.0) < 0.01,
+      s"expected ~(2, 1), got (${w(0)}, ${w(1)})")
+    val pred = Classifier.predict(d, Seq("x", "b"), w)
+      .select(org.apache.spark.sql.functions
+        .abs(col("yhat") - col("y")).as("e"))
+      .agg(max(col("e"))).head().getDouble(0)
+    assert(pred < 0.02)
+  }
+
+  test("linearTrain trajectory is partition-invariant (no libm step)") {
+    val d = (1 to 60).map(i => (i * 0.01, 1.0, i * 0.03 + 0.5))
+      .toDF("x", "b", "y")
+    val w1 = Classifier.linearTrain(d, Seq("x", "b"), "y", 7, 0.3)
+    val w2 = Classifier.linearTrain(d.repartition(9), Seq("x", "b"),
+      "y", 7, 0.3)
+    assert(w1.toSeq == w2.toSeq)
+  }
+
   test("null feature rows are excluded from training; validation guards") {
     val d = Seq((Some(1.0), 1.0, 1.0), (None, 1.0, 0.0),
       (Some(-1.0), 1.0, 0.0)).toDF("x", "b", "y")
