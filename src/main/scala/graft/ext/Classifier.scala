@@ -87,6 +87,64 @@ object Classifier {
     df.withColumn(outCol, zOf(features, w))
   }
 
+  /** Exact ROC AUC (Mann–Whitney with the standard tie correction):
+    * AUC = [Σ_s p(s)·negBelow(s) + ½·p(s)·q(s)] / (P·Q) over distinct
+    * score values s. The cumulative-negatives rank runs as the
+    * Curriculum two-phase prefix sum — monotone value-range bins from
+    * a broadcast (lo, hi), a within-bin window (partitions bounded by
+    * per-bin density), and per-bin bases folded inside ONE O(nBins)
+    * row — so no global-order window exists at any corpus size
+    * (lint-clean, spec-pinned). Counts multiply through DECIMAL(38,0)
+    * (P·Q overflows Long at ~10^12-row corpora); the single final
+    * division is sig9'd for cross-engine parity. Output: one row
+    * (auc, n_pos, n_neg); AUC is NULL when either class is absent. */
+  def auc(df: DataFrame, scoreCol: String, labelCol: String,
+          nBins: Int = 1024): DataFrame = {
+    val y = col(labelCol)
+    val counts = df
+      .filter(col(scoreCol).isNotNull && y.isNotNull)
+      .groupBy(col(scoreCol).cast("double").as("s"))
+      .agg(sum(when(y === 1.0, 1L).otherwise(0L)).as("p"),
+        sum(when(y === 1.0, 0L).otherwise(1L)).as("q"))
+      .localCheckpoint()
+    val mm = counts.agg(min(col("s")).as("lo"), max(col("s")).as("hi"))
+    val binned = counts.crossJoin(broadcast(mm))
+      .withColumn("bin",
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(lit(nBins - 1L),
+            floor((col("s") - col("lo"))
+              / ((col("hi") - col("lo")) / nBins)).cast("long"))))
+      .select(col("s"), col("p"), col("q"), col("bin"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bin")).orderBy(col("s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val within = binned.withColumn("localq",
+      coalesce(sum(col("q")).over(wIn), lit(0L)))
+    val binTot = binned.groupBy(col("bin")).agg(sum(col("q")).as("bc"))
+    val bases = binTot
+      .agg(array_sort(collect_list(struct(col("bin"), col("bc")))).as("a"))
+      .select(explode(transform(col("a"), (x, i) =>
+        struct(x.getField("bin").as("bin"),
+          aggregate(slice(col("a"), lit(1), i), lit(0L),
+            (acc, b) => acc + b.getField("bc")).as("base")))).as("b"))
+      .select(col("b.bin").as("bin"), col("b.base").as("base"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cum = within.join(bases, Seq("bin"))
+      .withColumn("nb", col("base") + col("localq"))
+    cum.agg(
+        sum(col("p").cast(dec) * (lit(2).cast(dec) * col("nb").cast(dec)
+          + col("q").cast(dec))).as("num"),
+        sum(col("p")).as("pp"), sum(col("q")).as("qq"))
+      .select(
+        when(col("pp") > 0 && col("qq") > 0,
+          Q.sig9(col("num").cast("double") /
+            (lit(2.0) * col("pp").cast("double")
+              * col("qq").cast("double")))).as("auc"),
+        col("pp").cast("long").as("n_pos"),
+        col("qq").cast("long").as("n_neg"))
+  }
+
   /** Score a frame with learned weights: sig9'd probability +
     * the 0.5-threshold decision. */
   def score(df: DataFrame, features: Seq[String], w: Array[Double],

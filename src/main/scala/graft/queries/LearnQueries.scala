@@ -130,11 +130,56 @@ object LearnQueries {
        |FROM f CROSS JOIN w$linIters""".stripMargin
   }
 
+  // ===== exact AUC =====================================================
+
+  /** Does document length predict English? — AUC of the scaled-length
+    * score against the weak label, no model needed (AUC is a property
+    * of the score ordering). The oracle is the NAIVE single-window
+    * rank; the engine's two-phase binned prefix sum must reproduce the
+    * exact Mann–Whitney value including tie correction. */
+  private val aucQ: QFn = (s, d) => {
+    val f = Tables.documents(s, d).select(
+      (col("n_chars").cast("double") / 1000.0).as("sc"),
+      when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+    Classifier.auc(f, "sc", "y")
+  }
+
+  private val aucSql =
+    """WITH f AS (
+      |  SELECT CAST(n_chars AS DOUBLE) / 1000.0 AS s,
+      |         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      |  FROM documents),
+      |g AS (
+      |  SELECT s, CAST(SUM(y) AS BIGINT) AS p,
+      |         CAST(SUM(1 - y) AS BIGINT) AS q
+      |  FROM f GROUP BY s),
+      |c AS (
+      |  SELECT s, p, q,
+      |    CAST(COALESCE(SUM(q) OVER (ORDER BY s
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS nb
+      |  FROM g),
+      |t AS (
+      |  SELECT SUM(CAST(p AS DECIMAL(38,0)) *
+      |             (2 * CAST(nb AS DECIMAL(38,0))
+      |              + CAST(q AS DECIMAL(38,0)))) AS num,
+      |         CAST(SUM(p) AS BIGINT) AS pp,
+      |         CAST(SUM(q) AS BIGINT) AS qq
+      |  FROM c)
+      |SELECT CASE WHEN pp > 0 AND qq > 0 THEN """.stripMargin +
+      Q.sqlSig9("CAST(num AS DOUBLE) / " +
+        "(2.0 * CAST(pp AS DOUBLE) * CAST(qq AS DOUBLE))") +
+      """ END AS auc,
+      |  pp AS n_pos, qq AS n_neg
+      |FROM t""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "q_x_logistic" -> logisticQ,
-    "q_x_linreg" -> linregQ)
+    "q_x_linreg" -> linregQ,
+    "q_x_auc" -> aucQ)
 
   val oracles: Map[String, String] = Map(
     "q_x_logistic" -> logisticSql,
-    "q_x_linreg" -> linregSql)
+    "q_x_linreg" -> linregSql,
+    "q_x_auc" -> aucSql)
 }

@@ -68,6 +68,49 @@ class ClassifierSpec extends SparkSpec {
     assert(w1.toSeq == w2.toSeq)
   }
 
+  private def aucOf(rows: Seq[(Double, Double)]): Option[Double] = {
+    val r = Classifier.auc(rows.toDF("sc", "y"), "sc", "y").head()
+    if (r.isNullAt(0)) None else Some(r.getDouble(0))
+  }
+
+  test("auc: perfect ranking 1.0, inverted 0.0, constant 0.5, " +
+      "hand-computed tie case") {
+    val pos = Seq(0.8, 0.9, 0.95).map((_, 1.0))
+    val neg = Seq(0.1, 0.2, 0.3).map((_, 0.0))
+    assert(aucOf(pos ++ neg) === Some(1.0))
+    assert(aucOf(pos.map(p => (1.0 - p._1, 1.0)) ++
+      neg.map(n => (1.0 - n._1, 0.0))) === Some(0.0))
+    assert(aucOf(Seq((0.5, 1.0), (0.5, 0.0), (0.5, 1.0), (0.5, 0.0)))
+      === Some(0.5))
+    // scores: pos at {0.3, 0.7}, neg at {0.3, 0.5}; pairs:
+    // (0.3p,0.3n)=.5  (0.3p,0.5n)=0  (0.7p,0.3n)=1  (0.7p,0.5n)=1
+    // AUC = 2.5/4
+    assert(aucOf(Seq((0.3, 1.0), (0.7, 1.0), (0.3, 0.0), (0.5, 0.0)))
+      === Some(0.625))
+  }
+
+  test("auc: single-class input yields NULL, counts still reported") {
+    val r = Classifier.auc(Seq((0.4, 1.0), (0.6, 1.0)).toDF("sc", "y"),
+      "sc", "y").head()
+    assert(r.isNullAt(0) && r.getLong(1) == 2L && r.getLong(2) == 0L)
+  }
+
+  test("auc is partition-invariant and lint-clean (no global window)") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 500).map { _ =>
+      val y = rnd.nextInt(2).toDouble
+      (rnd.nextInt(40) / 40.0 + y * 0.1, y)
+    }
+    val a = aucOf(rows)
+    val b = {
+      val r = Classifier.auc(rows.toDF("sc", "y").repartition(13),
+        "sc", "y").head()
+      Some(r.getDouble(0))
+    }
+    assert(a === b)
+    assert(PlanLint.clean(Classifier.auc(rows.toDF("sc", "y"), "sc", "y")))
+  }
+
   test("null feature rows are excluded from training; validation guards") {
     val d = Seq((Some(1.0), 1.0, 1.0), (None, 1.0, 0.0),
       (Some(-1.0), 1.0, 0.0)).toDF("x", "b", "y")
