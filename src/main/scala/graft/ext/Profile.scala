@@ -118,6 +118,56 @@ object Profile {
         col("n"))
   }
 
+  /** Population Stability Index between a reference and a current
+    * frame — the standard drift monitor for a feature/score column
+    * ("is live data still shaped like what the model was trained
+    * on?"; > 0.2 conventionally = significant drift). Bins are fixed
+    * by the REFERENCE's [min, max] (the deployment-time contract);
+    * current values outside clamp into the edge bins. Long-format
+    * output (one row per occupied bin: counts, shares, PSI
+    * contribution, a degenerate flag when either side is empty — such
+    * bins contribute 0 instead of ±infinity and are surfaced, not
+    * hidden). Total PSI = sum(contrib). Each side is one scan + one
+    * bin-keyed count; ln() is the single libm step, sig9'd. */
+  def psi(ref: DataFrame, cur: DataFrame, colName: String,
+          bins: Int = 10): DataFrame = {
+    require(bins >= 1, "bins must be >= 1")
+    import graft.queries.Q
+    val x = col(colName).cast("double")
+    val mm = ref.where(x.isNotNull).agg(min(x).as("lo"), max(x).as("hi"))
+    def binCounts(df: DataFrame, out: String) =
+      df.where(x.isNotNull).select(x.as("x"))
+        .crossJoin(broadcast(mm))
+        .withColumn("bin",
+          when(col("hi") === col("lo"), lit(0L))
+            .otherwise(least(lit((bins - 1).toLong),
+              greatest(lit(0L),
+                floor((col("x") - col("lo"))
+                  / ((col("hi") - col("lo")) / bins)).cast("long")))))
+        .groupBy(col("bin")).agg(count(lit(1)).as(out))
+    val r = binCounts(ref, "ref_n")
+    val c = binCounts(cur, "cur_n")
+    val joined = r.join(c, Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("ref_n"), lit(0L)).as("ref_n"),
+        coalesce(col("cur_n"), lit(0L)).as("cur_n"))
+    val tot = joined.agg(sum(col("ref_n")).as("rt"),
+      sum(col("cur_n")).as("ct"))
+    joined.crossJoin(broadcast(tot))
+      .withColumn("ref_frac",
+        col("ref_n").cast("double") / col("rt").cast("double"))
+      .withColumn("cur_frac",
+        col("cur_n").cast("double") / col("ct").cast("double"))
+      .withColumn("degenerate", col("ref_n") === 0 || col("cur_n") === 0)
+      .withColumn("contrib",
+        when(!col("degenerate"),
+          (col("ref_frac") - col("cur_frac")) *
+            Q.sig9(log(col("ref_frac") / col("cur_frac"))))
+          .otherwise(lit(0.0)))
+      .select("bin", "ref_n", "cur_n", "ref_frac", "cur_frac",
+        "degenerate", "contrib")
+  }
+
   def schemaDiff(oldDf: DataFrame, newDf: DataFrame): DataFrame = {
     val spark = oldDf.sparkSession
     import spark.implicits._

@@ -874,7 +874,54 @@ object PrepQueries {
       |  CAST(count(*) AS BIGINT) AS n
       |FROM b GROUP BY bin, lo, wd""".stripMargin
 
+  // ===== PSI drift detection ============================================
+
+  /** Reference = all event values; current = purchase values only — a
+    * genuinely shifted sub-distribution, so the row adjudicates
+    * non-trivial contributions, the clamping, and the share math. */
+  private val psiQ: QFn = (s, d) => {
+    val ev = Tables.events(s, d)
+    graft.ext.Profile.psi(ev, ev.where(col("event_type") === "purchase"),
+      "value", bins = 10)
+  }
+
+  private val psiSql = {
+    val bin = (src: String) =>
+      s"""SELECT CASE WHEN s.hi = s.lo THEN 0
+         |  ELSE LEAST(9, GREATEST(0, CAST(floor((x - s.lo) /
+         |    ((s.hi - s.lo) / 10)) AS BIGINT))) END AS bin,
+         |  CAST(count(*) AS BIGINT) AS n
+         |FROM $src CROSS JOIN s GROUP BY 1""".stripMargin
+    s"""WITH rv AS (
+       |  SELECT CAST(value AS DOUBLE) AS x FROM events
+       |  WHERE value IS NOT NULL),
+       |cv AS (
+       |  SELECT CAST(value AS DOUBLE) AS x FROM events
+       |  WHERE value IS NOT NULL AND event_type = 'purchase'),
+       |s AS (SELECT min(x) AS lo, max(x) AS hi FROM rv),
+       |rb AS (${bin("rv")}),
+       |cb AS (${bin("cv")}),
+       |j AS (
+       |  SELECT COALESCE(rb.bin, cb.bin) AS bin,
+       |    COALESCE(rb.n, 0) AS ref_n, COALESCE(cb.n, 0) AS cur_n
+       |  FROM rb FULL JOIN cb ON rb.bin = cb.bin),
+       |t AS (SELECT CAST(SUM(ref_n) AS BIGINT) AS rt,
+       |             CAST(SUM(cur_n) AS BIGINT) AS ct FROM j)
+       |SELECT bin, ref_n, cur_n,
+       |  CAST(ref_n AS DOUBLE) / CAST(rt AS DOUBLE) AS ref_frac,
+       |  CAST(cur_n AS DOUBLE) / CAST(ct AS DOUBLE) AS cur_frac,
+       |  ref_n = 0 OR cur_n = 0 AS degenerate,
+       |  CASE WHEN ref_n = 0 OR cur_n = 0 THEN 0.0
+       |    ELSE (CAST(ref_n AS DOUBLE) / CAST(rt AS DOUBLE)
+       |          - CAST(cur_n AS DOUBLE) / CAST(ct AS DOUBLE)) *
+       |      ${Q.sqlSig9("ln((CAST(ref_n AS DOUBLE) / CAST(rt AS DOUBLE)) / " +
+              "(CAST(cur_n AS DOUBLE) / CAST(ct AS DOUBLE)))")}
+       |  END AS contrib
+       |FROM j CROSS JOIN t""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q_x_psi" -> psiQ,
     "q_x_histogram" -> histogramQ,
     "q_x_group_corr" -> groupCorrQ,
     "q_x_knn_label" -> knnLabel,
@@ -897,6 +944,7 @@ object PrepQueries {
     "q_x_pipeline2" -> pipeline2Q)
 
   val oracles: Map[String, String] = Map(
+    "q_x_psi" -> psiSql,
     "q_x_histogram" -> histogramSql,
     "q_x_group_corr" -> groupCorrSql,
     "q_x_knn_label" -> knnLabelSql,

@@ -67,6 +67,26 @@ class ProfileSpec extends SparkSpec {
       .head().getLong(0) == 2L)
   }
 
+  test("psi: zero on identical frames, positive under shift, clamping " +
+      "and degenerate bins handled") {
+    val ref = (1 to 100).map(i => (i % 10) + 0.5).toDF("v")
+    val same = Profile.psi(ref, ref, "v", bins = 5)
+    assert(same.agg(org.apache.spark.sql.functions.sum("contrib"))
+      .head().getDouble(0) == 0.0)
+    // shifted current: mass moves right; also values beyond ref max
+    // must clamp into the top bin rather than vanish
+    val cur = (1 to 100).map(i => (i % 10) + 6.0).toDF("v")
+    val p = Profile.psi(ref, cur, "v", bins = 5)
+    val rows = p.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getBoolean(5), r.getDouble(6))).toMap
+    assert(p.agg(org.apache.spark.sql.functions.sum("cur_n"))
+      .head().getLong(0) == 100L, "clamped rows must all be counted")
+    assert(p.agg(org.apache.spark.sql.functions.sum("contrib"))
+      .head().getDouble(0) > 0.2, "a hard shift must cross the 0.2 bar")
+    // the lowest bins lost all current mass -> degenerate, contrib 0
+    assert(rows(0L)._3 && rows(0L)._4 == 0.0)
+  }
+
   test("groupCorr: exact +1/-1 on linear groups, NULL on zero variance") {
     val d = Seq(
       ("up", 1.0, 2.0), ("up", 2.0, 4.0), ("up", 3.0, 6.0),
