@@ -173,7 +173,8 @@ object Soak {
       "q_x_funnel", "q_x_retention", "q_x_transitions", "q_x_decay",
       "q_x_ann_ivfpq_sample",
       "q_x_weighted_sample", "q_x_bpe_decode",
-      "q_x_group_corr", "q_x_histogram")
+      "q_x_group_corr", "q_x_histogram",
+      "q_x_logistic", "q_x_linreg", "q_x_auc", "q_x_psi")
 
     def runOnce(name: String, dir: String): Double = {
       val t0 = System.nanoTime()

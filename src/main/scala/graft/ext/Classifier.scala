@@ -145,6 +145,27 @@ object Classifier {
         col("qq").cast("long").as("n_neg"))
   }
 
+  /** Reliability (calibration) curve over probability scores: fixed
+    * [0, 1) bins (no data-dependent range — probabilities have one),
+    * per bin the count, the exact mean predicted probability and the
+    * observed positive rate. A well-calibrated model tracks the
+    * diagonal; the gap is the per-bin calibration error. One bin-keyed
+    * aggregate; ratios are exact-decimal / integer divisions. */
+  def calibration(df: DataFrame, scoreCol: String, labelCol: String,
+                  bins: Int = 10): DataFrame = {
+    require(bins >= 1, "bins must be >= 1")
+    val s = col(scoreCol).cast("double")
+    df.where(s.isNotNull && col(labelCol).isNotNull)
+      .groupBy(least(lit((bins - 1).toLong),
+        floor(s * bins).cast("long")).as("bin"))
+      .agg(count(lit(1)).as("n"),
+        Q.dsum(s).as("sum_score"),
+        sum(col(labelCol).cast("long")).as("n_pos"))
+      .select(col("bin"), col("n"),
+        (col("sum_score") / col("n")).as("mean_score"),
+        (col("n_pos").cast("double") / col("n")).as("obs_rate"))
+  }
+
   /** Score a frame with learned weights: sig9'd probability +
     * the 0.5-threshold decision. */
   def score(df: DataFrame, features: Seq[String], w: Array[Double],

@@ -36,16 +36,21 @@ object LearnQueries {
       .select(col("doc_id"), col("score"), col("score_pred").as("pred"))
   }
 
-  private val logisticSql = {
-    def sigmoid(z: String) = sqlSig9(s"1.0 / (1.0 + exp(-($z)))")
-    // z against the weight columns of CTE w{i}: matches the Spark
-    // side's left-to-right fold f1*w1 + f2*w2 + f3*w3
-    def z(wcte: String) = feats.zipWithIndex
-      .map { case (f, j) => s"$f * $wcte.a${j + 1}" }.mkString(" + ")
+  private def sigmoid(z: String) = sqlSig9(s"1.0 / (1.0 + exp(-($z)))")
+  // z against the weight columns of CTE w{i}: matches the Spark
+  // side's left-to-right fold f1*w1 + f2*w2 + f3*w3
+  private def zExpr(wcte: String) = feats.zipWithIndex
+    .map { case (f, j) => s"$f * $wcte.a${j + 1}" }.mkString(" + ")
+
+  /** The full training trajectory as CTEs (f, n, w0..w{iters}) plus a
+    * final `sc` CTE of per-document scores — ONE definition shared by
+    * the logistic and calibration oracles so the two rows can never
+    * disagree on what training computes. */
+  private val logisticCtes = {
     val w0 = feats.indices.map(j => s"0.0 AS a${j + 1}").mkString(", ")
     val rounds = (1 to iters).map { i =>
       val prev = s"w${i - 1}"
-      val err = s"(${sigmoid(z(prev))} - y)"
+      val err = s"(${sigmoid(zExpr(prev))} - y)"
       val gs = feats.zipWithIndex.map { case (f, j) =>
         s"${sqlDsum(s"$err * $f")} AS g${j + 1}"
       }.mkString(",\n    ")
@@ -59,7 +64,7 @@ object LearnQueries {
          |  SELECT $ws
          |  FROM $prev CROSS JOIN g$i CROSS JOIN n)""".stripMargin
     }.mkString(",\n")
-    s"""WITH f AS (
+    s"""f AS (
        |  SELECT doc_id,
        |    CAST(n_chars AS DOUBLE) / 1000.0 AS f1,
        |    CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
@@ -69,11 +74,15 @@ object LearnQueries {
        |  FROM documents),
        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM f),
        |w0 AS (SELECT $w0),
-       |$rounds
-       |SELECT doc_id, score, score >= 0.5 AS pred FROM (
-       |  SELECT f.doc_id, ${sigmoid(z(s"w$iters"))} AS score
+       |$rounds,
+       |sc AS (
+       |  SELECT f.doc_id, f.y, ${sigmoid(zExpr(s"w$iters"))} AS score
        |  FROM f CROSS JOIN w$iters)""".stripMargin
   }
+
+  private val logisticSql =
+    s"""WITH $logisticCtes
+       |SELECT doc_id, score, score >= 0.5 AS pred FROM sc""".stripMargin
 
   // ===== linear regression (exact trajectory — no libm at all) =========
 
@@ -173,13 +182,42 @@ object LearnQueries {
       |  pp AS n_pos, qq AS n_neg
       |FROM t""".stripMargin
 
+  // ===== calibration curve =============================================
+
+  /** Reliability curve of the trained logistic model's scores —
+    * oracle reuses the SAME training-trajectory CTEs byte-identically.
+    * Fine fixed [0,1) bins (1000): a 3-iteration model concentrates
+    * its scores inside one decile, and the fine grid still resolves
+    * ~14 occupied bins there — the curve, not one aggregate cell. */
+  private val calibrationQ: QFn = (s, d) => {
+    val toks = Hashing.tokens(col("text"))
+    val f = Tables.documents(s, d).select(col("doc_id"),
+      (col("n_chars").cast("double") / 1000.0).as("f1"),
+      (size(toks).cast("double") / 100.0).as("f2"),
+      lit(1.0).as("f3"),
+      when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+    val w = Classifier.logisticTrain(f, feats, "y", iters, lrRate)
+    Classifier.calibration(
+      Classifier.score(f, feats, w), "score", "y", bins = 1000)
+  }
+
+  private val calibrationSql =
+    s"""WITH $logisticCtes
+       |SELECT LEAST(999, CAST(floor(score * 1000) AS BIGINT)) AS bin,
+       |  CAST(count(*) AS BIGINT) AS n,
+       |  ${sqlDsum("score")} / count(*) AS mean_score,
+       |  CAST(SUM(CAST(y AS BIGINT)) AS DOUBLE) / count(*) AS obs_rate
+       |FROM sc GROUP BY 1""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "q_x_logistic" -> logisticQ,
     "q_x_linreg" -> linregQ,
-    "q_x_auc" -> aucQ)
+    "q_x_auc" -> aucQ,
+    "q_x_calibration" -> calibrationQ)
 
   val oracles: Map[String, String] = Map(
     "q_x_logistic" -> logisticSql,
     "q_x_linreg" -> linregSql,
-    "q_x_auc" -> aucSql)
+    "q_x_auc" -> aucSql,
+    "q_x_calibration" -> calibrationSql)
 }

@@ -111,6 +111,23 @@ class ClassifierSpec extends SparkSpec {
     assert(PlanLint.clean(Classifier.auc(rows.toDF("sc", "y"), "sc", "y")))
   }
 
+  test("calibration: exact per-bin counts, mean scores, observed rates; " +
+      "score 1.0 clamps into the last bin") {
+    val d = Seq(
+      (0.05, 0.0), (0.15, 0.0), (0.15, 1.0), // bins 0 and 1
+      (0.95, 1.0), (0.95, 1.0), (1.0, 1.0))  // bin 9 (1.0 clamps)
+      .toDF("sc", "y")
+    val c = Classifier.calibration(d, "sc", "y", bins = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(c(0L) === ((1L, 0.05, 0.0)))
+    assert(c(1L) === ((2L, 0.15, 0.5)))
+    val (n9, m9, o9) = c(9L)
+    assert(n9 == 3L && o9 == 1.0 && math.abs(m9 - (0.95 + 0.95 + 1.0) / 3)
+      < 1e-9)
+    assert(c.size == 3)
+  }
+
   test("null feature rows are excluded from training; validation guards") {
     val d = Seq((Some(1.0), 1.0, 1.0), (None, 1.0, 0.0),
       (Some(-1.0), 1.0, 0.0)).toDF("x", "b", "y")
