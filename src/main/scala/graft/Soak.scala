@@ -175,7 +175,7 @@ object Soak {
       "q_x_weighted_sample", "q_x_bpe_decode",
       "q_x_group_corr", "q_x_histogram",
       "q_x_logistic", "q_x_linreg", "q_x_auc", "q_x_psi",
-      "q_x_calibration")
+      "q_x_calibration", "q_x_pipeline5")
 
     def runOnce(name: String, dir: String): Double = {
       val t0 = System.nanoTime()

@@ -42,11 +42,23 @@ object LearnQueries {
   private def zExpr(wcte: String) = feats.zipWithIndex
     .map { case (f, j) => s"$f * $wcte.a${j + 1}" }.mkString(" + ")
 
-  /** The full training trajectory as CTEs (f, n, w0..w{iters}) plus a
-    * final `sc` CTE of per-document scores — ONE definition shared by
-    * the logistic and calibration oracles so the two rows can never
-    * disagree on what training computes. */
-  private val logisticCtes = {
+  /** Documents -> (doc_id, f1..f3, y) feature CTE — shared by every
+    * learn-family oracle. */
+  private val featureCte =
+    """  SELECT doc_id,
+      |    CAST(n_chars AS DOUBLE) / 1000.0 AS f1,
+      |    CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+      |      AS DOUBLE) / 100.0 AS f2,
+      |    1.0 AS f3,
+      |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+      |  FROM documents""".stripMargin
+
+  /** The GD training trajectory as CTEs (n, w0..w{iters}) over
+    * training CTE `trainSrc`, plus a final `sc` CTE scoring
+    * `scoreSrc` — ONE generator shared by the logistic, calibration
+    * and pipeline-5 oracles so no two rows can disagree on what
+    * training computes. */
+  private def trajectoryCtes(trainSrc: String, scoreSrc: String): String = {
     val w0 = feats.indices.map(j => s"0.0 AS a${j + 1}").mkString(", ")
     val rounds = (1 to iters).map { i =>
       val prev = s"w${i - 1}"
@@ -59,26 +71,24 @@ object LearnQueries {
       }.mkString(",\n    ")
       s"""g$i AS (
          |  SELECT $gs
-         |  FROM f CROSS JOIN $prev),
+         |  FROM $trainSrc CROSS JOIN $prev),
          |w$i AS (
          |  SELECT $ws
          |  FROM $prev CROSS JOIN g$i CROSS JOIN n)""".stripMargin
     }.mkString(",\n")
-    s"""f AS (
-       |  SELECT doc_id,
-       |    CAST(n_chars AS DOUBLE) / 1000.0 AS f1,
-       |    CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
-       |      AS DOUBLE) / 100.0 AS f2,
-       |    1.0 AS f3,
-       |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
-       |  FROM documents),
-       |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM f),
+    s"""n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM $trainSrc),
        |w0 AS (SELECT $w0),
        |$rounds,
        |sc AS (
-       |  SELECT f.doc_id, f.y, ${sigmoid(zExpr(s"w$iters"))} AS score
-       |  FROM f CROSS JOIN w$iters)""".stripMargin
+       |  SELECT $scoreSrc.doc_id, $scoreSrc.y,
+       |    ${sigmoid(zExpr(s"w$iters"))} AS score
+       |  FROM $scoreSrc CROSS JOIN w$iters)""".stripMargin
   }
+
+  private val logisticCtes =
+    s"""f AS (
+       |$featureCte),
+       |${trajectoryCtes("f", "f")}""".stripMargin
 
   private val logisticSql =
     s"""WITH $logisticCtes
@@ -209,15 +219,72 @@ object LearnQueries {
        |  CAST(SUM(CAST(y AS BIGINT)) AS DOUBLE) / count(*) AS obs_rate
        |FROM sc GROUP BY 1""".stripMargin
 
+  // ===== pipeline v5 flagship: the proper ML workflow ==================
+
+  /** Train/val split -> train ONLY on train -> score and evaluate AUC
+    * ONLY on val, composed as one program — the leak-free protocol the
+    * split-leakage QA row guards, now executed end to end. The oracle
+    * chains the adjudicated split-hash, the trajectory generator over
+    * the train subset, and the naive-window AUC. */
+  private val pipeline5Q: QFn = (s, d) => {
+    val toks = Hashing.tokens(col("text"))
+    val f = Tables.documents(s, d).select(col("doc_id"),
+      (col("n_chars").cast("double") / 1000.0).as("f1"),
+      (size(toks).cast("double") / 100.0).as("f2"),
+      lit(1.0).as("f3"),
+      when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+    val sp = graft.ext.Sampling.splitAssign(f, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.2))
+    val tr = sp.where(col("split") === "train")
+    val vl = sp.where(col("split") === "val")
+    val w = Classifier.logisticTrain(tr, feats, "y", iters, lrRate)
+    Classifier.auc(Classifier.score(vl, feats, w), "score", "y")
+  }
+
+  private val pipeline5Sql = {
+    val u = s"CAST(${sqlHash60("'split:' || CAST(doc_id AS VARCHAR)")}" +
+      " % 1000000 AS DOUBLE) / 1000000.0"
+    s"""WITH f0 AS (
+       |$featureCte),
+       |fu AS (SELECT *, $u AS u FROM f0),
+       |tr AS (SELECT * FROM fu WHERE u < CAST(0.8 AS DOUBLE)),
+       |vl AS (SELECT * FROM fu WHERE NOT (u < CAST(0.8 AS DOUBLE))),
+       |${trajectoryCtes("tr", "vl")},
+       |g AS (
+       |  SELECT score AS s, CAST(SUM(CAST(y AS BIGINT)) AS BIGINT) AS p,
+       |         CAST(count(*) - SUM(CAST(y AS BIGINT)) AS BIGINT) AS q
+       |  FROM sc GROUP BY score),
+       |c AS (
+       |  SELECT s, p, q,
+       |    CAST(COALESCE(SUM(q) OVER (ORDER BY s
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS nb
+       |  FROM g),
+       |t AS (
+       |  SELECT SUM(CAST(p AS DECIMAL(38,0)) *
+       |             (2 * CAST(nb AS DECIMAL(38,0))
+       |              + CAST(q AS DECIMAL(38,0)))) AS num,
+       |         CAST(SUM(p) AS BIGINT) AS pp,
+       |         CAST(SUM(q) AS BIGINT) AS qq
+       |  FROM c)
+       |SELECT CASE WHEN pp > 0 AND qq > 0 THEN ${Q.sqlSig9(
+          "CAST(num AS DOUBLE) / " +
+            "(2.0 * CAST(pp AS DOUBLE) * CAST(qq AS DOUBLE))")} END AS auc,
+       |  pp AS n_pos, qq AS n_neg
+       |FROM t""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
     "q_x_logistic" -> logisticQ,
     "q_x_linreg" -> linregQ,
     "q_x_auc" -> aucQ,
-    "q_x_calibration" -> calibrationQ)
+    "q_x_calibration" -> calibrationQ,
+    "q_x_pipeline5" -> pipeline5Q)
 
   val oracles: Map[String, String] = Map(
     "q_x_logistic" -> logisticSql,
     "q_x_linreg" -> linregSql,
     "q_x_auc" -> aucSql,
-    "q_x_calibration" -> calibrationSql)
+    "q_x_calibration" -> calibrationSql,
+    "q_x_pipeline5" -> pipeline5Sql)
 }
