@@ -39,7 +39,8 @@ object SparkEntry {
     (RelationalQueries.queries ++ KboQueries.queries ++ ExtQueries.queries ++
       TemporalQueries.queries ++ CorpusQueries.queries ++
       PrepQueries.queries ++ LinkQueries.queries ++
-      BehaviorQueries.queries ++ LearnQueries.queries).map { case (name, fn) =>
+      BehaviorQueries.queries ++ LearnQueries.queries ++
+      TimeSeriesQueries.queries).map { case (name, fn) =>
       name -> { (s: SparkSession, d: String) =>
         // native expressions resolve through the function registry; make
         // the surface work even on sessions built without
@@ -55,5 +56,6 @@ object SparkEntry {
     RelationalQueries.oracles ++ KboQueries.oracles ++ ExtQueries.oracles ++
       TemporalQueries.oracles ++ CorpusQueries.oracles ++
       PrepQueries.oracles ++ LinkQueries.oracles ++
-      BehaviorQueries.oracles ++ LearnQueries.oracles
+      BehaviorQueries.oracles ++ LearnQueries.oracles ++
+      TimeSeriesQueries.oracles
 }

@@ -1,0 +1,132 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Regular-grid time-series operators over an event stream: OHLC
+  * downsampling (resample) and gap-filling linear interpolation — the
+  * two transforms that turn an irregular event log into the
+  * fixed-cadence series every monitoring dashboard and feature
+  * pipeline consumes.
+  *
+  * Both are built for the event-log scale axis (users × time):
+  * resample is ONE hash aggregate keyed on (key, bucket) — no window,
+  * no sort; interpolation is a bounded per-key grid explode plus two
+  * as-of joins ([[TemporalJoins.asOfJoin]] — single keyed-shuffle
+  * window machinery, already adjudicated). Nothing global anywhere,
+  * so both shapes survive arbitrary key counts.
+  */
+object TimeSeries {
+
+  /** Epoch-aligned bucket start: exact integral micros arithmetic
+    * (never through double — micros beyond 2^53 would truncate). */
+  def bucketStart(ts: Column, bucketSeconds: Long): Column = {
+    val us = bucketSeconds * 1000000L
+    // Column./ is double division; subtract-the-remainder stays in
+    // exact long arithmetic (pmod on longs) at any epoch magnitude
+    val u = unix_micros(ts)
+    timestamp_micros(u - pmod(u, lit(us)))
+  }
+
+  /** Total order key for first/last-in-bucket picks: zero-padded
+    * string so lexicographic order == numeric (ts, tieBreak) order —
+    * the one arg_min/arg_max key type DuckDB and Spark agree on
+    * (DuckDB's arg_min rejects struct keys). Timestamps are
+    * post-1970 in every fixture; tieBreak must be a nonneg unique id. */
+  def ordKey(ts: Column, tieBreak: Column): Column =
+    format_string("%020d|%020d", unix_micros(ts), tieBreak.cast(LongType))
+
+  /** OHLC resample: per (keys, epoch-aligned bucket), the bucket's
+    * first value (open), max (high), min (low), last value (close),
+    * row count and exact decimal sum. Open/close are made total
+    * functions of the fixture by the (ts, tieBreak) order key — a bare
+    * min_by on a repeatable timestamp is unspecified on BOTH engines.
+    *
+    * Plan: one map-side-combinable hash aggregate keyed on
+    * (keys, bucket). At 100 TB this is the cheapest shape Spark has —
+    * partial aggregation absorbs the per-bucket fan-in before the
+    * single shuffle, and bucket keys inherit the source's time
+    * locality so post-shuffle partitions stay dense. */
+  def resample(events: DataFrame, keyCols: Seq[String], tsCol: String,
+      valCol: String, bucketSeconds: Long, tieBreak: Column): DataFrame = {
+    require(bucketSeconds > 0, s"bucketSeconds must be > 0, got $bucketSeconds")
+    val v = col(valCol)
+    val ord = ordKey(col(tsCol), tieBreak)
+    events
+      .groupBy((keyCols.map(col) :+
+        bucketStart(col(tsCol), bucketSeconds).as("bucket_ts")): _*)
+      .agg(
+        min_by(v, ord).as("open_v"),
+        max(v).as("high_v"),
+        min(v).as("low_v"),
+        max_by(v, ord).as("close_v"),
+        count(lit(1)).as("n_events"),
+        graft.queries.Q.dsum(v).as("sum_v"))
+  }
+
+  /** Gap-filling linear interpolation at a fixed cadence: per key,
+    * a `stepSeconds`-aligned grid spanning [ceil(first sample),
+    * floor(last sample)], each grid point valued by linear
+    * interpolation between its nearest samples on either side
+    * (pandas `resample().interpolate()` / TimescaleDB
+    * `interpolate()`).
+    *
+    * Samples are first reduced to ONE row per (key, ts) keeping
+    * max(value) — the as-of pick among equal-timestamp samples is
+    * otherwise unspecified (the purchaseQuotes convention), which
+    * would make open questions of both engines' outputs.
+    *
+    * Grid bounds use exact integral micros arithmetic; a key whose
+    * span contains no aligned point yields no rows (guarded — Spark's
+    * `sequence` throws on start > stop with a positive step). Each
+    * grid point then takes its bracketing samples from two
+    * [[TemporalJoins.asOfJoin]] passes (backward then forward); by
+    * construction of the bounds both sides always match, and a grid
+    * point landing exactly ON a sample gets that sample's value (the
+    * prev==next degenerate case would otherwise divide by zero).
+    *
+    * The interpolation itself is fixed IEEE double arithmetic on
+    * exact integer micros — bit-identical across engines — sig9'd
+    * only to absorb the engines' final-digit conventions.
+    *
+    * Returns (keys..., ts, value_interp, prev_ts, next_ts). */
+  def interpolate(samples: DataFrame, keyCols: Seq[String], tsCol: String,
+      valCol: String, stepSeconds: Long): DataFrame = {
+    require(stepSeconds > 0, s"stepSeconds must be > 0, got $stepSeconds")
+    val us = stepSeconds * 1000000L
+    val q = samples
+      .groupBy((keyCols :+ tsCol).map(col): _*)
+      .agg(max(col(valCol)).as("__graft_v"))
+    val bounds = q.groupBy(keyCols.map(col): _*)
+      .agg(min(unix_micros(col(tsCol))).as("__mn"),
+        max(unix_micros(col(tsCol))).as("__mx"))
+    // ceil/floor to the step in exact long arithmetic (see bucketStart)
+    val mnRem = pmod(col("__mn"), lit(us))
+    val lo = when(mnRem === 0L, col("__mn"))
+      .otherwise(col("__mn") - mnRem + us)
+    val hi = col("__mx") - pmod(col("__mx"), lit(us))
+    val grid = bounds
+      .select(keyCols.map(col) :+
+        explode(when(lo <= hi, sequence(lo, hi, lit(us)))
+          .otherwise(array().cast("array<bigint>"))).as("__gus"): _*)
+      .select(keyCols.map(col) :+ timestamp_micros(col("__gus")).as(tsCol): _*)
+    val prev = TemporalJoins.asOfJoin(grid,
+        q.withColumnRenamed("__graft_v", "__pv"),
+        keyCols, tsCol, Seq("__pv"), direction = "backward")
+      .withColumnRenamed("asof_time", "prev_ts")
+    val both = TemporalJoins.asOfJoin(prev,
+        q.withColumnRenamed("__graft_v", "__nv"),
+        keyCols, tsCol, Seq("__nv"), direction = "forward")
+      .withColumnRenamed("asof_time", "next_ts")
+    val gus = unix_micros(col(tsCol))
+    val frac = (gus - unix_micros(col("prev_ts"))).cast(DoubleType) /
+      (unix_micros(col("next_ts")) - unix_micros(col("prev_ts"))).cast(DoubleType)
+    both
+      .withColumn("value_interp", graft.queries.Q.sig9(
+        when(col("next_ts") === col("prev_ts"), col("__pv"))
+          .otherwise(col("__pv") + (col("__nv") - col("__pv")) * frac)))
+      .select((keyCols :+ tsCol :+ "value_interp" :+ "prev_ts" :+ "next_ts")
+        .map(col): _*)
+  }
+}

@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ext.TimeSeries
+
+/** Regular-grid time-series operators over the `events` fixture under
+  * the DuckDB oracle ([[graft.ext.TimeSeries]]): OHLC downsampling and
+  * gap-filling linear interpolation. The interpolation oracle uses
+  * DuckDB's native ASOF JOIN twice (backward + forward) — a genuinely
+  * independent implementation of the bracketing-sample semantics.
+  */
+object TimeSeriesQueries {
+  type QFn = (SparkSession, String) => DataFrame
+
+  private val fmt = "yyyy-MM-dd HH:mm:ss"
+
+  // ===== OHLC resample: per-user hourly bars =========================
+
+  private val resampleQ: QFn = (s, d) => {
+    TimeSeries.resample(Tables.events(s, d), Seq("user_id"), "ts",
+        "value", bucketSeconds = 3600L, tieBreak = col("event_id"))
+      .select(col("user_id"),
+        date_format(col("bucket_ts"), fmt).as("bucket_s"),
+        col("open_v"), col("high_v"), col("low_v"), col("close_v"),
+        col("n_events"), col("sum_v"))
+  }
+
+  private val resampleSql = {
+    val ord = "format('{:020d}|{:020d}', epoch_us(ts), event_id)"
+    s"""SELECT user_id,
+       |  strftime(make_timestamp(epoch_us(ts) - epoch_us(ts) % 3600000000),
+       |           '%Y-%m-%d %H:%M:%S') AS bucket_s,
+       |  arg_min(value, $ord) AS open_v,
+       |  max(value) AS high_v,
+       |  min(value) AS low_v,
+       |  arg_max(value, $ord) AS close_v,
+       |  CAST(count(*) AS BIGINT) AS n_events,
+       |  ${Q.sqlDsum("value")} AS sum_v
+       |FROM events GROUP BY 1, 2""".stripMargin
+  }
+
+  // ===== gap-filling linear interpolation: hourly grid per user ======
+
+  private val interpQ: QFn = (s, d) => {
+    TimeSeries.interpolate(Tables.events(s, d), Seq("user_id"), "ts",
+        "value", stepSeconds = 3600L)
+      .select(col("user_id"),
+        date_format(col("ts"), fmt).as("grid_s"),
+        col("value_interp"),
+        date_format(col("prev_ts"), fmt).as("prev_s"),
+        date_format(col("next_ts"), fmt).as("next_s"))
+  }
+
+  private val interpSql = {
+    val interp = "pv + (nv - pv) * (CAST(gus - epoch_us(pts) AS DOUBLE) / " +
+      "CAST(epoch_us(nts) - epoch_us(pts) AS DOUBLE))"
+    s"""WITH q AS (
+       |  SELECT user_id, ts, max(value) AS v FROM events GROUP BY 1, 2),
+       |b AS (
+       |  SELECT user_id, min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+       |  FROM q GROUP BY 1),
+       |g AS (
+       |  SELECT user_id, unnest(generate_series(
+       |    mn - mn % 3600000000
+       |      + CASE WHEN mn % 3600000000 = 0 THEN 0 ELSE 3600000000 END,
+       |    mx - mx % 3600000000, 3600000000)) AS gus
+       |  FROM b),
+       |g2 AS (SELECT user_id, gus, make_timestamp(gus) AS gts FROM g),
+       |p AS (
+       |  SELECT g2.user_id, g2.gts, g2.gus, q.ts AS pts, q.v AS pv
+       |  FROM g2 ASOF LEFT JOIN q
+       |    ON g2.user_id = q.user_id AND g2.gts >= q.ts),
+       |n AS (
+       |  SELECT g2.user_id, g2.gts, q.ts AS nts, q.v AS nv
+       |  FROM g2 ASOF LEFT JOIN q
+       |    ON g2.user_id = q.user_id AND g2.gts <= q.ts)
+       |SELECT p.user_id, strftime(p.gts, '%Y-%m-%d %H:%M:%S') AS grid_s,
+       |  ${Q.sqlSig9(s"CASE WHEN nts = pts THEN pv ELSE $interp END")}
+       |    AS value_interp,
+       |  strftime(p.pts, '%Y-%m-%d %H:%M:%S') AS prev_s,
+       |  strftime(n.nts, '%Y-%m-%d %H:%M:%S') AS next_s
+       |FROM p JOIN n ON p.user_id = n.user_id AND p.gts = n.gts""".stripMargin
+  }
+
+  val queries: Map[String, QFn] = Map(
+    "q_x_resample" -> resampleQ,
+    "q_x_interp" -> interpQ)
+
+  val oracles: Map[String, String] = Map(
+    "q_x_resample" -> resampleSql,
+    "q_x_interp" -> interpSql)
+}

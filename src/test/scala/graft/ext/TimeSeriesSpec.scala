@@ -1,0 +1,88 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  // (key, event_id, ts, value)
+  private def ev(rows: (String, Long, String, Double)*): DataFrame =
+    rows.map { case (k, id, t, v) => (k, id, ts(t), v) }
+      .toDF("k", "id", "ts", "v")
+
+  test("resample: OHLC per bucket, first/last by (ts, tieBreak)") {
+    val bars = TimeSeries.resample(
+      ev(("a", 1, "2024-01-01 00:05:00", 10.0),
+        ("a", 2, "2024-01-01 00:20:00", 30.0),
+        ("a", 3, "2024-01-01 00:50:00", 20.0),
+        ("a", 4, "2024-01-01 01:10:00", 5.0),
+        ("b", 5, "2024-01-01 00:30:00", 7.0)),
+      Seq("k"), "ts", "v", bucketSeconds = 3600L, tieBreak = col("id"))
+      .select(col("k"), date_format(col("bucket_ts"), "HH:mm").as("b"),
+        col("open_v"), col("high_v"), col("low_v"), col("close_v"),
+        col("n_events"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6))).toSet
+    assert(bars === Set(
+      ("a", "00:00", 10.0, 30.0, 10.0, 20.0, 3L),
+      ("a", "01:00", 5.0, 5.0, 5.0, 5.0, 1L),
+      ("b", "00:00", 7.0, 7.0, 7.0, 7.0, 1L)))
+  }
+
+  test("resample: equal-timestamp rows resolve by tieBreak, not luck") {
+    val bars = TimeSeries.resample(
+      ev(("a", 2, "2024-01-01 00:10:00", 99.0),
+        ("a", 1, "2024-01-01 00:10:00", 11.0)),
+      Seq("k"), "ts", "v", 3600L, col("id")).collect()
+    assert(bars.length === 1)
+    val r = bars.head
+    assert(r.getAs[Double]("open_v") === 11.0) // id 1 first
+    assert(r.getAs[Double]("close_v") === 99.0) // id 2 last
+  }
+
+  private def interp(df: DataFrame, step: Long = 3600L) =
+    TimeSeries.interpolate(df, Seq("k"), "ts", "v", step)
+      .select(col("k"), date_format(col("ts"), "MM-dd HH:mm").as("g"),
+        col("value_interp"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      .toSet
+
+  test("interpolate: linear between brackets, exact on samples") {
+    // samples at 00:30 (v=10) and 02:30 (v=30); hourly grid points at
+    // 01:00 and 02:00 interpolate 1/4 and 3/4 of the way
+    val g = interp(ev(
+      ("a", 1, "2024-01-01 00:30:00", 10.0),
+      ("a", 2, "2024-01-01 02:30:00", 30.0),
+      // b has a sample exactly ON a grid point
+      ("b", 3, "2024-01-01 01:00:00", 5.0),
+      ("b", 4, "2024-01-01 03:00:00", 9.0)))
+    assert(g === Set(
+      ("a", "01-01 01:00", 15.0), ("a", "01-01 02:00", 25.0),
+      ("b", "01-01 01:00", 5.0), ("b", "01-01 02:00", 7.0),
+      ("b", "01-01 03:00", 9.0)))
+  }
+
+  test("interpolate: span with no aligned grid point yields no rows") {
+    // both samples inside (01:00, 02:00) — ceil(lo) > floor(hi)
+    val g = interp(ev(
+      ("a", 1, "2024-01-01 01:10:00", 1.0),
+      ("a", 2, "2024-01-01 01:50:00", 2.0)))
+    assert(g === Set.empty)
+  }
+
+  test("interpolate: equal-timestamp samples reduce to max before as-of") {
+    val g = interp(ev(
+      ("a", 1, "2024-01-01 01:00:00", 3.0),
+      ("a", 2, "2024-01-01 01:00:00", 8.0))) // same ts — max wins
+    assert(g === Set(("a", "01-01 01:00", 8.0)))
+  }
+
+  test("interpolate: single-sample key emits exactly its aligned point") {
+    val g = interp(ev(("a", 1, "2024-01-01 05:00:00", 4.0)))
+    assert(g === Set(("a", "01-01 05:00", 4.0)))
+  }
+}
