@@ -56,6 +56,27 @@ object LinkQueries {
        |WHERE jaccard >= CAST(0.5 AS DOUBLE)""".stripMargin
   }
 
+  // ===== edit-distance join (typo-tolerant key matching) ==============
+
+  /** Supplier names within ONE edit of each other (they differ only in
+    * digit positions, so d=1 pairs are single-digit substitutions) —
+    * the deletion-neighborhood plan adjudicated against the naive
+    * cross-join + levenshtein oracle. Exact method: identical result
+    * sets, not merely high recall. */
+  private val editJoin: QFn = (s, d) => {
+    val sup = Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))
+    FuzzyJoin.editJoin(sup, "s_suppkey", "s_name",
+        sup, "s_suppkey", "s_name", maxDist = 1)
+      .where(col("left_id") < col("right_id"))
+  }
+
+  private val editJoinSql =
+    """SELECT a.s_suppkey AS left_id, b.s_suppkey AS right_id,
+      |  CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist
+      |FROM supplier a, supplier b
+      |WHERE a.s_suppkey < b.s_suppkey
+      |  AND levenshtein(a.s_name, b.s_name) <= 1""".stripMargin
+
   // ===== SCD2 historization ===========================================
 
   /** events as a change log of each user's `event_type` attribute:
@@ -97,9 +118,11 @@ object LinkQueries {
 
   val queries: Map[String, QFn] = Map(
     "q_x_fuzzy_join" -> fuzzyJoin,
+    "q_x_edit_join" -> editJoin,
     "q_x_scd2" -> scd2)
 
   val oracles: Map[String, String] = Map(
     "q_x_fuzzy_join" -> fuzzyJoinSql,
+    "q_x_edit_join" -> editJoinSql,
     "q_x_scd2" -> scd2Sql)
 }

@@ -80,4 +80,84 @@ class FuzzyJoinSpec extends SparkSpec {
       FuzzyJoin.jaccardJoin(d, "id", "tk", d, "id", "tk", 1.5)
     }
   }
+
+  // ===== editJoin (deletion-neighborhood edit-distance join) =========
+
+  private def strDf(rows: Seq[(Long, String)]): DataFrame =
+    rows.toDF("id", "s")
+
+  private def runEdit(l: Seq[(Long, String)], r: Seq[(Long, String)],
+      d: Int): Set[(Long, Long, Long)] =
+    FuzzyJoin.editJoin(strDf(l), "id", "s", strDf(r), "id", "s", d)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+
+  private def lev(a: String, b: String): Int = {
+    val dp = Array.tabulate(a.length + 1)(i => i)
+    for (j <- 1 to b.length) {
+      var prev = dp(0); dp(0) = j
+      for (i <- 1 to a.length) {
+        val cur = dp(i)
+        dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+          prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = cur
+      }
+    }
+    dp(a.length)
+  }
+
+  private def bruteEdit(l: Seq[(Long, String)], r: Seq[(Long, String)],
+      d: Int): Set[(Long, Long, Long)] =
+    (for {
+      (lid, ls) <- l; (rid, rs) <- r
+      dist = lev(ls, rs) if dist <= d
+    } yield (lid, rid, dist.toLong)).toSet
+
+  test("editJoin d=1: substitutions, inserts, deletes — and nothing else") {
+    val l = Seq(1L -> "kitten", 2L -> "flaw", 3L -> "abc")
+    val r = Seq(10L -> "sitten", // substitution: d=1
+      11L -> "flaws",            // insertion: d=1
+      12L -> "fla",              // deletion from flaw: d=1
+      13L -> "kitten",           // exact: d=0
+      14L -> "mitten",           // d=1 from kitten
+      15L -> "zzz")              // unrelated
+    assert(runEdit(l, r, 1) === bruteEdit(l, r, 1))
+    assert(runEdit(l, r, 1).contains((1L, 13L, 0L)))
+    assert(!runEdit(l, r, 1).exists(_._2 == 15L))
+  }
+
+  test("editJoin d=2 matches brute force on a random-ish key set") {
+    val keys = Seq("Supplier#01", "Supplier#02", "Supplier#12",
+      "Supplier#92", "Suplier#01", "Supplier#015", "Sopplier#41",
+      "abc", "acb", "bca", "")
+    val l = keys.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    assert(runEdit(l, l, 2) === bruteEdit(l, l, 2))
+  }
+
+  test("editJoin: empty strings pair with strings within d") {
+    val l = Seq(1L -> "", 2L -> "a", 3L -> "ab")
+    assert(runEdit(l, l, 1) === bruteEdit(l, l, 1))
+  }
+
+  test("deletionVariants: exact set for a 3-char string at d=1") {
+    val v = strDf(Seq(1L -> "abc"))
+      .select(explode(FuzzyJoin.deletionVariants(col("s"), 1)).as("v"))
+      .collect().map(_.getString(0)).toSet
+    assert(v === Set("abc", "bc", "ac", "ab"))
+  }
+
+  test("editJoin plan stays lint-clean (no cartesian anywhere)") {
+    val l = strDf(Seq(1L -> "aa", 2L -> "bb"))
+    val out = FuzzyJoin.editJoin(l, "id", "s", l, "id", "s", 1)
+    assert(PlanLint.clean(out))
+  }
+
+  test("editJoin: invalid maxDist rejected") {
+    val l = strDf(Seq(1L -> "aa"))
+    intercept[IllegalArgumentException] {
+      FuzzyJoin.editJoin(l, "id", "s", l, "id", "s", 0)
+    }
+    intercept[IllegalArgumentException] {
+      FuzzyJoin.editJoin(l, "id", "s", l, "id", "s", 4)
+    }
+  }
 }
