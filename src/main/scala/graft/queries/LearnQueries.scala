@@ -274,11 +274,101 @@ object LearnQueries {
        |FROM t""".stripMargin
   }
 
+  // ===== multinomial Naive Bayes language-ID ==========================
+
+  /** Train a multinomial NB on the 80% train split's (lang, tokens),
+    * predict the language of every held-out document. The oracle
+    * re-derives the WHOLE model — class priors, the complete
+    * vocab × class Laplace-smoothed likelihood table, unseen-token
+    * fallbacks — then the per-doc log-posterior sums and the argmax,
+    * so training-as-counting is adjudicated end to end, like the GD
+    * trajectory rows. */
+  private val nbQ: QFn = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+      Hashing.tokens(col("text")).as("tk"))
+    val sp = graft.ext.Sampling.splitAssign(docs, "doc_id",
+      Seq("train" -> 0.8, "rest" -> 0.2))
+    val tr = sp.where(col("split") === "train")
+    val vl = sp.where(col("split") =!= "train")
+    val pred = graft.ext.NaiveBayes.predict(
+      graft.ext.NaiveBayes.score(tr, vl, "doc_id", "lang", "tk"), "doc_id")
+    pred.join(vl.select(col("doc_id"), col("lang").as("true_lang")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("pred"), col("best_score"),
+        col("true_lang"))
+  }
+
+  private val nbSql = {
+    val u = s"CAST(${sqlHash60("'split:' || CAST(doc_id AS VARCHAR)")}" +
+      " % 1000000 AS DOUBLE) / 1000000.0"
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang,
+       |    list_filter(string_split(text, ' '), t -> t <> '') AS tk
+       |  FROM documents),
+       |spl AS (SELECT *, $u AS u FROM toks),
+       |tr AS (SELECT * FROM spl WHERE u < CAST(0.8 AS DOUBLE)),
+       |vl AS (SELECT * FROM spl WHERE NOT (u < CAST(0.8 AS DOUBLE))),
+       |trx AS (SELECT lang, unnest(tk) AS t FROM tr),
+       |clsd AS (
+       |  SELECT lang AS label, CAST(count(*) AS BIGINT) AS n_docs
+       |  FROM tr GROUP BY 1),
+       |clst AS (
+       |  SELECT lang AS label, CAST(count(*) AS BIGINT) AS n_toks
+       |  FROM trx GROUP BY 1),
+       |cls AS (
+       |  SELECT clsd.label, n_docs,
+       |    COALESCE(n_toks, CAST(0 AS BIGINT)) AS n_toks
+       |  FROM clsd LEFT JOIN clst USING (label)),
+       |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total_docs FROM cls),
+       |voc AS (SELECT DISTINCT t FROM trx),
+       |vs AS (SELECT CAST(count(*) AS BIGINT) AS v_size FROM voc),
+       |clsf AS (
+       |  SELECT label, n_toks, v_size,
+       |    ${sqlSig9("ln(CAST(n_docs AS DOUBLE) / CAST(n_total_docs AS DOUBLE))")}
+       |      AS lprior,
+       |    ${sqlSig9("ln(1.0 / CAST(n_toks + v_size AS DOUBLE))")}
+       |      AS lp_unseen
+       |  FROM cls, tot, vs),
+       |tc AS (
+       |  SELECT t, lang AS label, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM trx GROUP BY 1, 2),
+       |tlp AS (
+       |  SELECT voc.t, c.label,
+       |    ${sqlSig9("ln((COALESCE(tc.cnt, 0) + 1.0) / CAST(c.n_toks + c.v_size AS DOUBLE))")} AS lp
+       |  FROM voc CROSS JOIN clsf c
+       |  LEFT JOIN tc ON tc.t = voc.t AND tc.label = c.label),
+       |dt AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_total FROM vl),
+       |dtk AS (
+       |  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS dcnt
+       |  FROM (SELECT doc_id, unnest(tk) AS t FROM vl) GROUP BY 1, 2),
+       |mt AS (
+       |  SELECT dtk.doc_id, tlp.label,
+       |    ${sqlDsum("dcnt * lp")} AS s_tok,
+       |    CAST(sum(dcnt) AS BIGINT) AS m
+       |  FROM dtk JOIN tlp ON dtk.t = tlp.t GROUP BY 1, 2),
+       |scl AS (
+       |  SELECT dt.doc_id, cf.label,
+       |    ${sqlSig9("cf.lprior + COALESCE(mt.s_tok, 0.0) + " +
+           "CAST(dt.n_total - COALESCE(mt.m, 0) AS DOUBLE) * cf.lp_unseen")}
+       |      AS score
+       |  FROM dt CROSS JOIN clsf cf
+       |  LEFT JOIN mt ON mt.doc_id = dt.doc_id AND mt.label = cf.label),
+       |best AS (SELECT doc_id, max(score) AS best_score FROM scl GROUP BY 1),
+       |prd AS (
+       |  SELECT scl.doc_id, min(scl.label) AS pred, best.best_score
+       |  FROM scl JOIN best
+       |    ON scl.doc_id = best.doc_id AND scl.score = best.best_score
+       |  GROUP BY 1, 3)
+       |SELECT prd.doc_id, prd.pred, prd.best_score, vl.lang AS true_lang
+       |FROM prd JOIN vl USING (doc_id)""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
     "q_x_logistic" -> logisticQ,
     "q_x_linreg" -> linregQ,
     "q_x_auc" -> aucQ,
     "q_x_calibration" -> calibrationQ,
+    "q_x_naive_bayes" -> nbQ,
     "q_x_pipeline5" -> pipeline5Q)
 
   val oracles: Map[String, String] = Map(
@@ -286,5 +376,6 @@ object LearnQueries {
     "q_x_linreg" -> linregSql,
     "q_x_auc" -> aucSql,
     "q_x_calibration" -> calibrationSql,
+    "q_x_naive_bayes" -> nbSql,
     "q_x_pipeline5" -> pipeline5Sql)
 }

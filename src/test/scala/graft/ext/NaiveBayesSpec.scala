@@ -1,0 +1,109 @@
+package graft.ext
+
+import graft.SparkSpec
+import graft.functions.GraftMath
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class NaiveBayesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String, Seq[String])*): DataFrame =
+    rows.toDF("id", "y", "tk")
+
+  private def scoreMap(train: DataFrame, sc: DataFrame)
+      : Map[(Long, String), Double] =
+    NaiveBayes.score(train, sc, "id", "y", "tk")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+
+  /** Reference NB score via the documented formula (sig9 at the same
+    * three points the engine applies it). */
+  private def expected(trainDocs: Seq[(String, Seq[String])],
+      doc: Seq[String], cls: String): Double = {
+    val labels = trainDocs.map(_._1).distinct
+    val nDocs = trainDocs.count(_._1 == cls).toDouble
+    val nTotal = trainDocs.size.toDouble
+    val clsToks = trainDocs.filter(_._1 == cls).flatMap(_._2)
+    val vocab = trainDocs.flatMap(_._2).distinct
+    val v = vocab.size
+    val nt = clsToks.size
+    val lprior = GraftMath.sig9(math.log(nDocs / nTotal))
+    val lpUnseen = GraftMath.sig9(math.log(1.0 / (nt + v)))
+    val inVocab = doc.filter(vocab.contains)
+    val sTok = GraftMath.sig9(inVocab.map { t =>
+      val cnt = clsToks.count(_ == t)
+      GraftMath.sig9(math.log((cnt + 1.0) / (nt + v).toDouble))
+    }.map(BigDecimal(_)).sum.toDouble)
+    val oov = doc.size - inVocab.size
+    GraftMath.sig9(lprior + sTok + oov.toDouble * lpUnseen)
+  }
+
+  private val train = docs(
+    (1L, "spam", Seq("buy", "now", "cheap", "buy")),
+    (2L, "spam", Seq("cheap", "pills", "now")),
+    (3L, "ham", Seq("meeting", "notes", "attached")),
+    (4L, "ham", Seq("see", "notes", "below")),
+    (5L, "ham", Seq("meeting", "at", "noon")))
+
+  test("scores match the documented formula exactly (incl. sig9 points)") {
+    val sc = docs((10L, "?", Seq("buy", "cheap", "zzz")),
+      (11L, "?", Seq("meeting", "notes")))
+    val got = scoreMap(train, sc)
+    val trainRef = Seq(
+      "spam" -> Seq("buy", "now", "cheap", "buy"),
+      "spam" -> Seq("cheap", "pills", "now"),
+      "ham" -> Seq("meeting", "notes", "attached"),
+      "ham" -> Seq("see", "notes", "below"),
+      "ham" -> Seq("meeting", "at", "noon"))
+    for ((id, toks) <- Seq(10L -> Seq("buy", "cheap", "zzz"),
+        11L -> Seq("meeting", "notes")); c <- Seq("spam", "ham"))
+      assert(got((id, c)) === expected(trainRef, toks, c),
+        s"doc $id class $c")
+  }
+
+  test("predict: argmax lands on the obvious class") {
+    val sc = docs((10L, "?", Seq("buy", "cheap")),
+      (11L, "?", Seq("meeting", "notes")))
+    val p = NaiveBayes.predict(
+        NaiveBayes.score(train, sc, "id", "y", "tk"), "id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(p === Map(10L -> "spam", 11L -> "ham"))
+  }
+
+  test("token-less and all-OOV docs still score on prior + unseen mass") {
+    val sc = docs((20L, "?", Seq.empty[String]), (21L, "?", Seq("qqq", "rrr")))
+    val got = scoreMap(train, sc)
+    // empty doc: score == prior only; ham prior (3/5) > spam (2/5)
+    assert(got((20L, "ham")) > got((20L, "spam")))
+    assert(got((20L, "ham")) ===
+      GraftMath.sig9(math.log(3.0 / 5.0)))
+    // all-OOV: prior + 2 * lp_unseen per class, still defined
+    assert(got.contains((21L, "spam")) && got.contains((21L, "ham")))
+  }
+
+  test("score is partition-invariant (decimal sums, no order dependence)") {
+    val sc = docs((10L, "?", Seq("buy", "cheap", "notes", "now", "zzz")))
+    val a = scoreMap(train, sc)
+    val b = scoreMap(train.repartition(7), sc.repartition(5))
+    assert(a === b)
+  }
+
+  test("duplicate tokens weight the likelihood multiplicatively") {
+    val sc1 = docs((10L, "?", Seq("buy")))
+    val sc2 = docs((10L, "?", Seq("buy", "buy")))
+    val s1 = scoreMap(train, sc1)((10L, "spam"))
+    val s2 = scoreMap(train, sc2)((10L, "spam"))
+    // second 'buy' adds the same (negative) log-likelihood again
+    assert(s2 < s1)
+  }
+
+  test("predict tie-break: equal scores resolve to smallest label") {
+    // symmetric corpus: token x in A, token y in B with equal shapes
+    val tr = docs((1L, "b", Seq("x")), (2L, "a", Seq("y")))
+    val p = NaiveBayes.predict(
+        NaiveBayes.score(tr, docs((9L, "?", Seq("zzz"))), "id", "y", "tk"),
+        "id").collect()
+    assert(p.head.getString(1) === "a")
+  }
+}
