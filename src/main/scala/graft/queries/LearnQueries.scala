@@ -298,69 +298,131 @@ object LearnQueries {
         col("true_lang"))
   }
 
-  private val nbSql = {
-    val u = s"CAST(${sqlHash60("'split:' || CAST(doc_id AS VARCHAR)")}" +
-      " % 1000000 AS DOUBLE) / 1000000.0"
-    s"""WITH toks AS (
-       |  SELECT doc_id, lang,
-       |    list_filter(string_split(text, ' '), t -> t <> '') AS tk
-       |  FROM documents),
-       |spl AS (SELECT *, $u AS u FROM toks),
-       |tr AS (SELECT * FROM spl WHERE u < CAST(0.8 AS DOUBLE)),
-       |vl AS (SELECT * FROM spl WHERE NOT (u < CAST(0.8 AS DOUBLE))),
-       |trx AS (SELECT lang, unnest(tk) AS t FROM tr),
-       |clsd AS (
+  /** Documents -> (doc_id, lang, tk) token CTE — shared by both NB
+    * oracles. */
+  private val nbToksCte =
+    """toks AS (
+      |  SELECT doc_id, lang,
+      |    list_filter(string_split(text, ' '), t -> t <> '') AS tk
+      |  FROM documents)""".stripMargin
+
+  /** The whole NB model + scoring + argmax as a CTE chain, suffixed so
+    * k independent instantiations can coexist in one query: reads
+    * `tr$sfx` / `vl$sfx` (doc_id, lang, tk), emits `prd$sfx`
+    * (doc_id, pred, best_score). ONE generator shared by the
+    * train/score row and every fold of the CV row, so no two oracles
+    * can disagree on what NB computes (the trajectoryCtes convention).
+    */
+  private def nbModelCtes(sfx: String): String =
+    s"""trx$sfx AS (SELECT lang, unnest(tk) AS t FROM tr$sfx),
+       |clsd$sfx AS (
        |  SELECT lang AS label, CAST(count(*) AS BIGINT) AS n_docs
-       |  FROM tr GROUP BY 1),
-       |clst AS (
+       |  FROM tr$sfx GROUP BY 1),
+       |clst$sfx AS (
        |  SELECT lang AS label, CAST(count(*) AS BIGINT) AS n_toks
-       |  FROM trx GROUP BY 1),
-       |cls AS (
-       |  SELECT clsd.label, n_docs,
+       |  FROM trx$sfx GROUP BY 1),
+       |cls$sfx AS (
+       |  SELECT clsd$sfx.label, n_docs,
        |    COALESCE(n_toks, CAST(0 AS BIGINT)) AS n_toks
-       |  FROM clsd LEFT JOIN clst USING (label)),
-       |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total_docs FROM cls),
-       |voc AS (SELECT DISTINCT t FROM trx),
-       |vs AS (SELECT CAST(count(*) AS BIGINT) AS v_size FROM voc),
-       |clsf AS (
+       |  FROM clsd$sfx LEFT JOIN clst$sfx USING (label)),
+       |tot$sfx AS (
+       |  SELECT CAST(sum(n_docs) AS BIGINT) AS n_total_docs FROM cls$sfx),
+       |voc$sfx AS (SELECT DISTINCT t FROM trx$sfx),
+       |vs$sfx AS (SELECT CAST(count(*) AS BIGINT) AS v_size FROM voc$sfx),
+       |clsf$sfx AS (
        |  SELECT label, n_toks, v_size,
        |    ${sqlSig9("ln(CAST(n_docs AS DOUBLE) / CAST(n_total_docs AS DOUBLE))")}
        |      AS lprior,
        |    ${sqlSig9("ln(1.0 / CAST(n_toks + v_size AS DOUBLE))")}
        |      AS lp_unseen
-       |  FROM cls, tot, vs),
-       |tc AS (
+       |  FROM cls$sfx, tot$sfx, vs$sfx),
+       |tc$sfx AS (
        |  SELECT t, lang AS label, CAST(count(*) AS BIGINT) AS cnt
-       |  FROM trx GROUP BY 1, 2),
-       |tlp AS (
-       |  SELECT voc.t, c.label,
-       |    ${sqlSig9("ln((COALESCE(tc.cnt, 0) + 1.0) / CAST(c.n_toks + c.v_size AS DOUBLE))")} AS lp
-       |  FROM voc CROSS JOIN clsf c
-       |  LEFT JOIN tc ON tc.t = voc.t AND tc.label = c.label),
-       |dt AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_total FROM vl),
-       |dtk AS (
+       |  FROM trx$sfx GROUP BY 1, 2),
+       |tlp$sfx AS (
+       |  SELECT voc$sfx.t, c.label,
+       |    ${sqlSig9(s"ln((COALESCE(tc$sfx.cnt, 0) + 1.0) / " +
+           "CAST(c.n_toks + c.v_size AS DOUBLE))")} AS lp
+       |  FROM voc$sfx CROSS JOIN clsf$sfx c
+       |  LEFT JOIN tc$sfx ON tc$sfx.t = voc$sfx.t AND tc$sfx.label = c.label),
+       |dt$sfx AS (
+       |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_total FROM vl$sfx),
+       |dtk$sfx AS (
        |  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS dcnt
-       |  FROM (SELECT doc_id, unnest(tk) AS t FROM vl) GROUP BY 1, 2),
-       |mt AS (
-       |  SELECT dtk.doc_id, tlp.label,
+       |  FROM (SELECT doc_id, unnest(tk) AS t FROM vl$sfx) GROUP BY 1, 2),
+       |mt$sfx AS (
+       |  SELECT dtk$sfx.doc_id, tlp$sfx.label,
        |    ${sqlDsum("dcnt * lp")} AS s_tok,
        |    CAST(sum(dcnt) AS BIGINT) AS m
-       |  FROM dtk JOIN tlp ON dtk.t = tlp.t GROUP BY 1, 2),
-       |scl AS (
-       |  SELECT dt.doc_id, cf.label,
-       |    ${sqlSig9("cf.lprior + COALESCE(mt.s_tok, 0.0) + " +
-           "CAST(dt.n_total - COALESCE(mt.m, 0) AS DOUBLE) * cf.lp_unseen")}
+       |  FROM dtk$sfx JOIN tlp$sfx ON dtk$sfx.t = tlp$sfx.t GROUP BY 1, 2),
+       |scl$sfx AS (
+       |  SELECT dt$sfx.doc_id, cf.label,
+       |    ${sqlSig9(s"cf.lprior + COALESCE(mt$sfx.s_tok, 0.0) + " +
+           s"CAST(dt$sfx.n_total - COALESCE(mt$sfx.m, 0) AS DOUBLE) * " +
+           "cf.lp_unseen")}
        |      AS score
-       |  FROM dt CROSS JOIN clsf cf
-       |  LEFT JOIN mt ON mt.doc_id = dt.doc_id AND mt.label = cf.label),
-       |best AS (SELECT doc_id, max(score) AS best_score FROM scl GROUP BY 1),
-       |prd AS (
-       |  SELECT scl.doc_id, min(scl.label) AS pred, best.best_score
-       |  FROM scl JOIN best
-       |    ON scl.doc_id = best.doc_id AND scl.score = best.best_score
-       |  GROUP BY 1, 3)
+       |  FROM dt$sfx CROSS JOIN clsf$sfx cf
+       |  LEFT JOIN mt$sfx
+       |    ON mt$sfx.doc_id = dt$sfx.doc_id AND mt$sfx.label = cf.label),
+       |best$sfx AS (
+       |  SELECT doc_id, max(score) AS best_score FROM scl$sfx GROUP BY 1),
+       |prd$sfx AS (
+       |  SELECT scl$sfx.doc_id, min(scl$sfx.label) AS pred,
+       |    best$sfx.best_score
+       |  FROM scl$sfx JOIN best$sfx
+       |    ON scl$sfx.doc_id = best$sfx.doc_id
+       |   AND scl$sfx.score = best$sfx.best_score
+       |  GROUP BY 1, 3)""".stripMargin
+
+  private val nbSql = {
+    val u = s"CAST(${sqlHash60("'split:' || CAST(doc_id AS VARCHAR)")}" +
+      " % 1000000 AS DOUBLE) / 1000000.0"
+    s"""WITH $nbToksCte,
+       |spl AS (SELECT *, $u AS u FROM toks),
+       |tr AS (SELECT * FROM spl WHERE u < CAST(0.8 AS DOUBLE)),
+       |vl AS (SELECT * FROM spl WHERE NOT (u < CAST(0.8 AS DOUBLE))),
+       |${nbModelCtes("")}
        |SELECT prd.doc_id, prd.pred, prd.best_score, vl.lang AS true_lang
        |FROM prd JOIN vl USING (doc_id)""".stripMargin
+  }
+
+  // ===== k-fold cross-validated NB (complement counting) ==============
+
+  /** 5-fold CV accuracy. The ENGINE trains every fold's model from
+    * (global − fold) count algebra in one corpus pass
+    * ([[graft.ext.NaiveBayes.kfoldAccuracy]]); the ORACLE builds each
+    * fold's model the naive way — five literal re-trainings on the
+    * complements via [[nbModelCtes]] — so the complement-counting
+    * shortcut is adjudicated against direct training, fold by fold. */
+  private val kfoldQ: QFn = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+      Hashing.tokens(col("text")).as("tk"))
+    graft.ext.NaiveBayes.kfoldAccuracy(docs, "doc_id", "lang", "tk", k = 5)
+  }
+
+  private val kfoldSql = {
+    val k = 5
+    val chains = (0 until k).map { f =>
+      s"""trf$f AS (SELECT doc_id, lang, tk FROM fl WHERE fold <> $f),
+         |vlf$f AS (SELECT doc_id, lang, tk FROM fl WHERE fold = $f),
+         |${nbModelCtes(s"f$f")},
+         |acc$f AS (
+         |  SELECT CAST($f AS BIGINT) AS fold,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(CASE WHEN p.pred = v.lang THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_correct
+         |  FROM prdf$f p JOIN vlf$f v USING (doc_id))""".stripMargin
+    }
+    s"""WITH $nbToksCte,
+       |fl AS (
+       |  SELECT doc_id, lang, tk,
+       |    ${sqlHash60("'fold:' || CAST(doc_id AS VARCHAR)")} % $k AS fold
+       |  FROM toks),
+       |${chains.mkString(",\n")}
+       |SELECT fold, n_docs, n_correct,
+       |  CAST(n_correct AS DOUBLE) / CAST(n_docs AS DOUBLE) AS accuracy
+       |FROM (${(0 until k).map(f => s"SELECT * FROM acc$f")
+          .mkString(" UNION ALL ")})""".stripMargin
   }
 
   val queries: Map[String, QFn] = Map(
@@ -369,6 +431,7 @@ object LearnQueries {
     "q_x_auc" -> aucQ,
     "q_x_calibration" -> calibrationQ,
     "q_x_naive_bayes" -> nbQ,
+    "q_x_kfold_nb" -> kfoldQ,
     "q_x_pipeline5" -> pipeline5Q)
 
   val oracles: Map[String, String] = Map(
@@ -377,5 +440,6 @@ object LearnQueries {
     "q_x_auc" -> aucSql,
     "q_x_calibration" -> calibrationSql,
     "q_x_naive_bayes" -> nbSql,
+    "q_x_kfold_nb" -> kfoldSql,
     "q_x_pipeline5" -> pipeline5Sql)
 }
