@@ -77,6 +77,80 @@ object LinkQueries {
       |WHERE a.s_suppkey < b.s_suppkey
       |  AND levenshtein(a.s_name, b.s_name) <= 1""".stripMargin
 
+  // ===== PageRank over the part co-purchase graph =====================
+
+  /** Weighted PageRank on the graph whose nodes are parts and whose
+    * edge (a, b) counts the orders containing both — "product
+    * importance" link analysis. 5 power iterations; parts that never
+    * co-occur are dangling nodes whose mass redistributes uniformly.
+    * The oracle replays the IDENTICAL trajectory as generated
+    * iteration CTEs (the GD-trajectory convention), so the
+    * adjudication covers every rank vector, not a converged fixpoint.
+    */
+  private val pagerankIters = 5
+  private val pagerankDamp = "0.85"
+
+  private val pagerankQ: QFn = (s, d) => {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+    val ord = li.groupBy("l_orderkey")
+      .agg(array_sort(array_distinct(collect_list(col("l_partkey"))))
+        .as("ps"))
+    val e = ord.select(explode(col("ps")).as("a"), col("ps"))
+      .select(col("a"), explode(col("ps")).as("b"))
+      .where(col("a") =!= col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("w"))
+    val nodes = li.select(col("l_partkey")).distinct()
+    graft.ext.Graph.pageRank(e, "a", "b", "w", nodes, "l_partkey",
+        iters = pagerankIters, damping = pagerankDamp.toDouble)
+      .select(col("node").cast("long").as("part"), col("rank"))
+  }
+
+  private val pagerankSql = {
+    val dmp = pagerankDamp
+    val scale = graft.ext.Graph.SumScale
+    // (1 - d) is computed ONCE here in DOUBLE arithmetic and embedded
+    // at full round-trip precision: a bare SQL "(1.0 - 0.85)" would be
+    // exact DECIMAL subtraction (0.15) in both DuckDB and Spark SQL,
+    // one ulp away from the engine's double 1.0 - 0.85 — enough to
+    // flip sig9 at a rounding tie (the decay-lambda convention)
+    val baseNum = 1.0 - pagerankDamp.toDouble
+    val iterCtes = (1 to pagerankIters).map { i =>
+      val rp = s"r${i - 1}"
+      s"""c$i AS (
+         |  SELECT e.b AS v,
+         |    ${sqlDsumStable(sqlSig9(
+             "rp.r * CAST(e.w AS DOUBLE) / CAST(ow.ow AS DOUBLE)"), scale)}
+         |      AS s
+         |  FROM e JOIN $rp rp ON e.a = rp.v JOIN ow ON ow.v = e.a
+         |  GROUP BY 1),
+         |d$i AS (
+         |  SELECT COALESCE(${sqlDsumStable("rp.r", scale)}, 0.0) AS dm
+         |  FROM $rp rp LEFT JOIN ow ON ow.v = rp.v WHERE ow.v IS NULL),
+         |r$i AS (
+         |  SELECT nodes.v, ${sqlSig9(s"CAST($baseNum AS DOUBLE) + $dmp * " +
+             "(COALESCE(c.s, 0.0) + d.dm / CAST(nn.n AS DOUBLE))")} AS r
+         |  FROM nodes CROSS JOIN d$i d CROSS JOIN nn
+         |  LEFT JOIN c$i c ON c.v = nodes.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+       |ord AS (
+       |  SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS ps
+       |  FROM li GROUP BY 1),
+       |ea AS (SELECT unnest(ps) AS a, ps FROM ord),
+       |eb AS (SELECT a, unnest(ps) AS b FROM ea),
+       |e AS (
+       |  SELECT a, b, CAST(count(*) AS BIGINT) AS w FROM eb
+       |  WHERE a <> b GROUP BY 1, 2),
+       |nodes AS (SELECT DISTINCT l_partkey AS v FROM li),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       |ow AS (SELECT a AS v, CAST(sum(w) AS BIGINT) AS ow FROM e GROUP BY 1),
+       |r0 AS (SELECT v, CAST(1.0 AS DOUBLE) AS r FROM nodes),
+       |$iterCtes
+       |SELECT v AS part,
+       |  ${sqlSig9(s"r$pagerankIters.r / CAST(nn.n AS DOUBLE)")} AS rank
+       |FROM r$pagerankIters, nn""".stripMargin
+  }
+
   // ===== SCD2 historization ===========================================
 
   /** events as a change log of each user's `event_type` attribute:
@@ -119,10 +193,12 @@ object LinkQueries {
   val queries: Map[String, QFn] = Map(
     "q_x_fuzzy_join" -> fuzzyJoin,
     "q_x_edit_join" -> editJoin,
+    "q_x_pagerank" -> pagerankQ,
     "q_x_scd2" -> scd2)
 
   val oracles: Map[String, String] = Map(
     "q_x_fuzzy_join" -> fuzzyJoinSql,
     "q_x_edit_join" -> editJoinSql,
+    "q_x_pagerank" -> pagerankSql,
     "q_x_scd2" -> scd2Sql)
 }

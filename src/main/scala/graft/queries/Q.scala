@@ -54,6 +54,25 @@ object Q {
     * decimal values are summed), minus the per-row cast. */
   def dsumPre(c: Column): Column = sig9(sum(c).cast(DoubleType))
 
+  /** [[dsum]] variant that is safe when the summed terms are GRANULAR
+    * (already sig9'd, so digit positions align): such sums routinely
+    * land EXACTLY on a 9-sig-digit rounding half-step, where the two
+    * engines' differing DECIMAL->DOUBLE casts (1 ulp apart) tip the
+    * final sig9 to adjacent values. Rounding the decimal sum to
+    * `scale` decimal places IN DECIMAL SPACE first is exact and
+    * engine-identical (both round half away from zero for the
+    * positive values this is used on), and a decimal with <= 15
+    * significant digits casts to double exactly on both engines — so
+    * the value entering sig9 is bit-identical and ties cannot flip.
+    * Pick `scale` so |value| * 10^scale stays under 15 digits
+    * (scale=13 covers |value| < 100). */
+  def dsumStable(c: Column, scale: Int): Column =
+    sig9(round(sum(c.cast(DecimalType(38, 15))), scale).cast(DoubleType))
+
+  def sqlDsumStable(expr: String, scale: Int): String =
+    sqlSig9(s"CAST(ROUND(SUM(CAST(($expr) AS DECIMAL(38,15))), $scale) " +
+      "AS DOUBLE)")
+
   /** Order-independent avg (null-skipping, like the oracle's SUM/COUNT). */
   def davg(c: Column): Column = dsum(c) / count(c)
 
