@@ -863,6 +863,77 @@ object Similarity {
       .select(col("qid"), col("rank"), col("vid").as("cid"), col("score"))
   }
 
+  /** MMR (Maximal Marginal Relevance, Carbonell & Goldstein '98)
+    * diverse re-ranking: from a per-query candidate pool, pick k items
+    * one at a time by argmax of
+    * `lambda·rel(c) − (1−lambda)·max_{s∈selected} sim(c, s)` — the
+    * standard redundancy-killer between retrieval and a RAG prompt
+    * (ten near-identical top hits waste nine context slots).
+    *
+    * Shape: selection is inherently sequential in k but the frames it
+    * touches are BOUNDED — candidates come pre-cut to a per-query
+    * top-M, so the pairwise sim matrix is (M²·|Q|) rows and each of
+    * the k rounds is an equi-join + argmax over it. The corpus-sized
+    * work (scoring + top-M) happens once, upstream, in
+    * [[bruteTopK]]/[[lshTopK]]; re-ranking cost is independent of
+    * corpus size. Each round's argmax ties break to the smallest
+    * candidate id (scores are sig9-derived, so ties are
+    * engine-independent); (1−lambda) must be embedded as the SAME
+    * double on both engines (a SQL `1 - 0.7` is decimal-exact, one
+    * ulp off the engine's double — the PageRank base lesson).
+    *
+    * @param cands (qid, cid, rel, cv) — per-query candidate pool:
+    *              sig9'd relevance + the candidate's vector
+    * @return (qid, rank, cid, mmr_score) — rank 1..k per query
+    *         (fewer if the pool is smaller); rank-1 score is the raw
+    *         relevance (nothing selected yet to be redundant with)
+    */
+  def mmrRerank(cands: DataFrame, k: Int, lambda: Double): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(lambda > 0 && lambda < 1, s"lambda must be in (0,1), got $lambda")
+    val oml = 1.0 - lambda
+    val base = cands.select(col("qid"), col("cid"), col("rel"), col("cv"))
+      .withColumn("cn", normSq(col("cv"))).localCheckpoint()
+    val a = base.select(col("qid"), col("cid").as("cid_a"),
+      col("cv").as("va"), col("cn").as("na"))
+    val b = base.select(col("qid"), col("cid").as("cid_b"),
+      col("cv").as("vb"), col("cn").as("nb"))
+    val pair = sig9Score(
+      a.join(b, "qid").filter(col("cid_a") =!= col("cid_b")),
+      Seq("qid", "cid_a", "cid_b"),
+      cosine(dot(col("va"), col("vb")), col("na"), col("nb")), "sim")
+      .localCheckpoint()
+
+    def argmaxPerQ(df: DataFrame): DataFrame = {
+      val best = df.groupBy("qid").agg(max(col("score")).as("__b"))
+      df.join(best, "qid").where(col("score") === col("__b"))
+        .groupBy(col("qid"), col("__b")).agg(min(col("cid")).as("cid"))
+        .select(col("qid"), col("cid"), col("__b").as("score"))
+    }
+
+    var selected = argmaxPerQ(base.select(col("qid"), col("cid"),
+        col("rel").as("score")))
+      .withColumn("rank", lit(1L))
+    for (i <- 2 to k) {
+      val rem = base.select(col("qid"), col("cid"), col("rel"))
+        .join(selected.select("qid", "cid"), Seq("qid", "cid"), "left_anti")
+      val ms = pair
+        .join(selected.select(col("qid"), col("cid").as("cid_b")),
+          Seq("qid", "cid_b"))
+        .groupBy(col("qid"), col("cid_a").as("cid"))
+        .agg(max(col("sim")).as("ms"))
+      val scored = rem.join(ms, Seq("qid", "cid"))
+        .withColumn("score",
+          lit(lambda) * col("rel") - lit(oml) * col("ms"))
+        .select(col("qid"), col("cid"), col("score"))
+      selected = selected
+        .unionByName(argmaxPerQ(scored).withColumn("rank", lit(i.toLong)))
+        .localCheckpoint()
+    }
+    selected.select(col("qid"), col("rank"), col("cid"),
+      col("score").as("mmr_score"))
+  }
+
   /** Embedding near-duplicate pairs: each query row's candidates with
     * cosine >= threshold. Queries broadcast (catalog-probe shape). */
   def nearDupPairs(queries: DataFrame, candidates: DataFrame,

@@ -517,6 +517,93 @@ object ExtQueries {
        |SELECT qid, CAST(rn AS BIGINT) AS "rank", cid, score
        |FROM t WHERE rn <= 5""".stripMargin
 
+  // ===== similarity: MMR diverse re-ranking =============================
+
+  /** Brute top-20 per query (qid < 20) re-ranked to a diverse top-5 by
+    * MMR at lambda 0.7. The oracle replays all five selection rounds
+    * as generated CTEs — argmax of rel, then argmax of
+    * lambda·rel − (1−lambda)·max-sim-to-selected over the shrinking
+    * remainder — adjudicating the sequential selection itself. */
+  private val mmrQ: QFn = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val top = Similarity.bruteTopK(emb.filter(col("vec_id") < 20), emb, 20)
+    val cands = top
+      .join(emb.select(col("vec_id").as("cid"), col("embedding").as("cv")),
+        "cid")
+      .select(col("qid"), col("cid"), col("score").as("rel"), col("cv"))
+    Similarity.mmrRerank(cands, k = 5, lambda = 0.7)
+  }
+
+  private val mmrSql = {
+    // (1 - lambda) embedded as the engine's DOUBLE (a SQL 1 - 0.7 is
+    // decimal-exact, one ulp off — the PageRank base lesson)
+    val oml = (1.0 - 0.7).toString
+    // AS MATERIALIZED (DuckDB-only; this text never reaches Spark):
+    // the cum/s chain references each predecessor several times, and
+    // DuckDB's default CTE inlining re-evaluates them — exponential in
+    // k (measured: the inlined form never finished; materialized runs
+    // in seconds at every SF)
+    val steps = (2 to 5).map { i =>
+      val prev = s"cum${i - 1}"
+      s"""ms$i AS MATERIALIZED (
+         |  SELECT pr.qid, pr.ca AS cid, max(pr.sim) AS ms
+         |  FROM pr JOIN $prev sl ON pr.qid = sl.qid AND pr.cb = sl.cid
+         |  GROUP BY 1, 2),
+         |sc$i AS MATERIALIZED (
+         |  SELECT rm.qid, rm.cid,
+         |    0.7 * rm.rel - CAST($oml AS DOUBLE) * ms$i.ms AS score
+         |  FROM (SELECT tv.qid, tv.cid, tv.rel FROM tv
+         |        LEFT JOIN $prev sl
+         |          ON tv.qid = sl.qid AND tv.cid = sl.cid
+         |        WHERE sl.cid IS NULL) rm
+         |  JOIN ms$i ON ms$i.qid = rm.qid AND ms$i.cid = rm.cid),
+         |b$i AS (SELECT qid, max(score) AS b FROM sc$i GROUP BY 1),
+         |s$i AS MATERIALIZED (
+         |  SELECT sc$i.qid, min(sc$i.cid) AS cid, b$i.b AS score
+         |  FROM sc$i JOIN b$i
+         |    ON sc$i.qid = b$i.qid AND sc$i.score = b$i.b
+         |  GROUP BY 1, 3),
+         |cum$i AS MATERIALIZED (
+         |  SELECT qid, cid FROM $prev
+         |  UNION ALL SELECT qid, cid FROM s$i)""".stripMargin
+    }.mkString(",\n")
+    val finalSel = (1 to 5).map(i =>
+      s"""SELECT qid, CAST($i AS BIGINT) AS "rank", cid, score AS mmr_score
+         |FROM s$i""".stripMargin).mkString("\nUNION ALL\n")
+    s"""WITH n AS (
+       |  SELECT vec_id, embedding, ${nsqSql("embedding")} AS nsq
+       |  FROM embeddings),
+       |p AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS cid,
+       |    ${dotSql("q.embedding", "c.embedding")}
+       |      / (sqrt(q.nsq) * sqrt(c.nsq)) AS cosv
+       |  FROM n q CROSS JOIN n c
+       |  WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id),
+       |r AS (
+       |  SELECT qid, cid, ${sqlSig9("cosv")} AS score FROM p),
+       |t AS (
+       |  SELECT qid, cid, score, ROW_NUMBER() OVER (
+       |    PARTITION BY qid ORDER BY score DESC, cid) AS rn
+       |  FROM r),
+       |tm AS (SELECT qid, cid, score AS rel FROM t WHERE rn <= 20),
+       |tv AS MATERIALIZED (
+       |  SELECT tm.qid, tm.cid, tm.rel, n.embedding AS cv, n.nsq AS cn
+       |  FROM tm JOIN n ON n.vec_id = tm.cid),
+       |pr AS MATERIALIZED (
+       |  SELECT x.qid, x.cid AS ca, y.cid AS cb,
+       |    ${sqlSig9(s"${dotSql("x.cv", "y.cv")} / (sqrt(x.cn) * sqrt(y.cn))")}
+       |      AS sim
+       |  FROM tv x JOIN tv y ON x.qid = y.qid AND x.cid <> y.cid),
+       |b1 AS (SELECT qid, max(rel) AS b FROM tv GROUP BY 1),
+       |s1 AS MATERIALIZED (
+       |  SELECT tv.qid, min(tv.cid) AS cid, b1.b AS score
+       |  FROM tv JOIN b1 ON tv.qid = b1.qid AND tv.rel = b1.b
+       |  GROUP BY 1, 3),
+       |cum1 AS MATERIALIZED (SELECT qid, cid FROM s1),
+       |$steps
+       |$finalSel""".stripMargin
+  }
+
   // ===== similarity: embedding near-dup (catalog probe) =================
 
   /** Deterministically perturbed copies of every 5th vector, id-shifted
@@ -1619,6 +1706,7 @@ object ExtQueries {
     "q_x_simhash" -> simhash,
     "q_x_jaccard_nn" -> jaccardNn,
     "q_x_ann_brute" -> annBrute,
+    "q_x_mmr" -> mmrQ,
     "q_x_embed_neardup" -> embedNearDup,
     "q_x_semdedup" -> semDedupQ,
     "q_x_ann_lsh_recall" -> annLshRecall,
@@ -1665,6 +1753,7 @@ object ExtQueries {
     "q_x_simhash" -> simhashSql,
     "q_x_jaccard_nn" -> jaccardNnSql,
     "q_x_ann_brute" -> annBruteSql,
+    "q_x_mmr" -> mmrSql,
     "q_x_embed_neardup" -> embedNearDupSql,
     "q_x_semdedup" -> semDedupSql,
     "q_x_ann_lsh_recall" -> annLshRecallSql,

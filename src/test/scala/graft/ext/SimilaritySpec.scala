@@ -458,6 +458,49 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("mmrRerank: diversity beats redundancy at the second pick") {
+    // candidates for one query: two near-identical high-rel vectors
+    // (0.95, 0.94) and one orthogonal-ish lower-rel vector (0.80).
+    // Pure relevance ranks the twin second; MMR at lambda .7 must
+    // pick the diverse one instead.
+    val cands = Seq(
+      (1L, 10L, 0.95, Seq(1.0f, 0.0f)),
+      (1L, 11L, 0.94, Seq(0.999f, 0.01f)),
+      (1L, 12L, 0.80, Seq(0.0f, 1.0f)))
+      .toDF("qid", "cid", "rel", "cv")
+    val out = Similarity.mmrRerank(cands, k = 3, lambda = 0.7)
+      .orderBy("rank").select("rank", "cid")
+      .as[(Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 10L), (2L, 12L), (3L, 11L)))
+  }
+
+  test("mmrRerank: rank-1 is pure relevance argmax; ties to smaller cid") {
+    val cands = Seq(
+      (1L, 21L, 0.9, Seq(1.0f, 0.0f)),
+      (1L, 20L, 0.9, Seq(0.0f, 1.0f))) // same rel — 20 wins
+      .toDF("qid", "cid", "rel", "cv")
+    val out = Similarity.mmrRerank(cands, 1, 0.7)
+      .select("rank", "cid").as[(Long, Long)].collect()
+    assert(out.toSeq === Seq((1L, 20L)))
+  }
+
+  test("mmrRerank: pool smaller than k stops early, per query") {
+    val cands = Seq(
+      (1L, 1L, 0.9, Seq(1.0f, 0.0f)),
+      (2L, 2L, 0.8, Seq(1.0f, 0.0f)),
+      (2L, 3L, 0.7, Seq(0.0f, 1.0f)))
+      .toDF("qid", "cid", "rel", "cv")
+    val out = Similarity.mmrRerank(cands, 5, 0.7)
+      .select("qid", "rank", "cid").as[(Long, Long, Long)].collect().toSet
+    assert(out === Set((1L, 1L, 1L), (2L, 1L, 2L), (2L, 2L, 3L)))
+  }
+
+  test("mmrRerank: invalid params rejected") {
+    val c = Seq((1L, 1L, 0.9, Seq(1.0f))).toDF("qid", "cid", "rel", "cv")
+    intercept[IllegalArgumentException] { Similarity.mmrRerank(c, 0, 0.7) }
+    intercept[IllegalArgumentException] { Similarity.mmrRerank(c, 1, 1.0) }
+  }
+
   test("nearDupPairs finds only true near-duplicates at 0.99") {
     val queries = base.filter(col("vec_id") < 5)
       .select((col("vec_id") + 1000).as("qid"),
