@@ -65,6 +65,37 @@ object TimeSeries {
         graft.queries.Q.dsum(v).as("sum_v"))
   }
 
+  /** Weekly seasonal profile: per (keys, day-of-week, hour-of-day),
+    * the mean value over the whole history — the seasonal-naive
+    * decomposition baseline every monitoring system runs before
+    * calling something an anomaly ("is Tuesday 3am ALWAYS this
+    * quiet?"). Day-of-week follows Spark's dayofweek (Sunday = 1).
+    *
+    * One map-side-combinable hash aggregate over bounded slot keys
+    * (|keys| × 168); means route through the exact decimal sum
+    * ([[graft.queries.Q.davg]]). */
+  def seasonalProfile(events: DataFrame, keyCols: Seq[String],
+      tsCol: String, valCol: String): DataFrame =
+    events
+      .groupBy(keyCols.map(col) :+
+        dayofweek(col(tsCol)).cast("long").as("dow") :+
+        hour(col(tsCol)).cast("long").as("hod"): _*)
+      .agg(count(lit(1)).as("n_events"),
+        graft.queries.Q.davg(col(valCol)).as("mean_v"))
+
+  /** Residuals against the [[seasonalProfile]]: each event's value
+    * minus its slot's seasonal mean. The profile is a bounded frame —
+    * broadcast-joined, so deseasonalizing is a map-side projection
+    * over the stream at any corpus size. The subtraction is one IEEE
+    * op on the sig9'd mean — bit-identical everywhere. */
+  def deseasonalize(events: DataFrame, profile: DataFrame,
+      keyCols: Seq[String], tsCol: String, valCol: String): DataFrame =
+    events
+      .withColumn("dow", dayofweek(col(tsCol)).cast("long"))
+      .withColumn("hod", hour(col(tsCol)).cast("long"))
+      .join(broadcast(profile), keyCols :+ "dow" :+ "hod")
+      .withColumn("resid", col(valCol) - col("mean_v"))
+
   /** Gap-filling linear interpolation at a fixed cadence: per key,
     * a `stepSeconds`-aligned grid spanning [ceil(first sample),
     * floor(last sample)], each grid point valued by linear

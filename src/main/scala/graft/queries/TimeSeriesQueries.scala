@@ -84,11 +84,73 @@ object TimeSeriesQueries {
        |FROM p JOIN n ON p.user_id = n.user_id AND p.gts = n.gts""".stripMargin
   }
 
+  // ===== weekly seasonal profile + residuals =========================
+
+  /** Per-event_type seasonal slot means and each event's residual
+    * against its slot — the "is this normal for Tuesday 3am?"
+    * decomposition. The profile is bounded (5 types x 168 slots) and
+    * broadcast; residual attachment is a map-side projection. */
+  private val seasonalQ: QFn = (s, d) => {
+    val ev = Tables.events(s, d)
+    val prof = TimeSeries.seasonalProfile(ev, Seq("event_type"), "ts", "value")
+    TimeSeries.deseasonalize(ev, prof, Seq("event_type"), "ts", "value")
+      .select(col("event_id"), col("event_type"), col("dow"), col("hod"),
+        col("value"), col("mean_v"), col("resid"))
+  }
+
+  private val seasonalSql =
+    s"""WITH p AS (
+       |  SELECT event_type,
+       |    CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+       |    CAST(hour(ts) AS BIGINT) AS hod,
+       |    CAST(count(*) AS BIGINT) AS n_events,
+       |    ${Q.sqlDavg("value")} AS mean_v
+       |  FROM events GROUP BY 1, 2, 3)
+       |SELECT e.event_id, e.event_type,
+       |  CAST(dayofweek(e.ts) + 1 AS BIGINT) AS dow,
+       |  CAST(hour(e.ts) AS BIGINT) AS hod,
+       |  e.value, p.mean_v, e.value - p.mean_v AS resid
+       |FROM events e JOIN p
+       |  ON p.event_type = e.event_type
+       | AND p.dow = CAST(dayofweek(e.ts) + 1 AS BIGINT)
+       | AND p.hod = CAST(hour(e.ts) AS BIGINT)""".stripMargin
+
+  // ===== incremental aggregate maintenance ===========================
+
+  /** Per-user rollup maintained INCREMENTALLY: the engine builds
+    * separate mergeable states for two disjoint batches of the event
+    * log and folds them ([[graft.ext.Rollup]]); the oracle computes
+    * the same rollup directly over the full log — adjudicating
+    * `merge(state(A), state(B)) == state(A ∪ B)` exactly. */
+  private val aggMergeQ: QFn = (s, d) => {
+    val ev = Tables.events(s, d)
+    val state = graft.ext.Rollup.mergeStates(
+      graft.ext.Rollup.aggState(
+        ev.where(col("event_id") % 3 =!= 0), Seq("user_id"), "value"),
+      graft.ext.Rollup.aggState(
+        ev.where(col("event_id") % 3 === 0), Seq("user_id"), "value"),
+      Seq("user_id"))
+    graft.ext.Rollup.report(state, Seq("user_id"))
+  }
+
+  private val aggMergeSql =
+    s"""SELECT user_id,
+       |  CAST(count(value) AS BIGINT) AS n,
+       |  ${Q.sqlDsum("value")} AS sum_v,
+       |  min(value) AS min_v,
+       |  max(value) AS max_v,
+       |  ${Q.sqlDavg("value")} AS avg_v
+       |FROM events GROUP BY 1""".stripMargin
+
   val queries: Map[String, QFn] = Map(
     "q_x_resample" -> resampleQ,
-    "q_x_interp" -> interpQ)
+    "q_x_interp" -> interpQ,
+    "q_x_seasonal" -> seasonalQ,
+    "q_x_agg_merge" -> aggMergeQ)
 
   val oracles: Map[String, String] = Map(
     "q_x_resample" -> resampleSql,
-    "q_x_interp" -> interpSql)
+    "q_x_interp" -> interpSql,
+    "q_x_seasonal" -> seasonalSql,
+    "q_x_agg_merge" -> aggMergeSql)
 }

@@ -85,4 +85,25 @@ class TimeSeriesSpec extends SparkSpec {
     val g = interp(ev(("a", 1, "2024-01-01 05:00:00", 4.0)))
     assert(g === Set(("a", "01-01 05:00", 4.0)))
   }
+
+  test("seasonal profile: slot means and residuals") {
+    // 2024-01-01 is a Monday (Spark dow = 2); two Mondays 10:00 for
+    // key a → mean 15, plus one Tuesday 10:00 slot
+    val df = ev(
+      ("a", 1, "2024-01-01 10:15:00", 10.0),
+      ("a", 2, "2024-01-08 10:45:00", 20.0),
+      ("a", 3, "2024-01-02 10:00:00", 7.0))
+    val prof = TimeSeries.seasonalProfile(df, Seq("k"), "ts", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)) ->
+        (r.getLong(3), r.getDouble(4))).toMap
+    assert(prof === Map(
+      ("a", 2L, 10L) -> ((2L, 15.0)),
+      ("a", 3L, 10L) -> ((1L, 7.0))))
+    val res = TimeSeries.deseasonalize(df,
+        TimeSeries.seasonalProfile(df, Seq("k"), "ts", "v"),
+        Seq("k"), "ts", "v")
+      .select(col("id"), col("resid"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(res === Map(1L -> -5.0, 2L -> 5.0, 3L -> 0.0))
+  }
 }
