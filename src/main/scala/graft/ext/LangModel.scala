@@ -85,6 +85,32 @@ object LangModel {
       .groupBy(col("p.t1").as("t1"), col("p.t2").as("t2"))
       .agg(count(lit(1)).as("c2"))
 
+  /** Pointwise mutual information per adjacent pair — the classic
+    * collocation detector (Church & Hanks '90; the word2vec-era
+    * phrase-merging criterion): PMI(a,b) =
+    * ln((c2/N2) / ((c1(a)/N1)·(c1(b)/N1))). Positive = the pair
+    * co-occurs more than its parts predict ("new york"); ~0 =
+    * independence; negative = avoidance. `minCount` drops rare pairs
+    * whose PMI is noise (the standard practice).
+    *
+    * Shape: two token-keyed equi-joins against the unigram model +
+    * two one-row broadcast totals — scan-bound at any corpus size.
+    * Determinism: the probability ratio is fixed IEEE arithmetic on
+    * exact counts; ln is the one libm step, sig9'd. */
+  def pmi(uni: DataFrame, bi: DataFrame, minCount: Long = 5L): DataFrame = {
+    val n1 = uni.agg(sum(col("c")).cast("long").as("n1"))
+    val n2 = bi.agg(sum(col("c2")).cast("long").as("n2"))
+    bi.where(col("c2") >= minCount)
+      .join(uni.select(col("tok").as("t1"), col("c").as("c1a")), "t1")
+      .join(uni.select(col("tok").as("t2"), col("c").as("c1b")), "t2")
+      .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+      .withColumn("pmi", graft.queries.Q.sig9(log(
+        (col("c2").cast("double") / col("n2").cast("double")) /
+          ((col("c1a").cast("double") / col("n1").cast("double")) *
+            (col("c1b").cast("double") / col("n1").cast("double"))))))
+      .select(col("t1"), col("t2"), col("c2"), col("pmi"))
+  }
+
   /** Interpolated bigram scoring — the CCNet-style perplexity gate in
     * its engine-portable, ln()-free form. Per bigram position:
     * p = lambda·(c2(t1,t2)/c1(t1)) + (1−lambda)·(c1(t2)/N) — the

@@ -141,6 +141,42 @@ object CorpusQueries {
        |FROM j GROUP BY doc_id""".stripMargin
   }
 
+  // ===== PMI collocations ==============================================
+
+  /** Corpus collocations: PMI over adjacent token pairs with count
+    * >= 5 — positive for pairs that co-occur beyond what their
+    * marginals predict. Counts exact; the probability ratio fixed
+    * IEEE; ln sig9'd. */
+  private val pmiQ: QFn = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), Hashing.tokens(col("text")).as("tk"))
+    LangModel.pmi(LangModel.unigramCounts(toks, "tk"),
+      LangModel.bigramCounts(toks, "tk"), minCount = 5L)
+  }
+
+  private val pmiSql =
+    s"""WITH $toksSql,
+       |u AS (SELECT unnest(tk) AS tok FROM toks),
+       |c1 AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM u
+       |       GROUP BY tok),
+       |n1 AS (SELECT CAST(SUM(c) AS BIGINT) AS n1 FROM c1),
+       |bg AS (
+       |  SELECT unnest(tk[1:len(tk)-1]) AS t1,
+       |         unnest(tk[2:len(tk)]) AS t2
+       |  FROM toks),
+       |c2 AS (SELECT t1, t2, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg
+       |       GROUP BY t1, t2),
+       |n2 AS (SELECT CAST(SUM(c2) AS BIGINT) AS n2 FROM c2)
+       |SELECT c2.t1, c2.t2, c2.c2,
+       |  ${sqlSig9("ln((CAST(c2.c2 AS DOUBLE) / CAST(n2.n2 AS DOUBLE)) / " +
+           "((CAST(a.c AS DOUBLE) / CAST(n1.n1 AS DOUBLE)) * " +
+           "(CAST(b.c AS DOUBLE) / CAST(n1.n1 AS DOUBLE))))")} AS pmi
+       |FROM c2
+       |JOIN c1 a ON a.tok = c2.t1
+       |JOIN c1 b ON b.tok = c2.t2
+       |CROSS JOIN n1 CROSS JOIN n2
+       |WHERE c2.c2 >= 5""".stripMargin
+
   // ===== BM25 retrieval =================================================
 
   // ===== reciprocal-rank fusion =========================================
@@ -472,6 +508,7 @@ object CorpusQueries {
     "q_x_decontam" -> decontam,
     "q_x_unigram_lm" -> unigramLm,
     "q_x_bigram_lm" -> bigramLm,
+    "q_x_pmi" -> pmiQ,
     "q_x_bm25" -> bm25,
     "q_x_split" -> splitAssignQ,
     "q_x_zorder" -> zorderQ,
@@ -487,6 +524,7 @@ object CorpusQueries {
     "q_x_decontam" -> decontamSql,
     "q_x_unigram_lm" -> unigramLmSql,
     "q_x_bigram_lm" -> bigramLmSql,
+    "q_x_pmi" -> pmiSql,
     "q_x_bm25" -> bm25Sql,
     "q_x_split" -> splitAssignSql,
     "q_x_zorder" -> zorderSql,

@@ -82,6 +82,27 @@ class LangModelSpec extends SparkSpec {
       (3L, "c", 3L, 10.0 / 11)))
   }
 
+  test("pmi: collocation positive, independence ~0, minCount gates") {
+    import graft.functions.GraftMath
+    // "a b" always adjacent (collocation); "c"/"d" appear but never as
+    // a counted frequent pair
+    val docs = (1 to 10).map(_ => "a b c d").toDF("text")
+      .select(Hashing.tokens(col("text")).as("tk"))
+    val uni = LangModel.unigramCounts(docs, "tk")
+    val bi = LangModel.bigramCounts(docs, "tk")
+    val p = LangModel.pmi(uni, bi, minCount = 5L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // N1 = 40 positions, N2 = 30 pairs; c(a)=c(b)=10, c2(a,b)=10
+    // PMI(a,b) = ln((10/30) / ((10/40)*(10/40))) = ln(16/3)
+    val exp = GraftMath.sig9(math.log((10.0 / 30.0) /
+      ((10.0 / 40.0) * (10.0 / 40.0))))
+    assert(p(("a", "b")) === ((10L, exp)))
+    assert(p.keySet === Set(("a", "b"), ("b", "c"), ("c", "d")))
+    // pairs below minCount are gated
+    assert(LangModel.pmi(uni, bi, minCount = 11L).count() === 0L)
+  }
+
   test("vocabCoverage is partition-invariant and topV-bounded") {
     val docs = (1L to 200L).map(i => s"tok${i % 9} tok${i % 4}")
       .toDF("text").select(Hashing.tokens(col("text")).as("tk"))
