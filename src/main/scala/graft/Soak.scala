@@ -114,14 +114,33 @@ object Soak {
         col("event_type"), col("value"), col("props"))
     }.reduce(_ unionByName _)
 
-    // lineitem feeds aggregate-only soak rows (histogram, group corr):
-    // straight replication with re-idd order keys is shape-true there
-    // (10x the rows, identical value distribution)
+    // lineitem feeds aggregate soak rows (histogram, group corr —
+    // value distribution untouched) AND the co-purchase PageRank row:
+    // re-idding l_orderkey gives 10x orders; re-idding l_partkey with
+    // the SAME step as the part table gives 10 DISJOINT co-purchase
+    // subgraphs (10x nodes and edges — graph growth true-to-shape;
+    // keeping partkeys would only densify the same 20k nodes)
     val li = spark.read.parquet(s"$base/lineitem.parquet")
     val liStep = li.agg(max("l_orderkey")).head().getLong(0) + 1
     val scaledLi = (0 until replicas).map { i =>
       if (i == 0) li
       else li.withColumn("l_orderkey", col("l_orderkey") + lit(i * liStep))
+        .withColumn("l_partkey", col("l_partkey") + lit(i * partStep))
+    }.reduce(_ unionByName _)
+
+    // supplier feeds the edit-distance join row: replicas prefix names
+    // with "iii_" (three repeated digits), keeping every cross-replica
+    // pair at levenshtein >= 3 — replicas stay DISJOINT at d=1, so the
+    // matching problem grows 10x linearly (a 1-char suffix would put
+    // cross-replica pairs at distance 1 and grow pairs quadratically)
+    val sup = spark.read.parquet(s"$base/supplier.parquet")
+    val supStep = sup.agg(max("s_suppkey")).head().getLong(0) + 1
+    val scaledSup = (0 until replicas).map { i =>
+      if (i == 0) sup
+      else sup
+        .withColumn("s_suppkey", col("s_suppkey") + lit(i * supStep))
+        .withColumn("s_name", concat(lit(i.toString * 3 + "_"),
+          col("s_name")))
     }.reduce(_ unionByName _)
 
     scaledPart.repartition(4).write.mode("overwrite")
@@ -130,6 +149,8 @@ object Soak {
       .parquet(s"$out/events.parquet")
     scaledLi.repartition(8).write.mode("overwrite")
       .parquet(s"$out/lineitem.parquet")
+    scaledSup.repartition(4).write.mode("overwrite")
+      .parquet(s"$out/supplier.parquet")
   }
 
   def main(args: Array[String]): Unit = {
@@ -153,9 +174,11 @@ object Soak {
       System.err.println(s"[soak] generating ${replicas}x fixtures at $out")
       generate(spark, base, out, replicas)
     }
-    if (!Files.exists(Paths.get(out, "lineitem.parquet"))) {
+    if (!Files.exists(Paths.get(out, "lineitem.parquet")) ||
+        !Files.exists(Paths.get(out, "supplier.parquet"))) {
       System.err.println(
-        s"[soak] generating ${replicas}x part/events/lineitem at $out")
+        s"[soak] generating ${replicas}x part/events/lineitem/supplier " +
+          s"at $out")
       generateRelational(spark, base, out, replicas)
     }
 
@@ -175,7 +198,11 @@ object Soak {
       "q_x_weighted_sample", "q_x_bpe_decode",
       "q_x_group_corr", "q_x_histogram",
       "q_x_logistic", "q_x_linreg", "q_x_auc", "q_x_psi",
-      "q_x_calibration", "q_x_pipeline5")
+      "q_x_calibration", "q_x_pipeline5",
+      // round-9 fourth batch
+      "q_x_resample", "q_x_interp", "q_x_seasonal", "q_x_agg_merge",
+      "q_x_edit_join", "q_x_naive_bayes", "q_x_kfold_nb",
+      "q_x_pagerank", "q_x_mmr")
 
     def runOnce(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
