@@ -120,11 +120,24 @@ object Soak {
     // the SAME step as the part table gives 10 DISJOINT co-purchase
     // subgraphs (10x nodes and edges — graph growth true-to-shape;
     // keeping partkeys would only densify the same 20k nodes)
+    // orders shares the order-key step with lineitem (l_orderkey is a
+    // subset of o_orderkey, so the step comes from orders' max) and
+    // re-ids customers — the HITS bipartite graph then grows 10x on
+    // BOTH sides with replicas disjoint, true-to-shape
+    val ord = spark.read.parquet(s"$base/orders.parquet")
+    val orderStep = ord.agg(max("o_orderkey")).head().getLong(0) + 1
+    val custStep = ord.agg(max("o_custkey")).head().getLong(0) + 1
+    val scaledOrd = (0 until replicas).map { i =>
+      if (i == 0) ord
+      else ord
+        .withColumn("o_orderkey", col("o_orderkey") + lit(i * orderStep))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * custStep))
+    }.reduce(_ unionByName _)
+
     val li = spark.read.parquet(s"$base/lineitem.parquet")
-    val liStep = li.agg(max("l_orderkey")).head().getLong(0) + 1
     val scaledLi = (0 until replicas).map { i =>
       if (i == 0) li
-      else li.withColumn("l_orderkey", col("l_orderkey") + lit(i * liStep))
+      else li.withColumn("l_orderkey", col("l_orderkey") + lit(i * orderStep))
         .withColumn("l_partkey", col("l_partkey") + lit(i * partStep))
     }.reduce(_ unionByName _)
 
@@ -151,6 +164,8 @@ object Soak {
       .parquet(s"$out/lineitem.parquet")
     scaledSup.repartition(4).write.mode("overwrite")
       .parquet(s"$out/supplier.parquet")
+    scaledOrd.repartition(8).write.mode("overwrite")
+      .parquet(s"$out/orders.parquet")
   }
 
   def main(args: Array[String]): Unit = {
@@ -175,7 +190,8 @@ object Soak {
       generate(spark, base, out, replicas)
     }
     if (!Files.exists(Paths.get(out, "lineitem.parquet")) ||
-        !Files.exists(Paths.get(out, "supplier.parquet"))) {
+        !Files.exists(Paths.get(out, "supplier.parquet")) ||
+        !Files.exists(Paths.get(out, "orders.parquet"))) {
       System.err.println(
         s"[soak] generating ${replicas}x part/events/lineitem/supplier " +
           s"at $out")
@@ -202,7 +218,7 @@ object Soak {
       // round-9 fourth batch
       "q_x_resample", "q_x_interp", "q_x_seasonal", "q_x_agg_merge",
       "q_x_edit_join", "q_x_naive_bayes", "q_x_kfold_nb",
-      "q_x_pagerank", "q_x_mmr")
+      "q_x_pagerank", "q_x_mmr", "q_x_hits", "q_x_pmi")
 
     def runOnce(name: String, dir: String): Double = {
       val t0 = System.nanoTime()

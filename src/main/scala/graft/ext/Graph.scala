@@ -125,4 +125,72 @@ object Graph {
       .select(col("node"),
         Q.sig9(col("m") / col("__n").cast("double")).as("rank"))
   }
+
+  /** HITS hubs & authorities (Kleinberg '99), weighted, with per-round
+    * MEAN-1 normalization: each iteration sets
+    * a_raw(u) = Σ_{v→u} h(v)·w and h_raw(v) = Σ_{v→u} a(u)·w, then
+    * rescales each vector to mean 1 (a = a_raw·N/Σa_raw). Mean-1 (L1)
+    * replaces the classical L2 norm deliberately: no sqrt, so the
+    * whole trajectory stays in the same exact-IEEE + stable-decimal-
+    * sum regime as [[pageRank]] and adjudicates bit-exactly; the
+    * fixpoint direction is the same (normalization choice only
+    * rescales). On a bipartite graph (the classic use: buyers→
+    * products) hub mass concentrates on the source side and authority
+    * mass on the target side.
+    *
+    * Same scale shape and size-aware join strategy as [[pageRank]];
+    * the two normalization totals are O(1)-row broadcast scalars.
+    * Graphs with no edges yield all-zero scores (guarded — mean-1
+    * rescale of a zero vector would divide by zero).
+    *
+    * @return (node, hub, authority) — sig9'd, each column mean 1
+    *         across nodes (when nonzero mass exists on that side)
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      wCol: String, nodes: DataFrame, nodeCol: String,
+      iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val n = nodes.select(col(nodeCol).as("node")).distinct().localCheckpoint()
+    val nNodes = n.count()
+    val broadcastable = nNodes <= 2000000L
+    def nodeSide(df: DataFrame): DataFrame =
+      if (broadcastable) broadcast(df) else df
+    val e0 = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"),
+      col(wCol).cast("long").as("__w"))
+    val e = (if (broadcastable) e0 else e0.repartition(col("__src")))
+      .localCheckpoint()
+    val nn = n.agg(count(lit(1)).as("__n"))
+
+    /** raw scores summed over `e` keyed on `keyCol`→`outCol`, then
+      * mean-1 rescaled over the full node frame. */
+    def halfStep(scores: DataFrame, scoreCol: String, joinKey: String,
+        groupKey: String, outCol: String): DataFrame = {
+      val raw = e
+        .join(nodeSide(scores.withColumnRenamed("node", joinKey)
+          .select(col(joinKey), col(scoreCol))), joinKey)
+        .groupBy(col(groupKey).as("node"))
+        .agg(Q.dsumStable(Q.sig9(col(scoreCol) *
+          col("__w").cast("double")), SumScale).as("__raw"))
+      val total = raw.agg(
+        coalesce(Q.dsumStable(col("__raw"), SumScale), lit(0.0))
+          .as("__tot"))
+      n.join(raw, Seq("node"), "left")
+        .crossJoin(broadcast(total)).crossJoin(broadcast(nn))
+        .select(col("node"),
+          when(col("__tot") > 0.0, Q.sig9(
+            coalesce(col("__raw"), lit(0.0)) *
+              col("__n").cast("double") / col("__tot")))
+            .otherwise(0.0).as(outCol))
+        .localCheckpoint()
+    }
+
+    var hubs = n.withColumn("hub", lit(1.0)).localCheckpoint()
+    var auth = hubs.select(col("node"), lit(0.0).as("authority"))
+    for (_ <- 1 to iters) {
+      auth = halfStep(hubs, "hub", "__src", "__dst", "authority")
+      hubs = halfStep(auth, "authority", "__dst", "__src", "hub")
+    }
+    hubs.join(auth, "node")
+      .select(col("node"), col("hub"), col("authority"))
+  }
 }

@@ -114,19 +114,24 @@ object LinkQueries {
     // one ulp away from the engine's double 1.0 - 0.85 — enough to
     // flip sig9 at a rounding tie (the decay-lambda convention)
     val baseNum = 1.0 - pagerankDamp.toDouble
+    // AS MATERIALIZED on the iteration chain (DuckDB-only; the oracle
+    // text never reaches Spark): each r CTE is referenced three times
+    // by the next round, and DuckDB's default inlining re-evaluates
+    // the whole prefix — exponential in the iteration count (the MMR
+    // oracle lesson)
     val iterCtes = (1 to pagerankIters).map { i =>
       val rp = s"r${i - 1}"
-      s"""c$i AS (
+      s"""c$i AS MATERIALIZED (
          |  SELECT e.b AS v,
          |    ${sqlDsumStable(sqlSig9(
              "rp.r * CAST(e.w AS DOUBLE) / CAST(ow.ow AS DOUBLE)"), scale)}
          |      AS s
          |  FROM e JOIN $rp rp ON e.a = rp.v JOIN ow ON ow.v = e.a
          |  GROUP BY 1),
-         |d$i AS (
+         |d$i AS MATERIALIZED (
          |  SELECT COALESCE(${sqlDsumStable("rp.r", scale)}, 0.0) AS dm
          |  FROM $rp rp LEFT JOIN ow ON ow.v = rp.v WHERE ow.v IS NULL),
-         |r$i AS (
+         |r$i AS MATERIALIZED (
          |  SELECT nodes.v, ${sqlSig9(s"CAST($baseNum AS DOUBLE) + $dmp * " +
              "(COALESCE(c.s, 0.0) + d.dm / CAST(nn.n AS DOUBLE))")} AS r
          |  FROM nodes CROSS JOIN d$i d CROSS JOIN nn
@@ -149,6 +154,72 @@ object LinkQueries {
        |SELECT v AS part,
        |  ${sqlSig9(s"r$pagerankIters.r / CAST(nn.n AS DOUBLE)")} AS rank
        |FROM r$pagerankIters, nn""".stripMargin
+  }
+
+  // ===== HITS over the buyer->product bipartite graph =================
+
+  /** Weighted HITS (mean-1 normalized — see Graph.hits) on the
+    * directed customer→part purchase graph: hubs = buyers whose
+    * baskets concentrate on authoritative parts, authorities = parts
+    * bought by strong hubs. Part node ids offset by 10^8 to keep the
+    * two id spaces disjoint. The oracle replays all four iterations
+    * (both half-steps + normalization totals) as generated
+    * MATERIALIZED CTEs. */
+  private val hitsIters = 4
+  private val partNodeOffset = 100000000L
+
+  private val hitsQ: QFn = (s, d) => {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    val e = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("c"),
+        (col("l_partkey") + partNodeOffset).as("p"))
+      .agg(count(lit(1)).as("w"))
+    val nodes = e.select(col("c").as("v"))
+      .unionByName(e.select(col("p").as("v"))).distinct()
+    graft.ext.Graph.hits(e, "c", "p", "w", nodes, "v", iters = hitsIters)
+      .select(col("node"), col("hub"), col("authority"))
+  }
+
+  private val hitsSql = {
+    val scale = graft.ext.Graph.SumScale
+    def half(i: Int, src: String, prev: String, prevCol: String,
+        edgeKey: String, groupKey: String, out: String,
+        outCol: String) =
+      s"""${out}r$i AS MATERIALIZED (
+         |  SELECT e.$groupKey AS v,
+         |    ${sqlDsumStable(sqlSig9(
+             s"p.$prevCol * CAST(e.w AS DOUBLE)"), scale)} AS raw
+         |  FROM e JOIN $prev p ON e.$edgeKey = p.v GROUP BY 1),
+         |${out}t$i AS MATERIALIZED (
+         |  SELECT COALESCE(${sqlDsumStable("raw", scale)}, 0.0) AS tot
+         |  FROM ${out}r$i),
+         |$out$i AS MATERIALIZED (
+         |  SELECT nodes.v,
+         |    CASE WHEN t.tot > 0.0
+         |         THEN ${sqlSig9("COALESCE(r.raw, 0.0) * " +
+               "CAST(nn.n AS DOUBLE) / t.tot")}
+         |         ELSE 0.0 END AS $outCol
+         |  FROM nodes CROSS JOIN ${out}t$i t CROSS JOIN nn
+         |  LEFT JOIN ${out}r$i r ON r.v = nodes.v)""".stripMargin
+    val rounds = (1 to hitsIters).map { i =>
+      half(i, "c", s"h${i - 1}", "h", "c", "p", "a", "a") + ",\n" +
+        half(i, "p", s"a$i", "a", "p", "c", "h", "h")
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT o.o_custkey AS c, l.l_partkey + $partNodeOffset AS p,
+       |    CAST(count(*) AS BIGINT) AS w
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  GROUP BY 1, 2),
+       |nodes AS (
+       |  SELECT DISTINCT v FROM (
+       |    SELECT c AS v FROM e UNION ALL SELECT p AS v FROM e)),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       |h0 AS (SELECT v, CAST(1.0 AS DOUBLE) AS h FROM nodes),
+       |$rounds
+       |SELECT h$hitsIters.v AS node, h$hitsIters.h AS hub,
+       |  a$hitsIters.a AS authority
+       |FROM h$hitsIters JOIN a$hitsIters ON h$hitsIters.v = a$hitsIters.v""".stripMargin
   }
 
   // ===== SCD2 historization ===========================================
@@ -194,11 +265,13 @@ object LinkQueries {
     "q_x_fuzzy_join" -> fuzzyJoin,
     "q_x_edit_join" -> editJoin,
     "q_x_pagerank" -> pagerankQ,
+    "q_x_hits" -> hitsQ,
     "q_x_scd2" -> scd2)
 
   val oracles: Map[String, String] = Map(
     "q_x_fuzzy_join" -> fuzzyJoinSql,
     "q_x_edit_join" -> editJoinSql,
     "q_x_pagerank" -> pagerankSql,
+    "q_x_hits" -> hitsSql,
     "q_x_scd2" -> scd2Sql)
 }

@@ -73,6 +73,61 @@ class GraphSpec extends SparkSpec {
     assert(run(e.repartition(7), n.repartition(3), 3) === run(e, n, 3))
   }
 
+  // ===== HITS =========================================================
+
+  private def runHits(e: DataFrame, n: DataFrame, iters: Int)
+      : Map[Long, (Double, Double)] =
+    Graph.hits(e, "a", "b", "w", n, "v", iters)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+
+  private def refHits(e: Seq[(Long, Long, Long)], ns: Seq[Long],
+      iters: Int): Map[Long, (Double, Double)] = {
+    val nN = ns.size
+    var h = ns.map(_ -> 1.0).toMap
+    var a = ns.map(_ -> 0.0).toMap
+    def half(scores: Map[Long, Double],
+        key: ((Long, Long, Long)) => Long,
+        grp: ((Long, Long, Long)) => Long): Map[Long, Double] = {
+      val raw = e.groupBy(grp).view.mapValues(es =>
+        stableSum(es.map(t => GraftMath.sig9(scores(key(t)) * t._3)))).toMap
+      val tot = if (raw.isEmpty) 0.0 else stableSum(raw.values.toSeq)
+      ns.map(v => v -> (if (tot > 0.0)
+        GraftMath.sig9(raw.getOrElse(v, 0.0) * nN / tot) else 0.0)).toMap
+    }
+    for (_ <- 1 to iters) {
+      a = half(h, _._1, _._2)
+      h = half(a, _._2, _._1)
+    }
+    ns.map(v => v -> ((h(v), a(v)))).toMap
+  }
+
+  test("hits matches the reference trajectory exactly") {
+    val e = Seq((1L, 10L, 2L), (1L, 11L, 1L), (2L, 10L, 1L),
+      (3L, 11L, 3L), (2L, 12L, 1L))
+    val ns = Seq(1L, 2L, 3L, 10L, 11L, 12L, 99L) // 99 isolated
+    assert(runHits(edges(e: _*), nodes(ns: _*), 3) === refHits(e, ns, 3))
+  }
+
+  test("hits on a bipartite graph: mass separates by side") {
+    val e = Seq((1L, 10L, 3L), (2L, 10L, 1L), (2L, 11L, 1L))
+    val r = runHits(edges(e: _*), nodes(1L, 2L, 10L, 11L), 4)
+    // sources have zero authority, targets zero hub
+    assert(r(1L)._2 === 0.0 && r(2L)._2 === 0.0)
+    assert(r(10L)._1 === 0.0 && r(11L)._1 === 0.0)
+    // the heavier-bought part is the stronger authority
+    assert(r(10L)._2 > r(11L)._2)
+    // hub scores mean ~1 over all nodes (nonzero mass present)
+    assert(math.abs(r.values.map(_._1).sum / 4 - 1.0) < 1e-9)
+  }
+
+  test("hits is partition-invariant") {
+    val e = edges((1L, 10L, 1L), (2L, 10L, 2L), (1L, 11L, 1L))
+    val n = nodes(1L, 2L, 10L, 11L)
+    assert(runHits(e.repartition(5), n.repartition(3), 3) ===
+      runHits(e, n, 3))
+  }
+
   test("invalid params rejected") {
     intercept[IllegalArgumentException] {
       Graph.pageRank(edges((1L, 2L, 1L)), "a", "b", "w", nodes(1L, 2L),
