@@ -193,4 +193,59 @@ object Graph {
     hubs.join(auth, "node")
       .select(col("node"), col("hub"), col("authority"))
   }
+
+  /** Per-node triangle counts over an UNDIRECTED simple graph —
+    * the local clustering signal behind community/anomaly detection
+    * ("how clique-ish is this node's neighborhood").
+    *
+    * Plan: degree-ordered orientation (Cohen '09 / Suri &
+    * Vassilvitskii WWW'11 — the standard distributed formulation).
+    * Every edge is oriented from its lower-(degree, id) endpoint to
+    * the higher; each triangle then has exactly ONE apex with two
+    * out-edges, so triangles = oriented wedges (u→v, u→w, v≺w) closed
+    * by an oriented edge v→w. Out-degrees under this orientation are
+    * O(√m), so the wedge set is O(m^1.5) — versus Σ d² for the naive
+    * neighbor join, which a hub node turns quadratic. Three hash
+    * joins + one aggregate; integer-only, so cross-engine
+    * adjudication is exact with no float contract at all. The oracle
+    * (LinkQueries) is the NAIVE three-way self-join — the orientation
+    * trick is adjudicated against brute force.
+    *
+    * @param edges undirected edges as (aCol, bCol) pairs — any
+    *              orientation/duplication; self-loops dropped
+    * @return (node, n_tri) for nodes in >= 1 triangle
+    */
+  def triangleCounts(edges: DataFrame, aCol: String, bCol: String)
+      : DataFrame = {
+    val und = edges
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct().localCheckpoint()
+    val deg = und.select(col("a").as("v"))
+      .unionAll(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d")).localCheckpoint()
+    // orient low-(d, id) -> high-(d, id); carry the dst's rank key for
+    // the wedge-ordering filter
+    val withDeg = und
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+    val oe = withDeg.select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          struct(col("a").as("src"), col("b").as("dst"),
+            col("db").as("dd")))
+          .otherwise(struct(col("b").as("src"), col("a").as("dst"),
+            col("da").as("dd"))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"),
+        col("e.dd").as("dd"))
+      .localCheckpoint()
+    val wedges = oe.select(col("src"), col("dst").as("v"), col("dd").as("dv"))
+      .join(oe.select(col("src"), col("dst").as("w"), col("dd").as("dw")),
+        "src")
+      .where(struct(col("dv"), col("v")) < struct(col("dw"), col("w")))
+    val closed = wedges.join(
+      oe.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+    closed.select(explode(array(col("src"), col("v"), col("w"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+  }
 }

@@ -222,6 +222,44 @@ object LinkQueries {
        |FROM h$hitsIters JOIN a$hitsIters ON h$hitsIters.v = a$hitsIters.v""".stripMargin
   }
 
+  // ===== triangle counting ============================================
+
+  /** Per-part triangle counts over the undirected co-purchase graph.
+    * ENGINE: degree-ordered orientation (O(m^1.5) wedges); ORACLE: the
+    * naive a<b<c three-way self-join — brute force adjudicates the
+    * orientation trick, integer-exact. */
+  private val trianglesQ: QFn = (s, d) => {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+    val ord = li.groupBy("l_orderkey")
+      .agg(array_sort(array_distinct(collect_list(col("l_partkey"))))
+        .as("ps"))
+    val pairs = ord.select(explode(col("ps")).as("a"), col("ps"))
+      .select(col("a"), explode(col("ps")).as("b"))
+      .where(col("a") < col("b"))
+    graft.ext.Graph.triangleCounts(pairs, "a", "b")
+      .select(col("node").cast("long").as("part"), col("n_tri"))
+  }
+
+  private val trianglesSql =
+    """WITH ord AS (
+      |  SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS ps
+      |  FROM lineitem GROUP BY 1),
+      |ea AS (SELECT unnest(ps) AS a, ps FROM ord),
+      |eb AS (SELECT a, unnest(ps) AS b FROM ea),
+      |e AS MATERIALIZED (
+      |  SELECT DISTINCT a, b FROM eb WHERE a < b),
+      |t AS MATERIALIZED (
+      |  SELECT e1.a AS u, e1.b AS v, e2.b AS w
+      |  FROM e e1
+      |  JOIN e e2 ON e2.a = e1.b
+      |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |n AS (
+      |  SELECT u AS node FROM t
+      |  UNION ALL SELECT v FROM t
+      |  UNION ALL SELECT w FROM t)
+      |SELECT node AS part, CAST(count(*) AS BIGINT) AS n_tri
+      |FROM n GROUP BY 1""".stripMargin
+
   // ===== SCD2 historization ===========================================
 
   /** events as a change log of each user's `event_type` attribute:
@@ -266,6 +304,7 @@ object LinkQueries {
     "q_x_edit_join" -> editJoin,
     "q_x_pagerank" -> pagerankQ,
     "q_x_hits" -> hitsQ,
+    "q_x_triangles" -> trianglesQ,
     "q_x_scd2" -> scd2)
 
   val oracles: Map[String, String] = Map(
@@ -273,5 +312,6 @@ object LinkQueries {
     "q_x_edit_join" -> editJoinSql,
     "q_x_pagerank" -> pagerankSql,
     "q_x_hits" -> hitsSql,
+    "q_x_triangles" -> trianglesSql,
     "q_x_scd2" -> scd2Sql)
 }

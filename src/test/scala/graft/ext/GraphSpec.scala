@@ -128,6 +128,41 @@ class GraphSpec extends SparkSpec {
       runHits(e, n, 3))
   }
 
+  // ===== triangle counting ============================================
+
+  private def runTri(e: Seq[(Long, Long)]): Map[Long, Long] =
+    Graph.triangleCounts(e.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private def bruteTri(e: Seq[(Long, Long)]): Map[Long, Long] = {
+    val und = e.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter(p => p._1 != p._2).distinct.toSet
+    val ns = und.flatMap(p => Seq(p._1, p._2)).toSeq.distinct
+    val tris = for {
+      u <- ns; v <- ns if u < v; w <- ns if v < w
+      if und(( u, v)) && und((v, w)) && und((u, w))
+    } yield Seq(u, v, w)
+    tris.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+  }
+
+  test("triangles: known graph (two sharing an edge + an isolated path)") {
+    // triangle 1-2-3, triangle 2-3-4 (share edge 2-3), path 5-6
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (2L, 4L), (3L, 4L), (5L, 6L))
+    assert(runTri(e) === Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L))
+  }
+
+  test("triangles: orientation matches brute force on a random-ish graph") {
+    val e = (for (i <- 1L to 12L; j <- 1L to 12L
+      if i < j && (i * 7 + j * 13) % 3 == 0) yield (i, j)).toSeq
+    assert(runTri(e) === bruteTri(e))
+  }
+
+  test("triangles: duplicates, reversed edges and self-loops normalize") {
+    val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 1L),
+      (1L, 2L))
+    assert(runTri(e) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("invalid params rejected") {
     intercept[IllegalArgumentException] {
       Graph.pageRank(edges((1L, 2L, 1L)), "a", "b", "w", nodes(1L, 2L),
