@@ -260,6 +260,69 @@ object LinkQueries {
       |SELECT node AS part, CAST(count(*) AS BIGINT) AS n_tri
       |FROM n GROUP BY 1""".stripMargin
 
+  // ===== link prediction (capped common neighbors) ====================
+
+  /** "Parts you may co-purchase": for non-adjacent part pairs sharing
+    * common neighbors in the CAPPED (k=10 heaviest) co-purchase
+    * adjacency, the common-neighbor count and capped-set Jaccard. The
+    * cap is the operator's scale semantics (adjudicated, not an
+    * approximation) — see Graph.linkPredict. */
+  private val linkpredK = 10
+  private val linkpredMaxPop = 50
+
+  private val linkpredQ: QFn = (s, d) => {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+    val ord = li.groupBy("l_orderkey")
+      .agg(array_sort(array_distinct(collect_list(col("l_partkey"))))
+        .as("ps"))
+    val pairs = ord.select(explode(col("ps")).as("a"), col("ps"))
+      .select(col("a"), explode(col("ps")).as("b"))
+      .where(col("a") < col("b"))
+      .withColumn("w", lit(1L))
+    graft.ext.Graph.linkPredict(pairs, "a", "b", "w", k = linkpredK,
+        maxPopularity = linkpredMaxPop)
+      .select(col("v").cast("long").as("v"), col("w").cast("long").as("w"),
+        col("cn"), col("jaccard"))
+  }
+
+  private val linkpredSql =
+    s"""WITH ord AS (
+       |  SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS ps
+       |  FROM lineitem GROUP BY 1),
+       |ea AS (SELECT unnest(ps) AS a, ps FROM ord),
+       |eb AS (SELECT a, unnest(ps) AS b FROM ea),
+       |und AS MATERIALIZED (
+       |  SELECT a, b, CAST(count(*) AS BIGINT) AS w FROM eb
+       |  WHERE a < b GROUP BY 1, 2),
+       |adjall AS (
+       |  SELECT a AS u, b AS nb, w FROM und
+       |  UNION ALL SELECT b AS u, a AS nb, w FROM und),
+       |adj0 AS MATERIALIZED (
+       |  SELECT u, nb FROM (
+       |    SELECT u, nb, ROW_NUMBER() OVER (
+       |      PARTITION BY u ORDER BY w DESC, nb) AS rn
+       |    FROM adjall)
+       |  WHERE rn <= $linkpredK),
+       |keep AS (
+       |  SELECT nb FROM adj0 GROUP BY nb
+       |  HAVING count(*) <= $linkpredMaxPop),
+       |adj AS MATERIALIZED (
+       |  SELECT adj0.u, adj0.nb FROM adj0 JOIN keep USING (nb)),
+       |ss AS MATERIALIZED (
+       |  SELECT u, CAST(count(*) AS BIGINT) AS sz FROM adj GROUP BY 1),
+       |cnc AS MATERIALIZED (
+       |  SELECT x.u AS v, y.u AS w, CAST(count(*) AS BIGINT) AS cn
+       |  FROM adj x JOIN adj y ON x.nb = y.nb AND x.u < y.u
+       |  GROUP BY 1, 2)
+       |SELECT cnc.v, cnc.w, cnc.cn,
+       |  CAST(cnc.cn AS DOUBLE) /
+       |    CAST(sv.sz + sw.sz - cnc.cn AS DOUBLE) AS jaccard
+       |FROM cnc
+       |LEFT JOIN und ON und.a = cnc.v AND und.b = cnc.w
+       |JOIN ss sv ON sv.u = cnc.v
+       |JOIN ss sw ON sw.u = cnc.w
+       |WHERE und.a IS NULL""".stripMargin
+
   // ===== SCD2 historization ===========================================
 
   /** events as a change log of each user's `event_type` attribute:
@@ -305,6 +368,7 @@ object LinkQueries {
     "q_x_pagerank" -> pagerankQ,
     "q_x_hits" -> hitsQ,
     "q_x_triangles" -> trianglesQ,
+    "q_x_linkpred" -> linkpredQ,
     "q_x_scd2" -> scd2)
 
   val oracles: Map[String, String] = Map(
@@ -313,5 +377,6 @@ object LinkQueries {
     "q_x_pagerank" -> pagerankSql,
     "q_x_hits" -> hitsSql,
     "q_x_triangles" -> trianglesSql,
+    "q_x_linkpred" -> linkpredSql,
     "q_x_scd2" -> scd2Sql)
 }

@@ -163,6 +163,52 @@ class GraphSpec extends SparkSpec {
     assert(runTri(e) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  // ===== link prediction ==============================================
+
+  private def runLp(e: Seq[(Long, Long, Long)], k: Int,
+      maxPop: Int = Int.MaxValue): Map[(Long, Long), (Long, Double)] =
+    Graph.linkPredict(e.toDF("a", "b", "w"), "a", "b", "w", k, maxPop)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+
+  test("linkPredict: classic open triad scores; closed pairs excluded") {
+    // star around 1: neighbors 2,3,4; plus edge 2-3 (already linked)
+    val e = Seq((1L, 2L, 5L), (1L, 3L, 4L), (1L, 4L, 3L), (2L, 3L, 1L))
+    val lp = runLp(e, k = 10)
+    // (2,4) and (3,4) share neighbor 1 and are unlinked; (2,3) IS an
+    // edge -> excluded
+    assert(lp.keySet === Set((2L, 4L), (3L, 4L)))
+    // capped sets: N(2)={1,3}, N(4)={1}; cn=1 -> J = 1/(2+1-1) = 0.5
+    assert(lp((2L, 4L)) === ((1L, 0.5)))
+    assert(lp((3L, 4L)) === ((1L, 0.5)))
+  }
+
+  test("linkPredict: the cap keeps only the k heaviest neighbors") {
+    // node 1's k=2 cap keeps 2 and 3 — but 4's own (single-entry) set
+    // still holds 1, so wedges through 1 survive for all pairs; the
+    // cap's effect shows in the SIZES: sz(1)=2 not 3
+    val e = Seq((1L, 2L, 9L), (1L, 3L, 8L), (1L, 4L, 1L))
+    val lp = runLp(e, k = 2)
+    assert(lp.keySet === Set((2L, 3L), (2L, 4L), (3L, 4L)))
+    // sz(2)=sz(3)=sz(4)=1 ({1}); cn=1 -> J=1 for every pair
+    assert(lp.values.toSet === Set((1L, 1.0)))
+  }
+
+  test("linkPredict: hyper-popular common neighbors are stopworded") {
+    // 1 is everyone's neighbor; maxPopularity=2 drops it from all sets
+    val e = Seq((1L, 2L, 9L), (1L, 3L, 8L), (1L, 4L, 1L))
+    assert(runLp(e, k = 10, maxPop = 2) === Map.empty)
+  }
+
+  test("linkPredict: cap ties break by neighbor id") {
+    // equal weights: k=1 keeps the smaller-id neighbor deterministically
+    val e = Seq((1L, 5L, 7L), (1L, 3L, 7L), (2L, 5L, 7L), (2L, 3L, 7L))
+    val lp = runLp(e, k = 1)
+    // every node keeps exactly one neighbor: 1->3, 2->3, 3->1, 5->1
+    // wedges: through 3: (1,2); through 1: (3,5)
+    assert(lp.keySet === Set((1L, 2L), (3L, 5L)))
+  }
+
   test("invalid params rejected") {
     intercept[IllegalArgumentException] {
       Graph.pageRank(edges((1L, 2L, 1L)), "a", "b", "w", nodes(1L, 2L),
