@@ -34,6 +34,33 @@ object EventPipeline {
       .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Streaming face of [[graft.ext.TimeSeries.resample]]: per-key OHLC
+    * bars over tumbling event-time windows with a late-data watermark.
+    * Same total-order contract as the batch operator (open/close by
+    * the zero-padded (ts, tieBreak) key), so the streaming result over
+    * any in-watermark delivery equals the batch resample of the same
+    * rows — spec-pinned. State bounded by (watermark horizon × keys);
+    * the shuffle keys on (window, key) with map-side partials. */
+  def windowedOhlc(events: DataFrame, keyCol: String = "user_id",
+                   windowLen: String = "1 hour",
+                   watermark: String = "1 hour",
+                   tieBreak: String = "event_id"): DataFrame = {
+    val ord = graft.ext.TimeSeries.ordKey(col("ts"), col(tieBreak))
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen).as("w"), col(keyCol))
+      .agg(min_by(col("value"), ord).as("open_v"),
+        max(col("value")).as("high_v"),
+        min(col("value")).as("low_v"),
+        max_by(col("value"), ord).as("close_v"),
+        count(lit(1)).as("n_events"),
+        Q.dsum(col("value")).as("sum_v"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("bucket_s"),
+        col(keyCol), col("open_v"), col("high_v"), col("low_v"),
+        col("close_v"), col("n_events"), col("sum_v"))
+  }
+
   /** Event-time sessionization: events of a user closer than `gap` merge
     * into one session (session_window — dynamic-length state, works
     * batch and streaming; in streaming the watermark bounds session

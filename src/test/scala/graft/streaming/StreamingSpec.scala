@@ -35,6 +35,40 @@ class StreamingSpec extends SparkSpec {
       ("2024-03-02", "click", 1L, 4.0)))
   }
 
+  test("windowedOhlc streaming == batch twin == TimeSeries.resample") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, date_format}
+    val rows = Seq(
+      Event(1L, ts("2024-03-01 10:05:00"), 7L, "click", 10.0),
+      Event(2L, ts("2024-03-01 10:20:00"), 7L, "click", 30.0),
+      Event(3L, ts("2024-03-01 10:50:00"), 7L, "view", 20.0),
+      Event(4L, ts("2024-03-01 11:10:00"), 7L, "view", 5.0),
+      Event(5L, ts("2024-03-01 10:30:00"), 8L, "view", 7.0))
+    val ms = MemoryStream[Event]
+    ms.addData(rows)
+    val q = EventPipeline.windowedOhlc(ms.toDF())
+      .writeStream.format("memory").queryName("ohlc")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    def bars(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6),
+        r.getDouble(7))).toSet
+    val streaming = bars(spark.table("ohlc"))
+    val batch = bars(EventPipeline.windowedOhlc(rows.toDF()))
+    // and both equal the batch TimeSeries operator over the same rows
+    val resample = bars(graft.ext.TimeSeries.resample(rows.toDF(),
+        Seq("user_id"), "ts", "value", 3600L, col("event_id"))
+      .select(date_format(col("bucket_ts"), "yyyy-MM-dd HH:mm:ss")
+          .as("bucket_s"),
+        col("user_id"), col("open_v"), col("high_v"), col("low_v"),
+        col("close_v"), col("n_events"), col("sum_v")))
+    assert(streaming == batch)
+    assert(streaming == resample)
+    assert(streaming.contains(
+      ("2024-03-01 10:00:00", 7L, 10.0, 30.0, 10.0, 20.0, 3L, 60.0)))
+  }
+
   test("enrichedPurchases: streaming as-of enrichment equals the exact " +
       "batch twin on in-order batches; clicks never retro-enrich") {
     implicit val ctx = spark.sqlContext
