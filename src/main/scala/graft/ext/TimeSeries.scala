@@ -2,7 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** Regular-grid time-series operators over an event stream: OHLC
   * downsampling (resample) and gap-filling linear interpolation — the
@@ -95,6 +95,56 @@ object TimeSeries {
       .withColumn("hod", hour(col(tsCol)).cast("long"))
       .join(broadcast(profile), keyCols :+ "dow" :+ "hod")
       .withColumn("resid", col(valCol) - col("mean_v"))
+
+  /** One-sided CUSUM drift detection (Page 1954) — the standard
+    * "has this metric drifted upward beyond noise" sequential test a
+    * monitoring pipeline runs over residuals: S_t = max(0, S_{t-1} +
+    * x_t − drift), alarm when S_t > threshold.
+    *
+    * The recursion looks scan-sequential, but the classic identity
+    * S_t = cs_t − min(0, min_{j<=t} cs_j) (cs = running sum of
+    * x − drift) turns it into TWO stacked running windows — sum then
+    * prefix-min — both partitioned by key and evaluated incrementally,
+    * so the shape is a keyed shuffle + per-key linear scans, bounded
+    * by series length like every window here.
+    *
+    * Determinism: x is sig9'd first (a 9-digit value casts to
+    * DECIMAL(38,15) exactly on both engines — the PageRank cast
+    * lesson), the running sum and prefix-min stay IN DECIMAL (exact,
+    * association-free — engines may window-aggregate in different
+    * orders; DuckDB's segment trees would break a double cumsum), and
+    * only the final statistic converts out through sig9.
+    *
+    * @return one row per input point: (keys..., tsCol, tieBreak, x,
+    *         s_stat, alarm) */
+  def cusum(series: DataFrame, keyCols: Seq[String], tsCol: String,
+      valCol: String, drift: Double, threshold: Double,
+      tieBreak: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).asc, col(tieBreak).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val x = graft.queries.Q.sig9(col(valCol))
+    val inc = (x - lit(drift)).cast(DecimalType(38, 15))
+    val withCs = series
+      .withColumn("__x", x)
+      .withColumn("__cs", sum(inc).over(w))
+    val withMn = withCs.withColumn("__mn", min(col("__cs")).over(w))
+    // round the statistic IN DECIMAL SPACE before the double cast —
+    // the exact decimal occasionally needs >15 significant digits,
+    // where the engines' DECIMAL->DOUBLE casts disagree by 1 ulp and
+    // sig9 ties flip (the Graph.SumScale convention; same 11-place
+    // bound: exact for statistics < 1e4)
+    withMn
+      .withColumn("s_stat", graft.queries.Q.sig9(
+        round(col("__cs") - when(col("__mn") > 0,
+          lit(0).cast(DecimalType(38, 15))).otherwise(col("__mn")),
+          Graph.SumScale)
+          .cast(DoubleType)))
+      .withColumn("alarm", col("s_stat") > threshold)
+      .select(keyCols.map(col) :+ col(tsCol) :+ col(tieBreak) :+
+        col("__x").as("x") :+ col("s_stat") :+ col("alarm"): _*)
+  }
 
   /** Gap-filling linear interpolation at a fixed cadence: per key,
     * a `stepSeconds`-aligned grid spanning [ceil(first sample),

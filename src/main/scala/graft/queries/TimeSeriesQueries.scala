@@ -115,6 +115,68 @@ object TimeSeriesQueries {
        | AND p.dow = CAST(dayofweek(e.ts) + 1 AS BIGINT)
        | AND p.hod = CAST(hour(e.ts) AS BIGINT)""".stripMargin
 
+  // ===== CUSUM drift detection ========================================
+
+  /** CUSUM over the deseasonalized residuals, per event_type: drift
+    * allowance 1.0, alarm threshold 10.0 — "this metric has been
+    * running above its seasonal expectation for a while". The full
+    * per-point statistic stream is adjudicated (not just alarms), so
+    * the running-sum/prefix-min identity is pinned row by row. */
+  private val cusumDrift = 1.0
+  private val cusumThreshold = 10.0
+
+  private val cusumQ: QFn = (s, d) => {
+    val ev = Tables.events(s, d)
+    val prof = TimeSeries.seasonalProfile(ev, Seq("event_type"), "ts", "value")
+    val res = TimeSeries.deseasonalize(ev, prof,
+        Seq("event_type"), "ts", "value")
+      .select(col("event_type"), col("ts"), col("event_id"), col("resid"))
+    TimeSeries.cusum(res, Seq("event_type"), "ts", "resid",
+        drift = cusumDrift, threshold = cusumThreshold,
+        tieBreak = "event_id")
+      .select(col("event_type"),
+        date_format(col("ts"), fmt).as("ts_s"), col("event_id"),
+        col("x"), col("s_stat"), col("alarm"))
+  }
+
+  private val cusumSql =
+    s"""WITH p AS (
+       |  SELECT event_type,
+       |    CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+       |    CAST(hour(ts) AS BIGINT) AS hod,
+       |    ${Q.sqlDavg("value")} AS mean_v
+       |  FROM events GROUP BY 1, 2, 3),
+       |r AS (
+       |  SELECT e.event_type, e.ts, e.event_id,
+       |    ${Q.sqlSig9("e.value - p.mean_v")} AS x
+       |  FROM events e JOIN p
+       |    ON p.event_type = e.event_type
+       |   AND p.dow = CAST(dayofweek(e.ts) + 1 AS BIGINT)
+       |   AND p.hod = CAST(hour(e.ts) AS BIGINT)),
+       |cs AS (
+       |  SELECT event_type, ts, event_id, x,
+       |    SUM(CAST(x - $cusumDrift AS DECIMAL(38,15))) OVER w AS cs
+       |  FROM r
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |mn AS (
+       |  SELECT event_type, ts, event_id, x, cs,
+       |    MIN(cs) OVER w AS mn
+       |  FROM cs
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |SELECT event_type, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       |  event_id, x,
+       |  ${Q.sqlSig9("CAST(ROUND(cs - (CASE WHEN mn > 0 " +
+           "THEN CAST(0 AS DECIMAL(38,15)) ELSE mn END), " +
+           s"${graft.ext.Graph.SumScale}) AS DOUBLE)")}
+       |    AS s_stat,
+       |  ${Q.sqlSig9("CAST(ROUND(cs - (CASE WHEN mn > 0 " +
+           "THEN CAST(0 AS DECIMAL(38,15)) ELSE mn END), " +
+           s"${graft.ext.Graph.SumScale}) AS DOUBLE)")}
+       |    > $cusumThreshold AS alarm
+       |FROM mn""".stripMargin
+
   // ===== incremental aggregate maintenance ===========================
 
   /** Per-user rollup maintained INCREMENTALLY: the engine builds
@@ -146,11 +208,13 @@ object TimeSeriesQueries {
     "q_x_resample" -> resampleQ,
     "q_x_interp" -> interpQ,
     "q_x_seasonal" -> seasonalQ,
+    "q_x_cusum" -> cusumQ,
     "q_x_agg_merge" -> aggMergeQ)
 
   val oracles: Map[String, String] = Map(
     "q_x_resample" -> resampleSql,
     "q_x_interp" -> interpSql,
     "q_x_seasonal" -> seasonalSql,
+    "q_x_cusum" -> cusumSql,
     "q_x_agg_merge" -> aggMergeSql)
 }

@@ -86,6 +86,42 @@ class TimeSeriesSpec extends SparkSpec {
     assert(g === Set(("a", "01-01 05:00", 4.0)))
   }
 
+  test("cusum: window identity equals the direct recursion exactly") {
+    import graft.functions.GraftMath
+    val xs = Seq(3.0, -1.0, 4.0, 4.0, -9.0, 6.0, 2.0, -0.5)
+    val drift = 1.0
+    val df = xs.zipWithIndex.map { case (v, i) =>
+      ("a", i.toLong, ts(f"2024-01-01 ${i}%02d:00:00"), v) }
+      .toDF("k", "id", "ts", "v")
+    val got = TimeSeries.cusum(df, Seq("k"), "ts", "v", drift, 5.0, "id")
+      .orderBy("id").select("s_stat", "alarm")
+      .collect().map(r => (r.getDouble(0), r.getBoolean(1))).toSeq
+    // direct recursion in exact decimal: S_t = max(0, S_{t-1} + x9 - k)
+    var s = BigDecimal(0)
+    val exp = xs.map { v =>
+      val inc = BigDecimal(GraftMath.sig9(v) - drift)
+        .setScale(15, BigDecimal.RoundingMode.HALF_UP)
+      s = (s + inc).max(BigDecimal(0))
+      val s9 = GraftMath.sig9(s.toDouble)
+      (s9, s9 > 5.0)
+    }
+    assert(got === exp)
+  }
+
+  test("cusum: keys accumulate independently") {
+    val df = Seq(
+      ("a", 1L, ts("2024-01-01 01:00:00"), 10.0),
+      ("b", 2L, ts("2024-01-01 01:00:00"), 0.0),
+      ("a", 3L, ts("2024-01-01 02:00:00"), 10.0))
+      .toDF("k", "id", "ts", "v")
+    val got = TimeSeries.cusum(df, Seq("k"), "ts", "v", 1.0, 15.0, "id")
+      .collect().map(r => r.getLong(2) -> (r.getDouble(4), r.getBoolean(5)))
+      .toMap
+    assert(got(1L) === ((9.0, false)))
+    assert(got(3L) === ((18.0, true))) // 9 + 9 crosses 15
+    assert(got(2L) === ((0.0, false))) // b unaffected by a's drift
+  }
+
   test("seasonal profile: slot means and residuals") {
     // 2024-01-01 is a Monday (Spark dow = 2); two Mondays 10:00 for
     // key a → mean 15, plus one Tuesday 10:00 slot
