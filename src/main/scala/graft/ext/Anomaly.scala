@@ -23,6 +23,43 @@ import org.apache.spark.sql.functions._
   */
 object Anomaly {
 
+  /** Robust per-group outliers by median/MAD: z = c·(x − med)/MAD
+    * with c = 0.6745 (the consistency constant making MAD estimate σ
+    * for normal data) — the outlier detector that, unlike the moment
+    * z-score, one wild value cannot poison (both median and MAD have
+    * a 50% breakdown point).
+    *
+    * Plan: two grouped exact percentiles (the q_g8-adjudicated
+    * percentile ↔ quantile_cont contract) — med over x, then MAD as
+    * the median of |x − med| via a broadcast join of the bounded
+    * per-group medians — and a map-side scoring projection. Exact
+    * percentile buffers each group's values; with high-cardinality
+    * groups swap in approx_percentile (the documented q_x pairing).
+    * z is null when MAD = 0 (a constant-majority group has no robust
+    * scale). The division is fixed IEEE on sig9'd med/MAD, sig9'd
+    * out.
+    *
+    * @return one row per input point: (keys..., x, med, mad, z,
+    *         is_outlier) */
+  def robustZ(df: DataFrame, keyCols: Seq[String], valCol: String,
+      zThreshold: Double = 3.5): DataFrame = {
+    val c = 0.6745
+    val med = df.groupBy(keyCols.map(col): _*)
+      .agg(graft.queries.Q.sig9(
+        percentile(col(valCol), lit(0.5))).as("med"))
+    val mad = df.join(broadcast(med), keyCols)
+      .groupBy(keyCols.map(col): _*)
+      .agg(graft.queries.Q.sig9(percentile(
+        abs(col(valCol) - col("med")), lit(0.5))).as("mad"))
+    df.join(broadcast(med), keyCols).join(broadcast(mad), keyCols)
+      .withColumn("z", when(col("mad") > 0, graft.queries.Q.sig9(
+        lit(c) * (col(valCol) - col("med")) / col("mad"))))
+      .withColumn("is_outlier",
+        coalesce(abs(col("z")) > zThreshold, lit(false)))
+      .select(keyCols.map(col) :+ col(valCol).as("x") :+ col("med") :+
+        col("mad") :+ col("z") :+ col("is_outlier"): _*)
+  }
+
   /** Per (stream, day) volume with trailing-window z-score.
     *
     * The window is the `lookback` preceding OBSERVED days (ROWS, not

@@ -98,6 +98,45 @@ object Profile {
     * so bucket boundaries and counts are bit-identical across engines;
     * a constant column degenerates to one bin. NULLs are excluded.
     * Output: bin, bin_lo, bin_hi, n. */
+  /** Per-group exact moments for two-sample testing: exact count,
+    * decimal-summed mean (the davg contract) and sample variance from
+    * the sig9'd decimal sums — (S2 − S1²/n)/(n−1) in fixed IEEE. One
+    * map-side-combinable aggregate per group, scan-bound at any
+    * scale. */
+  def groupMoments(df: DataFrame, keyCols: Seq[String], valCol: String)
+      : DataFrame = {
+    val x = col(valCol).cast("double")
+    df.groupBy(keyCols.map(col): _*)
+      .agg(count(x).as("n"),
+        graft.queries.Q.dsum(x).as("s1"),
+        graft.queries.Q.dsum(x * x).as("s2"))
+      .withColumn("mean_v", col("s1") / col("n"))
+      .withColumn("var_v", when(col("n") > 1, graft.queries.Q.sig9(
+        (col("s2") - col("s1") * col("s1") / col("n").cast("double")) /
+          (col("n") - 1).cast("double"))))
+  }
+
+  /** Welch's two-sample z over [[groupMoments]] of an A/B assignment:
+    * z = (m_A − m_B) / sqrt(v_A/n_A + v_B/n_B) — the test every
+    * experimentation platform runs on a metric before shipping.
+    * Expects exactly two groups (smallest key = A); sqrt is
+    * IEEE-correctly-rounded, so only the final sig9 is needed.
+    * Returns ONE row: (group_a, group_b, n_a, n_b, mean_a, mean_b,
+    * var_a, var_b, z). */
+  def welchZ(moments: DataFrame, keyCol: String): DataFrame = {
+    val a = moments.orderBy(col(keyCol).asc).limit(1)
+      .select(col(keyCol).as("group_a"), col("n").as("n_a"),
+        col("mean_v").as("mean_a"), col("var_v").as("var_a"))
+    val b = moments.orderBy(col(keyCol).desc).limit(1)
+      .select(col(keyCol).as("group_b"), col("n").as("n_b"),
+        col("mean_v").as("mean_b"), col("var_v").as("var_b"))
+    a.crossJoin(b)
+      .withColumn("z", graft.queries.Q.sig9(
+        (col("mean_a") - col("mean_b")) /
+          sqrt(col("var_a") / col("n_a").cast("double") +
+            col("var_b") / col("n_b").cast("double"))))
+  }
+
   def histogram(df: DataFrame, colName: String, bins: Int): DataFrame = {
     require(bins >= 1, "bins must be >= 1")
     val x = col(colName).cast("double")

@@ -177,6 +177,79 @@ object TimeSeriesQueries {
        |    > $cusumThreshold AS alarm
        |FROM mn""".stripMargin
 
+  // ===== robust outliers (median / MAD) ==============================
+
+  /** Per-event_type robust z outliers: z = 0.6745·(x − med)/MAD over
+    * the q_g8-adjudicated exact-percentile contract. A detector one
+    * wild value cannot poison — the median/MAD pair has a 50%
+    * breakdown point, unlike the moment z-score of q_x_anomaly. */
+  private val robustZQ: QFn = (s, d) =>
+    graft.ext.Anomaly.robustZ(
+      Tables.events(s, d).select(col("event_type"), col("value")),
+      Seq("event_type"), "value", zThreshold = 3.5)
+
+  private val robustZSql = {
+    val zExpr = "0.6745 * (e.value - m.med) / d.mad"
+    s"""WITH med AS (
+       |  SELECT event_type,
+       |    ${Q.sqlSig9("quantile_cont(value, 0.5)")} AS med
+       |  FROM events GROUP BY 1),
+       |mad AS (
+       |  SELECT e.event_type,
+       |    ${Q.sqlSig9("quantile_cont(abs(e.value - m.med), 0.5)")} AS mad
+       |  FROM events e JOIN med m USING (event_type) GROUP BY 1)
+       |SELECT e.event_type, e.value AS x, m.med, d.mad,
+       |  CASE WHEN d.mad > 0 THEN ${Q.sqlSig9(zExpr)} END AS z,
+       |  COALESCE(abs(CASE WHEN d.mad > 0 THEN ${Q.sqlSig9(zExpr)} END)
+       |    > 3.5, false) AS is_outlier
+       |FROM events e
+       |JOIN med m USING (event_type)
+       |JOIN mad d USING (event_type)""".stripMargin
+  }
+
+  // ===== A/B test (Welch z) ==========================================
+
+  /** Users hash-split into two arms; Welch's z on the value metric —
+    * the experimentation primitive. Counts exact, means/variances from
+    * decimal sums, one sig9'd sqrt at the end. */
+  private val abtestQ: QFn = (s, d) => {
+    val grp = pmod(graft.ext.Hashing.hash60(
+      concat(lit("ab:"), col("user_id").cast("string"))), lit(2L))
+    val moments = graft.ext.Profile.groupMoments(
+      Tables.events(s, d).withColumn("grp", grp), Seq("grp"), "value")
+    graft.ext.Profile.welchZ(moments, "grp")
+      .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+        col("mean_a"), col("mean_b"), col("var_a"), col("var_b"),
+        col("z"))
+  }
+
+  private val abtestSql =
+    s"""WITH g AS (
+       |  SELECT CAST(${Q.sqlHash60("'ab:' || CAST(user_id AS VARCHAR)")}
+       |    % 2 AS BIGINT) AS grp, value
+       |  FROM events),
+       |m AS (
+       |  SELECT grp, CAST(count(value) AS BIGINT) AS n,
+       |    ${Q.sqlDsum("value")} AS s1,
+       |    ${Q.sqlDsum("value * value")} AS s2
+       |  FROM g GROUP BY 1),
+       |mm AS (
+       |  SELECT grp, n, s1 / n AS mean_v,
+       |    CASE WHEN n > 1 THEN ${Q.sqlSig9(
+           "(s2 - s1 * s1 / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)")}
+       |    END AS var_v
+       |  FROM m),
+       |a AS (
+       |  SELECT grp AS group_a, n AS n_a, mean_v AS mean_a,
+       |    var_v AS var_a FROM mm ORDER BY grp ASC LIMIT 1),
+       |b AS (
+       |  SELECT grp AS group_b, n AS n_b, mean_v AS mean_b,
+       |    var_v AS var_b FROM mm ORDER BY grp DESC LIMIT 1)
+       |SELECT group_a, group_b, n_a, n_b, mean_a, mean_b, var_a, var_b,
+       |  ${Q.sqlSig9("(mean_a - mean_b) / sqrt(var_a / " +
+           "CAST(n_a AS DOUBLE) + var_b / CAST(n_b AS DOUBLE))")} AS z
+       |FROM a, b""".stripMargin
+
   // ===== incremental aggregate maintenance ===========================
 
   /** Per-user rollup maintained INCREMENTALLY: the engine builds
@@ -209,6 +282,8 @@ object TimeSeriesQueries {
     "q_x_interp" -> interpQ,
     "q_x_seasonal" -> seasonalQ,
     "q_x_cusum" -> cusumQ,
+    "q_x_robust_z" -> robustZQ,
+    "q_x_abtest" -> abtestQ,
     "q_x_agg_merge" -> aggMergeQ)
 
   val oracles: Map[String, String] = Map(
@@ -216,5 +291,7 @@ object TimeSeriesQueries {
     "q_x_interp" -> interpSql,
     "q_x_seasonal" -> seasonalSql,
     "q_x_cusum" -> cusumSql,
+    "q_x_robust_z" -> robustZSql,
+    "q_x_abtest" -> abtestSql,
     "q_x_agg_merge" -> aggMergeSql)
 }

@@ -49,4 +49,24 @@ class AnomalySpec extends SparkSpec {
     assert(r.nonEmpty)
     assert(r.forall(t => t._5.contains(10.0) && t._6.isEmpty && !t._7))
   }
+
+  test("robustZ: median/MAD scoring, outlier gating, null z on MAD=0") {
+    import graft.functions.GraftMath
+    // group g: values 1..9 plus wild 1000 -> med=5.5, MAD=median(|x-5.5|)
+    val vals = (1 to 9).map(_.toDouble) :+ 1000.0
+    val df = vals.map(v => ("g", v)).toDF("k", "v")
+    val r = Anomaly.robustZ(df, Seq("k"), "v", zThreshold = 3.5)
+      .collect().map(x => x.getDouble(1) ->
+        (x.getDouble(2), x.getDouble(3), Option(x.get(4)).map(_.asInstanceOf[Double]), x.getBoolean(5))).toMap
+    val med = GraftMath.sig9(5.5)
+    val mad = GraftMath.sig9(2.5) // |x-5.5| sorted: .5 .5 1.5 1.5 2.5 2.5 3.5 3.5 4.5 994.5
+    assert(r(1.0)._1 === med && r(1.0)._2 === mad)
+    val zWild = GraftMath.sig9(0.6745 * (1000.0 - med) / mad)
+    assert(r(1000.0)._3.contains(zWild) && r(1000.0)._4)
+    assert(!r(5.0)._4) // central value not an outlier
+    // constant group: MAD = 0 -> z null, never an outlier
+    val c = Anomaly.robustZ(Seq(("c", 7.0), ("c", 7.0)).toDF("k", "v"),
+      Seq("k"), "v").collect()
+    assert(c.forall(x => x.isNullAt(4) && !x.getBoolean(5)))
+  }
 }

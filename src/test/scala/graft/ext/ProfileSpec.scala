@@ -115,4 +115,26 @@ class ProfileSpec extends SparkSpec {
     val expected = 22.0 / math.sqrt(700.0)
     assert(math.abs(row.getDouble(2) - expected) < 1e-9)
   }
+
+  test("groupMoments + welchZ: hand-checked two-sample statistic") {
+    import graft.functions.GraftMath
+    val df = (Seq.fill(1)(0).flatMap(_ => Seq(("a", 1.0), ("a", 2.0),
+      ("a", 3.0), ("b", 5.0), ("b", 9.0))) ).toDF("g", "v")
+    val m = Profile.groupMoments(df, Seq("g"), "v")
+    val z = Profile.welchZ(m, "g").collect().head
+    // a: n=3 mean=2 var=1 ; b: n=2 mean=7 var=8
+    assert(z.getAs[String]("group_a") === "a")
+    assert(z.getAs[Long]("n_a") === 3L && z.getAs[Long]("n_b") === 2L)
+    assert(z.getAs[Double]("mean_a") === 2.0)
+    assert(z.getAs[Double]("var_b") === 8.0)
+    val exp = GraftMath.sig9((2.0 - 7.0) / math.sqrt(1.0 / 3.0 + 8.0 / 2.0))
+    assert(z.getAs[Double]("z") === exp)
+  }
+
+  test("groupMoments: n=1 group has null variance") {
+    val m = Profile.groupMoments(Seq(("x", 4.0)).toDF("g", "v"),
+      Seq("g"), "v").collect().head
+    assert(m.getAs[Long]("n") === 1L)
+    assert(m.isNullAt(m.fieldIndex("var_v")))
+  }
 }
