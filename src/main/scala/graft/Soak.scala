@@ -219,7 +219,8 @@ object Soak {
       "q_x_resample", "q_x_interp", "q_x_seasonal", "q_x_agg_merge",
       "q_x_edit_join", "q_x_naive_bayes", "q_x_kfold_nb",
       "q_x_pagerank", "q_x_mmr", "q_x_hits", "q_x_pmi",
-      "q_x_triangles", "q_x_linkpred")
+      "q_x_triangles", "q_x_linkpred",
+      "q_x_cusum", "q_x_robust_z", "q_x_abtest")
 
     def runOnce(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
