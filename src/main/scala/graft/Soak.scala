@@ -203,7 +203,7 @@ object Soak {
     // exponent measures |Q|x|N| because the full row's query count grows
     // with the corpus; ann_pq_serve pins |Q|=32 so its exponent measures
     // the serving regime the 100 TB claim actually rests on).
-    val names = Seq("q_x_curriculum", "q_x_dedup_clusters",
+    val allNames = Seq("q_x_curriculum", "q_x_dedup_clusters",
       "q_x_pipeline3", "q_x_ann_pq", "q_x_ann_ivfpq",
       "q_x_ann_pq_serve", "q_x_span_dedup", "q_x_segment_dedup",
       "q_x_bm25", "q_x_epoch_shuffle", "q_x_pipeline4",
@@ -221,6 +221,13 @@ object Soak {
       "q_x_pagerank", "q_x_mmr", "q_x_hits", "q_x_pmi",
       "q_x_triangles", "q_x_linkpred",
       "q_x_cusum", "q_x_robust_z", "q_x_abtest")
+    // SPARK_GRAFT_SOAK_QUERIES=a,b,c restricts the run (merge results
+    // into an existing SOAK.json by hand or rerun fully for a report)
+    val names = sys.env.get("SPARK_GRAFT_SOAK_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(allNames)
+    names.foreach(n => require(SparkEntry.queries.contains(n),
+      s"unknown soak query: $n"))
 
     def runOnce(name: String, dir: String): Double = {
       val t0 = System.nanoTime()

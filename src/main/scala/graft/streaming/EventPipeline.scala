@@ -236,6 +236,62 @@ object EventPipeline {
       }
   }
 
+  case class CusumAlarm(stream: String, ts: java.sql.Timestamp,
+                        event_id: Long, x: Double, s_stat: Double)
+
+  /** Per-stream CUSUM cursor for [[cusumMonitor]]: the running sum of
+    * (x − drift) and its prefix minimum, held EXACTLY as decimals —
+    * the whole state the prefix-min identity needs (two numbers per
+    * stream, like the funnel's two longs). */
+  case class CusumState(cs: java.math.BigDecimal, mn: java.math.BigDecimal)
+
+  /** Streaming CUSUM drift monitor — the live face of
+    * [[graft.ext.TimeSeries.cusum]]: emits an alarm the moment a
+    * stream's one-sided CUSUM statistic crosses `threshold`, instead
+    * of recomputing the full statistic stream per dashboard refresh.
+    * State per stream is the (running sum, prefix min) decimal pair;
+    * each event updates it in O(1).
+    *
+    * Same numeric contract as the batch operator at every step
+    * (sig9'd x, scale-15 decimal increments, decimal prefix-min,
+    * SumScale decimal round before the final sig9), so under in-order
+    * per-stream delivery the emitted alarms equal the batch twin's
+    * alarm rows — spec-pinned; intra-batch disorder is absorbed by
+    * the per-group event-time sort, cross-batch disorder has the
+    * documented append-mode gap every stateful operator here shares.
+    */
+  def cusumMonitor(events: Dataset[Event], spark: SparkSession,
+                   drift: Double, threshold: Double)
+      : Dataset[CusumAlarm] = {
+    import spark.implicits._
+    import java.math.{BigDecimal => JBD, RoundingMode => RM}
+    val zero = JBD.ZERO.setScale(15)
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[Event], state: GroupState[CusumState]) =>
+          var s = state.getOption.getOrElse(CusumState(zero, zero))
+          val alarms = Seq.newBuilder[CusumAlarm]
+          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val x9 = graft.functions.GraftMath.sig9(e.value)
+            val inc = JBD.valueOf(x9 - drift).setScale(15, RM.HALF_UP)
+            val cs = s.cs.add(inc)
+            val mn = if (s.mn.compareTo(cs) <= 0) s.mn else cs
+            s = CusumState(cs, mn)
+            val base = if (mn.compareTo(JBD.ZERO) > 0) JBD.ZERO else mn
+            val s9 = graft.functions.GraftMath.sig9(
+              cs.subtract(base)
+                .setScale(graft.ext.Graph.SumScale, RM.HALF_UP)
+                .doubleValue())
+            if (s9 > threshold)
+              alarms += CusumAlarm(key, e.ts, e.event_id, x9, s9)
+          }
+          state.update(s)
+          alarms.result().iterator
+      }
+  }
+
   case class EnrichedPurchase(user_id: Long, purchase_id: Long,
                               purchase_ts: java.sql.Timestamp,
                               value: Double, click_id: Option[Long],

@@ -69,6 +69,45 @@ class StreamingSpec extends SparkSpec {
       ("2024-03-01 10:00:00", 7L, 10.0, 30.0, 10.0, 20.0, 3L, 60.0)))
   }
 
+  test("cusumMonitor: streaming alarms across micro-batches equal the " +
+      "batch twin's alarm rows") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    // stream 'click' drifts upward (values ~ +4 over drift), 'view'
+    // stays flat; threshold 6 crossed inside batch 2 for click only
+    val batch1 = Seq(
+      Event(1L, ts("2024-03-01 10:00:00"), 7L, "click", 5.0),
+      Event(2L, ts("2024-03-01 11:00:00"), 7L, "click", 5.0),
+      Event(3L, ts("2024-03-01 10:30:00"), 8L, "view", 1.0))
+    val batch2 = Seq(
+      Event(4L, ts("2024-03-01 12:00:00"), 7L, "click", 5.0),
+      Event(5L, ts("2024-03-01 13:00:00"), 7L, "click", 5.0),
+      Event(6L, ts("2024-03-01 12:30:00"), 8L, "view", 1.0))
+    val ms = MemoryStream[Event]
+    val q = EventPipeline.cusumMonitor(ms.toDS(), spark,
+        drift = 1.0, threshold = 6.0)
+      .writeStream.format("memory").queryName("cusum_alarms")
+      .outputMode("append").start()
+    try {
+      ms.addData(batch1); q.processAllAvailable()
+      ms.addData(batch2); q.processAllAvailable()
+    } finally q.stop()
+    val streaming = spark.table("cusum_alarms")
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(4)))
+      .toSet
+    // batch twin over the same rows, alarms only
+    val all = (batch1 ++ batch2).toDF()
+    val batch = graft.ext.TimeSeries.cusum(all, Seq("event_type"), "ts",
+        "value", drift = 1.0, threshold = 6.0, tieBreak = "event_id")
+      .where(col("alarm"))
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(4)))
+      .toSet
+    assert(streaming === batch)
+    // click alarms at events 2 (s=8), 4 (12), 5 (16); view never
+    assert(streaming === Set(("click", 2L, 8.0), ("click", 4L, 12.0),
+      ("click", 5L, 16.0)))
+  }
+
   test("enrichedPurchases: streaming as-of enrichment equals the exact " +
       "batch twin on in-order batches; clicks never retro-enrich") {
     implicit val ctx = spark.sqlContext
