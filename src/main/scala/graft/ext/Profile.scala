@@ -137,6 +137,64 @@ object Profile {
             col("var_b") / col("n_b").cast("double"))))
   }
 
+  /** Exact per-group percent_rank of every distinct value WITHOUT a
+    * per-group global-order window — rank-based feature normalization
+    * ("replace the raw metric by its quantile position") at corpus
+    * scale. pct(s) = |{x < s}| / (n − 1), the SQL PERCENT_RANK
+    * definition, ties sharing their rank.
+    *
+    * Plan (the AUC/Curriculum two-phase binned prefix sum, per
+    * group): collapse to distinct (group, value) counts; equi-width
+    * bin each group's value range; within-bin running counts run on
+    * bounded partitions (group × bin), and the cross-bin bases fold
+    * inside ONE O(nBins) array per group — no unpartitioned window
+    * exists at any size, which is the whole point: the naive
+    * `PERCENT_RANK() OVER (PARTITION BY g ORDER BY s)` sorts each
+    * group globally and dies on a hot group. The ratio is one exact
+    * integer division (bit-identical, no sig9 needed). Groups with a
+    * single row have no defined rank (n−1 = 0) — pct is NULL, like
+    * SQL's 0/0 guard.
+    *
+    * @return (keys..., s, cnt, n_below, pct) per distinct value */
+  def percentRank(df: DataFrame, keyCols: Seq[String], valCol: String,
+      nBins: Int = 1024): DataFrame = {
+    val keys = keyCols.map(col)
+    val counts = df.filter(col(valCol).isNotNull)
+      .groupBy(keys :+ col(valCol).cast("double").as("s"): _*)
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val mm = counts.groupBy(keys: _*)
+      .agg(min(col("s")).as("lo"), max(col("s")).as("hi"),
+        sum(col("c")).as("n"))
+    val binned = counts.join(broadcast(mm), keyCols)
+      .withColumn("bin",
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(lit(nBins - 1L),
+            floor((col("s") - col("lo"))
+              / ((col("hi") - col("lo")) / nBins)).cast("long"))))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys :+ col("bin"): _*).orderBy(col("s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val within = binned.withColumn("localc",
+      coalesce(sum(col("c")).over(wIn), lit(0L)))
+    val bases = binned.groupBy(keys :+ col("bin"): _*)
+      .agg(sum(col("c")).as("bc"))
+      .groupBy(keys: _*)
+      .agg(array_sort(collect_list(struct(col("bin"), col("bc")))).as("a"))
+      .select(keys :+ explode(transform(col("a"), (x, i) =>
+        struct(x.getField("bin").as("bin"),
+          aggregate(slice(col("a"), lit(1), i), lit(0L),
+            (acc, b) => acc + b.getField("bc")).as("base")))).as("b"): _*)
+      .select(keys :+ col("b.bin").as("bin") :+ col("b.base").as("base"): _*)
+    within.join(bases, keyCols :+ "bin")
+      .withColumn("n_below", col("base") + col("localc"))
+      .withColumn("pct", when(col("n") > 1,
+        col("n_below").cast("double") / (col("n") - 1).cast("double")))
+      .select(keys :+ col("s") :+ col("c").as("cnt") :+
+        col("n_below") :+ col("pct"): _*)
+  }
+
   def histogram(df: DataFrame, colName: String, bins: Int): DataFrame = {
     require(bins >= 1, "bins must be >= 1")
     val x = col(colName).cast("double")

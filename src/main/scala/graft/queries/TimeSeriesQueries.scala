@@ -250,6 +250,33 @@ object TimeSeriesQueries {
            "CAST(n_a AS DOUBLE) + var_b / CAST(n_b AS DOUBLE))")} AS z
        |FROM a, b""".stripMargin
 
+  // ===== exact windowless percent_rank ================================
+
+  /** Per-event_type percent_rank of every distinct value — rank
+    * normalization with NO per-group global-order window (the AUC
+    * two-phase binned prefix sum, generalized). The oracle IS the
+    * naive global window, so the distributed rank is adjudicated to
+    * exact positions. */
+  private val pctRankQ: QFn = (s, d) =>
+    graft.ext.Profile.percentRank(
+      Tables.events(s, d).select(col("event_type"), col("value")),
+      Seq("event_type"), "value")
+
+  private val pctRankSql =
+    """WITH r AS (
+      |  SELECT event_type, value AS s,
+      |    PERCENT_RANK() OVER (PARTITION BY event_type ORDER BY value)
+      |      AS pct,
+      |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+      |    CAST(rank() OVER (PARTITION BY event_type ORDER BY value) - 1
+      |      AS BIGINT) AS n_below
+      |  FROM events)
+      |SELECT event_type, s, CAST(count(*) AS BIGINT) AS cnt,
+      |  n_below,
+      |  CASE WHEN n > 1 THEN CAST(n_below AS DOUBLE) /
+      |    CAST(n - 1 AS DOUBLE) END AS pct
+      |FROM r GROUP BY event_type, s, n_below, n""".stripMargin
+
   // ===== incremental aggregate maintenance ===========================
 
   /** Per-user rollup maintained INCREMENTALLY: the engine builds
@@ -284,6 +311,7 @@ object TimeSeriesQueries {
     "q_x_cusum" -> cusumQ,
     "q_x_robust_z" -> robustZQ,
     "q_x_abtest" -> abtestQ,
+    "q_x_pct_rank" -> pctRankQ,
     "q_x_agg_merge" -> aggMergeQ)
 
   val oracles: Map[String, String] = Map(
@@ -293,5 +321,6 @@ object TimeSeriesQueries {
     "q_x_cusum" -> cusumSql,
     "q_x_robust_z" -> robustZSql,
     "q_x_abtest" -> abtestSql,
+    "q_x_pct_rank" -> pctRankSql,
     "q_x_agg_merge" -> aggMergeSql)
 }

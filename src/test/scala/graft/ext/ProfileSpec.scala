@@ -137,4 +137,33 @@ class ProfileSpec extends SparkSpec {
     assert(m.getAs[Long]("n") === 1L)
     assert(m.isNullAt(m.fieldIndex("var_v")))
   }
+
+  test("percentRank: two-phase binned rank == naive window, ties shared") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, percent_rank}
+    // random-ish values with heavy ties across 3 groups
+    val rows = (1 to 400).map(i =>
+      (s"g${i % 3}", ((i * 37) % 23).toDouble / 7.0))
+    val df = rows.toDF("g", "v")
+    val got = Profile.percentRank(df, Seq("g"), "v", nBins = 8)
+      .select("g", "s", "pct")
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        r.getDouble(2)).toMap
+    val w = Window.partitionBy(col("g")).orderBy(col("v"))
+    val naive = df.withColumn("pct", percent_rank().over(w))
+      .select("g", "v", "pct").distinct()
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        r.getDouble(2)).toMap
+    assert(got === naive)
+  }
+
+  test("percentRank: single-row group has null pct; constant group all 0") {
+    val got = Profile.percentRank(
+        Seq(("a", 1.0), ("b", 5.0), ("b", 5.0)).toDF("g", "v"),
+        Seq("g"), "v")
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        (r.getLong(2), r.getLong(3), Option(r.get(4)))).toMap
+    assert(got(("a", 1.0)) === ((1L, 0L, None)))
+    assert(got(("b", 5.0)) === ((2L, 0L, Some(0.0))))
+  }
 }
