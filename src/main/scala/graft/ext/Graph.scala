@@ -222,14 +222,22 @@ object Graph {
         greatest(col(aCol), col(bCol)).as("b"))
       .where(col("a") =!= col("b"))
       .distinct().localCheckpoint()
+    // size-aware join strategy (the pageRank lesson): checkpointed
+    // frames have no stats, so hint explicitly — the WEDGE set is the
+    // big side (O(m^1.5)); while the edge/degree frames fit, broadcast
+    // them so wedges never shuffle. Past that, the equi-joins shuffle
+    // on their keys — the honest web-scale shape.
+    val mEdges = und.count()
+    val edgeSide: DataFrame => DataFrame =
+      if (mEdges <= 2000000L) broadcast else identity
     val deg = und.select(col("a").as("v"))
       .unionAll(und.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d")).localCheckpoint()
     // orient low-(d, id) -> high-(d, id); carry the dst's rank key for
     // the wedge-ordering filter
     val withDeg = und
-      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
-      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+      .join(edgeSide(deg.select(col("v").as("a"), col("d").as("da"))), "a")
+      .join(edgeSide(deg.select(col("v").as("b"), col("d").as("db"))), "b")
     val oe = withDeg.select(
         when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
           struct(col("a").as("src"), col("b").as("dst"),
@@ -240,11 +248,13 @@ object Graph {
         col("e.dd").as("dd"))
       .localCheckpoint()
     val wedges = oe.select(col("src"), col("dst").as("v"), col("dd").as("dv"))
-      .join(oe.select(col("src"), col("dst").as("w"), col("dd").as("dw")),
+      .join(edgeSide(
+        oe.select(col("src"), col("dst").as("w"), col("dd").as("dw"))),
         "src")
       .where(struct(col("dv"), col("v")) < struct(col("dw"), col("w")))
     val closed = wedges.join(
-      oe.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+      edgeSide(oe.select(col("src").as("v"), col("dst").as("w"))),
+      Seq("v", "w"))
     closed.select(explode(array(col("src"), col("v"), col("w"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
   }
