@@ -277,6 +277,107 @@ object TimeSeriesQueries {
       |    CAST(n - 1 AS DOUBLE) END AS pct
       |FROM r GROUP BY event_type, s, n_below, n""".stripMargin
 
+  // ===== pipeline 6: the monitoring flagship ==========================
+
+  /** The full monitoring chain as ONE composed plan: seasonal
+    * profile -> residuals -> CUSUM drift detection AND median/MAD
+    * point outliers over the SAME residual stream -> per-stream
+    * summary (event counts, drift alarms, point outliers, and events
+    * flagged by BOTH — the highest-confidence alerts). Every stage is
+    * the adjudicated operator of its own row; the oracle chains the
+    * same CTEs. */
+  private val pipeline6Q: QFn = (s, d) => {
+    val ev = Tables.events(s, d)
+    val prof = TimeSeries.seasonalProfile(ev, Seq("event_type"), "ts", "value")
+    val res = TimeSeries.deseasonalize(ev, prof,
+        Seq("event_type"), "ts", "value")
+      .select(col("event_type"), col("ts"), col("event_id"), col("resid"))
+    val cu = TimeSeries.cusum(res, Seq("event_type"), "ts", "resid",
+        drift = cusumDrift, threshold = cusumThreshold,
+        tieBreak = "event_id")
+      .select(col("event_type"), col("event_id"), col("alarm"))
+    // robustZ keeps only (keys, x); joining back on (type, x) is
+    // ambiguous under ties — flag outliers directly from the bounded
+    // per-type med/mad frame instead, with robustZ's exact formula:
+    val stats = graft.ext.Anomaly.robustZ(res, Seq("event_type"), "resid",
+        zThreshold = 3.5)
+      .select(col("event_type"), col("med"), col("mad")).distinct()
+    val flagged = res.join(broadcast(stats), "event_type")
+      .withColumn("is_outlier", coalesce(
+        when(col("mad") > 0, abs(graft.queries.Q.sig9(
+          lit(0.6745) * (col("resid") - col("med")) / col("mad"))) > 3.5),
+        lit(false)))
+      .select(col("event_type"), col("event_id"), col("is_outlier"))
+    cu.join(flagged, Seq("event_type", "event_id"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("alarm"), 1L).otherwise(0L)).as("n_drift_alarms"),
+        sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"),
+        sum(when(col("alarm") && col("is_outlier"), 1L).otherwise(0L))
+          .as("n_both"))
+  }
+
+  private val pipeline6Sql = {
+    val sStat = "CAST(ROUND(cs - (CASE WHEN mn > 0 " +
+      "THEN CAST(0 AS DECIMAL(38,15)) ELSE mn END), " +
+      s"${graft.ext.Graph.SumScale}) AS DOUBLE)"
+    s"""WITH p AS (
+       |  SELECT event_type,
+       |    CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+       |    CAST(hour(ts) AS BIGINT) AS hod,
+       |    ${Q.sqlDavg("value")} AS mean_v
+       |  FROM events GROUP BY 1, 2, 3),
+       |r AS (
+       |  SELECT e.event_type, e.ts, e.event_id,
+       |    e.value - p.mean_v AS resid,
+       |    ${Q.sqlSig9("e.value - p.mean_v")} AS x
+       |  FROM events e JOIN p
+       |    ON p.event_type = e.event_type
+       |   AND p.dow = CAST(dayofweek(e.ts) + 1 AS BIGINT)
+       |   AND p.hod = CAST(hour(e.ts) AS BIGINT)),
+       |cs AS (
+       |  SELECT event_type, ts, event_id, x,
+       |    SUM(CAST(x - $cusumDrift AS DECIMAL(38,15))) OVER w AS cs
+       |  FROM r
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |mn AS (
+       |  SELECT event_type, event_id, x, cs, MIN(cs) OVER w AS mn
+       |  FROM cs
+       |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |cu AS (
+       |  SELECT event_type, event_id,
+       |    ${Q.sqlSig9(sStat)} > $cusumThreshold AS alarm
+       |  FROM mn),
+       |st AS (
+       |  SELECT event_type,
+       |    ${Q.sqlSig9("quantile_cont(resid, 0.5)")} AS med0
+       |  FROM r GROUP BY 1),
+       |st2 AS (
+       |  SELECT r.event_type, st.med0 AS med,
+       |    ${Q.sqlSig9("quantile_cont(abs(r.resid - st.med0), 0.5)")} AS mad
+       |  FROM r JOIN st ON st.event_type = r.event_type
+       |  GROUP BY 1, 2),
+       |fl AS (
+       |  SELECT r.event_type, r.event_id,
+       |    COALESCE(CASE WHEN st.mad > 0
+       |      THEN abs(${Q.sqlSig9("0.6745 * (r.resid - st.med) / st.mad")})
+       |        > 3.5 END, false) AS is_outlier
+       |  FROM r JOIN st2 st ON st.event_type = r.event_type)
+       |SELECT cu.event_type,
+       |  CAST(count(*) AS BIGINT) AS n_events,
+       |  CAST(sum(CASE WHEN cu.alarm THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_drift_alarms,
+       |  CAST(sum(CASE WHEN fl.is_outlier THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_outliers,
+       |  CAST(sum(CASE WHEN cu.alarm AND fl.is_outlier THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_both
+       |FROM cu JOIN fl
+       |  ON fl.event_type = cu.event_type AND fl.event_id = cu.event_id
+       |GROUP BY 1""".stripMargin
+  }
+
   // ===== incremental aggregate maintenance ===========================
 
   /** Per-user rollup maintained INCREMENTALLY: the engine builds
@@ -312,6 +413,7 @@ object TimeSeriesQueries {
     "q_x_robust_z" -> robustZQ,
     "q_x_abtest" -> abtestQ,
     "q_x_pct_rank" -> pctRankQ,
+    "q_x_pipeline6" -> pipeline6Q,
     "q_x_agg_merge" -> aggMergeQ)
 
   val oracles: Map[String, String] = Map(
@@ -322,5 +424,6 @@ object TimeSeriesQueries {
     "q_x_robust_z" -> robustZSql,
     "q_x_abtest" -> abtestSql,
     "q_x_pct_rank" -> pctRankSql,
+    "q_x_pipeline6" -> pipeline6Sql,
     "q_x_agg_merge" -> aggMergeSql)
 }
