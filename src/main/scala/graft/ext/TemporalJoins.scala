@@ -134,6 +134,54 @@ object TemporalJoins {
     * bucketSeconds close to the typical interval length so most
     * intervals explode to 1-2 buckets.
     */
+  /** Multi-touch LINEAR attribution: each conversion's value splits
+    * equally over the same key's touchpoints strictly before it and
+    * within `windowSeconds` — the marketing-analytics complement of
+    * the last-touch as-of join (one row of credit per qualifying
+    * (touch, conversion) pair, aggregated per touch).
+    *
+    * Plan: the [[rangeJoinCount]] bucket-blocking trick, keyed — each
+    * conversion explodes to the few coarse buckets its window spans,
+    * each touch sits in exactly one bucket, and the (key, bucket)
+    * equi-join matches every qualifying pair exactly once. Cost is
+    * |touches| + |conversions|·(window/bucketLen) + pairs, never
+    * |touches| × |conversions|. Per-conversion touch counts and the
+    * per-touch credit rollup are two keyed hash aggregates; credit is
+    * one exact IEEE division, the rollup the decimal dsum.
+    *
+    * @return (keys..., touch_id, n_conversions, credited) for touches
+    *         with >= 1 attributed conversion */
+  def multiTouch(conversions: DataFrame, convId: String, convTs: String,
+      valCol: String, touches: DataFrame, touchId: String, touchTs: String,
+      keys: Seq[String], windowSeconds: Long,
+      bucketSeconds: Long = 3600L): DataFrame = {
+    require(windowSeconds > 0 && bucketSeconds > 0,
+      "window and bucket must be positive")
+    val b = lit(bucketSeconds)
+    val cv = conversions.select(keys.map(col) :+ col(convId).as("__pid") :+
+        col(convTs).as("__pts") :+ col(valCol).as("__val"): _*)
+      .withColumn("__bucket", explode(sequence(
+        floor((unix_timestamp(col("__pts")) - windowSeconds) / b)
+          .cast("long"),
+        floor(unix_timestamp(col("__pts")) / b).cast("long"))))
+    val tv = touches.select(keys.map(col) :+ col(touchId).as("__tid") :+
+        col(touchTs).as("__tts"): _*)
+      .withColumn("__bucket",
+        floor(unix_timestamp(col("__tts")) / b).cast("long"))
+    val pairs = cv.join(tv, keys :+ "__bucket")
+      .where(col("__tts") < col("__pts") &&
+        col("__tts") >= col("__pts") -
+          expr(s"INTERVAL $windowSeconds SECONDS"))
+      .select(keys.map(col) :+ col("__pid") :+ col("__val") :+
+        col("__tid"): _*)
+    val nt = pairs.groupBy("__pid").agg(count(lit(1)).as("__nt"))
+    pairs.join(nt, "__pid")
+      .withColumn("__credit", col("__val") / col("__nt"))
+      .groupBy(keys.map(col) :+ col("__tid").as("touch_id"): _*)
+      .agg(count(lit(1)).as("n_conversions"),
+        graft.queries.Q.dsum(col("__credit")).as("credited"))
+  }
+
   def rangeJoinCount(intervals: DataFrame, idCol: String, loCol: String,
                      hiCol: String, points: DataFrame, pointTime: String,
                      bucketSeconds: Long = 3600L): DataFrame = {

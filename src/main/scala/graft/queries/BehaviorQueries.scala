@@ -125,13 +125,50 @@ object BehaviorQueries {
        |FROM events GROUP BY user_id""".stripMargin
   }
 
+  // ===== multi-touch linear attribution ===============================
+
+  /** Every purchase's value split equally over the user's clicks in
+    * the 24h before it; per click the attributed conversion count and
+    * credited value ([[graft.ext.TemporalJoins.multiTouch]] — the
+    * bucket-blocked pair join). The oracle is the naive user-keyed
+    * time-filtered join. */
+  private val multiTouchQ: QFn = (s, d) => {
+    val ev = Tables.events(s, d)
+    graft.ext.TemporalJoins.multiTouch(
+        ev.filter(col("event_type") === "purchase"),
+        "event_id", "ts", "value",
+        ev.filter(col("event_type") === "click"), "event_id", "ts",
+        Seq("user_id"), windowSeconds = 86400L)
+      .select(col("user_id"), col("touch_id").as("click_id"),
+        col("n_conversions"), col("credited"))
+  }
+
+  private val multiTouchSql =
+    s"""WITH p AS (
+       |  SELECT event_id AS pid, user_id AS u, ts AS pts, value
+       |  FROM events WHERE event_type = 'purchase'),
+       |c AS (
+       |  SELECT event_id AS cid, user_id AS u, ts AS cts
+       |  FROM events WHERE event_type = 'click'),
+       |pr AS (
+       |  SELECT p.pid, p.value, c.cid, c.u
+       |  FROM p JOIN c ON c.u = p.u
+       |    AND c.cts < p.pts AND c.cts >= p.pts - INTERVAL 86400 SECOND),
+       |nt AS (SELECT pid, CAST(count(*) AS BIGINT) AS n FROM pr GROUP BY 1)
+       |SELECT pr.u AS user_id, pr.cid AS click_id,
+       |  CAST(count(*) AS BIGINT) AS n_conversions,
+       |  ${Q.sqlDsum("pr.value / nt.n")} AS credited
+       |FROM pr JOIN nt USING (pid) GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q_x_multitouch" -> multiTouchQ,
     "q_x_funnel" -> funnel,
     "q_x_retention" -> retentionQ,
     "q_x_transitions" -> transitionsQ,
     "q_x_decay" -> decayQ)
 
   val oracles: Map[String, String] = Map(
+    "q_x_multitouch" -> multiTouchSql,
     "q_x_funnel" -> funnelSql,
     "q_x_retention" -> retentionSql,
     "q_x_transitions" -> transitionsSql,

@@ -238,4 +238,35 @@ class TemporalJoinsSpec extends SparkSpec {
       .head.getLong(1)
     assert(n == 100L)
   }
+
+  test("multiTouch: linear credit split, strict-before window, bucketing exact") {
+    def ts(x: String) = java.sql.Timestamp.valueOf(x)
+    // user 1: purchase 100.0 at 12:00 with clicks at 11:00 and 11:30
+    // (credit 50 each); purchase 30.0 at 13:00 sees all three clicks
+    // incl. 12:30 (credit 10 each). Click at exactly purchase time is
+    // NOT credited (strict before); a click 25h earlier is outside.
+    val conv = Seq((10L, 1L, ts("2024-01-02 12:00:00"), 100.0),
+      (11L, 1L, ts("2024-01-02 13:00:00"), 30.0))
+      .toDF("cid", "u", "cts", "v")
+    val clicks = Seq(
+      (1L, 1L, ts("2024-01-02 11:00:00")),
+      (2L, 1L, ts("2024-01-02 11:30:00")),
+      (3L, 1L, ts("2024-01-02 12:30:00")),
+      (4L, 1L, ts("2024-01-02 12:00:00")), // == purchase 10 ts: only 11
+      (5L, 1L, ts("2024-01-01 11:00:00")), // 25h before 10: only 11? no - outside both
+      (6L, 2L, ts("2024-01-02 11:00:00"))) // other user
+      .toDF("tid", "u", "tts")
+    val out = TemporalJoins.multiTouch(conv, "cid", "cts", "v",
+        clicks, "tid", "tts", Seq("u"), windowSeconds = 86400L,
+        bucketSeconds = 1800L)
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    // purchase 10 touches: clicks 1, 2 (4 excluded: not strict-before;
+    // 5 outside window). purchase 11 touches: 1, 2, 3, 4 -> 7.5 each
+    assert(out(1L) === ((2L, 50.0 + 7.5)))
+    assert(out(2L) === ((2L, 50.0 + 7.5)))
+    assert(out(3L) === ((1L, 7.5)))
+    assert(out(4L) === ((1L, 7.5)))
+    assert(!out.contains(5L) && !out.contains(6L))
+  }
 }
