@@ -66,6 +66,40 @@ object Behavior {
       .select("step_idx", "step", "n_users", "conversion")
   }
 
+  /** Cohort LTV curves: per (cohort day, day offset), the cohort's
+    * active users, period revenue and CUMULATIVE revenue — the
+    * "how much is a day-N cohort worth by day M" view that prices
+    * acquisition. Revenue accumulates IN DECIMAL through the
+    * per-cohort running window (offsets per cohort are bounded by the
+    * observation span, like every keyed window here) and converts out
+    * through the stable decimal round ([[graft.queries.Q.decOut]],
+    * `cumScale` places — size it so total·10^scale fits 15 digits).
+    */
+  def ltv(events: DataFrame, userCol: String, tsCol: String,
+      valCol: String, cumScale: Int = 6): DataFrame = {
+    val cohorts = events.groupBy(col(userCol).as("user"))
+      .agg(min(to_date(col(tsCol))).as("cohort_day"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 15)
+    val daily = events
+      .join(cohorts, col(userCol) === col("user"))
+      .groupBy(col("cohort_day"),
+        datediff(to_date(col(tsCol)), col("cohort_day")).cast("long")
+          .as("day_offset"))
+      .agg(countDistinct(col(userCol)).as("n_active"),
+        sum(col(valCol).cast(dec)).as("__rev_dec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cohort_day")).orderBy(col("day_offset"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, org.apache.spark.sql.expressions.Window
+        .currentRow)
+    daily
+      .withColumn("rev", graft.queries.Q.decOut(col("__rev_dec"), cumScale))
+      .withColumn("cum_rev",
+        graft.queries.Q.decOut(sum(col("__rev_dec")).over(w), cumScale))
+      .select(col("cohort_day"), col("day_offset"), col("n_active"),
+        col("rev"), col("cum_rev"))
+  }
+
   /** Event-to-event transition counts (first-order Markov path
     * analysis): for each user's (ts, tieBreak)-ordered stream, count
     * (from_type -> to_type) adjacencies and each target's share of its

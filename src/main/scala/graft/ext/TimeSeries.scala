@@ -96,6 +96,29 @@ object TimeSeries {
       .join(broadcast(profile), keyCols :+ "dow" :+ "hod")
       .withColumn("resid", col(valCol) - col("mean_v"))
 
+  /** Inter-event gap statistics per key: gap count, exact micro-second
+    * sum and max, and the mean gap in seconds — the cadence profile
+    * behind engagement scoring and anomaly thresholds ("this sensor
+    * reports every ~40s"). One keyed lag window (bounded by per-key
+    * series length) + one hash aggregate; all arithmetic on exact
+    * integer micros, the mean one fixed double division chain. Keys
+    * with a single event report zero gaps and a NULL mean. */
+  def gapStats(events: DataFrame, keyCols: Seq[String], tsCol: String,
+      tieBreak: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).asc, col(tieBreak).asc)
+    val us = unix_micros(col(tsCol))
+    events
+      .withColumn("__gap", us - lag(us, 1).over(w))
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(col("__gap")).as("n_gaps"),
+        sum(col("__gap")).cast(LongType).as("sum_gap_us"),
+        max(col("__gap")).as("max_gap_us"))
+      .withColumn("mean_gap_s", when(col("n_gaps") > 0,
+        col("sum_gap_us").cast(DoubleType) / col("n_gaps") / 1000000.0))
+  }
+
   /** One-sided CUSUM drift detection (Page 1954) — the standard
     * "has this metric drifted upward beyond noise" sequential test a
     * monitoring pipeline runs over residuals: S_t = max(0, S_{t-1} +

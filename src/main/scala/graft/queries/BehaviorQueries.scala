@@ -160,7 +160,42 @@ object BehaviorQueries {
        |  ${Q.sqlDsum("pr.value / nt.n")} AS credited
        |FROM pr JOIN nt USING (pid) GROUP BY 1, 2""".stripMargin
 
+  // ===== cohort LTV curves ============================================
+
+  /** Per (cohort day, day offset): active users, period revenue and
+    * cumulative revenue — revenue accumulates in exact decimal through
+    * the per-cohort running window and leaves through the stable
+    * decimal round ([[graft.ext.Behavior.ltv]]). */
+  private val ltvQ: QFn = (s, d) =>
+    graft.ext.Behavior.ltv(Tables.events(s, d), "user_id", "ts", "value")
+      .select(date_format(col("cohort_day"), "yyyy-MM-dd")
+          .as("cohort_day_s"),
+        col("day_offset"), col("n_active"), col("rev"), col("cum_rev"))
+
+  private val ltvSql =
+    s"""WITH c AS (
+       |  SELECT user_id AS u, min(CAST(ts AS DATE)) AS cd FROM events
+       |  GROUP BY 1),
+       |dl AS (
+       |  SELECT c.cd AS cohort_day,
+       |    CAST(date_diff('day', c.cd, CAST(e.ts AS DATE)) AS BIGINT)
+       |      AS day_offset,
+       |    CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active,
+       |    SUM(CAST(e.value AS DECIMAL(38,15))) AS rev_dec
+       |  FROM events e JOIN c ON e.user_id = c.u GROUP BY 1, 2),
+       |wd AS (
+       |  SELECT cohort_day, day_offset, n_active, rev_dec,
+       |    SUM(rev_dec) OVER (PARTITION BY cohort_day ORDER BY day_offset
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_dec
+       |  FROM dl)
+       |SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day_s,
+       |  day_offset, n_active,
+       |  ${Q.sqlDecOut("rev_dec", 6)} AS rev,
+       |  ${Q.sqlDecOut("cum_dec", 6)} AS cum_rev
+       |FROM wd""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q_x_ltv" -> ltvQ,
     "q_x_multitouch" -> multiTouchQ,
     "q_x_funnel" -> funnel,
     "q_x_retention" -> retentionQ,
@@ -168,6 +203,7 @@ object BehaviorQueries {
     "q_x_decay" -> decayQ)
 
   val oracles: Map[String, String] = Map(
+    "q_x_ltv" -> ltvSql,
     "q_x_multitouch" -> multiTouchSql,
     "q_x_funnel" -> funnelSql,
     "q_x_retention" -> retentionSql,

@@ -73,6 +73,17 @@ object Q {
     sqlSig9(s"CAST(ROUND(SUM(CAST(($expr) AS DECIMAL(38,15))), $scale) " +
       "AS DOUBLE)")
 
+  /** Stable double projection of an already-computed DECIMAL column
+    * (e.g. a windowed running sum): decimal-space round to `scale`
+    * places, exact cast, sig9 — the non-aggregating face of
+    * [[dsumStable]], for values where |x|·10^scale stays under 15
+    * digits. */
+  def decOut(c: Column, scale: Int): Column =
+    sig9(round(c, scale).cast(DoubleType))
+
+  def sqlDecOut(expr: String, scale: Int): String =
+    sqlSig9(s"CAST(ROUND($expr, $scale) AS DOUBLE)")
+
   /** Order-independent avg (null-skipping, like the oracle's SUM/COUNT). */
   def davg(c: Column): Column = dsum(c) / count(c)
 

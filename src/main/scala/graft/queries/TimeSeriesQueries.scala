@@ -378,6 +378,30 @@ object TimeSeriesQueries {
        |GROUP BY 1""".stripMargin
   }
 
+  // ===== inter-event gap statistics ===================================
+
+  /** Per-user event cadence: gap count, exact micro-second sum/max,
+    * mean gap in seconds — one keyed lag window + one aggregate,
+    * integer-exact. */
+  private val gapsQ: QFn = (s, d) =>
+    TimeSeries.gapStats(Tables.events(s, d), Seq("user_id"), "ts",
+      tieBreak = "event_id")
+
+  private val gapsSql =
+    """WITH g AS (
+      |  SELECT user_id,
+      |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id) AS gap
+      |  FROM events)
+      |SELECT user_id,
+      |  CAST(count(gap) AS BIGINT) AS n_gaps,
+      |  CAST(sum(gap) AS BIGINT) AS sum_gap_us,
+      |  CAST(max(gap) AS BIGINT) AS max_gap_us,
+      |  CASE WHEN count(gap) > 0
+      |    THEN CAST(sum(gap) AS DOUBLE) / count(gap) / 1000000.0
+      |  END AS mean_gap_s
+      |FROM g GROUP BY 1""".stripMargin
+
   // ===== incremental aggregate maintenance ===========================
 
   /** Per-user rollup maintained INCREMENTALLY: the engine builds
@@ -414,6 +438,7 @@ object TimeSeriesQueries {
     "q_x_abtest" -> abtestQ,
     "q_x_pct_rank" -> pctRankQ,
     "q_x_pipeline6" -> pipeline6Q,
+    "q_x_gaps" -> gapsQ,
     "q_x_agg_merge" -> aggMergeQ)
 
   val oracles: Map[String, String] = Map(
@@ -425,5 +450,6 @@ object TimeSeriesQueries {
     "q_x_abtest" -> abtestSql,
     "q_x_pct_rank" -> pctRankSql,
     "q_x_pipeline6" -> pipeline6Sql,
+    "q_x_gaps" -> gapsSql,
     "q_x_agg_merge" -> aggMergeSql)
 }

@@ -144,4 +144,22 @@ class BehaviorSpec extends SparkSpec {
       Behavior.conversionFunnel(ev(("u1", "view", 1)), "u", "ts", "et", Nil)
     }
   }
+
+  test("ltv: cohort curves with exact decimal accumulation") {
+    def ts(x: String) = java.sql.Timestamp.valueOf(x)
+    val df = Seq(
+      ("u1", ts("2024-01-01 10:00:00"), 10.0),
+      ("u2", ts("2024-01-01 12:00:00"), 5.0),
+      ("u1", ts("2024-01-02 09:00:00"), 2.5), // offset 1
+      ("u3", ts("2024-01-02 11:00:00"), 7.0), // later cohort
+      ("u2", ts("2024-01-03 11:00:00"), 1.0)) // offset 2
+      .toDF("user_id", "ts", "v")
+    val r = Behavior.ltv(df, "user_id", "ts", "v")
+      .collect().map(x => (x.getDate(0).toString, x.getLong(1)) ->
+        (x.getLong(2), x.getDouble(3), x.getDouble(4))).toMap
+    assert(r(("2024-01-01", 0L)) === ((2L, 15.0, 15.0)))
+    assert(r(("2024-01-01", 1L)) === ((1L, 2.5, 17.5)))
+    assert(r(("2024-01-01", 2L)) === ((1L, 1.0, 18.5)))
+    assert(r(("2024-01-02", 0L)) === ((1L, 7.0, 7.0)))
+  }
 }

@@ -142,4 +142,19 @@ class TimeSeriesSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(res === Map(1L -> -5.0, 2L -> 5.0, 3L -> 0.0))
   }
+
+  test("gapStats: exact micro gaps, single-event key has null mean") {
+    val df = Seq(
+      ("a", 1L, ts("2024-01-01 00:00:00"), 0.0),
+      ("a", 2L, ts("2024-01-01 00:00:10"), 0.0),
+      ("a", 3L, ts("2024-01-01 00:01:00"), 0.0),
+      ("b", 4L, ts("2024-01-01 00:00:00"), 0.0))
+      .toDF("k", "id", "ts", "v")
+    val r = TimeSeries.gapStats(df, Seq("k"), "ts", "id")
+      .collect().map(x => x.getString(0) -> (x.getLong(1),
+        Option(x.get(2)), Option(x.get(3)),
+        Option(x.get(4)).map(_.asInstanceOf[Double]))).toMap
+    assert(r("a") === ((2L, Some(60000000L), Some(50000000L), Some(30.0))))
+    assert(r("b") === ((0L, None, None, None)))
+  }
 }
