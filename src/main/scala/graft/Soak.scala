@@ -220,7 +220,7 @@ object Soak {
       "q_x_edit_join", "q_x_naive_bayes", "q_x_kfold_nb",
       "q_x_pagerank", "q_x_mmr", "q_x_hits", "q_x_pmi",
       "q_x_triangles", "q_x_linkpred",
-      "q_x_cusum", "q_x_robust_z", "q_x_abtest", "q_x_pct_rank", "q_x_pipeline6", "q_x_multitouch", "q_x_ltv", "q_x_gaps")
+      "q_x_cusum", "q_x_robust_z", "q_x_abtest", "q_x_pct_rank", "q_x_pipeline6", "q_x_multitouch", "q_x_ltv", "q_x_gaps", "q_x_winsorize")
     // SPARK_GRAFT_SOAK_QUERIES=a,b,c restricts the run (merge results
     // into an existing SOAK.json by hand or rerun fully for a report)
     val names = sys.env.get("SPARK_GRAFT_SOAK_QUERIES")

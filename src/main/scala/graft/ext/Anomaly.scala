@@ -60,6 +60,35 @@ object Anomaly {
         col("mad") :+ col("z") :+ col("is_outlier"): _*)
   }
 
+  /** Per-group winsorized mean: values clamped to the group's
+    * [p_lo, p_hi] exact percentiles before averaging — the standard
+    * heavy-tail guard for metrics feeding dashboards and A/B tests
+    * (one whale order should move revenue-per-user, not own it).
+    * Same exact-percentile contract as [[robustZ]] (q_g8-adjudicated;
+    * swap approx_percentile past ~10^6 rows per group); bounds
+    * broadcast; clamping is a map-side projection and the mean the
+    * decimal davg.
+    *
+    * @return one row per group: (keys..., n, lo, hi, mean_raw,
+    *         mean_winsorized) */
+  def winsorizedMean(df: DataFrame, keyCols: Seq[String], valCol: String,
+      pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, "need 0 <= pLo < pHi <= 1")
+    val bounds = df.groupBy(keyCols.map(col): _*)
+      .agg(graft.queries.Q.sig9(
+          percentile(col(valCol), lit(pLo))).as("lo"),
+        graft.queries.Q.sig9(
+          percentile(col(valCol), lit(pHi))).as("hi"))
+    df.join(broadcast(bounds), keyCols)
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(col(valCol)).as("n"),
+        first(col("lo")).as("lo"), first(col("hi")).as("hi"),
+        graft.queries.Q.davg(col(valCol)).as("mean_raw"),
+        graft.queries.Q.davg(
+          least(greatest(col(valCol), col("lo")), col("hi")))
+          .as("mean_winsorized"))
+  }
+
   /** Per (stream, day) volume with trailing-window z-score.
     *
     * The window is the `lookback` preceding OBSERVED days (ROWS, not

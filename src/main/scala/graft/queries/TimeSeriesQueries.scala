@@ -207,6 +207,31 @@ object TimeSeriesQueries {
        |JOIN mad d USING (event_type)""".stripMargin
   }
 
+  // ===== winsorized means ============================================
+
+  /** Per-event_type mean with values clamped to the exact [p05, p95]
+    * percentiles — the heavy-tail guard ([[graft.ext.Anomaly
+    * .winsorizedMean]]). */
+  private val winsorQ: QFn = (s, d) =>
+    graft.ext.Anomaly.winsorizedMean(
+      Tables.events(s, d).select(col("event_type"), col("value")),
+      Seq("event_type"), "value")
+
+  private val winsorSql =
+    s"""WITH b AS (
+       |  SELECT event_type,
+       |    ${Q.sqlSig9("quantile_cont(value, 0.05)")} AS lo,
+       |    ${Q.sqlSig9("quantile_cont(value, 0.95)")} AS hi
+       |  FROM events GROUP BY 1)
+       |SELECT e.event_type,
+       |  CAST(count(e.value) AS BIGINT) AS n,
+       |  any_value(b.lo) AS lo, any_value(b.hi) AS hi,
+       |  ${Q.sqlDavg("e.value")} AS mean_raw,
+       |  ${Q.sqlDavg("least(greatest(e.value, b.lo), b.hi)")}
+       |    AS mean_winsorized
+       |FROM events e JOIN b USING (event_type)
+       |GROUP BY 1""".stripMargin
+
   // ===== A/B test (Welch z) ==========================================
 
   /** Users hash-split into two arms; Welch's z on the value metric —
@@ -436,6 +461,7 @@ object TimeSeriesQueries {
     "q_x_cusum" -> cusumQ,
     "q_x_robust_z" -> robustZQ,
     "q_x_abtest" -> abtestQ,
+    "q_x_winsorize" -> winsorQ,
     "q_x_pct_rank" -> pctRankQ,
     "q_x_pipeline6" -> pipeline6Q,
     "q_x_gaps" -> gapsQ,
@@ -448,6 +474,7 @@ object TimeSeriesQueries {
     "q_x_cusum" -> cusumSql,
     "q_x_robust_z" -> robustZSql,
     "q_x_abtest" -> abtestSql,
+    "q_x_winsorize" -> winsorSql,
     "q_x_pct_rank" -> pctRankSql,
     "q_x_pipeline6" -> pipeline6Sql,
     "q_x_gaps" -> gapsSql,

@@ -69,4 +69,23 @@ class AnomalySpec extends SparkSpec {
       Seq("k"), "v").collect()
     assert(c.forall(x => x.isNullAt(4) && !x.getBoolean(5)))
   }
+
+  test("winsorizedMean: clamps tails at the exact percentiles") {
+    import graft.functions.GraftMath
+    // 1..9 plus whale 1000; p05/p95 over 10 values (interpolated):
+    // lo = 1 + 0.45*(2-1) = 1.45; hi = 9 + 0.55*(1000-9) = 554.05
+    val vals = (1 to 9).map(_.toDouble) :+ 1000.0
+    val r = Anomaly.winsorizedMean(vals.map(v => ("g", v)).toDF("k", "v"),
+      Seq("k"), "v").collect().head
+    val lo = GraftMath.sig9(1.45)
+    val hi = GraftMath.sig9(554.05)
+    assert(r.getAs[Long]("n") === 10L)
+    assert(r.getAs[Double]("lo") === lo)
+    assert(r.getAs[Double]("hi") === hi)
+    // winsorized values: lo, 2..9, hi — mean drops from 104.5
+    val expW = (Seq(lo) ++ (2 to 9).map(_.toDouble) :+ hi)
+      .map(BigDecimal(_)).sum.toDouble / 10.0
+    assert(math.abs(r.getAs[Double]("mean_winsorized") - expW) < 1e-6)
+    assert(r.getAs[Double]("mean_raw") === 104.5)
+  }
 }
