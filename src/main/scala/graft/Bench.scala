@@ -46,6 +46,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // fixture-vintage gate (same as Verify): fail loudly in one place
+    // on fixture schema drift instead of timing 150 broken queries
+    graft.core.Tables.preflight(spark, sfDir)
 
     import scala.jdk.CollectionConverters._
     def gcMillis(): Long =

@@ -15,6 +15,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // fixture-vintage gate: ANY schema drift in the driver's parquet
+    // fixtures fails here as one readable message, not as 150
+    // scattered per-query analysis errors (the round-8 lesson)
+    graft.core.Tables.preflight(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     // optional comma-separated subset for fast local iteration; the
     // driver sets nothing and gets the full surface. Unknown names are

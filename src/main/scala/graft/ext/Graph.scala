@@ -17,9 +17,13 @@ import graft.queries.Q
   * decomposition, nothing global but the two O(1)-row scalars
   * (node count, dangling mass). The rank frame is node-sized and
   * NEVER collected: iterations chain DataFrame-to-DataFrame with a
-  * localCheckpoint per round to keep the plan bounded (lineage would
-  * otherwise grow linearly in iterations; a durable checkpoint dir is
-  * the multi-executor equivalent).
+  * lineage cut per round to keep the plan bounded (lineage would
+  * otherwise grow linearly in iterations). Every operator takes a
+  * `checkpointDir: Option[String]` routed through [[Checkpoints.cut]]:
+  * None = executor-local `localCheckpoint` (single-JVM sessions);
+  * a durable dir (HDFS/S3) is the cluster posture — an executor loss
+  * replays the round from storage instead of restarting the whole
+  * iteration chain.
   *
   * Numeric design: the power iteration runs on N-SCALED mass
   * `R = N·rank` (mean 1.0 at any graph size), and only the final
@@ -59,40 +63,104 @@ object Graph {
     * determinism contract above. */
   val SumScale = 11
 
+  /** Session conf key for the explicit-hint broadcast budget (bytes);
+    * see [[broadcastBudget]]. */
+  val BroadcastBytesConf = "graft.graph.broadcastBytes"
+
+  /** Default for [[BroadcastBytesConf]]: 64 MiB. */
+  val DefaultBroadcastBytes: Long = 64L * 1024 * 1024
+
+  /** Broadcast budget for the explicit join-strategy hints below.
+    *
+    * Checkpointed loop frames carry no Catalyst statistics, so the
+    * operators here decide the strategy themselves from a MEASURED
+    * size ([[measure]] — exact row count, exact string bytes), not the
+    * stats-free guess `spark.sql.autoBroadcastJoinThreshold`'s 10 MB
+    * default is calibrated to distrust. A deliberately measured side
+    * can therefore use a larger budget than the AUTO threshold:
+    * max(autoBroadcastJoinThreshold, graft.graph.broadcastBytes
+    * [default 64 MiB]) — sessions that raised the AUTO threshold get
+    * at least that; sessions that need a smaller hint budget (or want
+    * to force the shuffle path) set [[BroadcastBytesConf]] down. */
+  def broadcastBudget(spark: org.apache.spark.sql.SparkSession): Long = {
+    val auto = spark.sessionState.conf.autoBroadcastJoinThreshold
+    val own = spark.conf.getOption(BroadcastBytesConf)
+      .map(_.toLong).getOrElse(DefaultBroadcastBytes)
+    math.max(math.max(auto, 0L), own)
+  }
+
+  /** One-pass (rows, estimatedBytes) of a frame: strings by measured
+    * `octet_length` + 8 bytes field overhead, everything else by its
+    * type's `defaultSize` — so a 2 M-row edge list of long ids and one
+    * of wide string ids get DIFFERENT answers (row count alone was the
+    * round-9 proxy; bytes are what a broadcast actually ships). */
+  private[ext] def measure(df: DataFrame): (Long, Long) = {
+    import org.apache.spark.sql.types.StringType
+    val perRow = df.schema.fields.map { f =>
+      f.dataType match {
+        case StringType =>
+          coalesce(octet_length(col(f.name)).cast("long"), lit(0L)) + lit(8L)
+        case dt => lit(dt.defaultSize.toLong)
+      }
+    }.reduceOption(_ + _).getOrElse(lit(0L))
+    val r = df.agg(count(lit(1)).as("__rows"),
+      coalesce(sum(perRow), lit(0L)).as("__bytes")).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
   /** Weighted PageRank with `iters` fixed power iterations.
+    *
+    * Weights are truncated to LONG (`cast("long")`) on ingest — an
+    * integer-weight precondition, deliberate: the out-weight sums
+    * (`__ow`, and the oracle's `sum(w)`) are then exact integer
+    * arithmetic on both engines, which the cross-engine determinism
+    * contract above rests on. Fractional-weight graphs must pre-scale
+    * to integers (e.g. ×10^k) before calling; passing raw fractional
+    * weights silently floors them. Same precondition in [[hits]] and
+    * [[linkPredict]].
     *
     * @param edges (srcCol, dstCol, wCol) — directed weighted edges;
     *              parallel edges should be pre-aggregated
     * @param nodes single-column frame of ALL node ids (nodes with no
     *              out-edges hold + redistribute rank as dangling mass;
     *              nodes absent from `edges` entirely still rank)
+    * @param checkpointDir durable checkpoint directory for the
+    *              per-iteration lineage cuts ([[Checkpoints.cut]]) —
+    *              None = executor-local `localCheckpoint` (single-JVM
+    *              sessions); set it on a real cluster so an executor
+    *              loss replays from storage instead of restarting the
+    *              whole iteration chain
     * @return (node, rank) — sig9'd doubles summing to ~1
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       wCol: String, nodes: DataFrame, nodeCol: String,
-      iters: Int, damping: Double = 0.85): DataFrame = {
+      iters: Int, damping: Double = 0.85,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(damping > 0 && damping < 1,
       s"damping must be in (0, 1), got $damping")
-    val n = nodes.select(col(nodeCol).as("node")).distinct().localCheckpoint()
+    def cut(df: DataFrame): DataFrame = Checkpoints.cut(df, checkpointDir)
+    val n = cut(nodes.select(col(nodeCol).as("node")).distinct())
     // checkpointed frames carry no size statistics, so Catalyst will
     // NEVER auto-broadcast them — left alone, every iteration
     // shuffle-joins the full edge frame against the node-sized rank
     // frame (measured 6x slower at sf0.1). Pick the join strategy
-    // explicitly from the node count (a bounded driver scalar):
-    // broadcast the node-sized sides while they fit, co-partition the
-    // edge frame on the join key once otherwise (the iteration then
-    // shuffles only the rank frame — the honest web-scale shape).
-    val nNodes = n.count()
-    val broadcastable = nNodes <= 2000000L
+    // explicitly from the MEASURED node-frame size (one bounded driver
+    // pass — [[measure]]): broadcast the node-sized sides while the
+    // rank frame (id bytes + one 8-byte double per row) fits the
+    // budget, co-partition the edge frame on the join key once
+    // otherwise (the iteration then shuffles only the rank frame — the
+    // honest web-scale shape).
+    val (nNodes, nBytes) = measure(n)
+    val broadcastable =
+      nBytes + 8L * nNodes <= broadcastBudget(nodes.sparkSession)
     def nodeSide(df: DataFrame): DataFrame =
       if (broadcastable) broadcast(df) else df
     val e0 = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"),
       col(wCol).cast("long").as("__w"))
-    val e = (if (broadcastable) e0 else e0.repartition(col("__src")))
-      .localCheckpoint()
-    val outW = e.groupBy(col("__src").as("node"))
-      .agg(sum(col("__w")).as("__ow")).localCheckpoint()
+    val e = cut(if (broadcastable) e0 else e0.repartition(col("__src")))
+    val outW = cut(e.groupBy(col("__src").as("node"))
+      .agg(sum(col("__w")).as("__ow")))
     val nn = n.agg(count(lit(1)).as("__n"))
     val d = lit(damping)
     // folds to the double 1 - damping; the oracle embeds the SAME
@@ -100,7 +168,7 @@ object Graph {
     val base = lit(1.0) - d
 
     // R0 = 1: uniform unit mass per node
-    var mass = n.withColumn("m", lit(1.0)).localCheckpoint()
+    var mass = cut(n.withColumn("m", lit(1.0)))
 
     for (_ <- 1 to iters) {
       val contrib = e
@@ -119,7 +187,7 @@ object Graph {
         .select(col("node"), Q.sig9(base + d *
           (coalesce(col("__s"), lit(0.0)) +
             col("__dm") / col("__n").cast("double"))).as("m"))
-        .localCheckpoint()
+      mass = cut(mass)
     }
     mass.crossJoin(broadcast(nn))
       .select(col("node"),
@@ -138,27 +206,29 @@ object Graph {
     * products) hub mass concentrates on the source side and authority
     * mass on the target side.
     *
-    * Same scale shape and size-aware join strategy as [[pageRank]];
-    * the two normalization totals are O(1)-row broadcast scalars.
-    * Graphs with no edges yield all-zero scores (guarded — mean-1
-    * rescale of a zero vector would divide by zero).
+    * Same scale shape, size-aware join strategy, integer-weight
+    * precondition and `checkpointDir` durability switch as
+    * [[pageRank]]; the two normalization totals are O(1)-row broadcast
+    * scalars. Graphs with no edges yield all-zero scores (guarded —
+    * mean-1 rescale of a zero vector would divide by zero).
     *
     * @return (node, hub, authority) — sig9'd, each column mean 1
     *         across nodes (when nonzero mass exists on that side)
     */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
       wCol: String, nodes: DataFrame, nodeCol: String,
-      iters: Int): DataFrame = {
+      iters: Int, checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val n = nodes.select(col(nodeCol).as("node")).distinct().localCheckpoint()
-    val nNodes = n.count()
-    val broadcastable = nNodes <= 2000000L
+    def cut(df: DataFrame): DataFrame = Checkpoints.cut(df, checkpointDir)
+    val n = cut(nodes.select(col(nodeCol).as("node")).distinct())
+    val (nNodes, nBytes) = measure(n)
+    val broadcastable =
+      nBytes + 8L * nNodes <= broadcastBudget(nodes.sparkSession)
     def nodeSide(df: DataFrame): DataFrame =
       if (broadcastable) broadcast(df) else df
     val e0 = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"),
       col(wCol).cast("long").as("__w"))
-    val e = (if (broadcastable) e0 else e0.repartition(col("__src")))
-      .localCheckpoint()
+    val e = cut(if (broadcastable) e0 else e0.repartition(col("__src")))
     val nn = n.agg(count(lit(1)).as("__n"))
 
     /** raw scores summed over `e` keyed on `keyCol`→`outCol`, then
@@ -174,17 +244,17 @@ object Graph {
       val total = raw.agg(
         coalesce(Q.dsumStable(col("__raw"), SumScale), lit(0.0))
           .as("__tot"))
-      n.join(raw, Seq("node"), "left")
+      val res = n.join(raw, Seq("node"), "left")
         .crossJoin(broadcast(total)).crossJoin(broadcast(nn))
         .select(col("node"),
           when(col("__tot") > 0.0, Q.sig9(
             coalesce(col("__raw"), lit(0.0)) *
               col("__n").cast("double") / col("__tot")))
             .otherwise(0.0).as(outCol))
-        .localCheckpoint()
+      cut(res)
     }
 
-    var hubs = n.withColumn("hub", lit(1.0)).localCheckpoint()
+    var hubs = cut(n.withColumn("hub", lit(1.0)))
     var auth = hubs.select(col("node"), lit(0.0).as("authority"))
     for (_ <- 1 to iters) {
       auth = halfStep(hubs, "hub", "__src", "__dst", "authority")
@@ -213,26 +283,32 @@ object Graph {
     *
     * @param edges undirected edges as (aCol, bCol) pairs — any
     *              orientation/duplication; self-loops dropped
+    * @param checkpointDir durable lineage-cut directory (see
+    *              [[pageRank]]); None = localCheckpoint
     * @return (node, n_tri) for nodes in >= 1 triangle
     */
-  def triangleCounts(edges: DataFrame, aCol: String, bCol: String)
-      : DataFrame = {
-    val und = edges
+  def triangleCounts(edges: DataFrame, aCol: String, bCol: String,
+      checkpointDir: Option[String] = None): DataFrame = {
+    def cut(df: DataFrame): DataFrame = Checkpoints.cut(df, checkpointDir)
+    val und = cut(edges
       .select(least(col(aCol), col(bCol)).as("a"),
         greatest(col(aCol), col(bCol)).as("b"))
       .where(col("a") =!= col("b"))
-      .distinct().localCheckpoint()
+      .distinct())
     // size-aware join strategy (the pageRank lesson): checkpointed
     // frames have no stats, so hint explicitly — the WEDGE set is the
-    // big side (O(m^1.5)); while the edge/degree frames fit, broadcast
-    // them so wedges never shuffle. Past that, the equi-joins shuffle
-    // on their keys — the honest web-scale shape.
-    val mEdges = und.count()
+    // big side (O(m^1.5)); while the ORIENTED edge frame (the measured
+    // two-id edge bytes + one 8-byte rank-key column per row) fits the
+    // budget, broadcast the edge/degree sides so wedges never shuffle.
+    // Past that, the equi-joins shuffle on their keys — the honest
+    // web-scale shape.
+    val (mEdges, undBytes) = measure(und)
     val edgeSide: DataFrame => DataFrame =
-      if (mEdges <= 2000000L) broadcast else identity
-    val deg = und.select(col("a").as("v"))
+      if (undBytes + 8L * mEdges <= broadcastBudget(edges.sparkSession))
+        broadcast else identity
+    val deg = cut(und.select(col("a").as("v"))
       .unionAll(und.select(col("b").as("v")))
-      .groupBy("v").agg(count(lit(1)).as("d")).localCheckpoint()
+      .groupBy("v").agg(count(lit(1)).as("d")))
     // orient low-(d, id) -> high-(d, id); carry the dst's rank key for
     // the wedge-ordering filter
     val withDeg = und
@@ -246,14 +322,15 @@ object Graph {
             col("da").as("dd"))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"),
         col("e.dd").as("dd"))
-      .localCheckpoint()
-    val wedges = oe.select(col("src"), col("dst").as("v"), col("dd").as("dv"))
+    val oeCut = cut(oe)
+    val wedges = oeCut
+      .select(col("src"), col("dst").as("v"), col("dd").as("dv"))
       .join(edgeSide(
-        oe.select(col("src"), col("dst").as("w"), col("dd").as("dw"))),
+        oeCut.select(col("src"), col("dst").as("w"), col("dd").as("dw"))),
         "src")
       .where(struct(col("dv"), col("v")) < struct(col("dw"), col("w")))
     val closed = wedges.join(
-      edgeSide(oe.select(col("src").as("v"), col("dst").as("w"))),
+      edgeSide(oeCut.select(col("src").as("v"), col("dst").as("w"))),
       Seq("v", "w"))
     closed.select(explode(array(col("src"), col("v"), col("w"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
@@ -288,16 +365,17 @@ object Graph {
     */
   def linkPredict(edges: DataFrame, aCol: String, bCol: String,
       wCol: String, k: Int,
-      maxPopularity: Int = Int.MaxValue): DataFrame = {
+      maxPopularity: Int = Int.MaxValue,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(maxPopularity >= 1, s"maxPopularity must be >= 1")
-    val und = edges
+    def cut(df: DataFrame): DataFrame = Checkpoints.cut(df, checkpointDir)
+    val und = cut(edges
       .select(least(col(aCol), col(bCol)).as("a"),
         greatest(col(aCol), col(bCol)).as("b"),
         col(wCol).cast("long").as("w"))
       .where(col("a") =!= col("b"))
-      .groupBy("a", "b").agg(sum(col("w")).as("w"))
-      .localCheckpoint()
+      .groupBy("a", "b").agg(sum(col("w")).as("w")))
     // symmetric adjacency, capped to the k heaviest neighbors
     val adjAll = und.select(col("a").as("u"), col("b").as("nb"), col("w"))
       .unionAll(und.select(col("b").as("u"), col("a").as("nb"), col("w")))
@@ -309,7 +387,7 @@ object Graph {
     // too many nodes are dropped from everyone's set
     val keep = adj0.groupBy(col("nb")).agg(count(lit(1)).as("__pop"))
       .where(col("__pop") <= maxPopularity).select(col("nb"))
-    val adj = adj0.join(keep, "nb").localCheckpoint()
+    val adj = cut(adj0.join(keep, "nb"))
     val setSize = adj.groupBy(col("u")).agg(count(lit(1)).as("sz"))
     // wedges keyed on the common neighbor: cn(v, w) counts nb values
     // present in BOTH capped sets — the same sets the sizes use

@@ -20,9 +20,12 @@ import graft.queries.Q
   * counts are exact integers; each log term — class prior
   * ln(n_docs_c / N), token likelihood ln((cnt+1)/(n_toks_c + V))
   * (Laplace α=1), and the unseen-token fallback ln(1/(n_toks_c + V)) —
-  * is one IEEE division plus one libm ln, sig9-normalized; per-doc
-  * sums accumulate the exact products count × sig9(ln) through
-  * DECIMAL ([[Q.dsum]]). Argmax ties break to the smallest label
+  * is one IEEE division plus one libm ln, sig9-normalized; each
+  * per-(doc, token, class) product count × sig9(ln) is ITSELF
+  * sig9-normalized before the DECIMAL accumulation ([[Q.dsum]]) — a
+  * raw double product's 15th decimal is a rounding the engines'
+  * differing double→decimal casts can disagree on by 1e-15, while a
+  * 9-digit value casts exactly on both (the PageRank term contract). Argmax ties break to the smallest label
   * (scores are sig9'd, so "tie" is engine-independent).
   */
 object NaiveBayes {
@@ -81,7 +84,7 @@ object NaiveBayes {
       .groupBy(col(idCol), col("t")).agg(count(lit(1)).as("dcnt"))
     val matched = docTok.join(tokLp, Seq("t"))
       .groupBy(col(idCol), col("label"))
-      .agg(Q.dsum(col("dcnt") * col("lp")).as("s_tok"),
+      .agg(Q.dsum(Q.sig9(col("dcnt") * col("lp"))).as("s_tok"),
         sum(col("dcnt")).as("m"))
 
     docTot.crossJoin(broadcast(clsFull.select(
@@ -188,7 +191,8 @@ object NaiveBayes {
       .groupBy("id", "fold", "t").agg(count(lit(1)).as("dcnt"))
     val matched = docTok.join(tlp, Seq("t", "fold"))
       .groupBy("id", "fold", "label")
-      .agg(graft.queries.Q.dsum(col("dcnt") * col("lp")).as("s_tok"),
+      .agg(graft.queries.Q.dsum(
+        graft.queries.Q.sig9(col("dcnt") * col("lp"))).as("s_tok"),
         sum(col("dcnt")).as("m"))
     val scored = docTot
       .join(broadcast(clsFull.select(col("fold"), col("label"),

@@ -147,7 +147,11 @@ object TemporalJoins {
     * |touches| + |conversions|·(window/bucketLen) + pairs, never
     * |touches| × |conversions|. Per-conversion touch counts and the
     * per-touch credit rollup are two keyed hash aggregates; credit is
-    * one exact IEEE division, the rollup the decimal dsum.
+    * one exact IEEE division, sig9-NORMALIZED before the decimal
+    * rollup — a raw quotient's 15th decimal is itself a rounding the
+    * engines may disagree on by 1e-15 (Spark casts the shortest-repr
+    * string to DECIMAL, DuckDB the binary value), while a 9-digit
+    * value casts exactly on both (the PageRank term contract).
     *
     * @return (keys..., touch_id, n_conversions, credited) for touches
     *         with >= 1 attributed conversion */
@@ -179,7 +183,8 @@ object TemporalJoins {
       .withColumn("__credit", col("__val") / col("__nt"))
       .groupBy(keys.map(col) :+ col("__tid").as("touch_id"): _*)
       .agg(count(lit(1)).as("n_conversions"),
-        graft.queries.Q.dsum(col("__credit")).as("credited"))
+        graft.queries.Q.dsum(
+          graft.queries.Q.sig9(col("__credit"))).as("credited"))
   }
 
   def rangeJoinCount(intervals: DataFrame, idCol: String, loCol: String,

@@ -157,7 +157,7 @@ object BehaviorQueries {
        |nt AS (SELECT pid, CAST(count(*) AS BIGINT) AS n FROM pr GROUP BY 1)
        |SELECT pr.u AS user_id, pr.cid AS click_id,
        |  CAST(count(*) AS BIGINT) AS n_conversions,
-       |  ${Q.sqlDsum("pr.value / nt.n")} AS credited
+       |  ${Q.sqlDsum(Q.sqlSig9("pr.value / nt.n"))} AS credited
        |FROM pr JOIN nt USING (pid) GROUP BY 1, 2""".stripMargin
 
   // ===== cohort LTV curves ============================================

@@ -352,7 +352,7 @@ object LearnQueries {
        |  FROM (SELECT doc_id, unnest(tk) AS t FROM vl$sfx) GROUP BY 1, 2),
        |mt$sfx AS (
        |  SELECT dtk$sfx.doc_id, tlp$sfx.label,
-       |    ${sqlDsum("dcnt * lp")} AS s_tok,
+       |    ${sqlDsum(sqlSig9("dcnt * lp"))} AS s_tok,
        |    CAST(sum(dcnt) AS BIGINT) AS m
        |  FROM dtk$sfx JOIN tlp$sfx ON dtk$sfx.t = tlp$sfx.t GROUP BY 1, 2),
        |scl$sfx AS (

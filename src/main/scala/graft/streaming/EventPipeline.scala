@@ -217,7 +217,14 @@ object EventPipeline {
         (uid: Long, it: Iterator[Event], state: GroupState[FunnelState]) =>
           var s = state.getOption.getOrElse(FunnelState(0, 0L))
           val hits = Seq.newBuilder[FunnelHit]
-          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+          // full micros-precision event-time order (getNanos carries the
+          // sub-millisecond digits getTime drops), then event_id —
+          // matching the batch twin's ORDER BY on the micros timestamp;
+          // a millis-only key could process two same-millisecond events
+          // in a different order than batch and weaken the documented
+          // batch-equivalence contract
+          it.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+            .foreach { e =>
             if (s.next_idx < steps.length &&
                 e.event_type == steps(s.next_idx)) {
               val t = e.ts.getTime
@@ -273,7 +280,14 @@ object EventPipeline {
         (key: String, it: Iterator[Event], state: GroupState[CusumState]) =>
           var s = state.getOption.getOrElse(CusumState(zero, zero))
           val alarms = Seq.newBuilder[CusumAlarm]
-          it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+          // full micros-precision event-time order (getNanos carries the
+          // sub-millisecond digits getTime drops), then event_id —
+          // matching the batch twin's ORDER BY on the micros timestamp;
+          // a millis-only key could process two same-millisecond events
+          // in a different order than batch and weaken the documented
+          // batch-equivalence contract
+          it.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+            .foreach { e =>
             val x9 = graft.functions.GraftMath.sig9(e.value)
             val inc = JBD.valueOf(x9 - drift).setScale(15, RM.HALF_UP)
             val cs = s.cs.add(inc)

@@ -96,6 +96,24 @@ class TablesSpec extends SparkSpec {
       "label" -> IntegerType)
   }
 
+  test("preflight passes on the driver fixtures and reports EVERY drift " +
+      "in one message") {
+    import org.apache.spark.sql.functions._
+    Tables.preflight(spark, sf) // current fixtures: clean
+    // synthetic drifted dir: events retyped AND part missing a column;
+    // remaining tables absent entirely — all reported together
+    val dir = java.nio.file.Files.createTempDirectory("graft-drift").toString
+    Tables.events(spark, sf).withColumn("value", col("value").cast("float"))
+      .write.parquet(s"$dir/events.parquet")
+    Tables.part(spark, sf).drop("p_retailprice")
+      .write.parquet(s"$dir/part.parquet")
+    val e = intercept[IllegalStateException] {
+      Tables.preflight(spark, dir)
+    }
+    assert(e.getMessage.contains("events:") && e.getMessage.contains("part:"))
+    assert(e.getMessage.contains("lineitem: unreadable"))
+  }
+
   test("events loader nanos-Long vintage still normalizes (synthetic old fixture)") {
     // Rebuild the pre-2026-08-13 fixture shape: ts as a nanos Long column.
     import org.apache.spark.sql.functions._

@@ -31,9 +31,13 @@ class NaiveBayesSpec extends SparkSpec {
     val lprior = GraftMath.sig9(math.log(nDocs / nTotal))
     val lpUnseen = GraftMath.sig9(math.log(1.0 / (nt + v)))
     val inVocab = doc.filter(vocab.contains)
-    val sTok = GraftMath.sig9(inVocab.map { t =>
-      val cnt = clsToks.count(_ == t)
-      GraftMath.sig9(math.log((cnt + 1.0) / (nt + v).toDouble))
+    // per-(doc, token, class): dcnt × sig9(lp), itself sig9'd before
+    // the exact decimal accumulation — mirrors the engine contract
+    val sTok = GraftMath.sig9(inVocab.groupBy(identity).toSeq.map {
+      case (t, occ) =>
+        val cnt = clsToks.count(_ == t)
+        val lp = GraftMath.sig9(math.log((cnt + 1.0) / (nt + v).toDouble))
+        GraftMath.sig9(occ.size.toDouble * lp)
     }.map(BigDecimal(_)).sum.toDouble)
     val oov = doc.size - inVocab.size
     GraftMath.sig9(lprior + sTok + oov.toDouble * lpUnseen)
