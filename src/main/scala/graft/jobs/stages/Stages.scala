@@ -85,7 +85,20 @@ object Stage000LandTables {
           .as("opponent"),
         concat(lit("S"), (sk % 7).cast("string")).as("stadium"),
         lit(0L).as("position"), day.as("game_date")))
+    // today's game schedule (reference 030's scrape target,
+    // Schemas.todayGames): five fixture games staggered from 18:00 KST
+    // (17:55 UTC offset irrelevant — times are lake-local), so the 031
+    // trigger stage has both due and not-yet-due games to partition
+    val games = s.range(5).select(
+      expr("timestamp '2024-03-01 18:00:00' + " +
+        "make_interval(0, 0, 0, 0, 0, CAST(id * 5 AS INT), 0)")
+        .as("game_date"),
+      concat(lit("T"), (col("id") % 5).cast("string")).as("away_team"),
+      concat(lit("T"), ((col("id") + 1) % 5).cast("string"))
+        .as("home_team"),
+      concat(lit("S"), (col("id") % 7).cast("string")).as("stadium"))
     Map(
+      "today_games" -> games,
       "game_records" -> KboQueries.kboGames(s, fixture),
       "hitters" -> KboQueries.kboHitters(s, fixture),
       "pitchers" -> KboQueries.kboPitchers(s, fixture),
@@ -123,6 +136,36 @@ object Stage000LandTables {
     tables(s, fixture).foreach { case (name, df) =>
       StageIO.write(df, lake, name)
     }
+  }
+}
+
+/** Reference 031: schedule the lineup scrape at game_time − lead
+  * (dags/031_schedule_dag_for_get_today_line_up.py:19-57). Reads the
+  * landed today_games, keeps games starting inside (now, now+horizon]
+  * via [[graft.streaming.EventPipeline.dueWithin]] — the engine-side
+  * event-time gate; `now` is an ARGUMENT, never the wall clock (the
+  * determinism contract) — and lands one trigger row per game: the
+  * lineup-scrape DAG's deterministic run_id (`scheduled__<iso>`, the
+  * reference's run-id convention) and its execution time
+  * (game_date − lead). Idempotent like the reference's DagRun.find
+  * dedup: run_id is a pure function of the game row, so a re-run
+  * lands the identical schedule (latest-wins overwrite).
+  * args = (lake, nowIso, leadMinutes, horizonMinutes). */
+object Stage031LineupTriggers {
+  def main(args: Array[String]): Unit = {
+    val Array(lake, nowIso, lead, horizon) = args
+    val s = StageIO.session("graft-031-lineup-triggers")
+    val due = graft.streaming.EventPipeline.dueWithin(
+      StageIO.read(s, lake, "today_games"),
+      java.sql.Timestamp.valueOf(nowIso), horizon.toInt)
+    StageIO.write(
+      due.select(col("game_date"), col("away_team"), col("home_team"),
+          col("stadium"),
+          (col("game_date") - expr(s"INTERVAL ${lead.toInt} MINUTES"))
+            .as("trigger_time"))
+        .withColumn("run_id", concat(lit("scheduled__"),
+          date_format(col("trigger_time"), "yyyy-MM-dd'T'HH:mm:ss"))),
+      lake, "lineup_triggers")
   }
 }
 

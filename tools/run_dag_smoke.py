@@ -31,6 +31,8 @@ import types
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DAG_FILE = os.path.join(REPO, "deploy", "airflow", "graft_daily_chain_dag.py")
+TRIGGER_DAG_FILE = os.path.join(REPO, "deploy", "airflow",
+                                "graft_lineup_trigger_dag.py")
 CLASSPATH = os.path.join(REPO, "target", "scala-2.13", "classes") \
     + ":/opt/spark/jars/*"
 ADD_OPENS = [
@@ -83,8 +85,10 @@ class _Task:
         return self
 
 
-def load_dag(fixture, lake):
-    """Execute the DAG file under the shim; return (tasks, edges)."""
+def load_dag(fixture, lake, dag_file=DAG_FILE, extra_env=None):
+    """Execute a DAG file under the shim; return (tasks, edges,
+    globals) — globals so the 031 smoke can drive a PythonOperator's
+    callable directly."""
     registry, edges = {}, set()
 
     class _DAG:
@@ -104,8 +108,20 @@ def load_dag(fixture, lake):
     spark_mod.SparkSubmitOperator = (
         lambda task_id, java_class, application_args, **kw:
         _Task(registry, edges, task_id, java_class, application_args, **kw))
+    # PythonOperator shim (the 031 trigger DAG): records the callable
+    # so the smoke can drive it with injected stubs
+    py_mod = types.ModuleType("airflow.operators.python")
+
+    class _PyTask(_Task):
+        def __init__(self, task_id, python_callable, **kw):
+            _Task.__init__(self, registry, edges, task_id, None, None, **kw)
+            self.python_callable = python_callable
+
+    py_mod.PythonOperator = _PyTask
     for name, mod in [
             ("airflow", airflow),
+            ("airflow.operators", types.ModuleType("airflow.operators")),
+            ("airflow.operators.python", py_mod),
             ("airflow.providers", types.ModuleType("airflow.providers")),
             ("airflow.providers.apache",
              types.ModuleType("airflow.providers.apache")),
@@ -119,10 +135,13 @@ def load_dag(fixture, lake):
 
     os.environ["GRAFT_RAW"] = fixture
     os.environ["GRAFT_LAKE"] = lake
-    src = open(DAG_FILE).read()
-    code = compile(src, DAG_FILE, "exec")
-    exec(code, {"__name__": "graft_daily_chain_dag"})
-    return registry, edges
+    for k, v in (extra_env or {}).items():
+        os.environ[k] = v
+    src = open(dag_file).read()
+    code = compile(src, dag_file, "exec")
+    g = {"__name__": os.path.basename(dag_file)[:-3]}
+    exec(code, g)
+    return registry, edges, g
 
 
 def toposort(tasks, edges):
@@ -159,7 +178,7 @@ def run_java(main_class, args, cpus="8"):
 def main():
     fixture = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     lake = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp("graft-lake")
-    tasks, edges = load_dag(fixture, lake)
+    tasks, edges, _ = load_dag(fixture, lake)
     print(f"[dag-smoke] parsed {DAG_FILE}: {len(tasks)} tasks, "
           f"{len(edges)} edges")
     if edges != EXPECTED_EDGES:
@@ -178,7 +197,52 @@ def main():
     print("\n".join(l for l in out.splitlines() if "[chaincheck]" in l))
     if "[chaincheck] PASS" not in out:
         raise SystemExit("[dag-smoke] FAIL: chain check did not pass")
+    smoke_trigger_dag(fixture, lake)
     print(f"[dag-smoke] PASS ({len(order)} stages, lake={lake})")
+
+
+def smoke_trigger_dag(fixture, lake):
+    """Parse + drive the 031 lineup-trigger DAG: run its Spark stage at
+    a pinned `now`, then its PythonOperator callable against stubbed
+    Airflow trigger/find APIs — one dedup'd trigger per upcoming game
+    at game_time - 15 min (the reference 031 contract)."""
+    now = "2024-03-01 17:56:00"  # fixture games start 18:00 + i*5 min
+    tasks, edges, g = load_dag(fixture, lake, dag_file=TRIGGER_DAG_FILE,
+                               extra_env={"GRAFT_NOW": now})
+    print(f"[dag-smoke] parsed {TRIGGER_DAG_FILE}: {len(tasks)} tasks, "
+          f"{len(edges)} edges")
+    if edges != {("s031_due_games", "s031_schedule_lineup")}:
+        raise SystemExit("[dag-smoke] FAIL: 031 DAG wiring drifted: "
+                         f"{sorted(edges)}")
+    due = tasks["s031_due_games"]
+    run_java(due.java_class, due.application_args)
+    triggered, known = [], set()
+    n1 = g["schedule_lineup_runs"](
+        lake=lake,
+        trigger=lambda dag_id, run_id, execution_date:
+            (triggered.append((dag_id, run_id, execution_date)),
+             known.add(run_id)),
+        find_existing=lambda dag_id, run_id: run_id in known)
+    from datetime import datetime, timedelta
+    t0 = datetime(2024, 3, 1, 17, 45)  # first game 18:00 minus 15 min
+    expected = [
+        "scheduled__" + (t0 + timedelta(minutes=5 * i))
+        .strftime("%Y-%m-%dT%H:%M:%S") for i in range(5)]
+    got = sorted(r for _, r, _ in triggered)
+    if n1 != 5 or got != expected:
+        raise SystemExit("[dag-smoke] FAIL: expected 5 triggers at "
+                         f"game_time-15min, got {n1}: {got}")
+    if any(d != "graft_lineup_scrape" for d, _, _ in triggered):
+        raise SystemExit("[dag-smoke] FAIL: wrong target dag id")
+    # re-run: every run_id already known -> the DagRun.find-style dedup
+    n2 = g["schedule_lineup_runs"](
+        lake=lake,
+        trigger=lambda *a: triggered.append(a),
+        find_existing=lambda dag_id, run_id: run_id in known)
+    if n2 != 0:
+        raise SystemExit(f"[dag-smoke] FAIL: re-run scheduled {n2} dups")
+    print("[dag-smoke] 031 trigger DAG: 5 runs scheduled at t-15min, "
+          "re-run dedup'd")
 
 
 if __name__ == "__main__":
