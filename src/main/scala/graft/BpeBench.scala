@@ -50,18 +50,59 @@ object BpeBench {
       val n = f().count()
       val sec = (System.nanoTime() - t0) / 1e9
       val line =
-        f"""{"path":"$tag","merges":$r,"rules":$n,"sec":$sec%.2f,"sf":"$sfDir"}"""
+        f"""{"path":"$tag","merges":$r,"rows":$n,"sec":$sec%.2f,"sf":"$sfDir"}"""
       println(line)
       line
     }
 
-    val lines =
+    val trainLines =
       seqRs.map(r => time("sequential", r,
         () => Bpe.train(toks, "tk", merges = r))) ++
       batchRs.map(r => time(s"batched($batch)", r,
         () => Bpe.trainBatched(toks, "tk", merges = r, batch = batch)))
+
+    // ---- encode at production rule counts (VERDICT r9 #7) ----------
+    // The sf0.1 fixture vocabulary saturates near 90 learnable merges
+    // (the train rows above), far below a production tokenizer's
+    // 1k-100k. Enrich the word space deterministically: every token
+    // occurrence gets a per-(token, doc) base-36 suffix, so distinct
+    // words (and so learnable pairs) grow to corpus scale while the
+    // text length distribution stays fixture-shaped. Then measure the
+    // two encoders against the SAME trained artifact:
+    //  - encode (production): one mapPartitions fold, plan flat in R;
+    //  - encodeSqlFold (oracle twin): R sequential literal-replace
+    //    projections — scheduler-bound linear in R by construction,
+    //    which is WHY it is capped here (SPARK_GRAFT_BPE_FOLD_CAP,
+    //    default 1024) and the local path is the deployment one.
+    val encodeRs = rs("SPARK_GRAFT_BPE_ENCODE_RS", "256,1024,4096")
+    val foldCap = sys.env.getOrElse("SPARK_GRAFT_BPE_FOLD_CAP", "1024").toInt
+    val rich = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), Hashing.tokens(col("text")).as("tk0"))
+      .select(col("doc_id"), transform(col("tk0"), t =>
+        concat(t, lit("_"), conv(pmod(xxhash64(concat(t, lit("#"),
+          col("doc_id"))), lit(1296L)).cast("string"), 10, 36)))
+        .as("tk"))
+      .localCheckpoint()
+    val t0 = System.nanoTime()
+    val rules = Bpe.trainBatched(rich, "tk", merges = encodeRs.max,
+      batch = batch).localCheckpoint()
+    val nRules = rules.count()
+    val trainRichLine =
+      f"""{"path":"train_rich_batched($batch)","merges":${encodeRs.max},"rules":$nRules,"sec":${(System.nanoTime() - t0) / 1e9}%.2f,"sf":"$sfDir"}"""
+    println(trainRichLine)
+    val encodeLines = encodeRs.flatMap { r =>
+      val sub = rules.filter(col("step") <= r)
+      val local = time("encode_local", r,
+        () => Bpe.encode(rich, "doc_id", "tk", sub))
+      if (r <= foldCap)
+        Seq(local, time("encode_fold", r,
+          () => Bpe.encodeSqlFold(rich, "doc_id", "tk", sub)))
+      else Seq(local)
+    }
+
     Files.writeString(Paths.get("BPE_BENCH.json"),
-      lines.mkString("", "\n", "\n"))
+      (trainLines ++ Seq(trainRichLine) ++ encodeLines)
+        .mkString("", "\n", "\n"))
     spark.stop()
   }
 }

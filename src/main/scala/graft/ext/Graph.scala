@@ -93,19 +93,30 @@ object Graph {
     * `octet_length` + 8 bytes field overhead, everything else by its
     * type's `defaultSize` — so a 2 M-row edge list of long ids and one
     * of wide string ids get DIFFERENT answers (row count alone was the
-    * round-9 proxy; bytes are what a broadcast actually ships). */
+    * round-9 proxy; bytes are what a broadcast actually ships).
+    * String-free schemas have a constant row width, so their byte
+    * estimate is exact from the row COUNT alone — same driver pass the
+    * round-9 heuristic already paid, no sum aggregate added. */
   private[ext] def measure(df: DataFrame): (Long, Long) = {
     import org.apache.spark.sql.types.StringType
-    val perRow = df.schema.fields.map { f =>
-      f.dataType match {
-        case StringType =>
-          coalesce(octet_length(col(f.name)).cast("long"), lit(0L)) + lit(8L)
-        case dt => lit(dt.defaultSize.toLong)
-      }
-    }.reduceOption(_ + _).getOrElse(lit(0L))
-    val r = df.agg(count(lit(1)).as("__rows"),
-      coalesce(sum(perRow), lit(0L)).as("__bytes")).head()
-    (r.getLong(0), r.getLong(1))
+    val fixed = df.schema.fields
+      .collect { case f if f.dataType != StringType => f.dataType.defaultSize }
+    if (fixed.length == df.schema.fields.length) {
+      val rows = df.count()
+      (rows, rows * fixed.sum)
+    } else {
+      val perRow = df.schema.fields.map { f =>
+        f.dataType match {
+          case StringType =>
+            coalesce(octet_length(col(f.name)).cast("long"), lit(0L)) +
+              lit(8L)
+          case dt => lit(dt.defaultSize.toLong)
+        }
+      }.reduce(_ + _)
+      val r = df.agg(count(lit(1)).as("__rows"),
+        coalesce(sum(perRow), lit(0L)).as("__bytes")).head()
+      (r.getLong(0), r.getLong(1))
+    }
   }
 
   /** Weighted PageRank with `iters` fixed power iterations.

@@ -158,6 +158,29 @@ class BpeSpec extends SparkSpec {
     assert(m(3L).startsWith("aaaa"))  // "aaaa" fully merges via rule 5
   }
 
+  test("local encode == SQL-fold twin at a trained many-rule artifact " +
+      "on a rich synthetic vocabulary (the BpeBench encode fixture)") {
+    // deterministic rich corpus: per-(token, doc) base-36 suffixes, the
+    // same enrichment BpeBench measures encode under — so the
+    // local==fold contract is pinned on the REGIME the bench reports,
+    // not only the 5-rule Sennrich fixture
+    val base = Seq("low", "lower", "newest", "widest", "news", "wide",
+      "lowest", "est", "rowed", "stew")
+    val docs = (1L to 40L).map { d =>
+      (d, (0 until 12).map { i =>
+        val t = base(((d * 13 + i * 7) % base.size).toInt)
+        t + "_" + java.lang.Long.toString((d * 31 + i * 17) % 1296, 36)
+      })
+    }.toDF("doc_id", "tk")
+    val rules = Bpe.trainBatched(docs, "tk", merges = 64, batch = 8)
+    assert(rules.count() >= 48, "rich fixture must learn most of 64 rules")
+    val local = Bpe.encode(docs, "doc_id", "tk", rules)
+      .as[(Long, Long, String)].collect().toSet
+    val fold = Bpe.encodeSqlFold(docs, "doc_id", "tk", rules)
+      .as[(Long, Long, String)].collect().toSet
+    assert(local == fold)
+  }
+
   test("local encode plan shape is flat in R (one stage regardless of " +
       "rule count)") {
     val docs = Seq((1L, Seq("low", "newest"))).toDF("doc_id", "tk")
