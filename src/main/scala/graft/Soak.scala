@@ -4,18 +4,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Paths}
 
-/** sf1.0 soak of the heavy ext family (VERDICT r7 #9).
+/** sf1.0 soak of the FULL oracle surface (VERDICT r7 #9, widened to
+  * every query by r9 #2).
   *
   * The driver's test data tops out at sf0.1 (5k documents / 2k
   * embeddings), so every 100 TB judgment in this repo is extrapolated
   * from one decade of bench data. This main buys a second decade: it
-  * scales the sf0.1 `documents`/`embeddings` tables 10x
-  * DETERMINISTICALLY, runs the five most expensive ext queries at both
-  * scales (same Bench methodology: untimed warm-up, two timed passes,
-  * min, full `toRdd.count()` materialization), and reports the scaling
-  * exponent per query — `log10(t_sf1 / t_sf01)`, so 1.0 = linear,
-  * <1 = sublinear (fixed overhead amortizing), >1 = superlinear (a
-  * shape that will NOT survive 100 TB).
+  * scales ALL TEN fixture tables 10x DETERMINISTICALLY (the scaled dir
+  * passes `Tables.preflight`), runs every `SparkEntry.queries` entry
+  * at both scales (same Bench methodology: untimed warm-up, two timed
+  * passes, min, full `toRdd.count()` materialization), and reports the
+  * scaling exponent per query — `log10(t_sf1 / t_sf01)`, so 1.0 =
+  * linear, <1 = sublinear (fixed overhead amortizing), >1 =
+  * superlinear (a shape that will NOT survive 100 TB).
   *
   * Scaling construction (the part that must not lie):
   *  - documents: replica i > 0 re-ids rows by `i * (max_id + 1)` and
@@ -95,6 +96,12 @@ object Soak {
     val partStep = part.agg(max("p_partkey")).head().getLong(0) + 1
     val evStep = ev.agg(max("event_id")).head().getLong(0) + 1
     val userStep = ev.agg(max("user_id")).head().getLong(0) + 1
+    // custkey step comes from the CUSTOMER table (its key domain is a
+    // superset of orders' o_custkey), so the scaled customer dim and
+    // the scaled orders fact re-id with the SAME stride and every
+    // replica's foreign keys resolve
+    val cust = spark.read.parquet(s"$base/customer.parquet")
+    val custStep0 = cust.agg(max("c_custkey")).head().getLong(0) + 1
 
     def suffix(c: org.apache.spark.sql.Column, i: Int) = array_join(
       transform(filter(split(c, " "), t => t =!= ""),
@@ -126,12 +133,21 @@ object Soak {
     // BOTH sides with replicas disjoint, true-to-shape
     val ord = spark.read.parquet(s"$base/orders.parquet")
     val orderStep = ord.agg(max("o_orderkey")).head().getLong(0) + 1
-    val custStep = ord.agg(max("o_custkey")).head().getLong(0) + 1
     val scaledOrd = (0 until replicas).map { i =>
       if (i == 0) ord
       else ord
         .withColumn("o_orderkey", col("o_orderkey") + lit(i * orderStep))
-        .withColumn("o_custkey", col("o_custkey") + lit(i * custStep))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * custStep0))
+    }.reduce(_ unionByName _)
+
+    // customer scales with the shared custkey stride; nation/region are
+    // BOUNDED dimension domains (a 10x corpus has the same 25 nations)
+    // and copy verbatim — so the full ten-table fixture contract
+    // (Tables.preflight) holds on the soak dir and every query on the
+    // surface can run against it
+    val scaledCust = (0 until replicas).map { i =>
+      if (i == 0) cust
+      else cust.withColumn("c_custkey", col("c_custkey") + lit(i * custStep0))
     }.reduce(_ unionByName _)
 
     val li = spark.read.parquet(s"$base/lineitem.parquet")
@@ -166,6 +182,12 @@ object Soak {
       .parquet(s"$out/supplier.parquet")
     scaledOrd.repartition(8).write.mode("overwrite")
       .parquet(s"$out/orders.parquet")
+    scaledCust.repartition(4).write.mode("overwrite")
+      .parquet(s"$out/customer.parquet")
+    Seq("nation", "region").foreach { t =>
+      spark.read.parquet(s"$base/$t.parquet").coalesce(1)
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -191,38 +213,21 @@ object Soak {
     }
     if (!Files.exists(Paths.get(out, "lineitem.parquet")) ||
         !Files.exists(Paths.get(out, "supplier.parquet")) ||
-        !Files.exists(Paths.get(out, "orders.parquet"))) {
+        !Files.exists(Paths.get(out, "orders.parquet")) ||
+        !Files.exists(Paths.get(out, "customer.parquet")) ||
+        !Files.exists(Paths.get(out, "region.parquet"))) {
       System.err.println(
-        s"[soak] generating ${replicas}x part/events/lineitem/supplier " +
-          s"at $out")
+        s"[soak] generating ${replicas}x relational tables at $out")
       generateRelational(spark, base, out, replicas)
     }
+    // the scaled dir honors the same ten-table fixture contract as the
+    // driver's — a generator bug fails here, not 150 queries deep
+    graft.core.Tables.preflight(spark, out)
 
-    // r8 set + the r8 additions (span/segment dedup, BM25 — verdict r8
-    // #5) + the bounded-|Q| PQ serving row (verdict r8 #7: ann_pq's 1.50
-    // exponent measures |Q|x|N| because the full row's query count grows
-    // with the corpus; ann_pq_serve pins |Q|=32 so its exponent measures
-    // the serving regime the 100 TB claim actually rests on).
-    val allNames = Seq("q_x_curriculum", "q_x_dedup_clusters",
-      "q_x_pipeline3", "q_x_ann_pq", "q_x_ann_ivfpq",
-      "q_x_ann_pq_serve", "q_x_span_dedup", "q_x_segment_dedup",
-      "q_x_bm25", "q_x_epoch_shuffle", "q_x_pipeline4",
-      "q_x_split_leakage", "q_x_image_dedup",
-      "q_x_fuzzy_join", "q_x_scd2",
-      "q_x_funnel", "q_x_retention", "q_x_transitions", "q_x_decay",
-      "q_x_ann_ivfpq_sample",
-      "q_x_weighted_sample", "q_x_bpe_decode",
-      "q_x_group_corr", "q_x_histogram",
-      "q_x_logistic", "q_x_linreg", "q_x_auc", "q_x_psi",
-      "q_x_calibration", "q_x_pipeline5",
-      // round-9 fourth batch
-      "q_x_resample", "q_x_interp", "q_x_seasonal", "q_x_agg_merge",
-      "q_x_edit_join", "q_x_naive_bayes", "q_x_kfold_nb",
-      "q_x_pagerank", "q_x_mmr", "q_x_hits", "q_x_pmi",
-      "q_x_triangles", "q_x_linkpred",
-      "q_x_cusum", "q_x_robust_z", "q_x_abtest", "q_x_pct_rank", "q_x_pipeline6", "q_x_multitouch", "q_x_ltv", "q_x_gaps", "q_x_winsorize")
-    // SPARK_GRAFT_SOAK_QUERIES=a,b,c restricts the run (merge results
-    // into an existing SOAK.json by hand or rerun fully for a report)
+    // FULL surface by default (VERDICT r9 #2): every oracle query gets
+    // a measured second-decade scaling exponent. SPARK_GRAFT_SOAK_QUERIES
+    // =a,b,c restricts the run (fast local iteration; merge by hand).
+    val allNames = SparkEntry.queries.keys.toSeq.sorted
     val names = sys.env.get("SPARK_GRAFT_SOAK_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(allNames)
