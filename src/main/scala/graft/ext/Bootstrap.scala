@@ -1,0 +1,141 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.queries.Q
+
+/** One-pass Poisson bootstrap — error bars for corpus metrics at
+  * 100 TB scale (Chamandy et al., "Estimating Uncertainty for Massive
+  * Data Streams", the standard streaming/MapReduce bootstrap
+  * formulation; Kleiner et al.'s BLB is the heavier alternative).
+  *
+  * The classical bootstrap resamples the corpus R times — R shuffles
+  * of 100 TB. The Poisson trick replaces resampling with per-row
+  * REPLICATE WEIGHTS: in replicate r, each row appears w ~ Poisson(1)
+  * times (the R-fold multinomial's limit), so all R resamples are
+  * computed in ONE corpus pass: explode each row to its R (replicate,
+  * weight) pairs map-side, aggregate (keys, replicate) partials
+  * through one shuffle, and reduce the O(groups × R) replicate-mean
+  * frame to sd + order-statistic confidence bounds with bounded
+  * algebra. Never R passes, never a resample shuffle, no driver data
+  * path.
+  *
+  * Determinism contract (DuckDB-adjudicable): the Poisson draw is the
+  * inverse CDF of the salted portable hash u = hash60(salt:id:r)/2^60
+  * against the PRECOMPUTED Poisson(1) CDF thresholds below — both
+  * engines embed the same double literals and the same `u >= c`
+  * comparisons, so every weight is identical everywhere. Replicate
+  * means follow the NB product contract (sig9 per w·x term, decimal
+  * sum); sd uses the mirrored two-moment formula (sqrt is IEEE
+  * correctly-rounded, so it cannot diverge); the confidence bounds are
+  * DISCRETE order statistics (k-th smallest replicate mean, ties by
+  * replicate id) — rank selection, not interpolation, so no
+  * interpolation arithmetic to tie-break across engines.
+  */
+object Bootstrap {
+
+  /** Poisson(1) CDF thresholds c_k = e^-1 · Σ_{j<=k} 1/j!, k = 0..11:
+    * the weight is #{k : c_k <= u}, capped at 12 (P[w > 12] < 1e-13 —
+    * unreachable from a 60-bit u). Computed once here; the oracle
+    * embeds the SAME shortest-repr double literals (the pagerank
+    * base-constant convention), so both engines compare against
+    * bit-identical values. */
+  val PoissonCdf1: Seq[Double] = {
+    val e1 = StrictMath.exp(-1.0)
+    val terms = Iterator.iterate(1.0 -> 0) { case (t, j) =>
+      (t / (j + 1), j + 1)
+    }.map(_._1).take(12).toSeq
+    terms.scanLeft(0.0)(_ + _).tail.map(_ * e1)
+  }
+
+  /** Max weight = thresholds count (12). */
+  val MaxWeight: Int = PoissonCdf1.size
+
+  /** Deterministic Poisson(1) weight of (id, replicate) under `salt`. */
+  private def weight(id: org.apache.spark.sql.Column,
+                     rep: org.apache.spark.sql.Column, salt: String) = {
+    val u = Hashing.hash60(concat(lit(salt + ":"), id.cast("string"),
+      lit(":"), rep.cast("string"))).cast("double") /
+      lit(1152921504606846976.0) // 2^60
+    size(filter(array(PoissonCdf1.map(lit): _*), c => u >= c))
+      .cast("long")
+  }
+
+  /** Bootstrap distribution of the per-group MEAN of `valCol`.
+    *
+    * @param df        input rows
+    * @param keys      grouping columns (empty = one global group is NOT
+    *                  supported — pass a literal key column for that)
+    * @param idCol     stable row identity the weights hash (re-runs and
+    *                  repartitions agree)
+    * @param valCol    metric column (double)
+    * @param replicates R — the bootstrap resample count (64 is the
+    *                  usual production choice; cost is R× map work on
+    *                  the exploded side, one shuffle)
+    * @param alpha     two-sided miscoverage for the bounds (0.05 →
+    *                  2.5%/97.5% order statistics)
+    * @return (keys…, n_rows, point_mean, n_reps, boot_mean, boot_sd,
+    *         ci_lo, ci_hi) — sig9'd doubles; ci bounds are the
+    *         floor(α/2·(R−1))+1-th and ceil((1−α/2)·(R−1))+1-th
+    *         smallest replicate means
+    */
+  def poissonMeans(df: DataFrame, keys: Seq[String], idCol: String,
+                   valCol: String, replicates: Int,
+                   alpha: Double = 0.05,
+                   salt: String = "boot"): DataFrame = {
+    require(replicates >= 2, s"replicates must be >= 2, got $replicates")
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    require(keys.nonEmpty, "pass at least one grouping column")
+    val kCols = keys.map(col)
+
+    // point estimate from the UN-exploded frame (exact, no bootstrap)
+    val point = df.groupBy(kCols: _*)
+      .agg(count(col(valCol)).as("n_rows"),
+        Q.sig9(Q.davg(col(valCol))).as("point_mean"))
+
+    // R replicate means per group: one corpus pass, map-side explode
+    val rep = df.select(kCols :+ col(idCol).as("__id") :+
+        col(valCol).as("__x"): _*)
+      .withColumn("__r", explode(sequence(lit(0), lit(replicates - 1))))
+      .withColumn("__w", weight(col("__id"), col("__r"), salt))
+    val repMeans = rep.groupBy(kCols :+ col("__r"): _*)
+      .agg(sum(col("__w")).as("__sw"),
+        Q.dsum(Q.sig9(col("__w").cast("double") * col("__x")))
+          .as("__swx"))
+      .where(col("__sw") > 0)
+      .select(kCols :+ col("__r") :+
+        Q.sig9(col("__swx") / col("__sw").cast("double")).as("__m"): _*)
+
+    // bounded O(groups × R) reduction: two-moment sd + rank bounds
+    val kLo = math.floor(alpha / 2 * (replicates - 1)).toLong + 1
+    val kHi = math.ceil((1 - alpha / 2) * (replicates - 1)).toLong + 1
+    val win = Window.partitionBy(kCols: _*)
+      .orderBy(col("__m").asc, col("__r").asc)
+    val ranked = repMeans.withColumn("__rk", row_number().over(win))
+    val summary = ranked.groupBy(kCols: _*)
+      .agg(count(lit(1)).as("n_reps"),
+        Q.dsum(col("__m")).as("__s1"),
+        Q.dsum(Q.sig9(col("__m") * col("__m"))).as("__s2"),
+        min(when(col("__rk") === kLo, col("__m"))).as("__lo_try"),
+        min(when(col("__rk") === kHi, col("__m"))).as("__hi_try"),
+        min(col("__m")).as("__mn"), max(col("__m")).as("__mx"))
+      .select(kCols :+ col("n_reps") :+
+        Q.sig9(col("__s1") / col("n_reps").cast("double"))
+          .as("boot_mean") :+
+        when(col("n_reps") > 1, Q.sig9(sqrt(greatest(
+          Q.sig9((col("__s2") - Q.sig9(col("__s1") * col("__s1")) /
+            col("n_reps").cast("double")) /
+            (col("n_reps") - 1).cast("double")), lit(0.0)))))
+          .otherwise(0.0).as("boot_sd") :+
+        // a group that lost replicates to all-zero weights (possible
+        // only at toy sizes) falls back to its extreme order stats
+        coalesce(col("__lo_try"), col("__mn")).as("ci_lo") :+
+        coalesce(col("__hi_try"), col("__mx")).as("ci_hi"): _*)
+
+    point.join(summary, keys)
+      .select(kCols :+ col("n_rows") :+ col("point_mean") :+
+        col("n_reps") :+ col("boot_mean") :+ col("boot_sd") :+
+        col("ci_lo") :+ col("ci_hi"): _*)
+  }
+}

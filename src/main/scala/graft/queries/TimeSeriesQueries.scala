@@ -454,7 +454,75 @@ object TimeSeriesQueries {
        |  ${Q.sqlDavg("value")} AS avg_v
        |FROM events GROUP BY 1""".stripMargin
 
+  // ===== one-pass Poisson bootstrap ==================================
+
+  /** Per-event-type mean of `value` with bootstrap sd + order-statistic
+    * confidence bounds ([[graft.ext.Bootstrap.poissonMeans]], R = 64) —
+    * the ORACLE replays the identical weight draw (same embedded
+    * Poisson(1) CDF literals, same salted hash), replicate means,
+    * two-moment sd and rank selection. */
+  private val bootstrapReps = 64
+  private val bootstrapQ: QFn = (s, d) =>
+    graft.ext.Bootstrap.poissonMeans(
+      Tables.events(s, d).where(col("value").isNotNull),
+      Seq("event_type"), "event_id", "value",
+      replicates = bootstrapReps)
+
+  private val bootstrapSql = {
+    val r = bootstrapReps
+    val cdf = graft.ext.Bootstrap.PoissonCdf1.mkString("[", ", ", "]")
+    val kLo = math.floor(0.025 * (r - 1)).toLong + 1
+    val kHi = math.ceil(0.975 * (r - 1)).toLong + 1
+    val u = "(CAST(" + Q.sqlHash60(
+      "'boot:' || CAST(event_id AS VARCHAR) || ':' || CAST(r AS VARCHAR)") +
+      " AS DOUBLE) / 1152921504606846976.0)"
+    s"""WITH base AS (
+       |  SELECT event_type, event_id, value FROM events
+       |  WHERE value IS NOT NULL),
+       |pt AS (
+       |  SELECT event_type, CAST(count(value) AS BIGINT) AS n_rows,
+       |    ${Q.sqlSig9(Q.sqlDavg("value"))} AS point_mean
+       |  FROM base GROUP BY 1),
+       |reps AS (
+       |  SELECT event_type, event_id, value, r
+       |  FROM base CROSS JOIN (SELECT unnest(range(0, $r)) AS r)),
+       |w AS (
+       |  SELECT event_type, r, value,
+       |    CAST(len(list_filter($cdf, c -> $u >= c)) AS BIGINT) AS w
+       |  FROM reps),
+       |rm AS (
+       |  SELECT event_type, r, CAST(sum(w) AS BIGINT) AS sw,
+       |    ${Q.sqlDsum(Q.sqlSig9("CAST(w AS DOUBLE) * value"))} AS swx
+       |  FROM w GROUP BY 1, 2),
+       |m AS (
+       |  SELECT event_type, r,
+       |    ${Q.sqlSig9("swx / CAST(sw AS DOUBLE)")} AS m
+       |  FROM rm WHERE sw > 0),
+       |rk AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY event_type ORDER BY m, r) AS rk FROM m),
+       |sm AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_reps,
+       |    ${Q.sqlDsum("m")} AS s1,
+       |    ${Q.sqlDsum(Q.sqlSig9("m * m"))} AS s2,
+       |    min(CASE WHEN rk = $kLo THEN m END) AS lo_try,
+       |    min(CASE WHEN rk = $kHi THEN m END) AS hi_try,
+       |    min(m) AS mn, max(m) AS mx
+       |  FROM rk GROUP BY 1)
+       |SELECT pt.event_type, n_rows, point_mean, n_reps,
+       |  ${Q.sqlSig9("s1 / CAST(n_reps AS DOUBLE)")} AS boot_mean,
+       |  CASE WHEN n_reps > 1 THEN ${Q.sqlSig9("sqrt(greatest(" +
+           Q.sqlSig9("(s2 - " + Q.sqlSig9("s1 * s1") +
+             " / CAST(n_reps AS DOUBLE)) / CAST(n_reps - 1 AS DOUBLE)") +
+           ", 0.0))")}
+       |       ELSE 0.0 END AS boot_sd,
+       |  COALESCE(lo_try, mn) AS ci_lo,
+       |  COALESCE(hi_try, mx) AS ci_hi
+       |FROM pt JOIN sm USING (event_type)""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q_x_bootstrap" -> bootstrapQ,
     "q_x_resample" -> resampleQ,
     "q_x_interp" -> interpQ,
     "q_x_seasonal" -> seasonalQ,
@@ -468,6 +536,7 @@ object TimeSeriesQueries {
     "q_x_agg_merge" -> aggMergeQ)
 
   val oracles: Map[String, String] = Map(
+    "q_x_bootstrap" -> bootstrapSql,
     "q_x_resample" -> resampleSql,
     "q_x_interp" -> interpSql,
     "q_x_seasonal" -> seasonalSql,
