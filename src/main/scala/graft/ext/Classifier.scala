@@ -174,4 +174,68 @@ object Classifier {
     df.withColumn(scoreCol, sigmoid9(zOf(features, w)))
       .withColumn(s"${scoreCol}_pred", col(scoreCol) >= 0.5)
   }
+
+  /** Split-conformal thresholds (Vovk; Angelopoulos & Bates '21
+    * tutorial formulation), per group ("Mondrian"/label-conditional
+    * when keyed): qhat = the k-th SMALLEST calibration nonconformity
+    * score with k = ceil((1−α)(n+1)) — the finite-sample-corrected
+    * quantile that guarantees P[s_test <= qhat] >= 1−α under
+    * exchangeability. A group whose calibration set is too small
+    * (k > n) has no finite threshold: qhat is NULL and everything is
+    * covered — the standard degenerate case, surfaced rather than
+    * clamped.
+    *
+    * Exactness: qhat is a DISCRETE order statistic — the VALUE at rank
+    * k is tie-order-insensitive, so one per-group sort (`row_number`)
+    * yields an engine-identical threshold with no float contract
+    * beyond the scores themselves. Scale: the sort runs over the
+    * CALIBRATION frame only — split conformal holds calibration to a
+    * bounded held-out slice by construction, so the per-group window
+    * is the right tool (the corpus-sized side below never sorts).
+    *
+    * @return (keys…, n_calib, k, qhat) */
+  def conformalThresholds(calib: DataFrame, keyCols: Seq[String],
+      scoreCol: String, alpha: Double): DataFrame =
+    conformalThresholdsImpl(calib, keyCols, scoreCol, alpha)
+
+  /** [[conformalThresholds]] + coverage evaluation against a test
+    * frame in one call: the corpus-sized test side only ever joins the
+    * bounded per-group threshold row (broadcast) and counts — no sort,
+    * no window on the big side.
+    *
+    * @return (keys…, n_calib, k, qhat, n_test, n_covered, coverage) */
+  def conformalCoverage(calib: DataFrame, test: DataFrame,
+      keyCols: Seq[String], scoreCol: String,
+      alpha: Double): DataFrame = {
+    val th = conformalThresholdsImpl(calib, keyCols, scoreCol, alpha)
+    val cov = test.join(broadcast(th), keyCols)
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(col(scoreCol)).as("n_test"),
+        sum(when(col("qhat").isNull ||
+          col(scoreCol) <= col("qhat"), 1L).otherwise(0L))
+          .as("n_covered"))
+      .withColumn("coverage",
+        col("n_covered").cast("double") / col("n_test").cast("double"))
+    th.join(cov, keyCols, "left")
+      .select(keyCols.map(col) :+ col("n_calib") :+ col("k") :+
+        col("qhat") :+ col("n_test") :+ col("n_covered") :+
+        col("coverage"): _*)
+  }
+
+  private def conformalThresholdsImpl(calib: DataFrame,
+      keyCols: Seq[String], scoreCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    val kc = keyCols.map(col)
+    val n = calib.groupBy(kc: _*).agg(count(lit(1)).as("n_calib"))
+      .withColumn("k", ceil(lit(1.0 - alpha) *
+        (col("n_calib") + 1).cast("double")).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(kc: _*).orderBy(col(scoreCol).asc)
+    val ranked = calib.withColumn("__rk", row_number().over(w))
+    ranked.join(broadcast(n), keyCols)
+      .groupBy(kc: _*)
+      .agg(first(col("n_calib")).as("n_calib"), first(col("k")).as("k"),
+        min(when(col("__rk") === col("k"), col(scoreCol))).as("qhat"))
+  }
 }

@@ -425,7 +425,57 @@ object LearnQueries {
           .mkString(" UNION ALL ")})""".stripMargin
   }
 
+  // ===== split-conformal thresholds + coverage ========================
+
+  /** Per-event-type split-conformal threshold (alpha = 0.1, Mondrian
+    * by class) over a deterministic 20% calibration slice of `value`,
+    * with empirical coverage on the held-out 80%
+    * ([[graft.ext.Classifier.conformalCoverage]]). qhat is a discrete
+    * order statistic — no float contract beyond the scores. */
+  private val conformalAlpha = 0.1
+  private val conformalQ: QFn = (s, d) => {
+    val ev = Tables.events(s, d).where(col("value").isNotNull)
+    val isCal = pmod(graft.ext.Hashing.hash60(
+      concat(lit("cal:"), col("event_id").cast("string"))), lit(5L)) === 0
+    graft.ext.Classifier.conformalCoverage(
+      ev.where(isCal), ev.where(!isCal),
+      Seq("event_type"), "value", alpha = conformalAlpha)
+  }
+
+  private val conformalSql = {
+    val q1 = 1.0 - conformalAlpha // embedded double, the lit() twin
+    s"""WITH base AS (
+       |  SELECT event_type, value,
+       |    (${sqlHash60("'cal:' || CAST(event_id AS VARCHAR)")} % 5 = 0)
+       |      AS is_cal
+       |  FROM events WHERE value IS NOT NULL),
+       |cal AS (SELECT event_type, value FROM base WHERE is_cal),
+       |t AS (SELECT event_type, value FROM base WHERE NOT is_cal),
+       |n AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_calib,
+       |    CAST(ceil(CAST($q1 AS DOUBLE) *
+       |      CAST(count(*) + 1 AS DOUBLE)) AS BIGINT) AS k
+       |  FROM cal GROUP BY 1),
+       |rk AS (
+       |  SELECT event_type, value, row_number() OVER (
+       |    PARTITION BY event_type ORDER BY value) AS rk
+       |  FROM cal),
+       |q AS (
+       |  SELECT rk.event_type, n.n_calib, n.k,
+       |    min(CASE WHEN rk.rk = n.k THEN value END) AS qhat
+       |  FROM rk JOIN n USING (event_type) GROUP BY 1, 2, 3),
+       |cov AS (
+       |  SELECT t.event_type, CAST(count(t.value) AS BIGINT) AS n_test,
+       |    CAST(sum(CASE WHEN q.qhat IS NULL OR t.value <= q.qhat
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+       |  FROM t JOIN q USING (event_type) GROUP BY 1)
+       |SELECT q.event_type, n_calib, k, qhat, n_test, n_covered,
+       |  CAST(n_covered AS DOUBLE) / CAST(n_test AS DOUBLE) AS coverage
+       |FROM q LEFT JOIN cov USING (event_type)""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q_x_conformal" -> conformalQ,
     "q_x_logistic" -> logisticQ,
     "q_x_linreg" -> linregQ,
     "q_x_auc" -> aucQ,
@@ -435,6 +485,7 @@ object LearnQueries {
     "q_x_pipeline5" -> pipeline5Q)
 
   val oracles: Map[String, String] = Map(
+    "q_x_conformal" -> conformalSql,
     "q_x_logistic" -> logisticSql,
     "q_x_linreg" -> linregSql,
     "q_x_auc" -> aucSql,
