@@ -265,6 +265,83 @@ object Profile {
         "degenerate", "contrib")
   }
 
+  /** Exact two-sample Kolmogorov–Smirnov distance — the
+    * distribution-shape drift monitor next to [[psi]] (KS is binning-
+    * free and catches shifts PSI's ten fixed bins smear out):
+    * D = max over observed values v of |F_a(v) − F_b(v)|, both CDFs
+    * evaluated inclusively at v.
+    *
+    * Plan (the AUC/percentRank two-phase binned prefix sum — no
+    * global-order window at any size): both sides collapse to distinct
+    * (value, a_cnt, b_cnt) counts; values equi-width bin over the
+    * union range; INCLUSIVE running counts per bin run on bounded
+    * partitions and cross-bin bases fold inside one O(nBins) array.
+    * The maximized statistic is the INTEGER numerator
+    * |cum_a·n_b − cum_b·n_a| (DECIMAL(38,0) — products overflow Long
+    * at ~10^12 rows), so the argmax is exact; the single final
+    * division is sig9'd. `ks_at` is the SMALLEST value attaining the
+    * max (deterministic under ties).
+    *
+    * @return one row: (ks, ks_at, n_a, n_b) — ks NULL when either
+    *         side is empty */
+  def ksDistance(a: DataFrame, b: DataFrame, valCol: String,
+      nBins: Int = 1024): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val tagged = a.select(col(valCol).cast("double").as("s"))
+      .where(col("s").isNotNull)
+      .select(col("s"), lit(1L).as("ac"), lit(0L).as("bc"))
+      .unionAll(b.select(col(valCol).cast("double").as("s"))
+        .where(col("s").isNotNull)
+        .select(col("s"), lit(0L).as("ac"), lit(1L).as("bc")))
+    val counts = tagged.groupBy(col("s"))
+      .agg(sum(col("ac")).as("ac"), sum(col("bc")).as("bc"))
+      .localCheckpoint()
+    val mm = counts.agg(min(col("s")).as("lo"), max(col("s")).as("hi"),
+      sum(col("ac")).as("na"), sum(col("bc")).as("nb"))
+    val binned = counts.crossJoin(broadcast(mm))
+      .withColumn("bin",
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(lit(nBins - 1L),
+            floor((col("s") - col("lo"))
+              / ((col("hi") - col("lo")) / nBins)).cast("long"))))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bin")).orderBy(col("s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0) // INCLUSIVE: CDF at v counts v itself
+    val within = binned
+      .withColumn("la", sum(col("ac")).over(wIn))
+      .withColumn("lb", sum(col("bc")).over(wIn))
+    val bases = binned.groupBy(col("bin"))
+      .agg(sum(col("ac")).as("ba"), sum(col("bc")).as("bb"))
+      .agg(array_sort(collect_list(struct(col("bin"), col("ba"),
+        col("bb")))).as("arr"))
+      .select(explode(transform(col("arr"), (x, i) =>
+        struct(x.getField("bin").as("bin"),
+          aggregate(slice(col("arr"), lit(1), i), lit(0L),
+            (acc, e) => acc + e.getField("ba")).as("basea"),
+          aggregate(slice(col("arr"), lit(1), i), lit(0L),
+            (acc, e) => acc + e.getField("bb")).as("baseb")))).as("x"))
+      .select(col("x.bin").as("bin"), col("x.basea").as("basea"),
+        col("x.baseb").as("baseb"))
+    val cum = within.join(bases, Seq("bin"))
+      .withColumn("num", abs(
+        (col("basea") + col("la")).cast(dec) * col("nb").cast(dec) -
+          (col("baseb") + col("lb")).cast(dec) * col("na").cast(dec)))
+    val mx = cum.agg(max(col("num")).as("mxnum"))
+    cum.crossJoin(broadcast(mx))
+      .where(col("num") === col("mxnum"))
+      .agg(min(col("s")).as("ks_at"), first(col("mxnum")).as("mxnum"),
+        first(col("na")).as("na"), first(col("nb")).as("nb"))
+      .select(
+        when(col("na") > 0 && col("nb") > 0,
+          graft.queries.Q.sig9(col("mxnum").cast("double") /
+            (col("na").cast(dec) * col("nb").cast(dec)).cast("double")))
+          .as("ks"),
+        col("ks_at"),
+        col("na").cast("long").as("n_a"),
+        col("nb").cast("long").as("n_b"))
+  }
+
   def schemaDiff(oldDf: DataFrame, newDf: DataFrame): DataFrame = {
     val spark = oldDf.sparkSession
     import spark.implicits._

@@ -521,7 +521,54 @@ object TimeSeriesQueries {
        |FROM pt JOIN sm USING (event_type)""".stripMargin
   }
 
+  // ===== exact two-sample Kolmogorov–Smirnov ==========================
+
+  /** KS distance between the two hash-split arms of the A/B fixture —
+    * the binning-free drift twin of `q_x_abtest`
+    * ([[graft.ext.Profile.ksDistance]], two-phase binned prefix sum).
+    * The ORACLE is the naive single-window cumulative CDF compare; the
+    * maximized statistic is the exact integer numerator, so argmax and
+    * value adjudicate bit-for-bit. */
+  private val ksQ: QFn = (s, d) => {
+    val grp = pmod(graft.ext.Hashing.hash60(
+      concat(lit("ab:"), col("user_id").cast("string"))), lit(2L))
+    val ev = Tables.events(s, d).where(col("value").isNotNull)
+      .withColumn("grp", grp)
+    graft.ext.Profile.ksDistance(
+      ev.where(col("grp") === 0), ev.where(col("grp") === 1), "value")
+  }
+
+  private val ksSql =
+    s"""WITH g AS (
+       |  SELECT CAST(${Q.sqlHash60("'ab:' || CAST(user_id AS VARCHAR)")}
+       |    % 2 AS BIGINT) AS grp, value
+       |  FROM events WHERE value IS NOT NULL),
+       |c AS (
+       |  SELECT value AS s,
+       |    CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ac,
+       |    CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bc
+       |  FROM g GROUP BY 1),
+       |t AS (
+       |  SELECT CAST(sum(ac) AS BIGINT) AS na,
+       |    CAST(sum(bc) AS BIGINT) AS nb FROM c),
+       |cum AS (
+       |  SELECT s, sum(ac) OVER (ORDER BY s) AS ca,
+       |    sum(bc) OVER (ORDER BY s) AS cb FROM c),
+       |num AS (
+       |  SELECT s, abs(CAST(ca AS DECIMAL(38,0)) * t.nb -
+       |    CAST(cb AS DECIMAL(38,0)) * t.na) AS num FROM cum, t),
+       |mx AS (SELECT max(num) AS m FROM num)
+       |SELECT
+       |  CASE WHEN t.na > 0 AND t.nb > 0 THEN
+       |    ${Q.sqlSig9("CAST(mx.m AS DOUBLE) / CAST(CAST(t.na AS " +
+           "DECIMAL(38,0)) * t.nb AS DOUBLE)")}
+       |  END AS ks,
+       |  (SELECT min(s) FROM num, mx WHERE num.num = mx.m) AS ks_at,
+       |  t.na AS n_a, t.nb AS n_b
+       |FROM t, mx""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q_x_ks" -> ksQ,
     "q_x_bootstrap" -> bootstrapQ,
     "q_x_resample" -> resampleQ,
     "q_x_interp" -> interpQ,
@@ -536,6 +583,7 @@ object TimeSeriesQueries {
     "q_x_agg_merge" -> aggMergeQ)
 
   val oracles: Map[String, String] = Map(
+    "q_x_ks" -> ksSql,
     "q_x_bootstrap" -> bootstrapSql,
     "q_x_resample" -> resampleSql,
     "q_x_interp" -> interpSql,
