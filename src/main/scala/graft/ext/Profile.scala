@@ -195,6 +195,34 @@ object Profile {
         col("n_below") :+ col("pct"): _*)
   }
 
+  /** Exact equi-depth quantile binning (feature discretization for
+    * model training — "replace the raw value by its quantile bucket"):
+    * bin(s) = floor(n_below(s) · bins / n), clamped to bins−1 — the
+    * rank-based definition, so TIED VALUES ALWAYS SHARE A BIN (unlike
+    * SQL NTILE, which splits ties by arbitrary row order and is
+    * therefore not reproducible across partitionings). Pure integer
+    * arithmetic on [[percentRank]]'s two-phase binned prefix sums — no
+    * global window, no float contract at all.
+    *
+    * @return one row per distinct (keys, value): (keys…, s, cnt,
+    *         n_below, bin) — join back on (keys, value) to tag rows */
+  def equiDepthBins(df: DataFrame, keyCols: Seq[String], valCol: String,
+      bins: Int, nBinsInternal: Int = 1024): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val pr = percentRank(df, keyCols, valCol, nBinsInternal)
+    // group sizes recovered from the distinct-value frame itself (the
+    // largest n_below + its count IS the group total) — no second scan
+    val totals = pr.groupBy(keyCols.map(col): _*)
+      .agg(max(col("n_below") + col("cnt")).as("n"))
+    pr.join(broadcast(totals), keyCols)
+      // `div` = exact integral division (a double `/` + floor would
+      // lose exactness past 2^53 — counts at 100 TB get there)
+      .withColumn("bin", least(lit((bins - 1).toLong),
+        expr(s"(n_below * CAST($bins AS BIGINT)) div n")))
+      .select(keyCols.map(col) :+ col("s") :+ col("cnt") :+
+        col("n_below") :+ col("bin"): _*)
+  }
+
   def histogram(df: DataFrame, colName: String, bins: Int): DataFrame = {
     require(bins >= 1, "bins must be >= 1")
     val x = col(colName).cast("double")

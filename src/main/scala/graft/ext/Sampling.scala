@@ -243,6 +243,84 @@ object Sampling {
     * Output: key column, `pos`, `shard`, `shard_pos`. Integer `div`
     * arithmetic throughout — positions in a 100 TB corpus exceed
     * 2^53. */
+  /** Token-budget corpus selection: keep the highest-`scoreCol`
+    * documents whose `tokensCol` totals fit inside `budget` — the
+    * "fill a 10T-token pretraining budget with the best documents"
+    * primitive. Selection is by SCORE GROUP, descending: every
+    * document of a score group whose cumulative token total (inclusive
+    * of the group) fits the budget is selected; the single BOUNDARY
+    * group where the cumulative crosses the budget fills greedily in
+    * ascending-id order until its remaining budget is exhausted. Tied
+    * scores are therefore never split arbitrarily — id order decides,
+    * reproducibly.
+    *
+    * Plan: one group-by collapses the corpus to distinct-score token
+    * totals; the cross-group cumulative runs as the AUC/percentRank
+    * two-phase binned prefix sum on the NEGATED score (descending
+    * order, no global window at any size); full-group selection is a
+    * semi-join of the corpus against the fitting scores; only the
+    * boundary GROUP — one score value — sees a per-id running window,
+    * sized by that group alone (documented boundary cost, same family
+    * as the post-aggregate O(groups) windows). Integer token sums
+    * throughout — no float contract beyond the scores' own values.
+    *
+    * @return selected docs: (idCol, score, tokens, boundary) */
+  def budgetSelect(docs: DataFrame, idCol: String, scoreCol: String,
+      tokensCol: String, budget: Long, nBins: Int = 1024): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val d = docs.select(col(idCol), col(scoreCol).cast("double").as("s"),
+        col(tokensCol).cast("long").as("tk"))
+      .where(col("s").isNotNull && col("tk").isNotNull)
+    val g = d.groupBy(col("s")).agg(sum(col("tk")).as("gtk"))
+      .withColumn("o", -col("s")) // ascending o == descending score
+      .localCheckpoint()
+    val mm = g.agg(min(col("o")).as("lo"), max(col("o")).as("hi"))
+    val binned = g.crossJoin(broadcast(mm))
+      .withColumn("bin",
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(lit(nBins - 1L),
+            floor((col("o") - col("lo"))
+              / ((col("hi") - col("lo")) / nBins)).cast("long"))))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bin")).orderBy(col("o"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val within = binned.withColumn("ltk",
+      coalesce(sum(col("gtk")).over(wIn), lit(0L)))
+    val bases = binned.groupBy(col("bin")).agg(sum(col("gtk")).as("btk"))
+      .agg(array_sort(collect_list(struct(col("bin"), col("btk"))))
+        .as("arr"))
+      .select(explode(transform(col("arr"), (x, i) =>
+        struct(x.getField("bin").as("bin"),
+          aggregate(slice(col("arr"), lit(1), i), lit(0L),
+            (acc, e) => acc + e.getField("btk")).as("base")))).as("x"))
+      .select(col("x.bin").as("bin"), col("x.base").as("base"))
+    val cum = within.join(bases, Seq("bin"))
+      .withColumn("before", col("base") + col("ltk"))
+      .select(col("s"), col("gtk"), col("before"))
+    val fullScores = cum.where(col("before") + col("gtk") <= budget)
+      .select(col("s"))
+    val boundary = cum
+      .where(col("before") <= budget && col("before") + col("gtk") > budget)
+      .select(col("s"), (lit(budget) - col("before")).as("rb"))
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("s")).orderBy(col(idCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val boundaryDocs = d.join(broadcast(boundary), Seq("s"))
+      .withColumn("pfx", sum(col("tk")).over(wB))
+      .where(col("pfx") <= col("rb"))
+      .select(col(idCol), col("s"), col("tk"), lit(true).as("boundary"))
+    // semi-join, NOT a broadcast hint: the fitting-score set is
+    // distinct-score-sized (corpus-scale in the worst case) — let
+    // Catalyst/AQE pick the strategy from runtime stats
+    d.join(fullScores, Seq("s"), "left_semi")
+      .select(col(idCol), col("s"), col("tk"), lit(false).as("boundary"))
+      .unionByName(boundaryDocs)
+      .select(col(idCol), col("s").as("score"), col("tk").as("tokens"),
+        col("boundary"))
+  }
+
   def epochShuffle(df: DataFrame, keyCol: String, seed: String,
                    shardSize: Long, nBuckets: Int = 256): DataFrame = {
     require(shardSize > 0, "shardSize must be positive")

@@ -502,7 +502,85 @@ object CorpusQueries {
        |SELECT lang, doc_id, ws_rank FROM r WHERE ws_rank <= 20""".stripMargin
   }
 
+  // ===== token-budget corpus selection ================================
+
+  /** Fill a 50k-token budget with the longest documents
+    * ([[graft.ext.Sampling.budgetSelect]] — score = n_chars, tokens =
+    * whitespace token count): whole score groups while they fit,
+    * ascending-id greedy fill at the single boundary score. The ORACLE
+    * is the naive descending-cumulative window + per-boundary-group
+    * prefix. */
+  private val budgetTokens = 50000L
+  private val budgetSelectQ: QFn = (s, d) =>
+    graft.ext.Sampling.budgetSelect(
+      Tables.documents(s, d).select(col("doc_id"),
+        col("n_chars").cast("double").as("q"),
+        size(Hashing.tokens(col("text"))).as("ntok")),
+      "doc_id", "q", "ntok", budget = budgetTokens)
+      .select(col("doc_id"), col("score"), col("tokens"), col("boundary"))
+
+  private val budgetSelectSql =
+    s"""WITH d AS (
+       |  SELECT doc_id, CAST(n_chars AS DOUBLE) AS s,
+       |    CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+       |      AS BIGINT) AS tk
+       |  FROM documents),
+       |g AS (SELECT s, CAST(sum(tk) AS BIGINT) AS gtk FROM d GROUP BY 1),
+       |c AS (
+       |  SELECT s, gtk, CAST(COALESCE(sum(gtk) OVER (ORDER BY s DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    AS BIGINT) AS be
+       |  FROM g),
+       |fullg AS (SELECT s FROM c WHERE be + gtk <= $budgetTokens),
+       |bdry AS (
+       |  SELECT s, $budgetTokens - be AS rb FROM c
+       |  WHERE be <= $budgetTokens AND be + gtk > $budgetTokens),
+       |bd AS (
+       |  SELECT d.doc_id, d.s, d.tk, bdry.rb,
+       |    sum(d.tk) OVER (PARTITION BY d.s ORDER BY d.doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pfx
+       |  FROM d JOIN bdry ON d.s = bdry.s)
+       |SELECT d.doc_id, d.s AS score, d.tk AS tokens, FALSE AS boundary
+       |FROM d SEMI JOIN fullg ON d.s = fullg.s
+       |UNION ALL
+       |SELECT doc_id, s AS score, tk AS tokens, TRUE AS boundary
+       |FROM bd WHERE pfx <= rb""".stripMargin
+
+  // ===== exact equi-depth quantile binning ============================
+
+  /** Per-language equi-depth deciles of document length
+    * ([[graft.ext.Profile.equiDepthBins]] — rank-based, tie-stable,
+    * pure integer arithmetic). The ORACLE is the naive per-group
+    * count-below window with the same `//` integral division. */
+  private val quantizeQ: QFn = (s, d) =>
+    graft.ext.Profile.equiDepthBins(
+      Tables.documents(s, d).select(col("lang"),
+        col("n_chars").cast("double").as("len")),
+      Seq("lang"), "len", bins = 10)
+      .select(col("lang"), col("s"), col("cnt"), col("n_below"),
+        col("bin"))
+
+  private val quantizeSql =
+    """WITH d AS (
+      |  SELECT lang, CAST(n_chars AS DOUBLE) AS s FROM documents
+      |  WHERE n_chars IS NOT NULL),
+      |c AS (
+      |  SELECT lang, s, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM d GROUP BY 1, 2),
+      |t AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS n FROM c GROUP BY 1),
+      |r AS (
+      |  SELECT lang, s, cnt,
+      |    CAST(COALESCE(sum(cnt) OVER (PARTITION BY lang ORDER BY s
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS n_below
+      |  FROM c)
+      |SELECT r.lang, r.s, r.cnt, r.n_below,
+      |  CAST(least(9, (r.n_below * 10) // t.n) AS BIGINT) AS bin
+      |FROM r JOIN t USING (lang)""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q_x_budget_select" -> budgetSelectQ,
+    "q_x_quantize" -> quantizeQ,
     "q_x_weighted_sample" -> weightedSampleQ,
     "q_x_epoch_shuffle" -> epochShuffleQ,
     "q_x_decontam" -> decontam,
@@ -519,6 +597,8 @@ object CorpusQueries {
     "q_x_rrf" -> rrfQ)
 
   val oracles: Map[String, String] = Map(
+    "q_x_budget_select" -> budgetSelectSql,
+    "q_x_quantize" -> quantizeSql,
     "q_x_weighted_sample" -> weightedSampleSql,
     "q_x_epoch_shuffle" -> epochShuffleSql,
     "q_x_decontam" -> decontamSql,
