@@ -22,9 +22,11 @@ import graft.queries.Q
   * path.
   *
   * Determinism contract (DuckDB-adjudicable): the Poisson draw is the
-  * inverse CDF of the salted portable hash u = hash60(salt:id:r)/2^60
-  * against the PRECOMPUTED Poisson(1) CDF thresholds below — both
-  * engines embed the same double literals and the same `u >= c`
+  * inverse CDF of u_r = ((a_r·hashP(salt:id) + b_r) mod P) / P — one
+  * portable md5 per ROW mixed through per-replicate affine constants
+  * ([[mixers]], the MinHash-permutation family) — against the
+  * PRECOMPUTED Poisson(1) CDF thresholds below; both engines embed
+  * the same mixer and threshold literals and the same `u >= c`
   * comparisons, so every weight is identical everywhere. Replicate
   * means follow the NB product contract (sig9 per w·x term, decimal
   * sum); sd uses the mirrored two-moment formula (sqrt is IEEE
@@ -52,14 +54,39 @@ object Bootstrap {
   /** Max weight = thresholds count (12). */
   val MaxWeight: Int = PoissonCdf1.size
 
-  /** Deterministic Poisson(1) weight of (id, replicate) under `salt`. */
-  private def weight(id: org.apache.spark.sql.Column,
-                     rep: org.apache.spark.sql.Column, salt: String) = {
-    val u = Hashing.hash60(concat(lit(salt + ":"), id.cast("string"),
-      lit(":"), rep.cast("string"))).cast("double") /
-      lit(1152921504606846976.0) // 2^60
-    size(filter(array(PoissonCdf1.map(lit): _*), c => u >= c))
-      .cast("long")
+  /** Per-replicate affine mixers over the MinHash ring [0, P): the
+    * replicate-r coin is u_r = ((a_r·h + b_r) mod P) / P where h is
+    * the row's SINGLE md5 hash — one md5 per row instead of one per
+    * (row, replicate), which profiled as the whole cost of the
+    * operator (R md5s × corpus rows). (a_r, b_r) derive from md5 of
+    * the salt and replicate index alone — a bounded artifact both
+    * engines embed as literals, the MinHash-permutation recipe
+    * `Hashing` already uses. a_r ∈ [1, P), b_r ∈ [0, P); products
+    * a·h stay under 2^62 (no overflow, the documented P contract). */
+  def mixers(salt: String, replicates: Int): (Seq[Long], Seq[Long]) = {
+    def h60(s: String): Long = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md5.take(15), 16)
+    }
+    val a = (0 until replicates).map(r =>
+      h60(s"$salt:a:$r") % (Hashing.P - 1) + 1)
+    val b = (0 until replicates).map(r => h60(s"$salt:b:$r") % Hashing.P)
+    (a, b)
+  }
+
+  /** Deterministic Poisson(1) weight of (rowHash, replicate): the
+    * mixed uniform counted against [[PoissonCdf1]] as a codegen'd
+    * chain of comparisons (a higher-order `filter` over the literal
+    * array is interpreted per row — measured 20x slower). */
+  private def weight(h: org.apache.spark.sql.Column,
+                     rep: org.apache.spark.sql.Column,
+                     a: Seq[Long], b: Seq[Long]) = {
+    val ar = element_at(array(a.map(lit): _*), rep + 1)
+    val br = element_at(array(b.map(lit): _*), rep + 1)
+    val u = pmod(ar * h + br, lit(Hashing.P)).cast("double") /
+      lit(Hashing.P.toDouble)
+    PoissonCdf1.map(c => (u >= lit(c)).cast("long")).reduce(_ + _)
   }
 
   /** Bootstrap distribution of the per-group MEAN of `valCol`.
@@ -94,11 +121,16 @@ object Bootstrap {
       .agg(count(col(valCol)).as("n_rows"),
         Q.sig9(Q.davg(col(valCol))).as("point_mean"))
 
-    // R replicate means per group: one corpus pass, map-side explode
+    // R replicate means per group: one corpus pass, ONE md5 per row,
+    // then a map-side explode whose per-replicate coin is one
+    // multiply-add-mod against the embedded mixer literals
+    val (ma, mb) = mixers(salt, replicates)
     val rep = df.select(kCols :+ col(idCol).as("__id") :+
         col(valCol).as("__x"): _*)
+      .withColumn("__h", Hashing.hashP(
+        concat(lit(salt + ":"), col("__id").cast("string"))))
       .withColumn("__r", explode(sequence(lit(0), lit(replicates - 1))))
-      .withColumn("__w", weight(col("__id"), col("__r"), salt))
+      .withColumn("__w", weight(col("__h"), col("__r"), ma, mb))
     val repMeans = rep.groupBy(kCols :+ col("__r"): _*)
       .agg(sum(col("__w")).as("__sw"),
         Q.dsum(Q.sig9(col("__w").cast("double") * col("__x")))

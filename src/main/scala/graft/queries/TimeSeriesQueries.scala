@@ -470,25 +470,30 @@ object TimeSeriesQueries {
 
   private val bootstrapSql = {
     val r = bootstrapReps
-    val cdf = graft.ext.Bootstrap.PoissonCdf1.mkString("[", ", ", "]")
     val kLo = math.floor(0.025 * (r - 1)).toLong + 1
     val kHi = math.ceil(0.975 * (r - 1)).toLong + 1
-    val u = "(CAST(" + Q.sqlHash60(
-      "'boot:' || CAST(event_id AS VARCHAR) || ':' || CAST(r AS VARCHAR)") +
-      " AS DOUBLE) / 1152921504606846976.0)"
+    val (ma, mb) = graft.ext.Bootstrap.mixers("boot", r)
+    val pP = graft.ext.Hashing.P
+    val aList = ma.mkString("[", ", ", "]")
+    val bList = mb.mkString("[", ", ", "]")
+    val u = s"(CAST(($aList[r + 1] * h + $bList[r + 1]) % $pP AS DOUBLE)" +
+      s" / $pP.0)"
+    val wExpr = graft.ext.Bootstrap.PoissonCdf1
+      .map(c => s"(CASE WHEN u >= $c THEN 1 ELSE 0 END)")
+      .mkString(" + ")
     s"""WITH base AS (
-       |  SELECT event_type, event_id, value FROM events
-       |  WHERE value IS NOT NULL),
+       |  SELECT event_type, event_id, value,
+       |    ${Q.sqlHashP("'boot:' || CAST(event_id AS VARCHAR)")} AS h
+       |  FROM events WHERE value IS NOT NULL),
        |pt AS (
        |  SELECT event_type, CAST(count(value) AS BIGINT) AS n_rows,
        |    ${Q.sqlSig9(Q.sqlDavg("value"))} AS point_mean
        |  FROM base GROUP BY 1),
        |reps AS (
-       |  SELECT event_type, event_id, value, r
+       |  SELECT event_type, value, r, $u AS u
        |  FROM base CROSS JOIN (SELECT unnest(range(0, $r)) AS r)),
        |w AS (
-       |  SELECT event_type, r, value,
-       |    CAST(len(list_filter($cdf, c -> $u >= c)) AS BIGINT) AS w
+       |  SELECT event_type, r, value, CAST($wExpr AS BIGINT) AS w
        |  FROM reps),
        |rm AS (
        |  SELECT event_type, r, CAST(sum(w) AS BIGINT) AS sw,

@@ -10,14 +10,16 @@ class BootstrapSpec extends SparkSpec {
   private def df(rows: (String, Long, Double)*) =
     rows.toDF("g", "id", "x")
 
-  /** The documented weight draw, locally: u = hash60(salt:id:r)/2^60
-    * counted against the embedded Poisson(1) CDF thresholds. */
+  /** The documented weight draw, locally: one md5 per row mixed by the
+    * per-replicate affine constants, counted against the embedded
+    * Poisson(1) CDF thresholds. */
+  private val (refA, refB) = Bootstrap.mixers("boot", 64)
   private def refWeight(id: Long, r: Int, salt: String = "boot"): Long = {
     val md5 = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$salt:$id:$r".getBytes("UTF-8"))
+      .digest(s"$salt:$id".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(15)
-    val u = java.lang.Long.parseLong(md5, 16).toDouble /
-      1152921504606846976.0
+    val h = java.lang.Long.parseLong(md5, 16) % Hashing.P
+    val u = ((refA(r) * h + refB(r)) % Hashing.P).toDouble / Hashing.P
     Bootstrap.PoissonCdf1.count(c => u >= c).toLong
   }
 
