@@ -35,4 +35,62 @@ object CorpusDiff {
               textCol: String = "text"): DataFrame =
     diff(oldV, newV, idCol, textCol)
       .groupBy(col("status")).agg(count(lit(1)).as("n_docs"))
+
+  /** ln(2) computed once in Scala and embedded identically in the
+    * engine and every oracle (the decay-lambda convention). */
+  val Ln2: Double = math.log(2.0)
+
+  /** Per-group Jensen–Shannon divergence (in nats) between each
+    * group's token distribution and the WHOLE corpus's — "which source
+    * is most unlike the rest of the training mix?", the
+    * distribution-level companion to [[diff]]'s id-level audit and the
+    * token-space analogue of the numeric drift monitors (PSI/KS/chi2).
+    * JSD is symmetric and bounded by ln 2, so scores are comparable
+    * across groups and corpora.
+    *
+    * JSD(P_g ‖ Q) = ½ Σ p ln(p/m) + ½ Σ q ln(q/m), m = (p+q)/2. Only
+    * tokens PRESENT in the group carry both terms; tokens absent from
+    * the group have p = 0 and contribute ½·q·ln 2 each — folded in
+    * CLOSED FORM as ½·ln2·(1 − Σ_{tok∈g} q) (the complement-aggregate
+    * trick: the out-of-group tail needs no join, no anti-join, no
+    * second pass). Σ over the group's own tokens is the only shuffle:
+    * one token-keyed join of per-group counts against the global
+    * vocabulary, then one group-keyed aggregate.
+    *
+    * Determinism: counts are exact; p, q, m are fixed IEEE doubles of
+    * exact-cast integers; ln() is the single libm step and is sig9'd
+    * per term; per-term products are sig9'd and summed via dsumStable
+    * (terms ≤ ln 2, so scale 12 stays exact).
+    *
+    * @param toks (groupCol, tokCol: array<string>) — pre-tokenized
+    * @return one row per group: (groupCol, jsd, n_tok_positions,
+    *         n_vocab) — jsd in nats, NULL for an empty corpus */
+  def tokenDivergence(toks: DataFrame, groupCol: String,
+      tokCol: String): DataFrame = {
+    import graft.queries.Q
+    val ex = toks.select(col(groupCol).as("g"),
+      explode(col(tokCol)).as("tok"))
+    val cg = ex.groupBy(col("tok")).agg(count(lit(1)).as("cg"))
+    val nTot = cg.agg(sum(col("cg")).cast("long").as("n_tot"))
+    val cs = ex.groupBy(col("g"), col("tok")).agg(count(lit(1)).as("c"))
+    val ns = cs.groupBy(col("g")).agg(sum(col("c")).cast("long").as("ns"))
+    val p = col("c").cast("double") / col("ns").cast("double")
+    val q = col("cg").cast("double") / col("n_tot").cast("double")
+    val m = (p + q) / 2.0
+    val termIn = lit(0.5) * p * Q.sig9(log(p / m)) +
+      lit(0.5) * q * Q.sig9(log(q / m))
+    cs.join(cg, Seq("tok"))
+      .join(ns, Seq("g"))
+      .crossJoin(broadcast(nTot))
+      .groupBy(col("g"))
+      .agg(Q.dsumStable(Q.sig9(termIn), 12).as("t_in"),
+        Q.dsumStable(Q.sig9(q), 12).as("q_in"),
+        first(col("ns")).as("ns"),
+        count(lit(1)).cast("long").as("n_vocab"))
+      .select(col("g").as(groupCol),
+        Q.sig9(col("t_in") +
+          lit(0.5 * Ln2) * (lit(1.0) - col("q_in"))).as("jsd"),
+        col("ns").cast("long").as("n_tok_positions"),
+        col("n_vocab"))
+  }
 }

@@ -370,6 +370,148 @@ object Profile {
         col("nb").cast("long").as("n_b"))
   }
 
+  /** Pearson chi-square test of independence between two categorical
+    * columns — the categorical-drift monitor beside [[psi]] (numeric
+    * bins) and [[ksDistance]] (numeric shape): "is `colCol`'s
+    * distribution the same in every `rowCol` group?" High statistic =
+    * the margins do not explain the cells = drift / broken
+    * randomization.
+    *
+    * Plan: one (r, c)-keyed count, two margin aggregates, and the
+    * margin CROSS product re-padded with the zero cells (absent
+    * (r, c) pairs still contribute E to the statistic — dropping them
+    * understates chi2). The margin frames are post-aggregation small
+    * (bounded categorical domains — the same contract as every
+    * groupBy-pivot here); the cell join is key-bounded by them.
+    * Determinism: O, RT, CT, N are exact BIGINT counts below 2^53, so
+    * every double is an EXACT cast and (O−E)²/E is fixed IEEE
+    * arithmetic — bit-identical across engines; each cell contribution
+    * is sig9'd and summed via [[graft.queries.Q.dsumStable]]
+    * (scale 6: exact while chi2 · 10^6 < 10^15, i.e. any practical
+    * statistic).
+    *
+    * @return one row: (chi2, dof, n, n_rows_cat, n_cols_cat) — dof =
+    *         (R−1)(C−1); NULL chi2 when the table is degenerate
+    *         (fewer than 2 rows or 2 cols) */
+  def chiSquare(df: DataFrame, rowCol: String, colCol: String): DataFrame = {
+    import graft.queries.Q
+    val cells = df
+      .where(col(rowCol).isNotNull && col(colCol).isNotNull)
+      .groupBy(col(rowCol).cast("string").as("r"),
+        col(colCol).cast("string").as("c"))
+      .agg(count(lit(1)).as("o"))
+    val rt = cells.groupBy(col("r")).agg(sum(col("o")).cast("long").as("rt"))
+    val ct = cells.groupBy(col("c")).agg(sum(col("o")).cast("long").as("ct"))
+    val nn = cells.agg(sum(col("o")).cast("long").as("n"))
+    val grid = rt.crossJoin(ct)
+      .join(cells, Seq("r", "c"), "left")
+      .select(col("r"), col("c"), col("rt"), col("ct"),
+        coalesce(col("o"), lit(0L)).as("o"))
+    val e = col("rt").cast("double") * col("ct").cast("double") /
+      col("n").cast("double")
+    val d = col("o").cast("double") - e
+    grid.crossJoin(broadcast(nn))
+      .select(col("n"), col("r"), col("c"),
+        Q.sig9(d * d / e).as("contrib"))
+      .agg(first(col("n")).as("n"),
+        countDistinct(col("r")).cast("long").as("n_rows_cat"),
+        countDistinct(col("c")).cast("long").as("n_cols_cat"),
+        Q.dsumStable(col("contrib"), 6).as("chi2_raw"))
+      .select(
+        when(col("n_rows_cat") >= 2 && col("n_cols_cat") >= 2,
+          col("chi2_raw")).as("chi2"),
+        ((col("n_rows_cat") - 1) * (col("n_cols_cat") - 1)).as("dof"),
+        col("n"), col("n_rows_cat"), col("n_cols_cat"))
+  }
+
+  /** Two-sample Mann–Whitney U (Wilcoxon rank-sum) with the
+    * tie-corrected normal approximation — the NONPARAMETRIC A/B test
+    * beside the Welch z of `q_x_abtest` (no normality assumption; the
+    * statistic is a pure rank computation, robust to the heavy tails
+    * that break mean-based tests).
+    *
+    * Plan: the [[ksDistance]] two-phase binned prefix sum over the
+    * distinct-value counts frame — no global-order window at any
+    * size. Per distinct value v: 2·U accumulates
+    * ac(v) · (2·B_below(v) + bc(v)) (each b strictly below counts 2,
+    * each tied b counts 1 — the midrank convention doubled into exact
+    * integers), and the tie term accumulates t³−t for t = ac+bc.
+    * Both sums stay in DECIMAL(38,0) (t³ overflows Long at ~10^6 tied
+    * rows) — exact, order-free. The normal z then runs in fixed IEEE
+    * double arithmetic on sig9'd casts of the exact integers:
+    * z = (2U − na·nb) / (2·σ),
+    * σ² = na·nb/12 · ((n+1) − T/(n(n−1))).
+    *
+    * @return one row: (u2, z, tie_t, n_a, n_b) — u2 = exact 2·U_a
+    *         sig9'd; z NULL when either side is empty or all values
+    *         tie (σ = 0) */
+  def mannWhitney(a: DataFrame, b: DataFrame, valCol: String,
+      nBins: Int = 1024): DataFrame = {
+    import graft.queries.Q
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val tagged = a.select(col(valCol).cast("double").as("s"))
+      .where(col("s").isNotNull)
+      .select(col("s"), lit(1L).as("ac"), lit(0L).as("bc"))
+      .unionAll(b.select(col(valCol).cast("double").as("s"))
+        .where(col("s").isNotNull)
+        .select(col("s"), lit(0L).as("ac"), lit(1L).as("bc")))
+    val counts = tagged.groupBy(col("s"))
+      .agg(sum(col("ac")).as("ac"), sum(col("bc")).as("bc"))
+      .localCheckpoint()
+    val mm = counts.agg(min(col("s")).as("lo"), max(col("s")).as("hi"),
+      sum(col("ac")).as("na"), sum(col("bc")).as("nb"))
+    val binned = counts.crossJoin(broadcast(mm))
+      .withColumn("bin",
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(lit(nBins - 1L),
+            floor((col("s") - col("lo"))
+              / ((col("hi") - col("lo")) / nBins)).cast("long"))))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bin")).orderBy(col("s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1) // EXCLUSIVE: b strictly below v
+    val within = binned
+      .withColumn("lb", coalesce(sum(col("bc")).over(wIn), lit(0L)))
+    val bases = binned.groupBy(col("bin"))
+      .agg(sum(col("bc")).as("bb"))
+      .agg(array_sort(collect_list(struct(col("bin"), col("bb"))))
+        .as("arr"))
+      .select(explode(transform(col("arr"), (x, i) =>
+        struct(x.getField("bin").as("bin"),
+          aggregate(slice(col("arr"), lit(1), i), lit(0L),
+            (acc, e) => acc + e.getField("bb")).as("baseb")))).as("x"))
+      .select(col("x.bin").as("bin"), col("x.baseb").as("baseb"))
+    val t = (col("ac") + col("bc")).cast(dec)
+    // inner terms stay in exact long arithmetic (≤ ~3n, far under
+    // 2^63); the single decimal cast guards the ac· product and sum
+    val terms = within.join(bases, Seq("bin"))
+      .select(col("na"), col("nb"),
+        (col("ac").cast(dec) *
+          (lit(2L) * (col("baseb") + col("lb")) + col("bc")).cast(dec))
+          .as("u2term"),
+        (t * t * t - t).as("tterm"))
+    val nad = col("na").cast("double")
+    val nbd = col("nb").cast("double")
+    val nd = nad + nbd
+    val u2d = Q.sig9(col("u2").cast("double"))
+    val td = Q.sig9(col("tie_t_dec").cast("double"))
+    val varU = nad * nbd / 12.0 *
+      ((nd + 1.0) - td / (nd * (nd - 1.0)))
+    terms
+      .agg(first(col("na")).as("na"), first(col("nb")).as("nb"),
+        sum(col("u2term")).as("u2"), sum(col("tterm")).as("tie_t_dec"))
+      .select(
+        when(col("na") > 0 && col("nb") > 0, u2d).as("u2"),
+        when(col("na") > 0 && col("nb") > 0 &&
+            col("na") + col("nb") > 1,
+          when(sqrt(varU) > 0.0,
+            Q.sig9((u2d - nad * nbd) / (lit(2.0) * Q.sig9(sqrt(varU)))))
+        ).as("z"),
+        when(col("na") > 0 || col("nb") > 0, td).as("tie_t"),
+        col("na").cast("long").as("n_a"),
+        col("nb").cast("long").as("n_b"))
+  }
+
   def schemaDiff(oldDf: DataFrame, newDf: DataFrame): DataFrame = {
     val spark = oldDf.sparkSession
     import spark.implicits._

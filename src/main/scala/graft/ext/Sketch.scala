@@ -1,0 +1,73 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Count-min sketch (Cormode & Muthukrishnan 2005) built relationally —
+  * the mergeable frequency summary a streaming/telemetry pipeline keeps
+  * when the key domain is too large to count exactly: d independent
+  * hash rows of w buckets; every key increments one bucket per row;
+  * a point estimate is the MIN over its d bucket sums (always an
+  * OVERestimate — collisions only add).
+  *
+  * The sketch here is a d·w-row DataFrame, which is the whole point at
+  * scale: building it is ONE map-side-combining aggregate over the
+  * stream keyed by (row, bucket) — bounded output regardless of input
+  * cardinality; two sketches with the same (d, w, salt) merge by
+  * unioning and re-summing (the mergeability law, spec-pinned); point
+  * queries broadcast the bounded sketch against the key list. Hashes
+  * are the portable salted [[Hashing.hash60]], so the same sketch is
+  * reproducible in any engine and across incremental batches.
+  *
+  * Everything is exact integer arithmetic — estimates adjudicate
+  * bit-for-bit with no float contract at all.
+  */
+object Sketch {
+
+  /** Build the sketch: one row per OCCUPIED (row j, bucket) pair with
+    * its count sum (absent buckets are zero — padding is the reader's
+    * concern, and estimates only probe occupied buckets' keys).
+    *
+    * @param items  one row per observation (duplicates count)
+    * @return (j, bucket, s) — d·w rows at most */
+  def countMin(items: DataFrame, keyCol: String, d: Int, w: Int,
+      salt: String): DataFrame = {
+    require(d >= 1 && w >= 1, s"need d,w >= 1, got d=$d w=$w")
+    val rows = array((0 until d).map(lit): _*)
+    items
+      .select(col(keyCol).cast("string").as("k"))
+      .where(col("k").isNotNull)
+      .select(explode(rows).as("j"), col("k"))
+      .select(col("j"),
+        pmod(Hashing.hash60(
+          concat(lit(salt), col("j").cast("string"), lit(":"),
+            col("k"))), lit(w.toLong)).as("bucket"))
+      .groupBy(col("j"), col("bucket"))
+      .agg(count(lit(1)).as("s"))
+  }
+
+  /** Point-estimate each key in `keys` against a sketch built with the
+    * SAME (d, w, salt): est = min over the d rows of the bucket sum
+    * (0 when a probed bucket is unoccupied — the key was never seen
+    * and nothing collided into any of its buckets).
+    *
+    * The sketch side is bounded (≤ d·w rows) and broadcast; the key
+    * side can be corpus-sized. */
+  def cmsEstimate(sketch: DataFrame, keys: DataFrame, keyCol: String,
+      d: Int, w: Int, salt: String): DataFrame = {
+    require(d >= 1 && w >= 1, s"need d,w >= 1, got d=$d w=$w")
+    val rows = array((0 until d).map(lit): _*)
+    val probes = keys
+      .select(col(keyCol).cast("string").as("k")).distinct()
+      .select(col("k"), explode(rows).as("j"))
+      .select(col("k"), col("j"),
+        pmod(Hashing.hash60(
+          concat(lit(salt), col("j").cast("string"), lit(":"),
+            col("k"))), lit(w.toLong)).as("bucket"))
+    probes
+      .join(broadcast(sketch), Seq("j", "bucket"), "left")
+      .groupBy(col("k"))
+      .agg(min(coalesce(col("s"), lit(0L))).cast("long").as("est"))
+      .select(col("k").as(keyCol), col("est"))
+  }
+}

@@ -169,6 +169,70 @@ object TimeSeries {
         col("__x").as("x") :+ col("s_stat") :+ col("alarm"): _*)
   }
 
+  /** Exponentially-weighted moving average with a bounded horizon —
+    * the standard trend smoother next to [[cusum]] (drift) and the
+    * median/MAD outlier score: per point,
+    * ewma_t = Σ_{j=0}^{min(t,H−1)} β^j·x_{t−j} / Σ_{j} β^j, β = 1−α
+    * (pandas `ewm(adjust=True)` truncated at H lags).
+    *
+    * The horizon is the operator's SEMANTICS, not an approximation
+    * shortcut (the linkPredict-cap convention): weights beyond H lags
+    * are below double noise for any practical α anyway, and bounding
+    * the lookback is what turns the sequential recurrence into a plain
+    * BOUNDED per-key window — a keyed shuffle + per-key linear scans,
+    * nothing global at any size.
+    *
+    * Determinism: the H weights β^j and the H running normalizers are
+    * computed ONCE here in Scala doubles and embedded as literals on
+    * both engines (the decay-lambda convention); each term x·β^j is
+    * then a fixed IEEE product folded LEFT-TO-RIGHT (the sqlFold
+    * contract), so the quotient is bit-identical before its final
+    * sig9.
+    *
+    * @return one row per input point: (keys..., tsCol, tieBreak, x,
+    *         ewma) */
+  /** Shared weight/normalizer derivation for [[ewma]], its streaming
+    * twin and the oracle builder — ONE definition of the embedded-
+    * literal contract: (β^j for j=0..H−1, their running prefix sums). */
+  private[graft] def ewmaWeights(alpha: Double, horizon: Int)
+      : (Seq[Double], Seq[Double]) = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    require(horizon >= 1, s"horizon must be >= 1, got $horizon")
+    val beta = 1.0 - alpha
+    val weights = Seq.iterate(1.0, horizon)(_ * beta)
+    (weights, weights.scanLeft(0.0)(_ + _).tail)
+  }
+
+  def ewma(series: DataFrame, keyCols: Seq[String], tsCol: String,
+      valCol: String, tieBreak: String, alpha: Double,
+      horizon: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (weights, denoms) = ewmaWeights(alpha, horizon)
+    val wArr = array(weights.map(lit): _*)
+    val dArr = array(denoms.map(lit): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).asc, col(tieBreak).asc)
+      .rowsBetween(-(horizon - 1).toLong, Window.currentRow)
+    val x = col(valCol).cast(DoubleType)
+    // null points are absent samples (collect_list would silently skip
+    // them INSIDE frames and misalign the lags — drop them up front)
+    val withArr = series
+      .where(x.isNotNull)
+      .withColumn("__x", x)
+      .withColumn("__arr", collect_list(col("__x")).over(w))
+    val n = size(col("__arr"))
+    // index-via-range (the sqlDot idiom): arr[i] pairs with the
+    // weight at lag n-i, i.e. wArr[n-i+1] 1-based
+    val terms = transform(sequence(lit(1), n),
+      i => element_at(col("__arr"), i) * element_at(wArr, n - i + 1))
+    val num = aggregate(terms, lit(0.0), (acc, t) => acc + t)
+    withArr
+      .withColumn("ewma",
+        graft.queries.Q.sig9(num / element_at(dArr, n)))
+      .select(keyCols.map(col) :+ col(tsCol) :+ col(tieBreak) :+
+        col("__x").as("x") :+ col("ewma"): _*)
+  }
+
   /** Gap-filling linear interpolation at a fixed cadence: per key,
     * a `stepSeconds`-aligned grid spanning [ceil(first sample),
     * floor(last sample)], each grid point valued by linear

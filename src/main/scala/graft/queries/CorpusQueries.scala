@@ -95,6 +95,99 @@ object CorpusQueries {
        |    AS rare_frac
        |FROM j GROUP BY doc_id""".stripMargin
 
+  // ===== per-source Jensen–Shannon divergence ===========================
+
+  /** JSD (nats) of every source's token distribution against the whole
+    * corpus ([[graft.ext.CorpusDiff.tokenDivergence]]) — "which source
+    * is most unlike the rest of the mix". The oracle replays the same
+    * closed-form complement fold, so the absent-token tail accounting
+    * is adjudicated, not just the in-group sum. */
+  private val jsdQ: QFn = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("source"), Hashing.tokens(col("text")).as("tk"))
+    graft.ext.CorpusDiff.tokenDivergence(toks, "source", "tk")
+  }
+
+  private val jsdSql = {
+    val halfLn2 = 0.5 * graft.ext.CorpusDiff.Ln2
+    val term = s"CAST(0.5 AS DOUBLE) * p * ${sqlSig9("ln(p / m)")} + " +
+      s"CAST(0.5 AS DOUBLE) * q * ${sqlSig9("ln(q / m)")}"
+    s"""WITH $toksSql,
+       |ex AS (SELECT source AS g, unnest(tk) AS tok FROM toks),
+       |cg AS (SELECT tok, CAST(count(*) AS BIGINT) AS cg FROM ex
+       |       GROUP BY 1),
+       |nt AS (SELECT CAST(sum(cg) AS BIGINT) AS n_tot FROM cg),
+       |cs AS (SELECT g, tok, CAST(count(*) AS BIGINT) AS c FROM ex
+       |       GROUP BY 1, 2),
+       |ns AS (SELECT g, CAST(sum(c) AS BIGINT) AS ns FROM cs GROUP BY 1),
+       |j AS (
+       |  SELECT cs.g, ns.ns,
+       |    CAST(cs.c AS DOUBLE) / CAST(ns.ns AS DOUBLE) AS p,
+       |    CAST(cg.cg AS DOUBLE) / CAST(nt.n_tot AS DOUBLE) AS q
+       |  FROM cs JOIN cg USING (tok) JOIN ns USING (g) CROSS JOIN nt),
+       |jm AS (
+       |  SELECT g, ns, p, q, (p + q) / CAST(2.0 AS DOUBLE) AS m FROM j),
+       |terms AS (
+       |  SELECT g, ns, ${sqlSig9(term)} AS term, ${sqlSig9("q")} AS q9
+       |  FROM jm),
+       |agg AS (
+       |  SELECT g, ${sqlDsumStable("term", 12)} AS t_in,
+       |    ${sqlDsumStable("q9", 12)} AS q_in,
+       |    min(ns) AS ns, CAST(count(*) AS BIGINT) AS n_vocab
+       |  FROM terms GROUP BY 1)
+       |SELECT g AS source,
+       |  ${sqlSig9(s"t_in + CAST($halfLn2 AS DOUBLE) * " +
+          "(CAST(1.0 AS DOUBLE) - q_in)")} AS jsd,
+       |  CAST(ns AS BIGINT) AS n_tok_positions, n_vocab
+       |FROM agg""".stripMargin
+  }
+
+  // ===== count-min sketch (mergeable frequency summary) =================
+
+  private val cmsD = 4
+  private val cmsW = 512
+
+  /** CMS over the corpus token stream, point-estimating the true top-30
+    * tokens ([[graft.ext.Sketch]]). Exact integers end to end: the
+    * sketch sums, the estimates (min over rows — always ≥ exact), and
+    * the per-key overestimate are all adjudicated bit-for-bit. */
+  private val cmsQ: QFn = (s, d) => {
+    val ex = Tables.documents(s, d)
+      .select(explode(Hashing.tokens(col("text"))).as("tok"))
+    val exact = ex.groupBy(col("tok")).agg(count(lit(1)).as("exact"))
+    val top = exact.orderBy(col("exact").desc, col("tok").asc).limit(30)
+    val sk = graft.ext.Sketch.countMin(ex, "tok", cmsD, cmsW, "cms")
+    graft.ext.Sketch.cmsEstimate(sk, top, "tok", cmsD, cmsW, "cms")
+      .join(top, Seq("tok"))
+      .select(col("tok"), col("exact").cast("long").as("exact"),
+        col("est"), (col("est") - col("exact")).as("overest"))
+  }
+
+  private val cmsSql = {
+    val js = (0 until cmsD).mkString("[", ", ", "]")
+    s"""WITH $toksSql,
+       |ex AS (SELECT unnest(tk) AS tok FROM toks),
+       |exact AS (
+       |  SELECT tok, CAST(count(*) AS BIGINT) AS exact FROM ex
+       |  GROUP BY 1),
+       |top AS (SELECT * FROM exact ORDER BY exact DESC, tok LIMIT 30),
+       |js AS (SELECT unnest($js) AS j),
+       |sk AS (
+       |  SELECT j,
+       |    ${hashSql("'cms' || j || ':' || tok")} % $cmsW AS bucket,
+       |    CAST(count(*) AS BIGINT) AS s
+       |  FROM ex CROSS JOIN js GROUP BY 1, 2),
+       |probes AS (
+       |  SELECT top.tok, js.j,
+       |    ${hashSql("'cms' || js.j || ':' || top.tok")} % $cmsW AS bucket
+       |  FROM top CROSS JOIN js),
+       |est AS (
+       |  SELECT p.tok, CAST(min(COALESCE(sk.s, 0)) AS BIGINT) AS est
+       |  FROM probes p LEFT JOIN sk USING (j, bucket) GROUP BY 1)
+       |SELECT top.tok, top.exact, est.est, est.est - top.exact AS overest
+       |FROM top JOIN est USING (tok)""".stripMargin
+  }
+
   // ===== interpolated bigram-LM scoring =================================
 
   private val bigramLambda = 0.7
@@ -585,6 +678,8 @@ object CorpusQueries {
     "q_x_epoch_shuffle" -> epochShuffleQ,
     "q_x_decontam" -> decontam,
     "q_x_unigram_lm" -> unigramLm,
+    "q_x_jsd" -> jsdQ,
+    "q_x_cms" -> cmsQ,
     "q_x_bigram_lm" -> bigramLm,
     "q_x_pmi" -> pmiQ,
     "q_x_bm25" -> bm25,
@@ -603,6 +698,8 @@ object CorpusQueries {
     "q_x_epoch_shuffle" -> epochShuffleSql,
     "q_x_decontam" -> decontamSql,
     "q_x_unigram_lm" -> unigramLmSql,
+    "q_x_jsd" -> jsdSql,
+    "q_x_cms" -> cmsSql,
     "q_x_bigram_lm" -> bigramLmSql,
     "q_x_pmi" -> pmiSql,
     "q_x_bm25" -> bm25Sql,

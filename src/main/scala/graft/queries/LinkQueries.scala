@@ -323,6 +323,57 @@ object LinkQueries {
        |JOIN ss sw ON sw.u = cnc.w
        |WHERE und.a IS NULL""".stripMargin
 
+  // ===== k-hop BFS reach ==============================================
+
+  /** Hop distances from the %100==1 seed suppliers over the UNDIRECTED
+    * supplier↔part bipartite supply graph (both edge directions passed
+    * explicitly — [[graft.ext.Graph.khopDistances]] is directed).
+    * k = 3: parts supplied (1), co-suppliers of those parts (2), their
+    * parts (3). The ORACLE unrolls the three frontier rounds as
+    * generated MATERIALIZED CTEs with NOT-EXISTS seen-set guards —
+    * integer-exact, so min-distance semantics adjudicate bit-for-bit. */
+  private val khopK = 3
+
+  private val khopQ: QFn = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_suppkey"), col("l_partkey"))
+    val fwd = li.select(col("l_suppkey").as("a"),
+      (col("l_partkey") + partNodeOffset).as("b"))
+    val und = fwd.unionAll(fwd.select(col("b").as("a"), col("a").as("b")))
+    val seeds = Tables.supplier(s, d)
+      .where(col("s_suppkey") % 100 === 1)
+      .select(col("s_suppkey").cast("long").as("v"))
+    graft.ext.Graph.khopDistances(und, "a", "b", seeds, "v", khopK)
+      .select(col("node").cast("long").as("node"), col("dist"))
+  }
+
+  private val khopSql = {
+    val rounds = (1 to khopK).map { i =>
+      val rp = s"r${i - 1}"
+      s"""f$i AS MATERIALIZED (
+         |  SELECT DISTINCT e.dst AS node
+         |  FROM e JOIN $rp ON e.src = $rp.node AND $rp.dist = ${i - 1}
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM $rp s WHERE s.node = e.dst)),
+         |r$i AS MATERIALIZED (
+         |  SELECT node, dist FROM $rp
+         |  UNION ALL SELECT node, CAST($i AS BIGINT) AS dist FROM f$i)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH fwd AS (
+       |  SELECT DISTINCT l_suppkey AS a,
+       |    l_partkey + $partNodeOffset AS b FROM lineitem),
+       |e AS MATERIALIZED (
+       |  SELECT a AS src, b AS dst FROM fwd
+       |  UNION SELECT b, a FROM fwd),
+       |r0 AS MATERIALIZED (
+       |  SELECT DISTINCT CAST(s_suppkey AS BIGINT) AS node,
+       |    CAST(0 AS BIGINT) AS dist
+       |  FROM supplier WHERE s_suppkey % 100 = 1),
+       |$rounds
+       |SELECT node, dist FROM r$khopK""".stripMargin
+  }
+
   // ===== SCD2 historization ===========================================
 
   /** events as a change log of each user's `event_type` attribute:
@@ -369,6 +420,7 @@ object LinkQueries {
     "q_x_hits" -> hitsQ,
     "q_x_triangles" -> trianglesQ,
     "q_x_linkpred" -> linkpredQ,
+    "q_x_khop" -> khopQ,
     "q_x_scd2" -> scd2)
 
   val oracles: Map[String, String] = Map(
@@ -378,5 +430,6 @@ object LinkQueries {
     "q_x_hits" -> hitsSql,
     "q_x_triangles" -> trianglesSql,
     "q_x_linkpred" -> linkpredSql,
+    "q_x_khop" -> khopSql,
     "q_x_scd2" -> scd2Sql)
 }

@@ -572,7 +572,159 @@ object TimeSeriesQueries {
        |  t.na AS n_a, t.nb AS n_b
        |FROM t, mx""".stripMargin
 
+  // ===== bounded-horizon EWMA =========================================
+
+  private val ewmaAlpha = 0.25
+  private val ewmaH = 32
+
+  /** Per-user EWMA trend over the event stream
+    * ([[graft.ext.TimeSeries.ewma]], pandas `ewm(adjust=True)`
+    * truncated at 32 lags). The oracle replays the identical embedded
+    * weight/normalizer literals through DuckDB's windowed list + the
+    * index-via-range fold, so every point adjudicates bit-for-bit. */
+  private val ewmaQ: QFn = (s, d) =>
+    TimeSeries.ewma(Tables.events(s, d), Seq("user_id"), "ts", "value",
+        tieBreak = "event_id", alpha = ewmaAlpha, horizon = ewmaH)
+      .select(col("user_id"), date_format(col("ts"), fmt).as("ts_s"),
+        col("event_id"), col("x"), col("ewma"))
+
+  private val ewmaSql = {
+    val (weights, denoms) = TimeSeries.ewmaWeights(ewmaAlpha, ewmaH)
+    val wLit = weights.map(w => s"CAST($w AS DOUBLE)")
+      .mkString("[", ", ", "]")
+    val dLit = denoms.map(w => s"CAST($w AS DOUBLE)")
+      .mkString("[", ", ", "]")
+    val terms = s"list_transform(range(1, len(arr) + 1), " +
+      s"i -> arr[i] * ($wLit)[len(arr) - i + 1])"
+    s"""WITH s AS (
+       |  SELECT user_id, ts, event_id, value AS x FROM events
+       |  WHERE value IS NOT NULL),
+       |arrs AS (
+       |  SELECT user_id, ts, event_id, x,
+       |    list(x) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |      ROWS BETWEEN ${ewmaH - 1} PRECEDING AND CURRENT ROW) AS arr
+       |  FROM s)
+       |SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       |  event_id, x,
+       |  ${Q.sqlSig9(s"${Q.sqlFold(terms)} / ($dLit)[len(arr)]")} AS ewma
+       |FROM arrs""".stripMargin
+  }
+
+  // ===== chi-square independence (categorical drift) ==================
+
+  /** Source × language contingency over `documents` — "is the language
+    * mix independent of the source?" ([[graft.ext.Profile.chiSquare]]).
+    * The oracle rebuilds the margin-product grid including zero cells,
+    * so the padding semantics are adjudicated, not just the sum. */
+  private val chisqQ: QFn = (s, d) =>
+    graft.ext.Profile.chiSquare(Tables.documents(s, d), "source", "lang")
+
+  private val chisqSql =
+    s"""WITH base AS (
+       |  SELECT CAST(source AS VARCHAR) AS r, CAST(lang AS VARCHAR) AS c
+       |  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL),
+       |cells AS (
+       |  SELECT r, c, CAST(count(*) AS BIGINT) AS o FROM base GROUP BY 1, 2),
+       |rt AS (SELECT r, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+       |ct AS (SELECT c, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+       |nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+       |grid AS (
+       |  SELECT rt.r, ct.c, rt.rt, ct.ct, COALESCE(cells.o, 0) AS o
+       |  FROM rt CROSS JOIN ct
+       |  LEFT JOIN cells ON cells.r = rt.r AND cells.c = ct.c),
+       |ex AS (
+       |  SELECT r, c, o,
+       |    CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) /
+       |      CAST(nn.n AS DOUBLE) AS e,
+       |    nn.n AS n
+       |  FROM grid, nn),
+       |contribs AS (
+       |  SELECT n, r, c,
+       |    ${Q.sqlSig9("(CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE)" +
+           " - e) / e")} AS contrib
+       |  FROM ex),
+       |agg AS (
+       |  SELECT min(n) AS n,
+       |    CAST(count(DISTINCT r) AS BIGINT) AS n_rows_cat,
+       |    CAST(count(DISTINCT c) AS BIGINT) AS n_cols_cat,
+       |    ${Q.sqlDsumStable("contrib", 6)} AS chi2_raw
+       |  FROM contribs)
+       |SELECT
+       |  CASE WHEN n_rows_cat >= 2 AND n_cols_cat >= 2 THEN chi2_raw
+       |       END AS chi2,
+       |  (n_rows_cat - 1) * (n_cols_cat - 1) AS dof,
+       |  n, n_rows_cat, n_cols_cat
+       |FROM agg""".stripMargin
+
+  // ===== Mann–Whitney U (nonparametric A/B) ===========================
+
+  /** Rank-sum test between the two hash arms of the A/B fixture — the
+    * nonparametric twin of `q_x_abtest`'s Welch z and the rank
+    * counterpart of `q_x_ks` ([[graft.ext.Profile.mannWhitney]]). The
+    * ORACLE is the naive single-window exclusive prefix; 2U and the
+    * tie term are exact DECIMAL(38,0) integers, so the adjudication is
+    * bit-exact up to the final sig9'd z. */
+  private val mwuQ: QFn = (s, d) => {
+    val grp = pmod(graft.ext.Hashing.hash60(
+      concat(lit("ab:"), col("user_id").cast("string"))), lit(2L))
+    val ev = Tables.events(s, d).where(col("value").isNotNull)
+      .withColumn("grp", grp)
+    graft.ext.Profile.mannWhitney(
+      ev.where(col("grp") === 0), ev.where(col("grp") === 1), "value")
+  }
+
+  private val mwuSql = {
+    val nad = "CAST(na AS DOUBLE)"
+    val nbd = "CAST(nb AS DOUBLE)"
+    val nd = s"($nad + $nbd)"
+    val u2d = Q.sqlSig9("CAST(u2 AS DOUBLE)")
+    val td = Q.sqlSig9("CAST(tiet AS DOUBLE)")
+    val varU = s"$nad * $nbd / CAST(12.0 AS DOUBLE) * " +
+      s"(($nd + CAST(1.0 AS DOUBLE)) - $td / " +
+      s"($nd * ($nd - CAST(1.0 AS DOUBLE))))"
+    s"""WITH g AS (
+       |  SELECT CAST(${Q.sqlHash60("'ab:' || CAST(user_id AS VARCHAR)")}
+       |    % 2 AS BIGINT) AS grp, value
+       |  FROM events WHERE value IS NOT NULL),
+       |c AS (
+       |  SELECT value AS s,
+       |    CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ac,
+       |    CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bc
+       |  FROM g GROUP BY 1),
+       |t AS (SELECT CAST(sum(ac) AS BIGINT) AS na,
+       |        CAST(sum(bc) AS BIGINT) AS nb FROM c),
+       |cum AS (
+       |  SELECT s, ac, bc,
+       |    COALESCE(sum(bc) OVER (ORDER BY s
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lb
+       |  FROM c),
+       |terms AS (
+       |  SELECT
+       |    CAST(ac AS DECIMAL(38,0)) * (2 * lb + bc) AS u2term,
+       |    CAST(ac + bc AS DECIMAL(38,0)) * (ac + bc) * (ac + bc)
+       |      - (ac + bc) AS tterm
+       |  FROM cum),
+       |agg AS (
+       |  SELECT t.na, t.nb,
+       |    (SELECT sum(u2term) FROM terms) AS u2,
+       |    (SELECT sum(tterm) FROM terms) AS tiet
+       |  FROM t)
+       |SELECT
+       |  CASE WHEN na > 0 AND nb > 0 THEN $u2d END AS u2,
+       |  CASE WHEN na > 0 AND nb > 0 AND na + nb > 1 THEN
+       |    CASE WHEN sqrt($varU) > CAST(0.0 AS DOUBLE) THEN
+       |      ${Q.sqlSig9(s"($u2d - $nad * $nbd) / " +
+            s"(CAST(2.0 AS DOUBLE) * ${Q.sqlSig9(s"sqrt($varU)")})")}
+       |    END END AS z,
+       |  CASE WHEN na > 0 OR nb > 0 THEN $td END AS tie_t,
+       |  na AS n_a, nb AS n_b
+       |FROM agg""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q_x_ewma" -> ewmaQ,
+    "q_x_chisq" -> chisqQ,
+    "q_x_mwu" -> mwuQ,
     "q_x_ks" -> ksQ,
     "q_x_bootstrap" -> bootstrapQ,
     "q_x_resample" -> resampleQ,
@@ -588,6 +740,9 @@ object TimeSeriesQueries {
     "q_x_agg_merge" -> aggMergeQ)
 
   val oracles: Map[String, String] = Map(
+    "q_x_ewma" -> ewmaSql,
+    "q_x_chisq" -> chisqSql,
+    "q_x_mwu" -> mwuSql,
     "q_x_ks" -> ksSql,
     "q_x_bootstrap" -> bootstrapSql,
     "q_x_resample" -> resampleSql,

@@ -306,6 +306,56 @@ object EventPipeline {
       }
   }
 
+  /** Per-stream EWMA cursor for [[ewmaMonitor]]: the last horizon−1
+    * raw values, newest last — exactly the lookback the bounded-
+    * horizon definition needs, so state is O(H) per stream. */
+  case class EwmaState(buf: Seq[Double])
+
+  case class EwmaPoint(stream: String, ts: java.sql.Timestamp,
+                       event_id: Long, x: Double, ewma: Double)
+
+  /** Streaming EWMA trend — the live face of
+    * [[graft.ext.TimeSeries.ewma]]: emits every point's bounded-
+    * horizon adjusted EWMA as it arrives, O(H) state and O(H) work
+    * per event per stream.
+    *
+    * Same numeric contract as the batch operator at every step: the
+    * SAME Scala-computed weight/normalizer doubles (shared derivation),
+    * the same left-to-right IEEE fold over the lookback window, the
+    * same single final sig9 — so under in-order per-stream delivery
+    * the emitted points equal the batch twin's rows bit-for-bit
+    * (spec-pinned). Intra-batch disorder is absorbed by the per-group
+    * full-micros event-time sort; cross-batch disorder has the
+    * documented append-mode gap every stateful operator here shares. */
+  def ewmaMonitor(events: Dataset[Event], spark: SparkSession,
+                  alpha: Double, horizon: Int): Dataset[EwmaPoint] = {
+    import spark.implicits._
+    val (w0, d0) = graft.ext.TimeSeries.ewmaWeights(alpha, horizon)
+    val weights = w0.toArray
+    val denoms = d0.toArray
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[Event], state: GroupState[EwmaState]) =>
+          var buf = state.getOption.map(_.buf).getOrElse(Seq.empty)
+          val out = Seq.newBuilder[EwmaPoint]
+          it.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+            .foreach { e =>
+              val arr = (buf :+ e.value).takeRight(horizon)
+              val n = arr.size
+              var acc = 0.0
+              var i = 0
+              while (i < n) { acc += arr(i) * weights(n - 1 - i); i += 1 }
+              out += EwmaPoint(key, e.ts, e.event_id, e.value,
+                graft.functions.GraftMath.sig9(acc / denoms(n - 1)))
+              buf = arr.takeRight(horizon - 1)
+            }
+          state.update(EwmaState(buf))
+          out.result().iterator
+      }
+  }
+
   case class EnrichedPurchase(user_id: Long, purchase_id: Long,
                               purchase_ts: java.sql.Timestamp,
                               value: Double, click_id: Option[Long],

@@ -23,4 +23,71 @@ class CorpusDiffSpec extends SparkSpec {
     assert(s == Map("unchanged" -> 2L, "changed" -> 1L,
       "removed" -> 1L, "added" -> 1L))
   }
+
+  // ===== tokenDivergence (per-group JSD vs the whole corpus) ==========
+
+  import graft.functions.GraftMath
+  import org.apache.spark.sql.functions._
+
+  /** Local replica of the documented per-group JSD chain (sig9 and
+    * dsumStable(12) points included), complement fold in closed form. */
+  private def refJsd(rows: Seq[(String, Seq[String])])
+      : Map[String, Double] = {
+    def dsum12(ts: Seq[Double]): Double = GraftMath.sig9(ts
+      .map(BigDecimal(_).setScale(15, BigDecimal.RoundingMode.HALF_UP))
+      .sum.setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val all = rows.flatMap(_._2)
+    val nTot = all.size.toDouble
+    val cg = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    rows.groupBy(_._1).map { case (g, docs) =>
+      val toks = docs.flatMap(_._2)
+      val ns = toks.size.toDouble
+      val cs = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val terms = cs.toSeq.sortBy(_._1).map { case (tok, c) =>
+        val p = c.toDouble / ns
+        val q = cg(tok).toDouble / nTot
+        val m = (p + q) / 2.0
+        GraftMath.sig9(0.5 * p * GraftMath.sig9(math.log(p / m)) +
+          0.5 * q * GraftMath.sig9(math.log(q / m)))
+      }
+      val qIn = dsum12(cs.toSeq.sortBy(_._1)
+        .map { case (tok, _) => GraftMath.sig9(cg(tok).toDouble / nTot) })
+      g -> GraftMath.sig9(dsum12(terms) +
+        0.5 * CorpusDiff.Ln2 * (1.0 - qIn))
+    }
+  }
+
+  private def runJsd(rows: Seq[(String, Seq[String])]) =
+    CorpusDiff.tokenDivergence(
+      rows.toDF("g", "tk").repartition(3), "g", "tk")
+      .select(col("g"), col("jsd"), col("n_tok_positions"), col("n_vocab"))
+      .as[(String, Double, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+
+  test("JSD: group == corpus -> 0; disjoint group -> near ln2 bound") {
+    val one = runJsd(Seq(("a", Seq("x", "y", "x"))))
+    assert(one("a")._2 == 0.0, "single group IS the corpus -> jsd 0")
+    val rows = Seq(
+      ("a", Seq("x", "x", "y")), ("b", Seq("z", "w", "z", "w")))
+    val got = runJsd(rows)
+    val want = refJsd(rows)
+    rows.map(_._1).distinct.foreach { g =>
+      assert(got(g)._2 == want(g), s"group $g")
+      assert(got(g)._2 > 0.0 && got(g)._2 < CorpusDiff.Ln2)
+    }
+  }
+
+  test("JSD matches the local reference on overlapping vocabularies " +
+      "and counts positions/vocab") {
+    val rows = Seq(
+      ("a", Seq("x", "y", "z", "x")), ("a", Seq("y", "y")),
+      ("b", Seq("x", "z", "z", "q")), ("c", Seq("q", "q", "x")))
+    val got = runJsd(rows)
+    val want = refJsd(rows)
+    Seq("a", "b", "c").foreach { g =>
+      assert(got(g)._2 == want(g), s"group $g")
+    }
+    assert(got("a")._3 == 6L && got("a")._4 == 3L) // positions, vocab
+    assert(got("c")._3 == 3L && got("c")._4 == 2L)
+  }
 }

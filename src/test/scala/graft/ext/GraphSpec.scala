@@ -209,6 +209,60 @@ class GraphSpec extends SparkSpec {
     assert(lp.keySet === Set((1L, 2L), (3L, 5L)))
   }
 
+  // ===== k-hop BFS ====================================================
+
+  private def runKhop(e: Seq[(Long, Long)], seeds: Seq[Long], k: Int,
+      dir: Option[String] = None): Map[Long, Long] =
+    Graph.khopDistances(e.toDF("a", "b"), "a", "b", seeds.toDF("v"), "v",
+        k, checkpointDir = dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Naive per-round relaxation reference. */
+  private def refKhop(e: Seq[(Long, Long)], seeds: Seq[Long], k: Int)
+      : Map[Long, Long] = {
+    var dist = seeds.distinct.map(_ -> 0L).toMap
+    for (i <- 1 to k) {
+      val frontier = dist.filter(_._2 == i - 1).keySet
+      val reached = e.filter(x => frontier(x._1)).map(_._2).distinct
+      dist = dist ++ reached.filterNot(dist.contains).map(_ -> i.toLong)
+    }
+    dist
+  }
+
+  test("khop: min distances on a branchy graph with a cycle; " +
+      "unreachable nodes absent") {
+    // 1 -> 2 -> 3 -> 1 (cycle), 2 -> 4 -> 5, 6 -> 7 (disconnected)
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 4L), (4L, 5L),
+      (6L, 7L))
+    val got = runKhop(e, Seq(1L), 3)
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 3L))
+    assert(!got.contains(6L) && !got.contains(7L))
+    assert(got === refKhop(e, Seq(1L), 3))
+  }
+
+  test("khop: multi-source takes the MIN over seeds; k=0 is seeds only") {
+    val e = Seq((1L, 2L), (2L, 3L), (5L, 3L))
+    assert(runKhop(e, Seq(1L, 5L), 2) ===
+      Map(1L -> 0L, 5L -> 0L, 2L -> 1L, 3L -> 1L))
+    assert(runKhop(e, Seq(1L, 5L), 0) === Map(1L -> 0L, 5L -> 0L))
+  }
+
+  test("khop: directed — reverse edges do not propagate; duplicate " +
+      "edges and seeds collapse; early exhaustion stops cleanly") {
+    val e = Seq((2L, 1L), (2L, 1L), (3L, 2L))
+    // from seed 1 nothing is reachable forward; k exceeds the diameter
+    assert(runKhop(e, Seq(1L, 1L), 5) === Map(1L -> 0L))
+    assert(runKhop(e, Seq(3L), 5) === Map(3L -> 0L, 2L -> 1L, 1L -> 2L))
+  }
+
+  test("khop: durable checkpointDir bit-matches localCheckpoint") {
+    val dir = java.nio.file.Files.createTempDirectory("khopck").toString
+    val e = Seq((1L, 2L), (2L, 3L), (2L, 4L), (4L, 5L), (5L, 1L))
+    assert(runKhop(e, Seq(1L), 4, Some(dir)) === runKhop(e, Seq(1L), 4))
+    assert(java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .count() > 0, "durable checkpoint dir should be non-empty")
+  }
+
   // ===== durable checkpointing (VERDICT r9 #1) ========================
 
   test("durable checkpointDir bit-matches the localCheckpoint path on " +

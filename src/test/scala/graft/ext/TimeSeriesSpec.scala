@@ -157,4 +157,73 @@ class TimeSeriesSpec extends SparkSpec {
     assert(r("a") === ((2L, Some(60000000L), Some(50000000L), Some(30.0))))
     assert(r("b") === ((0L, None, None, None)))
   }
+
+  // ===== ewma =========================================================
+
+  /** Local replica of the documented bounded-horizon adjusted EWMA:
+    * same embedded weight/normalizer doubles, same left-to-right fold,
+    * sig9 at the same single point. */
+  private def refEwma(xs: Seq[Double], alpha: Double, h: Int)
+      : Seq[Double] = {
+    val beta = 1.0 - alpha
+    val weights = Seq.iterate(1.0, h)(_ * beta)
+    val denoms = weights.scanLeft(0.0)(_ + _).tail
+    xs.indices.map { t =>
+      val arr = xs.slice(math.max(0, t - h + 1), t + 1)
+      val n = arr.size
+      var acc = 0.0
+      arr.zipWithIndex.foreach { case (x, i0) =>
+        acc += x * weights(n - 1 - i0) }
+      graft.functions.GraftMath.sig9(acc / denoms(n - 1))
+    }
+  }
+
+  private def runEwma(rows: Seq[(String, Long, String, Double)],
+      alpha: Double, h: Int): Map[(String, Long), Double] =
+    TimeSeries.ewma(ev(rows: _*).repartition(3), Seq("k"), "ts", "v",
+        "id", alpha, h)
+      .collect().map(r => (r.getString(0), r.getLong(2)) ->
+        r.getDouble(4)).toMap
+
+  test("ewma: matches the reference recurrence within the horizon; " +
+      "first point equals its own value") {
+    val xs = Seq(10.0, 20.0, 5.0, 40.0, 1.0, 7.0)
+    val rows = xs.zipWithIndex.map { case (x, i) =>
+      ("a", i.toLong, f"2024-01-01 00:${i}%02d:00", x) }
+    val got = runEwma(rows, 0.25, 32)
+    val want = refEwma(xs, 0.25, 32)
+    xs.indices.foreach { i =>
+      assert(got(("a", i.toLong)) == want(i), s"point $i") }
+    assert(got(("a", 0L)) == 10.0, "ewma of a single point is the point")
+    // adjusted EWMA with full history equals pandas ewm(adjust=True)
+    val p1 = (20.0 + 0.75 * 10.0) / 1.75
+    assert(got(("a", 1L)) == graft.functions.GraftMath.sig9(p1))
+  }
+
+  test("ewma: horizon truncates the lookback; keys independent; " +
+      "ties order by tieBreak") {
+    val xs = (1 to 10).map(_.toDouble)
+    val rows = xs.zipWithIndex.map { case (x, i) =>
+      ("a", i.toLong, f"2024-01-01 00:${i}%02d:00", x) } ++
+      Seq(("b", 100L, "2024-01-01 00:00:00", 5.0),
+        ("b", 99L, "2024-01-01 00:00:00", 50.0)) // same ts, id orders
+    val got = runEwma(rows, 0.5, 4)
+    val want = refEwma(xs, 0.5, 4)
+    xs.indices.foreach { i =>
+      assert(got(("a", i.toLong)) == want(i), s"point $i") }
+    val wantB = refEwma(Seq(50.0, 5.0), 0.5, 4)
+    assert(got(("b", 99L)) == wantB(0) && got(("b", 100L)) == wantB(1))
+  }
+
+  test("ewma: null values are absent samples, not zeros") {
+    val df = Seq(
+      ("a", 1L, ts("2024-01-01 00:00:00"), Some(10.0)),
+      ("a", 2L, ts("2024-01-01 00:01:00"), None),
+      ("a", 3L, ts("2024-01-01 00:02:00"), Some(20.0)))
+      .toDF("k", "id", "ts", "v")
+    val got = TimeSeries.ewma(df, Seq("k"), "ts", "v", "id", 0.25, 8)
+      .collect().map(r => r.getLong(2) -> r.getDouble(4)).toMap
+    val want = refEwma(Seq(10.0, 20.0), 0.25, 8)
+    assert(got === Map(1L -> want(0), 3L -> want(1)))
+  }
 }

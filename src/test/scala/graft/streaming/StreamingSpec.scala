@@ -108,6 +108,46 @@ class StreamingSpec extends SparkSpec {
       ("click", 5L, 16.0)))
   }
 
+  test("ewmaMonitor: streaming points across micro-batches equal the " +
+      "batch twin bit-for-bit; lookback spans the batch boundary") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val batch1 = Seq(
+      Event(1L, ts("2024-03-01 10:00:00"), 7L, "click", 10.0),
+      Event(2L, ts("2024-03-01 11:00:00"), 7L, "click", 20.0),
+      Event(3L, ts("2024-03-01 10:30:00"), 8L, "view", 1.0))
+    val batch2 = Seq(
+      Event(4L, ts("2024-03-01 12:00:00"), 7L, "click", 5.0),
+      Event(5L, ts("2024-03-01 13:00:00"), 7L, "click", 40.0),
+      Event(6L, ts("2024-03-01 12:30:00"), 8L, "view", 3.0))
+    val ms = MemoryStream[Event]
+    val q = EventPipeline.ewmaMonitor(ms.toDS(), spark,
+        alpha = 0.25, horizon = 3)
+      .writeStream.format("memory").queryName("ewma_pts")
+      .outputMode("append").start()
+    try {
+      ms.addData(batch1); q.processAllAvailable()
+      ms.addData(batch2); q.processAllAvailable()
+    } finally q.stop()
+    val streaming = spark.table("ewma_pts")
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3),
+        r.getDouble(4))).toSet
+    val batch = graft.ext.TimeSeries.ewma((batch1 ++ batch2).toDF(),
+        Seq("event_type"), "ts", "value", "event_id",
+        alpha = 0.25, horizon = 3)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3),
+        r.getDouble(4))).toSet
+    assert(streaming === batch)
+    // event 5's window spans the batch boundary: {20, 5, 40} with the
+    // horizon having evicted event 1's 10.0
+    val e5 = streaming.find(_._2 == 5L).get._4
+    val w = Seq(1.0, 0.75, 0.75 * 0.75)
+    // fold order is oldest-first (the documented left-to-right contract)
+    val want5 = graft.functions.GraftMath.sig9(
+      (20.0 * w(2) + 5.0 * w(1) + 40.0 * w(0)) / (w(0) + w(1) + w(2)))
+    assert(e5 == want5)
+  }
+
   test("enrichedPurchases: streaming as-of enrichment equals the exact " +
       "batch twin on in-order batches; clicks never retro-enrich") {
     implicit val ctx = spark.sqlContext
