@@ -223,6 +223,40 @@ object Profile {
         col("n_below") :+ col("bin"): _*)
   }
 
+  /** B-bin quantile normalization: map each value of `cur` onto the
+    * REFERENCE distribution by rank — value → its exact equi-depth bin
+    * in cur → the reference's smallest value in that same bin. The
+    * standard cross-source score alignment ("source B's quality scores
+    * run hot; put them on source A's scale before a global threshold")
+    * with DISCRETE, tie-stable semantics: both sides use
+    * [[equiDepthBins]]'s rank definition (ties share bins), the bin
+    * representative is a min (no interpolation, no float contract —
+    * there is NO floating-point arithmetic anywhere in this operator,
+    * so it adjudicates with no sig9 at all).
+    *
+    * Scale shape: two percentRank binned-prefix passes (nothing
+    * global), one O(bins) representative aggregate broadcast back.
+    * A cur bin with no reference value (only possible when the
+    * reference has fewer distinct values than bins) maps to NULL —
+    * surfaced, not invented.
+    *
+    * @return one row per distinct cur value: (value, cnt, n_below,
+    *         bin, ref_value) — join back on value to tag rows */
+  def quantileNormalize(cur: DataFrame, ref: DataFrame, valCol: String,
+      bins: Int, nBinsInternal: Int = 1024): DataFrame = {
+    def binned(df: DataFrame) = equiDepthBins(
+      df.select(col(valCol)).withColumn("__all", lit(1)),
+      Seq("__all"), valCol, bins, nBinsInternal)
+    val rep = binned(ref).groupBy(col("bin"))
+      .agg(min(col("s")).as("ref_value"))
+    binned(cur)
+      .select(col("s").as("value"), col("cnt"), col("n_below"),
+        col("bin"))
+      .join(broadcast(rep), Seq("bin"), "left")
+      .select(col("value"), col("cnt"), col("n_below"), col("bin"),
+        col("ref_value"))
+  }
+
   def histogram(df: DataFrame, colName: String, bins: Int): DataFrame = {
     require(bins >= 1, "bins must be >= 1")
     val x = col(colName).cast("double")

@@ -211,6 +211,83 @@ object Sampling {
     }
   }
 
+  /** Exact-size stratified sample: EXACTLY min(totalN, n) rows total,
+    * allocated across strata by Hamilton largest-remainder rounding of
+    * the proportional quotas (the apportionment rule that never
+    * over/under-shoots and never strands a row to float rounding), and
+    * selected within each stratum as the quota's smallest salted
+    * coins — deterministic across runs, partitionings and engines.
+    * [[stratified]] keeps a RATE per stratum (append-stable,
+    * approximate size); this keeps a SIZE (exact, and therefore — by
+    * construction, not by accident — NOT append-stable: adding rows
+    * moves quotas and thresholds; pin the input snapshot).
+    *
+    * Scale shape: quota math runs on the O(#strata) counts frame
+    * (integer-exact through DECIMAL(38,0) products — n·N overflows
+    * Long at ~10^10·10^9; the one window is over strata,
+    * post-aggregate bounded, the G2 convention). Selection is the
+    * percentRank binned prefix sum over coins per stratum — NO
+    * per-stratum global sort, so a hot stratum cannot pin a task:
+    * whole coin-groups below the quota pass directly, and only the
+    * single boundary coin-group (hash-collision-sized) pays a window,
+    * ordered by key (the budgetSelect boundary convention).
+    *
+    * Selected set == "row_number over (stratum ORDER BY coin, key)
+    * <= quota" — the naive form the oracle replays.
+    *
+    * @return (stratumCol, keyCol) of the selected rows */
+  def stratifiedExact(df: DataFrame, keyCol: String, stratumCol: String,
+      totalN: Long, salt: String = "strat"): DataFrame = {
+    require(totalN >= 0, s"totalN must be >= 0, got $totalN")
+    import org.apache.spark.sql.expressions.Window
+    // 31-bit coin: exact in the double percentRank bins; collisions
+    // land in the boundary window and break on key
+    val coin = Hashing.hash60(
+      concat(lit(s"$salt:"), col(keyCol).cast("string"))) % Hashing.P
+    val base = df.where(col(stratumCol).isNotNull)
+      .select(col(stratumCol).as("__g"), col(keyCol).as("__k"),
+        coin.as("__hm"))
+    val counts = base.groupBy(col("__g")).agg(count(lit(1)).as("__nh"))
+    val tot = counts.agg(sum(col("__nh")).cast("long").as("__n"))
+    val q0 = counts.crossJoin(broadcast(tot))
+      .withColumn("__NN", least(lit(totalN), col("__n")))
+      .withColumn("__qb",
+        expr("(CAST(__nh AS DECIMAL(38,0)) * __NN) div __n"))
+      .withColumn("__rem",
+        expr("CAST((CAST(__nh AS DECIMAL(38,0)) * __NN) % __n AS BIGINT)"))
+    val sums = q0.agg(sum(col("__qb")).cast("long").as("__sb"),
+      min(col("__NN")).as("__NNm"))
+    val wRem = Window.orderBy(col("__rem").desc, col("__g").asc)
+    val quotas = q0
+      .withColumn("__rk", row_number().over(wRem).cast("long"))
+      .crossJoin(broadcast(sums))
+      .select(col("__g"), (col("__qb") +
+        when(col("__rk") <= col("__NNm") - col("__sb"), lit(1L))
+          .otherwise(lit(0L))).as("__quota"))
+    val pr = Profile.percentRank(base, Seq("__g"), "__hm")
+      .select(col("__g"), col("s"), col("cnt"), col("n_below"))
+    val dec = pr.join(broadcast(quotas), Seq("__g"))
+      .withColumn("__take",
+        when(col("n_below") + col("cnt") <= col("__quota"),
+          lit(Long.MaxValue))
+          .when(col("n_below") < col("__quota"),
+            col("__quota") - col("n_below"))
+          .otherwise(lit(0L)))
+      .where(col("__take") > 0L)
+      .select(col("__g"), col("s"), col("__take"))
+    val rows = base.withColumn("s", col("__hm").cast("double"))
+      .join(dec, Seq("__g", "s"))
+    val whole = rows.where(col("__take") === Long.MaxValue)
+    val wB = Window.partitionBy(col("__g"), col("s"))
+      .orderBy(col("__k").asc)
+    val boundary = rows.where(col("__take") =!= Long.MaxValue)
+      .withColumn("__rn", row_number().over(wB).cast("long"))
+      .where(col("__rn") <= col("__take"))
+      .drop("__rn")
+    whole.unionByName(boundary)
+      .select(col("__g").as(stratumCol), col("__k").as(keyCol))
+  }
+
   /** Deterministic epoch shuffle + shard layout: assign every row an
     * exact global position 0..n-1 in a reproducible pseudo-random
     * training order (rank by salted portable hash of the key, ties to

@@ -32,18 +32,36 @@ object Sketch {
     * @return (j, bucket, s) — d·w rows at most */
   def countMin(items: DataFrame, keyCol: String, d: Int, w: Int,
       salt: String): DataFrame = {
-    require(d >= 1 && w >= 1, s"need d,w >= 1, got d=$d w=$w")
-    val rows = array((0 until d).map(lit): _*)
-    items
+    // collapse the stream to (key, count) FIRST: the d-way explode and
+    // d hash evaluations then run over the vocabulary, not the corpus
+    // (hot keys hash once per row instead of once per occurrence) —
+    // bit-identical output, since bucket sums are sums of key counts
+    val counts = items
       .select(col(keyCol).cast("string").as("k"))
       .where(col("k").isNotNull)
-      .select(explode(rows).as("j"), col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("c"))
+    countMinWeighted(counts, "k", "c", d, w, salt)
+  }
+
+  /** [[countMin]] over pre-aggregated (key, count) pairs — the
+    * incremental-build face: a daily pipeline sketches each batch's
+    * count table and merges by union + re-sum. */
+  def countMinWeighted(counts: DataFrame, keyCol: String, cntCol: String,
+      d: Int, w: Int, salt: String): DataFrame = {
+    require(d >= 1 && w >= 1, s"need d,w >= 1, got d=$d w=$w")
+    val rows = array((0 until d).map(lit): _*)
+    counts
+      .select(col(keyCol).cast("string").as("k"),
+        col(cntCol).cast("long").as("c"))
+      .where(col("k").isNotNull)
+      .select(explode(rows).as("j"), col("k"), col("c"))
       .select(col("j"),
         pmod(Hashing.hash60(
           concat(lit(salt), col("j").cast("string"), lit(":"),
-            col("k"))), lit(w.toLong)).as("bucket"))
+            col("k"))), lit(w.toLong)).as("bucket"),
+        col("c"))
       .groupBy(col("j"), col("bucket"))
-      .agg(count(lit(1)).as("s"))
+      .agg(sum(col("c")).cast("long").as("s"))
   }
 
   /** Point-estimate each key in `keys` against a sketch built with the

@@ -156,7 +156,10 @@ object CorpusQueries {
       .select(explode(Hashing.tokens(col("text"))).as("tok"))
     val exact = ex.groupBy(col("tok")).agg(count(lit(1)).as("exact"))
     val top = exact.orderBy(col("exact").desc, col("tok").asc).limit(30)
-    val sk = graft.ext.Sketch.countMin(ex, "tok", cmsD, cmsW, "cms")
+    // weighted build over the SAME counts subplan — Catalyst reuses
+    // the exchange, so the corpus tokenizes/aggregates once
+    val sk = graft.ext.Sketch.countMinWeighted(
+      exact, "tok", "exact", cmsD, cmsW, "cms")
     graft.ext.Sketch.cmsEstimate(sk, top, "tok", cmsD, cmsW, "cms")
       .join(top, Seq("tok"))
       .select(col("tok"), col("exact").cast("long").as("exact"),
@@ -595,6 +598,51 @@ object CorpusQueries {
        |SELECT lang, doc_id, ws_rank FROM r WHERE ws_rank <= 20""".stripMargin
   }
 
+  // ===== exact-size stratified sample =================================
+
+  /** Exactly 200 documents, allocated across sources by Hamilton
+    * largest-remainder quotas, selected as each source's smallest
+    * salted coins ([[graft.ext.Sampling.stratifiedExact]]). The ORACLE
+    * is the naive per-stratum rank ("row_number over (g ORDER BY coin,
+    * key) <= quota") — the threshold-selection plan must reproduce it
+    * row-for-row, boundary collisions included. */
+  private val stratNTotal = 200L
+
+  private val stratExactQ: QFn = (s, d) =>
+    graft.ext.Sampling.stratifiedExact(Tables.documents(s, d), "doc_id",
+        "source", totalN = stratNTotal, salt = "strat")
+      .select(col("source"), col("doc_id"))
+
+  private val stratExactSql = {
+    val h = hashSql("'strat:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH base AS (
+       |  SELECT source AS g, doc_id AS k,
+       |    $h % ${graft.ext.Hashing.P} AS hm
+       |  FROM documents WHERE source IS NOT NULL),
+       |counts AS (
+       |  SELECT g, CAST(count(*) AS BIGINT) AS nh FROM base GROUP BY 1),
+       |tot AS (SELECT CAST(sum(nh) AS BIGINT) AS n,
+       |  CAST(least($stratNTotal, sum(nh)) AS BIGINT) AS nn FROM counts),
+       |q0 AS (
+       |  SELECT g, nh,
+       |    CAST((nh * nn) // n AS BIGINT) AS qb,
+       |    CAST((nh * nn) % n AS BIGINT) AS rem
+       |  FROM counts, tot),
+       |sums AS (SELECT CAST(sum(qb) AS BIGINT) AS sb FROM q0),
+       |qr AS (SELECT *, CAST(row_number() OVER (ORDER BY rem DESC, g)
+       |  AS BIGINT) AS rk FROM q0),
+       |quotas AS (
+       |  SELECT g, qb + CASE WHEN rk <= tot.nn - sums.sb
+       |    THEN 1 ELSE 0 END AS quota
+       |  FROM qr, sums, tot),
+       |ranked AS (
+       |  SELECT g, k, CAST(row_number() OVER
+       |    (PARTITION BY g ORDER BY hm, k) AS BIGINT) AS rn
+       |  FROM base)
+       |SELECT g AS source, k AS doc_id
+       |FROM ranked JOIN quotas USING (g) WHERE rn <= quota""".stripMargin
+  }
+
   // ===== token-budget corpus selection ================================
 
   /** Fill a 50k-token budget with the longest documents
@@ -680,6 +728,7 @@ object CorpusQueries {
     "q_x_unigram_lm" -> unigramLm,
     "q_x_jsd" -> jsdQ,
     "q_x_cms" -> cmsQ,
+    "q_x_stratified_exact" -> stratExactQ,
     "q_x_bigram_lm" -> bigramLm,
     "q_x_pmi" -> pmiQ,
     "q_x_bm25" -> bm25,
@@ -700,6 +749,7 @@ object CorpusQueries {
     "q_x_unigram_lm" -> unigramLmSql,
     "q_x_jsd" -> jsdSql,
     "q_x_cms" -> cmsSql,
+    "q_x_stratified_exact" -> stratExactSql,
     "q_x_bigram_lm" -> bigramLmSql,
     "q_x_pmi" -> pmiSql,
     "q_x_bm25" -> bm25Sql,

@@ -610,6 +610,50 @@ object TimeSeriesQueries {
        |FROM arrs""".stripMargin
   }
 
+  // ===== quantile normalization (cross-source score alignment) ========
+
+  private val qnormBins = 64
+
+  /** Arm-1 metric values mapped onto arm-0's distribution by 64-bin
+    * rank alignment ([[graft.ext.Profile.quantileNormalize]]). No
+    * floating-point arithmetic anywhere — the whole mapping is counts,
+    * integral division and a min, so it adjudicates with no sig9. */
+  private val qnormQ: QFn = (s, d) => {
+    val grp = pmod(graft.ext.Hashing.hash60(
+      concat(lit("ab:"), col("user_id").cast("string"))), lit(2L))
+    val ev = Tables.events(s, d).where(col("value").isNotNull)
+      .withColumn("grp", grp)
+    graft.ext.Profile.quantileNormalize(
+      ev.where(col("grp") === 1), ev.where(col("grp") === 0),
+      "value", qnormBins)
+  }
+
+  private val qnormSql = {
+    val b = qnormBins
+    def side(g: Int, out: String) =
+      s"""$out AS (
+         |  SELECT value AS s, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM g WHERE grp = $g GROUP BY 1),
+         |${out}n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM $out),
+         |${out}bin AS (
+         |  SELECT s, cnt, n_below,
+         |    LEAST(CAST(${b - 1} AS BIGINT), (n_below * $b) // n) AS bin
+         |  FROM (
+         |    SELECT s, cnt, CAST(COALESCE(sum(cnt) OVER (ORDER BY s
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS n_below
+         |    FROM $out), ${out}n)""".stripMargin
+    s"""WITH g AS (
+       |  SELECT CAST(${Q.sqlHash60("'ab:' || CAST(user_id AS VARCHAR)")}
+       |    % 2 AS BIGINT) AS grp, value
+       |  FROM events WHERE value IS NOT NULL),
+       |${side(1, "cur")},
+       |${side(0, "ref")},
+       |rep AS (SELECT bin, min(s) AS ref_value FROM refbin GROUP BY 1)
+       |SELECT curbin.s AS value, cnt, n_below, bin, ref_value
+       |FROM curbin LEFT JOIN rep USING (bin)""".stripMargin
+  }
+
   // ===== chi-square independence (categorical drift) ==================
 
   /** Source × language contingency over `documents` — "is the language
@@ -723,6 +767,7 @@ object TimeSeriesQueries {
 
   val queries: Map[String, QFn] = Map(
     "q_x_ewma" -> ewmaQ,
+    "q_x_quantile_norm" -> qnormQ,
     "q_x_chisq" -> chisqQ,
     "q_x_mwu" -> mwuQ,
     "q_x_ks" -> ksQ,
@@ -741,6 +786,7 @@ object TimeSeriesQueries {
 
   val oracles: Map[String, String] = Map(
     "q_x_ewma" -> ewmaSql,
+    "q_x_quantile_norm" -> qnormSql,
     "q_x_chisq" -> chisqSql,
     "q_x_mwu" -> mwuSql,
     "q_x_ks" -> ksSql,

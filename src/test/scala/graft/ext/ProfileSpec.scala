@@ -166,4 +166,51 @@ class ProfileSpec extends SparkSpec {
     assert(got(("a", 1.0)) === ((1L, 0L, None)))
     assert(got(("b", 5.0)) === ((2L, 0L, Some(0.0))))
   }
+
+  // ===== quantileNormalize ============================================
+
+  /** Naive reference: rank-based bin on both sides, ref bin-min. */
+  private def refQNorm(cur: Seq[Double], ref: Seq[Double], bins: Int)
+      : Map[Double, (Long, Long, Option[Double])] = {
+    def binOf(xs: Seq[Double]): Map[Double, Long] = {
+      val n = xs.size.toLong
+      xs.distinct.sorted.map { v =>
+        v -> math.min(bins - 1L, xs.count(_ < v).toLong * bins / n)
+      }.toMap
+    }
+    val rb = binOf(ref)
+    val refMin = ref.distinct.groupBy(rb).view.mapValues(_.min).toMap
+    val cb = binOf(cur)
+    cur.distinct.map { v =>
+      v -> (cur.count(_ == v).toLong, cb(v), refMin.get(cb(v)))
+    }.toMap
+  }
+
+  test("quantileNormalize: rank alignment matches the naive reference; " +
+      "mapping is monotone; ties share bins") {
+    val cur = (1 to 300).map(i => ((i * 37) % 50).toDouble + 100.0)
+    val ref = (1 to 200).map(i => ((i * 61) % 40).toDouble)
+    val got = Profile.quantileNormalize(
+        cur.toDF("v").repartition(5), ref.toDF("v").repartition(3),
+        "v", bins = 8)
+      .collect().map(r => r.getDouble(0) ->
+        (r.getLong(1), r.getLong(3), Option(r.get(4))
+          .map(_.asInstanceOf[Double]))).toMap
+    val want = refQNorm(cur, ref, 8)
+    assert(got === want)
+    // monotone: higher cur values map to >= ref values
+    val sorted = got.toSeq.sortBy(_._1).flatMap(_._2._3)
+    assert(sorted == sorted.sorted, "mapping must be monotone")
+  }
+
+  test("quantileNormalize: reference thinner than bins surfaces NULL " +
+      "for unmatched bins, not an invented value") {
+    val got = Profile.quantileNormalize(
+        (1 to 100).map(_.toDouble).toDF("v"),
+        Seq(1.0, 2.0).toDF("v"), "v", bins = 8)
+      .collect().map(r => r.getDouble(0) -> Option(r.get(4))).toMap
+    // cur values land in all 8 bins; ref occupies only bins 0 and 4
+    assert(got.values.exists(_.isEmpty), "some bins must be unmapped")
+    assert(got(1.0) == Some(1.0))
+  }
 }

@@ -165,6 +165,71 @@ class SamplingSpec extends SparkSpec {
       "different seeds must draw different samples")
   }
 
+  // ===== stratifiedExact ==============================================
+
+  private def coin(key: Long, salt: String = "strat"): Long = {
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$salt:$key".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(15)
+    java.lang.Long.parseLong(md5, 16) % Hashing.P
+  }
+
+  /** Naive reference: Hamilton quotas + per-stratum (coin, key) rank. */
+  private def refStrat(rows: Seq[(Long, String)], totalN: Long)
+      : Set[(String, Long)] = {
+    val byG = rows.groupBy(_._2)
+    val n = rows.size.toLong
+    val nn = math.min(totalN, n)
+    val q0 = byG.toSeq.sortBy(_._1).map { case (g, rs) =>
+      val nh = rs.size.toLong
+      (g, nh * nn / n, nh * nn % n)
+    }
+    val leftover = (nn - q0.map(_._2).sum).toInt
+    val bumped = q0.sortBy { case (g, _, rem) => (-rem, g) }
+      .zipWithIndex
+      .map { case ((g, qb, _), i) => g -> (qb + (if (i < leftover) 1 else 0)) }
+      .toMap
+    byG.toSeq.flatMap { case (g, rs) =>
+      rs.map(_._1).sortBy(k => (coin(k), k)).take(bumped(g).toInt)
+        .map(k => (g, k))
+    }.toSet
+  }
+
+  test("stratifiedExact: exact total, Hamilton quotas, smallest coins — " +
+      "matches the naive rank reference") {
+    val rows = (1L to 997L).map(i => (i, s"s${i % 7}"))
+    val got = Sampling
+      .stratifiedExact(rows.toDF("id", "src").repartition(5), "id", "src",
+        totalN = 100L)
+      .as[(String, Long)].collect()
+    assert(got.length == 100, "exactly N rows selected")
+    assert(got.toSet == refStrat(rows, 100L))
+  }
+
+  test("stratifiedExact: quotas are proportional within 1 and sum to N") {
+    val rows = (1L to 1000L).map(i =>
+      (i, if (i <= 700) "big" else if (i <= 950) "mid" else "small"))
+    val got = Sampling
+      .stratifiedExact(rows.toDF("id", "src"), "id", "src", 40L)
+      .as[(String, Long)].collect()
+    val perG = got.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(got.length == 40)
+    // exact proportional shares: 28 / 10 / 2
+    assert(perG("big") == 28 && perG("mid") == 10 && perG("small") == 2)
+  }
+
+  test("stratifiedExact: totalN >= n selects everything; totalN 0 none") {
+    val rows = (1L to 50L).map(i => (i, s"s${i % 3}"))
+    val all = Sampling
+      .stratifiedExact(rows.toDF("id", "src"), "id", "src", 999L)
+      .count()
+    assert(all == 50L)
+    val none = Sampling
+      .stratifiedExact(rows.toDF("id", "src"), "id", "src", 0L)
+      .count()
+    assert(none == 0L)
+  }
+
   test("weightedSample selection is invariant to weight rescaling and " +
       "excludes non-positive weights") {
     val d = (1L to 100L).map(i => (i, (i % 11).toDouble)) // some w=0

@@ -43,6 +43,17 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("weighted build over (key, count) pairs equals the stream build") {
+    val counts = stream.groupBy(identity).view.mapValues(_.size.toLong)
+      .toSeq.toDF("k", "c")
+    val fromStream = Sketch.countMin(stream.toDF("k"), "k", 4, 64, "t")
+      .as[(Int, Long, Long)].collect().toSet
+    val fromCounts = Sketch
+      .countMinWeighted(counts, "k", "c", 4, 64, "t")
+      .as[(Int, Long, Long)].collect().toSet
+    assert(fromStream == fromCounts)
+  }
+
   test("sketch is bounded by d*w rows and mergeable by re-summing") {
     val (a, b) = stream.splitAt(stream.size / 2)
     val skAll = Sketch.countMin(stream.toDF("k"), "k", 3, 32, "m")
