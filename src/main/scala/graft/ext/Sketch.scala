@@ -64,6 +64,73 @@ object Sketch {
       .agg(sum(col("c")).cast("long").as("s"))
   }
 
+  /** HyperLogLog distinct-count estimate (Flajolet et al. 2007) built
+    * relationally — the third portable sketch beside the Misra-Gries
+    * heavy hitters and [[countMin]]: register table = ONE map-side-
+    * combining max-aggregate keyed on the bucket (bounded m = 2^p rows
+    * at any input cardinality; two register tables with the same
+    * (p, salt) merge by union + max — the HLL merge law, spec-pinned).
+    *
+    * Portability (no engine-specific hash or bit intrinsic): the
+    * 60-bit salted [[Hashing.hash60]] splits into bucket = h mod m and
+    * payload w = h div m; the rank rho = (trailing zeros of w) + 1 is
+    * computed on the BINARY STRING (length minus length after
+    * rtrim '0' — leading-zero conventions cancel out), w = 0 caps at
+    * the payload width. 2^-M terms are exact doubles via integer
+    * shiftleft (never libm pow); the harmonic sum folds LEFT-TO-RIGHT
+    * over bucket-ordered registers (the sqlFold contract) with the
+    * empty-register mass (m − occupied) · 1 added in closed form (the
+    * complement trick — registers never pad). ln() in the small-range
+    * (linear-counting) correction is the single libm step, sig9'd.
+    *
+    * @param p register-count exponent, m = 2^p; 7..16 (one alpha
+    *          formula regime)
+    * @return one row: (estimate, raw_est, v_zero, n_occupied, m) —
+    *         estimate = linear counting when raw ≤ 2.5m and empty
+    *         registers remain, else the raw HLL estimate */
+  def hyperLogLog(items: DataFrame, keyCol: String, p: Int,
+      salt: String): DataFrame = {
+    require(p >= 7 && p <= 16, s"p must be in 7..16, got $p")
+    val m = 1L << p
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val payloadBits = 60 - p
+    val regs = items
+      .select(col(keyCol).cast("string").as("k"))
+      .where(col("k").isNotNull)
+      .select(Hashing.hash60(concat(lit(s"$salt:"), col("k"))).as("h"))
+      .select((col("h") % m).as("bucket"),
+        expr(s"h div CAST($m AS BIGINT)").as("w"))
+      .withColumn("rho",
+        when(col("w") === 0L, lit(payloadBits + 1L))
+          .otherwise(
+            length(conv(col("w").cast("string"), 10, 2)) -
+              length(rtrim(conv(col("w").cast("string"), 10, 2), "0"))
+              + 1L))
+      .groupBy(col("bucket")).agg(max(col("rho")).cast("long").as("M"))
+    val agg = regs
+      .agg(count(lit(1)).cast("long").as("occ"),
+        array_sort(collect_list(struct(col("bucket"), col("M"))))
+          .as("arr"))
+      .withColumn("sregs", expr(
+        "aggregate(transform(arr, e -> CAST(1.0 AS DOUBLE) / " +
+          "CAST(shiftleft(CAST(1 AS BIGINT), e.M) AS DOUBLE)), " +
+          "CAST(0.0 AS DOUBLE), (acc, t) -> acc + t)"))
+    val vZero = lit(m) - col("occ")
+    val s = vZero.cast("double") + col("sregs")
+    val raw = lit(alpha) * lit(m.toDouble) * lit(m.toDouble) / s
+    agg.select(
+      graft.queries.Q.sig9(
+        when(raw <= 2.5 * m && vZero > 0L,
+          lit(m.toDouble) *
+            graft.queries.Q.sig9(log(lit(m.toDouble) /
+              vZero.cast("double"))))
+          .otherwise(raw)).as("estimate"),
+      graft.queries.Q.sig9(raw).as("raw_est"),
+      vZero.cast("long").as("v_zero"),
+      col("occ").as("n_occupied"),
+      lit(m).as("m"))
+  }
+
   /** Point-estimate each key in `keys` against a sketch built with the
     * SAME (d, w, salt): est = min over the d rows of the bucket sum
     * (0 when a probed bucket is unoccupied — the key was never seen

@@ -598,6 +598,77 @@ object CorpusQueries {
        |SELECT lang, doc_id, ws_rank FROM r WHERE ws_rank <= 20""".stripMargin
   }
 
+  // ===== HyperLogLog distinct estimate ================================
+
+  private val hllP = 9
+
+  /** HLL vocabulary-size estimate over the corpus token stream
+    * ([[graft.ext.Sketch.hyperLogLog]], m = 512 registers), joined
+    * with the exact distinct count and the relative error — the
+    * register table, harmonic fold, small-range correction and error
+    * all adjudicate (sig9 only at the two documented points). */
+  private val hllQ: QFn = (s, d) => {
+    val ex = Tables.documents(s, d)
+      .select(explode(Hashing.tokens(col("text"))).as("tok"))
+    val est = graft.ext.Sketch.hyperLogLog(ex, "tok", hllP, "hll")
+    val exact = ex.agg(countDistinct(col("tok")).cast("long").as("exact"))
+    est.crossJoin(broadcast(exact))
+      .select(col("estimate"), col("raw_est"), col("v_zero"),
+        col("n_occupied"), col("m"), col("exact"),
+        sig9((col("estimate") - col("exact").cast("double"))
+          / col("exact").cast("double")).as("rel_err"))
+  }
+
+  private val hllSql = {
+    val m = 1L << hllP
+    val md = m.toDouble
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val thr = 2.5 * m
+    val maxRho = 60 - hllP + 1
+    val fold = Q.sqlFold("list_transform(arr, mm -> " +
+      "CAST(1.0 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << mm) AS DOUBLE))")
+    val corrected = Q.sqlSig9(s"CAST($md AS DOUBLE) * " +
+      Q.sqlSig9(s"ln(CAST($md AS DOUBLE) / CAST(vz AS DOUBLE))"))
+    s"""WITH $toksSql,
+       |ex AS (SELECT unnest(tk) AS tok FROM toks),
+       |hh AS (SELECT ${hashSql("'hll:' || tok")} AS h FROM ex),
+       |rw AS (SELECT h % $m AS bucket, h // $m AS w FROM hh),
+       |rho AS (
+       |  SELECT bucket, CASE WHEN w = 0 THEN CAST($maxRho AS BIGINT)
+       |    ELSE len(bin(w)) - len(rtrim(bin(w), '0')) + 1 END AS rho
+       |  FROM rw),
+       |regs AS (
+       |  SELECT bucket, CAST(max(rho) AS BIGINT) AS M FROM rho
+       |  GROUP BY 1),
+       |ag AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS occ,
+       |    list(M ORDER BY bucket) AS arr
+       |  FROM regs),
+       |sv AS (
+       |  SELECT occ, $m - occ AS vz,
+       |    CAST($m - occ AS DOUBLE) + $fold AS sval
+       |  FROM ag),
+       |est AS (
+       |  SELECT occ, vz,
+       |    CAST($alpha AS DOUBLE) * CAST($md AS DOUBLE) *
+       |      CAST($md AS DOUBLE) / sval AS raw
+       |  FROM sv),
+       |fin AS (
+       |  SELECT
+       |    CASE WHEN raw <= CAST($thr AS DOUBLE) AND vz > 0
+       |      THEN $corrected ELSE ${Q.sqlSig9("raw")} END AS estimate,
+       |    ${Q.sqlSig9("raw")} AS raw_est,
+       |    CAST(vz AS BIGINT) AS v_zero, occ AS n_occupied,
+       |    CAST($m AS BIGINT) AS m
+       |  FROM est),
+       |xct AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS exact
+       |  FROM ex)
+       |SELECT estimate, raw_est, v_zero, n_occupied, m, exact,
+       |  ${Q.sqlSig9("(estimate - CAST(exact AS DOUBLE)) / " +
+          "CAST(exact AS DOUBLE)")} AS rel_err
+       |FROM fin, xct""".stripMargin
+  }
+
   // ===== exact-size stratified sample =================================
 
   /** Exactly 200 documents, allocated across sources by Hamilton
@@ -729,6 +800,7 @@ object CorpusQueries {
     "q_x_jsd" -> jsdQ,
     "q_x_cms" -> cmsQ,
     "q_x_stratified_exact" -> stratExactQ,
+    "q_x_hll" -> hllQ,
     "q_x_bigram_lm" -> bigramLm,
     "q_x_pmi" -> pmiQ,
     "q_x_bm25" -> bm25,
@@ -750,6 +822,7 @@ object CorpusQueries {
     "q_x_jsd" -> jsdSql,
     "q_x_cms" -> cmsSql,
     "q_x_stratified_exact" -> stratExactSql,
+    "q_x_hll" -> hllSql,
     "q_x_bigram_lm" -> bigramLmSql,
     "q_x_pmi" -> pmiSql,
     "q_x_bm25" -> bm25Sql,
