@@ -146,6 +146,79 @@ object FuzzyJoin {
       .select(col("left_id"), col("right_id"), col("dist").cast("long"))
   }
 
+  /** Set-CONTAINMENT join: all pairs with
+    * C(A, B) = |A∩B| / |A| >= threshold — the ASYMMETRIC form of
+    * [[jaccardJoin]]: "which right-side records contain (most of) this
+    * left record?". This is template/boilerplate detection ("this
+    * paragraph is embedded in that larger document"), entity
+    * subsumption ("the short product name is contained in the long
+    * listing"), and query-in-document matching — cases where Jaccard
+    * fails because the CONTAINING side's extra tokens dilute the union.
+    *
+    * Exact algorithm (PRETTI-style probe of an inverted index with the
+    * probe side's prefix): C >= t forces |A∩B| >= ceil(t·|A|), so
+    * under any global token order the smallest common token sits in
+    * A's first |A| − ceil(t·|A|) + 1 tokens (same argument as the
+    * Jaccard prefix lemma — only A's side, because only |A| bounds the
+    * overlap). Candidates = equi-join of A-PREFIX tokens against the
+    * FULL inverted index of the right side; the order is ascending
+    * document frequency measured over the RIGHT side (the index being
+    * probed), so a probe prefix prefers tokens that are rare in the
+    * index — tokens absent from the index entirely (df 0) sort first
+    * and match nothing, which is the cheapest possible outcome.
+    * The size necessary condition |B| >= ceil(t·|A|) prunes before
+    * verification; verify is the exact codegen'd merge-intersection.
+    * No cross join at any threshold; integer counts + one exact
+    * integer-ratio division — no float contract.
+    *
+    * Unlike the symmetric join, the index side has NO prefix: a
+    * containing document must be probed wherever the contained set's
+    * rare tokens land. Hot probe tokens are mitigated by the df order,
+    * not eliminated — the inherent containment-join trade (PRETTI,
+    * Jampani & Pudi 2005).
+    *
+    * @return (left_id, right_id, containment) */
+  def containmentJoin(
+      left: DataFrame, leftId: String, leftToks: String,
+      right: DataFrame, rightId: String, rightToks: String,
+      threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val l = hashSets(left, leftId, leftToks).localCheckpoint()
+    val r = hashSets(right, rightId, rightToks).localCheckpoint()
+    // document frequency over the INDEX (right) side only
+    val dfc = r.select(explode(col("hs")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .localCheckpoint()
+    // A's prefix under the (df_right, h) order; df 0 for unseen tokens
+    val p = (col("n") - ceil(col("n") * threshold) + 1).cast("int")
+    val lp = l.select(col("id"), col("n"), explode(col("hs")).as("h"))
+      .join(dfc, Seq("h"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+      .groupBy("id", "n")
+      .agg(slice(array_sort(collect_list(struct(col("df"), col("h")))),
+        lit(1), p).as("pref"))
+      .select(col("id").as("left_id"), col("n").as("ln"),
+        explode(col("pref.h")).as("h"))
+    val rAll = r.select(col("id").as("right_id"), col("n").as("rn"),
+      explode(col("hs")).as("h"))
+    val cand = lp.join(rAll, "h")
+      .where(col("rn") >= ceil(col("ln") * threshold))
+      .select("left_id", "right_id").distinct()
+    val inter = graft.functions.VectorExprs.sortedIntersectCount(
+      col("lhs"), col("rhs"))
+    cand
+      .join(l.select(col("id").as("left_id"), col("hs").as("lhs"),
+        col("n").as("ln")), Seq("left_id"))
+      .join(r.select(col("id").as("right_id"), col("hs").as("rhs")),
+        Seq("right_id"))
+      .withColumn("inter", inter)
+      .withColumn("containment",
+        col("inter").cast("double") / col("ln").cast("double"))
+      .where(col("containment") >= threshold)
+      .select(col("left_id"), col("right_id"), col("containment"))
+  }
+
   /** All strings reachable by deleting up to `d` characters (the
     * string itself included), deduplicated. */
   def deletionVariants(s: Column, d: Int): Column = {

@@ -56,6 +56,46 @@ object LinkQueries {
        |WHERE jaccard >= CAST(0.5 AS DOUBLE)""".stripMargin
   }
 
+  // ===== set-containment join (subsumption matching) ==================
+
+  /** Brand#11 part NAMES contained (C >= 0.6) in Brand#22's richer
+    * name+type descriptions — the asymmetric subsumption form of the
+    * fuzzy join ([[graft.ext.FuzzyJoin.containmentJoin]]). The DuckDB
+    * twin is the NAIVE cross join; containment is an exact
+    * integer-ratio division, so the exact-method contract is identical
+    * result SETS, not merely high recall. */
+  private val containThreshold = 0.6
+
+  private val containQ: QFn = (s, d) => {
+    val l = Tables.part(s, d).where(col("p_brand") === "Brand#11")
+      .select(col("p_partkey"), Hashing.tokens(col("p_name")).as("tk"))
+    val r = Tables.part(s, d).where(col("p_brand") === "Brand#22")
+      .select(col("p_partkey"),
+        Hashing.tokens(concat_ws(" ", col("p_name"), col("p_type")))
+          .as("tk"))
+    FuzzyJoin.containmentJoin(l, "p_partkey", "tk",
+      r, "p_partkey", "tk", containThreshold)
+  }
+
+  private val containSql = {
+    def hs(expr: String) = "list_sort(list_distinct(list_transform(" +
+      s"list_filter(string_split($expr, ' '), t -> t <> ''), " +
+      s"t -> ${sqlHashP("t")})))"
+    s"""WITH l AS (
+       |  SELECT p_partkey AS id, ${hs("p_name")} AS hs FROM part
+       |  WHERE p_brand = 'Brand#11'),
+       |r AS (
+       |  SELECT p_partkey AS id, ${hs("p_name || ' ' || p_type")} AS hs
+       |  FROM part WHERE p_brand = 'Brand#22'),
+       |p AS (
+       |  SELECT l.id AS left_id, r.id AS right_id,
+       |    CAST(len(list_intersect(l.hs, r.hs)) AS DOUBLE) /
+       |      CAST(len(l.hs) AS DOUBLE) AS containment
+       |  FROM l, r WHERE len(l.hs) > 0 AND len(r.hs) > 0)
+       |SELECT left_id, right_id, containment FROM p
+       |WHERE containment >= CAST($containThreshold AS DOUBLE)""".stripMargin
+  }
+
   // ===== edit-distance join (typo-tolerant key matching) ==============
 
   /** Supplier names within ONE edit of each other (they differ only in
@@ -415,6 +455,7 @@ object LinkQueries {
 
   val queries: Map[String, QFn] = Map(
     "q_x_fuzzy_join" -> fuzzyJoin,
+    "q_x_contain_join" -> containQ,
     "q_x_edit_join" -> editJoin,
     "q_x_pagerank" -> pagerankQ,
     "q_x_hits" -> hitsQ,
@@ -425,6 +466,7 @@ object LinkQueries {
 
   val oracles: Map[String, String] = Map(
     "q_x_fuzzy_join" -> fuzzyJoinSql,
+    "q_x_contain_join" -> containSql,
     "q_x_edit_join" -> editJoinSql,
     "q_x_pagerank" -> pagerankSql,
     "q_x_hits" -> hitsSql,

@@ -71,6 +71,55 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(PlanLint.clean(out))
   }
 
+  // ===== containmentJoin ==============================================
+
+  private def runC(l: Seq[(Long, Seq[String])], r: Seq[(Long, Seq[String])],
+      t: Double): Set[(Long, Long, Double)] =
+    FuzzyJoin.containmentJoin(toksDf(l), "id", "tk", toksDf(r), "id",
+        "tk", t)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+
+  private def bruteC(l: Seq[(Long, Seq[String])],
+      r: Seq[(Long, Seq[String])], t: Double): Set[(Long, Long, Double)] =
+    (for {
+      (lid, lt) <- l; (rid, rt) <- r
+      la = lt.toSet; ra = rt.toSet
+      if la.nonEmpty && ra.nonEmpty
+      c = (la & ra).size.toDouble / la.size
+      if c >= t
+    } yield (lid, rid, c)).toSet
+
+  test("containment: a subset is contained at 1.0 however large the " +
+      "container; jaccard would reject the same pair") {
+    val l = Seq((1L, Seq("alpha", "beta")))
+    val r = Seq((10L, Seq("alpha", "beta", "c", "d", "e", "f", "g", "h")))
+    assert(runC(l, r, 1.0) == Set((1L, 10L, 1.0)))
+    assert(run(l, r, 0.5).isEmpty, "J = 2/8 < 0.5 — asymmetry matters")
+  }
+
+  test("containment is exact vs brute force and properly asymmetric") {
+    val l = (1L to 40L).map(i =>
+      (i, (0 until (i % 5 + 2).toInt).map(j => s"t${(i + j * 7) % 13}")))
+    val r = (100L to 140L).map(i =>
+      (i, (0 until (i % 9 + 3).toInt).map(j => s"t${(i + j * 3) % 13}")))
+    for (t <- Seq(0.5, 0.7, 1.0)) {
+      assert(runC(l, r, t) == bruteC(l, r, t), s"t=$t")
+    }
+    // asymmetry: swapping sides changes the answer set
+    assert(runC(l, r, 0.7).map(p => (p._2, p._1)) != runC(r, l, 0.7)
+      .map(p => (p._1, p._2)) || bruteC(l, r, 0.7) != bruteC(r, l, 0.7)
+      .map(p => (p._2, p._1, p._3)))
+  }
+
+  test("containment: probe tokens absent from the index match nothing " +
+      "but do not break the prefix") {
+    val l = Seq((1L, Seq("zz1", "zz2", "shared")), (2L, Seq("zz3", "zz4")))
+    val r = Seq((10L, Seq("shared", "x", "y")))
+    // C(1, 10) = 1/3 < 0.34? threshold 1/3: ceil handling — use 0.3
+    assert(runC(l, r, 0.3) == bruteC(l, r, 0.3))
+    assert(runC(l, r, 0.5).isEmpty)
+  }
+
   test("invalid threshold is rejected") {
     val d = toksDf(Seq(1L -> Seq("a")))
     intercept[IllegalArgumentException] {
