@@ -663,10 +663,12 @@ object TimeSeriesQueries {
   private val chisqQ: QFn = (s, d) =>
     graft.ext.Profile.chiSquare(Tables.documents(s, d), "source", "lang")
 
-  private val chisqSql =
+  /** The chi-square oracle chain over any (r, c) base CTE — shared by
+    * `q_x_chisq` (documents source × lang) and the pipeline-7 drift
+    * suite (events event_type × arm). */
+  private def chisqSqlFor(baseSelect: String) =
     s"""WITH base AS (
-       |  SELECT CAST(source AS VARCHAR) AS r, CAST(lang AS VARCHAR) AS c
-       |  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL),
+       |  $baseSelect),
        |cells AS (
        |  SELECT r, c, CAST(count(*) AS BIGINT) AS o FROM base GROUP BY 1, 2),
        |rt AS (SELECT r, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
@@ -699,6 +701,10 @@ object TimeSeriesQueries {
        |  (n_rows_cat - 1) * (n_cols_cat - 1) AS dof,
        |  n, n_rows_cat, n_cols_cat
        |FROM agg""".stripMargin
+
+  private val chisqSql = chisqSqlFor(
+    "SELECT CAST(source AS VARCHAR) AS r, CAST(lang AS VARCHAR) AS c\n" +
+      "  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL")
 
   // ===== Mann–Whitney U (nonparametric A/B) ===========================
 
@@ -765,7 +771,114 @@ object TimeSeriesQueries {
        |FROM agg""".stripMargin
   }
 
+  // ===== pipeline 7: the drift suite ==================================
+
+  /** Flagship 7 — ONE plan emitting the full drift report for an A/B
+    * split: Welch z (means), Mann–Whitney z (ranks), KS (shape), total
+    * PSI (binned occupancy) over the metric, and chi-square of
+    * event_type × arm (categorical balance). Long format
+    * (stat, value, aux, n_a, n_b); every statistic reuses the exact
+    * component operator, so each row of this suite equals the
+    * corresponding standalone query's value. The oracle composes the
+    * component oracles as subqueries plus an arms-PSI chain. */
+  private val pipeline7Q: QFn = (s, d) => {
+    import graft.ext.Profile
+    val grp = pmod(graft.ext.Hashing.hash60(
+      concat(lit("ab:"), col("user_id").cast("string"))), lit(2L))
+    val evAll = Tables.events(s, d).withColumn("grp", grp)
+    val ev = evAll.where(col("value").isNotNull)
+    val a = ev.where(col("grp") === 0)
+    val b = ev.where(col("grp") === 1)
+    val naux = lit(null).cast("double").as("aux")
+    val welch = Profile
+      .welchZ(Profile.groupMoments(evAll, Seq("grp"), "value"), "grp")
+      .select(lit("welch").as("stat"), col("z").as("value"), naux,
+        col("n_a").cast("long").as("n_a"),
+        col("n_b").cast("long").as("n_b"))
+    val mwu = Profile.mannWhitney(a, b, "value")
+      .select(lit("mwu").as("stat"), col("z").as("value"),
+        col("u2").as("aux"), col("n_a"), col("n_b"))
+    val ks = Profile.ksDistance(a, b, "value")
+      .select(lit("ks").as("stat"), col("ks").as("value"),
+        col("ks_at").as("aux"), col("n_a"), col("n_b"))
+    val psi = Profile.psi(a, b, "value", bins = 10)
+      .agg(Q.dsumStable(col("contrib"), 12).as("value"),
+        sum(col("ref_n")).cast("long").as("n_a"),
+        sum(col("cur_n")).cast("long").as("n_b"))
+      .select(lit("psi").as("stat"), col("value"), naux,
+        col("n_a"), col("n_b"))
+    val chisq = Profile.chiSquare(evAll, "event_type", "grp")
+      .select(lit("chisq").as("stat"), col("chi2").as("value"),
+        col("dof").cast("double").as("aux"), col("n").as("n_a"),
+        col("dof").as("n_b"))
+    welch.unionByName(mwu).unionByName(ks).unionByName(psi)
+      .unionByName(chisq)
+  }
+
+  private val pipeline7Sql = {
+    val armHash =
+      s"CAST(${Q.sqlHash60("'ab:' || CAST(user_id AS VARCHAR)")} % 2 " +
+        "AS BIGINT)"
+    val chisqEv = chisqSqlFor(
+      s"SELECT CAST(event_type AS VARCHAR) AS r,\n" +
+        s"    CAST($armHash AS VARCHAR) AS c\n" +
+        "  FROM events WHERE event_type IS NOT NULL")
+    val rf = "CAST(ref_n AS DOUBLE) / CAST(rt AS DOUBLE)"
+    val cf = "CAST(cur_n AS DOUBLE) / CAST(ct AS DOUBLE)"
+    val psiArms =
+      s"""WITH g AS (
+         |  SELECT $armHash AS grp, value
+         |  FROM events WHERE value IS NOT NULL),
+         |pr AS (SELECT value AS x FROM g WHERE grp = 0),
+         |pc AS (SELECT value AS x FROM g WHERE grp = 1),
+         |pm AS (SELECT min(x) AS lo, max(x) AS hi FROM pr),
+         |rb AS (
+         |  SELECT bin, CAST(count(*) AS BIGINT) AS ref_n FROM (
+         |    SELECT CASE WHEN hi = lo THEN 0
+         |      ELSE LEAST(9, GREATEST(0,
+         |        CAST(floor((x - lo) / ((hi - lo) / 10)) AS BIGINT)))
+         |      END AS bin
+         |    FROM pr, pm) GROUP BY 1),
+         |cb AS (
+         |  SELECT bin, CAST(count(*) AS BIGINT) AS cur_n FROM (
+         |    SELECT CASE WHEN hi = lo THEN 0
+         |      ELSE LEAST(9, GREATEST(0,
+         |        CAST(floor((x - lo) / ((hi - lo) / 10)) AS BIGINT)))
+         |      END AS bin
+         |    FROM pc, pm) GROUP BY 1),
+         |jn AS (
+         |  SELECT COALESCE(rb.bin, cb.bin) AS bin,
+         |    COALESCE(ref_n, 0) AS ref_n, COALESCE(cur_n, 0) AS cur_n
+         |  FROM rb FULL OUTER JOIN cb ON rb.bin = cb.bin),
+         |tt AS (SELECT CAST(sum(ref_n) AS BIGINT) AS rt,
+         |  CAST(sum(cur_n) AS BIGINT) AS ct FROM jn),
+         |pcon AS (
+         |  SELECT ref_n, cur_n,
+         |    CASE WHEN ref_n = 0 OR cur_n = 0 THEN CAST(0.0 AS DOUBLE)
+         |      ELSE ($rf - $cf) * ${Q.sqlSig9(s"ln(($rf) / ($cf))")}
+         |      END AS contrib
+         |  FROM jn, tt)
+         |SELECT ${Q.sqlDsumStable("contrib", 12)} AS value,
+         |  CAST(sum(ref_n) AS BIGINT) AS n_a,
+         |  CAST(sum(cur_n) AS BIGINT) AS n_b
+         |FROM pcon""".stripMargin
+    s"""SELECT 'welch' AS stat, z AS value, CAST(NULL AS DOUBLE) AS aux,
+       |  CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b
+       |FROM ($abtestSql)
+       |UNION ALL
+       |SELECT 'mwu', z, u2, n_a, n_b FROM ($mwuSql)
+       |UNION ALL
+       |SELECT 'ks', ks, ks_at, n_a, n_b FROM ($ksSql)
+       |UNION ALL
+       |SELECT 'psi', value, CAST(NULL AS DOUBLE), n_a, n_b
+       |FROM ($psiArms)
+       |UNION ALL
+       |SELECT 'chisq', chi2, CAST(dof AS DOUBLE), n, dof
+       |FROM ($chisqEv)""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q_x_pipeline7" -> pipeline7Q,
     "q_x_ewma" -> ewmaQ,
     "q_x_quantile_norm" -> qnormQ,
     "q_x_chisq" -> chisqQ,
@@ -785,6 +898,7 @@ object TimeSeriesQueries {
     "q_x_agg_merge" -> aggMergeQ)
 
   val oracles: Map[String, String] = Map(
+    "q_x_pipeline7" -> pipeline7Sql,
     "q_x_ewma" -> ewmaSql,
     "q_x_quantile_norm" -> qnormSql,
     "q_x_chisq" -> chisqSql,
