@@ -154,10 +154,13 @@ object CorpusQueries {
   private val cmsQ: QFn = (s, d) => {
     val ex = Tables.documents(s, d)
       .select(explode(Hashing.tokens(col("text"))).as("tok"))
+    // counts materialized ONCE (the FuzzyJoin localCheckpoint
+    // convention): top-30, sketch build and the final join all read
+    // the checkpointed vocabulary frame — the corpus tokenizes and
+    // aggregates exactly once
     val exact = ex.groupBy(col("tok")).agg(count(lit(1)).as("exact"))
+      .localCheckpoint()
     val top = exact.orderBy(col("exact").desc, col("tok").asc).limit(30)
-    // weighted build over the SAME counts subplan — Catalyst reuses
-    // the exchange, so the corpus tokenizes/aggregates once
     val sk = graft.ext.Sketch.countMinWeighted(
       exact, "tok", "exact", cmsD, cmsW, "cms")
     graft.ext.Sketch.cmsEstimate(sk, top, "tok", cmsD, cmsW, "cms")

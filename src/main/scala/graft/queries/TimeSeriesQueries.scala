@@ -801,8 +801,12 @@ object TimeSeriesQueries {
     val ks = Profile.ksDistance(a, b, "value")
       .select(lit("ks").as("stat"), col("ks").as("value"),
         col("ks_at").as("aux"), col("n_a"), col("n_b"))
+    // contribs sig9'd BEFORE the decimal rollup: a full-precision
+    // double entering DECIMAL(38,15) casts differently per engine at
+    // the 15th decimal (the multiTouch ADVICE lesson); 9-sig-digit
+    // values cast exactly on both
     val psi = Profile.psi(a, b, "value", bins = 10)
-      .agg(Q.dsumStable(col("contrib"), 12).as("value"),
+      .agg(Q.dsumStable(Q.sig9(col("contrib")), 12).as("value"),
         sum(col("ref_n")).cast("long").as("n_a"),
         sum(col("cur_n")).cast("long").as("n_b"))
       .select(lit("psi").as("stat"), col("value"), naux,
@@ -858,7 +862,7 @@ object TimeSeriesQueries {
          |      ELSE ($rf - $cf) * ${Q.sqlSig9(s"ln(($rf) / ($cf))")}
          |      END AS contrib
          |  FROM jn, tt)
-         |SELECT ${Q.sqlDsumStable("contrib", 12)} AS value,
+         |SELECT ${Q.sqlDsumStable(Q.sqlSig9("contrib"), 12)} AS value,
          |  CAST(sum(ref_n) AS BIGINT) AS n_a,
          |  CAST(sum(cur_n) AS BIGINT) AS n_b
          |FROM pcon""".stripMargin
