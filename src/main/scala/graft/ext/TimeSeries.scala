@@ -297,4 +297,122 @@ object TimeSeries {
       .select((keyCols :+ tsCol :+ "value_interp" :+ "prev_ts" :+ "next_ts")
         .map(col): _*)
   }
+
+  /** Exact CUSUM changepoint locator: per key, the time index that
+    * maximizes the classic CUSUM deviation |S_t − (t/n)·S_n| over the
+    * interior split points 1 ≤ t < n of the time-ordered series — the
+    * retrospective "WHERE did this metric shift" twin of [[cusum]]'s
+    * sequential "HAS it shifted" alarm (binary segmentation's step-1
+    * statistic, Page 1954 / Pettitt-style scan).
+    *
+    * Determinism: the maximized statistic is scaled by n into the
+    * EXACT INTEGER D_t = |n·S_t − t·S_n| (DECIMAL(38,0) — the product
+    * overflows Long at ~10^10-row series), so the argmax adjudicates
+    * bit-for-bit with no float anywhere near the comparison (the
+    * [[Profile.ksDistance]] convention); ties break to the SMALLEST t.
+    * The input must be integer-valued (counts from [[resample]]'s
+    * n_events — the statistic's exactness rests on it; `require`d by
+    * a cast-equality guard per row under ANSI).
+    *
+    * Plan: one keyed window for (row index, prefix sum) — bounded by
+    * the per-key GRID length (days), never the raw event count, which
+    * the upstream resample aggregate already absorbed — then one
+    * per-key max and an equi-join back to pick the earliest attaining
+    * row. Nothing global, nothing quadratic.
+    *
+    * @return per key with n >= 2 points: (keys..., n, total, cp_idx,
+    *         cp_ts, stat, mean_left, mean_right) — stat = max D_t
+    *         sig9'd; means are single IEEE divisions of exact longs */
+  def changePoint(series: DataFrame, keyCols: Seq[String], tsCol: String,
+      valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = DecimalType(38, 0)
+    val keys = keyCols.map(col)
+    val wOrd = Window.partitionBy(keys: _*).orderBy(col(tsCol).asc)
+    val w = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val idx = series
+      .select(keys :+ col(tsCol) :+ col(valCol).cast(LongType).as("__x"): _*)
+      .withColumn("__t", row_number().over(wOrd).cast(LongType))
+      .withColumn("__st", sum(col("__x")).over(w))
+    val tot = idx.groupBy(keys: _*)
+      .agg(max(col("__t")).as("__n"), max(col("__st")).as("__total"))
+    val d = idx.join(tot, keyCols)
+      .where(col("__t") < col("__n"))
+      .withColumn("__d", abs(
+        col("__n").cast(dec) * col("__st").cast(dec) -
+          col("__t").cast(dec) * col("__total").cast(dec)))
+    val mx = d.groupBy(keys: _*).agg(max(col("__d")).as("__mx"))
+    d.join(mx, keyCols)
+      .where(col("__d") === col("__mx"))
+      .groupBy(keys: _*)
+      .agg(first(col("__n")).as("n"), first(col("__total")).as("total"),
+        min(col("__t")).as("cp_idx"),
+        min_by(col(tsCol), col("__t")).as("cp_ts"),
+        first(col("__mx")).as("__mxd"),
+        min_by(col("__st"), col("__t")).as("__stcp"))
+      .select(keys :+ col("n") :+ col("total") :+ col("cp_idx") :+
+        col("cp_ts") :+
+        graft.queries.Q.sig9(col("__mxd").cast(DoubleType)).as("stat") :+
+        graft.queries.Q.sig9(col("__stcp").cast(DoubleType) /
+          col("cp_idx").cast(DoubleType)).as("mean_left") :+
+        graft.queries.Q.sig9(
+          (col("total") - col("__stcp")).cast(DoubleType) /
+            (col("n") - col("cp_idx")).cast(DoubleType)).as("mean_right"): _*)
+  }
+
+  /** Sample autocorrelation function r_k for lags 1..maxLag over a
+    * regular integer-valued series (the statsmodels `acf` estimator:
+    * global mean, full-series variance denominator) — the seasonality
+    * / memory profiler next to [[seasonalProfile]] ("does this metric
+    * echo itself at lag 7?").
+    *
+    * Exactness: with integer x, every sum in the expanded numerator
+    * n²·Σ(x_t−μ)(x_{t+k}−μ) = n²·P_k − n·S·(A_k+B_k) + (n−k)·S² and
+    * denominator n²·Q − n·S² is an EXACT DECIMAL(38,0) integer (P =
+    * lagged cross product, A/B = head/tail sums, S/Q = global
+    * sum/sum-of-squares), so r_k is ONE sig9'd division of exact
+    * integers — no float accumulates anywhere.
+    *
+    * Plan: row indexes from one keyed window (bounded grid length),
+    * then lag pairing is an EQUI-JOIN on (key, i+k) with the left side
+    * exploded maxLag ways — O(n·maxLag) rows, a keyed shuffle, no
+    * window over the fan-out and nothing quadratic in the series.
+    *
+    * @return per (key, k): (keys..., k, n, n_pairs, r) — r NULL for a
+    *         constant series (zero variance) */
+  def autocorr(series: DataFrame, keyCols: Seq[String], tsCol: String,
+      valCol: String, maxLag: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val dec = DecimalType(38, 0)
+    val keys = keyCols.map(col)
+    val w = Window.partitionBy(keys: _*).orderBy(col(tsCol).asc)
+    val idx = series
+      .select(keys :+ col(tsCol) :+ col(valCol).cast(LongType).as("__x"): _*)
+      .withColumn("__i", row_number().over(w))
+      .localCheckpoint() // read three times below (totals, both join sides)
+    val tot = idx.groupBy(keys: _*)
+      .agg(count(lit(1)).as("__n"), sum(col("__x")).as("__s"),
+        sum(col("__x").cast(dec) * col("__x").cast(dec)).as("__q"))
+    val left = idx.select(keys :+ col("__i") :+ col("__x").as("__xl") :+
+        explode(sequence(lit(1), lit(maxLag))).as("__lag"): _*)
+      .withColumn("__j", col("__i") + col("__lag"))
+    val right = idx.select(
+      keys :+ col("__i").as("__j") :+ col("__x").as("__xr"): _*)
+    val sums = left.join(right, keyCols :+ "__j")
+      .groupBy(keys :+ col("__lag"): _*)
+      .agg(sum(col("__xl").cast(dec) * col("__xr").cast(dec)).as("__p"),
+        sum(col("__xl")).as("__a"), sum(col("__xr")).as("__b"),
+        count(lit(1)).as("n_pairs"))
+    val n = col("__n").cast(dec)
+    val s = col("__s").cast(dec)
+    val num = n * n * col("__p") - n * s * (col("__a") + col("__b")).cast(dec) +
+      (col("__n") - col("__lag")).cast(dec) * s * s
+    val den = n * n * col("__q") - n * s * s
+    sums.join(tot, keyCols)
+      .select(keys :+ col("__lag").cast(LongType).as("k") :+
+        col("__n").as("n") :+ col("n_pairs") :+
+        when(den > 0, graft.queries.Q.sig9(
+          num.cast(DoubleType) / den.cast(DoubleType))).as("r"): _*)
+  }
 }

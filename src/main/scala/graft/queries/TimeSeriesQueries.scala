@@ -881,7 +881,116 @@ object TimeSeriesQueries {
        |FROM ($chisqEv)""".stripMargin
   }
 
+  // ===== retrospective changepoint + autocorrelation =================
+
+  /** Daily event-count series per event_type — the integer-valued
+    * regular grid both scan statistics require for their exact-
+    * arithmetic adjudication (counts are what CUSUM scans monitor in
+    * practice anyway). */
+  private def dailyCounts(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+
+  private val dailySql =
+    """SELECT event_type, CAST(ts AS DATE) AS day,
+      |  CAST(count(*) AS BIGINT) AS cnt
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Per-event_type CUSUM changepoint over the daily count series:
+    * WHERE did the cadence shift. The argmax statistic is the exact
+    * integer |n·S_t − t·S_n| — adjudicated bit-for-bit, ties to the
+    * earliest day. */
+  private val changepointQ: QFn = (s, d) =>
+    TimeSeries.changePoint(dailyCounts(s, d), Seq("event_type"),
+        "day", "cnt")
+      .select(col("event_type"), col("n"), col("total"), col("cp_idx"),
+        date_format(col("cp_ts"), "yyyy-MM-dd").as("cp_day"),
+        col("stat"), col("mean_left"), col("mean_right"))
+
+  private val changepointSql =
+    s"""WITH dly AS ($dailySql),
+       |o AS (
+       |  SELECT event_type, day, cnt,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+       |      AS BIGINT) AS t,
+       |    SUM(cnt) OVER (PARTITION BY event_type ORDER BY day
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS st
+       |  FROM dly),
+       |tot AS (
+       |  SELECT event_type, CAST(max(t) AS BIGINT) AS n,
+       |    CAST(sum(cnt) AS BIGINT) AS total
+       |  FROM o GROUP BY 1),
+       |dd AS (
+       |  SELECT o.event_type, o.day, o.t,
+       |    CAST(o.st AS BIGINT) AS st, tot.n, tot.total,
+       |    abs(CAST(tot.n AS DECIMAL(38,0)) * o.st
+       |      - CAST(o.t AS DECIMAL(38,0)) * tot.total) AS dstat
+       |  FROM o JOIN tot USING (event_type)
+       |  WHERE o.t < tot.n),
+       |mx AS (SELECT event_type, max(dstat) AS mxd FROM dd GROUP BY 1)
+       |SELECT dd.event_type, dd.n, dd.total,
+       |  CAST(min(dd.t) AS BIGINT) AS cp_idx,
+       |  strftime(min(dd.day), '%Y-%m-%d') AS cp_day,
+       |  ${Q.sqlSig9("CAST(mx.mxd AS DOUBLE)")} AS stat,
+       |  ${Q.sqlSig9("CAST(arg_min(dd.st, dd.t) AS DOUBLE) / " +
+           "CAST(min(dd.t) AS DOUBLE)")} AS mean_left,
+       |  ${Q.sqlSig9("CAST(dd.total - arg_min(dd.st, dd.t) AS DOUBLE) / " +
+           "CAST(dd.n - min(dd.t) AS DOUBLE)")} AS mean_right
+       |FROM dd JOIN mx USING (event_type)
+       |WHERE dd.dstat = mx.mxd
+       |GROUP BY dd.event_type, dd.n, dd.total, mx.mxd""".stripMargin
+
+  /** Autocorrelation of the daily count series per event_type at lags
+    * 1..14 — the weekly echo shows up as a ridge at k=7/14. Exact
+    * integer numerator/denominator, one sig9'd division per lag. */
+  private val acfMaxLag = 14
+
+  private val acfQ: QFn = (s, d) =>
+    TimeSeries.autocorr(dailyCounts(s, d), Seq("event_type"),
+        "day", "cnt", maxLag = acfMaxLag)
+      .select(col("event_type"), col("k"), col("n"), col("n_pairs"),
+        col("r"))
+
+  private val acfSql = {
+    val num = "CAST(n AS DECIMAL(38,0)) * n * p " +
+      "- CAST(n AS DECIMAL(38,0)) * s * (a + b) " +
+      "+ CAST(n - k AS DECIMAL(38,0)) * s * s"
+    val den = "CAST(n AS DECIMAL(38,0)) * n * q " +
+      "- CAST(n AS DECIMAL(38,0)) * s * s"
+    s"""WITH dly AS ($dailySql),
+       |o AS (
+       |  SELECT event_type, cnt,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+       |      AS BIGINT) AS i
+       |  FROM dly),
+       |tot AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(cnt) AS BIGINT) AS s,
+       |    CAST(sum(CAST(cnt AS DECIMAL(38,0)) * cnt) AS DECIMAL(38,0)) AS q
+       |  FROM o GROUP BY 1),
+       |ks AS (SELECT unnest(range(1, ${acfMaxLag + 1})) AS k),
+       |pr AS (
+       |  SELECT l.event_type, ks.k, l.cnt AS xl, r.cnt AS xr
+       |  FROM o l JOIN ks ON true JOIN o r
+       |    ON r.event_type = l.event_type AND r.i = l.i + ks.k),
+       |sm AS (
+       |  SELECT event_type, k,
+       |    CAST(sum(CAST(xl AS DECIMAL(38,0)) * xr) AS DECIMAL(38,0)) AS p,
+       |    CAST(sum(xl) AS BIGINT) AS a, CAST(sum(xr) AS BIGINT) AS b,
+       |    CAST(count(*) AS BIGINT) AS n_pairs
+       |  FROM pr GROUP BY 1, 2)
+       |SELECT sm.event_type, CAST(sm.k AS BIGINT) AS k, tot.n,
+       |  sm.n_pairs,
+       |  CASE WHEN ($den) > 0 THEN
+       |    ${Q.sqlSig9(s"CAST($num AS DOUBLE) / CAST($den AS DOUBLE)")}
+       |  END AS r
+       |FROM sm JOIN tot USING (event_type)""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q_x_changepoint" -> changepointQ,
+    "q_x_acf" -> acfQ,
     "q_x_pipeline7" -> pipeline7Q,
     "q_x_ewma" -> ewmaQ,
     "q_x_quantile_norm" -> qnormQ,
@@ -902,6 +1011,8 @@ object TimeSeriesQueries {
     "q_x_agg_merge" -> aggMergeQ)
 
   val oracles: Map[String, String] = Map(
+    "q_x_changepoint" -> changepointSql,
+    "q_x_acf" -> acfSql,
     "q_x_pipeline7" -> pipeline7Sql,
     "q_x_ewma" -> ewmaSql,
     "q_x_quantile_norm" -> qnormSql,

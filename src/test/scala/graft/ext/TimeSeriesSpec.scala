@@ -226,4 +226,81 @@ class TimeSeriesSpec extends SparkSpec {
     val want = refEwma(Seq(10.0, 20.0), 0.25, 8)
     assert(got === Map(1L -> want(0), 3L -> want(1)))
   }
+
+  // ===== changePoint ==================================================
+
+  private def cpOf(vals: (String, Seq[Long])*) = {
+    val rows = vals.flatMap { case (k, xs) =>
+      xs.zipWithIndex.map { case (x, i) =>
+        (k, ts(f"2024-01-${i + 1}%02d 00:00:00"), x) } }
+    TimeSeries.changePoint(rows.toDF("k", "ts", "x"), Seq("k"), "ts", "x")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(5),
+          r.getDouble(6), r.getDouble(7)))).toMap
+  }
+
+  test("changePoint: argmax of |n·S_t − t·S_n| against a direct scan") {
+    val xs = Seq(5L, 6L, 4L, 5L, 20L, 22L, 19L, 21L)
+    val n = xs.length.toLong
+    val sn = xs.sum
+    val direct = (1 until xs.length).map { t =>
+      val st = xs.take(t).sum
+      (t.toLong, math.abs(n * st - t * sn)) }
+    val (bestT, bestD) = direct.minBy { case (t, d) => (-d, t) }
+    val got = cpOf("a" -> xs)("a")
+    assert(got._1 === n && got._2 === sn)
+    assert(got._3 === bestT)
+    assert(got._4 === bestD.toDouble)
+    assert(got._5 === xs.take(bestT.toInt).sum.toDouble / bestT)
+    assert(got._6 === xs.drop(bestT.toInt).sum.toDouble / (n - bestT))
+  }
+
+  test("changePoint: ties break to the earliest index; keys independent") {
+    // symmetric series: D_t ties at t=1 and t=3 (D=|4·S_t − t·16|)
+    val got = cpOf("a" -> Seq(2L, 6L, 6L, 2L), "b" -> Seq(1L, 9L))
+    assert(got("a")._3 === 1L) // t=1 and t=3 both give D=8; earliest wins
+    assert(got("b") === ((2L, 10L, 1L, 8.0, 1.0, 9.0)))
+  }
+
+  test("changePoint: single-point keys yield no row") {
+    assert(!cpOf("a" -> Seq(7L)).contains("a"))
+  }
+
+  // ===== autocorr =====================================================
+
+  test("autocorr: matches the direct global-mean estimator per lag") {
+    val xs = Seq(3L, 1L, 4L, 1L, 5L, 9L, 2L, 6L)
+    val rows = xs.zipWithIndex.map { case (x, i) =>
+      ("g1", ts(f"2024-01-${i + 1}%02d 00:00:00"), x) }
+    val got = TimeSeries.autocorr(rows.toDF("g", "ts", "x"),
+        Seq("g"), "ts", "x", maxLag = 3)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val n = xs.length
+    val mu = xs.sum.toDouble / n
+    def ref(k: Int): Double = {
+      val num = (0 until n - k).map(t => (xs(t) - mu) * (xs(t + k) - mu)).sum
+      val den = xs.map(x => (x - mu) * (x - mu)).sum
+      num / den
+    }
+    (1 to 3).foreach { k =>
+      val (nn, np, r) = got(k.toLong)
+      assert(nn === n.toLong && np === (n - k).toLong)
+      assert(math.abs(r - ref(k)) < 1e-9, s"lag $k")
+    }
+  }
+
+  test("autocorr: constant series has NULL r; lag-shifted copy peaks") {
+    val flat = (1 to 6).map(i => ("g1", ts(f"2024-01-$i%02d 00:00:00"), 5L))
+    val rs = TimeSeries.autocorr(flat.toDF("g", "ts", "x"),
+      Seq("g"), "ts", "x", 2).collect()
+    assert(rs.length === 2 && rs.forall(_.isNullAt(4)))
+    // period-2 alternation: r(2) = +1-ish dominance over r(1)
+    val alt = (1 to 8).map(i =>
+      ("g2", ts(f"2024-01-$i%02d 00:00:00"), if (i % 2 == 0) 10L else 0L))
+    val byLag = TimeSeries.autocorr(alt.toDF("g", "ts", "x"),
+        Seq("g"), "ts", "x", 2)
+      .collect().map(r => r.getLong(1) -> r.getDouble(4)).toMap
+    assert(byLag(2L) > 0 && byLag(1L) < 0)
+  }
 }
