@@ -546,6 +546,81 @@ object Profile {
         col("nb").cast("long").as("n_b"))
   }
 
+  /** Per-group Gini coefficient of a NONNEGATIVE INTEGER-VALUED column
+    * — the concentration profile behind "is this source's token mass
+    * dominated by a few giant documents?" (G = 0 everyone equal,
+    * G → 1 one row holds everything). Pairwise-difference definition
+    * (tie-exact, order-free):
+    * G = Σᵢⱼ|xᵢ−xⱼ| / (2n²μ) = T / (n·S), where
+    * T = Σ_v c_v·(x_v·N<(v) − S<(v)) over distinct values (N</S< =
+    * count/sum strictly below v; tied pairs contribute zero exactly).
+    *
+    * Determinism: x is long, so T, n and S are EXACT DECIMAL(38,0)
+    * integers and the coefficient is ONE sig9'd division — no float
+    * accumulates anywhere (the ksDistance convention).
+    *
+    * Plan: the [[percentRank]] two-phase binned prefix sum with a
+    * second (value-weighted) accumulator — distinct-value collapse,
+    * equi-width bins, within-bin running sums on bounded (group, bin)
+    * partitions, cross-bin bases folded in one O(nBins) array per
+    * group. No per-group global-order window at any size.
+    *
+    * @return per group: (keys..., n, total, gini) — gini NULL when
+    *         total = 0 (all-zero group) or n = 0 */
+  def gini(df: DataFrame, keyCols: Seq[String], valCol: String,
+      nBins: Int = 1024): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val keys = keyCols.map(col)
+    val counts = df.filter(col(valCol).isNotNull)
+      .groupBy(keys :+ col(valCol).cast("long").as("s"): _*)
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val mm = counts.groupBy(keys: _*)
+      .agg(min(col("s")).as("lo"), max(col("s")).as("hi"),
+        sum(col("c")).as("n"),
+        sum(col("s").cast(dec) * col("c").cast(dec)).as("tot"))
+    val binned = counts.join(broadcast(mm), keyCols)
+      .withColumn("bin",
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(lit(nBins - 1L),
+            floor((col("s") - col("lo")).cast("double")
+              / ((col("hi") - col("lo")).cast("double") / nBins))
+              .cast("long"))))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys :+ col("bin"): _*).orderBy(col("s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1) // EXCLUSIVE: strictly below v
+    val sc = col("s").cast(dec) * col("c").cast(dec)
+    val within = binned
+      .withColumn("lc", coalesce(sum(col("c")).over(wIn), lit(0L)))
+      .withColumn("ls", coalesce(sum(sc).over(wIn), lit(0L).cast(dec)))
+    val bases = binned.groupBy(keys :+ col("bin"): _*)
+      .agg(sum(col("c")).as("bc"), sum(sc).as("bs"))
+      .groupBy(keys: _*)
+      .agg(array_sort(collect_list(struct(col("bin"), col("bc"),
+        col("bs")))).as("arr"))
+      .select(keys :+ explode(transform(col("arr"), (x, i) =>
+        struct(x.getField("bin").as("bin"),
+          aggregate(slice(col("arr"), lit(1), i), lit(0L),
+            (acc, e) => acc + e.getField("bc")).as("basec"),
+          aggregate(slice(col("arr"), lit(1), i), lit(0L).cast(dec),
+            (acc, e) => acc + e.getField("bs")).as("bases")))).as("x"): _*)
+      .select(keys :+ col("x.bin").as("bin") :+ col("x.basec").as("basec") :+
+        col("x.bases").as("bases"): _*)
+    within.join(bases, keyCols :+ "bin")
+      .withColumn("term", col("c").cast(dec) *
+        (col("s").cast(dec) * (col("basec") + col("lc")).cast(dec) -
+          (col("bases") + col("ls"))))
+      .groupBy(keys: _*)
+      .agg(first(col("n")).cast("long").as("n"),
+        first(col("tot")).as("totd"), sum(col("term")).as("t"))
+      .select(keys :+ col("n") :+ col("totd").cast("long").as("total") :+
+        when(col("n") > 0 && col("totd") > 0, graft.queries.Q.sig9(
+          col("t").cast("double") /
+            (col("n").cast(dec) * col("totd")).cast("double")))
+          .as("gini"): _*)
+  }
+
   def schemaDiff(oldDf: DataFrame, newDf: DataFrame): DataFrame = {
     val spark = oldDf.sparkSession
     import spark.implicits._

@@ -793,7 +793,45 @@ object CorpusQueries {
       |  CAST(least(9, (r.n_below * 10) // t.n) AS BIGINT) AS bin
       |FROM r JOIN t USING (lang)""".stripMargin
 
+  // ===== Gini concentration ===========================================
+
+  /** Per-source Gini coefficient of document sizes (n_chars) — "is
+    * this source's character mass spread evenly or held by a few giant
+    * documents?" The exact pairwise-difference form: T and n·S are
+    * exact integers, one sig9'd division per source. Oracle = the
+    * naive strictly-below window over distinct sizes, per source. */
+  private val giniQ: QFn = (s, d) =>
+    graft.ext.Profile.gini(
+      Tables.documents(s, d).select(col("source"), col("n_chars")),
+      Seq("source"), "n_chars")
+
+  private val giniSql =
+    s"""WITH c AS (
+       |  SELECT source, n_chars AS s, CAST(count(*) AS BIGINT) AS c
+       |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+       |p AS (
+       |  SELECT source, s, c,
+       |    COALESCE(SUM(c) OVER w, 0) AS nb,
+       |    COALESCE(SUM(CAST(s AS DECIMAL(38,0)) * c) OVER w,
+       |      CAST(0 AS DECIMAL(38,0))) AS sb
+       |  FROM c
+       |  WINDOW w AS (PARTITION BY source ORDER BY s
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+       |t AS (
+       |  SELECT source, CAST(sum(c) AS BIGINT) AS n,
+       |    CAST(sum(CAST(s AS DECIMAL(38,0)) * c) AS DECIMAL(38,0)) AS tot,
+       |    CAST(sum(CAST(c AS DECIMAL(38,0)) *
+       |      (CAST(s AS DECIMAL(38,0)) * nb - sb)) AS DECIMAL(38,0)) AS tt
+       |  FROM p GROUP BY 1)
+       |SELECT source, n, CAST(tot AS BIGINT) AS total,
+       |  CASE WHEN n > 0 AND tot > 0 THEN
+       |    ${Q.sqlSig9("CAST(tt AS DOUBLE) / " +
+           "CAST(CAST(n AS DECIMAL(38,0)) * tot AS DOUBLE)")}
+       |  END AS gini
+       |FROM t""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q_x_gini" -> giniQ,
     "q_x_budget_select" -> budgetSelectQ,
     "q_x_quantize" -> quantizeQ,
     "q_x_weighted_sample" -> weightedSampleQ,
@@ -816,6 +854,7 @@ object CorpusQueries {
     "q_x_rrf" -> rrfQ)
 
   val oracles: Map[String, String] = Map(
+    "q_x_gini" -> giniSql,
     "q_x_budget_select" -> budgetSelectSql,
     "q_x_quantize" -> quantizeSql,
     "q_x_weighted_sample" -> weightedSampleSql,

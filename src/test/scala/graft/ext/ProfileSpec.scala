@@ -213,4 +213,34 @@ class ProfileSpec extends SparkSpec {
     assert(got.values.exists(_.isEmpty), "some bins must be unmapped")
     assert(got(1.0) == Some(1.0))
   }
+
+  test("gini: matches the O(n^2) pairwise definition; ties exact") {
+    val xs = Map(
+      "a" -> Seq(3L, 3L, 10L, 1L, 7L, 3L), // ties
+      "b" -> Seq(5L, 5L, 5L), // perfectly equal -> 0
+      "c" -> Seq(0L, 0L, 12L)) // one row holds everything -> 2/3
+    val df = xs.toSeq.flatMap { case (g, vs) => vs.map(g -> _) }
+      .toDF("g", "x").repartition(4)
+    val got = Profile.gini(df, Seq("g"), "x", nBins = 4)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    xs.foreach { case (g, vs) =>
+      val n = vs.length
+      val s = vs.sum
+      val pair = (for (i <- vs; j <- vs) yield math.abs(i - j)).sum
+      val want = graft.functions.GraftMath.sig9(
+        pair.toDouble / (2.0 * n * s))
+      assert(got(g)._1 === n.toLong && got(g)._2 === s)
+      assert(got(g)._3 === Some(want), g)
+    }
+    assert(got("b")._3 === Some(0.0))
+    assert(math.abs(got("c")._3.get - 2.0 / 3.0) < 1e-9)
+  }
+
+  test("gini: all-zero group yields NULL, not a division error") {
+    val got = Profile.gini(Seq(("z", 0L), ("z", 0L)).toDF("g", "x"),
+      Seq("g"), "x").collect()
+    assert(got.length === 1 && got.head.isNullAt(3))
+  }
 }
