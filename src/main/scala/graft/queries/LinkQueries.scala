@@ -453,7 +453,52 @@ object LinkQueries {
       |  valid_to IS NULL AS is_current
       |FROM v""".stripMargin
 
+  // ===== market-basket association rules ==============================
+
+  /** Frequent part pairs across orders (support >= 2 baskets), with
+    * confidence and lift — "ordered together" mining over the
+    * lineitem incidence. The a-priori item prune runs before the
+    * quadratic within-basket join; all metrics are single sig9'd
+    * divisions of exact counts. */
+  private val assocMinSupport = 2L
+
+  private val assocQ: QFn = (s, d) =>
+    graft.ext.Basket.pairRules(
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")),
+      "l_orderkey", "l_partkey", minSupport = assocMinSupport)
+
+  private val assocSql =
+    s"""WITH tx AS (
+       |  SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+       |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+       |ic AS (
+       |  SELECT i, CAST(count(*) AS BIGINT) AS c FROM tx GROUP BY 1
+       |  HAVING count(*) >= $assocMinSupport),
+       |nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n_baskets
+       |  FROM tx),
+       |pt AS (SELECT tx.b, tx.i, ic.c FROM tx JOIN ic USING (i)),
+       |pp AS (
+       |  SELECT l.i AS item1, r.i AS item2,
+       |    CAST(count(*) AS BIGINT) AS pair_n,
+       |    CAST(min(l.c) AS BIGINT) AS item1_n,
+       |    CAST(min(r.c) AS BIGINT) AS item2_n
+       |  FROM pt l JOIN pt r ON l.b = r.b AND l.i < r.i
+       |  GROUP BY 1, 2 HAVING count(*) >= $assocMinSupport)
+       |SELECT item1, item2, pair_n, item1_n, item2_n, nb.n_baskets,
+       |  ${Q.sqlSig9("CAST(pair_n AS DOUBLE) / CAST(nb.n_baskets AS DOUBLE)")}
+       |    AS support,
+       |  ${Q.sqlSig9("CAST(pair_n AS DOUBLE) / CAST(item1_n AS DOUBLE)")}
+       |    AS conf_1to2,
+       |  ${Q.sqlSig9("CAST(pair_n AS DOUBLE) / CAST(item2_n AS DOUBLE)")}
+       |    AS conf_2to1,
+       |  ${Q.sqlSig9("CAST(CAST(pair_n AS DECIMAL(38,0)) * nb.n_baskets " +
+           "AS DOUBLE) / CAST(CAST(item1_n AS DECIMAL(38,0)) * item2_n " +
+           "AS DOUBLE)")} AS lift
+       |FROM pp CROSS JOIN nb""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q_x_assoc_rules" -> assocQ,
     "q_x_fuzzy_join" -> fuzzyJoin,
     "q_x_contain_join" -> containQ,
     "q_x_edit_join" -> editJoin,
@@ -465,6 +510,7 @@ object LinkQueries {
     "q_x_scd2" -> scd2)
 
   val oracles: Map[String, String] = Map(
+    "q_x_assoc_rules" -> assocSql,
     "q_x_fuzzy_join" -> fuzzyJoinSql,
     "q_x_contain_join" -> containSql,
     "q_x_edit_join" -> editJoinSql,
