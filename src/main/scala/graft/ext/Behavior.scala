@@ -163,4 +163,90 @@ object Behavior {
       .select("cohort_day", "day_offset", "n_active", "cohort_size",
         "retention")
   }
+
+  /** Kaplan-Meier survival curve of time-to-first-`targetType` — the
+    * censoring-aware "how long until a user converts" estimator that
+    * plain conversion rates get wrong (users who have not converted
+    * YET are right-censored at their last activity, not failures).
+    * Per user: duration = days from first event to first target event
+    * (observed) or to last seen (censored); then at each distinct
+    * duration t with d_t observed events and n_t at risk,
+    * S(t) = ∏_{t' ≤ t} (1 − d_{t'}/n_{t'}).
+    *
+    * Scale shape: ONE user-keyed aggregate collapses the stream, one
+    * duration-keyed aggregate collapses users to the BOUNDED
+    * per-duration table (|distinct durations| ≤ the day span of the
+    * log), and the risk/product recursion folds inside a single
+    * O(B²)-work array row (the ksDistance bases idiom) — no
+    * unpartitioned window over anything unbounded.
+    *
+    * Determinism: n/d/c are exact BIGINTs; each factor is one IEEE
+    * division of exact-cast integers, its log sig9'd, the running sum
+    * kept in DECIMAL(38,15) (order-free), and the final
+    * exp(round-cast) sig9'd — the cusum/decay numeric contract. A
+    * factor hitting exactly zero (n_t = d_t) pins survival to 0.0
+    * from that duration on (the log path would be -Inf); the flag
+    * propagates through the same inclusive prefix.
+    *
+    * @return one row per distinct duration: (dur_days, n_risk,
+    *         n_events, n_censored, survival) */
+  def kaplanMeier(events: DataFrame, userCol: String, tsCol: String,
+      eventTypeCol: String, targetType: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+    import graft.queries.Q
+    val decAcc = DecimalType(25, 15)
+    val perUser = events.groupBy(col(userCol).as("user"))
+      .agg(min(col(tsCol)).as("t0"),
+        min(when(col(eventTypeCol) === targetType, col(tsCol))).as("tp"),
+        max(col(tsCol)).as("tl"))
+      .select(
+        when(col("tp").isNotNull,
+          datediff(to_date(col("tp")), to_date(col("t0"))))
+          .otherwise(datediff(to_date(col("tl")), to_date(col("t0"))))
+          .cast(LongType).as("dur"),
+        col("tp").isNotNull.as("obs"))
+    val byDur = perUser.groupBy(col("dur"))
+      .agg(sum(when(col("obs"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("obs"), 0L).otherwise(1L)).as("c"))
+    val packed = byDur.agg(
+      array_sort(collect_list(struct(col("dur"), col("d"), col("c"))))
+        .as("arr"),
+      sum(col("d") + col("c")).as("n"))
+    // pass 1: at-risk counts (exclusive prefix) + per-duration log term
+    val withRisk = packed.select(
+      transform(col("arr"), (x, i) => {
+        val removed = aggregate(slice(col("arr"), lit(1), i), lit(0L),
+          (acc, e) => acc + e.getField("d") + e.getField("c"))
+        val nRisk = col("n") - removed
+        val d = x.getField("d")
+        struct(x.getField("dur").as("dur"), d.as("d"),
+          x.getField("c").as("c"), nRisk.as("n_risk"),
+          when(d > 0 && nRisk > d, Q.sig9(log(
+            (nRisk - d).cast(DoubleType) / nRisk.cast(DoubleType))))
+            .otherwise(lit(0.0)).as("term"),
+          (d > 0 && nRisk === d).as("hit_zero"))
+      }).as("arr2"))
+    // pass 2: inclusive running log-sum in exact decimal + zero flag
+    withRisk.select(explode(transform(col("arr2"), (x, i) =>
+      struct(x.getField("dur").as("dur"), x.getField("d").as("d"),
+        x.getField("c").as("c"), x.getField("n_risk").as("n_risk"),
+        aggregate(slice(col("arr2"), lit(1), i + 1),
+          lit(0L).cast(decAcc),
+          // (25,15) + (25,15) -> (26,15): precision grows but the
+          // SCALE survives (at (38,15) Spark would cap precision and
+          // shave the 15th decimal, silently diverging from DuckDB's
+          // exact window sum); the cast back to (25,15) is exact for
+          // these magnitudes (|cumlog| bounded by B·|ln f|max ≪ 10^10)
+          (acc, e) => (acc + e.getField("term").cast(decAcc)).cast(decAcc))
+          .as("cumlog"),
+        aggregate(slice(col("arr2"), lit(1), i + 1), lit(false),
+          (acc, e) => acc || e.getField("hit_zero")).as("zero"))))
+      .as("r"))
+      .select(col("r.dur").as("dur_days"),
+        col("r.n_risk").cast(LongType).as("n_risk"),
+        col("r.d").as("n_events"), col("r.c").as("n_censored"),
+        when(col("r.zero"), lit(0.0))
+          .otherwise(Q.sig9(exp(Q.decOut(col("r.cumlog"), 12))))
+          .as("survival"))
+  }
 }

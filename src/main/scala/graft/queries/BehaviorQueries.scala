@@ -194,7 +194,66 @@ object BehaviorQueries {
        |  ${Q.sqlDecOut("cum_dec", 6)} AS cum_rev
        |FROM wd""".stripMargin
 
+  // ===== Kaplan-Meier time-to-conversion ==============================
+
+  /** Survival curve of days-to-first-purchase per user, censoring
+    * non-converters at their last activity — the estimator a plain
+    * conversion rate gets wrong. Factors are exact integer ratios;
+    * the log-product runs in decimal; survival pins to 0.0 if a
+    * factor hits zero exactly. */
+  private val kmQ: QFn = (s, d) =>
+    graft.ext.Behavior.kaplanMeier(Tables.events(s, d),
+      "user_id", "ts", "event_type", targetType = "purchase")
+
+  private val kmSql =
+    s"""WITH pu AS (
+       |  SELECT user_id, min(ts) AS t0,
+       |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp,
+       |    max(ts) AS tl
+       |  FROM events GROUP BY 1),
+       |du AS (
+       |  SELECT CAST(CASE WHEN tp IS NOT NULL
+       |      THEN date_diff('day', CAST(t0 AS DATE), CAST(tp AS DATE))
+       |      ELSE date_diff('day', CAST(t0 AS DATE), CAST(tl AS DATE))
+       |      END AS BIGINT) AS dur,
+       |    tp IS NOT NULL AS obs
+       |  FROM pu),
+       |bd AS (
+       |  SELECT dur,
+       |    CAST(sum(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT) AS d,
+       |    CAST(sum(CASE WHEN obs THEN 0 ELSE 1 END) AS BIGINT) AS c
+       |  FROM du GROUP BY 1),
+       |nt AS (SELECT CAST(sum(d + c) AS BIGINT) AS n FROM bd),
+       |rk AS (
+       |  SELECT dur, d, c,
+       |    nt.n - COALESCE(SUM(d + c) OVER (ORDER BY dur
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS n_risk
+       |  FROM bd, nt),
+       |tm AS (
+       |  SELECT dur, d, c, n_risk,
+       |    CASE WHEN d > 0 AND n_risk > d THEN
+       |      ${Q.sqlSig9("ln(CAST(n_risk - d AS DOUBLE) / " +
+           "CAST(n_risk AS DOUBLE))")}
+       |    ELSE 0.0 END AS term,
+       |    CASE WHEN d > 0 AND n_risk = d THEN 1 ELSE 0 END AS hz
+       |  FROM rk),
+       |cm AS (
+       |  SELECT dur, d, c, n_risk,
+       |    SUM(CAST(term AS DECIMAL(38,15))) OVER (ORDER BY dur
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cl,
+       |    MAX(hz) OVER (ORDER BY dur
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS z
+       |  FROM tm)
+       |SELECT dur AS dur_days, CAST(n_risk AS BIGINT) AS n_risk,
+       |  d AS n_events, c AS n_censored,
+       |  CASE WHEN z = 1 THEN 0.0
+       |    ELSE ${Q.sqlSig9(s"exp(${Q.sqlDecOut("cl", 12)})")} END
+       |    AS survival
+       |FROM cm""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q_x_kaplan_meier" -> kmQ,
     "q_x_ltv" -> ltvQ,
     "q_x_multitouch" -> multiTouchQ,
     "q_x_funnel" -> funnel,
@@ -203,6 +262,7 @@ object BehaviorQueries {
     "q_x_decay" -> decayQ)
 
   val oracles: Map[String, String] = Map(
+    "q_x_kaplan_meier" -> kmSql,
     "q_x_ltv" -> ltvSql,
     "q_x_multitouch" -> multiTouchSql,
     "q_x_funnel" -> funnelSql,

@@ -162,4 +162,59 @@ class BehaviorSpec extends SparkSpec {
     assert(r(("2024-01-01", 2L)) === ((1L, 1.0, 18.5)))
     assert(r(("2024-01-02", 0L)) === ((1L, 7.0, 7.0)))
   }
+
+  // ===== Kaplan-Meier =================================================
+
+  /** Local replica of the documented numeric chain: sig9'd log
+    * factors, exact decimal running sum, round(12)-cast, sig9(exp). */
+  private def kmSurv(factors: Seq[(Long, Long)]): Seq[Double] = {
+    import graft.functions.GraftMath.sig9
+    var cum = BigDecimal(0)
+    factors.map { case (nRisk, d) =>
+      if (d > 0)
+        cum += BigDecimal(sig9(math.log((nRisk - d).toDouble / nRisk)))
+          .setScale(15, BigDecimal.RoundingMode.HALF_UP)
+      sig9(math.exp(sig9( // decOut sig9s the round-cast before exp
+        cum.setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    }
+  }
+
+  test("kaplanMeier: textbook curve with censoring and tied events") {
+    def ts(x: String) = java.sql.Timestamp.valueOf(x + " 10:00:00")
+    val df = Seq(
+      // u1, u2 convert on day 2 (tied); u3 on day 5; u4, u5 censored
+      ("u1", ts("2024-01-01"), "visit"), ("u1", ts("2024-01-03"), "purchase"),
+      ("u2", ts("2024-01-01"), "visit"), ("u2", ts("2024-01-03"), "purchase"),
+      ("u3", ts("2024-01-01"), "visit"), ("u3", ts("2024-01-06"), "purchase"),
+      ("u4", ts("2024-01-01"), "visit"), ("u4", ts("2024-01-04"), "visit"),
+      ("u5", ts("2024-01-01"), "visit"), ("u5", ts("2024-01-08"), "visit"))
+      .toDF("user_id", "ts", "event_type").repartition(3)
+    val got = Behavior.kaplanMeier(df, "user_id", "ts", "event_type",
+        "purchase")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    // duration table: d=2 (2 events, risk 5), d=3 (censor, risk 3),
+    // d=5 (1 event, risk 2), d=7 (censor, risk 1)
+    val surv = kmSurv(Seq((5L, 2L), (3L, 0L), (2L, 1L), (1L, 0L)))
+    assert(got(2L) === ((5L, 2L, 0L, surv(0))))
+    assert(got(3L) === ((3L, 0L, 1L, surv(1))))
+    assert(got(5L) === ((2L, 1L, 0L, surv(2))))
+    assert(got(7L) === ((1L, 0L, 1L, surv(3))))
+    // sanity: the curve is ~0.6 then ~0.3
+    assert(math.abs(got(2L)._4 - 0.6) < 1e-9)
+    assert(math.abs(got(5L)._4 - 0.3) < 1e-9)
+  }
+
+  test("kaplanMeier: a zero factor pins survival to 0.0, no -Inf log") {
+    def ts(x: String) = java.sql.Timestamp.valueOf(x + " 10:00:00")
+    val df = Seq(
+      ("a", ts("2024-01-01"), "visit"), ("a", ts("2024-01-02"), "purchase"),
+      ("b", ts("2024-01-01"), "visit"), ("b", ts("2024-01-02"), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val got = Behavior.kaplanMeier(df, "user_id", "ts", "event_type",
+        "purchase")
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(got === Map(1L -> 0.0)) // n_risk = d = 2 at dur 1
+  }
 }
