@@ -298,4 +298,62 @@ object TextStats {
       .filter(col("cnt") * k > col("n_total"))
       .select(col("tok"), col("cnt"), col("n_total"))
   }
+
+  /** Vocabulary-growth (Heaps-law) curve: cumulative distinct-token
+    * count vs cumulative token count at `checkpoints` evenly spaced
+    * points of the ingest order (doc_id ascending) — the standard
+    * "is this corpus still contributing new vocabulary, or are we
+    * re-crawling the same material?" saturation diagnostic before
+    * adding a source to the mix.
+    *
+    * The trick that keeps it one-pass: a token's contribution to
+    * EVERY prefix is fully determined by its FIRST occurrence, so
+    * cumulative-distinct-at-p collapses to `count(first_doc <= p)` —
+    * one min aggregate over the exploded stream, never a
+    * distinct-per-prefix rescan. Document positions come from
+    * [[Profile.percentRank]]'s binned prefix sums (no global-order
+    * window); the J checkpoint thresholds are one tiny broadcast, and
+    * both cumulative sums are range joins against it (fan-out J, a
+    * constant).
+    *
+    * All counts are exact BIGINTs — no float contract at all.
+    *
+    * @return one row per checkpoint j = 1..checkpoints: (j, n_docs,
+    *         cp_doc_id, cum_tokens, cum_vocab) */
+  def vocabGrowth(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", checkpoints: Int = 10): DataFrame = {
+    require(checkpoints >= 1, s"checkpoints must be >= 1, got $checkpoints")
+    val perDoc = docs.select(col(idCol).cast("long").as("doc_id"),
+        Hashing.tokens(col(textCol)).as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("ntok"),
+        col("tk"))
+      .localCheckpoint() // read three times (positions, counts, explode)
+    // position of each doc in ingest order, windowlessly
+    val pos = Profile.percentRank(
+        perDoc.select(lit(1).as("__g"), col("doc_id")),
+        Seq("__g"), "doc_id")
+      .select(col("s").cast("long").as("doc_id"),
+        (col("n_below") + 1).as("pos"))
+    val n = perDoc.agg(count(lit(1)).as("n"))
+    // checkpoint thresholds: pos_j = (j*N) div J, j = 1..J
+    val cps = n.select(explode(sequence(lit(1L), lit(checkpoints.toLong)))
+        .as("j"), col("n"))
+      .withColumn("posj", expr(s"(j * n) div $checkpoints"))
+      .join(pos, col("posj") === col("pos"))
+      .select(col("j"), col("posj").as("n_docs"),
+        col("doc_id").as("cp_doc_id"))
+    val firstPos = perDoc
+      .select(col("doc_id"), explode(col("tk")).as("tok"))
+      .groupBy(col("tok")).agg(min(col("doc_id")).as("fd"))
+    val tokCum = perDoc.join(broadcast(cps),
+        col("doc_id") <= col("cp_doc_id"))
+      .groupBy(col("j")).agg(sum(col("ntok")).as("cum_tokens"))
+    val vocCum = firstPos.join(broadcast(cps),
+        col("fd") <= col("cp_doc_id"))
+      .groupBy(col("j")).agg(count(lit(1)).as("cum_vocab"))
+    cps.join(tokCum, Seq("j"), "left").join(vocCum, Seq("j"), "left")
+      .select(col("j"), col("n_docs"), col("cp_doc_id"),
+        coalesce(col("cum_tokens"), lit(0L)).as("cum_tokens"),
+        coalesce(col("cum_vocab"), lit(0L)).as("cum_vocab"))
+  }
 }

@@ -830,7 +830,50 @@ object CorpusQueries {
        |  END AS gini
        |FROM t""".stripMargin
 
+  // ===== vocabulary growth (Heaps law) ================================
+
+  /** Cumulative vocabulary vs cumulative tokens at 10 ingest-order
+    * checkpoints — the saturation diagnostic run before adding a
+    * source. All exact integers; the oracle recomputes with naive
+    * windows + correlated prefix joins. */
+  private val vocabGrowthQ: QFn = (s, d) =>
+    graft.ext.TextStats.vocabGrowth(Tables.documents(s, d),
+      "doc_id", "text", checkpoints = 10)
+
+  private val vocabGrowthSql =
+    s"""WITH d AS (
+       |  SELECT doc_id, CAST(len(list_filter(string_split(text, ' '),
+       |    t -> t <> '')) AS BIGINT) AS ntok
+       |  FROM documents),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+       |p AS (SELECT doc_id,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY doc_id) AS BIGINT) AS pos
+       |  FROM d),
+       |cp AS (
+       |  SELECT CAST(js.j AS BIGINT) AS j, (js.j * n.n) // 10 AS posj
+       |  FROM (SELECT unnest(range(1, 11)) AS j) js, n),
+       |cpd AS (
+       |  SELECT cp.j, CAST(cp.posj AS BIGINT) AS n_docs,
+       |    p.doc_id AS cp_doc_id
+       |  FROM cp JOIN p ON p.pos = cp.posj),
+       |fp AS (
+       |  SELECT tok, min(doc_id) AS fd FROM (
+       |    SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+       |      t -> t <> '')) AS tok
+       |    FROM documents) GROUP BY 1),
+       |tc AS (
+       |  SELECT cpd.j, CAST(sum(d.ntok) AS BIGINT) AS cum_tokens
+       |  FROM cpd JOIN d ON d.doc_id <= cpd.cp_doc_id GROUP BY 1),
+       |vc AS (
+       |  SELECT cpd.j, CAST(count(*) AS BIGINT) AS cum_vocab
+       |  FROM cpd JOIN fp ON fp.fd <= cpd.cp_doc_id GROUP BY 1)
+       |SELECT cpd.j, cpd.n_docs, cpd.cp_doc_id,
+       |  COALESCE(tc.cum_tokens, 0) AS cum_tokens,
+       |  COALESCE(vc.cum_vocab, 0) AS cum_vocab
+       |FROM cpd LEFT JOIN tc USING (j) LEFT JOIN vc USING (j)""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q_x_vocab_growth" -> vocabGrowthQ,
     "q_x_gini" -> giniQ,
     "q_x_budget_select" -> budgetSelectQ,
     "q_x_quantize" -> quantizeQ,
@@ -854,6 +897,7 @@ object CorpusQueries {
     "q_x_rrf" -> rrfQ)
 
   val oracles: Map[String, String] = Map(
+    "q_x_vocab_growth" -> vocabGrowthSql,
     "q_x_gini" -> giniSql,
     "q_x_budget_select" -> budgetSelectSql,
     "q_x_quantize" -> quantizeSql,

@@ -174,4 +174,36 @@ class TextStatsSpec extends SparkSpec {
       .as[(String, Long, Long, Option[Double])].collect().toSet
     assert(run(1) == run(3))
   }
+
+  test("vocabGrowth: cumulative distinct == first-occurrence collapse") {
+    // 4 docs, checkpoints at halves: after 2 docs and after 4
+    val docs = Seq(
+      (10L, "a b a"),      // vocab {a,b}, 3 toks
+      (20L, "b c"),        // +c -> 3 vocab, 5 toks
+      (30L, "c c d d"),    // +d -> 4 vocab, 9 toks
+      (40L, "a e"))        // +e -> 5 vocab, 11 toks
+      .toDF("doc_id", "text").repartition(3)
+    val got = TextStats.vocabGrowth(docs, "doc_id", "text",
+        checkpoints = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got(1L) === ((2L, 20L, 5L, 3L)))
+    assert(got(2L) === ((4L, 40L, 11L, 5L)))
+  }
+
+  test("vocabGrowth: monotone in both axes on a larger random-ish mix") {
+    val docs = (1 to 60).map(i =>
+      (i.toLong, Seq.tabulate(5)(k => s"t${(i * 7 + k * 13) % 40}")
+        .mkString(" ")))
+      .toDF("doc_id", "text").repartition(4)
+    val rows = TextStats.vocabGrowth(docs, "doc_id", "text", 10)
+      .collect().sortBy(_.getLong(0))
+      .map(r => (r.getLong(3), r.getLong(4)))
+    assert(rows.length === 10)
+    assert(rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq)
+    assert(rows.map(_._2).toSeq == rows.map(_._2).sorted.toSeq)
+    assert(rows.last._1 === 300L) // 60 docs x 5 tokens
+    assert(rows.last._2 === 40L)  // full 40-token vocabulary reached
+  }
 }
