@@ -947,4 +947,60 @@ object Similarity {
         cosine(dot(col("qv"), col("cv")), col("qn"), col("cn")), "score")
       .filter(col("score") >= threshold)
   }
+
+  /** Greedy k-center (farthest-first traversal) selection — the
+    * classic 2-approximation of the metric k-center coverage problem
+    * (Gonzalez 1985), used as a DIVERSITY sampler for training data:
+    * each round keeps the point farthest from everything already
+    * kept, so k rounds produce a spread-out core-set and the returned
+    * `dist` column is the (squared) covering-radius sequence.
+    *
+    * Scale shape: k corpus passes, each ONE map-side projection
+    * (least(md, dist-to-newest-center)) plus ONE TakeOrdered(1) —
+    * the newest center rides into the plan as a broadcast literal,
+    * nothing shuffles, and lineage is cut per round through
+    * [[Checkpoints.cut]] (durable when `checkpointDir` is given — the
+    * Graph convention). The k driver-side single-row collects are the
+    * bounded artifact the operator exists to produce (k = O(10³) at
+    * most), same class as the BPE merge table.
+    *
+    * Determinism: every squared distance is the fixed IEEE chain
+    * (nsq(x) + nsq(c)) − 2·dot(x, c) over the native left-to-right
+    * dot fold (the sqlFold contract), so md values are bit-identical
+    * across engines and partitionings; argmax ties break to the
+    * smallest id; only the REPORTED dist is sig9'd. First center =
+    * smallest id (deterministic seed). If k exceeds the number of
+    * distinct points the tail re-selects deterministically (md = 0
+    * everywhere) — callers want k ≤ |distinct|.
+    *
+    * @return k rows: (rnk, id, dist) — dist NULL for the seed row */
+  def kCenterSelect(emb: DataFrame, idCol: String, vecCol: String,
+      k: Int, checkpointDir: Option[String] = None): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val base = Checkpoints.cut(
+      emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v")),
+      checkpointDir)
+    def sqd(v: Column, c: Seq[Float]): Column = {
+      val cl = typedlit(c)
+      (normSq(v) + normSq(cl)) - lit(2.0) * dot(v, cl)
+    }
+    val first = base.orderBy(col("id").asc).limit(1).head()
+    var picks = Vector((1L, first.getLong(0), Option.empty[Double]))
+    var cvec = first.getSeq[Float](1)
+    var state = Checkpoints.cut(
+      base.withColumn("md", sqd(col("v"), cvec)), checkpointDir)
+    for (i <- 2 to k) {
+      val nxt = state.orderBy(col("md").desc, col("id").asc)
+        .limit(1).head()
+      picks :+= ((i.toLong, nxt.getLong(0),
+        Some(graft.functions.GraftMath.sig9(nxt.getDouble(2)))))
+      cvec = nxt.getSeq[Float](1)
+      state = Checkpoints.cut(
+        state.withColumn("md", least(col("md"), sqd(col("v"), cvec))),
+        checkpointDir)
+    }
+    picks.toDF("rnk", "id", "dist")
+  }
 }

@@ -524,6 +524,50 @@ object ExtQueries {
     * as generated CTEs — argmax of rel, then argmax of
     * lambda·rel − (1−lambda)·max-sim-to-selected over the shrinking
     * remainder — adjudicating the sequential selection itself. */
+  // ===== greedy k-center diversity selection ==========================
+
+  /** Farthest-first core-set over the embedding table: 8 spread-out
+    * representatives, seeded at the smallest vec_id. Every distance is
+    * the fixed IEEE (nsq+nsq)−2·dot chain over the shared fold
+    * contract, so the per-round argmax adjudicates bit-for-bit; the
+    * oracle is the same greedy unrolled as 8 MATERIALIZED CTE rounds
+    * (the MMR convention — DuckDB's default CTE inlining re-expands
+    * the d-chain exponentially). */
+  private val kcK = 8
+
+  private val kcenterQ: QFn = (s, d) =>
+    graft.ext.Similarity.kCenterSelect(Tables.embeddings(s, d),
+        "vec_id", "embedding", k = kcK)
+      .select(col("rnk"), col("id").as("vec_id"), col("dist"))
+
+  private val kcenterSql = {
+    def sqd(a: String, c: String) =
+      s"((${Q.sqlNsq(a)} + ${Q.sqlNsq(c)}) - 2 * ${Q.sqlDot(a, c)})"
+    val blocks = new StringBuilder(
+      s"""e AS (SELECT vec_id, embedding FROM embeddings),
+         |c1 AS (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT 1),
+         |d1 AS MATERIALIZED (
+         |  SELECT e.vec_id, e.embedding,
+         |    ${sqd("e.embedding", "c1.embedding")} AS md
+         |  FROM e, c1)""".stripMargin)
+    for (i <- 2 to kcK) {
+      blocks.append(
+        s""",
+           |c$i AS (SELECT vec_id, embedding, md FROM d${i - 1}
+           |  ORDER BY md DESC, vec_id ASC LIMIT 1),
+           |d$i AS MATERIALIZED (
+           |  SELECT d.vec_id, d.embedding,
+           |    LEAST(d.md, ${sqd("d.embedding", s"c$i.embedding")}) AS md
+           |  FROM d${i - 1} d, c$i)""".stripMargin)
+    }
+    val head = "SELECT CAST(1 AS BIGINT) AS rnk, c1.vec_id, " +
+      "CAST(NULL AS DOUBLE) AS dist FROM c1"
+    val sel = head +: (2 to kcK).map(i =>
+      s"SELECT CAST($i AS BIGINT), c$i.vec_id, " +
+        s"${Q.sqlSig9(s"c$i.md")} FROM c$i")
+    s"WITH $blocks\n${sel.mkString("\nUNION ALL ")}"
+  }
+
   private val mmrQ: QFn = (s, d) => {
     val emb = Tables.embeddings(s, d)
     val top = Similarity.bruteTopK(emb.filter(col("vec_id") < 20), emb, 20)
@@ -1707,6 +1751,7 @@ object ExtQueries {
     "q_x_jaccard_nn" -> jaccardNn,
     "q_x_ann_brute" -> annBrute,
     "q_x_mmr" -> mmrQ,
+    "q_x_kcenter" -> kcenterQ,
     "q_x_embed_neardup" -> embedNearDup,
     "q_x_semdedup" -> semDedupQ,
     "q_x_ann_lsh_recall" -> annLshRecall,
@@ -1754,6 +1799,7 @@ object ExtQueries {
     "q_x_jaccard_nn" -> jaccardNnSql,
     "q_x_ann_brute" -> annBruteSql,
     "q_x_mmr" -> mmrSql,
+    "q_x_kcenter" -> kcenterSql,
     "q_x_embed_neardup" -> embedNearDupSql,
     "q_x_semdedup" -> semDedupSql,
     "q_x_ann_lsh_recall" -> annLshRecallSql,

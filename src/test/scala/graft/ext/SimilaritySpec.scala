@@ -512,4 +512,47 @@ class SimilaritySpec extends SparkSpec {
     // scaled copy has cosine exactly ~1 with its original
     (0L until 5L).foreach(id => assert(pairs.contains((id + 1000, id))))
   }
+
+  test("kCenterSelect: farthest-first picks in the documented order " +
+      "with exact IEEE covering radii") {
+    import spark.implicits._
+    val pts = Seq(
+      (1L, Array(0.0f, 0.0f)), (2L, Array(0.1f, 0.0f)),
+      (3L, Array(10.0f, 0.0f)), (4L, Array(5.0f, 5.0f)),
+      (5L, Array(0.0f, 9.0f)))
+    val got = Similarity.kCenterSelect(
+        pts.toDF("vec_id", "embedding").repartition(3),
+        "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double])))
+    // replica of the engine chain: LTR double folds over the floats
+    def nsq(a: Array[Float]) = a.foldLeft(0.0)((s, x) =>
+      s + x.toDouble * x.toDouble)
+    def dot(a: Array[Float], b: Array[Float]) =
+      a.zip(b).foldLeft(0.0)((s, p) =>
+        s + p._1.toDouble * p._2.toDouble)
+    def sqd(a: Array[Float], b: Array[Float]) =
+      (nsq(a) + nsq(b)) - 2.0 * dot(a, b)
+    val m = pts.toMap
+    val s9 = graft.functions.GraftMath.sig9 _
+    // greedy: seed 1, then 3 (d 100), 5 (81), 4 (41), 2 (0.01)
+    assert(got.map(_._2).toSeq === Seq(1L, 3L, 5L, 4L, 2L))
+    assert(got(0)._3.isEmpty)
+    assert(got(1)._3 === Some(s9(sqd(m(3L), m(1L)))))
+    assert(got(2)._3 === Some(s9(sqd(m(5L), m(1L)))))
+    assert(got(3)._3 === Some(s9(math.min(sqd(m(4L), m(1L)),
+      math.min(sqd(m(4L), m(3L)), sqd(m(4L), m(5L)))))))
+    assert(got(4)._3 === Some(s9(sqd(m(2L), m(1L)))))
+  }
+
+  test("kCenterSelect: partition-count invariant") {
+    import spark.implicits._
+    val pts = (1 to 40).map(i =>
+      (i.toLong, Array(((i * 37) % 11).toFloat, ((i * 53) % 13).toFloat)))
+    def run(parts: Int) = Similarity.kCenterSelect(
+        pts.toDF("vec_id", "embedding").repartition(parts),
+        "vec_id", "embedding", k = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(run(1) === run(7))
+  }
 }
