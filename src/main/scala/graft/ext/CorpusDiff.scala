@@ -93,4 +93,49 @@ object CorpusDiff {
         col("ns").cast("long").as("n_tok_positions"),
         col("n_vocab"))
   }
+
+  /** Per-group Shannon entropy of the token distribution (nats) plus
+    * the normalized form H / ln V — the repetitiveness profile next to
+    * [[tokenDivergence]]'s cross-source distance: low entropy = the
+    * source is dominated by few tokens (boilerplate, templating), and
+    * the normalized score compares sources with different vocabulary
+    * sizes on one [0, 1] scale.
+    *
+    * The identity H = ln N − (Σ c·ln c)/N turns the p·ln p sum into
+    * ONE token-keyed count aggregate and ONE group-keyed sum — no
+    * joins at all (p = c/N never materializes per token). Singleton
+    * tokens (c = 1) contribute exactly 0 and are skipped in both
+    * engines, which at web scale is nearly the whole vocabulary —
+    * the sum is effectively over the repeated-token head.
+    *
+    * Determinism: counts exact; each c·ln c term is sig9'd around the
+    * single libm ln and summed via dsumStable (scale 6 — terms reach
+    * c·ln c ≈ 10⁹·21, the chi2 bound); the final H and H/ln V chains
+    * are fixed IEEE ops over sig9'd values.
+    *
+    * @param toks (groupCol, tokCol: array<string>) — pre-tokenized
+    * @return one row per group: (groupCol, n_tok, n_vocab, entropy,
+    *         norm_entropy) — norm NULL when V = 1 */
+  def tokenEntropy(toks: DataFrame, groupCol: String,
+      tokCol: String): DataFrame = {
+    import graft.queries.Q
+    val ex = toks.select(col(groupCol).as("g"),
+      explode(col(tokCol)).as("tok"))
+    val cs = ex.groupBy(col("g"), col("tok")).agg(count(lit(1)).as("c"))
+    val cd = col("c").cast("double")
+    val term = when(col("c") > 1,
+      Q.sig9(cd * Q.sig9(log(cd)))).otherwise(lit(0.0))
+    val h = Q.sig9(
+      Q.sig9(log(col("n_tok").cast("double"))) -
+        col("s_clogc") / col("n_tok").cast("double"))
+    cs.groupBy(col("g"))
+      .agg(sum(col("c")).cast("long").as("n_tok"),
+        count(lit(1)).cast("long").as("n_vocab"),
+        Q.dsumStable(term, 6).as("s_clogc"))
+      .select(col("g").as(groupCol), col("n_tok"), col("n_vocab"),
+        when(col("n_tok") > 0, h).as("entropy"),
+        when(col("n_tok") > 0 && col("n_vocab") > 1, Q.sig9(
+          h / Q.sig9(log(col("n_vocab").cast("double")))))
+          .as("norm_entropy"))
+  }
 }

@@ -142,6 +142,41 @@ object CorpusQueries {
        |FROM agg""".stripMargin
   }
 
+  // ===== per-source token entropy =====================================
+
+  /** Shannon + normalized entropy of each source's token distribution
+    * — the repetitiveness gate beside the JSD distance. Identity
+    * H = ln N − (Σ c ln c)/N: two aggregates, zero joins; singleton
+    * tokens contribute exactly 0 on both engines. */
+  private val entropyQ: QFn = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("source"), Hashing.tokens(col("text")).as("tk"))
+    graft.ext.CorpusDiff.tokenEntropy(toks, "source", "tk")
+  }
+
+  private val entropySql = {
+    val term = "CASE WHEN c > 1 THEN " +
+      sqlSig9(s"CAST(c AS DOUBLE) * ${sqlSig9("ln(CAST(c AS DOUBLE))")}") +
+      " ELSE CAST(0.0 AS DOUBLE) END"
+    val h = sqlSig9(sqlSig9("ln(CAST(n_tok AS DOUBLE))") +
+      " - s_clogc / CAST(n_tok AS DOUBLE)")
+    s"""WITH $toksSql,
+       |ex AS (SELECT source AS g, unnest(tk) AS tok FROM toks),
+       |cs AS (SELECT g, tok, CAST(count(*) AS BIGINT) AS c FROM ex
+       |       GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT g, CAST(sum(c) AS BIGINT) AS n_tok,
+       |    CAST(count(*) AS BIGINT) AS n_vocab,
+       |    ${sqlDsumStable(term, 6)} AS s_clogc
+       |  FROM cs GROUP BY 1)
+       |SELECT g AS source, n_tok, n_vocab,
+       |  CASE WHEN n_tok > 0 THEN $h END AS entropy,
+       |  CASE WHEN n_tok > 0 AND n_vocab > 1 THEN
+       |    ${sqlSig9(s"($h) / ${sqlSig9("ln(CAST(n_vocab AS DOUBLE))")}")}
+       |  END AS norm_entropy
+       |FROM agg""".stripMargin
+  }
+
   // ===== count-min sketch (mergeable frequency summary) =================
 
   private val cmsD = 4
@@ -873,6 +908,7 @@ object CorpusQueries {
        |FROM cpd LEFT JOIN tc USING (j) LEFT JOIN vc USING (j)""".stripMargin
 
   val queries: Map[String, QFn] = Map(
+    "q_x_entropy" -> entropyQ,
     "q_x_vocab_growth" -> vocabGrowthQ,
     "q_x_gini" -> giniQ,
     "q_x_budget_select" -> budgetSelectQ,
@@ -897,6 +933,7 @@ object CorpusQueries {
     "q_x_rrf" -> rrfQ)
 
   val oracles: Map[String, String] = Map(
+    "q_x_entropy" -> entropySql,
     "q_x_vocab_growth" -> vocabGrowthSql,
     "q_x_gini" -> giniSql,
     "q_x_budget_select" -> budgetSelectSql,

@@ -90,4 +90,38 @@ class CorpusDiffSpec extends SparkSpec {
     assert(got("a")._3 == 6L && got("a")._4 == 3L) // positions, vocab
     assert(got("c")._3 == 3L && got("c")._4 == 2L)
   }
+
+  test("tokenEntropy: H = ln N − (Σ c ln c)/N against a local replica; " +
+      "uniform maxes the normalized score, constant floors it") {
+    import graft.functions.GraftMath.sig9
+    val rows = Seq(
+      ("u", Seq("a", "b", "c", "d")),       // uniform: H = ln 4, norm 1
+      ("k", Seq("z", "z", "z", "z")),       // constant: H = 0
+      ("m", Seq("a", "a", "b", "c", "a")))  // mixed
+    val got = CorpusDiff.tokenEntropy(
+        rows.toDF("source", "tk").repartition(3), "source", "tk")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Double]),
+          Option(r.get(4)).map(_.asInstanceOf[Double])))).toMap
+    def ref(cs: Seq[Int]): Double = {
+      val n = cs.sum
+      var s = BigDecimal(0)
+      cs.filter(_ > 1).foreach { c =>
+        s += BigDecimal(java.math.BigDecimal.valueOf(
+          sig9(c.toDouble * sig9(math.log(c.toDouble)))))
+          .setScale(15, BigDecimal.RoundingMode.HALF_UP) }
+      val s9 = sig9(
+        s.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      sig9(sig9(math.log(n.toDouble)) - s9 / n)
+    }
+    assert(got("u") === ((4L, 4L, Some(ref(Seq(1, 1, 1, 1))),
+      Some(sig9(ref(Seq(1, 1, 1, 1)) / sig9(math.log(4.0)))))))
+    assert(got("u")._4.get === 1.0)
+    // V = 1: entropy ~0 (exact up to the sig9'd ln chain), no norm
+    assert(got("k") === ((4L, 1L, Some(ref(Seq(4))), None)))
+    assert(math.abs(got("k")._3.get) < 1e-6) // scale-6 rounding residue
+    assert(got("m")._3 === Some(ref(Seq(3, 1, 1))))
+    assert(got("m")._3.get > 0 && got("m")._4.get < 1.0)
+  }
 }
