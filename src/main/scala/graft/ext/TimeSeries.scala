@@ -415,4 +415,66 @@ object TimeSeries {
         when(den > 0, graft.queries.Q.sig9(
           num.cast(DoubleType) / den.cast(DoubleType))).as("r"): _*)
   }
+
+  /** Cross-correlation between two regular integer-valued series at
+    * lags −maxLag..maxLag: r_k = corr(x_t, y_{t+k}) — the lead-lag
+    * profiler ("do clicks lead purchases by two days?") completing
+    * [[autocorr]]'s self-memory view. Positive k = y LAGS x by k
+    * steps.
+    *
+    * Exactness (the autocorr convention, two-series form): with
+    * global means, nx·ny·Σ(x−μx)(y−μy) expands to
+    * nx·ny·P_k − ny·Sx·B_k − nx·Sy·A_k + m_k·Sx·Sy and the
+    * denominator² to nx(nx·Qx−Sx²)·ny(ny·Qy−Sy²) — every sum an exact
+    * DECIMAL(38,0) integer, so r_k is one sqrt and one division over
+    * exact-cast values, each sig9'd.
+    *
+    * Plan: lag pairing is an equi-join on the EXACT micros arithmetic
+    * ts_y = ts_x + k·step (the left side exploded 2·maxLag+1 ways) —
+    * O(n·L) rows through one shuffle, no window anywhere.
+    *
+    * @return one row per lag with at least one pair: (k, n_pairs,
+    *         n_a, n_b, r) — r NULL when either side has zero variance */
+  def crossCorr(a: DataFrame, b: DataFrame, tsCol: String,
+      valCol: String, stepSeconds: Long, maxLag: Int): DataFrame = {
+    require(maxLag >= 0, s"maxLag must be >= 0, got $maxLag")
+    require(stepSeconds > 0, s"stepSeconds must be > 0, got $stepSeconds")
+    val dec = DecimalType(38, 0)
+    val stepUs = stepSeconds * 1000000L
+    def side(df: DataFrame, v: String) = df.select(
+      unix_micros(col(tsCol)).as(s"__us_$v"),
+      col(valCol).cast(LongType).as(s"__$v"))
+    val av = side(a, "x").localCheckpoint() // totals + join side
+    val bv = side(b, "y").localCheckpoint()
+    def tot(df: DataFrame, v: String) = df.agg(
+      count(lit(1)).as(s"__n_$v"), sum(col(s"__$v")).as(s"__s_$v"),
+      sum(col(s"__$v").cast(dec) * col(s"__$v").cast(dec)).as(s"__q_$v"))
+    val pairs = av
+      .select(col("__us_x"), col("__x"),
+        explode(sequence(lit(-maxLag.toLong), lit(maxLag.toLong)))
+          .as("__lag"))
+      .withColumn("__us_y", col("__us_x") + col("__lag") * stepUs)
+      .join(bv, Seq("__us_y"))
+      .groupBy(col("__lag"))
+      .agg(sum(col("__x").cast(dec) * col("__y").cast(dec)).as("__p"),
+        sum(col("__x")).as("__a"), sum(col("__y")).as("__b"),
+        count(lit(1)).as("n_pairs"))
+    val nx = col("__n_x").cast(dec)
+    val ny = col("__n_y").cast(dec)
+    val sx = col("__s_x").cast(dec)
+    val sy = col("__s_y").cast(dec)
+    val num = nx * ny * col("__p") - ny * sx * col("__b").cast(dec) -
+      nx * sy * col("__a").cast(dec) +
+      col("n_pairs").cast(dec) * sx * sy
+    val dx = nx * (nx * col("__q_x") - sx * sx)
+    val dy = ny * (ny * col("__q_y") - sy * sy)
+    pairs.crossJoin(broadcast(tot(av, "x")))
+      .crossJoin(broadcast(tot(bv, "y")))
+      .select(col("__lag").as("k"), col("n_pairs"),
+        col("__n_x").cast(LongType).as("n_a"),
+        col("__n_y").cast(LongType).as("n_b"),
+        when(dx > 0 && dy > 0, graft.queries.Q.sig9(
+          num.cast(DoubleType) / graft.queries.Q.sig9(sqrt(
+            dx.cast(DoubleType) * dy.cast(DoubleType))))).as("r"))
+  }
 }

@@ -988,7 +988,65 @@ object TimeSeriesQueries {
        |FROM sm JOIN tot USING (event_type)""".stripMargin
   }
 
+  /** Lead-lag profile between the daily click and purchase series at
+    * lags -7..7 (positive k = purchases lag clicks by k days). Exact
+    * integer sums; one sqrt + one division per lag, each sig9'd. */
+  private val xcorrMaxLag = 7
+
+  private val xcorrQ: QFn = (s, d) => {
+    val daily = dailyCounts(s, d)
+    def one(t: String) = daily.where(col("event_type") === t)
+      .select(col("day").cast("timestamp").as("ts"), col("cnt"))
+    TimeSeries.crossCorr(one("click"), one("purchase"), "ts", "cnt",
+      stepSeconds = 86400L, maxLag = xcorrMaxLag)
+  }
+
+  private val xcorrSql = {
+    def daily(t: String, n: String) =
+      s"""$n AS (
+         |  SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS ts,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM events WHERE event_type = '$t' GROUP BY 1)""".stripMargin
+    val num = "CAST(nx AS DECIMAL(38,0)) * ny * p " +
+      "- CAST(ny AS DECIMAL(38,0)) * sx * b " +
+      "- CAST(nx AS DECIMAL(38,0)) * sy * a " +
+      "+ CAST(m AS DECIMAL(38,0)) * sx * sy"
+    val dx = "CAST(nx AS DECIMAL(38,0)) * " +
+      "(CAST(nx AS DECIMAL(38,0)) * qx - CAST(sx AS DECIMAL(38,0)) * sx)"
+    val dy = "CAST(ny AS DECIMAL(38,0)) * " +
+      "(CAST(ny AS DECIMAL(38,0)) * qy - CAST(sy AS DECIMAL(38,0)) * sy)"
+    s"""WITH ${daily("click", "ax")},
+       |${daily("purchase", "bx")},
+       |ta AS (SELECT CAST(count(*) AS BIGINT) AS nx,
+       |  CAST(sum(c) AS BIGINT) AS sx,
+       |  CAST(sum(CAST(c AS DECIMAL(38,0)) * c) AS DECIMAL(38,0)) AS qx
+       |  FROM ax),
+       |tb AS (SELECT CAST(count(*) AS BIGINT) AS ny,
+       |  CAST(sum(c) AS BIGINT) AS sy,
+       |  CAST(sum(CAST(c AS DECIMAL(38,0)) * c) AS DECIMAL(38,0)) AS qy
+       |  FROM bx),
+       |ks AS (SELECT unnest(range(-$xcorrMaxLag, ${xcorrMaxLag + 1}))
+       |  AS k),
+       |pr AS (
+       |  SELECT ks.k,
+       |    CAST(sum(CAST(ax.c AS DECIMAL(38,0)) * bx.c)
+       |      AS DECIMAL(38,0)) AS p,
+       |    CAST(sum(ax.c) AS BIGINT) AS a, CAST(sum(bx.c) AS BIGINT) AS b,
+       |    CAST(count(*) AS BIGINT) AS m
+       |  FROM ax JOIN ks ON true JOIN bx
+       |    ON epoch_us(bx.ts) = epoch_us(ax.ts) + ks.k * 86400000000
+       |  GROUP BY 1)
+       |SELECT CAST(pr.k AS BIGINT) AS k, pr.m AS n_pairs,
+       |  ta.nx AS n_a, tb.ny AS n_b,
+       |  CASE WHEN ($dx) > 0 AND ($dy) > 0 THEN
+       |    ${Q.sqlSig9(s"CAST($num AS DOUBLE) / " +
+           Q.sqlSig9(s"sqrt(CAST($dx AS DOUBLE) * CAST($dy AS DOUBLE))"))}
+       |  END AS r
+       |FROM pr CROSS JOIN ta CROSS JOIN tb""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q_x_xcorr" -> xcorrQ,
     "q_x_changepoint" -> changepointQ,
     "q_x_acf" -> acfQ,
     "q_x_pipeline7" -> pipeline7Q,
@@ -1011,6 +1069,7 @@ object TimeSeriesQueries {
     "q_x_agg_merge" -> aggMergeQ)
 
   val oracles: Map[String, String] = Map(
+    "q_x_xcorr" -> xcorrSql,
     "q_x_changepoint" -> changepointSql,
     "q_x_acf" -> acfSql,
     "q_x_pipeline7" -> pipeline7Sql,

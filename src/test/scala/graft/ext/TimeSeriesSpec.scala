@@ -290,6 +290,42 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  // ===== crossCorr ====================================================
+
+  private def dayTs(i: Int) = ts(f"2024-01-${i}%02d 00:00:00")
+
+  test("crossCorr: matches the direct two-series estimator; a shifted " +
+      "copy peaks at its shift") {
+    val xs = Seq(3L, 1L, 4L, 1L, 5L, 9L, 2L, 6L)
+    val a = xs.zipWithIndex.map { case (v, i) => (dayTs(i + 1), v) }
+      .toDF("ts", "v")
+    // y = x shifted 2 days later (y_{t+2} = x_t), plus noise-free
+    val b = xs.zipWithIndex.map { case (v, i) => (dayTs(i + 3), v) }
+      .toDF("ts", "v")
+    val got = TimeSeries.crossCorr(a, b, "ts", "v", 86400L, 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(4)).map(_.asInstanceOf[Double]))))
+      .toMap
+    assert(got(2L)._2.get === 1.0) // exact alignment
+    assert(got(2L)._1 === 8L)
+    // direct reference at k = 0 (6 overlapping points)
+    val ax = xs.drop(2).map(_.toDouble) // x days 3..8
+    val by = xs.take(6).map(_.toDouble) // y at days 3..8 = x days 1..6
+    val mx = xs.sum.toDouble / xs.length
+    val my = mx
+    val num = ax.zip(by).map { case (p, q) => (p - mx) * (q - my) }.sum
+    val den = math.sqrt(xs.map(v => (v - mx) * (v - mx)).sum *
+      xs.map(v => (v - my) * (v - my)).sum)
+    assert(math.abs(got(0L)._2.get - num / den) < 1e-9)
+  }
+
+  test("crossCorr: zero-variance side yields NULL r, never NaN") {
+    val a = (1 to 5).map(i => (dayTs(i), 7L)).toDF("ts", "v")
+    val b = (1 to 5).map(i => (dayTs(i), i.toLong)).toDF("ts", "v")
+    val rs = TimeSeries.crossCorr(a, b, "ts", "v", 86400L, 1).collect()
+    assert(rs.nonEmpty && rs.forall(_.isNullAt(4)))
+  }
+
   test("autocorr: constant series has NULL r; lag-shifted copy peaks") {
     val flat = (1 to 6).map(i => ("g1", ts(f"2024-01-$i%02d 00:00:00"), 5L))
     val rs = TimeSeries.autocorr(flat.toDF("g", "ts", "x"),
