@@ -477,4 +477,148 @@ object TimeSeries {
           num.cast(DoubleType) / graft.queries.Q.sig9(sqrt(
             dx.cast(DoubleType) * dy.cast(DoubleType))))).as("r"))
   }
+
+  /** Time-indexed frame shared by the trend operators: (keys..., i, x)
+    * with i = 1-based position in time order and x the long value —
+    * one keyed window over the bounded grid. */
+  private def indexed(series: DataFrame, keyCols: Seq[String],
+      tsCol: String, valCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).asc)
+    series.select(keyCols.map(col) :+ col(tsCol) :+
+        col(valCol).cast(LongType).as("__x"): _*)
+      .withColumn("__i", row_number().over(w).cast(LongType))
+  }
+
+  /** Per-key closed-form OLS trend line over a regular integer series:
+    * value ≈ intercept + slope·i (i = 1-based time index), with R² —
+    * "is this metric growing, and how cleanly?" The parametric member
+    * of the trend trio (this, [[mannKendall]], [[theilSen]]).
+    *
+    * Exactness: Σi, Σi², Σx, Σx², Σix are exact DECIMAL(38,0), so
+    * slope = (nΣix − ΣiΣx)/(nΣi² − (Σi)²) and R²'s numerator² /
+    * (dxx·dyy) are single sig9'd operations over exact-cast integers;
+    * the intercept chain is fixed IEEE on the sig9'd slope. One hash
+    * aggregate after the index window — nothing else.
+    *
+    * @return per key with n >= 2: (keys..., n, slope, intercept, r2)
+    *         — slope/r2 NULL when the series is constant */
+  def trendLine(series: DataFrame, keyCols: Seq[String], tsCol: String,
+      valCol: String): DataFrame = {
+    import graft.queries.Q
+    val dec = DecimalType(38, 0)
+    val keys = keyCols.map(col)
+    val idx = indexed(series, keyCols, tsCol, valCol)
+    val i = col("__i").cast(dec)
+    val x = col("__x").cast(dec)
+    val agg = idx.groupBy(keys: _*).agg(
+      count(lit(1)).as("n"), sum(col("__i")).as("si"),
+      sum(i * i).as("sii"), sum(col("__x")).as("sx"),
+      sum(x * x).as("sxx"), sum(i * x).as("six"))
+    val n = col("n").cast(dec)
+    val dii = n * col("sii") - col("si").cast(dec) * col("si").cast(dec)
+    val dxx = n * col("sxx") - col("sx").cast(dec) * col("sx").cast(dec)
+    val dix = n * col("six") - col("si").cast(dec) * col("sx").cast(dec)
+    val slope = Q.sig9(dix.cast(DoubleType) / dii.cast(DoubleType))
+    val intercept = Q.sig9(
+      (col("sx").cast(DoubleType) - slope * col("si").cast(DoubleType)) /
+        col("n").cast(DoubleType))
+    agg.where(col("n") >= 2)
+      .select(keys :+ col("n").cast(LongType).as("n") :+
+        when(dii > 0, slope).as("slope") :+
+        when(dii > 0, intercept).as("intercept") :+
+        when(dii > 0 && dxx > 0, Q.sig9(
+          (dix * dix).cast(DoubleType) / (dii * dxx).cast(DoubleType)))
+          .as("r2"): _*)
+  }
+
+  /** Per-key Mann-Kendall trend test: S = Σ_{i<j} sgn(x_j − x_i) with
+    * the tie-corrected normal z (continuity-corrected) — the
+    * NONPARAMETRIC "is there a monotone trend" twin of [[trendLine]]
+    * (no linearity or normality assumption; robust to spikes).
+    *
+    * Plan: the pair frame is a keyed self-join on (key, j > i) —
+    * O(n²/2) per key where n is the GRID length (days), which the
+    * upstream resample already bounded; a year of daily points is
+    * ~66k pairs per key, a constant. S and the tie term
+    * Σ t(t−1)(2t+5) are exact integers; z is the sig9'd IEEE chain
+    * over exact casts with the ±1 continuity correction.
+    *
+    * @return per key with n >= 2: (keys..., n, s_stat, tie_t, z) — z
+    *         NULL when var = 0 (all values tied) */
+  def mannKendall(series: DataFrame, keyCols: Seq[String], tsCol: String,
+      valCol: String): DataFrame = {
+    import graft.queries.Q
+    val dec = DecimalType(38, 0)
+    val keys = keyCols.map(col)
+    val idx = indexed(series, keyCols, tsCol, valCol)
+      .localCheckpoint() // both pair sides + the tie aggregate
+    val pairs = idx.as("l").join(idx.as("r"),
+        keyCols.map(k => col(s"l.$k") === col(s"r.$k"))
+          .reduce(_ && _) && col("r.__i") > col("l.__i"))
+      .groupBy(keyCols.map(k => col(s"l.$k").as(k)): _*)
+      .agg(sum(signum((col("r.__x") - col("l.__x")).cast(DoubleType))
+        .cast(LongType)).as("s_stat"), count(lit(1)).as("n_pairs"))
+    val ties = idx.groupBy(keys :+ col("__x"): _*)
+      .agg(count(lit(1)).as("t"))
+      .groupBy(keys: _*)
+      .agg(sum(col("t")).as("n"),
+        sum(col("t").cast(dec) * (col("t") - 1).cast(dec) *
+          (lit(2L) * col("t") + 5L).cast(dec)).as("tie_t"))
+    val n = col("n").cast(dec)
+    val varDec = n * (col("n") - 1).cast(dec) *
+      (lit(2L) * col("n") + 5L).cast(dec) - col("tie_t")
+    val sd = Q.sig9(sqrt(varDec.cast(DoubleType) / lit(18.0)))
+    val s = col("s_stat").cast(DoubleType)
+    pairs.join(ties, keyCols)
+      .where(col("n") >= 2)
+      .select(keys :+ col("n").cast(LongType).as("n") :+
+        col("s_stat") :+ col("tie_t").cast(LongType).as("tie_t") :+
+        when(varDec > 0, Q.sig9(
+          when(col("s_stat") > 0, (s - 1.0) / sd)
+            .when(col("s_stat") < 0, (s + 1.0) / sd)
+            .otherwise(lit(0.0)))).as("z"): _*)
+  }
+
+  /** Per-key Theil-Sen slope: the LOWER MEDIAN of all pairwise slopes
+    * (x_j − x_i)/(j − i) — the robust trend estimate a single outlier
+    * day cannot move (50% breakdown vs [[trendLine]]'s 0%). The
+    * discrete order statistic (⌈N/2⌉-th smallest, the conformal-qhat
+    * convention) keeps the result an ACTUAL pairwise slope — no
+    * averaging, no interpolation, tie-insensitive across engines.
+    *
+    * Plan: the [[mannKendall]] pair join (bounded-grid O(n²/2) per
+    * key) into [[Profile.percentRank]]'s windowless binned prefix
+    * sums; each slope is ONE IEEE division of exact integers, so the
+    * distinct-value frame adjudicates bit-for-bit.
+    *
+    * @return per key with >= 1 pair: (keys..., n_pairs, ts_slope) */
+  def theilSen(series: DataFrame, keyCols: Seq[String], tsCol: String,
+      valCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val idx = indexed(series, keyCols, tsCol, valCol)
+      .localCheckpoint()
+    // the division stays inside a when-guard even though the join
+    // condition already excludes i_r == i_l: Catalyst pushes the
+    // downstream isNotNull(slope) filter INTO the join, where ANSI
+    // evaluates it on candidate pairs before/alongside the > condition
+    // — an unguarded divide threw DIVIDE_BY_ZERO on the tied indices
+    val slopes = idx.as("l").join(idx.as("r"),
+        keyCols.map(k => col(s"l.$k") === col(s"r.$k"))
+          .reduce(_ && _) && col("r.__i") > col("l.__i"))
+      .select(keyCols.map(k => col(s"l.$k").as(k)) :+
+        when(col("r.__i") =!= col("l.__i"),
+          (col("r.__x") - col("l.__x")).cast(DoubleType) /
+            (col("r.__i") - col("l.__i")).cast(DoubleType)).as("__sl"): _*)
+    val pr = Profile.percentRank(slopes, keyCols, "__sl")
+    val tot = pr.groupBy(keys: _*)
+      .agg(max(col("n_below") + col("cnt")).as("np"))
+    pr.join(tot, keyCols)
+      .withColumn("__k", expr("(np + 1) div 2")) // exact integral div
+      .where(col("n_below") < col("__k") &&
+        col("__k") <= col("n_below") + col("cnt"))
+      .select(keys :+ col("np").cast(LongType).as("n_pairs") :+
+        col("s").as("ts_slope"): _*)
+  }
 }

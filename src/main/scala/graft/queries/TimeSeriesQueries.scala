@@ -1045,7 +1045,125 @@ object TimeSeriesQueries {
        |FROM pr CROSS JOIN ta CROSS JOIN tb""".stripMargin
   }
 
+  // ===== trend trio: OLS line, Mann-Kendall, Theil-Sen ================
+
+  /** Parametric trend: per-event_type OLS line + R² over the daily
+    * counts. Exact integer sums, sig9'd divisions only. */
+  private val trendQ: QFn = (s, d) =>
+    TimeSeries.trendLine(dailyCounts(s, d), Seq("event_type"),
+      "day", "cnt")
+
+  private val trendSql = {
+    val dii = "CAST(n AS DECIMAL(38,0)) * sii " +
+      "- CAST(si AS DECIMAL(38,0)) * si"
+    val dxx = "CAST(n AS DECIMAL(38,0)) * sxx " +
+      "- CAST(sx AS DECIMAL(38,0)) * sx"
+    val dix = "CAST(n AS DECIMAL(38,0)) * six " +
+      "- CAST(si AS DECIMAL(38,0)) * sx"
+    val slope = Q.sqlSig9("CAST(dix AS DOUBLE) / CAST(dii AS DOUBLE)")
+    s"""WITH dly AS ($dailySql),
+       |o AS (
+       |  SELECT event_type, cnt,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+       |      AS BIGINT) AS i
+       |  FROM dly),
+       |ag AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(i) AS BIGINT) AS si,
+       |    CAST(sum(CAST(i AS DECIMAL(38,0)) * i) AS DECIMAL(38,0)) AS sii,
+       |    CAST(sum(cnt) AS BIGINT) AS sx,
+       |    CAST(sum(CAST(cnt AS DECIMAL(38,0)) * cnt) AS DECIMAL(38,0))
+       |      AS sxx,
+       |    CAST(sum(CAST(i AS DECIMAL(38,0)) * cnt) AS DECIMAL(38,0))
+       |      AS six
+       |  FROM o GROUP BY 1),
+       |dd AS (
+       |  SELECT event_type, n, si, sx, ($dii) AS dii, ($dxx) AS dxx,
+       |    ($dix) AS dix
+       |  FROM ag WHERE n >= 2)
+       |SELECT event_type, n,
+       |  CASE WHEN dii > 0 THEN $slope END AS slope,
+       |  CASE WHEN dii > 0 THEN ${Q.sqlSig9(
+           s"(CAST(sx AS DOUBLE) - ($slope) * CAST(si AS DOUBLE)) / " +
+             "CAST(n AS DOUBLE)")} END AS intercept,
+       |  CASE WHEN dii > 0 AND dxx > 0 THEN ${Q.sqlSig9(
+           "CAST(dix * dix AS DOUBLE) / CAST(dii * dxx AS DOUBLE)")}
+       |  END AS r2
+       |FROM dd""".stripMargin
+  }
+
+  /** Nonparametric monotone-trend test per event_type: exact S and
+    * tie term, continuity-corrected z. */
+  private val mkQ: QFn = (s, d) =>
+    TimeSeries.mannKendall(dailyCounts(s, d), Seq("event_type"),
+      "day", "cnt")
+
+  private val mkSql = {
+    val varExpr = "CAST(n AS DECIMAL(38,0)) * (n - 1) * (2 * n + 5) " +
+      "- tie_t"
+    val sd = Q.sqlSig9(s"sqrt(CAST($varExpr AS DOUBLE) / 18.0)")
+    s"""WITH dly AS ($dailySql),
+       |o AS (
+       |  SELECT event_type, cnt,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+       |      AS BIGINT) AS i
+       |  FROM dly),
+       |pr AS (
+       |  SELECT l.event_type,
+       |    CAST(sum(CASE WHEN r.cnt > l.cnt THEN 1
+       |      WHEN r.cnt < l.cnt THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+       |  FROM o l JOIN o r
+       |    ON r.event_type = l.event_type AND r.i > l.i
+       |  GROUP BY 1),
+       |tt AS (
+       |  SELECT event_type, CAST(sum(t) AS BIGINT) AS n,
+       |    CAST(sum(CAST(t AS DECIMAL(38,0)) * (t - 1) * (2 * t + 5))
+       |      AS DECIMAL(38,0)) AS tie_t
+       |  FROM (SELECT event_type, cnt, CAST(count(*) AS BIGINT) AS t
+       |        FROM o GROUP BY 1, 2)
+       |  GROUP BY 1)
+       |SELECT pr.event_type, tt.n, pr.s_stat,
+       |  CAST(tt.tie_t AS BIGINT) AS tie_t,
+       |  CASE WHEN ($varExpr) > 0 THEN ${Q.sqlSig9(
+           "CASE WHEN s_stat > 0 THEN (CAST(s_stat AS DOUBLE) - 1.0) / " +
+             s"($sd) WHEN s_stat < 0 THEN (CAST(s_stat AS DOUBLE) + 1.0) " +
+             s"/ ($sd) ELSE 0.0 END")}
+       |  END AS z
+       |FROM pr JOIN tt USING (event_type) WHERE tt.n >= 2""".stripMargin
+  }
+
+  /** Robust trend: lower-median pairwise slope per event_type (an
+    * actual pairwise slope — discrete order stat, no interpolation). */
+  private val theilSenQ: QFn = (s, d) =>
+    TimeSeries.theilSen(dailyCounts(s, d), Seq("event_type"),
+      "day", "cnt")
+
+  private val theilSenSql =
+    s"""WITH dly AS ($dailySql),
+       |o AS (
+       |  SELECT event_type, cnt,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+       |      AS BIGINT) AS i
+       |  FROM dly),
+       |sl AS (
+       |  SELECT l.event_type,
+       |    CAST(r.cnt - l.cnt AS DOUBLE) / CAST(r.i - l.i AS DOUBLE)
+       |      AS slope
+       |  FROM o l JOIN o r
+       |    ON r.event_type = l.event_type AND r.i > l.i),
+       |rk AS (
+       |  SELECT event_type, slope,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+       |      ORDER BY slope) AS BIGINT) AS rn,
+       |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS np
+       |  FROM sl)
+       |SELECT event_type, np AS n_pairs, slope AS ts_slope
+       |FROM rk WHERE rn = (np + 1) // 2""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q_x_trend" -> trendQ,
+    "q_x_mann_kendall" -> mkQ,
+    "q_x_theil_sen" -> theilSenQ,
     "q_x_xcorr" -> xcorrQ,
     "q_x_changepoint" -> changepointQ,
     "q_x_acf" -> acfQ,
@@ -1069,6 +1187,9 @@ object TimeSeriesQueries {
     "q_x_agg_merge" -> aggMergeQ)
 
   val oracles: Map[String, String] = Map(
+    "q_x_trend" -> trendSql,
+    "q_x_mann_kendall" -> mkSql,
+    "q_x_theil_sen" -> theilSenSql,
     "q_x_xcorr" -> xcorrSql,
     "q_x_changepoint" -> changepointSql,
     "q_x_acf" -> acfSql,

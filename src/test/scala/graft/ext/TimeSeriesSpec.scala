@@ -290,6 +290,74 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  // ===== trend trio ===================================================
+
+  private def trioDf(vals: (String, Seq[Long])*) =
+    vals.flatMap { case (k, xs) => xs.zipWithIndex.map { case (x, i) =>
+      (k, ts(f"2024-01-${i + 1}%02d 00:00:00"), x) } }
+      .toDF("g", "ts", "x").repartition(3)
+
+  test("trendLine: exact OLS against the closed form; constant series " +
+      "has slope 0 and NULL r2") {
+    import graft.functions.GraftMath.sig9
+    val xs = Seq(5L, 8L, 7L, 11L, 12L, 16L)
+    val got = TimeSeries.trendLine(trioDf("a" -> xs, "c" -> Seq(4L, 4L, 4L)),
+        Seq("g"), "ts", "x")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]),
+          Option(r.get(3)).map(_.asInstanceOf[Double]),
+          Option(r.get(4)).map(_.asInstanceOf[Double])))).toMap
+    val n = xs.length.toLong
+    val is = (1L to n)
+    val (si, sii) = (is.sum, is.map(i => i * i).sum)
+    val (sx, sxx) = (xs.sum, xs.map(x => x * x).sum)
+    val six = is.zip(xs).map { case (i, x) => i * x }.sum
+    val dii = n * sii - si * si
+    val dxx = n * sxx - sx * sx
+    val dix = n * six - si * sx
+    val slope = sig9(dix.toDouble / dii)
+    assert(got("a")._1 === n)
+    assert(got("a")._2 === Some(slope))
+    assert(got("a")._3 === Some(sig9((sx - slope * si) / n)))
+    assert(got("a")._4 === Some(sig9(
+      (dix.toDouble * dix) / (dii.toDouble * dxx))))
+    assert(got("c") === ((3L, Some(0.0), Some(4.0), None)))
+  }
+
+  test("mannKendall: exact S/tie/z against a direct pair scan") {
+    import graft.functions.GraftMath.sig9
+    val xs = Seq(3L, 5L, 5L, 2L, 8L, 8L, 9L)
+    val got = TimeSeries.mannKendall(trioDf("a" -> xs), Seq("g"),
+      "ts", "x").head()
+    val n = xs.length
+    val s = (for (i <- 0 until n; j <- i + 1 until n)
+      yield (xs(j) compare xs(i)).sign).sum
+    val tie = xs.groupBy(identity).values.map(_.size.toLong)
+      .map(t => t * (t - 1) * (2 * t + 5)).sum
+    val va = (n.toLong * (n - 1) * (2 * n + 5) - tie) / 18.0
+    assert(got.getLong(1) === n.toLong && got.getLong(2) === s.toLong)
+    assert(got.getLong(3) === tie)
+    val sd = sig9(math.sqrt(va))
+    assert(got.getDouble(4) === sig9((s - 1.0) / sd))
+  }
+
+  test("theilSen: lower-median pairwise slope; an outlier day cannot " +
+      "move it") {
+    // clean slope 2 everywhere, one wild spike at the end
+    val clean = Seq(0L, 2L, 4L, 6L, 8L, 10L)
+    val spiked = clean.init :+ 500L
+    val got = TimeSeries.theilSen(
+        trioDf("c" -> clean, "s" -> spiked), Seq("g"), "ts", "x")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got("c") === ((15L, 2.0)))
+    assert(got("s")._2 === 2.0) // 10 of 15 pairwise slopes are still 2
+    // while OLS is dragged far off by the same spike
+    val ols = TimeSeries.trendLine(trioDf("s" -> spiked), Seq("g"),
+      "ts", "x").head().getDouble(2)
+    assert(ols > 50.0)
+  }
+
   // ===== crossCorr ====================================================
 
   private def dayTs(i: Int) = ts(f"2024-01-${i}%02d 00:00:00")
