@@ -621,6 +621,56 @@ object Profile {
           .as("gini"): _*)
   }
 
+  /** Benford first-significant-digit conformance — the forensic /
+    * data-quality screen for "naturally grown" positive quantities
+    * (amounts, populations, counts): organic data follows
+    * P(d) = log10(1 + 1/d); fabricated or truncated feeds do not.
+    * One row per digit 1..9 with observed count, expected count and
+    * the (O−E)²/E contribution — the chi-square decomposition, so the
+    * caller reads both the statistic (sum of contribs) and WHICH
+    * digits drive it.
+    *
+    * Portability: the digit comes from pure integer arithmetic —
+    * floor to BIGINT first (Spark's double→long cast truncates while
+    * DuckDB's rounds; floor is the one portable route), then strip
+    * trailing decades by STRING length (no libm log10, whose 1-ulp
+    * wobble at exact powers of ten would flip digits between
+    * engines). Values in (0, 1) are scaled into the integer range by
+    * 10^9 first — sub-unit amounts still carry a leading digit.
+    * The nine expected probabilities are Scala-computed literals
+    * embedded in both engines (the decay-lambda convention).
+    *
+    * Plan: one projection + one 9-bucket hash aggregate; the digit
+    * table is re-padded with zero-observation digits (absent digits
+    * still contribute E — the chiSquare lesson).
+    *
+    * @return 9 rows: (digit, n_obs, n_total, expected, contrib) */
+  def benford(df: DataFrame, colName: String): DataFrame = {
+    import graft.queries.Q
+    val spark = df.sparkSession
+    import spark.implicits._
+    val x = col(colName).cast("double")
+    // lift (0,1) values into integers, floor, then first digit via
+    // string head — every step exact and engine-identical
+    val scaled = when(x < 1.0, x * 1e9).otherwise(x)
+    val digit = substring(
+      floor(scaled).cast("long").cast("string"), 1, 1).cast("long")
+    val obs = df.where(x.isNotNull && x > 0)
+      .select(digit.as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val probs = (1 to 9).map(d => d.toLong -> math.log10(1.0 + 1.0 / d))
+    val grid = probs.toDF("digit", "p")
+    val tot = obs.agg(sum(col("n_obs")).cast("long").as("n_total"))
+    val e = Q.sig9(col("p") * col("n_total").cast("double"))
+    val d0 = col("n_obs").cast("double") - e
+    grid.join(obs, Seq("digit"), "left")
+      .na.fill(0L, Seq("n_obs"))
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), col("n_obs"), col("n_total"),
+        e.as("expected"),
+        when(col("n_total") > 0, Q.sig9(d0 * d0 / e)).as("contrib"))
+  }
+
   def schemaDiff(oldDf: DataFrame, newDf: DataFrame): DataFrame = {
     val spark = oldDf.sparkSession
     import spark.implicits._

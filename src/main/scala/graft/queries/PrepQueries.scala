@@ -920,7 +920,43 @@ object PrepQueries {
        |FROM j CROSS JOIN t""".stripMargin
   }
 
+  // ===== Benford first-digit conformance ==============================
+
+  /** First-digit profile of order totals vs Benford's law — the
+    * forensic screen for fabricated/truncated amount feeds. Digits by
+    * exact integer+string arithmetic (no libm log10); expectations as
+    * Scala-computed literals on both engines. */
+  private val benfordQ: QFn = (s, d) =>
+    graft.ext.Profile.benford(Tables.orders(s, d), "o_totalprice")
+
+  private val benfordSql = {
+    val vals = (1 to 9).map(dd =>
+      s"($dd, CAST('${math.log10(1.0 + 1.0 / dd)}' AS DOUBLE))")
+      .mkString(", ")
+    val e = Q.sqlSig9("g.p * CAST(t.n_total AS DOUBLE)")
+    val d0 = s"(CAST(COALESCE(o.n_obs, 0) AS DOUBLE) - ($e))"
+    s"""WITH v AS (
+       |  SELECT CAST(o_totalprice AS DOUBLE) AS x FROM orders
+       |  WHERE o_totalprice IS NOT NULL AND o_totalprice > 0),
+       |o AS (
+       |  SELECT CAST(substr(CAST(CAST(floor(
+       |      CASE WHEN x < 1.0 THEN x * 1e9 ELSE x END) AS BIGINT)
+       |      AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+       |    CAST(count(*) AS BIGINT) AS n_obs
+       |  FROM v GROUP BY 1),
+       |g AS (SELECT * FROM (VALUES $vals) AS gg(digit, p)),
+       |t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM o)
+       |SELECT CAST(g.digit AS BIGINT) AS digit,
+       |  COALESCE(o.n_obs, 0) AS n_obs, t.n_total,
+       |  $e AS expected,
+       |  CASE WHEN t.n_total > 0 THEN
+       |    ${Q.sqlSig9(s"$d0 * $d0 / ($e)")}
+       |  END AS contrib
+       |FROM g LEFT JOIN o ON o.digit = g.digit CROSS JOIN t""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q_x_benford" -> benfordQ,
     "q_x_psi" -> psiQ,
     "q_x_histogram" -> histogramQ,
     "q_x_group_corr" -> groupCorrQ,
@@ -944,6 +980,7 @@ object PrepQueries {
     "q_x_pipeline2" -> pipeline2Q)
 
   val oracles: Map[String, String] = Map(
+    "q_x_benford" -> benfordSql,
     "q_x_psi" -> psiSql,
     "q_x_histogram" -> histogramSql,
     "q_x_group_corr" -> groupCorrSql,

@@ -238,6 +238,29 @@ class ProfileSpec extends SparkSpec {
     assert(math.abs(got("c")._3.get - 2.0 / 3.0) < 1e-9)
   }
 
+  test("benford: digits by exact arithmetic, zero digits re-padded, " +
+      "contribs decompose the chi-square") {
+    import graft.functions.GraftMath.sig9
+    // first digits: 1,1,1,2,3,9 + sub-unit 0.042 -> 4; no 5..8
+    val df = Seq(120.5, 1.0, 19999.9, 25.0, 3.7, 900.0, 0.042, -5.0, 0.0)
+      .toDF("x")
+    val got = Profile.benford(df, "x")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3),
+          r.getDouble(4)))).toMap
+    assert(got.keySet === (1L to 9L).toSet)
+    val obs = Map(1L -> 3L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 9L -> 1L)
+    (1L to 9L).foreach { dd =>
+      val (o, n, e, c) = got(dd)
+      assert(o === obs.getOrElse(dd, 0L), s"digit $dd")
+      assert(n === 7L)
+      val eRef = sig9(math.log10(1.0 + 1.0 / dd) * 7.0)
+      assert(e === eRef)
+      val d0 = o.toDouble - eRef
+      assert(c === sig9(d0 * d0 / eRef))
+    }
+  }
+
   test("gini: all-zero group yields NULL, not a division error") {
     val got = Profile.gini(Seq(("z", 0L), ("z", 0L)).toDF("g", "x"),
       Seq("g"), "x").collect()
