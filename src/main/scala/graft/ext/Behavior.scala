@@ -164,6 +164,62 @@ object Behavior {
         "retention")
   }
 
+  /** RFM segmentation: per purchasing user, recency (days since last
+    * target event, relative to the corpus's last target day),
+    * frequency (target-event count) and monetary (exact-decimal value
+    * sum), each discretized into `bins` equi-depth codes plus the
+    * combined RFM code — the classic marketing / engagement
+    * segmentation, built on the TIE-STABLE rank binning of
+    * [[Profile.equiDepthBins]] (SQL NTILE splits ties by arbitrary row
+    * order and does not reproduce across partitionings; these bins
+    * do). Codes are ASCENDING-rank: bin 0 = most recent / least
+    * frequent / lowest spend.
+    *
+    * Scale shape: one user-keyed aggregate collapses the stream, then
+    * three windowless binned-prefix passes over the DISTINCT values of
+    * each dimension and three value-equality joins back — the joined
+    * bin frames are distinct-value-bounded. Monetary values are sig9'd
+    * decimal sums, so the value-equality join key is bit-identical on
+    * both engines.
+    *
+    * @return per purchasing user: (user, recency_days, frequency,
+    *         monetary, r_bin, f_bin, m_bin, rfm_code) with
+    *         rfm_code = r·100 + f·10 + m */
+  def rfm(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, targetType: String, valueCol: String,
+      bins: Int = 5): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val p = events.where(col(typeCol) === targetType &&
+      col(userCol).isNotNull)
+    val per = p.groupBy(col(userCol).as("user"))
+      .agg(max(to_date(col(tsCol))).as("__last"),
+        count(lit(1)).as("frequency"),
+        graft.queries.Q.dsum(col(valueCol)).as("monetary"))
+    val mx = p.agg(max(to_date(col(tsCol))).as("__maxd"))
+    val base = per.crossJoin(broadcast(mx))
+      .select(col("user"),
+        datediff(col("__maxd"), col("__last")).cast(LongType)
+          .as("recency_days"),
+        col("frequency"), col("monetary"))
+      .localCheckpoint() // three binning passes + the final joins
+    def binned(vc: String, out: String) = {
+      val b = Profile.equiDepthBins(
+          base.select(col(vc)).withColumn("__all", lit(1)),
+          Seq("__all"), vc, bins)
+        .select(col("s").as(s"__s_$out"), col("bin").as(out))
+      base.join(b, col(vc).cast("double") === col(s"__s_$out"))
+        .select(col("user"), col(out))
+    }
+    base
+      .join(binned("recency_days", "r_bin"), Seq("user"))
+      .join(binned("frequency", "f_bin"), Seq("user"))
+      .join(binned("monetary", "m_bin"), Seq("user"))
+      .select(col("user"), col("recency_days"), col("frequency"),
+        col("monetary"), col("r_bin"), col("f_bin"), col("m_bin"),
+        (col("r_bin") * 100 + col("f_bin") * 10 + col("m_bin"))
+          .cast(LongType).as("rfm_code"))
+  }
+
   /** Kaplan-Meier survival curve of time-to-first-`targetType` — the
     * censoring-aware "how long until a user converts" estimator that
     * plain conversion rates get wrong (users who have not converted

@@ -252,7 +252,59 @@ object BehaviorQueries {
        |    AS survival
        |FROM cm""".stripMargin
 
+  // ===== RFM segmentation =============================================
+
+  /** Quintile RFM codes over purchase events — tie-stable rank bins
+    * (never NTILE), ascending codes, exact counts, sig9'd monetary. */
+  private val rfmQ: QFn = (s, d) =>
+    graft.ext.Behavior.rfm(Tables.events(s, d), "user_id", "ts",
+        "event_type", targetType = "purchase", valueCol = "value",
+        bins = 5)
+      .withColumnRenamed("user", "user_id")
+
+  private val rfmSql = {
+    def bin(src: String, vc: String, out: String) =
+      s"""d_$out AS (
+         |  SELECT $vc AS s, CAST(count(*) AS BIGINT) AS c
+         |  FROM $src GROUP BY 1),
+         |w_$out AS (
+         |  SELECT s, COALESCE(SUM(c) OVER (ORDER BY s
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb
+         |  FROM d_$out),
+         |b_$out AS (
+         |  SELECT s, CAST(LEAST(4, (nb * 5) // t.n) AS BIGINT) AS $out
+         |  FROM w_$out, t)""".stripMargin
+    s"""WITH p AS (
+       |  SELECT user_id, ts, value FROM events
+       |  WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+       |per AS (
+       |  SELECT user_id, max(CAST(ts AS DATE)) AS last_d,
+       |    CAST(count(*) AS BIGINT) AS frequency,
+       |    ${Q.sqlDsum("value")} AS monetary
+       |  FROM p GROUP BY 1),
+       |mx AS (SELECT max(CAST(ts AS DATE)) AS maxd FROM p),
+       |base AS (
+       |  SELECT user_id,
+       |    CAST(date_diff('day', last_d, maxd) AS BIGINT)
+       |      AS recency_days,
+       |    frequency, monetary
+       |  FROM per, mx),
+       |t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+       |${bin("base", "recency_days", "r_bin")},
+       |${bin("base", "frequency", "f_bin")},
+       |${bin("base", "monetary", "m_bin")}
+       |SELECT base.user_id, base.recency_days, base.frequency,
+       |  base.monetary, b_r_bin.r_bin, b_f_bin.f_bin, b_m_bin.m_bin,
+       |  CAST(b_r_bin.r_bin * 100 + b_f_bin.f_bin * 10 + b_m_bin.m_bin
+       |    AS BIGINT) AS rfm_code
+       |FROM base
+       |JOIN b_r_bin ON CAST(base.recency_days AS DOUBLE) = b_r_bin.s
+       |JOIN b_f_bin ON CAST(base.frequency AS DOUBLE) = b_f_bin.s
+       |JOIN b_m_bin ON base.monetary = b_m_bin.s""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q_x_rfm" -> rfmQ,
     "q_x_kaplan_meier" -> kmQ,
     "q_x_ltv" -> ltvQ,
     "q_x_multitouch" -> multiTouchQ,
@@ -262,6 +314,7 @@ object BehaviorQueries {
     "q_x_decay" -> decayQ)
 
   val oracles: Map[String, String] = Map(
+    "q_x_rfm" -> rfmSql,
     "q_x_kaplan_meier" -> kmSql,
     "q_x_ltv" -> ltvSql,
     "q_x_multitouch" -> multiTouchSql,

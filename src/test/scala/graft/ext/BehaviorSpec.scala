@@ -206,6 +206,34 @@ class BehaviorSpec extends SparkSpec {
     assert(math.abs(got(5L)._4 - 0.3) < 1e-9)
   }
 
+  test("rfm: exact dimensions, tie-stable ascending bins, combined code") {
+    def ts(x: String) = java.sql.Timestamp.valueOf(x + " 10:00:00")
+    // 4 purchasers; u4's noise events must not count
+    val df = Seq(
+      ("u1", ts("2024-01-10"), "purchase", 10.0),
+      ("u1", ts("2024-01-20"), "purchase", 30.0),
+      ("u2", ts("2024-01-05"), "purchase", 5.0),
+      ("u3", ts("2024-01-18"), "purchase", 100.0),
+      ("u3", ts("2024-01-19"), "purchase", 100.0),
+      ("u3", ts("2024-01-20"), "purchase", 100.0),
+      ("u4", ts("2024-01-01"), "purchase", 1.0),
+      ("u4", ts("2024-01-25"), "view", 999.0))
+      .toDF("user_id", "ts", "event_type", "value").repartition(3)
+    val got = graft.ext.Behavior.rfm(df, "user_id", "ts", "event_type",
+        "purchase", "value", bins = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    // last purchase day overall = 01-20; recency: u1 0, u2 15, u3 0, u4 19
+    // bins of recency {0,0,15,19}: n_below 0,0 -> bin0; 2,3 -> bin1
+    // frequency {2,1,3,1}: 1s bin0; 2 -> nb2*2/4=1; 3 -> bin1
+    // monetary {40,5,300,1}: 1,5 bin0; 40,300 bin1
+    assert(got("u1") === ((0L, 2L, 40.0, 0L, 1L, 1L, 11L)))
+    assert(got("u2") === ((15L, 1L, 5.0, 1L, 0L, 0L, 100L)))
+    assert(got("u3") === ((0L, 3L, 300.0, 0L, 1L, 1L, 11L)))
+    assert(got("u4") === ((19L, 1L, 1.0, 1L, 0L, 0L, 100L)))
+  }
+
   test("kaplanMeier: a zero factor pins survival to 0.0, no -Inf log") {
     def ts(x: String) = java.sql.Timestamp.valueOf(x + " 10:00:00")
     val df = Seq(
