@@ -137,6 +137,49 @@ object Profile {
             col("var_b") / col("n_b").cast("double"))))
   }
 
+  /** Two-proportion z-test (pooled): the CONVERSION-RATE member of the
+    * A/B family — Welch z compares a metric's MEANS, Mann-Whitney its
+    * ranks; this compares the fraction of units that converted.
+    * z = (p_A − p_B) / sqrt(p̂(1−p̂)(1/n_A + 1/n_B)) with the pooled
+    * p̂ = (x_A + x_B)/(n_A + n_B).
+    *
+    * Expects one row per UNIT (deduplicate users upstream — a user
+    * with five purchases converts once); exactly two groups, smallest
+    * key = A (the [[welchZ]] convention). n and x are exact BIGINTs;
+    * the three proportions are single sig9'd divisions and the z
+    * chain is fixed IEEE over them, sig9'd once more at the end.
+    *
+    * @return ONE row: (group_a, group_b, n_a, n_b, x_a, x_b, p_a,
+    *         p_b, z) — z NULL when the pooled variance is 0 (all
+    *         convert or none) or either side is empty */
+  def twoProportionZ(units: DataFrame, groupCol: String,
+      successCol: String): DataFrame = {
+    import graft.queries.Q
+    val counts = units.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(successCol), 1L).otherwise(0L)).as("x"))
+    val a = counts.orderBy(col(groupCol).asc).limit(1)
+      .select(col(groupCol).as("group_a"), col("n").as("n_a"),
+        col("x").as("x_a"))
+    val b = counts.orderBy(col(groupCol).desc).limit(1)
+      .select(col(groupCol).as("group_b"), col("n").as("n_b"),
+        col("x").as("x_b"))
+    val pa = Q.sig9(col("x_a").cast("double") / col("n_a").cast("double"))
+    val pb = Q.sig9(col("x_b").cast("double") / col("n_b").cast("double"))
+    val pp = Q.sig9((col("x_a") + col("x_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double"))
+    val se = Q.sig9(sqrt(pp * (lit(1.0) - pp) *
+      (lit(1.0) / col("n_a").cast("double") +
+        lit(1.0) / col("n_b").cast("double"))))
+    a.crossJoin(b)
+      .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+        col("x_a"), col("x_b"),
+        when(col("n_a") > 0, pa).as("p_a"),
+        when(col("n_b") > 0, pb).as("p_b"),
+        when(col("n_a") > 0 && col("n_b") > 0 && se > 0.0,
+          Q.sig9((pa - pb) / se)).as("z"))
+  }
+
   /** Exact per-group percent_rank of every distinct value WITHOUT a
     * per-group global-order window — rank-based feature normalization
     * ("replace the raw metric by its quantile position") at corpus

@@ -1160,7 +1160,53 @@ object TimeSeriesQueries {
        |SELECT event_type, np AS n_pairs, slope AS ts_slope
        |FROM rk WHERE rn = (np + 1) // 2""".stripMargin
 
+  /** Conversion-rate A/B: per-user converted = any purchase; arms by
+    * the "ab:" hash (the abtest convention); pooled two-proportion z. */
+  private val propTestQ: QFn = (s, d) => {
+    val units = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("conv"))
+      .select(pmod(graft.ext.Hashing.hash60(
+          concat(lit("ab:"), col("user_id").cast("string"))), lit(2L))
+          .as("grp"),
+        (col("conv") === 1L).as("converted"))
+    graft.ext.Profile.twoProportionZ(units, "grp", "converted")
+  }
+
+  private val propTestSql = {
+    val pa = Q.sqlSig9("CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)")
+    val pb = Q.sqlSig9("CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE)")
+    val pp = Q.sqlSig9("CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)")
+    val se = Q.sqlSig9(s"sqrt(($pp) * (1.0 - ($pp)) * " +
+      "(1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))")
+    s"""WITH u AS (
+       |  SELECT CAST(${Q.sqlHash60("'ab:' || CAST(user_id AS VARCHAR)")}
+       |      % 2 AS BIGINT) AS grp,
+       |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1
+       |      AS converted
+       |  FROM events GROUP BY user_id),
+       |c AS (
+       |  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS x
+       |  FROM u GROUP BY 1),
+       |ab AS (
+       |  SELECT a.grp AS group_a, b.grp AS group_b, a.n AS n_a,
+       |    b.n AS n_b, a.x AS x_a, b.x AS x_b
+       |  FROM (SELECT * FROM c ORDER BY grp ASC LIMIT 1) a,
+       |       (SELECT * FROM c ORDER BY grp DESC LIMIT 1) b)
+       |SELECT group_a, group_b, n_a, n_b, x_a, x_b,
+       |  CASE WHEN n_a > 0 THEN $pa END AS p_a,
+       |  CASE WHEN n_b > 0 THEN $pb END AS p_b,
+       |  CASE WHEN n_a > 0 AND n_b > 0 AND ($se) > 0.0 THEN
+       |    ${Q.sqlSig9(s"(($pa) - ($pb)) / ($se)")}
+       |  END AS z
+       |FROM ab""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q_x_prop_test" -> propTestQ,
     "q_x_trend" -> trendQ,
     "q_x_mann_kendall" -> mkQ,
     "q_x_theil_sen" -> theilSenQ,
@@ -1187,6 +1233,7 @@ object TimeSeriesQueries {
     "q_x_agg_merge" -> aggMergeQ)
 
   val oracles: Map[String, String] = Map(
+    "q_x_prop_test" -> propTestSql,
     "q_x_trend" -> trendSql,
     "q_x_mann_kendall" -> mkSql,
     "q_x_theil_sen" -> theilSenSql,

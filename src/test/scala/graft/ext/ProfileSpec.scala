@@ -261,6 +261,25 @@ class ProfileSpec extends SparkSpec {
     }
   }
 
+  test("twoProportionZ: textbook pooled z; degenerate all-convert is " +
+      "NULL") {
+    import graft.functions.GraftMath.sig9
+    val units = (Seq.fill(40)(("a", true)) ++ Seq.fill(60)(("a", false)) ++
+      Seq.fill(25)(("b", true)) ++ Seq.fill(75)(("b", false)))
+      .toDF("g", "conv").repartition(4)
+    val r = Profile.twoProportionZ(units, "g", "conv").head()
+    assert((r.getString(0), r.getString(1)) === (("a", "b")))
+    assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) ===
+      ((100L, 100L, 40L, 25L)))
+    assert(r.getDouble(6) === 0.4 && r.getDouble(7) === 0.25)
+    val pp = sig9(65.0 / 200.0)
+    val se = sig9(math.sqrt(pp * (1 - pp) * (1.0 / 100 + 1.0 / 100)))
+    assert(r.getDouble(8) === sig9((0.4 - 0.25) / se))
+    // all units convert in both arms -> se = 0 -> NULL z
+    val deg = Seq(("a", true), ("b", true)).toDF("g", "conv")
+    assert(Profile.twoProportionZ(deg, "g", "conv").head().isNullAt(8))
+  }
+
   test("gini: all-zero group yields NULL, not a division error") {
     val got = Profile.gini(Seq(("z", 0L), ("z", 0L)).toDF("g", "x"),
       Seq("g"), "x").collect()
