@@ -180,6 +180,71 @@ object Profile {
           Q.sig9((pa - pb) / se)).as("z"))
   }
 
+  /** CUPED variance reduction (Deng et al., WSDM 2013): adjust each
+    * unit's experiment metric by its PRE-period covariate,
+    * y' = y − θ·(x − x̄) with θ = cov(x, y)/var(x) pooled across arms,
+    * then Welch-z the adjusted metric — the industry-standard way to
+    * shrink A/B confidence intervals without more traffic (the same
+    * users' past behavior explains much of the outcome variance; θ is
+    * the OLS slope of y on x, so subtracting it cannot bias the
+    * between-arm difference). Reports the raw z beside the adjusted
+    * one so the variance win is visible in the row itself.
+    *
+    * Determinism: θ comes from the TWO-PASS CENTERED covariance
+    * Σ(x−x̄)(y−ȳ) / Σ(x−x̄)² — the one-pass n·Σxy − Σx·Σy form
+    * subtracts two nearly equal magnitudes, so a single last-ulp tie
+    * in either aggregate amplifies through the cancellation into a
+    * visibly different θ (observed cross-engine at sf0.001; the
+    * centered form has no cancellation to amplify). Each centered
+    * product is sig9'd BEFORE the exact decimal sum (the NaiveBayes
+    * lesson), and every downstream chain is fixed IEEE over sig9'd
+    * scalars, re-sig9'd per unit so the moment sums stay granular.
+    *
+    * Plan: two pooled single-row aggregates (means, then centered
+    * sums — both broadcast), one map-side adjustment projection, then
+    * [[groupMoments]] + [[welchZ]] twice (raw, adjusted).
+    *
+    * @param units one row per unit: (groupCol, metricCol y, covCol x)
+    * @return ONE row: (group_a, group_b, n_a, n_b, theta, z_raw,
+    *         z_adj) — theta NULL (and z_adj = z_raw semantics lost)
+    *         when var(x) = 0; the caller sees the NULL, not a guess */
+  def cupedZ(units: DataFrame, groupCol: String, metricCol: String,
+      covCol: String): DataFrame = {
+    import graft.queries.Q
+    val y = col(metricCol).cast("double")
+    val x = col(covCol).cast("double")
+    val base = units.select(col(groupCol).as("g"), y.as("y"), x.as("x"))
+      .localCheckpoint() // pooled stats + two moment passes
+    val means = base.agg(count(lit(1)).as("n"),
+      Q.dsum(col("x")).as("sx"), Q.dsum(col("y")).as("sy"))
+      .select(col("n"),
+        Q.sig9(col("sx") / col("n").cast("double")).as("xbar"),
+        Q.sig9(col("sy") / col("n").cast("double")).as("ybar"))
+    val cx = col("x") - col("xbar")
+    val cy = col("y") - col("ybar")
+    val centered = base.crossJoin(broadcast(means))
+      .agg(first(col("n")).as("n"), first(col("xbar")).as("xbar"),
+        Q.dsum(Q.sig9(cx * cy)).as("sxy_c"),
+        Q.dsum(Q.sig9(cx * cx)).as("sxx_c"))
+    val stats = centered.select(col("n"),
+      when(col("sxx_c") > 0,
+        Q.sig9(col("sxy_c") / col("sxx_c"))).as("theta"),
+      col("xbar"))
+    val adj = base.crossJoin(broadcast(stats))
+      .withColumn("y_adj", Q.sig9(
+        col("y") - coalesce(col("theta"), lit(0.0)) *
+          (col("x") - col("xbar"))))
+    val zRaw = welchZ(groupMoments(adj, Seq("g"), "y"), "g")
+      .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+        col("z").as("z_raw"))
+    val zAdj = welchZ(groupMoments(adj, Seq("g"), "y_adj"), "g")
+      .select(col("group_a").as("ga2"), col("z").as("z_adj"))
+    zRaw.crossJoin(broadcast(zAdj))
+      .crossJoin(broadcast(stats.select(col("theta"))))
+      .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+        col("theta"), col("z_raw"), col("z_adj"))
+  }
+
   /** Exact per-group percent_rank of every distinct value WITHOUT a
     * per-group global-order window — rank-based feature normalization
     * ("replace the raw metric by its quantile position") at corpus

@@ -1205,7 +1205,96 @@ object TimeSeriesQueries {
        |FROM ab""".stripMargin
   }
 
+  /** CUPED A/B: metric = each user's second-half value sum, covariate
+    * = their first-half sum (split at the exact midpoint day); arms by
+    * the "ab:" hash. Reports raw and adjusted z side by side. */
+  private val cupedQ: QFn = (s, d) => {
+    val ev = Tables.events(s, d).where(col("value").isNotNull)
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+    val split = ev.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(expr("date_add(lo, CAST(datediff(hi, lo) div 2 AS INT))")
+        .as("split"))
+    val units = ev.crossJoin(broadcast(split))
+      .groupBy(col("user_id"))
+      .agg(
+        coalesce(Q.dsum(when(col("day") < col("split"), col("value"))),
+          lit(0.0)).as("x"),
+        coalesce(Q.dsum(when(col("day") >= col("split"), col("value"))),
+          lit(0.0)).as("y"))
+      .select(pmod(graft.ext.Hashing.hash60(
+          concat(lit("ab:"), col("user_id").cast("string"))), lit(2L))
+          .as("grp"),
+        col("y"), col("x"))
+    graft.ext.Profile.cupedZ(units, "grp", "y", "x")
+  }
+
+  private val cupedSql = {
+    def welch(src: String, vc: String, zName: String) =
+      s"""m_$zName AS (
+         |  SELECT grp, CAST(count($vc) AS BIGINT) AS n,
+         |    ${Q.sqlDsum(vc)} AS s1,
+         |    ${Q.sqlDsum(s"$vc * $vc")} AS s2
+         |  FROM $src GROUP BY 1),
+         |mm_$zName AS (
+         |  SELECT grp, n, s1 / n AS mean_v,
+         |    CASE WHEN n > 1 THEN ${Q.sqlSig9(
+             "(s2 - s1 * s1 / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)")}
+         |    END AS var_v
+         |  FROM m_$zName),
+         |z_$zName AS (
+         |  SELECT a.grp AS group_a, b.grp AS group_b, a.n AS n_a,
+         |    b.n AS n_b,
+         |    ${Q.sqlSig9("(a.mean_v - b.mean_v) / sqrt(a.var_v / " +
+             "CAST(a.n AS DOUBLE) + b.var_v / CAST(b.n AS DOUBLE))")}
+         |      AS $zName
+         |  FROM (SELECT * FROM mm_$zName ORDER BY grp ASC LIMIT 1) a,
+         |       (SELECT * FROM mm_$zName ORDER BY grp DESC LIMIT 1) b)"""
+        .stripMargin
+    s"""WITH ev AS (
+       |  SELECT user_id, CAST(ts AS DATE) AS day, value FROM events
+       |  WHERE value IS NOT NULL),
+       |bb AS (SELECT min(day) AS lo, max(day) AS hi FROM ev),
+       |sp AS (SELECT lo + CAST(date_diff('day', lo, hi) // 2 AS INTEGER)
+       |  AS split FROM bb),
+       |u AS (
+       |  SELECT CAST(${Q.sqlHash60("'ab:' || CAST(user_id AS VARCHAR)")}
+       |      % 2 AS BIGINT) AS grp,
+       |    COALESCE(${Q.sqlDsum(
+           "CASE WHEN day < split THEN value END")}, 0.0) AS x,
+       |    COALESCE(${Q.sqlDsum(
+           "CASE WHEN day >= split THEN value END")}, 0.0) AS y
+       |  FROM ev, sp GROUP BY user_id),
+       |mn AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    ${Q.sqlSig9(s"${Q.sqlDsum("x")} / CAST(count(*) AS DOUBLE)")}
+       |      AS xbar,
+       |    ${Q.sqlSig9(s"${Q.sqlDsum("y")} / CAST(count(*) AS DOUBLE)")}
+       |      AS ybar
+       |  FROM u),
+       |p AS (
+       |  SELECT mn.n, mn.xbar,
+       |    ${Q.sqlDsum(Q.sqlSig9("(x - xbar) * (y - ybar)"))} AS sxy_c,
+       |    ${Q.sqlDsum(Q.sqlSig9("(x - xbar) * (x - xbar)"))} AS sxx_c
+       |  FROM u, mn GROUP BY 1, 2),
+       |st AS (
+       |  SELECT n, CASE WHEN sxx_c > 0 THEN
+       |      ${Q.sqlSig9("sxy_c / sxx_c")} END AS theta,
+       |    xbar
+       |  FROM p),
+       |adj AS (
+       |  SELECT u.grp, u.y,
+       |    ${Q.sqlSig9("u.y - COALESCE(st.theta, 0.0) * (u.x - st.xbar)")}
+       |      AS y_adj
+       |  FROM u, st),
+       |${welch("adj", "y", "z_raw")},
+       |${welch("adj", "y_adj", "z_adj")}
+       |SELECT z_z_raw.group_a, z_z_raw.group_b, z_z_raw.n_a,
+       |  z_z_raw.n_b, st.theta, z_z_raw.z_raw, z_z_adj.z_adj
+       |FROM z_z_raw, z_z_adj, st""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q_x_cuped" -> cupedQ,
     "q_x_prop_test" -> propTestQ,
     "q_x_trend" -> trendQ,
     "q_x_mann_kendall" -> mkQ,
@@ -1233,6 +1322,7 @@ object TimeSeriesQueries {
     "q_x_agg_merge" -> aggMergeQ)
 
   val oracles: Map[String, String] = Map(
+    "q_x_cuped" -> cupedSql,
     "q_x_prop_test" -> propTestSql,
     "q_x_trend" -> trendSql,
     "q_x_mann_kendall" -> mkSql,

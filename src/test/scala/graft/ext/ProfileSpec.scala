@@ -280,6 +280,32 @@ class ProfileSpec extends SparkSpec {
     assert(Profile.twoProportionZ(deg, "g", "conv").head().isNullAt(8))
   }
 
+  test("cupedZ: theta ~ the generating slope and the adjusted z " +
+      "dominates the raw z when the covariate explains the variance") {
+    // y = 2x + 1 (+0.4 only in arm b) -> raw y ranges overlap heavily,
+    // the covariate-adjusted ones separate cleanly
+    val units = Seq(
+      ("a", 3.0, 1.0), ("a", 11.2, 5.0), ("a", 7.1, 3.0),
+      ("b", 5.4, 2.0), ("b", 13.6, 6.0), ("b", 9.5, 4.0))
+      .toDF("g", "y", "x").repartition(3)
+    val r = Profile.cupedZ(units, "g", "y", "x").head()
+    assert((r.getString(0), r.getString(1)) === (("a", "b")))
+    assert((r.getLong(2), r.getLong(3)) === ((3L, 3L)))
+    assert(math.abs(r.getDouble(4) - 2.0) < 0.1, s"theta=${r.get(4)}")
+    assert(math.abs(r.getDouble(6)) > math.abs(r.getDouble(5)),
+      s"adjusted z ${r.get(6)} must dominate raw ${r.get(5)}")
+  }
+
+  test("cupedZ: constant covariate yields NULL theta and z_adj == the " +
+      "unadjusted test") {
+    val units = Seq(("a", 3.0, 7.0), ("a", 5.5, 7.0),
+      ("b", 4.0, 7.0), ("b", 6.5, 7.0)).toDF("g", "y", "x")
+    val r = Profile.cupedZ(units, "g", "y", "x").head()
+    assert(r.isNullAt(4)) // var(x) = 0
+    // theta falls back to 0 in the adjustment -> y_adj = sig9(y)
+    assert(r.getDouble(5) === r.getDouble(6))
+  }
+
   test("gini: all-zero group yields NULL, not a division error") {
     val got = Profile.gini(Seq(("z", 0L), ("z", 0L)).toDF("g", "x"),
       Seq("g"), "x").collect()
