@@ -753,6 +753,22 @@ object Profile {
     * still contribute E — the chiSquare lesson).
     *
     * @return 9 rows: (digit, n_obs, n_total, expected, contrib) */
+  /** Scala twin of [[benford]]'s digit extraction — ONE semantics for
+    * the batch Column chain and the streaming monitor
+    * ([[graft.streaming.EventPipeline.benfordMonitor]]); the parity is
+    * spec-pinned over a boundary sweep. None for null/NaN/non-positive
+    * values and for positives below 10⁻⁹ (whose scaled floor is 0 —
+    * the batch side drops digit 0 at the grid join). */
+  def benfordDigit(x: Double): Option[Long] = {
+    if (x.isNaN || x <= 0) None
+    else {
+      val scaled = if (x < 1.0) x * 1e9 else x
+      val fl = math.floor(scaled).toLong
+      if (fl <= 0) None
+      else Some((fl.toString.head - '0').toLong)
+    }
+  }
+
   def benford(df: DataFrame, colName: String): DataFrame = {
     import graft.queries.Q
     val spark = df.sparkSession

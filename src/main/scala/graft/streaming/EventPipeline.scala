@@ -309,6 +309,36 @@ object EventPipeline {
   /** Per-stream EWMA cursor for [[ewmaMonitor]]: the last horizon−1
     * raw values, newest last — exactly the lookback the bounded-
     * horizon definition needs, so state is O(H) per stream. */
+  case class BenfordCount(digit: Long, n_obs: Long)
+
+  /** Streaming Benford digit counter — the live face of
+    * [[graft.ext.Profile.benford]]: maintains the running
+    * first-significant-digit counts of every positive event value and
+    * re-emits a digit's cumulative count whenever it changes (Update
+    * mode). The expected-mass/chi-square layer is a 9-row driver-side
+    * computation the consumer runs on the table; the STATE here is
+    * what has to be incremental — nine longs total.
+    *
+    * Digit extraction is [[graft.ext.Profile.benfordDigit]] — the ONE
+    * Scala definition whose parity with the batch Column chain is
+    * spec-pinned — so cumulative streaming counts equal the batch
+    * n_obs column exactly after any prefix of batches, regardless of
+    * delivery order (counts are order-free, the one monitor here with
+    * NO in-order delivery caveat). */
+  def benfordMonitor(events: Dataset[Event], spark: SparkSession)
+      : Dataset[BenfordCount] = {
+    import spark.implicits._
+    events
+      .flatMap(e => graft.ext.Profile.benfordDigit(e.value))
+      .groupByKey(identity)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (digit: Long, it: Iterator[Long], state: GroupState[Long]) =>
+          val c = state.getOption.getOrElse(0L) + it.size
+          state.update(c)
+          BenfordCount(digit, c)
+      }
+  }
+
   case class EwmaState(buf: Seq[Double])
 
   case class EwmaPoint(stream: String, ts: java.sql.Timestamp,

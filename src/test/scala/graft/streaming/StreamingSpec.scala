@@ -646,4 +646,47 @@ class StreamingSpec extends SparkSpec {
       .toSet
     assert(history() === full)
   }
+  test("benfordMonitor: cumulative digit counts equal the batch n_obs " +
+      "after every batch prefix; digit extraction parity is exact") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    // boundary sweep: digit parity between the Column chain and the
+    // Scala twin (one semantics, two faces)
+    val sweep = Seq(0.0, -3.0, 1e-10, 4.2e-4, 0.999999999, 1.0, 9.99,
+      10.0, 100.0, 123.456, 9.99e5, 0.042)
+    val viaCol = graft.ext.Profile.benford(
+        sweep.toDF("x"), "x")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaScala = sweep.flatMap(graft.ext.Profile.benfordDigit)
+      .groupBy(identity).map { case (d, xs) => d -> xs.size.toLong }
+    (1L to 9L).foreach { d =>
+      assert(viaCol(d) === viaScala.getOrElse(d, 0L), s"digit $d") }
+
+    val batch1 = Seq(
+      Event(1L, ts("2024-03-01 10:00:00"), 7L, "click", 123.0),
+      Event(2L, ts("2024-03-01 11:00:00"), 7L, "click", 19.0),
+      Event(3L, ts("2024-03-01 10:30:00"), 8L, "view", 0.25),
+      Event(4L, ts("2024-03-01 10:40:00"), 8L, "view", -7.0)) // dropped
+    val batch2 = Seq(
+      Event(5L, ts("2024-03-01 12:00:00"), 7L, "click", 140.0),
+      Event(6L, ts("2024-03-01 13:00:00"), 7L, "click", 95.0))
+    val ms = MemoryStream[Event]
+    val q = EventPipeline.benfordMonitor(ms.toDS(), spark)
+      .writeStream.format("memory").queryName("benford_counts")
+      .outputMode("update").start()
+    def counts() = spark.table("benford_counts")
+      .groupBy(col("digit")).agg(
+        org.apache.spark.sql.functions.max(col("n_obs")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def batchCounts(evs: Seq[Event]) = graft.ext.Profile.benford(
+        evs.toDF().select(col("value")), "value")
+      .where(col("n_obs") > 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    try {
+      ms.addData(batch1); q.processAllAvailable()
+      assert(counts() === batchCounts(batch1)) // {1->2, 2->1}
+      ms.addData(batch2); q.processAllAvailable()
+      assert(counts() === batchCounts(batch1 ++ batch2))
+    } finally q.stop()
+  }
 }
