@@ -1293,7 +1293,51 @@ object TimeSeriesQueries {
        |FROM z_z_raw, z_z_adj, st""".stripMargin
   }
 
+  // ===== pipeline 8: one-plan experiment readout ======================
+
+  /** The full A/B readout as ONE plan in long format: Welch z on the
+    * metric, Mann-Whitney z on its ranks, the pooled conversion-rate
+    * z, and CUPED's raw + adjusted z (theta carried as aux) — the
+    * five numbers an experimentation dashboard shows per experiment.
+    * Composition changes nothing: each row is the standalone
+    * operator's value (spec-pinned), and the oracle composes the
+    * component SQLs as subqueries. */
+  private val pipeline8Q: QFn = (s, d) => {
+    val naux = lit(null).cast("double").as("aux")
+    val welch = abtestQ(s, d).select(lit("welch").as("stat"),
+      col("z").as("value"), naux, col("n_a"), col("n_b"))
+    val mwu = mwuQ(s, d).select(lit("mwu").as("stat"),
+      col("z").as("value"), naux, col("n_a"), col("n_b"))
+    val prop = propTestQ(s, d).select(lit("prop").as("stat"),
+      col("z").as("value"), naux, col("n_a"), col("n_b"))
+    val cu = cupedQ(s, d).localCheckpoint() // one CUPED pass, two rows
+    val cuRaw = cu.select(lit("cuped_raw").as("stat"),
+      col("z_raw").as("value"), col("theta").as("aux"),
+      col("n_a"), col("n_b"))
+    val cuAdj = cu.select(lit("cuped_adj").as("stat"),
+      col("z_adj").as("value"), col("theta").as("aux"),
+      col("n_a"), col("n_b"))
+    welch.unionByName(mwu).unionByName(prop).unionByName(cuRaw)
+      .unionByName(cuAdj)
+  }
+
+  private val pipeline8Sql =
+    s"""SELECT 'welch' AS stat, z AS value, CAST(NULL AS DOUBLE) AS aux,
+       |  n_a, n_b
+       |FROM ($abtestSql)
+       |UNION ALL
+       |SELECT 'mwu', z, CAST(NULL AS DOUBLE), n_a, n_b FROM ($mwuSql)
+       |UNION ALL
+       |SELECT 'prop', z, CAST(NULL AS DOUBLE), n_a, n_b
+       |FROM ($propTestSql)
+       |UNION ALL
+       |SELECT 'cuped_raw', z_raw, theta, n_a, n_b FROM ($cupedSql)
+       |UNION ALL
+       |SELECT 'cuped_adj', z_adj, theta, n_a, n_b
+       |FROM ($cupedSql)""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q_x_pipeline8" -> pipeline8Q,
     "q_x_cuped" -> cupedQ,
     "q_x_prop_test" -> propTestQ,
     "q_x_trend" -> trendQ,
@@ -1322,6 +1366,7 @@ object TimeSeriesQueries {
     "q_x_agg_merge" -> aggMergeQ)
 
   val oracles: Map[String, String] = Map(
+    "q_x_pipeline8" -> pipeline8Sql,
     "q_x_cuped" -> cupedSql,
     "q_x_prop_test" -> propTestSql,
     "q_x_trend" -> trendSql,
