@@ -298,6 +298,26 @@ object RelationalQueries {
       |FROM lineitem
       |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin
 
+  // --- G10: full cube (every grouping-set combination) ------------------
+  // Rollup's lattice twin: all four grouping sets of the two dims, with
+  // the grouping id carried so subtotal NULLs are distinguishable from
+  // data NULLs (gid bit order: first cube column = MSB on both engines).
+  private val g10: QFn = (s, d) =>
+    Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(lsum(floor(col("l_quantity")).cast("long")).as("sum_qty"),
+        count(lit(1)).as("cnt"),
+        grouping_id().cast("long").as("gid"))
+
+  private val g10Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+      |  COUNT(*) AS cnt,
+      |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+      |    AS BIGINT) AS gid
+      |FROM lineitem
+      |GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin
+
   // --- G8: exact percentiles (median / p90) -----------------------------
   private val g8: QFn = (s, d) =>
     Tables.lineitem(s, d)
@@ -552,6 +572,7 @@ object RelationalQueries {
     "q_g5_nullskip_avg" -> g5,
     "q_g6_guarded_ratio" -> g6,
     "q_g7_rollup" -> g7,
+    "q_g10_cube" -> g10,
     "q_g8_percentiles" -> g8,
     "q_g9_pivot" -> g9,
     "q_f15_explode" -> f15,
@@ -578,6 +599,7 @@ object RelationalQueries {
     "q_g5_nullskip_avg" -> g5Sql,
     "q_g6_guarded_ratio" -> g6Sql,
     "q_g7_rollup" -> g7Sql,
+    "q_g10_cube" -> g10Sql,
     "q_g8_percentiles" -> g8Sql,
     "q_g9_pivot" -> g9Sql,
     "q_f15_explode" -> f15Sql,
