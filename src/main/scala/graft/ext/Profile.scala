@@ -180,6 +180,45 @@ object Profile {
           Q.sig9((pa - pb) / se)).as("z"))
   }
 
+  /** Sample-ratio-mismatch (SRM) check: is the unit split between the
+    * two arms consistent with the intended ratio? The first sanity
+    * gate every experimentation platform runs BEFORE reading any
+    * metric — a skewed split means broken randomization and invalidates
+    * the whole readout. One-dof chi-square of observed arm counts
+    * against expected `ratioA : 1−ratioA`, plus the signed z (same
+    * test; the sign says WHICH arm is over-allocated).
+    *
+    * Counts are exact BIGINTs; expectations and the statistic are
+    * fixed IEEE chains over exact casts and the Scala-literal ratio,
+    * sig9'd once each — no aggregation of floats at all.
+    *
+    * @param units one row per unit (deduplicate upstream)
+    * @return ONE row: (group_a, group_b, n_a, n_b, expected_a,
+    *         chi2, z) — NULL chi2/z when either expectation is 0 */
+  def sampleRatioCheck(units: DataFrame, groupCol: String,
+      ratioA: Double = 0.5): DataFrame = {
+    import graft.queries.Q
+    require(ratioA > 0 && ratioA < 1, s"ratioA must be in (0,1): $ratioA")
+    val counts = units.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"))
+    val a = counts.orderBy(col(groupCol).asc).limit(1)
+      .select(col(groupCol).as("group_a"), col("n").as("n_a"))
+    val b = counts.orderBy(col(groupCol).desc).limit(1)
+      .select(col(groupCol).as("group_b"), col("n").as("n_b"))
+    val nTot = (col("n_a") + col("n_b")).cast("double")
+    val ea = Q.sig9(nTot * lit(ratioA))
+    val eb = Q.sig9(nTot * lit(1.0 - ratioA))
+    val da = col("n_a").cast("double") - ea
+    val db = col("n_b").cast("double") - eb
+    val chi2 = Q.sig9(Q.sig9(da * da / ea) + Q.sig9(db * db / eb))
+    val z = Q.sig9(da / Q.sig9(sqrt(nTot * lit(ratioA * (1.0 - ratioA)))))
+    a.crossJoin(b)
+      .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+        ea.as("expected_a"),
+        when(col("n_a") + col("n_b") > 0, chi2).as("chi2"),
+        when(col("n_a") + col("n_b") > 0, z).as("z"))
+  }
+
   /** CUPED variance reduction (Deng et al., WSDM 2013): adjust each
     * unit's experiment metric by its PRE-period covariate,
     * y' = y − θ·(x − x̄) with θ = cov(x, y)/var(x) pooled across arms,

@@ -1336,7 +1336,48 @@ object TimeSeriesQueries {
        |SELECT 'cuped_adj', z_adj, theta, n_a, n_b
        |FROM ($cupedSql)""".stripMargin
 
+  /** SRM gate on the "ab:" hash assignment: the per-user arm split
+    * must be consistent with 50/50 before any readout is trusted. */
+  private val srmQ: QFn = (s, d) =>
+    graft.ext.Profile.sampleRatioCheck(
+      Tables.events(s, d).select(col("user_id")).distinct()
+        .select(pmod(graft.ext.Hashing.hash60(
+          concat(lit("ab:"), col("user_id").cast("string"))), lit(2L))
+          .as("grp")),
+      "grp", ratioA = 0.5)
+
+  private val srmSql = {
+    val nTot = "CAST(n_a + n_b AS DOUBLE)"
+    val ea = Q.sqlSig9(s"$nTot * 0.5")
+    val eb = Q.sqlSig9(s"$nTot * 0.5")
+    val da = s"(CAST(n_a AS DOUBLE) - ($ea))"
+    val db = s"(CAST(n_b AS DOUBLE) - ($eb))"
+    val chi2 = Q.sqlSig9(
+      s"${Q.sqlSig9(s"$da * $da / ($ea)")} + " +
+        s"${Q.sqlSig9(s"$db * $db / ($eb)")}")
+    val z = Q.sqlSig9(
+      s"$da / ${Q.sqlSig9(s"sqrt($nTot * 0.25)")}")
+    s"""WITH u AS (
+       |  SELECT DISTINCT user_id FROM events),
+       |g AS (
+       |  SELECT CAST(${Q.sqlHash60("'ab:' || CAST(user_id AS VARCHAR)")}
+       |    % 2 AS BIGINT) AS grp
+       |  FROM u),
+       |c AS (SELECT grp, CAST(count(*) AS BIGINT) AS n FROM g
+       |      GROUP BY 1),
+       |ab AS (
+       |  SELECT a.grp AS group_a, b.grp AS group_b, a.n AS n_a,
+       |    b.n AS n_b
+       |  FROM (SELECT * FROM c ORDER BY grp ASC LIMIT 1) a,
+       |       (SELECT * FROM c ORDER BY grp DESC LIMIT 1) b)
+       |SELECT group_a, group_b, n_a, n_b, $ea AS expected_a,
+       |  CASE WHEN n_a + n_b > 0 THEN $chi2 END AS chi2,
+       |  CASE WHEN n_a + n_b > 0 THEN $z END AS z
+       |FROM ab""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q_x_srm" -> srmQ,
     "q_x_pipeline8" -> pipeline8Q,
     "q_x_cuped" -> cupedQ,
     "q_x_prop_test" -> propTestQ,
@@ -1366,6 +1407,7 @@ object TimeSeriesQueries {
     "q_x_agg_merge" -> aggMergeQ)
 
   val oracles: Map[String, String] = Map(
+    "q_x_srm" -> srmSql,
     "q_x_pipeline8" -> pipeline8Sql,
     "q_x_cuped" -> cupedSql,
     "q_x_prop_test" -> propTestSql,

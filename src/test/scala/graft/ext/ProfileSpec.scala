@@ -296,6 +296,26 @@ class ProfileSpec extends SparkSpec {
       s"adjusted z ${r.get(6)} must dominate raw ${r.get(5)}")
   }
 
+  test("sampleRatioCheck: textbook one-dof chi-square; balanced split " +
+      "scores ~0; z signs the over-allocated arm") {
+    import graft.functions.GraftMath.sig9
+    val units = (Seq.fill(60)("a") ++ Seq.fill(40)("b")).toDF("g")
+      .repartition(3)
+    val r = Profile.sampleRatioCheck(units, "g", ratioA = 0.5).head()
+    assert((r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))
+      === (("a", "b", 60L, 40L)))
+    assert(r.getDouble(4) === 50.0)
+    // chi2 = 100/50 + 100/50 = 4; z = +10/sqrt(25) = +2
+    assert(r.getDouble(5) === sig9(sig9(100.0 / 50) + sig9(100.0 / 50)))
+    assert(r.getDouble(6) === sig9(10.0 / sig9(math.sqrt(25.0))))
+    val bal = Profile.sampleRatioCheck(
+      (Seq.fill(5)("a") ++ Seq.fill(5)("b")).toDF("g"), "g").head()
+    assert(bal.getDouble(5) === 0.0 && bal.getDouble(6) === 0.0)
+    // 90/10 intent: the same 60/40 split is now a big miss
+    val skew = Profile.sampleRatioCheck(units, "g", ratioA = 0.9).head()
+    assert(skew.getDouble(5) > 90.0 && skew.getDouble(6) < 0)
+  }
+
   test("cupedZ: constant covariate yields NULL theta and z_adj == the " +
       "unadjusted test") {
     val units = Seq(("a", 3.0, 7.0), ("a", 5.5, 7.0),
