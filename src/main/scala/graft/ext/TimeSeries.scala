@@ -478,6 +478,39 @@ object TimeSeries {
             dx.cast(DoubleType) * dy.cast(DoubleType))))).as("r"))
   }
 
+  /** Seasonal strength: the fraction of a metric's variance the weekly
+    * [[seasonalProfile]] explains — 1 − Var(resid)/Var(value) per key,
+    * clamped at 0 (the STL "strength of seasonality" statistic at the
+    * weekly period). Near 1 = the dow×hour profile IS the signal
+    * (alert on residuals, not raw values); near 0 = no weekly
+    * structure worth deseasonalizing.
+    *
+    * Composition of already-adjudicated pieces: the bounded broadcast
+    * profile + residual attach ([[deseasonalize]]) and two
+    * [[Profile.groupMoments]] passes (the abtest variance contract —
+    * exact decimal sums, sig9'd variance). The final chain is fixed
+    * IEEE over the two sig9'd variances.
+    *
+    * @return per key: (keys..., n, var_total, var_resid, strength) —
+    *         strength NULL when n < 2 or Var(value) = 0 */
+  def seasonalStrength(events: DataFrame, keyCols: Seq[String],
+      tsCol: String, valCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val prof = seasonalProfile(events, keyCols, tsCol, valCol)
+    val res = deseasonalize(events, prof, keyCols, tsCol, valCol)
+      .localCheckpoint() // two moment passes
+    val mv = Profile.groupMoments(res, keyCols, valCol)
+      .select(keys :+ col("n") :+ col("var_v").as("var_total"): _*)
+    val mr = Profile.groupMoments(res, keyCols, "resid")
+      .select(keys :+ col("var_v").as("var_resid"): _*)
+    mv.join(mr, keyCols)
+      .select(keys :+ col("n") :+ col("var_total") :+ col("var_resid") :+
+        when(col("n") > 1 && col("var_total") > 0, graft.queries.Q.sig9(
+          greatest(lit(0.0),
+            lit(1.0) - col("var_resid") / col("var_total"))))
+          .as("strength"): _*)
+  }
+
   /** Time-indexed frame shared by the trend operators: (keys..., i, x)
     * with i = 1-based position in time order and x the long value —
     * one keyed window over the bounded grid. */

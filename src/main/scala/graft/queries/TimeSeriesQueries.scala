@@ -1376,7 +1376,49 @@ object TimeSeriesQueries {
        |FROM ab""".stripMargin
   }
 
+  /** How much of each event_type's value variance the weekly profile
+    * explains — the "deseasonalize or not" decision number. */
+  private val seasonalStrengthQ: QFn = (s, d) =>
+    TimeSeries.seasonalStrength(Tables.events(s, d),
+      Seq("event_type"), "ts", "value")
+
+  private val seasonalStrengthSql = {
+    def mom(vc: String, out: String) =
+      s"""m_$out AS (
+         |  SELECT event_type, CAST(count($vc) AS BIGINT) AS n,
+         |    ${Q.sqlDsum(vc)} AS s1, ${Q.sqlDsum(s"$vc * $vc")} AS s2
+         |  FROM r GROUP BY 1),
+         |v_$out AS (
+         |  SELECT event_type, n,
+         |    CASE WHEN n > 1 THEN ${Q.sqlSig9(
+             "(s2 - s1 * s1 / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)")}
+         |    END AS $out
+         |  FROM m_$out)""".stripMargin
+    s"""WITH p AS (
+       |  SELECT event_type,
+       |    CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+       |    CAST(hour(ts) AS BIGINT) AS hod,
+       |    ${Q.sqlDavg("value")} AS mean_v
+       |  FROM events GROUP BY 1, 2, 3),
+       |r AS (
+       |  SELECT e.event_type, e.value, e.value - p.mean_v AS resid
+       |  FROM events e JOIN p
+       |    ON p.event_type = e.event_type
+       |   AND p.dow = CAST(dayofweek(e.ts) + 1 AS BIGINT)
+       |   AND p.hod = CAST(hour(e.ts) AS BIGINT)),
+       |${mom("value", "var_total")},
+       |${mom("resid", "var_resid")}
+       |SELECT v_var_total.event_type, v_var_total.n,
+       |  v_var_total.var_total, v_var_resid.var_resid,
+       |  CASE WHEN v_var_total.n > 1 AND v_var_total.var_total > 0 THEN
+       |    ${Q.sqlSig9("GREATEST(0.0, 1.0 - " +
+           "v_var_resid.var_resid / v_var_total.var_total)")}
+       |  END AS strength
+       |FROM v_var_total JOIN v_var_resid USING (event_type)""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q_x_seasonal_strength" -> seasonalStrengthQ,
     "q_x_srm" -> srmQ,
     "q_x_pipeline8" -> pipeline8Q,
     "q_x_cuped" -> cupedQ,
@@ -1407,6 +1449,7 @@ object TimeSeriesQueries {
     "q_x_agg_merge" -> aggMergeQ)
 
   val oracles: Map[String, String] = Map(
+    "q_x_seasonal_strength" -> seasonalStrengthSql,
     "q_x_srm" -> srmSql,
     "q_x_pipeline8" -> pipeline8Sql,
     "q_x_cuped" -> cupedSql,

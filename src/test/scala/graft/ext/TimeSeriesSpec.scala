@@ -290,6 +290,31 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  // ===== seasonal strength ============================================
+
+  test("seasonalStrength: a perfectly weekly signal scores 1, pure " +
+      "noise-vs-profile structure lands in between") {
+    // key a: value is a pure function of (dow, hod) -> residuals all 0
+    val weekly = (0 until 28).map { d =>
+      val t = ts(f"2024-01-${d + 1}%02d ${(d * 5) % 24}%02d:00:00")
+      ("a", 1000L + d, t, ((d * 5) % 24).toDouble * 2.0)
+    }
+    // key b: slot-independent alternation within one slot -> resid
+    // variance equals total variance -> strength 0
+    val flat = (0 until 4).map { i =>
+      ("b", 2000L + i, ts(f"2024-01-${i * 7 + 1}%02d 09:00:00"),
+        if (i % 2 == 0) 1.0 else 9.0)
+    } // four Mondays 09:00: ONE shared dow/hod slot
+    val df = (weekly ++ flat).toDF("k", "id", "ts", "v")
+    val got = TimeSeries.seasonalStrength(df, Seq("k"), "ts", "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(4)).map(_.asInstanceOf[Double]))))
+      .toMap
+    assert(got("a")._1 === 28L)
+    assert(got("a")._2 === Some(1.0)) // residuals identically zero
+    assert(got("b")._2.get < 0.3) // one shared slot explains ~nothing
+  }
+
   // ===== trend trio ===================================================
 
   private def trioDf(vals: (String, Seq[Long])*) =
