@@ -40,7 +40,8 @@ object SparkEntry {
       TemporalQueries.queries ++ CorpusQueries.queries ++
       PrepQueries.queries ++ LinkQueries.queries ++
       BehaviorQueries.queries ++ LearnQueries.queries ++
-      TimeSeriesQueries.queries).map { case (name, fn) =>
+      TimeSeriesQueries.queries ++ StatsQueries.queries).map {
+      case (name, fn) =>
       name -> { (s: SparkSession, d: String) =>
         // native expressions resolve through the function registry; make
         // the surface work even on sessions built without
@@ -57,5 +58,5 @@ object SparkEntry {
       TemporalQueries.oracles ++ CorpusQueries.oracles ++
       PrepQueries.oracles ++ LinkQueries.oracles ++
       BehaviorQueries.oracles ++ LearnQueries.oracles ++
-      TimeSeriesQueries.oracles
+      TimeSeriesQueries.oracles ++ StatsQueries.oracles
 }

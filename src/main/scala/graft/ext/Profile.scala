@@ -834,6 +834,320 @@ object Profile {
         when(col("n_total") > 0, Q.sig9(d0 * d0 / e)).as("contrib"))
   }
 
+  /** Spearman rank correlation between two numeric columns — the
+    * monotone-dependence profile ("does quality rise with length?")
+    * that Pearson ([[groupCorr]]) misses whenever the relation is
+    * nonlinear or the tails are heavy. rho = Pearson over midranks,
+    * ties sharing the average rank.
+    *
+    * Determinism: midranks are carried DOUBLED (2·rank = 2·n_below +
+    * t + 1 — the [[mannWhitney]] half-unit convention), so every rank
+    * is an exact integer and all five sums (Σrx, Σry, Σrxry, Σrx²,
+    * Σry²) are exact DECIMAL(38,0); the doubling cancels in the
+    * ratio. rho is then ONE sig9'd IEEE chain over sig9'd casts of
+    * the exact integers (numerator / sqrt(dx·dy)). Exact while
+    * n·Σrxry < 10³⁸, i.e. n ≲ 10⁹ rows — document-scale corpora;
+    * beyond that pre-aggregate or sample.
+    *
+    * Plan: two [[percentRank]] two-phase binned prefix sums (one per
+    * column, no global-order window), two distinct-value equi-joins
+    * back to the row frame, one aggregate. Rows with a NULL on either
+    * side are excluded BEFORE ranking (pairwise-complete semantics).
+    *
+    * @return one row: (rho, n) — rho NULL when n < 2 or either
+    *         column is constant */
+  def spearman(df: DataFrame, xCol: String, yCol: String,
+      nBins: Int = 1024): DataFrame = {
+    import graft.queries.Q
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val rows = df.select(col(xCol).cast("double").as("x"),
+        col(yCol).cast("double").as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull)
+      .withColumn("__one", lit(0L))
+    def r2(vc: String, out: String) =
+      percentRank(rows, Seq("__one"), vc, nBins)
+        .select(col("s").as(s"__$vc"),
+          (lit(2L) * col("n_below") + col("cnt") + lit(1L)).as(out))
+    val tagged = rows
+      .join(r2("x", "r2x"), col("x") === col("__x"))
+      .join(r2("y", "r2y"), col("y") === col("__y"))
+    val a = tagged.agg(
+      count(lit(1)).as("n"),
+      sum(col("r2x").cast(dec)).as("sx"),
+      sum(col("r2y").cast(dec)).as("sy"),
+      sum(col("r2x").cast(dec) * col("r2y").cast(dec)).as("sxy"),
+      sum(col("r2x").cast(dec) * col("r2x").cast(dec)).as("sxx"),
+      sum(col("r2y").cast(dec) * col("r2y").cast(dec)).as("syy"))
+    val nDec = col("n").cast(dec)
+    val num = nDec * col("sxy") - col("sx") * col("sy")
+    val dx = nDec * col("sxx") - col("sx") * col("sx")
+    val dy = nDec * col("syy") - col("sy") * col("sy")
+    // ONE sqrt over the IEEE product of the sig9'd factors (not
+    // sqrt·sqrt): when dx = dy (any perfect monotone relation) the
+    // product is an exact square and rho lands on exactly ±1
+    a.select(
+      when(col("n") > 1 && dx > 0 && dy > 0,
+        Q.sig9(Q.sig9(num.cast("double")) /
+          Q.sig9(sqrt(Q.sig9(dx.cast("double")) *
+            Q.sig9(dy.cast("double")))))).as("rho"),
+      col("n").cast("long").as("n"))
+  }
+
+  /** Kruskal–Wallis H — the k-sample extension of [[mannWhitney]]
+    * (does ANY of the k groups' value distributions differ?), with
+    * the standard tie correction. The nonparametric screen to run
+    * before trusting a k-way mean comparison on heavy-tailed metrics.
+    *
+    * Determinism: pooled midranks doubled into exact integers (the
+    * [[spearman]] convention); per-group rank sums R2_j and the tie
+    * term Σ(t³−t) are exact DECIMAL(38,0). The per-group quotients
+    * R_j²/n_j = R2_j²/(4n_j) are sig9'd IEEE values folded LEFT TO
+    * RIGHT over the k groups in group-key order (a bounded in-row
+    * array fold — k is the category count), so the sum is
+    * bit-identical on both engines; H is then one sig9'd IEEE chain.
+    *
+    * Plan: one pooled [[percentRank]] binned prefix pass, one
+    * distinct-value equi-join back, one k-row fold. No global-order
+    * window at any size.
+    *
+    * @return one row: (h, dof, n, k, tie_t) — h NULL when k < 2 or
+    *         all values tie (the correction denominator hits 0) */
+  def kruskalWallis(df: DataFrame, groupCol: String, valCol: String,
+      nBins: Int = 1024): DataFrame = {
+    import graft.queries.Q
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val rows = df.select(col(groupCol).cast("string").as("g"),
+        col(valCol).cast("double").as("v"))
+      .where(col("g").isNotNull && col("v").isNotNull)
+      .withColumn("__one", lit(0L))
+    val pr = percentRank(rows, Seq("__one"), "v", nBins)
+      .select(col("s"),
+        (lit(2L) * col("n_below") + col("cnt") + lit(1L)).as("r2"),
+        col("cnt"))
+      .localCheckpoint()
+    val cntDec = col("cnt").cast(dec)
+    val ties = pr.agg(
+      sum(cntDec * cntDec * cntDec - cntDec).as("tie_t"),
+      sum(col("cnt")).as("n_tot"))
+    val grp = rows.join(pr.select(col("s"), col("r2")),
+        col("v") === col("s"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("nj"), sum(col("r2").cast(dec)).as("r2j"))
+    val term = Q.sig9(
+      (Q.sig9(col("r2j").cast("double")) *
+        Q.sig9(col("r2j").cast("double"))) /
+        (lit(4.0) * col("nj").cast("double")))
+    val folded = grp.select(col("g"), term.as("term"))
+      .agg(count(lit(1)).as("k"),
+        array_sort(collect_list(struct(col("g"), col("term")))).as("a"))
+      .select(col("k"),
+        aggregate(col("a"), lit(0.0),
+          (acc, x) => acc + x.getField("term")).as("sum_terms"))
+    val nd = col("n_tot").cast("double")
+    val n3 = col("n_tot").cast(dec) * col("n_tot").cast(dec) *
+      col("n_tot").cast(dec) - col("n_tot").cast(dec)
+    val tied = Q.sig9(col("tie_t").cast("double"))
+    val hraw = lit(12.0) / (nd * (nd + lit(1.0))) * col("sum_terms") -
+      lit(3.0) * (nd + lit(1.0))
+    val corr = lit(1.0) - tied / Q.sig9(n3.cast("double"))
+    folded.crossJoin(broadcast(ties))
+      .select(
+        when(col("k") >= 2 && col("n_tot") > 1 && corr > 0,
+          Q.sig9(hraw / corr)).as("h"),
+        (col("k") - 1).cast("long").as("dof"),
+        coalesce(col("n_tot"), lit(0L)).cast("long").as("n"),
+        col("k").cast("long").as("k"),
+        when(col("n_tot") > 0, tied).as("tie_t"))
+  }
+
+  /** One-way ANOVA F over an INTEGER-VALUED metric column — the
+    * parametric k-sample mean test beside [[kruskalWallis]]'s rank
+    * form (and the machinery [[brownForsythe]] reuses for variance
+    * equality). The integer precondition is what makes the group
+    * sums S_j and squared sums Q_j EXACT DECIMAL(38,0) integers (the
+    * Graph integer-weight convention); fractional metrics pre-scale
+    * to a fixed-point integer first.
+    *
+    * Determinism: SSB/SSW derive from the exact integers via the
+    * S_j²/n_j quotient terms, each sig9'd and folded left-to-right
+    * over the k groups in group-key order (bounded in-row array
+    * fold), then one sig9'd IEEE chain for F.
+    *
+    * Plan: one hash group-by, one k-row fold. Nothing global.
+    *
+    * @return one row: (f, ssb, ssw, dof_between, dof_within, n, k) —
+    *         f NULL when k < 2, n ≤ k, or SSW = 0 */
+  def oneWayAnova(df: DataFrame, groupCol: String, valCol: String)
+      : DataFrame = {
+    import graft.queries.Q
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val rows = df.select(col(groupCol).cast("string").as("g"),
+        col(valCol).cast("long").as("v"))
+      .where(col("g").isNotNull && col("v").isNotNull)
+    val grp = rows.groupBy(col("g"))
+      .agg(count(lit(1)).as("nj"),
+        sum(col("v").cast(dec)).as("sj"),
+        sum(col("v").cast(dec) * col("v").cast(dec)).as("qj"))
+    val term = Q.sig9(
+      (Q.sig9(col("sj").cast("double")) *
+        Q.sig9(col("sj").cast("double"))) / col("nj").cast("double"))
+    val folded = grp
+      .select(col("g"), col("nj"), col("sj"), col("qj"), term.as("term"))
+      .agg(count(lit(1)).as("k"), sum(col("nj")).as("n_tot"),
+        sum(col("sj")).as("s_tot"), sum(col("qj")).as("q_tot"),
+        array_sort(collect_list(struct(col("g"), col("term")))).as("a"))
+      .select(col("k"), col("n_tot"), col("s_tot"), col("q_tot"),
+        aggregate(col("a"), lit(0.0),
+          (acc, x) => acc + x.getField("term")).as("sum_terms"))
+    val nd = col("n_tot").cast("double")
+    val sd = Q.sig9(col("s_tot").cast("double"))
+    val qd = Q.sig9(col("q_tot").cast("double"))
+    val ssb = col("sum_terms") - sd * sd / nd
+    val ssw = qd - col("sum_terms")
+    val kd = col("k").cast("double")
+    folded.select(
+      when(col("k") >= 2 && col("n_tot") > col("k") && ssw > 0,
+        Q.sig9((ssb / (kd - 1.0)) / (ssw / (nd - kd)))).as("f"),
+      when(col("n_tot") > 0, Q.sig9(ssb)).as("ssb"),
+      when(col("n_tot") > 0, Q.sig9(ssw)).as("ssw"),
+      (col("k") - 1).cast("long").as("dof_between"),
+      (col("n_tot") - col("k")).cast("long").as("dof_within"),
+      coalesce(col("n_tot"), lit(0L)).cast("long").as("n"),
+      col("k").cast("long").as("k"))
+  }
+
+  /** Brown–Forsythe variance-equality test (Levene's test with the
+    * MEDIAN center — the robust form) over an INTEGER-VALUED column:
+    * are the k groups' spreads equal, the precondition check before
+    * a pooled-variance readout. Per group, deviations from the group
+    * median feed [[oneWayAnova]]; a significant F = unequal spreads.
+    *
+    * Determinism: deviations are carried DOUBLED — med2 = x_(k) +
+    * x_(k+1) (or 2·x_(k) for odd n) is an exact integer in
+    * half-units, so d2 = |2x − med2| is exact and F is scale
+    * invariant (the doubling cancels). Medians are DISCRETE order
+    * statistics read off [[percentRank]]'s prefix sums (min value
+    * with cum ≥ k — the conformal convention), never interpolated
+    * floats.
+    *
+    * @return [[oneWayAnova]]'s row over the doubled deviations */
+  def brownForsythe(df: DataFrame, groupCol: String, valCol: String,
+      nBins: Int = 1024): DataFrame = {
+    val rows = df.select(col(groupCol).cast("string").as("g"),
+        col(valCol).cast("long").as("v"))
+      .where(col("g").isNotNull && col("v").isNotNull)
+    val pr = percentRank(rows, Seq("g"), "v", nBins)
+    val tot = pr.groupBy(col("g"))
+      .agg(max(col("n_below") + col("cnt")).as("nj"))
+    val withN = pr.join(broadcast(tot), Seq("g"))
+      .withColumn("klo", expr("(nj + 1) div 2"))
+      .withColumn("khi", expr("(nj div 2) + 1"))
+    val m = withN.groupBy(col("g"))
+      .agg(min(when(col("n_below") + col("cnt") >= col("klo"),
+          col("s"))).as("mlo"),
+        min(when(col("n_below") + col("cnt") >= col("khi"),
+          col("s"))).as("mhi"))
+      .select(col("g"), (col("mlo") + col("mhi")).cast("long").as("med2"))
+    val dev = rows.join(m, Seq("g"))
+      .select(col("g"), abs(lit(2L) * col("v") - col("med2")).as("d2"))
+    oneWayAnova(dev, "g", "d2")
+  }
+
+  /** Mutual information (nats) + normalized MI between two
+    * categorical columns — the DEPENDENCE STRENGTH companion to
+    * [[chiSquare]]'s significance: chi² says "not independent", MI
+    * says "how many nats of the row label the column label carries"
+    * (feature-selection ranking, redundant-metadata detection).
+    * NMI = MI / sqrt(H_row · H_col) ∈ [0, 1].
+    *
+    * Determinism: all cell and margin counts are exact BIGINTs; each
+    * cell's log ratio ln(c·N / (r·k)) takes ONE sig9'd libm ln of a
+    * division of sig9'd exact-integer products (the tokenEntropy
+    * convention), each contribution is sig9'd, and the sums run
+    * through dsumStable(12) (|MI| ≤ ln(cats), so scale 12 is exact).
+    *
+    * Plan: one (r, c) hash group-by; margins re-aggregate the CELL
+    * frame (never a second input scan); two margin equi-joins.
+    *
+    * @return one row: (mi, nmi, n, r_cats, c_cats) — nmi NULL when
+    *         either margin entropy is 0 (a constant column) */
+  def mutualInfo(df: DataFrame, rowCol: String, colCol: String)
+      : DataFrame = {
+    import graft.queries.Q
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cells = df.select(col(rowCol).cast("string").as("r"),
+        col(colCol).cast("string").as("c"))
+      .where(col("r").isNotNull && col("c").isNotNull)
+      .groupBy(col("r"), col("c")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val rm = cells.groupBy(col("r")).agg(sum(col("cnt")).as("rn"))
+    val cm = cells.groupBy(col("c")).agg(sum(col("cnt")).as("cn"))
+    val tot = cells.agg(sum(col("cnt")).as("n"))
+    val ratio =
+      Q.sig9((col("cnt").cast(dec) * col("n").cast(dec)).cast("double")) /
+        Q.sig9((col("rn").cast(dec) * col("cn").cast(dec)).cast("double"))
+    val contrib = Q.sig9(col("cnt").cast("double") /
+      col("n").cast("double") * Q.sig9(log(ratio)))
+    val mi = cells.join(rm, Seq("r")).join(cm, Seq("c"))
+      .crossJoin(broadcast(tot))
+      .agg(Q.dsumStable(contrib, 12).as("mi"),
+        countDistinct(col("r")).cast("long").as("r_cats"),
+        countDistinct(col("c")).cast("long").as("c_cats"),
+        first(col("n")).as("n"))
+    def ent(margin: DataFrame, cc: String, out: String) = {
+      val p = col(cc).cast("double") / col("n").cast("double")
+      margin.crossJoin(broadcast(tot))
+        .agg((lit(0.0) - Q.dsumStable(Q.sig9(p * Q.sig9(log(p))), 12))
+          .as(out))
+    }
+    val hr = ent(rm, "rn", "h_r")
+    val hc = ent(cm, "cn", "h_c")
+    mi.crossJoin(broadcast(hr)).crossJoin(broadcast(hc))
+      .select(
+        when(col("n") > 0, col("mi")).as("mi"),
+        when(col("n") > 0 && col("h_r") > 0 && col("h_c") > 0,
+          Q.sig9(col("mi") /
+            Q.sig9(sqrt(col("h_r") * col("h_c"))))).as("nmi"),
+        coalesce(col("n"), lit(0L)).cast("long").as("n"),
+        col("r_cats"), col("c_cats"))
+  }
+
+  /** McNemar's paired-proportion test over per-unit binary flag
+    * pairs — did the SAME units flip between two binary states (the
+    * paired twin of [[twoProportionZ]], which assumes independent
+    * arms). Only the discordant counts matter: b = |a ∧ ¬b|,
+    * c = |¬a ∧ b|; chi² = (b−c)²/(b+c), plus the
+    * continuity-corrected (|b−c|−1)²/(b+c).
+    *
+    * Determinism: pure exact-integer counts; each statistic is ONE
+    * sig9'd IEEE division of exact longs ((b−c)² stays exact below
+    * ~3·10⁹ discordant units — beyond any real paired design).
+    *
+    * @return one row: (n_units, b, c, chi2, chi2_cc) — NULL stats
+    *         when b + c = 0 (no discordant pairs) */
+  def mcnemar(units: DataFrame, aCol: String, bCol: String): DataFrame = {
+    import graft.queries.Q
+    val f = units
+      .where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).cast("boolean").as("fa"),
+        col(bCol).cast("boolean").as("fb"))
+    val d = abs(col("b") - col("c"))
+    f.agg(count(lit(1)).as("n_units"),
+        sum(when(col("fa") && !col("fb"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("fa") && col("fb"), 1L).otherwise(0L)).as("c"))
+      .select(col("n_units"),
+        coalesce(col("b"), lit(0L)).cast("long").as("b"),
+        coalesce(col("c"), lit(0L)).cast("long").as("c"))
+      .select(col("n_units"), col("b"), col("c"),
+        when(col("b") + col("c") > 0, Q.sig9(
+          ((col("b") - col("c")) * (col("b") - col("c"))).cast("double") /
+            (col("b") + col("c")).cast("double"))).as("chi2"),
+        when(col("b") + col("c") > 0, Q.sig9(
+          (greatest(d - 1, lit(0L)) * greatest(d - 1, lit(0L)))
+            .cast("double") /
+            (col("b") + col("c")).cast("double"))).as("chi2_cc"))
+  }
+
   def schemaDiff(oldDf: DataFrame, newDf: DataFrame): DataFrame = {
     val spark = oldDf.sparkSession
     import spark.implicits._

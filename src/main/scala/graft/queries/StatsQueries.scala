@@ -1,0 +1,304 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ext.Profile
+
+/** The k-sample / dependence statistics family under the DuckDB oracle
+  * ([[graft.ext.Profile]]): Spearman rank correlation, Kruskal–Wallis,
+  * one-way ANOVA, Brown–Forsythe variance equality, mutual information
+  * and McNemar's paired test. These extend the two-sample A/B suite
+  * (Welch `q_x_abtest`, MWU `q_x_mwu`, KS `q_x_ks`, chi-square
+  * `q_x_chisq`) to k groups, paired designs and dependence strength —
+  * the full pre-launch metric-QA toolbox. Every oracle mirrors the
+  * engine's exact-integer + sig9'd-IEEE chains term for term.
+  */
+object StatsQueries {
+  type QFn = (SparkSession, String) => DataFrame
+
+  // ===== Spearman: does price rise monotonically with quantity? ======
+
+  private val spearmanQ: QFn = (s, d) =>
+    Profile.spearman(Tables.lineitem(s, d), "l_quantity",
+      "l_extendedprice")
+
+  private val spearmanSql = {
+    val rhoChain = Q.sqlSig9(
+      s"${Q.sqlSig9("CAST(num AS DOUBLE)")} / " +
+        Q.sqlSig9(s"sqrt(${Q.sqlSig9("CAST(dx AS DOUBLE)")} * " +
+          s"${Q.sqlSig9("CAST(dy AS DOUBLE)")})"))
+    s"""WITH r AS (
+       |  SELECT CAST(l_quantity AS DOUBLE) AS x,
+       |    CAST(l_extendedprice AS DOUBLE) AS y
+       |  FROM lineitem
+       |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+       |vx AS (SELECT x AS s, CAST(count(*) AS BIGINT) AS c
+       |  FROM r GROUP BY 1),
+       |cx AS (SELECT s, 2 * COALESCE(sum(c) OVER (ORDER BY s
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    + c + 1 AS r2 FROM vx),
+       |vy AS (SELECT y AS s, CAST(count(*) AS BIGINT) AS c
+       |  FROM r GROUP BY 1),
+       |cy AS (SELECT s, 2 * COALESCE(sum(c) OVER (ORDER BY s
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    + c + 1 AS r2 FROM vy),
+       |t AS (
+       |  SELECT cx.r2 AS r2x, cy.r2 AS r2y
+       |  FROM r JOIN cx ON r.x = cx.s JOIN cy ON r.y = cy.s),
+       |a AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    sum(CAST(r2x AS DECIMAL(38,0))) AS sx,
+       |    sum(CAST(r2y AS DECIMAL(38,0))) AS sy,
+       |    sum(CAST(r2x AS DECIMAL(38,0)) * CAST(r2y AS DECIMAL(38,0)))
+       |      AS sxy,
+       |    sum(CAST(r2x AS DECIMAL(38,0)) * CAST(r2x AS DECIMAL(38,0)))
+       |      AS sxx,
+       |    sum(CAST(r2y AS DECIMAL(38,0)) * CAST(r2y AS DECIMAL(38,0)))
+       |      AS syy
+       |  FROM t),
+       |d AS (
+       |  SELECT n,
+       |    CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS num,
+       |    CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS dx,
+       |    CAST(n AS DECIMAL(38,0)) * syy - sy * sy AS dy
+       |  FROM a)
+       |SELECT
+       |  CASE WHEN n > 1 AND dx > 0 AND dy > 0 THEN $rhoChain END AS rho,
+       |  n
+       |FROM d""".stripMargin
+  }
+
+  // ===== Kruskal–Wallis: value distributions across event types ======
+
+  private val kruskalQ: QFn = (s, d) =>
+    Profile.kruskalWallis(Tables.events(s, d), "event_type", "value")
+
+  private val kruskalSql = {
+    val r2d = Q.sqlSig9("CAST(r2j AS DOUBLE)")
+    val term = Q.sqlSig9(
+      s"($r2d * $r2d) / (CAST(4.0 AS DOUBLE) * CAST(nj AS DOUBLE))")
+    val nd = "CAST(n_tot AS DOUBLE)"
+    val tied = Q.sqlSig9("CAST(tie_t AS DOUBLE)")
+    val n3d = Q.sqlSig9("CAST(CAST(n_tot AS DECIMAL(38,0)) * n_tot " +
+      "* n_tot - n_tot AS DOUBLE)")
+    val hraw = s"CAST(12.0 AS DOUBLE) / ($nd * ($nd + " +
+      s"CAST(1.0 AS DOUBLE))) * sum_terms - CAST(3.0 AS DOUBLE) * " +
+      s"($nd + CAST(1.0 AS DOUBLE))"
+    val corr = s"(CAST(1.0 AS DOUBLE) - $tied / $n3d)"
+    s"""WITH r AS (
+       |  SELECT CAST(event_type AS VARCHAR) AS g,
+       |    CAST(value AS DOUBLE) AS v
+       |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+       |vd AS (SELECT v AS s, CAST(count(*) AS BIGINT) AS c
+       |  FROM r GROUP BY 1),
+       |cum AS (SELECT s, c,
+       |    2 * COALESCE(sum(c) OVER (ORDER BY s
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |    + c + 1 AS r2 FROM vd),
+       |ties AS (
+       |  SELECT sum(CAST(c AS DECIMAL(38,0)) * c * c - c) AS tie_t,
+       |    CAST(sum(c) AS BIGINT) AS n_tot FROM vd),
+       |grp AS (
+       |  SELECT g, CAST(count(*) AS BIGINT) AS nj,
+       |    sum(CAST(r2 AS DECIMAL(38,0))) AS r2j
+       |  FROM r JOIN cum ON r.v = cum.s GROUP BY 1),
+       |terms AS (SELECT g, $term AS term FROM grp),
+       |folded AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS k,
+       |    ${Q.sqlFold("list(term ORDER BY g)")} AS sum_terms
+       |  FROM terms)
+       |SELECT
+       |  CASE WHEN k >= 2 AND n_tot > 1 AND $corr > CAST(0.0 AS DOUBLE)
+       |    THEN ${Q.sqlSig9(s"($hraw) / $corr")} END AS h,
+       |  k - 1 AS dof,
+       |  COALESCE(n_tot, 0) AS n,
+       |  k,
+       |  CASE WHEN n_tot > 0 THEN $tied END AS tie_t
+       |FROM folded, ties""".stripMargin
+  }
+
+  // ===== one-way ANOVA: quantity means across return flags ===========
+
+  private val anovaQ: QFn = (s, d) =>
+    Profile.oneWayAnova(Tables.lineitem(s, d), "l_returnflag",
+      "l_quantity")
+
+  /** Shared ANOVA oracle tail over a `rows_(g, v)` CTE (v integral) —
+    * [[anovaSql]] and [[leveneSql]] both end in this exact chain. */
+  private def anovaSqlTail: String = {
+    val sjd = Q.sqlSig9("CAST(sj AS DOUBLE)")
+    val term = Q.sqlSig9(s"($sjd * $sjd) / CAST(nj AS DOUBLE)")
+    val nd = "CAST(n_tot AS DOUBLE)"
+    val sd = Q.sqlSig9("CAST(s_tot AS DOUBLE)")
+    val qd = Q.sqlSig9("CAST(q_tot AS DOUBLE)")
+    val ssb = s"(sum_terms - $sd * $sd / $nd)"
+    val ssw = s"($qd - sum_terms)"
+    val kd = "CAST(k AS DOUBLE)"
+    s"""grp AS (
+       |  SELECT g, CAST(count(*) AS BIGINT) AS nj,
+       |    sum(CAST(v AS DECIMAL(38,0))) AS sj,
+       |    sum(CAST(v AS DECIMAL(38,0)) * v) AS qj
+       |  FROM rows_ GROUP BY 1),
+       |terms AS (SELECT g, nj, sj, qj, $term AS term FROM grp),
+       |folded AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS k,
+       |    CAST(sum(nj) AS BIGINT) AS n_tot,
+       |    sum(sj) AS s_tot, sum(qj) AS q_tot,
+       |    ${Q.sqlFold("list(term ORDER BY g)")} AS sum_terms
+       |  FROM terms)
+       |SELECT
+       |  CASE WHEN k >= 2 AND n_tot > k AND $ssw > CAST(0.0 AS DOUBLE)
+       |    THEN ${Q.sqlSig9(s"($ssb / ($kd - CAST(1.0 AS DOUBLE))) / " +
+            s"($ssw / ($nd - $kd))")} END AS f,
+       |  CASE WHEN n_tot > 0 THEN ${Q.sqlSig9(ssb)} END AS ssb,
+       |  CASE WHEN n_tot > 0 THEN ${Q.sqlSig9(ssw)} END AS ssw,
+       |  k - 1 AS dof_between,
+       |  n_tot - k AS dof_within,
+       |  COALESCE(n_tot, 0) AS n,
+       |  k
+       |FROM folded""".stripMargin
+  }
+
+  private val anovaSql =
+    s"""WITH rows_ AS (
+       |  SELECT CAST(l_returnflag AS VARCHAR) AS g,
+       |    CAST(l_quantity AS BIGINT) AS v
+       |  FROM lineitem
+       |  WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL),
+       |$anovaSqlTail""".stripMargin
+
+  // ===== Brown–Forsythe: quantity spreads across return flags ========
+
+  private val leveneQ: QFn = (s, d) =>
+    Profile.brownForsythe(Tables.lineitem(s, d), "l_returnflag",
+      "l_quantity")
+
+  private val leveneSql =
+    s"""WITH base AS (
+       |  SELECT CAST(l_returnflag AS VARCHAR) AS g,
+       |    CAST(l_quantity AS BIGINT) AS v
+       |  FROM lineitem
+       |  WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL),
+       |vd AS (SELECT g, v AS s, CAST(count(*) AS BIGINT) AS c
+       |  FROM base GROUP BY 1, 2),
+       |cum AS (SELECT g, s, c,
+       |    COALESCE(sum(c) OVER (PARTITION BY g ORDER BY s
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb
+       |  FROM vd),
+       |tot AS (SELECT g, CAST(max(nb + c) AS BIGINT) AS nj
+       |  FROM cum GROUP BY 1),
+       |m AS (
+       |  SELECT cum.g,
+       |    CAST(min(CASE WHEN nb + c >= (nj + 1) // 2 THEN s END)
+       |      + min(CASE WHEN nb + c >= nj // 2 + 1 THEN s END)
+       |      AS BIGINT) AS med2
+       |  FROM cum JOIN tot ON cum.g = tot.g GROUP BY 1),
+       |rows_ AS (
+       |  SELECT base.g, ABS(2 * v - med2) AS v
+       |  FROM base JOIN m ON base.g = m.g),
+       |$anovaSqlTail""".stripMargin
+
+  // ===== mutual information: documents source × lang =================
+
+  private val miQ: QFn = (s, d) =>
+    Profile.mutualInfo(Tables.documents(s, d), "source", "lang")
+
+  private val miSql = {
+    val ratio = s"(${Q.sqlSig9(
+        "CAST(CAST(cnt AS DECIMAL(38,0)) * n AS DOUBLE)")} / " +
+      s"${Q.sqlSig9("CAST(CAST(rn AS DECIMAL(38,0)) * cn AS DOUBLE)")})"
+    val contrib = Q.sqlSig9("CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE) * " +
+      Q.sqlSig9(s"ln($ratio)"))
+    def entTerm(cc: String) = {
+      val p = s"(CAST($cc AS DOUBLE) / CAST(n AS DOUBLE))"
+      Q.sqlSig9(s"$p * ${Q.sqlSig9(s"ln($p)")}")
+    }
+    s"""WITH base AS (
+       |  SELECT CAST(source AS VARCHAR) AS r, CAST(lang AS VARCHAR) AS c
+       |  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL),
+       |cells AS (SELECT r, c, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM base GROUP BY 1, 2),
+       |rm AS (SELECT r, CAST(sum(cnt) AS BIGINT) AS rn
+       |  FROM cells GROUP BY 1),
+       |cm AS (SELECT c, CAST(sum(cnt) AS BIGINT) AS cn
+       |  FROM cells GROUP BY 1),
+       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM cells),
+       |j AS (
+       |  SELECT cells.r, cells.c, cells.cnt, rm.rn, cm.cn, tot.n
+       |  FROM cells JOIN rm USING (r) JOIN cm USING (c) CROSS JOIN tot),
+       |mi AS (
+       |  SELECT ${Q.sqlDsumStable(contrib, 12)} AS mi,
+       |    CAST(count(DISTINCT r) AS BIGINT) AS r_cats,
+       |    CAST(count(DISTINCT c) AS BIGINT) AS c_cats,
+       |    min(n) AS n
+       |  FROM j),
+       |hr AS (
+       |  SELECT (CAST(0.0 AS DOUBLE) -
+       |    ${Q.sqlDsumStable(entTerm("rn"), 12)}) AS h_r
+       |  FROM rm CROSS JOIN tot),
+       |hc AS (
+       |  SELECT (CAST(0.0 AS DOUBLE) -
+       |    ${Q.sqlDsumStable(entTerm("cn"), 12)}) AS h_c
+       |  FROM cm CROSS JOIN tot)
+       |SELECT
+       |  CASE WHEN n > 0 THEN mi END AS mi,
+       |  CASE WHEN n > 0 AND h_r > CAST(0.0 AS DOUBLE)
+       |      AND h_c > CAST(0.0 AS DOUBLE)
+       |    THEN ${Q.sqlSig9(
+              s"mi / ${Q.sqlSig9("sqrt(h_r * h_c)")}")} END AS nmi,
+       |  COALESCE(n, 0) AS n, r_cats, c_cats
+       |FROM mi, hr, hc""".stripMargin
+  }
+
+  // ===== McNemar: clicked-vs-purchased flips per user =================
+
+  private val mcnemarQ: QFn = (s, d) => {
+    val units = Tables.events(s, d).groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("fa"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("fb"))
+    Profile.mcnemar(units, "fa", "fb")
+  }
+
+  private val mcnemarSql = {
+    val dd = "GREATEST(ABS(b - c) - 1, 0)"
+    s"""WITH u AS (
+       |  SELECT user_id,
+       |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS fa,
+       |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS fb
+       |  FROM events GROUP BY 1),
+       |agg AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_units,
+       |    CAST(COALESCE(sum(CASE WHEN fa = 1 AND fb = 0 THEN 1 ELSE 0
+       |      END), 0) AS BIGINT) AS b,
+       |    CAST(COALESCE(sum(CASE WHEN fa = 0 AND fb = 1 THEN 1 ELSE 0
+       |      END), 0) AS BIGINT) AS c
+       |  FROM u)
+       |SELECT n_units, b, c,
+       |  CASE WHEN b + c > 0 THEN ${Q.sqlSig9(
+            "CAST((b - c) * (b - c) AS DOUBLE) / CAST(b + c AS DOUBLE)")}
+       |    END AS chi2,
+       |  CASE WHEN b + c > 0 THEN ${Q.sqlSig9(
+            s"CAST($dd * $dd AS DOUBLE) / CAST(b + c AS DOUBLE)")}
+       |    END AS chi2_cc
+       |FROM agg""".stripMargin
+  }
+
+  val queries: Map[String, QFn] = Map(
+    "q_x_spearman" -> spearmanQ,
+    "q_x_kruskal" -> kruskalQ,
+    "q_x_anova" -> anovaQ,
+    "q_x_levene" -> leveneQ,
+    "q_x_mutual_info" -> miQ,
+    "q_x_mcnemar" -> mcnemarQ)
+
+  val oracles: Map[String, String] = Map(
+    "q_x_spearman" -> spearmanSql,
+    "q_x_kruskal" -> kruskalSql,
+    "q_x_anova" -> anovaSql,
+    "q_x_levene" -> leveneSql,
+    "q_x_mutual_info" -> miSql,
+    "q_x_mcnemar" -> mcnemarSql)
+}
