@@ -356,4 +356,115 @@ object TextStats {
         coalesce(col("cum_tokens"), lit(0L)).as("cum_tokens"),
         coalesce(col("cum_vocab"), lit(0L)).as("cum_vocab"))
   }
+
+  /** Zipf's-law fit over the top-`topN` token frequencies: OLS of
+    * ln(count) on ln(rank) — slope ≈ −1 is the natural-language
+    * signature; a flat slope flags templated/duplicated corpora and a
+    * cliff flags boilerplate domination. The companion to
+    * [[vocabGrowth]]'s Heaps curve (rank-frequency shape vs
+    * vocabulary saturation).
+    *
+    * Rank is the DETERMINISTIC (count desc, token asc) order — ties
+    * never depend on partitioning. Scale shape: one token count
+    * aggregate, a TakeOrdered top-N (per-partition heaps, no global
+    * sort), then everything downstream lives in ONE bounded
+    * `topN`-element array row (the vocabGrowth checkpoint posture) —
+    * rank assignment is a posexplode over the sorted array, never a
+    * global window.
+    *
+    * Determinism: counts exact; x = sig9(ln rank), y = sig9(ln cnt)
+    * (the single-libm-step convention); the five OLS sums run over
+    * sig9'd granular terms through dsumStable(9) (|sum| ≤ topN·ln²cnt
+    * stays far under the 10⁶ bound); slope/intercept/r2 are sig9'd
+    * IEEE chains.
+    *
+    * @return one row: (slope, intercept, r2, n_ranks) — NULLs when
+    *         fewer than 2 distinct tokens survive (dx = 0) */
+  def zipfFit(docs: DataFrame, topN: Int = 512, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import graft.queries.Q
+    require(topN >= 2, s"topN must be >= 2, got $topN")
+    val counts = docs
+      .select(explode(Hashing.tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val top = counts.orderBy(col("cnt").desc, col("tok").asc).limit(topN)
+    val ranked = top
+      .agg(array_sort(collect_list(struct(
+        (lit(Long.MaxValue) - col("cnt")).as("k"), col("tok"),
+        col("cnt")))).as("a"))
+      .select(posexplode(col("a")).as(Seq("i", "x")))
+      .select((col("i") + 1).cast("long").as("rank"),
+        col("x.cnt").as("cnt"))
+    val pts = ranked.select(
+      Q.sig9(log(col("rank").cast("double"))).as("x"),
+      Q.sig9(log(col("cnt").cast("double"))).as("y"))
+    val a = pts.agg(count(lit(1)).as("n"),
+      Q.dsumStable(col("x"), 9).as("sx"),
+      Q.dsumStable(col("y"), 9).as("sy"),
+      Q.dsumStable(Q.sig9(col("x") * col("y")), 9).as("sxy"),
+      Q.dsumStable(Q.sig9(col("x") * col("x")), 9).as("sxx"),
+      Q.dsumStable(Q.sig9(col("y") * col("y")), 9).as("syy"))
+    val nd = col("n").cast("double")
+    val num = nd * col("sxy") - col("sx") * col("sy")
+    val dx = nd * col("sxx") - col("sx") * col("sx")
+    val dy = nd * col("syy") - col("sy") * col("sy")
+    val slope = Q.sig9(num / dx)
+    a.select(
+      when(col("n") >= 2 && dx > 0, slope).as("slope"),
+      when(col("n") >= 2 && dx > 0,
+        Q.sig9((col("sy") - slope * col("sx")) / nd)).as("intercept"),
+      when(col("n") >= 2 && dx > 0 && dy > 0,
+        Q.sig9(num * num / (dx * dy))).as("r2"),
+      coalesce(col("n"), lit(0L)).cast("long").as("n_ranks"))
+  }
+
+  /** Per-source readability rollup: Flesch–Kincaid grade and Flesch
+    * reading ease from exact corpus-level word / sentence / syllable
+    * counts — the "is this source textbook prose or keyword soup?"
+    * profile before mixing.
+    *
+    * Heuristic contract (deterministic, regex-portable, documented
+    * rather than linguistically perfect): words = the whitespace
+    * tokens every other operator uses; sentences = runs of [.!?]
+    * clamped to ≥ 1 per document; syllables = vowel-class runs
+    * ([aeiouy]+, case-folded) with vowel-less words counting 1.
+    * All three are exact per-document BIGINTs — one codegen'd
+    * projection, then one hash aggregate per source; the two scores
+    * are fixed IEEE chains over the exact totals, sig9'd once each.
+    *
+    * @return per source: (source, n_docs, n_words, n_sentences,
+    *         n_syllables, fk_grade, reading_ease) — scores NULL when
+    *         the source has no words */
+  def readability(docs: DataFrame, groupCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    import graft.queries.Q
+    val toks = Hashing.tokens(col(textCol))
+    val w = size(toks).cast("long")
+    val sents = greatest(lit(1L),
+      regexp_count(col(textCol), lit("[.!?]+")).cast("long"))
+    val sylRuns = regexp_count(lower(col(textCol)), lit("[aeiouy]+"))
+      .cast("long")
+    val vowelless = (size(toks) -
+      size(filter(toks, t => t.rlike("[aeiouyAEIOUY]")))).cast("long")
+    val perDoc = docs.select(col(groupCol).cast("string").as("grp"),
+        w.as("w"), sents.as("s"), (sylRuns + vowelless).as("y"))
+      .where(col("grp").isNotNull)
+    val g = perDoc.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("n_words"),
+        sum(col("s")).as("n_sentences"), sum(col("y")).as("n_syllables"))
+    val wps = col("n_words").cast("double") /
+      col("n_sentences").cast("double")
+    val spw = col("n_syllables").cast("double") /
+      col("n_words").cast("double")
+    g.select(col("grp").as(groupCol), col("n_docs"),
+      col("n_words").cast("long").as("n_words"),
+      col("n_sentences").cast("long").as("n_sentences"),
+      col("n_syllables").cast("long").as("n_syllables"),
+      when(col("n_words") > 0,
+        Q.sig9(lit(0.39) * wps + lit(11.8) * spw - lit(15.59)))
+        .as("fk_grade"),
+      when(col("n_words") > 0,
+        Q.sig9(lit(206.835) - lit(1.015) * wps - lit(84.6) * spw))
+        .as("reading_ease"))
+  }
 }

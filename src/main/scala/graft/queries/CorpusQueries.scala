@@ -907,7 +907,95 @@ object CorpusQueries {
        |  COALESCE(vc.cum_vocab, 0) AS cum_vocab
        |FROM cpd LEFT JOIN tc USING (j) LEFT JOIN vc USING (j)""".stripMargin
 
+  // ===== Zipf rank-frequency fit ======================================
+
+  /** OLS of ln(count) on ln(rank) over the top-512 tokens
+    * ([[graft.ext.TextStats.zipfFit]]) — the oracle reproduces the
+    * deterministic (count desc, token asc) rank with a naive window
+    * over the bounded top-N and mirrors every sig9/dsumStable point. */
+  private val zipfQ: QFn = (s, d) =>
+    graft.ext.TextStats.zipfFit(Tables.documents(s, d), topN = 512)
+
+  private val zipfSql = {
+    val nd = "CAST(n AS DOUBLE)"
+    val num = s"($nd * sxy - sx * sy)"
+    val dx = s"($nd * sxx - sx * sx)"
+    val dy = s"($nd * syy - sy * sy)"
+    val slope = Q.sqlSig9(s"$num / $dx")
+    s"""WITH tok AS (
+       |  SELECT unnest(list_filter(string_split(text, ' '),
+       |    t -> t <> '')) AS tok
+       |  FROM documents),
+       |cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM tok GROUP BY 1),
+       |top AS (SELECT tok, cnt FROM cnt ORDER BY cnt DESC, tok LIMIT 512),
+       |ranked AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY cnt DESC, tok)
+       |    AS BIGINT) AS rank, cnt FROM top),
+       |pts AS (
+       |  SELECT ${Q.sqlSig9("ln(CAST(rank AS DOUBLE))")} AS x,
+       |    ${Q.sqlSig9("ln(CAST(cnt AS DOUBLE))")} AS y
+       |  FROM ranked),
+       |a AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    ${Q.sqlDsumStable("x", 9)} AS sx,
+       |    ${Q.sqlDsumStable("y", 9)} AS sy,
+       |    ${Q.sqlDsumStable(Q.sqlSig9("x * y"), 9)} AS sxy,
+       |    ${Q.sqlDsumStable(Q.sqlSig9("x * x"), 9)} AS sxx,
+       |    ${Q.sqlDsumStable(Q.sqlSig9("y * y"), 9)} AS syy
+       |  FROM pts)
+       |SELECT
+       |  CASE WHEN n >= 2 AND $dx > CAST(0.0 AS DOUBLE)
+       |    THEN $slope END AS slope,
+       |  CASE WHEN n >= 2 AND $dx > CAST(0.0 AS DOUBLE)
+       |    THEN ${Q.sqlSig9(s"(sy - $slope * sx) / $nd")} END AS intercept,
+       |  CASE WHEN n >= 2 AND $dx > CAST(0.0 AS DOUBLE)
+       |      AND $dy > CAST(0.0 AS DOUBLE)
+       |    THEN ${Q.sqlSig9(s"$num * $num / ($dx * $dy)")} END AS r2,
+       |  COALESCE(n, 0) AS n_ranks
+       |FROM a""".stripMargin
+  }
+
+  // ===== per-source readability rollup ================================
+
+  private val readabilityQ: QFn = (s, d) =>
+    graft.ext.TextStats.readability(Tables.documents(s, d))
+
+  private val readabilitySql = {
+    val wps = "(CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))"
+    val spw = "(CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))"
+    s"""WITH d AS (
+       |  SELECT CAST(source AS VARCHAR) AS grp,
+       |    CAST(len(list_filter(string_split(text, ' '),
+       |      t -> t <> '')) AS BIGINT) AS w,
+       |    GREATEST(CAST(1 AS BIGINT),
+       |      CAST(len(regexp_extract_all(text, '[.!?]+'))
+       |        AS BIGINT)) AS s,
+       |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+       |      AS BIGINT)
+       |      + CAST(len(list_filter(string_split(text, ' '),
+       |        t -> t <> '' AND NOT regexp_matches(t,
+       |          '[aeiouyAEIOUY]'))) AS BIGINT) AS y
+       |  FROM documents WHERE source IS NOT NULL),
+       |g AS (
+       |  SELECT grp, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(w) AS BIGINT) AS n_words,
+       |    CAST(sum(s) AS BIGINT) AS n_sentences,
+       |    CAST(sum(y) AS BIGINT) AS n_syllables
+       |  FROM d GROUP BY 1)
+       |SELECT grp AS source, n_docs, n_words, n_sentences, n_syllables,
+       |  CASE WHEN n_words > 0 THEN ${Q.sqlSig9(
+            s"CAST(0.39 AS DOUBLE) * $wps + CAST(11.8 AS DOUBLE) * $spw" +
+              " - CAST(15.59 AS DOUBLE)")} END AS fk_grade,
+       |  CASE WHEN n_words > 0 THEN ${Q.sqlSig9(
+            s"CAST(206.835 AS DOUBLE) - CAST(1.015 AS DOUBLE) * $wps" +
+              s" - CAST(84.6 AS DOUBLE) * $spw")} END AS reading_ease
+       |FROM g""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q_x_zipf" -> zipfQ,
+    "q_x_readability" -> readabilityQ,
     "q_x_entropy" -> entropyQ,
     "q_x_vocab_growth" -> vocabGrowthQ,
     "q_x_gini" -> giniQ,
@@ -933,6 +1021,8 @@ object CorpusQueries {
     "q_x_rrf" -> rrfQ)
 
   val oracles: Map[String, String] = Map(
+    "q_x_zipf" -> zipfSql,
+    "q_x_readability" -> readabilitySql,
     "q_x_entropy" -> entropySql,
     "q_x_vocab_growth" -> vocabGrowthSql,
     "q_x_gini" -> giniSql,

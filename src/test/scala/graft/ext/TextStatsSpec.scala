@@ -206,4 +206,103 @@ class TextStatsSpec extends SparkSpec {
     assert(rows.last._1 === 300L) // 60 docs x 5 tokens
     assert(rows.last._2 === 40L)  // full 40-token vocabulary reached
   }
+
+  /** Local replica of the documented zipfFit chain over (rank, cnt)
+    * pairs: sig9'd logs, dsumStable(9) sums, sig9'd OLS. */
+  private def refZipf(pairs: Seq[(Long, Long)])
+      : (Option[Double], Option[Double], Option[Double]) = {
+    import graft.functions.GraftMath
+    def s9(x: Double) = GraftMath.sig9(x)
+    def stable(ts: Seq[Double]): Double = s9(ts
+      .map(BigDecimal(_).setScale(15, BigDecimal.RoundingMode.HALF_UP))
+      .sum.setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val xs = pairs.map(p => s9(math.log(p._1.toDouble)))
+    val ys = pairs.map(p => s9(math.log(p._2.toDouble)))
+    val n = pairs.size.toDouble
+    val sx = stable(xs); val sy = stable(ys)
+    val sxy = stable(xs.zip(ys).map { case (x, y) => s9(x * y) })
+    val sxx = stable(xs.map(x => s9(x * x)))
+    val syy = stable(ys.map(y => s9(y * y)))
+    val num = n * sxy - sx * sy
+    val dx = n * sxx - sx * sx
+    val dy = n * syy - sy * sy
+    if (pairs.size < 2 || !(dx > 0)) (None, None, None)
+    else {
+      val slope = s9(num / dx)
+      (Some(slope), Some(s9((sy - slope * sx) / n)),
+        if (dy > 0) Some(s9(num * num / (dx * dy))) else None)
+    }
+  }
+
+  test("zipfFit: exact power law recovers slope ~ -1, r2 ~ 1, and " +
+      "every value equals the sig9/dsumStable replica") {
+    // counts c_r = 720/r for ranks 1..6: ln c = ln 720 - 1 * ln r.
+    val docs = (1 to 6).flatMap { r =>
+      Seq.fill(720 / r)(s"t$r")
+    }.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .groupBy(_._1 / 7).map { case (g, ws) =>
+        (g.toLong, ws.map(_._2).mkString(" "))
+      }.toSeq
+    val got = TextStats.zipfFit(docs.toDF("doc_id", "text"), topN = 512)
+      .head()
+    val (slope, intercept, r2) = refZipf(
+      (1 to 6).map(r => (r.toLong, (720 / r).toLong)))
+    assert(Option(got.getAs[Double]("slope")) == slope)
+    assert(Option(got.getAs[Double]("intercept")) == intercept)
+    assert(Option(got.getAs[Double]("r2")) == r2)
+    assert(math.abs(got.getAs[Double]("slope") + 1.0) < 1e-6)
+    assert(got.getAs[Double]("r2") > 0.999999)
+    assert(got.getAs[Long]("n_ranks") == 6L)
+  }
+
+  test("zipfFit: rank ties break on token name; topN caps the fit; " +
+      "single-token corpus -> NULLs") {
+    // two tokens tied at 4, one at 2: ranks (a,b) by name then c
+    val df = Seq((1L, "b a b a c"), (2L, "a b a b c"))
+      .toDF("doc_id", "text")
+    val full = TextStats.zipfFit(df, topN = 512).head()
+    assert(full.getAs[Long]("n_ranks") == 3L)
+    val capped = TextStats.zipfFit(df, topN = 2).head()
+    assert(capped.getAs[Long]("n_ranks") == 2L)
+    // ranks 1,2 share count 4 -> dy = 0 -> flat slope, r2 NULL
+    val (cSlope, _, cR2) = refZipf(Seq((1L, 4L), (2L, 4L)))
+    assert(Option(capped.getAs[Double]("slope")) == cSlope)
+    assert(math.abs(capped.getAs[Double]("slope")) < 1e-8)
+    assert(capped.isNullAt(capped.fieldIndex("r2")) && cR2.isEmpty)
+    val one = TextStats.zipfFit(
+      Seq((1L, "x x x")).toDF("doc_id", "text")).head()
+    assert(one.isNullAt(one.fieldIndex("slope")))
+    assert(one.getAs[Long]("n_ranks") == 1L)
+  }
+
+  test("readability: exact word/sentence/syllable counts per contract") {
+    // "the cat sat. it ran!" -> w=5, sentences=2,
+    // syllable runs: e,a,a,i,a = 5, no vowel-less words -> y=5
+    val df = Seq((1L, "g1", "the cat sat. it ran!"),
+      (2L, "g1", "xyz 123"), // 2 words, 0 sentence runs -> clamp 1; y=2
+      (3L, "g2", "beautiful day")) // runs: eau,i,u + a,y... count below
+      .toDF("doc_id", "source", "text")
+    val got = TextStats.readability(df).orderBy("source").collect()
+    val g1 = got(0)
+    assert(g1.getAs[Long]("n_words") == 7L)
+    assert(g1.getAs[Long]("n_sentences") == 3L)
+    assert(g1.getAs[Long]("n_syllables") == 7L)
+    // fk = .39*(7/3) + 11.8*(7/7) - 15.59, computed identically here
+    val fk = graft.functions.GraftMath.sig9(
+      0.39 * (7.0 / 3.0) + 11.8 * 1.0 - 15.59)
+    assert(g1.getAs[Double]("fk_grade") == fk)
+    val g2 = got(1)
+    // "beautiful" -> eau, i, u = 3 runs; "day" -> a, y... 'ay' is one
+    // run (both vowel-class chars) -> beautiful(3) + day(1) = 4
+    assert(g2.getAs[Long]("n_syllables") == 4L)
+    assert(g2.getAs[Long]("n_sentences") == 1L)
+  }
+
+  test("readability: empty source -> zero words, NULL scores") {
+    val got = TextStats.readability(
+      Seq((1L, "s", "")).toDF("doc_id", "source", "text")).head()
+    assert(got.getAs[Long]("n_words") == 0L)
+    assert(got.isNullAt(got.fieldIndex("fk_grade")))
+    assert(got.isNullAt(got.fieldIndex("reading_ease")))
+  }
 }
