@@ -109,4 +109,62 @@ object Retrieval {
       .orderBy(col("rrf_score").desc, col(docCol).asc)
     fused.withColumn("fused_rank", row_number().over(w).cast("long"))
   }
+
+  /** NDCG@k — the ranking-quality readout for any top-k list this
+    * module produces ([[bm25TopK]], [[rrf]], an ANN ranking): DCG
+    * with the standard 1/log2(i+1) position discount, normalized by
+    * the ideal ordering's DCG. `ranked` carries 1-based ranks and
+    * integer relevance grades; rows past rank k are ignored.
+    *
+    * Determinism: the k discount weights are computed ONCE in Scala
+    * and embedded as literals on both engines (the PageRank-constant
+    * convention); each term is one IEEE multiply of an exact integer
+    * grade by a literal, summed LEFT TO RIGHT inside a bounded k-row
+    * array (rank order for DCG; (grade desc, rank asc) for the ideal
+    * — fully deterministic tie order), so both folds are
+    * bit-identical cross-engine; the final ratio is sig9'd once.
+    *
+    * Scale shape: per query everything lives in one bounded ≤k-row
+    * array row; across queries it is one hash aggregate — millions of
+    * queries fan out flat.
+    *
+    * @return per key (one global row when keyCols is empty):
+    *         (keys..., ndcg, dcg, idcg, n_ranked) — ndcg NULL when no
+    *         positive grade exists (idcg = 0) */
+  def ndcg(ranked: DataFrame, keyCols: Seq[String], rankCol: String,
+      relCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 10000, s"k must be in [1, 10000], got $k")
+    val wLit = array((1 to k).map(i =>
+      lit(1.0 / (math.log(i + 1.0) / math.log(2.0)))): _*)
+    val keys = keyCols.map(col)
+    val rows = ranked
+      .select(keys :+ col(rankCol).cast("long").as("rank") :+
+        col(relCol).cast("long").as("rel"): _*)
+      .where(col("rank") >= 1 && col("rank") <= k &&
+        col("rel").isNotNull)
+    val aggs = Seq(
+      array_sort(collect_list(struct(col("rank"), col("rel"))))
+        .as("byrank"),
+      array_sort(collect_list(struct(
+        (lit(Long.MaxValue) - col("rel")).as("nr"), col("rank"),
+        col("rel")))).as("byrel"),
+      count(lit(1)).as("n_ranked"))
+    val g =
+      if (keyCols.isEmpty) rows.agg(aggs.head, aggs.tail: _*)
+      else rows.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+    val dcgRaw = aggregate(
+      transform(col("byrank"), x => x.getField("rel").cast("double") *
+        element_at(wLit, x.getField("rank").cast("int"))),
+      lit(0.0), (acc, e) => acc + e)
+    val idcgRaw = aggregate(
+      transform(col("byrel"), (x, i) =>
+        x.getField("rel").cast("double") * element_at(wLit, i + 1)),
+      lit(0.0), (acc, e) => acc + e)
+    g.select(keys ++ Seq(
+      when(col("n_ranked") > 0 && idcgRaw > 0,
+        Q.sig9(dcgRaw / idcgRaw)).as("ndcg"),
+      when(col("n_ranked") > 0, Q.sig9(dcgRaw)).as("dcg"),
+      when(col("n_ranked") > 0, Q.sig9(idcgRaw)).as("idcg"),
+      coalesce(col("n_ranked"), lit(0L)).cast("long").as("n_ranked")): _*)
+  }
 }

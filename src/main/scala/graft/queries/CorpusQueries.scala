@@ -419,6 +419,67 @@ object CorpusQueries {
        |FROM r WHERE rn <= 20""".stripMargin
   }
 
+  // ===== NDCG@20 of the BM25 ranking ===================================
+
+  /** Ranking-quality readout over the adjudicated BM25 top-20
+    * ([[graft.ext.Retrieval.ndcg]]): graded relevance = (same source
+    * as the query doc) + (same lang) ∈ {0,1,2}; the oracle composes
+    * the full bm25 CTE chain as a subquery (the pipeline convention)
+    * and mirrors the bounded literal-weight folds. */
+  private val ndcgQ: QFn = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val qdoc = docs.filter(col("doc_id") === 7)
+      .select(col("source").as("qsrc"), col("lang").as("qlang"))
+    val rel = bm25(s, d)
+      .join(docs.select(col("doc_id"), col("source"), col("lang")),
+        Seq("doc_id"))
+      .crossJoin(broadcast(qdoc))
+      .select(col("rank"),
+        (when(col("source") === col("qsrc"), 1L).otherwise(0L) +
+          when(col("lang") === col("qlang"), 1L).otherwise(0L)).as("rel"))
+    Retrieval.ndcg(rel, Seq.empty, "rank", "rel", k = 20)
+  }
+
+  private val ndcgSql = {
+    // the same literal discount weights the engine embeds (shortest-
+    // repr double printing parses back to the identical double)
+    val w = (1 to 20).map(i =>
+      s"CAST(${1.0 / (math.log(i + 1.0) / math.log(2.0))} AS DOUBLE)")
+      .mkString("[", ", ", "]")
+    s"""WITH base AS ($bm25Sql),
+       |q AS (SELECT source AS qsrc, lang AS qlang FROM documents
+       |  WHERE doc_id = 7),
+       |rl AS (
+       |  SELECT base."rank" AS rnk,
+       |    CAST(CASE WHEN d.source = q.qsrc THEN 1 ELSE 0 END
+       |      + CASE WHEN d.lang = q.qlang THEN 1 ELSE 0 END
+       |      AS BIGINT) AS rel
+       |  FROM base JOIN documents d USING (doc_id) CROSS JOIN q),
+       |g AS (
+       |  SELECT
+       |    list(struct_pack(r := rnk, rel := rel) ORDER BY rnk)
+       |      AS byrank,
+       |    list(rel ORDER BY rel DESC, rnk) AS byrel,
+       |    CAST(count(*) AS BIGINT) AS n_ranked
+       |  FROM rl WHERE rnk >= 1 AND rnk <= 20 AND rel IS NOT NULL),
+       |f AS (
+       |  SELECT n_ranked,
+       |    ${Q.sqlFold("list_transform(byrank, x -> " +
+            "CAST(struct_extract(x, 'rel') AS DOUBLE) * " +
+            s"($w)[struct_extract(x, 'r')])")} AS dcg_raw,
+       |    ${Q.sqlFold("list_transform(byrel, (x, i) -> " +
+            s"CAST(x AS DOUBLE) * ($w)[i])")} AS idcg_raw
+       |  FROM g)
+       |SELECT
+       |  CASE WHEN n_ranked > 0 AND idcg_raw > CAST(0.0 AS DOUBLE)
+       |    THEN ${Q.sqlSig9("dcg_raw / idcg_raw")} END AS ndcg,
+       |  CASE WHEN n_ranked > 0 THEN ${Q.sqlSig9("dcg_raw")} END AS dcg,
+       |  CASE WHEN n_ranked > 0 THEN ${Q.sqlSig9("idcg_raw")} END
+       |    AS idcg,
+       |  COALESCE(n_ranked, 0) AS n_ranked
+       |FROM f""".stripMargin
+  }
+
   // ===== deterministic split assignment =================================
 
   private val splitWeights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
@@ -996,6 +1057,7 @@ object CorpusQueries {
   val queries: Map[String, QFn] = Map(
     "q_x_zipf" -> zipfQ,
     "q_x_readability" -> readabilityQ,
+    "q_x_ndcg" -> ndcgQ,
     "q_x_entropy" -> entropyQ,
     "q_x_vocab_growth" -> vocabGrowthQ,
     "q_x_gini" -> giniQ,
@@ -1023,6 +1085,7 @@ object CorpusQueries {
   val oracles: Map[String, String] = Map(
     "q_x_zipf" -> zipfSql,
     "q_x_readability" -> readabilitySql,
+    "q_x_ndcg" -> ndcgSql,
     "q_x_entropy" -> entropySql,
     "q_x_vocab_growth" -> vocabGrowthSql,
     "q_x_gini" -> giniSql,

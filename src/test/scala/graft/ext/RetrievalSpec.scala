@@ -73,4 +73,42 @@ class RetrievalSpec extends SparkSpec {
       .collect().toSet
     assert(once == again)
   }
+
+  // ===== NDCG ==========================================================
+
+  private def w2(i: Int) = 1.0 / (math.log(i + 1.0) / math.log(2.0))
+
+  test("ndcg: ideal ordering scores exactly 1; reversal is penalized " +
+      "by the literal-weight fold") {
+    import graft.functions.GraftMath
+    val ideal = Seq((1L, 2L), (2L, 1L), (3L, 0L)).toDF("rank", "rel")
+    val gi = Retrieval.ndcg(ideal, Seq.empty, "rank", "rel", 10).head()
+    assert(gi.getAs[Double]("ndcg") == 1.0)
+    assert(gi.getAs[Long]("n_ranked") == 3L)
+    val rev = Seq((1L, 0L), (2L, 1L), (3L, 2L)).toDF("rank", "rel")
+    val gr = Retrieval.ndcg(rev, Seq.empty, "rank", "rel", 10).head()
+    val dcg = 0.0 * w2(1) + 1.0 * w2(2) + 2.0 * w2(3)
+    val idcg = 2.0 * w2(1) + 1.0 * w2(2) + 0.0 * w2(3)
+    assert(gr.getAs[Double]("ndcg") == GraftMath.sig9(dcg / idcg))
+    assert(gr.getAs[Double]("ndcg") < 1.0)
+    assert(gr.getAs[Double]("dcg") == GraftMath.sig9(dcg))
+    assert(gr.getAs[Double]("idcg") == GraftMath.sig9(idcg))
+  }
+
+  test("ndcg: rows past k are ignored; all-zero grades -> NULL; " +
+      "per-key grouping keeps queries independent") {
+    val past = Seq((1L, 1L), (2L, 1L), (5L, 9L)).toDF("rank", "rel")
+    val gp = Retrieval.ndcg(past, Seq.empty, "rank", "rel", 3).head()
+    assert(gp.getAs[Long]("n_ranked") == 2L)
+    assert(gp.getAs[Double]("ndcg") == 1.0) // surviving rows are ideal
+    val zero = Seq((1L, 0L), (2L, 0L)).toDF("rank", "rel")
+    val gz = Retrieval.ndcg(zero, Seq.empty, "rank", "rel", 10).head()
+    assert(gz.isNullAt(gz.fieldIndex("ndcg")))
+    val keyed = Seq(("q1", 1L, 2L), ("q1", 2L, 1L),
+      ("q2", 1L, 0L), ("q2", 2L, 3L)).toDF("q", "rank", "rel")
+    val gk = Retrieval.ndcg(keyed, Seq("q"), "rank", "rel", 10)
+      .orderBy("q").collect()
+    assert(gk(0).getAs[Double]("ndcg") == 1.0)
+    assert(gk(1).getAs[Double]("ndcg") < 1.0)
+  }
 }
