@@ -1003,4 +1003,83 @@ object Similarity {
     }
     picks.toDF("rnk", "id", "dist")
   }
+
+  /** Lloyd's k-means over an embedding column — the centroid model
+    * behind SemDedup-style cluster pruning and IVF coarse quantizers,
+    * trained fully in-engine with a BIT-REPRODUCIBLE trajectory (the
+    * Classifier-GD posture: every round's centroids are a bounded
+    * k·dim driver artifact re-broadcast as literals, so the same data
+    * yields the same model on any partitioning or engine).
+    *
+    * Deterministic contract: init = the k smallest ids' vectors (cid
+    * 0..k−1 in id order); assignment distance is the fixed IEEE chain
+    * (nsq(x) + nsq(c)) − 2·dot(x, c) over the left-to-right dot fold
+    * (the [[kCenterSelect]] convention), ties to the smallest cid;
+    * each new centroid coordinate is sig9(dsum(x)/n) (exact decimal
+    * sum, one sig9'd division); an EMPTY cluster keeps its previous
+    * centroid (surfaced via n_assigned = 0, never respawned).
+    *
+    * Scale shape per iteration: assignment is ONE map-side projection
+    * (k literal-centroid distances folded through an in-row
+    * array_min — no shuffle, no join); the update is ONE
+    * (cid, dim)-keyed hash aggregate over the posexploded vectors
+    * (map-side partial, k·dim output rows). Lineage is cut per round
+    * via [[Checkpoints.cut]] (durable when `checkpointDir` is given).
+    *
+    * @return k·dim rows: (cid, dim, cval, n_assigned) — the trained
+    *         centroids after `iters` rounds in long format, with each
+    *         cluster's population from the FINAL assignment pass */
+  def kmeans(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+      iters: Int, checkpointDir: Option[String] = None): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    import graft.queries.Q
+    val base = Checkpoints.cut(
+      emb.select(col(idCol).cast("long").as("id"), col(vecCol).as("v")),
+      checkpointDir)
+    var centers: Seq[(Long, Seq[Double])] = base
+      .orderBy(col("id").asc).limit(k).collect()
+      .sortBy(_.getLong(0)).zipWithIndex
+      .map { case (r, i) =>
+        (i.toLong, r.getSeq[Float](1).map(_.toDouble).toSeq)
+      }.toSeq
+    var lastSizes: DataFrame = null
+    for (_ <- 1 to iters) {
+      val dists = centers.map { case (cid, cv) =>
+        val cl = typedlit(cv)
+        struct(
+          ((normSq(col("v")) + normSq(cl)) - lit(2.0) * dot(col("v"), cl))
+            .as("d2"),
+          lit(cid).as("cid"))
+      }
+      val assigned = Checkpoints.cut(base.withColumn("cid",
+        array_min(array(dists: _*)).getField("cid")), checkpointDir)
+      lastSizes = assigned.groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_assigned"))
+      val means = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cid"), col("dim").cast("long").as("dim"))
+        .agg(Q.sig9(Q.dsum(col("x").cast("double")) / count(lit(1)))
+          .as("m"))
+      val prevLong = centers.flatMap { case (cid, cv) =>
+        cv.zipWithIndex.map { case (x, d) => (cid, d.toLong, x) }
+      }.toDF("cid", "dim", "prev")
+      val updated = prevLong.join(means, Seq("cid", "dim"), "left")
+        .select(col("cid"), col("dim"),
+          coalesce(col("m"), col("prev")).as("cval"))
+        .collect()
+      centers = updated.groupBy(_.getLong(0)).toSeq.sortBy(_._1)
+        .map { case (cid, rows) =>
+          (cid, rows.sortBy(_.getLong(1)).map(_.getDouble(2)).toSeq)
+        }
+    }
+    val centersDf = centers.flatMap { case (cid, cv) =>
+      cv.zipWithIndex.map { case (x, d) => (cid, d.toLong, x) }
+    }.toDF("cid", "dim", "cval")
+    centersDf.join(lastSizes, Seq("cid"), "left")
+      .select(col("cid"), col("dim"), col("cval"),
+        coalesce(col("n_assigned"), lit(0L)).as("n_assigned"))
+  }
 }

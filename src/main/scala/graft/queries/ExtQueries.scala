@@ -568,6 +568,75 @@ object ExtQueries {
     s"WITH $blocks\n${sel.mkString("\nUNION ALL ")}"
   }
 
+  // ===== k-means centroids over the embedding corpus ==================
+
+  private val kmK = 4
+  private val kmIters = 3
+
+  /** Lloyd k-means trajectory ([[graft.ext.Similarity.kmeans]]): the
+    * oracle re-derives every round — assignment by the same
+    * (nsq + nsq − 2·dot) fold with (d2, cid) tie order, per-dimension
+    * sig9(dsum/n) centroid updates, empty-cluster carryover — as a
+    * programmatically generated MATERIALIZED CTE chain (the kcenter /
+    * logistic-training convention), so the TRAINING is adjudicated,
+    * not just the final model. */
+  private val kmeansQ: QFn = (s, d) =>
+    graft.ext.Similarity.kmeans(Tables.embeddings(s, d), "vec_id",
+      "embedding", k = kmK, iters = kmIters)
+
+  private val kmeansSql = {
+    def sqd(a: String, c: String) =
+      s"((${Q.sqlNsq(a)} + ${Q.sqlNsq(c)}) - 2 * ${Q.sqlDot(a, c)})"
+    val toLong = "(x, j) -> struct_pack(d := CAST(j - 1 AS BIGINT), " +
+      "x := CAST(x AS DOUBLE))"
+    val blocks = new StringBuilder(
+      s"""e AS (SELECT vec_id, embedding FROM embeddings),
+         |c0 AS MATERIALIZED (
+         |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1
+         |    AS BIGINT) AS cid, embedding AS cv
+         |  FROM (SELECT vec_id, embedding FROM e
+         |        ORDER BY vec_id LIMIT $kmK)),
+         |cl0 AS (
+         |  SELECT cid, struct_extract(u, 'd') AS dim,
+         |    struct_extract(u, 'x') AS cval
+         |  FROM (SELECT cid, unnest(list_transform(cv, $toLong)) AS u
+         |        FROM c0))""".stripMargin)
+    for (i <- 1 to kmIters) {
+      val p = i - 1
+      blocks.append(
+        s""",
+           |d$i AS MATERIALIZED (
+           |  SELECT e.vec_id, e.embedding, c.cid,
+           |    row_number() OVER (PARTITION BY e.vec_id
+           |      ORDER BY ${sqd("e.embedding", "c.cv")}, c.cid) AS rn
+           |  FROM e, c$p c),
+           |a$i AS MATERIALIZED (
+           |  SELECT vec_id, embedding, cid FROM d$i WHERE rn = 1),
+           |s$i AS (SELECT cid, CAST(count(*) AS BIGINT) AS n
+           |  FROM a$i GROUP BY 1),
+           |x$i AS (
+           |  SELECT cid, struct_extract(u, 'd') AS dim,
+           |    struct_extract(u, 'x') AS x
+           |  FROM (SELECT cid, unnest(list_transform(embedding,
+           |    $toLong)) AS u FROM a$i)),
+           |m$i AS (
+           |  SELECT cid, CAST(dim AS BIGINT) AS dim,
+           |    ${Q.sqlSig9(s"${Q.sqlDsum("x")} / COUNT(*)")} AS m
+           |  FROM x$i GROUP BY 1, 2),
+           |cl$i AS MATERIALIZED (
+           |  SELECT p.cid, p.dim, COALESCE(m.m, p.cval) AS cval
+           |  FROM cl$p p LEFT JOIN m$i m
+           |    ON m.cid = p.cid AND m.dim = p.dim),
+           |c$i AS MATERIALIZED (
+           |  SELECT cid, list(cval ORDER BY dim) AS cv
+           |  FROM cl$i GROUP BY 1)""".stripMargin)
+    }
+    s"""WITH $blocks
+       |SELECT cl.cid, cl.dim, cl.cval, COALESCE(s.n, 0) AS n_assigned
+       |FROM cl$kmIters cl LEFT JOIN s$kmIters s ON s.cid = cl.cid"""
+      .stripMargin
+  }
+
   private val mmrQ: QFn = (s, d) => {
     val emb = Tables.embeddings(s, d)
     val top = Similarity.bruteTopK(emb.filter(col("vec_id") < 20), emb, 20)
@@ -1752,6 +1821,7 @@ object ExtQueries {
     "q_x_ann_brute" -> annBrute,
     "q_x_mmr" -> mmrQ,
     "q_x_kcenter" -> kcenterQ,
+    "q_x_kmeans" -> kmeansQ,
     "q_x_embed_neardup" -> embedNearDup,
     "q_x_semdedup" -> semDedupQ,
     "q_x_ann_lsh_recall" -> annLshRecall,
@@ -1800,6 +1870,7 @@ object ExtQueries {
     "q_x_ann_brute" -> annBruteSql,
     "q_x_mmr" -> mmrSql,
     "q_x_kcenter" -> kcenterSql,
+    "q_x_kmeans" -> kmeansSql,
     "q_x_embed_neardup" -> embedNearDupSql,
     "q_x_semdedup" -> semDedupSql,
     "q_x_ann_lsh_recall" -> annLshRecallSql,
