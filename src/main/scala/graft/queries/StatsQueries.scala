@@ -74,7 +74,9 @@ object StatsQueries {
   private val kruskalQ: QFn = (s, d) =>
     Profile.kruskalWallis(Tables.events(s, d), "event_type", "value")
 
-  private val kruskalSql = {
+  /** Kruskal–Wallis oracle over any `(g, v)` rows SELECT — shared by
+    * the standalone query and the pipeline-9 suite. */
+  private def kruskalSqlFor(rowsSelect: String) = {
     val r2d = Q.sqlSig9("CAST(r2j AS DOUBLE)")
     val term = Q.sqlSig9(
       s"($r2d * $r2d) / (CAST(4.0 AS DOUBLE) * CAST(nj AS DOUBLE))")
@@ -87,9 +89,7 @@ object StatsQueries {
       s"($nd + CAST(1.0 AS DOUBLE))"
     val corr = s"(CAST(1.0 AS DOUBLE) - $tied / $n3d)"
     s"""WITH r AS (
-       |  SELECT CAST(event_type AS VARCHAR) AS g,
-       |    CAST(value AS DOUBLE) AS v
-       |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+       |  $rowsSelect),
        |vd AS (SELECT v AS s, CAST(count(*) AS BIGINT) AS c
        |  FROM r GROUP BY 1),
        |cum AS (SELECT s, c,
@@ -117,6 +117,10 @@ object StatsQueries {
        |  CASE WHEN n_tot > 0 THEN $tied END AS tie_t
        |FROM folded, ties""".stripMargin
   }
+
+  private val kruskalSql = kruskalSqlFor(
+    "SELECT CAST(event_type AS VARCHAR) AS g, CAST(value AS DOUBLE) AS v\n" +
+      "  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL")
 
   // ===== one-way ANOVA: quantity means across return flags ===========
 
@@ -204,7 +208,9 @@ object StatsQueries {
   private val miQ: QFn = (s, d) =>
     Profile.mutualInfo(Tables.documents(s, d), "source", "lang")
 
-  private val miSql = {
+  /** Mutual-information oracle over any `(r, c)` base SELECT — shared
+    * by the standalone query and the pipeline-9 suite. */
+  private def miSqlFor(baseSelect: String) = {
     val ratio = s"(${Q.sqlSig9(
         "CAST(CAST(cnt AS DECIMAL(38,0)) * n AS DOUBLE)")} / " +
       s"${Q.sqlSig9("CAST(CAST(rn AS DECIMAL(38,0)) * cn AS DOUBLE)")})"
@@ -215,8 +221,7 @@ object StatsQueries {
       Q.sqlSig9(s"$p * ${Q.sqlSig9(s"ln($p)")}")
     }
     s"""WITH base AS (
-       |  SELECT CAST(source AS VARCHAR) AS r, CAST(lang AS VARCHAR) AS c
-       |  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL),
+       |  $baseSelect),
        |cells AS (SELECT r, c, CAST(count(*) AS BIGINT) AS cnt
        |  FROM base GROUP BY 1, 2),
        |rm AS (SELECT r, CAST(sum(cnt) AS BIGINT) AS rn
@@ -250,6 +255,10 @@ object StatsQueries {
        |  COALESCE(n, 0) AS n, r_cats, c_cats
        |FROM mi, hr, hc""".stripMargin
   }
+
+  private val miSql = miSqlFor(
+    "SELECT CAST(source AS VARCHAR) AS r, CAST(lang AS VARCHAR) AS c\n" +
+      "  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL")
 
   // ===== McNemar: clicked-vs-purchased flips per user =================
 
@@ -286,7 +295,111 @@ object StatsQueries {
        |FROM agg""".stripMargin
   }
 
+  // ===== pipeline 9: the dependence suite =============================
+
+  /** Flagship 9 — ONE plan emitting the full dependence/k-sample
+    * report over lineitem: Pearson r and Spearman rho of
+    * (quantity, extendedprice), ANOVA F / Brown–Forsythe F /
+    * Kruskal–Wallis H of quantity across return flags, chi-square +
+    * Cramér's V + mutual information of returnflag × linestatus.
+    * Long format (stat, value, aux, n); every row reuses the exact
+    * component operator, so each equals the standalone query's value
+    * (the pipeline-7/8 convention). Cramér's V is the one derived
+    * statistic: sqrt(chi2 / (n·min(r−1, c−1))), a sig9'd IEEE chain
+    * over the adjudicated chi-square outputs. */
+  private val pipeline9Q: QFn = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val naux = lit(null).cast("double").as("aux")
+    val pearson = Profile
+      .groupCorr(li, Seq.empty, "l_quantity", "l_extendedprice")
+      .select(lit("pearson").as("stat"), col("corr").as("value"), naux,
+        col("n").cast("long").as("n"))
+    val spear = Profile.spearman(li, "l_quantity", "l_extendedprice")
+      .select(lit("spearman").as("stat"), col("rho").as("value"), naux,
+        col("n"))
+    val anova = Profile.oneWayAnova(li, "l_returnflag", "l_quantity")
+      .select(lit("anova_f").as("stat"), col("f").as("value"),
+        col("ssb").as("aux"), col("n"))
+    val lev = Profile.brownForsythe(li, "l_returnflag", "l_quantity")
+      .select(lit("levene_f").as("stat"), col("f").as("value"), naux,
+        col("n"))
+    val kw = Profile.kruskalWallis(li, "l_returnflag", "l_quantity")
+      .select(lit("kruskal_h").as("stat"), col("h").as("value"),
+        col("tie_t").as("aux"), col("n"))
+    val chi = Profile.chiSquare(li, "l_returnflag", "l_linestatus")
+    val chiRow = chi.select(lit("chi2").as("stat"),
+      col("chi2").as("value"), col("dof").cast("double").as("aux"),
+      col("n").cast("long").as("n"))
+    val mincat = least(col("n_rows_cat"), col("n_cols_cat"))
+    val vRow = chi.select(lit("cramers_v").as("stat"),
+      when(col("chi2").isNotNull && mincat > 1 && col("n") > 0,
+        Q.sig9(sqrt(col("chi2") / (col("n").cast("double") *
+          (mincat - 1).cast("double"))))).as("value"),
+      naux, col("n").cast("long").as("n"))
+    val mi = Profile.mutualInfo(li, "l_returnflag", "l_linestatus")
+      .select(lit("mi").as("stat"), col("mi").as("value"),
+        col("nmi").as("aux"), col("n"))
+    pearson.unionByName(spear).unionByName(anova).unionByName(lev)
+      .unionByName(kw).unionByName(chiRow).unionByName(vRow)
+      .unionByName(mi)
+  }
+
+  private val pipeline9Sql = {
+    val liPair = "SELECT CAST(l_quantity AS DOUBLE) AS x, " +
+      "CAST(l_extendedprice AS DOUBLE) AS y FROM lineitem " +
+      "WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL"
+    val pearsonSql = {
+      val sx = Q.sqlDsum("x"); val sy = Q.sqlDsum("y")
+      val sxx = Q.sqlDsum("x * x"); val syy = Q.sqlDsum("y * y")
+      val sxy = Q.sqlDsum("x * y")
+      s"""WITH b AS ($liPair),
+         |a AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    $sx AS sx, $sy AS sy, $sxx AS sxx, $syy AS syy, $sxy AS sxy
+         |  FROM b)
+         |SELECT n,
+         |  CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0
+         |        AND CAST(n AS DOUBLE) * syy - sy * sy > 0
+         |    THEN ${Q.sqlSig9(
+                "(CAST(n AS DOUBLE) * sxy - sx * sy) / " +
+                "sqrt((CAST(n AS DOUBLE) * sxx - sx * sx) * " +
+                "(CAST(n AS DOUBLE) * syy - sy * sy))")}
+         |  END AS corr
+         |FROM a""".stripMargin
+    }
+    val liRows = "SELECT CAST(l_returnflag AS VARCHAR) AS g, " +
+      "CAST(l_quantity AS DOUBLE) AS v FROM lineitem " +
+      "WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL"
+    val liCats = "SELECT CAST(l_returnflag AS VARCHAR) AS r, " +
+      "CAST(l_linestatus AS VARCHAR) AS c FROM lineitem " +
+      "WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL"
+    val chiSub = TimeSeriesQueries.chisqSqlFor(liCats)
+    val vExpr = Q.sqlSig9("sqrt(chi2 / (CAST(n AS DOUBLE) * " +
+      "CAST(LEAST(n_rows_cat, n_cols_cat) - 1 AS DOUBLE)))")
+    s"""SELECT 'pearson' AS stat, corr AS value,
+       |  CAST(NULL AS DOUBLE) AS aux, n FROM ($pearsonSql)
+       |UNION ALL
+       |SELECT 'spearman', rho, CAST(NULL AS DOUBLE), n
+       |FROM ($spearmanSql)
+       |UNION ALL
+       |SELECT 'anova_f', f, ssb, n FROM ($anovaSql)
+       |UNION ALL
+       |SELECT 'levene_f', f, CAST(NULL AS DOUBLE), n FROM ($leveneSql)
+       |UNION ALL
+       |SELECT 'kruskal_h', h, tie_t, n FROM (${kruskalSqlFor(liRows)})
+       |UNION ALL
+       |SELECT 'chi2', chi2, CAST(dof AS DOUBLE), n FROM ($chiSub)
+       |UNION ALL
+       |SELECT 'cramers_v',
+       |  CASE WHEN chi2 IS NOT NULL AND LEAST(n_rows_cat, n_cols_cat) > 1
+       |        AND n > 0 THEN $vExpr END,
+       |  CAST(NULL AS DOUBLE), n FROM ($chiSub)
+       |UNION ALL
+       |SELECT 'mi', mi, nmi, n FROM (${miSqlFor(liCats)})""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q_x_pipeline9" -> pipeline9Q,
     "q_x_spearman" -> spearmanQ,
     "q_x_kruskal" -> kruskalQ,
     "q_x_anova" -> anovaQ,
@@ -295,6 +408,7 @@ object StatsQueries {
     "q_x_mcnemar" -> mcnemarQ)
 
   val oracles: Map[String, String] = Map(
+    "q_x_pipeline9" -> pipeline9Sql,
     "q_x_spearman" -> spearmanSql,
     "q_x_kruskal" -> kruskalSql,
     "q_x_anova" -> anovaSql,

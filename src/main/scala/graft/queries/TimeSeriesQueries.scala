@@ -666,7 +666,7 @@ object TimeSeriesQueries {
   /** The chi-square oracle chain over any (r, c) base CTE — shared by
     * `q_x_chisq` (documents source × lang) and the pipeline-7 drift
     * suite (events event_type × arm). */
-  private def chisqSqlFor(baseSelect: String) =
+  private[queries] def chisqSqlFor(baseSelect: String) =
     s"""WITH base AS (
        |  $baseSelect),
        |cells AS (
