@@ -1148,6 +1148,56 @@ object Profile {
             (col("b") + col("c")).cast("double"))).as("chi2_cc"))
   }
 
+  /** Per-group skewness and excess kurtosis of an INTEGER-VALUED
+    * column — the shape profile beside [[groupMoments]]'s mean/var
+    * (asymmetric? heavy-tailed? the "is a mean-based test even
+    * appropriate" pre-check for the A/B family). Integer precondition
+    * as in [[oneWayAnova]]: the four power sums S1..S4 are exact
+    * DECIMAL(38,0) (S4 stays under 38 digits through ~10¹² rows of
+    * |v| ≤ 50-scale metrics; larger values pre-scale), so the whole
+    * statistic chain is fixed IEEE arithmetic over the four sig9'd
+    * casts — bit-identical on any engine or partitioning, sig9'd once
+    * per output. Central moments via the raw-moment expansion;
+    * skew = m3/m2^1.5, kurt = m4/m2² − 3.
+    *
+    * @return per group: (keys..., n, mean, m2, skew, kurt) —
+    *         skew/kurt NULL when m2 ≤ 0 or n = 0 */
+  def higherMoments(df: DataFrame, keyCols: Seq[String], valCol: String)
+      : DataFrame = {
+    import graft.queries.Q
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val keys = keyCols.map(col)
+    val v = col(valCol).cast("long")
+    val vd = v.cast(dec)
+    val grp = df.where(v.isNotNull &&
+        keyCols.map(col(_).isNotNull).reduceOption(_ && _)
+          .getOrElse(lit(true)))
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n"), sum(vd).as("s1"),
+        sum(vd * vd).as("s2"), sum(vd * vd * vd).as("s3"),
+        sum(vd * vd * vd * vd).as("s4"))
+    val nd = col("n").cast("double")
+    val s1 = Q.sig9(col("s1").cast("double"))
+    val s2 = Q.sig9(col("s2").cast("double"))
+    val s3 = Q.sig9(col("s3").cast("double"))
+    val s4 = Q.sig9(col("s4").cast("double"))
+    val mean = s1 / nd
+    val m2 = s2 / nd - mean * mean
+    val m3 = s3 / nd - lit(3.0) * mean * (s2 / nd) +
+      lit(2.0) * mean * mean * mean
+    val m4 = s4 / nd - lit(4.0) * mean * (s3 / nd) +
+      lit(6.0) * mean * mean * (s2 / nd) -
+      lit(3.0) * mean * mean * mean * mean
+    grp.select(keys ++ Seq(
+      col("n").cast("long").as("n"),
+      when(col("n") > 0, Q.sig9(mean)).as("mean"),
+      when(col("n") > 0, Q.sig9(m2)).as("m2"),
+      when(col("n") > 0 && m2 > 0,
+        Q.sig9(m3 / Q.sig9(sqrt(m2 * m2 * m2)))).as("skew"),
+      when(col("n") > 0 && m2 > 0,
+        Q.sig9(m4 / (m2 * m2) - lit(3.0))).as("kurt")): _*)
+  }
+
   def schemaDiff(oldDf: DataFrame, newDf: DataFrame): DataFrame = {
     val spark = oldDf.sparkSession
     import spark.implicits._

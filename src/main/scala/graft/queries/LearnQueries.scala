@@ -474,7 +474,96 @@ object LearnQueries {
        |FROM q LEFT JOIN cov USING (event_type)""".stripMargin
   }
 
+  // ===== feature engineering ==========================================
+
+  /** Hashing-trick vectorizer over documents
+    * ([[graft.ext.Features.featureHash]]): 64-bucket sparse
+    * bag-of-words, portable md5 bucket hash — all exact BIGINTs. */
+  private val featureHashQ: QFn = (s, d) =>
+    graft.ext.Features.featureHash(Tables.documents(s, d), dim = 64)
+
+  private val featureHashSql =
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+       |      AS tok
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(${Q.sqlHash60("tok")} % 64 AS BIGINT) AS bucket,
+       |  CAST(count(*) AS BIGINT) AS cnt
+       |FROM tok GROUP BY 1, 2""".stripMargin
+
+  /** Leave-one-out target encoding of event_type by the event value
+    * ([[graft.ext.Features.targetEncodeLoo]]): exact decimal
+    * (S_g − x_i), one sig9'd division; singleton categories NULL. */
+  private val targetEncodeQ: QFn = (s, d) =>
+    graft.ext.Features.targetEncodeLoo(Tables.events(s, d),
+      "event_id", "event_type", "value")
+
+  private val targetEncodeSql = {
+    val diff = Q.sqlSig9("CAST(sg - CAST(x AS DECIMAL(38,15)) AS DOUBLE)")
+    s"""WITH r AS (
+       |  SELECT event_id, CAST(event_type AS VARCHAR) AS cat,
+       |    CAST(value AS DOUBLE) AS x
+       |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+       |g AS (
+       |  SELECT cat, sum(CAST(x AS DECIMAL(38,15))) AS sg,
+       |    CAST(count(*) AS BIGINT) AS ng
+       |  FROM r GROUP BY 1)
+       |SELECT r.event_id, r.cat AS event_type,
+       |  CASE WHEN ng > 1 THEN ${Q.sqlSig9(
+            s"$diff / CAST(ng - 1 AS DOUBLE)")} END AS loo
+       |FROM r JOIN g USING (cat)""".stripMargin
+  }
+
+  /** Per-flag quantity shape profile
+    * ([[graft.ext.Profile.higherMoments]]): exact DECIMAL(38,0) power
+    * sums, fixed IEEE central-moment chain, sig9'd outputs. */
+  private val momentsQ: QFn = (s, d) =>
+    graft.ext.Profile.higherMoments(Tables.lineitem(s, d),
+      Seq("l_returnflag"), "l_quantity")
+
+  private val momentsSql = {
+    val s1 = Q.sqlSig9("CAST(s1 AS DOUBLE)")
+    val s2 = Q.sqlSig9("CAST(s2 AS DOUBLE)")
+    val s3 = Q.sqlSig9("CAST(s3 AS DOUBLE)")
+    val s4 = Q.sqlSig9("CAST(s4 AS DOUBLE)")
+    val nd = "CAST(n AS DOUBLE)"
+    val mean = s"($s1 / $nd)"
+    val m2 = s"($s2 / $nd - $mean * $mean)"
+    val m3 = s"($s3 / $nd - CAST(3.0 AS DOUBLE) * $mean * ($s2 / $nd)" +
+      s" + CAST(2.0 AS DOUBLE) * $mean * $mean * $mean)"
+    val m4 = s"($s4 / $nd - CAST(4.0 AS DOUBLE) * $mean * ($s3 / $nd)" +
+      s" + CAST(6.0 AS DOUBLE) * $mean * $mean * ($s2 / $nd)" +
+      s" - CAST(3.0 AS DOUBLE) * $mean * $mean * $mean * $mean)"
+    s"""WITH r AS (
+       |  SELECT CAST(l_returnflag AS VARCHAR) AS l_returnflag,
+       |    CAST(l_quantity AS BIGINT) AS v
+       |  FROM lineitem
+       |  WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL),
+       |g AS (
+       |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       |    sum(CAST(v AS DECIMAL(38,0))) AS s1,
+       |    sum(CAST(v AS DECIMAL(38,0)) * v) AS s2,
+       |    sum(CAST(v AS DECIMAL(38,0)) * v * v) AS s3,
+       |    sum(CAST(v AS DECIMAL(38,0)) * v * v * v) AS s4
+       |  FROM r GROUP BY 1)
+       |SELECT l_returnflag, n,
+       |  CASE WHEN n > 0 THEN ${Q.sqlSig9(mean)} END AS mean,
+       |  CASE WHEN n > 0 THEN ${Q.sqlSig9(m2)} END AS m2,
+       |  CASE WHEN n > 0 AND $m2 > CAST(0.0 AS DOUBLE) THEN
+       |    ${Q.sqlSig9(s"$m3 / ${Q.sqlSig9(s"sqrt($m2 * $m2 * $m2)")}")}
+       |    END AS skew,
+       |  CASE WHEN n > 0 AND $m2 > CAST(0.0 AS DOUBLE) THEN
+       |    ${Q.sqlSig9(s"$m4 / ($m2 * $m2) - CAST(3.0 AS DOUBLE)")}
+       |    END AS kurt
+       |FROM g""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q_x_feature_hash" -> featureHashQ,
+    "q_x_target_encode" -> targetEncodeQ,
+    "q_x_moments" -> momentsQ,
     "q_x_conformal" -> conformalQ,
     "q_x_logistic" -> logisticQ,
     "q_x_linreg" -> linregQ,
@@ -485,6 +574,9 @@ object LearnQueries {
     "q_x_pipeline5" -> pipeline5Q)
 
   val oracles: Map[String, String] = Map(
+    "q_x_feature_hash" -> featureHashSql,
+    "q_x_target_encode" -> targetEncodeSql,
+    "q_x_moments" -> momentsSql,
     "q_x_conformal" -> conformalSql,
     "q_x_logistic" -> logisticSql,
     "q_x_linreg" -> linregSql,

@@ -300,6 +300,52 @@ class StatsSuiteSpec extends SparkSpec {
     assert(const.getAs[Double]("mi") == 0.0)
   }
 
+  // ===== higher moments ================================================
+
+  /** Local replica: exact BigInt power sums, sig9'd casts, fixed IEEE
+    * central-moment chain, sig9'd outputs. */
+  private def refMoments(vs: Seq[Long])
+      : (Double, Double, Option[Double], Option[Double]) = {
+    val n = vs.size.toDouble
+    def sk(k: Int) = s9(vs.map(v => BigInt(v).pow(k)).sum.toDouble)
+    val (s1, s2, s3, s4) = (sk(1), sk(2), sk(3), sk(4))
+    val mean = s1 / n
+    val m2 = s2 / n - mean * mean
+    val m3 = s3 / n - 3.0 * mean * (s2 / n) + 2.0 * mean * mean * mean
+    val m4 = s4 / n - 4.0 * mean * (s3 / n) +
+      6.0 * mean * mean * (s2 / n) - 3.0 * mean * mean * mean * mean
+    (s9(mean), s9(m2),
+      if (m2 > 0) Some(s9(m3 / s9(math.sqrt(m2 * m2 * m2)))) else None,
+      if (m2 > 0) Some(s9(m4 / (m2 * m2) - 3.0)) else None)
+  }
+
+  test("higher moments: right-skewed group positive skew, symmetric " +
+      "group ~0, every value matching the replica") {
+    val skewed = Seq(1L, 1L, 1L, 1L, 2L, 2L, 3L, 10L)
+    val sym = Seq(1L, 2L, 2L, 3L)
+    val rows = skewed.map(("s", _)) ++ sym.map(("y", _))
+    val got = Profile.higherMoments(rows.toDF("g", "v").repartition(3),
+      Seq("g"), "v").collect().map(r => r.getString(0) -> r).toMap
+    for ((g, vs) <- Seq("s" -> skewed, "y" -> sym)) {
+      val (mean, m2, sk, ku) = refMoments(vs)
+      assert(got(g).getAs[Double]("mean") == mean, g)
+      assert(got(g).getAs[Double]("m2") == m2, g)
+      assert(Option(got(g).getAs[Double]("skew")) == sk, g)
+      assert(Option(got(g).getAs[Double]("kurt")) == ku, g)
+      assert(got(g).getAs[Long]("n") == vs.size)
+    }
+    assert(got("s").getAs[Double]("skew") > 1.0)
+    assert(math.abs(got("y").getAs[Double]("skew")) < 1e-9)
+  }
+
+  test("higher moments: constant group -> m2 0, NULL skew/kurt") {
+    val got = Profile.higherMoments(
+      Seq(("c", 5L), ("c", 5L)).toDF("g", "v"), Seq("g"), "v").head()
+    assert(got.getAs[Double]("m2") == 0.0)
+    assert(got.isNullAt(got.fieldIndex("skew")))
+    assert(got.isNullAt(got.fieldIndex("kurt")))
+  }
+
   // ===== McNemar =======================================================
 
   test("mcnemar: discordant counts and both statistics are exact") {
