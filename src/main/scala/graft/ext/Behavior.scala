@@ -51,6 +51,52 @@ object Behavior {
     out
   }
 
+  /** Time-to-convert distribution per funnel step: for every user who
+    * reached step k, the elapsed time from their step-0 entry, rolled
+    * up to discrete p50 / p90 / max latencies — the "how long does the
+    * funnel actually take" readout next to [[funnelSummary]]'s "how
+    * many make it".
+    *
+    * Determinism: deltas are EXACT epoch-microsecond longs; the
+    * percentiles are DISCRETE order statistics k = ceil(q·n) read off
+    * [[Profile.percentRank]]'s binned prefix sums (min value with
+    * cum ≥ k — the conformal convention, never interpolated), so the
+    * whole operator has no float contract at all. No per-step global
+    * sort: the prefix machinery bins each (step) group.
+    *
+    * @return per step k ≥ 1: (step_idx, step, n_users, p50_us,
+    *         p90_us, max_us) */
+  def timeToConvert(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String],
+      maxGap: Option[Column] = None, nBins: Int = 1024): DataFrame = {
+    val fn = conversionFunnel(events, userCol, tsCol, typeCol, steps,
+      maxGap)
+    val t0 = fn.where(col("step_idx") === 0)
+      .select(col("user"), col("ts").as("t0"))
+    val deltas = fn.where(col("step_idx") > 0).join(t0, Seq("user"))
+      .select(col("step_idx"), col("step"),
+        (unix_micros(col("ts")) - unix_micros(col("t0")))
+          .as("delta_us"))
+    val pr = Profile.percentRank(deltas, Seq("step_idx", "step"),
+      "delta_us", nBins)
+    val tot = pr.groupBy(col("step_idx"), col("step"))
+      .agg(max(col("n_below") + col("cnt")).as("n"))
+    val cum = col("n_below") + col("cnt")
+    pr.join(broadcast(tot), Seq("step_idx", "step"))
+      .withColumn("k50", expr("(n + 1) div 2"))
+      .withColumn("k90", expr("(9 * n + 9) div 10"))
+      .groupBy(col("step_idx"), col("step"))
+      .agg(first(col("n")).as("n_users"),
+        min(when(cum >= col("k50"), col("s"))).as("p50"),
+        min(when(cum >= col("k90"), col("s"))).as("p90"),
+        max(col("s")).as("mx"))
+      .select(col("step_idx").cast("long").as("step_idx"), col("step"),
+        col("n_users").cast("long").as("n_users"),
+        col("p50").cast("long").as("p50_us"),
+        col("p90").cast("long").as("p90_us"),
+        col("mx").cast("long").as("max_us"))
+  }
+
   /** Step-level rollup of [[conversionFunnel]] output: users reached
     * per step + conversion fraction vs the step before (single integer
     * division — deterministic). */

@@ -303,7 +303,63 @@ object BehaviorQueries {
        |JOIN b_m_bin ON base.monetary = b_m_bin.s""".stripMargin
   }
 
+  // ===== funnel time-to-convert percentiles ===========================
+
+  /** Discrete p50/p90/max step latencies over the adjudicated funnel
+    * ([[graft.ext.Behavior.timeToConvert]]): exact epoch-microsecond
+    * deltas, order statistics k = ceil(q·n) — no float contract. The
+    * oracle rebuilds the same funnel CTEs and reads the order stats
+    * off a naive per-step prefix window. */
+  private val timeToConvertQ: QFn = (s, d) =>
+    Behavior.timeToConvert(Tables.events(s, d), "user_id", "ts",
+      "event_type", Seq("view", "click", "purchase"),
+      maxGap = Some(expr("INTERVAL 24 HOURS")))
+
+  private val timeToConvertSql =
+    """WITH s0 AS (
+      |  SELECT user_id AS u, min(ts) AS t FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |s1 AS (
+      |  SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+      |  JOIN s0 ON e.user_id = s0.u
+      |  WHERE e.event_type = 'click' AND e.ts > s0.t
+      |    AND e.ts <= s0.t + INTERVAL 24 HOUR GROUP BY 1),
+      |s2 AS (
+      |  SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+      |  JOIN s1 ON e.user_id = s1.u
+      |  WHERE e.event_type = 'purchase' AND e.ts > s1.t
+      |    AND e.ts <= s1.t + INTERVAL 24 HOUR GROUP BY 1),
+      |d AS (
+      |  SELECT CAST(1 AS BIGINT) AS step_idx, 'click' AS step,
+      |    epoch_us(s1.t) - epoch_us(s0.t) AS delta
+      |  FROM s1 JOIN s0 USING (u)
+      |  UNION ALL
+      |  SELECT CAST(2 AS BIGINT), 'purchase',
+      |    epoch_us(s2.t) - epoch_us(s0.t)
+      |  FROM s2 JOIN s0 USING (u)),
+      |vd AS (
+      |  SELECT step_idx, step, delta AS s, CAST(count(*) AS BIGINT) AS c
+      |  FROM d GROUP BY 1, 2, 3),
+      |cum AS (
+      |  SELECT step_idx, step, s, c,
+      |    COALESCE(sum(c) OVER (PARTITION BY step_idx ORDER BY s
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb
+      |  FROM vd),
+      |tot AS (
+      |  SELECT step_idx, CAST(max(nb + c) AS BIGINT) AS n
+      |  FROM cum GROUP BY 1)
+      |SELECT cum.step_idx, cum.step,
+      |  CAST(min(n) AS BIGINT) AS n_users,
+      |  CAST(min(CASE WHEN nb + c >= (n + 1) // 2 THEN s END)
+      |    AS BIGINT) AS p50_us,
+      |  CAST(min(CASE WHEN nb + c >= (9 * n + 9) // 10 THEN s END)
+      |    AS BIGINT) AS p90_us,
+      |  CAST(max(s) AS BIGINT) AS max_us
+      |FROM cum JOIN tot ON cum.step_idx = tot.step_idx
+      |GROUP BY 1, 2""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q_x_time_to_convert" -> timeToConvertQ,
     "q_x_rfm" -> rfmQ,
     "q_x_kaplan_meier" -> kmQ,
     "q_x_ltv" -> ltvQ,
@@ -314,6 +370,7 @@ object BehaviorQueries {
     "q_x_decay" -> decayQ)
 
   val oracles: Map[String, String] = Map(
+    "q_x_time_to_convert" -> timeToConvertSql,
     "q_x_rfm" -> rfmSql,
     "q_x_kaplan_meier" -> kmSql,
     "q_x_ltv" -> ltvSql,

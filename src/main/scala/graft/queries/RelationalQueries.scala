@@ -558,7 +558,34 @@ object RelationalQueries {
       |        ORDER BY src DESC, updated_at DESC) AS rn FROM u)
       |SELECT key, val, updated_at FROM r WHERE rn = 1""".stripMargin
 
+  // ===== G11: pivot (cross-tab) =======================================
+
+  /** Weekday × event-type count matrix via the DataFrame `pivot` API
+    * with an EXPLICIT value list (data-independent output schema —
+    * the contract a warehouse cross-tab needs; an absent type is a
+    * zero column, never a missing one). One hash aggregate under an
+    * Expand — no second scan per pivot column. Oracle = conditional
+    * aggregation; Spark dayofweek = DuckDB dayofweek + 1. */
+  private val g11Pivot: QFn = (s, d) =>
+    Tables.events(s, d)
+      .withColumn("dow", dayofweek(col("ts")).cast("long"))
+      .groupBy(col("dow"))
+      .pivot("event_type",
+        Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+
+  private val g11PivotSql = {
+    val cols = Seq("click", "error", "purchase", "signup", "view")
+      .map(t => s"CAST(COALESCE(sum(CASE WHEN event_type = '$t' " +
+        s"THEN 1 END), 0) AS BIGINT) AS $t").mkString(",\n  ")
+    s"""SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+       |  $cols
+       |FROM events GROUP BY 1""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q_g11_pivot" -> g11Pivot,
     "q_f1_date_filter" -> f1,
     "q_f3_ip_parse" -> f3,
     "q_f4_dash_null" -> f4,
@@ -586,6 +613,7 @@ object RelationalQueries {
     "q_a12_upsert_merge" -> a12)
 
   val oracles: Map[String, String] = Map(
+    "q_g11_pivot" -> g11PivotSql,
     "q_f1_date_filter" -> f1Sql,
     "q_f3_ip_parse" -> f3Sql,
     "q_f4_dash_null" -> f4Sql,

@@ -245,4 +245,26 @@ class BehaviorSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
     assert(got === Map(1L -> 0.0)) // n_risk = d = 2 at dur 1
   }
+
+  test("timeToConvert: exact micro deltas, discrete ceil(q*n) order " +
+      "stats, per-step independence") {
+    import java.sql.Timestamp
+    def ts(min: Long) = Timestamp.from(
+      java.time.Instant.parse("2024-01-01T00:00:00Z")
+        .plusSeconds(min * 60))
+    // 5 users enter at t=0; clicks at +1..+5 min; user 1 purchases +10
+    val rows = (1 to 5).flatMap { u =>
+      Seq((u.toLong, ts(0), "view"), (u.toLong, ts(u.toLong), "click"))
+    } :+ (1L, ts(10), "purchase")
+    val got = Behavior.timeToConvert(
+      rows.toDF("user_id", "ts", "event_type").repartition(3),
+      "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val m = 60L * 1000000L
+    // click deltas {1..5} min: n=5 -> p50 = 3rd smallest, p90 = 5th
+    assert(got(1L) == ((5L, 3 * m, 5 * m, 5 * m)))
+    // purchase: single user at +10 min
+    assert(got(2L) == ((1L, 10 * m, 10 * m, 10 * m)))
+  }
 }
