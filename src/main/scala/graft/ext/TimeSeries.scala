@@ -233,6 +233,44 @@ object TimeSeries {
         col("__x").as("x") :+ col("ewma"): _*)
   }
 
+  /** Brown's double exponential smoothing over the bounded-horizon
+    * [[ewma]]: the trend-aware smoother (level + slope) a flat EWMA
+    * cannot provide — s2 re-smooths the s1 stream with the SAME
+    * adjusted weights, then level = 2·s1 − s2,
+    * trend = α/(1−α)·(s1 − s2), one-step forecast = level + trend.
+    *
+    * Compositional contract (deliberate and documented): s2 smooths
+    * the SIG9'D s1 points — each stage's output is the adjudicated
+    * value of the stage before, exactly as a consumer reading s1 off
+    * a table would see it. The α/(1−α) factor is computed once in
+    * Scala and embedded as the same literal on both engines (the
+    * PageRank-constant convention); level/trend/forecast are fixed
+    * IEEE combines of sig9'd inputs, each sig9'd once.
+    *
+    * Scale shape: two bounded-horizon keyed windows — nothing global,
+    * partitions bounded by the per-key history exactly as [[ewma]].
+    *
+    * @return (keys..., tsCol, tieBreak, s1, s2, level, trend,
+    *         forecast) */
+  def doubleEwma(series: DataFrame, keyCols: Seq[String], tsCol: String,
+      valCol: String, tieBreak: String, alpha: Double,
+      horizon: Int): DataFrame = {
+    import graft.queries.Q
+    val c = alpha / (1.0 - alpha)
+    val s1 = ewma(series, keyCols, tsCol, valCol, tieBreak, alpha,
+      horizon).withColumnRenamed("ewma", "s1")
+    val second = ewma(s1, keyCols, tsCol, "s1", tieBreak, alpha,
+      horizon)
+    val level = Q.sig9(lit(2.0) * col("s1") - col("s2"))
+    val trend = Q.sig9(lit(c) * (col("s1") - col("s2")))
+    second
+      .select(keyCols.map(col) :+ col(tsCol) :+ col(tieBreak) :+
+        col("x").as("s1") :+ col("ewma").as("s2"): _*)
+      .withColumn("level", level)
+      .withColumn("trend", trend)
+      .withColumn("forecast", Q.sig9(col("level") + col("trend")))
+  }
+
   /** Gap-filling linear interpolation at a fixed cadence: per key,
     * a `stepSeconds`-aligned grid spanning [ceil(first sample),
     * floor(last sample)], each grid point valued by linear

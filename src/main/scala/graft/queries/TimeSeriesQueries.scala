@@ -610,6 +610,56 @@ object TimeSeriesQueries {
        |FROM arrs""".stripMargin
   }
 
+  // ===== Brown's double exponential smoothing =========================
+
+  /** Trend-aware smoother over the ewma machinery
+    * ([[graft.ext.TimeSeries.doubleEwma]]): s2 re-smooths the sig9'd
+    * s1 stream (the compositional contract), level/trend/forecast are
+    * sig9'd IEEE combines; the α/(1−α) factor is one Scala-computed
+    * literal on both engines. */
+  private val desQ: QFn = (s, d) =>
+    TimeSeries.doubleEwma(Tables.events(s, d), Seq("user_id"), "ts",
+        "value", tieBreak = "event_id", alpha = ewmaAlpha,
+        horizon = ewmaH)
+      .select(col("user_id"), date_format(col("ts"), fmt).as("ts_s"),
+        col("event_id"), col("s1"), col("s2"), col("level"),
+        col("trend"), col("forecast"))
+
+  private val desSql = {
+    val (weights, denoms) = TimeSeries.ewmaWeights(ewmaAlpha, ewmaH)
+    val wLit = weights.map(w => s"CAST($w AS DOUBLE)")
+      .mkString("[", ", ", "]")
+    val dLit = denoms.map(w => s"CAST($w AS DOUBLE)")
+      .mkString("[", ", ", "]")
+    val c = (ewmaAlpha / (1.0 - ewmaAlpha)).toString
+    val terms = s"list_transform(range(1, len(arr) + 1), " +
+      s"i -> arr[i] * ($wLit)[len(arr) - i + 1])"
+    val sm = Q.sqlSig9(s"${Q.sqlFold(terms)} / ($dLit)[len(arr)]")
+    val win = s"OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+      s"ROWS BETWEEN ${ewmaH - 1} PRECEDING AND CURRENT ROW)"
+    s"""WITH s AS (
+       |  SELECT user_id, ts, event_id, value AS x FROM events
+       |  WHERE value IS NOT NULL),
+       |a1 AS (
+       |  SELECT user_id, ts, event_id, x, list(x) $win AS arr FROM s),
+       |e1 AS (
+       |  SELECT user_id, ts, event_id, $sm AS s1 FROM a1),
+       |a2 AS (
+       |  SELECT user_id, ts, event_id, s1, list(s1) $win AS arr
+       |  FROM e1),
+       |e2 AS (
+       |  SELECT user_id, ts, event_id, s1, $sm AS s2 FROM a2),
+       |e3 AS (
+       |  SELECT user_id, ts, event_id, s1, s2,
+       |    ${Q.sqlSig9("CAST(2.0 AS DOUBLE) * s1 - s2")} AS level,
+       |    ${Q.sqlSig9(s"CAST($c AS DOUBLE) * (s1 - s2)")} AS trend
+       |  FROM e2)
+       |SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+       |  event_id, s1, s2, level, trend,
+       |  ${Q.sqlSig9("level + trend")} AS forecast
+       |FROM e3""".stripMargin
+  }
+
   // ===== quantile normalization (cross-source score alignment) ========
 
   private val qnormBins = 64
@@ -1431,6 +1481,7 @@ object TimeSeriesQueries {
     "q_x_acf" -> acfQ,
     "q_x_pipeline7" -> pipeline7Q,
     "q_x_ewma" -> ewmaQ,
+    "q_x_des" -> desQ,
     "q_x_quantile_norm" -> qnormQ,
     "q_x_chisq" -> chisqQ,
     "q_x_mwu" -> mwuQ,
@@ -1462,6 +1513,7 @@ object TimeSeriesQueries {
     "q_x_acf" -> acfSql,
     "q_x_pipeline7" -> pipeline7Sql,
     "q_x_ewma" -> ewmaSql,
+    "q_x_des" -> desSql,
     "q_x_quantile_norm" -> qnormSql,
     "q_x_chisq" -> chisqSql,
     "q_x_mwu" -> mwuSql,

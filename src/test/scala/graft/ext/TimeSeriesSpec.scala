@@ -432,4 +432,61 @@ class TimeSeriesSpec extends SparkSpec {
       .collect().map(r => r.getLong(1) -> r.getDouble(4)).toMap
     assert(byLag(2L) > 0 && byLag(1L) < 0)
   }
+
+  test("doubleEwma: constant series -> s1 = s2 = x, zero trend, " +
+      "forecast = level = x") {
+    val rows = (1 to 6).map(i =>
+      ("g", i.toLong, ts(f"2024-01-$i%02d 00:00:00"), 7.0))
+    val got = TimeSeries.doubleEwma(
+      rows.toDF("g", "event_id", "ts", "x").repartition(3),
+      Seq("g"), "ts", "x", "event_id", alpha = 0.25, horizon = 32)
+      .collect()
+    got.foreach { r =>
+      assert(r.getAs[Double]("s1") == 7.0 && r.getAs[Double]("s2") == 7.0)
+      assert(r.getAs[Double]("trend") == 0.0)
+      assert(r.getAs[Double]("level") == 7.0)
+      assert(r.getAs[Double]("forecast") == 7.0)
+    }
+  }
+
+  test("doubleEwma: linear ramp -> positive trend that a flat ewma " +
+      "misses; s2 smooths the SIG9'D s1 stream (compositional replica)") {
+    import graft.functions.GraftMath
+    def s9(x: Double) = GraftMath.sig9(x)
+    val alpha = 0.25; val h = 4
+    val xs = Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0)
+    val rows = xs.zipWithIndex.map { case (x, i) =>
+      ("g", (i + 1).toLong, ts(f"2024-01-${i + 1}%02d 00:00:00"), x)
+    }
+    val got = TimeSeries.doubleEwma(
+      rows.toDF("g", "event_id", "ts", "x"),
+      Seq("g"), "ts", "x", "event_id", alpha, h)
+      .collect().map(r => r.getAs[Long]("event_id") -> r).toMap
+    // local replica: bounded adjusted weights over the sig9'd stream
+    val beta = 1.0 - alpha
+    val w = Seq.iterate(1.0, h)(_ * beta)
+    val den = w.scanLeft(0.0)(_ + _).tail
+    def smooth(s: Seq[Double]): Seq[Double] = s.indices.map { t =>
+      val lags = math.min(t + 1, h)
+      // arr = last `lags` points ascending; arr[i] pairs w[n-i]
+      val arr = s.slice(t + 1 - lags, t + 1)
+      val num = arr.zipWithIndex.foldLeft(0.0) { case (acc, (x, i)) =>
+        acc + x * w(lags - 1 - i)
+      }
+      s9(num / den(lags - 1))
+    }
+    val s1 = smooth(xs)
+    val s2 = smooth(s1)
+    xs.indices.foreach { t =>
+      val r = got((t + 1).toLong)
+      assert(r.getAs[Double]("s1") == s1(t), s"s1 t=$t")
+      assert(r.getAs[Double]("s2") == s2(t), s"s2 t=$t")
+      val level = s9(2.0 * s1(t) - s2(t))
+      val trend = s9(alpha / (1.0 - alpha) * (s1(t) - s2(t)))
+      assert(r.getAs[Double]("level") == level)
+      assert(r.getAs[Double]("trend") == trend)
+      assert(r.getAs[Double]("forecast") == s9(level + trend))
+      if (t > 0) assert(r.getAs[Double]("trend") > 0.0)
+    }
+  }
 }
