@@ -238,4 +238,66 @@ object Classifier {
       .agg(first(col("n_calib")).as("n_calib"), first(col("k")).as("k"),
         min(when(col("__rk") === col("k"), col(scoreCol))).as("qhat"))
   }
+
+  /** Multi-class confusion rollup: per-class TP / predicted / actual
+    * counts with precision, recall and F1, plus an `__all__` row
+    * carrying overall accuracy — the evaluation readout for any
+    * (true, predicted) label frame ([[NaiveBayes.predict]] output,
+    * a thresholded [[score]], a kNN vote). The classes are the UNION
+    * of observed true and predicted labels, so a class the model
+    * never predicts still reports its zero precision row.
+    *
+    * Determinism: pure exact BIGINT counts from one (t, p) hash
+    * aggregate (margins re-aggregate the CELL frame — never a second
+    * input scan, the mutualInfo posture); precision/recall are single
+    * sig9'd divisions and F1 is the sig9'd IEEE combine of the two
+    * sig9'd ratios.
+    *
+    * @return per class + `__all__`: (label, tp, n_pred, n_true,
+    *         prec, rec, f1) — ratios NULL on zero denominators */
+  def confusion(pred: DataFrame, trueCol: String, predCol: String)
+      : DataFrame = {
+    val cells = pred
+      .select(col(trueCol).cast("string").as("t"),
+        col(predCol).cast("string").as("p"))
+      .where(col("t").isNotNull && col("p").isNotNull)
+      .groupBy(col("t"), col("p")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val classes = cells.select(col("t").as("label"))
+      .union(cells.select(col("p"))).distinct()
+    val tp = cells.where(col("t") === col("p"))
+      .select(col("t").as("label"), col("c").as("tp"))
+    val np = cells.groupBy(col("p").as("label"))
+      .agg(sum(col("c")).as("n_pred"))
+    val nt = cells.groupBy(col("t").as("label"))
+      .agg(sum(col("c")).as("n_true"))
+    val j = classes
+      .join(tp, Seq("label"), "left")
+      .join(np, Seq("label"), "left")
+      .join(nt, Seq("label"), "left")
+      .select(col("label"),
+        coalesce(col("tp"), lit(0L)).cast("long").as("tp"),
+        coalesce(col("n_pred"), lit(0L)).cast("long").as("n_pred"),
+        coalesce(col("n_true"), lit(0L)).cast("long").as("n_true"))
+    val overall = cells.agg(
+      sum(when(col("t") === col("p"), col("c")).otherwise(lit(0L)))
+        .as("tp"),
+      sum(col("c")).as("n"))
+      .select(lit("__all__").as("label"),
+        coalesce(col("tp"), lit(0L)).cast("long").as("tp"),
+        coalesce(col("n"), lit(0L)).cast("long").as("n_pred"),
+        coalesce(col("n"), lit(0L)).cast("long").as("n_true"))
+    val prec = when(col("n_pred") > 0,
+      Q.sig9(col("tp").cast("double") / col("n_pred").cast("double")))
+    val rec = when(col("n_true") > 0,
+      Q.sig9(col("tp").cast("double") / col("n_true").cast("double")))
+    j.unionByName(overall)
+      .withColumn("prec", prec)
+      .withColumn("rec", rec)
+      .withColumn("f1",
+        when(col("prec").isNotNull && col("rec").isNotNull &&
+            col("prec") + col("rec") > 0,
+          Q.sig9(lit(2.0) * col("prec") * col("rec") /
+            (col("prec") + col("rec")))))
+  }
 }

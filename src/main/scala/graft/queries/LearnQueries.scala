@@ -560,7 +560,63 @@ object LearnQueries {
        |FROM g""".stripMargin
   }
 
+  // ===== confusion / precision-recall-F1 eval =========================
+
+  /** Multi-class eval of the adjudicated NB prediction frame
+    * ([[graft.ext.Classifier.confusion]]): per-class TP/margins with
+    * precision/recall/F1 and the `__all__` accuracy row; the oracle
+    * composes the full nbSql chain as a subquery. */
+  private val confusionQ: QFn = (s, d) =>
+    graft.ext.Classifier.confusion(nbQ(s, d), "true_lang", "pred")
+
+  private val confusionSql = {
+    val prec = Q.sqlSig9(
+      "CAST(tp AS DOUBLE) / CAST(n_pred AS DOUBLE)")
+    val rec = Q.sqlSig9(
+      "CAST(tp AS DOUBLE) / CAST(n_true AS DOUBLE)")
+    s"""WITH base AS ($nbSql),
+       |cells AS (
+       |  SELECT CAST(true_lang AS VARCHAR) AS t,
+       |    CAST(pred AS VARCHAR) AS p, CAST(count(*) AS BIGINT) AS c
+       |  FROM base WHERE true_lang IS NOT NULL AND pred IS NOT NULL
+       |  GROUP BY 1, 2),
+       |cls AS (SELECT t AS label FROM cells
+       |  UNION SELECT p FROM cells),
+       |tpt AS (SELECT t AS label, c AS tp FROM cells WHERE t = p),
+       |np AS (SELECT p AS label, CAST(sum(c) AS BIGINT) AS n_pred
+       |  FROM cells GROUP BY 1),
+       |nt AS (SELECT t AS label, CAST(sum(c) AS BIGINT) AS n_true
+       |  FROM cells GROUP BY 1),
+       |j AS (
+       |  SELECT cls.label, CAST(COALESCE(tpt.tp, 0) AS BIGINT) AS tp,
+       |    CAST(COALESCE(np.n_pred, 0) AS BIGINT) AS n_pred,
+       |    CAST(COALESCE(nt.n_true, 0) AS BIGINT) AS n_true
+       |  FROM cls LEFT JOIN tpt USING (label)
+       |    LEFT JOIN np USING (label) LEFT JOIN nt USING (label)),
+       |o AS (
+       |  SELECT '__all__' AS label,
+       |    CAST(COALESCE(sum(CASE WHEN t = p THEN c END), 0)
+       |      AS BIGINT) AS tp,
+       |    CAST(COALESCE(sum(c), 0) AS BIGINT) AS n_pred,
+       |    CAST(COALESCE(sum(c), 0) AS BIGINT) AS n_true
+       |  FROM cells),
+       |u AS (SELECT * FROM j UNION ALL SELECT * FROM o),
+       |r AS (
+       |  SELECT label, tp, n_pred, n_true,
+       |    CASE WHEN n_pred > 0 THEN $prec END AS prec,
+       |    CASE WHEN n_true > 0 THEN $rec END AS rec
+       |  FROM u)
+       |SELECT label, tp, n_pred, n_true, prec, rec,
+       |  CASE WHEN prec IS NOT NULL AND rec IS NOT NULL
+       |      AND prec + rec > CAST(0.0 AS DOUBLE)
+       |    THEN ${Q.sqlSig9(
+              "CAST(2.0 AS DOUBLE) * prec * rec / (prec + rec)")}
+       |  END AS f1
+       |FROM r""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q_x_confusion" -> confusionQ,
     "q_x_feature_hash" -> featureHashQ,
     "q_x_target_encode" -> targetEncodeQ,
     "q_x_moments" -> momentsQ,
@@ -574,6 +630,7 @@ object LearnQueries {
     "q_x_pipeline5" -> pipeline5Q)
 
   val oracles: Map[String, String] = Map(
+    "q_x_confusion" -> confusionSql,
     "q_x_feature_hash" -> featureHashSql,
     "q_x_target_encode" -> targetEncodeSql,
     "q_x_moments" -> momentsSql,

@@ -140,4 +140,33 @@ class ClassifierSpec extends SparkSpec {
       Classifier.score(d, Seq("x", "b"), Array(1.0))
     }
   }
+
+  test("confusion: per-class tp/margins, sig9'd P/R/F1, the __all__ " +
+      "accuracy row, and zero rows for never-predicted classes") {
+    import spark.implicits._
+    import graft.functions.GraftMath
+    def s9(x: Double) = GraftMath.sig9(x)
+    // true: a a a b b c ; pred: a a b b b a — c never predicted
+    val preds = Seq(("a", "a"), ("a", "a"), ("a", "b"), ("b", "b"),
+      ("b", "b"), ("c", "a")).toDF("t", "p")
+    val got = Classifier.confusion(preds, "t", "p").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("a", "b", "c", "__all__"))
+    val a = got("a")
+    assert(a.getAs[Long]("tp") == 2L && a.getAs[Long]("n_pred") == 3L &&
+      a.getAs[Long]("n_true") == 3L)
+    val pa = s9(2.0 / 3.0)
+    assert(a.getAs[Double]("prec") == pa && a.getAs[Double]("rec") == pa)
+    assert(a.getAs[Double]("f1") == s9(2.0 * pa * pa / (pa + pa)))
+    val c = got("c")
+    assert(c.getAs[Long]("tp") == 0L && c.getAs[Long]("n_pred") == 0L &&
+      c.getAs[Long]("n_true") == 1L)
+    assert(c.isNullAt(c.fieldIndex("prec"))) // zero predicted
+    assert(c.getAs[Double]("rec") == 0.0)
+    assert(c.isNullAt(c.fieldIndex("f1"))) // prec NULL
+    val all = got("__all__")
+    assert(all.getAs[Long]("tp") == 4L &&
+      all.getAs[Long]("n_pred") == 6L)
+    assert(all.getAs[Double]("prec") == s9(4.0 / 6.0))
+  }
 }
