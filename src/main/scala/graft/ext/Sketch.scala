@@ -89,24 +89,48 @@ object Sketch {
     *         estimate = linear counting when raw ≤ 2.5m and empty
     *         registers remain, else the raw HLL estimate */
   def hyperLogLog(items: DataFrame, keyCol: String, p: Int,
-      salt: String): DataFrame = {
+      salt: String): DataFrame =
+    hllEstimate(hllRegisters(items, keyCol, p, salt), p)
+
+  /** The HLL register table alone — (sliceCols..., bucket, M) with
+    * M = max rho per bucket WITHIN each slice. This is the mergeable
+    * face: registers for any union of slices combine by
+    * `groupBy(bucket).max(M)` (the HLL merge law), which is exactly
+    * how per-partition/per-day sketches roll up at 100 TB without
+    * re-touching the raw keys. [[hllEstimate]] turns any (merged)
+    * register table back into the estimate. */
+  def hllRegisters(items: DataFrame, keyCol: String, p: Int,
+      salt: String, sliceCols: Seq[String] = Seq.empty): DataFrame = {
     require(p >= 7 && p <= 16, s"p must be in 7..16, got $p")
     val m = 1L << p
-    val alpha = 0.7213 / (1.0 + 1.079 / m)
     val payloadBits = 60 - p
-    val regs = items
-      .select(col(keyCol).cast("string").as("k"))
+    val slices = sliceCols.map(col)
+    items
+      .select(slices :+ col(keyCol).cast("string").as("k"): _*)
       .where(col("k").isNotNull)
-      .select(Hashing.hash60(concat(lit(s"$salt:"), col("k"))).as("h"))
-      .select((col("h") % m).as("bucket"),
-        expr(s"h div CAST($m AS BIGINT)").as("w"))
+      .select(slices :+
+        Hashing.hash60(concat(lit(s"$salt:"), col("k"))).as("h"): _*)
+      .select(slices :+ (col("h") % m).as("bucket") :+
+        expr(s"h div CAST($m AS BIGINT)").as("w"): _*)
       .withColumn("rho",
         when(col("w") === 0L, lit(payloadBits + 1L))
           .otherwise(
             length(conv(col("w").cast("string"), 10, 2)) -
               length(rtrim(conv(col("w").cast("string"), 10, 2), "0"))
               + 1L))
-      .groupBy(col("bucket")).agg(max(col("rho")).cast("long").as("M"))
+      .groupBy(slices :+ col("bucket"): _*)
+      .agg(max(col("rho")).cast("long").as("M"))
+  }
+
+  /** Estimate from a register table (merging duplicate buckets by max
+    * first, so a UNION of slice registers feeds in directly). Same
+    * output row as [[hyperLogLog]]. */
+  def hllEstimate(registers: DataFrame, p: Int): DataFrame = {
+    require(p >= 7 && p <= 16, s"p must be in 7..16, got $p")
+    val m = 1L << p
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val regs = registers.groupBy(col("bucket"))
+      .agg(max(col("M")).cast("long").as("M"))
     val agg = regs
       .agg(count(lit(1)).cast("long").as("occ"),
         array_sort(collect_list(struct(col("bucket"), col("M"))))

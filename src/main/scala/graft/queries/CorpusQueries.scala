@@ -718,6 +718,106 @@ object CorpusQueries {
           / col("exact").cast("double")).as("rel_err"))
   }
 
+  // ===== HLL merge law as an adjudicated rollup ========================
+
+  /** Per-day HLL register tables over events.user_id merged by
+    * union+max vs the direct single-pass sketch — THE 100 TB rollup
+    * pattern (per-partition sketches, no raw-key re-scan) certified
+    * cross-engine: n_reg_diff adjudicates that the merged and direct
+    * register tables are IDENTICAL, and both estimates ride along
+    * with the exact count. */
+  private val hllMergeQ: QFn = (s, d) => {
+    import graft.ext.Sketch
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val daily = Sketch.hllRegisters(ev, "user_id", hllP, "hllm",
+      Seq("day"))
+    val mergedRegs = daily.groupBy(col("bucket"))
+      .agg(max(col("M")).cast("long").as("M"))
+    val directRegs = Sketch.hllRegisters(ev, "user_id", hllP, "hllm")
+    val estM = Sketch.hllEstimate(mergedRegs, hllP)
+      .select(col("estimate").as("est_merged"))
+    val estD = Sketch.hllEstimate(directRegs, hllP)
+      .select(col("estimate").as("est_direct"))
+    val diff = mergedRegs
+      .join(directRegs.withColumnRenamed("M", "M2"), Seq("bucket"),
+        "full")
+      .agg(coalesce(sum(when(!(col("M") <=> col("M2")), 1L)
+        .otherwise(0L)), lit(0L)).cast("long").as("n_reg_diff"))
+    val exact = ev.agg(countDistinct(col("user_id")).cast("long")
+      .as("exact"))
+    val days = ev.agg(countDistinct(col("day")).cast("long")
+      .as("n_days"))
+    estM.crossJoin(broadcast(estD)).crossJoin(broadcast(diff))
+      .crossJoin(broadcast(exact)).crossJoin(broadcast(days))
+  }
+
+  private val hllMergeSql = {
+    val m = 1L << hllP
+    val md = m.toDouble
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val thr = 2.5 * m
+    val maxRho = 60 - hllP + 1
+    val fold = Q.sqlFold("list_transform(arr, mm -> " +
+      "CAST(1.0 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << mm) AS DOUBLE))")
+    val corrected = Q.sqlSig9(s"CAST($md AS DOUBLE) * " +
+      Q.sqlSig9(s"ln(CAST($md AS DOUBLE) / CAST(vz AS DOUBLE))"))
+    /* estimate chain over a `<src>` register CTE (bucket, M) */
+    def estCtes(src: String, sfx: String) =
+      s"""ag$sfx AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS occ,
+         |    list(M ORDER BY bucket) AS arr
+         |  FROM $src),
+         |sv$sfx AS (
+         |  SELECT occ, $m - occ AS vz,
+         |    CAST($m - occ AS DOUBLE) + $fold AS sval
+         |  FROM ag$sfx),
+         |est$sfx AS (
+         |  SELECT vz,
+         |    CAST($alpha AS DOUBLE) * CAST($md AS DOUBLE) *
+         |      CAST($md AS DOUBLE) / sval AS raw
+         |  FROM sv$sfx),
+         |fin$sfx AS (
+         |  SELECT CASE WHEN raw <= CAST($thr AS DOUBLE) AND vz > 0
+         |    THEN $corrected ELSE ${Q.sqlSig9("raw")} END AS estimate
+         |  FROM est$sfx)""".stripMargin
+    s"""WITH ev AS (
+       |  SELECT user_id, CAST(ts AS DATE) AS day FROM events
+       |  WHERE user_id IS NOT NULL),
+       |hh AS (
+       |  SELECT day,
+       |    ${hashSql("'hllm:' || CAST(user_id AS VARCHAR)")} AS h
+       |  FROM ev),
+       |rw AS (SELECT day, h % $m AS bucket, h // $m AS w FROM hh),
+       |rho AS (
+       |  SELECT day, bucket,
+       |    CASE WHEN w = 0 THEN CAST($maxRho AS BIGINT)
+       |      ELSE len(bin(w)) - len(rtrim(bin(w), '0')) + 1 END AS rho
+       |  FROM rw),
+       |daily AS (
+       |  SELECT day, bucket, CAST(max(rho) AS BIGINT) AS M FROM rho
+       |  GROUP BY 1, 2),
+       |merged AS (
+       |  SELECT bucket, CAST(max(M) AS BIGINT) AS M FROM daily
+       |  GROUP BY 1),
+       |direct AS (
+       |  SELECT bucket, CAST(max(rho) AS BIGINT) AS M FROM rho
+       |  GROUP BY 1),
+       |${estCtes("merged", "m")},
+       |${estCtes("direct", "d")},
+       |diff AS (
+       |  SELECT CAST(COALESCE(sum(CASE WHEN merged.M IS DISTINCT FROM
+       |      direct.M THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_reg_diff
+       |  FROM merged FULL JOIN direct USING (bucket)),
+       |ex AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact
+       |  FROM ev),
+       |dy AS (SELECT CAST(count(DISTINCT day) AS BIGINT) AS n_days
+       |  FROM ev)
+       |SELECT finm.estimate AS est_merged, find.estimate AS est_direct,
+       |  n_reg_diff, exact, n_days
+       |FROM finm, find, diff, ex, dy""".stripMargin
+  }
+
   private val hllSql = {
     val m = 1L << hllP
     val md = m.toDouble
@@ -1071,6 +1171,7 @@ object CorpusQueries {
     "q_x_cms" -> cmsQ,
     "q_x_stratified_exact" -> stratExactQ,
     "q_x_hll" -> hllQ,
+    "q_x_hll_merge" -> hllMergeQ,
     "q_x_bigram_lm" -> bigramLm,
     "q_x_pmi" -> pmiQ,
     "q_x_bm25" -> bm25,
@@ -1099,6 +1200,7 @@ object CorpusQueries {
     "q_x_cms" -> cmsSql,
     "q_x_stratified_exact" -> stratExactSql,
     "q_x_hll" -> hllSql,
+    "q_x_hll_merge" -> hllMergeSql,
     "q_x_bigram_lm" -> bigramLmSql,
     "q_x_pmi" -> pmiSql,
     "q_x_bm25" -> bm25Sql,

@@ -135,6 +135,25 @@ class SketchSpec extends SparkSpec {
     assert(whole == union, "order/duplication must not move the estimate")
   }
 
+  test("hllRegisters/hllEstimate: per-slice registers max-merge to the " +
+      "direct register table EXACTLY, and the estimate follows") {
+    val rows = (1 to 4000).map(i => (s"d${i % 7}", s"k${i % 900}"))
+      .toDF("day", "k").repartition(5)
+    val daily = Sketch.hllRegisters(rows, "k", 9, "mg", Seq("day"))
+    val merged = daily.groupBy(col("bucket"))
+      .agg(max(col("M")).cast("long").as("M"))
+    val direct = Sketch.hllRegisters(rows, "k", 9, "mg")
+    assert(merged.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet ===
+      direct.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    val em = Sketch.hllEstimate(merged, 9).head()
+    val ed = Sketch.hllEstimate(direct, 9).head()
+    assert(em.getAs[Double]("estimate") == ed.getAs[Double]("estimate"))
+    // and the refactored one-shot face is the same chain
+    assert(Sketch.hyperLogLog(rows, "k", 9, "mg").head()
+      .getAs[Double]("estimate") == ed.getAs[Double]("estimate"))
+  }
+
   test("wider sketches only tighten estimates; unseen key without " +
       "collisions reads 0") {
     val narrow = Sketch.cmsEstimate(
