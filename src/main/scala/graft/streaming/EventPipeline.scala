@@ -386,6 +386,70 @@ object EventPipeline {
       }
   }
 
+  /** Two bounded cursors for [[desMonitor]]: the last horizon−1 raw
+    * values and the last horizon−1 SIG9'D s1 points (the second stage
+    * smooths the adjudicated s1 stream — the batch twin's
+    * compositional contract). O(2H) doubles per stream. */
+  case class DesState(bufX: Seq[Double], bufS1: Seq[Double])
+
+  case class DesPoint(stream: String, ts: java.sql.Timestamp,
+                      event_id: Long, x: Double, s1: Double, s2: Double,
+                      level: Double, trend: Double, forecast: Double)
+
+  /** Streaming double exponential smoothing — the live face of
+    * [[graft.ext.TimeSeries.doubleEwma]]: every point's s1/s2, Brown
+    * level, trend and one-step forecast as it arrives.
+    *
+    * Same numeric contract as the batch operator at every step: the
+    * shared weight/normalizer doubles, left-to-right IEEE folds over
+    * both lookback windows (the s2 fold runs over the SIG9'D s1
+    * points, exactly what the batch twin's second window sees), the
+    * same Scala-computed α/(1−α) factor, one sig9 per emitted column —
+    * so under in-order per-stream delivery the points equal the batch
+    * twin's rows bit-for-bit (spec-pinned across a micro-batch
+    * boundary). Intra-batch disorder is absorbed by the full-micros
+    * event-time sort; cross-batch disorder has the shared append-mode
+    * caveat. */
+  def desMonitor(events: Dataset[Event], spark: SparkSession,
+                 alpha: Double, horizon: Int): Dataset[DesPoint] = {
+    import spark.implicits._
+    val (w0, d0) = graft.ext.TimeSeries.ewmaWeights(alpha, horizon)
+    val weights = w0.toArray
+    val denoms = d0.toArray
+    val c = alpha / (1.0 - alpha)
+    def smooth(arr: Seq[Double]): Double = {
+      val n = arr.size
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += arr(i) * weights(n - 1 - i); i += 1 }
+      graft.functions.GraftMath.sig9(acc / denoms(n - 1))
+    }
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[Event], state: GroupState[DesState]) =>
+          var st = state.getOption.getOrElse(DesState(Seq.empty, Seq.empty))
+          val out = Seq.newBuilder[DesPoint]
+          it.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+            .foreach { e =>
+              val arrX = (st.bufX :+ e.value).takeRight(horizon)
+              val s1 = smooth(arrX)
+              val arrS = (st.bufS1 :+ s1).takeRight(horizon)
+              val s2 = smooth(arrS)
+              val level = graft.functions.GraftMath.sig9(2.0 * s1 - s2)
+              val trend = graft.functions.GraftMath.sig9(c * (s1 - s2))
+              out += DesPoint(key, e.ts, e.event_id, e.value, s1, s2,
+                level, trend,
+                graft.functions.GraftMath.sig9(level + trend))
+              st = DesState(arrX.takeRight(horizon - 1),
+                arrS.takeRight(horizon - 1))
+            }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   case class EnrichedPurchase(user_id: Long, purchase_id: Long,
                               purchase_ts: java.sql.Timestamp,
                               value: Double, click_id: Option[Long],

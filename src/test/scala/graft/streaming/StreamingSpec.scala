@@ -148,6 +148,46 @@ class StreamingSpec extends SparkSpec {
     assert(e5 == want5)
   }
 
+  test("desMonitor: streaming s1/s2/level/trend/forecast across " +
+      "micro-batches equal the batch doubleEwma bit-for-bit") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val batch1 = Seq(
+      Event(1L, ts("2024-03-01 10:00:00"), 7L, "click", 10.0),
+      Event(2L, ts("2024-03-01 11:00:00"), 7L, "click", 20.0),
+      Event(3L, ts("2024-03-01 10:30:00"), 8L, "view", 1.0))
+    val batch2 = Seq(
+      Event(4L, ts("2024-03-01 12:00:00"), 7L, "click", 5.0),
+      Event(5L, ts("2024-03-01 13:00:00"), 7L, "click", 40.0),
+      Event(6L, ts("2024-03-01 12:30:00"), 8L, "view", 3.0))
+    val ms = MemoryStream[Event]
+    val q = EventPipeline.desMonitor(ms.toDS(), spark,
+        alpha = 0.25, horizon = 3)
+      .writeStream.format("memory").queryName("des_pts")
+      .outputMode("append").start()
+    try {
+      ms.addData(batch1); q.processAllAvailable()
+      ms.addData(batch2); q.processAllAvailable()
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(2), r.getDouble(3), r.getDouble(4),
+        r.getDouble(5), r.getDouble(6), r.getDouble(7), r.getDouble(8))
+    val streaming = spark.table("des_pts").collect().map(key).toSet
+    val batch = graft.ext.TimeSeries.doubleEwma(
+        (batch1 ++ batch2).toDF(), Seq("event_type"), "ts", "value",
+        "event_id", alpha = 0.25, horizon = 3)
+      .select(col("event_type"), col("ts"), col("event_id"), col("s1"),
+        col("s2"), col("level"), col("trend"), col("forecast"))
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+      .toSet
+    // align shapes: streaming carries x at index 3 — drop it
+    val streaming7 = streaming.map(t =>
+      (t._1, t._2, t._4, t._5, t._6, t._7, t._8))
+    assert(streaming7 === batch)
+    assert(streaming.size == 6)
+  }
+
   test("enrichedPurchases: streaming as-of enrichment equals the exact " +
       "batch twin on in-order batches; clicks never retro-enrich") {
     implicit val ctx = spark.sqlContext
