@@ -167,4 +167,61 @@ object Retrieval {
       when(col("n_ranked") > 0, Q.sig9(idcgRaw)).as("idcg"),
       coalesce(col("n_ranked"), lit(0L)).cast("long").as("n_ranked")): _*)
   }
+
+  /** Binary-relevance rank evaluation — the set-based readouts beside
+    * [[ndcg]]'s graded one: MRR (reciprocal rank of the first relevant
+    * hit in the top k, 0 when none), precision@k, recall@k and hit@k
+    * over a judged ranked list. A row is relevant iff `relCol` > 0
+    * (graded judgments degrade to binary, the standard convention).
+    *
+    * The recall base is the relevant rows ANYWHERE in the supplied
+    * list — pass the full judged list (not a pre-truncated top-k) when
+    * recall against the whole judged pool is wanted; rows past rank k
+    * still count toward `n_rel_total` but not the @k numerators.
+    *
+    * Determinism: every statistic is an exact-integer count or min;
+    * the only floating point is three single IEEE divisions of exact
+    * longs, each sig9'd once — no aggregation order dependence at all.
+    *
+    * Scale shape: ONE hash aggregate (map-side partial) over the
+    * ranked rows; per key the state is four longs, so millions of
+    * queries fan out flat with no window or sort anywhere.
+    *
+    * @return per key (one global row when keyCols is empty):
+    *         (keys..., mrr, prec_at_k, recall_at_k, hit_at_k,
+    *         first_rel_rank, n_rel_at_k, n_rel_total, n_ranked) —
+    *         recall_at_k NULL when the list has no relevant row */
+  def rankEval(ranked: DataFrame, keyCols: Seq[String], rankCol: String,
+      relCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 10000, s"k must be in [1, 10000], got $k")
+    val keys = keyCols.map(col)
+    val rows = ranked
+      .select(keys :+ col(rankCol).cast("long").as("rank") :+
+        col(relCol).cast("long").as("rel"): _*)
+      .where(col("rank") >= 1 && col("rel").isNotNull)
+    val relHit = col("rel") > 0
+    val atK = relHit && col("rank") <= k
+    val aggs = Seq(
+      count(lit(1)).as("n_ranked"),
+      sum(when(relHit, 1L).otherwise(0L)).as("n_rel_total"),
+      sum(when(atK, 1L).otherwise(0L)).as("n_rel_at_k"),
+      min(when(atK, col("rank"))).as("first_rel_rank"))
+    val g =
+      if (keyCols.isEmpty) rows.agg(aggs.head, aggs.tail: _*)
+      else rows.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+    val nTot = coalesce(col("n_rel_total"), lit(0L)).cast("long")
+    val nAtK = coalesce(col("n_rel_at_k"), lit(0L)).cast("long")
+    g.select(keys ++ Seq(
+      when(col("first_rel_rank").isNotNull,
+        Q.sig9(lit(1.0) / col("first_rel_rank").cast("double")))
+        .otherwise(lit(0.0)).as("mrr"),
+      Q.sig9(nAtK.cast("double") / lit(k.toDouble)).as("prec_at_k"),
+      when(nTot > 0, Q.sig9(nAtK.cast("double") / nTot.cast("double")))
+        .as("recall_at_k"),
+      when(nAtK > 0, 1L).otherwise(0L).as("hit_at_k"),
+      col("first_rel_rank").cast("long").as("first_rel_rank"),
+      nAtK.as("n_rel_at_k"),
+      nTot.as("n_rel_total"),
+      coalesce(col("n_ranked"), lit(0L)).cast("long").as("n_ranked")): _*)
+  }
 }

@@ -418,6 +418,58 @@ object TextStats {
       coalesce(col("n"), lit(0L)).cast("long").as("n_ranks"))
   }
 
+  /** Top-k TF-IDF keywords per document — the standard "what is this
+    * document about" extractive summary, the lexical face of topic
+    * tagging (and the query-term miner feeding [[Retrieval.bm25TopK]]
+    * audits). tf = c/dl (term count over document length), idf =
+    * ln(N/df) — unsmoothed, so a token present in every document
+    * scores exactly 0 and cannot displace discriminative terms.
+    *
+    * Determinism: counts are exact BIGINTs; tf is ONE IEEE division
+    * of exact longs (sig9'd), idf ONE libm ln over an exact ratio
+    * (sig9'd — the bm25/zipf convention), the product one IEEE
+    * multiply sig9'd once; rank ties break (score desc, token asc)
+    * over the sig9'd scores, so the top-k set is engine-portable.
+    *
+    * Scale shape: one explode + one (doc, token) hash aggregate +
+    * one token-keyed df aggregate joined back (both map-side
+    * partial); N is a one-row broadcast. The only window partitions
+    * BY DOCUMENT — bounded by per-doc vocabulary, never corpus-sized,
+    * so a billion docs fan out flat.
+    *
+    * @return (idCol, kw_rank 1..k, token, tf_cnt, dl, df, score) */
+  def tfidfKeywords(docs: DataFrame, k: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import graft.queries.Q
+    require(k >= 1 && k <= 1000, s"k must be in [1, 1000], got $k")
+    val toks = Hashing.tokens(col(textCol))
+    val tf = docs
+      .select(col(idCol), size(toks).cast("long").as("dl"),
+        explode(toks).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).cast("long").as("tf_cnt"),
+        min(col("dl")).as("dl"))
+    val dfc = tf.groupBy(col("token"))
+      .agg(count(lit(1)).cast("long").as("df"))
+    val nDocs = tf.select(col(idCol)).distinct()
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+    val scored = tf.join(dfc, Seq("token"))
+      .crossJoin(broadcast(nDocs))
+      .select(col(idCol), col("token"), col("tf_cnt"), col("dl"),
+        col("df"),
+        Q.sig9(Q.sig9(col("tf_cnt").cast("double") /
+            col("dl").cast("double")) *
+          Q.sig9(log(col("n_docs").cast("double") /
+            col("df").cast("double")))).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)) // bounded: per-doc vocabulary
+      .orderBy(col("score").desc, col("token").asc)
+    scored.withColumn("kw_rank", row_number().over(w).cast("long"))
+      .where(col("kw_rank") <= k)
+      .select(col(idCol), col("kw_rank"), col("token"), col("tf_cnt"),
+        col("dl"), col("df"), col("score"))
+  }
+
   /** Per-source readability rollup: Flesch–Kincaid grade and Flesch
     * reading ease from exact corpus-level word / sentence / syllable
     * counts — the "is this source textbook prose or keyword soup?"

@@ -480,6 +480,64 @@ object CorpusQueries {
        |FROM f""".stripMargin
   }
 
+  // ===== binary-relevance rank evaluation (MRR / P@k / R@k) ===========
+
+  /** [[graft.ext.Retrieval.rankEval]] at k = 10 over the same judged
+    * BM25 top-20 list as `q_x_ndcg` (relevant = any grade > 0): the
+    * recall base is the full 20-row list, so recall@10 exercises the
+    * "judged rows past k count toward the base" contract. All exact
+    * integers plus three sig9'd single divisions. */
+  private val rankEvalK = 10
+
+  private val rankEvalQ: QFn = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val qdoc = docs.filter(col("doc_id") === 7)
+      .select(col("source").as("qsrc"), col("lang").as("qlang"))
+    val rel = bm25(s, d)
+      .join(docs.select(col("doc_id"), col("source"), col("lang")),
+        Seq("doc_id"))
+      .crossJoin(broadcast(qdoc))
+      .select(col("rank"),
+        (when(col("source") === col("qsrc"), 1L).otherwise(0L) +
+          when(col("lang") === col("qlang"), 1L).otherwise(0L)).as("rel"))
+    Retrieval.rankEval(rel, Seq.empty, "rank", "rel", k = rankEvalK)
+  }
+
+  private val rankEvalSql = {
+    val k = rankEvalK
+    s"""WITH base AS ($bm25Sql),
+       |q AS (SELECT source AS qsrc, lang AS qlang FROM documents
+       |  WHERE doc_id = 7),
+       |rl AS (
+       |  SELECT base."rank" AS rnk,
+       |    CAST(CASE WHEN d.source = q.qsrc THEN 1 ELSE 0 END
+       |      + CASE WHEN d.lang = q.qlang THEN 1 ELSE 0 END
+       |      AS BIGINT) AS rel
+       |  FROM base JOIN documents d USING (doc_id) CROSS JOIN q),
+       |g AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_ranked,
+       |    CAST(COALESCE(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END), 0)
+       |      AS BIGINT) AS n_rel_total,
+       |    CAST(COALESCE(sum(CASE WHEN rel > 0 AND rnk <= $k
+       |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_rel_at_k,
+       |    CAST(min(CASE WHEN rel > 0 AND rnk <= $k THEN rnk END)
+       |      AS BIGINT) AS first_rel_rank
+       |  FROM rl WHERE rnk >= 1 AND rel IS NOT NULL)
+       |SELECT
+       |  CASE WHEN first_rel_rank IS NOT NULL THEN ${Q.sqlSig9(
+            "CAST(1.0 AS DOUBLE) / CAST(first_rel_rank AS DOUBLE)")}
+       |    ELSE CAST(0.0 AS DOUBLE) END AS mrr,
+       |  ${Q.sqlSig9(s"CAST(n_rel_at_k AS DOUBLE) / " +
+            s"CAST($k.0 AS DOUBLE)")} AS prec_at_k,
+       |  CASE WHEN n_rel_total > 0 THEN ${Q.sqlSig9(
+            "CAST(n_rel_at_k AS DOUBLE) / CAST(n_rel_total AS DOUBLE)")}
+       |    END AS recall_at_k,
+       |  CASE WHEN n_rel_at_k > 0 THEN CAST(1 AS BIGINT)
+       |    ELSE CAST(0 AS BIGINT) END AS hit_at_k,
+       |  first_rel_rank, n_rel_at_k, n_rel_total, n_ranked
+       |FROM g""".stripMargin
+  }
+
   // ===== deterministic split assignment =================================
 
   private val splitWeights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
@@ -1154,10 +1212,50 @@ object CorpusQueries {
        |FROM g""".stripMargin
   }
 
+  // ===== TF-IDF keyword extraction ====================================
+
+  /** [[graft.ext.TextStats.tfidfKeywords]] top-3 per document — the
+    * oracle mirrors the sig9(sig9(tf)·sig9(idf)) chain and the
+    * (score desc, token asc) tie order term for term. */
+  private val keywordsQ: QFn = (s, d) =>
+    graft.ext.TextStats.tfidfKeywords(Tables.documents(s, d), k = 3)
+
+  private val keywordsSql = {
+    val tf = Q.sqlSig9("CAST(tf_cnt AS DOUBLE) / CAST(dl AS DOUBLE)")
+    val idf = Q.sqlSig9("ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))")
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(string_split(text, ' '),
+       |      t -> t <> '')) AS BIGINT) AS dl,
+       |    unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+       |      AS token
+       |  FROM documents),
+       |tf AS (
+       |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf_cnt,
+       |    CAST(min(dl) AS BIGINT) AS dl
+       |  FROM tok GROUP BY 1, 2),
+       |dfc AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+       |  FROM tf GROUP BY 1),
+       |n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+       |  FROM tf),
+       |sc AS (
+       |  SELECT doc_id, token, tf_cnt, dl, df,
+       |    ${Q.sqlSig9(s"$tf * $idf")} AS score
+       |  FROM tf JOIN dfc USING (token) CROSS JOIN n),
+       |r AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY score DESC, token) AS BIGINT) AS kw_rank
+       |  FROM sc)
+       |SELECT doc_id, kw_rank, token, tf_cnt, dl, df, score
+       |FROM r WHERE kw_rank <= 3""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q_x_keywords" -> keywordsQ,
     "q_x_zipf" -> zipfQ,
     "q_x_readability" -> readabilityQ,
     "q_x_ndcg" -> ndcgQ,
+    "q_x_rank_eval" -> rankEvalQ,
     "q_x_entropy" -> entropyQ,
     "q_x_vocab_growth" -> vocabGrowthQ,
     "q_x_gini" -> giniQ,
@@ -1184,9 +1282,11 @@ object CorpusQueries {
     "q_x_rrf" -> rrfQ)
 
   val oracles: Map[String, String] = Map(
+    "q_x_keywords" -> keywordsSql,
     "q_x_zipf" -> zipfSql,
     "q_x_readability" -> readabilitySql,
     "q_x_ndcg" -> ndcgSql,
+    "q_x_rank_eval" -> rankEvalSql,
     "q_x_entropy" -> entropySql,
     "q_x_vocab_growth" -> vocabGrowthSql,
     "q_x_gini" -> giniSql,

@@ -111,4 +111,42 @@ class RetrievalSpec extends SparkSpec {
     assert(gk(0).getAs[Double]("ndcg") == 1.0)
     assert(gk(1).getAs[Double]("ndcg") < 1.0)
   }
+
+  // ===== rankEval (MRR / P@k / R@k / hit@k) ============================
+
+  test("rankEval: first relevant at rank 3 of 5 -> mrr 1/3; judged rows " +
+      "past k widen the recall base but not the @k numerators") {
+    import graft.functions.GraftMath
+    // ranks 1..4 judged; rel at 3 and at 6 (past k=4)
+    val rl = Seq((1L, 0L), (2L, 0L), (3L, 2L), (4L, 0L), (6L, 1L))
+      .toDF("rank", "rel")
+    val r = Retrieval.rankEval(rl, Seq.empty, "rank", "rel", k = 4).head()
+    assert(r.getAs[Double]("mrr") == GraftMath.sig9(1.0 / 3.0))
+    assert(r.getAs[Long]("first_rel_rank") == 3L)
+    assert(r.getAs[Long]("n_rel_at_k") == 1L)
+    assert(r.getAs[Long]("n_rel_total") == 2L) // rank-6 row counts here
+    assert(r.getAs[Double]("prec_at_k") == GraftMath.sig9(1.0 / 4.0))
+    assert(r.getAs[Double]("recall_at_k") == GraftMath.sig9(1.0 / 2.0))
+    assert(r.getAs[Long]("hit_at_k") == 1L)
+    assert(r.getAs[Long]("n_ranked") == 5L)
+  }
+
+  test("rankEval: no relevant row -> mrr 0, recall NULL, hit 0; " +
+      "per-key grouping keeps queries independent") {
+    val rl = Seq((1L, 0L), (2L, 0L)).toDF("rank", "rel")
+    val r = Retrieval.rankEval(rl, Seq.empty, "rank", "rel", k = 10).head()
+    assert(r.getAs[Double]("mrr") == 0.0)
+    assert(r.isNullAt(r.fieldIndex("recall_at_k")))
+    assert(r.getAs[Long]("hit_at_k") == 0L)
+    assert(r.isNullAt(r.fieldIndex("first_rel_rank")))
+    assert(r.getAs[Double]("prec_at_k") == 0.0)
+    val keyed = Seq(("q1", 1L, 1L), ("q1", 2L, 0L),
+      ("q2", 1L, 0L), ("q2", 2L, 1L)).toDF("q", "rank", "rel")
+    val gk = Retrieval.rankEval(keyed, Seq("q"), "rank", "rel", k = 2)
+      .orderBy("q").collect()
+    assert(gk(0).getAs[Double]("mrr") == 1.0)
+    assert(gk(1).getAs[Double]("mrr") == 0.5)
+    assert(gk(0).getAs[Double]("recall_at_k") == 1.0)
+    assert(gk(1).getAs[Double]("recall_at_k") == 1.0)
+  }
 }

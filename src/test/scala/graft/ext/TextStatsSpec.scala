@@ -305,4 +305,43 @@ class TextStatsSpec extends SparkSpec {
     assert(got.isNullAt(got.fieldIndex("fk_grade")))
     assert(got.isNullAt(got.fieldIndex("reading_ease")))
   }
+
+  // ===== TF-IDF keywords ==============================================
+
+  private val kwDocs = Seq(
+    (1L, "apple apple banana z"),
+    (2L, "banana cherry cherry cherry z"),
+    (3L, "apple cherry date date z")).toDF("doc_id", "text")
+
+  test("tfidfKeywords: scores follow sig9(sig9(tf)*sig9(idf)); " +
+      "everywhere-tokens score exactly 0; score ties break token-asc") {
+    import graft.functions.GraftMath.sig9
+    val got = TextStats.tfidfKeywords(kwDocs, k = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[String]("token")) ->
+        ((r.getAs[Long]("kw_rank"), r.getAs[Double]("score"),
+          r.getAs[Long]("df"), r.getAs[Long]("dl")))).toMap
+    // doc 3 (dl 5): date tf 2/5 df 1; apple/cherry tf 1/5 df 2; z df 3
+    assert(got((3L, "date"))._2 ==
+      sig9(sig9(2.0 / 5.0) * sig9(math.log(3.0 / 1.0))))
+    assert(got((3L, "date"))._1 == 1L)
+    // apple and cherry tie at the identical sig9 score -> token asc
+    assert(got((3L, "apple"))._2 == got((3L, "cherry"))._2)
+    assert(got((3L, "apple"))._1 == 2L)
+    assert(got((3L, "cherry"))._1 == 3L)
+    // z appears in all 3 docs: idf = ln(1) = 0 -> score exactly 0
+    assert(got((3L, "z"))._2 == 0.0)
+    assert(got((3L, "z"))._1 == 4L)
+    assert(got((1L, "apple"))._3 == 2L && got((1L, "apple"))._4 == 4L)
+  }
+
+  test("tfidfKeywords: k truncates per document; short docs yield " +
+      "fewer than k rows") {
+    val got = TextStats.tfidfKeywords(kwDocs, k = 2)
+    assert(got.count() == 6L) // 2 per doc
+    assert(got.where(col("kw_rank") > 2).count() == 0L)
+    val one = TextStats.tfidfKeywords(
+      Seq((9L, "solo")).toDF("doc_id", "text"), k = 5)
+    assert(one.count() == 1L) // one distinct token -> one keyword row
+  }
 }
