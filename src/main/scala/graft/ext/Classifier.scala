@@ -166,6 +166,84 @@ object Classifier {
         (col("n_pos").cast("double") / col("n")).as("obs_rate"))
   }
 
+  /** Decile lift & cumulative-gains table — the model-targeting
+    * readout beside [[auc]] (threshold-free ranking quality) and
+    * [[calibration]] (probability faithfulness): rank units by score,
+    * cut into `bins` equal-depth bins (decile 1 = highest scores),
+    * report each bin's observed positive rate, lift vs the base rate
+    * and the cumulative gain ("mail the top 2 deciles, capture X% of
+    * converters" — the campaign-targeting contract).
+    *
+    * Binning is [[Profile.equiDepthBins]]'s tie-stable rank
+    * definition (tied scores always share a bin — reproducible where
+    * NTILE is not; heavy ties make bin sizes uneven by design, the
+    * documented quantize tradeoff). Counts are exact BIGINTs; lift
+    * ratios are single sig9'd divisions of exact DECIMAL(38,0)
+    * products (the assoc-rules convention), so rates, lifts and
+    * gains adjudicate bit-for-bit.
+    *
+    * Scale shape: one (score)-keyed aggregate + the percentRank
+    * binned prefix sums (no global window), then everything lives in
+    * one bounded ≤bins-row array for the cumulative fold. Totals are
+    * a one-row broadcast.
+    *
+    * @return per decile (1 = top scores): (decile, n, n_pos,
+    *         lo_score, hi_score, pos_rate, lift, cum_n, cum_pos,
+    *         gain, cum_lift) — lift/gain NULL when the frame has no
+    *         positives */
+  def liftTable(df: DataFrame, scoreCol: String, labelCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 1 && bins <= 10000,
+      s"bins must be in [1, 10000], got $bins")
+    val rows = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(scoreCol).cast("double").as("s"),
+        col(labelCol).cast("long").as("y"))
+    val posc = rows.groupBy(col("s"))
+      .agg(sum(col("y")).cast("long").as("p"))
+    val eb = Profile.equiDepthBins(rows, Seq.empty, "s", bins)
+    val perBin = eb.join(posc, Seq("s"))
+      .groupBy((lit(bins.toLong) - col("bin")).as("decile"))
+      .agg(sum(col("cnt")).cast("long").as("n"),
+        sum(col("p")).cast("long").as("n_pos"),
+        min(col("s")).as("lo_score"), max(col("s")).as("hi_score"))
+    // cumulative fold inside ONE bounded <=bins-row array (decile asc)
+    val folded = perBin
+      .agg(array_sort(collect_list(struct(col("decile"), col("n"),
+        col("n_pos"), col("lo_score"), col("hi_score")))).as("a"))
+      .select(explode(transform(col("a"), (x, i) => struct(
+        x.getField("decile").as("decile"),
+        x.getField("n").as("n"),
+        x.getField("n_pos").as("n_pos"),
+        x.getField("lo_score").as("lo_score"),
+        x.getField("hi_score").as("hi_score"),
+        aggregate(slice(col("a"), lit(1), i + 1), lit(0L),
+          (acc, b) => acc + b.getField("n")).as("cum_n"),
+        aggregate(slice(col("a"), lit(1), i + 1), lit(0L),
+          (acc, b) => acc + b.getField("n_pos")).as("cum_pos")))).as("r"))
+      .select(col("r.*"))
+    val tot = rows.agg(count(lit(1)).cast("long").as("nn"),
+      sum(col("y")).cast("long").as("pp"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    def ratio(a: Column, b: Column, c: Column, d: Column) =
+      Q.sig9((a.cast(dec) * b.cast(dec)).cast("double") /
+        (c.cast(dec) * d.cast(dec)).cast("double"))
+    folded.crossJoin(broadcast(tot)).select(
+      col("decile"), col("n"), col("n_pos"), col("lo_score"),
+      col("hi_score"),
+      Q.sig9(col("n_pos").cast("double") / col("n").cast("double"))
+        .as("pos_rate"),
+      when(col("pp") > 0,
+        ratio(col("n_pos"), col("nn"), col("n"), col("pp"))).as("lift"),
+      col("cum_n"), col("cum_pos"),
+      when(col("pp") > 0,
+        Q.sig9(col("cum_pos").cast("double") / col("pp").cast("double")))
+        .as("gain"),
+      when(col("pp") > 0,
+        ratio(col("cum_pos"), col("nn"), col("cum_n"), col("pp")))
+        .as("cum_lift"))
+  }
+
   /** Score a frame with learned weights: sig9'd probability +
     * the 0.5-threshold decision. */
   def score(df: DataFrame, features: Seq[String], w: Array[Double],

@@ -284,6 +284,102 @@ object Profile {
         col("theta"), col("z_raw"), col("z_adj"))
   }
 
+  /** One-pass approximate randomization (permutation) test on the
+    * two-arm mean difference — the assumption-free significance
+    * readout beside the parametric Welch z ([[welchZ]]) and the rank
+    * MWU ([[mannWhitney]]): how often does a RANDOM re-assignment of
+    * units to arms produce a mean gap at least as extreme as the
+    * observed one? p = (1 + #extreme) / (R + 1), the standard
+    * add-one Monte-Carlo estimator (Davison & Hinkley).
+    *
+    * Randomization scheme (deterministic, engine-portable): replicate
+    * r re-assigns each unit to arm A iff u_r < n_a/n, where u_r is
+    * the [[Bootstrap.mixers]] affine mix of the unit's SINGLE md5
+    * hash — one md5 per row for all R replicates, the Poisson-
+    * bootstrap recipe. Binomial re-assignment (arm sizes vary
+    * slightly per replicate) rather than a fixed-size permutation —
+    * the standard large-sample approximation, which is what makes the
+    * test ONE corpus pass instead of R distributed shuffles; a
+    * replicate that degenerates to an empty arm (possible only at toy
+    * sizes) is dropped from the null distribution and `n_reps`
+    * reports the survivors.
+    *
+    * Determinism: u_r is an exact rational compared against the
+    * exact-long ratio n_a/n (both single IEEE divisions, bit-
+    * identical); arm sums route through decimal; each mean diff is
+    * sig9'd once, so the >= |obs| comparisons match cross-engine and
+    * the extreme COUNT is exact.
+    *
+    * Scale shape: one pass for the observed stats; one map-side
+    * R-explode + ONE (replicate, arm) aggregate (map-side partial)
+    * for the whole null distribution — O(R) result rows, no shuffle
+    * of the corpus beyond that aggregate, no driver data path.
+    *
+    * @return one row: (group_a, group_b, n_a, n_b, obs_diff, n_reps,
+    *         n_extreme, p_value) */
+  def permutationTest(df: DataFrame, groupCol: String, valCol: String,
+      idCol: String, replicates: Int = 200,
+      salt: String = "perm"): DataFrame = {
+    import graft.queries.Q
+    require(replicates >= 2 && replicates <= 100000,
+      s"replicates must be in [2, 100000], got $replicates")
+    val rows = df
+      .filter(col(valCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(valCol).cast("double")
+        .as("__x"), col(idCol).as("__id"))
+    val stats = rows.groupBy(col("__g"))
+      .agg(count(lit(1)).cast("long").as("__n"), Q.dsum(col("__x"))
+        .as("__s"))
+    val arms = stats.agg(min(col("__g")).as("__ga"),
+      max(col("__g")).as("__gb"))
+    val aRow = stats.crossJoin(broadcast(arms))
+      .where(col("__g") === col("__ga"))
+      .select(col("__g").as("group_a"), col("__n").as("n_a"),
+        col("__s").as("__sa"))
+    val bRow = stats.crossJoin(broadcast(arms))
+      .where(col("__g") === col("__gb") && col("__ga") =!= col("__gb"))
+      .select(col("__g").as("group_b"), col("__n").as("n_b"),
+        col("__s").as("__sb"))
+    val obs = aRow.crossJoin(bRow) // two one-row frames
+      .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+        Q.sig9(col("__sa") / col("n_a").cast("double") -
+          col("__sb") / col("n_b").cast("double")).as("obs_diff"),
+        (col("n_a").cast("double") /
+          (col("n_a") + col("n_b")).cast("double")).as("__pa"))
+
+    val (ma, mb) = Bootstrap.mixers(salt, replicates)
+    val ar = element_at(array(ma.map(lit): _*), col("__r") + 1)
+    val br = element_at(array(mb.map(lit): _*), col("__r") + 1)
+    val u = pmod(ar * col("__h") + br, lit(Hashing.P)).cast("double") /
+      lit(Hashing.P.toDouble)
+    val rep = rows
+      .withColumn("__h", Hashing.hashP(
+        concat(lit(salt + ":"), col("__id").cast("string"))))
+      .crossJoin(broadcast(obs.select(col("__pa"))))
+      .withColumn("__r", explode(sequence(lit(0), lit(replicates - 1))))
+      .withColumn("__a", (u < col("__pa")).cast("long"))
+    val perRep = rep.groupBy(col("__r"))
+      .agg(sum(col("__a")).cast("long").as("__na"),
+        Q.dsum(when(col("__a") === 1L, col("__x")).otherwise(lit(0.0)))
+          .as("__sa"),
+        sum(lit(1L) - col("__a")).cast("long").as("__nb"),
+        Q.dsum(when(col("__a") === 0L, col("__x")).otherwise(lit(0.0)))
+          .as("__sb"))
+      .where(col("__na") > 0 && col("__nb") > 0)
+      .select(Q.sig9(col("__sa") / col("__na").cast("double") -
+        col("__sb") / col("__nb").cast("double")).as("__d"))
+    val nullDist = perRep
+      .crossJoin(broadcast(obs.select(col("obs_diff"))))
+      .agg(count(lit(1)).cast("long").as("n_reps"),
+        sum(when(abs(col("__d")) >= abs(col("obs_diff")), 1L)
+          .otherwise(0L)).cast("long").as("n_extreme"))
+    obs.crossJoin(broadcast(nullDist))
+      .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+        col("obs_diff"), col("n_reps"), col("n_extreme"),
+        Q.sig9((lit(1L) + col("n_extreme")).cast("double") /
+          (col("n_reps") + lit(1L)).cast("double")).as("p_value"))
+  }
+
   /** Exact per-group percent_rank of every distinct value WITHOUT a
     * per-group global-order window — rank-based feature normalization
     * ("replace the raw metric by its quantile position") at corpus

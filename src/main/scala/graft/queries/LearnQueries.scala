@@ -94,6 +94,68 @@ object LearnQueries {
     s"""WITH $logisticCtes
        |SELECT doc_id, score, score >= 0.5 AS pred FROM sc""".stripMargin
 
+  // ===== decile lift & cumulative gains ================================
+
+  /** [[graft.ext.Classifier.liftTable]] over the same trained logistic
+    * scores as `q_x_logistic` — the campaign-targeting readout. The
+    * oracle re-derives the full training trajectory (shared
+    * `trajectoryCtes`), then mirrors the tie-stable rank binning and
+    * every sig9'd exact-product ratio. */
+  private val liftQ: QFn = (s, d) => {
+    val toks = Hashing.tokens(col("text"))
+    val f = Tables.documents(s, d).select(col("doc_id"),
+      (col("n_chars").cast("double") / 1000.0).as("f1"),
+      (size(toks).cast("double") / 100.0).as("f2"),
+      lit(1.0).as("f3"),
+      when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+    val w = Classifier.logisticTrain(f, feats, "y", iters, lrRate)
+    Classifier.liftTable(Classifier.score(f, feats, w), "score", "y",
+      bins = 10)
+  }
+
+  private val liftSql = {
+    def prodRatio(a: String, b: String, c: String, d: String) = sqlSig9(
+      s"CAST(CAST($a AS DECIMAL(38,0)) * $b AS DOUBLE) / " +
+        s"CAST(CAST($c AS DECIMAL(38,0)) * $d AS DOUBLE)")
+    s"""WITH $logisticCtes,
+       |vc AS (
+       |  SELECT score AS s, CAST(count(*) AS BIGINT) AS c,
+       |    CAST(COALESCE(sum(CAST(y AS BIGINT)), 0) AS BIGINT) AS p
+       |  FROM sc GROUP BY 1),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS nn,
+       |  CAST(sum(p) AS BIGINT) AS pp FROM vc),
+       |nb AS (
+       |  SELECT s, c, p,
+       |    CAST(COALESCE(sum(c) OVER (ORDER BY s
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS n_below
+       |  FROM vc),
+       |bb AS (
+       |  SELECT s, c, p,
+       |    CAST(least(9, (nb.n_below * 10) // tot.nn) AS BIGINT) AS bin
+       |  FROM nb CROSS JOIN tot),
+       |pb AS (
+       |  SELECT CAST(10 - bin AS BIGINT) AS decile,
+       |    CAST(sum(c) AS BIGINT) AS n, CAST(sum(p) AS BIGINT) AS n_pos,
+       |    min(s) AS lo_score, max(s) AS hi_score
+       |  FROM bb GROUP BY 1),
+       |cm AS (
+       |  SELECT *, CAST(sum(n) OVER (ORDER BY decile) AS BIGINT) AS cum_n,
+       |    CAST(sum(n_pos) OVER (ORDER BY decile) AS BIGINT) AS cum_pos
+       |  FROM pb)
+       |SELECT decile, n, n_pos, lo_score, hi_score,
+       |  ${sqlSig9("CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE)")}
+       |    AS pos_rate,
+       |  CASE WHEN pp > 0 THEN ${prodRatio("n_pos", "nn", "n", "pp")}
+       |    END AS lift,
+       |  cum_n, cum_pos,
+       |  CASE WHEN pp > 0 THEN ${sqlSig9(
+            "CAST(cum_pos AS DOUBLE) / CAST(pp AS DOUBLE)")} END AS gain,
+       |  CASE WHEN pp > 0 THEN ${prodRatio("cum_pos", "nn", "cum_n", "pp")}
+       |    END AS cum_lift
+       |FROM cm CROSS JOIN tot""".stripMargin
+  }
+
   // ===== linear regression (exact trajectory — no libm at all) =========
 
   private val linFeats = Seq("x1", "x2")
@@ -622,6 +684,7 @@ object LearnQueries {
     "q_x_moments" -> momentsQ,
     "q_x_conformal" -> conformalQ,
     "q_x_logistic" -> logisticQ,
+    "q_x_lift" -> liftQ,
     "q_x_linreg" -> linregQ,
     "q_x_auc" -> aucQ,
     "q_x_calibration" -> calibrationQ,
@@ -636,6 +699,7 @@ object LearnQueries {
     "q_x_moments" -> momentsSql,
     "q_x_conformal" -> conformalSql,
     "q_x_logistic" -> logisticSql,
+    "q_x_lift" -> liftSql,
     "q_x_linreg" -> linregSql,
     "q_x_auc" -> aucSql,
     "q_x_calibration" -> calibrationSql,

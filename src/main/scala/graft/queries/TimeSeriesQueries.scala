@@ -526,6 +526,78 @@ object TimeSeriesQueries {
        |FROM pt JOIN sm USING (event_type)""".stripMargin
   }
 
+  // ===== approximate randomization (permutation) test =================
+
+  /** [[graft.ext.Profile.permutationTest]] on the same "ab:" hash
+    * arms as `q_x_abtest` (R = 128) — the oracle replays the identical
+    * mixer-literal coin per (unit, replicate), the binomial
+    * re-assignment against the exact n_a/n ratio, every sig9'd
+    * replicate diff and the exact extreme count. */
+  private val permReps = 128
+
+  private val permTestQ: QFn = (s, d) => {
+    val grp = pmod(graft.ext.Hashing.hash60(
+      concat(lit("ab:"), col("user_id").cast("string"))), lit(2L))
+    graft.ext.Profile.permutationTest(
+      Tables.events(s, d).withColumn("grp", grp),
+      "grp", "value", "event_id", replicates = permReps)
+  }
+
+  private val permTestSql = {
+    val r = permReps
+    val (ma, mb) = graft.ext.Bootstrap.mixers("perm", r)
+    val pP = graft.ext.Hashing.P
+    val aList = ma.mkString("[", ", ", "]")
+    val bList = mb.mkString("[", ", ", "]")
+    val u = s"(CAST(($aList[r + 1] * h + $bList[r + 1]) % $pP AS DOUBLE)" +
+      s" / $pP.0)"
+    s"""WITH base AS (
+       |  SELECT CAST(${Q.sqlHash60("'ab:' || CAST(user_id AS VARCHAR)")}
+       |    % 2 AS BIGINT) AS g, value,
+       |    ${Q.sqlHashP("'perm:' || CAST(event_id AS VARCHAR)")} AS h
+       |  FROM events WHERE value IS NOT NULL),
+       |st AS (
+       |  SELECT g, CAST(count(*) AS BIGINT) AS n,
+       |    ${Q.sqlDsum("value")} AS s
+       |  FROM base GROUP BY 1),
+       |a AS (SELECT g AS group_a, n AS n_a, s AS sa FROM st
+       |  ORDER BY g ASC LIMIT 1),
+       |b AS (SELECT g AS group_b, n AS n_b, s AS sb FROM st
+       |  ORDER BY g DESC LIMIT 1),
+       |obs AS (
+       |  SELECT group_a, group_b, n_a, n_b,
+       |    ${Q.sqlSig9("sa / CAST(n_a AS DOUBLE) - " +
+            "sb / CAST(n_b AS DOUBLE)")} AS obs_diff,
+       |    CAST(n_a AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS pa
+       |  FROM a, b),
+       |reps AS (
+       |  SELECT value,
+       |    CASE WHEN $u < obs.pa THEN 1 ELSE 0 END AS arm, r
+       |  FROM base CROSS JOIN (SELECT unnest(range(0, $r)) AS r)
+       |  CROSS JOIN obs),
+       |pr AS (
+       |  SELECT r, CAST(sum(arm) AS BIGINT) AS na,
+       |    ${Q.sqlDsum("CASE WHEN arm = 1 THEN value ELSE 0.0 END")}
+       |      AS sa,
+       |    CAST(sum(1 - arm) AS BIGINT) AS nb,
+       |    ${Q.sqlDsum("CASE WHEN arm = 0 THEN value ELSE 0.0 END")}
+       |      AS sb
+       |  FROM reps GROUP BY 1),
+       |dd AS (
+       |  SELECT ${Q.sqlSig9("sa / CAST(na AS DOUBLE) - " +
+            "sb / CAST(nb AS DOUBLE)")} AS d
+       |  FROM pr WHERE na > 0 AND nb > 0),
+       |nd AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_reps,
+       |    CAST(COALESCE(sum(CASE WHEN abs(d) >= abs(obs.obs_diff)
+       |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_extreme
+       |  FROM dd CROSS JOIN obs)
+       |SELECT group_a, group_b, n_a, n_b, obs_diff, n_reps, n_extreme,
+       |  ${Q.sqlSig9("CAST(1 + n_extreme AS DOUBLE) / " +
+            "CAST(n_reps + 1 AS DOUBLE)")} AS p_value
+       |FROM obs CROSS JOIN nd""".stripMargin
+  }
+
   // ===== exact two-sample Kolmogorov–Smirnov ==========================
 
   /** KS distance between the two hash-split arms of the A/B fixture —
@@ -1487,6 +1559,7 @@ object TimeSeriesQueries {
     "q_x_mwu" -> mwuQ,
     "q_x_ks" -> ksQ,
     "q_x_bootstrap" -> bootstrapQ,
+    "q_x_permtest" -> permTestQ,
     "q_x_resample" -> resampleQ,
     "q_x_interp" -> interpQ,
     "q_x_seasonal" -> seasonalQ,
@@ -1519,6 +1592,7 @@ object TimeSeriesQueries {
     "q_x_mwu" -> mwuSql,
     "q_x_ks" -> ksSql,
     "q_x_bootstrap" -> bootstrapSql,
+    "q_x_permtest" -> permTestSql,
     "q_x_resample" -> resampleSql,
     "q_x_interp" -> interpSql,
     "q_x_seasonal" -> seasonalSql,

@@ -169,4 +169,55 @@ class ClassifierSpec extends SparkSpec {
       all.getAs[Long]("n_pred") == 6L)
     assert(all.getAs[Double]("prec") == s9(4.0 / 6.0))
   }
+
+  // ===== lift table ===================================================
+
+  private def s9(x: Double) = graft.functions.GraftMath.sig9(x)
+
+  test("liftTable: top decile captures the concentrated positives; " +
+      "lift/gain follow the exact-product sig9 chain") {
+    // scores 1..20, positives at 16..20 (top bin) and 3 (bottom bin)
+    val d = (1 to 20).map(i =>
+      (i.toDouble, if (i >= 16 || i == 3) 1L else 0L)).toDF("s", "y")
+    val lt = Classifier.liftTable(d, "s", "y", bins = 4)
+      .collect().map(r => r.getAs[Long]("decile") -> r).toMap
+    assert(lt.keySet == Set(1L, 2L, 3L, 4L))
+    val d1 = lt(1L) // scores 16..20
+    assert(d1.getAs[Long]("n") == 5L && d1.getAs[Long]("n_pos") == 5L)
+    assert(d1.getAs[Double]("lo_score") == 16.0 &&
+      d1.getAs[Double]("hi_score") == 20.0)
+    assert(d1.getAs[Double]("pos_rate") == 1.0)
+    // base rate 6/20; lift = (5*20)/(5*6)
+    assert(d1.getAs[Double]("lift") == s9(100.0 / 30.0))
+    assert(d1.getAs[Double]("gain") == s9(5.0 / 6.0))
+    val d2 = lt(2L) // scores 11..15, no positives
+    assert(d2.getAs[Double]("pos_rate") == 0.0)
+    assert(d2.getAs[Long]("cum_n") == 10L &&
+      d2.getAs[Long]("cum_pos") == 5L)
+    assert(d2.getAs[Double]("cum_lift") == s9(100.0 / 60.0))
+    val d4 = lt(4L) // scores 1..5, one positive
+    assert(d4.getAs[Long]("n_pos") == 1L)
+    assert(d4.getAs[Double]("lift") == s9(20.0 / 30.0))
+    assert(d4.getAs[Long]("cum_n") == 20L &&
+      d4.getAs[Long]("cum_pos") == 6L)
+    assert(d4.getAs[Double]("gain") == 1.0)
+    assert(d4.getAs[Double]("cum_lift") == 1.0)
+  }
+
+  test("liftTable: fully tied scores collapse to one bottom decile; " +
+      "no positives -> NULL lift and gain") {
+    val tied = Seq((5.0, 1L), (5.0, 0L), (5.0, 1L), (5.0, 0L))
+      .toDF("s", "y")
+    val lt = Classifier.liftTable(tied, "s", "y", bins = 4).collect()
+    assert(lt.length == 1)
+    assert(lt.head.getAs[Long]("decile") == 4L) // n_below 0 -> bin 0
+    assert(lt.head.getAs[Long]("n") == 4L &&
+      lt.head.getAs[Long]("n_pos") == 2L)
+    assert(lt.head.getAs[Double]("cum_lift") == 1.0)
+    val nopos = Seq((1.0, 0L), (2.0, 0L)).toDF("s", "y")
+    val ln = Classifier.liftTable(nopos, "s", "y", bins = 2).collect()
+    assert(ln.forall(_.isNullAt(ln.head.fieldIndex("lift"))))
+    assert(ln.forall(_.isNullAt(ln.head.fieldIndex("gain"))))
+    assert(ln.map(_.getAs[Double]("pos_rate")).toSet == Set(0.0))
+  }
 }

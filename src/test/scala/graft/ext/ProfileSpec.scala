@@ -331,4 +331,44 @@ class ProfileSpec extends SparkSpec {
       Seq("g"), "x").collect()
     assert(got.length === 1 && got.head.isNullAt(3))
   }
+
+  // ===== permutation test =============================================
+
+  test("permutationTest: an extreme separation no random reassignment " +
+      "reaches -> p = 1/(R+1); identical arms -> p = 1") {
+    import graft.functions.GraftMath
+    val sep = ((1 to 10).map(i => (0L, 100.0 + i, i.toLong)) ++
+      (1 to 10).map(i => (1L, 0.0 + i, (100 + i).toLong)))
+      .toDF("g", "x", "id")
+    val r = Profile.permutationTest(sep, "g", "x", "id",
+      replicates = 50).head()
+    assert(r.getAs[Long]("group_a") == 0L &&
+      r.getAs[Long]("group_b") == 1L)
+    assert(r.getAs[Long]("n_a") == 10L && r.getAs[Long]("n_b") == 10L)
+    assert(r.getAs[Double]("obs_diff") == 100.0)
+    assert(r.getAs[Long]("n_extreme") == 0L)
+    assert(r.getAs[Double]("p_value") ==
+      GraftMath.sig9(1.0 / (r.getAs[Long]("n_reps") + 1.0)))
+    // flat metric: every replicate diff is 0 >= |0| -> p = 1
+    val flat = (1 to 20).map(i =>
+      ((i % 2).toLong, 5.0, i.toLong)).toDF("g", "x", "id")
+    val rf = Profile.permutationTest(flat, "g", "x", "id",
+      replicates = 50).head()
+    assert(rf.getAs[Double]("obs_diff") == 0.0)
+    assert(rf.getAs[Long]("n_extreme") == rf.getAs[Long]("n_reps"))
+    assert(rf.getAs[Double]("p_value") == 1.0)
+  }
+
+  test("permutationTest: deterministic across re-runs; degenerate " +
+      "one-arm replicates are dropped, not divided by zero") {
+    val tiny = Seq((0L, 1.0, 1L), (1L, 9.0, 2L)).toDF("g", "x", "id")
+    val a = Profile.permutationTest(tiny, "g", "x", "id",
+      replicates = 64).head()
+    val b = Profile.permutationTest(tiny, "g", "x", "id",
+      replicates = 64).head()
+    assert(a == b)
+    // with 2 units, ~half the binomial replicates land both in one arm
+    assert(a.getAs[Long]("n_reps") > 0L &&
+      a.getAs[Long]("n_reps") < 64L)
+  }
 }
