@@ -473,4 +473,130 @@ object Graph {
     }
     dist
   }
+
+  /** k-core peel: iteratively delete nodes of degree < k (in the
+    * SURVIVING subgraph) for `rounds` rounds — the density-core
+    * extractor behind community seeding, spam-farm detection and
+    * "drop the long tail before the expensive pass" graph pruning.
+    * The true k-core is the fixpoint; a fixed round budget keeps the
+    * result oracle-adjudicable (the khop convention): once a round
+    * removes nothing the peel has CONVERGED and remaining rounds
+    * no-op, so any `rounds` >= the peel depth yields the exact core.
+    * Undirected graphs pass both edge directions; self-loops are
+    * dropped (they inflate their own degree — the standard core
+    * convention).
+    *
+    * Scale shape per round: one (src)-keyed degree aggregate
+    * (map-side partial) + two semi-joins of the edge frame against
+    * the survivor set — the survivor side is MEASURED ([[measure]])
+    * and broadcast under [[broadcastBudget]], shuffled past it; the
+    * edge frame is never widened. Early exit when a round removes no
+    * node (one O(1) count against the previous round). Per-round
+    * lineage cuts via [[Checkpoints.cut]] (durable dir = the cluster
+    * posture). Exact integer arithmetic throughout — no float
+    * contract at all.
+    *
+    * @return surviving (node, degree) after the peel — degree within
+    *         the surviving subgraph; nodes peeled out are absent */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      rounds: Int, checkpointDir: Option[String] = None): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    def cut(df: DataFrame): DataFrame = Checkpoints.cut(df, checkpointDir)
+    val spark = edges.sparkSession
+    var e = cut(edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct())
+    var prevNodes = -1L
+    var converged = false
+    (1 to rounds).foreach { _ =>
+      if (!converged) {
+        val deg = e.groupBy(col("src"))
+          .agg(count(lit(1)).cast("long").as("deg"))
+        val keep = cut(deg.where(col("deg") >= k)
+          .select(col("src").as("node")))
+        val (kRows, kBytes) = measure(keep)
+        if (kRows == prevNodes) converged = true
+        else {
+          prevNodes = kRows
+          val kSide: DataFrame => DataFrame =
+            if (kBytes <= broadcastBudget(spark)) broadcast else identity
+          e = cut(e
+            .join(kSide(keep.select(col("node").as("src"))), "src")
+            .join(kSide(keep.select(col("node").as("dst"))), "dst"))
+        }
+      }
+    }
+    e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).cast("long").as("degree"))
+  }
+
+  /** Multi-source weighted shortest paths — bounded-round
+    * Bellman-Ford over a DIRECTED edge list with INTEGER weights
+    * (the pageRank integer-weight precondition: exact min-plus
+    * arithmetic end to end; fractional-weight graphs pre-scale to a
+    * fixed denominator). "Cheapest route within R legs from any of
+    * these hubs" — the weighted twin of [[khopDistances]].
+    *
+    * Delta relaxation: round i relaxes ONLY from nodes whose label
+    * improved in round i−1 (new or lowered), merged by min — after
+    * round i the labels equal full Bellman-Ford's dist_i exactly
+    * (improvements propagate, minima are retained), so a
+    * full-relaxation oracle adjudicates bit-for-bit while the engine
+    * pays O(edges from the improved set) per round, not O(edges).
+    * `rounds` bounds path LENGTH (hops): any rounds >= the longest
+    * shortest path converges, later rounds no-op and the loop exits
+    * early on an empty frontier. The frontier is measured and
+    * broadcast under [[broadcastBudget]] (the BFS regime), shuffled
+    * past it; per-round lineage cuts via [[Checkpoints.cut]].
+    *
+    * @param wCol integer edge weight (>= 0; parallel edges collapse
+    *             to their minimum weight)
+    * @return (node, dist) — min total weight over paths of <= rounds
+    *         hops from any seed; unreached nodes are absent */
+  def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
+      wCol: String, seeds: DataFrame, seedCol: String, rounds: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    def cut(df: DataFrame): DataFrame = Checkpoints.cut(df, checkpointDir)
+    val spark = edges.sparkSession
+    val e = cut(edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(wCol).cast("long").as("w"))
+      .where(col("src").isNotNull && col("dst").isNotNull &&
+        col("w").isNotNull && col("w") >= 0)
+      .groupBy(col("src"), col("dst"))
+      .agg(min(col("w")).as("w")))
+    var dist = cut(seeds.select(col(seedCol).as("node")).distinct()
+      .withColumn("dist", lit(0L)))
+    var frontier = dist
+    var exhausted = false
+    (1 to rounds).foreach { _ =>
+      if (!exhausted) {
+        val (fRows, fBytes) = measure(frontier)
+        if (fRows == 0L) exhausted = true
+        else {
+          val fSide: DataFrame => DataFrame =
+            if (fBytes <= broadcastBudget(spark)) broadcast else identity
+          val cand = e
+            .join(fSide(frontier.select(col("node").as("src"),
+              col("dist").as("fd"))), "src")
+            .groupBy(col("dst").as("node"))
+            .agg(min(col("fd") + col("w")).as("nd"))
+          val improved = cut(cand
+            .join(dist.select(col("node"), col("dist").as("old")),
+              Seq("node"), "left_outer")
+            .where(col("old").isNull || col("nd") < col("old"))
+            .select(col("node"), col("nd").as("dist")))
+          dist = cut(dist
+            .join(improved.select(col("node")), Seq("node"), "left_anti")
+            .unionByName(improved))
+          frontier = improved
+        }
+      }
+    }
+    dist
+  }
 }

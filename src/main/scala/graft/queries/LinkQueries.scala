@@ -414,6 +414,111 @@ object LinkQueries {
        |SELECT node, dist FROM r$khopK""".stripMargin
   }
 
+  // ===== k-core peel ==================================================
+
+  /** [[graft.ext.Graph.kCore]] at k = 60 over the part co-purchase
+    * graph (the pagerank edge build, unweighted/distinct): which
+    * parts sit in the densely co-ordered core once sparse hangers-on
+    * are peeled away. Rounds = 4 covers the peel depth at every SF;
+    * the ORACLE unrolls the identical degree→filter→semi-join rounds
+    * as MATERIALIZED CTEs — all exact integers. */
+  private val kcoreK = 60
+  private val kcoreRounds = 4
+
+  private val kcoreQ: QFn = (s, d) => {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+      col("l_partkey"))
+    val ord = li.groupBy("l_orderkey")
+      .agg(array_sort(array_distinct(collect_list(col("l_partkey"))))
+        .as("ps"))
+    val e = ord.select(explode(col("ps")).as("a"), col("ps"))
+      .select(col("a"), explode(col("ps")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    graft.ext.Graph.kCore(e, "a", "b", kcoreK, kcoreRounds)
+      .select(col("node").cast("long").as("node"), col("degree"))
+  }
+
+  private val kcoreSql = {
+    val rounds = (1 to kcoreRounds).map { i =>
+      val ep = s"e${i - 1}"
+      s"""d$i AS (
+         |  SELECT src, CAST(count(*) AS BIGINT) AS c FROM $ep
+         |  GROUP BY 1),
+         |k$i AS MATERIALIZED (
+         |  SELECT src AS node FROM d$i WHERE c >= $kcoreK),
+         |e$i AS MATERIALIZED (
+         |  SELECT $ep.src, $ep.dst FROM $ep
+         |  JOIN k$i s ON $ep.src = s.node
+         |  JOIN k$i t ON $ep.dst = t.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH p AS (
+       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem),
+       |e0 AS MATERIALIZED (
+       |  SELECT DISTINCT l.i AS src, r.i AS dst
+       |  FROM p l JOIN p r ON l.o = r.o AND l.i <> r.i),
+       |$rounds
+       |SELECT CAST(src AS BIGINT) AS node,
+       |  CAST(count(*) AS BIGINT) AS degree
+       |FROM e$kcoreRounds GROUP BY 1""".stripMargin
+  }
+
+  // ===== weighted shortest paths (bounded Bellman-Ford) ===============
+
+  /** [[graft.ext.Graph.shortestPaths]] over the UNDIRECTED
+    * supplier↔part supply graph weighted by the minimum order
+    * quantity per edge (integral by fixture contract, exact-long
+    * min-plus), seeds = the khop %100==1 suppliers, 4 relaxation
+    * rounds. The engine runs DELTA relaxation; the oracle unrolls
+    * FULL per-round relaxation — after round i both equal
+    * Bellman-Ford's dist_i exactly (improvements propagate, minima
+    * are retained), which is the adjudicated claim. */
+  private val ssspRounds = 4
+
+  private val ssspQ: QFn = (s, d) => {
+    val fwd = Tables.lineitem(s, d)
+      .groupBy(col("l_suppkey").as("a"),
+        (col("l_partkey") + partNodeOffset).as("b"))
+      .agg(min(col("l_quantity")).cast("long").as("w"))
+    val und = fwd.unionAll(fwd.select(col("b").as("a"), col("a").as("b"),
+      col("w")))
+    val seeds = Tables.supplier(s, d)
+      .where(col("s_suppkey") % 100 === 1)
+      .select(col("s_suppkey").cast("long").as("v"))
+    graft.ext.Graph.shortestPaths(und, "a", "b", "w", seeds, "v",
+        ssspRounds)
+      .select(col("node").cast("long").as("node"), col("dist"))
+  }
+
+  private val ssspSql = {
+    val rounds = (1 to ssspRounds).map { i =>
+      val rp = s"r${i - 1}"
+      s"""c$i AS MATERIALIZED (
+         |  SELECT e.dst AS node, CAST(min($rp.dist + e.w) AS BIGINT)
+         |    AS nd
+         |  FROM e JOIN $rp ON e.src = $rp.node GROUP BY 1),
+         |r$i AS MATERIALIZED (
+         |  SELECT COALESCE(r.node, c.node) AS node,
+         |    CAST(CASE WHEN r.dist IS NULL THEN c.nd
+         |      WHEN c.nd IS NULL THEN r.dist
+         |      WHEN c.nd < r.dist THEN c.nd ELSE r.dist END
+         |      AS BIGINT) AS dist
+         |  FROM $rp r FULL JOIN c$i c ON r.node = c.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH fwd AS (
+       |  SELECT l_suppkey AS a, l_partkey + $partNodeOffset AS b,
+       |    CAST(min(l_quantity) AS BIGINT) AS w
+       |  FROM lineitem GROUP BY 1, 2),
+       |e AS MATERIALIZED (
+       |  SELECT a AS src, b AS dst, w FROM fwd
+       |  UNION ALL SELECT b, a, w FROM fwd),
+       |r0 AS MATERIALIZED (
+       |  SELECT DISTINCT CAST(s_suppkey AS BIGINT) AS node,
+       |    CAST(0 AS BIGINT) AS dist
+       |  FROM supplier WHERE s_suppkey % 100 = 1),
+       |$rounds
+       |SELECT node, dist FROM r$ssspRounds""".stripMargin
+  }
+
   // ===== SCD2 historization ===========================================
 
   /** events as a change log of each user's `event_type` attribute:
@@ -507,6 +612,8 @@ object LinkQueries {
     "q_x_triangles" -> trianglesQ,
     "q_x_linkpred" -> linkpredQ,
     "q_x_khop" -> khopQ,
+    "q_x_kcore" -> kcoreQ,
+    "q_x_sssp" -> ssspQ,
     "q_x_scd2" -> scd2)
 
   val oracles: Map[String, String] = Map(
@@ -519,5 +626,7 @@ object LinkQueries {
     "q_x_triangles" -> trianglesSql,
     "q_x_linkpred" -> linkpredSql,
     "q_x_khop" -> khopSql,
+    "q_x_kcore" -> kcoreSql,
+    "q_x_sssp" -> ssspSql,
     "q_x_scd2" -> scd2Sql)
 }

@@ -348,4 +348,74 @@ class GraphSpec extends SparkSpec {
         "v", iters = 1, damping = 1.5)
     }
   }
+
+  // ===== k-core peel ==================================================
+
+  private def und(rows: (Long, Long)*): DataFrame = {
+    val fwd = rows.toDF("a", "b")
+    fwd.unionAll(fwd.select(col("b").as("a"), col("a").as("b")))
+  }
+
+  private def runCore(e: DataFrame, k: Int, rounds: Int,
+      dir: Option[String] = None): Map[Long, Long] =
+    Graph.kCore(e, "a", "b", k, rounds, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("kCore: pendants peel in cascade; the clique survives with its " +
+      "inner degrees; extra rounds past convergence are no-ops") {
+    // 4-clique {1,2,3,4}, pendant chain 6-5-1
+    val e = und((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (5L, 1L), (6L, 5L))
+    val want = Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L)
+    // round 1 peels 6 (deg 1); round 2 peels the now-deg-1 node 5
+    assert(runCore(e, k = 2, rounds = 3) === want)
+    assert(runCore(e, k = 2, rounds = 10) === want) // converged no-op
+    // one round is NOT enough: 5 still has degree 2 after peeling 6
+    assert(runCore(e, k = 2, rounds = 1).keySet.contains(5L))
+    // k above the clique's inner degree empties the core
+    assert(runCore(e, k = 4, rounds = 5) === Map.empty[Long, Long])
+  }
+
+  test("kCore: self-loops dropped, duplicate edges collapse; durable " +
+      "checkpointDir bit-matches") {
+    val e = und((1L, 2L), (1L, 2L), (2L, 3L), (3L, 1L), (7L, 7L))
+    val want = Map(1L -> 2L, 2L -> 2L, 3L -> 2L) // triangle; 7 is gone
+    assert(runCore(e, k = 2, rounds = 2) === want)
+    val dir = java.nio.file.Files.createTempDirectory("kcoreck").toString
+    assert(runCore(e, k = 2, rounds = 2, Some(dir)) === want)
+    assert(java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .count() > 0)
+  }
+
+  // ===== weighted shortest paths ======================================
+
+  private def runSp(e: Seq[(Long, Long, Long)], seeds: Seq[Long],
+      rounds: Int, dir: Option[String] = None): Map[Long, Long] =
+    Graph.shortestPaths(e.toDF("a", "b", "w"), "a", "b", "w",
+        seeds.toDF("v"), "v", rounds, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("shortestPaths: a cheaper two-hop route beats the direct edge; " +
+      "the round budget bounds path length") {
+    val e = Seq((1L, 2L, 1L), (2L, 4L, 1L), (1L, 3L, 5L), (3L, 4L, 1L),
+      (1L, 4L, 10L))
+    assert(runSp(e, Seq(1L), 3) ===
+      Map(1L -> 0L, 2L -> 1L, 3L -> 5L, 4L -> 2L))
+    // one round: only direct edges relax
+    assert(runSp(e, Seq(1L), 1) ===
+      Map(1L -> 0L, 2L -> 1L, 3L -> 5L, 4L -> 10L))
+    // directed: nothing reaches backward from seed 4
+    assert(runSp(e, Seq(4L), 3) === Map(4L -> 0L))
+  }
+
+  test("shortestPaths: multi-source min, parallel edges collapse to " +
+      "min weight, unreachable absent; durable dir bit-matches") {
+    val e = Seq((1L, 2L, 7L), (1L, 2L, 3L), (5L, 2L, 1L), (9L, 10L, 1L))
+    val want = Map(1L -> 0L, 5L -> 0L, 2L -> 1L)
+    assert(runSp(e, Seq(1L, 5L), 2) === want)
+    val dir = java.nio.file.Files.createTempDirectory("ssspck").toString
+    assert(runSp(e, Seq(1L, 5L), 2, Some(dir)) === want)
+    assert(java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .count() > 0)
+  }
 }
