@@ -1082,4 +1082,112 @@ object Similarity {
       .select(col("cid"), col("dim"), col("cval"),
         coalesce(col("n_assigned"), lit(0L)).as("n_assigned"))
   }
+
+  /** Top principal component by power iteration — the embedding-drift
+    * / intrinsic-dimension probe ("is this corpus's embedding mass
+    * collapsing onto one axis?") and the projection axis for 1-D
+    * visualization and whitening checks.
+    *
+    * Two corpus passes, both map-side + one (dim)-keyed aggregate:
+    * (1) per-dimension means; (2) the d×d covariance from a DOUBLE
+    * posexplode of each vector (d² terms per row produced map-side —
+    * no self-join, no shuffle wider than the d²-row partial
+    * aggregate). The spectral solve then runs on the COLLECTED d²-row
+    * covariance — a bounded driver artifact (32 KB at d = 64, the
+    * kmeans-centroid convention), where distributing 64-row
+    * matrix-vector products would be pure overhead.
+    *
+    * Determinism contract (oracle-replayable end to end): inputs
+    * sig9'd; means sig9(dsumStable(sig9(x), 9) / n) — two-pass
+    * centering (the CUPED cancellation lesson); covariance terms
+    * sig9(c_i·c_j) summed via dsumStable(9), cells sig9(S/(n−1)).
+    * The iteration starts at v0 = e_1 and each round computes
+    * u_i = fold_{j asc}(+ sig9(m_ij·v_j)) (left-to-right IEEE, the
+    * sqlFold contract), nrm = sig9(sqrt(fold_{i asc}(+ sig9(u_i²)))),
+    * v_i = sig9(u_i / nrm) — every step exact or bit-identical IEEE
+    * on both engines, so the whole trajectory adjudicates like the
+    * GD/kmeans ones.
+    *
+    * @return d rows: (i [1-based dim], loading, lambda, n_vecs) —
+    *         lambda = the final iterate's norm (the eigenvalue
+    *         estimate); loadings NULL if the covariance is all zero */
+  def pcaTop(emb: DataFrame, idCol: String, vecCol: String,
+      iters: Int = 8): DataFrame = {
+    require(iters >= 1 && iters <= 64,
+      s"iters must be in [1, 64], got $iters")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    import graft.queries.Q
+    // spread the vectors before the d²-way fan-out: a small embedding
+    // table often arrives as ONE input split, and the covariance
+    // explode+aggregate would otherwise run on a single task. The
+    // partition count is EXPLICIT because AQE sizes partitions by the
+    // shuffled BYTES (n×d floats — tiny) and would coalesce right back
+    // to one task, blind to the d²-per-row work downstream (measured:
+    // 26 s single-task vs ~2 s spread at sf0.1). At cluster scale the
+    // table is already many splits and this is one narrow shuffle.
+    val base = emb.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .where(col("__v").isNotNull)
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism,
+        col("__id"))
+    val xs = base
+      .select(posexplode(col("__v")).as(Seq("__p", "__x")))
+      .select((col("__p") + 1).cast("long").as("i"),
+        Q.sig9(col("__x").cast("double")).as("x"))
+    val muRows = xs.groupBy(col("i"))
+      .agg(Q.sig9(Q.dsumStable(col("x"), 9) /
+        count(lit(1)).cast("double")).as("mu"),
+        count(lit(1)).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .sortBy(_._1)
+    val d = muRows.length
+    require(d >= 1, "empty embedding frame")
+    val nVecs = muRows.head._3
+    require(nVecs > 1, "need at least two vectors")
+    val muLit = array(muRows.map(m => lit(m._2)): _*)
+    // d^2 centered products per vector, produced MAP-SIDE (posexplode
+    // twice over the retained array — no self-join)
+    val cov = base
+      .select(posexplode(col("__v")).as(Seq("__p1", "__x1")), col("__v"))
+      .select((col("__p1") + 1).cast("long").as("i"),
+        Q.sig9(Q.sig9(col("__x1").cast("double")) -
+          element_at(muLit, col("__p1") + 1)).as("ci"),
+        posexplode(col("__v")).as(Seq("__p2", "__x2")))
+      .select(col("i"), (col("__p2") + 1).cast("long").as("j"),
+        Q.sig9(col("ci") * Q.sig9(Q.sig9(col("__x2").cast("double")) -
+          element_at(muLit, col("__p2") + 1))).as("t"))
+      .groupBy(col("i"), col("j"))
+      .agg(Q.sig9(Q.dsumStable(col("t"), 9) /
+        lit((nVecs - 1).toDouble)).as("m"))
+    // bounded driver artifact: the d^2 covariance cells
+    val mArr = Array.ofDim[Double](d + 1, d + 1)
+    cov.collect().foreach(r =>
+      mArr(r.getLong(0).toInt)(r.getLong(1).toInt) = r.getDouble(2))
+    import graft.functions.GraftMath.sig9
+    var v = Array.tabulate(d + 1)(i => if (i == 1) 1.0 else 0.0)
+    var lambda = 0.0
+    var degenerate = false
+    (1 to iters).foreach { _ =>
+      if (!degenerate) {
+        val u = Array.tabulate(d + 1) { i =>
+          if (i == 0) 0.0
+          else (1 to d).foldLeft(0.0)((acc, j) =>
+            acc + sig9(mArr(i)(j) * v(j)))
+        }
+        val nrm = sig9(math.sqrt(
+          (1 to d).foldLeft(0.0)((acc, i) => acc + sig9(u(i) * u(i)))))
+        if (nrm == 0.0) degenerate = true
+        else {
+          v = Array.tabulate(d + 1)(i =>
+            if (i == 0) 0.0 else sig9(u(i) / nrm))
+          lambda = nrm
+        }
+      }
+    }
+    (1 to d).map { i =>
+      (i.toLong,
+        if (degenerate) None else Some(v(i)),
+        if (degenerate) None else Some(lambda), nVecs)
+    }.toDF("i", "loading", "lambda", "n_vecs")
+  }
 }

@@ -568,6 +568,72 @@ object ExtQueries {
     s"WITH $blocks\n${sel.mkString("\nUNION ALL ")}"
   }
 
+  // ===== top principal component (power iteration) ====================
+
+  private val pcaDims = 64 // embeddings fixture dimension
+  private val pcaIters = 8
+
+  /** [[graft.ext.Similarity.pcaTop]] over the embedding corpus — the
+    * oracle re-derives the sig9'd means, two-pass-centered
+    * dsumStable(9) covariance and all eight power-iteration rounds
+    * (matrix-vector fold, norm, normalize) as a generated CTE chain,
+    * adjudicating the full spectral trajectory. */
+  private val pcaQ: QFn = (s, d) =>
+    Similarity.pcaTop(Tables.embeddings(s, d), "vec_id", "embedding",
+      iters = pcaIters)
+
+  private val pcaSql = {
+    val rounds = (1 to pcaIters).map { r =>
+      val vp = s"v${r - 1}"
+      s"""u$r AS MATERIALIZED (
+         |  SELECT c.i AS i,
+         |    ${sqlFold(s"list(${sqlSig9("c.m * v.lo")} ORDER BY c.j)")}
+         |      AS u
+         |  FROM cov c JOIN $vp v ON c.j = v.i GROUP BY 1),
+         |nm$r AS MATERIALIZED (
+         |  SELECT ${sqlSig9(
+              s"sqrt(${sqlFold(s"list(${sqlSig9("u * u")} ORDER BY i)")})")}
+         |    AS nrm
+         |  FROM u$r),
+         |v$r AS MATERIALIZED (
+         |  SELECT i, ${sqlSig9("u / nrm")} AS lo
+         |  FROM u$r CROSS JOIN nm$r)""".stripMargin
+    }.mkString(",\n")
+    // each sig9 level lands in its OWN materialized CTE column —
+    // sqlSig9 references its argument ~6x, so nesting levels inline
+    // exponentially and stall DuckDB on the d²·n pairs frame
+    s"""WITH dims AS (SELECT unnest(range(1, ${pcaDims + 1})) AS i),
+       |xs AS MATERIALIZED (
+       |  SELECT vec_id, dims.i AS i,
+       |    ${sqlSig9("CAST(embedding[dims.i] AS DOUBLE)")} AS x
+       |  FROM embeddings CROSS JOIN dims
+       |  WHERE embedding IS NOT NULL),
+       |mu AS (
+       |  SELECT i, ${sqlSig9(s"${Q.sqlDsumStable("x", 9)} / " +
+            "CAST(count(*) AS DOUBLE)")} AS mu,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM xs GROUP BY 1),
+       |nv AS (SELECT max(n) AS n FROM mu),
+       |cx AS MATERIALIZED (
+       |  SELECT xs.vec_id, xs.i, ${sqlSig9("xs.x - mu.mu")} AS c
+       |  FROM xs JOIN mu ON mu.i = xs.i),
+       |pairs AS (
+       |  SELECT l.i AS i, r.i AS j, ${sqlSig9("l.c * r.c")} AS t
+       |  FROM cx l JOIN cx r ON l.vec_id = r.vec_id),
+       |cov AS MATERIALIZED (
+       |  SELECT i, j, ${sqlSig9(s"${Q.sqlDsumStable("t", 9)} / " +
+            "CAST(nv.n - 1 AS DOUBLE)")} AS m
+       |  FROM pairs CROSS JOIN nv GROUP BY i, j, nv.n),
+       |v0 AS MATERIALIZED (
+       |  SELECT i, CASE WHEN i = 1 THEN CAST(1.0 AS DOUBLE)
+       |    ELSE CAST(0.0 AS DOUBLE) END AS lo
+       |  FROM dims),
+       |$rounds
+       |SELECT CAST(v$pcaIters.i AS BIGINT) AS i, v$pcaIters.lo AS loading,
+       |  nm$pcaIters.nrm AS lambda, nv.n AS n_vecs
+       |FROM v$pcaIters CROSS JOIN nm$pcaIters CROSS JOIN nv""".stripMargin
+  }
+
   // ===== k-means centroids over the embedding corpus ==================
 
   private val kmK = 4
@@ -1822,6 +1888,7 @@ object ExtQueries {
     "q_x_mmr" -> mmrQ,
     "q_x_kcenter" -> kcenterQ,
     "q_x_kmeans" -> kmeansQ,
+    "q_x_pca" -> pcaQ,
     "q_x_embed_neardup" -> embedNearDup,
     "q_x_semdedup" -> semDedupQ,
     "q_x_ann_lsh_recall" -> annLshRecall,
@@ -1871,6 +1938,7 @@ object ExtQueries {
     "q_x_mmr" -> mmrSql,
     "q_x_kcenter" -> kcenterSql,
     "q_x_kmeans" -> kmeansSql,
+    "q_x_pca" -> pcaSql,
     "q_x_embed_neardup" -> embedNearDupSql,
     "q_x_semdedup" -> semDedupSql,
     "q_x_ann_lsh_recall" -> annLshRecallSql,

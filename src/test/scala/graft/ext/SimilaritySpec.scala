@@ -555,4 +555,40 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(run(1) === run(7))
   }
+
+  // ===== PCA top component ============================================
+
+  test("pcaTop: recovers the axis of a rank-one point cloud with its " +
+      "variance as the eigenvalue") {
+    import spark.implicits._
+    // points t·(0.6, 0.8), t in {-2..2}: top axis (0.6, 0.8), and the
+    // sample variance along it is (4+1+0+1+4)/4 = 2.5
+    val pts = Seq(-2, -1, 0, 1, 2).zipWithIndex.map { case (t, i) =>
+      (i.toLong, Array(0.6f * t, 0.8f * t))
+    }
+    val got = Similarity.pcaTop(pts.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", iters = 12)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Double]("loading"), r.getAs[Double]("lambda"),
+          r.getAs[Long]("n_vecs")))).toMap
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L)._3 == 5L)
+    assert(got(1L)._2 == got(2L)._2) // one eigenvalue, repeated per row
+    assert(math.abs(got(1L)._2 - 2.5) < 1e-6)
+    assert(math.abs(got(1L)._1 - 0.6) < 1e-6)
+    assert(math.abs(got(2L)._1 - 0.8) < 1e-6)
+  }
+
+  test("pcaTop: deterministic across re-runs and partitionings") {
+    import spark.implicits._
+    val pts = (1 to 30).map(i => (i.toLong,
+      Array(((i * 31) % 7).toFloat, ((i * 17) % 5).toFloat,
+        ((i * 13) % 3).toFloat)))
+    def run(parts: Int) = Similarity.pcaTop(
+        pts.toDF("vec_id", "embedding").repartition(parts),
+        "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getAs[Double]("loading"),
+        r.getAs[Double]("lambda"))).sortBy(_._1).toSeq
+    assert(run(1) === run(8))
+  }
 }
