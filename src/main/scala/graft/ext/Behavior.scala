@@ -351,4 +351,115 @@ object Behavior {
           .otherwise(Q.sig9(exp(Q.decOut(col("r.cumlog"), 12))))
           .as("survival"))
   }
+
+  /** Markov removal-effect attribution (Anderl et al. 2014) — the
+    * data-driven alternative to the positional [[TemporalJoins]]
+    * multi-touch rules: model each user's channel journey as a
+    * first-order Markov chain (START → channels → CONV/NULL absorbers)
+    * and credit each channel by how much the chain's conversion
+    * probability DROPS when the channel is removed (its transitions
+    * redirected to NULL).
+    *
+    * Journey construction (window per user — bounded, the SCD2
+    * convention): events ordered by (ts, tieBreak), truncated at the
+    * first `convType` event (mapped to the CONV absorber); users who
+    * never convert get a terminal → NULL transition. Transition
+    * probabilities are sig9'd exact-count ratios.
+    *
+    * The chain solve runs on the COLLECTED transition matrix — a
+    * bounded driver artifact (≤ (channels+3)² rows, the kmeans/PCA
+    * convention): `iters` rounds of absorbing value iteration
+    * p(s) ← Σ_dst T(s,dst)·p(dst) with p(CONV)=1, p(NULL)=0, terms
+    * sig9'd and folded in dst-ascending order (left-to-right IEEE —
+    * the sqlFold contract), so the whole trajectory adjudicates
+    * cross-engine. Removing channel c = dropping terms with
+    * src=c or dst=c (redirected mass multiplies p(NULL)=0).
+    *
+    * @param channels the channel state domain (declared by the
+    *        caller — the oracle needs it static); must not contain
+    *        the reserved START/CONV/NULL states or `convType`
+    * @return one row per channel: (channel, p_conv, p_without,
+    *         removal_effect, share) — NULL effect/share when the base
+    *         chain converts with probability 0 */
+  def markovAttribution(events: DataFrame, userCol: String,
+      tsCol: String, typeCol: String, convType: String,
+      channels: Seq[String], iters: Int = 12,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    import graft.functions.GraftMath.sig9
+    require(iters >= 1 && iters <= 64,
+      s"iters must be in [1, 64], got $iters")
+    require(channels.nonEmpty, "declare at least one channel")
+    val reserved = Set("START", "CONV", "NULL", convType)
+    require(channels.forall(c => !reserved.contains(c)),
+      s"channels must not contain reserved states $reserved")
+    val spark = events.sparkSession
+    import spark.implicits._
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol))
+      .orderBy((col(tsCol) +: tieBreak.map(col)).map(_.asc): _*)
+    val o = events
+      .select(col(userCol).as("__u"), col(typeCol).as("__t"),
+        row_number().over(w).as("rn"))
+    val c = o.groupBy(col("__u"))
+      .agg(min(when(col("__t") === convType, col("rn"))).as("conv_rn"),
+        max(col("rn")).as("max_rn"))
+    val f = o.join(c, "__u")
+      .where(col("rn") <= coalesce(col("conv_rn"), col("max_rn")))
+      .withColumn("state",
+        when(col("__t") === convType, "CONV").otherwise(col("__t")))
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__u")).orderBy(col("rn").asc)
+    val p1 = f.select(
+      coalesce(lag(col("state"), 1).over(w2), lit("START")).as("src"),
+      col("state").as("dst"))
+    val p2 = f.where(col("conv_rn").isNull && col("rn") === col("max_rn"))
+      .select(col("state").as("src"), lit("NULL").as("dst"))
+    val tc = p1.unionByName(p2)
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val tt = tc.groupBy(col("src"))
+      .agg(sum(col("n")).cast("long").as("n_out"))
+    val tp = tc.join(tt, "src")
+      .select(col("src"), col("dst"),
+        graft.queries.Q.sig9(col("n").cast("double") /
+          col("n_out").cast("double")).as("p"))
+
+    // bounded driver artifact: the (channels+3)^2-max transition matrix
+    val trans = tp.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    def solve(exclude: Option[String]): Double = {
+      val rows = trans
+        .filter(t => exclude.forall(c => t._1 != c && t._2 != c))
+      val bySrc = rows.groupBy(_._1).map { case (s, ts) =>
+        s -> ts.sortBy(_._2).map(t => (t._2, t._3))
+      }
+      var v = Map.empty[String, Double]
+      (1 to iters).foreach { _ =>
+        v = bySrc.map { case (s, ts) =>
+          s -> ts.foldLeft(0.0) { case (acc, (d, p)) =>
+            val pd = d match {
+              case "CONV" => 1.0
+              case "NULL" => 0.0
+              case x => v.getOrElse(x, 0.0)
+            }
+            acc + sig9(p * pd)
+          }
+        }
+      }
+      v.getOrElse("START", 0.0)
+    }
+    val pBase = solve(None)
+    val perChannel = channels.sorted.map { ch =>
+      val pw = solve(Some(ch))
+      val re = if (pBase > 0) Some(sig9((pBase - pw) / pBase)) else None
+      (ch, pw, re)
+    }
+    val sumRe = perChannel.foldLeft(0.0)((acc, t) =>
+      acc + t._3.getOrElse(0.0))
+    perChannel.map { case (ch, pw, re) =>
+      (ch, sig9(pBase), sig9(pw), re,
+        re.flatMap(r => if (sumRe > 0) Some(sig9(r / sumRe)) else None))
+    }.toDF("channel", "p_conv", "p_without", "removal_effect", "share")
+  }
 }

@@ -358,7 +358,118 @@ object BehaviorQueries {
       |FROM cum JOIN tot ON cum.step_idx = tot.step_idx
       |GROUP BY 1, 2""".stripMargin
 
+  // ===== Markov removal-effect attribution ============================
+
+  /** [[graft.ext.Behavior.markovAttribution]] over purchase journeys:
+    * the declared channel domain is the fixture's four non-purchase
+    * event types; CONV = purchase. The oracle re-derives the journey
+    * truncation, the sig9'd transition matrix and ALL value-iteration
+    * rounds of the base chain plus one removal chain PER channel as a
+    * generated MATERIALIZED CTE lattice — the full attribution
+    * trajectory is adjudicated, not just the final shares. */
+  private val markovChannels = Seq("click", "error", "signup", "view")
+  private val markovIters = 12
+
+  private val markovQ: QFn = (s, d) =>
+    Behavior.markovAttribution(Tables.events(s, d), "user_id", "ts",
+      "event_type", convType = "purchase", channels = markovChannels,
+      iters = markovIters, tieBreak = Seq("event_id"))
+
+  private val markovSql = {
+    val variants = ("mb", None) +:
+      markovChannels.sorted.zipWithIndex.map { case (c, i) =>
+        (s"m$i", Some(c))
+      }
+    val caseExpr = "tp.p * (CASE WHEN tp.dst = 'CONV' THEN " +
+      "CAST(1.0 AS DOUBLE) WHEN tp.dst = 'NULL' THEN " +
+      "CAST(0.0 AS DOUBLE) ELSE COALESCE(v.val, CAST(0.0 AS DOUBLE)) " +
+      "END)"
+    val chains = variants.map { case (nm, excl) =>
+      val filter = excl
+        .map(c => s"tp.src <> '$c' AND tp.dst <> '$c'")
+        .getOrElse("TRUE")
+      (1 to markovIters).map { r =>
+        val vp = if (r == 1) "v0" else s"$nm${r - 1}"
+        s"""$nm$r AS MATERIALIZED (
+           |  SELECT tp.src AS st,
+           |    ${Q.sqlFold(
+                s"list(${Q.sqlSig9(caseExpr)} ORDER BY tp.dst)")} AS val
+           |  FROM tp LEFT JOIN $vp v ON v.st = tp.dst
+           |  WHERE $filter
+           |  GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+    }.mkString(",\n")
+    val resRows = markovChannels.sorted.zipWithIndex.map { case (c, i) =>
+      s"""  SELECT '$c' AS channel,
+         |    (SELECT val FROM mb$markovIters WHERE st = 'START') AS pb,
+         |    (SELECT val FROM m$i$markovIters WHERE st = 'START') AS pw"""
+        .stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH o AS (
+       |  SELECT user_id, event_type,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY ts,
+       |      event_id) AS rn
+       |  FROM events),
+       |cc AS (
+       |  SELECT user_id,
+       |    min(CASE WHEN event_type = 'purchase' THEN rn END)
+       |      AS conv_rn,
+       |    max(rn) AS max_rn
+       |  FROM o GROUP BY 1),
+       |f AS MATERIALIZED (
+       |  SELECT o.user_id,
+       |    CASE WHEN o.event_type = 'purchase' THEN 'CONV'
+       |      ELSE o.event_type END AS state,
+       |    o.rn, cc.conv_rn, cc.max_rn
+       |  FROM o JOIN cc USING (user_id)
+       |  WHERE o.rn <= COALESCE(cc.conv_rn, cc.max_rn)),
+       |p1 AS (
+       |  SELECT COALESCE(lag(state) OVER (PARTITION BY user_id
+       |    ORDER BY rn), 'START') AS src, state AS dst
+       |  FROM f),
+       |p2 AS (
+       |  SELECT state AS src, 'NULL' AS dst FROM f
+       |  WHERE conv_rn IS NULL AND rn = max_rn),
+       |tc AS (
+       |  SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+       |  FROM (SELECT src, dst FROM p1
+       |        UNION ALL SELECT src, dst FROM p2) u
+       |  GROUP BY 1, 2),
+       |tt AS (SELECT src, CAST(sum(n) AS BIGINT) AS n_out FROM tc
+       |  GROUP BY 1),
+       |tp AS MATERIALIZED (
+       |  SELECT tc.src, tc.dst, ${Q.sqlSig9(
+            "CAST(tc.n AS DOUBLE) / CAST(tt.n_out AS DOUBLE)")} AS p
+       |  FROM tc JOIN tt USING (src)),
+       |v0 AS MATERIALIZED (
+       |  SELECT DISTINCT src AS st, CAST(0.0 AS DOUBLE) AS val
+       |  FROM tp),
+       |$chains,
+       |res AS MATERIALIZED (
+       |$resRows),
+       |rr AS (
+       |  SELECT channel, COALESCE(pb, CAST(0.0 AS DOUBLE)) AS pb,
+       |    COALESCE(pw, CAST(0.0 AS DOUBLE)) AS pw
+       |  FROM res),
+       |re AS MATERIALIZED (
+       |  SELECT channel, pb, pw,
+       |    CASE WHEN pb > 0 THEN ${Q.sqlSig9("(pb - pw) / pb")} END
+       |      AS re
+       |  FROM rr),
+       |sm AS (
+       |  SELECT ${Q.sqlFold(
+            "list(COALESCE(re, CAST(0.0 AS DOUBLE)) ORDER BY channel)")}
+       |    AS s
+       |  FROM re)
+       |SELECT channel, ${Q.sqlSig9("pb")} AS p_conv,
+       |  ${Q.sqlSig9("pw")} AS p_without, re AS removal_effect,
+       |  CASE WHEN re IS NOT NULL AND s > 0
+       |    THEN ${Q.sqlSig9("re / s")} END AS share
+       |FROM re CROSS JOIN sm""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q_x_markov_attrib" -> markovQ,
     "q_x_time_to_convert" -> timeToConvertQ,
     "q_x_rfm" -> rfmQ,
     "q_x_kaplan_meier" -> kmQ,
@@ -370,6 +481,7 @@ object BehaviorQueries {
     "q_x_decay" -> decayQ)
 
   val oracles: Map[String, String] = Map(
+    "q_x_markov_attrib" -> markovSql,
     "q_x_time_to_convert" -> timeToConvertSql,
     "q_x_rfm" -> rfmSql,
     "q_x_kaplan_meier" -> kmSql,

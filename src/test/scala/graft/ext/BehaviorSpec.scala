@@ -267,4 +267,65 @@ class BehaviorSpec extends SparkSpec {
     // purchase: single user at +10 min
     assert(got(2L) == ((1L, 10 * m, 10 * m, 10 * m)))
   }
+
+  // ===== Markov removal-effect attribution ============================
+
+  test("markovAttribution: removal effects follow the absorbing-chain " +
+      "arithmetic; shares normalize over the declared channels") {
+    import spark.implicits._
+    // u1: a -> purchase; u2: a -> b (never converts); u3: b -> purchase
+    // T: START->{a 2/3, b 1/3}; a->{CONV 1/2, b 1/2};
+    //    b->{CONV 1/2, NULL 1/2}
+    // P = 2/3·(1/2 + 1/2·1/2) + 1/3·1/2 = 2/3
+    // remove a: P = 1/3·1/2 = 1/6 -> RE 3/4; remove b: 2/3·1/2 -> RE 1/2
+    val ev = Seq(
+      (1L, 1L, "a", 1L), (1L, 2L, "purchase", 2L),
+      (2L, 1L, "a", 3L), (2L, 2L, "b", 4L),
+      (3L, 1L, "b", 5L), (3L, 2L, "purchase", 6L))
+      .toDF("u", "ts", "t", "eid")
+    val got = Behavior.markovAttribution(ev, "u", "ts", "t",
+        convType = "purchase", channels = Seq("a", "b", "c"),
+        tieBreak = Seq("eid"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Double]("p_conv"), r.getAs[Double]("p_without"),
+          r.getAs[Double]("removal_effect"), r.getAs[Double]("share"))))
+      .toMap
+    assert(got.keySet == Set("a", "b", "c"))
+    def near(x: Double, y: Double) = math.abs(x - y) < 1e-7
+    assert(near(got("a")._1, 2.0 / 3.0))
+    assert(near(got("a")._2, 1.0 / 6.0))
+    assert(near(got("a")._3, 0.75))
+    assert(near(got("b")._2, 1.0 / 3.0))
+    assert(near(got("b")._3, 0.5))
+    // absent channel: removing it changes nothing
+    assert(got("c")._3 == 0.0 && near(got("c")._2, 2.0 / 3.0))
+    // shares: 0.75 : 0.5 : 0 -> 0.6 / 0.4 / 0
+    assert(near(got("a")._4, 0.6) && near(got("b")._4, 0.4))
+    assert(got("c")._4 == 0.0)
+  }
+
+  test("markovAttribution: purchase-first journeys feed START->CONV; " +
+      "deterministic across re-runs and partitionings") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, "purchase", 1L),
+      (2L, 1L, "a", 2L), (2L, 2L, "purchase", 3L),
+      (3L, 1L, "a", 4L))
+      .toDF("u", "ts", "t", "eid")
+    def run(parts: Int) = Behavior.markovAttribution(
+        ev.repartition(parts), "u", "ts", "t", "purchase", Seq("a"),
+        tieBreak = Seq("eid"))
+      .collect().map(r => (r.getString(0), r.getAs[Double]("p_conv"),
+        r.getAs[Double]("removal_effect"))).toSeq
+    val r1 = run(1)
+    assert(r1 === run(6))
+    // P = 1/3·1 + 2/3·(1/2) = 2/3; removing a leaves START->CONV 1/3
+    assert(math.abs(r1.head._2 - 2.0 / 3.0) < 1e-7)
+    assert(math.abs(r1.head._3 - 0.5) < 1e-7)
+    // reserved states rejected
+    intercept[IllegalArgumentException] {
+      Behavior.markovAttribution(ev, "u", "ts", "t", "purchase",
+        Seq("CONV"))
+    }
+  }
 }
