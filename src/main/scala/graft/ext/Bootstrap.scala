@@ -64,14 +64,10 @@ object Bootstrap {
     * `Hashing` already uses. a_r ∈ [1, P), b_r ∈ [0, P); products
     * a·h stay under 2^62 (no overflow, the documented P contract). */
   def mixers(salt: String, replicates: Int): (Seq[Long], Seq[Long]) = {
-    def h60(s: String): Long = {
-      val md5 = java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      java.lang.Long.parseLong(md5.take(15), 16)
-    }
     val a = (0 until replicates).map(r =>
-      h60(s"$salt:a:$r") % (Hashing.P - 1) + 1)
-    val b = (0 until replicates).map(r => h60(s"$salt:b:$r") % Hashing.P)
+      Hashing.hash60Local(s"$salt:a:$r") % (Hashing.P - 1) + 1)
+    val b = (0 until replicates).map(r =>
+      Hashing.hash60Local(s"$salt:b:$r") % Hashing.P)
     (a, b)
   }
 

@@ -31,6 +31,16 @@ object Hashing {
   /** hash60 reduced into the MinHash ring [0, P). */
   def hashP(c: Column): Column = hash60(c) % P
 
+  /** Driver/executor-side Scala twin of [[hash60]] — ONE definition of
+    * the md5-prefix hash for code that runs outside Catalyst (the
+    * streaming monitors' per-event state updates, the bootstrap mixer
+    * derivation). Bit-identical to the Column face by construction. */
+  def hash60Local(s: String): Long = {
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(md5.take(15), 16)
+  }
+
   /** Whitespace tokenization with empty-token removal — mirrors
     * `list_filter(string_split(text,' '), t -> t <> '')`. */
   def tokens(text: Column): Column =

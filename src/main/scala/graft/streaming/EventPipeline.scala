@@ -339,6 +339,69 @@ object EventPipeline {
       }
   }
 
+  /** Sparse HLL register state: occupied (bucket, maxRho) pairs —
+    * bounded at 2^p entries per stream. */
+  case class HllState(regs: Map[Long, Long])
+
+  case class HllCount(stream: String, estimate: Double, raw_est: Double,
+                      n_occupied: Long, v_zero: Long, n_seen: Long)
+
+  /** Streaming distinct-count monitor — the live face of
+    * [[graft.ext.Sketch.hyperLogLog]]: per stream (event_type), HLL
+    * registers over the user id maintained in O(2^p) state, the
+    * estimate re-emitted every micro-batch. Registers are max-merged
+    * (the HLL merge law), so counts are ORDER-FREE — like the Benford
+    * monitor this face has no in-order-delivery caveat at all.
+    *
+    * Numeric contract: the SAME portable md5 hash
+    * ([[graft.ext.Hashing.hash60Local]], the Column face's Scala
+    * twin), the same bucket/rho split, and the estimate chain
+    * replicated step for step (bucket-ascending 1/2^M fold,
+    * linear-counting branch, sig9 points) — so after any batch prefix
+    * the emitted row equals the batch operator's output on the same
+    * events (spec-pinned). */
+  def hllMonitor(events: Dataset[Event], spark: SparkSession,
+                 p: Int = 9, salt: String = "hll"): Dataset[HllCount] = {
+    import spark.implicits._
+    require(p >= 7 && p <= 16, s"p must be in 7..16, got $p")
+    val m = 1L << p
+    val payloadBits = 60 - p
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    events
+      .groupByKey(_.event_type)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[Event], state: GroupState[HllState]) =>
+          var regs =
+            state.getOption.map(_.regs).getOrElse(Map.empty[Long, Long])
+          // n_seen rides in pseudo-bucket -1 (never a real bucket)
+          var seen = regs.getOrElse(-1L, 0L)
+          it.foreach { e =>
+            seen += 1
+            val h = graft.ext.Hashing.hash60Local(s"$salt:${e.user_id}")
+            val bucket = h % m
+            val w = h / m
+            val rho =
+              if (w == 0L) payloadBits + 1L
+              else java.lang.Long.numberOfTrailingZeros(w) + 1L
+            if (regs.getOrElse(bucket, 0L) < rho)
+              regs = regs.updated(bucket, rho)
+          }
+          state.update(HllState(regs.updated(-1L, seen)))
+          val occ = regs.count(_._1 >= 0)
+          val sregs = regs.toSeq.filter(_._1 >= 0).sortBy(_._1)
+            .foldLeft(0.0)((acc, b) => acc + 1.0 / (1L << b._2).toDouble)
+          val vZero = m - occ
+          val s = vZero.toDouble + sregs
+          val raw = alpha * m.toDouble * m.toDouble / s
+          import graft.functions.GraftMath.sig9
+          val est = sig9(
+            if (raw <= 2.5 * m && vZero > 0)
+              m.toDouble * sig9(StrictMath.log(m.toDouble / vZero))
+            else raw)
+          HllCount(key, est, sig9(raw), occ, vZero, seen)
+      }
+  }
+
   case class EwmaState(buf: Seq[Double])
 
   case class EwmaPoint(stream: String, ts: java.sql.Timestamp,

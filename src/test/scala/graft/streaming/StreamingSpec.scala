@@ -729,4 +729,50 @@ class StreamingSpec extends SparkSpec {
       assert(counts() === batchCounts(batch1 ++ batch2))
     } finally q.stop()
   }
+
+  test("hllMonitor: per-stream estimate equals the batch HLL on every " +
+      "batch prefix; registers are order-free across batches") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val mkEvents = (ids: Seq[Long], stream: String, base: Long) =>
+      ids.zipWithIndex.map { case (u, i) =>
+        Event(base + i, ts("2024-03-01 10:00:00"), u, stream, 1.0)
+      }
+    // duplicates on purpose: distinct users 1..40 click / 7..18 view
+    val batch1 = mkEvents((1L to 25L) ++ (1L to 10L), "click", 100L) ++
+      mkEvents(7L to 12L, "view", 300L)
+    val batch2 = mkEvents((20L to 40L), "click", 400L) ++
+      mkEvents((9L to 18L) ++ Seq(7L), "view", 600L)
+    val ms = MemoryStream[Event]
+    val q = EventPipeline.hllMonitor(ms.toDS(), spark, p = 9)
+      .writeStream.format("memory").queryName("hll_counts")
+      .outputMode("update").start()
+    def latest() = spark.table("hll_counts")
+      .groupBy(col("stream"))
+      .agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.struct(
+          col("n_seen"), col("estimate"), col("n_occupied"),
+          col("v_zero"))).as("s"))
+      .collect().map(r => r.getString(0) -> {
+        val s = r.getStruct(1)
+        (s.getDouble(1), s.getLong(2), s.getLong(3))
+      }).toMap
+    def batchHll(evs: Seq[Event], stream: String) = {
+      val row = graft.ext.Sketch.hyperLogLog(
+        evs.filter(_.event_type == stream).toDF()
+          .select(col("user_id")), "user_id", p = 9, salt = "hll")
+        .head()
+      (row.getAs[Double]("estimate"), row.getAs[Long]("n_occupied"),
+        row.getAs[Long]("v_zero"))
+    }
+    try {
+      ms.addData(batch1); q.processAllAvailable()
+      assert(latest()("click") === batchHll(batch1, "click"))
+      assert(latest()("view") === batchHll(batch1, "view"))
+      ms.addData(batch2); q.processAllAvailable()
+      val all = batch1 ++ batch2
+      assert(latest()("click") === batchHll(all, "click"))
+      assert(latest()("view") === batchHll(all, "view"))
+    } finally q.stop()
+  }
 }
