@@ -137,6 +137,46 @@ object Profile {
             col("var_b") / col("n_b").cast("double"))))
   }
 
+  /** Standard normal quantile literals for [[minDetectableEffect]] —
+    * computed once here and embedded identically in the oracle (the
+    * pagerank-constant convention): two-sided α = 0.05 and 80% power. */
+  val ZTwoSided05 = 1.9599639845400545
+  val ZPower80 = 0.8416212335729143
+
+  /** Minimum detectable effect at the CURRENT sample sizes — the
+    * pre-launch sizing readout beside [[welchZ]] (the post-hoc test):
+    * MDE = (z_{α/2} + z_β) · sqrt(v_A/n_A + v_B/n_B), the smallest
+    * true mean shift the running experiment would detect with the
+    * given power. Consumes the same [[groupMoments]] frame as welchZ
+    * (exact decimal sums, sig9'd variances); the quantiles are caller
+    * literals (precomputed — no inverse-CDF in either engine), the
+    * sqrt is IEEE-correctly-rounded and sig9'd, the final products
+    * and the relative form are sig9'd once each.
+    *
+    * @return ONE row: (group_a, group_b, n_a, n_b, mean_a, var_a,
+    *         var_b, mde_abs, mde_rel) — mde_rel relative to the
+    *         CONTROL mean (group_a; NULL when that mean is 0) */
+  def minDetectableEffect(moments: DataFrame, keyCol: String,
+      zAlpha: Double = ZTwoSided05, zBeta: Double = ZPower80)
+      : DataFrame = {
+    import graft.queries.Q
+    val a = moments.orderBy(col(keyCol).asc).limit(1)
+      .select(col(keyCol).as("group_a"), col("n").as("n_a"),
+        col("mean_v").as("mean_a"), col("var_v").as("var_a"))
+    val b = moments.orderBy(col(keyCol).desc).limit(1)
+      .select(col(keyCol).as("group_b"), col("n").as("n_b"),
+        col("var_v").as("var_b"))
+    val se = Q.sig9(sqrt(col("var_a") / col("n_a").cast("double") +
+      col("var_b") / col("n_b").cast("double")))
+    a.crossJoin(b)
+      .withColumn("mde_abs", Q.sig9(lit(zAlpha + zBeta) * se))
+      .withColumn("mde_rel", when(col("mean_a") =!= 0.0,
+        Q.sig9(col("mde_abs") / abs(col("mean_a")))))
+      .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
+        col("mean_a"), col("var_a"), col("var_b"), col("mde_abs"),
+        col("mde_rel"))
+  }
+
   /** Two-proportion z-test (pooled): the CONVERSION-RATE member of the
     * A/B family — Welch z compares a metric's MEANS, Mann-Whitney its
     * ranks; this compares the fraction of units that converted.
@@ -282,6 +322,66 @@ object Profile {
       .crossJoin(broadcast(stats.select(col("theta"))))
       .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
         col("theta"), col("z_raw"), col("z_adj"))
+  }
+
+  /** Delete-one-group jackknife for a RATIO metric (Quenouille/Tukey;
+    * the standard error bar for CTR-style ratios in search/ads
+    * evaluation, where the bootstrap's unit resampling breaks the
+    * ratio's numerator/denominator coupling): leave out one group
+    * (day, cohort, shard) at a time, θ_(g) = (R−r_g)/(N−n_g), and
+    * se² = (G−1)/G · Σ (θ_(g) − θ̄)².
+    *
+    * Exactness: per-group numerators/denominators are exact BIGINT
+    * sums; every θ is one sig9'd division; the pseudo-value folds run
+    * inside ONE bounded G-row array in group-ascending order (the KM
+    * convention — left-to-right IEEE, bit-identical cross-engine).
+    * Groups whose removal empties the denominator have no pseudo-value
+    * (NULL, excluded; `g_groups` counts survivors).
+    *
+    * Scale shape: one (group)-keyed aggregate (map-side partial), then
+    * everything lives in the single array row — G is the number of
+    * DAYS/COHORTS, bounded by the calendar, not the corpus.
+    *
+    * @return one row: (theta, se_jack, g_groups, num_total,
+    *         den_total) */
+  def jackknifeRatio(df: DataFrame, groupCol: String, numCol: String,
+      denCol: String): DataFrame = {
+    import graft.queries.Q
+    val pg = df
+      .where(col(groupCol).isNotNull)
+      .groupBy(col(groupCol).as("g"))
+      .agg(sum(col(numCol)).cast("long").as("r"),
+        sum(col(denCol)).cast("long").as("n"))
+    val packed = pg
+      .agg(array_sort(collect_list(struct(col("g"), col("r"),
+        col("n")))).as("arr"))
+      .select(col("arr"),
+        aggregate(col("arr"), lit(0L), (a, x) => a + x.getField("r"))
+          .as("rt"),
+        aggregate(col("arr"), lit(0L), (a, x) => a + x.getField("n"))
+          .as("nt"))
+    val thetas = filter(
+      transform(col("arr"), x =>
+        when(col("nt") - x.getField("n") > 0,
+          Q.sig9((col("rt") - x.getField("r")).cast("double") /
+            (col("nt") - x.getField("n")).cast("double")))),
+      t => t.isNotNull)
+    val withT = packed.select(col("rt"), col("nt"),
+      thetas.as("ts"), size(thetas).cast("long").as("g"))
+    val sbar = aggregate(col("ts"), lit(0.0), (a, t) => a + t)
+    val mean = sbar / col("g").cast("double")
+    val devs = aggregate(col("ts"), lit(0.0),
+      (a, t) => a + Q.sig9((t - mean) * (t - mean)))
+    val varJ = Q.sig9((col("g") - 1).cast("double") /
+      col("g").cast("double") * devs)
+    withT.select(
+      when(col("nt") > 0, Q.sig9(col("rt").cast("double") /
+        col("nt").cast("double"))).as("theta"),
+      when(col("g") > 0, Q.sig9(sqrt(greatest(varJ, lit(0.0)))))
+        .as("se_jack"),
+      col("g").as("g_groups"),
+      col("rt").as("num_total"),
+      col("nt").as("den_total"))
   }
 
   /** One-pass approximate randomization (permutation) test on the

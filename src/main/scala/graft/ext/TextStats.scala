@@ -470,6 +470,50 @@ object TextStats {
         col("dl"), col("df"), col("score"))
   }
 
+  /** Per-source lexical diversity — type-token ratio, hapax rate and
+    * Yule's K (the classic repeated-vocabulary concentration index,
+    * 10⁴·(Σc² − N)/N²): the "is this source natural prose or template
+    * spam" gate beside [[CorpusDiff]]'s entropy (K is length-robust
+    * where raw TTR is not, which is why both ship).
+    *
+    * One explode + one (source, token) aggregate + one source rollup
+    * (all map-side partial). Counts and the Σc²/N² products are exact
+    * DECIMAL(38,0); the three indices are single sig9'd divisions —
+    * no float aggregation anywhere.
+    *
+    * @return per source: (source, n_tokens, vocab, n_hapax, ttr,
+    *         hapax_rate, yule_k) — NULLs for an empty source */
+  def lexicalDiversity(docs: DataFrame, groupCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    import graft.queries.Q
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val tok = docs
+      .select(col(groupCol).as("grp"),
+        explode(Hashing.tokens(col(textCol))).as("token"))
+      .where(col("grp").isNotNull)
+      .groupBy(col("grp"), col("token"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    val g = tok.groupBy(col("grp"))
+      .agg(sum(col("c")).cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("vocab"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).cast("long")
+          .as("n_hapax"),
+        sum(col("c").cast(dec) * col("c").cast(dec)).as("__c2"))
+    g.select(col("grp").as(groupCol), col("n_tokens"), col("vocab"),
+      col("n_hapax"),
+      when(col("n_tokens") > 0,
+        Q.sig9(col("vocab").cast("double") /
+          col("n_tokens").cast("double"))).as("ttr"),
+      when(col("vocab") > 0,
+        Q.sig9(col("n_hapax").cast("double") /
+          col("vocab").cast("double"))).as("hapax_rate"),
+      when(col("n_tokens") > 0, Q.sig9(
+        (lit(10000L).cast(dec) *
+          (col("__c2") - col("n_tokens").cast(dec))).cast("double") /
+          (col("n_tokens").cast(dec) * col("n_tokens").cast(dec))
+            .cast("double"))).as("yule_k"))
+  }
+
   /** Per-source readability rollup: Flesch–Kincaid grade and Flesch
     * reading ease from exact corpus-level word / sentence / syllable
     * counts — the "is this source textbook prose or keyword soup?"

@@ -1250,7 +1250,48 @@ object CorpusQueries {
        |FROM r WHERE kw_rank <= 3""".stripMargin
   }
 
+  // ===== lexical diversity ============================================
+
+  /** [[graft.ext.TextStats.lexicalDiversity]] — TTR, hapax rate and
+    * Yule's K per source; the oracle mirrors the exact DECIMAL(38,0)
+    * Σc²/N² products and the three sig9'd divisions. */
+  private val lexicalQ: QFn = (s, d) =>
+    graft.ext.TextStats.lexicalDiversity(Tables.documents(s, d))
+
+  private val lexicalSql =
+    s"""WITH tok AS (
+       |  SELECT source AS grp,
+       |    unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+       |      AS token
+       |  FROM documents WHERE source IS NOT NULL),
+       |tc AS (
+       |  SELECT grp, token, CAST(count(*) AS BIGINT) AS c
+       |  FROM tok GROUP BY 1, 2),
+       |g AS (
+       |  SELECT grp, CAST(sum(c) AS BIGINT) AS n_tokens,
+       |    CAST(count(*) AS BIGINT) AS vocab,
+       |    CAST(COALESCE(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END), 0)
+       |      AS BIGINT) AS n_hapax,
+       |    sum(CAST(c AS DECIMAL(38,0)) * CAST(c AS DECIMAL(38,0)))
+       |      AS c2
+       |  FROM tc GROUP BY 1)
+       |SELECT grp AS source, n_tokens, vocab, n_hapax,
+       |  CASE WHEN n_tokens > 0 THEN ${Q.sqlSig9(
+            "CAST(vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE)")} END
+       |    AS ttr,
+       |  CASE WHEN vocab > 0 THEN ${Q.sqlSig9(
+            "CAST(n_hapax AS DOUBLE) / CAST(vocab AS DOUBLE)")} END
+       |    AS hapax_rate,
+       |  CASE WHEN n_tokens > 0 THEN ${Q.sqlSig9(
+            "CAST(CAST(10000 AS DECIMAL(38,0)) * " +
+              "(c2 - CAST(n_tokens AS DECIMAL(38,0))) AS DOUBLE) / " +
+              "CAST(CAST(n_tokens AS DECIMAL(38,0)) * " +
+              "CAST(n_tokens AS DECIMAL(38,0)) AS DOUBLE)")} END
+       |    AS yule_k
+       |FROM g""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q_x_lexical" -> lexicalQ,
     "q_x_keywords" -> keywordsQ,
     "q_x_zipf" -> zipfQ,
     "q_x_readability" -> readabilityQ,
@@ -1282,6 +1323,7 @@ object CorpusQueries {
     "q_x_rrf" -> rrfQ)
 
   val oracles: Map[String, String] = Map(
+    "q_x_lexical" -> lexicalSql,
     "q_x_keywords" -> keywordsSql,
     "q_x_zipf" -> zipfSql,
     "q_x_readability" -> readabilitySql,

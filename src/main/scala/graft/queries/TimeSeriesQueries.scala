@@ -526,6 +526,106 @@ object TimeSeriesQueries {
        |FROM pt JOIN sm USING (event_type)""".stripMargin
   }
 
+  // ===== minimum detectable effect at current sample sizes ============
+
+  /** [[graft.ext.Profile.minDetectableEffect]] on the same "ab:" hash
+    * arms as `q_x_abtest` — the pre-launch sizing twin of the Welch
+    * readout; the oracle embeds the identical summed quantile literal
+    * and mirrors the sig9'd se/product/relative chain. */
+  private val mdeQ: QFn = (s, d) => {
+    val grp = pmod(graft.ext.Hashing.hash60(
+      concat(lit("ab:"), col("user_id").cast("string"))), lit(2L))
+    graft.ext.Profile.minDetectableEffect(
+      graft.ext.Profile.groupMoments(
+        Tables.events(s, d).withColumn("grp", grp), Seq("grp"), "value"),
+      "grp")
+  }
+
+  private val mdeSql = {
+    val zSum = graft.ext.Profile.ZTwoSided05 + graft.ext.Profile.ZPower80
+    val se = Q.sqlSig9("sqrt(var_a / CAST(n_a AS DOUBLE) + " +
+      "var_b / CAST(n_b AS DOUBLE))")
+    s"""WITH g AS (
+       |  SELECT CAST(${Q.sqlHash60("'ab:' || CAST(user_id AS VARCHAR)")}
+       |    % 2 AS BIGINT) AS grp, value
+       |  FROM events),
+       |m AS (
+       |  SELECT grp, CAST(count(value) AS BIGINT) AS n,
+       |    ${Q.sqlDsum("value")} AS s1,
+       |    ${Q.sqlDsum("value * value")} AS s2
+       |  FROM g GROUP BY 1),
+       |mm AS (
+       |  SELECT grp, n, s1 / n AS mean_v,
+       |    CASE WHEN n > 1 THEN ${Q.sqlSig9(
+           "(s2 - s1 * s1 / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)")}
+       |    END AS var_v
+       |  FROM m),
+       |a AS (
+       |  SELECT grp AS group_a, n AS n_a, mean_v AS mean_a,
+       |    var_v AS var_a FROM mm ORDER BY grp ASC LIMIT 1),
+       |b AS (
+       |  SELECT grp AS group_b, n AS n_b, var_v AS var_b FROM mm
+       |  ORDER BY grp DESC LIMIT 1),
+       |j AS (
+       |  SELECT group_a, group_b, n_a, n_b, mean_a, var_a, var_b,
+       |    ${Q.sqlSig9(s"CAST($zSum AS DOUBLE) * $se")} AS mde_abs
+       |  FROM a, b)
+       |SELECT group_a, group_b, n_a, n_b, mean_a, var_a, var_b,
+       |  mde_abs,
+       |  CASE WHEN mean_a <> 0 THEN ${Q.sqlSig9(
+            "mde_abs / abs(mean_a)")} END AS mde_rel
+       |FROM j""".stripMargin
+  }
+
+  // ===== delete-one-day jackknife for the conversion ratio ============
+
+  /** [[graft.ext.Profile.jackknifeRatio]] on the daily purchase share
+    * — the ratio-metric error bar the Poisson bootstrap can't give
+    * (unit resampling decouples a ratio's numerator and denominator).
+    * The oracle mirrors the exact per-day BIGINTs, every sig9'd
+    * pseudo-value and both day-ordered bounded folds. */
+  private val jackknifeQ: QFn = (s, d) =>
+    graft.ext.Profile.jackknifeRatio(
+      Tables.events(s, d).select(
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L)
+          .as("conv"),
+        lit(1L).as("one")),
+      "day", "conv", "one")
+
+  private val jackknifeSql = {
+    val mean = "sbar / CAST(gg AS DOUBLE)"
+    val dev = Q.sqlSig9(s"(t - $mean) * (t - $mean)")
+    val varExpr = Q.sqlSig9(
+      s"CAST(gg - 1 AS DOUBLE) / CAST(gg AS DOUBLE) * " +
+        Q.sqlFold(s"list_transform(ts, t -> $dev)"))
+    s"""WITH pd AS (
+       |  SELECT strftime(ts, '%Y-%m-%d') AS d,
+       |    CAST(COALESCE(sum(CASE WHEN event_type = 'purchase'
+       |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS r,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM events GROUP BY 1),
+       |tot AS (SELECT CAST(sum(r) AS BIGINT) AS rt,
+       |  CAST(sum(n) AS BIGINT) AS nt FROM pd),
+       |th AS (
+       |  SELECT d, CASE WHEN nt - n > 0 THEN ${Q.sqlSig9(
+            "CAST(rt - r AS DOUBLE) / CAST(nt - n AS DOUBLE)")} END AS t
+       |  FROM pd CROSS JOIN tot),
+       |v AS (
+       |  SELECT CAST(count(t) AS BIGINT) AS gg,
+       |    list(t ORDER BY d) FILTER (WHERE t IS NOT NULL) AS ts
+       |  FROM th),
+       |sb AS (SELECT gg, ts, ${Q.sqlFold("ts")} AS sbar FROM v)
+       |SELECT
+       |  CASE WHEN nt > 0 THEN ${Q.sqlSig9(
+            "CAST(rt AS DOUBLE) / CAST(nt AS DOUBLE)")} END AS theta,
+       |  CASE WHEN gg > 0 THEN ${Q.sqlSig9(
+            s"sqrt(greatest($varExpr, CAST(0.0 AS DOUBLE)))")} END
+       |    AS se_jack,
+       |  gg AS g_groups, rt AS num_total, nt AS den_total
+       |FROM sb CROSS JOIN tot""".stripMargin
+  }
+
   // ===== approximate randomization (permutation) test =================
 
   /** [[graft.ext.Profile.permutationTest]] on the same "ab:" hash
@@ -1560,6 +1660,8 @@ object TimeSeriesQueries {
     "q_x_ks" -> ksQ,
     "q_x_bootstrap" -> bootstrapQ,
     "q_x_permtest" -> permTestQ,
+    "q_x_jackknife" -> jackknifeQ,
+    "q_x_mde" -> mdeQ,
     "q_x_resample" -> resampleQ,
     "q_x_interp" -> interpQ,
     "q_x_seasonal" -> seasonalQ,
@@ -1593,6 +1695,8 @@ object TimeSeriesQueries {
     "q_x_ks" -> ksSql,
     "q_x_bootstrap" -> bootstrapSql,
     "q_x_permtest" -> permTestSql,
+    "q_x_jackknife" -> jackknifeSql,
+    "q_x_mde" -> mdeSql,
     "q_x_resample" -> resampleSql,
     "q_x_interp" -> interpSql,
     "q_x_seasonal" -> seasonalSql,

@@ -332,6 +332,56 @@ class ProfileSpec extends SparkSpec {
     assert(got.length === 1 && got.head.isNullAt(3))
   }
 
+  // ===== delete-one-group jackknife ===================================
+
+  test("jackknifeRatio: pseudo-values and se follow the exact " +
+      "leave-one-out chain; a single group yields NULL se") {
+    import graft.functions.GraftMath.sig9
+    // three days: (r=1,n=10), (r=2,n=10), (r=3,n=10) -> theta = 0.2
+    val rows = Seq.tabulate(30)(i =>
+      (s"d${i / 10 + 1}", if (i % 10 < (i / 10 + 1)) 1L else 0L, 1L))
+      .toDF("day", "conv", "one")
+    val r = Profile.jackknifeRatio(rows, "day", "conv", "one").head()
+    assert(r.getAs[Double]("theta") == 0.2)
+    assert(r.getAs[Long]("g_groups") == 3L)
+    assert(r.getAs[Long]("num_total") == 6L &&
+      r.getAs[Long]("den_total") == 30L)
+    // replicate: thetas 5/20, 4/20, 3/20 sig9'd, day-ordered folds
+    val ts = Seq(0.25, 0.2, 0.15).map(sig9)
+    val sbar = ts.foldLeft(0.0)(_ + _)
+    val mean = sbar / 3.0
+    val devs = ts.foldLeft(0.0)((a, t) => a + sig9((t - mean) * (t - mean)))
+    val varJ = sig9(2.0 / 3.0 * devs)
+    assert(r.getAs[Double]("se_jack") ==
+      sig9(math.sqrt(math.max(varJ, 0.0))))
+    // one group: removal empties the denominator -> no pseudo-values
+    val one = Seq(("d1", 1L, 1L), ("d1", 0L, 1L)).toDF("day", "conv",
+      "one")
+    val r1 = Profile.jackknifeRatio(one, "day", "conv", "one").head()
+    assert(r1.getAs[Double]("theta") == 0.5)
+    assert(r1.getAs[Long]("g_groups") == 0L)
+    assert(r1.isNullAt(r1.fieldIndex("se_jack")))
+  }
+
+  // ===== minimum detectable effect ====================================
+
+  test("minDetectableEffect: MDE follows the literal-quantile chain " +
+      "over exact moments; relative form uses the control mean") {
+    import graft.functions.GraftMath.sig9
+    val rows = Seq((0L, 1.0), (0L, 2.0), (0L, 3.0), (1L, 2.0),
+      (1L, 4.0)).toDF("grp", "x")
+    val r = Profile.minDetectableEffect(
+      Profile.groupMoments(rows, Seq("grp"), "x"), "grp").head()
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Double]("mean_a") == 2.0)
+    assert(r.getAs[Double]("var_a") == 1.0 &&
+      r.getAs[Double]("var_b") == 2.0)
+    val se = sig9(math.sqrt(1.0 / 3.0 + 2.0 / 2.0))
+    val mde = sig9((Profile.ZTwoSided05 + Profile.ZPower80) * se)
+    assert(r.getAs[Double]("mde_abs") == mde)
+    assert(r.getAs[Double]("mde_rel") == sig9(mde / 2.0))
+  }
+
   // ===== permutation test =============================================
 
   test("permutationTest: an extreme separation no random reassignment " +

@@ -335,6 +335,26 @@ class TextStatsSpec extends SparkSpec {
     assert(got((1L, "apple"))._3 == 2L && got((1L, "apple"))._4 == 4L)
   }
 
+  test("lexicalDiversity: TTR, hapax rate and Yule's K from exact " +
+      "counts; all-unique vocabulary gives K = 0") {
+    import graft.functions.GraftMath.sig9
+    val docs = Seq((1L, "s1", "a a b c"), (2L, "s2", "x y z"))
+      .toDF("doc_id", "source", "text")
+    val got = TextStats.lexicalDiversity(docs)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val s1 = got("s1") // counts a:2 b:1 c:1 -> N=4 V=3 hapax=2 c2=6
+    assert(s1.getAs[Long]("n_tokens") == 4L)
+    assert(s1.getAs[Long]("vocab") == 3L)
+    assert(s1.getAs[Long]("n_hapax") == 2L)
+    assert(s1.getAs[Double]("ttr") == 0.75)
+    assert(s1.getAs[Double]("hapax_rate") == sig9(2.0 / 3.0))
+    // K = 1e4 * (6 - 4) / 16 = 1250
+    assert(s1.getAs[Double]("yule_k") == 1250.0)
+    val s2 = got("s2") // all hapax -> c2 = N -> K exactly 0
+    assert(s2.getAs[Double]("yule_k") == 0.0)
+    assert(s2.getAs[Double]("ttr") == 1.0)
+  }
+
   test("tfidfKeywords: k truncates per document; short docs yield " +
       "fewer than k rows") {
     val got = TextStats.tfidfKeywords(kwDocs, k = 2)
