@@ -426,19 +426,24 @@ object CorpusQueries {
     * as the query doc) + (same lang) ∈ {0,1,2}; the oracle composes
     * the full bm25 CTE chain as a subquery (the pipeline convention)
     * and mirrors the bounded literal-weight folds. */
-  private val ndcgQ: QFn = (s, d) => {
+  /** The judged BM25 top-20 list shared by `q_x_ndcg`,
+    * `q_x_rank_eval` and the pipeline-10 suite: graded (source, lang)
+    * relevance of each ranked doc against doc 7's profile. */
+  private def judgedRel(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val qdoc = docs.filter(col("doc_id") === 7)
       .select(col("source").as("qsrc"), col("lang").as("qlang"))
-    val rel = bm25(s, d)
+    bm25(s, d)
       .join(docs.select(col("doc_id"), col("source"), col("lang")),
         Seq("doc_id"))
       .crossJoin(broadcast(qdoc))
       .select(col("rank"),
         (when(col("source") === col("qsrc"), 1L).otherwise(0L) +
           when(col("lang") === col("qlang"), 1L).otherwise(0L)).as("rel"))
-    Retrieval.ndcg(rel, Seq.empty, "rank", "rel", k = 20)
   }
+
+  private val ndcgQ: QFn = (s, d) =>
+    Retrieval.ndcg(judgedRel(s, d), Seq.empty, "rank", "rel", k = 20)
 
   private val ndcgSql = {
     // the same literal discount weights the engine embeds (shortest-
@@ -489,19 +494,9 @@ object CorpusQueries {
     * integers plus three sig9'd single divisions. */
   private val rankEvalK = 10
 
-  private val rankEvalQ: QFn = (s, d) => {
-    val docs = Tables.documents(s, d)
-    val qdoc = docs.filter(col("doc_id") === 7)
-      .select(col("source").as("qsrc"), col("lang").as("qlang"))
-    val rel = bm25(s, d)
-      .join(docs.select(col("doc_id"), col("source"), col("lang")),
-        Seq("doc_id"))
-      .crossJoin(broadcast(qdoc))
-      .select(col("rank"),
-        (when(col("source") === col("qsrc"), 1L).otherwise(0L) +
-          when(col("lang") === col("qlang"), 1L).otherwise(0L)).as("rel"))
-    Retrieval.rankEval(rel, Seq.empty, "rank", "rel", k = rankEvalK)
-  }
+  private val rankEvalQ: QFn = (s, d) =>
+    Retrieval.rankEval(judgedRel(s, d), Seq.empty, "rank", "rel",
+      k = rankEvalK)
 
   private val rankEvalSql = {
     val k = rankEvalK
@@ -536,6 +531,100 @@ object CorpusQueries {
        |    ELSE CAST(0 AS BIGINT) END AS hit_at_k,
        |  first_rel_rank, n_rel_at_k, n_rel_total, n_ranked
        |FROM g""".stripMargin
+  }
+
+  // ===== pipeline 10: one-plan retrieval-quality suite ================
+
+  /** NDCG@20 + MRR + precision/recall@10 + hit@10 over the SAME
+    * judged BM25 list in ONE long-format plan — the full "how good is
+    * this ranking" report. Composition changes nothing:
+    * `RetrievalSuiteSpec` pins each row to the standalone operator,
+    * and the oracle composes the same CTEs. */
+  private val pipeline10Q: QFn = (s, d) => {
+    val rel = judgedRel(s, d)
+    val naux = lit(null).cast("double").as("aux")
+    val nd = Retrieval.ndcg(rel, Seq.empty, "rank", "rel", k = 20)
+      .select(lit("ndcg").as("stat"), col("ndcg").as("value"),
+        col("dcg").as("aux"), col("n_ranked").as("n"))
+    val re = Retrieval.rankEval(rel, Seq.empty, "rank", "rel",
+      k = rankEvalK)
+    val mrr = re.select(lit("mrr").as("stat"), col("mrr").as("value"),
+      col("first_rel_rank").cast("double").as("aux"), col("n_ranked")
+        .as("n"))
+    val prec = re.select(lit("precision").as("stat"),
+      col("prec_at_k").as("value"), naux, col("n_rel_at_k").as("n"))
+    val rec = re.select(lit("recall").as("stat"),
+      col("recall_at_k").as("value"), naux, col("n_rel_total").as("n"))
+    val hit = re.select(lit("hit").as("stat"),
+      col("hit_at_k").cast("double").as("value"), naux,
+      col("n_ranked").as("n"))
+    nd.unionByName(mrr).unionByName(prec).unionByName(rec)
+      .unionByName(hit)
+  }
+
+  private val pipeline10Sql = {
+    val k = rankEvalK
+    val w = (1 to 20).map(i =>
+      s"CAST(${1.0 / (math.log(i + 1.0) / math.log(2.0))} AS DOUBLE)")
+      .mkString("[", ", ", "]")
+    s"""WITH base AS ($bm25Sql),
+       |q AS (SELECT source AS qsrc, lang AS qlang FROM documents
+       |  WHERE doc_id = 7),
+       |rl AS MATERIALIZED (
+       |  SELECT base."rank" AS rnk,
+       |    CAST(CASE WHEN d.source = q.qsrc THEN 1 ELSE 0 END
+       |      + CASE WHEN d.lang = q.qlang THEN 1 ELSE 0 END
+       |      AS BIGINT) AS rel
+       |  FROM base JOIN documents d USING (doc_id) CROSS JOIN q),
+       |g AS (
+       |  SELECT
+       |    list(struct_pack(r := rnk, rel := rel) ORDER BY rnk)
+       |      AS byrank,
+       |    list(rel ORDER BY rel DESC, rnk) AS byrel,
+       |    CAST(count(*) AS BIGINT) AS n_ranked
+       |  FROM rl WHERE rnk >= 1 AND rnk <= 20 AND rel IS NOT NULL),
+       |f AS (
+       |  SELECT n_ranked,
+       |    ${Q.sqlFold("list_transform(byrank, x -> " +
+            "CAST(struct_extract(x, 'rel') AS DOUBLE) * " +
+            s"($w)[struct_extract(x, 'r')])")} AS dcg_raw,
+       |    ${Q.sqlFold("list_transform(byrel, (x, i) -> " +
+            s"CAST(x AS DOUBLE) * ($w)[i])")} AS idcg_raw
+       |  FROM g),
+       |ge AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_ranked,
+       |    CAST(COALESCE(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END), 0)
+       |      AS BIGINT) AS n_rel_total,
+       |    CAST(COALESCE(sum(CASE WHEN rel > 0 AND rnk <= $k
+       |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_rel_at_k,
+       |    CAST(min(CASE WHEN rel > 0 AND rnk <= $k THEN rnk END)
+       |      AS BIGINT) AS first_rel_rank
+       |  FROM rl WHERE rnk >= 1 AND rel IS NOT NULL)
+       |SELECT 'ndcg' AS stat,
+       |  CASE WHEN n_ranked > 0 AND idcg_raw > CAST(0.0 AS DOUBLE)
+       |    THEN ${Q.sqlSig9("dcg_raw / idcg_raw")} END AS value,
+       |  CASE WHEN n_ranked > 0 THEN ${Q.sqlSig9("dcg_raw")} END
+       |    AS aux,
+       |  n_ranked AS n
+       |FROM f
+       |UNION ALL SELECT 'mrr',
+       |  CASE WHEN first_rel_rank IS NOT NULL THEN ${Q.sqlSig9(
+            "CAST(1.0 AS DOUBLE) / CAST(first_rel_rank AS DOUBLE)")}
+       |    ELSE CAST(0.0 AS DOUBLE) END,
+       |  CAST(first_rel_rank AS DOUBLE), n_ranked FROM ge
+       |UNION ALL SELECT 'precision',
+       |  ${Q.sqlSig9(s"CAST(n_rel_at_k AS DOUBLE) / " +
+            s"CAST($k.0 AS DOUBLE)")},
+       |  CAST(NULL AS DOUBLE), n_rel_at_k FROM ge
+       |UNION ALL SELECT 'recall',
+       |  CASE WHEN n_rel_total > 0 THEN ${Q.sqlSig9(
+            "CAST(n_rel_at_k AS DOUBLE) / CAST(n_rel_total AS DOUBLE)")}
+       |    END,
+       |  CAST(NULL AS DOUBLE), n_rel_total FROM ge
+       |UNION ALL SELECT 'hit',
+       |  CASE WHEN n_rel_at_k > 0 THEN CAST(1.0 AS DOUBLE)
+       |    ELSE CAST(0.0 AS DOUBLE) END,
+       |  CAST(NULL AS DOUBLE), n_ranked FROM ge""".stripMargin
   }
 
   // ===== deterministic split assignment =================================
@@ -1297,6 +1386,7 @@ object CorpusQueries {
     "q_x_readability" -> readabilityQ,
     "q_x_ndcg" -> ndcgQ,
     "q_x_rank_eval" -> rankEvalQ,
+    "q_x_pipeline10" -> pipeline10Q,
     "q_x_entropy" -> entropyQ,
     "q_x_vocab_growth" -> vocabGrowthQ,
     "q_x_gini" -> giniQ,
@@ -1329,6 +1419,7 @@ object CorpusQueries {
     "q_x_readability" -> readabilitySql,
     "q_x_ndcg" -> ndcgSql,
     "q_x_rank_eval" -> rankEvalSql,
+    "q_x_pipeline10" -> pipeline10Sql,
     "q_x_entropy" -> entropySql,
     "q_x_vocab_growth" -> vocabGrowthSql,
     "q_x_gini" -> giniSql,
