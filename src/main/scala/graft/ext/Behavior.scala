@@ -352,6 +352,103 @@ object Behavior {
           .as("survival"))
   }
 
+  /** Two-group log-rank test (Mantel–Cox) — does one arm convert
+    * FASTER, accounting for censoring: the hypothesis-test companion
+    * to [[kaplanMeier]]'s curves (and the survival member of the A/B
+    * family: Welch compares means, this compares time-to-event
+    * distributions under right censoring). Same duration construction
+    * as KM: days from first activity to first `targetType`, censored
+    * at last activity.
+    *
+    * At each distinct event time t: O_a accumulates group A's events;
+    * E_a the expected count d_t·n_At/n_t under the null; V the
+    * hypergeometric variance d·n_A·n_B·(n−d) / (n²(n−1)).
+    * z = (O_a − E_a)/√V.
+    *
+    * Exactness: user collapses and per-duration counts are exact
+    * BIGINTs; at-risk sets come from exclusive prefix sums inside ONE
+    * duration-sorted bounded array (the KM convention — durations are
+    * calendar-bounded); each E/V term computes its integer products
+    * in DECIMAL(38,0) (exact below ~10⁹ at-risk users), is sig9'd
+    * once, and folds left-to-right; z is one final sig9'd IEEE chain.
+    *
+    * @param groupCol two-valued arm column (smallest value = group A,
+    *        the welchZ convention); must be constant per user
+    * @return ONE row: (group_a, group_b, n_users_a, n_users_b, o_a,
+    *         e_a, v, z) — z NULL when V = 0 */
+  def logRank(events: DataFrame, userCol: String, tsCol: String,
+      eventTypeCol: String, targetType: String, groupCol: String)
+      : DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, LongType}
+    import graft.queries.Q
+    val dec = DecimalType(38, 0)
+    val perUser = events.groupBy(col(userCol).as("user"))
+      .agg(min(col(tsCol)).as("t0"),
+        min(when(col(eventTypeCol) === targetType, col(tsCol))).as("tp"),
+        max(col(tsCol)).as("tl"),
+        min(col(groupCol)).as("g"))
+      .select(
+        when(col("tp").isNotNull,
+          datediff(to_date(col("tp")), to_date(col("t0"))))
+          .otherwise(datediff(to_date(col("tl")), to_date(col("t0"))))
+          .cast(LongType).as("dur"),
+        col("tp").isNotNull.as("obs"), col("g"))
+    val arms = perUser.agg(min(col("g")).as("ga"), max(col("g")).as("gb"))
+    val byDur = perUser.crossJoin(broadcast(arms))
+      .groupBy(col("dur"))
+      .agg(
+        sum(when(col("obs") && col("g") === col("ga"), 1L)
+          .otherwise(0L)).as("da"),
+        sum(when(col("obs") && col("g") =!= col("ga"), 1L)
+          .otherwise(0L)).as("db"),
+        sum(when(!col("obs") && col("g") === col("ga"), 1L)
+          .otherwise(0L)).as("ca"),
+        sum(when(!col("obs") && col("g") =!= col("ga"), 1L)
+          .otherwise(0L)).as("cb"))
+    val packed = byDur
+      .agg(array_sort(collect_list(struct(col("dur"), col("da"),
+        col("db"), col("ca"), col("cb")))).as("arr"))
+      .select(col("arr"),
+        aggregate(col("arr"), lit(0L),
+          (a, x) => a + x.getField("da") + x.getField("ca")).as("ta"),
+        aggregate(col("arr"), lit(0L),
+          (a, x) => a + x.getField("db") + x.getField("cb")).as("tb"))
+    def prefix(f1: String, f2: String, i: Column) =
+      aggregate(slice(col("arr"), lit(1), i), lit(0L),
+        (a, x) => a + x.getField(f1) + x.getField(f2))
+    val terms = transform(col("arr"), (x, i) => {
+      val na = col("ta") - prefix("da", "ca", i)
+      val nb = col("tb") - prefix("db", "cb", i)
+      val n = na + nb
+      val d = x.getField("da") + x.getField("db")
+      struct(
+        x.getField("da").as("oa"),
+        when(d > 0 && n > 0, Q.sig9(
+          (d.cast(dec) * na.cast(dec)).cast("double") /
+            n.cast("double"))).otherwise(lit(0.0)).as("e"),
+        when(d > 0 && n > 1, Q.sig9(
+          (d.cast(dec) * na.cast(dec) * nb.cast(dec) *
+            (n - d).cast(dec)).cast("double") /
+            (n.cast(dec) * n.cast(dec) * (n - 1).cast(dec))
+              .cast("double"))).otherwise(lit(0.0)).as("v"))
+    })
+    val withTerms = packed.crossJoin(broadcast(arms))
+      .select(col("ga"), col("gb"), col("ta"), col("tb"),
+        aggregate(terms, lit(0L), (a, t) => a + t.getField("oa"))
+          .as("o_a"),
+        aggregate(terms, lit(0.0), (a, t) => a + t.getField("e"))
+          .as("e_a"),
+        aggregate(terms, lit(0.0), (a, t) => a + t.getField("v"))
+          .as("v"))
+    withTerms.select(col("ga").as("group_a"), col("gb").as("group_b"),
+      col("ta").as("n_users_a"), col("tb").as("n_users_b"),
+      col("o_a"), Q.sig9(col("e_a")).as("e_a"),
+      Q.sig9(col("v")).as("v"),
+      when(col("v") > 0, Q.sig9(
+        (col("o_a").cast("double") - col("e_a")) / sqrt(col("v"))))
+        .as("z"))
+  }
+
   /** Markov removal-effect attribution (Anderl et al. 2014) — the
     * data-driven alternative to the positional [[TemporalJoins]]
     * multi-touch rules: model each user's channel journey as a

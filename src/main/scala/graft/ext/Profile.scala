@@ -324,6 +324,69 @@ object Profile {
         col("theta"), col("z_raw"), col("z_adj"))
   }
 
+  /** Trimmed and winsorized means — the robust location estimates
+    * beside the median ([[percentRank]] order stats) and the robust z
+    * (MAD): drop (trimmed) or clamp (winsorized) the outer
+    * `trimPerMille`/1000 tail mass on each side. The trim fraction is
+    * an integer PER-MILLE so the cut ranks are exact integral
+    * divisions — a double fraction times a 2^53-scale count is not
+    * exact, the equiDepthBins lesson.
+    *
+    * Windowless: tie-stable rank spans come from [[percentRank]]'s
+    * binned prefix sums; each distinct value contributes
+    * `min(hi, below+cnt) − max(lo, below)` retained occurrences
+    * (exact integers), value mass routes through DECIMAL(38,15) ×
+    * BIGINT products (exact), and the two boundary values are
+    * discrete order statistics (min-above-rank, the conformal
+    * convention). One sig9 per output mean.
+    *
+    * @return per key: (keys…, n, lo_cut, v_lo, v_hi, trimmed_mean,
+    *         winsorized_mean) — means NULL when the trim empties the
+    *         middle */
+  def trimmedMean(df: DataFrame, keyCols: Seq[String], valCol: String,
+      trimPerMille: Int = 50, nBins: Int = 1024): DataFrame = {
+    import graft.queries.Q
+    import org.apache.spark.sql.types.DecimalType
+    require(trimPerMille >= 0 && trimPerMille < 500,
+      s"trimPerMille must be in [0, 500), got $trimPerMille")
+    // exact decimal SHAPES (the KM (25,15)-accumulator lesson — a
+    // (38,15)×BIGINT product would force Spark to cap precision and
+    // SHAVE SCALE): value (25,15) × count (12,0) → (38,15) exact for
+    // |value| < 1e10, count < 1e12; addends re-bounded to (33,15)
+    // keep the winsorized sum exact for totals < 1e18
+    val dv = DecimalType(25, 15)
+    val dk = DecimalType(12, 0)
+    val da = DecimalType(33, 15)
+    val keys = keyCols.map(col)
+    val pr = percentRank(df, keyCols, valCol, nBins)
+    val totals = pr.groupBy(keys: _*)
+      .agg(max(col("n_below") + col("cnt")).as("n"))
+    val cut = pr.join(broadcast(totals), keyCols)
+      .withColumn("lo_cut",
+        expr(s"(n * CAST($trimPerMille AS BIGINT)) div 1000"))
+      .withColumn("hi_cut", col("n") - col("lo_cut"))
+      .withColumn("kept", greatest(lit(0L),
+        least(col("n_below") + col("cnt"), col("hi_cut")) -
+          greatest(col("n_below"), col("lo_cut"))))
+    val g = cut.groupBy(keys: _*)
+      .agg(max(col("n")).as("n"), max(col("lo_cut")).as("lo_cut"),
+        sum(col("s").cast(dv) * col("kept").cast(dk)).as("__mid"),
+        min(when(col("n_below") + col("cnt") >= col("lo_cut") + 1,
+          col("s"))).as("v_lo"),
+        min(when(col("n_below") + col("cnt") >= col("n") - col("lo_cut"),
+          col("s"))).as("v_hi"))
+    val nMid = col("n") - lit(2L) * col("lo_cut")
+    val winTotal = col("__mid").cast(da) +
+      (col("v_lo").cast(dv) * col("lo_cut").cast(dk)).cast(da) +
+      (col("v_hi").cast(dv) * col("lo_cut").cast(dk)).cast(da)
+    g.select(keys ++ Seq(col("n"), col("lo_cut"), col("v_lo"),
+      col("v_hi"),
+      when(nMid > 0, Q.sig9(col("__mid").cast("double") /
+        nMid.cast("double"))).as("trimmed_mean"),
+      when(nMid > 0, Q.sig9(winTotal.cast("double") /
+        col("n").cast("double"))).as("winsorized_mean")): _*)
+  }
+
   /** Delete-one-group jackknife for a RATIO metric (Quenouille/Tukey;
     * the standard error bar for CTR-style ratios in search/ads
     * evaluation, where the bootstrap's unit resampling breaks the

@@ -358,6 +358,90 @@ object BehaviorQueries {
       |FROM cum JOIN tot ON cum.step_idx = tot.step_idx
       |GROUP BY 1, 2""".stripMargin
 
+  // ===== two-group log-rank test ======================================
+
+  /** [[graft.ext.Behavior.logRank]] on time-to-first-purchase between
+    * the "ab:" hash arms — the survival member of the A/B family. The
+    * oracle rebuilds the KM duration construction per arm, the
+    * exclusive-prefix at-risk sets, every sig9'd E/V term in exact
+    * DECIMAL(38,0) products and both duration-ordered folds. */
+  private val logRankQ: QFn = (s, d) => {
+    val grp = pmod(graft.ext.Hashing.hash60(
+      concat(lit("ab:"), col("user_id").cast("string"))), lit(2L))
+    Behavior.logRank(
+      Tables.events(s, d).withColumn("grp", grp),
+      "user_id", "ts", "event_type", "purchase", "grp")
+  }
+
+  private val logRankSql = {
+    val na = "(ta - ra)"; val nb = "(tb - rb)"
+    val n = s"($na + $nb)"; val dd = "(da + db)"
+    val eTerm = Q.sqlSig9(
+      s"CAST(CAST($dd AS DECIMAL(38,0)) * $na AS DOUBLE) / " +
+        s"CAST($n AS DOUBLE)")
+    val vTerm = Q.sqlSig9(
+      s"CAST(CAST($dd AS DECIMAL(38,0)) * $na * $nb * ($n - $dd) " +
+        s"AS DOUBLE) / CAST(CAST($n AS DECIMAL(38,0)) * $n * ($n - 1) " +
+        s"AS DOUBLE)")
+    s"""WITH pu AS (
+       |  SELECT user_id, min(ts) AS t0,
+       |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp,
+       |    max(ts) AS tl
+       |  FROM events GROUP BY 1),
+       |du AS (
+       |  SELECT CAST(CASE WHEN tp IS NOT NULL
+       |      THEN date_diff('day', CAST(t0 AS DATE), CAST(tp AS DATE))
+       |      ELSE date_diff('day', CAST(t0 AS DATE), CAST(tl AS DATE))
+       |      END AS BIGINT) AS dur,
+       |    tp IS NOT NULL AS obs,
+       |    CAST(${Q.sqlHash60("'ab:' || CAST(user_id AS VARCHAR)")} % 2
+       |      AS BIGINT) AS g
+       |  FROM pu),
+       |ar AS (SELECT CAST(min(g) AS BIGINT) AS ga,
+       |  CAST(max(g) AS BIGINT) AS gb FROM du),
+       |bd AS (
+       |  SELECT dur,
+       |    CAST(sum(CASE WHEN obs AND g = (SELECT ga FROM ar)
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS da,
+       |    CAST(sum(CASE WHEN obs AND g <> (SELECT ga FROM ar)
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS db,
+       |    CAST(sum(CASE WHEN NOT obs AND g = (SELECT ga FROM ar)
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+       |    CAST(sum(CASE WHEN NOT obs AND g <> (SELECT ga FROM ar)
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS cb
+       |  FROM du GROUP BY 1),
+       |tot AS (SELECT CAST(sum(da + ca) AS BIGINT) AS ta,
+       |  CAST(sum(db + cb) AS BIGINT) AS tb FROM bd),
+       |cw AS (
+       |  SELECT dur, da, db,
+       |    CAST(COALESCE(sum(da + ca) OVER (ORDER BY dur
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS ra,
+       |    CAST(COALESCE(sum(db + cb) OVER (ORDER BY dur
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS rb
+       |  FROM bd),
+       |tm AS (
+       |  SELECT dur, da,
+       |    CASE WHEN $dd > 0 AND $n > 0 THEN $eTerm
+       |      ELSE CAST(0.0 AS DOUBLE) END AS e,
+       |    CASE WHEN $dd > 0 AND $n > 1 THEN $vTerm
+       |      ELSE CAST(0.0 AS DOUBLE) END AS v
+       |  FROM cw CROSS JOIN tot),
+       |f AS (
+       |  SELECT CAST(COALESCE(sum(da), 0) AS BIGINT) AS o_a,
+       |    ${Q.sqlFold("list(e ORDER BY dur)")} AS e_a,
+       |    ${Q.sqlFold("list(v ORDER BY dur)")} AS v
+       |  FROM tm)
+       |SELECT (SELECT ga FROM ar) AS group_a,
+       |  (SELECT gb FROM ar) AS group_b,
+       |  ta AS n_users_a, tb AS n_users_b, o_a,
+       |  ${Q.sqlSig9("e_a")} AS e_a, ${Q.sqlSig9("v")} AS v,
+       |  CASE WHEN v > 0 THEN ${Q.sqlSig9(
+            "(CAST(o_a AS DOUBLE) - e_a) / sqrt(v)")} END AS z
+       |FROM f CROSS JOIN tot""".stripMargin
+  }
+
   // ===== Markov removal-effect attribution ============================
 
   /** [[graft.ext.Behavior.markovAttribution]] over purchase journeys:
@@ -470,6 +554,7 @@ object BehaviorQueries {
 
   val queries: Map[String, QFn] = Map(
     "q_x_markov_attrib" -> markovQ,
+    "q_x_logrank" -> logRankQ,
     "q_x_time_to_convert" -> timeToConvertQ,
     "q_x_rfm" -> rfmQ,
     "q_x_kaplan_meier" -> kmQ,
@@ -482,6 +567,7 @@ object BehaviorQueries {
 
   val oracles: Map[String, String] = Map(
     "q_x_markov_attrib" -> markovSql,
+    "q_x_logrank" -> logRankSql,
     "q_x_time_to_convert" -> timeToConvertSql,
     "q_x_rfm" -> rfmSql,
     "q_x_kaplan_meier" -> kmSql,

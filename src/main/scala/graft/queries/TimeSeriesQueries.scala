@@ -526,6 +526,61 @@ object TimeSeriesQueries {
        |FROM pt JOIN sm USING (event_type)""".stripMargin
   }
 
+  // ===== trimmed / winsorized means ===================================
+
+  /** [[graft.ext.Profile.trimmedMean]] per event_type at 50‰ trim —
+    * the robust-location member beside median and robust z. The
+    * oracle recomputes the tie-stable rank spans with its own naive
+    * window and mirrors the exact (25,15)×(12,0) decimal products,
+    * the (33,15) winsorized addends and both sig9'd means. */
+  private val trimmedQ: QFn = (s, d) =>
+    graft.ext.Profile.trimmedMean(
+      Tables.events(s, d).select(col("event_type"), col("value")),
+      Seq("event_type"), "value", trimPerMille = 50)
+
+  private val trimmedSql =
+    s"""WITH vc AS (
+       |  SELECT event_type AS k, value AS s,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+       |nb AS (
+       |  SELECT k, s, cnt,
+       |    CAST(COALESCE(sum(cnt) OVER (PARTITION BY k ORDER BY s
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS n_below
+       |  FROM vc),
+       |t AS (SELECT k, CAST(sum(cnt) AS BIGINT) AS n FROM vc
+       |  GROUP BY 1),
+       |c AS (
+       |  SELECT nb.*, t.n, (t.n * 50) // 1000 AS lo_cut,
+       |    t.n - ((t.n * 50) // 1000) AS hi_cut
+       |  FROM nb JOIN t USING (k)),
+       |g AS (
+       |  SELECT k, CAST(max(n) AS BIGINT) AS n,
+       |    CAST(max(lo_cut) AS BIGINT) AS lo_cut,
+       |    sum(CAST(s AS DECIMAL(25,15)) *
+       |      CAST(greatest(CAST(0 AS BIGINT),
+       |        least(n_below + cnt, hi_cut) -
+       |        greatest(n_below, lo_cut)) AS DECIMAL(12,0))) AS mid,
+       |    min(CASE WHEN n_below + cnt >= lo_cut + 1 THEN s END)
+       |      AS v_lo,
+       |    min(CASE WHEN n_below + cnt >= n - lo_cut THEN s END)
+       |      AS v_hi
+       |  FROM c GROUP BY 1)
+       |SELECT k AS event_type, n, lo_cut, v_lo, v_hi,
+       |  CASE WHEN n - 2 * lo_cut > 0 THEN ${Q.sqlSig9(
+            "CAST(mid AS DOUBLE) / CAST(n - 2 * lo_cut AS DOUBLE)")} END
+       |    AS trimmed_mean,
+       |  CASE WHEN n - 2 * lo_cut > 0 THEN ${Q.sqlSig9(
+            "CAST(CAST(mid AS DECIMAL(33,15)) + " +
+              "CAST(CAST(v_lo AS DECIMAL(25,15)) * " +
+              "CAST(lo_cut AS DECIMAL(12,0)) AS DECIMAL(33,15)) + " +
+              "CAST(CAST(v_hi AS DECIMAL(25,15)) * " +
+              "CAST(lo_cut AS DECIMAL(12,0)) AS DECIMAL(33,15)) " +
+              "AS DOUBLE) / CAST(n AS DOUBLE)")} END
+       |    AS winsorized_mean
+       |FROM g""".stripMargin
+
   // ===== minimum detectable effect at current sample sizes ============
 
   /** [[graft.ext.Profile.minDetectableEffect]] on the same "ab:" hash
@@ -1662,6 +1717,7 @@ object TimeSeriesQueries {
     "q_x_permtest" -> permTestQ,
     "q_x_jackknife" -> jackknifeQ,
     "q_x_mde" -> mdeQ,
+    "q_x_trimmed_mean" -> trimmedQ,
     "q_x_resample" -> resampleQ,
     "q_x_interp" -> interpQ,
     "q_x_seasonal" -> seasonalQ,
@@ -1697,6 +1753,7 @@ object TimeSeriesQueries {
     "q_x_permtest" -> permTestSql,
     "q_x_jackknife" -> jackknifeSql,
     "q_x_mde" -> mdeSql,
+    "q_x_trimmed_mean" -> trimmedSql,
     "q_x_resample" -> resampleSql,
     "q_x_interp" -> interpSql,
     "q_x_seasonal" -> seasonalSql,

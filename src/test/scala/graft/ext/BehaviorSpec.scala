@@ -268,6 +268,47 @@ class BehaviorSpec extends SparkSpec {
     assert(got(2L) == ((1L, 10 * m, 10 * m, 10 * m)))
   }
 
+  // ===== log-rank test ================================================
+
+  test("logRank: O/E/V follow the exact hypergeometric chain over the " +
+      "duration grid; identical-behavior arms give z = 0") {
+    import graft.functions.GraftMath.sig9
+    import java.sql.Timestamp
+    def t(day: Int) = Timestamp.valueOf(f"2024-01-${day + 1}%02d 00:00:00")
+    // arm 0 (users 2, 4): events at dur 1 and 2; arm 1 (users 1, 3):
+    // event at dur 3, censored at dur 4
+    val ev = Seq(
+      (2L, t(0), "click"), (2L, t(1), "purchase"),
+      (4L, t(0), "click"), (4L, t(2), "purchase"),
+      (1L, t(0), "click"), (1L, t(3), "purchase"),
+      (3L, t(0), "click"), (3L, t(4), "click"))
+      .toDF("u", "ts", "et")
+      .withColumn("grp", col("u") % 2)
+    val r = Behavior.logRank(ev, "u", "ts", "et", "purchase", "grp")
+      .head()
+    assert(r.getAs[Long]("group_a") == 0L &&
+      r.getAs[Long]("group_b") == 1L)
+    assert(r.getAs[Long]("n_users_a") == 2L &&
+      r.getAs[Long]("n_users_b") == 2L)
+    assert(r.getAs[Long]("o_a") == 2L)
+    // t=1: e=2/4, v=1*2*2*3/(4*4*3); t=2: e=1/3, v=1*1*2*2/(9*2);
+    // t=3: na=0 -> e=0, v=0; t=4: censoring only -> no term
+    val eRaw = sig9(0.5) + sig9(1.0 / 3.0) + 0.0
+    val vRaw = sig9(0.25) + sig9(2.0 / 9.0) + 0.0
+    assert(r.getAs[Double]("e_a") == sig9(eRaw))
+    assert(r.getAs[Double]("v") == sig9(vRaw))
+    assert(r.getAs[Double]("z") ==
+      sig9((2.0 - eRaw) / math.sqrt(vRaw)))
+    // symmetric arms: expected equals observed -> z exactly 0
+    val sym = Seq(
+      (2L, t(0), "click"), (2L, t(1), "purchase"),
+      (1L, t(0), "click"), (1L, t(1), "purchase"))
+      .toDF("u", "ts", "et").withColumn("grp", col("u") % 2)
+    val rs = Behavior.logRank(sym, "u", "ts", "et", "purchase", "grp")
+      .head()
+    assert(rs.getAs[Double]("z") == 0.0)
+  }
+
   // ===== Markov removal-effect attribution ============================
 
   test("markovAttribution: removal effects follow the absorbing-chain " +

@@ -332,6 +332,31 @@ class ProfileSpec extends SparkSpec {
     assert(got.length === 1 && got.head.isNullAt(3))
   }
 
+  // ===== trimmed / winsorized means ===================================
+
+  test("trimmedMean: drops exactly the cut ranks, clamps for the " +
+      "winsorized form, and is robust to the outlier the mean is not") {
+    import graft.functions.GraftMath.sig9
+    val d = ((1 to 10).map(_.toDouble) :+ 1000.0).map(("g", _))
+      .toDF("g", "x")
+    val r = Profile.trimmedMean(d, Seq("g"), "x",
+      trimPerMille = 100).head()
+    assert(r.getAs[Long]("n") == 11L && r.getAs[Long]("lo_cut") == 1L)
+    assert(r.getAs[Double]("v_lo") == 2.0 &&
+      r.getAs[Double]("v_hi") == 10.0)
+    assert(r.getAs[Double]("trimmed_mean") == 6.0) // (2..10)/9
+    assert(r.getAs[Double]("winsorized_mean") == 6.0) // (54+2+10)/11
+    // tied values straddling the cut contribute partial counts
+    val t = Seq(1.0, 1.0, 1.0, 5.0, 9.0).map(("g", _)).toDF("g", "x")
+    val rt = Profile.trimmedMean(t, Seq("g"), "x",
+      trimPerMille = 200).head()
+    assert(rt.getAs[Long]("lo_cut") == 1L)
+    assert(rt.getAs[Double]("trimmed_mean") == sig9(7.0 / 3.0))
+    assert(rt.getAs[Double]("winsorized_mean") == 2.6) // (7+1+5)/5
+    assert(rt.getAs[Double]("v_lo") == 1.0 &&
+      rt.getAs[Double]("v_hi") == 5.0)
+  }
+
   // ===== delete-one-group jackknife ===================================
 
   test("jackknifeRatio: pseudo-values and se follow the exact " +
