@@ -352,6 +352,51 @@ object Behavior {
           .as("survival"))
   }
 
+  /** Per-user event-path n-gram mining — "what do users DO, in
+    * order": the sequence generalization of [[transitions]] (n = 2)
+    * for discovering common multi-step paths (view>click>purchase)
+    * before funnel definitions exist. Paths are windows of `n`
+    * consecutive events within a user's (ts, tieBreak)-ordered
+    * stream; counts are exact BIGINTs and the support ratio is one
+    * sig9'd division — no other float anywhere.
+    *
+    * Scale shape: one per-user window pass (bounded per user, the
+    * SCD2 convention) building the n−1 leads, then ONE path-keyed
+    * hash aggregate (map-side partial). `minCount` prunes the long
+    * tail before the aggregate's shuffle emits it.
+    *
+    * @return per path: (path "a>b>c", n_occurrences, n_users,
+    *         support = occurrences / total n-gram windows) */
+  def pathCounts(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, n: Int = 3, minCount: Long = 1,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    import graft.queries.Q
+    require(n >= 2 && n <= 8, s"n must be in [2, 8], got $n")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol))
+      .orderBy((col(tsCol) +: tieBreak.map(col)).map(_.asc): _*)
+    val steps = (0 until n).map {
+      case 0 => col(typeCol).cast("string")
+      case i => lead(col(typeCol).cast("string"), i).over(w)
+    }
+    val grams = events
+      .where(col(typeCol).isNotNull) // concat_ws would silently skip
+      .select(col(userCol).as("__u"),
+        concat_ws(">", steps: _*).as("path"),
+        steps.last.isNotNull.as("__full"))
+      .where(col("__full")) // windows that run off the stream end drop
+    val tot = grams.agg(count(lit(1)).cast("long").as("__t"))
+    grams.groupBy(col("path"))
+      .agg(count(lit(1)).cast("long").as("n_occurrences"),
+        count_distinct(col("__u")).cast("long").as("n_users"))
+      .where(col("n_occurrences") >= minCount)
+      .crossJoin(broadcast(tot))
+      .select(col("path"), col("n_occurrences"), col("n_users"),
+        Q.sig9(col("n_occurrences").cast("double") /
+          col("__t").cast("double")).as("support"))
+  }
+
   /** Two-group log-rank test (Mantel–Cox) — does one arm convert
     * FASTER, accounting for censoring: the hypothesis-test companion
     * to [[kaplanMeier]]'s curves (and the survival member of the A/B

@@ -166,6 +166,53 @@ object Classifier {
         (col("n_pos").cast("double") / col("n")).as("obs_rate"))
   }
 
+  /** Closed-form ridge regression on two features (one may be the
+    * bias) — the regularized companion to the GD `linearTrain`: solve
+    * the 2×2 normal equations (XᵀX + λI)w = Xᵀy exactly instead of
+    * iterating, the right tool when the design is tiny and the data
+    * is huge (one aggregate pass, no trajectory).
+    *
+    * Determinism: each cross-product term is sig9'd BEFORE the
+    * decimal sum (the NB product rule — raw double products straddle
+    * the engines' 15th-decimal cast), the five sums are
+    * order-independent decimal reductions, and the Cramer solve is a
+    * fixed IEEE chain over sig9'd values, sig9'd once per output.
+    *
+    * Scale shape: ONE map-side-combined aggregate (five dsums + a
+    * count) — nothing else touches the corpus.
+    *
+    * @return ONE row: (w1, w2, det, n, lambda) — weights NULL when
+    *         the regularized determinant is 0 */
+  def ridgeFit(df: DataFrame, x1Col: String, x2Col: String,
+      yCol: String, lambda: Double): DataFrame = {
+    require(lambda >= 0, s"lambda must be >= 0, got $lambda")
+    val x1 = col(x1Col).cast("double")
+    val x2 = col(x2Col).cast("double")
+    val y = col(yCol).cast("double")
+    val g = df
+      .where(x1.isNotNull && x2.isNotNull && y.isNotNull)
+      .agg(count(lit(1)).cast("long").as("n"),
+        Q.dsum(Q.sig9(x1 * x1)).as("s11"),
+        Q.dsum(Q.sig9(x1 * x2)).as("s12"),
+        Q.dsum(Q.sig9(x2 * x2)).as("s22"),
+        Q.dsum(Q.sig9(x1 * y)).as("sy1"),
+        Q.dsum(Q.sig9(x2 * y)).as("sy2"))
+    val a = col("s11") + lit(lambda)
+    val c = col("s22") + lit(lambda)
+    val det = Q.sig9(a * c - col("s12") * col("s12"))
+    g.select(
+        col("n"), col("s12"), col("sy1"), col("sy2"),
+        a.as("__a"), c.as("__c"), det.as("det"))
+      .select(
+        when(col("det") =!= 0.0, Q.sig9(
+          (col("__c") * col("sy1") - col("s12") * col("sy2")) /
+            col("det"))).as("w1"),
+        when(col("det") =!= 0.0, Q.sig9(
+          (col("__a") * col("sy2") - col("s12") * col("sy1")) /
+            col("det"))).as("w2"),
+        col("det"), col("n"), lit(lambda).as("lambda"))
+  }
+
   /** Decile lift & cumulative-gains table — the model-targeting
     * readout beside [[auc]] (threshold-free ranking quality) and
     * [[calibration]] (probability faithfulness): rank units by score,

@@ -358,6 +358,37 @@ object BehaviorQueries {
       |FROM cum JOIN tot ON cum.step_idx = tot.step_idx
       |GROUP BY 1, 2""".stripMargin
 
+  // ===== event-path n-gram mining =====================================
+
+  /** [[graft.ext.Behavior.pathCounts]] — user event trigrams with
+    * min-count 5; the oracle rebuilds the per-user lead windows and
+    * the exact counts, support as the one sig9'd division. */
+  private val pathsQ: QFn = (s, d) =>
+    Behavior.pathCounts(Tables.events(s, d), "user_id", "ts",
+      "event_type", n = 3, minCount = 5, tieBreak = Seq("event_id"))
+
+  private val pathsSql =
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, ts, event_id FROM events
+       |  WHERE event_type IS NOT NULL),
+       |g AS (
+       |  SELECT user_id,
+       |    event_type || '>' || lead(event_type, 1) OVER w
+       |      || '>' || lead(event_type, 2) OVER w AS path,
+       |    lead(event_type, 2) OVER w IS NOT NULL AS is_full
+       |  FROM e
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |f AS (SELECT user_id, path FROM g WHERE is_full),
+       |t AS (SELECT CAST(count(*) AS BIGINT) AS tt FROM f),
+       |c AS (
+       |  SELECT path, CAST(count(*) AS BIGINT) AS n_occurrences,
+       |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+       |  FROM f GROUP BY 1 HAVING count(*) >= 5)
+       |SELECT path, n_occurrences, n_users,
+       |  ${Q.sqlSig9("CAST(n_occurrences AS DOUBLE) / " +
+            "CAST(tt AS DOUBLE)")} AS support
+       |FROM c CROSS JOIN t""".stripMargin
+
   // ===== two-group log-rank test ======================================
 
   /** [[graft.ext.Behavior.logRank]] on time-to-first-purchase between
@@ -555,6 +586,7 @@ object BehaviorQueries {
   val queries: Map[String, QFn] = Map(
     "q_x_markov_attrib" -> markovQ,
     "q_x_logrank" -> logRankQ,
+    "q_x_paths" -> pathsQ,
     "q_x_time_to_convert" -> timeToConvertQ,
     "q_x_rfm" -> rfmQ,
     "q_x_kaplan_meier" -> kmQ,
@@ -568,6 +600,7 @@ object BehaviorQueries {
   val oracles: Map[String, String] = Map(
     "q_x_markov_attrib" -> markovSql,
     "q_x_logrank" -> logRankSql,
+    "q_x_paths" -> pathsSql,
     "q_x_time_to_convert" -> timeToConvertSql,
     "q_x_rfm" -> rfmSql,
     "q_x_kaplan_meier" -> kmSql,

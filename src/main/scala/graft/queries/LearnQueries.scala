@@ -94,6 +94,50 @@ object LearnQueries {
     s"""WITH $logisticCtes
        |SELECT doc_id, score, score >= 0.5 AS pred FROM sc""".stripMargin
 
+  // ===== closed-form ridge regression =================================
+
+  /** [[graft.ext.Classifier.ridgeFit]] at λ = 0.1 on the linreg
+    * feature shape — one aggregate pass instead of a GD trajectory;
+    * the oracle mirrors the five sig9'd-product decimal sums and the
+    * Cramer solve chain. */
+  private val ridgeLambda = 0.1
+
+  private val ridgeQ: QFn = (s, d) =>
+    Classifier.ridgeFit(
+      Tables.lineitem(s, d).select(
+        (col("l_quantity").cast("double") / 50.0).as("x1"),
+        lit(1.0).as("x2"),
+        (col("l_extendedprice").cast("double") / 100000.0).as("y")),
+      "x1", "x2", "y", lambda = ridgeLambda)
+
+  private val ridgeSql = {
+    val a = s"(s11 + CAST($ridgeLambda AS DOUBLE))"
+    val c = s"(s22 + CAST($ridgeLambda AS DOUBLE))"
+    s"""WITH f AS (
+       |  SELECT CAST(l_quantity AS DOUBLE) / 50.0 AS x1,
+       |    CAST(1.0 AS DOUBLE) AS x2,
+       |    CAST(l_extendedprice AS DOUBLE) / 100000.0 AS y
+       |  FROM lineitem
+       |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+       |g AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    ${sqlDsum(sqlSig9("x1 * x1"))} AS s11,
+       |    ${sqlDsum(sqlSig9("x1 * x2"))} AS s12,
+       |    ${sqlDsum(sqlSig9("x2 * x2"))} AS s22,
+       |    ${sqlDsum(sqlSig9("x1 * y"))} AS sy1,
+       |    ${sqlDsum(sqlSig9("x2 * y"))} AS sy2
+       |  FROM f),
+       |e AS (
+       |  SELECT *, ${sqlSig9(s"$a * $c - s12 * s12")} AS det FROM g)
+       |SELECT
+       |  CASE WHEN det <> 0 THEN ${sqlSig9(
+            s"($c * sy1 - s12 * sy2) / det")} END AS w1,
+       |  CASE WHEN det <> 0 THEN ${sqlSig9(
+            s"($a * sy2 - s12 * sy1) / det")} END AS w2,
+       |  det, n, CAST($ridgeLambda AS DOUBLE) AS lambda
+       |FROM e""".stripMargin
+  }
+
   // ===== decile lift & cumulative gains ================================
 
   /** [[graft.ext.Classifier.liftTable]] over the same trained logistic
@@ -685,6 +729,7 @@ object LearnQueries {
     "q_x_conformal" -> conformalQ,
     "q_x_logistic" -> logisticQ,
     "q_x_lift" -> liftQ,
+    "q_x_ridge" -> ridgeQ,
     "q_x_linreg" -> linregQ,
     "q_x_auc" -> aucQ,
     "q_x_calibration" -> calibrationQ,
@@ -700,6 +745,7 @@ object LearnQueries {
     "q_x_conformal" -> conformalSql,
     "q_x_logistic" -> logisticSql,
     "q_x_lift" -> liftSql,
+    "q_x_ridge" -> ridgeSql,
     "q_x_linreg" -> linregSql,
     "q_x_auc" -> aucSql,
     "q_x_calibration" -> calibrationSql,

@@ -268,6 +268,35 @@ class BehaviorSpec extends SparkSpec {
     assert(got(2L) == ((1L, 10 * m, 10 * m, 10 * m)))
   }
 
+  // ===== event-path n-grams ===========================================
+
+  test("pathCounts: trigrams respect per-user (ts, tie) order, " +
+      "min-count prunes, support divides by total windows") {
+    import graft.functions.GraftMath.sig9
+    val ev = Seq(
+      (1L, 1L, "a", 1L), (1L, 2L, "b", 2L), (1L, 3L, "c", 3L),
+      (1L, 4L, "d", 4L),
+      (2L, 1L, "a", 5L), (2L, 2L, "b", 6L), (2L, 3L, "c", 7L))
+      .toDF("u", "ts", "t", "eid")
+    val all = Behavior.pathCounts(ev, "u", "ts", "t", n = 3,
+        minCount = 1, tieBreak = Seq("eid"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // windows: u1 -> a>b>c, b>c>d; u2 -> a>b>c (3 total)
+    assert(all.keySet == Set("a>b>c", "b>c>d"))
+    assert(all("a>b>c") == ((2L, 2L, sig9(2.0 / 3.0))))
+    assert(all("b>c>d") == ((1L, 1L, sig9(1.0 / 3.0))))
+    val pruned = Behavior.pathCounts(ev, "u", "ts", "t", n = 3,
+      minCount = 2, tieBreak = Seq("eid"))
+    assert(pruned.collect().map(_.getString(0)).toSeq == Seq("a>b>c"))
+    // same-ts events order by the tie column
+    val tie = Seq((9L, 1L, "x", 2L), (9L, 1L, "y", 1L),
+      (9L, 2L, "z", 3L)).toDF("u", "ts", "t", "eid")
+    val got = Behavior.pathCounts(tie, "u", "ts", "t", n = 3,
+      minCount = 1, tieBreak = Seq("eid"))
+    assert(got.collect().map(_.getString(0)).toSeq == Seq("y>x>z"))
+  }
+
   // ===== log-rank test ================================================
 
   test("logRank: O/E/V follow the exact hypergeometric chain over the " +

@@ -174,6 +174,36 @@ class ClassifierSpec extends SparkSpec {
 
   private def s9(x: Double) = graft.functions.GraftMath.sig9(x)
 
+  // ===== closed-form ridge ============================================
+
+  test("ridgeFit: recovers an exact linear relation at lambda 0, " +
+      "shrinks exactly per the normal equations at lambda > 0, and " +
+      "NULLs out on a singular design") {
+    // y = 2x + 3 over x in {1,2,3}: all sums exact integers
+    val d = Seq((1.0, 1.0, 5.0), (2.0, 1.0, 7.0), (3.0, 1.0, 9.0))
+      .toDF("x1", "x2", "y")
+    val r0 = Classifier.ridgeFit(d, "x1", "x2", "y", lambda = 0.0)
+      .head()
+    assert(r0.getAs[Double]("w1") == 2.0 &&
+      r0.getAs[Double]("w2") == 3.0)
+    assert(r0.getAs[Double]("det") == 6.0 && r0.getAs[Long]("n") == 3L)
+    // lambda 6: a=20, c=9, det=144 -> w = (288/144, 144/144·1) = (2, 1)
+    val r6 = Classifier.ridgeFit(d, "x1", "x2", "y", lambda = 6.0)
+      .head()
+    assert(r6.getAs[Double]("w1") == 2.0 &&
+      r6.getAs[Double]("w2") == 1.0)
+    // duplicated feature, no regularization -> singular
+    val dup = Seq((1.0, 1.0, 5.0), (2.0, 2.0, 7.0)).toDF("x1", "x2", "y")
+    val rs = Classifier.ridgeFit(dup, "x1", "x2", "y", lambda = 0.0)
+      .head()
+    assert(rs.getAs[Double]("det") == 0.0)
+    assert(rs.isNullAt(rs.fieldIndex("w1")))
+    // and the same design becomes solvable WITH regularization
+    val rr = Classifier.ridgeFit(dup, "x1", "x2", "y", lambda = 1.0)
+      .head()
+    assert(!rr.isNullAt(rr.fieldIndex("w1")))
+  }
+
   test("liftTable: top decile captures the concentrated positives; " +
       "lift/gain follow the exact-product sig9 chain") {
     // scores 1..20, positives at 16..20 (top bin) and 3 (bottom bin)
