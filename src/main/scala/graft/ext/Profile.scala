@@ -810,6 +810,92 @@ object Profile {
         col("nb").cast("long").as("n_b"))
   }
 
+  /** Two-sample Cramér–von Mises statistic — the INTEGRAL CDF
+    * distance beside [[ksDistance]]'s supremum: T = (nm/N²) ·
+    * Σ_k (c_k/N) · (F_a(v_k) − F_b(v_k))², summed over the pooled
+    * distinct values with pooled-mass weights. KS sees only the worst
+    * single gap; CvM accumulates every gap, so spread-out
+    * distributional drift that never produces one large deviation
+    * still registers.
+    *
+    * Same machinery as KS: distinct-value collapse, two-phase binned
+    * prefix sums (no global window), exact inclusive CDF counts. Each
+    * gap d_k = (cumA·n_b − cumB·n_a) is an exact DECIMAL(38,0)
+    * integer; the normalized gap and each weighted square are sig9'd
+    * (the KS cast precedent), terms sum via dsumStable(6) (the
+    * chi-square scale), and the final product chain is sig9'd once.
+    *
+    * @return one row: (cvm, sum_wd2, n_a, n_b) — NULL when a side is
+    *         empty */
+  def cvmDistance(a: DataFrame, b: DataFrame, valCol: String,
+      nBins: Int = 1024): DataFrame = {
+    import graft.queries.Q
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val tagged = a.select(col(valCol).cast("double").as("s"))
+      .where(col("s").isNotNull)
+      .select(col("s"), lit(1L).as("ac"), lit(0L).as("bc"))
+      .unionAll(b.select(col(valCol).cast("double").as("s"))
+        .where(col("s").isNotNull)
+        .select(col("s"), lit(0L).as("ac"), lit(1L).as("bc")))
+    val counts = tagged.groupBy(col("s"))
+      .agg(sum(col("ac")).as("ac"), sum(col("bc")).as("bc"))
+      .localCheckpoint()
+    val mm = counts.agg(min(col("s")).as("lo"), max(col("s")).as("hi"),
+      sum(col("ac")).as("na"), sum(col("bc")).as("nb"))
+    val binned = counts.crossJoin(broadcast(mm))
+      .withColumn("bin",
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(lit(nBins - 1L),
+            floor((col("s") - col("lo"))
+              / ((col("hi") - col("lo")) / nBins)).cast("long"))))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bin")).orderBy(col("s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0) // inclusive CDF
+    val within = binned
+      .withColumn("la", sum(col("ac")).over(wIn))
+      .withColumn("lb", sum(col("bc")).over(wIn))
+    val bases = binned.groupBy(col("bin"))
+      .agg(sum(col("ac")).as("ba"), sum(col("bc")).as("bb"))
+      .agg(array_sort(collect_list(struct(col("bin"), col("ba"),
+        col("bb")))).as("arr"))
+      .select(explode(transform(col("arr"), (x, i) =>
+        struct(x.getField("bin").as("bin"),
+          aggregate(slice(col("arr"), lit(1), i), lit(0L),
+            (acc, e) => acc + e.getField("ba")).as("basea"),
+          aggregate(slice(col("arr"), lit(1), i), lit(0L),
+            (acc, e) => acc + e.getField("bb")).as("baseb")))).as("x"))
+      .select(col("x.bin").as("bin"), col("x.basea").as("basea"),
+        col("x.baseb").as("baseb"))
+    val cum = within.join(bases, Seq("bin"))
+      .withColumn("num",
+        (col("basea") + col("la")).cast(dec) * col("nb").cast(dec) -
+          (col("baseb") + col("lb")).cast(dec) * col("na").cast(dec))
+    // the divisor guard lives IN the projection: ANSI division throws
+    // and the final when() cannot save a per-row expression (the
+    // theilSen pushdown lesson)
+    val prodD = (col("na").cast(dec) * col("nb").cast(dec))
+      .cast("double")
+    val dnorm = when(prodD > 0,
+      Q.sig9(col("num").cast("double") / prodD)).otherwise(lit(0.0))
+    val terms = cum
+      .select(Q.sig9((col("ac") + col("bc")).cast("double") *
+        Q.sig9(dnorm * dnorm)).as("t"), col("na"), col("nb"))
+    terms.groupBy(col("na"), col("nb"))
+      .agg(Q.dsumStable(col("t"), 6).as("sum_wd2"))
+      .select(
+        when(col("na") > 0 && col("nb") > 0, Q.sig9(
+          Q.sig9((col("na").cast(dec) * col("nb").cast(dec))
+            .cast("double") /
+            ((col("na") + col("nb")).cast(dec) *
+              (col("na") + col("nb")).cast(dec)).cast("double")) *
+            col("sum_wd2") /
+            (col("na") + col("nb")).cast("double"))).as("cvm"),
+        col("sum_wd2"),
+        col("na").cast("long").as("n_a"),
+        col("nb").cast("long").as("n_b"))
+  }
+
   /** Pearson chi-square test of independence between two categorical
     * columns — the categorical-drift monitor beside [[psi]] (numeric
     * bins) and [[ksDistance]] (numeric shape): "is `colCol`'s

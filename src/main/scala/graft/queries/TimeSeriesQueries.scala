@@ -799,6 +799,60 @@ object TimeSeriesQueries {
        |  t.na AS n_a, t.nb AS n_b
        |FROM t, mx""".stripMargin
 
+  // ===== Cramér–von Mises integral CDF distance ========================
+
+  /** [[graft.ext.Profile.cvmDistance]] on the same "ab:" hash arms as
+    * `q_x_ks` — the integral member of the A/B shape family (KS sees
+    * the worst single CDF gap; CvM accumulates every gap). The oracle
+    * rebuilds the inclusive CDFs with its own naive window and mirrors
+    * every sig9 point and the dsumStable(6) term sum. */
+  private val cvmQ: QFn = (s, d) => {
+    val grp = pmod(graft.ext.Hashing.hash60(
+      concat(lit("ab:"), col("user_id").cast("string"))), lit(2L))
+    val ev = Tables.events(s, d).where(col("value").isNotNull)
+      .withColumn("grp", grp)
+    graft.ext.Profile.cvmDistance(
+      ev.where(col("grp") === 0), ev.where(col("grp") === 1), "value")
+  }
+
+  private val cvmSql = {
+    val dnorm = "(CASE WHEN t.na > 0 AND t.nb > 0 THEN " +
+      Q.sqlSig9("CAST(num AS DOUBLE) / " +
+        "CAST(CAST(t.na AS DECIMAL(38,0)) * t.nb AS DOUBLE)") +
+      " ELSE CAST(0.0 AS DOUBLE) END)"
+    val term = Q.sqlSig9(s"CAST(ck AS DOUBLE) * ${Q.sqlSig9(
+      s"$dnorm * $dnorm")}")
+    val nmOverN2 = Q.sqlSig9("CAST(CAST(t.na AS DECIMAL(38,0)) * t.nb " +
+      "AS DOUBLE) / CAST(CAST(t.na + t.nb AS DECIMAL(38,0)) * " +
+      "(t.na + t.nb) AS DOUBLE)")
+    s"""WITH g AS (
+       |  SELECT CAST(${Q.sqlHash60("'ab:' || CAST(user_id AS VARCHAR)")}
+       |    % 2 AS BIGINT) AS grp, value
+       |  FROM events WHERE value IS NOT NULL),
+       |c AS (
+       |  SELECT value AS s,
+       |    CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ac,
+       |    CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bc
+       |  FROM g GROUP BY 1),
+       |t AS (
+       |  SELECT CAST(sum(ac) AS BIGINT) AS na,
+       |    CAST(sum(bc) AS BIGINT) AS nb FROM c),
+       |cum AS (
+       |  SELECT s, ac + bc AS ck, sum(ac) OVER (ORDER BY s) AS ca,
+       |    sum(bc) OVER (ORDER BY s) AS cb FROM c),
+       |num AS (
+       |  SELECT s, ck, CAST(ca AS DECIMAL(38,0)) * t.nb -
+       |    CAST(cb AS DECIMAL(38,0)) * t.na AS num FROM cum, t),
+       |tm AS (SELECT $term AS tt FROM num, t),
+       |sm AS (SELECT ${Q.sqlDsumStable("tt", 6)} AS sum_wd2 FROM tm)
+       |SELECT
+       |  CASE WHEN t.na > 0 AND t.nb > 0 THEN ${Q.sqlSig9(
+            s"$nmOverN2 * sum_wd2 / CAST(t.na + t.nb AS DOUBLE)")}
+       |  END AS cvm,
+       |  sum_wd2, t.na AS n_a, t.nb AS n_b
+       |FROM sm, t""".stripMargin
+  }
+
   // ===== bounded-horizon EWMA =========================================
 
   private val ewmaAlpha = 0.25
@@ -1713,6 +1767,7 @@ object TimeSeriesQueries {
     "q_x_chisq" -> chisqQ,
     "q_x_mwu" -> mwuQ,
     "q_x_ks" -> ksQ,
+    "q_x_cvm" -> cvmQ,
     "q_x_bootstrap" -> bootstrapQ,
     "q_x_permtest" -> permTestQ,
     "q_x_jackknife" -> jackknifeQ,
@@ -1749,6 +1804,7 @@ object TimeSeriesQueries {
     "q_x_chisq" -> chisqSql,
     "q_x_mwu" -> mwuSql,
     "q_x_ks" -> ksSql,
+    "q_x_cvm" -> cvmSql,
     "q_x_bootstrap" -> bootstrapSql,
     "q_x_permtest" -> permTestSql,
     "q_x_jackknife" -> jackknifeSql,

@@ -60,4 +60,49 @@ class KsDistanceSpec extends SparkSpec {
     val r = run(Seq(1.0, 2.0), Seq.empty)
     assert(r.isNullAt(r.fieldIndex("ks")))
   }
+
+  // ===== Cramér–von Mises =============================================
+
+  private def runCvm(a: Seq[Double], b: Seq[Double]) = {
+    import spark.implicits._
+    Profile.cvmDistance(a.toDF("v"), b.toDF("v"), "v").head()
+  }
+
+  test("cvm: identical or distribution-identical samples score 0; a " +
+      "known small case follows the weighted-square chain exactly") {
+    import graft.functions.GraftMath.sig9
+    assert(runCvm(Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0))
+      .getAs[Double]("cvm") == 0.0)
+    // ties across samples, same shape -> every gap 0
+    assert(runCvm(Seq(1.0, 1.0), Seq(1.0)).getAs[Double]("cvm") == 0.0)
+    // a = {1,2}, b = {3,4}: gaps 0.5, 1, 0.5, 0; weights 1 each
+    val r = runCvm(Seq(1.0, 2.0), Seq(3.0, 4.0))
+    val sum = sig9(1.0 * sig9(0.5 * 0.5)) + sig9(1.0 * sig9(1.0)) +
+      sig9(1.0 * sig9(0.5 * 0.5)) + sig9(1.0 * sig9(0.0))
+    assert(r.getAs[Double]("sum_wd2") == sig9(sum))
+    assert(r.getAs[Double]("cvm") == sig9(sig9(4.0 / 16.0) * sig9(sum)
+      / 4.0))
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 2L)
+  }
+
+  test("cvm: accumulates spread-out drift KS undersells; empty side " +
+      "-> NULL") {
+    // shifted-by-epsilon EVERYWHERE (a 1/50 gap at all 100 pooled
+    // points) vs one value nudged (a 1/50 gap at a single point):
+    // KS scores both identically; CvM separates them
+    val base = (1 to 50).map(_.toDouble)
+    val shifted = base.map(_ + 0.5)
+    val nudged = base.updated(24, 25.5)
+    val cShift = runCvm(base, shifted).getAs[Double]("cvm")
+    val cNudge = runCvm(base, nudged).getAs[Double]("cvm")
+    val ksShift = Profile.ksDistance(base.toDF("v"), shifted.toDF("v"),
+      "v").head().getAs[Double]("ks")
+    val ksNudge = Profile.ksDistance(base.toDF("v"), nudged.toDF("v"),
+      "v").head().getAs[Double]("ks")
+    assert(ksShift == ksNudge) // KS is blind to the difference
+    assert(cShift > 0 && cNudge > 0)
+    assert(cShift > 10 * cNudge) // every-gap accumulation separates
+    val e = runCvm(Seq(1.0), Seq.empty)
+    assert(e.isNullAt(e.fieldIndex("cvm")))
+  }
 }
