@@ -385,6 +385,63 @@ object Dedup {
       .filter(col("jacc") >= threshold)
   }
 
+  /** Candidate-stage precision/recall of the LSH banding against
+    * EXACT ground truth over a (pre-sampled, bounded) token frame —
+    * the band-geometry QA beside the S-curve math: truth = exact
+    * Jaccard ≥ `threshold` over shingle-SHARING pairs (an
+    * inverted-index equi-join — complete, since jacc > 0 requires a
+    * shared shingle; never an all-pairs product); candidates = the
+    * band self-join WITHOUT the verify filter (the stage being
+    * graded). Pass a deterministic SAMPLE of the corpus — truth is
+    * quadratic in matching pairs, so the input must be bounded by the
+    * caller (the RECALL_SWEEP discipline, in-engine).
+    *
+    * @return one row: (n_sample, n_truth, n_cand, n_tp, precision,
+    *         recall) — exact counts, two sig9'd divisions */
+  def candidateEval(sample: DataFrame, idCol: String, tokCol: String,
+      threshold: Double,
+      family: MinHashFamily = DefaultFamily): DataFrame = {
+    import graft.queries.Q
+    val sig = minhashSig(sample, idCol, tokCol, family).localCheckpoint()
+    val ex = sig.select(col(idCol), explode(col("sh")).as("h"))
+    val truth = ex.as("x").join(ex.as("y"),
+        col("x.h") === col("y.h") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"))
+      .distinct()
+      .join(sig.select(col(idCol).as("a_id"), col("sh").as("sa")),
+        Seq("a_id"))
+      .join(sig.select(col(idCol).as("b_id"), col("sh").as("sb")),
+        Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        jaccard(col("sa"), col("sb")).as("jacc"))
+      .where(col("jacc") >= threshold)
+      .localCheckpoint()
+    val bands = banded(sig, idCol, family)
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band_id") === col("y.band_id") &&
+          col("x.band_key") === col("y.band_key") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"))
+      .distinct()
+      .localCheckpoint()
+    val tp = cand.join(truth.select(col("a_id"), col("b_id")),
+      Seq("a_id", "b_id"), "left_semi")
+    sample.agg(count(lit(1)).cast("long").as("n_sample"))
+      .crossJoin(broadcast(truth.agg(count(lit(1)).cast("long")
+        .as("n_truth"))))
+      .crossJoin(broadcast(cand.agg(count(lit(1)).cast("long")
+        .as("n_cand"))))
+      .crossJoin(broadcast(tp.agg(count(lit(1)).cast("long")
+        .as("n_tp"))))
+      .select(col("n_sample"), col("n_truth"), col("n_cand"),
+        col("n_tp"),
+        when(col("n_cand") > 0, Q.sig9(col("n_tp").cast("double") /
+          col("n_cand").cast("double"))).as("precision"),
+        when(col("n_truth") > 0, Q.sig9(col("n_tp").cast("double") /
+          col("n_truth").cast("double"))).as("recall"))
+  }
+
   /** 60-bit SimHash of a token multiset: bit j of the print is the sign of
     * sum over tokens of (+1 / -1) on bit j of the token hash.
     *

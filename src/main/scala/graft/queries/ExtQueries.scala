@@ -249,6 +249,86 @@ object ExtQueries {
        |SELECT a_id, b_id, jacc FROM j
        |WHERE jacc >= CAST(0.5 AS DOUBLE)""".stripMargin
 
+  // ===== dedup: LSH candidate-stage quality eval ========================
+
+  /** Candidate-stage precision/recall of the MinHash-LSH banding
+    * against EXACT ground truth on a deterministic document sample —
+    * "is my band geometry catching the near-dups?" measured in-engine
+    * (the RECALL_SWEEP discipline, as an adjudicated query). The
+    * sample coin hashes the BASE id (doc_id % 20000) so a planted twin
+    * lands in or out WITH its original — sampled truth pairs exist at
+    * every SF. Ground truth = exact Jaccard ≥ t over shingle-SHARING
+    * sample pairs (an inverted-index equi-join — complete, since
+    * jacc > 0 requires a shared shingle; never an all-pairs product).
+    * Candidates = the band self-join WITHOUT the verify filter — the
+    * stage this query exists to grade. All counts exact; the two
+    * ratios are single sig9'd divisions. */
+  private val dedupEvalQ: QFn = (s, d) => {
+    val sample = nearCorpus(s, d).filter(
+      Hashing.hashP(concat(lit("deval:"),
+        (col("doc_id") % 20000).cast("string"))) % 4 === 0)
+    Dedup.candidateEval(sample, "doc_id", "tk", threshold = 0.5)
+  }
+
+  private val dedupEvalSql = {
+    val mh = (Dedup.hashA zip Dedup.hashB).map { case (a, b) =>
+      s"list_min(list_transform(sh, x -> ($a * x + $b) % $P))"
+    }
+    val mhList = mh.mkString("[", ",\n      ", "]")
+    val bandSelects = (0 until Dedup.numBands).map { bnd =>
+      val key = (0 until Dedup.rowsPerBand)
+        .map(r => s"CAST(mh[${bnd * Dedup.rowsPerBand + r + 1}] AS VARCHAR)")
+        .mkString(" || '_' || ")
+      s"SELECT doc_id, $bnd AS band_id, $key AS k FROM mh"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH $toksSql,
+       |$nearCorpusSql,
+       |samp AS MATERIALIZED (
+       |  SELECT doc_id, tk FROM corpus
+       |  WHERE ${hashPSql("'deval:' || CAST(doc_id % 20000 AS VARCHAR)")}
+       |    % 4 = 0),
+       |${shSql("samp")},
+       |ex AS (SELECT doc_id, unnest(sh) AS h FROM shs),
+       |tp0 AS (
+       |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+       |  FROM ex x JOIN ex y ON x.h = y.h AND x.doc_id < y.doc_id),
+       |truth AS MATERIALIZED (
+       |  SELECT a_id, b_id FROM (
+       |    SELECT a_id, b_id,
+       |      CASE WHEN len(list_distinct(sa.sh || sb.sh)) = 0
+       |           THEN CAST(0.0 AS DOUBLE)
+       |           ELSE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |                / len(list_distinct(sa.sh || sb.sh)) END AS jacc
+       |    FROM tp0
+       |    JOIN shs sa ON sa.doc_id = a_id
+       |    JOIN shs sb ON sb.doc_id = b_id)
+       |  WHERE jacc >= CAST(0.5 AS DOUBLE)),
+       |mh AS (SELECT doc_id, $mhList AS mh FROM shs),
+       |b AS (
+       |  $bandSelects),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+       |  FROM b x JOIN b y
+       |    ON x.band_id = y.band_id AND x.k = y.k
+       |      AND x.doc_id < y.doc_id),
+       |cnt AS (
+       |  SELECT
+       |    (SELECT CAST(count(*) AS BIGINT) FROM samp) AS n_sample,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_cand,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM cand c
+       |     WHERE EXISTS (SELECT 1 FROM truth t
+       |       WHERE t.a_id = c.a_id AND t.b_id = c.b_id)) AS n_tp)
+       |SELECT n_sample, n_truth, n_cand, n_tp,
+       |  CASE WHEN n_cand > 0 THEN ${Q.sqlSig9(
+            "CAST(n_tp AS DOUBLE) / CAST(n_cand AS DOUBLE)")} END
+       |    AS precision,
+       |  CASE WHEN n_truth > 0 THEN ${Q.sqlSig9(
+            "CAST(n_tp AS DOUBLE) / CAST(n_truth AS DOUBLE)")} END
+       |    AS recall
+       |FROM cnt""".stripMargin
+  }
+
   // ===== dedup: duplicate-cluster assignment (connected components) =====
 
   // label propagation carries the oracle row (cheapest on the shallow
@@ -1880,6 +1960,7 @@ object ExtQueries {
     "q_x_fingerprint" -> fingerprint,
     "q_x_dedup_exact" -> dedupExact,
     "q_x_dedup_minhash" -> dedupMinhash,
+    "q_x_dedup_eval" -> dedupEvalQ,
     "q_x_split_leakage" -> splitLeakage,
     "q_x_image_dedup" -> imageDedupQ,
     "q_x_simhash" -> simhash,
@@ -1930,6 +2011,7 @@ object ExtQueries {
     "q_x_fingerprint" -> fingerprintSql,
     "q_x_dedup_exact" -> dedupExactSql,
     "q_x_dedup_minhash" -> dedupMinhashSql,
+    "q_x_dedup_eval" -> dedupEvalSql,
     "q_x_split_leakage" -> splitLeakageSql,
     "q_x_image_dedup" -> imageDedupSql,
     "q_x_simhash" -> simhashSql,

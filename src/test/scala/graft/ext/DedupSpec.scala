@@ -351,4 +351,36 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("Window"),
       "spanDedup must not plan a Window operator:\n" + plan.take(500))
   }
+
+  // ===== candidate-stage eval =========================================
+
+  test("candidateEval: a planted near-dup is both truth and candidate; " +
+      "disjoint docs contribute nothing; ratios are exact") {
+    val toks = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "a b c d e f g h i"), // near-dup of 1 (high Jaccard)
+      (3L, "q r s t u v w x y z")) // disjoint
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Hashing.tokens(col("text")).as("tk"))
+    val r = Dedup.candidateEval(toks, "doc_id", "tk", threshold = 0.5)
+      .head()
+    assert(r.getAs[Long]("n_sample") == 3L)
+    assert(r.getAs[Long]("n_truth") == 1L) // only (1,2)
+    assert(r.getAs[Long]("n_tp") == 1L) // banding catches it
+    assert(r.getAs[Long]("n_cand") >= 1L)
+    assert(r.getAs[Double]("recall") == 1.0)
+    assert(r.getAs[Double]("precision") ==
+      graft.functions.GraftMath.sig9(
+        1.0 / r.getAs[Long]("n_cand").toDouble))
+  }
+
+  test("candidateEval: no near-dups -> zero truth, NULL recall") {
+    val toks = Seq((1L, "a b c"), (2L, "x y z"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Hashing.tokens(col("text")).as("tk"))
+    val r = Dedup.candidateEval(toks, "doc_id", "tk", threshold = 0.5)
+      .head()
+    assert(r.getAs[Long]("n_truth") == 0L)
+    assert(r.isNullAt(r.fieldIndex("recall")))
+  }
 }
