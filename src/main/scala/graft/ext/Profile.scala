@@ -90,6 +90,57 @@ object Profile {
       .select(keys.map(col) :+ col("n") :+ col("corr"): _*)
   }
 
+  /** First-order partial correlation r_xy·z — the dependence between
+    * x and y with the common driver z held fixed: the
+    * confounder-screen beside raw Pearson ([[groupCorr]]) — a large
+    * r_xy that collapses when z is partialled out was z all along.
+    * r_xy·z = (r_xy − r_xz·r_yz) / √((1−r_xz²)(1−r_yz²)) over the
+    * COMPLETE-CASE rows (all three columns non-null — pairwise
+    * deletion would mix three different populations).
+    *
+    * ONE map-side-combined aggregate (nine decimal sums + count);
+    * each pairwise r is the groupCorr sig9'd chain, and the partial
+    * form is one more sig9'd IEEE chain with its degenerate guards
+    * (any |r| = 1 leg ⇒ NULL).
+    *
+    * @return one row: (n, r_xy, r_xz, r_yz, r_xy_z) */
+  def partialCorr(df: DataFrame, xCol: String, yCol: String,
+      zCol: String): DataFrame = {
+    import graft.queries.Q
+    val x = col(xCol).cast("double"); val y = col(yCol).cast("double")
+    val z = col(zCol).cast("double")
+    val agg = df.where(x.isNotNull && y.isNotNull && z.isNotNull)
+      .agg(count(lit(1)).as("n"),
+        Q.dsum(x).as("sx"), Q.dsum(y).as("sy"), Q.dsum(z).as("sz"),
+        Q.dsum(x * x).as("sxx"), Q.dsum(y * y).as("syy"),
+        Q.dsum(z * z).as("szz"),
+        Q.dsum(x * y).as("sxy"), Q.dsum(x * z).as("sxz"),
+        Q.dsum(y * z).as("syz"))
+    val nd = col("n").cast("double")
+    def r(sab: org.apache.spark.sql.Column, sa: org.apache.spark.sql.Column,
+        sb: org.apache.spark.sql.Column, saa: org.apache.spark.sql.Column,
+        sbb: org.apache.spark.sql.Column) = {
+      val num = nd * sab - sa * sb
+      val va = nd * saa - sa * sa
+      val vb = nd * sbb - sb * sb
+      when(va > 0 && vb > 0, Q.sig9(num / sqrt(va * vb)))
+    }
+    val withR = agg.select(col("n"),
+      r(col("sxy"), col("sx"), col("sy"), col("sxx"), col("syy"))
+        .as("r_xy"),
+      r(col("sxz"), col("sx"), col("sz"), col("sxx"), col("szz"))
+        .as("r_xz"),
+      r(col("syz"), col("sy"), col("sz"), col("syy"), col("szz"))
+        .as("r_yz"))
+    val den = (lit(1.0) - col("r_xz") * col("r_xz")) *
+      (lit(1.0) - col("r_yz") * col("r_yz"))
+    withR.select(col("n"), col("r_xy"), col("r_xz"), col("r_yz"),
+      when(col("r_xy").isNotNull && col("r_xz").isNotNull &&
+          col("r_yz").isNotNull && den > 0,
+        Q.sig9((col("r_xy") - col("r_xz") * col("r_yz")) /
+          sqrt(den))).as("r_xy_z"))
+  }
+
   /** Equi-width histogram of a numeric column: `bins` buckets spanning
     * [min, max], the top edge inclusive (its values clamp into the last
     * bin). Two aggregates — a min/max row broadcast onto the scan (the

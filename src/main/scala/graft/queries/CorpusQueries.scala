@@ -533,6 +533,89 @@ object CorpusQueries {
        |FROM g""".stripMargin
   }
 
+  // ===== pipeline 11: one-plan per-source corpus data card ============
+
+  /** The dataset-card generator: per source, ONE long-format plan
+    * reporting volume (docs/tokens/vocab), lexical diversity (TTR,
+    * hapax, Yule's K), token entropy (raw + normalized), the quality
+    * pass rate and the exact-duplicate rate — the summary table a
+    * data curator publishes next to a corpus release. Composition
+    * changes nothing: `CorpusCardSpec` pins every row to the
+    * standalone adjudicated operator (or its direct recompute), and
+    * the oracle composes the component SQLs as subqueries. */
+  private val pipeline11Q: QFn = (s, d) => {
+    val docs = Tables.documents(s, d)
+    def longRow(df: DataFrame, metric: String,
+        v: org.apache.spark.sql.Column) =
+      df.select(col("source"), lit(metric).as("metric"),
+        v.cast("double").as("value"))
+    val lex = graft.ext.TextStats.lexicalDiversity(docs)
+    val ent = graft.ext.CorpusDiff.tokenEntropy(
+      docs.select(col("source"), Hashing.tokens(col("text")).as("tk")),
+      "source", "tk")
+    val nd = docs.where(col("source").isNotNull)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+    val qr = graft.ext.TextStats.qualityFilter(docs)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .where(col("source").isNotNull)
+      .groupBy(col("source"))
+      .agg(Q.sig9(sum(when(col("keep"), 1L).otherwise(0L))
+        .cast("double") / count(lit(1)).cast("double"))
+        .as("pass_rate"))
+    val dr = docs.where(col("source").isNotNull)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        count_distinct(md5(col("text"))).cast("long").as("nd"))
+      .select(col("source"), Q.sig9((col("n") - col("nd"))
+        .cast("double") / col("n").cast("double")).as("dup_rate"))
+    longRow(nd, "n_docs", col("n_docs"))
+      .unionByName(longRow(lex, "n_tokens", col("n_tokens")))
+      .unionByName(longRow(lex, "vocab", col("vocab")))
+      .unionByName(longRow(lex, "ttr", col("ttr")))
+      .unionByName(longRow(lex, "hapax_rate", col("hapax_rate")))
+      .unionByName(longRow(lex, "yule_k", col("yule_k")))
+      .unionByName(longRow(ent, "entropy", col("entropy")))
+      .unionByName(longRow(ent, "norm_entropy", col("norm_entropy")))
+      .unionByName(longRow(qr, "quality_pass_rate", col("pass_rate")))
+      .unionByName(longRow(dr, "exact_dup_rate", col("dup_rate")))
+  }
+
+  // lazy: lexicalSql is declared later in the file, and object vals
+  // initialize in declaration order — a strict val here would embed
+  // null into the composed SQL
+  private lazy val pipeline11Sql =
+    s"""WITH lx AS ($lexicalSql),
+       |en AS ($entropySql),
+       |qf AS (${ExtQueries.qualityFilterSql}),
+       |nd AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+       |  FROM documents WHERE source IS NOT NULL GROUP BY 1),
+       |qr AS (
+       |  SELECT d.source, ${Q.sqlSig9(
+            "CAST(COALESCE(sum(CASE WHEN qf.keep THEN 1 ELSE 0 END), 0)" +
+              " AS DOUBLE) / CAST(count(*) AS DOUBLE)")} AS pass_rate
+       |  FROM qf JOIN documents d USING (doc_id)
+       |  WHERE d.source IS NOT NULL GROUP BY 1),
+       |dr AS (
+       |  SELECT source, ${Q.sqlSig9(
+            "CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE) / " +
+              "CAST(count(*) AS DOUBLE)")} AS dup_rate
+       |  FROM documents WHERE source IS NOT NULL GROUP BY 1)
+       |SELECT source, 'n_docs' AS metric, CAST(n_docs AS DOUBLE)
+       |  AS value FROM nd
+       |UNION ALL SELECT source, 'n_tokens', CAST(n_tokens AS DOUBLE)
+       |  FROM lx
+       |UNION ALL SELECT source, 'vocab', CAST(vocab AS DOUBLE) FROM lx
+       |UNION ALL SELECT source, 'ttr', ttr FROM lx
+       |UNION ALL SELECT source, 'hapax_rate', hapax_rate FROM lx
+       |UNION ALL SELECT source, 'yule_k', yule_k FROM lx
+       |UNION ALL SELECT source, 'entropy', entropy FROM en
+       |UNION ALL SELECT source, 'norm_entropy', norm_entropy FROM en
+       |UNION ALL SELECT source, 'quality_pass_rate', pass_rate FROM qr
+       |UNION ALL SELECT source, 'exact_dup_rate', dup_rate FROM dr"""
+      .stripMargin
+
   // ===== pipeline 10: one-plan retrieval-quality suite ================
 
   /** NDCG@20 + MRR + precision/recall@10 + hit@10 over the SAME
@@ -1387,6 +1470,7 @@ object CorpusQueries {
     "q_x_ndcg" -> ndcgQ,
     "q_x_rank_eval" -> rankEvalQ,
     "q_x_pipeline10" -> pipeline10Q,
+    "q_x_pipeline11" -> pipeline11Q,
     "q_x_entropy" -> entropyQ,
     "q_x_vocab_growth" -> vocabGrowthQ,
     "q_x_gini" -> giniQ,
@@ -1420,6 +1504,7 @@ object CorpusQueries {
     "q_x_ndcg" -> ndcgSql,
     "q_x_rank_eval" -> rankEvalSql,
     "q_x_pipeline10" -> pipeline10Sql,
+    "q_x_pipeline11" -> pipeline11Sql,
     "q_x_entropy" -> entropySql,
     "q_x_vocab_growth" -> vocabGrowthSql,
     "q_x_gini" -> giniSql,

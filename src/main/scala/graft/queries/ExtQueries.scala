@@ -128,7 +128,7 @@ object ExtQueries {
        |    AS BIGINT) AS n_bpeish_tokens
        |FROM documents""".stripMargin
 
-  private val qualityFilterSql =
+  private[queries] val qualityFilterSql =
     s"""WITH $toksSql,
        |st AS (
        |  SELECT doc_id, len(tk) AS n_tokens,

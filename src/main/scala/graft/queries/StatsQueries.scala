@@ -69,6 +69,64 @@ object StatsQueries {
        |FROM d""".stripMargin
   }
 
+  // ===== first-order partial correlation ==============================
+
+  /** [[graft.ext.Profile.partialCorr]] of (quantity, revenue | price):
+    * how much of the quantity↔revenue dependence survives once the
+    * unit price is held fixed — the confounder screen. The oracle
+    * mirrors the nine decimal sums, each pairwise sig9'd r and the
+    * guarded partial chain. */
+  private val partialQ: QFn = (s, d) =>
+    Profile.partialCorr(
+      Tables.lineitem(s, d).select(col("l_quantity").as("x"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("y"),
+        (col("l_extendedprice") / greatest(col("l_quantity"),
+          lit(1.0))).as("z")),
+      "x", "y", "z")
+
+  private val partialSql = {
+    def r(sab: String, sa: String, sb: String, saa: String,
+        sbb: String) = {
+      val num = s"(nd * $sab - $sa * $sb)"
+      val va = s"(nd * $saa - $sa * $sa)"
+      val vb = s"(nd * $sbb - $sb * $sb)"
+      s"CASE WHEN $va > 0 AND $vb > 0 THEN ${Q.sqlSig9(
+        s"$num / sqrt($va * $vb)")} END"
+    }
+    val den = "((1.0 - r_xz * r_xz) * (1.0 - r_yz * r_yz))"
+    s"""WITH b AS (
+       |  SELECT CAST(l_quantity AS DOUBLE) AS x,
+       |    CAST(l_extendedprice * (1.0 - l_discount) AS DOUBLE) AS y,
+       |    CAST(l_extendedprice / greatest(l_quantity, 1.0) AS DOUBLE)
+       |      AS z
+       |  FROM lineitem
+       |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+       |    AND l_discount IS NOT NULL),
+       |a AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(count(*) AS DOUBLE) AS nd,
+       |    ${Q.sqlDsum("x")} AS sx, ${Q.sqlDsum("y")} AS sy,
+       |    ${Q.sqlDsum("z")} AS sz,
+       |    ${Q.sqlDsum("x * x")} AS sxx, ${Q.sqlDsum("y * y")} AS syy,
+       |    ${Q.sqlDsum("z * z")} AS szz,
+       |    ${Q.sqlDsum("x * y")} AS sxy, ${Q.sqlDsum("x * z")} AS sxz,
+       |    ${Q.sqlDsum("y * z")} AS syz
+       |  FROM b),
+       |rr AS (
+       |  SELECT n,
+       |    ${r("sxy", "sx", "sy", "sxx", "syy")} AS r_xy,
+       |    ${r("sxz", "sx", "sz", "sxx", "szz")} AS r_xz,
+       |    ${r("syz", "sy", "sz", "syy", "szz")} AS r_yz
+       |  FROM a)
+       |SELECT n, r_xy, r_xz, r_yz,
+       |  CASE WHEN r_xy IS NOT NULL AND r_xz IS NOT NULL
+       |      AND r_yz IS NOT NULL AND $den > 0
+       |    THEN ${Q.sqlSig9(s"(r_xy - r_xz * r_yz) / sqrt($den)")} END
+       |    AS r_xy_z
+       |FROM rr""".stripMargin
+  }
+
   // ===== Kruskal–Wallis: value distributions across event types ======
 
   private val kruskalQ: QFn = (s, d) =>
@@ -401,6 +459,7 @@ object StatsQueries {
   val queries: Map[String, QFn] = Map(
     "q_x_pipeline9" -> pipeline9Q,
     "q_x_spearman" -> spearmanQ,
+    "q_x_partial_corr" -> partialQ,
     "q_x_kruskal" -> kruskalQ,
     "q_x_anova" -> anovaQ,
     "q_x_levene" -> leveneQ,
@@ -410,6 +469,7 @@ object StatsQueries {
   val oracles: Map[String, String] = Map(
     "q_x_pipeline9" -> pipeline9Sql,
     "q_x_spearman" -> spearmanSql,
+    "q_x_partial_corr" -> partialSql,
     "q_x_kruskal" -> kruskalSql,
     "q_x_anova" -> anovaSql,
     "q_x_levene" -> leveneSql,

@@ -332,6 +332,29 @@ class ProfileSpec extends SparkSpec {
     assert(got.length === 1 && got.head.isNullAt(3))
   }
 
+  // ===== partial correlation ==========================================
+
+  test("partialCorr: y = x + z with x orthogonal to z gives " +
+      "r_xy_z ~ 1; a perfectly-correlated leg degenerates to NULL") {
+    // x and z exactly uncorrelated by construction
+    val rows = Seq((1.0, 10.0), (2.0, 10.0), (1.0, 20.0), (2.0, 20.0))
+      .map { case (x, z) => (x, x + z, z) }.toDF("x", "y", "z")
+    val r = Profile.partialCorr(rows, "x", "y", "z").head()
+    assert(r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Double]("r_xz") == 0.0)
+    // holding z fixed, y is x plus a constant -> partial corr 1
+    assert(math.abs(r.getAs[Double]("r_xy_z") - 1.0) < 1e-8)
+    // raw r_xy is diluted by z's variance
+    assert(r.getAs[Double]("r_xy") < 0.5)
+    // z == y: r_yz = 1, denominator 0 -> NULL partial
+    val dg = Profile.partialCorr(
+      Seq((1.0, 2.0), (2.0, 4.0), (3.0, 5.0))
+        .map { case (x, y) => (x, y, y) }.toDF("x", "y", "z"),
+      "x", "y", "z").head()
+    assert(dg.getAs[Double]("r_yz") == 1.0)
+    assert(dg.isNullAt(dg.fieldIndex("r_xy_z")))
+  }
+
   // ===== trimmed / winsorized means ===================================
 
   test("trimmedMean: drops exactly the cut ranks, clamps for the " +
