@@ -271,6 +271,58 @@ object TimeSeries {
       .withColumn("forecast", Q.sig9(col("level") + col("trend")))
   }
 
+  /** One-step-ahead forecast backtest of the [[doubleEwma]] model —
+    * "should I trust this forecaster": per key, every point's DES
+    * forecast is scored against the NEXT observed value, with the
+    * naive random-walk forecast (predict the current value) as the
+    * baseline and skill = 1 − MAE/MAE_naive as the verdict (skill ≤ 0
+    * means the model loses to persistence — the standard forecasting
+    * sanity gate).
+    *
+    * Determinism: forecasts are the adjudicated DES chain; each
+    * absolute error is sig9'd once (difference of a sig9'd forecast
+    * and a raw value needs the granular-term rule before the decimal
+    * sum), squared-error terms sig9 the product, sums are
+    * dsumStable, and each output is one more sig9'd division. The
+    * only window is the per-key lead (bounded per key).
+    *
+    * @return per key: (keys…, n_evals, mae, rmse, mae_naive, skill)
+    *         — skill NULL when the naive MAE is 0 */
+  def forecastBacktest(series: DataFrame, keyCols: Seq[String],
+      tsCol: String, valCol: String, tieBreak: String, alpha: Double,
+      horizon: Int): DataFrame = {
+    import graft.queries.Q
+    val keys = keyCols.map(col)
+    val des = doubleEwma(series, keyCols, tsCol, valCol, tieBreak,
+      alpha, horizon)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys: _*).orderBy(col(tsCol).asc, col(tieBreak).asc)
+    val nxt = series
+      .where(col(valCol).isNotNull)
+      .select(keys :+ col(tsCol) :+ col(tieBreak) :+
+        col(valCol).cast("double").as("__x"): _*)
+      .withColumn("__next", lead(col("__x"), 1).over(w))
+      .where(col("__next").isNotNull)
+    val j = des.join(nxt.select(keys :+ col(tieBreak) :+ col("__x") :+
+        col("__next"): _*), keyCols :+ tieBreak)
+      .select(keys :+
+        Q.sig9(abs(col("forecast") - col("__next"))).as("__ae") :+
+        Q.sig9(abs(col("__x") - col("__next"))).as("__ae0"): _*)
+    val g = j.groupBy(keys: _*)
+      .agg(count(lit(1)).cast("long").as("n_evals"),
+        Q.dsumStable(col("__ae"), 9).as("__sae"),
+        Q.dsumStable(Q.sig9(col("__ae") * col("__ae")), 6).as("__se2"),
+        Q.dsumStable(col("__ae0"), 9).as("__sae0"))
+    val mae = Q.sig9(col("__sae") / col("n_evals").cast("double"))
+    val mae0 = Q.sig9(col("__sae0") / col("n_evals").cast("double"))
+    g.select(keys ++ Seq(col("n_evals"),
+      mae.as("mae"),
+      Q.sig9(sqrt(col("__se2") / col("n_evals").cast("double")))
+        .as("rmse"),
+      mae0.as("mae_naive"),
+      when(mae0 > 0, Q.sig9(lit(1.0) - mae / mae0)).as("skill")): _*)
+  }
+
   /** Gap-filling linear interpolation at a fixed cadence: per key,
     * a `stepSeconds`-aligned grid spanning [ceil(first sample),
     * floor(last sample)], each grid point valued by linear

@@ -941,6 +941,49 @@ object TimeSeriesQueries {
        |FROM e3""".stripMargin
   }
 
+  // ===== one-step-ahead forecast backtest =============================
+
+  /** [[graft.ext.TimeSeries.forecastBacktest]]: the DES forecaster
+    * scored per user against the next observed value, with the naive
+    * persistence baseline and skill = 1 − MAE/MAE_naive. The oracle
+    * composes the full adjudicated DES chain and mirrors every
+    * sig9'd error term and dsumStable sum. */
+  private val backtestQ: QFn = (s, d) =>
+    TimeSeries.forecastBacktest(Tables.events(s, d), Seq("user_id"),
+      "ts", "value", tieBreak = "event_id", alpha = ewmaAlpha,
+      horizon = ewmaH)
+
+  private lazy val backtestSql = {
+    val mae = Q.sqlSig9("sae / CAST(n AS DOUBLE)")
+    val mae0 = Q.sqlSig9("sae0 / CAST(n AS DOUBLE)")
+    s"""WITH des AS ($desSql),
+       |nx AS (
+       |  SELECT user_id, event_id, value AS x,
+       |    lead(value) OVER (PARTITION BY user_id ORDER BY ts,
+       |      event_id) AS nxt
+       |  FROM events WHERE value IS NOT NULL),
+       |j AS (
+       |  SELECT des.user_id AS u,
+       |    ${Q.sqlSig9("abs(des.forecast - nx.nxt)")} AS ae,
+       |    ${Q.sqlSig9("abs(nx.x - nx.nxt)")} AS ae0
+       |  FROM des JOIN nx ON des.user_id = nx.user_id
+       |    AND des.event_id = nx.event_id
+       |  WHERE nx.nxt IS NOT NULL),
+       |g AS (
+       |  SELECT u, CAST(count(*) AS BIGINT) AS n,
+       |    ${Q.sqlDsumStable("ae", 9)} AS sae,
+       |    ${Q.sqlDsumStable(Q.sqlSig9("ae * ae"), 6)} AS se2,
+       |    ${Q.sqlDsumStable("ae0", 9)} AS sae0
+       |  FROM j GROUP BY 1)
+       |SELECT u AS user_id, n AS n_evals,
+       |  $mae AS mae,
+       |  ${Q.sqlSig9("sqrt(se2 / CAST(n AS DOUBLE))")} AS rmse,
+       |  $mae0 AS mae_naive,
+       |  CASE WHEN $mae0 > 0 THEN ${Q.sqlSig9(
+            s"1.0 - $mae / $mae0")} END AS skill
+       |FROM g""".stripMargin
+  }
+
   // ===== quantile normalization (cross-source score alignment) ========
 
   private val qnormBins = 64
@@ -1768,6 +1811,7 @@ object TimeSeriesQueries {
     "q_x_mwu" -> mwuQ,
     "q_x_ks" -> ksQ,
     "q_x_cvm" -> cvmQ,
+    "q_x_backtest" -> backtestQ,
     "q_x_bootstrap" -> bootstrapQ,
     "q_x_permtest" -> permTestQ,
     "q_x_jackknife" -> jackknifeQ,
@@ -1805,6 +1849,7 @@ object TimeSeriesQueries {
     "q_x_mwu" -> mwuSql,
     "q_x_ks" -> ksSql,
     "q_x_cvm" -> cvmSql,
+    "q_x_backtest" -> backtestSql,
     "q_x_bootstrap" -> bootstrapSql,
     "q_x_permtest" -> permTestSql,
     "q_x_jackknife" -> jackknifeSql,

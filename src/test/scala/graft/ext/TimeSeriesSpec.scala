@@ -489,4 +489,30 @@ class TimeSeriesSpec extends SparkSpec {
       if (t > 0) assert(r.getAs[Double]("trend") > 0.0)
     }
   }
+
+  // ===== forecast backtest ============================================
+
+  test("forecastBacktest: a constant series has zero error on both " +
+      "model and baseline (skill NULL); a ramp beats persistence") {
+    val const = (1 to 6).map(i =>
+      ("g", i.toLong, ts(f"2024-01-$i%02d 00:00:00"), 7.0))
+    val rc = TimeSeries.forecastBacktest(
+      const.toDF("g", "event_id", "ts", "x"), Seq("g"), "ts", "x",
+      "event_id", alpha = 0.25, horizon = 32).head()
+    assert(rc.getAs[Long]("n_evals") == 5L) // last point has no next
+    assert(rc.getAs[Double]("mae") == 0.0 &&
+      rc.getAs[Double]("mae_naive") == 0.0)
+    assert(rc.isNullAt(rc.fieldIndex("skill")))
+    // steady ramp: trend-aware DES converges to the slope, persistence
+    // is off by the slope every step
+    val ramp = (1 to 30).map(i =>
+      ("g", i.toLong, ts(f"2024-01-$i%02d 00:00:00"), i * 10.0))
+    val rr = TimeSeries.forecastBacktest(
+      ramp.toDF("g", "event_id", "ts", "x"), Seq("g"), "ts", "x",
+      "event_id", alpha = 0.5, horizon = 32).head()
+    assert(rr.getAs[Long]("n_evals") == 29L)
+    assert(rr.getAs[Double]("mae") < rr.getAs[Double]("mae_naive"))
+    assert(rr.getAs[Double]("skill") > 0.5)
+    assert(rr.getAs[Double]("rmse") >= rr.getAs[Double]("mae"))
+  }
 }
