@@ -352,6 +352,160 @@ object Behavior {
           .as("survival"))
   }
 
+  /** Nelson–Aalen cumulative hazard — the additive sibling of
+    * [[kaplanMeier]] over the SAME duration grid (first activity →
+    * first `targetType`, right-censored at last activity): H(t) =
+    * Σ_{t' ≤ t} d_{t'}/n_{t'}, its variance estimate Σ d/n², and the
+    * Fleming–Harrington survival exp(−H) — preferred over KM when
+    * risk sets are small (no zero-factor collapse: a duration where
+    * everyone at risk converts adds a finite hazard increment of 1
+    * where KM's product pins to 0).
+    *
+    * Scale shape: identical to KM — one user-keyed collapse, one
+    * duration-keyed collapse to the bounded grid, and both running
+    * sums fold inside a single O(B²)-work array row; no unpartitioned
+    * window.
+    *
+    * Determinism: d/n and d/n² are IEEE divisions of exact-cast
+    * BIGINTs, each sig9'd; running sums accumulate in DECIMAL(25,15)
+    * (the KM accumulator rule — (38,15) addition would cap precision
+    * and shave the 15th decimal) and surface via decOut(·,12); the FH
+    * survival is one sig9'd exp over the surfaced cumulative hazard.
+    *
+    * @return one row per distinct duration: (dur_days, n_risk,
+    *         n_events, n_censored, hazard, cum_hazard, cum_var,
+    *         fh_survival) */
+  def nelsonAalen(events: DataFrame, userCol: String, tsCol: String,
+      eventTypeCol: String, targetType: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+    import graft.queries.Q
+    val decAcc = DecimalType(25, 15)
+    val perUser = events.groupBy(col(userCol).as("user"))
+      .agg(min(col(tsCol)).as("t0"),
+        min(when(col(eventTypeCol) === targetType, col(tsCol))).as("tp"),
+        max(col(tsCol)).as("tl"))
+      .select(
+        when(col("tp").isNotNull,
+          datediff(to_date(col("tp")), to_date(col("t0"))))
+          .otherwise(datediff(to_date(col("tl")), to_date(col("t0"))))
+          .cast(LongType).as("dur"),
+        col("tp").isNotNull.as("obs"))
+    val byDur = perUser.groupBy(col("dur"))
+      .agg(sum(when(col("obs"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("obs"), 0L).otherwise(1L)).as("c"))
+    val packed = byDur.agg(
+      array_sort(collect_list(struct(col("dur"), col("d"), col("c"))))
+        .as("arr"),
+      sum(col("d") + col("c")).as("n"))
+    // pass 1: at-risk counts (exclusive prefix) + per-duration terms
+    val withRisk = packed.select(
+      transform(col("arr"), (x, i) => {
+        val removed = aggregate(slice(col("arr"), lit(1), i), lit(0L),
+          (acc, e) => acc + e.getField("d") + e.getField("c"))
+        val nRisk = col("n") - removed
+        val d = x.getField("d")
+        val nd = nRisk.cast(DoubleType)
+        struct(x.getField("dur").as("dur"), d.as("d"),
+          x.getField("c").as("c"), nRisk.as("n_risk"),
+          when(d > 0, Q.sig9(d.cast(DoubleType) / nd))
+            .otherwise(lit(0.0)).as("h"),
+          when(d > 0, Q.sig9(d.cast(DoubleType) / (nd * nd)))
+            .otherwise(lit(0.0)).as("v"))
+      }).as("arr2"))
+    // pass 2: inclusive running sums in exact decimal
+    def runSum(field: String, i: Column) =
+      aggregate(slice(col("arr2"), lit(1), i + 1), lit(0L).cast(decAcc),
+        (acc, e) => (acc + e.getField(field).cast(decAcc)).cast(decAcc))
+    withRisk.select(explode(transform(col("arr2"), (x, i) =>
+      struct(x.getField("dur").as("dur"), x.getField("d").as("d"),
+        x.getField("c").as("c"), x.getField("n_risk").as("n_risk"),
+        x.getField("h").as("h"),
+        runSum("h", i).as("ch"), runSum("v", i).as("cv"))))
+      .as("r"))
+      .select(col("r.dur").as("dur_days"),
+        col("r.n_risk").cast(LongType).as("n_risk"),
+        col("r.d").as("n_events"), col("r.c").as("n_censored"),
+        col("r.h").as("hazard"),
+        Q.decOut(col("r.ch"), 12).as("cum_hazard"),
+        Q.decOut(col("r.cv"), 12).as("cum_var"),
+        Q.sig9(exp(-Q.decOut(col("r.ch"), 12))).as("fh_survival"))
+  }
+
+  /** One-plan survival table — [[kaplanMeier]] AND [[nelsonAalen]]
+    * fused over a SINGLE duration-grid scan: at 100 TB the per-user
+    * collapse dominates both operators, so the dashboard that wants
+    * the KM curve next to the cumulative hazard should pay it once,
+    * not twice. Both running folds ride the same packed array row;
+    * every column is bit-identical to its standalone operator (the
+    * pipeline contract, pinned by `SurvivalSuiteSpec`).
+    *
+    * @return one row per distinct duration: (dur_days, n_risk,
+    *         n_events, n_censored, survival, hazard, cum_hazard,
+    *         cum_var, fh_survival) */
+  def survivalTable(events: DataFrame, userCol: String, tsCol: String,
+      eventTypeCol: String, targetType: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+    import graft.queries.Q
+    val decAcc = DecimalType(25, 15)
+    val perUser = events.groupBy(col(userCol).as("user"))
+      .agg(min(col(tsCol)).as("t0"),
+        min(when(col(eventTypeCol) === targetType, col(tsCol))).as("tp"),
+        max(col(tsCol)).as("tl"))
+      .select(
+        when(col("tp").isNotNull,
+          datediff(to_date(col("tp")), to_date(col("t0"))))
+          .otherwise(datediff(to_date(col("tl")), to_date(col("t0"))))
+          .cast(LongType).as("dur"),
+        col("tp").isNotNull.as("obs"))
+    val byDur = perUser.groupBy(col("dur"))
+      .agg(sum(when(col("obs"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("obs"), 0L).otherwise(1L)).as("c"))
+    val packed = byDur.agg(
+      array_sort(collect_list(struct(col("dur"), col("d"), col("c"))))
+        .as("arr"),
+      sum(col("d") + col("c")).as("n"))
+    val withRisk = packed.select(
+      transform(col("arr"), (x, i) => {
+        val removed = aggregate(slice(col("arr"), lit(1), i), lit(0L),
+          (acc, e) => acc + e.getField("d") + e.getField("c"))
+        val nRisk = col("n") - removed
+        val d = x.getField("d")
+        val nd = nRisk.cast(DoubleType)
+        struct(x.getField("dur").as("dur"), d.as("d"),
+          x.getField("c").as("c"), nRisk.as("n_risk"),
+          when(d > 0 && nRisk > d, Q.sig9(log(
+            (nRisk - d).cast(DoubleType) / nd)))
+            .otherwise(lit(0.0)).as("term"),
+          (d > 0 && nRisk === d).as("hit_zero"),
+          when(d > 0, Q.sig9(d.cast(DoubleType) / nd))
+            .otherwise(lit(0.0)).as("h"),
+          when(d > 0, Q.sig9(d.cast(DoubleType) / (nd * nd)))
+            .otherwise(lit(0.0)).as("v"))
+      }).as("arr2"))
+    def runSum(field: String, i: Column) =
+      aggregate(slice(col("arr2"), lit(1), i + 1), lit(0L).cast(decAcc),
+        (acc, e) => (acc + e.getField(field).cast(decAcc)).cast(decAcc))
+    withRisk.select(explode(transform(col("arr2"), (x, i) =>
+      struct(x.getField("dur").as("dur"), x.getField("d").as("d"),
+        x.getField("c").as("c"), x.getField("n_risk").as("n_risk"),
+        x.getField("h").as("h"),
+        runSum("term", i).as("cumlog"),
+        aggregate(slice(col("arr2"), lit(1), i + 1), lit(false),
+          (acc, e) => acc || e.getField("hit_zero")).as("zero"),
+        runSum("h", i).as("ch"), runSum("v", i).as("cv"))))
+      .as("r"))
+      .select(col("r.dur").as("dur_days"),
+        col("r.n_risk").cast(LongType).as("n_risk"),
+        col("r.d").as("n_events"), col("r.c").as("n_censored"),
+        when(col("r.zero"), lit(0.0))
+          .otherwise(Q.sig9(exp(Q.decOut(col("r.cumlog"), 12))))
+          .as("survival"),
+        col("r.h").as("hazard"),
+        Q.decOut(col("r.ch"), 12).as("cum_hazard"),
+        Q.decOut(col("r.cv"), 12).as("cum_var"),
+        Q.sig9(exp(-Q.decOut(col("r.ch"), 12))).as("fh_survival"))
+  }
+
   /** Per-user event-path n-gram mining — "what do users DO, in
     * order": the sequence generalization of [[transitions]] (n = 2)
     * for discovering common multi-step paths (view>click>purchase)
@@ -603,5 +757,312 @@ object Behavior {
       (ch, sig9(pBase), sig9(pw), re,
         re.flatMap(r => if (sumRe > 0) Some(sig9(r / sumRe)) else None))
     }.toDF("channel", "p_conv", "p_without", "removal_effect", "share")
+  }
+
+  /** Exact Shapley-value channel attribution (Shapley 1953; the
+    * coalition formulation for marketing touch sets, cf. Zhao et al.
+    * 2018) — the third attribution lens beside [[TemporalJoins
+    * .multiTouch]]'s linear split and [[markovAttribution]]'s removal
+    * effects: each channel's credit is its average marginal lift over
+    * every coalition, φ_c = Σ_{S∋c} (|S|−1)!(C−|S|)!/C! ·
+    * (v(S) − v(S∖{c})), with the empirical coalition value
+    * v(S) = conversion rate of users whose touched channel set is
+    * EXACTLY S (unobserved sets value 0 — the standard empirical
+    * game, documented).
+    *
+    * Journey semantics: a user's coalition is the set of DECLARED
+    * channels appearing anywhere in their events; conversion = any
+    * `convType` event. Channels are sorted before bit assignment so
+    * the mask layout (and every tie) is caller-order independent.
+    *
+    * Scale shape: ONE user-keyed conditional aggregate collapses the
+    * stream to per-user (mask, conv), one mask-keyed count collapses
+    * that to ≤ 2^C rows — the bounded driver artifact (C ≤ 12
+    * enforced ⇒ ≤ 4096 rows, the markovAttribution convention). The
+    * 2^C·C Shapley lattice folds driver-side.
+    *
+    * Determinism: v(S) is one sig9 point over exact counts; each
+    * Shapley term sig9(w·Δv) with w embedded as the same IEEE
+    * literal on both engines (factorials ≤ 12! are exact doubles);
+    * terms fold in ASCENDING MASK ORDER with plain double adds (the
+    * markov list-fold convention), one final sig9.
+    *
+    * @return per channel: (channel, n_users, n_conv, shapley) */
+  def shapleyAttribution(events: DataFrame, userCol: String,
+      typeCol: String, convType: String,
+      channels: Seq[String]): DataFrame = {
+    import graft.functions.GraftMath.sig9
+    val chs = channels.distinct.sorted
+    require(chs.nonEmpty && chs.size <= 12,
+      s"need 1..12 distinct channels, got ${chs.size}")
+    require(!chs.contains(convType),
+      s"channels must not contain the conversion type $convType")
+    val c = chs.size
+    val spark = events.sparkSession
+    import spark.implicits._
+    val aggs = chs.zipWithIndex.map { case (ch, i) =>
+      max(when(col("__t") === ch, lit(1L << i)).otherwise(0L))
+        .as(s"__b$i")
+    } :+ max(when(col("__t") === convType, 1L).otherwise(0L))
+      .as("__conv")
+    val per = events
+      .select(col(userCol).as("__u"), col(typeCol).as("__t"))
+      .where(col("__u").isNotNull)
+      .groupBy(col("__u"))
+      .agg(aggs.head, aggs.tail: _*)
+    val mask = chs.indices.map(i => col(s"__b$i")).reduce(_ + _)
+    // bounded driver artifact: <= 2^C coalition rows
+    val bySet = per.select(mask.as("mask"), col("__conv"))
+      .groupBy(col("mask"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("__conv")).cast("long").as("nc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val vMap = bySet.map { case (m, n, nc) =>
+      m -> (if (n > 0) sig9(nc.toDouble / n.toDouble) else 0.0)
+    }.toMap.withDefaultValue(0.0)
+    def fact(k: Int): Double = (1 to k).foldLeft(1.0)(_ * _)
+    val wBySize = (1 to c).map(s =>
+      s -> fact(s - 1) * fact(c - s) / fact(c)).toMap
+    val touched = chs.zipWithIndex.map { case (ch, i) =>
+      val bit = 1L << i
+      val hits = bySet.filter(t => (t._1 & bit) != 0)
+      (ch, hits.map(_._2).sum, hits.map(_._3).sum)
+    }
+    val rows = touched.map { case (ch, nu, nc) =>
+      val bit = 1L << chs.indexOf(ch)
+      val phi = (0L until (1L << c)).foldLeft(0.0) { (acc, m) =>
+        if ((m & bit) == 0) acc
+        else acc + sig9(wBySize(java.lang.Long.bitCount(m)) *
+          (vMap(m) - vMap(m - bit)))
+      }
+      (ch, nu, nc, sig9(phi))
+    }
+    rows.toDF("channel", "n_users", "n_conv", "shapley")
+  }
+
+  /** Competing-risks cumulative incidence (Aalen–Johansen, two
+    * causes) — the third leg of the survival trio: when users can
+    * exit by EITHER of two first events (convert vs churn-error),
+    * 1 − KM(cause A alone) OVERSTATES A's incidence because it
+    * treats B-exits as censoring. The CIF is the probability of
+    * failing from cause k by t in the presence of the competitor:
+    * CIF_k(t) = Σ_{t'≤t} S(t'−)·d_k(t')/n(t'), with S the
+    * Kaplan–Meier survival of the COMBINED event. By construction
+    * S(t) + CIF_A(t) + CIF_B(t) = 1 up to rounding (the spec pins
+    * it).
+    *
+    * Grid semantics ([[kaplanMeier]]'s): per user t0 = first
+    * activity, the FIRST of (first `typeA`, first `typeB`) wins
+    * (exact-tie → A, deterministic and documented), right-censored
+    * at last activity when neither occurs.
+    *
+    * Scale shape: identical to KM — one user-keyed collapse, one
+    * duration-keyed collapse to the bounded grid; risk sets, the
+    * combined log-survival recursion, per-cause hazards and both
+    * incidence folds all run inside O(B²) array passes on a single
+    * row. No unpartitioned window.
+    *
+    * Determinism: exact integer risk sets; each log factor / hazard
+    * / S(t−)·h product is one sig9 point; running sums accumulate in
+    * DECIMAL(25,15) (the KM accumulator rule) and surface via
+    * decOut(·,12); an everyone-exits duration pins S (and all later
+    * S(t−) terms) to exactly 0.0 on both engines.
+    *
+    * @return one row per distinct duration: (dur_days, n_risk, n_a,
+    *         n_b, n_censored, s_minus, survival, cif_a, cif_b) */
+  def competingRisks(events: DataFrame, userCol: String, tsCol: String,
+      eventTypeCol: String, typeA: String, typeB: String): DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+    import graft.queries.Q
+    val decAcc = DecimalType(25, 15)
+    val perUser = events.groupBy(col(userCol).as("user"))
+      .agg(min(col(tsCol)).as("t0"),
+        min(when(col(eventTypeCol) === typeA, col(tsCol))).as("ta"),
+        min(when(col(eventTypeCol) === typeB, col(tsCol))).as("tb"),
+        max(col(tsCol)).as("tl"))
+      .select(
+        when(col("ta").isNull && col("tb").isNull,
+          datediff(to_date(col("tl")), to_date(col("t0"))))
+          .otherwise(when(col("tb").isNull ||
+              (col("ta").isNotNull && col("ta") <= col("tb")),
+            datediff(to_date(col("ta")), to_date(col("t0"))))
+            .otherwise(datediff(to_date(col("tb")), to_date(col("t0")))))
+          .cast(LongType).as("dur"),
+        when(col("ta").isNull && col("tb").isNull, lit("c"))
+          .otherwise(when(col("tb").isNull ||
+              (col("ta").isNotNull && col("ta") <= col("tb")),
+            lit("a")).otherwise(lit("b"))).as("kind"))
+    val byDur = perUser.groupBy(col("dur"))
+      .agg(sum(when(col("kind") === "a", 1L).otherwise(0L)).as("da"),
+        sum(when(col("kind") === "b", 1L).otherwise(0L)).as("db"),
+        sum(when(col("kind") === "c", 1L).otherwise(0L)).as("c"))
+    val packed = byDur.agg(
+      array_sort(collect_list(struct(col("dur"), col("da"), col("db"),
+        col("c")))).as("arr"),
+      sum(col("da") + col("db") + col("c")).as("n"))
+    // pass 1: risk sets, combined-event log factors, per-cause hazards
+    val p1 = packed.select(
+      transform(col("arr"), (x, i) => {
+        val removed = aggregate(slice(col("arr"), lit(1), i), lit(0L),
+          (acc, e) => acc + e.getField("da") + e.getField("db") +
+            e.getField("c"))
+        val nRisk = col("n") - removed
+        val da = x.getField("da"); val db = x.getField("db")
+        val any = da + db
+        val nd = nRisk.cast(DoubleType)
+        struct(x.getField("dur").as("dur"), da.as("da"), db.as("db"),
+          x.getField("c").as("c"), nRisk.as("n_risk"),
+          when(any > 0 && nRisk > any, Q.sig9(log(
+            (nRisk - any).cast(DoubleType) / nd)))
+            .otherwise(lit(0.0)).as("lf"),
+          (any > 0 && nRisk === any).as("hz"),
+          when(da > 0, Q.sig9(da.cast(DoubleType) / nd))
+            .otherwise(lit(0.0)).as("ha"),
+          when(db > 0, Q.sig9(db.cast(DoubleType) / nd))
+            .otherwise(lit(0.0)).as("hb"))
+      }).as("arr2"))
+    // pass 2: S(t−) from the EXCLUSIVE log prefix, S(t) inclusive,
+    // and the per-duration incidence terms S(t−)·h_k
+    def logSum(i: Column, len: Column) =
+      aggregate(slice(col("arr2"), lit(1), len), lit(0L).cast(decAcc),
+        (acc, e) => (acc + e.getField("lf").cast(decAcc)).cast(decAcc))
+    def zeroHit(i: Column, len: Column) =
+      aggregate(slice(col("arr2"), lit(1), len), lit(false),
+        (acc, e) => acc || e.getField("hz"))
+    val p2 = p1.select(
+      transform(col("arr2"), (x, i) => {
+        val sMinus = when(zeroHit(i, i), lit(0.0))
+          .otherwise(Q.sig9(exp(Q.decOut(logSum(i, i), 12))))
+        struct(x.getField("dur").as("dur"), x.getField("da").as("da"),
+          x.getField("db").as("db"), x.getField("c").as("c"),
+          x.getField("n_risk").as("n_risk"), sMinus.as("s_minus"),
+          when(zeroHit(i, i + 1), lit(0.0))
+            .otherwise(Q.sig9(exp(Q.decOut(logSum(i, i + 1), 12))))
+            .as("survival"),
+          Q.sig9(sMinus * x.getField("ha")).as("term_a"),
+          Q.sig9(sMinus * x.getField("hb")).as("term_b"))
+      }).as("arr3"))
+    // pass 3: inclusive running incidence sums in exact decimal
+    def runSum(field: String, i: Column) =
+      aggregate(slice(col("arr3"), lit(1), i + 1), lit(0L).cast(decAcc),
+        (acc, e) => (acc + e.getField(field).cast(decAcc)).cast(decAcc))
+    p2.select(explode(transform(col("arr3"), (x, i) =>
+      struct(x.getField("dur").as("dur"), x.getField("da").as("da"),
+        x.getField("db").as("db"), x.getField("c").as("c"),
+        x.getField("n_risk").as("n_risk"),
+        x.getField("s_minus").as("s_minus"),
+        x.getField("survival").as("survival"),
+        runSum("term_a", i).as("ca"), runSum("term_b", i).as("cb"))))
+      .as("r"))
+      .select(col("r.dur").as("dur_days"),
+        col("r.n_risk").cast(LongType).as("n_risk"),
+        col("r.da").as("n_a"), col("r.db").as("n_b"),
+        col("r.c").as("n_censored"), col("r.s_minus").as("s_minus"),
+        col("r.survival").as("survival"),
+        Q.decOut(col("r.ca"), 12).as("cif_a"),
+        Q.decOut(col("r.cb"), 12).as("cif_b"))
+  }
+
+  /** Growth accounting — the DAU decomposition every growth team
+    * reads first: each active day's users split into NEW (first-ever
+    * active day), RETAINED (also active the previous day) and
+    * RESURRECTED (previously active, but not yesterday), plus the
+    * CHURNED count (active yesterday, not today — attributed to the
+    * day they went missing, so a day after the last active day can
+    * appear with dau 0) and the quick ratio
+    * (new + resurrected) / churned.
+    *
+    * Scale shape: one (user, day) distinct collapse of the event
+    * stream, one user-keyed min for first days, then the
+    * yesterday-presence and churn checks are SELF equi-joins of the
+    * per-day activity frame on (user, day±1) — every shuffle keys on
+    * the user, nothing global, no window. The day grid frames that
+    * meet in the final full outer join are bounded by the calendar.
+    *
+    * Determinism: every count is an exact BIGINT; the quick ratio is
+    * one sig9'd IEEE division, NULL when nobody churned (launch days
+    * — the conventional "infinite growth" readout).
+    *
+    * @return one row per day with activity or churn: (day, dau,
+    *         n_new, n_retained, n_resurrected, n_churned,
+    *         quick_ratio) */
+  def growthAccounting(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    import graft.queries.Q
+    val active = events
+      .select(col(userCol).as("user"), to_date(col(tsCol)).as("day"))
+      .where(col("user").isNotNull && col("day").isNotNull)
+      .distinct()
+      .localCheckpoint() // reused by flags, yesterday and churn joins
+    val first = active.groupBy(col("user"))
+      .agg(min(col("day")).as("first_day"))
+    val prev = active.select(col("user"),
+      date_add(col("day"), 1).as("day"), lit(1).as("__p"))
+    val byDay = active
+      .join(first, Seq("user"))
+      .join(prev, Seq("user", "day"), "left_outer")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("dau"),
+        sum(when(col("day") === col("first_day"), 1L).otherwise(0L))
+          .as("n_new"),
+        sum(when(col("day") =!= col("first_day") && col("__p").isNotNull,
+          1L).otherwise(0L)).as("n_retained"),
+        sum(when(col("day") =!= col("first_day") && col("__p").isNull,
+          1L).otherwise(0L)).as("n_resurrected"))
+    val churn = active
+      .select(col("user"), date_add(col("day"), 1).as("day"))
+      .join(active, Seq("user", "day"), "left_anti")
+      .groupBy(col("day")).agg(count(lit(1)).as("n_churned"))
+    byDay.join(churn, Seq("day"), "full_outer")
+      .select(col("day"),
+        coalesce(col("dau"), lit(0L)).as("dau"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+      .withColumn("quick_ratio", when(col("n_churned") > 0,
+        Q.sig9((col("n_new") + col("n_resurrected")).cast("double") /
+          col("n_churned").cast("double"))))
+  }
+
+  /** Monthly stickiness — DAU/MAU, the engagement-depth scalar beside
+    * [[growthAccounting]]'s composition: per calendar month, the
+    * distinct monthly actives, the mean daily actives over the
+    * month's OBSERVED active days, and their ratio (1.0 = everyone
+    * active every observed day).
+    *
+    * Scale shape: the same (user, day) distinct collapse, then one
+    * (month, day)-keyed count, one month-keyed re-aggregate and one
+    * month-keyed distinct-user count — two bounded grouped frames
+    * joined on the calendar-bounded month key. No window.
+    *
+    * Determinism: counts exact; avg_dau = sig9(Σ dau / n_days) one
+    * IEEE division over exact BIGINTs, stickiness one sig9'd division
+    * of that 9-digit value by the exact MAU (NULL only on an empty
+    * frame, which returns no rows anyway).
+    *
+    * @return per month: (month, mau, n_days, avg_dau, stickiness) —
+    *         month as 'yyyy-MM' */
+  def stickiness(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    import graft.queries.Q
+    val active = events
+      .select(col(userCol).as("user"), to_date(col(tsCol)).as("day"))
+      .where(col("user").isNotNull && col("day").isNotNull)
+      .distinct()
+      .withColumn("month", date_format(col("day"), "yyyy-MM"))
+    val daily = active.groupBy(col("month"), col("day"))
+      .agg(count(lit(1)).as("dau"))
+      .groupBy(col("month"))
+      .agg(sum(col("dau")).as("__sum_dau"),
+        count(lit(1)).as("n_days"))
+    val monthly = active.groupBy(col("month"))
+      .agg(countDistinct(col("user")).as("mau"))
+    monthly.join(daily, Seq("month"))
+      .withColumn("avg_dau", Q.sig9(col("__sum_dau").cast("double") /
+        col("n_days").cast("double")))
+      .withColumn("stickiness", when(col("mau") > 0,
+        Q.sig9(col("avg_dau") / col("mau").cast("double"))))
+      .select("month", "mau", "n_days", "avg_dau", "stickiness")
   }
 }

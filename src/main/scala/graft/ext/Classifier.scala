@@ -380,6 +380,63 @@ object Classifier {
     *
     * @return per class + `__all__`: (label, tp, n_pred, n_true,
     *         prec, rec, f1) — ratios NULL on zero denominators */
+  /** Cohen's kappa — chance-corrected agreement between two
+    * label columns (truth vs prediction, or two annotators): κ =
+    * (N·agree − Σ_l n_true(l)·n_pred(l)) / (N² − Σ_l n_true·n_pred).
+    * Accuracy alone flatters a classifier on an imbalanced label set
+    * (predict-the-majority scores its prevalence); κ subtracts the
+    * agreement the margins produce by chance.
+    *
+    * Scale shape: ONE (t,p)-keyed aggregate collapses the stream to
+    * the bounded cell table (the [[confusion]] plan); margins
+    * re-aggregate the cells, the chance mass is one bounded
+    * margin-keyed equi-join, and the final row is the scalar
+    * crossJoin idiom.
+    *
+    * Determinism: all counts exact BIGINTs, the chance mass and both
+    * κ terms exact DECIMAL(38,0) products (N ≤ 10⁹ rows keeps N² and
+    * Σ nt·np under 38 digits with room to spare), po/pe single sig9'd
+    * IEEE divisions, κ the spearman sig9 chain.
+    *
+    * @return ONE row: (n, agree, po, pe, kappa) — κ NULL when the
+    *         denominator is 0 (all mass in one cell) or n = 0 */
+  def kappa(pred: DataFrame, trueCol: String, predCol: String)
+      : DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val dec0 = DecimalType(38, 0)
+    val cells = pred
+      .select(col(trueCol).cast("string").as("t"),
+        col(predCol).cast("string").as("p"))
+      .where(col("t").isNotNull && col("p").isNotNull)
+      .groupBy(col("t"), col("p")).agg(count(lit(1)).as("c"))
+      .localCheckpoint() // reused: totals + both margins
+    val tot = cells.agg(
+      coalesce(sum(col("c")), lit(0L)).cast("long").as("n"),
+      coalesce(sum(when(col("t") === col("p"), col("c"))
+        .otherwise(lit(0L))), lit(0L)).cast("long").as("agree"))
+    val nt = cells.groupBy(col("t").as("label"))
+      .agg(sum(col("c")).as("n_true"))
+    val np = cells.groupBy(col("p").as("label"))
+      .agg(sum(col("c")).as("n_pred"))
+    val chance = nt.join(np, Seq("label"))
+      .agg(coalesce(sum(col("n_true").cast(dec0) * col("n_pred")),
+        lit(0L).cast(dec0)).as("s"))
+    val num = col("n").cast(dec0) * col("agree") - col("s")
+    val den = col("n").cast(dec0) * col("n") - col("s")
+    tot.crossJoin(chance)
+      .select(col("n"), col("agree"),
+        when(col("n") > 0, Q.sig9(
+          col("agree").cast(DoubleType) / col("n").cast(DoubleType)))
+          .as("po"),
+        when(col("n") > 0, Q.sig9(
+          col("s").cast(DoubleType) /
+            (col("n").cast(DoubleType) * col("n").cast(DoubleType))))
+          .as("pe"),
+        when(den > 0, Q.sig9(
+          Q.sig9(num.cast(DoubleType)) / Q.sig9(den.cast(DoubleType))))
+          .as("kappa"))
+  }
+
   def confusion(pred: DataFrame, trueCol: String, predCol: String)
       : DataFrame = {
     val cells = pred

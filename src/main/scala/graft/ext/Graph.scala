@@ -599,4 +599,61 @@ object Graph {
     }
     dist
   }
+
+  /** Synchronous label-propagation communities (Raghavan et al. 2007)
+    * — the near-linear community detector: every node starts as its
+    * own label and, each round, SIMULTANEOUSLY adopts the label held
+    * by the most neighbors (ties → smallest label, the deterministic
+    * variant; the classic randomized tie-break would be
+    * un-adjudicable). Pass both edge directions for undirected graphs
+    * (the [[kCore]] convention); self-loops are dropped. A fixed
+    * round budget keeps the result oracle-adjudicable (the khop
+    * convention) — synchronous LPA can oscillate on bipartite
+    * structures, so `rounds` IS the semantics, not a convergence
+    * heuristic.
+    *
+    * Scale shape per round: one edges×labels equi-join (the label
+    * frame is MEASURED and broadcast under [[broadcastBudget]],
+    * shuffled past it), one (node, label)-keyed count (map-side
+    * partial), one node-keyed struct-max argmax — (count, −label)
+    * max picks most-votes-then-smallest-label in a single aggregate,
+    * no window — and one left join carrying isolated nodes unchanged.
+    * Per-round lineage cuts via [[Checkpoints.cut]] (durable dir =
+    * the cluster posture). Labels are node ids: exact integers end to
+    * end, no float contract.
+    *
+    * @return (node, community) after `rounds` synchronous updates */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int, checkpointDir: Option[String] = None): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    def cut(df: DataFrame): DataFrame = Checkpoints.cut(df, checkpointDir)
+    val spark = edges.sparkSession
+    val e = cut(edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct())
+    var lab = cut(e.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node")))
+    (1 to rounds).foreach { _ =>
+      val (_, lBytes) = measure(lab)
+      val lSide: DataFrame => DataFrame =
+        if (lBytes <= broadcastBudget(spark)) broadcast else identity
+      val votes = e
+        .join(lSide(lab.select(col("node").as("dst"), col("lbl"))),
+          "dst")
+        .groupBy(col("src").as("node"), col("lbl"))
+        .agg(count(lit(1)).cast("long").as("c"))
+      val winner = votes.groupBy(col("node"))
+        .agg(max(struct(col("c").as("c"), (-col("lbl")).as("nl")))
+          .as("w"))
+        .select(col("node"), (-col("w.nl")).as("new_lbl"))
+      lab = cut(lab
+        .join(winner, Seq("node"), "left_outer")
+        .select(col("node"),
+          coalesce(col("new_lbl"), col("lbl")).as("lbl")))
+    }
+    lab.select(col("node"), col("lbl").as("community"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Column profiling — the "ANALYZE TABLE" a data pipeline runs on every
@@ -286,6 +286,61 @@ object Profile {
     * @param units one row per unit (deduplicate upstream)
     * @return ONE row: (group_a, group_b, n_a, n_b, expected_a,
     *         chi2, z) — NULL chi2/z when either expectation is 0 */
+  /** 2×2 risk readouts — odds ratio, relative risk, log-OR and its
+    * SE: the epidemiology/rollout view of a binary outcome that
+    * [[twoProportionZ]]'s pooled z deliberately collapses (the z says
+    * "different"; OR/RR say "how many times as likely", and log-OR ±
+    * SE is what meta-analyses pool). Group 1 = exposed/treatment,
+    * group 0 = control (the DID arm convention); one row per UNIT.
+    *
+    * Scale shape: ONE conditional aggregate over the unit stream —
+    * four exact BIGINT cells, everything after is scalar arithmetic.
+    * Determinism: a·d and b·c are exact DECIMAL(38,0) products (two
+    * 10⁹-unit arms overflow BIGINT), OR the spearman sig9 chain over
+    * their casts, RR = sig9(p₁)/sig9(p₀) sig9'd, log-OR one sig9'd
+    * ln, SE one sig9'd sqrt of the reciprocal sum. Zero cells NULL
+    * the affected outputs (the classic undefined cases), never throw.
+    *
+    * @return ONE row: (a, b, c, d, p_exposed, p_control, rel_risk,
+    *         odds_ratio, log_or, se_log_or) */
+  def riskRatios(units: DataFrame, groupCol: String, flagCol: String)
+      : DataFrame = {
+    import graft.queries.Q
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val dec0 = DecimalType(38, 0)
+    val g = col(groupCol).cast("long")
+    val f = col(flagCol).cast("boolean")
+    def cell(cond: Column, out: String) =
+      coalesce(sum(when(cond, 1L).otherwise(0L)), lit(0L)).cast("long")
+        .as(out)
+    val cells = units.where(g.isNotNull && f.isNotNull)
+      .agg(cell(g === 1 && f, "a"), cell(g === 1 && !f, "b"),
+        cell(g === 0 && f, "c"), cell(g === 0 && !f, "d"))
+    val ad = col("a").cast(dec0) * col("d")
+    val bc = col("b").cast(dec0) * col("c")
+    val rec = lit(1.0) / col("a").cast(DoubleType) +
+      lit(1.0) / col("b").cast(DoubleType) +
+      lit(1.0) / col("c").cast(DoubleType) +
+      lit(1.0) / col("d").cast(DoubleType)
+    cells
+      .withColumn("p_exposed", when(col("a") + col("b") > 0,
+        Q.sig9(col("a").cast(DoubleType) /
+          (col("a") + col("b")).cast(DoubleType))))
+      .withColumn("p_control", when(col("c") + col("d") > 0,
+        Q.sig9(col("c").cast(DoubleType) /
+          (col("c") + col("d")).cast(DoubleType))))
+      .withColumn("rel_risk", when(col("p_control") > 0 &&
+          col("p_exposed").isNotNull,
+        Q.sig9(col("p_exposed") / col("p_control"))))
+      .withColumn("odds_ratio", when(bc > 0, Q.sig9(
+        Q.sig9(ad.cast(DoubleType)) / Q.sig9(bc.cast(DoubleType)))))
+      .withColumn("log_or", when(col("odds_ratio") > 0,
+        Q.sig9(log(col("odds_ratio")))))
+      .withColumn("se_log_or", when(col("a") > 0 && col("b") > 0 &&
+          col("c") > 0 && col("d") > 0,
+        Q.sig9(sqrt(rec))))
+  }
+
   def sampleRatioCheck(units: DataFrame, groupCol: String,
       ratioA: Double = 0.5): DataFrame = {
     import graft.queries.Q
@@ -373,6 +428,60 @@ object Profile {
       .crossJoin(broadcast(stats.select(col("theta"))))
       .select(col("group_a"), col("group_b"), col("n_a"), col("n_b"),
         col("theta"), col("z_raw"), col("z_adj"))
+  }
+
+  /** Difference-in-differences — the quasi-experimental member of the
+    * A/B family for launches WITHOUT randomization (a rollout hits the
+    * treatment arm at a known cutover; the control arm's pre→post
+    * drift estimates the common trend): DID = (m_T,post − m_T,pre) −
+    * (m_C,post − m_C,pre), SE = sqrt(Σ_cells v/n) (the four-cell
+    * Welch form), z = DID/SE.
+    *
+    * Consumes raw observation rows; cells are (arm × period)
+    * [[groupMoments]] — exact decimal sums, sig9'd variances — so the
+    * whole readout is ONE grouped aggregate over the observation
+    * stream plus a four-row pivot (the welchZ scalar idiom). Arm and
+    * period columns must be 0/1 (0 = control / pre).
+    *
+    * Determinism: each per-arm diff is one sig9'd subtraction of the
+    * deterministic cell means, DID one sig9'd subtraction of the
+    * diffs, SE one sig9'd sqrt, z one sig9'd division — fixed IEEE
+    * between sig9 points on both engines.
+    *
+    * @return ONE row: (n_c_pre, n_c_post, n_t_pre, n_t_post,
+    *         mean_c_pre, mean_c_post, mean_t_pre, mean_t_post,
+    *         diff_control, diff_treat, did, se, z) — z NULL when any
+    *         cell is empty or degenerate (var NULL / SE 0) */
+  def didEstimate(df: DataFrame, armCol: String, periodCol: String,
+      valCol: String): DataFrame = {
+    import graft.queries.Q
+    val m = groupMoments(df, Seq(armCol, periodCol), valCol)
+    def pick(arm: Int, per: Int, f: String) =
+      max(when(col(armCol) === arm && col(periodCol) === per, col(f)))
+    def cell(arm: Int, per: Int, tag: String) = Seq(
+      coalesce(pick(arm, per, "n"), lit(0L)).as(s"n_$tag"),
+      pick(arm, per, "mean_v").as(s"mean_$tag"),
+      pick(arm, per, "var_v").as(s"var_$tag"))
+    val cols = cell(0, 0, "c_pre") ++ cell(0, 1, "c_post") ++
+      cell(1, 0, "t_pre") ++ cell(1, 1, "t_post")
+    val p = m.agg(cols.head, cols.tail: _*)
+    val dc = Q.sig9(col("mean_c_post") - col("mean_c_pre"))
+    val dt = Q.sig9(col("mean_t_post") - col("mean_t_pre"))
+    val se = Q.sig9(sqrt(
+      col("var_c_pre") / col("n_c_pre").cast("double") +
+        col("var_c_post") / col("n_c_post").cast("double") +
+        col("var_t_pre") / col("n_t_pre").cast("double") +
+        col("var_t_post") / col("n_t_post").cast("double")))
+    p.withColumn("diff_control", dc)
+      .withColumn("diff_treat", dt)
+      .withColumn("did", Q.sig9(col("diff_treat") - col("diff_control")))
+      .withColumn("se", se)
+      .withColumn("z", when(col("se") > 0,
+        Q.sig9(col("did") / col("se"))))
+      .select(col("n_c_pre"), col("n_c_post"), col("n_t_pre"),
+        col("n_t_post"), col("mean_c_pre"), col("mean_c_post"),
+        col("mean_t_pre"), col("mean_t_post"), col("diff_control"),
+        col("diff_treat"), col("did"), col("se"), col("z"))
   }
 
   /** Trimmed and winsorized means — the robust location estimates
@@ -1089,6 +1198,66 @@ object Profile {
         col("nb").cast("long").as("n_b"))
   }
 
+  /** Two-sample effect sizes — the MAGNITUDE readouts the A/B tests
+    * deliberately omit (a z only says "detectable"; these say "how
+    * big"): Cohen's d (pooled-sd standardized mean difference), the
+    * small-sample Hedges' g correction J·d with
+    * J = 1 − 3/(4n − 9), and Cliff's delta
+    * δ = P(a > b) − P(a < b) = 2U/(n_a·n_b) − 1 — the nonparametric
+    * effect size that reuses [[mannWhitney]]'s exact doubled-U
+    * machinery verbatim (ties cancel exactly).
+    *
+    * Plan: the MWU binned prefix-sum subplan plus one single-pass
+    * moment aggregate per side (exact decimal sums, broadcast scalar
+    * rows) — nothing new shuffles. Determinism: variances are the
+    * groupMoments sig9 chain, the pooled sd / d / g / δ are each one
+    * sig9 point over fixed IEEE arithmetic.
+    *
+    * @return ONE row: (n_a, n_b, mean_a, mean_b, var_a, var_b,
+    *         cohens_d, hedges_g, cliffs_delta) — d/g NULL when the
+    *         pooled sd degenerates (all values equal or n ≤ 2), δ
+    *         NULL when either side is empty */
+  def effectSizes(a: DataFrame, b: DataFrame, valCol: String,
+      nBins: Int = 1024): DataFrame = {
+    import graft.queries.Q
+    val mw = mannWhitney(a, b, valCol, nBins)
+      .select(col("u2"), col("n_a"), col("n_b"))
+    def mom(df: DataFrame, tag: String) = {
+      val x = col(valCol).cast("double")
+      df.where(x.isNotNull).agg(
+        Q.dsum(x).as(s"s1_$tag"), Q.dsum(x * x).as(s"s2_$tag"))
+    }
+    def mean(t: String, n: String) = col(s"s1_$t") / col(n).cast("double")
+    def varr(t: String, n: String) = when(col(n) > 1, Q.sig9(
+      (col(s"s2_$t") - col(s"s1_$t") * col(s"s1_$t") /
+        col(n).cast("double")) / (col(n) - 1).cast("double")))
+    val nad = col("n_a").cast("double")
+    val nbd = col("n_b").cast("double")
+    val base = mw.crossJoin(broadcast(mom(a, "a")))
+      .crossJoin(broadcast(mom(b, "b")))
+      .select(col("u2"), col("n_a"), col("n_b"),
+        mean("a", "n_a").as("mean_a"), mean("b", "n_b").as("mean_b"),
+        varr("a", "n_a").as("var_a"), varr("b", "n_b").as("var_b"))
+    val pooled = when(col("n_a") + col("n_b") > 2, Q.sig9(
+      ((col("n_a") - 1).cast("double") * col("var_a") +
+        (col("n_b") - 1).cast("double") * col("var_b")) /
+        (col("n_a") + col("n_b") - 2).cast("double")))
+    val jf = lit(1.0) - lit(3.0) /
+      (lit(4.0) * (nad + nbd) - lit(9.0))
+    base
+      .withColumn("sd_p", when(pooled > 0, Q.sig9(sqrt(pooled))))
+      .withColumn("cohens_d", when(col("sd_p") > 0,
+        Q.sig9(Q.sig9(col("mean_a") - col("mean_b")) / col("sd_p"))))
+      .withColumn("hedges_g", when(col("cohens_d").isNotNull,
+        Q.sig9(col("cohens_d") * jf)))
+      .withColumn("cliffs_delta",
+        when(col("n_a") > 0 && col("n_b") > 0,
+          Q.sig9(col("u2") / (nad * nbd) - lit(1.0))))
+      .select(col("n_a"), col("n_b"), col("mean_a"), col("mean_b"),
+        col("var_a"), col("var_b"), col("cohens_d"), col("hedges_g"),
+        col("cliffs_delta"))
+  }
+
   /** Per-group Gini coefficient of a NONNEGATIVE INTEGER-VALUED column
     * — the concentration profile behind "is this source's token mass
     * dominated by a few giant documents?" (G = 0 everyone equal,
@@ -1544,6 +1713,89 @@ object Profile {
             (col("b") + col("c")).cast("double"))).as("chi2_cc"))
   }
 
+  /** Friedman test — the PAIRED k-sample rank test (the within-block
+    * twin of [[kruskalWallis]]): does a metric differ across k
+    * treatments when every block (user, day, site…) experiences all
+    * of them? Ranks are computed WITHIN each complete block, so
+    * between-block level differences (the thing that drowns
+    * Kruskal–Wallis on heterogeneous users) cancel by construction.
+    *
+    * Cell value = the block × treatment [[graft.queries.Q.dsum]] of
+    * the metric — sig9'd and therefore bit-identical cross-engine
+    * (ranking RAW decimal sums would let the two engines' differing
+    * double→decimal casts manufacture tie disagreements at the 15th
+    * decimal — the multiTouch lesson). Only blocks holding ALL k
+    * treatments participate (the textbook complete-block design;
+    * k is measured from the full cell frame).
+    *
+    * Numerics: within-block DOUBLED midranks ρ = 2·(#less) + (#equal,
+    * incl. self) + 1 fold inside one bounded k-array (k = distinct
+    * treatments, O(k²) per block, no window); the tie-corrected
+    * statistic Q = (k−1)·Σ_j (2R_j − n(k+1))² / (Σρ² − n·k·(k+1)²)
+    * has an exact DECIMAL(38,0) numerator and denominator (ρ and its
+    * squares are small integers), one spearman-style sig9 chain at
+    * the end. Ties everywhere degenerate the denominator to 0 → NULL.
+    *
+    * @return one row per treatment: (treatment, n_blocks, k,
+    *         rank_sum2 = 2·R_j, mean_rank, q_stat) — q_stat repeated
+    *         on every row; empty when no block is complete */
+  def friedman(df: DataFrame, blockCol: String, treatCol: String,
+      valCol: String): DataFrame = {
+    import graft.queries.Q
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+    val dec0 = DecimalType(38, 0)
+    val cell = df
+      .where(col(blockCol).isNotNull && col(treatCol).isNotNull &&
+        col(valCol).isNotNull)
+      .groupBy(col(blockCol).as("b"), col(treatCol).as("tr"))
+      .agg(Q.dsum(col(valCol).cast("double")).as("cv"))
+      .localCheckpoint() // reused: k scalar + the block pack
+    val kRow = cell.agg(countDistinct(col("tr")).as("k"))
+    val packed = cell.groupBy(col("b"))
+      .agg(collect_list(struct(col("tr"), col("cv"))).as("arr"))
+      .crossJoin(broadcast(kRow))
+      .where(size(col("arr")) === col("k"))
+    val ranked = packed.select(explode(transform(col("arr"), x => {
+      val m = size(filter(col("arr"),
+        y => y.getField("cv") < x.getField("cv")))
+      val e = size(filter(col("arr"),
+        y => y.getField("cv") === x.getField("cv")))
+      struct(x.getField("tr").as("tr"),
+        (m.cast(LongType) * 2L + e.cast(LongType) + lit(1L)).as("rho"))
+    })).as("r"))
+      .select(col("r.tr").as("tr"), col("r.rho").as("rho"))
+    val perTr = ranked.groupBy(col("tr"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(col("rho")).cast(dec0).as("r2"),
+        sum(col("rho").cast(dec0) * col("rho")).as("a4c"))
+      .localCheckpoint() // reused: scalar pass + output rows
+    val stat = perTr.agg(
+        count(lit(1)).as("kk"), max(col("n_blocks")).as("n"),
+        sum(col("a4c")).as("a4"),
+        collect_list(struct(col("tr"), col("r2"))).as("rs"))
+      .select(col("kk"), col("n"), col("a4"),
+        aggregate(col("rs"), lit(0L).cast(dec0), (acc, e) => {
+          val dev = e.getField("r2") -
+            (col("n") * (col("kk") + 1)).cast(dec0)
+          acc + dev * dev
+        }).as("ssd"))
+      .select(col("kk"), col("n"),
+        ((col("kk") - 1).cast(dec0) * col("ssd")).as("num4"),
+        (col("a4") - (col("n") * col("kk") *
+          (col("kk") + 1) * (col("kk") + 1)).cast(dec0)).as("den4"))
+      .select(col("kk"), col("n"),
+        when(col("den4") > 0, Q.sig9(
+          Q.sig9(col("num4").cast(DoubleType)) /
+            Q.sig9(col("den4").cast(DoubleType)))).as("q_stat"))
+    perTr.crossJoin(broadcast(stat))
+      .select(col("tr").as(treatCol), col("n_blocks"),
+        col("kk").cast(LongType).as("k"),
+        col("r2").cast(LongType).as("rank_sum2"),
+        Q.sig9(col("r2").cast(DoubleType) /
+          (col("n_blocks") * 2).cast(DoubleType)).as("mean_rank"),
+        col("q_stat"))
+  }
+
   /** Per-group skewness and excess kurtosis of an INTEGER-VALUED
     * column — the shape profile beside [[groupMoments]]'s mean/var
     * (asymmetric? heavy-tailed? the "is a mean-based test even
@@ -1608,5 +1860,211 @@ object Profile {
         case c if o(c) != n(c) => (c, "retyped", o(c), n(c))
       }
     rows.toDF("col_name", "status", "old_type", "new_type")
+  }
+
+  /** Stratified / inverse-propensity-weighted average treatment
+    * effect — the observational-causal readout beside the
+    * randomized-test suite ([[welchZ]]/[[cupedZ]]/[[didEstimate]]):
+    * when assignment is NOT a fair coin within every stratum,
+    * the raw mean difference confounds stratum mix with treatment.
+    * Three standard estimators over per-stratum estimated
+    * propensities e(s) = n_treated(s)/n(s):
+    *  - `ate_strat`: Σ_s (n_s/N)·(ȳ_T(s) − ȳ_C(s)) — the direct
+    *    stratification estimator,
+    *  - `ate_ipw`: (1/N)·Σ_i [T·y/e − (1−T)·y/(1−e)] —
+    *    Horvitz–Thompson,
+    *  - `ate_hajek`: the weight-normalized (stabilized) form, the one
+    *    to read when weights are noisy.
+    * Strata violating positivity (all-treated or all-control) are
+    * EXCLUDED from all three and counted in `n_excluded` — the
+    * standard trimming, documented rather than silent.
+    *
+    * Scale shape: one stratum-keyed aggregate builds the bounded
+    * propensity table (broadcast back — strata are categorical by
+    * design), one row-level pass forms the sig9'd weighted terms,
+    * one global aggregate folds them; the stratified term folds over
+    * the bounded strata frame. No window, no driver data path.
+    *
+    * Determinism: e, every weighted term, every mean and every
+    * estimator are single sig9 points over exact counts /
+    * [[graft.queries.Q.dsum]] decimal sums.
+    *
+    * @param df one row per unit
+    * @return ONE row: (n_used, n_excluded, n_treated, ate_strat,
+    *         ate_ipw, ate_hajek) — NULL estimators when no stratum
+    *         survives positivity */
+  def ipwAte(df: DataFrame, treatCol: String, stratumCol: String,
+      valCol: String): DataFrame = {
+    import graft.queries.Q
+    import org.apache.spark.sql.types.DoubleType
+    val base = df.select(col(treatCol).cast("long").as("t"),
+        col(stratumCol).cast("string").as("s"),
+        col(valCol).cast("double").as("y"))
+      .where(col("t").isNotNull && col("s").isNotNull &&
+        col("y").isNotNull && col("t").isin(0L, 1L))
+    val strata = base.groupBy(col("s"))
+      .agg(count(lit(1)).as("n_s"),
+        sum(col("t")).as("n1_s"),
+        Q.dsum(when(col("t") === 1, col("y"))).as("s1t"),
+        Q.dsum(when(col("t") === 0, col("y"))).as("s1c"))
+      .withColumn("ok", col("n1_s") > 0 && col("n1_s") < col("n_s"))
+      .withColumn("e", when(col("ok"), Q.sig9(
+        col("n1_s").cast(DoubleType) / col("n_s").cast(DoubleType))))
+      .localCheckpoint() // reused: row-pass broadcast + strat fold
+    val tot = strata.agg(
+      coalesce(sum(when(col("ok"), col("n_s"))), lit(0L)).as("n_used"),
+      coalesce(sum(when(!col("ok"), col("n_s"))), lit(0L))
+        .as("n_excluded"),
+      coalesce(sum(when(col("ok"), col("n1_s"))), lit(0L))
+        .as("n_treated"))
+    val rows = base
+      .join(broadcast(strata.where(col("ok"))
+        .select(col("s"), col("e"))), Seq("s"))
+      .agg(
+        Q.dsum(when(col("t") === 1, Q.sig9(col("y") / col("e")))
+          .otherwise(lit(0.0))).as("st_num"),
+        Q.dsum(when(col("t") === 1, Q.sig9(lit(1.0) / col("e")))
+          .otherwise(lit(0.0))).as("st_den"),
+        Q.dsum(when(col("t") === 0,
+          Q.sig9(col("y") / (lit(1.0) - col("e"))))
+          .otherwise(lit(0.0))).as("sc_num"),
+        Q.dsum(when(col("t") === 0,
+          Q.sig9(lit(1.0) / (lit(1.0) - col("e"))))
+          .otherwise(lit(0.0))).as("sc_den"))
+    val strat = strata.where(col("ok")).crossJoin(broadcast(tot))
+      .select(when(col("n1_s") < col("n_s") && col("n1_s") > 0,
+        Q.sig9(Q.sig9(
+          Q.sig9(col("s1t") / col("n1_s").cast(DoubleType)) -
+            Q.sig9(col("s1c") /
+              (col("n_s") - col("n1_s")).cast(DoubleType))) *
+          col("n_s").cast(DoubleType) / col("n_used").cast(DoubleType)))
+        .as("term"))
+      .agg(Q.dsum(col("term")).as("ate_strat"))
+    tot.crossJoin(broadcast(rows)).crossJoin(broadcast(strat))
+      .select(col("n_used"), col("n_excluded"), col("n_treated"),
+        when(col("n_used") > 0, col("ate_strat")).as("ate_strat"),
+        when(col("n_used") > 0, Q.sig9(
+          (col("st_num") - col("sc_num")) /
+            col("n_used").cast(DoubleType))).as("ate_ipw"),
+        when(col("st_den") > 0 && col("sc_den") > 0, Q.sig9(
+          Q.sig9(col("st_num") / col("st_den")) -
+            Q.sig9(col("sc_num") / col("sc_den")))).as("ate_hajek"))
+  }
+
+  /** Per-segment KS drift battery with Benjamini–Hochberg FDR
+    * control — the multiple-testing-correct form of "which segments
+    * drifted?": for every segment g, the exact two-sample KS distance
+    * of its values against the COMPLEMENT (everyone else), the
+    * asymptotic two-sided p ≈ min(1, 2·exp(−2·n_eff·D²)) with
+    * n_eff = n_g·n_rest/n, and the BH step-up q-value
+    * q_i = min_{j≥i} min(1, p_(j)·m/j). Running m segment tests at
+    * α each inflates family-wise false positives ~m·α; BH caps the
+    * expected FALSE-DISCOVERY share of the flagged set at α — the
+    * correction a drift monitor fanning over hundreds of
+    * features × segments actually needs.
+    *
+    * Scale shape: one (segment, value) count collapse, then the
+    * [[ksDistance]] two-phase binned prefix sum PER SEGMENT — the
+    * within-bin window partitions on (segment, bin) (bounded), the
+    * cross-bin bases fold in one O(nBins) array per segment, and the
+    * complement CDF is cum_all − cum_g (the G2 complement-aggregate
+    * trick: ONE global grid, no per-segment rescan). The segment ×
+    * distinct-value grid costs G·V rows — G is the battery width
+    * (segments/features under test, bounded by design: a battery IS
+    * an enumerated set); V distinct values shuffle once. The BH fold
+    * packs the G per-segment rows into ONE array row (bases idiom,
+    * O(G²) work in a single task).
+    *
+    * Determinism: every cumulative count and KS numerator is exact
+    * (DECIMAL(38,0) cross-products); D, n_eff, p and each BH term are
+    * single sig9 points, so the suffix-min and the α compare
+    * adjudicate bit-for-bit.
+    *
+    * @return per segment: (segment, n, ks, ks_p, bh_rank, q_value,
+    *         significant) — significant = q_value ≤ alpha */
+  def ksDriftBattery(df: DataFrame, grpCol: String, valCol: String,
+      alpha: Double = 0.05, nBins: Int = 1024): DataFrame = {
+    import graft.queries.Q
+    import org.apache.spark.sql.expressions.Window
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cnt = df
+      .select(col(grpCol).cast("string").as("g"),
+        col(valCol).cast("double").as("s"))
+      .where(col("g").isNotNull && col("s").isNotNull)
+      .groupBy(col("g"), col("s")).agg(count(lit(1)).as("c"))
+      .localCheckpoint() // grid, totals and global CDF all reuse it
+    val grid = cnt.select(col("g")).distinct()
+      .crossJoin(cnt.select(col("s")).distinct()) // G×V, G bounded
+      .join(cnt, Seq("g", "s"), "left_outer")
+      .select(col("g"), col("s"), coalesce(col("c"), lit(0L)).as("c"))
+    val mm = cnt.agg(min(col("s")).as("lo"), max(col("s")).as("hi"),
+      sum(col("c")).cast("long").as("n"))
+    val binned = grid.crossJoin(broadcast(mm))
+      .withColumn("bin",
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(lit(nBins - 1L),
+            floor((col("s") - col("lo"))
+              / ((col("hi") - col("lo")) / nBins)).cast("long"))))
+    val wIn = Window.partitionBy(col("g"), col("bin")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val within = binned.withColumn("lg", sum(col("c")).over(wIn))
+    val bases = binned.groupBy(col("g"), col("bin"))
+      .agg(sum(col("c")).as("bc"))
+      .groupBy(col("g"))
+      .agg(array_sort(collect_list(struct(col("bin"), col("bc"))))
+        .as("arr"))
+      .select(col("g"), explode(transform(col("arr"), (x, i) =>
+        struct(x.getField("bin").as("bin"),
+          aggregate(slice(col("arr"), lit(1), i), lit(0L),
+            (acc, e) => acc + e.getField("bc")).as("base")))).as("x"))
+      .select(col("g"), col("x.bin").as("bin"), col("x.base").as("base"))
+    val cumg = within.join(bases, Seq("g", "bin"))
+      .select(col("g"), col("s"), col("n"),
+        (col("base") + col("lg")).as("cumg"))
+    val cumAll = cumg.groupBy(col("s"))
+      .agg(sum(col("cumg")).as("cumall")) // Σ_g cum_g(v) = cum_all(v)
+    val ng = cnt.groupBy(col("g"))
+      .agg(sum(col("c")).cast("long").as("n_g"))
+    val perSeg = cumg.join(cumAll, Seq("s")).join(ng, Seq("g"))
+      .where(col("n_g") > 0 && col("n_g") < col("n"))
+      .withColumn("num", abs(
+        col("cumg").cast(dec) * (col("n") - col("n_g")).cast(dec) -
+          (col("cumall") - col("cumg")).cast(dec) * col("n_g").cast(dec)))
+      .groupBy(col("g"))
+      .agg(max(col("num")).as("mx"), first(col("n_g")).as("n_g"),
+        first(col("n")).as("n"))
+      .withColumn("ks", Q.sig9(col("mx").cast("double") /
+        (col("n_g").cast(dec) * (col("n") - col("n_g")).cast(dec))
+          .cast("double")))
+      .withColumn("neff", Q.sig9(
+        (col("n_g").cast(dec) * (col("n") - col("n_g")).cast(dec))
+          .cast("double") / col("n").cast("double")))
+      .withColumn("ks_p", least(lit(1.0), Q.sig9(
+        lit(2.0) * exp(lit(-2.0) * col("neff") * col("ks") * col("ks")))))
+      .select(col("g").as("segment"), col("n_g").as("n"),
+        col("ks"), col("ks_p"))
+    // BH step-up in ONE bounded array row: rank by (p, segment), term
+    // t_j = min(1, sig9(p_j·m/j)), q_i = suffix-min of t (O(G²)).
+    perSeg.groupBy()
+      .agg(array_sort(collect_list(struct(col("ks_p"), col("segment"),
+        col("n"), col("ks")))).as("arr"))
+      .select(explode(transform(col("arr"), (x, i) => {
+        val m = size(col("arr"))
+        val term = (e: Column, j: Column) => least(lit(1.0),
+          Q.sig9(e.getField("ks_p") * m.cast("double") /
+            (j + 1).cast("double")))
+        struct(x.getField("segment").as("segment"),
+          x.getField("n").as("n"), x.getField("ks").as("ks"),
+          x.getField("ks_p").as("ks_p"),
+          (i + 1).cast("long").as("bh_rank"),
+          aggregate(
+            zip_with(slice(col("arr"), i + 1, m - i),
+              sequence(i, m - 1), (e, j) => term(e, j)),
+            lit(1.0), (acc, t) => least(acc, t)).as("q_value"))
+      })).as("x"))
+      .select(col("x.segment").as("segment"), col("x.n").as("n"),
+        col("x.ks").as("ks"), col("x.ks_p").as("ks_p"),
+        col("x.bh_rank").as("bh_rank"), col("x.q_value").as("q_value"),
+        (col("x.q_value") <= alpha).as("significant"))
   }
 }

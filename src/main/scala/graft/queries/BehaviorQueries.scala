@@ -252,6 +252,134 @@ object BehaviorQueries {
        |    AS survival
        |FROM cm""".stripMargin
 
+  // ===== Nelson–Aalen cumulative hazard ===============================
+
+  /** [[graft.ext.Behavior.nelsonAalen]] over the same grid as
+    * `q_x_kaplan_meier`: additive hazard H = Σ d/n, variance Σ d/n²,
+    * Fleming–Harrington survival exp(−H). The oracle mirrors the
+    * sig9'd per-duration terms, the exact decimal running sums and
+    * the decOut(·,12) surfacing term for term. */
+  private val nelsonAalenQ: QFn = (s, d) =>
+    graft.ext.Behavior.nelsonAalen(Tables.events(s, d),
+      "user_id", "ts", "event_type", targetType = "purchase")
+
+  private val nelsonAalenSql = {
+    val h = Q.sqlSig9("CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)")
+    val v = Q.sqlSig9("CAST(d AS DOUBLE) / " +
+      "(CAST(n_risk AS DOUBLE) * CAST(n_risk AS DOUBLE))")
+    s"""WITH pu AS (
+       |  SELECT user_id, min(ts) AS t0,
+       |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp,
+       |    max(ts) AS tl
+       |  FROM events GROUP BY 1),
+       |du AS (
+       |  SELECT CAST(CASE WHEN tp IS NOT NULL
+       |      THEN date_diff('day', CAST(t0 AS DATE), CAST(tp AS DATE))
+       |      ELSE date_diff('day', CAST(t0 AS DATE), CAST(tl AS DATE))
+       |      END AS BIGINT) AS dur,
+       |    tp IS NOT NULL AS obs
+       |  FROM pu),
+       |bd AS (
+       |  SELECT dur,
+       |    CAST(sum(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT) AS d,
+       |    CAST(sum(CASE WHEN obs THEN 0 ELSE 1 END) AS BIGINT) AS c
+       |  FROM du GROUP BY 1),
+       |nt AS (SELECT CAST(sum(d + c) AS BIGINT) AS n FROM bd),
+       |rk AS (
+       |  SELECT dur, d, c,
+       |    nt.n - COALESCE(SUM(d + c) OVER (ORDER BY dur
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS n_risk
+       |  FROM bd, nt),
+       |tm AS (
+       |  SELECT dur, d, c, n_risk,
+       |    CASE WHEN d > 0 THEN $h ELSE 0.0 END AS h,
+       |    CASE WHEN d > 0 THEN $v ELSE 0.0 END AS v
+       |  FROM rk),
+       |cm AS (
+       |  SELECT dur, d, c, n_risk, h,
+       |    SUM(CAST(h AS DECIMAL(38,15))) OVER (ORDER BY dur
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ch,
+       |    SUM(CAST(v AS DECIMAL(38,15))) OVER (ORDER BY dur
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cv
+       |  FROM tm)
+       |SELECT dur AS dur_days, CAST(n_risk AS BIGINT) AS n_risk,
+       |  d AS n_events, c AS n_censored, h AS hazard,
+       |  ${Q.sqlDecOut("ch", 12)} AS cum_hazard,
+       |  ${Q.sqlDecOut("cv", 12)} AS cum_var,
+       |  ${Q.sqlSig9(s"exp(-(${Q.sqlDecOut("ch", 12)}))")} AS fh_survival
+       |FROM cm""".stripMargin
+  }
+
+  // ===== pipeline 12: one-plan survival suite =========================
+
+  /** Flagship 12 — [[graft.ext.Behavior.survivalTable]]: the KM curve
+    * and the Nelson–Aalen hazard over ONE duration-grid scan; every
+    * column equals the standalone operator (`SurvivalSuiteSpec`). The
+    * oracle merges both CTE chains on shared grid CTEs. */
+  private val pipeline12Q: QFn = (s, d) =>
+    graft.ext.Behavior.survivalTable(Tables.events(s, d),
+      "user_id", "ts", "event_type", targetType = "purchase")
+
+  private val pipeline12Sql = {
+    val h = Q.sqlSig9("CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)")
+    val v = Q.sqlSig9("CAST(d AS DOUBLE) / " +
+      "(CAST(n_risk AS DOUBLE) * CAST(n_risk AS DOUBLE))")
+    s"""WITH pu AS (
+       |  SELECT user_id, min(ts) AS t0,
+       |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp,
+       |    max(ts) AS tl
+       |  FROM events GROUP BY 1),
+       |du AS (
+       |  SELECT CAST(CASE WHEN tp IS NOT NULL
+       |      THEN date_diff('day', CAST(t0 AS DATE), CAST(tp AS DATE))
+       |      ELSE date_diff('day', CAST(t0 AS DATE), CAST(tl AS DATE))
+       |      END AS BIGINT) AS dur,
+       |    tp IS NOT NULL AS obs
+       |  FROM pu),
+       |bd AS (
+       |  SELECT dur,
+       |    CAST(sum(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT) AS d,
+       |    CAST(sum(CASE WHEN obs THEN 0 ELSE 1 END) AS BIGINT) AS c
+       |  FROM du GROUP BY 1),
+       |nt AS (SELECT CAST(sum(d + c) AS BIGINT) AS n FROM bd),
+       |rk AS (
+       |  SELECT dur, d, c,
+       |    nt.n - COALESCE(SUM(d + c) OVER (ORDER BY dur
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS n_risk
+       |  FROM bd, nt),
+       |tm AS (
+       |  SELECT dur, d, c, n_risk,
+       |    CASE WHEN d > 0 AND n_risk > d THEN
+       |      ${Q.sqlSig9("ln(CAST(n_risk - d AS DOUBLE) / " +
+           "CAST(n_risk AS DOUBLE))")}
+       |    ELSE 0.0 END AS term,
+       |    CASE WHEN d > 0 AND n_risk = d THEN 1 ELSE 0 END AS hz,
+       |    CASE WHEN d > 0 THEN $h ELSE 0.0 END AS h,
+       |    CASE WHEN d > 0 THEN $v ELSE 0.0 END AS v
+       |  FROM rk),
+       |cm AS (
+       |  SELECT dur, d, c, n_risk, h,
+       |    SUM(CAST(term AS DECIMAL(38,15))) OVER w AS cl,
+       |    MAX(hz) OVER w AS z,
+       |    SUM(CAST(h AS DECIMAL(38,15))) OVER w AS ch,
+       |    SUM(CAST(v AS DECIMAL(38,15))) OVER w AS cv
+       |  FROM tm
+       |  WINDOW w AS (ORDER BY dur
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       |SELECT dur AS dur_days, CAST(n_risk AS BIGINT) AS n_risk,
+       |  d AS n_events, c AS n_censored,
+       |  CASE WHEN z = 1 THEN 0.0
+       |    ELSE ${Q.sqlSig9(s"exp(${Q.sqlDecOut("cl", 12)})")} END
+       |    AS survival,
+       |  h AS hazard,
+       |  ${Q.sqlDecOut("ch", 12)} AS cum_hazard,
+       |  ${Q.sqlDecOut("cv", 12)} AS cum_var,
+       |  ${Q.sqlSig9(s"exp(-(${Q.sqlDecOut("ch", 12)}))")} AS fh_survival
+       |FROM cm""".stripMargin
+  }
+
   // ===== RFM segmentation =============================================
 
   /** Quintile RFM codes over purchase events — tie-stable rank bins
@@ -583,13 +711,258 @@ object BehaviorQueries {
        |FROM re CROSS JOIN sm""".stripMargin
   }
 
+  // ===== exact Shapley channel attribution ============================
+
+  private val shapleyChannels = Seq("view", "click", "signup", "error")
+
+  /** [[graft.ext.Behavior.shapleyAttribution]] over the four
+    * non-conversion event types as channels: empirical coalition
+    * values on the 2⁴ touched-set lattice, exact-factorial Shapley
+    * weights embedded as identical IEEE literals, terms folded in
+    * ascending mask order (the markov list-fold convention). */
+  private val shapleyQ: QFn = (s, d) =>
+    graft.ext.Behavior.shapleyAttribution(Tables.events(s, d),
+      "user_id", "event_type", "purchase", shapleyChannels)
+
+  private val shapleySql = {
+    val chs = shapleyChannels.distinct.sorted
+    val c = chs.size
+    def fact(k: Int): Double = (1 to k).foldLeft(1.0)(_ * _)
+    val maskExpr = chs.zipWithIndex.map { case (ch, i) =>
+      s"max(CASE WHEN event_type = '$ch' THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    val chValues = chs.zipWithIndex.map { case (ch, i) =>
+      s"('$ch', CAST(${1L << i} AS BIGINT))"
+    }.mkString(", ")
+    val pop = (0 until c).map(b => s"((v1.mask >> $b) & 1)")
+      .mkString(" + ")
+    val wCase = (1 to c).map(s =>
+      s"WHEN $s THEN CAST(${fact(s - 1) * fact(c - s) / fact(c)} " +
+        "AS DOUBLE)").mkString(" ")
+    val vExpr = Q.sqlSig9("CAST(nc AS DOUBLE) / CAST(n AS DOUBLE)")
+    val term = Q.sqlSig9(s"(CASE ($pop) $wCase END) * (v1.v - v0.v)")
+    s"""WITH pu AS (
+       |  SELECT user_id, CAST($maskExpr AS BIGINT) AS mask,
+       |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |      AS conv
+       |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+       |st AS (
+       |  SELECT mask, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(conv) AS BIGINT) AS nc
+       |  FROM pu GROUP BY 1),
+       |mk AS (SELECT CAST(unnest(range(0, ${1L << c})) AS BIGINT)
+       |       AS mask),
+       |vv AS (
+       |  SELECT mk.mask,
+       |    CASE WHEN st.n IS NULL OR st.n = 0 THEN CAST(0.0 AS DOUBLE)
+       |      ELSE $vExpr END AS v
+       |  FROM mk LEFT JOIN st USING (mask)),
+       |ch(channel, bit) AS (SELECT * FROM (VALUES $chValues)),
+       |tm AS (
+       |  SELECT ch.channel, v1.mask, $term AS t
+       |  FROM ch
+       |  JOIN vv v1 ON (v1.mask & ch.bit) <> 0
+       |  JOIN vv v0 ON v0.mask = v1.mask - ch.bit),
+       |ph AS (
+       |  SELECT channel, ${Q.sqlFold("list(t ORDER BY mask)")} AS s
+       |  FROM tm GROUP BY 1),
+       |tc AS (
+       |  SELECT ch.channel, CAST(sum(st.n) AS BIGINT) AS n_users,
+       |    CAST(sum(st.nc) AS BIGINT) AS n_conv
+       |  FROM ch JOIN st ON (st.mask & ch.bit) <> 0 GROUP BY 1)
+       |SELECT ph.channel, COALESCE(tc.n_users, 0) AS n_users,
+       |  COALESCE(tc.n_conv, 0) AS n_conv,
+       |  ${Q.sqlSig9("s")} AS shapley
+       |FROM ph LEFT JOIN tc USING (channel)""".stripMargin
+  }
+
+  // ===== competing-risks cumulative incidence =========================
+
+  /** [[graft.ext.Behavior.competingRisks]] on the KM grid with
+    * purchase vs error as the two competing first events: combined-
+    * event KM survival, S(t−), and both Aalen–Johansen incidence
+    * curves. The oracle mirrors the exclusive/inclusive log prefixes,
+    * the sig9'd S(t−)·h terms and the decimal incidence sums term for
+    * term. */
+  private val crQ: QFn = (s, d) =>
+    graft.ext.Behavior.competingRisks(Tables.events(s, d),
+      "user_id", "ts", "event_type", typeA = "purchase", typeB = "error")
+
+  private val crSql = {
+    val lf = Q.sqlSig9("ln(CAST(n_risk - da - db AS DOUBLE) / " +
+      "CAST(n_risk AS DOUBLE))")
+    val ha = Q.sqlSig9("CAST(da AS DOUBLE) / CAST(n_risk AS DOUBLE)")
+    val hb = Q.sqlSig9("CAST(db AS DOUBLE) / CAST(n_risk AS DOUBLE)")
+    val sMinus = s"CASE WHEN zb = 1 THEN 0.0 ELSE ${Q.sqlSig9(
+      s"exp(${Q.sqlDecOut("cle", 12)})")} END"
+    val surv = s"CASE WHEN zi = 1 THEN 0.0 ELSE ${Q.sqlSig9(
+      s"exp(${Q.sqlDecOut("cli", 12)})")} END"
+    s"""WITH pu AS (
+       |  SELECT user_id, min(ts) AS t0,
+       |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS ta,
+       |    min(CASE WHEN event_type = 'error' THEN ts END) AS tb,
+       |    max(ts) AS tl
+       |  FROM events GROUP BY 1),
+       |du AS (
+       |  SELECT CAST(CASE
+       |      WHEN ta IS NULL AND tb IS NULL
+       |        THEN date_diff('day', CAST(t0 AS DATE), CAST(tl AS DATE))
+       |      WHEN tb IS NULL OR (ta IS NOT NULL AND ta <= tb)
+       |        THEN date_diff('day', CAST(t0 AS DATE), CAST(ta AS DATE))
+       |      ELSE date_diff('day', CAST(t0 AS DATE), CAST(tb AS DATE))
+       |      END AS BIGINT) AS dur,
+       |    CASE WHEN ta IS NULL AND tb IS NULL THEN 'c'
+       |      WHEN tb IS NULL OR (ta IS NOT NULL AND ta <= tb) THEN 'a'
+       |      ELSE 'b' END AS kind
+       |  FROM pu),
+       |bd AS (
+       |  SELECT dur,
+       |    CAST(sum(CASE WHEN kind = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS da,
+       |    CAST(sum(CASE WHEN kind = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS db,
+       |    CAST(sum(CASE WHEN kind = 'c' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS c
+       |  FROM du GROUP BY 1),
+       |nt AS (SELECT CAST(sum(da + db + c) AS BIGINT) AS n FROM bd),
+       |rk AS (
+       |  SELECT dur, da, db, c,
+       |    nt.n - COALESCE(SUM(da + db + c) OVER (ORDER BY dur
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS n_risk
+       |  FROM bd, nt),
+       |tm AS (
+       |  SELECT dur, da, db, c, n_risk,
+       |    CASE WHEN da + db > 0 AND n_risk > da + db THEN $lf
+       |      ELSE 0.0 END AS lf,
+       |    CASE WHEN da + db > 0 AND n_risk = da + db THEN 1 ELSE 0
+       |      END AS hz,
+       |    CASE WHEN da > 0 THEN $ha ELSE 0.0 END AS ha,
+       |    CASE WHEN db > 0 THEN $hb ELSE 0.0 END AS hb
+       |  FROM rk),
+       |cm AS (
+       |  SELECT dur, da, db, c, n_risk, ha, hb,
+       |    COALESCE(SUM(CAST(lf AS DECIMAL(38,15))) OVER (ORDER BY dur
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |      CAST(0 AS DECIMAL(38,15))) AS cle,
+       |    SUM(CAST(lf AS DECIMAL(38,15))) OVER (ORDER BY dur
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cli,
+       |    COALESCE(MAX(hz) OVER (ORDER BY dur
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS zb,
+       |    MAX(hz) OVER (ORDER BY dur
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS zi
+       |  FROM tm),
+       |sm AS (
+       |  SELECT dur, da, db, c, n_risk,
+       |    $sMinus AS s_minus, $surv AS survival,
+       |    ${Q.sqlSig9(s"($sMinus) * ha")} AS term_a,
+       |    ${Q.sqlSig9(s"($sMinus) * hb")} AS term_b
+       |  FROM cm),
+       |fin AS (
+       |  SELECT dur, da, db, c, n_risk, s_minus, survival,
+       |    SUM(CAST(term_a AS DECIMAL(38,15))) OVER (ORDER BY dur
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+       |    SUM(CAST(term_b AS DECIMAL(38,15))) OVER (ORDER BY dur
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+       |  FROM sm)
+       |SELECT dur AS dur_days, CAST(n_risk AS BIGINT) AS n_risk,
+       |  da AS n_a, db AS n_b, c AS n_censored, s_minus, survival,
+       |  ${Q.sqlDecOut("ca", 12)} AS cif_a,
+       |  ${Q.sqlDecOut("cb", 12)} AS cif_b
+       |FROM fin""".stripMargin
+  }
+
+  // ===== growth accounting ============================================
+
+  /** [[graft.ext.Behavior.growthAccounting]]: every active day's DAU
+    * split into new / retained / resurrected, churn attributed to the
+    * day users went missing, and the quick ratio. Exact BIGINT
+    * composition; the ratio is the only float, one sig9 point. */
+  private val growthQ: QFn = (s, d) =>
+    graft.ext.Behavior.growthAccounting(Tables.events(s, d),
+      "user_id", "ts")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day_s"),
+        col("dau"), col("n_new"), col("n_retained"),
+        col("n_resurrected"), col("n_churned"), col("quick_ratio"))
+
+  private val growthSql =
+    s"""WITH a AS (
+       |  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day
+       |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+       |f AS (SELECT u, min(day) AS fd FROM a GROUP BY 1),
+       |bd AS (
+       |  SELECT a.day,
+       |    CAST(count(*) AS BIGINT) AS dau,
+       |    CAST(sum(CASE WHEN a.day = f.fd THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_new,
+       |    CAST(sum(CASE WHEN a.day <> f.fd AND p.u IS NOT NULL
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+       |    CAST(sum(CASE WHEN a.day <> f.fd AND p.u IS NULL
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+       |  FROM a JOIN f ON f.u = a.u
+       |  LEFT JOIN a p ON p.u = a.u AND p.day = a.day - 1
+       |  GROUP BY 1),
+       |ch AS (
+       |  SELECT n.day, CAST(count(*) AS BIGINT) AS n_churned
+       |  FROM (SELECT u, day + 1 AS day FROM a) n
+       |  LEFT JOIN a x ON x.u = n.u AND x.day = n.day
+       |  WHERE x.u IS NULL GROUP BY 1)
+       |SELECT strftime(COALESCE(bd.day, ch.day), '%Y-%m-%d') AS day_s,
+       |  COALESCE(dau, 0) AS dau, COALESCE(n_new, 0) AS n_new,
+       |  COALESCE(n_retained, 0) AS n_retained,
+       |  COALESCE(n_resurrected, 0) AS n_resurrected,
+       |  COALESCE(ch.n_churned, 0) AS n_churned,
+       |  CASE WHEN COALESCE(ch.n_churned, 0) > 0 THEN ${Q.sqlSig9(
+            "CAST(COALESCE(n_new, 0) + COALESCE(n_resurrected, 0) " +
+            "AS DOUBLE) / CAST(ch.n_churned AS DOUBLE)")} END
+       |    AS quick_ratio
+       |FROM bd FULL OUTER JOIN ch ON bd.day = ch.day""".stripMargin
+
+  // ===== monthly stickiness ===========================================
+
+  /** [[graft.ext.Behavior.stickiness]]: per-month DAU/MAU — the
+    * engagement-depth scalar beside growth accounting's composition.
+    * avg_dau and the ratio are each one sig9 point over exact
+    * BIGINTs. */
+  private val stickinessQ: QFn = (s, d) =>
+    graft.ext.Behavior.stickiness(Tables.events(s, d), "user_id", "ts")
+
+  private val stickinessSql = {
+    val avg = Q.sqlSig9(
+      "CAST(sd AS DOUBLE) / CAST(n_days AS DOUBLE)")
+    s"""WITH a AS (
+       |  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day
+       |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+       |am AS (SELECT strftime(day, '%Y-%m') AS month, u, day FROM a),
+       |dd AS (
+       |  SELECT month, CAST(sum(dau) AS BIGINT) AS sd,
+       |    CAST(count(*) AS BIGINT) AS n_days
+       |  FROM (SELECT month, day, CAST(count(*) AS BIGINT) AS dau
+       |        FROM am GROUP BY 1, 2) GROUP BY 1),
+       |m AS (
+       |  SELECT month, CAST(count(DISTINCT u) AS BIGINT) AS mau
+       |  FROM am GROUP BY 1)
+       |SELECT m.month, mau, n_days, $avg AS avg_dau,
+       |  CASE WHEN mau > 0
+       |    THEN ${Q.sqlSig9(s"($avg) / CAST(mau AS DOUBLE)")} END
+       |    AS stickiness
+       |FROM m JOIN dd USING (month)""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q_x_growth" -> growthQ,
+    "q_x_stickiness" -> stickinessQ,
+    "q_x_competing_risks" -> crQ,
+    "q_x_shapley" -> shapleyQ,
     "q_x_markov_attrib" -> markovQ,
     "q_x_logrank" -> logRankQ,
     "q_x_paths" -> pathsQ,
     "q_x_time_to_convert" -> timeToConvertQ,
     "q_x_rfm" -> rfmQ,
     "q_x_kaplan_meier" -> kmQ,
+    "q_x_nelson_aalen" -> nelsonAalenQ,
+    "q_x_pipeline12" -> pipeline12Q,
     "q_x_ltv" -> ltvQ,
     "q_x_multitouch" -> multiTouchQ,
     "q_x_funnel" -> funnel,
@@ -598,12 +971,18 @@ object BehaviorQueries {
     "q_x_decay" -> decayQ)
 
   val oracles: Map[String, String] = Map(
+    "q_x_growth" -> growthSql,
+    "q_x_stickiness" -> stickinessSql,
+    "q_x_competing_risks" -> crSql,
+    "q_x_shapley" -> shapleySql,
     "q_x_markov_attrib" -> markovSql,
     "q_x_logrank" -> logRankSql,
     "q_x_paths" -> pathsSql,
     "q_x_time_to_convert" -> timeToConvertSql,
     "q_x_rfm" -> rfmSql,
     "q_x_kaplan_meier" -> kmSql,
+    "q_x_nelson_aalen" -> nelsonAalenSql,
+    "q_x_pipeline12" -> pipeline12Sql,
     "q_x_ltv" -> ltvSql,
     "q_x_multitouch" -> multiTouchSql,
     "q_x_funnel" -> funnelSql,

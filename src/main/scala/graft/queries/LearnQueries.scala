@@ -721,8 +721,56 @@ object LearnQueries {
        |FROM r""".stripMargin
   }
 
+  // ===== Cohen's kappa ================================================
+
+  /** Chance-corrected agreement of the adjudicated NB prediction
+    * frame ([[graft.ext.Classifier.kappa]]): accuracy minus what the
+    * label margins would agree on by chance — the imbalance-honest
+    * companion of `q_x_confusion`'s accuracy row. The oracle composes
+    * the full nbSql chain and mirrors the exact-decimal κ terms. */
+  private val kappaQ: QFn = (s, d) =>
+    graft.ext.Classifier.kappa(nbQ(s, d), "true_lang", "pred")
+
+  private val kappaSql = {
+    val chain = Q.sqlSig9(
+      s"${Q.sqlSig9("CAST(num AS DOUBLE)")} / " +
+        Q.sqlSig9("CAST(den AS DOUBLE)"))
+    s"""WITH base AS ($nbSql),
+       |cells AS (
+       |  SELECT CAST(true_lang AS VARCHAR) AS t,
+       |    CAST(pred AS VARCHAR) AS p, CAST(count(*) AS BIGINT) AS c
+       |  FROM base WHERE true_lang IS NOT NULL AND pred IS NOT NULL
+       |  GROUP BY 1, 2),
+       |tot AS (
+       |  SELECT CAST(COALESCE(sum(c), 0) AS BIGINT) AS n,
+       |    CAST(COALESCE(sum(CASE WHEN t = p THEN c ELSE 0 END), 0)
+       |      AS BIGINT) AS agree
+       |  FROM cells),
+       |nt AS (SELECT t AS label, CAST(sum(c) AS BIGINT) AS n_true
+       |  FROM cells GROUP BY 1),
+       |np AS (SELECT p AS label, CAST(sum(c) AS BIGINT) AS n_pred
+       |  FROM cells GROUP BY 1),
+       |ch AS (
+       |  SELECT COALESCE(sum(CAST(n_true AS DECIMAL(38,0)) * n_pred),
+       |    CAST(0 AS DECIMAL(38,0))) AS s
+       |  FROM nt JOIN np USING (label)),
+       |dd AS (
+       |  SELECT n, agree, s,
+       |    CAST(n AS DECIMAL(38,0)) * agree - s AS num,
+       |    CAST(n AS DECIMAL(38,0)) * n - s AS den
+       |  FROM tot, ch)
+       |SELECT n, agree,
+       |  CASE WHEN n > 0 THEN ${Q.sqlSig9(
+           "CAST(agree AS DOUBLE) / CAST(n AS DOUBLE)")} END AS po,
+       |  CASE WHEN n > 0 THEN ${Q.sqlSig9("CAST(s AS DOUBLE) / " +
+           "(CAST(n AS DOUBLE) * CAST(n AS DOUBLE))")} END AS pe,
+       |  CASE WHEN den > 0 THEN $chain END AS kappa
+       |FROM dd""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
     "q_x_confusion" -> confusionQ,
+    "q_x_kappa" -> kappaQ,
     "q_x_feature_hash" -> featureHashQ,
     "q_x_target_encode" -> targetEncodeQ,
     "q_x_moments" -> momentsQ,
@@ -739,6 +787,7 @@ object LearnQueries {
 
   val oracles: Map[String, String] = Map(
     "q_x_confusion" -> confusionSql,
+    "q_x_kappa" -> kappaSql,
     "q_x_feature_hash" -> featureHashSql,
     "q_x_target_encode" -> targetEncodeSql,
     "q_x_moments" -> momentsSql,

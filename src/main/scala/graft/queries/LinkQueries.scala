@@ -602,7 +602,58 @@ object LinkQueries {
            "AS DOUBLE)")} AS lift
        |FROM pp CROSS JOIN nb""".stripMargin
 
+  // ===== label-propagation communities ================================
+
+  /** [[graft.ext.Graph.labelPropagation]] over the part co-purchase
+    * graph (the kcore edge build): which parts cluster into ordering
+    * communities. Deterministic most-votes-then-smallest-label
+    * updates; the ORACLE unrolls the identical synchronous rounds as
+    * MATERIALIZED CTEs with a window argmax — all exact integers. */
+  private val lpaRounds = 3
+
+  private val lpaQ: QFn = (s, d) => {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+      col("l_partkey"))
+    val ord = li.groupBy("l_orderkey")
+      .agg(array_sort(array_distinct(collect_list(col("l_partkey"))))
+        .as("ps"))
+    val e = ord.select(explode(col("ps")).as("a"), col("ps"))
+      .select(col("a"), explode(col("ps")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    graft.ext.Graph.labelPropagation(e, "a", "b", lpaRounds)
+      .select(col("node").cast("long").as("node"), col("community"))
+  }
+
+  private val lpaSql = {
+    val rounds = (1 to lpaRounds).map { i =>
+      val lp = s"l${i - 1}"
+      s"""v$i AS (
+         |  SELECT e.src AS node, l.lbl AS lbl,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM e JOIN $lp l ON e.dst = l.node GROUP BY 1, 2),
+         |l$i AS MATERIALIZED (
+         |  SELECT node, lbl FROM (
+         |    SELECT node, lbl, ROW_NUMBER() OVER (PARTITION BY node
+         |      ORDER BY c DESC, lbl ASC) AS rn FROM v$i)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH p AS (
+       |  SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem),
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT l.i AS src, r.i AS dst
+       |  FROM p l JOIN p r ON l.o = r.o AND l.i <> r.i),
+       |l0 AS MATERIALIZED (
+       |  SELECT DISTINCT CAST(src AS BIGINT) AS node,
+       |    CAST(src AS BIGINT) AS lbl
+       |  FROM e),
+       |$rounds
+       |SELECT CAST(node AS BIGINT) AS node,
+       |  CAST(lbl AS BIGINT) AS community
+       |FROM l$lpaRounds""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q_x_lpa" -> lpaQ,
     "q_x_assoc_rules" -> assocQ,
     "q_x_fuzzy_join" -> fuzzyJoin,
     "q_x_contain_join" -> containQ,
@@ -617,6 +668,7 @@ object LinkQueries {
     "q_x_scd2" -> scd2)
 
   val oracles: Map[String, String] = Map(
+    "q_x_lpa" -> lpaSql,
     "q_x_assoc_rules" -> assocSql,
     "q_x_fuzzy_join" -> fuzzyJoinSql,
     "q_x_contain_join" -> containSql,

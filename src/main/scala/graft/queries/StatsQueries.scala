@@ -69,6 +69,71 @@ object StatsQueries {
        |FROM d""".stripMargin
   }
 
+  // ===== Friedman paired k-sample rank test ==========================
+
+  /** [[graft.ext.Profile.friedman]] blocking on the user: does spend
+    * differ across event types once per-user level differences cancel
+    * — the within-block twin of `q_x_kruskal`. Cells are sig9'd dsum
+    * totals (deterministic cross-engine ties); the oracle replays the
+    * doubled within-block midranks with window rank/count and the
+    * exact-integer statistic chain. */
+  private val friedmanQ: QFn = (s, d) =>
+    Profile.friedman(Tables.events(s, d), "user_id", "event_type",
+      "value")
+
+  private val friedmanSql = {
+    val chain = Q.sqlSig9(
+      s"${Q.sqlSig9("CAST(num4 AS DOUBLE)")} / " +
+        Q.sqlSig9("CAST(den4 AS DOUBLE)"))
+    s"""WITH cell AS (
+       |  SELECT user_id AS b, event_type AS tr,
+       |    ${Q.sqlDsum("value")} AS cv
+       |  FROM events
+       |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+       |    AND value IS NOT NULL
+       |  GROUP BY 1, 2),
+       |kk AS (SELECT CAST(count(DISTINCT tr) AS BIGINT) AS k FROM cell),
+       |cb AS (SELECT b, CAST(count(*) AS BIGINT) AS nt FROM cell
+       |  GROUP BY 1),
+       |comp AS (
+       |  SELECT cell.b, cell.tr, cell.cv
+       |  FROM cell JOIN cb USING (b), kk WHERE cb.nt = kk.k),
+       |rk AS (
+       |  SELECT b, tr,
+       |    CAST(2 * (RANK() OVER (PARTITION BY b ORDER BY cv) - 1)
+       |      + count(*) OVER (PARTITION BY b, cv) + 1 AS BIGINT) AS rho
+       |  FROM comp),
+       |pt AS (
+       |  SELECT tr, CAST(count(*) AS BIGINT) AS n_blocks,
+       |    sum(CAST(rho AS DECIMAL(38,0))) AS r2,
+       |    sum(CAST(rho AS DECIMAL(38,0)) * rho) AS a4c
+       |  FROM rk GROUP BY 1),
+       |sc AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS kk, max(n_blocks) AS n,
+       |    sum(a4c) AS a4
+       |  FROM pt),
+       |sd AS (
+       |  SELECT sum((r2 - CAST(sc.n * (sc.kk + 1) AS DECIMAL(38,0))) *
+       |             (r2 - CAST(sc.n * (sc.kk + 1) AS DECIMAL(38,0))))
+       |    AS ssd
+       |  FROM pt, sc),
+       |st AS (
+       |  SELECT sc.kk, sc.n,
+       |    CAST(sc.kk - 1 AS DECIMAL(38,0)) * sd.ssd AS num4,
+       |    sc.a4 - CAST(sc.n * sc.kk * (sc.kk + 1) * (sc.kk + 1)
+       |      AS DECIMAL(38,0)) AS den4
+       |  FROM sc, sd),
+       |qq AS (
+       |  SELECT kk, CASE WHEN den4 > 0 THEN $chain END AS q_stat
+       |  FROM st)
+       |SELECT pt.tr AS event_type, pt.n_blocks, qq.kk AS k,
+       |  CAST(pt.r2 AS BIGINT) AS rank_sum2,
+       |  ${Q.sqlSig9("CAST(pt.r2 AS DOUBLE) / " +
+           "CAST(pt.n_blocks * 2 AS DOUBLE)")} AS mean_rank,
+       |  qq.q_stat
+       |FROM pt, qq""".stripMargin
+  }
+
   // ===== first-order partial correlation ==============================
 
   /** [[graft.ext.Profile.partialCorr]] of (quantity, revenue | price):
@@ -456,21 +521,93 @@ object StatsQueries {
        |SELECT 'mi', mi, nmi, n FROM (${miSqlFor(liCats)})""".stripMargin
   }
 
+  // ===== per-segment KS drift battery with BH FDR control ============
+
+  /** [[graft.ext.Profile.ksDriftBattery]] over event values segmented
+    * by type: exact per-segment KS vs the complement, asymptotic
+    * p = min(1, 2·exp(−2·n_eff·D²)), Benjamini–Hochberg q-values and
+    * the α = 0.05 discovery flags. The oracle re-derives the whole
+    * chain with windows (the engine side is windowless past the
+    * bounded (segment, bin) partitions). */
+  private val ksBatteryQ: QFn = (s, d) =>
+    Profile.ksDriftBattery(Tables.events(s, d), "event_type", "value")
+
+  private val ksBatterySql = {
+    val ks = Q.sqlSig9("CAST(mx AS DOUBLE) / CAST(CAST(n_g AS " +
+      "DECIMAL(38,0)) * (n - n_g) AS DOUBLE)")
+    val neff = Q.sqlSig9("CAST(CAST(n_g AS DECIMAL(38,0)) * (n - n_g) " +
+      "AS DOUBLE) / CAST(n AS DOUBLE)")
+    val p = Q.sqlSig9("2.0 * exp(-2.0 * neff * ks * ks)")
+    val t = Q.sqlSig9(
+      "ks_p * CAST(m AS DOUBLE) / CAST(bh_rank AS DOUBLE)")
+    s"""WITH b AS (
+       |  SELECT CAST(event_type AS VARCHAR) AS g,
+       |    CAST(value AS DOUBLE) AS s
+       |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+       |c AS (SELECT g, s, CAST(count(*) AS BIGINT) AS c
+       |      FROM b GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT gg.g, vv.s, COALESCE(c.c, 0) AS c
+       |  FROM (SELECT DISTINCT g FROM c) gg
+       |  CROSS JOIN (SELECT DISTINCT s FROM c) vv
+       |  LEFT JOIN c ON c.g = gg.g AND c.s = vv.s),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM c),
+       |cum AS (
+       |  SELECT g, s, SUM(c) OVER (PARTITION BY g ORDER BY s
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumg
+       |  FROM grid),
+       |ca AS (SELECT s, CAST(sum(cumg) AS BIGINT) AS cumall
+       |       FROM cum GROUP BY 1),
+       |ngt AS (SELECT g, CAST(sum(c) AS BIGINT) AS n_g FROM c
+       |        GROUP BY 1),
+       |pseg AS (
+       |  SELECT cum.g, ngt.n_g, tot.n,
+       |    max(abs(CAST(cumg AS DECIMAL(38,0)) * (tot.n - ngt.n_g)
+       |      - CAST(ca.cumall - cumg AS DECIMAL(38,0)) * ngt.n_g))
+       |      AS mx
+       |  FROM cum JOIN ca USING (s) JOIN ngt USING (g) CROSS JOIN tot
+       |  WHERE ngt.n_g > 0 AND ngt.n_g < tot.n
+       |  GROUP BY 1, 2, 3),
+       |kd AS (SELECT g AS segment, n_g AS n_seg, $ks AS ks,
+       |              $neff AS neff FROM pseg),
+       |kp AS (SELECT segment, n_seg, ks,
+       |              LEAST(CAST(1.0 AS DOUBLE), $p) AS ks_p FROM kd),
+       |rk AS (SELECT segment, n_seg, ks, ks_p,
+       |    CAST(row_number() OVER (ORDER BY ks_p, segment) AS BIGINT)
+       |      AS bh_rank,
+       |    count(*) OVER () AS m
+       |  FROM kp),
+       |tm AS (SELECT segment, n_seg, ks, ks_p, bh_rank,
+       |              LEAST(CAST(1.0 AS DOUBLE), $t) AS t FROM rk),
+       |qv AS (SELECT segment, n_seg, ks, ks_p, bh_rank,
+       |    MIN(t) OVER (ORDER BY bh_rank
+       |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+       |      AS q_value
+       |  FROM tm)
+       |SELECT segment, n_seg AS n, ks, ks_p, bh_rank, q_value,
+       |  q_value <= CAST(0.05 AS DOUBLE) AS significant
+       |FROM qv""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q_x_ks_battery" -> ksBatteryQ,
     "q_x_pipeline9" -> pipeline9Q,
     "q_x_spearman" -> spearmanQ,
     "q_x_partial_corr" -> partialQ,
     "q_x_kruskal" -> kruskalQ,
+    "q_x_friedman" -> friedmanQ,
     "q_x_anova" -> anovaQ,
     "q_x_levene" -> leveneQ,
     "q_x_mutual_info" -> miQ,
     "q_x_mcnemar" -> mcnemarQ)
 
   val oracles: Map[String, String] = Map(
+    "q_x_ks_battery" -> ksBatterySql,
     "q_x_pipeline9" -> pipeline9Sql,
     "q_x_spearman" -> spearmanSql,
     "q_x_partial_corr" -> partialSql,
     "q_x_kruskal" -> kruskalSql,
+    "q_x_friedman" -> friedmanSql,
     "q_x_anova" -> anovaSql,
     "q_x_levene" -> leveneSql,
     "q_x_mutual_info" -> miSql,

@@ -232,6 +232,79 @@ object TimeSeriesQueries {
        |FROM events e JOIN b USING (event_type)
        |GROUP BY 1""".stripMargin
 
+  // ===== difference-in-differences ===================================
+
+  /** [[graft.ext.Profile.didEstimate]] with the `q_x_abtest` hash
+    * arms and a mid-window cutover: the quasi-experimental readout
+    * when only a rollout date, not randomization, is available. The
+    * oracle mirrors the four (arm × period) moment cells and the
+    * sig9'd diff/DID/SE/z chain term for term. */
+  private val didCutover = "2024-01-16 00:00:00"
+
+  private val didQ: QFn = (s, d) => {
+    val grp = pmod(graft.ext.Hashing.hash60(
+      concat(lit("ab:"), col("user_id").cast("string"))), lit(2L))
+    val per = when(col("ts") >= to_timestamp(lit(didCutover)), 1L)
+      .otherwise(0L)
+    graft.ext.Profile.didEstimate(
+      Tables.events(s, d).withColumn("arm", grp).withColumn("per", per),
+      "arm", "per", "value")
+  }
+
+  private val didSql = {
+    def mv(tag: String) = s"mean_$tag"
+    val dc = Q.sqlSig9(s"${mv("c_post")} - ${mv("c_pre")}")
+    val dt = Q.sqlSig9(s"${mv("t_post")} - ${mv("t_pre")}")
+    val se = Q.sqlSig9(
+      "sqrt(var_c_pre / CAST(n_c_pre AS DOUBLE) + " +
+        "var_c_post / CAST(n_c_post AS DOUBLE) + " +
+        "var_t_pre / CAST(n_t_pre AS DOUBLE) + " +
+        "var_t_post / CAST(n_t_post AS DOUBLE))")
+    def cell(a: Int, p: Int, tag: String) =
+      s"""    CAST(COALESCE(max(CASE WHEN arm = $a AND per = $p
+         |      THEN n END), 0) AS BIGINT) AS n_$tag,
+         |    max(CASE WHEN arm = $a AND per = $p THEN mean_v END)
+         |      AS mean_$tag,
+         |    max(CASE WHEN arm = $a AND per = $p THEN var_v END)
+         |      AS var_$tag""".stripMargin
+    s"""WITH g AS (
+       |  SELECT CAST(${Q.sqlHash60("'ab:' || CAST(user_id AS VARCHAR)")}
+       |    % 2 AS BIGINT) AS arm,
+       |    CASE WHEN ts >= TIMESTAMP '$didCutover' THEN 1 ELSE 0 END
+       |      AS per,
+       |    value
+       |  FROM events),
+       |m AS (
+       |  SELECT arm, per, CAST(count(value) AS BIGINT) AS n,
+       |    ${Q.sqlDsum("value")} AS s1,
+       |    ${Q.sqlDsum("value * value")} AS s2
+       |  FROM g GROUP BY 1, 2),
+       |mm AS (
+       |  SELECT arm, per, n, s1 / n AS mean_v,
+       |    CASE WHEN n > 1 THEN ${Q.sqlSig9(
+           "(s2 - s1 * s1 / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE)")}
+       |    END AS var_v
+       |  FROM m),
+       |p AS (
+       |  SELECT
+       |${cell(0, 0, "c_pre")},
+       |${cell(0, 1, "c_post")},
+       |${cell(1, 0, "t_pre")},
+       |${cell(1, 1, "t_post")}
+       |  FROM mm),
+       |q AS (
+       |  SELECT *, $dc AS diff_control, $dt AS diff_treat, $se AS se
+       |  FROM p),
+       |r AS (
+       |  SELECT *, ${Q.sqlSig9("diff_treat - diff_control")} AS did
+       |  FROM q)
+       |SELECT n_c_pre, n_c_post, n_t_pre, n_t_post,
+       |  mean_c_pre, mean_c_post, mean_t_pre, mean_t_post,
+       |  diff_control, diff_treat, did, se,
+       |  CASE WHEN se > 0 THEN ${Q.sqlSig9("did / se")} END AS z
+       |FROM r""".stripMargin
+  }
+
   // ===== A/B test (Welch z) ==========================================
 
   /** Users hash-split into two arms; Welch's z on the value metric —
@@ -1145,6 +1218,152 @@ object TimeSeriesQueries {
        |FROM agg""".stripMargin
   }
 
+  // ===== 2x2 risk readouts ===========================================
+
+  /** [[graft.ext.Profile.riskRatios]] on the `q_x_prop_test` units
+    * (per-user converted flag, hash arms): OR / RR / log-OR ± SE —
+    * the magnitude view beside the pooled-z detectability view. */
+  private val riskQ: QFn = (s, d) => {
+    val units = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("conv"))
+      .select(pmod(graft.ext.Hashing.hash60(
+          concat(lit("ab:"), col("user_id").cast("string"))), lit(2L))
+          .as("grp"),
+        (col("conv") === 1L).as("converted"))
+    graft.ext.Profile.riskRatios(units, "grp", "converted")
+  }
+
+  private val riskSql = {
+    val p1 = Q.sqlSig9("CAST(a AS DOUBLE) / CAST(a + b AS DOUBLE)")
+    val p0 = Q.sqlSig9("CAST(c AS DOUBLE) / CAST(c + d AS DOUBLE)")
+    val or9 = Q.sqlSig9(
+      s"${Q.sqlSig9("CAST(CAST(a AS DECIMAL(38,0)) * d AS DOUBLE)")} / " +
+        Q.sqlSig9("CAST(CAST(b AS DECIMAL(38,0)) * c AS DOUBLE)"))
+    val rec = "(1.0 / CAST(a AS DOUBLE) + 1.0 / CAST(b AS DOUBLE) + " +
+      "1.0 / CAST(c AS DOUBLE) + 1.0 / CAST(d AS DOUBLE))"
+    s"""WITH u AS (
+       |  SELECT CAST(${Q.sqlHash60("'ab:' || CAST(user_id AS VARCHAR)")}
+       |      % 2 AS BIGINT) AS grp,
+       |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1
+       |      AS converted
+       |  FROM events GROUP BY user_id),
+       |cells AS (
+       |  SELECT
+       |    CAST(COALESCE(sum(CASE WHEN grp = 1 AND converted
+       |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS a,
+       |    CAST(COALESCE(sum(CASE WHEN grp = 1 AND NOT converted
+       |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS b,
+       |    CAST(COALESCE(sum(CASE WHEN grp = 0 AND converted
+       |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS c,
+       |    CAST(COALESCE(sum(CASE WHEN grp = 0 AND NOT converted
+       |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS d
+       |  FROM u),
+       |p AS (
+       |  SELECT *,
+       |    CASE WHEN a + b > 0 THEN $p1 END AS p_exposed,
+       |    CASE WHEN c + d > 0 THEN $p0 END AS p_control,
+       |    CASE WHEN CAST(b AS DECIMAL(38,0)) * c > 0 THEN $or9 END
+       |      AS odds_ratio
+       |  FROM cells)
+       |SELECT a, b, c, d, p_exposed, p_control,
+       |  CASE WHEN p_control > 0 AND p_exposed IS NOT NULL THEN
+       |    ${Q.sqlSig9("p_exposed / p_control")} END AS rel_risk,
+       |  odds_ratio,
+       |  CASE WHEN odds_ratio > 0 THEN ${Q.sqlSig9("ln(odds_ratio)")}
+       |    END AS log_or,
+       |  CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+       |    ${Q.sqlSig9(s"sqrt($rec)")} END AS se_log_or
+       |FROM p""".stripMargin
+  }
+
+  // ===== two-sample effect sizes =====================================
+
+  /** [[graft.ext.Profile.effectSizes]] on the `q_x_mwu` arms: Cohen's
+    * d / Hedges' g / Cliff's delta — how BIG the arm difference is,
+    * beside the tests that only say whether it is detectable. The
+    * oracle composes the exact MWU doubled-U chain with one moment
+    * CTE and mirrors every sig9 point. */
+  private val effectQ: QFn = (s, d) => {
+    val grp = pmod(graft.ext.Hashing.hash60(
+      concat(lit("ab:"), col("user_id").cast("string"))), lit(2L))
+    val ev = Tables.events(s, d).where(col("value").isNotNull)
+      .withColumn("grp", grp)
+    graft.ext.Profile.effectSizes(
+      ev.where(col("grp") === 0), ev.where(col("grp") === 1), "value")
+  }
+
+  private val effectSql = {
+    val nad = "CAST(na AS DOUBLE)"
+    val nbd = "CAST(nb AS DOUBLE)"
+    val meanA = s"(s1a / $nad)"
+    val meanB = s"(s1b / $nbd)"
+    val varA = s"CASE WHEN na > 1 THEN ${Q.sqlSig9(
+      s"(s2a - s1a * s1a / $nad) / CAST(na - 1 AS DOUBLE)")} END"
+    val varB = s"CASE WHEN nb > 1 THEN ${Q.sqlSig9(
+      s"(s2b - s1b * s1b / $nbd) / CAST(nb - 1 AS DOUBLE)")} END"
+    val pooled = s"CASE WHEN na + nb > 2 THEN ${Q.sqlSig9(
+      "(CAST(na - 1 AS DOUBLE) * var_a + CAST(nb - 1 AS DOUBLE) * var_b)" +
+        " / CAST(na + nb - 2 AS DOUBLE)")} END"
+    val jf = s"(CAST(1.0 AS DOUBLE) - CAST(3.0 AS DOUBLE) / " +
+      s"(CAST(4.0 AS DOUBLE) * ($nad + $nbd) - CAST(9.0 AS DOUBLE)))"
+    s"""WITH g AS (
+       |  SELECT CAST(${Q.sqlHash60("'ab:' || CAST(user_id AS VARCHAR)")}
+       |    % 2 AS BIGINT) AS grp, value
+       |  FROM events WHERE value IS NOT NULL),
+       |c AS (
+       |  SELECT value AS s,
+       |    CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ac,
+       |    CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bc
+       |  FROM g GROUP BY 1),
+       |t AS (SELECT CAST(sum(ac) AS BIGINT) AS na,
+       |        CAST(sum(bc) AS BIGINT) AS nb FROM c),
+       |cum AS (
+       |  SELECT s, ac, bc,
+       |    COALESCE(sum(bc) OVER (ORDER BY s
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lb
+       |  FROM c),
+       |terms AS (
+       |  SELECT CAST(ac AS DECIMAL(38,0)) * (2 * lb + bc) AS u2term
+       |  FROM cum),
+       |m AS (
+       |  SELECT
+       |    ${Q.sqlDsum("CASE WHEN grp = 0 THEN value END")} AS s1a,
+       |    ${Q.sqlDsum("CASE WHEN grp = 0 THEN value * value END")}
+       |      AS s2a,
+       |    ${Q.sqlDsum("CASE WHEN grp = 1 THEN value END")} AS s1b,
+       |    ${Q.sqlDsum("CASE WHEN grp = 1 THEN value * value END")}
+       |      AS s2b
+       |  FROM g),
+       |f AS (
+       |  SELECT t.na, t.nb, m.s1a, m.s2a, m.s1b, m.s2b,
+       |    CASE WHEN t.na > 0 AND t.nb > 0 THEN ${Q.sqlSig9(
+           "CAST((SELECT sum(u2term) FROM terms) AS DOUBLE)")} END AS u2
+       |  FROM t, m),
+       |v AS (
+       |  SELECT *, $meanA AS mean_a, $meanB AS mean_b,
+       |    $varA AS var_a, $varB AS var_b
+       |  FROM f),
+       |p AS (SELECT *, $pooled AS pooled FROM v),
+       |sd AS (
+       |  SELECT *, CASE WHEN pooled > 0 THEN ${Q.sqlSig9(
+           "sqrt(pooled)")} END AS sd_p
+       |  FROM p),
+       |cd AS (
+       |  SELECT *, CASE WHEN sd_p > 0 THEN ${Q.sqlSig9(
+           s"${Q.sqlSig9("mean_a - mean_b")} / sd_p")} END AS cohens_d
+       |  FROM sd)
+       |SELECT na AS n_a, nb AS n_b, mean_a, mean_b, var_a, var_b,
+       |  cohens_d,
+       |  CASE WHEN cohens_d IS NOT NULL THEN ${Q.sqlSig9(
+           s"cohens_d * $jf")} END AS hedges_g,
+       |  CASE WHEN na > 0 AND nb > 0 THEN ${Q.sqlSig9(
+           s"u2 / ($nad * $nbd) - CAST(1.0 AS DOUBLE)")} END
+       |    AS cliffs_delta
+       |FROM cd""".stripMargin
+  }
+
   // ===== pipeline 7: the drift suite ==================================
 
   /** Flagship 7 — ONE plan emitting the full drift report for an A/B
@@ -1791,7 +2010,81 @@ object TimeSeriesQueries {
        |FROM v_var_total JOIN v_var_resid USING (event_type)""".stripMargin
   }
 
+  // ===== stratified / IPW average treatment effect ====================
+
+  /** [[graft.ext.Profile.ipwAte]] with the `q_x_abtest` hash arms as
+    * treatment and event_type as the stratum: the stratification,
+    * Horvitz–Thompson and Hájek estimators over per-stratum
+    * propensities, positivity-violating strata excluded and counted.
+    * The oracle mirrors every sig9'd weight term and decimal sum. */
+  private val ipwQ: QFn = (s, d) =>
+    graft.ext.Profile.ipwAte(
+      Tables.events(s, d)
+        .where(col("user_id").isNotNull)
+        .withColumn("arm", pmod(graft.ext.Hashing.hash60(
+          concat(lit("ab:"), col("user_id").cast("string"))), lit(2L))),
+      "arm", "event_type", "value")
+
+  private val ipwSql = {
+    val e = Q.sqlSig9("CAST(n1_s AS DOUBLE) / CAST(n_s AS DOUBLE)")
+    val meanT = Q.sqlSig9("s1t / CAST(n1_s AS DOUBLE)")
+    val meanC = Q.sqlSig9("s1c / CAST(n_s - n1_s AS DOUBLE)")
+    val term = Q.sqlSig9(s"${Q.sqlSig9(s"($meanT) - ($meanC)")} * " +
+      "CAST(n_s AS DOUBLE) / CAST(n_used AS DOUBLE)")
+    s"""WITH b AS (
+       |  SELECT CAST(${Q.sqlHash60(
+            "'ab:' || CAST(user_id AS VARCHAR)")} % 2 AS BIGINT) AS t,
+       |    CAST(event_type AS VARCHAR) AS s, CAST(value AS DOUBLE) AS y
+       |  FROM events
+       |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+       |    AND value IS NOT NULL),
+       |st AS (
+       |  SELECT s, CAST(count(*) AS BIGINT) AS n_s,
+       |    CAST(sum(t) AS BIGINT) AS n1_s,
+       |    ${Q.sqlDsum("CASE WHEN t = 1 THEN y END")} AS s1t,
+       |    ${Q.sqlDsum("CASE WHEN t = 0 THEN y END")} AS s1c
+       |  FROM b GROUP BY 1),
+       |okt AS (
+       |  SELECT s, n_s, n1_s, s1t, s1c,
+       |    (n1_s > 0 AND n1_s < n_s) AS ok,
+       |    CASE WHEN n1_s > 0 AND n1_s < n_s THEN $e END AS e
+       |  FROM st),
+       |tot AS (
+       |  SELECT
+       |    CAST(COALESCE(sum(CASE WHEN ok THEN n_s END), 0) AS BIGINT)
+       |      AS n_used,
+       |    CAST(COALESCE(sum(CASE WHEN NOT ok THEN n_s END), 0)
+       |      AS BIGINT) AS n_excluded,
+       |    CAST(COALESCE(sum(CASE WHEN ok THEN n1_s END), 0) AS BIGINT)
+       |      AS n_treated
+       |  FROM okt),
+       |rw AS (
+       |  SELECT
+       |    ${Q.sqlDsum(s"CASE WHEN t = 1 THEN ${Q.sqlSig9("y / e")} " +
+            "ELSE 0.0 END")} AS st_num,
+       |    ${Q.sqlDsum(s"CASE WHEN t = 1 THEN ${Q.sqlSig9("1.0 / e")} " +
+            "ELSE 0.0 END")} AS st_den,
+       |    ${Q.sqlDsum(s"CASE WHEN t = 0 THEN ${Q.sqlSig9(
+            "y / (1.0 - e)")} ELSE 0.0 END")} AS sc_num,
+       |    ${Q.sqlDsum(s"CASE WHEN t = 0 THEN ${Q.sqlSig9(
+            "1.0 / (1.0 - e)")} ELSE 0.0 END")} AS sc_den
+       |  FROM b JOIN (SELECT s, e FROM okt WHERE ok) USING (s)),
+       |sr AS (
+       |  SELECT ${Q.sqlDsum("term")} AS ate_strat FROM (
+       |    SELECT $term AS term FROM okt, tot WHERE ok))
+       |SELECT n_used, n_excluded, n_treated,
+       |  CASE WHEN n_used > 0 THEN ate_strat END AS ate_strat,
+       |  CASE WHEN n_used > 0 THEN ${Q.sqlSig9(
+            "(st_num - sc_num) / CAST(n_used AS DOUBLE)")} END
+       |    AS ate_ipw,
+       |  CASE WHEN st_den > 0 AND sc_den > 0 THEN ${Q.sqlSig9(
+            s"${Q.sqlSig9("st_num / st_den")} - " +
+              Q.sqlSig9("sc_num / sc_den"))} END AS ate_hajek
+       |FROM tot, rw, sr""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q_x_ipw_ate" -> ipwQ,
     "q_x_seasonal_strength" -> seasonalStrengthQ,
     "q_x_srm" -> srmQ,
     "q_x_pipeline8" -> pipeline8Q,
@@ -1809,6 +2102,8 @@ object TimeSeriesQueries {
     "q_x_quantile_norm" -> qnormQ,
     "q_x_chisq" -> chisqQ,
     "q_x_mwu" -> mwuQ,
+    "q_x_effect_size" -> effectQ,
+    "q_x_risk_ratio" -> riskQ,
     "q_x_ks" -> ksQ,
     "q_x_cvm" -> cvmQ,
     "q_x_backtest" -> backtestQ,
@@ -1823,6 +2118,7 @@ object TimeSeriesQueries {
     "q_x_cusum" -> cusumQ,
     "q_x_robust_z" -> robustZQ,
     "q_x_abtest" -> abtestQ,
+    "q_x_did" -> didQ,
     "q_x_winsorize" -> winsorQ,
     "q_x_pct_rank" -> pctRankQ,
     "q_x_pipeline6" -> pipeline6Q,
@@ -1830,6 +2126,7 @@ object TimeSeriesQueries {
     "q_x_agg_merge" -> aggMergeQ)
 
   val oracles: Map[String, String] = Map(
+    "q_x_ipw_ate" -> ipwSql,
     "q_x_seasonal_strength" -> seasonalStrengthSql,
     "q_x_srm" -> srmSql,
     "q_x_pipeline8" -> pipeline8Sql,
@@ -1847,6 +2144,8 @@ object TimeSeriesQueries {
     "q_x_quantile_norm" -> qnormSql,
     "q_x_chisq" -> chisqSql,
     "q_x_mwu" -> mwuSql,
+    "q_x_effect_size" -> effectSql,
+    "q_x_risk_ratio" -> riskSql,
     "q_x_ks" -> ksSql,
     "q_x_cvm" -> cvmSql,
     "q_x_backtest" -> backtestSql,
@@ -1861,6 +2160,7 @@ object TimeSeriesQueries {
     "q_x_cusum" -> cusumSql,
     "q_x_robust_z" -> robustZSql,
     "q_x_abtest" -> abtestSql,
+    "q_x_did" -> didSql,
     "q_x_winsorize" -> winsorSql,
     "q_x_pct_rank" -> pctRankSql,
     "q_x_pipeline6" -> pipeline6Sql,

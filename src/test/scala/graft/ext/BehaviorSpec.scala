@@ -206,6 +206,70 @@ class BehaviorSpec extends SparkSpec {
     assert(math.abs(got(5L)._4 - 0.3) < 1e-9)
   }
 
+  // ===== Nelson-Aalen =================================================
+
+  /** Local replica of the NA chain: sig9'd d/n and d/n² terms, exact
+    * decimal running sums, decOut(·,12), sig9(exp(−H)). */
+  private def naChain(grid: Seq[(Long, Long)])
+      : Seq[(Double, Double, Double, Double)] = {
+    import graft.functions.GraftMath.sig9
+    var ch = BigDecimal(0); var cv = BigDecimal(0)
+    def out(x: BigDecimal) =
+      sig9(x.setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    grid.map { case (nRisk, d) =>
+      val h = if (d > 0) sig9(d.toDouble / nRisk) else 0.0
+      val v = if (d > 0) sig9(d.toDouble / (nRisk.toDouble * nRisk))
+        else 0.0
+      ch += BigDecimal(h).setScale(15, BigDecimal.RoundingMode.HALF_UP)
+      cv += BigDecimal(v).setScale(15, BigDecimal.RoundingMode.HALF_UP)
+      (h, out(ch), out(cv), sig9(math.exp(-out(ch))))
+    }
+  }
+
+  test("nelsonAalen: additive hazard over the KM grid, censoring and " +
+      "tied events") {
+    def ts(x: String) = java.sql.Timestamp.valueOf(x + " 10:00:00")
+    val df = Seq(
+      ("u1", ts("2024-01-01"), "visit"), ("u1", ts("2024-01-03"), "purchase"),
+      ("u2", ts("2024-01-01"), "visit"), ("u2", ts("2024-01-03"), "purchase"),
+      ("u3", ts("2024-01-01"), "visit"), ("u3", ts("2024-01-06"), "purchase"),
+      ("u4", ts("2024-01-01"), "visit"), ("u4", ts("2024-01-04"), "visit"),
+      ("u5", ts("2024-01-01"), "visit"), ("u5", ts("2024-01-08"), "visit"))
+      .toDF("user_id", "ts", "event_type").repartition(3)
+    val got = Behavior.nelsonAalen(df, "user_id", "ts", "event_type",
+        "purchase")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6), r.getDouble(7))))
+      .toMap
+    // grid: dur2 (d=2,n=5), dur3 (censor,n=3), dur5 (d=1,n=2),
+    // dur7 (censor,n=1)
+    val e = naChain(Seq((5L, 2L), (3L, 0L), (2L, 1L), (1L, 0L)))
+    assert(got(2L) === ((5L, 2L, 0L, e(0)._1, e(0)._2, e(0)._3, e(0)._4)))
+    assert(got(3L) === ((3L, 0L, 1L, 0.0, e(1)._2, e(1)._3, e(1)._4)))
+    assert(got(5L) === ((2L, 1L, 0L, e(2)._1, e(2)._2, e(2)._3, e(2)._4)))
+    assert(got(7L) === ((1L, 0L, 1L, 0.0, e(3)._2, e(3)._3, e(3)._4)))
+    // sanity: H = 0.4 then 0.9; FH survival stays strictly positive
+    assert(math.abs(got(2L)._5 - 0.4) < 1e-12)
+    assert(math.abs(got(5L)._5 - 0.9) < 1e-12)
+  }
+
+  test("nelsonAalen: everyone-converts duration adds a finite hazard " +
+      "increment where KM pins to zero") {
+    def ts(x: String) = java.sql.Timestamp.valueOf(x + " 10:00:00")
+    val df = Seq(
+      ("a", ts("2024-01-01"), "visit"), ("a", ts("2024-01-02"), "purchase"),
+      ("b", ts("2024-01-01"), "visit"), ("b", ts("2024-01-02"), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val got = Behavior.nelsonAalen(df, "user_id", "ts", "event_type",
+        "purchase")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(4), r.getDouble(5), r.getDouble(7)))).toMap
+    import graft.functions.GraftMath.sig9
+    // n_risk = d = 2 at dur 1: h = 1.0, H = 1.0, exp(-1) > 0
+    assert(got === Map(1L -> ((1.0, 1.0, sig9(math.exp(-1.0))))))
+  }
+
   test("rfm: exact dimensions, tie-stable ascending bins, combined code") {
     def ts(x: String) = java.sql.Timestamp.valueOf(x + " 10:00:00")
     // 4 purchasers; u4's noise events must not count
@@ -397,5 +461,154 @@ class BehaviorSpec extends SparkSpec {
       Behavior.markovAttribution(ev, "u", "ts", "t", "purchase",
         Seq("CONV"))
     }
+  }
+
+  test("shapleyAttribution: hand 2-channel lattice, efficiency " +
+      "identity, channel-order invariance") {
+    import spark.implicits._
+    val ev = Seq(
+      ("u1", "a"), ("u1", "buy"),
+      ("u2", "a"),
+      ("u3", "a"), ("u3", "b"), ("u3", "buy"),
+      ("u4", "b"),
+      ("u5", "buy")) // empty coalition converts -> v(empty) = 1
+      .toDF("u", "t")
+    def run(chs: Seq[String]) =
+      Behavior.shapleyAttribution(ev, "u", "t", "buy", chs)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val got = run(Seq("a", "b"))
+    assert(got === run(Seq("b", "a"))) // sorted-bit invariance
+    // v(0)=1, v(a)=1/2, v(b)=0, v(ab)=1; w(1)=w(2)=1/2
+    // phi_a = .5(.5-1) + .5(1-0) = .25 ; phi_b = .5(0-1)+.5(1-.5)=-.25
+    def near(x: Double, y: Double) = math.abs(x - y) < 1e-9
+    assert(got("a")._1 == 3L && got("a")._2 == 2L)
+    assert(got("b")._1 == 2L && got("b")._2 == 1L)
+    assert(near(got("a")._3, 0.25) && near(got("b")._3, -0.25))
+    // efficiency: sum phi = v(full) - v(empty) = 0
+    assert(near(got("a")._3 + got("b")._3, 0.0))
+  }
+
+  test("shapleyAttribution: unobserved coalitions value 0 (the " +
+      "empirical game), reserved conv type rejected") {
+    import spark.implicits._
+    val ev = Seq(("u1", "a"), ("u1", "buy"), ("u2", "b"), ("u2", "buy"))
+      .toDF("u", "t")
+    val got = Behavior.shapleyAttribution(ev, "u", "t", "buy",
+        Seq("a", "b"))
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    // v(a)=v(b)=1, v(0)=v(ab)=0 -> both marginals cancel exactly
+    assert(got("a") == 0.0 && got("b") == 0.0)
+    intercept[IllegalArgumentException] {
+      Behavior.shapleyAttribution(ev, "u", "t", "buy", Seq("buy", "a"))
+    }
+  }
+
+  test("competingRisks: hand Aalen-Johansen curves; ties go to cause " +
+      "A; S + CIF_A + CIF_B = 1 at every duration") {
+    import spark.implicits._
+    val ev = Seq(
+      ("u1", "view", "2024-01-01"), ("u1", "purchase", "2024-01-03"),
+      ("u2", "view", "2024-01-01"), ("u2", "error", "2024-01-02"),
+      ("u3", "view", "2024-01-01"), ("u3", "view", "2024-01-04"),
+      ("u4", "view", "2024-01-01"), ("u4", "purchase", "2024-01-02"),
+      // u5: purchase and error at the SAME instant -> A wins
+      ("u5", "view", "2024-01-01"), ("u5", "purchase", "2024-01-02"),
+      ("u5", "error", "2024-01-02"))
+      .toDF("u", "et", "d")
+      .select(col("u"), col("et"), to_timestamp(col("d")).as("ts"))
+    val got = Behavior.competingRisks(ev, "u", "ts", "et",
+        "purchase", "error")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6), r.getDouble(7),
+          r.getDouble(8)))
+      .toMap
+    def near(x: Double, y: Double) = math.abs(x - y) < 1e-7
+    // dur 1: risk 5, dA=2 (u4 + tie-win u5), dB=1, S- = 1
+    val d1 = got(1L)
+    assert((d1._1, d1._2, d1._3, d1._4) === (5L, 2L, 1L, 0L))
+    assert(near(d1._5, 1.0) && near(d1._6, 0.4) &&
+      near(d1._7, 0.4) && near(d1._8, 0.2))
+    // dur 2: risk 2, dA=1; S- = 0.4 -> CIF_A += 0.4*0.5
+    val d2 = got(2L)
+    assert((d2._1, d2._2, d2._3, d2._4) === (2L, 1L, 0L, 0L))
+    assert(near(d2._5, 0.4) && near(d2._6, 0.2) &&
+      near(d2._7, 0.6) && near(d2._8, 0.2))
+    // dur 3: pure censoring -> curves carry
+    val d3 = got(3L)
+    assert((d3._1, d3._2, d3._3, d3._4) === (1L, 0L, 0L, 1L))
+    assert(near(d3._6, 0.2) && near(d3._7, 0.6) && near(d3._8, 0.2))
+    // the AJ identity at every duration
+    got.values.foreach { v => assert(near(v._6 + v._7 + v._8, 1.0)) }
+  }
+
+  test("competingRisks: an everyone-exits duration pins S and all " +
+      "later S(t-) terms to exactly 0") {
+    import spark.implicits._
+    val ev = Seq(
+      ("a", "view", "2024-01-01"), ("a", "purchase", "2024-01-02"),
+      ("b", "view", "2024-01-01"), ("b", "error", "2024-01-02"),
+      // c censors LATER than the exit day, so dur 2 empties the
+      // risk set of day-1 exits only after c leaves at dur 3
+      ("c", "view", "2024-01-01"), ("c", "view", "2024-01-03"),
+      ("d", "view", "2024-01-01"), ("d", "purchase", "2024-01-04"))
+      .toDF("u", "et", "d")
+      .select(col("u"), col("et"), to_timestamp(col("d")).as("ts"))
+    val rows = Behavior.competingRisks(ev, "u", "ts", "et",
+        "purchase", "error")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(5), r.getDouble(6))).toMap
+    // dur 3: d exits alone, n_risk = d only... the last at-risk user
+    // exits by A -> survival exactly 0; the row reports s_minus > 0
+    assert(rows(3L)._2 == 0.0)
+    assert(rows(3L)._1 > 0.0)
+  }
+
+  test("growthAccounting: new/retained/resurrected/churned decompose " +
+      "DAU; churn lands on the missing day incl. past the last") {
+    import spark.implicits._
+    // u1: d1, d2, d4 (new, retained, churn d3, resurrected d4)
+    // u2: d1 only (new, churn d2)
+    // u3: d2, d3 (new, retained, churn d4)
+    val ev = Seq(
+      ("u1", "2024-01-01"), ("u1", "2024-01-02"), ("u1", "2024-01-04"),
+      ("u1", "2024-01-01"), // duplicate event same day — must collapse
+      ("u2", "2024-01-01"),
+      ("u3", "2024-01-02"), ("u3", "2024-01-03"))
+      .toDF("u", "d").select(col("u"), to_timestamp(col("d")).as("ts"))
+    val got = Behavior.growthAccounting(ev, "u", "ts")
+      .collect().map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), Option(r.get(6)).map(_.asInstanceOf[Double])))
+      .toMap
+    assert(got("2024-01-01") === (2L, 2L, 0L, 0L, 0L, None))
+    assert(got("2024-01-02") === (2L, 1L, 1L, 0L, 1L, Some(1.0)))
+    assert(got("2024-01-03") === (1L, 0L, 1L, 0L, 1L, Some(0.0)))
+    assert(got("2024-01-04") === (1L, 0L, 0L, 1L, 1L, Some(1.0)))
+    // day past the last active day: dau 0, only churn
+    assert(got("2024-01-05") === (0L, 0L, 0L, 0L, 1L, Some(0.0)))
+    assert(got.size === 5)
+    // per-day composition always sums to dau
+    got.values.foreach { case (dau, n, r, s, _, _) =>
+      assert(n + r + s === dau)
+    }
+  }
+
+  test("stickiness: DAU/MAU per month over observed active days") {
+    import spark.implicits._
+    val ev = Seq(
+      ("a", "2024-01-01"), ("b", "2024-01-01"), ("a", "2024-01-02"),
+      ("a", "2024-01-02"), // same-day duplicate collapses
+      ("c", "2024-02-10"))
+      .toDF("u", "d").select(col("u"), to_timestamp(col("d")).as("ts"))
+    val got = Behavior.stickiness(ev, "u", "ts")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    // Jan: mau 2, days 2, dau sum 3 -> avg 1.5, stickiness .75
+    assert(got("2024-01") === (2L, 2L, 1.5, 0.75))
+    // Feb: single user single day -> everything 1.0
+    assert(got("2024-02") === (1L, 1L, 1.0, 1.0))
   }
 }

@@ -250,4 +250,27 @@ class ClassifierSpec extends SparkSpec {
     assert(ln.forall(_.isNullAt(ln.head.fieldIndex("gain"))))
     assert(ln.map(_.getAs[Double]("pos_rate")).toSet == Set(0.0))
   }
+
+  test("kappa: textbook 2x2 agreement (0.4), perfect and degenerate " +
+      "cases") {
+    // classic example: 20 yes/yes, 5 yes/no, 10 no/yes, 15 no/no
+    val rows = Seq.fill(20)(("yes", "yes")) ++ Seq.fill(5)(("yes", "no")) ++
+      Seq.fill(10)(("no", "yes")) ++ Seq.fill(15)(("no", "no"))
+    val r = Classifier.kappa(
+      rows.toDF("t", "p").repartition(3), "t", "p").head()
+    assert(r.getAs[Long]("n") == 50L && r.getAs[Long]("agree") == 35L)
+    assert(r.getAs[Double]("po") == 0.7)
+    assert(r.getAs[Double]("pe") == 0.5)
+    assert(r.getAs[Double]("kappa") == 0.4)
+    // perfect diagonal agreement with 2 classes -> exactly 1.0
+    val perfect = Classifier.kappa(
+      Seq(("a", "a"), ("a", "a"), ("a", "a"), ("b", "b"))
+        .toDF("t", "p"), "t", "p").head()
+    assert(perfect.getAs[Double]("kappa") == 1.0)
+    // all mass in one cell: den = 0 -> NULL, never a division error
+    val degen = Classifier.kappa(
+      Seq.fill(4)(("a", "a")).toDF("t", "p"), "t", "p").head()
+    assert(degen.getAs[Double]("po") == 1.0)
+    assert(degen.isNullAt(degen.fieldIndex("kappa")))
+  }
 }

@@ -418,4 +418,40 @@ class GraphSpec extends SparkSpec {
     assert(java.nio.file.Files.list(java.nio.file.Paths.get(dir))
       .count() > 0)
   }
+
+  // ===== label-propagation communities ================================
+
+  private def runLpa(e: Seq[(Long, Long)], rounds: Int,
+      ck: Option[String] = None, parts: Int = 3): Map[Long, Long] = {
+    val und = (e ++ e.map(p => (p._2, p._1))).toDF("a", "b")
+      .repartition(parts)
+    Graph.labelPropagation(und, "a", "b", rounds, ck)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("labelPropagation: two triangles over a bridge separate; the " +
+      "synchronous min-tie trajectory is exact") {
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+    // hand-propagated synchronous rounds (ties -> smallest label):
+    // r1: 1->2 2->1 3->1 4->3 5->4 6->4
+    assert(runLpa(e, 1) === Map(1L -> 2L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 4L, 6L -> 4L))
+    // r3: the two triangles settle on labels 1 and 3
+    assert(runLpa(e, 3) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L))
+  }
+
+  test("labelPropagation: partition-invariant and durable-checkpoint " +
+      "path bit-matches") {
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L), (10L, 11L))
+    val a = runLpa(e, 3, parts = 2)
+    val b = runLpa(e, 3, parts = 7)
+    assert(a === b)
+    val dir = java.nio.file.Files.createTempDirectory("lpack").toString
+    assert(runLpa(e, 3, Some(dir)) === a)
+    assert(java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .count() > 0)
+  }
 }

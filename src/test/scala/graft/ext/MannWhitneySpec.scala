@@ -82,4 +82,36 @@ class MannWhitneySpec extends SparkSpec {
     assert(e.isNullAt(e.fieldIndex("u2")) && e.isNullAt(e.fieldIndex("z")))
     assert(e.getAs[Long]("n_a") == 2L && e.getAs[Long]("n_b") == 0L)
   }
+
+  // ===== effect sizes =================================================
+
+  private def runEff(a: Seq[Double], b: Seq[Double]) =
+    Profile.effectSizes(a.toDF("v").repartition(3),
+      b.toDF("v").repartition(2), "v").head()
+
+  test("effectSizes: textbook d/g/delta over the exact MWU and " +
+      "moment chains") {
+    import GraftMath.sig9
+    val r = runEff(Seq(1.0, 2.0, 3.0, 4.0), Seq(3.0, 4.0, 5.0, 6.0))
+    assert(r.getAs[Double]("mean_a") == 2.5 &&
+      r.getAs[Double]("mean_b") == 4.5)
+    val v9 = sig9(5.0 / 3.0)
+    assert(r.getAs[Double]("var_a") == v9 &&
+      r.getAs[Double]("var_b") == v9)
+    val sd = sig9(math.sqrt(sig9((3.0 * v9 + 3.0 * v9) / 6.0)))
+    val d = sig9(sig9(2.5 - 4.5) / sd)
+    assert(r.getAs[Double]("cohens_d") == d)
+    assert(r.getAs[Double]("hedges_g") ==
+      sig9(d * (1.0 - 3.0 / (4.0 * 8.0 - 9.0))))
+    // pairs: 1 strict a>b, 2 ties, 13 strict a<b -> delta = -0.75
+    assert(r.getAs[Double]("cliffs_delta") == -0.75)
+  }
+
+  test("effectSizes: degenerate pooled sd -> NULL d/g; all-tie " +
+      "samples land delta exactly 0") {
+    val r = runEff(Seq(5.0, 5.0), Seq(5.0, 5.0))
+    assert(r.isNullAt(r.fieldIndex("cohens_d")) &&
+      r.isNullAt(r.fieldIndex("hedges_g")))
+    assert(r.getAs[Double]("cliffs_delta") == 0.0)
+  }
 }

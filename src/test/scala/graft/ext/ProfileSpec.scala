@@ -457,6 +457,128 @@ class ProfileSpec extends SparkSpec {
     assert(rf.getAs[Double]("p_value") == 1.0)
   }
 
+  test("riskRatios: textbook 2x2 OR/RR/log-OR chains") {
+    import graft.functions.GraftMath.sig9
+    val rows = Seq.fill(30)((1L, true)) ++ Seq.fill(70)((1L, false)) ++
+      Seq.fill(10)((0L, true)) ++ Seq.fill(90)((0L, false))
+    val r = Profile.riskRatios(
+      rows.toDF("grp", "f").repartition(3), "grp", "f").head()
+    assert((r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Long]("c"),
+      r.getAs[Long]("d")) == ((30L, 70L, 10L, 90L)))
+    assert(r.getAs[Double]("p_exposed") == 0.3 &&
+      r.getAs[Double]("p_control") == 0.1)
+    assert(r.getAs[Double]("rel_risk") == 3.0)
+    val or9 = sig9(sig9(2700.0) / sig9(700.0))
+    assert(r.getAs[Double]("odds_ratio") == or9)
+    assert(r.getAs[Double]("log_or") == sig9(math.log(or9)))
+    assert(r.getAs[Double]("se_log_or") ==
+      sig9(math.sqrt(1.0 / 30 + 1.0 / 70 + 1.0 / 10 + 1.0 / 90)))
+  }
+
+  test("riskRatios: zero cells NULL the undefined outputs, never " +
+      "throw; a zero-conversion exposed arm lands OR exactly 0") {
+    // control never converts: OR, RR, SE undefined
+    val r = Profile.riskRatios(
+      Seq((1L, true), (1L, false), (0L, false), (0L, false))
+        .toDF("grp", "f"), "grp", "f").head()
+    assert(r.getAs[Double]("p_control") == 0.0)
+    Seq("rel_risk", "odds_ratio", "log_or", "se_log_or").foreach(c =>
+      assert(r.isNullAt(r.fieldIndex(c)), c))
+    // exposed never converts: OR = 0 exactly, log undefined
+    val z = Profile.riskRatios(
+      Seq((1L, false), (1L, false), (0L, true), (0L, false))
+        .toDF("grp", "f"), "grp", "f").head()
+    assert(z.getAs[Double]("odds_ratio") == 0.0)
+    assert(z.isNullAt(z.fieldIndex("log_or")))
+  }
+
+  test("friedman: textbook complete-block design, no ties") {
+    import graft.functions.GraftMath.sig9
+    val df = Seq(
+      ("b1", "A", 1.0), ("b1", "B", 2.0), ("b1", "C", 3.0),
+      ("b2", "A", 2.0), ("b2", "B", 4.0), ("b2", "C", 6.0),
+      ("b3", "A", 5.0), ("b3", "B", 1.0), ("b3", "C", 6.0))
+      .toDF("blk", "tr", "v").repartition(3)
+    val r = Profile.friedman(df, "blk", "tr", "v")
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r.keySet === Set("A", "B", "C"))
+    assert(r("A").getAs[Long]("rank_sum2") == 8L)
+    assert(r("B").getAs[Long]("rank_sum2") == 10L)
+    assert(r("C").getAs[Long]("rank_sum2") == 18L)
+    assert(r("A").getAs[Long]("n_blocks") == 3L &&
+      r("A").getAs[Long]("k") == 3L)
+    assert(r("A").getAs[Double]("mean_rank") == sig9(8.0 / 6.0))
+    // classic formula: 12/(nk(k+1))·ΣR² − 3n(k+1) = 14/3
+    r.values.foreach(x =>
+      assert(x.getAs[Double]("q_stat") == sig9(112.0 / 24.0)))
+  }
+
+  test("friedman: within-block midrank ties and incomplete-block " +
+      "exclusion") {
+    import graft.functions.GraftMath.sig9
+    val df = Seq(
+      ("b1", "A", 1.0), ("b1", "B", 1.0), ("b1", "C", 2.0),
+      ("b2", "A", 2.0), ("b2", "B", 1.0), ("b2", "C", 3.0),
+      ("b4", "A", 9.0)) // b4 lacks B and C -> excluded
+      .toDF("blk", "tr", "v")
+    val r = Profile.friedman(df, "blk", "tr", "v")
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r("A").getAs[Long]("n_blocks") == 2L)
+    // b1 doubled midranks: A=3, B=3 (tied pair), C=6
+    assert(r("A").getAs[Long]("rank_sum2") == 7L)
+    assert(r("B").getAs[Long]("rank_sum2") == 5L)
+    assert(r("C").getAs[Long]("rank_sum2") == 12L)
+    r.values.foreach(x =>
+      assert(x.getAs[Double]("q_stat") == sig9(52.0 / 14.0)))
+  }
+
+  test("friedman: all-tied blocks degenerate the denominator to " +
+      "NULL, never a division error") {
+    val df = Seq(
+      ("b1", "A", 5.0), ("b1", "B", 5.0),
+      ("b2", "A", 7.0), ("b2", "B", 7.0))
+      .toDF("blk", "tr", "v")
+    val r = Profile.friedman(df, "blk", "tr", "v").collect()
+    assert(r.length == 2)
+    r.foreach(x => assert(x.isNullAt(x.fieldIndex("q_stat"))))
+  }
+
+  test("didEstimate: textbook 2x2 cells, sig9'd diff/DID/SE/z chain") {
+    import graft.functions.GraftMath.sig9
+    // arm 0 = control, per 0 = pre; cell means 2/3 and 3/12, vars
+    // 2/2/8/8 over n=2 each
+    val obs = Seq(
+      (0L, 0L, 1.0), (0L, 0L, 3.0), (0L, 1L, 2.0), (0L, 1L, 4.0),
+      (1L, 0L, 1.0), (1L, 0L, 5.0), (1L, 1L, 10.0), (1L, 1L, 14.0))
+      .toDF("arm", "per", "v").repartition(3)
+    val r = Profile.didEstimate(obs, "arm", "per", "v").head()
+    assert(r.getAs[Long]("n_c_pre") == 2L &&
+      r.getAs[Long]("n_t_post") == 2L)
+    assert(r.getAs[Double]("mean_c_pre") == 2.0 &&
+      r.getAs[Double]("mean_t_post") == 12.0)
+    assert(r.getAs[Double]("diff_control") == 1.0)
+    assert(r.getAs[Double]("diff_treat") == 9.0)
+    assert(r.getAs[Double]("did") == 8.0)
+    val se = sig9(math.sqrt(2.0 / 2 + 2.0 / 2 + 8.0 / 2 + 8.0 / 2))
+    assert(r.getAs[Double]("se") == se)
+    assert(r.getAs[Double]("z") == sig9(8.0 / se))
+  }
+
+  test("didEstimate: an empty or single-row cell yields NULL z, " +
+      "never a division error") {
+    val obs = Seq(
+      (0L, 0L, 1.0), (0L, 0L, 3.0), (0L, 1L, 2.0), (0L, 1L, 4.0),
+      (1L, 0L, 1.0), (1L, 0L, 5.0), (1L, 1L, 10.0))
+      .toDF("arm", "per", "v")
+    val r = Profile.didEstimate(obs, "arm", "per", "v").head()
+    // t_post has n=1: its variance is NULL -> SE and z NULL; the
+    // means and diffs still report
+    assert(r.getAs[Long]("n_t_post") == 1L)
+    // diff_treat = 10 − 3 = 7, diff_control = 3 − 2 = 1
+    assert(r.getAs[Double]("did") == 6.0)
+    assert(r.isNullAt(r.fieldIndex("se")) && r.isNullAt(r.fieldIndex("z")))
+  }
+
   test("permutationTest: deterministic across re-runs; degenerate " +
       "one-arm replicates are dropped, not divided by zero") {
     val tiny = Seq((0L, 1.0, 1L), (1L, 9.0, 2L)).toDF("g", "x", "id")
@@ -468,5 +590,85 @@ class ProfileSpec extends SparkSpec {
     // with 2 units, ~half the binomial replicates land both in one arm
     assert(a.getAs[Long]("n_reps") > 0L &&
       a.getAs[Long]("n_reps") < 64L)
+  }
+
+  test("ipwAte: the three estimators agree on a hand design where " +
+      "they provably coincide; positivity-violating strata excluded") {
+    val obs = Seq(
+      // s1: e = 1/2, meanT 11 vs meanC 2
+      (1L, "s1", 10.0), (1L, "s1", 12.0), (0L, "s1", 1.0),
+      (0L, "s1", 3.0),
+      // s2: e = 1/4, meanT 20 vs meanC 10
+      (1L, "s2", 20.0), (0L, "s2", 10.0), (0L, "s2", 10.0),
+      (0L, "s2", 10.0),
+      // s3: all-treated -> excluded
+      (1L, "s3", 100.0))
+      .toDF("t", "s", "y")
+    val r = Profile.ipwAte(obs, "t", "s", "y").head()
+    assert(r.getAs[Long]("n_used") == 8L)
+    assert(r.getAs[Long]("n_excluded") == 1L)
+    assert(r.getAs[Long]("n_treated") == 3L)
+    def near(x: Double, y: Double) = math.abs(x - y) < 1e-7
+    // strat = .5*9 + .5*10; HT = (124-48)/8; Hajek = 15.5-6 — all 9.5
+    assert(near(r.getAs[Double]("ate_strat"), 9.5))
+    assert(near(r.getAs[Double]("ate_ipw"), 9.5))
+    assert(near(r.getAs[Double]("ate_hajek"), 9.5))
+  }
+
+  test("ipwAte: no stratum surviving positivity yields NULL " +
+      "estimators, never a division error") {
+    val obs = Seq((1L, "a", 1.0), (1L, "a", 2.0), (0L, "b", 3.0))
+      .toDF("t", "s", "y")
+    val r = Profile.ipwAte(obs, "t", "s", "y").head()
+    assert(r.getAs[Long]("n_used") == 0L)
+    assert(r.getAs[Long]("n_excluded") == 3L)
+    assert(r.isNullAt(r.fieldIndex("ate_strat")) &&
+      r.isNullAt(r.fieldIndex("ate_ipw")) &&
+      r.isNullAt(r.fieldIndex("ate_hajek")))
+  }
+
+  test("ksDriftBattery: exact per-segment KS vs complement, BH " +
+      "step-up q-values, partition invariance") {
+    val obs = Seq(
+      ("a", 1.0), ("a", 2.0), ("b", 10.0), ("b", 11.0),
+      ("c", 1.0), ("c", 10.0))
+      .toDF("g", "v")
+    def run(parts: Int) =
+      Profile.ksDriftBattery(obs.repartition(parts), "g", "v")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getDouble(2), r.getDouble(3),
+            r.getLong(4), r.getDouble(5), r.getBoolean(6))).toMap
+    val got = run(1)
+    assert(got === run(7))
+    def near(x: Double, y: Double) = math.abs(x - y) < 1e-7
+    // hand CDFs over the union grid {1,2,10,11}:
+    // D_a = 0.75, D_b = 0.75, D_c = 0.25; n_eff = 2*4/6 = 4/3
+    assert(near(got("a")._2, 0.75) && near(got("b")._2, 0.75) &&
+      near(got("c")._2, 0.25))
+    // p = min(1, 2 exp(-2*(4/3) D^2))
+    val pAB = 2.0 * math.exp(-1.5)
+    assert(near(got("a")._3, got("b")._3) && near(got("a")._3, pAB))
+    assert(got("c")._3 == 1.0) // capped
+    // BH: ranks (p, segment) = a:1, b:2, c:3; m=3
+    assert(got("a")._4 == 1L && got("b")._4 == 2L && got("c")._4 == 3L)
+    // q_1 = q_2 = min(1, p*3/2); q_3 = 1
+    assert(near(got("a")._5, got("b")._5) &&
+      near(got("a")._5, pAB * 1.5) && got("c")._5 == 1.0)
+    assert(!got("a")._6 && !got("b")._6 && !got("c")._6)
+  }
+
+  test("ksDriftBattery: a real shift is discovered; q-values are " +
+      "monotone along the BH rank order") {
+    // segment 'hi' draws from a clearly shifted range; 20 obs/side
+    val rows = (1 to 20).map(i => ("hi", 100.0 + i)) ++
+      (1 to 20).map(i => ("lo1", i.toDouble)) ++
+      (1 to 20).map(i => ("lo2", i + 0.5))
+    val got = Profile.ksDriftBattery(rows.toDF("g", "v"), "g", "v")
+      .collect().map(r => (r.getString(0), r.getLong(4),
+        r.getDouble(5), r.getBoolean(6)))
+    val hi = got.find(_._1 == "hi").get
+    assert(hi._4, "shifted segment must be significant") // q <= 0.05
+    val byRank = got.sortBy(_._2).map(_._3)
+    assert(byRank.zip(byRank.tail).forall { case (q1, q2) => q1 <= q2 })
   }
 }

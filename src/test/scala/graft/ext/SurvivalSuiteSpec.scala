@@ -1,0 +1,43 @@
+package graft.ext
+
+import graft.SparkSpec
+
+/** Pipeline-12 contract: every column of the fused
+  * [[Behavior.survivalTable]] equals the corresponding standalone
+  * operator ([[Behavior.kaplanMeier]] / [[Behavior.nelsonAalen]]) —
+  * composition changes the plan (one grid scan), never a value. */
+class SurvivalSuiteSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("survivalTable columns equal the standalone KM and NA outputs") {
+    def ts(x: String) = java.sql.Timestamp.valueOf(x + " 10:00:00")
+    val df = Seq(
+      ("u1", ts("2024-01-01"), "visit"), ("u1", ts("2024-01-03"), "purchase"),
+      ("u2", ts("2024-01-01"), "visit"), ("u2", ts("2024-01-03"), "purchase"),
+      ("u3", ts("2024-01-01"), "visit"), ("u3", ts("2024-01-06"), "purchase"),
+      ("u4", ts("2024-01-01"), "visit"), ("u4", ts("2024-01-04"), "visit"),
+      ("u5", ts("2024-01-01"), "visit"), ("u5", ts("2024-01-08"), "visit"),
+      ("u6", ts("2024-01-01"), "visit"), ("u6", ts("2024-01-02"), "purchase"))
+      .toDF("user_id", "ts", "event_type").repartition(3)
+    val suite = Behavior.survivalTable(df, "user_id", "ts",
+        "event_type", "purchase")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val km = Behavior.kaplanMeier(df, "user_id", "ts", "event_type",
+        "purchase")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val na = Behavior.nelsonAalen(df, "user_id", "ts", "event_type",
+        "purchase")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(suite.keySet === km.keySet && suite.keySet === na.keySet)
+    suite.foreach { case (dur, s) =>
+      val k = km(dur); val n = na(dur)
+      assert(s.getLong(1) == k.getLong(1) && s.getLong(1) == n.getLong(1))
+      assert(s.getLong(2) == k.getLong(2) && s.getLong(3) == k.getLong(3))
+      assert(s.getAs[Double]("survival") == k.getAs[Double]("survival"),
+        s"km survival at $dur")
+      Seq("hazard", "cum_hazard", "cum_var", "fh_survival").foreach { c =>
+        assert(s.getAs[Double](c) == n.getAs[Double](c), s"$c at $dur")
+      }
+    }
+  }
+}
