@@ -1862,6 +1862,303 @@ object Profile {
     rows.toDF("col_name", "status", "old_type", "new_type")
   }
 
+  /** Empirical-Bayes beta-binomial shrinkage (method of moments) —
+    * the standard fix for "this user/item has 1/1 = 100% conversion":
+    * fit a Beta(α, β) prior to the OBSERVED per-item rates
+    * (μ, σ² → K = μ(1−μ)/σ² − 1, α = μK, β = (1−μ)K) and report each
+    * item's posterior-mean rate (x + α)/(n + K) — small-n items pull
+    * toward the global mean, big-n items keep their own rate. The
+    * smoothing every CTR/quality-score ranking needs before sorting
+    * by rate.
+    *
+    * Scale shape: one item-keyed collapse (n, x), one global moment
+    * aggregate over the per-item rates, prior broadcast back as a
+    * one-row frame. No window.
+    *
+    * Determinism: n, x exact; every rate, moment, α, β and shrunk
+    * rate is a single sig9 point; rate moments go through
+    * [[graft.queries.Q.dsum]]. Degenerate priors (σ² = 0, or
+    * σ² ≥ μ(1−μ) where MoM breaks) surface NULL α/β and shrunk =
+    * raw — documented, never a division error.
+    *
+    * @param trials one row per (item) trial with a 0/1 outcome
+    * @return per item: (item, n, x, raw_rate, alpha, beta,
+    *         shrunk_rate) */
+  def ebShrink(trials: DataFrame, itemCol: String,
+      flagCol: String): DataFrame = {
+    import graft.queries.Q
+    import org.apache.spark.sql.types.DoubleType
+    val items = trials
+      .select(col(itemCol).cast("string").as("item"),
+        when(col(flagCol).cast("boolean"), 1L).otherwise(0L).as("f"))
+      .where(col("item").isNotNull && col(flagCol).isNotNull)
+      .groupBy(col("item"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("f")).cast("long").as("x"))
+      .withColumn("raw_rate", Q.sig9(
+        col("x").cast(DoubleType) / col("n").cast(DoubleType)))
+      .localCheckpoint() // moments + the shrink pass reuse it
+    val mom = items.agg(
+      count(lit(1)).cast("long").as("n_items"),
+      Q.dsum(col("raw_rate")).as("s1"),
+      Q.dsum(Q.sig9(col("raw_rate") * col("raw_rate"))).as("s2"))
+    val mu = Q.sig9(col("s1") / col("n_items").cast(DoubleType))
+    val vr = Q.sig9(
+      (col("s2") - Q.sig9(col("s1") * col("s1")) /
+        col("n_items").cast(DoubleType)) /
+        (col("n_items") - 1).cast(DoubleType))
+    val prior = mom
+      .select(col("n_items"), mu.as("mu"), vr.as("vr"))
+      .select(col("n_items"), col("mu"), col("vr"),
+        when(col("n_items") > 1 && col("vr") > 0 &&
+            col("vr") < Q.sig9(col("mu") * (lit(1.0) - col("mu"))),
+          Q.sig9(Q.sig9(col("mu") * (lit(1.0) - col("mu"))) /
+            col("vr") - lit(1.0))).as("kk"))
+      .select(
+        Q.sig9(col("mu") * col("kk")).as("alpha"),
+        Q.sig9((lit(1.0) - col("mu")) * col("kk")).as("beta"),
+        col("kk"))
+    items.crossJoin(broadcast(prior))
+      .select(col("item"), col("n"), col("x"), col("raw_rate"),
+        col("alpha"), col("beta"),
+        when(col("kk").isNotNull, Q.sig9(
+          (col("x").cast(DoubleType) + col("alpha")) /
+            (col("n").cast(DoubleType) + col("kk"))))
+          .otherwise(col("raw_rate")).as("shrunk_rate"))
+  }
+
+  /** Quantile treatment effects — WHERE in the outcome distribution
+    * the treatment acts: per requested quantile q, the exact per-arm
+    * empirical quantile and their difference. An ATE of zero can hide
+    * a +10% tail / −10% head trade; the QTE profile is the standard
+    * readout. Quantile = the same exact rank arithmetic as
+    * [[tailIndex]] (smallest value whose inclusive cumulative count
+    * reaches max(1, (n·q) div 1000)) — a DATA value, so the
+    * adjudication has no interpolation contract.
+    *
+    * Scale shape: [[percentRank]] keyed by arm (windowless binned
+    * prefix sums), one arm total, one (arm, q) threshold min per
+    * requested quantile over the broadcast bounded quantile list, one
+    * arm pivot join on q. Determinism: thresholds exact data values,
+    * the difference ONE sig9 point.
+    *
+    * @return per quantile: (q_permille, x_treat, x_control, qte) */
+  def quantileTreatmentEffect(df: DataFrame, treatCol: String,
+      valCol: String,
+      quantilesPerMille: Seq[Int] = Seq(100, 250, 500, 750, 900))
+      : DataFrame = {
+    import graft.queries.Q
+    require(quantilesPerMille.nonEmpty &&
+      quantilesPerMille.forall(q => q > 0 && q < 1000),
+      "quantiles must be in (0, 1000) per-mille")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(treatCol).cast("long").as("arm"),
+        col(valCol).cast("double").as("v"))
+      .where(col("arm").isin(0L, 1L) && col("v").isNotNull)
+    val pr = percentRank(base, Seq("arm"), "v")
+    val totals = pr.groupBy(col("arm"))
+      .agg(max(col("n_below") + col("cnt")).as("n"))
+    val qs = quantilesPerMille.distinct.sorted.toDF("q_permille")
+    val thresholds = pr.join(broadcast(totals), Seq("arm"))
+      .crossJoin(broadcast(qs))
+      .where(col("n_below") + col("cnt") >= greatest(lit(1L),
+        expr("(n * CAST(q_permille AS BIGINT)) div 1000")))
+      .groupBy(col("arm"), col("q_permille"))
+      .agg(min(col("s")).as("u"))
+    thresholds.where(col("arm") === 1)
+      .select(col("q_permille"), col("u").as("x_treat"))
+      .join(thresholds.where(col("arm") === 0)
+        .select(col("q_permille"), col("u").as("x_control")),
+        Seq("q_permille"))
+      .select(col("q_permille").cast("long").as("q_permille"),
+        col("x_treat"), col("x_control"),
+        Q.sig9(col("x_treat") - col("x_control")).as("qte"))
+  }
+
+  /** Hill tail-index (peaks-over-threshold form) — "how heavy is this
+    * distribution's tail": α̂ = k / Σ_{x>u} ln(x/u) over the
+    * exceedances of the per-key empirical quantile threshold u
+    * (default p90). Small α = heavy tail — the screen that catches a
+    * source whose document lengths (or user spend) follow a power law
+    * before a mean-based cap mis-sizes it. The threshold variant is
+    * chosen over classic rank-k Hill because it needs NO per-key
+    * order statistics beyond one quantile — everything stays in
+    * [[percentRank]]'s windowless two-phase binned prefix sums.
+    *
+    * Scale shape: percentRank's collapse, one per-key total, one
+    * per-key threshold min-aggregate, one weighted term fold over the
+    * DISTINCT values above u. Per-key frames are bounded
+    * (broadcast); no global window.
+    *
+    * Determinism: u is an exact data value picked by exact integer
+    * rank arithmetic ((n·qpm) div 1000, min 1); each ln(x/u) and its
+    * count-weighted term are single sig9 points, summed via
+    * [[graft.queries.Q.dsum]]; α̂ one final sig9 division.
+    *
+    * @return per key: (keys…, n, u, k_tail, hill_alpha) — α NULL
+    *         when the tail is empty or u ≤ 0 */
+  def tailIndex(df: DataFrame, keyCols: Seq[String], valCol: String,
+      quantilePerMille: Int = 900, nBins: Int = 1024): DataFrame = {
+    import graft.queries.Q
+    require(quantilePerMille >= 500 && quantilePerMille < 1000,
+      s"quantilePerMille must be in [500, 1000), got $quantilePerMille")
+    val keys = keyCols.map(col)
+    val pr = percentRank(df, keyCols, valCol, nBins)
+      .localCheckpoint() // totals, threshold and tail fold reuse it
+    val totals = pr.groupBy(keys: _*)
+      .agg(max(col("n_below") + col("cnt")).as("n"))
+      .withColumn("hi", greatest(lit(1L),
+        expr(s"(n * CAST($quantilePerMille AS BIGINT)) div 1000")))
+    val u = pr.join(broadcast(totals), keyCols)
+      .where(col("n_below") + col("cnt") >= col("hi"))
+      .groupBy(keys: _*).agg(min(col("s")).as("u"))
+    val tail = pr.join(broadcast(u), keyCols)
+      .where(col("s") > col("u") && col("u") > 0)
+      .groupBy(keys: _*)
+      .agg(sum(col("cnt")).cast("long").as("k_tail"),
+        Q.dsum(Q.sig9(Q.sig9(log(col("s") / col("u"))) *
+          col("cnt").cast("double"))).as("st"))
+    totals.join(u, keyCols).join(tail, keyCols, "left_outer")
+      .select(keys ++ Seq(col("n"), col("u"),
+        coalesce(col("k_tail"), lit(0L)).as("k_tail"),
+        when(col("k_tail") > 0 && col("st") > 0, Q.sig9(
+          col("k_tail").cast("double") / col("st")))
+          .as("hill_alpha")): _*)
+  }
+
+  /** Cochran's Q — the binary-outcome sibling of [[friedman]]: do k
+    * treatments differ when every block (user, day, site…) reports a
+    * 0/1 outcome under ALL of them? Q = (k−1)·[k·ΣT_j² − (ΣT_j)²] /
+    * [k·ΣB_i − ΣB_i²] with T_j the treatment totals and B_i the
+    * block totals — for k = 2 it collapses to McNemar's statistic.
+    *
+    * Input contract: one row per (block, treatment) with a 0/1 flag;
+    * duplicate rows OR together (max). Only blocks holding ALL k
+    * treatments participate (k measured from the full cell frame —
+    * the [[friedman]] complete-block rule).
+    *
+    * Scale shape: one (block, treatment) max collapse, one
+    * block-keyed aggregate (completeness + B_i), one treatment-keyed
+    * aggregate — every shuffle keys on the block or the bounded
+    * treatment set; no window.
+    *
+    * Determinism: all totals exact BIGINTs, both Q operands exact
+    * DECIMAL(38,0), ONE sig9 division; an all-equal denominator (all
+    * blocks all-0 or all-1) degenerates to NULL, never throws.
+    *
+    * @return per treatment: (treatment, t_j, n_blocks, k, q_stat) —
+    *         q_stat repeated per row; empty when no complete block */
+  def cochranQ(units: DataFrame, blockCol: String, treatCol: String,
+      flagCol: String): DataFrame = {
+    import graft.queries.Q
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val dec = DecimalType(38, 0)
+    val cells = units.select(col(blockCol).cast("string").as("b"),
+        col(treatCol).cast("string").as("t"),
+        when(col(flagCol).cast("boolean"), 1L).otherwise(0L).as("x"))
+      .where(col("b").isNotNull && col("t").isNotNull &&
+        col(flagCol).isNotNull)
+      .groupBy(col("b"), col("t")).agg(max(col("x")).as("x"))
+      .localCheckpoint() // k, completeness and both totals reuse it
+    val k = cells.select(col("t")).distinct().count()
+    val blocks = cells.groupBy(col("b"))
+      .agg(count(lit(1)).as("kb"), sum(col("x")).as("bi"))
+      .where(col("kb") === k)
+    val comp = cells.join(blocks.select(col("b"), col("bi")), Seq("b"))
+    val byTreat = comp.groupBy(col("t"))
+      .agg(sum(col("x")).cast("long").as("t_j"))
+    val tTot = byTreat.agg(
+      sum(col("t_j").cast(dec)).as("st"),
+      sum(col("t_j").cast(dec) * col("t_j").cast(dec)).as("st2"))
+    val bTot = blocks.agg(
+      count(lit(1)).as("n_blocks"),
+      coalesce(sum(col("bi").cast(dec)), lit(0L).cast(dec)).as("sb"),
+      coalesce(sum(col("bi").cast(dec) * col("bi").cast(dec)),
+        lit(0L).cast(dec)).as("sb2"))
+    val num = lit(k - 1).cast(dec) *
+      (lit(k).cast(dec) * col("st2") - col("st") * col("st"))
+    val den = lit(k).cast(dec) * col("sb") - col("sb2")
+    byTreat.crossJoin(broadcast(tTot)).crossJoin(broadcast(bTot))
+      .select(col("t").as("treatment"), col("t_j"),
+        col("n_blocks").cast("long").as("n_blocks"),
+        lit(k).as("k"),
+        when(den > 0, Q.sig9(Q.sig9(num.cast(DoubleType)) /
+          Q.sig9(den.cast(DoubleType)))).as("q_stat"))
+  }
+
+  /** Mantel–Haenszel pooled 2×2 analysis — the stratified sibling of
+    * [[riskRatios]] and the test-statistic face of [[ipwAte]]'s
+    * adjustment: K per-stratum 2×2 tables pool into one common odds
+    * ratio OR_MH = Σ(aᵢdᵢ/nᵢ) / Σ(bᵢcᵢ/nᵢ) and the
+    * Cochran–Mantel–Haenszel chi-square
+    * (Σaᵢ − ΣEᵢ)² / ΣVᵢ with Eᵢ and Vᵢ the hypergeometric mean /
+    * variance — "is the exposure effect real AFTER stratum
+    * adjustment". Strata with n < 2 (V undefined) are EXCLUDED and
+    * counted, the [[ipwAte]] trimming convention.
+    *
+    * Scale shape: ONE stratum-keyed conditional aggregate collapses
+    * the unit stream to four exact BIGINT cells per stratum; the
+    * pooled sums fold over the bounded strata frame. No window.
+    *
+    * Determinism: every cross-product aᵢdᵢ, hypergeometric numerator
+    * and denominator is exact DECIMAL(38,0); each per-stratum term is
+    * ONE sig9 point; pooled sums go through [[graft.queries.Q.dsum]];
+    * OR_MH and the chi-square are final sig9 chains.
+    *
+    * @return ONE row: (n_strata, n_excluded, a_total, or_mh,
+    *         cmh_chi2) — NULL readouts when no stratum survives or a
+    *         pooled denominator is 0 */
+  def mantelHaenszel(units: DataFrame, stratumCol: String,
+      treatCol: String, flagCol: String): DataFrame = {
+    import graft.queries.Q
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val dec = DecimalType(38, 0)
+    val t = col(treatCol).cast("long")
+    val f = col(flagCol).cast("boolean")
+    def cell(cond: Column, out: String) =
+      coalesce(sum(when(cond, 1L).otherwise(0L)), lit(0L)).cast("long")
+        .as(out)
+    val cells = units
+      .where(col(stratumCol).isNotNull && t.isNotNull && f.isNotNull &&
+        t.isin(0L, 1L))
+      .groupBy(col(stratumCol).cast("string").as("s"))
+      .agg(cell(t === 1 && f, "a"), cell(t === 1 && !f, "b"),
+        cell(t === 0 && f, "c"), cell(t === 0 && !f, "d"))
+      .withColumn("n", col("a") + col("b") + col("c") + col("d"))
+      .withColumn("ok", col("n") >= 2)
+    val nd = col("n").cast(DoubleType)
+    val terms = cells.where(col("ok")).select(
+      col("a"),
+      Q.sig9((col("a").cast(dec) * col("d").cast(dec)).cast(DoubleType)
+        / nd).as("r"),
+      Q.sig9((col("b").cast(dec) * col("c").cast(dec)).cast(DoubleType)
+        / nd).as("ss"),
+      Q.sig9(((col("a") + col("b")).cast(dec) *
+        (col("a") + col("c")).cast(dec)).cast(DoubleType) / nd).as("e"),
+      Q.sig9(((col("a") + col("b")).cast(dec) *
+        (col("c") + col("d")).cast(dec) *
+        (col("a") + col("c")).cast(dec) *
+        (col("b") + col("d")).cast(dec)).cast(DoubleType) /
+        (col("n").cast(dec) * col("n").cast(dec) *
+          (col("n") - 1).cast(dec)).cast(DoubleType)).as("v"))
+    val excl = cells.agg(
+      coalesce(sum(when(!col("ok"), 1L).otherwise(0L)), lit(0L))
+        .cast("long").as("n_excluded"))
+    val g = terms.agg(count(lit(1)).cast("long").as("n_strata"),
+      coalesce(sum(col("a")), lit(0L)).cast("long").as("a_total"),
+      Q.dsum(col("r")).as("rr"), Q.dsum(col("ss")).as("sss"),
+      Q.dsum(col("e")).as("ee"), Q.dsum(col("v")).as("vv"))
+    g.crossJoin(broadcast(excl))
+      .select(col("n_strata"), col("n_excluded"), col("a_total"),
+        when(col("n_strata") > 0 && col("sss") > 0,
+          Q.sig9(col("rr") / col("sss"))).as("or_mh"),
+        when(col("n_strata") > 0 && col("vv") > 0, Q.sig9(
+          Q.sig9(Q.sig9(col("a_total").cast(DoubleType) - col("ee")) *
+            Q.sig9(col("a_total").cast(DoubleType) - col("ee"))) /
+            col("vv"))).as("cmh_chi2"))
+  }
+
   /** Stratified / inverse-propensity-weighted average treatment
     * effect — the observational-causal readout beside the
     * randomized-test suite ([[welchZ]]/[[cupedZ]]/[[didEstimate]]):

@@ -563,4 +563,55 @@ object TextStats {
         Q.sig9(lit(206.835) - lit(1.015) * wps - lit(84.6) * spw))
         .as("reading_ease"))
   }
+
+  /** Good–Turing unseen mass + Chao1 vocabulary richness per source —
+    * "how much of this source's token distribution have we NOT seen
+    * yet": the Good–Turing estimate of the probability that the next
+    * token is novel is P₀ = f₁/N (f₁ = singleton types), its
+    * complement the coverage; Chao1 (bias-corrected,
+    * V + f₁(f₁−1)/(2(f₂+1))) lower-bounds the TRUE vocabulary size —
+    * together the standard "is more crawling of this source worth it"
+    * readout, the estimator face of [[vocabGrowth]]'s empirical
+    * curve.
+    *
+    * Scale shape: exactly [[lexicalDiversity]]'s — one (source,
+    * token) count collapse (map-side partial), one source-keyed
+    * re-aggregate. No window, no join.
+    *
+    * Determinism: N, V, f₁, f₂ exact BIGINTs; f₁(f₁−1) and 2(f₂+1)
+    * exact DECIMAL(38,0) products; P₀, coverage and the Chao1 excess
+    * are single sig9 points, Chao1 one more sig9 over the exact V
+    * plus the 9-digit excess.
+    *
+    * @return per source: (source, n_tokens, vocab, f1, f2, p_unseen,
+    *         coverage, chao1) — estimates NULL on an empty source */
+  def unseenMass(docs: DataFrame, groupCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    import graft.queries.Q
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val tok = docs
+      .select(col(groupCol).as("grp"),
+        explode(Hashing.tokens(col(textCol))).as("token"))
+      .where(col("grp").isNotNull)
+      .groupBy(col("grp"), col("token"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    val g = tok.groupBy(col("grp"))
+      .agg(sum(col("c")).cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("vocab"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).cast("long")
+          .as("f1"),
+        sum(when(col("c") === 2L, 1L).otherwise(0L)).cast("long")
+          .as("f2"))
+    val p0 = Q.sig9(col("f1").cast("double") /
+      col("n_tokens").cast("double"))
+    val excess = Q.sig9(
+      (col("f1").cast(dec) * (col("f1") - 1).cast(dec)).cast("double") /
+        (lit(2L).cast(dec) * (col("f2") + 1).cast(dec)).cast("double"))
+    g.select(col("grp").as(groupCol), col("n_tokens"), col("vocab"),
+      col("f1"), col("f2"),
+      when(col("n_tokens") > 0, p0).as("p_unseen"),
+      when(col("n_tokens") > 0, Q.sig9(lit(1.0) - p0)).as("coverage"),
+      when(col("n_tokens") > 0,
+        Q.sig9(col("vocab").cast("double") + excess)).as("chao1"))
+  }
 }

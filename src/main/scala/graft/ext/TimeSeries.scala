@@ -744,4 +744,64 @@ object TimeSeries {
       .select(keys :+ col("np").cast(LongType).as("n_pairs") :+
         col("s").as("ts_slope"): _*)
   }
+
+  /** Daily-count dispersion — Fano factor (variance/mean of events
+    * per day, 1 = Poisson, >1 = bursty/clumped, <1 = regular) and the
+    * Goh–Barabási burstiness coefficient (σ−μ)/(σ+μ) ∈ (−1, 1), per
+    * key over the FULL calendar span: zero-event days between the
+    * key's first and last day COUNT (excluding them would
+    * systematically understate burstiness — the gap IS the burst
+    * signature).
+    *
+    * Scale shape: one (key, day) count, one key-keyed span aggregate,
+    * one calendar-bounded grid explode (days between first and last —
+    * bounded by the calendar, the [[interpolate]] convention), one
+    * moment aggregate. No window.
+    *
+    * Determinism: Σc exact BIGINT, Σc² exact DECIMAL(38,0); variance
+    * is ONE sig9 division of the exact integer numerator
+    * n·Σc² − (Σc)² by n(n−1); mean, σ, Fano and burstiness one sig9
+    * point each.
+    *
+    * @return per key: (keys…, n_days, n_events, mean_per_day,
+    *         var_per_day, fano, burstiness) — readouts NULL when
+    *         n_days < 2 or the mean is 0 */
+  def dispersion(events: DataFrame, keyCols: Seq[String],
+      tsCol: String): DataFrame = {
+    import graft.queries.Q
+    val dec = DecimalType(38, 0)
+    val keys = keyCols.map(col)
+    val perDay = events
+      .select(keys :+ to_date(col(tsCol)).as("day"): _*)
+      .where(keys.map(_.isNotNull).reduce(_ && _) &&
+        col("day").isNotNull)
+      .groupBy(keys :+ col("day"): _*)
+      .agg(count(lit(1)).as("c"))
+    val span = perDay.groupBy(keys: _*)
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val grid = span
+      .select(keys :+ explode(expr(
+        "sequence(d0, d1, interval 1 day)")).as("day"): _*)
+      .join(perDay, keyCols :+ "day", "left_outer")
+      .select(keys :+ coalesce(col("c"), lit(0L)).as("c"): _*)
+    val g = grid.groupBy(keys: _*)
+      .agg(count(lit(1)).cast("long").as("n_days"),
+        sum(col("c")).cast("long").as("n_events"),
+        sum(col("c").cast(dec) * col("c").cast(dec)).as("__c2"))
+    val mean = Q.sig9(col("n_events").cast("double") /
+      col("n_days").cast("double"))
+    val varNum = col("n_days").cast(dec) * col("__c2") -
+      col("n_events").cast(dec) * col("n_events").cast(dec)
+    val vr = Q.sig9(varNum.cast("double") /
+      (col("n_days").cast(dec) * (col("n_days") - 1).cast(dec))
+        .cast("double"))
+    g.select(keys ++ Seq(col("n_days"), col("n_events"),
+      when(col("n_days") > 0, mean).as("mean_per_day"),
+      when(col("n_days") > 1, vr).as("var_per_day"),
+      when(col("n_days") > 1 && col("n_events") > 0,
+        Q.sig9(vr / mean)).as("fano"),
+      when(col("n_days") > 1 && col("n_events") > 0, Q.sig9(
+        (Q.sig9(sqrt(vr)) - mean) / (Q.sig9(sqrt(vr)) + mean)))
+        .as("burstiness")): _*)
+  }
 }

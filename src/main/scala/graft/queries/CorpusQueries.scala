@@ -1462,7 +1462,94 @@ object CorpusQueries {
        |    AS yule_k
        |FROM g""".stripMargin
 
+  // ===== Good-Turing unseen mass + Chao1 richness =====================
+
+  /** [[graft.ext.TextStats.unseenMass]]: per source, the Good–Turing
+    * novel-token probability f1/N, its coverage complement, and the
+    * bias-corrected Chao1 vocabulary lower bound — the estimator face
+    * of `q_x_vocab_growth`'s empirical curve. */
+  private val unseenQ: QFn = (s, d) =>
+    graft.ext.TextStats.unseenMass(Tables.documents(s, d))
+
+  private val unseenSql = {
+    val p0 = Q.sqlSig9("CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE)")
+    val excess = Q.sqlSig9(
+      "CAST(CAST(f1 AS DECIMAL(38,0)) * CAST(f1 - 1 AS DECIMAL(38,0)) " +
+        "AS DOUBLE) / CAST(CAST(2 AS DECIMAL(38,0)) * " +
+        "CAST(f2 + 1 AS DECIMAL(38,0)) AS DOUBLE)")
+    s"""WITH tok AS (
+       |  SELECT source AS grp,
+       |    unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+       |      AS token
+       |  FROM documents WHERE source IS NOT NULL),
+       |tc AS (
+       |  SELECT grp, token, CAST(count(*) AS BIGINT) AS c
+       |  FROM tok GROUP BY 1, 2),
+       |g AS (
+       |  SELECT grp, CAST(sum(c) AS BIGINT) AS n_tokens,
+       |    CAST(count(*) AS BIGINT) AS vocab,
+       |    CAST(COALESCE(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END), 0)
+       |      AS BIGINT) AS f1,
+       |    CAST(COALESCE(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END), 0)
+       |      AS BIGINT) AS f2
+       |  FROM tc GROUP BY 1)
+       |SELECT grp AS source, n_tokens, vocab, f1, f2,
+       |  CASE WHEN n_tokens > 0 THEN $p0 END AS p_unseen,
+       |  CASE WHEN n_tokens > 0 THEN ${Q.sqlSig9(s"1.0 - ($p0)")} END
+       |    AS coverage,
+       |  CASE WHEN n_tokens > 0 THEN ${Q.sqlSig9(
+            s"CAST(vocab AS DOUBLE) + ($excess)")} END AS chao1
+       |FROM g""".stripMargin
+  }
+
+  // ===== Hill tail-index of document lengths ==========================
+
+  /** [[graft.ext.Profile.tailIndex]] on per-source document lengths:
+    * the peaks-over-p90 Hill estimator — "is this source's length
+    * distribution power-law heavy". The oracle replays the exact
+    * rank-arithmetic threshold and the count-weighted sig9'd log
+    * exceedances with windows. */
+  private val tailQ: QFn = (s, d) =>
+    graft.ext.Profile.tailIndex(Tables.documents(s, d), Seq("source"),
+      "n_chars")
+
+  private val tailSql = {
+    val term = Q.sqlSig9(
+      s"${Q.sqlSig9("ln(s / u)")} * CAST(c AS DOUBLE)")
+    s"""WITH b AS (
+       |  SELECT source AS g, CAST(n_chars AS DOUBLE) AS s
+       |  FROM documents
+       |  WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+       |vc AS (SELECT g, s, CAST(count(*) AS BIGINT) AS c
+       |       FROM b GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT g, s, c, SUM(c) OVER (PARTITION BY g ORDER BY s
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ci
+       |  FROM vc),
+       |nt AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM vc
+       |       GROUP BY 1),
+       |hi AS (SELECT g, n, GREATEST(1, (n * 900) // 1000) AS hi
+       |       FROM nt),
+       |uu AS (
+       |  SELECT cum.g, min(s) AS u
+       |  FROM cum JOIN hi USING (g) WHERE ci >= hi GROUP BY 1),
+       |tl AS (
+       |  SELECT vc.g, vc.c, $term AS t
+       |  FROM vc JOIN uu USING (g) WHERE vc.s > uu.u AND uu.u > 0),
+       |ag AS (
+       |  SELECT g, CAST(sum(c) AS BIGINT) AS k_tail,
+       |    ${Q.sqlDsum("t")} AS st
+       |  FROM tl GROUP BY 1)
+       |SELECT nt.g AS source, nt.n, uu.u,
+       |  COALESCE(ag.k_tail, 0) AS k_tail,
+       |  CASE WHEN ag.k_tail > 0 AND ag.st > 0 THEN ${Q.sqlSig9(
+            "CAST(ag.k_tail AS DOUBLE) / ag.st")} END AS hill_alpha
+       |FROM nt JOIN uu USING (g) LEFT JOIN ag USING (g)""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q_x_tail_index" -> tailQ,
+    "q_x_unseen_mass" -> unseenQ,
     "q_x_lexical" -> lexicalQ,
     "q_x_keywords" -> keywordsQ,
     "q_x_zipf" -> zipfQ,
@@ -1497,6 +1584,8 @@ object CorpusQueries {
     "q_x_rrf" -> rrfQ)
 
   val oracles: Map[String, String] = Map(
+    "q_x_tail_index" -> tailSql,
+    "q_x_unseen_mass" -> unseenSql,
     "q_x_lexical" -> lexicalSql,
     "q_x_keywords" -> keywordsSql,
     "q_x_zipf" -> zipfSql,

@@ -768,7 +768,57 @@ object LearnQueries {
        |FROM dd""".stripMargin
   }
 
+  // ===== empirical-Bayes beta-binomial shrinkage ======================
+
+  /** [[graft.ext.Profile.ebShrink]] on per-user purchase rates: the
+    * method-of-moments Beta prior over observed rates and each user's
+    * posterior-mean rate — small-n users pull to the global mean.
+    * The oracle replays μ/σ²/K/α/β and every shrunk rate term for
+    * term. */
+  private val ebQ: QFn = (s, d) =>
+    graft.ext.Profile.ebShrink(
+      Tables.events(s, d).select(col("user_id"),
+        (col("event_type") === "purchase").as("f")),
+      "user_id", "f")
+
+  private val ebSql = {
+    val raw = Q.sqlSig9("CAST(x AS DOUBLE) / CAST(n AS DOUBLE)")
+    val mu = Q.sqlSig9("s1 / CAST(n_items AS DOUBLE)")
+    val vr = Q.sqlSig9(s"(s2 - ${Q.sqlSig9("s1 * s1")} / " +
+      "CAST(n_items AS DOUBLE)) / CAST(n_items - 1 AS DOUBLE)")
+    val mv = Q.sqlSig9("mu * (1.0 - mu)")
+    val kk = Q.sqlSig9(s"${Q.sqlSig9("mu * (1.0 - mu)")} / vr - 1.0")
+    s"""WITH it AS (
+       |  SELECT CAST(user_id AS VARCHAR) AS item,
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+       |      END) AS BIGINT) AS x
+       |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+       |rr AS (SELECT item, n, x, $raw AS raw_rate FROM it),
+       |mo AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_items,
+       |    ${Q.sqlDsum("raw_rate")} AS s1,
+       |    ${Q.sqlDsum(Q.sqlSig9("raw_rate * raw_rate"))} AS s2
+       |  FROM rr),
+       |mm AS (SELECT n_items, $mu AS mu, $vr AS vr FROM mo),
+       |pk AS (
+       |  SELECT mu, vr,
+       |    CASE WHEN n_items > 1 AND vr > 0 AND vr < ($mv)
+       |      THEN $kk END AS kk
+       |  FROM mm),
+       |pr AS (
+       |  SELECT ${Q.sqlSig9("mu * kk")} AS alpha,
+       |    ${Q.sqlSig9("(1.0 - mu) * kk")} AS beta, kk
+       |  FROM pk)
+       |SELECT item, n, x, raw_rate, alpha, beta,
+       |  CASE WHEN kk IS NOT NULL THEN ${Q.sqlSig9(
+            "(CAST(x AS DOUBLE) + alpha) / (CAST(n AS DOUBLE) + kk)")}
+       |    ELSE raw_rate END AS shrunk_rate
+       |FROM rr, pr""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q_x_eb_shrink" -> ebQ,
     "q_x_confusion" -> confusionQ,
     "q_x_kappa" -> kappaQ,
     "q_x_feature_hash" -> featureHashQ,
@@ -786,6 +836,7 @@ object LearnQueries {
     "q_x_pipeline5" -> pipeline5Q)
 
   val oracles: Map[String, String] = Map(
+    "q_x_eb_shrink" -> ebSql,
     "q_x_confusion" -> confusionSql,
     "q_x_kappa" -> kappaSql,
     "q_x_feature_hash" -> featureHashSql,

@@ -589,7 +589,60 @@ object StatsQueries {
        |FROM qv""".stripMargin
   }
 
+  // ===== Cochran's Q over engagement-depth flags ======================
+
+  /** [[graft.ext.Profile.cochranQ]] with users as blocks, event types
+    * as treatments and "≥ 2 events of this type" as the 0/1 outcome —
+    * do the event types differ in engagement depth across the same
+    * users? Only users holding all k types participate (the friedman
+    * complete-block rule); everything is exact integers up to ONE
+    * sig9 division. */
+  private val cochranQ2: QFn = (s, d) =>
+    Profile.cochranQ(
+      Tables.events(s, d)
+        .where(col("user_id").isNotNull && col("event_type").isNotNull)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg((count(lit(1)) >= 2).as("x")),
+      "user_id", "event_type", "x")
+
+  private val cochranSql = {
+    val q = Q.sqlSig9(s"${Q.sqlSig9(
+      "CAST((k.k - 1) * (k.k * st2 - st * st) AS DOUBLE)")} / ${Q.sqlSig9(
+      "CAST(k.k * sb - sb2 AS DOUBLE)")}")
+    s"""WITH pc AS (
+       |  SELECT CAST(user_id AS VARCHAR) AS b,
+       |    CAST(event_type AS VARCHAR) AS t,
+       |    CASE WHEN count(*) >= 2 THEN 1 ELSE 0 END AS x
+       |  FROM events
+       |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+       |  GROUP BY 1, 2),
+       |k AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS k FROM pc),
+       |bl AS (
+       |  SELECT b, CAST(count(*) AS BIGINT) AS kb,
+       |    CAST(sum(x) AS BIGINT) AS bi
+       |  FROM pc GROUP BY 1),
+       |cb AS (SELECT bl.b, bl.bi FROM bl, k WHERE bl.kb = k.k),
+       |ct AS (
+       |  SELECT pc.t, CAST(sum(pc.x) AS BIGINT) AS t_j
+       |  FROM pc JOIN cb USING (b) GROUP BY 1),
+       |tt AS (
+       |  SELECT sum(CAST(t_j AS DECIMAL(38,0))) AS st,
+       |    sum(CAST(t_j AS DECIMAL(38,0)) * t_j) AS st2
+       |  FROM ct),
+       |bt AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+       |    COALESCE(sum(CAST(bi AS DECIMAL(38,0))),
+       |      CAST(0 AS DECIMAL(38,0))) AS sb,
+       |    COALESCE(sum(CAST(bi AS DECIMAL(38,0)) * bi),
+       |      CAST(0 AS DECIMAL(38,0))) AS sb2
+       |  FROM cb)
+       |SELECT ct.t AS treatment, ct.t_j, bt.n_blocks, k.k AS k,
+       |  CASE WHEN (k.k * sb - sb2) > 0 THEN $q END AS q_stat
+       |FROM ct, tt, bt, k""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q_x_cochran_q" -> cochranQ2,
     "q_x_ks_battery" -> ksBatteryQ,
     "q_x_pipeline9" -> pipeline9Q,
     "q_x_spearman" -> spearmanQ,
@@ -602,6 +655,7 @@ object StatsQueries {
     "q_x_mcnemar" -> mcnemarQ)
 
   val oracles: Map[String, String] = Map(
+    "q_x_cochran_q" -> cochranSql,
     "q_x_ks_battery" -> ksBatterySql,
     "q_x_pipeline9" -> pipeline9Sql,
     "q_x_spearman" -> spearmanSql,

@@ -2083,7 +2083,177 @@ object TimeSeriesQueries {
        |FROM tot, rw, sr""".stripMargin
   }
 
+  // ===== Mantel-Haenszel pooled 2x2 ===================================
+
+  /** [[graft.ext.Profile.mantelHaenszel]] on the `q_x_prop_test`
+    * units stratified by activity depth (≥ 30 events = heavy): the
+    * pooled common odds ratio and the CMH chi-square — "does the arm
+    * still move conversion once engagement is held fixed". */
+  private val mhQ: QFn = (s, d) =>
+    graft.ext.Profile.mantelHaenszel(
+      Tables.events(s, d)
+        .where(col("user_id").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_ev"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("conv"))
+        .select(
+          when(col("n_ev") >= 30, lit("heavy")).otherwise(lit("light"))
+            .as("stratum"),
+          pmod(graft.ext.Hashing.hash60(
+            concat(lit("ab:"), col("user_id").cast("string"))), lit(2L))
+            .as("arm"),
+          (col("conv") === 1L).as("converted")),
+      "stratum", "arm", "converted")
+
+  private val mhSql = {
+    val r = Q.sqlSig9("CAST(CAST(a AS DECIMAL(38,0)) * d AS DOUBLE) " +
+      "/ CAST(n AS DOUBLE)")
+    val ss = Q.sqlSig9("CAST(CAST(b AS DECIMAL(38,0)) * c AS DOUBLE) " +
+      "/ CAST(n AS DOUBLE)")
+    val e = Q.sqlSig9("CAST(CAST(a + b AS DECIMAL(38,0)) * (a + c) " +
+      "AS DOUBLE) / CAST(n AS DOUBLE)")
+    val v = Q.sqlSig9("CAST(CAST(a + b AS DECIMAL(38,0)) * (c + d) * " +
+      "(a + c) * (b + d) AS DOUBLE) / CAST(CAST(n AS DECIMAL(38,0)) " +
+      "* n * (n - 1) AS DOUBLE)")
+    val diff = Q.sqlSig9("CAST(a_total AS DOUBLE) - ee")
+    s"""WITH pu AS (
+       |  SELECT CASE WHEN count(*) >= 30 THEN 'heavy' ELSE 'light' END
+       |      AS s,
+       |    CAST(${Q.sqlHash60(
+            "'ab:' || CAST(user_id AS VARCHAR)")} % 2 AS BIGINT) AS t,
+       |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |      AS f
+       |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+       |cl AS (
+       |  SELECT s,
+       |    CAST(sum(CASE WHEN t = 1 AND f = 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS a,
+       |    CAST(sum(CASE WHEN t = 1 AND f = 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS b,
+       |    CAST(sum(CASE WHEN t = 0 AND f = 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS c,
+       |    CAST(sum(CASE WHEN t = 0 AND f = 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS d
+       |  FROM pu GROUP BY 1),
+       |cn AS (SELECT *, a + b + c + d AS n FROM cl),
+       |ex AS (
+       |  SELECT CAST(COALESCE(sum(CASE WHEN n < 2 THEN 1 ELSE 0 END),
+       |    0) AS BIGINT) AS n_excluded FROM cn),
+       |tm AS (
+       |  SELECT a, $r AS r, $ss AS ss, $e AS e, $v AS v
+       |  FROM cn WHERE n >= 2),
+       |g AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_strata,
+       |    CAST(COALESCE(sum(a), 0) AS BIGINT) AS a_total,
+       |    ${Q.sqlDsum("r")} AS rr, ${Q.sqlDsum("ss")} AS sss,
+       |    ${Q.sqlDsum("e")} AS ee, ${Q.sqlDsum("v")} AS vv
+       |  FROM tm)
+       |SELECT n_strata, ex.n_excluded, a_total,
+       |  CASE WHEN n_strata > 0 AND sss > 0
+       |    THEN ${Q.sqlSig9("rr / sss")} END AS or_mh,
+       |  CASE WHEN n_strata > 0 AND vv > 0 THEN ${Q.sqlSig9(
+            s"${Q.sqlSig9(s"($diff) * ($diff)")} / vv")} END
+       |    AS cmh_chi2
+       |FROM g, ex""".stripMargin
+  }
+
+  // ===== daily-count dispersion / burstiness ==========================
+
+  /** [[graft.ext.TimeSeries.dispersion]] per event type: Fano factor
+    * and Goh–Barabási burstiness over the full calendar span (zero
+    * days count). The oracle rebuilds the same per-type day grid with
+    * generate_series and mirrors the exact-integer variance
+    * numerator. */
+  private val dispersionQ: QFn = (s, d) =>
+    graft.ext.TimeSeries.dispersion(Tables.events(s, d),
+      Seq("event_type"), "ts")
+
+  private val dispersionSql = {
+    val mean = Q.sqlSig9(
+      "CAST(n_events AS DOUBLE) / CAST(n_days AS DOUBLE)")
+    val vr = Q.sqlSig9(
+      "CAST(CAST(n_days AS DECIMAL(38,0)) * c2 - " +
+        "CAST(n_events AS DECIMAL(38,0)) * n_events AS DOUBLE) / " +
+        "CAST(CAST(n_days AS DECIMAL(38,0)) * (n_days - 1) AS DOUBLE)")
+    val sd = Q.sqlSig9(s"sqrt($vr)")
+    s"""WITH pd AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM events
+       |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+       |  GROUP BY 1, 2),
+       |sp AS (
+       |  SELECT event_type, min(day) AS d0, max(day) AS d1
+       |  FROM pd GROUP BY 1),
+       |grid AS (
+       |  SELECT sp.event_type,
+       |    CAST(unnest(generate_series(sp.d0, sp.d1,
+       |      INTERVAL 1 DAY)) AS DATE) AS day
+       |  FROM sp),
+       |gc AS (
+       |  SELECT grid.event_type, COALESCE(pd.c, 0) AS c
+       |  FROM grid LEFT JOIN pd USING (event_type, day)),
+       |g AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+       |    CAST(sum(c) AS BIGINT) AS n_events,
+       |    sum(CAST(c AS DECIMAL(38,0)) * c) AS c2
+       |  FROM gc GROUP BY 1)
+       |SELECT event_type, n_days, n_events,
+       |  CASE WHEN n_days > 0 THEN $mean END AS mean_per_day,
+       |  CASE WHEN n_days > 1 THEN $vr END AS var_per_day,
+       |  CASE WHEN n_days > 1 AND n_events > 0
+       |    THEN ${Q.sqlSig9(s"($vr) / ($mean)")} END AS fano,
+       |  CASE WHEN n_days > 1 AND n_events > 0 THEN ${Q.sqlSig9(
+            s"(($sd) - ($mean)) / (($sd) + ($mean))")} END
+       |    AS burstiness
+       |FROM g""".stripMargin
+  }
+
+  // ===== quantile treatment effects ===================================
+
+  /** [[graft.ext.Profile.quantileTreatmentEffect]] on the `q_x_abtest`
+    * hash arms: per-arm exact quantiles of the value metric at
+    * p10/p25/p50/p75/p90 and their differences — where in the
+    * distribution the "treatment" acts, not just the mean shift. */
+  private val qteQ: QFn = (s, d) =>
+    graft.ext.Profile.quantileTreatmentEffect(
+      Tables.events(s, d).where(col("user_id").isNotNull)
+        .select(pmod(graft.ext.Hashing.hash60(
+          concat(lit("ab:"), col("user_id").cast("string"))), lit(2L))
+          .as("arm"), col("value")),
+      "arm", "value")
+
+  private val qteSql =
+    s"""WITH b AS (
+       |  SELECT CAST(${Q.sqlHash60(
+            "'ab:' || CAST(user_id AS VARCHAR)")} % 2 AS BIGINT) AS arm,
+       |    CAST(value AS DOUBLE) AS v
+       |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+       |vc AS (SELECT arm, v AS s, CAST(count(*) AS BIGINT) AS c
+       |       FROM b GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT arm, s, SUM(c) OVER (PARTITION BY arm ORDER BY s
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ci
+       |  FROM vc),
+       |nt AS (SELECT arm, CAST(sum(c) AS BIGINT) AS n FROM vc
+       |       GROUP BY 1),
+       |qs AS (SELECT CAST(unnest([100, 250, 500, 750, 900]) AS BIGINT)
+       |       AS q_permille),
+       |th AS (
+       |  SELECT cum.arm, qs.q_permille, min(s) AS u
+       |  FROM cum JOIN nt USING (arm) CROSS JOIN qs
+       |  WHERE ci >= GREATEST(1, (nt.n * qs.q_permille) // 1000)
+       |  GROUP BY 1, 2)
+       |SELECT t.q_permille, t.u AS x_treat, c.u AS x_control,
+       |  ${Q.sqlSig9("t.u - c.u")} AS qte
+       |FROM th t JOIN th c ON t.q_permille = c.q_permille
+       |WHERE t.arm = 1 AND c.arm = 0""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q_x_qte" -> qteQ,
+    "q_x_dispersion" -> dispersionQ,
+    "q_x_mantel_haenszel" -> mhQ,
     "q_x_ipw_ate" -> ipwQ,
     "q_x_seasonal_strength" -> seasonalStrengthQ,
     "q_x_srm" -> srmQ,
@@ -2126,6 +2296,9 @@ object TimeSeriesQueries {
     "q_x_agg_merge" -> aggMergeQ)
 
   val oracles: Map[String, String] = Map(
+    "q_x_qte" -> qteSql,
+    "q_x_dispersion" -> dispersionSql,
+    "q_x_mantel_haenszel" -> mhSql,
     "q_x_ipw_ate" -> ipwSql,
     "q_x_seasonal_strength" -> seasonalStrengthSql,
     "q_x_srm" -> srmSql,

@@ -592,6 +592,120 @@ class ProfileSpec extends SparkSpec {
       a.getAs[Long]("n_reps") < 64L)
   }
 
+  test("ebShrink: small-n items pull harder toward the prior mean; " +
+      "order preserved; zero-variance prior degenerates to raw") {
+    def item(id: String, n: Int, x: Int) =
+      Seq.fill(x)((id, true)) ++ Seq.fill(n - x)((id, false))
+    val trials = (item("i1", 10, 5) ++ item("i2", 10, 3) ++
+      item("i3", 10, 7) ++ item("i4", 1, 1)).toDF("item", "f")
+    val got = Profile.ebShrink(trials, "item", "f")
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(3), r.getDouble(6))).toMap
+    // rates (.5,.3,.7,1): mu=.625, var=.2675/3, K~1.6285
+    assert(math.abs(got("i4")._2 - 0.76767) < 1e-3)
+    // shrunk toward the mean, never past it
+    assert(got("i4")._2 < got("i4")._1 && got("i4")._2 > 0.625)
+    assert(got("i2")._2 > got("i2")._1 && got("i2")._2 < 0.625)
+    // the n=1 item moves much further than an n=10 item
+    assert(math.abs(got("i4")._2 - got("i4")._1) >
+      math.abs(got("i1")._2 - got("i1")._1) * 3)
+    // identical rates -> sigma^2 = 0 -> no prior, shrunk == raw
+    val flat = (item("a", 4, 2) ++ item("b", 4, 2)).toDF("item", "f")
+    Profile.ebShrink(flat, "item", "f").collect().foreach { r =>
+      assert(r.isNullAt(4) && r.getDouble(6) == r.getDouble(3))
+    }
+  }
+
+  test("quantileTreatmentEffect: a constant +10 shift reports QTE 10 " +
+      "at every quantile with exact data-value thresholds") {
+    val obs = ((1 to 10).map(i => (0L, i.toDouble)) ++
+      (1 to 10).map(i => (1L, i + 10.0))).toDF("arm", "v")
+    val got = Profile.quantileTreatmentEffect(obs, "arm", "v")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got.keySet === Set(100L, 250L, 500L, 750L, 900L))
+    // hi = max(1, n*q div 1000): ranks 1,2,5,7,9 -> those data values
+    assert(got(100L) === (11.0, 1.0, 10.0))
+    assert(got(250L) === (12.0, 2.0, 10.0))
+    assert(got(500L) === (15.0, 5.0, 10.0))
+    assert(got(750L) === (17.0, 7.0, 10.0))
+    assert(got(900L) === (19.0, 9.0, 10.0))
+  }
+
+  test("tailIndex: hand p90 threshold and Hill sum; constant group " +
+      "has an empty tail and NULL alpha") {
+    val obs = ((1 to 10).map(i => ("g", i.toDouble)) ++
+      (1 to 4).map(_ => ("flat", 7.0))).toDF("k", "v")
+    val got = Profile.tailIndex(obs, Seq("k"), "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3),
+          Option(r.get(4)).map(_.asInstanceOf[Double]))).toMap
+    def near(x: Double, y: Double) = math.abs(x - y) < 1e-6
+    val g = got("g")
+    // n=10, hi = 9 -> u = 9; tail = {10}: alpha = 1/ln(10/9)
+    assert(g._1 == 10L && near(g._2, 9.0) && g._3 == 1L)
+    assert(near(g._4.get, 1.0 / math.log(10.0 / 9.0)))
+    // all-equal group: u = the value, nothing above it
+    val f = got("flat")
+    assert(near(f._2, 7.0) && f._3 == 0L && f._4.isEmpty)
+  }
+
+  test("tailIndex: a power-law tail scores a smaller alpha than an " +
+      "exponential one (heavier = smaller)") {
+    // pareto alpha=1: x = 1/U; exponential-ish: x = ln(1/U)
+    val u = (1 to 200).map(i => i / 201.0)
+    val obs = (u.map(p => ("heavy", 1.0 / p)) ++
+      u.map(p => ("light", math.log(1.0 / p) + 1.0))).toDF("k", "v")
+    val got = Profile.tailIndex(obs, Seq("k"), "v")
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(got("heavy") < got("light"))
+  }
+
+  test("cochranQ: textbook 3-treatment 4-block table; incomplete " +
+      "blocks excluded; all-equal degenerates to NULL") {
+    val rows = Seq(
+      ("b1", "t1", 1), ("b1", "t2", 1), ("b1", "t3", 0),
+      ("b2", "t1", 1), ("b2", "t2", 1), ("b2", "t3", 0),
+      ("b3", "t1", 0), ("b3", "t2", 1), ("b3", "t3", 0),
+      ("b4", "t1", 1), ("b4", "t2", 1), ("b4", "t3", 1),
+      ("b5", "t1", 1)) // incomplete: must not participate
+      .toDF("b", "t", "x")
+    val got = Profile.cochranQ(rows, "b", "t", "x")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    def near(x: Double, y: Double) = math.abs(x - y) < 1e-6
+    // T = (3,4,1), B = (2,2,1,3): Q = 2*(3*26-64)/(3*8-18) = 14/3
+    assert(got("t1")._1 == 3L && got("t2")._1 == 4L &&
+      got("t3")._1 == 1L)
+    got.values.foreach { v =>
+      assert(v._2 == 4L && v._3 == 3L && near(v._4, 14.0 / 3.0))
+    }
+    // every block all-1 -> zero denominator -> NULL, no throw
+    val flat = Seq(("b1", "t1", 1), ("b1", "t2", 1),
+      ("b2", "t1", 1), ("b2", "t2", 1)).toDF("b", "t", "x")
+    val fr = Profile.cochranQ(flat, "b", "t", "x").collect()
+    assert(fr.forall(_.isNullAt(4)))
+  }
+
+  test("mantelHaenszel: textbook two-stratum pooled OR and CMH " +
+      "chi-square; sub-2 strata excluded") {
+    def stratum(s: String, a: Int, b: Int, c: Int, d: Int) =
+      Seq.fill(a)((s, 1L, true)) ++ Seq.fill(b)((s, 1L, false)) ++
+        Seq.fill(c)((s, 0L, true)) ++ Seq.fill(d)((s, 0L, false))
+    val units = (stratum("s1", 4, 1, 2, 3) ++
+      stratum("s2", 2, 3, 1, 4) ++ stratum("tiny", 1, 0, 0, 0))
+      .toDF("s", "t", "f")
+    val r = Profile.mantelHaenszel(units, "s", "t", "f").head()
+    def near(x: Double, y: Double) = math.abs(x - y) < 1e-6
+    assert(r.getAs[Long]("n_strata") == 2L)
+    assert(r.getAs[Long]("n_excluded") == 1L)
+    assert(r.getAs[Long]("a_total") == 6L)
+    // R = 1.2+0.8, S = 0.2+0.3 -> OR_MH = 4; CMH = 1.5^2/1.25 = 1.8
+    assert(near(r.getAs[Double]("or_mh"), 4.0))
+    assert(near(r.getAs[Double]("cmh_chi2"), 1.8))
+  }
+
   test("ipwAte: the three estimators agree on a hand design where " +
       "they provably coincide; positivity-violating strata excluded") {
     val obs = Seq(

@@ -364,4 +364,24 @@ class TextStatsSpec extends SparkSpec {
       Seq((9L, "solo")).toDF("doc_id", "text"), k = 5)
     assert(one.count() == 1L) // one distinct token -> one keyword row
   }
+
+  test("unseenMass: hand Good-Turing P0 and bias-corrected Chao1") {
+    val docs = Seq(
+      ("A", "a a b c"),        // N=4 V=3 f1=2 f2=1
+      ("B", "x x y y z z"))    // N=6 V=3 f1=0 f2=0
+      .toDF("source", "text")
+    val got = TextStats.unseenMass(docs)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6), r.getDouble(7))).toMap
+    def near(x: Double, y: Double) = math.abs(x - y) < 1e-9
+    val a = got("A")
+    assert((a._1, a._2, a._3, a._4) === (4L, 3L, 2L, 1L))
+    assert(near(a._5, 0.5) && near(a._6, 0.5))
+    // chao1 = 3 + 2*1/(2*(1+1)) = 3.5
+    assert(near(a._7, 3.5))
+    val b = got("B")
+    // no singletons: unseen mass 0, full coverage, chao1 = V exactly
+    assert(near(b._5, 0.0) && near(b._6, 1.0) && near(b._7, 3.0))
+  }
 }

@@ -515,4 +515,28 @@ class TimeSeriesSpec extends SparkSpec {
     assert(rr.getAs[Double]("skill") > 0.5)
     assert(rr.getAs[Double]("rmse") >= rr.getAs[Double]("mae"))
   }
+
+  test("dispersion: zero days in the span count; bursty beats " +
+      "regular; a constant series pins burstiness to -1") {
+    val ev = Seq(
+      // bursty: 3 events day 1, NOTHING day 2, 1 event day 3
+      ("b", "2024-01-01"), ("b", "2024-01-01"), ("b", "2024-01-01"),
+      ("b", "2024-01-03"),
+      // regular: exactly 1 event each of 3 days
+      ("r", "2024-01-01"), ("r", "2024-01-02"), ("r", "2024-01-03"))
+      .toDF("k", "d").select(col("k"), to_timestamp(col("d")).as("ts"))
+    val got = TimeSeries.dispersion(ev, Seq("k"), "ts")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6))).toMap
+    def near(x: Double, y: Double) = math.abs(x - y) < 1e-6
+    val b = got("b")
+    assert(b._1 == 3L && b._2 == 4L) // the empty day is IN the grid
+    // counts [3,0,1]: mean 4/3, var (3*10-16)/6 = 7/3, fano 7/4
+    assert(near(b._3, 4.0 / 3.0) && near(b._4, 7.0 / 3.0) &&
+      near(b._5, 1.75))
+    assert(b._6 > 0.0) // bursty
+    val r = got("r")
+    assert(near(r._4, 0.0) && near(r._5, 0.0) && near(r._6, -1.0))
+  }
 }
