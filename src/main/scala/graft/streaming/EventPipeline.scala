@@ -692,6 +692,84 @@ object EventPipeline {
       }
   }
 
+  case class GrowthState(firstDay: Long, lastDay: Long,
+                         churnEmitted: Boolean)
+  case class GrowthDelta(user_id: Long, epoch_day: Long, kind: String)
+
+  /** Live growth accounting — the streaming face of
+    * [[graft.ext.Behavior.growthAccounting]]: per user, one
+    * transition record per active day (`new` on the first-ever day,
+    * `retained` on a next-day return, `resurrected` after a gap — the
+    * gap simultaneously emitting the `churned` record for the day the
+    * user went missing) plus the final `churned` record by event-time
+    * timeout one day past the last activity. Aggregating the deltas
+    * per (day, kind) reproduces the batch operator's columns exactly
+    * (dau = new + retained + resurrected), which the spec pins.
+    *
+    * State per user is three longs, kept after churn (a returning
+    * churned user must read `resurrected`, not `new` — removing state
+    * would forget them). Delivery contract: per-user DAYS must not
+    * regress across batches (in-batch disorder is sorted; an
+    * already-seen or earlier day replays as a no-op — the idempotent
+    * re-delivery posture of the other monitors). Days are UTC epoch
+    * days from the event timestamp, the batch `to_date` twin under
+    * the session's UTC pin. */
+  def growthMonitor(events: Dataset[Event], spark: SparkSession,
+                    watermark: String = "1 hour"): Dataset[GrowthDelta] = {
+    import spark.implicits._
+    val dayMs = 86400000L
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[Event], state: GroupState[GrowthState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            if (s.churnEmitted) Iterator.empty
+            else {
+              state.update(s.copy(churnEmitted = true))
+              // no new timeout: the state idles until the user returns
+              Iterator(GrowthDelta(uid, s.lastDay + 1, "churned"))
+            }
+          } else {
+            val out = Seq.newBuilder[GrowthDelta]
+            var cur = state.getOption
+            it.map(e => Math.floorDiv(e.ts.getTime, dayMs))
+              .toSeq.distinct.sorted.foreach { d =>
+              cur match {
+                case None =>
+                  out += GrowthDelta(uid, d, "new")
+                  cur = Some(GrowthState(d, d, churnEmitted = false))
+                case Some(s) if d <= s.lastDay => () // replay: no-op
+                case Some(s) =>
+                  if (d == s.lastDay + 1)
+                    out += GrowthDelta(uid, d, "retained")
+                  else {
+                    // the gap IS the churn day — but only if the
+                    // timeout has not already declared it
+                    if (!s.churnEmitted)
+                      out += GrowthDelta(uid, s.lastDay + 1, "churned")
+                    out += GrowthDelta(uid, d, "resurrected")
+                  }
+                  cur = Some(s.copy(lastDay = d, churnEmitted = false))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // churn for day lastDay+1 may only be declared once that
+              // whole day has elapsed: fire at its END (start of
+              // lastDay+2), and beyond the current watermark
+              if (!s.churnEmitted)
+                state.setTimeoutTimestamp(math.max(
+                  (s.lastDay + 2) * dayMs,
+                  state.getCurrentWatermarkMs() + 1))
+            }
+            out.result().iterator
+          }
+      }
+  }
+
   /** Streaming upsert sink (S4 — idempotent re-scrape semantics, live):
     * each micro-batch latest-wins-merges into a bucketed lake table via
     * foreachBatch + UpsertWriter.upsertBucketed. Re-delivered batches

@@ -775,4 +775,62 @@ class StreamingSpec extends SparkSpec {
       assert(latest()("view") === batchHll(all, "view"))
     } finally q.stop()
   }
+
+  test("growthMonitor deltas aggregate to the batch growth " +
+      "accounting across odd batch splits, incl. timeout churn") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val ms = MemoryStream[Event]
+    val q = EventPipeline.growthMonitor(ms.toDS(), spark)
+      .writeStream.format("memory").queryName("gm")
+      .outputMode("append").start()
+    // the BehaviorSpec scenario: u1 d1,d2,d4; u2 d1; u3 d2,d3
+    val core = Seq(
+      Event(1L, ts("2024-01-01 08:00:00"), 1L, "view", 0.0),
+      Event(2L, ts("2024-01-01 09:00:00"), 1L, "view", 0.0), // same day
+      Event(3L, ts("2024-01-01 10:00:00"), 2L, "view", 0.0),
+      Event(4L, ts("2024-01-02 08:00:00"), 1L, "view", 0.0),
+      Event(5L, ts("2024-01-02 09:00:00"), 3L, "view", 0.0),
+      Event(6L, ts("2024-01-03 09:00:00"), 3L, "view", 0.0),
+      Event(7L, ts("2024-01-04 08:00:00"), 1L, "view", 0.0))
+    try {
+      core.grouped(3).foreach { b =>
+        ms.addData(b); q.processAllAvailable()
+      }
+      // flush: advance the watermark far past every lastDay+2 so all
+      // pending churn timeouts fire (two batches trigger processing)
+      ms.addData(Seq(Event(90L, ts("2024-02-01 00:00:00"), 99L, "view", 0.0)))
+      q.processAllAvailable()
+      ms.addData(Seq(Event(91L, ts("2024-03-01 00:00:00"), 99L, "view", 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val live = spark.table("gm").as[EventPipeline.GrowthDelta]
+      .collect().filter(_.user_id != 99L)
+      .groupBy(d => (d.epoch_day, d.kind)).view.mapValues(_.size.toLong)
+      .toMap
+    // batch twin over the same core events
+    val batchDf = core.toDF()
+    val got = graft.ext.Behavior.growthAccounting(batchDf, "user_id", "ts")
+      .select(datediff(col("day"), to_date(lit("1970-01-01")))
+          .cast("long").as("d"),
+        col("n_new"), col("n_retained"), col("n_resurrected"),
+        col("n_churned"))
+      .collect()
+    got.foreach { r =>
+      val d = r.getLong(0)
+      def want(kind: String, v: Long) =
+        assert(live.getOrElse((d, kind), 0L) === v,
+          s"day $d $kind: live=${live.getOrElse((d, kind), 0L)} batch=$v")
+      want("new", r.getLong(1))
+      want("retained", r.getLong(2))
+      want("resurrected", r.getLong(3))
+      want("churned", r.getLong(4))
+    }
+    // and nothing extra: every live delta lands on a batch day
+    assert(live.keys.map(_._1).toSet ===
+      got.map(_.getLong(0)).toSet.filter(d =>
+        live.keys.exists(_._1 == d)))
+    assert(live.values.sum === got.map(r =>
+      r.getLong(1) + r.getLong(2) + r.getLong(3) + r.getLong(4)).sum)
+  }
 }
