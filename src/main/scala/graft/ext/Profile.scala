@@ -1862,6 +1862,56 @@ object Profile {
     rows.toDF("col_name", "status", "old_type", "new_type")
   }
 
+  /** Row-level snapshot reconciliation — the data diff run before
+    * swapping a rebuilt table in ([[schemaDiff]]'s row-level sibling,
+    * and the audit face of the SCD2/upsert family): keyed full-outer
+    * compare of two snapshots into added / removed / changed /
+    * unchanged counts plus a per-column changed count — "the rebuild
+    * touched 0.02% of rows, all in column X" is the sign-off a swap
+    * needs; a surprise in `removed` blocks it.
+    *
+    * Scale shape: ONE full-outer shuffle join on the key (both sides
+    * pre-projected to key + compared columns — never full-width), one
+    * conditional aggregate, a bounded unpivot. Comparison is
+    * NULL-SAFE (`<=>`): NULL→value and value→NULL count as changes,
+    * NULL→NULL does not.
+    *
+    * @return long format, one row per metric: (metric, n) — metrics
+    *         `added`, `removed`, `changed`, `unchanged`, and
+    *         `col_changed:<c>` per compared column (counted over
+    *         matched rows only) */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+      keys: Seq[String], compareCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty && compareCols.nonEmpty,
+      "need at least one key and one compared column")
+    val o = oldDf.select(keys.map(col) ++
+      compareCols.map(c => col(c).as(s"__o_$c")) :+
+      lit(1).as("__in_o"): _*)
+    val n = newDf.select(keys.map(col) ++
+      compareCols.map(c => col(c).as(s"__n_$c")) :+
+      lit(1).as("__in_n"): _*)
+    val j = o.join(n, keys, "full_outer")
+    val matched = col("__in_o").isNotNull && col("__in_n").isNotNull
+    val colDiff = compareCols.map(c =>
+      c -> (matched && !(col(s"__o_$c") <=> col(s"__n_$c"))))
+    val anyDiff = colDiff.map(_._2).reduce(_ || _)
+    def cnt(cond: Column, out: String) =
+      coalesce(sum(when(cond, 1L).otherwise(0L)), lit(0L)).cast("long")
+        .as(out)
+    val aggs =
+      cnt(col("__in_o").isNull, "added") +:
+      cnt(col("__in_n").isNull, "removed") +:
+      cnt(anyDiff, "changed") +:
+      cnt(matched && !anyDiff, "unchanged") +:
+      colDiff.map { case (c, d) => cnt(d, s"col_changed:$c") }
+    val wide = j.agg(aggs.head, aggs.tail: _*)
+    val metrics = Seq("added", "removed", "changed", "unchanged") ++
+      compareCols.map(c => s"col_changed:$c")
+    wide.select(explode(array(metrics.map(m =>
+      struct(lit(m).as("metric"), col(s"`$m`").as("n"))): _*)).as("x"))
+      .select(col("x.metric").as("metric"), col("x.n").as("n"))
+  }
+
   /** Empirical-Bayes beta-binomial shrinkage (method of moments) —
     * the standard fix for "this user/item has 1/1 = 100% conversion":
     * fit a Beta(α, β) prior to the OBSERVED per-item rates

@@ -224,4 +224,64 @@ object Retrieval {
       nTot.as("n_rel_total"),
       coalesce(col("n_ranked"), lit(0L)).cast("long").as("n_ranked")): _*)
   }
+
+  /** Truncated rank-biased overlap (Webber–Moffat–Zobel 2010) between
+    * two rankings — "did the top of the list change": RBO@k =
+    * Σ_{d≤k} (1−p)·p^{d−1}·X_d/d, with X_d the overlap of the two
+    * depth-d prefixes and p the persistence (how deep a user reads;
+    * 0.9 ≈ top-10 focus). The set-intersection form makes it the
+    * right drift monitor for rankings whose ITEMS churn (top tokens,
+    * top products week-over-week) where rank-correlations are
+    * undefined on non-identical item sets.
+    *
+    * Inputs are two (item, rank) frames with ranks 1..k (build them
+    * with any top-k; ties must already be broken deterministically).
+    * Both prefixes pack into ONE bounded array row (k is the
+    * contract, ≤ 1000 enforced), X_d is an exact array_intersect size
+    * per depth, and the cumulative RBO folds in exact decimal over
+    * sig9'd terms.
+    *
+    * @return one row per depth 1..k: (depth, x_d, agreement, term,
+    *         rbo_at_d) — the last row is RBO@k */
+  def rbo(a: DataFrame, b: DataFrame, itemCol: String, rankCol: String,
+      k: Int, p: Double = 0.9): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k must be in [1, 1000], got $k")
+    require(p > 0 && p < 1, s"p must be in (0, 1), got $p")
+    val decAcc = DecimalType(25, 15)
+    def packed(df: DataFrame, out: String) = df
+      .where(col(rankCol) <= k)
+      .agg(transform(
+        array_sort(collect_list(struct(col(rankCol).cast("long")
+          .as("r"), col(itemCol).cast("string").as("i")))),
+        x => x.getField("i")).as(out))
+    val both = packed(a, "la").crossJoin(packed(b, "lb"))
+    val depths = both.select(col("la"), col("lb"),
+      explode(sequence(lit(1), lit(k))).as("depth"))
+      .withColumn("x_d", size(array_intersect(
+        slice(col("la"), lit(1), col("depth")),
+        slice(col("lb"), lit(1), col("depth")))).cast("long"))
+      .withColumn("agreement", Q.sig9(col("x_d").cast("double") /
+        col("depth").cast("double")))
+      .withColumn("term", Q.sig9(lit(1.0 - p) *
+        pow(lit(p), col("depth").cast("double") - 1) *
+        col("x_d").cast("double") / col("depth").cast("double")))
+    // bounded k-row frame: the running decimal sum packs in one array
+    val out = depths
+      .agg(array_sort(collect_list(struct(col("depth").cast("long")
+        .as("depth"), col("x_d").as("x_d"),
+        col("agreement").as("agreement"), col("term").as("term"))))
+        .as("arr"))
+      .select(explode(transform(col("arr"), (x, i) =>
+        struct(x.getField("depth").as("depth"),
+          x.getField("x_d").as("x_d"),
+          x.getField("agreement").as("agreement"),
+          x.getField("term").as("term"),
+          aggregate(slice(col("arr"), lit(1), i + 1),
+            lit(0L).cast(decAcc),
+            (acc, e) => (acc + e.getField("term").cast(decAcc))
+              .cast(decAcc)).as("cum")))).as("r"))
+    out.select(col("r.depth").as("depth"), col("r.x_d").as("x_d"),
+      col("r.agreement").as("agreement"), col("r.term").as("term"),
+      Q.decOut(col("r.cum"), 12).as("rbo_at_d"))
+  }
 }

@@ -427,4 +427,80 @@ object Sampling {
       .select(col("key").as(keyCol), col("pos"), col("shard"),
         col("shard_pos"))
   }
+
+  /** Neyman-optimal stratified sample allocation — how to SPLIT a
+    * fixed labeling/inspection budget B across strata: n_h ∝ N_h·σ_h
+    * (big AND internally-variable strata earn more samples; a huge
+    * but constant stratum needs almost none). This is the design-time
+    * complement of [[stratifiedExact]]: first decide the per-stratum
+    * budgets here, then draw them deterministically.
+    *
+    * Integerization is classic largest-remainder (Hamilton): floor
+    * every ideal share, hand the R = B − Σfloor leftover units to the
+    * R largest sig9'd remainders (ties → stratum ascending), then cap
+    * each allocation at the stratum's row count. Saturation is NOT
+    * redistributed (single-pass contract, documented): with a budget
+    * near a stratum's size, inspect `ideal` vs `n_alloc`. A
+    * zero-signal frame (every σ = 0 or NULL) allocates nothing.
+    *
+    * Scale shape: one stratum-keyed moment aggregate; the
+    * integerization runs on the bounded strata frame inside ONE array
+    * fold (strata are categorical by design — the ipwAte convention).
+    *
+    * @return per stratum: (stratum, n_rows, sd, weight, ideal,
+    *         n_alloc) */
+  def neymanAllocation(df: DataFrame, stratumCol: String,
+      valCol: String, budget: Long): DataFrame = {
+    import graft.queries.Q
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val strata = df
+      .select(col(stratumCol).cast("string").as("stratum"),
+        col(valCol).cast("double").as("v"))
+      .where(col("stratum").isNotNull && col("v").isNotNull)
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).cast("long").as("n_rows"),
+        Q.dsum(col("v")).as("s1"),
+        Q.dsum(Q.sig9(col("v") * col("v"))).as("s2"))
+      .withColumn("sd", when(col("n_rows") > 1, Q.sig9(sqrt(
+        greatest(lit(0.0), Q.sig9(
+          (col("s2") - Q.sig9(col("s1") * col("s1")) /
+            col("n_rows").cast(DoubleType)) /
+            (col("n_rows") - 1).cast(DoubleType)))))))
+      .withColumn("weight",
+        coalesce(Q.sig9(col("n_rows").cast(DoubleType) * col("sd")),
+          lit(0.0)))
+    val tot = strata.agg(Q.dsum(col("weight")).as("w_total"))
+    val ideal = strata.crossJoin(broadcast(tot))
+      .withColumn("ideal", when(col("w_total") > 0, Q.sig9(
+        col("weight") / col("w_total") * lit(budget.toDouble)))
+        .otherwise(lit(0.0)))
+      .withColumn("fl", floor(col("ideal")).cast(LongType))
+      .withColumn("rem", Q.sig9(col("ideal") - col("fl")))
+    // ONE bounded array row, sorted (remainder desc, stratum asc):
+    // index < R earns the +1; then cap at n_rows
+    val packed = ideal.agg(
+      array_sort(collect_list(struct(
+        (-col("rem")).as("negrem"), col("stratum").as("stratum"),
+        col("n_rows").as("n_rows"), col("sd").as("sd"),
+        col("weight").as("weight"), col("ideal").as("ideal"),
+        col("fl").as("fl")))).as("arr"),
+      coalesce(sum(col("fl")), lit(0L)).as("fl_total"),
+      max(col("w_total")).as("w_total"))
+    val r = lit(budget) - col("fl_total")
+    packed.select(col("w_total"),
+      explode(transform(col("arr"), (x, i) =>
+        struct(x.getField("stratum").as("stratum"),
+          x.getField("n_rows").as("n_rows"), x.getField("sd").as("sd"),
+          x.getField("weight").as("weight"),
+          x.getField("ideal").as("ideal"),
+          least(x.getField("n_rows"),
+            x.getField("fl") + when(i < r, 1L).otherwise(0L))
+            .as("n_alloc")))).as("x"))
+      .select(col("x.stratum").as("stratum"),
+        col("x.n_rows").as("n_rows"), col("x.sd").as("sd"),
+        col("x.weight").as("weight"), col("x.ideal").as("ideal"),
+        when(col("w_total") > 0, col("x.n_alloc")).otherwise(lit(0L))
+          .as("n_alloc"))
+  }
 }

@@ -1547,7 +1547,132 @@ object CorpusQueries {
        |FROM nt JOIN uu USING (g) LEFT JOIN ag USING (g)""".stripMargin
   }
 
+  // ===== rank-biased overlap of two token rankings ====================
+
+  private val rboK = 20
+  private val rboP = 0.9
+
+  /** [[graft.ext.Retrieval.rbo]] between the top-20 token rankings of
+    * the even- and odd-doc_id corpus halves — "did the head of the
+    * vocabulary drift between the two slices". Rankings come from the
+    * TakeOrdered top-k (c desc, token asc — fully deterministic),
+    * overlap sizes are exact array intersections, the cumulative RBO
+    * folds in exact decimal over sig9'd (1−p)·p^{d−1}·X_d/d terms. */
+  private val rboQ: QFn = (s, d) => {
+    def ranking(half: Int): DataFrame = {
+      val top = Tables.documents(s, d)
+        .where(pmod(col("doc_id"), lit(2)) === half)
+        .select(explode(graft.ext.Hashing.tokens(col("text")))
+          .as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("token").asc).limit(rboK)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("c").desc, col("token").asc) // bounded k-row frame
+      top.withColumn("rank", row_number().over(w))
+    }
+    graft.ext.Retrieval.rbo(ranking(0), ranking(1), "token", "rank",
+      rboK, rboP)
+  }
+
+  private val rboSql = {
+    def rankCte(name: String, half: Int) =
+      s"""$name AS (
+         |  SELECT token, row_number() OVER (ORDER BY c DESC, token)
+         |    AS rank
+         |  FROM (
+         |    SELECT token, CAST(count(*) AS BIGINT) AS c FROM (
+         |      SELECT unnest(list_filter(string_split(text, ' '),
+         |          t -> t <> '')) AS token
+         |      FROM documents WHERE doc_id % 2 = $half)
+         |    GROUP BY 1 ORDER BY c DESC, token LIMIT $rboK))""".stripMargin
+    val term = Q.sqlSig9(s"(1.0 - $rboP) * power($rboP, " +
+      "CAST(depth AS DOUBLE) - 1) * CAST(x_d AS DOUBLE) / " +
+      "CAST(depth AS DOUBLE)")
+    s"""WITH ${rankCte("ra", 0)},
+       |${rankCte("rb", 1)},
+       |la AS (SELECT list(token ORDER BY rank) AS l FROM ra),
+       |lb AS (SELECT list(token ORDER BY rank) AS l FROM rb),
+       |dp AS (
+       |  SELECT CAST(unnest(range(1, $rboK + 1)) AS BIGINT) AS depth),
+       |xs AS (
+       |  SELECT depth, CAST(len(list_intersect(la.l[1:depth],
+       |    lb.l[1:depth])) AS BIGINT) AS x_d
+       |  FROM dp, la, lb),
+       |tm AS (
+       |  SELECT depth, x_d,
+       |    ${Q.sqlSig9("CAST(x_d AS DOUBLE) / CAST(depth AS DOUBLE)")}
+       |      AS agreement,
+       |    $term AS term
+       |  FROM xs)
+       |SELECT depth, x_d, agreement, term,
+       |  ${Q.sqlDecOut(
+            s"""SUM(CAST(term AS DECIMAL(38,15))) OVER (ORDER BY depth
+               | ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+              .stripMargin.replace("\n", ""), 12)} AS rbo_at_d
+       |FROM tm""".stripMargin
+  }
+
+  // ===== Neyman-optimal sampling allocation ===========================
+
+  private val neymanBudget = 1000L
+
+  /** [[graft.ext.Sampling.neymanAllocation]] of a 1000-row inspection
+    * budget across event types by value dispersion: n_h ∝ N_h·σ_h
+    * with largest-remainder integerization and row-count caps. */
+  private val neymanQ: QFn = (s, d) =>
+    graft.ext.Sampling.neymanAllocation(Tables.events(s, d),
+      "event_type", "value", neymanBudget)
+
+  private val neymanSql = {
+    val varE = Q.sqlSig9(s"(s2 - ${Q.sqlSig9("s1 * s1")} / " +
+      "CAST(n_rows AS DOUBLE)) / CAST(n_rows - 1 AS DOUBLE)")
+    val sd = Q.sqlSig9(s"sqrt(GREATEST(CAST(0.0 AS DOUBLE), $varE))")
+    val w = Q.sqlSig9(s"CAST(n_rows AS DOUBLE) * sd")
+    val ideal = Q.sqlSig9(
+      s"weight / w_total * CAST($neymanBudget AS DOUBLE)")
+    s"""WITH st AS (
+       |  SELECT CAST(event_type AS VARCHAR) AS stratum,
+       |    CAST(count(*) AS BIGINT) AS n_rows,
+       |    ${Q.sqlDsum("value")} AS s1,
+       |    ${Q.sqlDsum(Q.sqlSig9("value * value"))} AS s2
+       |  FROM events
+       |  WHERE event_type IS NOT NULL AND value IS NOT NULL
+       |  GROUP BY 1),
+       |sdd AS (
+       |  SELECT stratum, n_rows,
+       |    CASE WHEN n_rows > 1 THEN $sd END AS sd
+       |  FROM st),
+       |wt AS (
+       |  SELECT stratum, n_rows, sd,
+       |    COALESCE($w, CAST(0.0 AS DOUBLE)) AS weight
+       |  FROM sdd),
+       |tt AS (SELECT ${Q.sqlDsum("weight")} AS w_total FROM wt),
+       |id AS (
+       |  SELECT stratum, n_rows, sd, weight,
+       |    CASE WHEN w_total > 0 THEN $ideal
+       |      ELSE CAST(0.0 AS DOUBLE) END AS ideal,
+       |    w_total
+       |  FROM wt, tt),
+       |fr AS (
+       |  SELECT *, CAST(floor(ideal) AS BIGINT) AS fl,
+       |    ${Q.sqlSig9("ideal - floor(ideal)")} AS rem
+       |  FROM id),
+       |rk AS (
+       |  SELECT *,
+       |    CAST(row_number() OVER (ORDER BY rem DESC, stratum)
+       |      AS BIGINT) AS rnk,
+       |    CAST($neymanBudget - sum(fl) OVER () AS BIGINT) AS r
+       |  FROM fr)
+       |SELECT stratum, n_rows, sd, weight, ideal,
+       |  CASE WHEN w_total > 0 THEN
+       |    LEAST(n_rows, fl + CASE WHEN rnk <= r THEN 1 ELSE 0 END)
+       |    ELSE 0 END AS n_alloc
+       |FROM rk""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q_x_rbo" -> rboQ,
+    "q_x_neyman" -> neymanQ,
     "q_x_tail_index" -> tailQ,
     "q_x_unseen_mass" -> unseenQ,
     "q_x_lexical" -> lexicalQ,
@@ -1584,6 +1709,8 @@ object CorpusQueries {
     "q_x_rrf" -> rrfQ)
 
   val oracles: Map[String, String] = Map(
+    "q_x_rbo" -> rboSql,
+    "q_x_neyman" -> neymanSql,
     "q_x_tail_index" -> tailSql,
     "q_x_unseen_mass" -> unseenSql,
     "q_x_lexical" -> lexicalSql,

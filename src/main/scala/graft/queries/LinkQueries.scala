@@ -652,7 +652,81 @@ object LinkQueries {
        |FROM l$lpaRounds""".stripMargin
   }
 
+  // ===== row-level snapshot reconciliation ============================
+
+  /** [[graft.ext.Profile.snapshotDiff]] of orders against a
+    * deterministically mutated rebuild (hash-picked removals, +1.0
+    * price changes, re-keyed additions): added / removed / changed /
+    * unchanged plus per-column change attribution — the pre-swap
+    * audit beside `q_x_scd2`'s historization. */
+  private val snapDiffQ: QFn = (s, d) => {
+    val base = Tables.orders(s, d)
+    def flag(tag: String, m: Int) = pmod(Hashing.hash60(
+      concat(lit(tag), col("o_orderkey").cast("string"))),
+      lit(m.toLong)) === 0
+    val newDf = base.where(!flag("rm:", 97))
+      .withColumn("o_totalprice",
+        when(flag("ch:", 13), col("o_totalprice") + lit(1.0))
+          .otherwise(col("o_totalprice")))
+      .unionByName(base.where(flag("ad:", 101))
+        .withColumn("o_orderkey", col("o_orderkey") + lit(100000000L)))
+    graft.ext.Profile.snapshotDiff(base, newDf, Seq("o_orderkey"),
+      Seq("o_totalprice", "o_orderstatus"))
+  }
+
+  private val snapDiffSql = {
+    def flag(tag: String, m: Int) =
+      s"(${Q.sqlHash60(s"'$tag' || CAST(o_orderkey AS VARCHAR)")} " +
+        s"% $m = 0)"
+    s"""WITH nw AS (
+       |  SELECT o_orderkey,
+       |    CASE WHEN ${flag("ch:", 13)} THEN o_totalprice + 1.0
+       |      ELSE o_totalprice END AS o_totalprice,
+       |    o_orderstatus
+       |  FROM orders WHERE NOT ${flag("rm:", 97)}
+       |  UNION ALL
+       |  SELECT o_orderkey + 100000000, o_totalprice, o_orderstatus
+       |  FROM orders WHERE ${flag("ad:", 101)}),
+       |j AS (
+       |  SELECT o.o_orderkey AS ko, n.o_orderkey AS kn,
+       |    o.o_totalprice AS op, n.o_totalprice AS np,
+       |    o.o_orderstatus AS os, n.o_orderstatus AS ns
+       |  FROM orders o FULL OUTER JOIN nw n
+       |    ON o.o_orderkey = n.o_orderkey),
+       |fl AS (
+       |  SELECT ko IS NOT NULL AND kn IS NOT NULL AS matched,
+       |    ko IS NULL AS is_added, kn IS NULL AS is_removed,
+       |    (ko IS NOT NULL AND kn IS NOT NULL AND
+       |      NOT (op IS NOT DISTINCT FROM np)) AS dp,
+       |    (ko IS NOT NULL AND kn IS NOT NULL AND
+       |      NOT (os IS NOT DISTINCT FROM ns)) AS ds
+       |  FROM j),
+       |w AS (
+       |  SELECT
+       |    CAST(COALESCE(sum(CASE WHEN is_added THEN 1 ELSE 0 END), 0)
+       |      AS BIGINT) AS added,
+       |    CAST(COALESCE(sum(CASE WHEN is_removed THEN 1 ELSE 0 END),
+       |      0) AS BIGINT) AS removed,
+       |    CAST(COALESCE(sum(CASE WHEN dp OR ds THEN 1 ELSE 0 END), 0)
+       |      AS BIGINT) AS changed,
+       |    CAST(COALESCE(sum(CASE WHEN matched AND NOT (dp OR ds)
+       |      THEN 1 ELSE 0 END), 0) AS BIGINT) AS unchanged,
+       |    CAST(COALESCE(sum(CASE WHEN dp THEN 1 ELSE 0 END), 0)
+       |      AS BIGINT) AS cp,
+       |    CAST(COALESCE(sum(CASE WHEN ds THEN 1 ELSE 0 END), 0)
+       |      AS BIGINT) AS cs
+       |  FROM fl)
+       |SELECT 'added' AS metric, added AS n FROM w
+       |UNION ALL SELECT 'removed', removed FROM w
+       |UNION ALL SELECT 'changed', changed FROM w
+       |UNION ALL SELECT 'unchanged', unchanged FROM w
+       |UNION ALL SELECT 'col_changed:o_totalprice', cp FROM w
+       |UNION ALL SELECT 'col_changed:o_orderstatus', cs FROM w"""
+      .stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q_x_snapshot_diff" -> snapDiffQ,
     "q_x_lpa" -> lpaQ,
     "q_x_assoc_rules" -> assocQ,
     "q_x_fuzzy_join" -> fuzzyJoin,
@@ -668,6 +742,7 @@ object LinkQueries {
     "q_x_scd2" -> scd2)
 
   val oracles: Map[String, String] = Map(
+    "q_x_snapshot_diff" -> snapDiffSql,
     "q_x_lpa" -> lpaSql,
     "q_x_assoc_rules" -> assocSql,
     "q_x_fuzzy_join" -> fuzzyJoinSql,

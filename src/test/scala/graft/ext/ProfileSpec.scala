@@ -592,6 +592,32 @@ class ProfileSpec extends SparkSpec {
       a.getAs[Long]("n_reps") < 64L)
   }
 
+  test("snapshotDiff: added/removed/changed/unchanged with null-safe " +
+      "per-column attribution") {
+    val oldDf = Seq(
+      (1L, Some(1.0), Some("x")), // unchanged
+      (2L, Some(2.0), Some("x")), // a changes
+      (3L, Some(3.0), Some("x")), // b changes
+      (4L, Some(4.0), Some("x")), // removed
+      (5L, None: Option[Double], Some("x"))) // b goes null -> changed
+      .toDF("k", "a", "b")
+    val newDf = Seq(
+      (1L, Some(1.0), Some("x")),
+      (2L, Some(9.0), Some("x")),
+      (3L, Some(3.0), Some("y")),
+      (5L, None: Option[Double], None: Option[String]),
+      (6L, Some(6.0), Some("x"))) // added
+      .toDF("k", "a", "b")
+    val got = Profile.snapshotDiff(oldDf, newDf, Seq("k"),
+        Seq("a", "b"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map(
+      "added" -> 1L, "removed" -> 1L, "changed" -> 3L,
+      "unchanged" -> 1L,
+      "col_changed:a" -> 1L, "col_changed:b" -> 2L))
+    // null == null is NOT a change (k5's a stays null)
+  }
+
   test("ebShrink: small-n items pull harder toward the prior mean; " +
       "order preserved; zero-variance prior degenerates to raw") {
     def item(id: String, n: Int, x: Int) =

@@ -149,4 +149,28 @@ class RetrievalSpec extends SparkSpec {
     assert(gk(0).getAs[Double]("recall_at_k") == 1.0)
     assert(gk(1).getAs[Double]("recall_at_k") == 1.0)
   }
+test("rbo: hand prefixes at p = 0.5; identical lists hit 1 - p^k; " +
+      "disjoint lists score 0") {
+    import spark.implicits._
+    def rk(items: String*) =
+      items.zipWithIndex.map { case (it, i) => (it, i + 1) }
+        .toDF("item", "rank")
+    val got = Retrieval.rbo(rk("x", "y", "z"), rk("x", "z", "w"),
+        "item", "rank", k = 3, p = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(4))).toMap
+    def near(a: Double, b: Double) = math.abs(a - b) < 1e-9
+    // X = (1, 1, 2); terms .5, .125, 2/3*.125
+    assert(got(1L)._1 == 1L && got(2L)._1 == 1L && got(3L)._1 == 2L)
+    assert(near(got(1L)._2, 0.5) && near(got(2L)._2, 0.625) &&
+      near(got(3L)._2, 0.625 + 0.5 * 0.25 * 2.0 / 3.0))
+    val same = Retrieval.rbo(rk("a", "b", "c"), rk("a", "b", "c"),
+        "item", "rank", 3, 0.5)
+      .where(col("depth") === 3).head().getDouble(4)
+    assert(near(same, 1.0 - 0.125)) // 1 - p^k
+    val disj = Retrieval.rbo(rk("a", "b"), rk("c", "d"),
+        "item", "rank", 2, 0.5)
+      .where(col("depth") === 2).head().getDouble(4)
+    assert(disj == 0.0)
+  }
 }

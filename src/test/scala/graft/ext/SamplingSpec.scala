@@ -245,4 +245,28 @@ class SamplingSpec extends SparkSpec {
     // global variant returns exactly k gap-free ranks
     assert(a.map(_._2).toSeq.sorted == (1L to 15L))
   }
+test("neymanAllocation: n_h tracks N_h*sd_h; largest remainder " +
+      "closes the budget; zero-variance strata earn nothing; " +
+      "allocations cap at the stratum size") {
+    import spark.implicits._
+    // A: spread 0/10, B: constant, C: tiny but WILDLY spread
+    val rows = (1 to 5).flatMap(_ => Seq(("A", 0.0), ("A", 10.0))) ++
+      (1 to 10).map(_ => ("B", 5.0)) ++
+      (1 to 5).flatMap(_ => Seq(("C", 0.0), ("C", 100.0)))
+    val got = Sampling.neymanAllocation(rows.toDF("s", "v"), "s", "v",
+        budget = 3L)
+      .collect().map(r => r.getString(0) -> r.getLong(5)).toMap
+    // weights ~ 52.7 : 0 : 527 -> ideals .27 / 0 / 2.73; C wins the
+    // leftover unit
+    assert(got === Map("A" -> 0L, "B" -> 0L, "C" -> 3L))
+    // cap: a 2-row stratum cannot absorb more than 2 even when the
+    // weights say otherwise (saturation is NOT redistributed)
+    val tiny = Seq(("big", 0.0), ("big", 10.0), ("big", 0.0),
+      ("big", 10.0), ("small", 0.0), ("small", 100.0))
+    val g2 = Sampling.neymanAllocation(tiny.toDF("s", "v"), "s", "v",
+        budget = 10L)
+      .collect().map(r => r.getString(0) -> r.getLong(5)).toMap
+    assert(g2("small") == 2L) // capped at n_rows
+    assert(g2("big") <= 4L)
+  }
 }
