@@ -1144,6 +1144,14 @@ object Similarity {
     require(d >= 1, "empty embedding frame")
     val nVecs = muRows.head._3
     require(nVecs > 1, "need at least two vectors")
+    // fixed-d contract: every vector must carry all d dimensions —
+    // ragged input would mix per-dim sample sizes into the (n-1)
+    // divisor and null out element_at(muLit, ·) past the short end,
+    // silently corrupting the covariance. Fail loudly instead.
+    require(muRows.forall(_._3 == nVecs),
+      s"pcaTop: ragged embedding arrays — per-dim counts " +
+        s"${muRows.map(_._3).min}..${muRows.map(_._3).max} differ; " +
+        s"all vectors must share one length d=$d")
     val muLit = array(muRows.map(m => lit(m._2)): _*)
     // d^2 centered products per vector, produced MAP-SIDE (posexplode
     // twice over the retained array — no self-join)

@@ -2,7 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType}
 
 /** Regular-grid time-series operators over an event stream: OHLC
   * downsampling (resample) and gap-filling linear interpolation — the
@@ -401,8 +401,9 @@ object TimeSeries {
     * bit-for-bit with no float anywhere near the comparison (the
     * [[Profile.ksDistance]] convention); ties break to the SMALLEST t.
     * The input must be integer-valued (counts from [[resample]]'s
-    * n_events — the statistic's exactness rests on it; `require`d by
-    * a cast-equality guard per row under ANSI).
+    * n_events — the statistic's exactness rests on it); a per-row
+    * cast-equality guard raises on fractional input, and S_n is the
+    * true series total (sum of __x), correct for negative values too.
     *
     * Plan: one keyed window for (row index, prefix sum) — bounded by
     * the per-key GRID length (days), never the raw event count, which
@@ -420,12 +421,21 @@ object TimeSeries {
     val keys = keyCols.map(col)
     val wOrd = Window.partitionBy(keys: _*).orderBy(col(tsCol).asc)
     val w = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val guarded = when(
+      col(valCol).isNull ||
+        col(valCol).cast(LongType).cast(DoubleType) ===
+          col(valCol).cast(DoubleType),
+      col(valCol).cast(LongType))
+      .otherwise(raise_error(concat(
+        lit("changePoint: non-integer value "),
+        col(valCol).cast(StringType),
+        lit(s" in $valCol — the exact D_t statistic requires counts"))))
     val idx = series
-      .select(keys :+ col(tsCol) :+ col(valCol).cast(LongType).as("__x"): _*)
+      .select(keys :+ col(tsCol) :+ guarded.as("__x"): _*)
       .withColumn("__t", row_number().over(wOrd).cast(LongType))
       .withColumn("__st", sum(col("__x")).over(w))
     val tot = idx.groupBy(keys: _*)
-      .agg(max(col("__t")).as("__n"), max(col("__st")).as("__total"))
+      .agg(max(col("__t")).as("__n"), sum(col("__x")).as("__total"))
     val d = idx.join(tot, keyCols)
       .where(col("__t") < col("__n"))
       .withColumn("__d", abs(

@@ -591,4 +591,16 @@ class SimilaritySpec extends SparkSpec {
         r.getAs[Double]("lambda"))).sortBy(_._1).toSeq
     assert(run(1) === run(8))
   }
+
+  test("pcaTop: ragged embedding arrays fail loudly instead of " +
+      "corrupting the covariance") {
+    import spark.implicits._
+    val pts = Seq((1L, Array(1.0f, 2.0f, 3.0f)), (2L, Array(4.0f, 5.0f)),
+      (3L, Array(6.0f, 7.0f, 8.0f)))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pcaTop(pts.toDF("vec_id", "embedding"),
+        "vec_id", "embedding")
+    }
+    assert(e.getMessage.contains("ragged"))
+  }
 }

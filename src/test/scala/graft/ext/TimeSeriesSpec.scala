@@ -266,6 +266,34 @@ class TimeSeriesSpec extends SparkSpec {
     assert(!cpOf("a" -> Seq(7L)).contains("a"))
   }
 
+  test("changePoint: total is the true sum, not max prefix, for " +
+      "negative-valued series") {
+    // prefix sums of (5, -3, -4, 6): 5, 2, -2, 4 — max prefix (5)
+    // differs from the total (4); the statistic must use the total
+    val xs = Seq(5L, -3L, -4L, 6L)
+    val n = xs.length.toLong
+    val sn = xs.sum
+    val direct = (1 until xs.length).map { t =>
+      val st = xs.take(t).sum
+      (t.toLong, math.abs(n * st - t * sn)) }
+    val (bestT, bestD) = direct.minBy { case (t, d) => (-d, t) }
+    val got = cpOf("a" -> xs)("a")
+    assert(got._2 === sn)
+    assert(got._3 === bestT && got._4 === bestD.toDouble)
+  }
+
+  test("changePoint: fractional input raises instead of silently " +
+      "truncating") {
+    import spark.implicits._
+    val df = Seq(("a", ts("2024-01-01 00:00:00"), 1.5),
+      ("a", ts("2024-01-02 00:00:00"), 2.0)).toDF("k", "ts", "x")
+    val e = intercept[Exception] {
+      TimeSeries.changePoint(df, Seq("k"), "ts", "x").collect()
+    }
+    assert(e.getMessage.contains("non-integer") ||
+      Option(e.getCause).exists(_.getMessage.contains("non-integer")))
+  }
+
   // ===== autocorr =====================================================
 
   test("autocorr: matches the direct global-mean estimator per lag") {
