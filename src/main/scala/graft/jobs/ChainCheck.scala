@@ -21,7 +21,11 @@ object ChainCheck {
       landed("today_lineup"), landed("hitter_opponents"),
       landed("hitter_stadiums"), landed("hitter_games"),
       landed("pitcher_opponents"), landed("pitcher_stadiums"),
-      landed("pitcher_games"))
+      landed("pitcher_games")) +
+      // the standalone 070 DAG's output (graft_five_innings_dag.py):
+      // recompute from the landed scoreboard with the same transform
+      ("game_records_until_5_innings" ->
+        graft.kbo.Metrics.fiveInningResult(landed("scoreboard")))
     var failed = List.empty[String]
     expected.foreach { case (table, exp) =>
       val got = landed(table)

@@ -127,7 +127,31 @@ object Stage000LandTables {
           col("l_shipdate").as("game_date"),
           concat(lit("T"), (col("l_orderkey") % 5).cast("string"))
             .as("opponent_team"),
-          (col("l_orderkey") % 9).as("so")))
+          (col("l_orderkey") % 9).as("so")),
+      // per-inning scoreboard — the 070 DAG's scrape target
+      // (dags/070_get_game_resulty.py:69-119 walks the inning table);
+      // inning i = linenumber i, runs deterministic from part/supp keys
+      // (the same derivation q_m070_five_inning adjudicates)
+      "scoreboard" -> {
+        val li = graft.core.Tables.lineitem(s, fixture).select(
+          col("l_orderkey"), col("l_linenumber"),
+          (col("l_partkey") % 5).cast("int").as("away_runs"),
+          (col("l_suppkey") % 5).cast("int").as("home_runs"))
+        li.groupBy(col("l_orderkey"))
+          .agg(
+            transform(array_sort(collect_list(struct(col("l_linenumber"),
+              col("away_runs")))), x => x.getField("away_runs"))
+              .as("away_innings"),
+            transform(array_sort(collect_list(struct(col("l_linenumber"),
+              col("home_runs")))), x => x.getField("home_runs"))
+              .as("home_innings"))
+          .select(day.as("game_date"),
+            concat(lit("T"), (col("l_orderkey") % 5).cast("string"))
+              .as("away_team"),
+            concat(lit("T"), ((col("l_orderkey") + 3) % 7).cast("string"))
+              .as("home_team"),
+            col("away_innings"), col("home_innings"))
+      })
   }
 
   def main(args: Array[String]): Unit = {
@@ -255,6 +279,24 @@ object Stage050HitterRecords {
         StageIO.read(s, lake, "hitter_games"),
         "hitter_id", isPitcher = false),
       lake, "hitter_records")
+  }
+}
+
+/** Reference 070: first-5-innings game result — the reference runs
+  * this as its OWN cron DAG (dags/070_get_game_resulty.py:141-146,
+  * `50 14 * * *`), separate from the daily chain; here it is the
+  * standalone `deploy/airflow/graft_five_innings_dag.py`. Reads the
+  * landed per-inning scoreboard (the 070 scrape's shape), slices
+  * innings 1..5 and lands the signed result — the SAME
+  * [[Metrics.fiveInningResult]] path `q_m070_five_inning`
+  * hash-adjudicates against DuckDB. */
+object Stage070FiveInnings {
+  def main(args: Array[String]): Unit = {
+    val Array(lake) = args
+    val s = StageIO.session("graft-070-five-innings")
+    StageIO.write(
+      Metrics.fiveInningResult(StageIO.read(s, lake, "scoreboard")),
+      lake, "game_records_until_5_innings")
   }
 }
 

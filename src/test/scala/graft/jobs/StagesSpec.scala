@@ -27,16 +27,21 @@ class StagesSpec extends SparkSpec {
     Stage041HitterMetrics.main(Array(lake))
     Stage050HitterRecords.main(Array(lake))
     Stage060PitcherRecords.main(Array(lake))
+    // the standalone 070 DAG (reference runs it as its own cron)
+    Stage070FiveInnings.main(Array(lake))
 
     def landed(t: String) = StageIO.read(spark, lake, t)
 
-    // in-process chain over the SAME landed inputs
+    // in-process chain over the SAME landed inputs, plus the 070
+    // transform recomputed from the landed scoreboard
     val expected = DailyChain.run(
       landed("game_records"), landed("hitters"), landed("pitchers"),
       landed("today_lineup"), landed("hitter_opponents"),
       landed("hitter_stadiums"), landed("hitter_games"),
       landed("pitcher_opponents"), landed("pitcher_stadiums"),
-      landed("pitcher_games"))
+      landed("pitcher_games")) +
+      ("game_records_until_5_innings" ->
+        graft.kbo.Metrics.fiveInningResult(landed("scoreboard")))
 
     expected.foreach { case (table, exp) =>
       val got = landed(table)

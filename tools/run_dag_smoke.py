@@ -33,6 +33,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DAG_FILE = os.path.join(REPO, "deploy", "airflow", "graft_daily_chain_dag.py")
 TRIGGER_DAG_FILE = os.path.join(REPO, "deploy", "airflow",
                                 "graft_lineup_trigger_dag.py")
+FIVE_DAG_FILE = os.path.join(REPO, "deploy", "airflow",
+                             "graft_five_innings_dag.py")
 CLASSPATH = os.path.join(REPO, "target", "scala-2.13", "classes") \
     + ":/opt/spark/jars/*"
 ADD_OPENS = [
@@ -193,12 +195,32 @@ def main():
         t = tasks[tid]
         print(f"[dag-smoke] run {tid} ({t.java_class})")
         run_java(t.java_class, t.application_args)
+    smoke_five_innings_dag(fixture, lake)
     out = run_java("graft.jobs.ChainCheck", [lake])
     print("\n".join(l for l in out.splitlines() if "[chaincheck]" in l))
     if "[chaincheck] PASS" not in out:
         raise SystemExit("[dag-smoke] FAIL: chain check did not pass")
     smoke_trigger_dag(fixture, lake)
     print(f"[dag-smoke] PASS ({len(order)} stages, lake={lake})")
+
+
+def smoke_five_innings_dag(fixture, lake):
+    """Parse + run the standalone 070 DAG (the reference runs
+    first-5-innings as its own cron DAG, dags/070_get_game_resulty.py:
+    141-152): one spark-submit task over the landed scoreboard.
+    ChainCheck afterwards adjudicates the landed
+    game_records_until_5_innings against the in-process transform."""
+    tasks, edges, _ = load_dag(fixture, lake, dag_file=FIVE_DAG_FILE)
+    print(f"[dag-smoke] parsed {FIVE_DAG_FILE}: {len(tasks)} tasks, "
+          f"{len(edges)} edges")
+    if set(tasks) != {"s070_five_innings"} or edges:
+        raise SystemExit("[dag-smoke] FAIL: 070 DAG drifted: "
+                         f"tasks={sorted(tasks)} edges={sorted(edges)}")
+    t = tasks["s070_five_innings"]
+    if t.java_class != "graft.jobs.stages.Stage070FiveInnings":
+        raise SystemExit(f"[dag-smoke] FAIL: 070 main is {t.java_class}")
+    print(f"[dag-smoke] run s070_five_innings ({t.java_class})")
+    run_java(t.java_class, t.application_args)
 
 
 def smoke_trigger_dag(fixture, lake):
