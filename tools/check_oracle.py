@@ -1,8 +1,11 @@
 #!/usr/bin/env python3
 """Local driver-mimic: compare Verify output parquet against the DuckDB
 oracle SQL, per query. Usage: check_oracle.py OUTDIR SFDIR [query ...]"""
-import sys, json, glob, math
+import os, sys, json, glob, math
 import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from fixture_preflight import preflight
 
 def canon(rows, cols):
     # sort columns by name, then rows by stringified values
@@ -23,6 +26,10 @@ def main():
     only = set(sys.argv[3:])
     oracles = json.load(open(f"{outdir}/oracle_sql.json"))
     con = duckdb.connect()
+    # refuse to compare on fixture-vintage drift (round-8 incident):
+    # a regenerated fixture the oracle SQL was not written against
+    # must fail HERE with the schema diff, not as scattered reds
+    preflight(con, sfdir)
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")

@@ -7,15 +7,21 @@ and compares against the Spark result: sorted columns, sorted rows,
 exact match on non-floats, tiny-tolerance report on floats (the real
 driver hashes, so we flag ANY float difference loudly).
 """
-import sys, json, glob, math
+import os, sys, json, glob, math
 import duckdb
 import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from fixture_preflight import preflight
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 ONLY = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 
 con = duckdb.connect()
+# refuse to compare on fixture-vintage drift (the round-8 silent-red
+# failure mode) — prints every per-table schema diff and exits
+preflight(con, SF_DIR)
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
