@@ -893,6 +893,109 @@ object Profile {
         "degenerate", "contrib")
   }
 
+  /** One-row drift battery over a FIXED reference binning — PSI, the
+    * binned KS sup-distance and the 2×B homogeneity chi-square
+    * computed on the SAME ref-framed equi-width bins: the batch twin
+    * of [[graft.streaming.EventPipeline.driftMonitor]] ("has live
+    * data drifted from the training frame" as one row per check
+    * cadence, not one row per bin like [[psi]]).
+    *
+    * Bins are fixed by the REFERENCE's [min, max] (the deployment-time
+    * contract, exactly [[psi]]'s convention); current values outside
+    * clamp into the edge bins. The binned KS is the sup over BIN
+    * BOUNDARIES of |ECDF_ref − ECDF_cur| — coarser than the exact
+    * [[ksDistance]] (which needs the distinct-value frame) but
+    * computable from bounded per-bin counts, which is what makes the
+    * streaming face O(bins) state. Chi-square is the 2×B homogeneity
+    * test on (ref, cur) × bins with dof = occupied_bins − 1.
+    *
+    * Determinism: counts are exact longs; PSI contribs are
+    * sig9((rf−cf)·sig9(ln rf/cf)) (degenerate bins contribute 0) and
+    * sum via dsumStable(9); chi-square cells sig9((O−E)²/E) summed via
+    * dsumStable(6) (the [[chiSquare]] scale); the KS argmax runs on
+    * the exact integer |cumR·ct − cumC·rt| in DECIMAL(38,0) inside ONE
+    * bounded array fold (no window, ties to the smallest bin), with a
+    * single sig9'd final division. Empty-side guards NULL the three
+    * statistics.
+    *
+    * Plan: each side ONE scan + bin-keyed count; everything after is
+    * O(bins ≤ 4096) — one full-outer bin join, one broadcast totals
+    * row, one single-group aggregate carrying the array fold.
+    *
+    * @return one row: (bins, n_ref, n_cur, n_bins_occ, psi, ks,
+    *         ks_bin, chi2, dof); no rows when both sides are empty */
+  def binnedDrift(ref: DataFrame, cur: DataFrame, valCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 1 && bins <= 4096,
+      s"bins must be in [1, 4096], got $bins")
+    import graft.queries.Q
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val x = col(valCol).cast("double")
+    val mm = ref.where(x.isNotNull).agg(min(x).as("lo"), max(x).as("hi"))
+    def binCounts(df: DataFrame, out: String) =
+      df.where(x.isNotNull).select(x.as("x"))
+        .crossJoin(broadcast(mm))
+        .withColumn("bin",
+          when(col("hi") === col("lo"), lit(0L))
+            .otherwise(least(lit((bins - 1).toLong),
+              greatest(lit(0L),
+                floor((col("x") - col("lo"))
+                  / ((col("hi") - col("lo")) / bins)).cast("long")))))
+        .groupBy(col("bin")).agg(count(lit(1)).as(out))
+    val joined = binCounts(ref, "rn")
+      .join(binCounts(cur, "cn"), Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("rn"), lit(0L)).as("rn"),
+        coalesce(col("cn"), lit(0L)).as("cn"))
+    val tot = joined.agg(sum(col("rn")).cast("long").as("rt"),
+      sum(col("cn")).cast("long").as("ct"))
+    val rf = col("rn").cast("double") / col("rt").cast("double")
+    val cf = col("cn").cast("double") / col("ct").cast("double")
+    val psiContrib = when(col("rn") > 0 && col("cn") > 0,
+      Q.sig9((rf - cf) * Q.sig9(log(rf / cf)))).otherwise(lit(0.0))
+    val nAll = (col("rt") + col("ct")).cast("double")
+    val bt = (col("rn") + col("cn")).cast("double")
+    val er = col("rt").cast("double") * bt / nAll
+    val ec = col("ct").cast("double") * bt / nAll
+    val dr = col("rn").cast("double") - er
+    val dc = col("cn").cast("double") - ec
+    val chiContrib = when(col("rt") > 0 && col("ct") > 0,
+      Q.sig9(dr * dr / er) + Q.sig9(dc * dc / ec)).otherwise(lit(0.0))
+    val wide = joined.crossJoin(broadcast(tot))
+      .select(col("bin"), col("rn"), col("cn"), col("rt"), col("ct"),
+        psiContrib.as("pc"), chiContrib.as("xc"))
+    val acc0 = struct(lit(0L).as("cr"), lit(0L).as("cc"),
+      lit(-1).cast(dec).as("mx"), lit(-1L).as("mxbin"))
+    wide.groupBy(col("rt"), col("ct"))
+      .agg(count(lit(1)).as("n_bins_occ"),
+        Q.dsumStable(col("pc"), 9).as("psi_raw"),
+        Q.dsumStable(col("xc"), 6).as("chi2_raw"),
+        array_sort(collect_list(struct(col("bin"), col("rn"),
+          col("cn")))).as("arr"))
+      .withColumn("ks_acc", aggregate(col("arr"), acc0, (a, e) => {
+        val cr = a.getField("cr") + e.getField("rn")
+        val cc = a.getField("cc") + e.getField("cn")
+        val num = abs(cr.cast(dec) * col("ct").cast(dec)
+          - cc.cast(dec) * col("rt").cast(dec))
+        val better = num > a.getField("mx")
+        struct(cr.as("cr"), cc.as("cc"),
+          when(better, num).otherwise(a.getField("mx")).as("mx"),
+          when(better, e.getField("bin"))
+            .otherwise(a.getField("mxbin")).as("mxbin"))
+      }))
+      .select(lit(bins.toLong).as("bins"),
+        col("rt").as("n_ref"), col("ct").as("n_cur"),
+        col("n_bins_occ").cast("long").as("n_bins_occ"),
+        when(col("rt") > 0 && col("ct") > 0, col("psi_raw")).as("psi"),
+        when(col("rt") > 0 && col("ct") > 0,
+          Q.sig9(col("ks_acc.mx").cast("double") /
+            (col("rt").cast(dec) * col("ct").cast(dec)).cast("double")))
+          .as("ks"),
+        col("ks_acc.mxbin").as("ks_bin"),
+        when(col("rt") > 0 && col("ct") > 0, col("chi2_raw")).as("chi2"),
+        (col("n_bins_occ") - 1).cast("long").as("dof"))
+  }
+
   /** Exact two-sample Kolmogorov–Smirnov distance — the
     * distribution-shape drift monitor next to [[psi]] (KS is binning-
     * free and catches shifts PSI's ten fixed bins smear out):

@@ -920,6 +920,85 @@ object PrepQueries {
        |FROM j CROSS JOIN t""".stripMargin
   }
 
+  // ===== one-row binned drift battery (PSI + binned KS + chi2) =======
+
+  /** [[graft.ext.Profile.binnedDrift]] over the q_x_psi ref/cur pair
+    * (all values vs purchase values): the ONE-ROW drift battery whose
+    * streaming face is `EventPipeline.driftMonitor` — PSI, the
+    * bin-boundary KS sup-distance (exact integer argmax, ties to the
+    * smallest bin) and the 2×B homogeneity chi-square on the shared
+    * reference binning. */
+  private val binnedDriftQ: QFn = (s, d) => {
+    val ev = Tables.events(s, d)
+    graft.ext.Profile.binnedDrift(ev,
+      ev.where(col("event_type") === "purchase"), "value", bins = 10)
+  }
+
+  private val binnedDriftSql = {
+    val bin = (src: String) =>
+      s"""SELECT CASE WHEN s.hi = s.lo THEN 0
+         |  ELSE LEAST(9, GREATEST(0, CAST(floor((x - s.lo) /
+         |    ((s.hi - s.lo) / 10)) AS BIGINT))) END AS bin,
+         |  CAST(count(*) AS BIGINT) AS n
+         |FROM $src CROSS JOIN s GROUP BY 1""".stripMargin
+    val rf = "(CAST(rn AS DOUBLE) / CAST(rt AS DOUBLE))"
+    val cf = "(CAST(cn AS DOUBLE) / CAST(ct AS DOUBLE))"
+    val pc = s"CASE WHEN rn > 0 AND cn > 0 THEN ${Q.sqlSig9(
+      s"($rf - $cf) * ${Q.sqlSig9(s"ln($rf / $cf)")}")} ELSE 0.0 END"
+    val n = "CAST(rt + ct AS DOUBLE)"
+    val bt = "CAST(rn + cn AS DOUBLE)"
+    val er = s"(CAST(rt AS DOUBLE) * $bt / $n)"
+    val ec = s"(CAST(ct AS DOUBLE) * $bt / $n)"
+    val dr = s"(CAST(rn AS DOUBLE) - $er)"
+    val dc = s"(CAST(cn AS DOUBLE) - $ec)"
+    val xc = s"CASE WHEN rt > 0 AND ct > 0 THEN ${Q.sqlSig9(
+      s"$dr * $dr / $er")} + ${Q.sqlSig9(s"$dc * $dc / $ec")} " +
+      "ELSE 0.0 END"
+    s"""WITH rv AS (
+       |  SELECT CAST(value AS DOUBLE) AS x FROM events
+       |  WHERE value IS NOT NULL),
+       |cv AS (
+       |  SELECT CAST(value AS DOUBLE) AS x FROM events
+       |  WHERE value IS NOT NULL AND event_type = 'purchase'),
+       |s AS (SELECT min(x) AS lo, max(x) AS hi FROM rv),
+       |rb AS (${bin("rv")}),
+       |cb AS (${bin("cv")}),
+       |j AS (
+       |  SELECT COALESCE(rb.bin, cb.bin) AS bin,
+       |    COALESCE(rb.n, 0) AS rn, COALESCE(cb.n, 0) AS cn
+       |  FROM rb FULL JOIN cb ON rb.bin = cb.bin),
+       |t AS (SELECT CAST(SUM(rn) AS BIGINT) AS rt,
+       |             CAST(SUM(cn) AS BIGINT) AS ct FROM j),
+       |c AS (
+       |  SELECT j.bin, j.rn, j.cn, t.rt, t.ct, $pc AS pc, $xc AS xc,
+       |    SUM(j.rn) OVER (ORDER BY j.bin) AS cumr,
+       |    SUM(j.cn) OVER (ORDER BY j.bin) AS cumc
+       |  FROM j CROSS JOIN t),
+       |k AS (
+       |  SELECT bin, abs(CAST(cumr AS HUGEINT) * ct
+       |    - CAST(cumc AS HUGEINT) * rt) AS num FROM c),
+       |agg AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS nocc,
+       |    ${Q.sqlDsumStable("pc", 9)} AS psi_raw,
+       |    ${Q.sqlDsumStable("xc", 6)} AS chi2_raw
+       |  FROM c),
+       |kmax AS (SELECT max(num) AS mx FROM k),
+       |kbin AS (
+       |  SELECT CAST(min(k.bin) AS BIGINT) AS ks_bin
+       |  FROM k CROSS JOIN kmax WHERE k.num = kmax.mx)
+       |SELECT CAST(10 AS BIGINT) AS bins, t.rt AS n_ref, t.ct AS n_cur,
+       |  agg.nocc AS n_bins_occ,
+       |  CASE WHEN t.rt > 0 AND t.ct > 0 THEN agg.psi_raw END AS psi,
+       |  CASE WHEN t.rt > 0 AND t.ct > 0 THEN ${Q.sqlSig9(
+            "CAST(kmax.mx AS DOUBLE) / " +
+              "(CAST(t.rt AS DOUBLE) * CAST(t.ct AS DOUBLE))")} END
+       |    AS ks,
+       |  kbin.ks_bin AS ks_bin,
+       |  CASE WHEN t.rt > 0 AND t.ct > 0 THEN agg.chi2_raw END AS chi2,
+       |  agg.nocc - 1 AS dof
+       |FROM t CROSS JOIN agg CROSS JOIN kmax CROSS JOIN kbin""".stripMargin
+  }
+
   // ===== Benford first-digit conformance ==============================
 
   /** First-digit profile of order totals vs Benford's law — the
@@ -958,6 +1037,7 @@ object PrepQueries {
   val queries: Map[String, QFn] = Map(
     "q_x_benford" -> benfordQ,
     "q_x_psi" -> psiQ,
+    "q_x_binned_drift" -> binnedDriftQ,
     "q_x_histogram" -> histogramQ,
     "q_x_group_corr" -> groupCorrQ,
     "q_x_knn_label" -> knnLabel,
@@ -982,6 +1062,7 @@ object PrepQueries {
   val oracles: Map[String, String] = Map(
     "q_x_benford" -> benfordSql,
     "q_x_psi" -> psiSql,
+    "q_x_binned_drift" -> binnedDriftSql,
     "q_x_histogram" -> histogramSql,
     "q_x_group_corr" -> groupCorrSql,
     "q_x_knn_label" -> knnLabelSql,

@@ -339,6 +339,156 @@ object EventPipeline {
       }
   }
 
+  /** Bounded reference-frame artifact for [[driftMonitor]]: the
+    * deployment-time binning contract (the training frame's [lo, hi]
+    * + per-bin counts — `bins` longs, a legitimate driver artifact)
+    * broadcast into every executor with the stream query. Build it
+    * ONCE from the reference table; the stream never rescans the
+    * reference. */
+  case class DriftRef(lo: Double, hi: Double, bins: Int,
+                      refCounts: Seq[Long])
+
+  /** Collect the [[DriftRef]] artifact from a reference frame — one
+    * scan + one bin-keyed count, then a ≤`bins`-row collect. The
+    * binning is EXACTLY [[graft.ext.Profile.binnedDrift]]'s (ref
+    * [min, max] equi-width, outside values clamp to edge bins). */
+  def driftRef(ref: DataFrame, valCol: String, bins: Int = 10)
+      : DriftRef = {
+    require(bins >= 1 && bins <= 4096,
+      s"bins must be in [1, 4096], got $bins")
+    val x = col(valCol).cast("double")
+    val v = ref.where(x.isNotNull).select(x.as("x"))
+    val mm = v.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .collect()(0)
+    require(!mm.isNullAt(0),
+      "driftRef: reference frame has no non-null values")
+    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    val counts = Array.ofDim[Long](bins)
+    v.withColumn("bin",
+        when(lit(hi) === lit(lo), lit(0L))
+          .otherwise(least(lit((bins - 1).toLong),
+            greatest(lit(0L),
+              floor((col("x") - lit(lo)) / ((lit(hi) - lit(lo)) / bins))
+                .cast("long")))))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+      .collect().foreach(r => counts(r.getLong(0).toInt) = r.getLong(1))
+    DriftRef(lo, hi, bins, counts.toIndexedSeq)
+  }
+
+  /** Scala twin of the binning Column chain (same IEEE steps: width =
+    * (hi−lo)/bins, floor of the ratio, clamp) — ONE definition used by
+    * the streaming state update; parity with the batch op is what the
+    * StreamingSpec pins. NaN values are out of contract (the batch
+    * side would fail the ANSI long cast). */
+  private def driftBin(ref: DriftRef, xv: Double): Int =
+    if (ref.hi == ref.lo) 0
+    else {
+      val b = math.floor((xv - ref.lo) / ((ref.hi - ref.lo) / ref.bins))
+        .toLong
+      math.min((ref.bins - 1).toLong, math.max(0L, b)).toInt
+    }
+
+  /** Decimal-stable sum of sig9-granular doubles — the Scala twin of
+    * [[graft.queries.Q.dsumStable]] (double → DECIMAL(38,15) via the
+    * Double.toString route both engines use, exact decimal adds,
+    * decimal-space round to `scale`, exact cast, sig9). */
+  private def dsumStableLocal(terms: Iterator[Double], scale: Int)
+      : Double = {
+    import java.math.{BigDecimal => JBD, RoundingMode => RM}
+    var acc = JBD.ZERO
+    terms.foreach(t => acc = acc.add(JBD.valueOf(t).setScale(15, RM.HALF_UP)))
+    graft.functions.GraftMath.sig9(
+      acc.setScale(scale, RM.HALF_UP).doubleValue())
+  }
+
+  /** Per-stream current-side bin counts — `bins` longs, the ENTIRE
+    * drift state. */
+  case class DriftState(counts: Seq[Long])
+
+  case class DriftPoint(stream: String, n_cur: Long, n_bins_occ: Long,
+                        psi: Option[Double], ks: Option[Double],
+                        ks_bin: Long, chi2: Option[Double], dof: Long)
+
+  /** Compute the drift battery from the broadcast reference counts and
+    * a current-side count array — the Scala twin of
+    * [[graft.ext.Profile.binnedDrift]]'s single output row, replicated
+    * step for step (sig9 points, StrictMath.log like Spark's `log`,
+    * dsumStable scales 9/6, exact-integer KS argmax with ties to the
+    * smallest bin). */
+  private def driftStats(key: String, ref: DriftRef,
+      cur: Array[Long]): DriftPoint = {
+    import graft.functions.GraftMath.sig9
+    val rn = ref.refCounts
+    val rt = rn.sum
+    val ct = cur.sum
+    val occ = (0 until ref.bins).filter(b => rn(b) > 0 || cur(b) > 0)
+    val both = rt > 0 && ct > 0
+    val psiTerms = occ.iterator.map { b =>
+      if (both && rn(b) > 0 && cur(b) > 0) {
+        val rf = rn(b).toDouble / rt.toDouble
+        val cf = cur(b).toDouble / ct.toDouble
+        sig9((rf - cf) * sig9(StrictMath.log(rf / cf)))
+      } else 0.0
+    }
+    val psi = dsumStableLocal(psiTerms, 9)
+    val chiTerms = occ.iterator.map { b =>
+      if (both) {
+        val n = (rt + ct).toDouble
+        val bt = (rn(b) + cur(b)).toDouble
+        val er = rt.toDouble * bt / n
+        val ec = ct.toDouble * bt / n
+        val dr = rn(b).toDouble - er
+        val dc = cur(b).toDouble - ec
+        sig9(dr * dr / er) + sig9(dc * dc / ec)
+      } else 0.0
+    }
+    val chi2 = dsumStableLocal(chiTerms, 6)
+    var (cumR, cumC) = (BigInt(0), BigInt(0))
+    var mx = BigInt(-1)
+    var mxBin = -1L
+    occ.foreach { b =>
+      cumR += rn(b); cumC += cur(b)
+      val num = (cumR * ct - cumC * rt).abs
+      if (num > mx) { mx = num; mxBin = b.toLong }
+    }
+    val ks =
+      if (both) Some(sig9(mx.doubleValue / (rt.toDouble * ct.toDouble)))
+      else None
+    DriftPoint(key, ct, occ.size.toLong,
+      if (both) Some(psi) else None, ks, mxBin,
+      if (both) Some(chi2) else None, occ.size.toLong - 1L)
+  }
+
+  /** Streaming drift monitor — the live face of
+    * [[graft.ext.Profile.binnedDrift]] (PSI + binned KS + 2×B
+    * chi-square against a FIXED training-frame binning): the
+    * [[DriftRef]] artifact rides the closure (reference-frame
+    * broadcast — the stream never rescans the reference), per-stream
+    * state is the `bins` current-side counts (re-binned as each batch
+    * arrives), and every micro-batch re-emits the battery row per
+    * stream (Update mode).
+    *
+    * Counts are ORDER-FREE, so like [[benfordMonitor]]/[[hllMonitor]]
+    * this face has no in-order-delivery caveat: after ANY prefix of
+    * batches the emitted row equals the batch operator on the same
+    * events (StreamingSpec-pinned, same Scala sig9/decimal arithmetic
+    * at every step). */
+  def driftMonitor(events: Dataset[Event], spark: SparkSession,
+      ref: DriftRef): Dataset[DriftPoint] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.event_type)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[Event],
+         state: GroupState[DriftState]) =>
+          val counts = state.getOption.map(_.counts.toArray)
+            .getOrElse(Array.ofDim[Long](ref.bins))
+          it.foreach(e => counts(driftBin(ref, e.value)) += 1)
+          state.update(DriftState(counts.toIndexedSeq))
+          driftStats(key, ref, counts)
+      }
+  }
+
   /** Sparse HLL register state: occupied (bucket, maxRho) pairs —
     * bounded at 2^p entries per stream. */
   case class HllState(regs: Map[Long, Long])

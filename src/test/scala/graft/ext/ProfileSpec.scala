@@ -811,4 +811,40 @@ class ProfileSpec extends SparkSpec {
     val byRank = got.sortBy(_._2).map(_._3)
     assert(byRank.zip(byRank.tail).forall { case (q1, q2) => q1 <= q2 })
   }
+
+  test("binnedDrift: zero battery on identical frames; empty current " +
+      "side NULLs the statistics; degenerate one-value reference") {
+    val ref = (0 until 100).map(_.toDouble).toDF("v")
+    def row(df: org.apache.spark.sql.DataFrame) =
+      Profile.binnedDrift(ref, df, "v", bins = 10).collect()(0)
+    // identical frames: PSI = KS = chi2 = 0, all ten bins occupied
+    val same = row(ref)
+    assert(same.getAs[Long]("n_ref") === 100L &&
+      same.getAs[Long]("n_cur") === 100L)
+    assert(same.getAs[Long]("n_bins_occ") === 10L &&
+      same.getAs[Long]("dof") === 9L)
+    assert(same.getAs[Double]("psi") === 0.0 &&
+      same.getAs[Double]("ks") === 0.0 &&
+      same.getAs[Double]("chi2") === 0.0)
+    // a hard shift into the top bin registers on all three
+    val shifted = row(Seq.fill(50)(99.0).toDF("v"))
+    assert(shifted.getAs[Double]("psi") > 0.2 &&
+      shifted.getAs[Double]("ks") > 0.5 &&
+      shifted.getAs[Double]("chi2") > 10.0)
+    assert(shifted.getAs[Long]("ks_bin") === 8L) // gap maximal below bin 9
+    // empty current side: counts kept, statistics NULL
+    val empty = row(Seq.empty[Double].toDF("v"))
+    assert(empty.getAs[Long]("n_cur") === 0L)
+    assert(empty.isNullAt(empty.fieldIndex("psi")) &&
+      empty.isNullAt(empty.fieldIndex("ks")) &&
+      empty.isNullAt(empty.fieldIndex("chi2")))
+    // degenerate reference (hi == lo): everything lands in bin 0
+    val degen = Profile.binnedDrift(Seq(5.0, 5.0).toDF("v"),
+      Seq(7.0, 3.0).toDF("v"), "v", bins = 10).collect()(0)
+    assert(degen.getAs[Long]("n_bins_occ") === 1L &&
+      degen.getAs[Long]("dof") === 0L)
+    assert(degen.getAs[Double]("psi") === 0.0 &&
+      degen.getAs[Double]("ks") === 0.0 &&
+      degen.getAs[Double]("chi2") === 0.0)
+  }
 }

@@ -730,6 +730,61 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("driftMonitor: per-stream battery equals Profile.binnedDrift " +
+      "on every batch prefix; clamping and ties match") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    // reference frame: 0..99 → lo=0, hi=99, ten bins of ten
+    val refDF = (0 until 100).map(_.toDouble).toDF("value")
+    val ref = EventPipeline.driftRef(refDF, "value", bins = 10)
+    assert(ref.lo === 0.0 && ref.hi === 99.0 &&
+      ref.refCounts.sum === 100L)
+    // out-of-range values exercise edge-bin clamping on both faces
+    val batch1 = Seq(
+      Event(1L, ts("2024-03-01 10:00:00"), 1L, "click", 3.0),
+      Event(2L, ts("2024-03-01 10:01:00"), 2L, "click", -5.0),
+      Event(3L, ts("2024-03-01 10:02:00"), 3L, "click", 250.0),
+      Event(4L, ts("2024-03-01 10:03:00"), 4L, "view", 55.0))
+    val batch2 = Seq(
+      Event(5L, ts("2024-03-01 11:00:00"), 5L, "click", 42.0),
+      Event(6L, ts("2024-03-01 11:01:00"), 6L, "click", 42.5),
+      Event(7L, ts("2024-03-01 11:02:00"), 7L, "view", 90.0),
+      Event(8L, ts("2024-03-01 11:03:00"), 8L, "view", 14.0))
+    val ms = MemoryStream[Event]
+    val q = EventPipeline.driftMonitor(ms.toDS(), spark, ref)
+      .writeStream.format("memory").queryName("drift_rows")
+      .outputMode("update").start()
+    def latest() = spark.table("drift_rows")
+      .groupBy(col("stream"))
+      .agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.struct(
+          col("n_cur"), col("n_bins_occ"), col("psi"), col("ks"),
+          col("ks_bin"), col("chi2"), col("dof"))).as("s"))
+      .collect().map(r => r.getString(0) -> {
+        val s = r.getStruct(1)
+        (s.getLong(0), s.getLong(1), s.getDouble(2), s.getDouble(3),
+          s.getLong(4), s.getDouble(5), s.getLong(6))
+      }).toMap
+    def batchRow(evs: Seq[Event], stream: String) = {
+      val r = graft.ext.Profile.binnedDrift(refDF,
+        evs.filter(_.event_type == stream).toDF().select(col("value")),
+        "value", bins = 10).collect()(0)
+      (r.getAs[Long]("n_cur"), r.getAs[Long]("n_bins_occ"),
+        r.getAs[Double]("psi"), r.getAs[Double]("ks"),
+        r.getAs[Long]("ks_bin"), r.getAs[Double]("chi2"),
+        r.getAs[Long]("dof"))
+    }
+    try {
+      ms.addData(batch1); q.processAllAvailable()
+      assert(latest()("click") === batchRow(batch1, "click"))
+      assert(latest()("view") === batchRow(batch1, "view"))
+      ms.addData(batch2); q.processAllAvailable()
+      val all = batch1 ++ batch2
+      assert(latest()("click") === batchRow(all, "click"))
+      assert(latest()("view") === batchRow(all, "view"))
+    } finally q.stop()
+  }
+
   test("hllMonitor: per-stream estimate equals the batch HLL on every " +
       "batch prefix; registers are order-free across batches") {
     implicit val ctx = spark.sqlContext
