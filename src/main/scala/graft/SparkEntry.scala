@@ -40,7 +40,8 @@ object SparkEntry {
       TemporalQueries.queries ++ CorpusQueries.queries ++
       PrepQueries.queries ++ LinkQueries.queries ++
       BehaviorQueries.queries ++ LearnQueries.queries ++
-      TimeSeriesQueries.queries ++ StatsQueries.queries).map {
+      TimeSeriesQueries.queries ++ StatsQueries.queries ++
+      GovernQueries.queries).map {
       case (name, fn) =>
       name -> { (s: SparkSession, d: String) =>
         // native expressions resolve through the function registry; make
@@ -58,5 +59,6 @@ object SparkEntry {
       TemporalQueries.oracles ++ CorpusQueries.oracles ++
       PrepQueries.oracles ++ LinkQueries.oracles ++
       BehaviorQueries.oracles ++ LearnQueries.oracles ++
-      TimeSeriesQueries.oracles ++ StatsQueries.oracles
+      TimeSeriesQueries.oracles ++ StatsQueries.oracles ++
+      GovernQueries.oracles
 }

@@ -685,4 +685,132 @@ object Graph {
     }
     lab.select(col("node"), col("lbl").as("community"))
   }
+
+  /** Newman–Girvan modularity of a community assignment over an
+    * undirected simple graph: Q = sum_c (L_c / m - (D_c / 2m)^2),
+    * where L_c counts intra-community edges and D_c sums member
+    * degrees. The community-quality readout for `labelPropagation`
+    * (or any clustering) — Q near 0 says the partition is no better
+    * than chance; Q > ~0.3 says real structure.
+    *
+    * One degree aggregate, two community joins on the edge endpoints
+    * (keyed equi-joins), one per-community aggregate, and a bounded
+    * per-community contribution row summed into the scalar by an
+    * exact granular decimal sum. All counts exact integers; the per-
+    * community contribution is the only IEEE chain.
+    *
+    * Output: one row per community (members, intra edges, degree
+    * mass, sig9'd contribution) plus the graph-level Q broadcast onto
+    * every row — the per-community rows are the actionable readout
+    * (which communities are cohesive), Q the headline.
+    */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+      communities: DataFrame, nodeCol: String,
+      commCol: String): DataFrame = {
+    import graft.queries.Q
+    val e = edges
+      .select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val comm = communities.select(col(nodeCol).cast("long").as("node"),
+      col(commCol).as("cm"))
+    val stubs = e.select(col("a").as("node"))
+      .unionByName(e.select(col("b").as("node")))
+    val deg = stubs.groupBy(col("node")).agg(count(lit(1)).as("d"))
+
+    val withCa = e.join(comm.select(col("node").as("a"),
+      col("cm").as("ca")), "a")
+    val withBoth = withCa.join(comm.select(col("node").as("b"),
+      col("cm").as("cb")), "b")
+    val intra = withBoth.where(col("ca") === col("cb"))
+      .groupBy(col("ca").as("cm"))
+      .agg(count(lit(1)).cast("long").as("l_c"))
+    val mass = deg.join(comm, "node").groupBy(col("cm"))
+      .agg(sum(col("d")).cast("long").as("d_c"),
+        count(lit(1)).cast("long").as("members"))
+    val m = e.agg(count(lit(1)).cast("long").as("m_edges"))
+
+    val per = mass.join(intra, Seq("cm"), "left_outer")
+      .select(col("cm"), col("members"),
+        coalesce(col("l_c"), lit(0L)).as("l_c"), col("d_c"))
+      .crossJoin(m)
+    val frac = Q.sig9(col("l_c").cast("double") /
+      col("m_edges").cast("double"))
+    val half = Q.sig9(col("d_c").cast("double") /
+      (lit(2.0) * col("m_edges").cast("double")))
+    val contrib = Q.sig9(frac - Q.sig9(half * half))
+    val rows = per.withColumn("contribution", contrib)
+    val q = rows.agg(Q.dsumStable(col("contribution"), 13)
+      .as("modularity"))
+    rows.crossJoin(q)
+      .select(col("cm").as("community"), col("members"), col("l_c"),
+        col("d_c"), col("contribution"), col("m_edges"),
+        col("modularity"))
+  }
+
+  /** Degree assortativity of an undirected simple graph (Newman, PRL
+    * 2002): the Pearson correlation of endpoint degrees over all
+    * directed edge stubs. Positive r = hubs attach to hubs (social
+    * shape); negative = hubs attach to leaves (web/biology shape) —
+    * the one-number summary of whether skew-aware join salting will
+    * pay off on this graph.
+    *
+    * Input: one row per undirected edge (src < dst, deduplicated by
+    * the caller or here via distinct). Degrees come from one
+    * aggregation over the stub list; the correlation is exact
+    * DECIMAL(38,0) integer moment sums (degrees are integers, so the
+    * only IEEE ops are the final sig9'd divisions). Two shuffles
+    * total (degree agg + edge-degree join), no windows.
+    *
+    * Output one row: n_nodes, n_edges, mean_degree, max_degree,
+    * assortativity (NULL when the degree distribution is constant).
+    */
+  def assortativity(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    import graft.queries.Q
+    val e = edges
+      .select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    // directed stubs: each undirected edge contributes (a,b) and (b,a)
+    val stubs = e.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(e.select(col("b").as("u"), col("a").as("v")))
+    val deg = stubs.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    val du = deg.select(col("u"), col("d").as("du"))
+    val dv = deg.select(col("u").as("v"), col("d").as("dv"))
+    val pairs = stubs.join(du, "u").join(dv, "v")
+    def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 0))
+    val m = pairs.agg(
+      count(lit(1)).cast("long").as("n"),
+      sum(dec(col("du"))).as("sx"),
+      sum(dec(col("dv"))).as("sy"),
+      sum(dec(col("du")) * dec(col("dv"))).as("sxy"),
+      sum(dec(col("du")) * dec(col("du"))).as("sxx"),
+      sum(dec(col("dv")) * dec(col("dv"))).as("syy"))
+    val counts = e.agg(count(lit(1)).cast("long").as("n_edges"))
+      .crossJoin(deg.agg(count(lit(1)).cast("long").as("n_nodes"),
+        max(col("d")).cast("long").as("max_degree")))
+    val num = Q.sig9((col("sxy") * col("n") - col("sx") * col("sy"))
+      .cast("double"))
+    val dx = Q.sig9((col("sxx") * col("n") - col("sx") * col("sx"))
+      .cast("double"))
+    val dy = Q.sig9((col("syy") * col("n") - col("sy") * col("sy"))
+      .cast("double"))
+    m.crossJoin(counts)
+      .select(col("n_nodes"), col("n_edges"),
+        Q.sig9(lit(2.0) * col("n_edges").cast("double") /
+          col("n_nodes").cast("double")).as("mean_degree"),
+        col("max_degree"),
+        when(dx > 0 && dy > 0,
+          Q.sig9(num / Q.sig9(sqrt(dx * dy)))).as("assortativity"))
+  }
 }

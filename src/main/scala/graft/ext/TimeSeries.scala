@@ -814,4 +814,65 @@ object TimeSeries {
         (Q.sig9(sqrt(vr)) - mean) / (Q.sig9(sqrt(vr)) + mean)))
         .as("burstiness")): _*)
   }
+
+  /** SAX — Symbolic Aggregate approXimation (Lin, Keogh, Lonardi & Chiu,
+    * DMKD 2003): per series, z-normalize, Piecewise Aggregate
+    * Approximate into `w` segments, and map segment means onto a
+    * 4-symbol alphabet at the standard-normal quartile breakpoints
+    * (-0.6745, 0, 0.6745). The output is the WORD DISTRIBUTION — one
+    * row per SAX word with the number of series exhibiting it — i.e.
+    * the motif census that indexes 10^9 series into a bounded
+    * 4^w-shape dictionary for similarity search and anomaly triage.
+    *
+    * Determinism: per-series mean/std from exact decimal moments
+    * (sig9'd), z-scores and PAA means sig9'd chains, segment index
+    * floor(i*w/n) in exact integers, breakpoints compared on sig9'd
+    * values. The only windows are keyed per series (row_number over
+    * one key's rows); the word assembly is a sorted in-group array
+    * fold, no global order anywhere.
+    */
+  def sax(df: DataFrame, keyCols: Seq[String], orderCol: String,
+      valCol: String, tieBreak: String, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.queries.Q
+    require(w > 0, "sax: need at least one segment")
+    val keys = keyCols.map(col)
+    val base = df.where(col(valCol).isNotNull)
+      .select(keys :+ col(orderCol).as("__o") :+ col(tieBreak).as("__tb") :+
+        col(valCol).cast("double").as("__x"): _*)
+
+    val m = base.groupBy(keys: _*).agg(
+      count(lit(1)).cast("long").as("__n"),
+      Q.dsum(col("__x")).as("__s1"),
+      Q.dsum(col("__x") * col("__x")).as("__s2"))
+      .withColumn("__mu", Q.sig9(col("__s1") / col("__n").cast("double")))
+      .withColumn("__sd", when(col("__n") > 1, Q.sig9(sqrt(
+        (col("__s2") - col("__s1") * col("__s1") /
+          col("__n").cast("double")) / (col("__n") - 1).cast("double")))))
+      .where(col("__sd") > 0)
+      .select(keys :+ col("__n") :+ col("__mu") :+ col("__sd"): _*)
+
+    val wn = Window.partitionBy(keys: _*).orderBy(col("__o"), col("__tb"))
+    val seg = base.join(m, keyCols)
+      .withColumn("__i", row_number().over(wn).cast("long") - 1)
+      .withColumn("__seg", floor(col("__i") * w / col("__n")).cast("long"))
+      .withColumn("__z", Q.sig9((col("__x") - col("__mu")) / col("__sd")))
+
+    val paa = seg.groupBy(keys :+ col("__seg"): _*)
+      .agg(Q.dsumStable(col("__z"), 9).as("__zs"),
+        count(lit(1)).cast("long").as("__c"))
+      .withColumn("__m", Q.sig9(col("__zs") / col("__c").cast("double")))
+      .withColumn("__sym",
+        when(col("__m") < -0.6745, "a")
+          .when(col("__m") < 0.0, "b")
+          .when(col("__m") < 0.6745, "c")
+          .otherwise("d"))
+
+    val words = paa.groupBy(keys: _*)
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__seg"), col("__sym")))),
+        s => s.getField("__sym")), "").as("word"))
+    words.groupBy(col("word"))
+      .agg(count(lit(1)).cast("long").as("n_series"))
+  }
 }

@@ -950,7 +950,63 @@ object BehaviorQueries {
        |FROM m JOIN dd USING (month)""".stripMargin
   }
 
+  // ===== item-item collaborative filtering ============================
+
+  /** "Bought with": top-5 co-purchase neighbors per part by
+    * co-occurrence cosine over order baskets
+    * ([[graft.ext.Recommend.itemItemCf]]) — support >= 3, baskets
+    * capped at 20 items (the 100 TB degenerate-basket guard; at this
+    * fixture no basket exceeds 13, so the cap is exercised as a
+    * no-op, which is exactly the contract). Ranking ties break on the
+    * neighbor id, so the row_number is deterministic on both engines. */
+  private val itemCfMinSupport = 3
+  private val itemCfTopK = 5
+  private val itemCfMaxBasket = 20
+
+  private val itemCfQ: QFn = (s, d) =>
+    graft.ext.Recommend.itemItemCf(
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")),
+      "l_orderkey", "l_partkey",
+      minSupport = itemCfMinSupport, topK = itemCfTopK,
+      maxBasketSize = itemCfMaxBasket)
+
+  private val itemCfSql = {
+    val cos = Q.sqlSig9("CAST(nab AS DOUBLE) / " +
+      "sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))")
+    s"""WITH b AS (
+       |  SELECT DISTINCT l_orderkey AS bk, l_partkey AS it
+       |  FROM lineitem
+       |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+       |itn AS (
+       |  SELECT it, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1
+       |  HAVING count(*) >= $itemCfMinSupport),
+       |kept AS (SELECT b.bk, b.it, itn.n FROM b JOIN itn USING (it)),
+       |ok AS (
+       |  SELECT bk FROM kept GROUP BY 1
+       |  HAVING count(*) <= $itemCfMaxBasket),
+       |kb AS (SELECT kept.* FROM kept JOIN ok USING (bk)),
+       |p AS (
+       |  SELECT x.it AS ia, y.it AS ib, x.n AS na, y.n AS nb,
+       |    CAST(count(*) AS BIGINT) AS nab
+       |  FROM kb x JOIN kb y ON x.bk = y.bk AND x.it < y.it
+       |  GROUP BY 1, 2, 3, 4),
+       |sym AS (
+       |  SELECT ia AS item, ib AS neighbor, nab, $cos AS cosine FROM p
+       |  UNION ALL
+       |  SELECT ib AS item, ia AS neighbor, nab, $cos AS cosine FROM p),
+       |r AS (
+       |  SELECT item, neighbor, nab, cosine,
+       |    row_number() OVER (PARTITION BY item
+       |      ORDER BY cosine DESC, neighbor ASC) AS rnk
+       |  FROM sym)
+       |SELECT item, CAST(rnk AS BIGINT) AS rnk, neighbor,
+       |  nab AS n_both, cosine
+       |FROM r WHERE rnk <= $itemCfTopK""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q_x_item_cf" -> itemCfQ,
     "q_x_growth" -> growthQ,
     "q_x_stickiness" -> stickinessQ,
     "q_x_competing_risks" -> crQ,
@@ -971,6 +1027,7 @@ object BehaviorQueries {
     "q_x_decay" -> decayQ)
 
   val oracles: Map[String, String] = Map(
+    "q_x_item_cf" -> itemCfSql,
     "q_x_growth" -> growthSql,
     "q_x_stickiness" -> stickinessSql,
     "q_x_competing_risks" -> crSql,

@@ -725,7 +725,185 @@ object LinkQueries {
       .stripMargin
   }
 
+  // ===== degree assortativity (graph mixing summary) ==================
+
+  /** Newman degree assortativity of the part co-purchase graph (same
+    * undirected simple edges as `q_x_triangles`): the Pearson r over
+    * endpoint degrees of every directed stub
+    * ([[graft.ext.Graph.assortativity]]). Degrees are exact integers,
+    * the moments exact DECIMAL(38,0) sums, so the only IEEE ops are
+    * the final sig9'd divisions — the oracle replays them term for
+    * term. */
+  private val assortQ: QFn = (s, d) => {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+    val ord = li.groupBy("l_orderkey")
+      .agg(array_sort(array_distinct(collect_list(col("l_partkey"))))
+        .as("ps"))
+    val pairs = ord.select(explode(col("ps")).as("a"), col("ps"))
+      .select(col("a"), explode(col("ps")).as("b"))
+      .where(col("a") < col("b"))
+    graft.ext.Graph.assortativity(pairs, "a", "b")
+  }
+
+  private val assortSql = {
+    val num = sqlSig9("CAST(sxy * n - sx * sy AS DOUBLE)")
+    val dx = sqlSig9("CAST(sxx * n - sx * sx AS DOUBLE)")
+    val dy = sqlSig9("CAST(syy * n - sy * sy AS DOUBLE)")
+    s"""WITH ord AS (
+       |  SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS ps
+       |  FROM lineitem GROUP BY 1),
+       |ea AS (SELECT unnest(ps) AS a, ps FROM ord),
+       |eb AS (SELECT a, unnest(ps) AS b FROM ea),
+       |e AS MATERIALIZED (SELECT DISTINCT a, b FROM eb WHERE a < b),
+       |stubs AS (
+       |  SELECT a AS u, b AS v FROM e
+       |  UNION ALL SELECT b AS u, a AS v FROM e),
+       |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS dg
+       |  FROM stubs GROUP BY 1),
+       |pr AS (
+       |  SELECT du.dg AS du, dv.dg AS dv
+       |  FROM stubs JOIN deg du ON stubs.u = du.u
+       |  JOIN deg dv ON stubs.v = dv.u),
+       |m AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    sum(CAST(du AS DECIMAL(38,0))) AS sx,
+       |    sum(CAST(dv AS DECIMAL(38,0))) AS sy,
+       |    sum(CAST(du AS DECIMAL(38,0)) * dv) AS sxy,
+       |    sum(CAST(du AS DECIMAL(38,0)) * du) AS sxx,
+       |    sum(CAST(dv AS DECIMAL(38,0)) * dv) AS syy
+       |  FROM pr),
+       |cnt AS (
+       |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+       |    (SELECT CAST(max(dg) AS BIGINT) FROM deg) AS max_degree)
+       |SELECT n_nodes, n_edges,
+       |  ${sqlSig9("CAST(2.0 AS DOUBLE) * CAST(n_edges AS DOUBLE) / " +
+            "CAST(n_nodes AS DOUBLE)")} AS mean_degree,
+       |  max_degree,
+       |  CASE WHEN ($dx) > 0 AND ($dy) > 0 THEN
+       |    ${sqlSig9(s"($num) / ${sqlSig9(s"sqrt(($dx) * ($dy))")}")}
+       |  END AS assortativity
+       |FROM m, cnt""".stripMargin
+  }
+
+  // ===== modularity of the LPA communities ============================
+
+  /** Community-quality readout: Newman–Girvan modularity of the
+    * `q_x_lpa` label-propagation partition over the co-purchase graph
+    * ([[graft.ext.Graph.modularity]]) — one row per community
+    * (members, intra edges, degree mass, contribution) with the
+    * graph-level Q broadcast on. The oracle replays the FULL LPA
+    * iteration chain as a subquery, then the same exact-integer
+    * modularity sums. */
+  private val modularityQ: QFn = (s, d) => {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+      col("l_partkey"))
+    val ord = li.groupBy("l_orderkey")
+      .agg(array_sort(array_distinct(collect_list(col("l_partkey"))))
+        .as("ps"))
+    val e = ord.select(explode(col("ps")).as("a"), col("ps"))
+      .select(col("a"), explode(col("ps")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val comm = graft.ext.Graph.labelPropagation(e, "a", "b", lpaRounds)
+    graft.ext.Graph.modularity(e, "a", "b", comm, "node", "community")
+  }
+
+  private val modularitySql = {
+    val frac = sqlSig9("CAST(l_c AS DOUBLE) / CAST(m_edges AS DOUBLE)")
+    val half = sqlSig9("CAST(d_c AS DOUBLE) / " +
+      "(CAST(2.0 AS DOUBLE) * CAST(m_edges AS DOUBLE))")
+    val contrib = sqlSig9(s"($frac) - ${sqlSig9(s"($half) * ($half)")}")
+    s"""WITH comm AS MATERIALIZED (
+       |  SELECT node, community AS cm FROM ($lpaSql)),
+       |pp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i
+       |  FROM lineitem),
+       |eu AS MATERIALIZED (
+       |  SELECT DISTINCT LEAST(l.i, r.i) AS a, GREATEST(l.i, r.i) AS b
+       |  FROM pp l JOIN pp r ON l.o = r.o AND l.i <> r.i),
+       |stubs AS (SELECT a AS node FROM eu
+       |  UNION ALL SELECT b FROM eu),
+       |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d
+       |  FROM stubs GROUP BY 1),
+       |mm AS (SELECT CAST(count(*) AS BIGINT) AS m_edges FROM eu),
+       |intra AS (
+       |  SELECT ca.cm AS cm, CAST(count(*) AS BIGINT) AS l_c
+       |  FROM eu JOIN comm ca ON eu.a = ca.node
+       |  JOIN comm cb ON eu.b = cb.node
+       |  WHERE ca.cm = cb.cm GROUP BY 1),
+       |mass AS (
+       |  SELECT comm.cm, CAST(sum(deg.d) AS BIGINT) AS d_c,
+       |    CAST(count(*) AS BIGINT) AS members
+       |  FROM deg JOIN comm ON deg.node = comm.node GROUP BY 1),
+       |per AS (
+       |  SELECT mass.cm, members, COALESCE(intra.l_c, 0) AS l_c, d_c,
+       |    m_edges
+       |  FROM mass LEFT JOIN intra ON mass.cm = intra.cm, mm),
+       |rows_ AS (
+       |  SELECT cm AS community, members, l_c, d_c,
+       |    $contrib AS contribution, m_edges
+       |  FROM per),
+       |qq AS (
+       |  SELECT ${sqlDsumStable("contribution", 13)} AS modularity
+       |  FROM rows_)
+       |SELECT community, members, l_c, d_c, contribution, m_edges,
+       |  modularity
+       |FROM rows_, qq""".stripMargin
+  }
+
+  // ===== Fellegi–Sunter probabilistic record linkage ==================
+
+  /** Supplier self-linkage blocked on nation
+    * ([[graft.ext.Linkage.fsLink]]): comparison vector = (name within
+    * one edit, acctbal in the same 1000-band), DECLARED m/u weights
+    * (no EM — the deterministic scoring half of FS), log2-odds score,
+    * link / possible / non_link at (6, 0). The oracle replays the
+    * blocked join and the exact weight literals. */
+  private val fsName = graft.ext.Linkage.FsField("name",
+    levenshtein(col("l_s_name"), col("r_s_name")) <= 1, m = 0.95,
+    u = 0.01)
+  private val fsBand = graft.ext.Linkage.FsField("band",
+    col("l_band") === col("r_band"), m = 0.6, u = 0.1)
+  private val fsUpper = 6.0
+  private val fsLower = 0.0
+
+  private val fsLinkQ: QFn = (s, d) => {
+    val sup = Tables.supplier(s, d)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+        floor(col("s_acctbal") / 1000).cast("long").as("band"))
+    graft.ext.Linkage.fsLink(sup, sup, "s_suppkey",
+      Seq("s_nationkey"), Seq(fsName, fsBand), upper = fsUpper,
+      lower = fsLower, selfPairs = true)
+  }
+
+  private val fsLinkSql = {
+    val score = sqlSig9(
+      s"(CASE WHEN agree_name THEN CAST(${fsName.wAgree} AS DOUBLE) " +
+        s"ELSE CAST(${fsName.wDisagree} AS DOUBLE) END + " +
+        s"CASE WHEN agree_band THEN CAST(${fsBand.wAgree} AS DOUBLE) " +
+        s"ELSE CAST(${fsBand.wDisagree} AS DOUBLE) END)")
+    s"""WITH sup AS (
+       |  SELECT s_suppkey, s_name, s_nationkey,
+       |    CAST(floor(s_acctbal / 1000) AS BIGINT) AS band
+       |  FROM supplier),
+       |pairs AS (
+       |  SELECT l.s_suppkey AS left_id, r.s_suppkey AS right_id,
+       |    COALESCE(levenshtein(l.s_name, r.s_name) <= 1, FALSE)
+       |      AS agree_name,
+       |    COALESCE(l.band = r.band, FALSE) AS agree_band
+       |  FROM sup l JOIN sup r ON l.s_nationkey = r.s_nationkey
+       |    AND l.s_suppkey < r.s_suppkey),
+       |scored AS (SELECT *, $score AS score FROM pairs)
+       |SELECT left_id, right_id, agree_name, agree_band, score,
+       |  CASE WHEN score >= $fsUpper THEN 'link'
+       |    WHEN score <= $fsLower THEN 'non_link'
+       |    ELSE 'possible' END AS decision
+       |FROM scored""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q_x_modularity" -> modularityQ,
+    "q_x_fs_link" -> fsLinkQ,
+    "q_x_assortativity" -> assortQ,
     "q_x_snapshot_diff" -> snapDiffQ,
     "q_x_lpa" -> lpaQ,
     "q_x_assoc_rules" -> assocQ,
@@ -742,6 +920,9 @@ object LinkQueries {
     "q_x_scd2" -> scd2)
 
   val oracles: Map[String, String] = Map(
+    "q_x_modularity" -> modularitySql,
+    "q_x_fs_link" -> fsLinkSql,
+    "q_x_assortativity" -> assortSql,
     "q_x_snapshot_diff" -> snapDiffSql,
     "q_x_lpa" -> lpaSql,
     "q_x_assoc_rules" -> assocSql,

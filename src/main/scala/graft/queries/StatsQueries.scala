@@ -641,7 +641,272 @@ object StatsQueries {
        |FROM ct, tt, bt, k""".stripMargin
   }
 
+  // ===== propensity-style nearest-score matching (ATT) ================
+
+  /** Matching estimator on the events fixture: units are users,
+    * "treatment" = has a purchase event, balancing score = mean view
+    * value (a deterministic activity proxy standing in for a fitted
+    * propensity), outcome = click count. Caliper 2.0; nearest control
+    * with replacement via the banded equi-join
+    * ([[graft.ext.Causal.matchAtt]]). The oracle replays the identical
+    * three-bucket probe and (gap, control-id) argmin. */
+  private val psmCaliper = 2.0
+
+  private val psmQ: QFn = (s, d) => {
+    val units = Tables.events(s, d)
+      .where(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(
+        max(col("event_type") === "purchase").as("treated"),
+        Q.dsum(when(col("event_type") === "view", col("value")))
+          .as("__vs"),
+        count(when(col("event_type") === "view", col("value")))
+          .as("__vc"),
+        count(when(col("event_type") === "click", lit(1))).as("__cc"))
+      .select(col("user_id"), col("treated"),
+        when(col("__vc") > 0,
+          Q.sig9(col("__vs") / col("__vc").cast("double"))).as("score"),
+        col("__cc").cast("double").as("y"))
+    graft.ext.Causal.matchAtt(units, "user_id", "treated", "score", "y",
+      caliper = psmCaliper)
+  }
+
+  private val psmSql = {
+    val score = Q.sqlSig9(
+      s"${Q.sqlDsum("CASE WHEN event_type = 'view' THEN value END")} / " +
+        "CAST(count(CASE WHEN event_type = 'view' AND value IS NOT NULL " +
+        "THEN 1 END) AS DOUBLE)")
+    s"""WITH units AS (
+       |  SELECT user_id,
+       |    bool_or(event_type = 'purchase') AS treated,
+       |    CASE WHEN count(CASE WHEN event_type = 'view'
+       |        AND value IS NOT NULL THEN 1 END) > 0
+       |      THEN $score END AS score,
+       |    CAST(count(CASE WHEN event_type = 'click' THEN 1 END)
+       |      AS DOUBLE) AS y
+       |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+       |t AS (
+       |  SELECT user_id AS t_id, score AS t_s, y AS t_y,
+       |    CAST(floor(score / $psmCaliper) AS BIGINT) AS bkt
+       |  FROM units WHERE treated AND score IS NOT NULL),
+       |c AS (
+       |  SELECT user_id AS c_id, score AS c_s, y AS c_y,
+       |    CAST(floor(score / $psmCaliper) AS BIGINT) AS cb
+       |  FROM units WHERE NOT treated AND score IS NOT NULL),
+       |probes AS (
+       |  SELECT t_id, t_s, t_y, unnest([bkt - 1, bkt, bkt + 1]) AS cb
+       |  FROM t),
+       |cand AS (
+       |  SELECT t_id, t_y, c_id, c_y, abs(c_s - t_s) AS gap
+       |  FROM probes JOIN c USING (cb)
+       |  WHERE abs(c_s - t_s) <= $psmCaliper),
+       |m AS (
+       |  SELECT t_id, t_y, c_y, gap,
+       |    row_number() OVER (PARTITION BY t_id ORDER BY gap, c_id) AS rn
+       |  FROM cand),
+       |agg AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_matched,
+       |    ${Q.sqlDsum("t_y - c_y")} AS dsum,
+       |    ${Q.sqlDsum("gap")} AS gsum
+       |  FROM m WHERE rn = 1),
+       |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_treated FROM t),
+       |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_control FROM c)
+       |SELECT n_treated, n_control, n_matched,
+       |  n_treated - n_matched AS n_unmatched,
+       |  ${Q.sqlSig9("dsum / CAST(n_matched AS DOUBLE)")} AS att,
+       |  ${Q.sqlSig9("gsum / CAST(n_matched AS DOUBLE)")}
+       |    AS mean_score_gap
+       |FROM agg, nt, nc""".stripMargin
+  }
+
+  // ===== sharp regression discontinuity ===============================
+
+  /** Does crossing acctbal 0 shift order volume? Local linear fits on
+    * [-2000, 0) and [0, 2000] of per-customer order counts against
+    * account balance ([[graft.ext.Causal.rddEstimate]]); tau is the
+    * intercept jump at the cutoff. (The fixture randomizes orders
+    * independently of balance, so tau ~ 0 — the null readout is the
+    * point: the estimator must not manufacture a jump.) */
+  private val rddBandwidth = 2000.0
+
+  private val rddQ: QFn = (s, d) => {
+    val oc = Tables.orders(s, d).groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("__no"))
+    val units = Tables.customer(s, d)
+      .join(oc, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(col("c_acctbal").as("x"),
+        coalesce(col("__no"), lit(0L)).cast("double").as("y"))
+    graft.ext.Causal.rddEstimate(units, "x", "y", cutoff = 0.0,
+      bandwidth = rddBandwidth)
+  }
+
+  private val rddSql = {
+    def fit(side: String, cond: String) = {
+      val den = Q.sqlSig9("CAST(n AS DOUBLE) * sxx - sx * sx")
+      val b = Q.sqlSig9(s"(CAST(n AS DOUBLE) * sxy - sx * sy) / ($den)")
+      s"""SELECT CAST(n AS BIGINT) AS n_$side,
+         |  ${Q.sqlSig9(s"(sy - ($b) * sx) / CAST(n AS DOUBLE)")}
+         |    AS a_$side,
+         |  $b AS b_$side
+         |FROM (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    ${Q.sqlDsum("u")} AS sx, ${Q.sqlDsum("y")} AS sy,
+         |    ${Q.sqlDsum("u * u")} AS sxx, ${Q.sqlDsum("u * y")} AS sxy
+         |  FROM base WHERE $cond)""".stripMargin
+    }
+    s"""WITH oc AS (
+       |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS no
+       |  FROM orders GROUP BY 1),
+       |base AS (
+       |  SELECT CAST(c_acctbal AS DOUBLE) AS u,
+       |    CAST(COALESCE(no, 0) AS DOUBLE) AS y
+       |  FROM customer LEFT JOIN oc ON c_custkey = o_custkey
+       |  WHERE c_acctbal IS NOT NULL
+       |    AND c_acctbal >= -$rddBandwidth AND c_acctbal <= $rddBandwidth),
+       |l AS (${fit("left", "u < 0")}),
+       |r AS (${fit("right", "u >= 0")})
+       |SELECT n_left, n_right, a_left, b_left, a_right, b_right,
+       |  ${Q.sqlSig9("a_right - a_left")} AS tau
+       |FROM l, r""".stripMargin
+  }
+
+  // ===== always-valid sequential test (mSPRT) =========================
+
+  /** The streaming readout of `q_x_abtest`: same hash arms, same value
+    * metric, but bucketed by day with the normal-mixture always-valid
+    * log likelihood ratio per day ([[graft.ext.Causal.msprt]]);
+    * tau2 = 1, alpha = 0.05. The oracle replays the per-arm prefix
+    * sums and the sig9'd logLambda chain; the ln(1/alpha) boundary is
+    * ONE Scala-computed double embedded in both engines (the
+    * decay-lambda convention). */
+  private val msprtTau2 = 1.0
+  private val msprtAlpha = 0.05
+
+  private val msprtQ: QFn = (s, d) => {
+    val grp = pmod(graft.ext.Hashing.hash60(
+      concat(lit("ab:"), col("user_id").cast("string"))), lit(2L))
+    graft.ext.Causal.msprt(
+      Tables.events(s, d).withColumn("arm", grp)
+        .withColumn("day", to_date(col("ts"))),
+      "arm", "day", "value", tau2 = msprtTau2, alpha = msprtAlpha)
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day_s"),
+        col("n_t"), col("n_c"), col("m_t"), col("m_c"), col("delta"),
+        col("log_lambda"), col("crossed"),
+        date_format(col("first_cross_day"), "yyyy-MM-dd")
+          .as("first_cross_day_s"))
+  }
+
+  private val msprtSql = {
+    val thr = math.log(1.0 / msprtAlpha)
+    val v = Q.sqlSig9("sigma2 * (CAST(1.0 AS DOUBLE) / " +
+      "CAST(n_t AS DOUBLE) + CAST(1.0 AS DOUBLE) / CAST(n_c AS DOUBLE))")
+    val logLambda = Q.sqlSig9(
+      s"${Q.sqlSig9(s"CAST(0.5 AS DOUBLE) * ln(v / (v + $msprtTau2))")} + " +
+        Q.sqlSig9(s"delta * delta * $msprtTau2 / " +
+          s"(CAST(2.0 AS DOUBLE) * v * (v + $msprtTau2))"))
+    s"""WITH e AS (
+       |  SELECT CAST(${Q.sqlHash60("'ab:' || CAST(user_id AS VARCHAR)")}
+       |      % 2 AS BIGINT) AS g,
+       |    CAST(ts AS DATE) AS d, value AS x
+       |  FROM events WHERE value IS NOT NULL),
+       |sig AS (
+       |  SELECT ${Q.sqlSig9("(s2 - s1 * s1 / CAST(n AS DOUBLE)) / " +
+            "CAST(n - 1 AS DOUBLE)")} AS sigma2
+       |  FROM (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    ${Q.sqlDsum("x")} AS s1, ${Q.sqlDsum("x * x")} AS s2 FROM e)),
+       |daily AS (
+       |  SELECT g, d, CAST(count(*) AS BIGINT) AS nd,
+       |    sum(CAST(x AS DECIMAL(38,15))) AS sd
+       |  FROM e GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT g, d,
+       |    CAST(sum(nd) OVER w AS BIGINT) AS cn,
+       |    ${Q.sqlSig9("CAST(sum(sd) OVER w AS DOUBLE)")} AS cs
+       |  FROM daily
+       |  WINDOW w AS (PARTITION BY g ORDER BY d
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |t AS (SELECT d AS day, cn AS n_t,
+       |  ${Q.sqlSig9("cs / CAST(cn AS DOUBLE)")} AS m_t
+       |  FROM cum WHERE g = 1),
+       |c AS (SELECT d AS day, cn AS n_c,
+       |  ${Q.sqlSig9("cs / CAST(cn AS DOUBLE)")} AS m_c
+       |  FROM cum WHERE g = 0),
+       |j AS (
+       |  SELECT day, n_t, n_c, m_t, m_c,
+       |    ${Q.sqlSig9("m_t - m_c")} AS delta, $v AS v
+       |  FROM t JOIN c USING (day), sig),
+       |p AS (
+       |  SELECT day, n_t, n_c, m_t, m_c, delta,
+       |    $logLambda AS log_lambda
+       |  FROM j),
+       |pd AS (
+       |  SELECT *, log_lambda > CAST($thr AS DOUBLE) AS crossed FROM p),
+       |fc AS (
+       |  SELECT min(CASE WHEN crossed THEN day END) AS first_cross_day
+       |  FROM pd)
+       |SELECT strftime(day, '%Y-%m-%d') AS day_s, n_t, n_c, m_t, m_c,
+       |  delta, log_lambda, crossed,
+       |  strftime(first_cross_day, '%Y-%m-%d') AS first_cross_day_s
+       |FROM pd, fc""".stripMargin
+  }
+
+  // ===== instrumental-variable (Wald) estimator =======================
+
+  /** Encouragement-design readout on the events fixture: instrument
+    * z = the `q_x_abtest` hash arm, endogenous "uptake" x = per-user
+    * click count, outcome y = per-user total value
+    * ([[graft.ext.Causal.ivWald]]). beta_IV = ITT / first-stage; the
+    * hash split is independent of behavior, so the first stage is
+    * near zero and the estimator must surface that honestly (NULL
+    * only at exact zero, a huge unstable ratio otherwise — both
+    * adjudicated). */
+  private val ivQ: QFn = (s, d) => {
+    val units = Tables.events(s, d)
+      .where(col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(
+        count(when(col("event_type") === "click", lit(1)))
+          .cast("double").as("x"),
+        Q.dsum(col("value")).as("y"))
+      .withColumn("z", pmod(graft.ext.Hashing.hash60(
+        concat(lit("ab:"), col("user_id").cast("string"))), lit(2L)))
+    graft.ext.Causal.ivWald(units, "z", "x", "y")
+  }
+
+  private val ivSql = {
+    def arm(z: Int) =
+      s"""SELECT n AS n_$z,
+         |  ${Q.sqlSig9(s"sx / CAST(n AS DOUBLE)")} AS mean_x$z,
+         |  ${Q.sqlSig9(s"sy / CAST(n AS DOUBLE)")} AS mean_y$z
+         |FROM (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    ${Q.sqlDsumStable("x", 6)} AS sx,
+         |    ${Q.sqlDsumStable("y", 6)} AS sy
+         |  FROM units WHERE z = $z AND y IS NOT NULL)""".stripMargin
+    val itt = Q.sqlSig9("mean_y1 - mean_y0")
+    val fs = Q.sqlSig9("mean_x1 - mean_x0")
+    s"""WITH units AS (
+       |  SELECT user_id,
+       |    CAST(count(CASE WHEN event_type = 'click' THEN 1 END)
+       |      AS DOUBLE) AS x,
+       |    ${Q.sqlDsum("value")} AS y,
+       |    CAST(${Q.sqlHash60("'ab:' || CAST(user_id AS VARCHAR)")}
+       |      % 2 AS BIGINT) AS z
+       |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+       |a0 AS (${arm(0)}),
+       |a1 AS (${arm(1)})
+       |SELECT n_0, n_1, mean_x0, mean_x1, mean_y0, mean_y1,
+       |  $itt AS itt, $fs AS first_stage,
+       |  CASE WHEN ($fs) <> 0.0 THEN ${Q.sqlSig9(s"($itt) / ($fs)")}
+       |    END AS beta_iv
+       |FROM a0, a1""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q_x_iv" -> ivQ,
+    "q_x_psm" -> psmQ,
+    "q_x_rdd" -> rddQ,
+    "q_x_msprt" -> msprtQ,
     "q_x_cochran_q" -> cochranQ2,
     "q_x_ks_battery" -> ksBatteryQ,
     "q_x_pipeline9" -> pipeline9Q,
@@ -655,6 +920,10 @@ object StatsQueries {
     "q_x_mcnemar" -> mcnemarQ)
 
   val oracles: Map[String, String] = Map(
+    "q_x_iv" -> ivSql,
+    "q_x_psm" -> psmSql,
+    "q_x_rdd" -> rddSql,
+    "q_x_msprt" -> msprtSql,
     "q_x_cochran_q" -> cochranSql,
     "q_x_ks_battery" -> ksBatterySql,
     "q_x_pipeline9" -> pipeline9Sql,

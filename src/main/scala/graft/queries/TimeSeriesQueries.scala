@@ -2250,7 +2250,67 @@ object TimeSeriesQueries {
        |FROM th t JOIN th c ON t.q_permille = c.q_permille
        |WHERE t.arm = 1 AND c.arm = 0""".stripMargin
 
+  // ===== SAX symbolization (motif census) =============================
+
+  /** SAX words over each user's value series (w = 8 segments, 4-symbol
+    * alphabet at the standard-normal quartile breakpoints), reduced to
+    * the word distribution — [[graft.ext.TimeSeries.sax]]. The oracle
+    * replays the z-normalization moments, floor(i*w/n) segmentation,
+    * PAA means and breakpoint CASE, then string_aggs in segment
+    * order. */
+  private val saxW = 8
+
+  private val saxQ: QFn = (s, d) =>
+    graft.ext.TimeSeries.sax(Tables.events(s, d), Seq("user_id"), "ts",
+      "value", tieBreak = "event_id", w = saxW)
+
+  private val saxSql = {
+    val mu = Q.sqlSig9("s1 / CAST(n AS DOUBLE)")
+    val sd = Q.sqlSig9("sqrt((s2 - s1 * s1 / CAST(n AS DOUBLE)) / " +
+      "CAST(n - 1 AS DOUBLE))")
+    val paaMean = Q.sqlSig9("zs / CAST(c AS DOUBLE)")
+    s"""WITH base AS (
+       |  SELECT user_id AS u, ts, event_id, CAST(value AS DOUBLE) AS x
+       |  FROM events WHERE value IS NOT NULL),
+       |m AS (
+       |  SELECT u, CAST(count(*) AS BIGINT) AS n,
+       |    ${Q.sqlDsum("x")} AS s1, ${Q.sqlDsum("x * x")} AS s2
+       |  FROM base GROUP BY 1),
+       |mm AS (
+       |  SELECT u, n, $mu AS mu,
+       |    CASE WHEN n > 1 THEN $sd END AS sd
+       |  FROM m),
+       |keep AS (SELECT u, n, mu, sd FROM mm WHERE sd > 0),
+       |idx AS (
+       |  SELECT base.u, keep.n, keep.mu, keep.sd, base.x,
+       |    row_number() OVER (PARTITION BY base.u
+       |      ORDER BY base.ts, base.event_id) - 1 AS i
+       |  FROM base JOIN keep ON base.u = keep.u),
+       |z AS (
+       |  SELECT u, CAST(floor(i * $saxW / n) AS BIGINT) AS seg,
+       |    ${Q.sqlSig9("(x - mu) / sd")} AS zv
+       |  FROM idx),
+       |paa AS (
+       |  SELECT u, seg,
+       |    ${Q.sqlDsumStable("zv", 9)} AS zs,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM z GROUP BY 1, 2),
+       |sym AS (
+       |  SELECT u, seg,
+       |    CASE WHEN ($paaMean) < CAST(-0.6745 AS DOUBLE) THEN 'a'
+       |      WHEN ($paaMean) < CAST(0.0 AS DOUBLE) THEN 'b'
+       |      WHEN ($paaMean) < CAST(0.6745 AS DOUBLE) THEN 'c'
+       |      ELSE 'd' END AS s
+       |  FROM paa),
+       |words AS (
+       |  SELECT u, string_agg(s, '' ORDER BY seg) AS word
+       |  FROM sym GROUP BY 1)
+       |SELECT word, CAST(count(*) AS BIGINT) AS n_series
+       |FROM words GROUP BY 1""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q_x_sax" -> saxQ,
     "q_x_qte" -> qteQ,
     "q_x_dispersion" -> dispersionQ,
     "q_x_mantel_haenszel" -> mhQ,
@@ -2296,6 +2356,7 @@ object TimeSeriesQueries {
     "q_x_agg_merge" -> aggMergeQ)
 
   val oracles: Map[String, String] = Map(
+    "q_x_sax" -> saxSql,
     "q_x_qte" -> qteSql,
     "q_x_dispersion" -> dispersionSql,
     "q_x_mantel_haenszel" -> mhSql,
