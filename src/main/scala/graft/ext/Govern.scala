@@ -86,6 +86,42 @@ object Govern {
           col("n_groups").cast("double")).as("violation_rate"))
   }
 
+  /** Referential-integrity audit of one declared foreign key: how many
+    * child rows point at a parent key that does not exist?
+    *
+    * Shape: the child side collapses to (fk, count) FIRST — the
+    * anti-join then runs over the child's key domain, not its row
+    * count (a 10^12-row fact table with 10^7 distinct keys anti-joins
+    * 10^7 rows). NULL foreign keys are reported separately (they are
+    * "not linked", not "dangling").
+    *
+    * Output one row: audit name, child rows, null-fk rows, distinct
+    * fks, orphan fks, orphan rows, orphan row rate.
+    */
+  def riAudit(child: DataFrame, name: String, fkCol: String,
+      parent: DataFrame, pkCol: String): DataFrame = {
+    val perKey = child.groupBy(col(fkCol).as("__fk"))
+      .agg(count(lit(1)).as("__c"))
+    val nulls = perKey.where(col("__fk").isNull)
+      .agg(coalesce(sum(col("__c")), lit(0L)).cast("long")
+        .as("null_fk_rows"))
+    val nonNull = perKey.where(col("__fk").isNotNull)
+    val orphans = nonNull.join(
+      parent.select(col(pkCol).as("__pk")).distinct(),
+      col("__fk") === col("__pk"), "left_anti")
+    val tot = child.agg(count(lit(1)).cast("long").as("n_rows"))
+    val keyStats = nonNull.agg(
+      count(lit(1)).cast("long").as("n_fks"))
+    val orphanStats = orphans.agg(
+      count(lit(1)).cast("long").as("orphan_fks"),
+      coalesce(sum(col("__c")), lit(0L)).cast("long").as("orphan_rows"))
+    tot.crossJoin(nulls).crossJoin(keyStats).crossJoin(orphanStats)
+      .select(lit(name).as("audit"), col("n_rows"), col("null_fk_rows"),
+        col("n_fks"), col("orphan_fks"), col("orphan_rows"),
+        (col("orphan_rows").cast("double") / col("n_rows").cast("double"))
+          .as("orphan_rate"))
+  }
+
   /** Seeded Laplace mechanism for a differentially-private count
     * release: per-group counts plus Laplace(1/epsilon) noise drawn by
     * inverse CDF from the PORTABLE group-keyed hash (Dwork et al.

@@ -147,13 +147,63 @@ object GovernQueries {
        |FROM nz""".stripMargin
   }
 
+  // ===== referential-integrity audit ===================================
+
+  /** Three declared foreign keys of the star schema: lineitem->orders
+    * and orders->customer (both hold in the fixture) plus
+    * lineitem->part restricted to part's Brand#11 slice (deliberately
+    * violated — the "parent got filtered upstream" incident the audit
+    * exists to catch). Child sides collapse to key domains before the
+    * anti-join. */
+  private val riAuditQ: QFn = (s, d) => {
+    val ri1 = Govern.riAudit(Tables.lineitem(s, d), "ri_li_orders",
+      "l_orderkey", Tables.orders(s, d), "o_orderkey")
+    val ri2 = Govern.riAudit(Tables.orders(s, d), "ri_orders_customer",
+      "o_custkey", Tables.customer(s, d), "c_custkey")
+    val ri3 = Govern.riAudit(Tables.lineitem(s, d), "ri_li_part11",
+      "l_partkey",
+      Tables.part(s, d).where(col("p_brand") === "Brand#11"),
+      "p_partkey")
+    ri1.unionByName(ri2).unionByName(ri3)
+  }
+
+  private def sqlRi(name: String, child: String, fk: String,
+      parent: String, pk: String, parentWhere: String = "") =
+    s"""SELECT '$name' AS audit, n_rows, null_fk_rows, n_fks,
+       |  orphan_fks, orphan_rows,
+       |  CAST(orphan_rows AS DOUBLE) / CAST(n_rows AS DOUBLE)
+       |    AS orphan_rate
+       |FROM
+       |  (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM $child),
+       |  (SELECT CAST(COALESCE(sum(CASE WHEN $fk IS NULL THEN 1 END), 0)
+       |     AS BIGINT) AS null_fk_rows FROM $child),
+       |  (SELECT CAST(count(DISTINCT $fk) AS BIGINT) AS n_fks
+       |   FROM $child WHERE $fk IS NOT NULL),
+       |  (SELECT CAST(count(*) AS BIGINT) AS orphan_fks,
+       |     CAST(COALESCE(sum(c), 0) AS BIGINT) AS orphan_rows
+       |   FROM (SELECT $fk AS fkv, CAST(count(*) AS BIGINT) AS c
+       |         FROM $child WHERE $fk IS NOT NULL GROUP BY 1) ck
+       |   WHERE NOT EXISTS (SELECT 1 FROM $parent p
+       |     WHERE p.$pk = ck.fkv $parentWhere))""".stripMargin
+
+  private val riAuditSql = Seq(
+    sqlRi("ri_li_orders", "lineitem", "l_orderkey", "orders",
+      "o_orderkey"),
+    sqlRi("ri_orders_customer", "orders", "o_custkey", "customer",
+      "c_custkey"),
+    sqlRi("ri_li_part11", "lineitem", "l_partkey", "part", "p_partkey",
+      "AND p.p_brand = 'Brand#11'"))
+    .mkString("\nUNION ALL\n")
+
   val queries: Map[String, QFn] = Map(
     "q_x_kanon" -> kanonQ,
     "q_x_fd_audit" -> fdAuditQ,
-    "q_x_dp_release" -> dpReleaseQ)
+    "q_x_dp_release" -> dpReleaseQ,
+    "q_x_ri_audit" -> riAuditQ)
 
   val oracles: Map[String, String] = Map(
     "q_x_kanon" -> kanonSql,
     "q_x_fd_audit" -> fdAuditSql,
-    "q_x_dp_release" -> dpReleaseSql)
+    "q_x_dp_release" -> dpReleaseSql,
+    "q_x_ri_audit" -> riAuditSql)
 }

@@ -489,6 +489,67 @@ object EventPipeline {
       }
   }
 
+  /** Count-min sketch state: d*w bucket sums + events seen. */
+  case class CmsState(regs: IndexedSeq[Long], nSeen: Long)
+
+  case class CmsPoint(stream: String, key: String, est: Long,
+                      n_seen: Long)
+
+  /** Streaming frequency monitor — the live face of
+    * [[graft.ext.Sketch.countMin]] + [[graft.ext.Sketch.cmsEstimate]]:
+    * per stream (event_type), a d x w count-min sketch over the user
+    * id maintained in O(d*w) state, with the point estimates for a
+    * FIXED probe set re-emitted every micro-batch (the "is this hot
+    * key still hot" pager feed). Bucket sums are ADDITIVE (the CMS
+    * merge law), so like [[hllMonitor]]/[[benfordMonitor]] the counts
+    * are order-free and the face has no in-order-delivery caveat.
+    *
+    * Numeric contract: the SAME portable salted md5 hash
+    * ([[graft.ext.Hashing.hash60Local]], the Column face's Scala twin,
+    * same `salt || j || ':' || key` preimage), the same mod-w bucket
+    * split, and the same min-over-d readout — so after any batch
+    * prefix each emitted estimate equals
+    * `cmsEstimate(countMin(prefix))` on the same events
+    * (StreamingSpec-pinned). */
+  def cmsMonitor(events: Dataset[Event], spark: SparkSession,
+      probes: Seq[String], d: Int = 4, w: Int = 64,
+      salt: String = "cms"): Dataset[CmsPoint] = {
+    import spark.implicits._
+    require(d >= 1 && w >= 1, s"need d,w >= 1, got d=$d w=$w")
+    require(probes.nonEmpty, "cmsMonitor: need at least one probe key")
+    val probeList = probes.distinct
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[Event], state: GroupState[CmsState]) =>
+          val st = state.getOption
+            .getOrElse(CmsState(IndexedSeq.fill(d * w)(0L), 0L))
+          val regs = st.regs.toArray
+          var seen = st.nSeen
+          it.foreach { e =>
+            seen += 1
+            val k = e.user_id.toString
+            var j = 0
+            while (j < d) {
+              val b = (graft.ext.Hashing.hash60Local(s"$salt$j:$k") %
+                w.toLong).toInt
+              regs(j * w + b) += 1L
+              j += 1
+            }
+          }
+          state.update(CmsState(regs.toIndexedSeq, seen))
+          probeList.iterator.map { p =>
+            val est = (0 until d).map { j =>
+              val b = (graft.ext.Hashing.hash60Local(s"$salt$j:$p") %
+                w.toLong).toInt
+              regs(j * w + b)
+            }.min
+            CmsPoint(key, p, est, seen)
+          }
+      }
+  }
+
   /** Sparse HLL register state: occupied (bucket, maxRho) pairs —
     * bounded at 2^p entries per stream. */
   case class HllState(regs: Map[Long, Long])

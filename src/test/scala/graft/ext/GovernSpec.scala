@@ -75,6 +75,30 @@ class GovernSpec extends SparkSpec {
     }
   }
 
+  test("riAudit: orphan keys and rows, nulls reported separately") {
+    val child = Seq(Some(1L), Some(1L), Some(2L), Some(9L), Some(9L),
+      Some(9L), None).toDF("fk")
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val out = Govern.riAudit(child, "ri", "fk", parent, "pk")
+      .collect()(0)
+    assert(out.getLong(1) === 7L) // child rows
+    assert(out.getLong(2) === 1L) // null fk rows
+    assert(out.getLong(3) === 3L) // distinct non-null fks
+    assert(out.getLong(4) === 1L) // orphan fks (9)
+    assert(out.getLong(5) === 3L) // orphan rows
+    assert(out.getDouble(6) === 3.0 / 7.0)
+  }
+
+  test("riAudit: a fully-linked child reports zero orphans") {
+    val child = Seq(1L, 2L, 2L).toDF("fk")
+    val parent = Seq(1L, 2L).toDF("pk")
+    val out = Govern.riAudit(child, "ri", "fk", parent, "pk")
+      .collect()(0)
+    assert(out.getLong(4) === 0L)
+    assert(out.getLong(5) === 0L)
+    assert(out.getDouble(6) === 0.0)
+  }
+
   test("keyAudit: uniqueness ratio and duplicate-row count") {
     val df = Seq(1, 1, 2, 3, 3, 3).toDF("k")
     val out = Govern.keyAudit(df, "k", Seq("k")).collect()(0)

@@ -831,6 +831,56 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cmsMonitor: probe estimates equal batch countMin+cmsEstimate " +
+      "on every batch prefix; bucket sums are order-free") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val mkEvents = (ids: Seq[Long], stream: String, base: Long) =>
+      ids.zipWithIndex.map { case (u, i) =>
+        Event(base + i, ts("2024-03-01 10:00:00"), u, stream, 1.0)
+      }
+    // heavy key 7 on click; view has its own distribution
+    val batch1 = mkEvents(Seq(7L, 7L, 7L, 1L, 2L, 3L), "click", 100L) ++
+      mkEvents(Seq(7L, 9L), "view", 300L)
+    val batch2 = mkEvents(Seq(7L, 7L, 4L, 5L), "click", 400L) ++
+      mkEvents(Seq(9L, 9L, 9L), "view", 600L)
+    val probes = Seq("7", "9", "999")
+    val ms = MemoryStream[Event]
+    val q = EventPipeline.cmsMonitor(ms.toDS(), spark, probes,
+        d = 4, w = 32)
+      .writeStream.format("memory").queryName("cms_pts")
+      .outputMode("update").start()
+    def latest() = spark.table("cms_pts")
+      .groupBy(col("stream"), col("key"))
+      .agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.struct(
+          col("n_seen"), col("est"))).as("s"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getStruct(2).getLong(1)).toMap
+    def batchEst(evs: Seq[Event], stream: String) = {
+      val items = evs.filter(_.event_type == stream).toDF()
+        .select(col("user_id"))
+      val sk = graft.ext.Sketch.countMin(items, "user_id", d = 4,
+        w = 32, salt = "cms")
+      graft.ext.Sketch.cmsEstimate(sk,
+        probes.toDF("user_id"), "user_id", d = 4, w = 32, salt = "cms")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    try {
+      ms.addData(batch1); q.processAllAvailable()
+      val b1c = batchEst(batch1, "click")
+      probes.foreach(p => assert(latest()(("click", p)) === b1c(p)))
+      ms.addData(batch2); q.processAllAvailable()
+      val all = batch1 ++ batch2
+      val ac = batchEst(all, "click"); val av = batchEst(all, "view")
+      probes.foreach(p => assert(latest()(("click", p)) === ac(p)))
+      probes.foreach(p => assert(latest()(("view", p)) === av(p)))
+      // the absent key estimates at (or above, on collision) zero —
+      // exactly what the batch twin reports
+      assert(latest()(("view", "999")) === av("999"))
+    } finally q.stop()
+  }
+
   test("growthMonitor deltas aggregate to the batch growth " +
       "accounting across odd batch splits, incl. timeout churn") {
     implicit val ctx = spark.sqlContext
