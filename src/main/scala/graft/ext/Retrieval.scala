@@ -284,4 +284,79 @@ object Retrieval {
       col("r.agreement").as("agreement"), col("r.term").as("term"),
       Q.decOut(col("r.cum"), 12).as("rbo_at_d"))
   }
+
+  /** Team-draft interleaving (Radlinski, Kurup & Joachims, CIKM 2008) —
+    * the ONLINE ranker-evaluation face beside the offline suite
+    * (NDCG / RBO / rank_eval): per query, rankers A and B draft an
+    * interleaved list round by round (a per-(query, round) hash coin
+    * decides who picks first; each team picks its highest-ranked
+    * not-yet-picked document), clicks credit the team that placed the
+    * clicked slot, and the per-query winner is the team with more
+    * credited clicks.
+    *
+    * Everything is EXACT INTEGER arithmetic — no sig9 anywhere. The
+    * draft is a bounded per-query fold over 2k steps (Spark
+    * `aggregate` == DuckDB `list_reduce`); the accumulator is ONE
+    * packed BIGINT list (doc*2 + team) because DuckDB 1.0's
+    * list_reduce silently drops list growth inside a STRUCT
+    * accumulator — the packed encoding sidesteps the bug and keeps
+    * both engines on the identical fold. Clicks are a deterministic
+    * per-(query, doc) hash model (the fixture stand-in for a click
+    * log; production passes real clicks through the same crediting).
+    *
+    * Scale shape: two bounded keyed windows (top-k per query per
+    * ranker), one equi-join on the query, one per-row bounded fold —
+    * shards on the query key end to end.
+    */
+  def teamDraftInterleave(rankA: DataFrame, rankB: DataFrame,
+      queryCol: String, docCol: String, rankCol: String, k: Int,
+      seed: String): DataFrame = {
+    require(k >= 1, "teamDraftInterleave: k must be >= 1")
+    def side(df: DataFrame, name: String) = df
+      .where(col(rankCol) <= k && col(docCol).isNotNull)
+      .groupBy(col(queryCol).as("q"))
+      .agg(transform(array_sort(collect_list(struct(
+        col(rankCol).cast("long").as("r"),
+        col(docCol).cast("long").as("d")))),
+        s => s.getField("d")).as(name))
+    val both = side(rankA, "la").join(side(rankB, "lb"), "q")
+
+    val steps = transform(sequence(lit(1), lit(2 * k)),
+      i => array(i.cast("long")))
+    val init = array().cast("array<bigint>")
+    val folded = both.withColumn("__acc",
+      aggregate(steps, init, (acc, x) => {
+        val i = element_at(x, 1)
+        val r = floor((i - 1) / 2).cast("long")
+        val s = pmod(i - 1, lit(2L))
+        val coin = pmod(Hashing.hash60(concat(lit(seed + ":"),
+          col("q").cast("string"), lit(":"), r.cast("string"))), lit(2L))
+        val team = pmod(coin + s, lit(2L))
+        val src = when(team === 0L, col("la")).otherwise(col("lb"))
+        val picked = transform(acc, e => floor(e / 2).cast("long"))
+        val remaining = filter(src,
+          d => !array_contains(picked, d))
+        // try_element_at: an exhausted list must yield NULL (skip the
+        // pick), not an ANSI INVALID_ARRAY_INDEX error
+        val nxt = try_element_at(remaining, lit(1))
+        when(nxt.isNotNull,
+          concat(acc, array(nxt * 2 + team))).otherwise(acc)
+      }))
+
+    def clicked(d: org.apache.spark.sql.Column) =
+      Hashing.hashP(concat(lit("click:"), col("q").cast("string"),
+        lit(":"), d.cast("string"))) % 5 === 0L
+    def credit(team: Int) = size(filter(col("__acc"), e =>
+      pmod(e, lit(2L)) === team.toLong &&
+        clicked(floor(e / 2).cast("long")))).cast("long")
+    folded
+      .withColumn("n_shown", size(col("__acc")).cast("long"))
+      .withColumn("credit_a", credit(0))
+      .withColumn("credit_b", credit(1))
+      .select(col("q").as(queryCol), col("n_shown"), col("credit_a"),
+        col("credit_b"),
+        when(col("credit_a") > col("credit_b"), "A")
+          .when(col("credit_b") > col("credit_a"), "B")
+          .otherwise("tie").as("winner"))
+  }
 }

@@ -1670,7 +1670,97 @@ object CorpusQueries {
        |FROM rk""".stripMargin
   }
 
+  // ===== team-draft interleaving (online ranker evaluation) ===========
+
+  /** Brands are "queries", parts are "documents": ranker A orders by
+    * retail price, ranker B by size; team-draft interleaves their
+    * top-10 per brand ([[graft.ext.Retrieval.teamDraftInterleave]],
+    * k=10) and a deterministic per-(query, doc) hash click model
+    * credits the drafting team. All-integer arithmetic; the oracle
+    * replays the identical packed-BIGINT fold in list_reduce. */
+  private val interleaveK = 10
+  private val interleaveSeed = "td"
+
+  private val interleaveQ: QFn = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val p = Tables.part(s, d).where(col("p_partkey").isNotNull)
+    val wa = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+    val wb = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_size").desc, col("p_partkey").asc)
+    val ra = p.select(col("p_brand"), col("p_partkey"),
+      row_number().over(wa).as("rnk"))
+    val rb = p.select(col("p_brand"), col("p_partkey"),
+      row_number().over(wb).as("rnk"))
+    graft.ext.Retrieval.teamDraftInterleave(ra, rb, "p_brand",
+      "p_partkey", "rnk", k = interleaveK, seed = interleaveSeed)
+  }
+
+  private val interleaveSql = {
+    val k2 = 2 * interleaveK
+    val team = s"((${Q.sqlHash60(s"'$interleaveSeed:' || q || ':' || " +
+      "CAST((x[1] - 1) // 2 AS VARCHAR)")}) % 2 + ((x[1] - 1) % 2)) % 2"
+    val picked = "list_transform(acc, e -> e // 2)"
+    val remaining = s"list_filter(CASE WHEN ($team) = 0 THEN la " +
+      s"ELSE lb END, d -> NOT list_contains($picked, d))"
+    val nxt = s"($remaining)[1]"
+    val clickOf = (e: String) => s"(${Q.sqlHashP(
+      s"'click:' || q || ':' || CAST(($e) // 2 AS VARCHAR)")}) % 5 = 0"
+    s"""WITH ra AS (
+       |  SELECT p_brand AS q, p_partkey AS d,
+       |    row_number() OVER (PARTITION BY p_brand
+       |      ORDER BY p_retailprice DESC, p_partkey ASC) AS rnk
+       |  FROM part WHERE p_partkey IS NOT NULL),
+       |rb AS (
+       |  SELECT p_brand AS q, p_partkey AS d,
+       |    row_number() OVER (PARTITION BY p_brand
+       |      ORDER BY p_size DESC, p_partkey ASC) AS rnk
+       |  FROM part WHERE p_partkey IS NOT NULL),
+       |la_t AS (SELECT q, list(CAST(d AS BIGINT) ORDER BY rnk) AS la
+       |  FROM ra WHERE rnk <= $interleaveK GROUP BY 1),
+       |lb_t AS (SELECT q, list(CAST(d AS BIGINT) ORDER BY rnk) AS lb
+       |  FROM rb WHERE rnk <= $interleaveK GROUP BY 1),
+       |j AS (SELECT la_t.q, la, lb FROM la_t JOIN lb_t USING (q)),
+       |f AS (
+       |  SELECT q,
+       |    -- exhausted-step picks append a -1 SENTINEL (stripped by the
+       |    -- outer list_filter) instead of returning acc unchanged:
+       |    -- DuckDB 1.0's list_reduce corrupts the accumulator once the
+       |    -- identity ELSE-acc branch fires twice (verified minimal
+       |    -- repro); the sentinel keeps every step a fresh append. The
+       |    -- engine's skip semantics and this padded fold provably draft
+       |    -- the same list: -1 // 2 = -1 never matches a document id, so
+       |    -- the picked sets evolve identically.
+       |    list_filter(list_reduce(
+       |      list_prepend(CAST([] AS BIGINT[]),
+       |        list_transform(range(1, ${k2 + 1}),
+       |          i -> [CAST(i AS BIGINT)])),
+       |      (acc, x) -> list_append(acc,
+       |        CASE WHEN ($nxt) IS NOT NULL
+       |          THEN ($nxt) * 2 + ($team) ELSE -1 END)),
+       |      e -> e >= 0) AS acc
+       |  FROM j)
+       |SELECT q AS p_brand,
+       |  CAST(len(acc) AS BIGINT) AS n_shown,
+       |  CAST(len(list_filter(acc, e -> e % 2 = 0
+       |    AND ${clickOf("e")})) AS BIGINT) AS credit_a,
+       |  CAST(len(list_filter(acc, e -> e % 2 = 1
+       |    AND ${clickOf("e")})) AS BIGINT) AS credit_b,
+       |  CASE
+       |    WHEN len(list_filter(acc, e -> e % 2 = 0
+       |      AND ${clickOf("e")})) >
+       |      len(list_filter(acc, e -> e % 2 = 1 AND ${clickOf("e")}))
+       |      THEN 'A'
+       |    WHEN len(list_filter(acc, e -> e % 2 = 1
+       |      AND ${clickOf("e")})) >
+       |      len(list_filter(acc, e -> e % 2 = 0 AND ${clickOf("e")}))
+       |      THEN 'B'
+       |    ELSE 'tie' END AS winner
+       |FROM f""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q_x_interleave" -> interleaveQ,
     "q_x_rbo" -> rboQ,
     "q_x_neyman" -> neymanQ,
     "q_x_tail_index" -> tailQ,
@@ -1709,6 +1799,7 @@ object CorpusQueries {
     "q_x_rrf" -> rrfQ)
 
   val oracles: Map[String, String] = Map(
+    "q_x_interleave" -> interleaveSql,
     "q_x_rbo" -> rboSql,
     "q_x_neyman" -> neymanSql,
     "q_x_tail_index" -> tailSql,
