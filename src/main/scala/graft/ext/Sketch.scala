@@ -179,4 +179,90 @@ object Sketch {
       .agg(min(coalesce(col("s"), lit(0L))).cast("long").as("est"))
       .select(col("k").as(keyCol), col("est"))
   }
+
+  /** Equi-width histogram sketch of one value column, built per shard
+    * and merged — the fourth portable sketch (beside Misra-Gries,
+    * count-min, HLL) and the mergeable-state form of distributed
+    * quantile serving: per-partition histograms with a FIXED global
+    * binning merge by plain count addition (the histogram merge law),
+    * so a 100 TB fleet sums 10^5 tiny per-file sketches instead of
+    * sorting anything.
+    *
+    * Output: (bin, cnt) rows, bins 0..bins-1; values clamp to the edge
+    * bins, so out-of-declared-range data degrades the edge estimate
+    * rather than erroring. Bin assignment floor((x-lo)/w) is one IEEE
+    * chain shared with the oracle.
+    */
+  def histSketch(df: DataFrame, valCol: String, shardCol: String,
+      lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(bins >= 1 && hi > lo, "histSketch: need bins >= 1, hi > lo")
+    val w = (hi - lo) / bins
+    val bin = least(greatest(
+      floor((col(valCol).cast("double") - lo) / w).cast("long"),
+      lit(0L)), lit(bins - 1L))
+    // per-shard sketches first, then the merge — structurally the
+    // incremental path (merge == direct recompute because addition is
+    // associative over a FIXED binning; the oracle recomputes direct)
+    df.where(col(valCol).isNotNull)
+      .groupBy(col(shardCol).as("__shard"), bin.as("bin"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("bin"))
+      .agg(sum(col("__c")).cast("long").as("cnt"))
+  }
+
+  /** Quantile estimates served from a merged [[histSketch]]: for each
+    * requested permille q, the smallest bin whose cumulative count
+    * reaches q*n/1000, linearly interpolated inside the bin; the
+    * half-bin-width error bound rides along. The bounded bin table
+    * (<= `bins` rows) folds in ONE packed-array row — no window, no
+    * sort beyond the in-row array_sort.
+    */
+  def histQuantiles(sketch: DataFrame, qPermille: Seq[Int], lo: Double,
+      hi: Double, bins: Int): DataFrame = {
+    import graft.queries.Q
+    require(qPermille.nonEmpty &&
+      qPermille.forall(q => q > 0 && q <= 1000),
+      "histQuantiles: permilles must be in (0, 1000]")
+    val w = (hi - lo) / bins
+    val packed = sketch
+      .agg(array_sort(collect_list(struct(col("bin"), col("cnt"))))
+        .as("arr"), sum(col("cnt")).cast("long").as("n"))
+    val qArr = array(qPermille.map(lit): _*)
+    val rows = packed.select(col("n"), explode(qArr).as("q_permille"),
+      col("arr"))
+    // fold: find (bin, cumBefore, cnt) of the target bin — state packed
+    // as [foundFlag, bin, cumBefore, cnt]; all-integer comparisons
+    // (cum*1000 >= q*n) so the bin choice is exact on both engines
+    val init = array(lit(0L), lit(0L), lit(0L), lit(0L))
+    // every branch REBUILDS the state array (never returns acc itself):
+    // DuckDB 1.0's list_reduce corrupts the accumulator once an
+    // identity branch fires twice (the q_x_interleave finding), and the
+    // oracle mirrors this fold verbatim
+    val st = aggregate(col("arr"), init, (acc, e) => {
+      val found = element_at(acc, 1) === 1L
+      val cum = element_at(acc, 3) + element_at(acc, 4)
+      val hits = (cum + e.getField("cnt")) * 1000 >=
+        col("q_permille") * col("n")
+      when(found, array(lit(1L), element_at(acc, 2), element_at(acc, 3),
+        element_at(acc, 4)))
+        .otherwise(when(hits,
+          array(lit(1L), e.getField("bin"), cum, e.getField("cnt")))
+          .otherwise(array(lit(0L), e.getField("bin"), cum,
+            e.getField("cnt"))))
+    })
+    val s = rows.withColumn("__st", st)
+      .where(element_at(col("__st"), 1) === 1L)
+      .select(col("q_permille").cast("long").as("q_permille"), col("n"),
+        element_at(col("__st"), 2).as("bin"),
+        element_at(col("__st"), 3).as("cum_before"),
+        element_at(col("__st"), 4).as("bin_cnt"))
+    val frac = Q.sig9(
+      (col("q_permille").cast("double") * col("n").cast("double") /
+        lit(1000.0) - col("cum_before").cast("double")) /
+        col("bin_cnt").cast("double"))
+    s.select(col("q_permille"), col("n"), col("bin"),
+      Q.sig9(lit(lo) + lit(w) *
+        (col("bin").cast("double") + frac)).as("estimate"),
+      Q.sig9(lit(w) / lit(2.0)).as("max_err"))
+  }
 }

@@ -1759,7 +1759,72 @@ object CorpusQueries {
        |FROM f""".stripMargin
   }
 
+  // ===== mergeable-histogram quantile serving ==========================
+
+  /** Distributed percentile serving without a sort: per-month
+    * [[graft.ext.Sketch.histSketch]] histograms of l_extendedprice
+    * merge by count addition (the histogram merge law), and p50/p90/p99
+    * serve from the merged sketch with in-bin interpolation + the
+    * half-bin-width error bound ([[graft.ext.Sketch.histQuantiles]]).
+    * The engine computes per-shard -> merge; the oracle recomputes the
+    * merged histogram DIRECT — equality is the merge-law adjudication.
+    * Bin choice is all-integer (cum*1000 >= q*n); lo/hi/w are shared
+    * Scala double literals. */
+  private val histLo = 0.0
+  private val histHi = 110000.0
+  private val histBins = 64
+  private val histQs = Seq(500, 900, 990)
+
+  private val histQuantQ: QFn = (s, d) => {
+    val sk = graft.ext.Sketch.histSketch(
+      Tables.lineitem(s, d)
+        .withColumn("__m", date_format(col("l_shipdate"), "yyyy-MM")),
+      "l_extendedprice", "__m", histLo, histHi, histBins)
+    graft.ext.Sketch.histQuantiles(sk, histQs, histLo, histHi, histBins)
+  }
+
+  private val histQuantSql = {
+    val w = (histHi - histLo) / histBins
+    val frac = Q.sqlSig9(
+      s"((CAST(q_permille AS DOUBLE) * CAST(n AS DOUBLE) / " +
+        s"CAST(1000.0 AS DOUBLE)) - CAST(st[3] AS DOUBLE)) / " +
+        "CAST(st[4] AS DOUBLE)")
+    s"""WITH h AS (
+       |  SELECT LEAST(GREATEST(CAST(floor(
+       |      (CAST(l_extendedprice AS DOUBLE) - CAST($histLo AS DOUBLE))
+       |        / CAST($w AS DOUBLE)) AS BIGINT), 0),
+       |      ${histBins - 1}) AS bin,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+       |packed AS (
+       |  SELECT list_sort(list([bin, cnt])) AS arr,
+       |    CAST(sum(cnt) AS BIGINT) AS n
+       |  FROM h),
+       |r AS (
+       |  SELECT n, unnest([${histQs.mkString(", ")}]) AS q_permille,
+       |    arr
+       |  FROM packed),
+       |f AS (
+       |  SELECT CAST(q_permille AS BIGINT) AS q_permille, n,
+       |    list_reduce(
+       |      list_prepend(CAST([0, 0, 0, 0] AS BIGINT[]), arr),
+       |      (acc, e) -> CASE
+       |        WHEN acc[1] = 1
+       |          THEN [1, acc[2], acc[3], acc[4]]
+       |        WHEN (acc[3] + acc[4] + e[2]) * 1000 >= q_permille * n
+       |          THEN [1, e[1], acc[3] + acc[4], e[2]]
+       |        ELSE [0, e[1], acc[3] + acc[4], e[2]] END) AS st
+       |  FROM r)
+       |SELECT q_permille, n, st[2] AS bin,
+       |  ${Q.sqlSig9(s"CAST($histLo AS DOUBLE) + CAST($w AS DOUBLE) * " +
+            s"(CAST(st[2] AS DOUBLE) + ($frac))")} AS estimate,
+       |  ${Q.sqlSig9(s"CAST($w AS DOUBLE) / CAST(2.0 AS DOUBLE)")}
+       |    AS max_err
+       |FROM f WHERE st[1] = 1""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q_x_hist_quantile" -> histQuantQ,
     "q_x_interleave" -> interleaveQ,
     "q_x_rbo" -> rboQ,
     "q_x_neyman" -> neymanQ,
@@ -1799,6 +1864,7 @@ object CorpusQueries {
     "q_x_rrf" -> rrfQ)
 
   val oracles: Map[String, String] = Map(
+    "q_x_hist_quantile" -> histQuantSql,
     "q_x_interleave" -> interleaveSql,
     "q_x_rbo" -> rboSql,
     "q_x_neyman" -> neymanSql,
