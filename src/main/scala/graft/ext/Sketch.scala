@@ -265,4 +265,127 @@ object Sketch {
         (col("bin").cast("double") + frac)).as("estimate"),
       Q.sig9(lit(w) / lit(2.0)).as("max_err"))
   }
+
+  /** Size of the [[Hashing.hash60]] space, 2^60, as an EXACT double
+    * (a power of two is exactly representable) — the KMV estimator's
+    * numerator scale, one shared literal on both engines. */
+  val KmvH: Double = 1152921504606846976.0
+
+  /** KMV / bottom-k distinct sketch (Bar-Yossef et al. 2002; Beyer et
+    * al. 2007 "On synopses for distinct-value estimation") — the fifth
+    * portable sketch, and the one that closes the gap HLL leaves open:
+    * two bottom-k sketches answer UNION **and INTERSECTION** distinct
+    * estimates ([[kmvSetEstimates]]); HLL registers only union.
+    *
+    * The sketch is the k smallest distinct salted 60-bit key hashes.
+    * Build is per shard first — a KEYED window (rank pushdown plans a
+    * WindowGroupLimit; never a global sort) — then the bounded union
+    * (<= shards·k rows) merges to the global bottom-k in ONE
+    * packed-array row. Merge law, spec-pinned:
+    * bottomK(A ∪ B) = bottomK(bottomK(A) ∪ bottomK(B)) — so per-file
+    * sketches at 100 TB roll up by union + re-truncate without
+    * re-touching keys, exactly like the other four sketches.
+    *
+    * @return (h) rows — the <= k smallest distinct key hashes */
+  def kmvSketch(items: DataFrame, keyCol: String, shardCol: String,
+      k: Int, salt: String): DataFrame = {
+    require(k >= 2, s"kmvSketch: need k >= 2, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val hashed = items
+      .where(col(keyCol).isNotNull)
+      .select(col(shardCol).as("__shard"),
+        Hashing.hash60(concat(lit(s"$salt:"),
+          col(keyCol).cast("string"))).as("h"))
+      .distinct()
+    // per-shard (__shard, h) is distinct, so the h-ordering is total
+    // within a shard and row_number is deterministic
+    val w = Window.partitionBy(col("__shard")).orderBy(col("h"))
+    hashed
+      .withColumn("__r", row_number().over(w))
+      .where(col("__r") <= k)
+      .select(col("h"))
+      .distinct() // one key can appear in several shards
+      .agg(slice(array_sort(collect_list(col("h"))), 1, k).as("arr"))
+      .select(explode(col("arr")).as("h"))
+  }
+
+  /** Distinct-count estimate from a (merged) [[kmvSketch]]: with hash
+    * space H = 2^60, est = (k-1)·H / h_(k); a sketch holding fewer
+    * than k hashes saw the WHOLE key set, so the count is exact (= n).
+    * One bounded aggregate; the single division sig9s. */
+  def kmvEstimate(sketch: DataFrame, k: Int): DataFrame =
+    sketch
+      .agg(count(lit(1)).cast("long").as("n_sketch"),
+        max(col("h")).as("theta"))
+      .select(col("n_sketch"),
+        graft.queries.Q.sig9(
+          when(col("n_sketch") < k, col("n_sketch").cast("double"))
+            .otherwise(lit((k - 1).toDouble) * lit(KmvH) /
+              col("theta").cast("double"))).as("est"))
+
+  /** Union + intersection distinct estimates from two [[kmvSketch]]es
+    * built with the SAME (k, salt) (Beyer et al. 2007): the union
+    * sketch K∪ = bottom-k of the two hash sets; est_union from K∪'s
+    * k-th hash as in [[kmvEstimate]]; est_intersect = rho/k' ·
+    * est_union where rho counts K∪ hashes present in BOTH sides and
+    * k' = |K∪|. Membership flags inside K∪ are faithful by the
+    * bottom-k order (an A∩B hash above A's threshold cannot reach K∪:
+    * all k of A's smaller hashes precede it), so rho is well-defined
+    * from the sketches alone. When k' < k both inputs were exact and
+    * both estimates are exact counts. Everything folds over ONE
+    * bounded (<= 2k) packed array; only the final scalings sig9.
+    *
+    * @return rows (set_label, n_sketch, est) for "union", "intersect" */
+  def kmvSetEstimates(skA: DataFrame, skB: DataFrame,
+      k: Int): DataFrame = {
+    import graft.queries.Q
+    val both = skA.select(col("h"), lit(1L).as("ia"))
+      .join(skB.select(col("h"), lit(1L).as("ib")), Seq("h"), "full")
+      .select(col("h"), coalesce(col("ia"), lit(0L)).as("ia"),
+        coalesce(col("ib"), lit(0L)).as("ib"))
+    val packed = both
+      .agg(slice(array_sort(collect_list(struct(col("h"), col("ia"),
+        col("ib")))), 1, k).as("arr"))
+      .select(size(col("arr")).cast("long").as("kp"),
+        element_at(col("arr"), size(col("arr")))
+          .getField("h").as("theta"),
+        aggregate(col("arr"), lit(0L),
+          (acc, e) => acc + e.getField("ia") * e.getField("ib"))
+          .as("rho"))
+    val estU = Q.sig9(
+      when(col("kp") < k, col("kp").cast("double"))
+        .otherwise(lit((k - 1).toDouble) * lit(KmvH) /
+          col("theta").cast("double")))
+    val withU = packed.select(col("kp"), col("rho"), estU.as("est_u"))
+    val union = withU.select(lit("union").as("set_label"),
+      col("kp").as("n_sketch"), col("est_u").as("est"))
+    val inter = withU.select(lit("intersect").as("set_label"),
+      col("rho").as("n_sketch"),
+      when(col("kp") < k, col("rho").cast("double"))
+        .otherwise(Q.sig9(col("rho").cast("double") * col("est_u") /
+          lit(k.toDouble))).as("est"))
+    union.unionAll(inter)
+  }
+
+  /** Join-cardinality estimate from two [[countMin]] sketches built
+    * with the SAME (d, w, salt): |A ⋈_key B| = Σ_key cA·cB is
+    * estimated by the sketch inner product min_j Σ_b sA[j,b]·sB[j,b]
+    * (Cormode & Muthukrishnan 2005 §4.2) — an upper bound (collisions
+    * only add) that two O(d·w) summaries answer WITHOUT running the
+    * join. This is the planner face of the sketch family: at 100 TB
+    * the question "how big is this join" is answered from kilobytes.
+    * Products route through DECIMAL(38,0) — fleet-scale bucket sums
+    * exceed 2^31 and a long×long product would overflow.
+    *
+    * @return one row (est_card) */
+  def cmsJoinCardinality(skA: DataFrame, skB: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    skA.select(col("j"), col("bucket"), col("s").as("sa"))
+      .join(skB.select(col("j"), col("bucket"), col("s").as("sb")),
+        Seq("j", "bucket"))
+      .groupBy(col("j"))
+      .agg(sum(col("sa").cast(DecimalType(38, 0)) *
+        col("sb").cast(DecimalType(38, 0))).as("ip"))
+      .agg(min(col("ip")).cast("long").as("est_card"))
+  }
 }

@@ -1823,7 +1823,166 @@ object CorpusQueries {
        |FROM f WHERE st[1] = 1""".stripMargin
   }
 
+  // ===== KMV bottom-k distinct sketch with set operations ==============
+
+  private val kmvK = 128
+
+  /** [[graft.ext.Sketch.kmvSketch]] on the customer keys of the 'O'-
+    * and 'F'-status order streams: per-month bottom-k sketches merge
+    * to the global bottom-k (merge law), then distinct / union /
+    * INTERSECTION estimates serve from the two ~1 KB sketches
+    * ([[graft.ext.Sketch.kmvSetEstimates]]); the exact distinct counts
+    * ride along as the adjudication twin. Intersection is the
+    * capability HLL lacks — at 100 TB "how many users appear in BOTH
+    * streams" is answered from kilobytes, no join over the raw keys. */
+  private val kmvQ: QFn = (s, d) => {
+    import graft.ext.Sketch
+    val o = Tables.orders(s, d)
+      .withColumn("__m", date_format(col("o_orderdate"), "yyyy-MM"))
+    val a = o.where(col("o_orderstatus") === "O")
+    val b = o.where(col("o_orderstatus") === "F")
+    val skA = Sketch.kmvSketch(a, "o_custkey", "__m", kmvK, "kmv")
+    val skB = Sketch.kmvSketch(b, "o_custkey", "__m", kmvK, "kmv")
+    val ests = Sketch.kmvEstimate(skA, kmvK)
+      .select(lit("a").as("set_label"), col("n_sketch"), col("est"))
+      .unionAll(Sketch.kmvEstimate(skB, kmvK)
+        .select(lit("b").as("set_label"), col("n_sketch"), col("est")))
+      .unionAll(Sketch.kmvSetEstimates(skA, skB, kmvK))
+    val da = a.select(col("o_custkey")).distinct()
+    val db = b.select(col("o_custkey")).distinct()
+    def cnt(df: DataFrame, label: String) =
+      df.agg(count(lit(1)).cast("long").as("exact"))
+        .select(lit(label).as("set_label"), col("exact"))
+    val exact = cnt(da, "a")
+      .unionAll(cnt(db, "b"))
+      .unionAll(cnt(da.unionAll(db).distinct(), "union"))
+      .unionAll(cnt(da.join(db, "o_custkey"), "intersect"))
+    ests.join(broadcast(exact), Seq("set_label"))
+  }
+
+  private val kmvSql = {
+    // H = 2^60 (exact double) and k-1 share digits with Sketch.KmvH /
+    // the Scala literals so both engines evaluate identical IEEE ops
+    val h = "CAST(1152921504606846976 AS BIGINT)"
+    def estSql(n: String, theta: String) = sqlSig9(
+      s"CASE WHEN $n < $kmvK THEN CAST($n AS DOUBLE) " +
+        s"ELSE CAST(${kmvK - 1}.0 AS DOUBLE) * CAST($h AS DOUBLE) / " +
+        s"CAST($theta AS DOUBLE) END")
+    s"""WITH ka AS (
+       |  SELECT DISTINCT ${hashSql(
+            "'kmv:' || CAST(o_custkey AS VARCHAR)")} AS h
+       |  FROM orders WHERE o_orderstatus = 'O'),
+       |kb AS (
+       |  SELECT DISTINCT ${hashSql(
+            "'kmv:' || CAST(o_custkey AS VARCHAR)")} AS h
+       |  FROM orders WHERE o_orderstatus = 'F'),
+       |ask AS (SELECT h FROM ka ORDER BY h LIMIT $kmvK),
+       |bsk AS (SELECT h FROM kb ORDER BY h LIMIT $kmvK),
+       |am AS (SELECT CAST(count(*) AS BIGINT) AS n, max(h) AS theta
+       |       FROM ask),
+       |bm AS (SELECT CAST(count(*) AS BIGINT) AS n, max(h) AS theta
+       |       FROM bsk),
+       |u AS (SELECT h, max(ia) AS ia, max(ib) AS ib FROM (
+       |        SELECT h, 1 AS ia, 0 AS ib FROM ask
+       |        UNION ALL SELECT h, 0 AS ia, 1 AS ib FROM bsk) GROUP BY 1),
+       |usk AS (SELECT h, ia, ib FROM u ORDER BY h LIMIT $kmvK),
+       |um AS (SELECT CAST(count(*) AS BIGINT) AS kp, max(h) AS theta,
+       |              CAST(sum(ia * ib) AS BIGINT) AS rho FROM usk),
+       |um2 AS (SELECT kp, rho,
+       |              ${estSql("kp", "theta")} AS est_u FROM um),
+       |est AS (
+       |  SELECT 'a' AS set_label, n AS n_sketch,
+       |    ${estSql("n", "theta")} AS est FROM am
+       |  UNION ALL SELECT 'b', n, ${estSql("n", "theta")} FROM bm
+       |  UNION ALL SELECT 'union', kp, est_u FROM um2
+       |  UNION ALL SELECT 'intersect', rho,
+       |    CASE WHEN kp < $kmvK THEN CAST(rho AS DOUBLE)
+       |    ELSE ${sqlSig9(s"CAST(rho AS DOUBLE) * est_u / " +
+              s"CAST($kmvK.0 AS DOUBLE)")} END FROM um2),
+       |ex AS (
+       |  SELECT 'a' AS set_label,
+       |    CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact
+       |  FROM orders WHERE o_orderstatus = 'O'
+       |  UNION ALL SELECT 'b', CAST(count(DISTINCT o_custkey) AS BIGINT)
+       |  FROM orders WHERE o_orderstatus = 'F'
+       |  UNION ALL SELECT 'union', CAST(count(*) AS BIGINT) FROM (
+       |    SELECT DISTINCT o_custkey FROM orders
+       |    WHERE o_orderstatus IN ('O', 'F'))
+       |  UNION ALL SELECT 'intersect', CAST(count(*) AS BIGINT) FROM (
+       |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+       |    INTERSECT
+       |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'))
+       |SELECT est.set_label, est.n_sketch, est.est, ex.exact
+       |FROM est JOIN ex USING (set_label)""".stripMargin
+  }
+
+  // ===== CMS inner-product join-cardinality estimate ====================
+
+  private val jcD = 4
+  // w sized to the error target eps ~ ||a||1*||b||1/w (the planner's
+  // knob): 512 buckets on ~15k distinct keys inflated the estimate
+  // 30x; 8k buckets (a 256 KB sketch) brings the bound to ~4x
+  private val jcW = 8192
+
+  /** Planner face of count-min
+    * ([[graft.ext.Sketch.cmsJoinCardinality]]): |lineitem ⋈
+    * orders_1995| estimated from two (d=4, w=512) sketches' inner
+    * product min_j Σ_b sA·sB — kilobytes answering a question whose
+    * exact answer needs the join. The exact count rides along as the
+    * adjudication twin; over_ratio quantifies collision inflation. */
+  private val joinCardQ: QFn = (s, d) => {
+    import graft.ext.Sketch
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"))
+    val ord = Tables.orders(s, d)
+      .where(year(col("o_orderdate")) === 1995)
+      .select(col("o_orderkey"))
+    val est = Sketch.cmsJoinCardinality(
+      Sketch.countMin(li, "l_orderkey", jcD, jcW, "jc"),
+      Sketch.countMin(ord, "o_orderkey", jcD, jcW, "jc"))
+    val exact = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .agg(count(lit(1)).cast("long").as("exact_card"))
+    est.crossJoin(broadcast(exact))
+      .select(col("est_card"), col("exact_card"),
+        Q.sig9(col("est_card").cast("double") /
+          col("exact_card").cast("double")).as("over_ratio"))
+  }
+
+  private val joinCardSql = {
+    val js = (0 until jcD).mkString("[", ", ", "]")
+    s"""WITH js AS (SELECT unnest($js) AS j),
+       |ca AS (SELECT CAST(l_orderkey AS VARCHAR) AS k,
+       |              CAST(count(*) AS BIGINT) AS c
+       |       FROM lineitem GROUP BY 1),
+       |cb AS (SELECT CAST(o_orderkey AS VARCHAR) AS k,
+       |              CAST(count(*) AS BIGINT) AS c
+       |       FROM orders WHERE year(o_orderdate) = 1995 GROUP BY 1),
+       |ska AS (SELECT j,
+       |    ${hashSql("'jc' || CAST(j AS VARCHAR) || ':' || k")} % $jcW
+       |      AS bucket,
+       |    CAST(sum(c) AS BIGINT) AS s
+       |  FROM ca CROSS JOIN js GROUP BY 1, 2),
+       |skb AS (SELECT j,
+       |    ${hashSql("'jc' || CAST(j AS VARCHAR) || ':' || k")} % $jcW
+       |      AS bucket,
+       |    CAST(sum(c) AS BIGINT) AS s
+       |  FROM cb CROSS JOIN js GROUP BY 1, 2),
+       |ip AS (SELECT a.j,
+       |    sum(CAST(a.s AS DECIMAL(38,0)) * CAST(b.s AS DECIMAL(38,0)))
+       |      AS ip
+       |  FROM ska a JOIN skb b USING (j, bucket) GROUP BY 1),
+       |est AS (SELECT CAST(min(ip) AS BIGINT) AS est_card FROM ip),
+       |ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_card
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  WHERE year(o.o_orderdate) = 1995)
+       |SELECT est_card, exact_card,
+       |  ${sqlSig9("CAST(est_card AS DOUBLE) / " +
+            "CAST(exact_card AS DOUBLE)")} AS over_ratio
+       |FROM est CROSS JOIN ex""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q_x_kmv" -> kmvQ,
+    "q_x_join_card" -> joinCardQ,
     "q_x_hist_quantile" -> histQuantQ,
     "q_x_interleave" -> interleaveQ,
     "q_x_rbo" -> rboQ,
@@ -1864,6 +2023,8 @@ object CorpusQueries {
     "q_x_rrf" -> rrfQ)
 
   val oracles: Map[String, String] = Map(
+    "q_x_kmv" -> kmvSql,
+    "q_x_join_card" -> joinCardSql,
     "q_x_hist_quantile" -> histQuantSql,
     "q_x_interleave" -> interleaveSql,
     "q_x_rbo" -> rboSql,

@@ -165,4 +165,72 @@ class SketchSpec extends SparkSpec {
     assert(narrow >= wide && wide >= 60L)
     assert(refEst(stream, "hot", 4, 4096, "t") == wide)
   }
+
+  // ===== KMV bottom-k =====================================================
+
+  private def kmvRows(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    df.collect().map(_.getLong(0)).toSeq.sorted
+
+  test("kmv: sharded build equals the single-shard build (merge law) " +
+      "and a sub-k set is kept whole") {
+    val keys = (1 to 300).map(i => s"u$i")
+    val one = keys.map((_, "s0")).toDF("k", "sh")
+    val five = keys.zipWithIndex.map { case (k, i) => (k, s"s${i % 5}") }
+      .toDF("k", "sh").repartition(7)
+    assert(kmvRows(Sketch.kmvSketch(one, "k", "sh", 32, "t")) ===
+      kmvRows(Sketch.kmvSketch(five, "k", "sh", 32, "t")))
+    // 20 distinct keys < k: the sketch holds all of them and the
+    // estimate is the exact count
+    val tiny = (1 to 20).map(i => (s"u$i", s"s${i % 3}")).toDF("k", "sh")
+    val est = Sketch.kmvEstimate(
+      Sketch.kmvSketch(tiny, "k", "sh", 32, "t"), 32).head()
+    assert(est.getLong(0) === 20L)
+    assert(est.getAs[Double]("est") === 20.0)
+  }
+
+  test("kmv estimate tracks the true distinct count") {
+    val rows = (1 to 10000).map(i => (s"u${i % 5000}", s"s${i % 11}"))
+      .toDF("k", "sh").repartition(5)
+    val est = Sketch.kmvEstimate(
+      Sketch.kmvSketch(rows, "k", "sh", 128, "t"), 128)
+      .head().getAs[Double]("est")
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.35)
+  }
+
+  test("kmv set estimates are exact below k and track truth above it") {
+    def sk(lo: Int, hi: Int, k: Int) = Sketch.kmvSketch(
+      (lo to hi).map(i => (s"u$i", s"s${i % 4}")).toDF("k", "sh"),
+      "k", "sh", k, "t")
+    // |A|=40, |B|=40, overlap 20, union 60 < k=128: all exact
+    val small = Sketch.kmvSetEstimates(sk(1, 40, 128), sk(21, 60, 128),
+      128).collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getAs[Double]("est"))).toMap
+    assert(small("union") === ((60L, 60.0)))
+    assert(small("intersect") === ((20L, 20.0)))
+    // truncated regime: |A|=3000, |B|=3000, overlap 1500, union 4500
+    val big = Sketch.kmvSetEstimates(sk(1, 3000, 128),
+      sk(1501, 4500, 128), 128).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("est")).toMap
+    assert(math.abs(big("union") - 4500.0) / 4500.0 < 0.35)
+    assert(math.abs(big("intersect") - 1500.0) / 1500.0 < 0.5)
+  }
+
+  // ===== CMS join cardinality =============================================
+
+  test("cms join cardinality is exact without collisions and an upper " +
+      "bound under them") {
+    // A: key i repeated (i%3)+1 times over 40 keys; B: every other key
+    // twice — exact |A join B| = sum over shared keys of cA*cB
+    val aRows = (1 to 40).flatMap(i => Seq.fill(i % 3 + 1)(s"k$i"))
+    val bRows = (1 to 40).filter(_ % 2 == 0).flatMap(i =>
+      Seq.fill(2)(s"k$i"))
+    val exact = (1 to 40).filter(_ % 2 == 0)
+      .map(i => (i % 3 + 1).toLong * 2L).sum
+    def est(w: Int) = Sketch.cmsJoinCardinality(
+      Sketch.countMin(aRows.toDF("k"), "k", 4, w, "t"),
+      Sketch.countMin(bRows.toDF("k"), "k", 4, w, "t"))
+      .head().getLong(0)
+    assert(est(4096) === exact) // 40 keys in 4096 buckets: collision-free
+    assert(est(8) >= exact)     // crowded sketch only over-counts
+  }
 }
