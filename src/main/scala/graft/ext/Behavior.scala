@@ -352,6 +352,59 @@ object Behavior {
           .as("survival"))
   }
 
+  /** Restricted mean survival time (Royston & Parmar 2013; Uno et al.
+    * 2014): RMST(τ) = ∫_0^τ S(t) dt over a [[kaplanMeier]] curve — the
+    * clinically-robust "average days survived (converted-free) in the
+    * first τ days", finite even when the median is never reached. The
+    * KM step function integrates exactly: each step [t_{i−1}, t_i)
+    * contributes S(t_{i−1})·(min(t_i,τ) − min(t_{i−1},τ)), plus the
+    * tail S(t_n)·(τ − min(t_n,τ)); before the first step S = 1.
+    *
+    * Scale shape: the input is the already-bounded KM grid (≤ day-span
+    * rows), packed into one array row; the previous-step lookup is an
+    * element_at, the integral is a [[graft.queries.Q.dsumStable]] over
+    * the bounded contributions. Each contribution is one IEEE multiply
+    * of the sig9'd survival by an exact integer delta — bit-identical
+    * on both engines.
+    *
+    * @param km  output of [[kaplanMeier]] (dur_days, survival, ...)
+    * @param tau restriction horizon in days
+    * @return one row: (tau_days, n_steps, rmst) */
+  def rmst(km: DataFrame, tau: Long): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    import graft.queries.Q
+    require(tau >= 0, s"rmst: tau must be >= 0, got $tau")
+    val tl = lit(tau)
+    val packed = km
+      .select(col("dur_days").as("t"), col("survival").as("s"))
+      .agg(array_sort(collect_list(struct(col("t"), col("s"))))
+        .as("arr"))
+    val last = element_at(col("arr"), size(col("arr")))
+    val contribs = packed.select(
+      size(col("arr")).cast(LongType).as("n_steps"),
+      explode(concat(
+        transform(col("arr"), (x, i) => {
+          val pt = when(i === 0, lit(0L))
+            .otherwise(element_at(col("arr"), i).getField("t"))
+          val ps = when(i === 0, lit(1.0))
+            .otherwise(element_at(col("arr"), i).getField("s"))
+          ps * (least(x.getField("t"), tl) - least(pt, tl))
+            .cast("double")
+        }),
+        // tail past the last step; an EMPTY curve means S = 1 on all
+        // of [0, tau] (no subjects ever at risk is the degenerate
+        // "everything survives" curve)
+        when(size(col("arr")) === 0,
+          array(lit(1.0) * tl.cast("double")))
+          .otherwise(array(last.getField("s") *
+            (tl - least(last.getField("t"), tl)).cast("double")))))
+        .as("c"))
+    contribs.groupBy(col("n_steps"))
+      .agg(Q.dsumStable(col("c"), 13).as("rmst"))
+      .select(lit(tau).cast(LongType).as("tau_days"), col("n_steps"),
+        col("rmst"))
+  }
+
   /** Nelson–Aalen cumulative hazard — the additive sibling of
     * [[kaplanMeier]] over the SAME duration grid (first activity →
     * first `targetType`, right-censored at last activity): H(t) =

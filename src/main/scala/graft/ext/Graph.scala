@@ -205,6 +205,88 @@ object Graph {
         Q.sig9(col("m") / col("__n").cast("double")).as("rank"))
   }
 
+  /** Personalized PageRank (Page et al. '99 §6; Jeh & Widom '03): the
+    * teleport vector concentrates on a SEED SET instead of the uniform
+    * distribution — "rank relative to these nodes", the serving face
+    * behind related-item panels and seed-expansion labeling. Same
+    * fixed-iteration, exact-decimal-sum regime as [[pageRank]]:
+    * m(v) = 1_seed(v)·((1−d)·n/|S| + d·dm/|S|) + d·Σ contrib, where
+    * dangling mass dm teleports BACK TO THE SEEDS (the PPR
+    * convention), and the unit-mean invariant Σm = n holds every
+    * round. Seeds outside `nodes` are ignored (inner-joined away);
+    * the seed set must be nonempty.
+    *
+    * Same size-aware join strategy, integer-weight precondition and
+    * `checkpointDir` durability switch as [[pageRank]].
+    *
+    * @return (node, rank) — sig9'd doubles summing to ~1, zero for
+    *         nodes unreachable from the seeds */
+  def personalizedPageRank(edges: DataFrame, srcCol: String,
+      dstCol: String, wCol: String, nodes: DataFrame, nodeCol: String,
+      seeds: DataFrame, seedCol: String, iters: Int,
+      damping: Double = 0.85,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(damping > 0 && damping < 1,
+      s"damping must be in (0, 1), got $damping")
+    def cut(df: DataFrame): DataFrame = Checkpoints.cut(df, checkpointDir)
+    val n = cut(nodes.select(col(nodeCol).as("node")).distinct())
+    val sd = cut(seeds.select(col(seedCol).as("node")).distinct()
+      .join(n, Seq("node")))
+    require(measure(sd)._1 > 0,
+      "personalizedPageRank: seed set is empty (or disjoint from nodes)")
+    val (nNodes, nBytes) = measure(n)
+    val broadcastable =
+      nBytes + 8L * nNodes <= broadcastBudget(nodes.sparkSession)
+    def nodeSide(df: DataFrame): DataFrame =
+      if (broadcastable) broadcast(df) else df
+    val e0 = edges.select(col(srcCol).as("__src"),
+      col(dstCol).as("__dst"), col(wCol).cast("long").as("__w"))
+    val e = cut(if (broadcastable) e0 else e0.repartition(col("__src")))
+    val outW = cut(e.groupBy(col("__src").as("node"))
+      .agg(sum(col("__w")).as("__ow")))
+    val nn = n.agg(count(lit(1)).as("__n"))
+    val ss = sd.agg(count(lit(1)).as("__sn"))
+    val d = lit(damping)
+    val base = lit(1.0) - d
+    val seeded = n.join(nodeSide(sd.withColumn("__seed", lit(1))),
+      Seq("node"), "left")
+    // R0: mass n/|S| on each seed (unit mean; one IEEE division)
+    var mass = cut(seeded
+      .crossJoin(broadcast(nn)).crossJoin(broadcast(ss))
+      .select(col("node"),
+        when(col("__seed").isNotNull,
+          col("__n").cast("double") / col("__sn").cast("double"))
+          .otherwise(lit(0.0)).as("m")))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(nodeSide(mass.withColumnRenamed("node", "__src")), "__src")
+        .join(nodeSide(outW.withColumnRenamed("node", "__src")), "__src")
+        .groupBy(col("__dst").as("node"))
+        .agg(Q.dsumStable(Q.sig9(col("m") * col("__w").cast("double") /
+          col("__ow").cast("double")), SumScale).as("__c"))
+      val dangling = mass.join(outW, Seq("node"), "left")
+        .where(col("__ow").isNull)
+        .agg(coalesce(Q.dsumStable(col("m"), SumScale), lit(0.0))
+          .as("__dm"))
+      mass = seeded
+        .crossJoin(broadcast(dangling)).crossJoin(broadcast(nn))
+        .crossJoin(broadcast(ss))
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"), Q.sig9(
+          when(col("__seed").isNotNull,
+            base * (col("__n").cast("double") /
+              col("__sn").cast("double")) +
+              d * (col("__dm") / col("__sn").cast("double")))
+            .otherwise(lit(0.0)) +
+            d * coalesce(col("__c"), lit(0.0))).as("m"))
+      mass = cut(mass)
+    }
+    mass.crossJoin(broadcast(nn))
+      .select(col("node"),
+        Q.sig9(col("m") / col("__n").cast("double")).as("rank"))
+  }
+
   /** HITS hubs & authorities (Kleinberg '99), weighted, with per-round
     * MEAN-1 normalization: each iteration sets
     * a_raw(u) = Σ_{v→u} h(v)·w and h_raw(v) = Σ_{v→u} a(u)·w, then
@@ -812,5 +894,53 @@ object Graph {
         col("max_degree"),
         when(dx > 0 && dy > 0,
           Q.sig9(num / Q.sig9(sqrt(dx * dy)))).as("assortativity"))
+  }
+
+  /** Clustering summary (Watts & Strogatz 1998; Newman 2003 §III.B):
+    * local coefficient c(v) = 2·tri(v) / (d(v)·(d(v)−1)) for nodes
+    * with degree >= 2, global transitivity = 3·triangles / wedges with
+    * wedges = Σ_v d(v)(d(v)−1)/2. Triangles come from
+    * [[triangleCounts]] (oriented wedge join, O(m^1.5)); everything
+    * downstream is two hash aggregates over exact integers, and each
+    * c(v) is ONE IEEE division of exact integers (bit-identical on
+    * both engines) summed through the decimal route.
+    *
+    * Output one row: (n_nodes_deg2, n_triangles, n_wedges,
+    * transitivity, sum_cc, avg_cc) — transitivity/avg NULL on a
+    * wedge-free graph rather than 0/0. */
+  def clusteringCoef(edges: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+      .where(col("a").isNotNull && col("a") =!= col("b"))
+      .distinct()
+    val deg = und.select(col("a").as("v"))
+      .unionAll(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val tri = triangleCounts(und, "a", "b")
+    val nodes = deg
+      .join(tri.select(col("node").as("v"), col("n_tri")), Seq("v"),
+        "left")
+      .select(col("v"), col("d"),
+        coalesce(col("n_tri"), lit(0L)).as("tri"))
+      .where(col("d") >= 2L)
+    val cc = (lit(2L) * col("tri")).cast("double") /
+      (col("d") * (col("d") - 1L)).cast("double")
+    nodes.agg(
+      count(lit(1)).cast("long").as("n_nodes_deg2"),
+      // integral divides: tri sums to 3 per triangle, d(d-1) is even
+      expr("sum(tri) div 3").cast("long").as("n_triangles"),
+      expr("sum(d * (d - 1)) div 2").cast("long").as("n_wedges"),
+      // scale 11: sum_cc < 10^4 keeps the rounded decimal <= 15
+      // significant digits (exact double cast on both engines)
+      Q.dsumStable(cc, 11).as("sum_cc"))
+    .select(col("n_nodes_deg2"), col("n_triangles"), col("n_wedges"),
+      when(col("n_wedges") > 0L, Q.sig9(
+        (lit(3L) * col("n_triangles")).cast("double") /
+          col("n_wedges").cast("double"))).as("transitivity"),
+      col("sum_cc"),
+      when(col("n_nodes_deg2") > 0L, Q.sig9(col("sum_cc") /
+        col("n_nodes_deg2").cast("double"))).as("avg_cc"))
   }
 }

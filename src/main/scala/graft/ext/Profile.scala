@@ -2517,4 +2517,61 @@ object Profile {
         col("x.bh_rank").as("bh_rank"), col("x.q_value").as("q_value"),
         (col("x.q_value") <= alpha).as("significant"))
   }
+
+  /** Exact weighted quantiles over a BOUNDED integral value domain:
+    * the q/1000-th weighted quantile is the smallest value whose
+    * cumulative weight reaches q/1000 of the total weight mass. One
+    * hash aggregate collapses the corpus to (value, weight-sum) —
+    * bounded by the declared domain (quantity-style columns with
+    * dozens of levels; continuous doubles go to histSketch /
+    * approx_percentile) — then the bounded table folds in ONE packed
+    * row with the all-integer hit rule (cum·1000 >= q·total): no
+    * global sort, no window, no float anywhere. Both columns must be
+    * integral: fractional inputs raise rather than silently truncate
+    * (the changePoint contract); integral weights are the caller's
+    * job (e.g. price in cents via FLOOR(x·100)).
+    *
+    * @return one row per q: (q_permille, value, cum_w, total_w) */
+  def weightedQuantiles(df: DataFrame, valCol: String, wCol: String,
+      qPermille: Seq[Int]): DataFrame = {
+    require(qPermille.nonEmpty &&
+      qPermille.forall(q => q > 0 && q <= 1000),
+      "weightedQuantiles: permilles must be in (0, 1000]")
+    def intGuard(c: Column, what: String): Column =
+      when(c.cast("double") =!= c.cast("long").cast("double"),
+        raise_error(concat(lit(s"weightedQuantiles: fractional $what: "),
+          c.cast("string")))).otherwise(c.cast("long"))
+    val g = df
+      .where(col(valCol).isNotNull && col(wCol).isNotNull)
+      .select(intGuard(col(valCol), "value").as("v"),
+        intGuard(col(wCol), "weight").as("w"))
+      .groupBy(col("v")).agg(sum(col("w")).cast("long").as("w"))
+    val packed = g
+      .agg(array_sort(collect_list(struct(col("v"), col("w"))))
+        .as("arr"), sum(col("w")).cast("long").as("total_w"))
+    val rows = packed.select(col("total_w"),
+      explode(array(qPermille.map(lit): _*)).as("q_permille"), col("arr"))
+    // state [found, value, cumBefore, w]; every branch rebuilds the
+    // array (the DuckDB list_reduce identity-branch house rule)
+    val st = aggregate(col("arr"),
+      array(lit(0L), lit(0L), lit(0L), lit(0L)), (acc, e) => {
+        val found = element_at(acc, 1) === 1L
+        val cum = element_at(acc, 3) + element_at(acc, 4)
+        val hits = (cum + e.getField("w")) * 1000 >=
+          col("q_permille") * col("total_w")
+        when(found, array(lit(1L), element_at(acc, 2),
+          element_at(acc, 3), element_at(acc, 4)))
+          .otherwise(when(hits,
+            array(lit(1L), e.getField("v"), cum, e.getField("w")))
+            .otherwise(array(lit(0L), e.getField("v"), cum,
+              e.getField("w"))))
+      })
+    rows.withColumn("__st", st)
+      .where(element_at(col("__st"), 1) === 1L)
+      .select(col("q_permille").cast("long").as("q_permille"),
+        element_at(col("__st"), 2).as("value"),
+        (element_at(col("__st"), 3) + element_at(col("__st"), 4))
+          .as("cum_w"),
+        col("total_w"))
+  }
 }

@@ -875,4 +875,87 @@ object TimeSeries {
     words.groupBy(col("word"))
       .agg(count(lit(1)).cast("long").as("n_series"))
   }
+
+  /** Additive Holt–Winters triple exponential smoothing (Winters 1960;
+    * Hyndman & Athanasopoulos FPP §8.3) with FIXED smoothing constants
+    * — the level+trend+SEASONALITY member the smoothing family was
+    * missing beside ses/ewma (level), doubleEwma (trend) and the
+    * seasonal-profile decomposition. Per series:
+    *
+    *   init (standard): l_m = mean(x_1..x_m); b_m = Σ(x_{m+i} −
+    *   x_i)/m²; s_i = x_i − l_m. Then for t = m+1..n:
+    *     l ← α·(x_t − s_{t−m}) + (1−α)·(l + b)
+    *     b ← β·(l − l_prev) + (1−β)·b
+    *     s_t ← γ·(x_t − l) + (1−γ)·s_{t−m}
+    *   and forecast_h = l + h·b + s_{n+h−m} for h = 1..m.
+    *
+    * Scale shape: series are collected per KEY (the sax/interleave
+    * bounded-series contract — fine for per-entity daily grids, wrong
+    * for one unbounded global stream) and the recursion folds inside
+    * ONE array row per series; series shorter than 2m are dropped
+    * (insufficient for seasonal init).
+    *
+    * Determinism: every l/b/s update and every forecast is sig9'd, so
+    * cross-engine drift cannot accumulate across the fold; the (1−α)
+    * family is computed ONCE in Scala and shared with the oracle as
+    * double literals (a SQL `1.0 − 0.3` would be decimal-exact, one
+    * ulp off — the decay-lambda convention). The series is indexed by
+    * POSITION: the caller supplies one row per (key, orderCol) with
+    * orderCol unique per key; calendar gaps are the caller's concern.
+    *
+    * @return one row per (key, h = 1..m): n, level, trend, forecast */
+  def holtWinters(df: DataFrame, keyCols: Seq[String], orderCol: String,
+      valCol: String, alpha: Double, beta: Double, gamma: Double,
+      period: Int): DataFrame = {
+    import graft.queries.Q
+    require(period >= 1, s"holtWinters: period must be >= 1, got $period")
+    require(Seq(alpha, beta, gamma).forall(c => c > 0 && c < 1),
+      "holtWinters: smoothing constants must be in (0, 1)")
+    val m = period
+    val (omA, omB, omG) = (1.0 - alpha, 1.0 - beta, 1.0 - gamma)
+    val keys = keyCols.map(col)
+    val arr = df
+      .groupBy(keys: _*)
+      .agg(array_sort(collect_list(struct(col(orderCol).as("o"),
+        col(valCol).cast("double").as("x")))).as("os"),
+        count(lit(1)).cast(LongType).as("n"))
+      .where(col("n") >= 2L * m)
+      .select(keys :+ col("n") :+
+        transform(col("os"), e => e.getField("x")).as("xs"): _*)
+    def fold(c: Column) = aggregate(c, lit(0.0), (a, b) => a + b)
+    val l0 = Q.sig9(fold(slice(col("xs"), 1, m)) / lit(m.toDouble))
+    val b0 = Q.sig9(fold(transform(sequence(lit(1), lit(m)), i =>
+      element_at(col("xs"), i + m) - element_at(col("xs"), i))) /
+      lit((m * m).toDouble))
+    val withInit = arr
+      .withColumn("__l0", l0)
+      .withColumn("__st0", concat(array(col("__l0"), b0),
+        transform(slice(col("xs"), 1, m),
+          x => Q.sig9(x - col("__l0")))))
+    // recursion: state [l, b, s_{t-m}..s_{t-1}]; the head seasonal is
+    // consumed, the fresh one appended — every step REBUILDS the array
+    val st = aggregate(
+      slice(col("xs"), lit(m + 1), size(col("xs")) - m),
+      col("__st0"), (acc, x) => {
+        val l = element_at(acc, 1)
+        val b = element_at(acc, 2)
+        val sOld = element_at(acc, 3)
+        val lNew = Q.sig9(lit(alpha) * (x - sOld) +
+          lit(omA) * (l + b))
+        val bNew = Q.sig9(lit(beta) * (lNew - l) + lit(omB) * b)
+        val sNew = Q.sig9(lit(gamma) * (x - lNew) + lit(omG) * sOld)
+        concat(array(lNew, bNew), slice(acc, 4, m - 1), array(sNew))
+      })
+    withInit.withColumn("__st", st)
+      .select(keys :+ col("n") :+
+        element_at(col("__st"), 1).as("level") :+
+        element_at(col("__st"), 2).as("trend") :+
+        explode(sequence(lit(1L), lit(m.toLong))).as("h") :+
+        col("__st"): _*)
+      .select(keys :+ col("n") :+ col("h") :+ col("level") :+
+        col("trend") :+
+        Q.sig9(col("level") + col("h").cast(DoubleType) * col("trend") +
+          element_at(col("__st"), (col("h") + 2).cast("int")))
+          .as("forecast"): _*)
+  }
 }

@@ -252,6 +252,43 @@ object BehaviorQueries {
        |    AS survival
        |FROM cm""".stripMargin
 
+  // ===== restricted mean survival time ================================
+
+  /** [[graft.ext.Behavior.rmst]] at τ=30 over the `q_x_kaplan_meier`
+    * curve: average conversion-free days in the first month. The
+    * oracle replays the FULL KM chain as a nested-WITH subquery, then
+    * the identical step integral (LAG twin of the packed previous-step
+    * lookup, same exact-delta × sig9'd-survival products, same
+    * dsumStable). */
+  private val rmstTau = 30L
+
+  private val rmstQ: QFn = (s, d) =>
+    graft.ext.Behavior.rmst(
+      graft.ext.Behavior.kaplanMeier(Tables.events(s, d),
+        "user_id", "ts", "event_type", targetType = "purchase"),
+      rmstTau)
+
+  private val rmstSql =
+    s"""WITH km AS (
+       |$kmSql),
+       |st AS (SELECT dur_days AS t, survival AS s FROM km),
+       |o AS (
+       |  SELECT t, s,
+       |    LAG(t, 1, CAST(0 AS BIGINT)) OVER (ORDER BY t) AS pt,
+       |    LAG(s, 1, CAST(1.0 AS DOUBLE)) OVER (ORDER BY t) AS ps
+       |  FROM st),
+       |c AS (
+       |  SELECT ps * CAST(LEAST(t, $rmstTau) - LEAST(pt, $rmstTau)
+       |    AS DOUBLE) AS c
+       |  FROM o
+       |  UNION ALL
+       |  SELECT s * CAST($rmstTau - LEAST(t, $rmstTau) AS DOUBLE)
+       |  FROM st WHERE t = (SELECT max(t) FROM st))
+       |SELECT CAST($rmstTau AS BIGINT) AS tau_days,
+       |  CAST((SELECT count(*) FROM st) AS BIGINT) AS n_steps,
+       |  ${Q.sqlDsumStable("c", 13)} AS rmst
+       |FROM c""".stripMargin
+
   // ===== Nelson–Aalen cumulative hazard ===============================
 
   /** [[graft.ext.Behavior.nelsonAalen]] over the same grid as
@@ -1016,6 +1053,7 @@ object BehaviorQueries {
     "q_x_paths" -> pathsQ,
     "q_x_time_to_convert" -> timeToConvertQ,
     "q_x_rfm" -> rfmQ,
+    "q_x_rmst" -> rmstQ,
     "q_x_kaplan_meier" -> kmQ,
     "q_x_nelson_aalen" -> nelsonAalenQ,
     "q_x_pipeline12" -> pipeline12Q,
@@ -1037,6 +1075,7 @@ object BehaviorQueries {
     "q_x_paths" -> pathsSql,
     "q_x_time_to_convert" -> timeToConvertSql,
     "q_x_rfm" -> rfmSql,
+    "q_x_rmst" -> rmstSql,
     "q_x_kaplan_meier" -> kmSql,
     "q_x_nelson_aalen" -> nelsonAalenSql,
     "q_x_pipeline12" -> pipeline12Sql,

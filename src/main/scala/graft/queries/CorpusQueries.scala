@@ -759,6 +759,41 @@ object CorpusQueries {
        |FROM lineitem""".stripMargin
   }
 
+  // ===== Hilbert clustering value =======================================
+
+  /** [[graft.ext.Layout.hilbertValue]] of (l_partkey, l_suppkey) per
+    * lineitem row — the jump-free space-filling sibling of
+    * `q_x_zorder` (consecutive Hilbert cells are always grid-adjacent;
+    * LayoutSpec pins bijection + adjacency against the classic
+    * reference transform). The oracle replays the identical [d, x, y]
+    * integer fold as a DuckDB list_reduce. */
+  private val hilbertQ: QFn = (s, d) =>
+    Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+      graft.ext.Layout.hilbertValue(col("l_partkey"), col("l_suppkey"),
+        16).as("hval"))
+
+  private val hilbertSql = {
+    val sList = (15 to 0 by -1).map(i => s"[${1L << i}]")
+      .mkString("[", ", ", "]")
+    val x0 = "(CAST(l_partkey AS BIGINT) & 65535)"
+    val y0 = "(CAST(l_suppkey AS BIGINT) & 65535)"
+    s"""SELECT l_orderkey, l_linenumber,
+       |  list_reduce(list_prepend(CAST([0, $x0, $y0] AS BIGINT[]),
+       |      CAST($sList AS BIGINT[][])),
+       |    (acc, e) -> [
+       |      acc[1] + e[1] * e[1] * (CASE
+       |        WHEN (acc[2] & e[1]) > 0 AND (acc[3] & e[1]) > 0 THEN 2
+       |        WHEN (acc[2] & e[1]) > 0 THEN 3
+       |        WHEN (acc[3] & e[1]) > 0 THEN 1 ELSE 0 END),
+       |      CASE WHEN (acc[3] & e[1]) > 0 THEN acc[2]
+       |        WHEN (acc[2] & e[1]) > 0 THEN e[1] - 1 - acc[3]
+       |        ELSE acc[3] END,
+       |      CASE WHEN (acc[3] & e[1]) > 0 THEN acc[3]
+       |        WHEN (acc[2] & e[1]) > 0 THEN e[1] - 1 - acc[2]
+       |        ELSE acc[2] END])[1] AS hval
+       |FROM lineitem""".stripMargin
+  }
+
   // ===== exact heavy hitters (sketch-pruned) ============================
 
   /** Spark side runs the Misra–Gries two-pass (candidates never exceed
@@ -1983,6 +2018,7 @@ object CorpusQueries {
   val queries: Map[String, QFn] = Map(
     "q_x_kmv" -> kmvQ,
     "q_x_join_card" -> joinCardQ,
+    "q_x_hilbert" -> hilbertQ,
     "q_x_hist_quantile" -> histQuantQ,
     "q_x_interleave" -> interleaveQ,
     "q_x_rbo" -> rboQ,
@@ -2025,6 +2061,7 @@ object CorpusQueries {
   val oracles: Map[String, String] = Map(
     "q_x_kmv" -> kmvSql,
     "q_x_join_card" -> joinCardSql,
+    "q_x_hilbert" -> hilbertSql,
     "q_x_hist_quantile" -> histQuantSql,
     "q_x_interleave" -> interleaveSql,
     "q_x_rbo" -> rboSql,

@@ -196,6 +196,90 @@ object LinkQueries {
        |FROM r$pagerankIters, nn""".stripMargin
   }
 
+  // ===== personalized PageRank from a brand seed set ==================
+
+  /** [[graft.ext.Graph.personalizedPageRank]] on the same co-purchase
+    * graph as `q_x_pagerank`, teleporting to the parts of ONE brand —
+    * "rank every part relative to Brand#23's catalog", the
+    * related-item serving face. Dangling mass returns to the seeds
+    * (the PPR convention); the oracle replays all iterations as
+    * MATERIALIZED CTEs with the identical seed-indicator arithmetic. */
+  private val pprIters = 3
+  private val pprBrand = "Brand#23"
+
+  private val pprQ: QFn = (s, d) => {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+    val ord = li.groupBy("l_orderkey")
+      .agg(array_sort(array_distinct(collect_list(col("l_partkey"))))
+        .as("ps"))
+    val e = ord.select(explode(col("ps")).as("a"), col("ps"))
+      .select(col("a"), explode(col("ps")).as("b"))
+      .where(col("a") =!= col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("w"))
+    val nodes = li.select(col("l_partkey")).distinct()
+    val seeds = Tables.part(s, d).where(col("p_brand") === pprBrand)
+      .select(col("p_partkey"))
+    graft.ext.Graph.personalizedPageRank(e, "a", "b", "w", nodes,
+        "l_partkey", seeds, "p_partkey", iters = pprIters,
+        damping = pagerankDamp.toDouble)
+      .select(col("node").cast("long").as("part"), col("rank"))
+  }
+
+  private val pprSql = {
+    val dmp = pagerankDamp
+    val scale = graft.ext.Graph.SumScale
+    val baseNum = 1.0 - pagerankDamp.toDouble
+    val seedMass = "(CAST(nn.n AS DOUBLE) / CAST(ss.s AS DOUBLE))"
+    val iterCtes = (1 to pprIters).map { i =>
+      val rp = s"r${i - 1}"
+      s"""c$i AS MATERIALIZED (
+         |  SELECT e.b AS v,
+         |    ${sqlDsumStable(sqlSig9(
+             "rp.r * CAST(e.w AS DOUBLE) / CAST(ow.ow AS DOUBLE)"), scale)}
+         |      AS s
+         |  FROM e JOIN $rp rp ON e.a = rp.v JOIN ow ON ow.v = e.a
+         |  GROUP BY 1),
+         |d$i AS MATERIALIZED (
+         |  SELECT COALESCE(${sqlDsumStable("rp.r", scale)}, 0.0) AS dm
+         |  FROM $rp rp LEFT JOIN ow ON ow.v = rp.v WHERE ow.v IS NULL),
+         |r$i AS MATERIALIZED (
+         |  SELECT nodes.v, ${sqlSig9(
+             s"CASE WHEN sd.v IS NOT NULL THEN CAST($baseNum AS DOUBLE) " +
+               s"* $seedMass + $dmp * (d.dm / CAST(ss.s AS DOUBLE)) " +
+               s"ELSE 0.0 END + $dmp * COALESCE(c.s, 0.0)")} AS r
+         |  FROM nodes CROSS JOIN d$i d CROSS JOIN nn CROSS JOIN ss
+         |  LEFT JOIN sd ON sd.v = nodes.v
+         |  LEFT JOIN c$i c ON c.v = nodes.v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+       |ord AS (
+       |  SELECT l_orderkey, list_sort(list_distinct(list(l_partkey))) AS ps
+       |  FROM li GROUP BY 1),
+       |ea AS (SELECT unnest(ps) AS a, ps FROM ord),
+       |eb AS (SELECT a, unnest(ps) AS b FROM ea),
+       |e AS (
+       |  SELECT a, b, CAST(count(*) AS BIGINT) AS w FROM eb
+       |  WHERE a <> b GROUP BY 1, 2),
+       |nodes AS (SELECT DISTINCT l_partkey AS v FROM li),
+       |sd AS (
+       |  SELECT DISTINCT p.p_partkey AS v FROM part p
+       |  JOIN nodes ON nodes.v = p.p_partkey
+       |  WHERE p.p_brand = '$pprBrand'),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       |ss AS (SELECT CAST(count(*) AS BIGINT) AS s FROM sd),
+       |ow AS (SELECT a AS v, CAST(sum(w) AS BIGINT) AS ow FROM e GROUP BY 1),
+       |r0 AS (
+       |  SELECT nodes.v,
+       |    CASE WHEN sd.v IS NOT NULL THEN $seedMass
+       |      ELSE CAST(0.0 AS DOUBLE) END AS r
+       |  FROM nodes CROSS JOIN nn CROSS JOIN ss
+       |  LEFT JOIN sd ON sd.v = nodes.v),
+       |$iterCtes
+       |SELECT v AS part,
+       |  ${sqlSig9(s"r$pprIters.r / CAST(nn.n AS DOUBLE)")} AS rank
+       |FROM r$pprIters, nn""".stripMargin
+  }
+
   // ===== HITS over the buyer->product bipartite graph =================
 
   /** Weighted HITS (mean-1 normalized — see Graph.hits) on the
@@ -900,7 +984,151 @@ object LinkQueries {
        |FROM scored""".stripMargin
   }
 
+  // ===== pipeline 13: entity resolution end-to-end ====================
+
+  /** ER pipeline: FS-scored blocked matching (`q_x_fs_link`'s exact
+    * chain) -> 'link' pairs -> connected components (large-star/
+    * small-star, [[graft.ext.Dedup.dupClustersStar]]) -> survivorship:
+    * one canonical record per entity cluster — the min-key member
+    * carries the name (stability rule), the completeness rule keeps
+    * the best acctbal seen across members. Suppliers with no link
+    * survive as singleton clusters, so the output is a full canonical
+    * registry, not a duplicates report. The oracle replays matching
+    * verbatim and closes components with a recursive CTE — the
+    * O(log n)-round star algorithm must agree with transitive closure
+    * exactly. */
+  private val pipeline13Q: QFn = (s, d) => {
+    val sup = Tables.supplier(s, d)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+        col("s_acctbal"),
+        floor(col("s_acctbal") / 1000).cast("long").as("band"))
+    val links = graft.ext.Linkage.fsLink(sup, sup, "s_suppkey",
+      Seq("s_nationkey"), Seq(fsName, fsBand), upper = fsUpper,
+      lower = fsLower, selfPairs = true)
+      .where(col("decision") === "link")
+      .select(col("left_id").as("a_id"), col("right_id").as("b_id"))
+    val cc = graft.ext.Dedup.dupClustersStar(links)
+    val labeled = sup
+      .join(cc.select(col("doc_id").as("s_suppkey"), col("cluster_id")),
+        Seq("s_suppkey"), "left")
+      .select(col("s_suppkey"), col("s_acctbal"),
+        coalesce(col("cluster_id"), col("s_suppkey")).as("cluster_id"))
+    val agg = labeled.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).cast("long").as("n_members"),
+        min(col("s_suppkey")).cast("long").as("canon_suppkey"),
+        max(col("s_acctbal")).as("best_acctbal"))
+    agg.join(sup.select(col("s_suppkey").as("canon_suppkey"),
+        col("s_name").as("canon_name")), Seq("canon_suppkey"))
+      .select(col("cluster_id").cast("long").as("cluster_id"),
+        col("n_members"), col("canon_suppkey"), col("canon_name"),
+        col("best_acctbal"))
+  }
+
+  private val pipeline13Sql = {
+    val score = sqlSig9(
+      s"(CASE WHEN COALESCE(levenshtein(l.s_name, r.s_name) <= 1, " +
+        s"FALSE) THEN CAST(${fsName.wAgree} AS DOUBLE) " +
+        s"ELSE CAST(${fsName.wDisagree} AS DOUBLE) END + " +
+        s"CASE WHEN COALESCE(l.band = r.band, FALSE) " +
+        s"THEN CAST(${fsBand.wAgree} AS DOUBLE) " +
+        s"ELSE CAST(${fsBand.wDisagree} AS DOUBLE) END)")
+    s"""WITH RECURSIVE sup AS (
+       |  SELECT s_suppkey, s_name, s_nationkey, s_acctbal,
+       |    CAST(floor(s_acctbal / 1000) AS BIGINT) AS band
+       |  FROM supplier),
+       |pairs AS (
+       |  SELECT l.s_suppkey AS a, r.s_suppkey AS b
+       |  FROM sup l JOIN sup r ON l.s_nationkey = r.s_nationkey
+       |    AND l.s_suppkey < r.s_suppkey
+       |  WHERE $score >= $fsUpper),
+       |sym(x, y) AS (
+       |  SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+       |reach(node, r) AS (
+       |  SELECT s_suppkey, s_suppkey FROM sup
+       |  UNION
+       |  SELECT s.y, r.r FROM reach r JOIN sym s ON s.x = r.node),
+       |lab AS (
+       |  SELECT node, CAST(MIN(r) AS BIGINT) AS cluster_id
+       |  FROM reach GROUP BY node),
+       |agg AS (
+       |  SELECT l.cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+       |    CAST(min(l.node) AS BIGINT) AS canon_suppkey,
+       |    max(s.s_acctbal) AS best_acctbal
+       |  FROM lab l JOIN sup s ON s.s_suppkey = l.node GROUP BY 1)
+       |SELECT a.cluster_id, a.n_members, a.canon_suppkey,
+       |  s.s_name AS canon_name, a.best_acctbal
+       |FROM agg a JOIN sup s ON s.s_suppkey = a.canon_suppkey""".stripMargin
+  }
+
+  // ===== clustering coefficients / transitivity =======================
+
+  /** [[graft.ext.Graph.clusteringCoef]] on the co-purchase graph (same
+    * undirected simple edges as `q_x_triangles`): per-node local
+    * coefficients 2·tri/(d(d−1)) summed through the decimal route plus
+    * the global transitivity 3·T/wedges — the standard "how cliquish
+    * is this graph" readout beside degree mixing (assortativity). Each
+    * c(v) is one IEEE division of exact integers; the oracle replays
+    * the triangle join and the identical arithmetic. */
+  private val ccoefQ: QFn = (s, d) => {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+      col("l_partkey"))
+    val ord = li.groupBy("l_orderkey")
+      .agg(array_sort(array_distinct(collect_list(col("l_partkey"))))
+        .as("ps"))
+    val pairs = ord.select(explode(col("ps")).as("a"), col("ps"))
+      .select(col("a"), explode(col("ps")).as("b"))
+      .where(col("a") < col("b"))
+    graft.ext.Graph.clusteringCoef(pairs, "a", "b")
+  }
+
+  private val ccoefSql = {
+    val cc = "CAST(2 * tri AS DOUBLE) / CAST(d * (d - 1) AS DOUBLE)"
+    s"""WITH ord AS (
+       |  SELECT l_orderkey, list_sort(list_distinct(list(l_partkey)))
+       |    AS ps
+       |  FROM lineitem GROUP BY 1),
+       |ea AS (SELECT unnest(ps) AS a, ps FROM ord),
+       |eb AS (SELECT a, unnest(ps) AS b FROM ea),
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT a, b FROM eb WHERE a < b),
+       |t AS MATERIALIZED (
+       |  SELECT e1.a AS u, e1.b AS v, e2.b AS w
+       |  FROM e e1
+       |  JOIN e e2 ON e2.a = e1.b
+       |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |ntri AS (
+       |  SELECT node, CAST(count(*) AS BIGINT) AS tri FROM (
+       |    SELECT u AS node FROM t
+       |    UNION ALL SELECT v FROM t
+       |    UNION ALL SELECT w FROM t) GROUP BY 1),
+       |deg AS (
+       |  SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+       |    SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+       |nd AS (
+       |  SELECT deg.v, deg.d, COALESCE(ntri.tri, 0) AS tri
+       |  FROM deg LEFT JOIN ntri ON deg.v = ntri.node
+       |  WHERE deg.d >= 2),
+       |agg AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_nodes_deg2,
+       |    CAST(sum(tri) // 3 AS BIGINT) AS n_triangles,
+       |    CAST(sum(d * (d - 1)) // 2 AS BIGINT) AS n_wedges,
+       |    ${Q.sqlDsumStable(cc, 11)} AS sum_cc
+       |  FROM nd)
+       |SELECT n_nodes_deg2, n_triangles, n_wedges,
+       |  CASE WHEN n_wedges > 0 THEN ${Q.sqlSig9(
+            "CAST(3 * n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE)")}
+       |    END AS transitivity,
+       |  sum_cc,
+       |  CASE WHEN n_nodes_deg2 > 0 THEN ${Q.sqlSig9(
+            "sum_cc / CAST(n_nodes_deg2 AS DOUBLE)")}
+       |    END AS avg_cc
+       |FROM agg""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q_x_pipeline13" -> pipeline13Q,
+    "q_x_ppr" -> pprQ,
+    "q_x_clustering_coef" -> ccoefQ,
     "q_x_modularity" -> modularityQ,
     "q_x_fs_link" -> fsLinkQ,
     "q_x_assortativity" -> assortQ,
@@ -920,6 +1148,9 @@ object LinkQueries {
     "q_x_scd2" -> scd2)
 
   val oracles: Map[String, String] = Map(
+    "q_x_pipeline13" -> pipeline13Sql,
+    "q_x_ppr" -> pprSql,
+    "q_x_clustering_coef" -> ccoefSql,
     "q_x_modularity" -> modularitySql,
     "q_x_fs_link" -> fsLinkSql,
     "q_x_assortativity" -> assortSql,

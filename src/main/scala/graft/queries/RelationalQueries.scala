@@ -584,7 +584,36 @@ object RelationalQueries {
        |FROM events GROUP BY 1""".stripMargin
   }
 
+  // ===== 2-D skyline (Pareto frontier) ==================================
+
+  /** Part-catalog Pareto frontier on (minimize p_retailprice, maximize
+    * p_size) via [[graft.ext.Skyline.skyline2d]] — grid-pruned: one
+    * broadcast prefix-max kills cross-bucket dominance, only same-
+    * bucket pairs meet in an equi-join. The oracle is the NOT-EXISTS
+    * dominance definition verbatim, so the pruning must be
+    * result-invariant (any binning yields the same frontier). */
+  private val skylineQ: QFn = (s, d) =>
+    graft.ext.Skyline.skyline2d(
+      Tables.part(s, d).select(col("p_partkey"), col("p_retailprice"),
+        col("p_size")),
+      "p_partkey", "p_retailprice", "p_size", 64)
+      .select(col("p_partkey").cast("long").as("p_partkey"),
+        col("p_retailprice"),
+        col("p_size").cast("long").as("p_size"))
+
+  private val skylineSql =
+    """SELECT CAST(p.p_partkey AS BIGINT) AS p_partkey,
+      |  p.p_retailprice, CAST(p.p_size AS BIGINT) AS p_size
+      |FROM part p
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM part q
+      |  WHERE q.p_retailprice <= p.p_retailprice
+      |    AND q.p_size >= p.p_size
+      |    AND (q.p_retailprice < p.p_retailprice
+      |      OR q.p_size > p.p_size))""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q_x_skyline" -> skylineQ,
     "q_g11_pivot" -> g11Pivot,
     "q_f1_date_filter" -> f1,
     "q_f3_ip_parse" -> f3,
@@ -613,6 +642,7 @@ object RelationalQueries {
     "q_a12_upsert_merge" -> a12)
 
   val oracles: Map[String, String] = Map(
+    "q_x_skyline" -> skylineSql,
     "q_g11_pivot" -> g11PivotSql,
     "q_f1_date_filter" -> f1Sql,
     "q_f3_ip_parse" -> f3Sql,

@@ -902,7 +902,46 @@ object StatsQueries {
        |FROM a0, a1""".stripMargin
   }
 
+  // ===== exact weighted quantiles =====================================
+
+  /** [[graft.ext.Profile.weightedQuantiles]] on lineitem: revenue-
+    * weighted quantity quantiles — "the median shipped unit sits on an
+    * order line of quantity X when lines are weighted by what they
+    * bill". Value domain = the ~50 quantity levels (declared-bounded,
+    * the operator's scale contract); weight = price in cents via
+    * FLOOR(x·100) (the double→int cast-parity rule). All integer:
+    * zero float contract, no global sort, no window in the engine. */
+  private val wquantQ: QFn = (s, d) =>
+    Profile.weightedQuantiles(
+      Tables.lineitem(s, d).select(col("l_quantity").as("v"),
+        floor(col("l_extendedprice") * 100).cast("long").as("w")),
+      "v", "w", Seq(250, 500, 750, 900, 990))
+
+  private val wquantSql =
+    """WITH g AS (
+      |  SELECT CAST(FLOOR(l_quantity) AS BIGINT) AS v,
+      |    CAST(sum(CAST(FLOOR(l_extendedprice * 100) AS BIGINT))
+      |      AS BIGINT) AS w
+      |  FROM lineitem
+      |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+      |  GROUP BY 1),
+      |t AS (SELECT CAST(sum(w) AS BIGINT) AS total_w FROM g),
+      |c AS (SELECT v, w,
+      |        CAST(sum(w) OVER (ORDER BY v) AS BIGINT) AS cum
+      |      FROM g),
+      |qs AS (SELECT unnest([250, 500, 750, 900, 990]) AS q_permille),
+      |hit AS (
+      |  SELECT qs.q_permille, c.v, c.cum, t.total_w,
+      |    row_number() OVER (PARTITION BY qs.q_permille ORDER BY c.v)
+      |      AS rn
+      |  FROM qs CROSS JOIN t
+      |  JOIN c ON c.cum * 1000 >= qs.q_permille * t.total_w)
+      |SELECT CAST(q_permille AS BIGINT) AS q_permille, v AS value,
+      |  cum AS cum_w, total_w
+      |FROM hit WHERE rn = 1""".stripMargin
+
   val queries: Map[String, QFn] = Map(
+    "q_x_weighted_quantile" -> wquantQ,
     "q_x_iv" -> ivQ,
     "q_x_psm" -> psmQ,
     "q_x_rdd" -> rddQ,
@@ -920,6 +959,7 @@ object StatsQueries {
     "q_x_mcnemar" -> mcnemarQ)
 
   val oracles: Map[String, String] = Map(
+    "q_x_weighted_quantile" -> wquantSql,
     "q_x_iv" -> ivSql,
     "q_x_psm" -> psmSql,
     "q_x_rdd" -> rddSql,

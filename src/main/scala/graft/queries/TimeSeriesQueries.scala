@@ -2309,7 +2309,82 @@ object TimeSeriesQueries {
        |FROM words GROUP BY 1""".stripMargin
   }
 
+  // ===== additive Holt-Winters ========================================
+
+  private val hwAlpha = 0.3
+  private val hwBeta = 0.1
+  private val hwGamma = 0.2
+  private val hwPeriod = 7
+
+  /** [[graft.ext.TimeSeries.holtWinters]] on per-nation daily order
+    * revenue (position-indexed over each nation's active days):
+    * level+trend+weekly-seasonal forecasts for the next 7 steps. The
+    * oracle replays the whole recursion as one DuckDB list_reduce over
+    * a packed DOUBLE[] state (the interleave packed-fold idiom) with
+    * the identical sig9 points and Scala-shared (1-const) literals. */
+  private val hwQ: QFn = (s, d) => {
+    val series = Tables.orders(s, d)
+      .join(Tables.customer(s, d),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("o_orderdate"))
+      .agg(Q.dsum(col("o_totalprice")).as("x"))
+    TimeSeries.holtWinters(series, Seq("n_name"), "o_orderdate", "x",
+      hwAlpha, hwBeta, hwGamma, hwPeriod)
+  }
+
+  private val hwSql = {
+    val m = hwPeriod
+    val (omA, omB, omG) = (1.0 - hwAlpha, 1.0 - hwBeta, 1.0 - hwGamma)
+    val lNew = Q.sqlSig9(
+      s"$hwAlpha * (e[1] - acc[3]) + $omA * (acc[1] + acc[2])")
+    // bNew/sNew reference the ALREADY-sig9'd lNew — repeat its full
+    // expression (sig9 is deterministic, double evaluation is safe)
+    val bNew = Q.sqlSig9(s"$hwBeta * (($lNew) - acc[1]) + $omB * acc[2]")
+    val sNew = Q.sqlSig9(s"$hwGamma * (e[1] - ($lNew)) + $omG * acc[3]")
+    s"""WITH series AS (
+       |  SELECT n.n_name, o.o_orderdate AS d,
+       |    ${Q.sqlDsum("o.o_totalprice")} AS x
+       |  FROM orders o
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+       |  GROUP BY 1, 2),
+       |packed AS (
+       |  SELECT n_name, CAST(count(*) AS BIGINT) AS n,
+       |    list(x ORDER BY d) AS xs
+       |  FROM series GROUP BY 1
+       |  HAVING count(*) >= ${2 * m}),
+       |ini AS (
+       |  SELECT n_name, n, xs,
+       |    ${Q.sqlSig9(s"${Q.sqlFold(s"xs[1:$m]")} / $m.0")} AS l0,
+       |    ${Q.sqlSig9(s"${Q.sqlFold(s"list_transform(range(1, ${m + 1}), " +
+            s"i -> xs[i + $m] - xs[i])")} / ${m * m}.0")} AS b0
+       |  FROM packed),
+       |st0 AS (
+       |  SELECT n_name, n, xs,
+       |    list_concat([l0, b0],
+       |      list_transform(xs[1:$m],
+       |        x -> ${Q.sqlSig9("x - l0")})) AS s0
+       |  FROM ini),
+       |hw AS (
+       |  SELECT n_name, n,
+       |    list_reduce(
+       |      list_prepend(s0,
+       |        list_transform(xs[${m + 1}:], x -> [x])),
+       |      (acc, e) -> list_concat(
+       |        list_concat([$lNew, $bNew], acc[4:]), [$sNew])) AS st
+       |  FROM st0),
+       |hs AS (SELECT unnest(range(1, ${m + 1})) AS h)
+       |SELECT hw.n_name, hw.n, CAST(hs.h AS BIGINT) AS h,
+       |  st[1] AS level, st[2] AS trend,
+       |  ${Q.sqlSig9("st[1] + CAST(hs.h AS DOUBLE) * st[2] + " +
+            "st[CAST(hs.h + 2 AS INT)]")} AS forecast
+       |FROM hw CROSS JOIN hs""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q_x_holt_winters" -> hwQ,
     "q_x_sax" -> saxQ,
     "q_x_qte" -> qteQ,
     "q_x_dispersion" -> dispersionQ,
@@ -2356,6 +2431,7 @@ object TimeSeriesQueries {
     "q_x_agg_merge" -> aggMergeQ)
 
   val oracles: Map[String, String] = Map(
+    "q_x_holt_winters" -> hwSql,
     "q_x_sax" -> saxSql,
     "q_x_qte" -> qteSql,
     "q_x_dispersion" -> dispersionSql,

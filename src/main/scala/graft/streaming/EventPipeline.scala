@@ -550,6 +550,60 @@ object EventPipeline {
       }
   }
 
+  /** Bottom-k hash state: the <= k smallest distinct user-id hashes —
+    * O(k) longs per stream, and itself a valid KMV sketch. */
+  case class KmvState(hs: Seq[Long], nSeen: Long)
+
+  case class KmvCount(stream: String, n_sketch: Long, est: Double,
+                      n_seen: Long)
+
+  /** Streaming distinct-count monitor with set-operation-capable
+    * state — the live face of [[graft.ext.Sketch.kmvSketch]]: per
+    * stream (event_type), the k smallest distinct user-id hashes in
+    * O(k) state, the KMV estimate re-emitted every micro-batch.
+    * Bottom-k union is order-free (min-k merge is associative and
+    * commutative), so like the HLL/Benford/CMS monitors this face has
+    * no in-order-delivery caveat. Unlike the HLL monitor, the state
+    * itself is a KMV sketch: two streams' states feed
+    * [[graft.ext.Sketch.kmvSetEstimates]] directly for live union /
+    * INTERSECTION distinct counts.
+    *
+    * Numeric contract: the SAME salted portable hash
+    * ([[graft.ext.Hashing.hash60Local]], preimage "salt:user"), the
+    * same (k−1)·H/h_(k) estimate with the same single sig9 point and
+    * the same exact-below-k branch — so after any batch prefix the
+    * emitted row equals `kmvEstimate(kmvSketch(prefix))` on the same
+    * events (spec-pinned). */
+  def kmvMonitor(events: Dataset[Event], spark: SparkSession,
+      k: Int = 128, salt: String = "kmv"): Dataset[KmvCount] = {
+    import spark.implicits._
+    require(k >= 2, s"kmvMonitor: need k >= 2, got $k")
+    events
+      .groupByKey(_.event_type)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[Event], state: GroupState[KmvState]) =>
+          val st = state.getOption.getOrElse(KmvState(Seq.empty, 0L))
+          var set = scala.collection.immutable.SortedSet(st.hs: _*)
+          var seen = st.nSeen
+          it.foreach { e =>
+            seen += 1
+            val h = graft.ext.Hashing.hash60Local(s"$salt:${e.user_id}")
+            if (!set.contains(h) && (set.size < k || h < set.max)) {
+              set += h
+              if (set.size > k) set -= set.max
+            }
+          }
+          state.update(KmvState(set.toSeq, seen))
+          import graft.functions.GraftMath.sig9
+          val n = set.size.toLong
+          val est = sig9(
+            if (n < k) n.toDouble
+            else (k - 1).toDouble * graft.ext.Sketch.KmvH /
+              set.max.toDouble)
+          KmvCount(key, n, est, seen)
+      }
+  }
+
   /** Sparse HLL register state: occupied (bucket, maxRho) pairs —
     * bounded at 2^p entries per stream. */
   case class HllState(regs: Map[Long, Long])

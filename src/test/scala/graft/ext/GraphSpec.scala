@@ -454,4 +454,64 @@ class GraphSpec extends SparkSpec {
     assert(java.nio.file.Files.list(java.nio.file.Paths.get(dir))
       .count() > 0)
   }
+
+  test("personalizedPageRank: hand-computed trajectory, zero mass on " +
+      "unreachable nodes, dangling mass returns to seeds") {
+    import spark.implicits._
+    def run(edges: Seq[(Long, Long)], nodes: Seq[Long], seeds: Seq[Long],
+        iters: Int) = Graph.personalizedPageRank(
+      edges.map { case (a, b) => (a, b, 1L) }.toDF("a", "b", "w"),
+      "a", "b", "w", nodes.toDF("v"), "v", seeds.toDF("s"), "s",
+      iters, damping = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // 2-cycle + isolated node, seed {1}: hand-rolled masses after 2
+    // rounds are (2.25, 0.75, 0) of n=3 -> ranks (0.75, 0.25, 0)
+    val cyc = run(Seq((1L, 2L), (2L, 1L)), Seq(1L, 2L, 3L), Seq(1L), 2)
+    assert(cyc === Map(1L -> 0.75, 2L -> 0.25, 3L -> 0.0))
+    // 1 -> 2 with 2 dangling: round 2 returns 2's mass to the seed
+    val dang = run(Seq((1L, 2L)), Seq(1L, 2L, 3L), Seq(1L), 2)
+    assert(dang === Map(1L -> 0.75, 2L -> 0.25, 3L -> 0.0))
+    // mass sums to 1 on a bigger graph; seeds outside nodes rejected
+    val big = run((1L to 20L).map(i => (i, i % 20 + 1)),
+      (1L to 25L), Seq(5L, 7L), 3)
+    assert(math.abs(big.values.sum - 1.0) < 1e-7)
+    assert(big(23L) === 0.0)
+    val err = intercept[IllegalArgumentException] {
+      run(Seq((1L, 2L)), Seq(1L, 2L), Seq(99L), 1)
+    }
+    assert(err.getMessage.contains("seed set is empty"))
+  }
+
+  test("clusteringCoef: K3 is fully clustered, P3 and a star have " +
+      "zero clustering, K4 minus an edge is hand-exact") {
+    import spark.implicits._
+    def row(e: Seq[(Long, Long)]) =
+      Graph.clusteringCoef(e.toDF("a", "b"), "a", "b").collect()(0)
+    val k3 = row(Seq((1L, 2L), (2L, 3L), (1L, 3L)))
+    assert(k3.getAs[Long]("n_triangles") === 1L &&
+      k3.getAs[Long]("n_wedges") === 3L &&
+      k3.getAs[Double]("transitivity") === 1.0 &&
+      k3.getAs[Double]("avg_cc") === 1.0)
+    val p3 = row(Seq((1L, 2L), (2L, 3L)))
+    assert(p3.getAs[Long]("n_nodes_deg2") === 1L &&
+      p3.getAs[Long]("n_triangles") === 0L &&
+      p3.getAs[Double]("transitivity") === 0.0 &&
+      p3.getAs[Double]("avg_cc") === 0.0)
+    val star = row(Seq((9L, 1L), (9L, 2L), (9L, 3L), (9L, 4L)))
+    assert(star.getAs[Long]("n_wedges") === 6L &&
+      star.getAs[Double]("transitivity") === 0.0)
+    // K4 minus edge (3,4): tri(1)=tri(2)=2 of d=3 wedges (cc=2/3),
+    // tri(3)=tri(4)=1 of d=2 (cc=1); T=2, wedges=3+3+1+1=8
+    val k4m = row(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L)))
+    assert(k4m.getAs[Long]("n_triangles") === 2L &&
+      k4m.getAs[Long]("n_wedges") === 8L)
+    assert(math.abs(k4m.getAs[Double]("transitivity") - 0.75) < 1e-9)
+    assert(math.abs(k4m.getAs[Double]("avg_cc") -
+      (2.0 / 3 + 2.0 / 3 + 1 + 1) / 4) < 1e-8)
+    // a two-node graph has no deg-2 node: NULLs, not 0/0
+    val e2 = row(Seq((1L, 2L)))
+    assert(e2.getAs[Long]("n_nodes_deg2") === 0L &&
+      e2.isNullAt(e2.fieldIndex("transitivity")) &&
+      e2.isNullAt(e2.fieldIndex("avg_cc")))
+  }
 }

@@ -279,4 +279,50 @@ class LayoutSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("1 new, 1 vanished"))
   }
+
+  /** Classic reference xy→d (Wikipedia "Hilbert curve", converted from
+    * the C d2xy/xy2d pair) — the independent twin the fold must match. */
+  private def refHilbert(x0: Long, y0: Long, bits: Int): Long = {
+    var (x, y, d) = (x0, y0, 0L)
+    var s = 1L << (bits - 1)
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  test("hilbertValue: bijective on the full 8x8 grid, consecutive " +
+      "cells are grid-adjacent, and the fold matches the reference") {
+    val cells = for (x <- 0L until 8L; y <- 0L until 8L) yield (x, y)
+    val got = cells.map { case (x, y) => (x, y) }.toDF("x", "y")
+      .select(col("x"), col("y"),
+        Layout.hilbertValue(col("x"), col("y"), 3).as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    cells.foreach { case (x, y) =>
+      assert(got((x, y)) === refHilbert(x, y, 3), s"($x,$y)")
+    }
+    assert(got.values.toSeq.sorted === (0L until 64L)) // bijection
+    val byD = got.map(_.swap)
+    (0L until 63L).foreach { d => // the curve never jumps
+      val (x1, y1) = byD(d); val (x2, y2) = byD(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1L, s"d=$d")
+    }
+    // wide-bits parity on scattered points, incl. masking wrap
+    val pts = Seq((0L, 0L), (65535L, 65535L), (12345L, 54321L),
+      (99999L, 3L), (1L << 20, 7L))
+    val wide = pts.toDF("x", "y")
+      .select(Layout.hilbertValue(col("x"), col("y"), 16).as("d"))
+      .collect().map(_.getLong(0))
+    pts.zip(wide).foreach { case ((x, y), d) =>
+      assert(d === refHilbert(x & 65535, y & 65535, 16), s"($x,$y)")
+    }
+  }
 }

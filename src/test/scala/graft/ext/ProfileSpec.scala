@@ -847,4 +847,41 @@ class ProfileSpec extends SparkSpec {
       degen.getAs[Double]("ks") === 0.0 &&
       degen.getAs[Double]("chi2") === 0.0)
   }
+
+  // ===== exact weighted quantiles =======================================
+
+  test("weightedQuantiles: hand-computed picks, boundary landing, and " +
+      "weight concentration") {
+    import org.apache.spark.sql.Row
+    // values 1,2,3 with weights 1,2,1 (total 4): cum 1,3,4
+    val df = Seq((1L, 1L), (2L, 2L), (3L, 1L)).toDF("v", "w")
+      .repartition(3)
+    val out = Profile.weightedQuantiles(df, "v", "w",
+      Seq(250, 500, 750, 1000)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // p250: cum 1 * 1000 >= 250*4=1000 -> value 1 (exact boundary)
+    assert(out(250L) === ((1L, 1L)))
+    assert(out(500L) === ((2L, 3L)))  // 3000 >= 2000
+    assert(out(750L) === ((2L, 3L)))  // 3000 >= 3000 boundary
+    assert(out(1000L) === ((3L, 4L)))
+    // all mass on one value: every quantile is that value
+    val one = Profile.weightedQuantiles(
+      Seq((7L, 100L), (9L, 0L)).toDF("v", "w"), "v", "w", Seq(1, 999))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one === Map(1L -> 7L, 999L -> 7L))
+  }
+
+  test("weightedQuantiles: fractional value or weight raises; " +
+      "integral doubles pass") {
+    val ok = Profile.weightedQuantiles(
+      Seq((2.0, 5.0), (4.0, 5.0)).toDF("v", "w"), "v", "w", Seq(500))
+      .collect()(0)
+    assert(ok.getLong(1) === 2L && ok.getLong(3) === 10L)
+    val err = intercept[Exception] {
+      Profile.weightedQuantiles(
+        Seq((2.5, 5.0)).toDF("v", "w"), "v", "w", Seq(500)).collect()
+    }
+    assert(err.getMessage.contains("fractional") ||
+      err.getCause != null)
+  }
 }

@@ -40,4 +40,21 @@ class SurvivalSuiteSpec extends SparkSpec {
       }
     }
   }
+
+  test("rmst integrates a KM step curve exactly, clamps at tau, and " +
+      "treats an empty curve as full survival") {
+    // curve: S=1 on [0,2), 0.5 on [2,5), 0.25 from 5 on
+    val km = Seq((2L, 0.5), (5L, 0.25)).toDF("dur_days", "survival")
+    def r(tau: Long, df: org.apache.spark.sql.DataFrame = km) =
+      Behavior.rmst(df, tau).collect()(0)
+    val full = r(10L)
+    assert(full.getLong(0) === 10L && full.getLong(1) === 2L)
+    assert(full.getDouble(2) === 2.0 + 0.5 * 3 + 0.25 * 5) // 4.75
+    assert(r(4L).getDouble(2) === 3.0)  // 1*2 + 0.5*2, tail clamped out
+    assert(r(1L).getDouble(2) === 1.0)  // inside the first step
+    assert(r(0L).getDouble(2) === 0.0)
+    val empty = r(7L, Seq.empty[(Long, Double)].toDF("dur_days",
+      "survival"))
+    assert(empty.getLong(1) === 0L && empty.getDouble(2) === 7.0)
+  }
 }

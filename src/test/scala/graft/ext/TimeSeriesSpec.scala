@@ -567,4 +567,46 @@ class TimeSeriesSpec extends SparkSpec {
     val r = got("r")
     assert(near(r._4, 0.0) && near(r._5, 0.0) && near(r._6, -1.0))
   }
+
+  test("holtWinters matches an independent plain-Scala recursion " +
+      "bit-for-bit and drops sub-2m series") {
+    import graft.functions.GraftMath.{sig9 => s9}
+    val (a, b, g, m) = (0.3, 0.1, 0.2, 3)
+    // trend + period-3 seasonality, 12 points
+    val xs = (0 until 12).map(t =>
+      10.0 + 0.5 * t + Seq(2.0, -1.0, -1.0)(t % 3))
+    // independent reference with the engine's exact sig9 points
+    val (omA, omB, omG) = (1.0 - a, 1.0 - b, 1.0 - g)
+    var l = s9(xs.take(m).foldLeft(0.0)(_ + _) / m)
+    var tr = s9((1 to m).map(i => xs(m + i - 1) - xs(i - 1))
+      .foldLeft(0.0)(_ + _) / (m * m))
+    var seas = xs.take(m).map(x => s9(x - l)).toVector
+    for (t <- m until xs.length) {
+      val sOld = seas.head
+      val lNew = s9(a * (xs(t) - sOld) + omA * (l + tr))
+      val bNew = s9(b * (lNew - l) + omB * tr)
+      val sNew = s9(g * (xs(t) - lNew) + omG * sOld)
+      l = lNew; tr = bNew; seas = seas.tail :+ sNew
+    }
+    val df = xs.zipWithIndex.map { case (x, i) => ("s", i.toLong, x) }
+      .toDF("k", "o", "x")
+      .unionAll(Seq(("short", 0L, 1.0), ("short", 1L, 2.0),
+        ("short", 2L, 3.0), ("short", 3L, 4.0), ("short", 4L, 5.0))
+        .toDF("k", "o", "x")) // 5 < 2m = 6: dropped
+    val out = TimeSeries.holtWinters(df, Seq("k"), "o", "x", a, b, g, m)
+      .collect()
+    assert(out.forall(_.getString(0) == "s") && out.length === m)
+    out.foreach { r =>
+      val h = r.getAs[Long]("h").toInt
+      assert(r.getAs[Double]("level") === l, "level")
+      assert(r.getAs[Double]("trend") === tr, "trend")
+      assert(r.getAs[Double]("forecast") ===
+        s9(l + h.toDouble * tr + seas(h - 1)), s"forecast h=$h")
+    }
+    // sanity: the fit tracks the construction (trend ~ 0.5,
+    // forecasts continue the seasonal pattern's shape)
+    assert(math.abs(tr - 0.5) < 0.2)
+    val f = out.sortBy(_.getAs[Long]("h")).map(_.getAs[Double]("forecast"))
+    assert(f(0) > f(1) && f(0) > f(2)) // the +2 season leads the -1s
+  }
 }

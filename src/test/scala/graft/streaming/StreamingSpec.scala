@@ -881,6 +881,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("kmvMonitor: estimate equals batch kmvSketch+kmvEstimate on " +
+      "every batch prefix, including past the truncation point") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val mkEvents = (ids: Seq[Long], stream: String, base: Long) =>
+      ids.zipWithIndex.map { case (u, i) =>
+        Event(base + i, ts("2024-03-01 10:00:00"), u, stream, 1.0)
+      }
+    val k = 8 // small k so batch 2 pushes "click" past truncation
+    val batch1 = mkEvents((1L to 5L) ++ Seq(3L, 3L), "click", 100L) ++
+      mkEvents(Seq(50L, 51L), "view", 300L)
+    val batch2 = mkEvents((6L to 20L), "click", 400L) ++
+      mkEvents(Seq(50L, 52L), "view", 600L)
+    val ms = MemoryStream[Event]
+    val q = EventPipeline.kmvMonitor(ms.toDS(), spark, k = k)
+      .writeStream.format("memory").queryName("kmv_counts")
+      .outputMode("update").start()
+    def latest() = spark.table("kmv_counts")
+      .groupBy(col("stream"))
+      .agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.struct(
+          col("n_seen"), col("n_sketch"), col("est"))).as("s"))
+      .collect().map(r => r.getString(0) ->
+        (r.getStruct(1).getLong(1), r.getStruct(1).getDouble(2))).toMap
+    def batchEst(evs: Seq[Event], stream: String) = {
+      val items = evs.filter(_.event_type == stream).toDF()
+        .select(col("user_id"), col("event_type"))
+      val sk = graft.ext.Sketch.kmvSketch(items, "user_id",
+        "event_type", k, "kmv")
+      graft.ext.Sketch.kmvEstimate(sk, k).collect()(0) match {
+        case r => (r.getLong(0), r.getDouble(1))
+      }
+    }
+    try {
+      ms.addData(batch1); q.processAllAvailable()
+      assert(latest()("click") === batchEst(batch1, "click"))
+      assert(latest()("view") === batchEst(batch1, "view"))
+      // below k the estimate is the exact distinct count
+      assert(latest()("click")._2 === 5.0)
+      ms.addData(batch2); q.processAllAvailable()
+      val all = batch1 ++ batch2
+      assert(latest()("click") === batchEst(all, "click"))
+      assert(latest()("view") === batchEst(all, "view"))
+      assert(latest()("click")._1 === k.toLong) // truncated at k
+    } finally q.stop()
+  }
+
   test("growthMonitor deltas aggregate to the batch growth " +
       "accounting across odd batch splits, incl. timeout churn") {
     implicit val ctx = spark.sqlContext
