@@ -323,19 +323,21 @@ object Sketch {
             .otherwise(lit((k - 1).toDouble) * lit(KmvH) /
               col("theta").cast("double"))).as("est"))
 
-  /** Union + intersection distinct estimates from two [[kmvSketch]]es
-    * built with the SAME (k, salt) (Beyer et al. 2007): the union
-    * sketch K∪ = bottom-k of the two hash sets; est_union from K∪'s
-    * k-th hash as in [[kmvEstimate]]; est_intersect = rho/k' ·
-    * est_union where rho counts K∪ hashes present in BOTH sides and
-    * k' = |K∪|. Membership flags inside K∪ are faithful by the
-    * bottom-k order (an A∩B hash above A's threshold cannot reach K∪:
-    * all k of A's smaller hashes precede it), so rho is well-defined
-    * from the sketches alone. When k' < k both inputs were exact and
-    * both estimates are exact counts. Everything folds over ONE
+  /** Union, intersection and difference distinct estimates from two
+    * [[kmvSketch]]es built with the SAME (k, salt) (Beyer et al.
+    * 2007): the union sketch K∪ = bottom-k of the two hash sets;
+    * est_union from K∪'s k-th hash as in [[kmvEstimate]]; for any
+    * membership class C of K∪ (both sides, A-only, B-only),
+    * est_C = |C|/k' · est_union with k' = |K∪| — so intersection AND
+    * both set differences fall out of the same bounded frame.
+    * Membership flags inside K∪ are faithful by the bottom-k order
+    * (an A∩B hash above A's threshold cannot reach K∪: all k of A's
+    * smaller hashes precede it). When k' < k both inputs were exact
+    * and every estimate is an exact count. Everything folds over ONE
     * bounded (<= 2k) packed array; only the final scalings sig9.
     *
-    * @return rows (set_label, n_sketch, est) for "union", "intersect" */
+    * @return rows (set_label, n_sketch, est) for "union",
+    *         "intersect", "a_not_b", "b_not_a" */
   def kmvSetEstimates(skA: DataFrame, skB: DataFrame,
       k: Int): DataFrame = {
     import graft.queries.Q
@@ -343,28 +345,41 @@ object Sketch {
       .join(skB.select(col("h"), lit(1L).as("ib")), Seq("h"), "full")
       .select(col("h"), coalesce(col("ia"), lit(0L)).as("ia"),
         coalesce(col("ib"), lit(0L)).as("ib"))
+    def classCount(f: org.apache.spark.sql.Column =>
+        org.apache.spark.sql.Column) =
+      (acc: org.apache.spark.sql.Column,
+        e: org.apache.spark.sql.Column) => acc + f(e)
     val packed = both
       .agg(slice(array_sort(collect_list(struct(col("h"), col("ia"),
         col("ib")))), 1, k).as("arr"))
       .select(size(col("arr")).cast("long").as("kp"),
         element_at(col("arr"), size(col("arr")))
           .getField("h").as("theta"),
-        aggregate(col("arr"), lit(0L),
-          (acc, e) => acc + e.getField("ia") * e.getField("ib"))
-          .as("rho"))
+        aggregate(col("arr"), lit(0L), classCount(e =>
+          e.getField("ia") * e.getField("ib"))).as("rho"),
+        aggregate(col("arr"), lit(0L), classCount(e =>
+          e.getField("ia") * (lit(1L) - e.getField("ib"))))
+          .as("rho_a"),
+        aggregate(col("arr"), lit(0L), classCount(e =>
+          (lit(1L) - e.getField("ia")) * e.getField("ib")))
+          .as("rho_b"))
     val estU = Q.sig9(
       when(col("kp") < k, col("kp").cast("double"))
         .otherwise(lit((k - 1).toDouble) * lit(KmvH) /
           col("theta").cast("double")))
-    val withU = packed.select(col("kp"), col("rho"), estU.as("est_u"))
-    val union = withU.select(lit("union").as("set_label"),
-      col("kp").as("n_sketch"), col("est_u").as("est"))
-    val inter = withU.select(lit("intersect").as("set_label"),
-      col("rho").as("n_sketch"),
-      when(col("kp") < k, col("rho").cast("double"))
-        .otherwise(Q.sig9(col("rho").cast("double") * col("est_u") /
-          lit(k.toDouble))).as("est"))
-    union.unionAll(inter)
+    val withU = packed.select(col("kp"), col("rho"), col("rho_a"),
+      col("rho_b"), estU.as("est_u"))
+    def classRow(label: String, rhoCol: String) =
+      withU.select(lit(label).as("set_label"),
+        col(rhoCol).as("n_sketch"),
+        when(col("kp") < k, col(rhoCol).cast("double"))
+          .otherwise(Q.sig9(col(rhoCol).cast("double") * col("est_u") /
+            lit(k.toDouble))).as("est"))
+    withU.select(lit("union").as("set_label"),
+        col("kp").as("n_sketch"), col("est_u").as("est"))
+      .unionAll(classRow("intersect", "rho"))
+      .unionAll(classRow("a_not_b", "rho_a"))
+      .unionAll(classRow("b_not_a", "rho_b"))
   }
 
   /** Join-cardinality estimate from two [[countMin]] sketches built

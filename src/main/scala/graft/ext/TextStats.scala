@@ -299,6 +299,35 @@ object TextStats {
       .select(col("tok"), col("cnt"), col("n_total"))
   }
 
+  /** Per-group exact heavy hitters — [[heavyHitters]] with the
+    * Misra–Gries candidate pass keyed by a group column: one
+    * GROUPED TypedImperativeAggregate pass bounds candidates at 4k
+    * PER GROUP (the native sketch agg composes under groupBy — its
+    * partial states merge map-side per group key, so shuffle stays
+    * O(groups · k) however large the corpus), then the verify join is
+    * keyed on (group, token). Output is EXACT per group, same
+    * contract as the global operator.
+    *
+    * @return (groupCol, tok, cnt, n_total) for per-group tokens with
+    *         cnt · k > that group's n_total */
+  def heavyHittersBy(docs: DataFrame, groupCol: String, k: Int,
+                     textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(groupCol).as("grp"),
+      explode(Hashing.tokens(col(textCol))).as("tok"))
+    val summary = toks.groupBy(col("grp")).agg(
+      graft.functions.SketchAggs.misraGries(col("tok"), 4 * k)
+        .as("cands"),
+      count(lit(1)).as("n_total"))
+    val cands = summary.select(col("grp"), col("n_total"),
+      explode(col("cands")).as("tok"))
+    toks.join(cands, Seq("grp", "tok"))
+      .groupBy(col("grp"), col("tok"), col("n_total"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * k > col("n_total"))
+      .select(col("grp").as(groupCol), col("tok"), col("cnt"),
+        col("n_total"))
+  }
+
   /** Vocabulary-growth (Heaps-law) curve: cumulative distinct-token
     * count vs cumulative token count at `checkpoints` evenly spaced
     * points of the ingest order (doc_id ascending) — the standard

@@ -876,6 +876,104 @@ object TimeSeries {
       .agg(count(lit(1)).cast("long").as("n_series"))
   }
 
+  /** Kleinberg 2-state burst detection (Kleinberg 2002 "Bursty and
+    * hierarchical structure in streams", the enumerated/batched
+    * variant): label each time bin of a (relevant r_t, total n_t)
+    * count series as BASE (0) or BURST (1) by the minimum-cost state
+    * sequence under binomial emission costs
+    *   cost_q(t) = −(r_t·ln p_q + (n_t − r_t)·ln(1 − p_q)),
+    * p0 = ΣR/ΣN, p1 = min(s·p0, 0.999999), with an entry toll
+    * tau = gamma·ln T on 0→1 transitions (leaving a burst is free) —
+    * the classic "is this topic/event spiking" labeler that a fixed
+    * threshold gets wrong on varying daily volume. The binomial
+    * coefficient is state-independent and cancels in the argmin, so
+    * it is dropped on both engines.
+    *
+    * Scale shape: the bin grid is bounded (days of the log), packs
+    * into ONE array row; the Viterbi forward pass is one fold whose
+    * state carries [c0, c1, decisions...], the backtrack a second
+    * fold over the decision tape. Determinism: every cost, the toll
+    * and each per-step running cost is sig9'd (drift cannot
+    * accumulate); ties prefer the current state's self-loop — one
+    * shared rule on both engines.
+    *
+    * @param bins one row per bin: (orderCol unique, rCol, nCol)
+    * @return one row per bin: (orderCol, r, n, state 0/1) */
+  def burstStates(bins: DataFrame, orderCol: String, rCol: String,
+      nCol: String, s: Double, gamma: Double): DataFrame = {
+    import graft.queries.Q
+    require(s > 1, s"burstStates: s must be > 1, got $s")
+    require(gamma >= 0, s"burstStates: gamma must be >= 0, got $gamma")
+    val packed = bins
+      .select(col(orderCol).as("o"), col(rCol).cast("long").as("r"),
+        col(nCol).cast("long").as("n"))
+      .agg(array_sort(collect_list(struct(col("o"), col("r"),
+        col("n")))).as("arr"),
+        sum(col("r")).cast("long").as("rt"),
+        sum(col("n")).cast("long").as("nt"),
+        count(lit(1)).cast("long").as("t"))
+    // run-level scalars (each a single IEEE chain, sig9'd where libm
+    // enters); p1 caps below 1 so ln(1-p1) stays finite under ANSI
+    val p0 = col("rt").cast("double") / col("nt").cast("double")
+    val p1 = least(lit(s) * p0, lit(0.999999))
+    val scal = packed
+      .withColumn("__lp0", Q.sig9(log(p0)))
+      .withColumn("__l10", Q.sig9(log(lit(1.0) - p0)))
+      .withColumn("__lp1", Q.sig9(log(p1)))
+      .withColumn("__l11", Q.sig9(log(lit(1.0) - p1)))
+      .withColumn("__tau", Q.sig9(lit(gamma) *
+        log(col("t").cast("double"))))
+    def cost(lp: String, l1: String)(e: Column) = Q.sig9(
+      -(e.getField("r").cast("double") * col(lp) +
+        (e.getField("n") - e.getField("r")).cast("double") * col(l1)))
+    val withCosts = scal.withColumn("__costs",
+      transform(col("arr"), e =>
+        array(cost("__lp0", "__l10")(e), cost("__lp1", "__l11")(e))))
+    // forward Viterbi: state = [c0, c1, d0_1, d1_1, ..., d0_t, d1_t];
+    // start in base state (c1 seeded effectively-infinite — a finite
+    // literal: +inf would poison sig9 and NaN-compare)
+    val fwd = aggregate(col("__costs"),
+      array(lit(0.0), lit(1.0e15)), (acc, e) => {
+        val c0 = element_at(acc, 1)
+        val c1 = element_at(acc, 2)
+        val stay0 = c0 <= c1
+        val m0 = when(stay0, c0).otherwise(c1)
+        val d0 = when(stay0, lit(0.0)).otherwise(lit(1.0))
+        val stay1 = c1 <= c0 + col("__tau")
+        val m1 = when(stay1, c1).otherwise(c0 + col("__tau"))
+        val d1 = when(stay1, lit(1.0)).otherwise(lit(0.0))
+        concat(
+          array(Q.sig9(m0 + element_at(e, 1)),
+            Q.sig9(m1 + element_at(e, 2))),
+          slice(acc, lit(3), size(acc) - 2),
+          array(d0, d1))
+      })
+    val withFwd = withCosts.withColumn("__st", fwd)
+    // backtrack over the decision tape: head of the accumulator is
+    // the state at bin t; prepend its predecessor each step
+    val lastState = when(element_at(col("__st"), 1) <=
+      element_at(col("__st"), 2), lit(0.0)).otherwise(lit(1.0))
+    val states = aggregate(
+      reverse(sequence(lit(2L), greatest(col("t"), lit(2L)))),
+      array(lastState), (acc, tt) => {
+        val head = element_at(acc, 1)
+        val d0 = element_at(col("__st"),
+          (lit(3L) + lit(2L) * (tt - 1L)).cast("int"))
+        val d1 = element_at(col("__st"),
+          (lit(4L) + lit(2L) * (tt - 1L)).cast("int"))
+        concat(array(when(head === 0.0, d0).otherwise(d1)), acc)
+      })
+    val withStates = withFwd.withColumn("__states",
+      when(col("t") === 1L, array(lastState)).otherwise(states))
+    withStates
+      .select(col("arr"), posexplode(col("__states")).as(Seq("i", "s")))
+      .select(element_at(col("arr"), col("i") + 1).getField("o")
+          .as(orderCol),
+        element_at(col("arr"), col("i") + 1).getField("r").as("r"),
+        element_at(col("arr"), col("i") + 1).getField("n").as("n"),
+        col("s").cast("long").as("state"))
+  }
+
   /** Additive Holt–Winters triple exponential smoothing (Winters 1960;
     * Hyndman & Athanasopoulos FPP §8.3) with FIXED smoothing constants
     * — the level+trend+SEASONALITY member the smoothing family was

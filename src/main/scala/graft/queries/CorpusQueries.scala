@@ -813,6 +813,32 @@ object CorpusQueries {
       |GROUP BY tok, n_total
       |HAVING COUNT(*) * 40 > n_total""".stripMargin
 
+  // ===== per-source exact heavy hitters =================================
+
+  /** [[graft.ext.TextStats.heavyHittersBy]]: the grouped face of
+    * `q_x_heavy_hitters` — per SOURCE heavy tokens (the per-slice "what
+    * dominates this corpus shard" QA view). One grouped Misra–Gries
+    * pass (O(groups·4k) shuffle), keyed verify join; exact output, the
+    * oracle is the per-group definition. */
+  private val heavyHittersByQ: QFn = (s, d) =>
+    graft.ext.TextStats.heavyHittersBy(Tables.documents(s, d),
+      "source", k = 40)
+
+  private val heavyHittersBySql =
+    """WITH toks AS (
+      |  SELECT source,
+      |    unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+      |      AS tok
+      |  FROM documents),
+      |tot AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_total FROM toks
+      |  GROUP BY 1)
+      |SELECT t.source, t.tok, CAST(count(*) AS BIGINT) AS cnt,
+      |  tot.n_total
+      |FROM toks t JOIN tot USING (source)
+      |GROUP BY t.source, t.tok, tot.n_total
+      |HAVING count(*) * 40 > tot.n_total""".stripMargin
+
   // ===== DSIR importance resampling =====================================
 
   /** Target domain = source 'src0'; corpus = all documents. The full
@@ -1892,6 +1918,10 @@ object CorpusQueries {
       .unionAll(cnt(db, "b"))
       .unionAll(cnt(da.unionAll(db).distinct(), "union"))
       .unionAll(cnt(da.join(db, "o_custkey"), "intersect"))
+      .unionAll(cnt(da.join(db, Seq("o_custkey"), "left_anti"),
+        "a_not_b"))
+      .unionAll(cnt(db.join(da, Seq("o_custkey"), "left_anti"),
+        "b_not_a"))
     ests.join(broadcast(exact), Seq("set_label"))
   }
 
@@ -1922,8 +1952,11 @@ object CorpusQueries {
        |        UNION ALL SELECT h, 0 AS ia, 1 AS ib FROM bsk) GROUP BY 1),
        |usk AS (SELECT h, ia, ib FROM u ORDER BY h LIMIT $kmvK),
        |um AS (SELECT CAST(count(*) AS BIGINT) AS kp, max(h) AS theta,
-       |              CAST(sum(ia * ib) AS BIGINT) AS rho FROM usk),
-       |um2 AS (SELECT kp, rho,
+       |              CAST(sum(ia * ib) AS BIGINT) AS rho,
+       |              CAST(sum(ia * (1 - ib)) AS BIGINT) AS rho_a,
+       |              CAST(sum((1 - ia) * ib) AS BIGINT) AS rho_b
+       |       FROM usk),
+       |um2 AS (SELECT kp, rho, rho_a, rho_b,
        |              ${estSql("kp", "theta")} AS est_u FROM um),
        |est AS (
        |  SELECT 'a' AS set_label, n AS n_sketch,
@@ -1933,6 +1966,14 @@ object CorpusQueries {
        |  UNION ALL SELECT 'intersect', rho,
        |    CASE WHEN kp < $kmvK THEN CAST(rho AS DOUBLE)
        |    ELSE ${sqlSig9(s"CAST(rho AS DOUBLE) * est_u / " +
+              s"CAST($kmvK.0 AS DOUBLE)")} END FROM um2
+       |  UNION ALL SELECT 'a_not_b', rho_a,
+       |    CASE WHEN kp < $kmvK THEN CAST(rho_a AS DOUBLE)
+       |    ELSE ${sqlSig9(s"CAST(rho_a AS DOUBLE) * est_u / " +
+              s"CAST($kmvK.0 AS DOUBLE)")} END FROM um2
+       |  UNION ALL SELECT 'b_not_a', rho_b,
+       |    CASE WHEN kp < $kmvK THEN CAST(rho_b AS DOUBLE)
+       |    ELSE ${sqlSig9(s"CAST(rho_b AS DOUBLE) * est_u / " +
               s"CAST($kmvK.0 AS DOUBLE)")} END FROM um2),
        |ex AS (
        |  SELECT 'a' AS set_label,
@@ -1946,7 +1987,15 @@ object CorpusQueries {
        |  UNION ALL SELECT 'intersect', CAST(count(*) AS BIGINT) FROM (
        |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
        |    INTERSECT
-       |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'))
+       |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+       |  UNION ALL SELECT 'a_not_b', CAST(count(*) AS BIGINT) FROM (
+       |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+       |    EXCEPT
+       |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+       |  UNION ALL SELECT 'b_not_a', CAST(count(*) AS BIGINT) FROM (
+       |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+       |    EXCEPT
+       |    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'))
        |SELECT est.set_label, est.n_sketch, est.est, ex.exact
        |FROM est JOIN ex USING (set_label)""".stripMargin
   }
@@ -2053,6 +2102,7 @@ object CorpusQueries {
     "q_x_split" -> splitAssignQ,
     "q_x_zorder" -> zorderQ,
     "q_x_heavy_hitters" -> heavyHittersQ,
+    "q_x_heavy_hitters_by" -> heavyHittersByQ,
     "q_x_dsir" -> dsirQ,
     "q_x_vocab_coverage" -> vocabQ,
     "q_x_novelty" -> noveltyQ,
@@ -2096,6 +2146,7 @@ object CorpusQueries {
     "q_x_split" -> splitAssignSql,
     "q_x_zorder" -> zorderSql,
     "q_x_heavy_hitters" -> heavyHittersSql,
+    "q_x_heavy_hitters_by" -> heavyHittersBySql,
     "q_x_dsir" -> dsirSql,
     "q_x_vocab_coverage" -> vocabSql,
     "q_x_novelty" -> noveltySql,

@@ -2309,6 +2309,94 @@ object TimeSeriesQueries {
        |FROM words GROUP BY 1""".stripMargin
   }
 
+  // ===== Kleinberg burst detection ====================================
+
+  private val burstS = 3.0
+  private val burstGamma = 1.0
+
+  /** [[graft.ext.TimeSeries.burstStates]] on the daily purchase share
+    * (r = purchases, n = all events per day): each day labeled
+    * base/burst by the minimum-cost Viterbi sequence under binomial
+    * emission costs with an entry toll — volume-aware spike labeling a
+    * fixed threshold gets wrong. The oracle replays the forward fold
+    * AND the decision-tape backtrack as two DuckDB list_reduce passes
+    * over packed DOUBLE[] state with identical sig9 points and tie
+    * rules. */
+  private val burstQ: QFn = (s, d) => {
+    val bins = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(when(col("event_type") === "purchase", 1L)
+        .otherwise(0L)).cast("long").as("r"),
+        count(lit(1)).cast("long").as("n"))
+    TimeSeries.burstStates(bins, "day", "r", "n", burstS, burstGamma)
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day_s"),
+        col("r"), col("n"), col("state"))
+  }
+
+  private val burstSql = {
+    val p0 = "(CAST(rt AS DOUBLE) / CAST(nt AS DOUBLE))"
+    val p1 = s"LEAST($burstS * $p0, 0.999999)"
+    val lp0 = Q.sqlSig9(s"ln($p0)")
+    val l10 = Q.sqlSig9(s"ln(1.0 - $p0)")
+    val lp1 = Q.sqlSig9(s"ln($p1)")
+    val l11 = Q.sqlSig9(s"ln(1.0 - $p1)")
+    val tau = Q.sqlSig9(s"$burstGamma * ln(CAST(t AS DOUBLE))")
+    def cost(lp: String, l1: String) = Q.sqlSig9(
+      s"-(CAST(r AS DOUBLE) * ($lp) + CAST(n - r AS DOUBLE) * ($l1))")
+    s"""WITH bins AS (
+       |  SELECT CAST(ts AS DATE) AS day,
+       |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+       |      END) AS BIGINT) AS r,
+       |    CAST(count(*) AS BIGINT) AS n
+       |  FROM events GROUP BY 1),
+       |tot AS (
+       |  SELECT CAST(sum(r) AS BIGINT) AS rt,
+       |    CAST(sum(n) AS BIGINT) AS nt,
+       |    CAST(count(*) AS BIGINT) AS t
+       |  FROM bins),
+       |sc AS (
+       |  SELECT t, $tau AS tau FROM tot),
+       |cs AS (
+       |  SELECT b.day, b.r, b.n,
+       |    ${cost(lp0, l10)} AS c0,
+       |    ${cost(lp1, l11)} AS c1
+       |  FROM bins b CROSS JOIN tot),
+       |packedc AS (
+       |  SELECT list([c0, c1] ORDER BY day) AS costs FROM cs),
+       |fwd AS (
+       |  SELECT sc.t, sc.tau,
+       |    list_reduce(
+       |      list_prepend(CAST([0.0, 1.0e15] AS DOUBLE[]), costs),
+       |      (acc, e) -> list_concat(list_concat([
+       |        ${Q.sqlSig9("CASE WHEN acc[1] <= acc[2] THEN acc[1] " +
+              "ELSE acc[2] END + e[1]")},
+       |        ${Q.sqlSig9("CASE WHEN acc[2] <= acc[1] + tau " +
+              "THEN acc[2] ELSE acc[1] + tau END + e[2]")}],
+       |        acc[3:]),
+       |        [CASE WHEN acc[1] <= acc[2] THEN 0.0 ELSE 1.0 END,
+       |         CASE WHEN acc[2] <= acc[1] + tau THEN 1.0 ELSE 0.0
+       |           END])) AS st
+       |  FROM packedc CROSS JOIN sc),
+       |bk AS (
+       |  SELECT list_reduce(
+       |      list_prepend(
+       |        [CASE WHEN st[1] <= st[2] THEN 0.0 ELSE 1.0 END],
+       |        list_transform(range(0, t - 1),
+       |          i -> [CAST(t - i AS DOUBLE)])),
+       |      (acc, e) -> list_prepend(
+       |        CASE WHEN acc[1] = 0.0
+       |          THEN st[CAST(3 + 2 * (e[1] - 1) AS INT)]
+       |          ELSE st[CAST(4 + 2 * (e[1] - 1) AS INT)] END,
+       |        acc)) AS states
+       |  FROM fwd),
+       |ob AS (
+       |  SELECT day, r, n, row_number() OVER (ORDER BY day) AS rn
+       |  FROM bins)
+       |SELECT strftime(ob.day, '%Y-%m-%d') AS day_s, ob.r, ob.n,
+       |  CAST(bk.states[CAST(ob.rn AS INT)] AS BIGINT) AS state
+       |FROM ob CROSS JOIN bk""".stripMargin
+  }
+
   // ===== additive Holt-Winters ========================================
 
   private val hwAlpha = 0.3
@@ -2385,6 +2473,7 @@ object TimeSeriesQueries {
 
   val queries: Map[String, QFn] = Map(
     "q_x_holt_winters" -> hwQ,
+    "q_x_burst" -> burstQ,
     "q_x_sax" -> saxQ,
     "q_x_qte" -> qteQ,
     "q_x_dispersion" -> dispersionQ,
@@ -2432,6 +2521,7 @@ object TimeSeriesQueries {
 
   val oracles: Map[String, String] = Map(
     "q_x_holt_winters" -> hwSql,
+    "q_x_burst" -> burstSql,
     "q_x_sax" -> saxSql,
     "q_x_qte" -> qteSql,
     "q_x_dispersion" -> dispersionSql,

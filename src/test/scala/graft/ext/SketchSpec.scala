@@ -207,12 +207,20 @@ class SketchSpec extends SparkSpec {
         (r.getLong(1), r.getAs[Double]("est"))).toMap
     assert(small("union") === ((60L, 60.0)))
     assert(small("intersect") === ((20L, 20.0)))
+    assert(small("a_not_b") === ((20L, 20.0)))
+    assert(small("b_not_a") === ((20L, 20.0)))
     // truncated regime: |A|=3000, |B|=3000, overlap 1500, union 4500
     val big = Sketch.kmvSetEstimates(sk(1, 3000, 128),
       sk(1501, 4500, 128), 128).collect()
       .map(r => r.getString(0) -> r.getAs[Double]("est")).toMap
     assert(math.abs(big("union") - 4500.0) / 4500.0 < 0.35)
     assert(math.abs(big("intersect") - 1500.0) / 1500.0 < 0.5)
+    assert(math.abs(big("a_not_b") - 1500.0) / 1500.0 < 0.5)
+    assert(math.abs(big("b_not_a") - 1500.0) / 1500.0 < 0.5)
+    // the four class estimates decompose the union estimate exactly
+    // (rho + rho_a + rho_b = k', and each scales by est_u / k')
+    val parts = Seq("intersect", "a_not_b", "b_not_a").map(big).sum
+    assert(math.abs(parts - big("union")) / big("union") < 1e-6)
   }
 
   // ===== CMS join cardinality =============================================

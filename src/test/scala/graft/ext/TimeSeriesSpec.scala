@@ -568,6 +568,67 @@ class TimeSeriesSpec extends SparkSpec {
     assert(near(r._4, 0.0) && near(r._5, 0.0) && near(r._6, -1.0))
   }
 
+  test("burstStates labels a planted burst window, stays flat on a " +
+      "flat stream, and matches an independent Viterbi bit-for-bit") {
+    import graft.functions.GraftMath.{sig9 => s9}
+    // 20 bins at ~10% relevant, bins 8-12 spike to ~50%
+    val bins: Seq[(Long, Long, Long)] = (1L to 20L).map { t =>
+      if (t >= 8 && t <= 12) (t, 50L, 100L) else (t, 10L, 100L)
+    }
+    def run(b: Seq[(Long, Long, Long)], s: Double, g: Double) =
+      TimeSeries.burstStates(b.toDF("o", "r", "n"), "o", "r", "n", s, g)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val got = run(bins, 3.0, 1.0)
+    (8L to 12L).foreach(t => assert(got(t) === 1L, s"bin $t"))
+    (1L to 7L).foreach(t => assert(got(t) === 0L, s"bin $t"))
+    (13L to 20L).foreach(t => assert(got(t) === 0L, s"bin $t"))
+    // independent forward/backtrack replica with the engine's exact
+    // sig9 points and tie rules
+    def ref(b: Seq[(Long, Long, Long)], s: Double, g: Double) = {
+      val (rt, nt, tn) = (b.map(_._2).sum, b.map(_._3).sum, b.size)
+      val p0 = rt.toDouble / nt.toDouble
+      val p1 = math.min(s * p0, 0.999999)
+      val (lp0, l10) = (s9(StrictMath.log(p0)),
+        s9(StrictMath.log(1.0 - p0)))
+      val (lp1, l11) = (s9(StrictMath.log(p1)),
+        s9(StrictMath.log(1.0 - p1)))
+      val tau = s9(g * StrictMath.log(tn.toDouble))
+      var (c0, c1) = (0.0, 1.0e15)
+      val ds = Array.newBuilder[(Double, Double)]
+      b.foreach { case (_, r, n) =>
+        val k0 = s9(-(r.toDouble * lp0 + (n - r).toDouble * l10))
+        val k1 = s9(-(r.toDouble * lp1 + (n - r).toDouble * l11))
+        val (m0, d0) = if (c0 <= c1) (c0, 0.0) else (c1, 1.0)
+        val (m1, d1) =
+          if (c1 <= c0 + tau) (c1, 1.0) else (c0 + tau, 0.0)
+        ds += ((d0, d1)); c0 = s9(m0 + k0); c1 = s9(m1 + k1)
+      }
+      val dec = ds.result()
+      var cur = if (c0 <= c1) 0.0 else 1.0
+      val out = Array.fill(tn)(0.0); out(tn - 1) = cur
+      for (t <- tn to 2 by -1) {
+        cur = if (cur == 0.0) dec(t - 1)._1 else dec(t - 1)._2
+        out(t - 2) = cur
+      }
+      b.map(_._1).zip(out.map(_.toLong)).toMap
+    }
+    assert(got === ref(bins, 3.0, 1.0))
+    // flat stream: no bursts anywhere
+    val flat = (1L to 15L).map(t => (t, 10L, 100L))
+    assert(run(flat, 3.0, 1.0).values.forall(_ == 0L))
+    assert(run(flat, 3.0, 1.0) === ref(flat, 3.0, 1.0))
+    // a higher entry toll suppresses a 1-bin blip that gamma=0 labels
+    val blip = (1L to 15L).map(t =>
+      if (t == 8) (t, 22L, 100L) else (t, 10L, 100L))
+    assert(run(blip, 3.0, 0.0) === ref(blip, 3.0, 0.0))
+    assert(run(blip, 3.0, 6.0) === ref(blip, 3.0, 6.0))
+    assert(run(blip, 3.0, 0.0)(8L) === 1L)
+    assert(run(blip, 3.0, 6.0)(8L) === 0L)
+    // single-bin series
+    assert(run(Seq((1L, 5L, 10L)), 2.0, 1.0) ===
+      ref(Seq((1L, 5L, 10L)), 2.0, 1.0))
+  }
+
   test("holtWinters matches an independent plain-Scala recursion " +
       "bit-for-bit and drops sub-2m series") {
     import graft.functions.GraftMath.{sig9 => s9}

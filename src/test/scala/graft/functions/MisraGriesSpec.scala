@@ -80,4 +80,38 @@ class MisraGriesSpec extends SparkSpec {
     assert(run(1) == expect)
     assert(run(7) == expect)
   }
+
+  test("heavyHittersBy is exact PER GROUP: a token heavy in one group " +
+      "and diluted in another appears only where it clears the bar") {
+    // group g1: 'hot' is 6/10 tokens; group g2: 'hot' is 2/40
+    val docs = (
+      Seq.fill(6)(("g1", "hot")) ++ Seq(("g1", "a b c d")) ++
+      Seq.fill(2)(("g2", "hot")) ++
+      (0 until 38).map(i => ("g2", s"t$i"))
+    ).zipWithIndex.map { case ((g, t), i) => (i.toLong, g, t) }
+    def run(parts: Int) = TextStats.heavyHittersBy(
+      docs.toDF("doc_id", "src", "text").repartition(parts), "src",
+      k = 4).as[(String, String, Long, Long)].collect().toSet
+    // g1: N=10, bar 2.5 -> hot(6) passes; g2: N=40, bar 10 -> nothing
+    val expect = Set(("g1", "hot", 6L, 10L))
+    assert(run(1) == expect)
+    assert(run(5) == expect)
+    // brute-force parity on a denser multi-group case
+    val dense = (for {
+      g <- Seq("x", "y", "z"); i <- 0 until 60
+    } yield (g, if (i % (g.length + 2) == 0) "big" else s"w${i % 13}"))
+      .zipWithIndex.map { case ((g, t), i) => (i.toLong, g, t) }
+    val got = TextStats.heavyHittersBy(
+      dense.toDF("doc_id", "src", "text").repartition(6), "src", k = 8)
+      .as[(String, String, Long, Long)].collect().toSet
+    val brute = dense.groupBy(_._2).flatMap { case (g, rows) =>
+      val toks = rows.flatMap(_._3.split(" "))
+      val n = toks.size.toLong
+      toks.groupBy(identity).collect {
+        case (t, occ) if occ.size.toLong * 8 > n =>
+          (g, t, occ.size.toLong, n)
+      }
+    }.toSet
+    assert(got == brute)
+  }
 }
