@@ -24,6 +24,50 @@ object Sampling {
     (Hashing.hash60(concat(lit(salt + ":"), key.cast("string"))) % M)
       .cast("double") / M.toDouble
 
+  /** Coordinated bottom-k key sample (Cohen & Kaplan 2007 "Summarizing
+    * data using bottom-k sketches"): the sampled keys are exactly the
+    * k−1 distinct keys whose salted hashes fall strictly below the
+    * k-th smallest hash θ. Because the hash is a pure function of the
+    * key, every table sampled with the SAME (k, salt) picks the SAME
+    * keys — coordinated samples are JOINABLE (join synopses: filter
+    * fact tables to the sampled dimension keys and estimate join
+    * aggregates from the tiny consistent slice), and the sample merges
+    * like a sketch (bottom-k of a union = bottom-k of bottom-k's).
+    * Conditioned on θ, each sampled key was included with probability
+    * θ/H (H = 2^60), so Horvitz–Thompson totals scale by H/θ.
+    *
+    * Scale shape: the bottom-k comes from the [[graft.ext.Sketch]]
+    * keyed-window build (never a global sort) packed to one row; keys
+    * join against the broadcast θ. Degenerate inputs with fewer than k
+    * distinct keys return ALL keys with theta = 0 marking the sample
+    * exact (scale factor 1).
+    *
+    * @return (keyCol, h, theta) — one row per sampled key */
+  def coordinatedKeySample(df: DataFrame, keyCol: String, k: Int,
+      salt: String): DataFrame = {
+    require(k >= 2, s"coordinatedKeySample: need k >= 2, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val hashed = df.where(col(keyCol).isNotNull)
+      .select(col(keyCol)).distinct()
+      .withColumn("h", Hashing.hash60(concat(lit(s"$salt:"),
+        col(keyCol).cast("string"))))
+    // per-partition-free bottom-k: global candidates via one keyed
+    // window over a CONSTANT shard of the hash itself (bounded 64
+    // shards), then the packed merge — same shape as kmvSketch
+    val w = Window.partitionBy(col("__sh")).orderBy(col("h"))
+    val theta = hashed
+      .withColumn("__sh", pmod(col("h"), lit(64L)))
+      .withColumn("__r", row_number().over(w))
+      .where(col("__r") <= k)
+      .agg(slice(array_sort(collect_list(col("h"))), 1, k).as("arr"))
+      .select(
+        when(size(col("arr")) < k, lit(0L))
+          .otherwise(element_at(col("arr"), k)).as("theta"))
+    hashed.crossJoin(broadcast(theta))
+      .where(col("theta") === 0L || col("h") < col("theta"))
+      .select(col(keyCol), col("h"), col("theta"))
+  }
+
   /** Per-stratum literal lookup as a CASE chain — ONE definition shared
     * by [[stratified]] and [[epochMix]] so the two sampling halves can
     * never diverge on stratum matching (conditions are disjoint, fold

@@ -2000,6 +2000,84 @@ object CorpusQueries {
        |FROM est JOIN ex USING (set_label)""".stripMargin
   }
 
+  // ===== coordinated bottom-k sample (join synopsis) ====================
+
+  private val coordK = 64
+
+  /** [[graft.ext.Sampling.coordinatedKeySample]] as a JOIN SYNOPSIS:
+    * sample 63 customer keys by bottom-k hash, filter the
+    * lineitem⋈orders join to the sampled keys (coordination makes the
+    * filtered slice consistent across tables), and Horvitz–Thompson
+    * scale (·H/θ per key) to an unbiased total-revenue estimate — the
+    * exact total rides along as the adjudication twin. At 100 TB this
+    * is how you answer join aggregates from megabytes: the same keys
+    * are sampled in every table, so the synopsis join is a real join. */
+  private val coordQ: QFn = (s, d) => {
+    import graft.ext.{Sampling, Sketch}
+    val o = Tables.orders(s, d).select(col("o_orderkey"),
+      col("o_custkey"))
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"),
+      col("l_extendedprice"), col("l_discount"))
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val sample = Sampling.coordinatedKeySample(
+      o.select(col("o_custkey")), "o_custkey", coordK, "coord")
+    val joined = li.join(o, col("l_orderkey") === col("o_orderkey"))
+    val perCust = joined
+      .join(broadcast(sample.select(col("o_custkey"), col("theta"))),
+        Seq("o_custkey"))
+      .groupBy(col("o_custkey"), col("theta"))
+      .agg(Q.dsum(rev).as("rev"))
+    val est = perCust.agg(
+      count(lit(1)).cast("long").as("n_sampled"),
+      Q.dsumStable(when(col("theta") === 0L, col("rev"))
+        .otherwise(Q.sig9(col("rev") * (lit(Sketch.KmvH) /
+          col("theta").cast("double")))), 4).as("est_revenue"))
+    val exact = joined.agg(Q.dsum(rev).as("exact_revenue"))
+    est.crossJoin(broadcast(exact))
+      .select(col("n_sampled"), col("est_revenue"),
+        col("exact_revenue"),
+        Q.sig9(col("est_revenue") / col("exact_revenue"))
+          .as("est_ratio"))
+  }
+
+  private val coordSql = {
+    val h = "CAST(1152921504606846976 AS BIGINT)"
+    val rev = "l_extendedprice * (1.0 - l_discount)"
+    s"""WITH ck AS (
+       |  SELECT DISTINCT o_custkey AS k FROM orders
+       |  WHERE o_custkey IS NOT NULL),
+       |hh AS (
+       |  SELECT k, ${hashSql("'coord:' || CAST(k AS VARCHAR)")} AS h
+       |  FROM ck),
+       |bot AS (SELECT h FROM hh ORDER BY h LIMIT $coordK),
+       |th AS (
+       |  SELECT CASE WHEN count(*) < $coordK THEN CAST(0 AS BIGINT)
+       |    ELSE max(h) END AS theta
+       |  FROM bot),
+       |samp AS (
+       |  SELECT hh.k, th.theta FROM hh CROSS JOIN th
+       |  WHERE th.theta = 0 OR hh.h < th.theta),
+       |pc AS (
+       |  SELECT o.o_custkey, s.theta, ${sqlDsum(rev)} AS rev
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN samp s ON s.k = o.o_custkey
+       |  GROUP BY 1, 2),
+       |est AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_sampled,
+       |    ${Q.sqlDsumStable(
+            s"CASE WHEN theta = 0 THEN rev ELSE ${Q.sqlSig9(
+              s"rev * (CAST($h AS DOUBLE) / CAST(theta AS DOUBLE))")} " +
+              "END", 4)} AS est_revenue
+       |  FROM pc),
+       |ex AS (
+       |  SELECT ${sqlDsum(rev)} AS exact_revenue
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+       |SELECT n_sampled, est_revenue, exact_revenue,
+       |  ${Q.sqlSig9("est_revenue / exact_revenue")} AS est_ratio
+       |FROM est CROSS JOIN ex""".stripMargin
+  }
+
   // ===== CMS inner-product join-cardinality estimate ====================
 
   private val jcD = 4
@@ -2068,6 +2146,7 @@ object CorpusQueries {
     "q_x_kmv" -> kmvQ,
     "q_x_join_card" -> joinCardQ,
     "q_x_hilbert" -> hilbertQ,
+    "q_x_coord_sample" -> coordQ,
     "q_x_hist_quantile" -> histQuantQ,
     "q_x_interleave" -> interleaveQ,
     "q_x_rbo" -> rboQ,
@@ -2112,6 +2191,7 @@ object CorpusQueries {
     "q_x_kmv" -> kmvSql,
     "q_x_join_card" -> joinCardSql,
     "q_x_hilbert" -> hilbertSql,
+    "q_x_coord_sample" -> coordSql,
     "q_x_hist_quantile" -> histQuantSql,
     "q_x_interleave" -> interleaveSql,
     "q_x_rbo" -> rboSql,

@@ -147,6 +147,100 @@ object GovernQueries {
        |FROM nz""".stripMargin
   }
 
+  // ===== DP quantile release ===========================================
+
+  private val dpqEps = 1.0
+  private val dpqSeed = "dpq"
+  // q_x_hist_quantile's exact binning, so the privacy-utility gap is
+  // directly readable across the two rows
+  private val dpqLo = 0.0
+  private val dpqHi = 110000.0
+  private val dpqBins = 64
+  private val dpqQs = Seq(500, 900, 990)
+
+  /** Percentiles released under ε-DP: the equi-width histogram's bin
+    * counts pass through [[graft.ext.Govern.dpNoisyCounts]] (seeded
+    * Laplace, sensitivity 1 — one row moves one bin count by one),
+    * clamp to >= 0 and round (floor(x+0.5), one shared rule), and
+    * [[graft.ext.Sketch.histQuantiles]] serves p50/p90/p99 from the
+    * NOISY histogram — the standard private-percentile path (the
+    * released support is the occupied-bin set, the histogram-release
+    * convention). Compare against `q_x_hist_quantile` for the utility
+    * cost of ε = 1. */
+  private val dpQuantQ: QFn = (s, d) => {
+    import graft.ext.Sketch
+    val w = (dpqHi - dpqLo) / dpqBins
+    val bin = least(greatest(
+      floor((col("l_extendedprice").cast("double") - dpqLo) / w)
+        .cast("long"), lit(0L)), lit(dpqBins - 1L))
+    val noisy = Govern.dpNoisyCounts(
+      Tables.lineitem(s, d).where(col("l_extendedprice").isNotNull)
+        .select(bin.as("bin")),
+      Seq("bin"), epsilon = dpqEps, seed = dpqSeed)
+    val hist = noisy.select(col("bin"),
+      greatest(lit(0L), floor(col("n_released") + lit(0.5)))
+        .as("cnt"))
+      .where(col("cnt") > 0L)
+    Sketch.histQuantiles(hist, dpqQs, dpqLo, dpqHi, dpqBins)
+  }
+
+  private val dpQuantSql = {
+    val w = (dpqHi - dpqLo) / dpqBins
+    val p = graft.ext.Hashing.P
+    val hash = Q.sqlHashP(s"'$dpqSeed' || '|' || CAST(bin AS VARCHAR)")
+    val noise = Q.sqlSig9(
+      s"CAST(${-1.0 / dpqEps} AS DOUBLE) * CAST(sign(cc) AS DOUBLE) * " +
+        "ln(CAST(1.0 AS DOUBLE) - CAST(2.0 AS DOUBLE) * abs(cc))")
+    val frac = Q.sqlSig9(
+      s"((CAST(q_permille AS DOUBLE) * CAST(n AS DOUBLE) / " +
+        s"CAST(1000.0 AS DOUBLE)) - CAST(st[3] AS DOUBLE)) / " +
+        "CAST(st[4] AS DOUBLE)")
+    s"""WITH hb AS (
+       |  SELECT LEAST(GREATEST(CAST(floor(
+       |      (CAST(l_extendedprice AS DOUBLE) - CAST($dpqLo AS DOUBLE))
+       |        / CAST($w AS DOUBLE)) AS BIGINT), 0),
+       |      ${dpqBins - 1}) AS bin,
+       |    CAST(count(*) AS BIGINT) AS n_true
+       |  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1),
+       |nz AS (
+       |  SELECT bin, n_true,
+       |    (CAST($hash AS DOUBLE) + CAST(0.5 AS DOUBLE)) /
+       |      CAST($p AS DOUBLE) - CAST(0.5 AS DOUBLE) AS cc
+       |  FROM hb),
+       |nz2 AS (SELECT bin, n_true, $noise AS noise FROM nz),
+       |h AS (
+       |  SELECT bin,
+       |    GREATEST(CAST(0 AS BIGINT), CAST(FLOOR(
+       |      ${Q.sqlSig9("CAST(n_true AS DOUBLE) + noise")} + 0.5)
+       |      AS BIGINT)) AS cnt
+       |  FROM nz2),
+       |h2 AS (SELECT bin, cnt FROM h WHERE cnt > 0),
+       |packed AS (
+       |  SELECT list_sort(list([bin, cnt])) AS arr,
+       |    CAST(sum(cnt) AS BIGINT) AS n
+       |  FROM h2),
+       |r AS (
+       |  SELECT n, unnest([${dpqQs.mkString(", ")}]) AS q_permille, arr
+       |  FROM packed),
+       |f AS (
+       |  SELECT CAST(q_permille AS BIGINT) AS q_permille, n,
+       |    list_reduce(
+       |      list_prepend(CAST([0, 0, 0, 0] AS BIGINT[]), arr),
+       |      (acc, e) -> CASE
+       |        WHEN acc[1] = 1
+       |          THEN [1, acc[2], acc[3], acc[4]]
+       |        WHEN (acc[3] + acc[4] + e[2]) * 1000 >= q_permille * n
+       |          THEN [1, e[1], acc[3] + acc[4], e[2]]
+       |        ELSE [0, e[1], acc[3] + acc[4], e[2]] END) AS st
+       |  FROM r)
+       |SELECT q_permille, n, st[2] AS bin,
+       |  ${Q.sqlSig9(s"CAST($dpqLo AS DOUBLE) + CAST($w AS DOUBLE) * " +
+            s"(CAST(st[2] AS DOUBLE) + ($frac))")} AS estimate,
+       |  ${Q.sqlSig9(s"CAST($w AS DOUBLE) / CAST(2.0 AS DOUBLE)")}
+       |    AS max_err
+       |FROM f WHERE st[1] = 1""".stripMargin
+  }
+
   // ===== referential-integrity audit ===================================
 
   /** Three declared foreign keys of the star schema: lineitem->orders
@@ -199,11 +293,13 @@ object GovernQueries {
     "q_x_kanon" -> kanonQ,
     "q_x_fd_audit" -> fdAuditQ,
     "q_x_dp_release" -> dpReleaseQ,
+    "q_x_dp_quantile" -> dpQuantQ,
     "q_x_ri_audit" -> riAuditQ)
 
   val oracles: Map[String, String] = Map(
     "q_x_kanon" -> kanonSql,
     "q_x_fd_audit" -> fdAuditSql,
     "q_x_dp_release" -> dpReleaseSql,
+    "q_x_dp_quantile" -> dpQuantSql,
     "q_x_ri_audit" -> riAuditSql)
 }

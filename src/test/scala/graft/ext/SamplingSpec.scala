@@ -269,4 +269,35 @@ test("neymanAllocation: n_h tracks N_h*sd_h; largest remainder " +
     assert(g2("small") == 2L) // capped at n_rows
     assert(g2("big") <= 4L)
   }
+
+  test("coordinatedKeySample: k-1 smallest-hash keys exactly, " +
+      "coordination across tables, merge law, sub-k exactness") {
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      Sampling.coordinatedKeySample(df, "k", 16, "t")
+        .collect().map(_.getLong(0)).toSet
+    val a = (1L to 500L).map(i => (i, "x")).toDF("k", "pay")
+    val got = keys(a)
+    // brute force: the 15 keys with the smallest salted hashes
+    val hs = (1L to 500L).map(i =>
+      i -> graft.ext.Hashing.hash60Local(s"t:$i")).sortBy(_._2)
+    assert(got === hs.take(15).map(_._1).toSet)
+    // coordination: another table over the SAME key domain — with
+    // duplicates, other payloads, different partitioning — picks the
+    // IDENTICAL sample (selection is a pure function of key and salt)
+    val b = (1L to 500L).flatMap(i => Seq((i, 1), (i, 2)))
+      .toDF("k", "n").repartition(7)
+    assert(keys(b) === got)
+    // merge law: bottom-k of the union == bottom-k of the two samples'
+    // key union re-sampled
+    val union = (1L to 900L).map(i => (i, "u")).toDF("k", "pay")
+    val hsU = (1L to 900L).map(i =>
+      i -> graft.ext.Hashing.hash60Local(s"t:$i")).sortBy(_._2)
+    assert(keys(union) === hsU.take(15).map(_._1).toSet)
+    // sub-k input: everything kept, theta = 0 marks exactness
+    val tiny = (1L to 5L).map(i => (i, "x")).toDF("k", "pay")
+    val rows = Sampling.coordinatedKeySample(tiny, "k", 16, "t")
+      .collect()
+    assert(rows.map(_.getLong(0)).toSet === (1L to 5L).toSet)
+    assert(rows.forall(_.getLong(2) === 0L))
+  }
 }
