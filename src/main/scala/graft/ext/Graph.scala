@@ -381,13 +381,22 @@ object Graph {
     * @return (node, n_tri) for nodes in >= 1 triangle
     */
   def triangleCounts(edges: DataFrame, aCol: String, bCol: String,
+      checkpointDir: Option[String] = None): DataFrame =
+    triangleCountsCanonical(
+      edges.select(least(col(aCol), col(bCol)).as("a"),
+        greatest(col(aCol), col(bCol)).as("b"))
+        .where(col("a") =!= col("b"))
+        .distinct(),
+      checkpointDir)
+
+  /** [[triangleCounts]] over edges ALREADY in canonical form
+    * ((a, b) with a < b, distinct, no self-loops) — callers that have
+    * canonicalized for their own degree pass ([[clusteringCoef]])
+    * skip the redundant second least/greatest + distinct shuffle. */
+  private[ext] def triangleCountsCanonical(undIn: DataFrame,
       checkpointDir: Option[String] = None): DataFrame = {
     def cut(df: DataFrame): DataFrame = Checkpoints.cut(df, checkpointDir)
-    val und = cut(edges
-      .select(least(col(aCol), col(bCol)).as("a"),
-        greatest(col(aCol), col(bCol)).as("b"))
-      .where(col("a") =!= col("b"))
-      .distinct())
+    val und = cut(undIn)
     // size-aware join strategy (the pageRank lesson): checkpointed
     // frames have no stats, so hint explicitly — the WEDGE set is the
     // big side (O(m^1.5)); while the ORIENTED edge frame (the measured
@@ -397,7 +406,7 @@ object Graph {
     // web-scale shape.
     val (mEdges, undBytes) = measure(und)
     val edgeBroadcast =
-      undBytes + 8L * mEdges <= broadcastBudget(edges.sparkSession)
+      undBytes + 8L * mEdges <= broadcastBudget(undIn.sparkSession)
     val edgeSide: DataFrame => DataFrame =
       if (edgeBroadcast) broadcast else identity
     val deg = cut(und.select(col("a").as("v"))
@@ -434,7 +443,7 @@ object Graph {
     }
     val spreadParts = {
       val ideal = (wedgeRows * 40L + (32L << 20) - 1) / (32L << 20)
-      val base = edges.sparkSession.sparkContext.defaultParallelism.toLong
+      val base = undIn.sparkSession.sparkContext.defaultParallelism.toLong
       math.min(4096L, math.max(base, ideal)).toInt
     }
     val wedges = oeCut
@@ -918,7 +927,7 @@ object Graph {
     val deg = und.select(col("a").as("v"))
       .unionAll(und.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
-    val tri = triangleCounts(und, "a", "b")
+    val tri = triangleCountsCanonical(und)
     val nodes = deg
       .join(tri.select(col("node").as("v"), col("n_tri")), Seq("v"),
         "left")
@@ -932,9 +941,10 @@ object Graph {
       // integral divides: tri sums to 3 per triangle, d(d-1) is even
       expr("sum(tri) div 3").cast("long").as("n_triangles"),
       expr("sum(d * (d - 1)) div 2").cast("long").as("n_wedges"),
-      // scale 11: sum_cc < 10^4 keeps the rounded decimal <= 15
+      // scale 9: sum_cc can reach ~10^5 on large well-clustered
+      // graphs; 10^5 * 10^9 = 10^14 keeps the rounded decimal <= 14
       // significant digits (exact double cast on both engines)
-      Q.dsumStable(cc, 11).as("sum_cc"))
+      Q.dsumStable(cc, 9).as("sum_cc"))
     .select(col("n_nodes_deg2"), col("n_triangles"), col("n_wedges"),
       when(col("n_wedges") > 0L, Q.sig9(
         (lit(3L) * col("n_triangles")).cast("double") /

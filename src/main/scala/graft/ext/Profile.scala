@@ -2551,14 +2551,20 @@ object Profile {
         .as("arr"), sum(col("w")).cast("long").as("total_w"))
     val rows = packed.select(col("total_w"),
       explode(array(qPermille.map(lit): _*)).as("q_permille"), col("arr"))
+      // the hit rule cum·1000 >= q·total_w overflows a signed long at
+      // fleet-scale weight mass (cents weights pass 9.2e15 around SF
+      // 400) — so the threshold ceil(q·total/1000) is computed ONCE
+      // per q in exact DECIMAL and the fold compares plain longs
+      .withColumn("__thr", expr(
+        "CAST((CAST(q_permille AS DECIMAL(38,0)) * " +
+          "CAST(total_w AS DECIMAL(38,0)) + 999) div 1000 AS BIGINT)"))
     // state [found, value, cumBefore, w]; every branch rebuilds the
     // array (the DuckDB list_reduce identity-branch house rule)
     val st = aggregate(col("arr"),
       array(lit(0L), lit(0L), lit(0L), lit(0L)), (acc, e) => {
         val found = element_at(acc, 1) === 1L
         val cum = element_at(acc, 3) + element_at(acc, 4)
-        val hits = (cum + e.getField("w")) * 1000 >=
-          col("q_permille") * col("total_w")
+        val hits = cum + e.getField("w") >= col("__thr")
         when(found, array(lit(1L), element_at(acc, 2),
           element_at(acc, 3), element_at(acc, 4)))
           .otherwise(when(hits,

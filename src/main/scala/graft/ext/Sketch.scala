@@ -353,8 +353,11 @@ object Sketch {
       .agg(slice(array_sort(collect_list(struct(col("h"), col("ia"),
         col("ib")))), 1, k).as("arr"))
       .select(size(col("arr")).cast("long").as("kp"),
-        element_at(col("arr"), size(col("arr")))
-          .getField("h").as("theta"),
+        // empty union sketch (both inputs empty): no k-th hash to
+        // read — kp = 0 < k routes every estimate to the exact branch
+        when(size(col("arr")) === 0, lit(0L))
+          .otherwise(element_at(col("arr"), size(col("arr")))
+            .getField("h")).as("theta"),
         aggregate(col("arr"), lit(0L), classCount(e =>
           e.getField("ia") * e.getField("ib"))).as("rho"),
         aggregate(col("arr"), lit(0L), classCount(e =>
@@ -395,12 +398,23 @@ object Sketch {
     * @return one row (est_card) */
   def cmsJoinCardinality(skA: DataFrame, skB: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    skA.select(col("j"), col("bucket"), col("s").as("sa"))
+    // every hash row j must contribute: a j whose buckets do not
+    // overlap has inner product 0 — PROOF the join is empty — and an
+    // inner join would silently drop it (min over the surviving rows
+    // then OVERestimates; two disjoint sketches returned NULL). The j
+    // domain comes from the sketches themselves (a nonempty sketch
+    // carries every j; two empty sketches estimate 0).
+    val js = skA.select(col("j")).unionAll(skB.select(col("j")))
+      .distinct()
+    val prods = skA.select(col("j"), col("bucket"), col("s").as("sa"))
       .join(skB.select(col("j"), col("bucket"), col("s").as("sb")),
         Seq("j", "bucket"))
       .groupBy(col("j"))
       .agg(sum(col("sa").cast(DecimalType(38, 0)) *
         col("sb").cast(DecimalType(38, 0))).as("ip"))
-      .agg(min(col("ip")).cast("long").as("est_card"))
+    js.join(prods, Seq("j"), "left")
+      .agg(coalesce(min(coalesce(col("ip"),
+        lit(0L).cast(DecimalType(38, 0)))), lit(0L).cast(
+        DecimalType(38, 0))).cast("long").as("est_card"))
   }
 }

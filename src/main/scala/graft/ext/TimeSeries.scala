@@ -913,10 +913,16 @@ object TimeSeries {
         sum(col("n")).cast("long").as("nt"),
         count(lit(1)).cast("long").as("t"))
     // run-level scalars (each a single IEEE chain, sig9'd where libm
-    // enters); p1 caps below 1 so ln(1-p1) stays finite under ANSI
-    val p0 = col("rt").cast("double") / col("nt").cast("double")
+    // enters); both rates clamp into (0, 1) so ln(p) and ln(1-p) stay
+    // finite — an all-zero (p0 = 0) or all-relevant (p0 = 1) stream
+    // would otherwise poison every cost with ln(0) = NULL and the
+    // NULL-comparison fallthrough mislabels the degenerate stream
+    val p0 = least(greatest(
+      col("rt").cast("double") / col("nt").cast("double"),
+      lit(1.0e-12)), lit(0.999999))
     val p1 = least(lit(s) * p0, lit(0.999999))
     val scal = packed
+      .where(col("t") > 0L) // empty grid -> zero output rows
       .withColumn("__lp0", Q.sig9(log(p0)))
       .withColumn("__l10", Q.sig9(log(lit(1.0) - p0)))
       .withColumn("__lp1", Q.sig9(log(p1)))
@@ -957,9 +963,14 @@ object TimeSeries {
       reverse(sequence(lit(2L), greatest(col("t"), lit(2L)))),
       array(lastState), (acc, tt) => {
         val head = element_at(acc, 1)
-        val d0 = element_at(col("__st"),
+        // try_element_at: in-bounds for every real row (t >= 2 reads
+        // at most index 2t+2 of the 2t+2-long tape); the empty-input
+        // aggregate row is filtered out, but PropagateEmptyRelation
+        // evaluates this projection over the one-row LocalRelation
+        // BEFORE the filter prunes it — the access must be total
+        val d0 = try_element_at(col("__st"),
           (lit(3L) + lit(2L) * (tt - 1L)).cast("int"))
-        val d1 = element_at(col("__st"),
+        val d1 = try_element_at(col("__st"),
           (lit(4L) + lit(2L) * (tt - 1L)).cast("int"))
         concat(array(when(head === 0.0, d0).otherwise(d1)), acc)
       })

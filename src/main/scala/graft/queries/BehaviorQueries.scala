@@ -286,7 +286,8 @@ object BehaviorQueries {
        |  FROM st WHERE t = (SELECT max(t) FROM st))
        |SELECT CAST($rmstTau AS BIGINT) AS tau_days,
        |  CAST((SELECT count(*) FROM st) AS BIGINT) AS n_steps,
-       |  ${Q.sqlDsumStable("c", 13)} AS rmst
+       |  COALESCE(${Q.sqlDsumStable("c", 13)},
+       |    CAST($rmstTau AS DOUBLE)) AS rmst
        |FROM c""".stripMargin
 
   // ===== Nelson–Aalen cumulative hazard ===============================

@@ -2031,7 +2031,7 @@ object CorpusQueries {
       count(lit(1)).cast("long").as("n_sampled"),
       Q.dsumStable(when(col("theta") === 0L, col("rev"))
         .otherwise(Q.sig9(col("rev") * (lit(Sketch.KmvH) /
-          col("theta").cast("double")))), 4).as("est_revenue"))
+          col("theta").cast("double")))), 2).as("est_revenue"))
     val exact = joined.agg(Q.dsum(rev).as("exact_revenue"))
     est.crossJoin(broadcast(exact))
       .select(col("n_sampled"), col("est_revenue"),
@@ -2068,7 +2068,7 @@ object CorpusQueries {
        |    ${Q.sqlDsumStable(
             s"CASE WHEN theta = 0 THEN rev ELSE ${Q.sqlSig9(
               s"rev * (CAST($h AS DOUBLE) / CAST(theta AS DOUBLE))")} " +
-              "END", 4)} AS est_revenue
+              "END", 2)} AS est_revenue
        |  FROM pc),
        |ex AS (
        |  SELECT ${sqlDsum(rev)} AS exact_revenue
@@ -2088,7 +2088,7 @@ object CorpusQueries {
 
   /** Planner face of count-min
     * ([[graft.ext.Sketch.cmsJoinCardinality]]): |lineitem ⋈
-    * orders_1995| estimated from two (d=4, w=512) sketches' inner
+    * orders_1995| estimated from two (d=4, w=8192) sketches' inner
     * product min_j Σ_b sA·sB — kilobytes answering a question whose
     * exact answer needs the join. The exact count rides along as the
     * adjudication twin; over_ratio quantifies collision inflation. */
@@ -2132,7 +2132,10 @@ object CorpusQueries {
        |    sum(CAST(a.s AS DECIMAL(38,0)) * CAST(b.s AS DECIMAL(38,0)))
        |      AS ip
        |  FROM ska a JOIN skb b USING (j, bucket) GROUP BY 1),
-       |est AS (SELECT CAST(min(ip) AS BIGINT) AS est_card FROM ip),
+       |est AS (
+       |  SELECT CAST(COALESCE(min(COALESCE(ip.ip, 0)), 0) AS BIGINT)
+       |    AS est_card
+       |  FROM js LEFT JOIN ip USING (j)),
        |ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_card
        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
        |  WHERE year(o.o_orderdate) = 1995)

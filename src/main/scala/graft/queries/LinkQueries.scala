@@ -1112,7 +1112,7 @@ object LinkQueries {
        |  SELECT CAST(count(*) AS BIGINT) AS n_nodes_deg2,
        |    CAST(sum(tri) // 3 AS BIGINT) AS n_triangles,
        |    CAST(sum(d * (d - 1)) // 2 AS BIGINT) AS n_wedges,
-       |    ${Q.sqlDsumStable(cc, 11)} AS sum_cc
+       |    ${Q.sqlDsumStable(cc, 9)} AS sum_cc
        |  FROM nd)
        |SELECT n_nodes_deg2, n_triangles, n_wedges,
        |  CASE WHEN n_wedges > 0 THEN ${Q.sqlSig9(

@@ -935,7 +935,8 @@ object StatsQueries {
       |    row_number() OVER (PARTITION BY qs.q_permille ORDER BY c.v)
       |      AS rn
       |  FROM qs CROSS JOIN t
-      |  JOIN c ON c.cum * 1000 >= qs.q_permille * t.total_w)
+      |  JOIN c ON c.cum >= ((CAST(qs.q_permille AS HUGEINT) *
+      |    t.total_w + 999) // 1000))
       |SELECT CAST(q_permille AS BIGINT) AS q_permille, v AS value,
       |  cum AS cum_w, total_w
       |FROM hit WHERE rn = 1""".stripMargin

@@ -2334,7 +2334,8 @@ object TimeSeriesQueries {
   }
 
   private val burstSql = {
-    val p0 = "(CAST(rt AS DOUBLE) / CAST(nt AS DOUBLE))"
+    val p0 = "LEAST(GREATEST(CAST(rt AS DOUBLE) / CAST(nt AS DOUBLE), " +
+      "1.0e-12), 0.999999)"
     val p1 = s"LEAST($burstS * $p0, 0.999999)"
     val lp0 = Q.sqlSig9(s"ln($p0)")
     val l10 = Q.sqlSig9(s"ln(1.0 - $p0)")

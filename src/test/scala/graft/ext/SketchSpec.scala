@@ -240,5 +240,23 @@ class SketchSpec extends SparkSpec {
       .head().getLong(0)
     assert(est(4096) === exact) // 40 keys in 4096 buckets: collision-free
     assert(est(8) >= exact)     // crowded sketch only over-counts
+    // disjoint key sets: some hash row's buckets may not overlap at
+    // all — its inner product is 0 (proof of an empty join) and must
+    // reach the min, not be dropped by the join
+    val disjoint = Sketch.cmsJoinCardinality(
+      Sketch.countMin(Seq("a1", "a2").toDF("k"), "k", 4, 4096, "t"),
+      Sketch.countMin(Seq("b1", "b2").toDF("k"), "k", 4, 4096, "t"))
+      .head().getLong(0)
+    assert(disjoint === 0L)
+  }
+
+  test("kmv set estimates on empty inputs return exact zero rows") {
+    val empty = Seq.empty[(String, String)].toDF("k", "sh")
+    val sk = Sketch.kmvSketch(empty, "k", "sh", 16, "t")
+    val rows = Sketch.kmvSetEstimates(sk, sk, 16).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows.keySet === Set("union", "intersect", "a_not_b",
+      "b_not_a"))
+    assert(rows.values.forall(_ == ((0L, 0.0))))
   }
 }

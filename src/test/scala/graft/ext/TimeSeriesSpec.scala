@@ -627,6 +627,16 @@ class TimeSeriesSpec extends SparkSpec {
     // single-bin series
     assert(run(Seq((1L, 5L, 10L)), 2.0, 1.0) ===
       ref(Seq((1L, 5L, 10L)), 2.0, 1.0))
+    // degenerate rates: all-zero and all-relevant streams clamp p0
+    // into (0,1) and label every bin BASE instead of NULL-poisoning
+    val zero = (1L to 8L).map(t => (t, 0L, 50L))
+    assert(run(zero, 3.0, 1.0).values.forall(_ == 0L))
+    val full = (1L to 8L).map(t => (t, 50L, 50L))
+    assert(run(full, 3.0, 1.0).values.forall(_ == 0L))
+    // empty grid: zero output rows, no index crash
+    assert(TimeSeries.burstStates(
+      Seq.empty[(Long, Long, Long)].toDF("o", "r", "n"),
+      "o", "r", "n", 3.0, 1.0).count() === 0L)
   }
 
   test("holtWinters matches an independent plain-Scala recursion " +
