@@ -550,6 +550,75 @@ object EventPipeline {
       }
   }
 
+  /** Per-stream equi-width bin counts — O(bins) longs, itself a valid
+    * histSketch under the declared (lo, hi, bins). */
+  case class HistMonState(cnts: Seq[Long], nSeen: Long)
+
+  case class HistQuantilePoint(stream: String, q_permille: Long,
+                               n: Long, bin: Long, estimate: Double,
+                               n_seen: Long)
+
+  /** Streaming percentile monitor — the live face of
+    * [[graft.ext.Sketch.histSketch]] + `histQuantiles`: per stream
+    * (event_type), equi-width bin counts over the event value in
+    * O(bins) state, the requested quantiles re-emitted every
+    * micro-batch. Bin counts are ADDITIVE (the histogram merge law),
+    * so like the CMS/HLL/KMV monitors the face is order-free.
+    *
+    * Numeric contract: the same clamped floor((x−lo)/w) binning (one
+    * IEEE chain with the shared Scala w), the same all-integer hit
+    * rule (cum·1000 >= q·n) and the same sig9'd in-bin interpolation —
+    * so after any batch prefix each emitted point equals
+    * `histQuantiles(histSketch(prefix))` on the same events
+    * (spec-pinned). Streams with no binnable values yet emit nothing. */
+  def histQuantileMonitor(events: Dataset[Event], spark: SparkSession,
+      lo: Double, hi: Double, bins: Int,
+      qPermille: Seq[Int]): Dataset[HistQuantilePoint] = {
+    import spark.implicits._
+    require(bins >= 1 && hi > lo, "histQuantileMonitor: bins>=1, hi>lo")
+    require(qPermille.nonEmpty &&
+      qPermille.forall(q => q > 0 && q <= 1000),
+      "histQuantileMonitor: permilles must be in (0, 1000]")
+    val w = (hi - lo) / bins
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[Event],
+         state: GroupState[HistMonState]) =>
+          val st = state.getOption
+            .getOrElse(HistMonState(IndexedSeq.fill(bins)(0L), 0L))
+          val cnts = st.cnts.toArray
+          var seen = st.nSeen
+          it.foreach { e =>
+            seen += 1
+            val b = math.min(math.max(
+              math.floor((e.value - lo) / w).toLong, 0L),
+              bins - 1L).toInt
+            cnts(b) += 1L
+          }
+          state.update(HistMonState(cnts.toIndexedSeq, seen))
+          import graft.functions.GraftMath.sig9
+          val n = cnts.sum
+          if (n == 0L) Iterator.empty
+          else qPermille.iterator.map { q =>
+            var (cum, bin, cnt, found) = (0L, 0L, 0L, false)
+            var i = 0
+            while (i < bins && !found) {
+              if ((cum + cnts(i)) * 1000 >= q.toLong * n) {
+                bin = i.toLong; cnt = cnts(i); found = true
+              } else cum += cnts(i)
+              i += 1
+            }
+            val frac = sig9(
+              (q.toDouble * n.toDouble / 1000.0 - cum.toDouble) /
+                cnt.toDouble)
+            HistQuantilePoint(key, q.toLong, n, bin,
+              sig9(lo + w * (bin.toDouble + frac)), seen)
+          }
+      }
+  }
+
   /** Bottom-k hash state: the <= k smallest distinct user-id hashes —
     * O(k) longs per stream, and itself a valid KMV sketch. */
   case class KmvState(hs: Seq[Long], nSeen: Long)

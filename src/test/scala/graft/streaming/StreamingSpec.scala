@@ -881,6 +881,57 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("histQuantileMonitor: points equal batch histSketch+" +
+      "histQuantiles on every batch prefix") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val mk = (vs: Seq[Double], stream: String, base: Long) =>
+      vs.zipWithIndex.map { case (v, i) =>
+        Event(base + i, ts("2024-03-01 10:00:00"), i.toLong, stream, v)
+      }
+    val (lo, hi, bins) = (0.0, 100.0, 10)
+    val qs = Seq(500, 990)
+    val batch1 = mk((1 to 40).map(_ * 2.0), "click", 100L) ++
+      mk(Seq(5.0, 95.0), "view", 300L)
+    val batch2 = mk(Seq(-7.0, 250.0) ++ (1 to 15).map(_ * 6.0),
+      "click", 500L) // includes edge-clamped values
+    val ms = MemoryStream[Event]
+    val q = EventPipeline.histQuantileMonitor(ms.toDS(), spark,
+        lo, hi, bins, qs)
+      .writeStream.format("memory").queryName("hq_pts")
+      .outputMode("update").start()
+    def latest() = spark.table("hq_pts")
+      .groupBy(col("stream"), col("q_permille"))
+      .agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.struct(
+          col("n_seen"), col("n"), col("bin"), col("estimate")))
+        .as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getStruct(2).getLong(1), r.getStruct(2).getLong(2),
+          r.getStruct(2).getDouble(3))).toMap
+    def batchPts(evs: Seq[Event], stream: String) = {
+      val df = evs.filter(_.event_type == stream).toDF()
+        .select(col("value"), col("event_type"))
+      graft.ext.Sketch.histQuantiles(
+        graft.ext.Sketch.histSketch(df, "value", "event_type",
+          lo, hi, bins), qs, lo, hi, bins)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    }
+    try {
+      ms.addData(batch1); q.processAllAvailable()
+      val c1 = batchPts(batch1, "click"); val v1 = batchPts(batch1, "view")
+      qs.foreach { p =>
+        assert(latest()(("click", p.toLong)) === c1(p.toLong))
+        assert(latest()(("view", p.toLong)) === v1(p.toLong))
+      }
+      ms.addData(batch2); q.processAllAvailable()
+      val all = batchPts(batch1 ++ batch2, "click")
+      qs.foreach(p =>
+        assert(latest()(("click", p.toLong)) === all(p.toLong)))
+    } finally q.stop()
+  }
+
   test("kmvMonitor: estimate equals batch kmvSketch+kmvEstimate on " +
       "every batch prefix, including past the truncation point") {
     implicit val ctx = spark.sqlContext
