@@ -36,6 +36,22 @@ object GraftExtensions {
     (new FunctionIdentifier("sig9_round"),
       new ExpressionInfo(classOf[Sig9].getName, "sig9_round"),
       (children: Seq[Expression]) => Sig9(children.head)),
+    (new FunctionIdentifier("hilbert_xy"),
+      new ExpressionInfo(classOf[graft.functions.HilbertXY].getName,
+        "hilbert_xy"),
+      (children: Seq[Expression]) => {
+        import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+        if (children.length != 3)
+          throw new IllegalArgumentException(
+            s"hilbert_xy(x, y, bits) takes 3 arguments, got ${children.length}")
+        val bits = children(2)
+        val integral = Seq(ByteType, ShortType, IntegerType, LongType)
+        if (!bits.foldable || !integral.contains(bits.dataType))
+          throw new IllegalArgumentException(
+            "hilbert_xy(x, y, bits): bits must be an integer literal")
+        graft.functions.HilbertXY(children.head, children(1),
+          bits.eval().asInstanceOf[Number].intValue())
+      }),
     (new FunctionIdentifier("sorted_jaccard"),
       new ExpressionInfo(classOf[SortedJaccard].getName, "sorted_jaccard"),
       (children: Seq[Expression]) =>

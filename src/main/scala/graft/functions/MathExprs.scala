@@ -60,3 +60,64 @@ case class Sig9(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Sig9 =
     copy(child = newChild)
 }
+
+/** Scalar twin of the Hilbert xy→d transform — ONE definition of the
+  * per-level quadrant/rotation loop shared by the codegen'd
+  * [[HilbertXY]] expression and any driver-side use. Bit-identical to
+  * the packed-fold Column formulation it replaces on the hot path
+  * (LayoutSpec pins both against the classic reference): all-integer
+  * arithmetic, values above 2^bits wrap via masking. */
+object GraftBits {
+  def hilbertXY2D(x0: Long, y0: Long, bits: Int): Long = {
+    val mask = (1L << bits) - 1
+    var x = x0 & mask
+    var y = y0 & mask
+    var d = 0L
+    var s = 1L << (bits - 1)
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+}
+
+/** Codegen'd Hilbert index of two long columns on the 2^bits grid —
+  * the native-Expression tier of [[graft.ext.Layout.hilbertValue]]:
+  * the interpreted higher-order fold costs ~6 us/row (measured, the
+  * dominant cost of Hilbert clustering at sf0.1); this stays inside
+  * whole-stage codegen as one static-method call per row. */
+case class HilbertXY(left: Expression, right: Expression, bits: Int)
+  extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  require(bits >= 1 && 2 * bits <= 62,
+    s"hilbert_xy: need 1 <= bits <= 31, got $bits")
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"hilbert_xy needs two long inputs, got ${l.simpleString}, " +
+          r.simpleString)
+    }
+
+  override def nullSafeEval(x: Any, y: Any): Any =
+    GraftBits.hilbertXY2D(x.asInstanceOf[Long], y.asInstanceOf[Long],
+      bits)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.GraftBits.hilbertXY2D($a, $b, $bits)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): HilbertXY =
+    copy(left = newLeft, right = newRight)
+}
