@@ -2518,6 +2518,58 @@ object Profile {
         (col("x.q_value") <= alpha).as("significant"))
   }
 
+  /** Theil T inequality index with exact within/between decomposition
+    * (Theil 1967; Shorrocks 1980) — the DECOMPOSABLE member of the
+    * inequality family beside `gini` (which does not decompose):
+    * T = Σ_g s_g·T_g + T_between, where for each group g with share
+    * s_g = X_g/X,
+    *   T_g       = (Σ_g x·ln x − X_g·ln μ_g) / (n_g·μ_g)
+    *   T_between = Σ_g s_g · ln(s_g / (n_g/n)).
+    * "How concentrated is revenue/tokens/compute, and how much of the
+    * concentration is BETWEEN sources vs WITHIN them" — the corpus
+    * mix-audit readout.
+    *
+    * Scale shape: one per-group hash aggregate (per-row ln sig9'd,
+    * products summed through the stable decimal route), then O(groups)
+    * scalar arithmetic against two broadcast totals. Non-positive
+    * values are excluded (ln domain), their count reported.
+    *
+    * @return one row per group: (groupCol, n, total, share,
+    *         theil_within, contribution = s_g·T_g + s_g·ln(...)),
+    *         plus column n_nonpos on every row */
+  def theilDecomposition(df: DataFrame, groupCol: String,
+      valCol: String): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    import graft.queries.Q
+    val x = col(valCol).cast("double")
+    val base = df.select(col(groupCol).as("g"), x.as("x"))
+    val nonpos = base.agg(
+      sum(when(col("x") <= 0.0 || col("x").isNull, 1L).otherwise(0L))
+        .cast(LongType).as("n_nonpos"))
+    val pos = base.where(col("x") > 0.0)
+    val perG = pos.groupBy(col("g"))
+      .agg(count(lit(1)).cast(LongType).as("n"),
+        Q.dsum(col("x")).as("total"),
+        // Σ x·ln x: ln sig9'd per row, product raw (granular x exact
+        // double times granular), decimal-stable sum; |x ln x| at
+        // 1e6-scale values stays < 2e7, scale 7 keeps 14 digits
+        Q.dsumStable(col("x") * Q.sig9(log(col("x"))), 7)
+          .as("sxlx"))
+    val tot = perG.agg(sum(col("n")).cast(LongType).as("nt"),
+      Q.dsumStable(col("total"), 7).as("xt"))
+    val mu = Q.sig9(col("total") / col("n").cast("double"))
+    val share = Q.sig9(col("total") / col("xt"))
+    val tw = Q.sig9((col("sxlx") - col("total") * Q.sig9(log(mu))) /
+      (col("n").cast("double") * mu))
+    val btw = Q.sig9(log(share /
+      (col("n").cast("double") / col("nt").cast("double"))))
+    perG.crossJoin(broadcast(tot)).crossJoin(broadcast(nonpos))
+      .select(col("g").as(groupCol), col("n"), col("total"),
+        share.as("share"), tw.as("theil_within"),
+        Q.sig9(share * (tw + btw)).as("contribution"),
+        col("n_nonpos"))
+  }
+
   /** Exact weighted quantiles over a BOUNDED integral value domain:
     * the q/1000-th weighted quantile is the smallest value whose
     * cumulative weight reaches q/1000 of the total weight mass. One

@@ -941,7 +941,59 @@ object StatsQueries {
       |  cum AS cum_w, total_w
       |FROM hit WHERE rn = 1""".stripMargin
 
+  // ===== Theil inequality decomposition ================================
+
+  /** [[graft.ext.Profile.theilDecomposition]] of order revenue across
+    * nations: the decomposable inequality readout beside `q_x_gini` —
+    * per-nation Theil-within, revenue share, and the exact
+    * contribution s_g·T_g + s_g·ln(s_g/(n_g/n)) whose sum is total T.
+    * The oracle mirrors the sig9'd ln points and both stable decimal
+    * sums term for term. */
+  private val theilQ: QFn = (s, d) =>
+    Profile.theilDecomposition(
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey")),
+      "n_name", "o_totalprice")
+
+  private val theilSql = {
+    val mu = Q.sqlSig9("total / CAST(n AS DOUBLE)")
+    val share = Q.sqlSig9("total / xt")
+    val tw = Q.sqlSig9(
+      s"(sxlx - total * ${Q.sqlSig9(s"ln($mu)")}) / " +
+        s"(CAST(n AS DOUBLE) * $mu)")
+    val btw = Q.sqlSig9(
+      s"ln($share / (CAST(n AS DOUBLE) / CAST(nt AS DOUBLE)))")
+    s"""WITH base AS (
+       |  SELECT nn.n_name AS g, CAST(o.o_totalprice AS DOUBLE) AS x
+       |  FROM orders o
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN nation nn ON c.c_nationkey = nn.n_nationkey),
+       |np AS (
+       |  SELECT CAST(sum(CASE WHEN x <= 0 OR x IS NULL THEN 1 ELSE 0
+       |    END) AS BIGINT) AS n_nonpos
+       |  FROM base),
+       |pg AS (
+       |  SELECT g, CAST(count(*) AS BIGINT) AS n,
+       |    ${Q.sqlDsum("x")} AS total,
+       |    ${Q.sqlDsumStable(
+            s"x * ${Q.sqlSig9("ln(x)")}", 7)} AS sxlx
+       |  FROM base WHERE x > 0 GROUP BY 1),
+       |tot AS (
+       |  SELECT CAST(sum(n) AS BIGINT) AS nt,
+       |    ${Q.sqlDsumStable("total", 7)} AS xt
+       |  FROM pg)
+       |SELECT pg.g AS n_name, pg.n, pg.total,
+       |  $share AS share, $tw AS theil_within,
+       |  ${Q.sqlSig9(s"$share * (($tw) + ($btw))")} AS contribution,
+       |  np.n_nonpos
+       |FROM pg CROSS JOIN tot CROSS JOIN np""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q_x_theil" -> theilQ,
     "q_x_weighted_quantile" -> wquantQ,
     "q_x_iv" -> ivQ,
     "q_x_psm" -> psmQ,
@@ -960,6 +1012,7 @@ object StatsQueries {
     "q_x_mcnemar" -> mcnemarQ)
 
   val oracles: Map[String, String] = Map(
+    "q_x_theil" -> theilSql,
     "q_x_weighted_quantile" -> wquantSql,
     "q_x_iv" -> ivSql,
     "q_x_psm" -> psmSql,

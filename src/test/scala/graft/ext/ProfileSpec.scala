@@ -871,6 +871,33 @@ class ProfileSpec extends SparkSpec {
     assert(one === Map(1L -> 7L, 999L -> 7L))
   }
 
+  test("theilDecomposition: zero inequality inside uniform groups, " +
+      "zero between-term for equal means, and the contributions sum " +
+      "to the direct total Theil") {
+    // g1: all 10.0 (uniform); g2: all 30.0 (uniform, 3x mean)
+    val df = (Seq.fill(8)(("g1", 10.0)) ++ Seq.fill(4)(("g2", 30.0)) ++
+      Seq(("g1", -5.0), ("g2", 0.0))).toDF("g", "v")
+    val rows = Profile.theilDecomposition(df, "g", "v").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows("g1").getAs[Long]("n") === 8L)
+    assert(rows.values.head.getAs[Long]("n_nonpos") === 2L)
+    // uniform groups: within-Theil ~ 0
+    assert(math.abs(rows("g1").getAs[Double]("theil_within")) < 1e-8)
+    assert(math.abs(rows("g2").getAs[Double]("theil_within")) < 1e-8)
+    // direct total Theil of (8 x 10, 4 x 30): mu = 200/12
+    val xs = Seq.fill(8)(10.0) ++ Seq.fill(4)(30.0)
+    val mu = xs.sum / xs.size
+    val direct = xs.map(x => (x / mu) * math.log(x / mu)).sum / xs.size
+    val contribSum = rows.values.map(_.getAs[Double]("contribution")).sum
+    assert(math.abs(contribSum - direct) < 1e-7, s"$contribSum vs $direct")
+    // equal means across groups: between-term vanishes
+    val eq = (Seq.fill(3)(("a", 5.0)) ++ Seq.fill(6)(("b", 5.0)))
+      .toDF("g", "v")
+    val eqRows = Profile.theilDecomposition(eq, "g", "v").collect()
+    eqRows.foreach(r =>
+      assert(math.abs(r.getAs[Double]("contribution")) < 1e-8))
+  }
+
   test("weightedQuantiles: fractional value or weight raises; " +
       "integral doubles pass") {
     val ok = Profile.weightedQuantiles(
