@@ -550,6 +550,53 @@ object EventPipeline {
       }
   }
 
+  /** Per-stream Pareto frontier: the non-dominated (x, y) coordinate
+    * set. Bounded by the frontier's own size (the points that are
+    * jointly optimal — typically tiny; worst case the distinct-x
+    * count on an anti-correlated stream, the documented caveat). */
+  case class SkyState(xs: Seq[Double], ys: Seq[Double], nSeen: Long)
+
+  case class SkyPoint(stream: String, x: Double, y: Double,
+                      n_seen: Long)
+
+  /** Streaming 2-D skyline monitor — the live face of
+    * [[graft.ext.Skyline.skyline2d]] (minimize x, maximize y): per
+    * stream (event_type), the current Pareto frontier re-emitted every
+    * micro-batch, with x = the event value and y = the event's user id
+    * as the maximized score dimension (callers map their own
+    * dimensions). The frontier is MERGEABLE state — frontier(A ∪ B) =
+    * frontier(frontier(A) ∪ B) — so like the sketch monitors the face
+    * is order-free: any arrival order of the same points yields the
+    * same frontier. Duplicate coordinate pairs collapse to one state
+    * entry (the batch twin keeps every duplicate ROW; parity is on
+    * the coordinate SET, spec-pinned per batch prefix). */
+  def skylineMonitor(events: Dataset[Event],
+      spark: SparkSession): Dataset[SkyPoint] = {
+    import spark.implicits._
+    def dominates(qx: Double, qy: Double, px: Double, py: Double) =
+      qx <= px && qy >= py && (qx < px || qy > py)
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[Event], state: GroupState[SkyState]) =>
+          val st = state.getOption.getOrElse(SkyState(Nil, Nil, 0L))
+          var front = st.xs.zip(st.ys).toVector
+          var seen = st.nSeen
+          it.foreach { e =>
+            seen += 1
+            val p = (e.value, e.user_id.toDouble)
+            val dead = front.exists(q =>
+              dominates(q._1, q._2, p._1, p._2)) || front.contains(p)
+            if (!dead)
+              front = front.filterNot(q =>
+                dominates(p._1, p._2, q._1, q._2)) :+ p
+          }
+          state.update(SkyState(front.map(_._1), front.map(_._2), seen))
+          front.iterator.map(p => SkyPoint(key, p._1, p._2, seen))
+      }
+  }
+
   /** Per-stream equi-width bin counts — O(bins) longs, itself a valid
     * histSketch under the declared (lo, hi, bins). */
   case class HistMonState(cnts: Seq[Long], nSeen: Long)

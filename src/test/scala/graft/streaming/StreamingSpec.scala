@@ -881,6 +881,59 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("skylineMonitor: frontier equals batch skyline2d coordinates " +
+      "on every batch prefix, in any arrival order") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    // (x = value, y = user_id): dominated, frontier, and duplicate pts
+    val pts1 = Seq((10.0, 5L), (8.0, 3L), (12.0, 9L), (10.0, 5L))
+    val pts2 = Seq((7.0, 2L), (9.0, 9L), (50.0, 1L)) // 9.0/9 kills 12/9
+    def mk(ps: Seq[(Double, Long)], base: Long) =
+      ps.zipWithIndex.map { case ((x, y), i) =>
+        Event(base + i, ts("2024-03-01 10:00:00"), y, "click", x)
+      }
+    def batchFront(ps: Seq[(Double, Long)]) = {
+      val df = ps.zipWithIndex
+        .map { case ((x, y), i) => (i.toLong, x, y.toDouble) }
+        .toDF("id", "x", "y")
+      graft.ext.Skyline.skyline2d(df, "id", "x", "y", 8)
+        .select("x", "y").collect()
+        .map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    }
+    val ms = MemoryStream[Event]
+    val q = EventPipeline.skylineMonitor(ms.toDS(), spark)
+      .writeStream.format("memory").queryName("sky_pts")
+      .outputMode("update").start()
+    def latest() = {
+      val rows = spark.table("sky_pts")
+        .where(col("stream") === "click").collect()
+      val maxSeen = rows.map(_.getAs[Long]("n_seen")).max
+      rows.filter(_.getAs[Long]("n_seen") == maxSeen)
+        .map(r => (r.getDouble(1), r.getDouble(2))).toSet
+    }
+    try {
+      ms.addData(mk(pts1, 100L)); q.processAllAvailable()
+      assert(latest() === batchFront(pts1))
+      ms.addData(mk(pts2, 200L)); q.processAllAvailable()
+      assert(latest() === batchFront(pts1 ++ pts2))
+      // order-free: replaying the union in another order converges to
+      // the same frontier
+      val ms2 = MemoryStream[Event]
+      val q2 = EventPipeline.skylineMonitor(ms2.toDS(), spark)
+        .writeStream.format("memory").queryName("sky_pts2")
+        .outputMode("update").start()
+      try {
+        ms2.addData(mk((pts2 ++ pts1).reverse, 500L))
+        q2.processAllAvailable()
+        val rows2 = spark.table("sky_pts2").collect()
+        val m2 = rows2.map(_.getAs[Long]("n_seen")).max
+        assert(rows2.filter(_.getAs[Long]("n_seen") == m2)
+          .map(r => (r.getDouble(1), r.getDouble(2))).toSet ===
+          batchFront(pts1 ++ pts2))
+      } finally q2.stop()
+    } finally q.stop()
+  }
+
   test("histQuantileMonitor: points equal batch histSketch+" +
       "histQuantiles on every batch prefix") {
     implicit val ctx = spark.sqlContext
