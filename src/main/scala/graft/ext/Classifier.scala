@@ -482,4 +482,229 @@ object Classifier {
           Q.sig9(lit(2.0) * col("prec") * col("rec") /
             (col("prec") + col("rec")))))
   }
+
+  /** Isotonic calibration of a score against a binary label — the
+    * PAV-fit monotone probability map (Zadrozny & Elkan 2002), here
+    * computed on BINNED scores via the minimax identity
+    * ŷ_i = max_{j≤i} min_{k≥i} (Σ_{l=j..k} pos_l)/(Σ_{l=j..k} n_l),
+    * which equals the pool-adjacent-violators solution of the
+    * weighted isotonic regression on bin positive-rates (Robertson,
+    * Wright & Dykstra 1988, Thm 1.4.4) — PAVA's sequential pooling
+    * re-expressed as a bounded declarative reduction.
+    *
+    * Scale shape: ONE corpus pass bins scores over the observed
+    * [min, max] (broadcast one-row bounds, exactly the [[Profile.psi]]
+    * convention) into B ≤ 256 (bin, n, pos) rows; the minimax runs on
+    * the O(B³) interval frame (B=10 → 1,000 rows) — entirely
+    * post-aggregate, never touching the corpus again.
+    *
+    * Determinism: interval rates are single IEEE divisions of exact
+    * integer sums (bit-identical across engines); min/max over
+    * identical doubles is order-free; only the emitted fit is sig9'd.
+    *
+    * @return one row per occupied bin: (bin, n, pos, obs_rate, fit) —
+    *         fit nondecreasing in bin */
+  def isotonicCalibration(df: DataFrame, scoreCol: String,
+      labelCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 1 && bins <= 256,
+      s"bins must be in [1, 256], got $bins")
+    val s = col(scoreCol).cast("double")
+    val y = col(labelCol).cast("long")
+    val base = df.where(s.isNotNull && y.isNotNull)
+    val mm = base.agg(min(s).as("lo"), max(s).as("hi"))
+    val binned = base.select(s.as("s"), y.as("y"))
+      .crossJoin(broadcast(mm))
+      .withColumn("bin",
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(lit((bins - 1).toLong),
+            greatest(lit(0L),
+              floor((col("s") - col("lo"))
+                / ((col("hi") - col("lo")) / bins)).cast("long")))))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).cast("long").as("pos"))
+    // interval sums over occupied bins: (j, k) × member l, all bounded
+    val b1 = binned.select(col("bin").as("j"))
+    val b2 = binned.select(col("bin").as("k"))
+    val members = binned.select(col("bin").as("l"), col("n").as("ln"),
+      col("pos").as("lp"))
+    val intervals = b1.crossJoin(broadcast(b2)).where(col("j") <= col("k"))
+      .join(broadcast(members),
+        col("l") >= col("j") && col("l") <= col("k"))
+      .groupBy(col("j"), col("k"))
+      .agg((sum(col("lp")).cast("double") / sum(col("ln")).cast("double"))
+        .as("rate"))
+    // fit_i = max over j<=i of (min over k>=i of rate(j,k))
+    val fit = binned.select(col("bin").as("i"))
+      .join(broadcast(intervals), col("j") <= col("i") &&
+        col("k") >= col("i"))
+      .groupBy(col("i"), col("j")).agg(min(col("rate")).as("minr"))
+      .groupBy(col("i")).agg(Q.sig9(max(col("minr"))).as("fit"))
+    binned.join(broadcast(fit), col("bin") === col("i"))
+      .select(col("bin"), col("n"), col("pos"),
+        Q.sig9(col("pos").cast("double") / col("n").cast("double"))
+          .as("obs_rate"),
+        col("fit"))
+  }
+
+  /** Depth-1 decision-tree (stump) split search over binned numeric
+    * features — the exact-Gini candidate table a distributed CART /
+    * GBDT trainer evaluates at every node (finding THE split is the
+    * per-node primitive; XGBoost's approximate histogram algorithm is
+    * exactly this shape).
+    *
+    * ONE corpus pass stacks the features and bins each over its own
+    * observed [min, max] (per-feature bounds ride one broadcast row);
+    * a per-(feature, bin) count table (F·B rows) is all the split
+    * search needs. Candidate split t for a feature sends bins ≤ t
+    * left; Gini gain is computed from exact integer prefix counts
+    * folded per feature over the bounded bin list (array fold — no
+    * window). The best split carries `is_best = true` (ties resolve
+    * to the lexicographically smallest feature, then smallest bin —
+    * deterministic).
+    *
+    * @return one row per candidate split — (feature, split_bin) for
+    *         every OCCUPIED bin below the feature's last occupied bin
+    *         (splits at empty bins are equivalent to the nearest
+    *         occupied one below): left/right counts + positives, gini
+    *         gain, is_best */
+  def stumpSplits(df: DataFrame, features: Seq[String],
+      labelCol: String, bins: Int = 16): DataFrame = {
+    require(features.nonEmpty, "need at least one feature")
+    require(bins >= 2 && bins <= 256,
+      s"bins must be in [2, 256], got $bins")
+    val y = col(labelCol).cast("long")
+    val base = df.where(y.isNotNull &&
+      features.map(f => col(f).cast("double").isNotNull)
+        .reduce(_ && _))
+    val mm = base.agg(
+      features.flatMap(f => Seq(
+        min(col(f).cast("double")).as(s"__lo_$f"),
+        max(col(f).cast("double")).as(s"__hi_$f"))).head,
+      features.flatMap(f => Seq(
+        min(col(f).cast("double")).as(s"__lo_$f"),
+        max(col(f).cast("double")).as(s"__hi_$f"))).tail: _*)
+    def binOf(f: String) = {
+      val x = col(f).cast("double")
+      val lo = col(s"__lo_$f"); val hi = col(s"__hi_$f")
+      when(hi === lo, lit(0L))
+        .otherwise(least(lit((bins - 1).toLong),
+          greatest(lit(0L),
+            floor((x - lo) / ((hi - lo) / bins)).cast("long"))))
+    }
+    val stacked = base.crossJoin(broadcast(mm))
+      .select(y.as("y"), array(features.map(f =>
+        struct(lit(f).as("feature"), binOf(f).as("bin"))): _*).as("fb"))
+      .select(col("y"), explode(col("fb")).as("e"))
+      .groupBy(col("e.feature").as("feature"), col("e.bin").as("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).cast("long").as("pos"))
+    val tot = stacked.groupBy(col("feature"))
+      .agg(sum(col("n")).cast("long").as("nt"),
+        sum(col("pos")).cast("long").as("post"))
+    def gini(n: Column, pos: Column): Column = {
+      val p = pos.cast("double") / n.cast("double")
+      lit(1.0) - p * p - (lit(1.0) - p) * (lit(1.0) - p)
+    }
+    // prefix counts per feature over the bounded sorted bin list
+    val withCum = stacked.join(broadcast(tot), Seq("feature"))
+      .groupBy(col("feature"), col("nt"), col("post"))
+      .agg(array_sort(collect_list(struct(col("bin"), col("n"),
+        col("pos")))).as("arr"))
+      .select(col("feature"), col("nt"), col("post"),
+        explode(expr(
+          """aggregate(arr,
+            |  struct(CAST(0 AS BIGINT) AS cn, CAST(0 AS BIGINT) AS cp,
+            |         CAST(array() AS ARRAY<STRUCT<bin: BIGINT,
+            |           cn: BIGINT, cp: BIGINT>>) AS out),
+            |  (a, e) -> struct(a.cn + e.n AS cn, a.cp + e.pos AS cp,
+            |    array_append(a.out, struct(e.bin AS bin,
+            |      a.cn + e.n AS cn, a.cp + e.pos AS cp)) AS out),
+            |  a -> a.out)""".stripMargin)).as("c"))
+      .select(col("feature"), col("nt"), col("post"),
+        col("c.bin").as("split_bin"), col("c.cn").as("left_n"),
+        col("c.cp").as("left_pos"))
+      .where(col("split_bin") < lit((bins - 1).toLong) &&
+        col("left_n") > 0 && col("left_n") < col("nt"))
+    val rn = col("nt") - col("left_n")
+    val rp = col("post") - col("left_pos")
+    val gain = gini(col("nt"), col("post")) -
+      (col("left_n").cast("double") / col("nt").cast("double")) *
+        gini(col("left_n"), col("left_pos")) -
+      (rn.cast("double") / col("nt").cast("double")) * gini(rn, rp)
+    val scored = withCum.select(col("feature"), col("split_bin"),
+      col("left_n"), col("left_pos"), rn.as("right_n"),
+      rp.as("right_pos"), Q.sig9(gain).as("gain"))
+    // deterministic argmax: max gain (sig9'd, so equal gains compare
+    // equal), ties to the lexicographically smallest (feature, bin)
+    val maxg = scored.agg(max(col("gain")).as("mg"))
+    val best = scored.crossJoin(broadcast(maxg))
+      .where(col("gain") === col("mg"))
+      .agg(min(struct(col("feature").as("feature"),
+        col("split_bin").as("split_bin"))).as("b"))
+    scored.crossJoin(broadcast(best))
+      .withColumn("is_best", col("feature") === col("b.feature") &&
+        col("split_bin") === col("b.split_bin"))
+      .drop("b")
+  }
+
+  /** Huber-loss robust simple regression y ~ a + b·x by IRLS
+    * (Huber 1964; weights w = min(1, δ/|r|)) — the outlier-resistant
+    * twin of [[ridgeFit]] for fitting trends on corrupted feeds where
+    * OLS chases the garbage rows.
+    *
+    * Init = OLS from exact decimal moments; each of `iters` reweighted
+    * passes is ONE map-side-combined aggregate (5 weighted moments)
+    * over rows joined to the previous fit's one-row broadcast — the
+    * [[logisticTrain]] iteration shape, k+1 corpus scans total,
+    * nothing sequential but the iterations themselves.
+    *
+    * Determinism: coefficients are sig9'd after every solve, residuals
+    * and weights are fixed IEEE expressions of sig9'd coefficients,
+    * and every weighted moment accumulates via [[Q.dsum]] — so the
+    * whole IRLS trajectory is engine- and partitioning-identical.
+    *
+    * @return one row: (a, b, a_ols, b_ols, n, delta, iters) */
+  def huberFit(df: DataFrame, xCol: String, yCol: String,
+      delta: Double, iters: Int = 3): DataFrame = {
+    require(delta > 0, s"delta must be > 0, got $delta")
+    require(iters >= 1 && iters <= 16,
+      s"iters must be in [1, 16], got $iters")
+    val x = col(xCol).cast("double")
+    val yc = col(yCol).cast("double")
+    val base = df.where(x.isNotNull && yc.isNotNull)
+      .select(x.as("x"), yc.as("y"))
+    def solve(m: DataFrame): DataFrame = {
+      val num = Q.sig9(col("sw") * col("swxy") - col("swx") * col("swy"))
+      val den = Q.sig9(col("sw") * col("swxx") - col("swx") * col("swx"))
+      m.select(col("n"),
+          when(den =!= 0.0, Q.sig9(num / den)).as("b"), col("sw"),
+          col("swx"), col("swy"), den.as("den"))
+        .select(col("n"), col("b"),
+          when(col("den") =!= 0.0,
+            Q.sig9((col("swy") - col("b") * col("swx")) / col("sw")))
+            .as("a"))
+    }
+    val ols = solve(base.agg(count(lit(1)).cast("long").as("n"),
+      Q.dsum(lit(1.0)).as("sw"), Q.dsum(col("x")).as("swx"),
+      Q.dsum(col("x") * col("x")).as("swxx"),
+      Q.dsum(col("y")).as("swy"),
+      Q.dsum(col("x") * col("y")).as("swxy")))
+    var fit = ols
+    for (_ <- 1 to iters) {
+      val r = col("y") - (col("a") + col("b") * col("x"))
+      val w = when(abs(r) <= lit(delta), lit(1.0))
+        .otherwise(lit(delta) / abs(r))
+      fit = solve(base.crossJoin(broadcast(fit.select(col("a"), col("b"))))
+        .withColumn("w", w)
+        .agg(count(lit(1)).cast("long").as("n"),
+          Q.dsum(col("w")).as("sw"),
+          Q.dsum(col("w") * col("x")).as("swx"),
+          Q.dsum(col("w") * col("x") * col("x")).as("swxx"),
+          Q.dsum(col("w") * col("y")).as("swy"),
+          Q.dsum(col("w") * col("x") * col("y")).as("swxy")))
+    }
+    fit.crossJoin(broadcast(ols.select(col("a").as("a_ols"),
+        col("b").as("b_ols"))))
+      .select(col("a"), col("b"), col("a_ols"), col("b_ols"), col("n"),
+        lit(delta).as("delta"), lit(iters.toLong).as("iters"))
+  }
 }

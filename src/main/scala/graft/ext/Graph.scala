@@ -953,4 +953,107 @@ object Graph {
       when(col("n_nodes_deg2") > 0L, Q.sig9(col("sum_cc") /
         col("n_nodes_deg2").cast("double"))).as("avg_cc"))
   }
+
+  /** Exact neighborhood function N(r) — for each radius r ≤ `rounds`,
+    * the total number of (v, u) pairs with dist(v, u) ≤ r, i.e. the
+    * sum of all r-ball sizes (Palmer et al. 2002's ANF target, here
+    * computed exactly). avg_ball = N(r)/|V| is the expansion curve
+    * whose knee is the graph's effective diameter.
+    *
+    * ADJUDICATION BASELINE, not the scale path: the pair frame is
+    * Θ(Σ_v |ball_r(v)|) — inherently super-linear on densifying
+    * graphs (this is WHY HyperBall exists). [[hyperBall]] is the
+    * 100 TB face: same N(r) within HLL error at O(|V|·2^p) state.
+    * Keep exact runs to small r / pruned graphs — the q_x_ann_brute
+    * precedent.
+    *
+    * @return one row per radius 0..rounds:
+    *         (r, n_pairs, n_nodes, avg_ball) */
+  def neighborhoodExact(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int, checkpointDir: Option[String] = None): DataFrame = {
+    require(rounds >= 0 && rounds <= 16,
+      s"rounds must be in [0, 16], got $rounds")
+    def cut(df: DataFrame): DataFrame = Checkpoints.cut(df, checkpointDir)
+    val e = cut(edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct())
+    val nodes = e.select(col("src").as("v"))
+      .unionByName(e.select(col("dst").as("v"))).distinct()
+    val nTot = nodes.agg(count(lit(1)).cast("long").as("n_nodes"))
+    def row(r: Int, reach: DataFrame): DataFrame =
+      reach.agg(count(lit(1)).cast("long").as("n_pairs"))
+        .crossJoin(broadcast(nTot))
+        .select(lit(r.toLong).as("r"), col("n_pairs"), col("n_nodes"),
+          Q.sig9(col("n_pairs").cast("double") /
+            col("n_nodes").cast("double")).as("avg_ball"))
+    var reach = cut(nodes.select(col("v"), col("v").as("u")))
+    var out = row(0, reach)
+    (1 to rounds).foreach { r =>
+      reach = cut(reach
+        .join(e, col("u") === col("src")).select(col("v"),
+          col("dst").as("u"))
+        .unionByName(reach).distinct())
+      out = out.unionByName(row(r, reach))
+    }
+    out
+  }
+
+  /** HyperBall (Boldi & Vigna 2013): the neighborhood function
+    * estimated with one HyperLogLog counter per node — the scale path
+    * for [[neighborhoodExact]]. Each round max-merges every node's
+    * register table with its out-neighbors' (counter(v) ← counter(v)
+    * ∪ ∪_{(v,w)∈E} counter(w)); after r rounds counter(v) sketches
+    * ball_r(v) exactly because register max IS set union under HLL.
+    *
+    * Scale shape: state is the sparse per-node register table
+    * (≤ min(|ball|, 2^p) rows per node, id + bucket + one long);
+    * a round is ONE edges⋈registers equi-join + ONE
+    * (node, bucket)-keyed max aggregate — message passing with
+    * bounded messages, never a pair frame. Estimates come from
+    * [[Sketch.hllEstimateBySlice]] per round; their sum over nodes is
+    * N̂(r).
+    *
+    * Determinism: registers are exact integers (portable hash60
+    * buckets/ranks, order-free max); only the per-node estimate math
+    * carries sig9'd doubles, summed via dsumStable(4).
+    *
+    * @return one row per radius 0..rounds:
+    *         (r, n_nodes, nf_est, avg_ball_est) */
+  def hyperBall(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int, p: Int = 8, salt: String = "hb",
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(rounds >= 0 && rounds <= 64,
+      s"rounds must be in [0, 64], got $rounds")
+    def cut(df: DataFrame): DataFrame = Checkpoints.cut(df, checkpointDir)
+    val e = cut(edges
+      .select(col(srcCol).as("esrc"), col(dstCol).as("edst"))
+      .where(col("esrc").isNotNull && col("edst").isNotNull)
+      .distinct())
+    val nodes = e.select(col("esrc").as("node"))
+      .unionByName(e.select(col("edst").as("node"))).distinct()
+    val nTot = nodes.agg(count(lit(1)).cast("long").as("n_nodes"))
+    def row(r: Int, regs: DataFrame): DataFrame =
+      Sketch.hllEstimateBySlice(regs, p, Seq("node"))
+        .agg(Q.dsumStable(col("estimate"), 4).as("nf_est"))
+        .crossJoin(broadcast(nTot))
+        .select(lit(r.toLong).as("r"), col("n_nodes"), col("nf_est"),
+          Q.sig9(col("nf_est") / col("n_nodes").cast("double"))
+            .as("avg_ball_est"))
+    var regs = cut(Sketch.hllRegisters(
+      nodes.select(col("node"), col("node").as("k")), "k", p, salt,
+      sliceCols = Seq("node")))
+    var out = row(0, regs)
+    (1 to rounds).foreach { r =>
+      val pulled = e
+        .join(regs.withColumnRenamed("node", "w"),
+          col("edst") === col("w"))
+        .select(col("esrc").as("node"), col("bucket"), col("M"))
+      regs = cut(pulled.unionByName(regs)
+        .groupBy(col("node"), col("bucket"))
+        .agg(max(col("M")).cast("long").as("M")))
+      out = out.unionByName(row(r, regs))
+    }
+    out
+  }
 }

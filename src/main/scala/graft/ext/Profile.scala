@@ -996,6 +996,122 @@ object Profile {
         (col("n_bins_occ") - 1).cast("long").as("dof"))
   }
 
+  /** Binned distribution-distance battery — Wasserstein-1 (earth
+    * mover's distance), total-variation distance and Hellinger
+    * distance between a reference and a current sample on the
+    * reference's equi-width binning. Complements [[binnedDrift]]:
+    * PSI/KS/chi2 answer "did it drift?"; W1 answers "by HOW MUCH, in
+    * the units of the column" (the metric used for embedding-shift
+    * and label-shift monitoring in data pipelines), TV bounds every
+    * event-probability change, and Hellinger is the bounded smooth
+    * metric between them.
+    *
+    * Semantics on the binned distributions (mass at bin indices,
+    * spacing = bin_width):
+    *  - `w1` = bin_width · Σ_{i=0}^{B−1} |F_ref(i) − F_cur(i)| — the
+    *    exact 1-D optimal-transport cost between the binned masses.
+    *    EMPTY bins count: the CDF gap persists across them, so each
+    *    occupied bin's |gap| is weighted by its run length to the
+    *    next occupied bin (the last occupied bin's gap is 0 — both
+    *    CDFs end at 1 — so the missing tail term vanishes).
+    *  - `tv` = ½ Σ_i |p_i − q_i| with the exact integer numerator
+    *    |rn·ct − cn·rt| summed in DECIMAL(38,0) and ONE sig9'd final
+    *    division (products overflow Long at ~10^12 rows; decimal is
+    *    exact and order-free).
+    *  - `hellinger` = sqrt(1 − Σ_i sqrt(p_i q_i)); sqrt is IEEE
+    *    correctly-rounded (engine-identical, unlike ln/exp) so the
+    *    per-bin Bhattacharyya terms are sig9'd doubles summed via
+    *    dsumStable(9).
+    * W1's numerator Σ|cumR·ct − cumC·rt|·gap is likewise exact
+    * integer arithmetic inside ONE bounded array fold (the
+    * [[binnedDrift]] KS fold shape — no window), divided and scaled
+    * by bin_width once at the end.
+    *
+    * Plan: one scan + bin-keyed count per side; everything after is
+    * O(bins ≤ 4096) — a full-outer bin join, one broadcast totals
+    * row (carrying the reference [lo, hi]), one single-group
+    * aggregate with the fold. Streaming-ready: the state is the same
+    * additive per-bin count pair as [[binnedDrift]]'s monitor face.
+    *
+    * @return one row: (bins, n_ref, n_cur, bin_width, w1, tv,
+    *         hellinger) — statistics (and bin_width) NULL when either
+    *         side is empty */
+  def distanceBattery(ref: DataFrame, cur: DataFrame, valCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 1 && bins <= 4096,
+      s"bins must be in [1, 4096], got $bins")
+    import graft.queries.Q
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val x = col(valCol).cast("double")
+    val mm = ref.where(x.isNotNull).agg(min(x).as("lo"), max(x).as("hi"))
+    def binCounts(df: DataFrame, out: String) =
+      df.where(x.isNotNull).select(x.as("x"))
+        .crossJoin(broadcast(mm))
+        .withColumn("bin",
+          when(col("hi") === col("lo"), lit(0L))
+            .otherwise(least(lit((bins - 1).toLong),
+              greatest(lit(0L),
+                floor((col("x") - col("lo"))
+                  / ((col("hi") - col("lo")) / bins)).cast("long")))))
+        .groupBy(col("bin")).agg(count(lit(1)).as(out))
+    val joined = binCounts(ref, "rn")
+      .join(binCounts(cur, "cn"), Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("rn"), lit(0L)).as("rn"),
+        coalesce(col("cn"), lit(0L)).as("cn"))
+    val tot = joined.agg(sum(col("rn")).cast("long").as("rt"),
+        sum(col("cn")).cast("long").as("ct"))
+      .crossJoin(broadcast(mm))
+    val rf = col("rn").cast("double") / col("rt").cast("double")
+    val cf = col("cn").cast("double") / col("ct").cast("double")
+    // exact TV numerator |rn·ct − cn·rt| and the Bhattacharyya term
+    val tvNum = abs(col("rn").cast(dec) * col("ct").cast(dec)
+      - col("cn").cast(dec) * col("rt").cast(dec))
+    val bcTerm = when(col("rn") > 0 && col("cn") > 0,
+      Q.sig9(sqrt(rf * cf))).otherwise(lit(0.0))
+    val wide = joined.crossJoin(broadcast(tot))
+      .select(col("bin"), col("rn"), col("cn"), col("rt"), col("ct"),
+        col("lo"), col("hi"), tvNum.as("tvn"), bcTerm.as("bc"))
+    // fold over occupied bins sorted by index: pn = |cumR·ct − cumC·rt|
+    // AFTER the last processed bin; on each element the pending pn is
+    // weighted by the run length (e.bin − lastbin) it persisted for
+    val acc0 = struct(lit(0L).as("cr"), lit(0L).as("cc"),
+      lit(0L).as("lastbin"), lit(0).cast(dec).as("pn"),
+      lit(0).cast(dec).as("sd"))
+    val bw = (col("hi") - col("lo")) / lit(bins.toDouble)
+    wide.groupBy(col("rt"), col("ct"), col("lo"), col("hi"))
+      .agg(sum(col("tvn")).as("tv_num"),
+        Q.dsumStable(col("bc"), 9).as("bc_raw"),
+        array_sort(collect_list(struct(col("bin"), col("rn"),
+          col("cn")))).as("arr"))
+      .withColumn("w1_acc", aggregate(col("arr"), acc0, (a, e) => {
+        val sd = a.getField("sd") + a.getField("pn") *
+          (e.getField("bin") - a.getField("lastbin")).cast(dec)
+        val cr = a.getField("cr") + e.getField("rn")
+        val cc = a.getField("cc") + e.getField("cn")
+        val pn = abs(cr.cast(dec) * col("ct").cast(dec)
+          - cc.cast(dec) * col("rt").cast(dec))
+        struct(cr.as("cr"), cc.as("cc"),
+          e.getField("bin").as("lastbin"), pn.as("pn"), sd.as("sd"))
+      }))
+      .select(lit(bins.toLong).as("bins"),
+        col("rt").as("n_ref"), col("ct").as("n_cur"),
+        Q.sig9(bw).as("bin_width"),
+        // post-fold pn is exactly 0 (both CDFs end at 1: cr=rt, cc=ct)
+        // so the trailing-run term vanishes and sd IS the numerator
+        when(col("rt") > 0 && col("ct") > 0,
+          Q.sig9(col("w1_acc.sd").cast("double")
+            / (col("rt").cast("double") * col("ct").cast("double"))
+            * bw)).as("w1"),
+        when(col("rt") > 0 && col("ct") > 0,
+          Q.sig9(col("tv_num").cast("double")
+            / (col("rt").cast("double") * col("ct").cast("double"))
+            / lit(2.0))).as("tv"),
+        when(col("rt") > 0 && col("ct") > 0,
+          Q.sig9(sqrt(greatest(lit(0.0),
+            lit(1.0) - col("bc_raw"))))).as("hellinger"))
+  }
+
   /** Exact two-sample Kolmogorov–Smirnov distance — the
     * distribution-shape drift monitor next to [[psi]] (KS is binning-
     * free and catches shifts PSI's ten fixed bins smear out):

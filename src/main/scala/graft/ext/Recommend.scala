@@ -82,4 +82,77 @@ object Recommend {
         col("neighbor"), col("nab").cast("long").as("n_both"),
         col("cosine"))
   }
+
+  /** Rank-2 alternating least squares matrix factorization
+    * (Zhou et al. 2008, "Large-scale Parallel Collaborative
+    * Filtering") over an implicit-count ratings frame — the latent-
+    * factor recommender beside [[itemItemCf]]'s memory-based one.
+    *
+    * k = 2 is fixed so the per-entity normal equations
+    * (XᵀX + λI)p = Xᵀr solve in CLOSED FORM (2×2 cofactor inverse) —
+    * no per-group matrix library, no driver-side solver: each half-
+    * step is ONE ratings⋈factors equi-join + ONE keyed aggregate of
+    * five moment columns, then five scalar expressions. That is the
+    * full 100 TB shape — factors co-partition with the join key and
+    * nothing but the two shuffles moves data. (Higher k changes the
+    * solve, not the dataflow.)
+    *
+    * Determinism (the trajectory-adjudication contract, see
+    * [[graft.ext.Classifier]]): item factors initialize from the item
+    * id itself (f1 = 1, f2 = (id mod 11)/11 − 0.5 — deterministic,
+    * seed-free, full-rank for any non-degenerate id set), every
+    * moment accumulates via DECIMAL [[graft.queries.Q.dsum]], and
+    * det/factors are sig9'd after each solve, so every half-step is
+    * engine- and partitioning-identical. λ > 0 keeps the system PD;
+    * det is still guarded (NULL factors rather than an ANSI throw on
+    * a degenerate rounding).
+    *
+    * @param ratings (userCol, itemCol, rCol) — one row per pair
+    * @return item factors after `iters` full (user, item) sweeps:
+    *         (item, f1, f2, n_users) */
+  def als2(ratings: DataFrame, userCol: String, itemCol: String,
+      rCol: String, lambda: Double, iters: Int = 2): DataFrame = {
+    require(lambda > 0, s"lambda must be > 0, got $lambda")
+    require(iters >= 1 && iters <= 8,
+      s"iters must be in [1, 8], got $iters")
+    import graft.queries.Q
+    val base = ratings.select(col(userCol).as("u"), col(itemCol).as("i"),
+        col(rCol).cast("double").as("r"))
+      .where(col("u").isNotNull && col("i").isNotNull &&
+        col("r").isNotNull)
+    def solve(m: DataFrame): DataFrame = {
+      val det = Q.sig9((col("a11") + lit(lambda)) *
+        (col("a22") + lit(lambda)) - col("a12") * col("a12"))
+      m.withColumn("det", det)
+        .select(col("id"), col("n"),
+          when(col("det") =!= 0.0, Q.sig9(
+            ((col("a22") + lit(lambda)) * col("b1")
+              - col("a12") * col("b2")) / col("det"))).as("f1"),
+          when(col("det") =!= 0.0, Q.sig9(
+            ((col("a11") + lit(lambda)) * col("b2")
+              - col("a12") * col("b1")) / col("det"))).as("f2"))
+    }
+    def halfStep(factors: DataFrame, keyCol: String,
+        otherCol: String): DataFrame =
+      solve(base
+        .join(factors.select(col("id").as("__fid"), col("f1"),
+          col("f2")), col(otherCol) === col("__fid"))
+        .groupBy(col(keyCol).as("id"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          Q.dsum(col("f1") * col("f1")).as("a11"),
+          Q.dsum(col("f1") * col("f2")).as("a12"),
+          Q.dsum(col("f2") * col("f2")).as("a22"),
+          Q.dsum(col("r") * col("f1")).as("b1"),
+          Q.dsum(col("r") * col("f2")).as("b2")))
+    var items = base.select(col("i").as("id")).distinct()
+      .select(col("id"), lit(1L).as("n"), lit(1.0).as("f1"),
+        (pmod(col("id").cast("long"), lit(11L)).cast("double")
+          / lit(11.0) - lit(0.5)).as("f2"))
+    for (_ <- 1 to iters) {
+      val users = halfStep(items, "u", "i")
+      items = halfStep(users, "i", "u")
+    }
+    items.select(col("id").as("item"), col("f1"), col("f2"),
+      col("n").as("n_users"))
+  }
 }

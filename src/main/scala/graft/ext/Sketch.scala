@@ -125,13 +125,26 @@ object Sketch {
   /** Estimate from a register table (merging duplicate buckets by max
     * first, so a UNION of slice registers feeds in directly). Same
     * output row as [[hyperLogLog]]. */
-  def hllEstimate(registers: DataFrame, p: Int): DataFrame = {
+  def hllEstimate(registers: DataFrame, p: Int): DataFrame =
+    hllEstimateBySlice(registers, p, Seq.empty)
+      .select(col("estimate"), col("raw_est"), col("v_zero"),
+        col("n_occupied"), col("m"))
+
+  /** Per-slice [[hllEstimate]]: one estimate row per distinct value of
+    * `sliceCols` in the register table (e.g. per node for
+    * [[Graph.hyperBall]], per day for a rollup readback). The same
+    * formula as the global estimate, keyed — empty `sliceCols` is the
+    * one-row global aggregate. */
+  def hllEstimateBySlice(registers: DataFrame, p: Int,
+      sliceCols: Seq[String]): DataFrame = {
     require(p >= 7 && p <= 16, s"p must be in 7..16, got $p")
     val m = 1L << p
     val alpha = 0.7213 / (1.0 + 1.079 / m)
-    val regs = registers.groupBy(col("bucket"))
+    val slices = sliceCols.map(col)
+    val regs = registers.groupBy(slices :+ col("bucket"): _*)
       .agg(max(col("M")).cast("long").as("M"))
     val agg = regs
+      .groupBy(slices: _*)
       .agg(count(lit(1)).cast("long").as("occ"),
         array_sort(collect_list(struct(col("bucket"), col("M"))))
           .as("arr"))
@@ -142,17 +155,17 @@ object Sketch {
     val vZero = lit(m) - col("occ")
     val s = vZero.cast("double") + col("sregs")
     val raw = lit(alpha) * lit(m.toDouble) * lit(m.toDouble) / s
-    agg.select(
+    agg.select(slices :+
       graft.queries.Q.sig9(
         when(raw <= 2.5 * m && vZero > 0L,
           lit(m.toDouble) *
             graft.queries.Q.sig9(log(lit(m.toDouble) /
               vZero.cast("double"))))
-          .otherwise(raw)).as("estimate"),
-      graft.queries.Q.sig9(raw).as("raw_est"),
-      vZero.cast("long").as("v_zero"),
-      col("occ").as("n_occupied"),
-      lit(m).as("m"))
+          .otherwise(raw)).as("estimate") :+
+      graft.queries.Q.sig9(raw).as("raw_est") :+
+      vZero.cast("long").as("v_zero") :+
+      col("occ").as("n_occupied") :+
+      lit(m).as("m"): _*)
   }
 
   /** Point-estimate each key in `keys` against a sketch built with the

@@ -1043,7 +1043,76 @@ object BehaviorQueries {
        |FROM r WHERE rnk <= $itemCfTopK""".stripMargin
   }
 
+  // ===== rank-2 ALS matrix factorization ==============================
+
+  private val alsIters = 2
+
+  /** [[graft.ext.Recommend.als2]] on the customer × part implicit-
+    * count matrix (how many lineitems of part i customer u ordered):
+    * the latent-factor recommender next to q_x_item_cf. The oracle
+    * replays the ENTIRE alternating trajectory — both half-steps of
+    * both sweeps, each a join + five decimal moments + the closed-form
+    * 2×2 solve — as generated CTEs (the GD-trajectory convention). */
+  private val alsQ: QFn = (s, d) =>
+    graft.ext.Recommend.als2(
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("u"), col("l_partkey").as("i"))
+        .agg(count(lit(1)).cast("double").as("r")),
+      "u", "i", "r", lambda = 0.1, iters = alsIters)
+
+  private val alsSql = {
+    val L = "CAST(0.1 AS DOUBLE)"
+    def solve(m: String, out: String) =
+      s"""${out}_p AS (
+         |  SELECT id, n, a12, b1, b2,
+         |    a11 + $L AS a11l, a22 + $L AS a22l,
+         |    ${Q.sqlSig9(s"(a11 + $L) * (a22 + $L) - a12 * a12")}
+         |      AS det
+         |  FROM $m),
+         |$out AS (
+         |  SELECT id, n,
+         |    CASE WHEN det <> 0.0 THEN ${Q.sqlSig9(
+              "(a22l * b1 - a12 * b2) / det")} END AS f1,
+         |    CASE WHEN det <> 0.0 THEN ${Q.sqlSig9(
+              "(a11l * b2 - a12 * b1) / det")} END AS f2
+         |  FROM ${out}_p)""".stripMargin
+    def half(i: Int, factors: String, key: String, other: String) =
+      s"""m$i AS (
+         |  SELECT t.$key AS id, CAST(count(*) AS BIGINT) AS n,
+         |    ${Q.sqlDsum("f.f1 * f.f1")} AS a11,
+         |    ${Q.sqlDsum("f.f1 * f.f2")} AS a12,
+         |    ${Q.sqlDsum("f.f2 * f.f2")} AS a22,
+         |    ${Q.sqlDsum("t.r * f.f1")} AS b1,
+         |    ${Q.sqlDsum("t.r * f.f2")} AS b2
+         |  FROM ratings t JOIN $factors f ON t.$other = f.id
+         |  GROUP BY 1)""".stripMargin
+    val steps = (1 to alsIters).map { sw =>
+      val ui = 2 * sw - 1; val ii = 2 * sw
+      val prevItems = if (sw == 1) "it0" else s"it${sw - 1}"
+      s"""${half(ui, prevItems, "u", "i")},
+         |${solve(s"m$ui", s"us$sw")},
+         |${half(ii, s"us$sw", "i", "u")},
+         |${solve(s"m$ii", s"it$sw")}""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ratings AS (
+       |  SELECT o_custkey AS u, l_partkey AS i,
+       |    CAST(count(*) AS DOUBLE) AS r
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2),
+       |it0 AS (
+       |  SELECT DISTINCT i AS id, CAST(1 AS BIGINT) AS n,
+       |    CAST(1.0 AS DOUBLE) AS f1,
+       |    CAST(i % 11 AS DOUBLE) / 11.0 - 0.5 AS f2
+       |  FROM ratings),
+       |$steps
+       |SELECT id AS item, f1, f2, n AS n_users
+       |FROM it$alsIters""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q_x_als" -> alsQ,
     "q_x_item_cf" -> itemCfQ,
     "q_x_growth" -> growthQ,
     "q_x_stickiness" -> stickinessQ,
@@ -1066,6 +1135,7 @@ object BehaviorQueries {
     "q_x_decay" -> decayQ)
 
   val oracles: Map[String, String] = Map(
+    "q_x_als" -> alsSql,
     "q_x_item_cf" -> itemCfSql,
     "q_x_growth" -> growthSql,
     "q_x_stickiness" -> stickinessSql,

@@ -817,7 +817,195 @@ object LearnQueries {
        |FROM rr, pr""".stripMargin
   }
 
+  // ===== isotonic calibration (binned PAVA via minimax) ===============
+
+  /** [[graft.ext.Classifier.isotonicCalibration]]: the monotone
+    * probability map from event value to purchase rate — PAVA on ten
+    * score bins, adjudicated through the minimax identity the engine
+    * computes (the oracle replays the same O(B³) interval frame). */
+  private val isotonicQ: QFn = (s, d) => {
+    val ev = Tables.events(s, d)
+    Classifier.isotonicCalibration(
+      ev.select(col("value"),
+        (col("event_type") === "purchase").cast("int").as("y")),
+      "value", "y", bins = 10)
+  }
+
+  private val isotonicSql =
+    s"""WITH b AS (
+       |  SELECT CAST(value AS DOUBLE) AS s,
+       |    CAST(event_type = 'purchase' AS BIGINT) AS y
+       |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+       |mm AS (SELECT min(s) AS lo, max(s) AS hi FROM b),
+       |binned AS (
+       |  SELECT CASE WHEN mm.hi = mm.lo THEN 0
+       |    ELSE LEAST(9, GREATEST(0, CAST(floor((b.s - mm.lo) /
+       |      ((mm.hi - mm.lo) / 10)) AS BIGINT))) END AS bin,
+       |    CAST(count(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS pos
+       |  FROM b CROSS JOIN mm GROUP BY 1),
+       |iv AS (
+       |  SELECT j.bin AS j, k.bin AS k,
+       |    CAST(SUM(l.pos) AS DOUBLE) / CAST(SUM(l.n) AS DOUBLE) AS rate
+       |  FROM binned j, binned k, binned l
+       |  WHERE j.bin <= k.bin AND l.bin BETWEEN j.bin AND k.bin
+       |  GROUP BY 1, 2),
+       |mn AS (
+       |  SELECT i.bin AS i, iv.j, MIN(iv.rate) AS minr
+       |  FROM binned i JOIN iv ON iv.j <= i.bin AND iv.k >= i.bin
+       |  GROUP BY 1, 2),
+       |fit AS (SELECT i, ${Q.sqlSig9("MAX(minr)")} AS fit
+       |  FROM mn GROUP BY i)
+       |SELECT binned.bin, binned.n, binned.pos,
+       |  ${Q.sqlSig9("CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)")}
+       |    AS obs_rate, fit.fit
+       |FROM binned JOIN fit ON binned.bin = fit.i""".stripMargin
+
+  // ===== decision-stump split search ==================================
+
+  /** [[graft.ext.Classifier.stumpSplits]]: the exact-Gini candidate
+    * split table (the per-node primitive of a distributed CART/GBDT
+    * trainer) over three binned lineitem features predicting
+    * l_returnflag = 'R'; 16 bins per feature, best split flagged with
+    * a deterministic tie-break. */
+  private val stumpQ: QFn = (s, d) =>
+    Classifier.stumpSplits(
+      Tables.lineitem(s, d).select(
+        col("l_quantity").cast("double").as("qty"),
+        col("l_discount").cast("double").as("disc"),
+        col("l_extendedprice").cast("double").as("price"),
+        (col("l_returnflag") === "R").cast("int").as("y")),
+      Seq("disc", "price", "qty"), "y", bins = 16)
+
+  private val stumpSql = {
+    val gTot = "(1.0 - (CAST(post AS DOUBLE) / CAST(nt AS DOUBLE)) * " +
+      "(CAST(post AS DOUBLE) / CAST(nt AS DOUBLE)) - " +
+      "(1.0 - CAST(post AS DOUBLE) / CAST(nt AS DOUBLE)) * " +
+      "(1.0 - CAST(post AS DOUBLE) / CAST(nt AS DOUBLE)))"
+    def gChild(n: String, p: String) =
+      s"(1.0 - (CAST($p AS DOUBLE) / CAST($n AS DOUBLE)) * " +
+        s"(CAST($p AS DOUBLE) / CAST($n AS DOUBLE)) - " +
+        s"(1.0 - CAST($p AS DOUBLE) / CAST($n AS DOUBLE)) * " +
+        s"(1.0 - CAST($p AS DOUBLE) / CAST($n AS DOUBLE)))"
+    val gain = s"$gTot - (CAST(left_n AS DOUBLE) / CAST(nt AS DOUBLE))" +
+      s" * ${gChild("left_n", "left_pos")}" +
+      s" - (CAST(right_n AS DOUBLE) / CAST(nt AS DOUBLE))" +
+      s" * ${gChild("right_n", "right_pos")}"
+    def feat(name: String, expr: String) =
+      s"SELECT '$name' AS feature, CAST($expr AS DOUBLE) AS x, " +
+        "CAST(l_returnflag = 'R' AS BIGINT) AS y FROM lineitem " +
+        s"WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL " +
+        "AND l_discount IS NOT NULL AND l_extendedprice IS NOT NULL"
+    s"""WITH f AS (
+       |  ${feat("qty", "l_quantity")}
+       |  UNION ALL ${feat("disc", "l_discount")}
+       |  UNION ALL ${feat("price", "l_extendedprice")}),
+       |mm AS (SELECT feature, min(x) AS lo, max(x) AS hi
+       |  FROM f GROUP BY 1),
+       |cells AS (
+       |  SELECT f.feature,
+       |    CASE WHEN mm.hi = mm.lo THEN 0
+       |      ELSE LEAST(15, GREATEST(0, CAST(floor((f.x - mm.lo) /
+       |        ((mm.hi - mm.lo) / 16)) AS BIGINT))) END AS bin,
+       |    CAST(count(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS pos
+       |  FROM f JOIN mm ON f.feature = mm.feature GROUP BY 1, 2),
+       |tot AS (SELECT feature, CAST(SUM(n) AS BIGINT) AS nt,
+       |    CAST(SUM(pos) AS BIGINT) AS post
+       |  FROM cells GROUP BY 1),
+       |cum AS (
+       |  SELECT c.feature, c.bin AS split_bin,
+       |    CAST(SUM(c.n) OVER w AS BIGINT) AS left_n,
+       |    CAST(SUM(c.pos) OVER w AS BIGINT) AS left_pos
+       |  FROM cells c
+       |  WINDOW w AS (PARTITION BY c.feature ORDER BY c.bin)),
+       |cand AS (
+       |  SELECT cum.feature, cum.split_bin, cum.left_n, cum.left_pos,
+       |    tot.nt - cum.left_n AS right_n,
+       |    tot.post - cum.left_pos AS right_pos, tot.nt, tot.post
+       |  FROM cum JOIN tot ON cum.feature = tot.feature
+       |  WHERE cum.split_bin < 15 AND cum.left_n > 0
+       |    AND cum.left_n < tot.nt),
+       |scored AS (
+       |  SELECT feature, split_bin, left_n, left_pos, right_n,
+       |    right_pos, ${Q.sqlSig9(gain)} AS gain
+       |  FROM cand),
+       |mg AS (SELECT MAX(gain) AS mg FROM scored),
+       |best AS (
+       |  SELECT feature AS bf, split_bin AS bb
+       |  FROM scored CROSS JOIN mg WHERE gain = mg
+       |  ORDER BY feature, split_bin LIMIT 1)
+       |SELECT scored.*,
+       |  scored.feature = best.bf AND scored.split_bin = best.bb
+       |    AS is_best
+       |FROM scored CROSS JOIN best""".stripMargin
+  }
+
+  // ===== Huber robust regression (IRLS) ===============================
+
+  private val huberDelta = 0.5
+  private val huberIters = 3
+
+  /** [[graft.ext.Classifier.huberFit]]: outlier-resistant fit of
+    * scaled extendedprice on quantity; the oracle replays the OLS
+    * init and every IRLS reweighting pass as stacked CTEs. */
+  private val huberQ: QFn = (s, d) =>
+    Classifier.huberFit(
+      Tables.lineitem(s, d).select(
+        col("l_quantity").cast("double").as("x"),
+        (col("l_extendedprice").cast("double") / 10000.0).as("y")),
+      "x", "y", delta = huberDelta, iters = huberIters)
+
+  private val huberSql = {
+    def solve(m: String, out: String) = {
+      val num = Q.sqlSig9("sw * swxy - swx * swy")
+      val den = Q.sqlSig9("sw * swxx - swx * swx")
+      s"""${out}_p AS (
+         |  SELECT n, sw, swx, swy,
+         |    CASE WHEN $den <> 0.0 THEN ${Q.sqlSig9(s"($num) / ($den)")}
+         |      END AS b,
+         |    $den AS den
+         |  FROM $m),
+         |$out AS (
+         |  SELECT n, b,
+         |    CASE WHEN den <> 0.0 THEN ${Q.sqlSig9(
+              "(swy - b * swx) / sw")} END AS a
+         |  FROM ${out}_p)""".stripMargin
+    }
+    def pass(i: Int, prev: String) =
+      s"""m$i AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    ${Q.sqlDsum("w")} AS sw, ${Q.sqlDsum("w * x")} AS swx,
+         |    ${Q.sqlDsum("w * x * x")} AS swxx,
+         |    ${Q.sqlDsum("w * y")} AS swy,
+         |    ${Q.sqlDsum("w * x * y")} AS swxy
+         |  FROM (
+         |    SELECT x, y, CASE WHEN abs(y - (a + b * x)) <= $huberDelta
+         |      THEN 1.0 ELSE $huberDelta / abs(y - (a + b * x)) END AS w
+         |    FROM base CROSS JOIN $prev)),
+         |${solve(s"m$i", s"fit$i")}""".stripMargin
+    s"""WITH base AS (
+       |  SELECT CAST(l_quantity AS DOUBLE) AS x,
+       |    CAST(l_extendedprice AS DOUBLE) / 10000.0 AS y
+       |  FROM lineitem
+       |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+       |m0 AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    ${Q.sqlDsum("1.0")} AS sw, ${Q.sqlDsum("x")} AS swx,
+       |    ${Q.sqlDsum("x * x")} AS swxx, ${Q.sqlDsum("y")} AS swy,
+       |    ${Q.sqlDsum("x * y")} AS swxy
+       |  FROM base),
+       |${solve("m0", "fit0")},
+       |${(1 to huberIters).map(i => pass(i, s"fit${i - 1}"))
+          .mkString(",\n")}
+       |SELECT f.a, f.b, fit0.a AS a_ols, fit0.b AS b_ols, f.n,
+       |  CAST($huberDelta AS DOUBLE) AS delta,
+       |  CAST($huberIters AS BIGINT) AS iters
+       |FROM fit$huberIters f CROSS JOIN fit0""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q_x_isotonic" -> isotonicQ,
+    "q_x_stump" -> stumpQ,
+    "q_x_huber" -> huberQ,
     "q_x_eb_shrink" -> ebQ,
     "q_x_confusion" -> confusionQ,
     "q_x_kappa" -> kappaQ,
@@ -836,6 +1024,9 @@ object LearnQueries {
     "q_x_pipeline5" -> pipeline5Q)
 
   val oracles: Map[String, String] = Map(
+    "q_x_isotonic" -> isotonicSql,
+    "q_x_stump" -> stumpSql,
+    "q_x_huber" -> huberSql,
     "q_x_eb_shrink" -> ebSql,
     "q_x_confusion" -> confusionSql,
     "q_x_kappa" -> kappaSql,

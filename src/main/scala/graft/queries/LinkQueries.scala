@@ -1125,7 +1125,146 @@ object LinkQueries {
        |FROM agg""".stripMargin
   }
 
+  // ===== neighborhood function: exact + HyperBall =====================
+
+  /** Shared graph for the neighborhood-function pair: the undirected
+    * supplier↔part bipartite graph restricted to suppliers ≡ 1
+    * (mod 16) — pruned because the EXACT pair frame is
+    * Θ(Σ_v |ball_r(v)|) and densifies super-linearly (the
+    * q_x_ann_brute adjudication-baseline pattern; [[Graph.hyperBall]]
+    * is the scale path and runs on the SAME graph so its estimate is
+    * directly readable against the exact twin). */
+  private def nbrhoodEdges(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .where(col("l_suppkey") % 16 === 1)
+      .select(col("l_suppkey"), col("l_partkey"))
+    val fwd = li.select(col("l_suppkey").as("a"),
+      (col("l_partkey") + partNodeOffset).as("b"))
+    fwd.unionAll(fwd.select(col("b").as("a"), col("a").as("b")))
+  }
+
+  private val nbrhoodRounds = 2
+
+  private val nbrhoodQ: QFn = (s, d) =>
+    graft.ext.Graph.neighborhoodExact(nbrhoodEdges(s, d), "a", "b",
+      rounds = nbrhoodRounds)
+
+  private val nbrhoodSql = {
+    val rounds = (1 to nbrhoodRounds).map { i =>
+      s"""r$i AS MATERIALIZED (
+         |  SELECT v, u FROM r${i - 1}
+         |  UNION
+         |  SELECT r${i - 1}.v, e.dst AS u
+         |  FROM r${i - 1} JOIN e ON r${i - 1}.u = e.src)""".stripMargin
+    }.mkString(",\n")
+    val rows = (0 to nbrhoodRounds).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS r,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM r$i) AS n_pairs,
+         |  nt.n_nodes,
+         |  ${Q.sqlSig9(s"CAST((SELECT count(*) FROM r$i) AS DOUBLE) " +
+            "/ CAST(nt.n_nodes AS DOUBLE)")} AS avg_ball
+         |FROM nt""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH li AS (
+       |  SELECT DISTINCT l_suppkey AS s, l_partkey + $partNodeOffset
+       |    AS p
+       |  FROM lineitem WHERE l_suppkey % 16 = 1),
+       |e AS MATERIALIZED (
+       |  SELECT s AS src, p AS dst FROM li
+       |  UNION SELECT p, s FROM li),
+       |n AS (SELECT DISTINCT src AS v FROM e
+       |  UNION SELECT DISTINCT dst FROM e),
+       |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM n),
+       |r0 AS MATERIALIZED (SELECT v, v AS u FROM n),
+       |$rounds
+       |$rows""".stripMargin
+  }
+
+  /** [[graft.ext.Graph.hyperBall]] on the q_x_nbrhood graph: the HLL
+    * neighborhood function (Boldi & Vigna 2013) whose per-round N̂(r)
+    * is directly comparable to the exact twin's N(r). The oracle
+    * replays the whole register propagation — per-node singleton
+    * registers from the portable hash60, two max-merge rounds along
+    * edges, the per-node HLL estimate (linear-counting branch
+    * included) and the dsumStable(4) sum — in DuckDB. */
+  private val hyperballP = 7
+
+  private val hyperballQ: QFn = (s, d) =>
+    graft.ext.Graph.hyperBall(nbrhoodEdges(s, d), "a", "b",
+      rounds = nbrhoodRounds, p = hyperballP, salt = "hb")
+
+  private val hyperballSql = {
+    val m = 1L << hyperballP
+    val md = m.toDouble
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val thr = 2.5 * m
+    val maxRho = 60 - hyperballP + 1
+    val fold = Q.sqlFold("list_transform(arr, mm -> " +
+      "CAST(1.0 AS DOUBLE) / CAST((CAST(1 AS BIGINT) << mm) AS DOUBLE))")
+    val corrected = Q.sqlSig9(s"CAST($md AS DOUBLE) * " +
+      Q.sqlSig9(s"ln(CAST($md AS DOUBLE) / CAST(vz AS DOUBLE))"))
+    def estRow(i: Int) =
+      s"""ag$i AS (
+         |  SELECT node, CAST(count(*) AS BIGINT) AS occ,
+         |    list(M ORDER BY bucket) AS arr
+         |  FROM g$i GROUP BY 1),
+         |sv$i AS (
+         |  SELECT node, occ, $m - occ AS vz,
+         |    CAST($m - occ AS DOUBLE) + $fold AS sval
+         |  FROM ag$i),
+         |est$i AS (
+         |  SELECT node,
+         |    CAST($alpha AS DOUBLE) * CAST($md AS DOUBLE) *
+         |      CAST($md AS DOUBLE) / sval AS raw, vz
+         |  FROM sv$i),
+         |fin$i AS (
+         |  SELECT ${Q.sqlDsumStable(
+            s"CASE WHEN raw <= CAST($thr AS DOUBLE) AND vz > 0 " +
+              s"THEN $corrected ELSE ${Q.sqlSig9("raw")} END", 4)}
+         |    AS nf_est
+         |  FROM est$i)""".stripMargin
+    val rounds = (1 to nbrhoodRounds).map { i =>
+      s"""g$i AS MATERIALIZED (
+         |  SELECT node, bucket, CAST(max(M) AS BIGINT) AS M FROM (
+         |    SELECT e.src AS node, g.bucket, g.M
+         |    FROM e JOIN g${i - 1} g ON e.dst = g.node
+         |    UNION ALL SELECT node, bucket, M FROM g${i - 1})
+         |  GROUP BY 1, 2),
+         |${estRow(i)}""".stripMargin
+    }.mkString(",\n")
+    val rows = (0 to nbrhoodRounds).map { i =>
+      s"""SELECT CAST($i AS BIGINT) AS r, nt.n_nodes, fin$i.nf_est,
+         |  ${Q.sqlSig9("fin$.nf_est / CAST(nt.n_nodes AS DOUBLE)")
+            .replace("fin$", s"fin$i")} AS avg_ball_est
+         |FROM nt CROSS JOIN fin$i""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH li AS (
+       |  SELECT DISTINCT l_suppkey AS s, l_partkey + $partNodeOffset
+       |    AS p
+       |  FROM lineitem WHERE l_suppkey % 16 = 1),
+       |e AS MATERIALIZED (
+       |  SELECT s AS src, p AS dst FROM li
+       |  UNION SELECT p, s FROM li),
+       |n AS (SELECT DISTINCT src AS node FROM e
+       |  UNION SELECT DISTINCT dst FROM e),
+       |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM n),
+       |h0 AS (SELECT node,
+       |  ${Q.sqlHash60("'hb:' || CAST(node AS VARCHAR)")} AS h
+       |  FROM n),
+       |g0 AS MATERIALIZED (
+       |  SELECT node, h % $m AS bucket,
+       |    CASE WHEN h // $m = 0 THEN CAST($maxRho AS BIGINT)
+       |      ELSE len(bin(h // $m)) - len(rtrim(bin(h // $m), '0')) + 1
+       |    END AS M
+       |  FROM h0),
+       |${estRow(0)},
+       |$rounds
+       |$rows""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q_x_nbrhood" -> nbrhoodQ,
+    "q_x_hyperball" -> hyperballQ,
     "q_x_pipeline13" -> pipeline13Q,
     "q_x_ppr" -> pprQ,
     "q_x_clustering_coef" -> ccoefQ,
@@ -1148,6 +1287,8 @@ object LinkQueries {
     "q_x_scd2" -> scd2)
 
   val oracles: Map[String, String] = Map(
+    "q_x_nbrhood" -> nbrhoodSql,
+    "q_x_hyperball" -> hyperballSql,
     "q_x_pipeline13" -> pipeline13Sql,
     "q_x_ppr" -> pprSql,
     "q_x_clustering_coef" -> ccoefSql,

@@ -999,6 +999,126 @@ object PrepQueries {
        |FROM t CROSS JOIN agg CROSS JOIN kmax CROSS JOIN kbin""".stripMargin
   }
 
+  // ===== distribution-distance battery (W1 / TV / Hellinger) =========
+
+  /** [[graft.ext.Profile.distanceBattery]] over the q_x_psi ref/cur
+    * pair: Wasserstein-1 (how far did the distribution move, in value
+    * units), total-variation and Hellinger distance on the shared
+    * reference binning — the "how much" companions to q_x_binned_drift's
+    * "did it" tests. All three reduce to the same additive per-bin
+    * count state, so they share the drift monitor's streaming shape. */
+  private val wassersteinQ: QFn = (s, d) => {
+    val ev = Tables.events(s, d)
+    graft.ext.Profile.distanceBattery(ev,
+      ev.where(col("event_type") === "purchase"), "value", bins = 10)
+  }
+
+  private val wassersteinSql = {
+    val bin = (src: String) =>
+      s"""SELECT CASE WHEN s.hi = s.lo THEN 0
+         |  ELSE LEAST(9, GREATEST(0, CAST(floor((x - s.lo) /
+         |    ((s.hi - s.lo) / 10)) AS BIGINT))) END AS bin,
+         |  CAST(count(*) AS BIGINT) AS n
+         |FROM $src CROSS JOIN s GROUP BY 1""".stripMargin
+    val rf = "(CAST(rn AS DOUBLE) / CAST(rt AS DOUBLE))"
+    val cf = "(CAST(cn AS DOUBLE) / CAST(ct AS DOUBLE))"
+    val bc = s"CASE WHEN rn > 0 AND cn > 0 THEN ${Q.sqlSig9(
+      s"sqrt($rf * $cf)")} ELSE 0.0 END"
+    val rtct = "(CAST(t.rt AS DOUBLE) * CAST(t.ct AS DOUBLE))"
+    s"""WITH rv AS (
+       |  SELECT CAST(value AS DOUBLE) AS x FROM events
+       |  WHERE value IS NOT NULL),
+       |cv AS (
+       |  SELECT CAST(value AS DOUBLE) AS x FROM events
+       |  WHERE value IS NOT NULL AND event_type = 'purchase'),
+       |s AS (SELECT min(x) AS lo, max(x) AS hi FROM rv),
+       |rb AS (${bin("rv")}),
+       |cb AS (${bin("cv")}),
+       |j AS (
+       |  SELECT COALESCE(rb.bin, cb.bin) AS bin,
+       |    COALESCE(rb.n, 0) AS rn, COALESCE(cb.n, 0) AS cn
+       |  FROM rb FULL JOIN cb ON rb.bin = cb.bin),
+       |t AS (SELECT CAST(SUM(rn) AS BIGINT) AS rt,
+       |             CAST(SUM(cn) AS BIGINT) AS ct FROM j),
+       |c AS (
+       |  SELECT j.bin, j.rn, j.cn, t.rt, t.ct, $bc AS bc,
+       |    abs(CAST(j.rn AS HUGEINT) * t.ct
+       |      - CAST(j.cn AS HUGEINT) * t.rt) AS tvn,
+       |    SUM(j.rn) OVER (ORDER BY j.bin) AS cumr,
+       |    SUM(j.cn) OVER (ORDER BY j.bin) AS cumc,
+       |    COALESCE(LEAD(j.bin) OVER (ORDER BY j.bin), 10) AS nxt
+       |  FROM j CROSS JOIN t),
+       |agg AS (
+       |  SELECT SUM(abs(CAST(cumr AS HUGEINT) * ct
+       |      - CAST(cumc AS HUGEINT) * rt) * (nxt - bin)) AS w1n,
+       |    SUM(tvn) AS tvn,
+       |    ${Q.sqlDsumStable("bc", 9)} AS bc_raw
+       |  FROM c)
+       |SELECT CAST(10 AS BIGINT) AS bins, t.rt AS n_ref, t.ct AS n_cur,
+       |  ${Q.sqlSig9("(s.hi - s.lo) / 10")} AS bin_width,
+       |  CASE WHEN t.rt > 0 AND t.ct > 0 THEN ${Q.sqlSig9(
+            s"CAST(agg.w1n AS DOUBLE) / $rtct * ((s.hi - s.lo) / 10)")} END
+       |    AS w1,
+       |  CASE WHEN t.rt > 0 AND t.ct > 0 THEN ${Q.sqlSig9(
+            s"CAST(agg.tvn AS DOUBLE) / $rtct / 2.0")} END AS tv,
+       |  CASE WHEN t.rt > 0 AND t.ct > 0 THEN ${Q.sqlSig9(
+            "sqrt(GREATEST(0.0, 1.0 - agg.bc_raw))")} END AS hellinger
+       |FROM t CROSS JOIN agg CROSS JOIN s""".stripMargin
+  }
+
+  // ===== IPF / raking mixture calibration =============================
+
+  /** [[graft.ext.Mixture.ipfRake]]: rake the full documents corpus's
+    * source × lang cell weights to the marginals of the high-quality
+    * slice (n_chars ≥ 306, ~half the fixture) — the "reweight the
+    * crawl to the curated profile" mixture-calibration op. Two full
+    * row+column sweeps, unrolled in the oracle as four half-step CTEs
+    * replaying the exact sig9/dsumStable chain. */
+  private val ipfQ: QFn = (s, d) => {
+    val docs = Tables.documents(s, d)
+    graft.ext.Mixture.ipfRake(docs, docs.where(col("n_chars") >= 306),
+      "source", "lang", rounds = 2)
+  }
+
+  private val ipfSql = {
+    val mass = sqlSig9("CAST(p.n AS DOUBLE) * p.w")
+    def tm(dim: String, slice: String, name: String) =
+      s"""${name}_tn AS (
+         |  SELECT $dim AS k, CAST(count(*) AS BIGINT) AS tn
+         |  FROM documents WHERE $slice GROUP BY 1),
+         |${name}_tt AS (SELECT CAST(SUM(tn) AS BIGINT) AS tt
+         |  FROM ${name}_tn),
+         |$name AS (
+         |  SELECT k, ${sqlSig9("CAST(nc AS DOUBLE) * CAST(tn AS DOUBLE)" +
+            " / CAST(tt AS DOUBLE)")} AS tm
+         |  FROM ${name}_tn CROSS JOIN ${name}_tt CROSS JOIN tot)"""
+        .stripMargin
+    def step(i: Int, prev: String, dim: String, tmTab: String) =
+      s"""s$i AS (
+         |  SELECT p.$dim AS k, ${sqlDsumStable(mass, 6)} AS cs
+         |  FROM $prev p GROUP BY p.$dim),
+         |w$i AS (
+         |  SELECT p.r, p.c, p.n,
+         |    ${sqlSig9(s"p.w * COALESCE(CASE WHEN s$i.cs > 0 THEN " +
+            sqlSig9(s"$tmTab.tm / s$i.cs") + " END, 0.0)")} AS w
+         |  FROM $prev p LEFT JOIN s$i ON p.$dim = s$i.k
+         |    LEFT JOIN $tmTab ON p.$dim = $tmTab.k)""".stripMargin
+    s"""WITH cells AS (
+       |  SELECT source AS r, lang AS c, CAST(count(*) AS BIGINT) AS n
+       |  FROM documents GROUP BY 1, 2),
+       |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nc FROM cells),
+       |${tm("source", "n_chars >= 306", "tmr")},
+       |${tm("lang", "n_chars >= 306", "tmc")},
+       |w0 AS (SELECT r, c, n, CAST(1.0 AS DOUBLE) AS w FROM cells),
+       |${step(1, "w0", "r", "tmr")},
+       |${step(2, "w1", "c", "tmc")},
+       |${step(3, "w2", "r", "tmr")},
+       |${step(4, "w3", "c", "tmc")}
+       |SELECT r AS source, c AS lang, n, w AS weight,
+       |  ${sqlSig9("CAST(n AS DOUBLE) * w")} AS mass
+       |FROM w4""".stripMargin
+  }
+
   // ===== Benford first-digit conformance ==============================
 
   /** First-digit profile of order totals vs Benford's law — the
@@ -1038,6 +1158,8 @@ object PrepQueries {
     "q_x_benford" -> benfordQ,
     "q_x_psi" -> psiQ,
     "q_x_binned_drift" -> binnedDriftQ,
+    "q_x_wasserstein" -> wassersteinQ,
+    "q_x_ipf" -> ipfQ,
     "q_x_histogram" -> histogramQ,
     "q_x_group_corr" -> groupCorrQ,
     "q_x_knn_label" -> knnLabel,
@@ -1063,6 +1185,8 @@ object PrepQueries {
     "q_x_benford" -> benfordSql,
     "q_x_psi" -> psiSql,
     "q_x_binned_drift" -> binnedDriftSql,
+    "q_x_wasserstein" -> wassersteinSql,
+    "q_x_ipf" -> ipfSql,
     "q_x_histogram" -> histogramSql,
     "q_x_group_corr" -> groupCorrSql,
     "q_x_knn_label" -> knnLabelSql,

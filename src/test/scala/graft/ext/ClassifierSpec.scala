@@ -273,4 +273,81 @@ class ClassifierSpec extends SparkSpec {
     assert(degen.getAs[Double]("po") == 1.0)
     assert(degen.isNullAt(degen.fieldIndex("kappa")))
   }
+
+  test("isotonicCalibration pools adjacent violators exactly like " +
+      "sequential PAVA and is always nondecreasing") {
+    // lo=0, hi=10 -> bin width 1; occupied bins 0,2,4,6,9 with
+    // (rate, weight): 0(.5,2) 2(1,2) 4(0,2) 6(.5,2) 9(1,2)
+    val rows =
+      Seq((0.0, 0), (0.5, 1),  // bin 0 rate .5
+        (2.0, 1), (2.5, 1),    // bin 2 rate 1 (violator vs bin 4)
+        (4.0, 0), (4.5, 0),    // bin 4 rate 0
+        (6.0, 1), (6.5, 0),    // bin 6 rate .5
+        (9.0, 1), (10.0, 1))   // bin 9 rate 1 (10.0 clamps into 9)
+    val df = rows.toDF("s", "y").repartition(3)
+    val got = Classifier.isotonicCalibration(df, "s", "y", bins = 10)
+      .orderBy("bin").collect()
+      .map(r => r.getAs[Long]("bin") -> r.getAs[Double]("fit")).toMap
+    // sequential PAVA: 1 then 0 pool to .5 (equal to bin 0's .5 — no
+    // further merge); hand-checked minimax agrees bin by bin
+    assert(got(0L) == 0.5 && got(2L) == 0.5 && got(4L) == 0.5 &&
+      got(6L) == 0.5 && got(9L) == 1.0)
+    // monotone by construction
+    val fits = Classifier.isotonicCalibration(df, "s", "y", bins = 10)
+      .orderBy("bin").select("fit").as[Double].collect()
+    assert(fits.zip(fits.tail).forall { case (a, b) => a <= b })
+    // already-monotone rates are returned unchanged
+    val mono = Seq((0.0, 0), (0.5, 0), (5.0, 1), (5.5, 0), (9.9, 1),
+      (9.0, 1)).toDF("s", "y")
+    val m = Classifier.isotonicCalibration(mono, "s", "y", bins = 10)
+      .orderBy("bin").select("fit").as[Double].collect()
+    assert(m.sameElements(Array(0.0, 0.5, 1.0)))
+  }
+
+  test("stumpSplits finds the exact best Gini split with a " +
+      "deterministic tie-break") {
+    // y perfectly separable on x at the midpoint; z is noise
+    val rows = (0 until 32).map { i =>
+      (i.toDouble, (i % 2).toDouble, if (i < 16) 0 else 1)
+    }
+    val df = rows.toDF("x", "z", "y")
+    val out = Classifier.stumpSplits(df, Seq("x", "z"), "y", bins = 16)
+      .collect()
+    val best = out.filter(_.getAs[Boolean]("is_best"))
+    assert(best.length == 1)
+    val b = best.head
+    // x bins 0..15, two values per bin; split after bin 7 separates
+    assert(b.getAs[String]("feature") == "x" &&
+      b.getAs[Long]("split_bin") == 7L)
+    assert(b.getAs[Double]("gain") == 0.5) // gini .5 -> 0
+    assert(b.getAs[Long]("left_n") == 16L &&
+      b.getAs[Long]("left_pos") == 0L)
+    // constant feature (hi == lo) contributes no candidate splits
+    val const = Classifier.stumpSplits(
+      rows.map(r => (r._1, 1.0, r._3)).toDF("x", "z", "y"),
+      Seq("x", "z"), "y", bins = 16).collect()
+    assert(!const.exists(_.getAs[String]("feature") == "z"))
+  }
+
+  test("huberFit downweights outliers toward the clean slope while " +
+      "OLS chases them; clean data reproduces OLS") {
+    // clean line y = 2x + 1 with one wild outlier
+    val clean = (1 to 20).map(i => (i.toDouble, 2.0 * i + 1.0))
+    val noisy = clean :+ ((20.0, 500.0))
+    val r = Classifier.huberFit(noisy.toDF("x", "y"), "x", "y",
+      delta = 1.0, iters = 8).head()
+    val bH = r.getAs[Double]("b"); val bO = r.getAs[Double]("b_ols")
+    val aH = r.getAs[Double]("a")
+    assert(math.abs(bH - 2.0) < 0.2,
+      s"huber slope $bH should be near 2")
+    assert(math.abs(bH - 2.0) < math.abs(bO - 2.0),
+      "huber must beat OLS under contamination")
+    assert(math.abs(aH - 1.0) < 2.0)
+    // no outliers: IRLS fixed point IS the OLS fit
+    val c = Classifier.huberFit(clean.toDF("x", "y"), "x", "y",
+      delta = 10.0, iters = 3).head()
+    assert(c.getAs[Double]("a") == c.getAs[Double]("a_ols") &&
+      c.getAs[Double]("b") == c.getAs[Double]("b_ols"))
+    assert(c.getAs[Double]("b") == 2.0 && c.getAs[Double]("a") == 1.0)
+  }
 }

@@ -514,4 +514,44 @@ class GraphSpec extends SparkSpec {
       e2.isNullAt(e2.fieldIndex("transitivity")) &&
       e2.isNullAt(e2.fieldIndex("avg_cc")))
   }
+
+  // undirected path 1-2-3-4 (both directions listed)
+  private def pathEdges = Seq(
+    (1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 4L), (4L, 3L))
+
+  test("neighborhoodExact: hand-computed ball sizes on a path graph") {
+    import spark.implicits._
+    val got = Graph.neighborhoodExact(pathEdges.toDF("a", "b"),
+      "a", "b", rounds = 3).orderBy("r").collect()
+      .map(r => (r.getAs[Long]("r"), r.getAs[Long]("n_pairs"),
+        r.getAs[Long]("n_nodes"), r.getAs[Double]("avg_ball")))
+    // r0: each node reaches itself; r1 balls: 2,3,3,2; r2: 3,4,4,3;
+    // r3: saturated at 16
+    assert(got.toSeq == Seq(
+      (0L, 4L, 4L, 1.0), (1L, 10L, 4L, 2.5),
+      (2L, 14L, 4L, 3.5), (3L, 16L, 4L, 4.0)))
+  }
+
+  test("hyperBall tracks the exact neighborhood function and is " +
+      "nondecreasing in the radius") {
+    import spark.implicits._
+    val df = pathEdges.toDF("a", "b")
+    val exact = Graph.neighborhoodExact(df, "a", "b", 3)
+      .orderBy("r").collect().map(_.getAs[Long]("n_pairs"))
+    val est = Graph.hyperBall(df, "a", "b", rounds = 3, p = 7)
+      .orderBy("r").collect().map(_.getAs[Double]("nf_est"))
+    assert(est.length == 4)
+    est.zip(exact).foreach { case (e, x) =>
+      assert(math.abs(e - x) / x < 0.1,
+        s"HLL estimate $e too far from exact $x")
+    }
+    est.zip(est.tail).foreach { case (a, b) =>
+      assert(a <= b, "neighborhood function must be nondecreasing")
+    }
+    // register-merge law face: one extra round past saturation is a
+    // fixpoint (max-merge of identical registers changes nothing)
+    val sat = Graph.hyperBall(df, "a", "b", rounds = 4, p = 7)
+      .orderBy("r").collect().map(_.getAs[Double]("nf_est"))
+    assert(sat(4) == sat(3))
+  }
 }

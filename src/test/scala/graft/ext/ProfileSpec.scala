@@ -848,6 +848,53 @@ class ProfileSpec extends SparkSpec {
       degen.getAs[Double]("chi2") === 0.0)
   }
 
+  test("distanceBattery: hand-computed W1/TV/Hellinger, empty-bin gap " +
+      "weighting, identical/empty/degenerate frames") {
+    // ref = {0, 1} uniform, cur = {1}: bins=2, bw=0.5
+    // F_r=[.5,1], F_c=[0,1] -> W1 = .5*.5 = .25; TV = .5;
+    // BC = sqrt(.5*0)+sqrt(.5*1) -> H = sqrt(1-sqrt(.5))
+    val r1 = Profile.distanceBattery(Seq(0.0, 1.0).toDF("v"),
+      Seq(1.0).toDF("v"), "v", bins = 2).collect()(0)
+    assert(r1.getAs[Double]("bin_width") === 0.5)
+    assert(r1.getAs[Double]("w1") === 0.25)
+    assert(r1.getAs[Double]("tv") === 0.5)
+    assert(math.abs(r1.getAs[Double]("hellinger")
+      - math.sqrt(1 - math.sqrt(0.5))) < 1e-8)
+    // empty-bin gap weighting: ref={0,4}, cur={4,4}, bins=4, bw=1
+    // occupied bins 0 and 3 only; |F diff|=.5 persists across bins 1,2
+    // -> W1 = 1*(.5*3) = 1.5
+    val r2 = Profile.distanceBattery(Seq(0.0, 4.0).toDF("v"),
+      Seq(4.0, 4.0).toDF("v"), "v", bins = 4).collect()(0)
+    assert(r2.getAs[Double]("w1") === 1.5)
+    assert(r2.getAs[Double]("tv") === 0.5)
+    // identical frames: all three distances 0
+    val ref = (0 until 100).map(_.toDouble).toDF("v")
+    val same = Profile.distanceBattery(ref, ref, "v", bins = 10)
+      .collect()(0)
+    assert(same.getAs[Double]("w1") === 0.0 &&
+      same.getAs[Double]("tv") === 0.0 &&
+      same.getAs[Double]("hellinger") === 0.0)
+    // empty current: counts kept, statistics NULL
+    val empty = Profile.distanceBattery(ref,
+      Seq.empty[Double].toDF("v"), "v", bins = 10).collect()(0)
+    assert(empty.getAs[Long]("n_cur") === 0L)
+    assert(empty.isNullAt(empty.fieldIndex("w1")) &&
+      empty.isNullAt(empty.fieldIndex("tv")) &&
+      empty.isNullAt(empty.fieldIndex("hellinger")))
+    // empty reference: no binning contract -> counts kept, stats NULL
+    val eref = Profile.distanceBattery(Seq.empty[Double].toDF("v"),
+      ref, "v", bins = 10).collect()(0)
+    assert(eref.getAs[Long]("n_ref") === 0L &&
+      eref.isNullAt(eref.fieldIndex("w1")))
+    // degenerate one-value reference: everything in bin 0, all zero
+    val degen = Profile.distanceBattery(Seq(5.0, 5.0).toDF("v"),
+      Seq(7.0, 3.0).toDF("v"), "v", bins = 10).collect()(0)
+    assert(degen.getAs[Double]("bin_width") === 0.0)
+    assert(degen.getAs[Double]("w1") === 0.0 &&
+      degen.getAs[Double]("tv") === 0.0 &&
+      degen.getAs[Double]("hellinger") === 0.0)
+  }
+
   // ===== exact weighted quantiles =======================================
 
   test("weightedQuantiles: hand-computed picks, boundary landing, and " +

@@ -72,4 +72,46 @@ class RecommendSpec extends SparkSpec {
     assert(out.contains(("x", "y")))
     assert(!out.contains(("x", "z")))
   }
+
+  test("als2 recovers rank-1 structure: item factors scale linearly " +
+      "with the item's rating column") {
+    // r(u, i) = u * i is rank-1: after any user step the per-item
+    // normal equations share one A matrix, so q_i = i * c exactly
+    // (up to sig9 rounding) regardless of the id-based init
+    val ratings = for (u <- 1 to 6; i <- 1 to 4)
+      yield (u.toLong, i.toLong, (u * i).toDouble)
+    val f = Recommend.als2(ratings.toDF("u", "i", "r"), "u", "i", "r",
+      lambda = 0.01, iters = 2).collect()
+      .map(r => r.getAs[Long]("item") ->
+        (r.getAs[Double]("f1"), r.getAs[Double]("f2"))).toMap
+    val c = f(1L)
+    // tolerance 1e-3 relative: rank-1 data makes A = XᵀX + λI nearly
+    // singular, so the per-step sig9 roundings (1e-9) amplify by the
+    // condition number ~ trace/λ through the closed-form solve and
+    // compound across the two sweeps (measured ~1e-4 at λ=0.01)
+    for (i <- 2 to 4; v = f(i.toLong)) {
+      assert(math.abs(v._1 - i * c._1) < 1e-3 * math.abs(i * c._1) + 1e-9,
+        s"f1($i)=${v._1} != $i*${c._1}")
+      assert(math.abs(v._2 - i * c._2) < 1e-3 * math.abs(i * c._2) + 1e-9,
+        s"f2($i)=${v._2} != $i*${c._2}")
+    }
+    // all users rated every item
+    assert(Recommend.als2(ratings.toDF("u", "i", "r"), "u", "i", "r",
+      0.01, 1).collect().forall(_.getAs[Long]("n_users") == 6L))
+  }
+
+  test("als2: items with identical rating columns get identical " +
+      "factors after a full sweep (init differences wash out)") {
+    // items 5 and 7 (different id-mod-11 inits) rated identically
+    val ratings = Seq(
+      (1L, 5L, 3.0), (2L, 5L, 1.0), (3L, 5L, 4.0),
+      (1L, 7L, 3.0), (2L, 7L, 1.0), (3L, 7L, 4.0),
+      (1L, 2L, 9.0), (2L, 2L, 2.0))
+    val f = Recommend.als2(ratings.toDF("u", "i", "r"), "u", "i", "r",
+      lambda = 0.1, iters = 1).collect()
+      .map(r => r.getAs[Long]("item") ->
+        (r.getAs[Double]("f1"), r.getAs[Double]("f2"))).toMap
+    assert(f(5L) == f(7L))
+    assert(f(5L) != f(2L))
+  }
 }
