@@ -646,6 +646,123 @@ object Classifier {
       .drop("b")
   }
 
+  /** K-fold cross-validated ridge regression from sufficient
+    * statistics — the entire (fold × λ) model-selection grid from ONE
+    * corpus scan. The trick: ridge on two features needs only the six
+    * moments (n, Σx1², Σx1x2, Σx2², Σx1y, Σx2y) plus Σy² for the
+    * error, and moments are ADDITIVE — so per-fold EXACT DECIMAL
+    * moment rows give every fold's TRAIN moments by subtraction
+    * (total − fold) and every fold's TEST SSE in closed form:
+    * SSE_f = Σ_f(y − w·x)² = syy_f − 2w₁sy1_f − 2w₂sy2_f + w₁²s11_f +
+    * 2w₁w₂s12_f + w₂²s22_f. No per-fold scan, no shuffle of the
+    * corpus beyond one k-row aggregate — at 100 TB, k-fold CV costs
+    * exactly one pass.
+    *
+    * Fold assignment is the portable salted hash of `keyCol`
+    * (deterministic, join-free); moments accumulate in DECIMAL(38,15)
+    * (exact, order-free — fold sums add EXACTLY to the total, which
+    * the subtraction needs); each train moment is sig9'd once on
+    * entering the double-precision solve (the [[ridgeFit]] chain).
+    * `cv_mse` is NULL unless every fold solved (det ≠ 0); `is_best`
+    * marks the minimal cv_mse, ties to the smallest λ.
+    *
+    * @return one row per λ: (lambda, n, cv_mse, w1_full, w2_full,
+    *         is_best) — w*_full re-fit on ALL rows at that λ */
+  def ridgeCv(df: DataFrame, keyCol: String, x1Col: String,
+      x2Col: String, yCol: String, lambdas: Seq[Double],
+      folds: Int = 5, salt: String = "rcv"): DataFrame = {
+    require(lambdas.nonEmpty, "need at least one lambda")
+    require(folds >= 2 && folds <= 64,
+      s"folds must be in [2, 64], got $folds")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 15)
+    val x1 = col(x1Col).cast("double")
+    val x2 = col(x2Col).cast("double")
+    val y = col(yCol).cast("double")
+    def d15(c: Column): Column = c.cast(dec)
+    val fm = df
+      .where(x1.isNotNull && x2.isNotNull && y.isNotNull &&
+        col(keyCol).isNotNull)
+      .select(pmod(graft.ext.Hashing.hash60(
+          concat(lit(s"$salt:"), col(keyCol).cast("string"))),
+        lit(folds.toLong)).as("fold"),
+        x1.as("x1"), x2.as("x2"), y.as("y"))
+      .groupBy(col("fold"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(d15(col("x1") * col("x1"))).as("s11"),
+        sum(d15(col("x1") * col("x2"))).as("s12"),
+        sum(d15(col("x2") * col("x2"))).as("s22"),
+        sum(d15(col("x1") * col("y"))).as("sy1"),
+        sum(d15(col("x2") * col("y"))).as("sy2"),
+        sum(d15(col("y") * col("y"))).as("syy"))
+    val tot = fm.agg(sum(col("n")).cast("long").as("nt"),
+      sum(col("s11")).as("t11"), sum(col("s12")).as("t12"),
+      sum(col("s22")).as("t22"), sum(col("sy1")).as("ty1"),
+      sum(col("sy2")).as("ty2"), sum(col("syy")).as("tyy"))
+    val lamRows = lambdas.map(l => struct(lit(l).as("lambda")))
+    // per (fold, lambda): train = total − fold, solve, closed-form SSE
+    val grid = fm.crossJoin(broadcast(tot))
+      .select(col("*"), explode(array(lamRows: _*)).as("lam"))
+      .select(col("*"), col("lam.lambda").as("lambda")).drop("lam")
+    def tr(t: String, f: String) = Q.sig9((col(t) - col(f)).cast("double"))
+    def fo(f: String) = Q.sig9(col(f).cast("double"))
+    val a = tr("t11", "s11") + col("lambda")
+    val c = tr("t22", "s22") + col("lambda")
+    val s12t = tr("t12", "s12")
+    val det = Q.sig9(a * c - s12t * s12t)
+    val solved = grid
+      .withColumn("det", det)
+      .withColumn("w1", when(col("det") =!= 0.0,
+        Q.sig9((c * tr("ty1", "sy1") - s12t * tr("ty2", "sy2"))
+          / col("det"))))
+      .withColumn("w2", when(col("det") =!= 0.0,
+        Q.sig9((a * tr("ty2", "sy2") - s12t * tr("ty1", "sy1"))
+          / col("det"))))
+      .withColumn("sse", Q.sig9(
+        fo("syy") - lit(2.0) * col("w1") * fo("sy1")
+          - lit(2.0) * col("w2") * fo("sy2")
+          + col("w1") * col("w1") * fo("s11")
+          + lit(2.0) * (col("w1") * col("w2")) * fo("s12")
+          + col("w2") * col("w2") * fo("s22")))
+    val perLambda = solved.groupBy(col("lambda"), col("nt"))
+      .agg(count(col("sse")).cast("long").as("n_solved"),
+        Q.dsumStable(col("sse"), 6).as("sse_sum"))
+      .withColumn("cv_mse", when(col("n_solved") === folds.toLong,
+        Q.sig9(col("sse_sum") / col("nt").cast("double"))))
+    // full-data refit per lambda (from the exact totals)
+    val full = tot
+      .select(col("*"), explode(array(lamRows: _*)).as("lam"))
+      .select(col("lam.lambda").as("lambda"),
+        (Q.sig9(col("t11").cast("double")) + col("lam.lambda"))
+          .as("af"),
+        (Q.sig9(col("t22").cast("double")) + col("lam.lambda"))
+          .as("cf"),
+        Q.sig9(col("t12").cast("double")).as("s12f"),
+        Q.sig9(col("ty1").cast("double")).as("ty1d"),
+        Q.sig9(col("ty2").cast("double")).as("ty2d"))
+      .withColumn("detf",
+        Q.sig9(col("af") * col("cf") - col("s12f") * col("s12f")))
+      .select(col("lambda"),
+        when(col("detf") =!= 0.0, Q.sig9(
+          (col("cf") * col("ty1d") - col("s12f") * col("ty2d"))
+            / col("detf"))).as("w1_full"),
+        when(col("detf") =!= 0.0, Q.sig9(
+          (col("af") * col("ty2d") - col("s12f") * col("ty1d"))
+            / col("detf"))).as("w2_full"))
+    val joined = perLambda.join(broadcast(full), Seq("lambda"))
+    // deterministic argmin: min cv_mse (sig9'd, equal values compare
+    // equal), ties to the smallest lambda — the stumpSplits pattern
+    val best = joined.where(col("cv_mse").isNotNull)
+      .agg(min(col("cv_mse")).as("mmse"))
+    val bestLam = joined.crossJoin(broadcast(best))
+      .where(col("cv_mse") === col("mmse"))
+      .agg(min(col("lambda")).as("blam"))
+    joined.crossJoin(broadcast(bestLam))
+      .withColumn("is_best",
+        coalesce(col("lambda") === col("blam"), lit(false)))
+      .select(col("lambda"), col("nt").as("n"), col("cv_mse"),
+        col("w1_full"), col("w2_full"), col("is_best"))
+  }
+
   /** Huber-loss robust simple regression y ~ a + b·x by IRLS
     * (Huber 1964; weights w = min(1, δ/|r|)) — the outlier-resistant
     * twin of [[ridgeFit]] for fitting trends on corrupted feeds where

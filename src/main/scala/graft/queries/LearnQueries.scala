@@ -939,6 +939,118 @@ object LearnQueries {
        |FROM scored CROSS JOIN best""".stripMargin
   }
 
+  // ===== k-fold cross-validated ridge (one-pass sufficient stats) ====
+
+  private val ridgeCvLambdas = Seq(0.01, 0.1, 1.0, 10.0)
+  private val ridgeCvFolds = 5
+
+  /** [[graft.ext.Classifier.ridgeCv]]: the whole 5-fold × 4-λ
+    * model-selection grid from ONE corpus scan — per-fold exact
+    * DECIMAL moments, train = total − fold by subtraction, closed-form
+    * held-out SSE. The oracle replays the identical moment/solve/SSE
+    * chain. */
+  private val ridgeCvQ: QFn = (s, d) =>
+    Classifier.ridgeCv(
+      Tables.lineitem(s, d).select(
+        concat(col("l_orderkey").cast("string"), lit(":"),
+          col("l_linenumber").cast("string")).as("k"),
+        (col("l_quantity").cast("double") / 50.0).as("x1"),
+        lit(1.0).as("x2"),
+        (col("l_extendedprice").cast("double") / 100000.0).as("y")),
+      "k", "x1", "x2", "y", ridgeCvLambdas, folds = ridgeCvFolds)
+
+  private val ridgeCvSql = {
+    val dsum15 = (e: String) => s"SUM(CAST(($e) AS DECIMAL(38,15)))"
+    val lamList = ridgeCvLambdas
+      .map(l => s"CAST($l AS DOUBLE)").mkString(", ")
+    def tr(t: String, f: String) = Q.sqlSig9(s"CAST($t - $f AS DOUBLE)")
+    val sse = Q.sqlSig9(
+      "syyf - 2.0 * w1 * sy1f - 2.0 * w2 * sy2f + w1 * w1 * s11f " +
+        "+ 2.0 * (w1 * w2) * s12f + w2 * w2 * s22f")
+    s"""WITH b AS (
+       |  SELECT CAST(l_orderkey AS VARCHAR) || ':' ||
+       |      CAST(l_linenumber AS VARCHAR) AS k,
+       |    CAST(l_quantity AS DOUBLE) / 50.0 AS x1,
+       |    CAST(1.0 AS DOUBLE) AS x2,
+       |    CAST(l_extendedprice AS DOUBLE) / 100000.0 AS y
+       |  FROM lineitem
+       |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+       |fm AS (
+       |  SELECT ${Q.sqlHash60("'rcv:' || k")} % $ridgeCvFolds AS fold,
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    ${dsum15("x1 * x1")} AS s11, ${dsum15("x1 * x2")} AS s12,
+       |    ${dsum15("x2 * x2")} AS s22, ${dsum15("x1 * y")} AS sy1,
+       |    ${dsum15("x2 * y")} AS sy2, ${dsum15("y * y")} AS syy
+       |  FROM b GROUP BY 1),
+       |tot AS (
+       |  SELECT CAST(SUM(n) AS BIGINT) AS nt, SUM(s11) AS t11,
+       |    SUM(s12) AS t12, SUM(s22) AS t22, SUM(sy1) AS ty1,
+       |    SUM(sy2) AS ty2, SUM(syy) AS tyy
+       |  FROM fm),
+       |lam AS (SELECT unnest([$lamList]) AS lambda),
+       |g0 AS (
+       |  SELECT lam.lambda, tot.nt,
+       |    ${tr("t11", "s11")} + lam.lambda AS a,
+       |    ${tr("t22", "s22")} + lam.lambda AS c,
+       |    ${tr("t12", "s12")} AS s12t,
+       |    ${tr("ty1", "sy1")} AS ty1t, ${tr("ty2", "sy2")} AS ty2t,
+       |    ${Q.sqlSig9("CAST(s11 AS DOUBLE)")} AS s11f,
+       |    ${Q.sqlSig9("CAST(s12 AS DOUBLE)")} AS s12f,
+       |    ${Q.sqlSig9("CAST(s22 AS DOUBLE)")} AS s22f,
+       |    ${Q.sqlSig9("CAST(sy1 AS DOUBLE)")} AS sy1f,
+       |    ${Q.sqlSig9("CAST(sy2 AS DOUBLE)")} AS sy2f,
+       |    ${Q.sqlSig9("CAST(syy AS DOUBLE)")} AS syyf
+       |  FROM fm CROSS JOIN tot CROSS JOIN lam),
+       |g1 AS (
+       |  SELECT *, ${Q.sqlSig9("a * c - s12t * s12t")} AS det
+       |  FROM g0),
+       |g2 AS (
+       |  SELECT lambda, nt, syyf, sy1f, sy2f, s11f, s12f, s22f,
+       |    CASE WHEN det <> 0.0 THEN ${Q.sqlSig9(
+            "(c * ty1t - s12t * ty2t) / det")} END AS w1,
+       |    CASE WHEN det <> 0.0 THEN ${Q.sqlSig9(
+            "(a * ty2t - s12t * ty1t) / det")} END AS w2
+       |  FROM g1),
+       |g3 AS (SELECT lambda, nt, $sse AS sse FROM g2),
+       |perl AS (
+       |  SELECT lambda, nt, CAST(COUNT(sse) AS BIGINT) AS n_solved,
+       |    ${Q.sqlDsumStable("sse", 6)} AS sse_sum
+       |  FROM g3 GROUP BY 1, 2),
+       |pm AS (
+       |  SELECT lambda, nt,
+       |    CASE WHEN n_solved = $ridgeCvFolds THEN ${Q.sqlSig9(
+            "sse_sum / CAST(nt AS DOUBLE)")} END AS cv_mse
+       |  FROM perl),
+       |f0 AS (
+       |  SELECT lam.lambda,
+       |    ${Q.sqlSig9("CAST(t11 AS DOUBLE)")} + lam.lambda AS af,
+       |    ${Q.sqlSig9("CAST(t22 AS DOUBLE)")} + lam.lambda AS cf,
+       |    ${Q.sqlSig9("CAST(t12 AS DOUBLE)")} AS s12f,
+       |    ${Q.sqlSig9("CAST(ty1 AS DOUBLE)")} AS ty1d,
+       |    ${Q.sqlSig9("CAST(ty2 AS DOUBLE)")} AS ty2d
+       |  FROM tot CROSS JOIN lam),
+       |f1 AS (
+       |  SELECT *, ${Q.sqlSig9("af * cf - s12f * s12f")} AS detf
+       |  FROM f0),
+       |ff AS (
+       |  SELECT lambda,
+       |    CASE WHEN detf <> 0.0 THEN ${Q.sqlSig9(
+            "(cf * ty1d - s12f * ty2d) / detf")} END AS w1_full,
+       |    CASE WHEN detf <> 0.0 THEN ${Q.sqlSig9(
+            "(af * ty2d - s12f * ty1d) / detf")} END AS w2_full
+       |  FROM f1),
+       |j AS (
+       |  SELECT pm.lambda, pm.nt, pm.cv_mse, ff.w1_full, ff.w2_full
+       |  FROM pm JOIN ff ON pm.lambda = ff.lambda),
+       |best AS (SELECT MIN(cv_mse) AS mmse FROM j
+       |  WHERE cv_mse IS NOT NULL),
+       |bl AS (SELECT MIN(j.lambda) AS blam
+       |  FROM j CROSS JOIN best WHERE j.cv_mse = best.mmse)
+       |SELECT j.lambda, j.nt AS n, j.cv_mse, j.w1_full, j.w2_full,
+       |  COALESCE(j.lambda = bl.blam, false) AS is_best
+       |FROM j CROSS JOIN bl""".stripMargin
+  }
+
   // ===== Huber robust regression (IRLS) ===============================
 
   private val huberDelta = 0.5
@@ -1004,6 +1116,7 @@ object LearnQueries {
 
   val queries: Map[String, QFn] = Map(
     "q_x_isotonic" -> isotonicQ,
+    "q_x_ridge_cv" -> ridgeCvQ,
     "q_x_stump" -> stumpQ,
     "q_x_huber" -> huberQ,
     "q_x_eb_shrink" -> ebQ,
@@ -1025,6 +1138,7 @@ object LearnQueries {
 
   val oracles: Map[String, String] = Map(
     "q_x_isotonic" -> isotonicSql,
+    "q_x_ridge_cv" -> ridgeCvSql,
     "q_x_stump" -> stumpSql,
     "q_x_huber" -> huberSql,
     "q_x_eb_shrink" -> ebSql,

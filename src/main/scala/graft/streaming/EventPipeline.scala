@@ -489,6 +489,70 @@ object EventPipeline {
       }
   }
 
+  case class DistancePoint(stream: String, n_ref: Long, n_cur: Long,
+                           bin_width: Double, w1: Option[Double],
+                           tv: Option[Double],
+                           hellinger: Option[Double])
+
+  /** Streaming distance monitor — the live face of
+    * [[graft.ext.Profile.distanceBattery]] (Wasserstein-1 / total
+    * variation / Hellinger against the FIXED training-frame binning):
+    * shares [[driftMonitor]]'s state shape exactly (per-stream bin
+    * counts, additive, ORDER-FREE — no delivery-order caveat), and
+    * re-emits the three distances per micro-batch.
+    *
+    * Numeric twin contract: the exact integer W1/TV numerators run in
+    * BigInt (the DECIMAL(38,0) twin), the W1 loop walks ALL bins
+    * densely (identical to the batch fold's run-length weighting over
+    * occupied bins), Bhattacharyya terms are the same sig9'd sqrt
+    * chain summed via [[dsumStableLocal]](9) — so after any batch
+    * prefix the emitted row equals `distanceBattery(ref, prefix)`
+    * (StreamingSpec-pinned). */
+  def distanceMonitor(events: Dataset[Event], spark: SparkSession,
+      ref: DriftRef): Dataset[DistancePoint] = {
+    import spark.implicits._
+    import graft.functions.GraftMath.sig9
+    events
+      .groupByKey(_.event_type)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[Event],
+         state: GroupState[DriftState]) =>
+          val counts = state.getOption.map(_.counts.toArray)
+            .getOrElse(Array.ofDim[Long](ref.bins))
+          it.foreach(e => counts(driftBin(ref, e.value)) += 1)
+          state.update(DriftState(counts.toIndexedSeq))
+          val rn = ref.refCounts
+          val rt = rn.sum
+          val ct = counts.sum
+          val both = rt > 0 && ct > 0
+          val bw = (ref.hi - ref.lo) / ref.bins
+          val rtct = rt.toDouble * ct.toDouble
+          var tvn = BigInt(0)
+          var sd = BigInt(0)
+          var (cumR, cumC) = (BigInt(0), BigInt(0))
+          var b = 0
+          while (b < ref.bins) {
+            tvn += (BigInt(rn(b)) * ct - BigInt(counts(b)) * rt).abs
+            cumR += rn(b); cumC += counts(b)
+            sd += (cumR * ct - cumC * rt).abs
+            b += 1
+          }
+          val bc = dsumStableLocal(
+            (0 until ref.bins).iterator
+              .filter(i => rn(i) > 0 && counts(i) > 0)
+              .map { i =>
+                val rf = rn(i).toDouble / rt.toDouble
+                val cf = counts(i).toDouble / ct.toDouble
+                sig9(math.sqrt(rf * cf))
+              }, 9)
+          DistancePoint(key, rt, ct, sig9(bw),
+            if (both) Some(sig9(sd.doubleValue / rtct * bw)) else None,
+            if (both) Some(sig9(tvn.doubleValue / rtct / 2.0)) else None,
+            if (both) Some(sig9(math.sqrt(math.max(0.0, 1.0 - bc))))
+            else None)
+      }
+  }
+
   /** Count-min sketch state: d*w bucket sums + events seen. */
   case class CmsState(regs: IndexedSeq[Long], nSeen: Long)
 

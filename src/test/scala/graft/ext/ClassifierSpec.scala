@@ -329,6 +329,37 @@ class ClassifierSpec extends SparkSpec {
     assert(!const.exists(_.getAs[String]("feature") == "z"))
   }
 
+  test("ridgeCv: one-pass k-fold grid picks the least-shrunk lambda " +
+      "on noiseless linear data and shrinks weights monotonically") {
+    // exact y = 2*x1 + 1 (x2 = bias): tiny lambda wins CV
+    val rows = (0 until 200).map { i =>
+      val x = (i % 10).toDouble
+      (i.toString, x, 1.0, 2.0 * x + 1.0)
+    }
+    val out = Classifier.ridgeCv(rows.toDF("k", "x1", "x2", "y"),
+      "k", "x1", "x2", "y", Seq(0.01, 0.1, 1.0, 10.0), folds = 5)
+      .collect().map(r => r.getAs[Double]("lambda") -> r).toMap
+    assert(out.size == 4)
+    assert(out.values.forall(_.getAs[Long]("n") == 200L))
+    val best = out.values.filter(_.getAs[Boolean]("is_best")).toSeq
+    assert(best.map(_.getAs[Double]("lambda")) == Seq(0.01))
+    // noiseless data: shrinkage only hurts -> cv_mse increasing in λ
+    val mses = Seq(0.01, 0.1, 1.0, 10.0).map(l =>
+      out(l).getAs[Double]("cv_mse"))
+    assert(mses.zip(mses.tail).forall { case (a, b) => a < b })
+    assert(mses.head < 1e-3)
+    // full-data refit near the true weights at tiny λ; ridge shrinks
+    // the coefficient NORM (not each coordinate — with a bias column
+    // the slope compensates upward as the intercept shrinks)
+    assert(math.abs(out(0.01).getAs[Double]("w1_full") - 2.0) < 0.01)
+    assert(math.abs(out(0.01).getAs[Double]("w2_full") - 1.0) < 0.01)
+    def norm(l: Double) = {
+      val r = out(l)
+      math.hypot(r.getAs[Double]("w1_full"), r.getAs[Double]("w2_full"))
+    }
+    assert(norm(10.0) < norm(0.01))
+  }
+
   test("huberFit downweights outliers toward the clean slope while " +
       "OLS chases them; clean data reproduces OLS") {
     // clean line y = 2x + 1 with one wild outlier

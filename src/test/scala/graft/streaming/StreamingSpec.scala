@@ -785,6 +785,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("distanceMonitor: per-stream W1/TV/Hellinger equal " +
+      "Profile.distanceBattery on every batch prefix") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val refDF = (0 until 100).map(_.toDouble).toDF("value")
+    val ref = EventPipeline.driftRef(refDF, "value", bins = 10)
+    val batch1 = Seq(
+      Event(1L, ts("2024-03-01 10:00:00"), 1L, "click", 3.0),
+      Event(2L, ts("2024-03-01 10:01:00"), 2L, "click", -5.0),
+      Event(3L, ts("2024-03-01 10:02:00"), 3L, "click", 250.0),
+      Event(4L, ts("2024-03-01 10:03:00"), 4L, "view", 55.0))
+    val batch2 = Seq(
+      Event(5L, ts("2024-03-01 11:00:00"), 5L, "click", 42.0),
+      Event(6L, ts("2024-03-01 11:01:00"), 6L, "view", 90.0))
+    val ms = MemoryStream[Event]
+    val q = EventPipeline.distanceMonitor(ms.toDS(), spark, ref)
+      .writeStream.format("memory").queryName("dist_rows")
+      .outputMode("update").start()
+    def latest() = spark.table("dist_rows")
+      .groupBy(col("stream"))
+      .agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.struct(
+          col("n_cur"), col("n_ref"), col("bin_width"), col("w1"),
+          col("tv"), col("hellinger"))).as("s"))
+      .collect().map(r => r.getString(0) -> {
+        val s = r.getStruct(1)
+        (s.getLong(0), s.getLong(1), s.getDouble(2), s.getDouble(3),
+          s.getDouble(4), s.getDouble(5))
+      }).toMap
+    def batchRow(evs: Seq[Event], stream: String) = {
+      val r = graft.ext.Profile.distanceBattery(refDF,
+        evs.filter(_.event_type == stream).toDF().select(col("value")),
+        "value", bins = 10).collect()(0)
+      (r.getAs[Long]("n_cur"), r.getAs[Long]("n_ref"),
+        r.getAs[Double]("bin_width"), r.getAs[Double]("w1"),
+        r.getAs[Double]("tv"), r.getAs[Double]("hellinger"))
+    }
+    try {
+      ms.addData(batch1); q.processAllAvailable()
+      assert(latest()("click") === batchRow(batch1, "click"))
+      assert(latest()("view") === batchRow(batch1, "view"))
+      ms.addData(batch2); q.processAllAvailable()
+      val all = batch1 ++ batch2
+      assert(latest()("click") === batchRow(all, "click"))
+      assert(latest()("view") === batchRow(all, "view"))
+    } finally q.stop()
+  }
+
   test("hllMonitor: per-stream estimate equals the batch HLL on every " +
       "batch prefix; registers are order-free across batches") {
     implicit val ctx = spark.sqlContext
