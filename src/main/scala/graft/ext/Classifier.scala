@@ -483,6 +483,82 @@ object Classifier {
             (col("prec") + col("rec")))))
   }
 
+  /** Average precision (area under the precision–recall curve, the
+    * step-interpolated sklearn definition): AP = Σ_s (ΔR_s)·P_s over
+    * distinct scores s descending, with ΔR_s = p_s/P and precision
+    * P_s = cumP_s/(cumP_s + cumQ_s) on the ≥s prefix. THE ranking
+    * metric when positives are rare (quality filtering, dedup
+    * verification, contamination flags — ROC-AUC saturates there).
+    *
+    * Same scale shape as [[auc]]: distinct-score counts, equi-width
+    * score bins, KEYED within-bin prefix windows + one bounded
+    * cross-bin base fold — no global-order window at any size. The
+    * ≥s cumulatives come from totals − exclusive-ascending-prefix
+    * (exact integers); each threshold term is one sig9'd IEEE
+    * expression of exact integers, summed via dsumStable(6).
+    *
+    * @return one row: (average_precision, n_pos, n_neg, baseline =
+    *         P/(P+Q), the random-classifier AP) */
+  def prAuc(df: DataFrame, scoreCol: String, labelCol: String,
+      nBins: Int = 1024): DataFrame = {
+    val y = col(labelCol)
+    val counts = df
+      .filter(col(scoreCol).isNotNull && y.isNotNull)
+      .groupBy(col(scoreCol).cast("double").as("s"))
+      .agg(sum(when(y === 1.0, 1L).otherwise(0L)).as("p"),
+        sum(when(y === 1.0, 0L).otherwise(1L)).as("q"))
+      .localCheckpoint()
+    val mm = counts.agg(min(col("s")).as("lo"), max(col("s")).as("hi"))
+    val binned = counts.crossJoin(broadcast(mm))
+      .withColumn("bin",
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(lit(nBins - 1L),
+            floor((col("s") - col("lo"))
+              / ((col("hi") - col("lo")) / nBins)).cast("long"))))
+      .select(col("s"), col("p"), col("q"), col("bin"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bin")).orderBy(col("s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val within = binned
+      .withColumn("localp", coalesce(sum(col("p")).over(wIn), lit(0L)))
+      .withColumn("localq", coalesce(sum(col("q")).over(wIn), lit(0L)))
+    val binTot = binned.groupBy(col("bin"))
+      .agg(sum(col("p")).as("bp"), sum(col("q")).as("bq"))
+    val bases = binTot
+      .agg(array_sort(collect_list(struct(col("bin"), col("bp"),
+        col("bq")))).as("a"))
+      .select(explode(transform(col("a"), (x, i) =>
+        struct(x.getField("bin").as("bin"),
+          aggregate(slice(col("a"), lit(1), i), lit(0L),
+            (acc, b) => acc + b.getField("bp")).as("basep"),
+          aggregate(slice(col("a"), lit(1), i), lit(0L),
+            (acc, b) => acc + b.getField("bq")).as("baseq")))).as("b"))
+      .select(col("b.bin").as("bin"), col("b.basep").as("basep"),
+        col("b.baseq").as("baseq"))
+    val tot = counts.agg(sum(col("p")).cast("long").as("pt"),
+      sum(col("q")).cast("long").as("qt"))
+    val cum = within.join(bases, Seq("bin"))
+      .crossJoin(broadcast(tot))
+      // positives/negatives at score >= s: total − exclusive prefix
+      .withColumn("cp", col("pt") - (col("basep") + col("localp")))
+      .withColumn("cq", col("qt") - (col("baseq") + col("localq")))
+      .withColumn("term", when(col("p") > 0, Q.sig9(
+        col("p").cast("double") * col("cp").cast("double")
+          / (col("cp") + col("cq")).cast("double")))
+        .otherwise(lit(0.0)))
+    cum.groupBy(col("pt"), col("qt"))
+      .agg(Q.dsumStable(col("term"), 6).as("tsum"))
+      .select(
+        when(col("pt") > 0,
+          Q.sig9(col("tsum") / col("pt").cast("double")))
+          .as("average_precision"),
+        col("pt").as("n_pos"), col("qt").as("n_neg"),
+        when(col("pt") + col("qt") > 0, Q.sig9(
+          col("pt").cast("double") /
+            (col("pt") + col("qt")).cast("double"))).as("baseline"))
+  }
+
   /** Isotonic calibration of a score against a binary label — the
     * PAV-fit monotone probability map (Zadrozny & Elkan 2002), here
     * computed on BINNED scores via the minimax identity

@@ -357,4 +357,77 @@ object Layout {
       else spark.read.parquet(files: _*)
     base.where(col(colName) >= lit(lo) && col(colName) <= lit(hi))
   }
+
+  /** Data-layout skipping effectiveness — QUANTIFY what a clustering
+    * key buys before rewriting a 100 TB table: lay the rows out in
+    * `chunks` equal-width ranges of each candidate layout key (the
+    * OPTIMIZE ... ZORDER BY range-chunking model: a chunk ≈ a file /
+    * row group whose per-column min/max land in the scan index), keep
+    * each chunk's min/max per probed column, and for every probe
+    * range report how many chunks — and how many ROWS — a min/max-
+    * pruning scan must still touch. `skip_frac` near 0 on the natural
+    * layout vs near 1 on a space-filling-curve layout is the whole
+    * economic argument for [[zorderValue]]/[[hilbertValue]],
+    * measured rather than asserted.
+    *
+    * Plan: ONE pass over `df` per layout (key + probed columns →
+    * equi-width chunk bin via the broadcast min/max row, then a
+    * chunk-keyed min/max/count aggregate — bounded `chunks` rows);
+    * everything downstream is scalar math on the bounded chunk
+    * table. Chunk hit test is exact integer interval overlap; the
+    * two fractions are the only sig9'd doubles.
+    *
+    * @param layouts ordered (name, layout-key column) candidates
+    * @param probes  (probe name, probed column, lo, hi) inclusive
+    *                range scans to evaluate
+    * @return one row per (layout, probe): (layout, probe, n_chunks,
+    *         n_hit, scan_rows, total_rows, skip_frac, scan_frac) */
+  def skippingStats(df: DataFrame, layouts: Seq[(String, Column)],
+      probes: Seq[(String, String, Long, Long)],
+      chunks: Int = 64): DataFrame = {
+    require(layouts.nonEmpty && probes.nonEmpty,
+      "need at least one layout and one probe")
+    require(chunks >= 1 && chunks <= 65536,
+      s"chunks must be in [1, 65536], got $chunks")
+    import graft.queries.Q
+    val probeCols = probes.map(_._2).distinct
+    val perLayout = layouts.map { case (lname, key) =>
+      val base = df.select(key.cast("double").as("k") +:
+        probeCols.map(col): _*)
+        .where(col("k").isNotNull)
+      val mm = base.agg(min(col("k")).as("lo"), max(col("k")).as("hi"))
+      val chunked = base.crossJoin(broadcast(mm))
+        .withColumn("chunk",
+          when(col("hi") === col("lo"), lit(0L))
+            .otherwise(least(lit((chunks - 1).toLong),
+              greatest(lit(0L),
+                floor((col("k") - col("lo"))
+                  / ((col("hi") - col("lo")) / chunks)).cast("long")))))
+      val aggs = count(lit(1)).cast("long").as("n") +:
+        probeCols.flatMap(c => Seq(
+          min(col(c)).cast("long").as(s"mn_$c"),
+          max(col(c)).cast("long").as(s"mx_$c")))
+      val stats = chunked.groupBy(col("chunk"))
+        .agg(aggs.head, aggs.tail: _*)
+      probes.map { case (pname, c, lo, hi) =>
+        val hit = col(s"mx_$c") >= lit(lo) && col(s"mn_$c") <= lit(hi)
+        stats.agg(
+            count(lit(1)).cast("long").as("n_chunks"),
+            sum(when(hit, 1L).otherwise(0L)).cast("long").as("n_hit"),
+            sum(when(hit, col("n")).otherwise(0L)).cast("long")
+              .as("scan_rows"),
+            sum(col("n")).cast("long").as("total_rows"))
+          .select(lit(lname).as("layout"), lit(pname).as("probe"),
+            col("n_chunks"), col("n_hit"), col("scan_rows"),
+            col("total_rows"),
+            when(col("n_chunks") > 0,
+              Q.sig9(lit(1.0) - col("n_hit").cast("double")
+                / col("n_chunks").cast("double"))).as("skip_frac"),
+            when(col("total_rows") > 0,
+              Q.sig9(col("scan_rows").cast("double")
+                / col("total_rows").cast("double"))).as("scan_frac"))
+      }.reduce(_ unionByName _)
+    }
+    perLayout.reduce(_ unionByName _)
+  }
 }

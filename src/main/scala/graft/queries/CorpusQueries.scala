@@ -2145,7 +2145,100 @@ object CorpusQueries {
        |FROM est CROSS JOIN ex""".stripMargin
   }
 
+  // ===== layout skipping effectiveness ================================
+
+  /** [[graft.ext.Layout.skippingStats]]: measure what each layout key
+    * buys a min/max-pruning scan — 64 equal-width chunks per layout
+    * (natural orderkey vs z-order vs Hilbert on (partkey, suppkey)),
+    * two range probes. The natural layout's skip_frac ≈ 0 vs the
+    * curves' ≈ 1 is the measured economic argument for clustering
+    * (q_x_zorder/q_x_hilbert produce the keys; this row prices them). */
+  private val skippingQ: QFn = (s, d) =>
+    graft.ext.Layout.skippingStats(
+      Tables.lineitem(s, d),
+      Seq(
+        "natural" -> col("l_orderkey").cast("long"),
+        "zorder" -> graft.ext.Layout.zorderValue(col("l_partkey"),
+          col("l_suppkey"), 16),
+        "hilbert" -> graft.ext.Layout.hilbertValue(col("l_partkey"),
+          col("l_suppkey"), 16)),
+      Seq(("part_100_199", "l_partkey", 100L, 199L),
+        ("supp_10_19", "l_suppkey", 10L, 19L)),
+      chunks = 64)
+
+  private val skippingSql = {
+    val zTerms = (0 until 16).flatMap { i =>
+      Seq(
+        s"((((CAST(l_partkey AS BIGINT) & 65535) >> $i) & 1) << ${2 * i})",
+        s"((((CAST(l_suppkey AS BIGINT) & 65535) >> $i) & 1) << ${2 * i + 1})")
+    }.mkString(" + ")
+    val sList = (15 to 0 by -1).map(i => s"[${1L << i}]")
+      .mkString("[", ", ", "]")
+    val x0 = "(CAST(l_partkey AS BIGINT) & 65535)"
+    val y0 = "(CAST(l_suppkey AS BIGINT) & 65535)"
+    val hKey =
+      s"""list_reduce(list_prepend(CAST([0, $x0, $y0] AS BIGINT[]),
+         |      CAST($sList AS BIGINT[][])),
+         |    (acc, e) -> [
+         |      acc[1] + e[1] * e[1] * (CASE
+         |        WHEN (acc[2] & e[1]) > 0 AND (acc[3] & e[1]) > 0 THEN 2
+         |        WHEN (acc[2] & e[1]) > 0 THEN 3
+         |        WHEN (acc[3] & e[1]) > 0 THEN 1 ELSE 0 END),
+         |      CASE WHEN (acc[3] & e[1]) > 0 THEN acc[2]
+         |        WHEN (acc[2] & e[1]) > 0 THEN e[1] - 1 - acc[3]
+         |        ELSE acc[3] END,
+         |      CASE WHEN (acc[3] & e[1]) > 0 THEN acc[3]
+         |        WHEN (acc[2] & e[1]) > 0 THEN e[1] - 1 - acc[2]
+         |        ELSE acc[2] END])[1]""".stripMargin
+    def layoutCtes(l: String, keySql: String) =
+      s"""${l}_b AS (
+         |  SELECT CAST(($keySql) AS DOUBLE) AS k, l_partkey, l_suppkey
+         |  FROM lineitem),
+         |${l}_mm AS (SELECT min(k) AS lo, max(k) AS hi FROM ${l}_b),
+         |${l}_ch AS (
+         |  SELECT CASE WHEN mm.hi = mm.lo THEN 0
+         |    ELSE LEAST(63, GREATEST(0, CAST(floor((b.k - mm.lo) /
+         |      ((mm.hi - mm.lo) / 64)) AS BIGINT))) END AS chunk,
+         |    b.l_partkey, b.l_suppkey
+         |  FROM ${l}_b b CROSS JOIN ${l}_mm mm),
+         |${l}_st AS (
+         |  SELECT chunk, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(min(l_partkey) AS BIGINT) AS mn_p,
+         |    CAST(max(l_partkey) AS BIGINT) AS mx_p,
+         |    CAST(min(l_suppkey) AS BIGINT) AS mn_s,
+         |    CAST(max(l_suppkey) AS BIGINT) AS mx_s
+         |  FROM ${l}_ch GROUP BY 1)""".stripMargin
+    def probeRow(l: String, pname: String, mn: String, mx: String,
+        lo: Long, hi: Long) =
+      s"""SELECT '$l' AS layout, '$pname' AS probe,
+         |  CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(SUM(CASE WHEN $mx >= $lo AND $mn <= $hi THEN 1 ELSE 0
+         |    END) AS BIGINT) AS n_hit,
+         |  CAST(SUM(CASE WHEN $mx >= $lo AND $mn <= $hi THEN n ELSE 0
+         |    END) AS BIGINT) AS scan_rows,
+         |  CAST(SUM(n) AS BIGINT) AS total_rows
+         |FROM ${l}_st""".stripMargin
+    val rows = Seq("natural", "zorder", "hilbert").flatMap(l => Seq(
+      probeRow(l, "part_100_199", "mn_p", "mx_p", 100L, 199L),
+      probeRow(l, "supp_10_19", "mn_s", "mx_s", 10L, 19L)))
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${layoutCtes("natural", "CAST(l_orderkey AS BIGINT)")},
+       |${layoutCtes("zorder", zTerms)},
+       |${layoutCtes("hilbert", hKey)},
+       |u AS (
+       |$rows)
+       |SELECT layout, probe, n_chunks, n_hit, scan_rows, total_rows,
+       |  CASE WHEN n_chunks > 0 THEN ${sqlSig9(
+            "1.0 - CAST(n_hit AS DOUBLE) / CAST(n_chunks AS DOUBLE)")}
+       |    END AS skip_frac,
+       |  CASE WHEN total_rows > 0 THEN ${sqlSig9(
+            "CAST(scan_rows AS DOUBLE) / CAST(total_rows AS DOUBLE)")}
+       |    END AS scan_frac
+       |FROM u""".stripMargin
+  }
+
   val queries: Map[String, QFn] = Map(
+    "q_x_skipping" -> skippingQ,
     "q_x_kmv" -> kmvQ,
     "q_x_join_card" -> joinCardQ,
     "q_x_hilbert" -> hilbertQ,
@@ -2191,6 +2284,7 @@ object CorpusQueries {
     "q_x_rrf" -> rrfQ)
 
   val oracles: Map[String, String] = Map(
+    "q_x_skipping" -> skippingSql,
     "q_x_kmv" -> kmvSql,
     "q_x_join_card" -> joinCardSql,
     "q_x_hilbert" -> hilbertSql,

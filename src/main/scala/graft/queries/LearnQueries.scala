@@ -939,6 +939,55 @@ object LearnQueries {
        |FROM scored CROSS JOIN best""".stripMargin
   }
 
+  // ===== average precision (PR-AUC) ===================================
+
+  /** [[graft.ext.Classifier.prAuc]] on the q_x_auc score/label pair:
+    * the rare-positive ranking metric (step-interpolated average
+    * precision). The oracle computes the same per-threshold terms
+    * from a descending-score window (inclusive cum≥ ≡ the engine's
+    * totals − exclusive-ascending-prefix, exact integers). */
+  private val prAucQ: QFn = (s, d) => {
+    val f = Tables.documents(s, d).select(
+      (col("n_chars").cast("double") / 1000.0).as("sc"),
+      when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+    Classifier.prAuc(f, "sc", "y")
+  }
+
+  private val prAucSql = {
+    val term = Q.sqlSig9("CAST(p AS DOUBLE) * CAST(cp AS DOUBLE) " +
+      "/ CAST(cp + cq AS DOUBLE)")
+    s"""WITH b AS (
+       |  SELECT CAST(n_chars AS DOUBLE) / 1000.0 AS s,
+       |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+       |  FROM documents WHERE n_chars IS NOT NULL),
+       |c AS (
+       |  SELECT s, CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS p,
+       |    CAST(SUM(CASE WHEN y = 1.0 THEN 0 ELSE 1 END) AS BIGINT)
+       |      AS q
+       |  FROM b GROUP BY 1),
+       |t AS (SELECT CAST(SUM(p) AS BIGINT) AS pt,
+       |             CAST(SUM(q) AS BIGINT) AS qt FROM c),
+       |cum AS (
+       |  SELECT p, q,
+       |    CAST(SUM(p) OVER (ORDER BY s DESC) AS BIGINT) AS cp,
+       |    CAST(SUM(q) OVER (ORDER BY s DESC) AS BIGINT) AS cq
+       |  FROM c),
+       |terms AS (
+       |  SELECT CASE WHEN p > 0 THEN $term ELSE 0.0 END AS term
+       |  FROM cum),
+       |agg AS (SELECT ${Q.sqlDsumStable("term", 6)} AS tsum FROM terms)
+       |SELECT
+       |  CASE WHEN t.pt > 0 THEN ${Q.sqlSig9(
+            "agg.tsum / CAST(t.pt AS DOUBLE)")} END
+       |    AS average_precision,
+       |  t.pt AS n_pos, t.qt AS n_neg,
+       |  CASE WHEN t.pt + t.qt > 0 THEN ${Q.sqlSig9(
+            "CAST(t.pt AS DOUBLE) / CAST(t.pt + t.qt AS DOUBLE)")} END
+       |    AS baseline
+       |FROM t CROSS JOIN agg""".stripMargin
+  }
+
   // ===== k-fold cross-validated ridge (one-pass sufficient stats) ====
 
   private val ridgeCvLambdas = Seq(0.01, 0.1, 1.0, 10.0)
@@ -1117,6 +1166,7 @@ object LearnQueries {
   val queries: Map[String, QFn] = Map(
     "q_x_isotonic" -> isotonicQ,
     "q_x_ridge_cv" -> ridgeCvQ,
+    "q_x_pr_auc" -> prAucQ,
     "q_x_stump" -> stumpQ,
     "q_x_huber" -> huberQ,
     "q_x_eb_shrink" -> ebQ,
@@ -1139,6 +1189,7 @@ object LearnQueries {
   val oracles: Map[String, String] = Map(
     "q_x_isotonic" -> isotonicSql,
     "q_x_ridge_cv" -> ridgeCvSql,
+    "q_x_pr_auc" -> prAucSql,
     "q_x_stump" -> stumpSql,
     "q_x_huber" -> huberSql,
     "q_x_eb_shrink" -> ebSql,

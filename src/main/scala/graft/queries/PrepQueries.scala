@@ -1119,6 +1119,125 @@ object PrepQueries {
        |FROM w4""".stripMargin
   }
 
+  // ===== pipeline 14: calibrate → filter → rake =======================
+
+  /** Flagship composition #14 — the calibrated-quality-filter +
+    * mixture-rebalance chain every curation pass runs: score docs
+    * (scaled length), ISOTONIC-calibrate the score against the weak
+    * en label ([[graft.ext.Classifier.isotonicCalibration]]), accept
+    * the bins whose calibrated rate beats the corpus base rate, then
+    * [[graft.ext.Mixture.ipfRake]] the accepted subset BACK to the
+    * full corpus's source × lang profile (filtering skews the mix;
+    * raking repairs it). One engine plan, one DuckDB CTE chain, one
+    * hash. */
+  private val pipeline14Q: QFn = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val scored = docs.select(col("doc_id"), col("source"), col("lang"),
+      (col("n_chars").cast("double") / 1000.0).as("sc"),
+      (col("lang") === "en").cast("int").as("y"))
+    val fit = graft.ext.Classifier.isotonicCalibration(
+      scored, "sc", "y", bins = 10)
+    val base = scored.where(col("sc").isNotNull && col("y").isNotNull)
+    val mm = base.agg(min(col("sc")).as("lo"), max(col("sc")).as("hi"))
+    val rate = base.agg(Q.sig9(sum(col("y")).cast("double") /
+      count(lit(1)).cast("double")).as("base_rate"))
+    val binned = base.crossJoin(broadcast(mm))
+      .withColumn("bin",
+        when(col("hi") === col("lo"), lit(0L))
+          .otherwise(least(lit(9L), greatest(lit(0L),
+            floor((col("sc") - col("lo"))
+              / ((col("hi") - col("lo")) / 10)).cast("long")))))
+    val accepted = binned
+      .join(broadcast(fit.select(col("bin"), col("fit"))), Seq("bin"))
+      .crossJoin(broadcast(rate))
+      .where(col("fit") > col("base_rate"))
+      .select(col("doc_id"), col("source"), col("lang"))
+    graft.ext.Mixture.ipfRake(accepted, docs, "source", "lang",
+      rounds = 2)
+  }
+
+  private val pipeline14Sql = {
+    // isotonic fit on the documents score (the q_x_isotonic chain,
+    // re-based onto documents)
+    val iso =
+      s"""sb AS (
+         |  SELECT doc_id, source, lang,
+         |    CAST(n_chars AS DOUBLE) / 1000.0 AS s,
+         |    CAST(lang = 'en' AS BIGINT) AS y
+         |  FROM documents WHERE n_chars IS NOT NULL
+         |    AND lang IS NOT NULL),
+         |smm AS (SELECT min(s) AS lo, max(s) AS hi FROM sb),
+         |sbin AS (
+         |  SELECT sb.*, CASE WHEN smm.hi = smm.lo THEN 0
+         |    ELSE LEAST(9, GREATEST(0, CAST(floor((sb.s - smm.lo) /
+         |      ((smm.hi - smm.lo) / 10)) AS BIGINT))) END AS bin
+         |  FROM sb CROSS JOIN smm),
+         |bcts AS (
+         |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(SUM(y) AS BIGINT) AS pos
+         |  FROM sbin GROUP BY 1),
+         |iv AS (
+         |  SELECT j.bin AS j, k.bin AS k,
+         |    CAST(SUM(l.pos) AS DOUBLE) / CAST(SUM(l.n) AS DOUBLE)
+         |      AS rate
+         |  FROM bcts j, bcts k, bcts l
+         |  WHERE j.bin <= k.bin AND l.bin BETWEEN j.bin AND k.bin
+         |  GROUP BY 1, 2),
+         |mn AS (
+         |  SELECT i.bin AS i, iv.j, MIN(iv.rate) AS minr
+         |  FROM bcts i JOIN iv ON iv.j <= i.bin AND iv.k >= i.bin
+         |  GROUP BY 1, 2),
+         |fit AS (SELECT i, ${Q.sqlSig9("MAX(minr)")} AS fit
+         |  FROM mn GROUP BY i),
+         |brate AS (SELECT ${Q.sqlSig9(
+            "CAST(SUM(y) AS DOUBLE) / CAST(count(*) AS DOUBLE)")}
+         |    AS base_rate
+         |  FROM sb),
+         |acc AS (
+         |  SELECT sbin.doc_id, sbin.source, sbin.lang
+         |  FROM sbin JOIN fit ON sbin.bin = fit.i CROSS JOIN brate
+         |  WHERE fit.fit > brate.base_rate)""".stripMargin
+    // rake the accepted subset to the FULL corpus marginals (the
+    // q_x_ipf chain with accepted cells + corpus targets)
+    val mass = sqlSig9("CAST(p.n AS DOUBLE) * p.w")
+    def tm(dim: String, name: String) =
+      s"""${name}_tn AS (
+         |  SELECT $dim AS k, CAST(count(*) AS BIGINT) AS tn
+         |  FROM documents GROUP BY 1),
+         |${name}_tt AS (SELECT CAST(SUM(tn) AS BIGINT) AS tt
+         |  FROM ${name}_tn),
+         |$name AS (
+         |  SELECT k, ${sqlSig9("CAST(nc AS DOUBLE) * CAST(tn AS DOUBLE)" +
+            " / CAST(tt AS DOUBLE)")} AS tm
+         |  FROM ${name}_tn CROSS JOIN ${name}_tt CROSS JOIN tot)"""
+        .stripMargin
+    def step(i: Int, prev: String, dim: String, tmTab: String) =
+      s"""s$i AS (
+         |  SELECT p.$dim AS k, ${sqlDsumStable(mass, 6)} AS cs
+         |  FROM $prev p GROUP BY p.$dim),
+         |w$i AS (
+         |  SELECT p.r, p.c, p.n,
+         |    ${sqlSig9(s"p.w * COALESCE(CASE WHEN s$i.cs > 0 THEN " +
+            sqlSig9(s"$tmTab.tm / s$i.cs") + " END, 0.0)")} AS w
+         |  FROM $prev p LEFT JOIN s$i ON p.$dim = s$i.k
+         |    LEFT JOIN $tmTab ON p.$dim = $tmTab.k)""".stripMargin
+    s"""WITH $iso,
+       |cells AS (
+       |  SELECT source AS r, lang AS c, CAST(count(*) AS BIGINT) AS n
+       |  FROM acc GROUP BY 1, 2),
+       |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nc FROM cells),
+       |${tm("source", "tmr")},
+       |${tm("lang", "tmc")},
+       |w0 AS (SELECT r, c, n, CAST(1.0 AS DOUBLE) AS w FROM cells),
+       |${step(1, "w0", "r", "tmr")},
+       |${step(2, "w1", "c", "tmc")},
+       |${step(3, "w2", "r", "tmr")},
+       |${step(4, "w3", "c", "tmc")}
+       |SELECT r AS source, c AS lang, n, w AS weight,
+       |  ${sqlSig9("CAST(n AS DOUBLE) * w")} AS mass
+       |FROM w4""".stripMargin
+  }
+
   // ===== Benford first-digit conformance ==============================
 
   /** First-digit profile of order totals vs Benford's law — the
@@ -1160,6 +1279,7 @@ object PrepQueries {
     "q_x_binned_drift" -> binnedDriftQ,
     "q_x_wasserstein" -> wassersteinQ,
     "q_x_ipf" -> ipfQ,
+    "q_x_pipeline14" -> pipeline14Q,
     "q_x_histogram" -> histogramQ,
     "q_x_group_corr" -> groupCorrQ,
     "q_x_knn_label" -> knnLabel,
@@ -1187,6 +1307,7 @@ object PrepQueries {
     "q_x_binned_drift" -> binnedDriftSql,
     "q_x_wasserstein" -> wassersteinSql,
     "q_x_ipf" -> ipfSql,
+    "q_x_pipeline14" -> pipeline14Sql,
     "q_x_histogram" -> histogramSql,
     "q_x_group_corr" -> groupCorrSql,
     "q_x_knn_label" -> knnLabelSql,

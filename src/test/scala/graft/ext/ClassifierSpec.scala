@@ -329,6 +329,34 @@ class ClassifierSpec extends SparkSpec {
     assert(!const.exists(_.getAs[String]("feature") == "z"))
   }
 
+  test("prAuc: hand-computed average precision, perfect ranking, and " +
+      "the constant-score baseline") {
+    // desc thresholds: s=.9 -> P=1/1 (ΔR=1/2); s=.7 -> P=2/3 (ΔR=1/2)
+    val hand = Classifier.prAuc(
+      Seq((0.9, 1.0), (0.8, 0.0), (0.7, 1.0), (0.6, 0.0))
+        .toDF("s", "y"), "s", "y").head()
+    // tolerance 1e-6: the engine's dsumStable(6) rounds the term sum
+    // to 6 decimal places by design (engine-identical determinism)
+    assert(math.abs(hand.getAs[Double]("average_precision")
+      - (1.0 + 2.0 / 3.0) / 2.0) < 1e-6)
+    assert(hand.getAs[Long]("n_pos") == 2L &&
+      hand.getAs[Long]("n_neg") == 2L)
+    assert(hand.getAs[Double]("baseline") == 0.5)
+    // perfect separation: AP = 1 regardless of class balance
+    val perfect = Classifier.prAuc(
+      ((1 to 5).map(i => (10.0 + i, 1.0)) ++
+        (1 to 20).map(i => (i / 2.0, 0.0))).toDF("s", "y"),
+      "s", "y").head()
+    assert(perfect.getAs[Double]("average_precision") == 1.0)
+    // constant score: single threshold -> AP = precision = baseline
+    val const = Classifier.prAuc(
+      (Seq.fill(3)((5.0, 1.0)) ++ Seq.fill(9)((5.0, 0.0)))
+        .toDF("s", "y"), "s", "y").head()
+    assert(const.getAs[Double]("average_precision") ==
+      const.getAs[Double]("baseline"))
+    assert(const.getAs[Double]("average_precision") == 0.25)
+  }
+
   test("ridgeCv: one-pass k-fold grid picks the least-shrunk lambda " +
       "on noiseless linear data and shrinks weights monotonically") {
     // exact y = 2*x1 + 1 (x2 = bias): tiny lambda wins CV

@@ -325,4 +325,38 @@ class LayoutSpec extends SparkSpec {
       assert(d === refHilbert(x & 65535, y & 65535, 16), s"($x,$y)")
     }
   }
+
+  test("skippingStats: clustered layout skips chunks a shuffled " +
+      "layout cannot; counts are exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    // 4096 rows; v = row id. Clustered layout = v itself (each of 64
+    // chunks holds one v-range); shuffled layout = v * 2654435761 mod
+    // 2^16 (chunk min/max spans ~everything)
+    val df = (0 until 4096).map(_.toLong).toDF("v")
+    val out = Layout.skippingStats(df,
+      Seq("clustered" -> col("v"),
+        "shuffled" -> pmod(col("v") * 2654435761L, lit(65536L))),
+      Seq(("v_0_63", "v", 0L, 63L)), chunks = 64)
+      .collect().map(r => r.getAs[String]("layout") ->
+        (r.getAs[Long]("n_chunks"), r.getAs[Long]("n_hit"),
+          r.getAs[Long]("scan_rows"), r.getAs[Double]("skip_frac")))
+      .toMap
+    // clustered: probe v in [0,63] hits exactly chunk 0 (64 rows)
+    assert(out("clustered") == ((64L, 1L, 64L, Q9(1.0 - 1.0 / 64))))
+    // shuffled: nearly every chunk straddles the probe range
+    assert(out("shuffled")._2 > 32L,
+      s"shuffled layout should hit most chunks: ${out("shuffled")}")
+    // total_rows conserved on every row
+    Layout.skippingStats(df,
+      Seq("clustered" -> col("v")),
+      Seq(("all", "v", 0L, 5000L)), chunks = 64).collect()
+      .foreach { r =>
+        assert(r.getAs[Long]("total_rows") == 4096L)
+        assert(r.getAs[Long]("n_hit") == 64L &&
+          r.getAs[Double]("scan_frac") == 1.0)
+      }
+  }
+
+  private def Q9(x: Double): Double = graft.functions.GraftMath.sig9(x)
 }
