@@ -248,14 +248,33 @@ object Soak {
 
     val tBase = timeAll(base)
     val tSoak = timeAll(out)
-    val rows = names.map { n =>
+    val fresh = names.map { n =>
       val ratio = tSoak(n) / tBase(n)
       val exp = math.log(ratio) / math.log(replicas.toDouble)
-      f""""$n":{"base_sec":${tBase(n)}%.3f,"soak_sec":${tSoak(n)}%.3f,"ratio":$ratio%.2f,"exponent":$exp%.3f}"""
-    }
-    val json = s"""{"metric":"soak","replicas":$replicas,"base":"$base","queries":${rows.mkString("{", ",", "}")}}"""
+      n -> f"""{"base_sec":${tBase(n)}%.3f,"soak_sec":${tSoak(n)}%.3f,"ratio":$ratio%.2f,"exponent":$exp%.3f}"""
+    }.toMap
+    val path = Paths.get("SOAK.json")
+    val prior = if (Files.exists(path)) Files.readString(path) else ""
+    val merged = mergeRows(prior, fresh)
+    val json = s"""{"metric":"soak","replicas":$replicas,"base":"$base","queries":${merged.toSeq.sortBy(_._1).map { case (n, r) => s""""$n":$r""" }.mkString("{", ",", "}")}}"""
     println(json)
-    Files.writeString(Paths.get("SOAK.json"), json + "\n")
+    Files.writeString(path, json + "\n")
     spark.stop()
+  }
+
+  /** Merge freshly-measured per-query rows over the rows already in
+    * SOAK.json. The ledger accumulates across subset runs (the normal
+    * way new operators get their at-scale row); a run may REPLACE a
+    * query's row but can never drop another query's — the round-11
+    * snapshot clobbered 284 rows down to 1 exactly because the writer
+    * trusted the in-memory subset to be the whole ledger. Rows are flat
+    * one-level JSON objects by construction, so a brace-free regex
+    * extracts them without a JSON dependency.
+    */
+  private[graft] def mergeRows(prior: String,
+      fresh: Map[String, String]): Map[String, String] = {
+    val row = """"(q_[A-Za-z0-9_]+)"\s*:\s*(\{[^{}]*\})""".r
+    val old = row.findAllMatchIn(prior).map(m => m.group(1) -> m.group(2)).toMap
+    old ++ fresh
   }
 }
