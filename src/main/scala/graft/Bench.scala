@@ -5,23 +5,39 @@ import java.nio.file.{Files, Paths}
 
 /** Per-round benchmark over the full oracle-checked query surface.
   *
-  * Methodology (evolved over rounds 1–9):
-  *  - one untimed WARM-UP pass first, so JIT/codegen compilation cost is
-  *    not attributed to whichever query happens to run first;
+  * Methodology (evolved over rounds 1–12):
+  *
+  * Round 11's driver bench TIMED OUT (rc=124, no JSON reached the log):
+  * the r1–r11 harness ran an untimed full warm-up pass + two full timed
+  * passes + iso-runs for every >3 s query — ~2,300 s of wall at 296
+  * queries. Round 12 restructures the harness around a fixed wall
+  * budget without changing what a per-query number MEANS (best observed
+  * steady-state, full materialization):
+  *
+  *  - a SMALL shared warm-up (one cheap representative query per
+  *    fixture family) replaces the full untimed pass — it warms JIT,
+  *    codegen and parquet footer caches in ~10 s instead of ~450 s;
+  *  - pass 1 times every query, in sorted order. A provisional
+  *    BENCH.json is written as soon as pass 1 completes, so even an
+  *    external kill mid-refinement can never lose the whole run;
+  *  - pass 2 re-times only the queries where a second sample buys
+  *    signal per second spent: p1 in [Skip2Below, Skip2Above). Under
+  *    1 s, host noise dwarfs the delta (r8's own adjudication); over
+  *    Skip2Above, the re-run is expensive and the iso pass below gives
+  *    those queries their second (quieter) sample anyway;
+  *  - the iso pass (System.gc() + settle, then one quiet run — the
+  *    same-JVM isolation proxy from r8) is CAPPED at the IsoCap
+  *    slowest queries with min > IsoTriggerSec, instead of unbounded;
+  *  - every optional run (pass 2, iso) checks the wall budget
+  *    (SPARK_GRAFT_BENCH_BUDGET seconds, default 1200) before starting;
+  *    past ~85% of budget the harness stops refining and finalizes
+  *    with what it has. Pass 1 always completes — the budget only
+  *    sheds refinement, never coverage;
   *  - full materialization via queryExecution.toRdd.count() — NOT
-  *    DataFrame.count(), which lets Catalyst prune projections and answer
-  *    unfiltered parquet scans from footer metadata;
-  *  - TWO timed passes with per-pass times recorded (round-8 verdict #4:
-  *    r8-vs-r7 comparison burned on ~15-20% unattributable host drift;
-  *    per-pass detail makes regression calls mechanical);
-  *  - per-query JVM GC-time delta recorded (round-8 verdict #3: q_g1 ran
-  *    36 s in-bench vs 1.8 s isolated — if that reproduces, gcMs says
-  *    whether it's heap pressure or something else);
-  *  - queries whose min(p1,p2) exceeds ISO_TRIGGER_SEC get a third
-  *    "quiet" run after System.gc() + settle pause — a same-JVM isolation
-  *    proxy that doesn't need a second process. The headline per-query
-  *    number is min over all runs (best observed steady-state), with all
-  *    components in BENCH.json for audit;
+  *    DataFrame.count(), which lets Catalyst prune projections and
+  *    answer unfiltered parquet scans from footer metadata;
+  *  - headline per-query number = min over all runs; all components
+  *    (p1/p2/iso + GC deltas) stay in BENCH.json for audit;
   *  - failures are recorded per-query and fail the run (nonzero exit),
   *    never silently timed as fast queries;
   *  - the JSON line goes to stdout AND to BENCH.json in the working
@@ -29,10 +45,28 @@ import java.nio.file.{Files, Paths}
   */
 object Bench {
   private val IsoTriggerSec = 3.0
+  private val IsoCap = 8
+  private val Skip2Below = 1.0
+  private val Skip2Above = 6.0
+
+  /** One cheap query per fixture family — warms the session (JIT,
+    * codegen cache, parquet footers for all ten tables) without a full
+    * untimed pass. Chosen for coverage-per-second: each reads a
+    * distinct table set and exercises the native expression registry. */
+  private val WarmupReps = Seq(
+    "q_g1_groupby_agg",      // lineitem, dsum/sig9 path
+    "q_f1_date_filter",      // events, KST exprs
+    "q_j1_star_inner",       // nation/region/customer star
+    "q_x_text_stats",        // documents, tokenizer exprs
+    "q_x_ann_brute",         // embeddings, vector exprs
+    "q_m1_park_factor",      // kbo metric path (orders/lineitem)
+    "q_x_rfm",               // customer/orders
+    "q_w1_topk_per_group")   // window path
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "1200").toDouble
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -55,6 +89,10 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(_.getCollectionTime).sum
 
+    val wall0 = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - wall0) / 1e9
+    def budgetLeft: Boolean = elapsedSec < budgetSec * 0.85
+
     /** (wallSec, gcDeltaMs, ok) */
     def runOnce(name: String): (Double, Long, Boolean) = {
       val g0 = gcMillis()
@@ -75,38 +113,81 @@ object Bench {
     subset.foreach(qs => qs.foreach(q =>
       require(SparkEntry.queries.contains(q), s"unknown bench query: $q")))
     val names = subset.getOrElse(SparkEntry.queries.keys.toSeq).sorted
-    names.foreach(runOnce) // warm-up pass, untimed
-    val pass1 = names.map(n => n -> runOnce(n)).toMap
-    val pass2 = names.map(n => n -> runOnce(n)).toMap
-    // Quiet re-run for slow queries: full GC + settle, then one more
-    // timed run. If the quiet time collapses (like q_g1's r8 36 s → 1.8 s
-    // isolated), the slowness was JVM state, not the plan.
-    val iso: Map[String, (Double, Long, Boolean)] = names.flatMap { n =>
-      val m = math.min(pass1(n)._1, pass2(n)._1)
-      if (m > IsoTriggerSec && pass1(n)._3 && pass2(n)._3) {
+
+    WarmupReps.filter(SparkEntry.queries.contains).foreach(runOnce)
+    System.err.println(f"[bench] warm-up done at ${elapsedSec}%.0f s; pass 1 over ${names.size} queries")
+
+    val pass1 = names.map { n =>
+      val r = runOnce(n)
+      n -> r
+    }.toMap
+    System.err.println(f"[bench] pass 1 done at ${elapsedSec}%.0f s (sum ${pass1.values.map(_._1).sum}%.0f s)")
+
+    def writeJson(results: Seq[(String, (Double, Boolean))],
+        pass2: Map[String, (Double, Long, Boolean)],
+        iso: Map[String, (Double, Long, Boolean)],
+        provisional: Boolean): String = {
+      val failed = results.collect { case (n, (_, false)) => n }
+      def f(d: Double): String = (math.rint(d * 10000) / 10000).toString
+      val qs = results.map { case (n, (sec, _)) => s"\"$n\":${f(sec)}" }
+        .mkString("{", ",", "}")
+      val detail = results.map { case (n, _) =>
+        val p2Part = pass2.get(n).map { case (t, g, _) => s""","p2":${f(t)},"gcMs2":$g""" }.getOrElse("")
+        val isoPart = iso.get(n).map { case (t, g, _) => s""","iso":${f(t)},"isoGcMs":$g""" }.getOrElse("")
+        s""""$n":{"p1":${f(pass1(n)._1)},"gcMs1":${pass1(n)._2}$p2Part$isoPart}"""
+      }.mkString("{", ",", "}")
+      val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val total = results.map(_._2._1).sum
+      val prov = if (provisional) ""","provisional":true""" else ""
+      val json = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"passes":$detail,"failed":$failedJson,"sf":"$sfDir"$prov}"""
+      Files.writeString(Paths.get("BENCH.json"), json + "\n")
+      json
+    }
+    def currentResults(pass2: Map[String, (Double, Long, Boolean)],
+        iso: Map[String, (Double, Long, Boolean)]): Seq[(String, (Double, Boolean))] =
+      names.map { n =>
+        val (t1, _, ok1) = pass1(n)
+        val best = Seq(Some(t1), pass2.get(n).map(_._1), iso.get(n).map(_._1))
+          .flatten.min
+        val ok = ok1 && pass2.get(n).forall(_._3) && iso.get(n).forall(_._3)
+        n -> (best, ok)
+      }
+
+    // pass-1-only provisional snapshot: an external kill from here on
+    // loses refinement, not the run
+    writeJson(currentResults(Map.empty, Map.empty), Map.empty, Map.empty,
+      provisional = true)
+
+    val pass2 = names.flatMap { n =>
+      val (t1, _, ok1) = pass1(n)
+      if (ok1 && t1 >= Skip2Below && t1 < Skip2Above && budgetLeft)
+        Some(n -> runOnce(n))
+      else None
+    }.toMap
+    System.err.println(f"[bench] pass 2 done at ${elapsedSec}%.0f s (${pass2.size} queries re-timed)")
+
+    // Quiet re-run for the slowest queries: full GC + settle, then one
+    // more timed run. If the quiet time collapses (like q_g1's r8 36 s
+    // -> 1.8 s isolated), the slowness was JVM state, not the plan.
+    val isoCandidates = names
+      .map { n =>
+        val m = math.min(pass1(n)._1, pass2.get(n).map(_._1).getOrElse(Double.MaxValue))
+        n -> m
+      }
+      .filter { case (n, m) => m > IsoTriggerSec && pass1(n)._3 && pass2.get(n).forall(_._3) }
+      .sortBy(-_._2).take(IsoCap).map(_._1)
+    val iso: Map[String, (Double, Long, Boolean)] = isoCandidates.flatMap { n =>
+      if (budgetLeft) {
         System.gc(); Thread.sleep(300)
         Some(n -> runOnce(n))
       } else None
     }.toMap
-    val results = names.map { n =>
-      val (t1, _, ok1) = pass1(n)
-      val (t2, _, ok2) = pass2(n)
-      val best = math.min(math.min(t1, t2), iso.get(n).map(_._1).getOrElse(Double.MaxValue))
-      n -> (best, ok1 && ok2 && iso.get(n).forall(_._3))
-    }
+    System.err.println(f"[bench] iso done at ${elapsedSec}%.0f s (${iso.size} of ${isoCandidates.size} candidates run)")
+
+    val results = currentResults(pass2, iso)
     val failed = results.collect { case (n, (_, false)) => n }
-    def f(d: Double): String = (math.rint(d * 10000) / 10000).toString
-    val qs = results.map { case (n, (sec, _)) => s"\"$n\":${f(sec)}" }
-      .mkString("{", ",", "}")
-    val detail = names.map { n =>
-      val isoPart = iso.get(n).map { case (t, g, _) => s""","iso":${f(t)},"isoGcMs":$g""" }.getOrElse("")
-      s""""$n":{"p1":${f(pass1(n)._1)},"p2":${f(pass2(n)._1)},"gcMs1":${pass1(n)._2},"gcMs2":${pass2(n)._2}$isoPart}"""
-    }.mkString("{", ",", "}")
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2._1).sum
-    val json = s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"passes":$detail,"failed":$failedJson,"sf":"$sfDir"}"""
+    val json = writeJson(results, pass2, iso, provisional = false)
     println(json)
-    Files.writeString(Paths.get("BENCH.json"), json + "\n")
     spark.stop()
     // The log-tail consumer keeps only the last ~2000 characters; the
     // full per-query line above is longer than that, so its head (with
@@ -114,7 +195,10 @@ object Bench {
     // self-contained summary as the LAST line so whatever survives the
     // tail is parseable; per-query detail stays in BENCH.json and the
     // full line above.
-    val compact = s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"failed":$failedJson,"sf":"$sfDir","detail":"BENCH.json"}"""
+    def f(d: Double): String = (math.rint(d * 10000) / 10000).toString
+    val total = results.map(_._2._1).sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val compact = s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${results.size},"failed":$failedJson,"sf":"$sfDir","wall_sec":${f(elapsedSec)},"detail":"BENCH.json"}"""
     println(compact)
     if (failed.nonEmpty) sys.exit(1)
   }
