@@ -131,7 +131,19 @@ object Govern {
     * The draw is deterministic per (seed, group): the same release
     * re-run on the same snapshot is bit-identical — the reproducible-
     * release discipline; rotating `seed` per release period restores
-    * draw freshness. u = (hash + 1/2) / P sits strictly inside (0,1),
+    * draw freshness.
+    *
+    * SECURITY CAVEAT: determinism trades on the seed's secrecy. An
+    * adversary who learns `seed` can recompute every noise draw exactly
+    * and recover the true counts, so the release is formally
+    * epsilon-DP only if the seed is (a) kept secret like a key and
+    * (b) used for AT MOST ONE release per snapshot — reusing a seed
+    * across releases of overlapping data lets noise cancel in
+    * differences. Treat `seed` as a single-use secret; the
+    * reproducibility win is for the data owner's own audit replays,
+    * never a license to publish the seed.
+    *
+    * u = (hash + 1/2) / P sits strictly inside (0,1),
     * so the log argument is strictly positive and ANSI mode cannot
     * throw. One hash aggregation + per-row scalar math; nothing
     * drawn on the driver.

@@ -377,6 +377,11 @@ object Layout {
     * table. Chunk hit test is exact integer interval overlap; the
     * two fractions are the only sig9'd doubles.
     *
+    * Rows with a NULL layout key are EXCLUDED per layout (a NULL key
+    * has no position in that layout's range chunking) — the SQL oracle
+    * filters the same rows, so total_rows agrees across engines even
+    * on nullable keys.
+    *
     * @param layouts ordered (name, layout-key column) candidates
     * @param probes  (probe name, probed column, lo, hi) inclusive
     *                range scans to evaluate

@@ -37,7 +37,9 @@ object Mixture {
     * to 0 when the current mass is 0, and categories ABSENT from the
     * target rake to weight 0 (they have no place in the calibrated
     * mixture). Categories present in the target but absent from the
-    * corpus are unreachable and ignored.
+    * corpus are unreachable and ignored. A NULL category is treated as
+    * absent-from-target (weight 0, row retained) — the convention plain
+    * SQL equality joins give, pinned on both engines.
     *
     * @param df     corpus; one row per document
     * @param target slice/frame whose (rowCol, colCol) marginals are
@@ -77,8 +79,13 @@ object Mixture {
       val sums = cur.groupBy(col(dim))
         .agg(Q.dsumStable(mass, sumScale).as("__cs"))
         .withColumnRenamed(dim, s"__k")
-      cur.join(broadcast(sums), col(dim) <=> col("__k"), "left")
-        .join(broadcast(tm), col(dim) <=> col(s"__$dim"), "left")
+      // plain equality, NOT null-safe <=>: a NULL category never joins
+      // its marginal, so its cells rake to weight 0 — the same rule the
+      // SQL oracle's `p.$dim = s.k` LEFT JOINs apply. (A null-safe join
+      // here would rake NULL cells normally on the engine side only and
+      // break hash parity on nullable category data.)
+      cur.join(broadcast(sums), col(dim) === col("__k"), "left")
+        .join(broadcast(tm), col(dim) === col(s"__$dim"), "left")
         .withColumn("w", Q.sig9(col("w") *
           coalesce(when(col("__cs") > 0.0,
             Q.sig9(col(tmCol) / col("__cs"))), lit(0.0))))

@@ -99,8 +99,10 @@ object Recommend {
     *
     * Determinism (the trajectory-adjudication contract, see
     * [[graft.ext.Classifier]]): item factors initialize from the item
-    * id itself (f1 = 1, f2 = (id mod 11)/11 − 0.5 — deterministic,
-    * seed-free, full-rank for any non-degenerate id set), every
+    * id itself (f1 = 1, f2 = (hash60(id) mod 1000)/1000 − 0.5 — the
+    * portable md5-prefix hash of [[graft.ext.Hashing]]: deterministic,
+    * seed-free, sign-safe on negative ids, and full-rank for any id
+    * set), every
     * moment accumulates via DECIMAL [[graft.queries.Q.dsum]], and
     * det/factors are sig9'd after each solve, so every half-step is
     * engine- and partitioning-identical. λ > 0 keeps the system PD;
@@ -144,10 +146,14 @@ object Recommend {
           Q.dsum(col("f2") * col("f2")).as("a22"),
           Q.dsum(col("r") * col("f1")).as("b1"),
           Q.dsum(col("r") * col("f2")).as("b2")))
+    // init f2 from the PORTABLE hash60 of the id, not id mod k: the
+    // md5-prefix hash is sign-safe and engine-identical (SQL `%` on a
+    // negative id differs from pmod), and it can never hand the sweeps
+    // a rank-1 start the way an id set congruent mod k could
     var items = base.select(col("i").as("id")).distinct()
       .select(col("id"), lit(1L).as("n"), lit(1.0).as("f1"),
-        (pmod(col("id").cast("long"), lit(11L)).cast("double")
-          / lit(11.0) - lit(0.5)).as("f2"))
+        ((Hashing.hash60(col("id").cast("string")) % 1000L).cast("double")
+          / lit(1000.0) - lit(0.5)).as("f2"))
     for (_ <- 1 to iters) {
       val users = halfStep(items, "u", "i")
       items = halfStep(users, "i", "u")

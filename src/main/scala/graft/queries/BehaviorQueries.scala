@@ -1104,7 +1104,8 @@ object BehaviorQueries {
        |it0 AS (
        |  SELECT DISTINCT i AS id, CAST(1 AS BIGINT) AS n,
        |    CAST(1.0 AS DOUBLE) AS f1,
-       |    CAST(i % 11 AS DOUBLE) / 11.0 - 0.5 AS f2
+       |    CAST(${Q.sqlHash60("CAST(i AS VARCHAR)")} % 1000 AS DOUBLE)
+       |      / 1000.0 - 0.5 AS f2
        |  FROM ratings),
        |$steps
        |SELECT id AS item, f1, f2, n AS n_users

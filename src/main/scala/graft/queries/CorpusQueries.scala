@@ -2193,7 +2193,8 @@ object CorpusQueries {
     def layoutCtes(l: String, keySql: String) =
       s"""${l}_b AS (
          |  SELECT CAST(($keySql) AS DOUBLE) AS k, l_partkey, l_suppkey
-         |  FROM lineitem),
+         |  FROM lineitem
+         |  WHERE ($keySql) IS NOT NULL),
          |${l}_mm AS (SELECT min(k) AS lo, max(k) AS hi FROM ${l}_b),
          |${l}_ch AS (
          |  SELECT CASE WHEN mm.hi = mm.lo THEN 0

@@ -102,7 +102,7 @@ class RecommendSpec extends SparkSpec {
 
   test("als2: items with identical rating columns get identical " +
       "factors after a full sweep (init differences wash out)") {
-    // items 5 and 7 (different id-mod-11 inits) rated identically
+    // items 5 and 7 (different hash60-based inits) rated identically
     val ratings = Seq(
       (1L, 5L, 3.0), (2L, 5L, 1.0), (3L, 5L, 4.0),
       (1L, 7L, 3.0), (2L, 7L, 1.0), (3L, 7L, 4.0),
