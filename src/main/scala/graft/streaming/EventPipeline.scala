@@ -553,6 +553,72 @@ object EventPipeline {
       }
   }
 
+  /** Bounded calibration artifact for [[calibratedGate]]: the
+    * reference frame's score binning ([lo, hi] equi-width over `bins`)
+    * plus the isotonic fit per OCCUPIED reference bin and the reference
+    * base rate — ≤ bins+3 scalars, the [[DriftRef]] broadcast pattern.
+    * Build it ONCE from the labeled reference slice; the stream never
+    * rescans the reference. */
+  case class CalibRef(lo: Double, hi: Double, bins: Int,
+                      fit: Map[Long, Double], baseRate: Double)
+
+  /** Collect the [[CalibRef]] artifact — the fit comes from the BATCH
+    * operator [[graft.ext.Classifier.isotonicCalibration]] itself (one
+    * definition of the PAVA-by-minimax chain), so gate parity with
+    * q_x_pipeline14's accept rule is by construction. One reference
+    * scan for min/max + one for the fit + one count/sum row. */
+  def calibRef(ref: DataFrame, scoreCol: String, labelCol: String,
+      bins: Int = 10): CalibRef = {
+    import graft.queries.Q
+    val s = col(scoreCol).cast("double")
+    val y = col(labelCol).cast("long")
+    val base = ref.where(s.isNotNull && y.isNotNull)
+    val mm = base.agg(min(s).as("lo"), max(s).as("hi")).collect()(0)
+    require(!mm.isNullAt(0),
+      "calibRef: reference frame has no labeled scored rows")
+    val fitRows = graft.ext.Classifier
+      .isotonicCalibration(ref, scoreCol, labelCol, bins)
+      .select(col("bin"), col("fit")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val br = base.agg(Q.sig9(sum(y).cast("double") /
+      count(lit(1)).cast("double")).as("r")).collect()(0).getDouble(0)
+    CalibRef(mm.getDouble(0), mm.getDouble(1), bins, fitRows, br)
+  }
+
+  case class GatedEvent(event_id: Long, event_type: String,
+                        value: Double, bin: Long,
+                        calibrated: Option[Double], accept: Boolean)
+
+  /** Streaming calibrated-quality gate — the live face of
+    * q_x_pipeline14's accept stage ([[graft.ext.Classifier
+    * .isotonicCalibration]] + base-rate threshold): each event's score
+    * is binned on the FIXED reference binning, looked up in the
+    * broadcast isotonic fit, and accepted iff its bin's calibrated
+    * rate beats the reference base rate — the same
+    * `fit.fit > base_rate` rule the batch pipeline applies. Events in
+    * bins the reference never occupied have no calibrated estimate and
+    * are rejected (an uncalibrated score is an unknown quality, and a
+    * gate fails CLOSED).
+    *
+    * STATELESS (a pure per-event map over the broadcast artifact), so
+    * trivially order-free: after any prefix of batches the accepted
+    * set equals the batch gate on the same events
+    * (StreamingSpec-pinned). Chain `.filter(_.accept)` in front of any
+    * ingest sink ([[corpusIngestSink]], [[upsertSink]]) to make the
+    * gate a drop-filter; the emitted row keeps the reject rows so the
+    * gate's pass-rate is observable downstream. */
+  def calibratedGate(events: Dataset[Event], spark: SparkSession,
+      ref: CalibRef): Dataset[GatedEvent] = {
+    import spark.implicits._
+    val dref = DriftRef(ref.lo, ref.hi, ref.bins, Nil)
+    events.map { e =>
+      val b = driftBin(dref, e.value).toLong
+      val cal = ref.fit.get(b)
+      GatedEvent(e.event_id, e.event_type, e.value, b, cal,
+        cal.exists(_ > ref.baseRate))
+    }
+  }
+
   /** Count-min sketch state: d*w bucket sums + events seen. */
   case class CmsState(regs: IndexedSeq[Long], nSeen: Long)
 

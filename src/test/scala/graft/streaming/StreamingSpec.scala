@@ -785,6 +785,89 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("calibratedGate: accept set equals the batch isotonic-gate " +
+      "(pipeline14's rule) on every batch prefix; unseen bins fail " +
+      "closed") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, floor, least, greatest, lit, when}
+    // reference: scores 0..99, label = score >= 60 (monotone-ish with
+    // noise at 30 and 45 so the isotonic fit does real pooling); bin
+    // width 9.9 over 10 bins
+    val refRows = (0 until 100).map { i =>
+      val y = if (i >= 60 || i == 30 || i == 45) 1 else 0
+      (i.toDouble, y)
+    }
+    val refDF = refRows.toDF("sc", "y")
+    val ref = EventPipeline.calibRef(refDF, "sc", "y", bins = 10)
+    assert(ref.lo === 0.0 && ref.hi === 99.0 && ref.fit.size === 10)
+    // batch twin of the gate: bin each value on the reference binning
+    // and accept iff the bin's isotonic fit beats the base rate — the
+    // exact q_x_pipeline14 accept stage
+    def batchAccept(evs: Seq[Event]): Set[Long] = {
+      val fit = graft.ext.Classifier
+        .isotonicCalibration(refDF, "sc", "y", bins = 10)
+        .select(col("bin"), col("fit")).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val br = refRows.map(_._2).sum.toDouble / refRows.size
+      val binned = evs.toDF()
+        .withColumn("bin",
+          when(lit(ref.hi) === lit(ref.lo), lit(0L))
+            .otherwise(least(lit(9L), greatest(lit(0L),
+              floor((col("value") - lit(ref.lo))
+                / ((lit(ref.hi) - lit(ref.lo)) / 10)).cast("long")))))
+        .select(col("event_id"), col("bin")).collect()
+      binned.filter(r => fit.get(r.getLong(1)).exists(_ > br))
+        .map(_.getLong(0)).toSet
+    }
+    // -5 and 250 clamp to edge bins; all reference bins are occupied
+    // here, so fail-closed is exercised via a second sparse reference
+    val batch1 = Seq(
+      Event(1L, ts("2024-03-01 10:00:00"), 1L, "click", 95.0),
+      Event(2L, ts("2024-03-01 10:01:00"), 2L, "click", 5.0),
+      Event(3L, ts("2024-03-01 10:02:00"), 3L, "view", 62.0),
+      Event(4L, ts("2024-03-01 10:03:00"), 4L, "view", -5.0))
+    val batch2 = Seq(
+      Event(5L, ts("2024-03-01 11:00:00"), 5L, "click", 250.0),
+      Event(6L, ts("2024-03-01 11:01:00"), 6L, "view", 59.0))
+    val ms = MemoryStream[Event]
+    val q = EventPipeline.calibratedGate(ms.toDS(), spark, ref)
+      .writeStream.format("memory").queryName("gate_rows")
+      .outputMode("append").start()
+    def accepted() = spark.table("gate_rows")
+      .where(col("accept")).select(col("event_id"))
+      .collect().map(_.getLong(0)).toSet
+    try {
+      ms.addData(batch1); q.processAllAvailable()
+      assert(accepted() === batchAccept(batch1))
+      ms.addData(batch2); q.processAllAvailable()
+      assert(accepted() === batchAccept(batch1 ++ batch2))
+      // high scores pass, low scores are rejected (sanity on content)
+      assert(accepted().contains(1L) && !accepted().contains(2L))
+    } finally q.stop()
+    // fail-closed: a reference occupying only bins {0, 9} gives bins
+    // 1..8 no fit; a mid-range event must be rejected even though its
+    // score is "good"
+    val sparseRef = EventPipeline.calibRef(
+      Seq((0.0, 0), (1.0, 0), (98.0, 1), (99.0, 1)).toDF("sc", "y"),
+      "sc", "y", bins = 10)
+    assert(sparseRef.fit.keySet === Set(0L, 9L))
+    val ms2 = MemoryStream[Event]
+    val q2 = EventPipeline.calibratedGate(ms2.toDS(), spark, sparseRef)
+      .writeStream.format("memory").queryName("gate_sparse")
+      .outputMode("append").start()
+    try {
+      ms2.addData(Seq(
+        Event(10L, ts("2024-03-01 12:00:00"), 1L, "click", 50.0),
+        Event(11L, ts("2024-03-01 12:01:00"), 1L, "click", 99.0)))
+      q2.processAllAvailable()
+      val rows = spark.table("gate_sparse")
+        .select(col("event_id"), col("accept"))
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(rows(10L) === false) // unseen bin: fail closed
+      assert(rows(11L) === true)  // calibrated high bin: pass
+    } finally q2.stop()
+  }
+
   test("distanceMonitor: per-stream W1/TV/Hellinger equal " +
       "Profile.distanceBattery on every batch prefix") {
     implicit val ctx = spark.sqlContext
