@@ -918,7 +918,7 @@ object Graph {
     * transitivity, sum_cc, avg_cc) — transitivity/avg NULL on a
     * wedge-free graph rather than 0/0. */
   def clusteringCoef(edges: DataFrame, aCol: String,
-      bCol: String): DataFrame = {
+      bCol: String, triCounts: Option[DataFrame] = None): DataFrame = {
     val und = edges
       .select(least(col(aCol), col(bCol)).as("a"),
         greatest(col(aCol), col(bCol)).as("b"))
@@ -927,7 +927,11 @@ object Graph {
     val deg = und.select(col("a").as("v"))
       .unionAll(und.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
-    val tri = triangleCountsCanonical(und)
+    // callers that already hold this graph's per-node triangle counts
+    // ((node, n_tri), the triangleCounts output — identical by
+    // construction since both canonicalize the same way) pass them in
+    // and skip the O(m^1.5) wedge recount; the degree pass is cheap
+    val tri = triCounts.getOrElse(triangleCountsCanonical(und))
     val nodes = deg
       .join(tri.select(col("node").as("v"), col("n_tri")), Seq("v"),
         "left")
