@@ -49,8 +49,6 @@ object Mixture {
     */
   def ipfRake(df: DataFrame, target: DataFrame, rowCol: String,
       colCol: String, rounds: Int = 2, sumScale: Int = 6): DataFrame = {
-    require(rounds >= 1 && rounds <= 16,
-      s"rounds must be in [1, 16], got $rounds")
     // localCheckpoint the bounded frames: each IPF half-step references
     // its input twice (marginal sums + the base), so an un-checkpointed
     // lineage would re-run the corpus aggregate 4^rounds times — the
@@ -59,19 +57,41 @@ object Mixture {
     val cells = df.groupBy(col(rowCol), col(colCol))
       .agg(count(lit(1)).as("n"))
       .localCheckpoint()
+    def tn(dim: String): DataFrame =
+      target.groupBy(col(dim)).agg(count(lit(1)).as("tn"))
+        .select(col(dim).as("k"), col("tn"))
+    rakeCells(cells, rowCol, colCol, tn(rowCol), tn(colCol), rounds,
+      sumScale)
+  }
+
+  /** The IPF sweep chain over an ALREADY-AGGREGATED cell table — the
+    * shared core of [[ipfRake]] (which collapses a corpus to cells
+    * first) and the streaming rake sink (whose per-batch state IS the
+    * cumulative cell table). `rowTn`/`colTn` are bounded (k, tn)
+    * target-marginal count frames; target masses rescale to the cell
+    * table's CURRENT total each call, so the same target artifact
+    * serves every batch. Arithmetic is step-identical to what ipfRake
+    * always ran (the oracle chain): sig9'd masses, dsumStable(sumScale)
+    * marginal sums, plain-equality marginal joins (NULL categories rake
+    * to 0).
+    */
+  def rakeCells(cells: DataFrame, rowCol: String, colCol: String,
+      rowTn: DataFrame, colTn: DataFrame, rounds: Int = 2,
+      sumScale: Int = 6): DataFrame = {
+    require(rounds >= 1 && rounds <= 16,
+      s"rounds must be in [1, 16], got $rounds")
     val tot = cells.agg(sum(col("n")).cast("long").as("n_corpus"))
 
-    def targetMass(dim: String, out: String): DataFrame = {
-      val tn = target.groupBy(col(dim)).agg(count(lit(1)).as("tn"))
+    def targetMass(tn: DataFrame, dim: String, out: String): DataFrame = {
       val tt = tn.agg(sum(col("tn")).cast("long").as("t_total"))
       tn.crossJoin(broadcast(tt)).crossJoin(broadcast(tot))
-        .select(col(dim).as(s"__$dim"),
+        .select(col("k").as(s"__$dim"),
           Q.sig9(col("n_corpus").cast("double")
             * col("tn").cast("double")
             / col("t_total").cast("double")).as(out))
     }
-    val rowTm = targetMass(rowCol, "tm_r").localCheckpoint()
-    val colTm = targetMass(colCol, "tm_c").localCheckpoint()
+    val rowTm = targetMass(rowTn, rowCol, "tm_r").localCheckpoint()
+    val colTm = targetMass(colTn, colCol, "tm_c").localCheckpoint()
 
     def halfStep(cur: DataFrame, dim: String, tm: DataFrame,
         tmCol: String): DataFrame = {

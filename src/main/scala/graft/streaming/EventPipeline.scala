@@ -1611,6 +1611,88 @@ object EventPipeline {
       }
       .start()
 
+  /** Bounded target-marginal artifact for [[mixtureRakeSink]]: the
+    * curated slice's per-category row/column counts — O(categories)
+    * longs, collected ONCE; the stream never rescans the target.
+    * Target categories must be non-null (a curated calibration profile
+    * has no anonymous category; fail loudly rather than silently shift
+    * every weight by a null-mass denominator). */
+  case class MixtureRef(rowTn: Map[String, Long], colTn: Map[String, Long])
+
+  /** Collect the [[MixtureRef]] artifact — two bounded marginal
+    * aggregates over the target slice. */
+  def mixtureRef(target: DataFrame, rowCol: String, colCol: String)
+      : MixtureRef = {
+    def tn(c: String): Map[String, Long] = {
+      val rows = target.groupBy(col(c).cast("string").as("k"))
+        .agg(count(lit(1)).as("tn")).collect()
+      require(rows.forall(!_.isNullAt(0)),
+        s"mixtureRef: target has NULL $c categories")
+      rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    MixtureRef(tn(rowCol), tn(colCol))
+  }
+
+  /** One micro-batch of the mixture-rake monitor — IDEMPOTENT per
+    * batchId (the [[mergeVolumeBatch]] versioned-rollup discipline:
+    * batch-id-named cell versions, _SUCCESS-committed, re-delivery
+    * skips the merge; weights are derived data rewritten per batch). */
+  def mergeMixtureBatch(batch: DataFrame, batchId: Long, rowCol: String,
+      colCol: String, ref: MixtureRef, cellsPath: String,
+      weightsPath: String, rounds: Int = 2): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val versions = rollupVersions(spark, cellsPath)
+    if (!versions.lastOption.exists(_ >= batchId)) {
+      val bc = batch.select(col(rowCol).cast("string").as(rowCol),
+          col(colCol).cast("string").as(colCol))
+        .groupBy(col(rowCol), col(colCol))
+        .agg(count(lit(1)).as("n"))
+      val existing = versions.lastOption
+        .map(v => spark.read.parquet(s"$cellsPath/v=$v"))
+        .getOrElse(bc.limit(0))
+      existing.unionByName(bc)
+        .groupBy(col(rowCol), col(colCol))
+        .agg(sum(col("n")).as("n"))
+        .write.mode("overwrite").parquet(s"$cellsPath/v=$batchId")
+      val fs = new org.apache.hadoop.fs.Path(cellsPath)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      versions.filter(_ < batchId).foreach(v =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$cellsPath/v=$v"), true))
+    }
+    val cells = spark.read
+      .parquet(s"$cellsPath/v=${rollupVersions(spark, cellsPath).last}")
+    graft.ext.Mixture.rakeCells(cells, rowCol, colCol,
+        ref.rowTn.toSeq.toDF("k", "tn"), ref.colTn.toSeq.toDF("k", "tn"),
+        rounds)
+      .write.mode("overwrite").parquet(weightsPath)
+  }
+
+  /** Streaming mixture-rake monitor — the live face of
+    * [[graft.ext.Mixture.ipfRake]] (q_x_ipf): per-cell (row × col)
+    * counts merge ADDITIVELY into a versioned rollup (cell counts are
+    * order-free, so no delivery-order caveat), then the IPF sweeps
+    * re-rake the BOUNDED cumulative cell table against the fixed
+    * [[MixtureRef]] target profile and replace the weights table —
+    * "are the crawl's source × lang weights still calibrated" as a
+    * live view. Per-batch cost is O(batch) + O(cells); the document
+    * history is never rescanned, and the sweep chain is
+    * [[graft.ext.Mixture.rakeCells]] itself (ONE definition), so after
+    * any batch prefix the weights equal `ipfRake(prefix, target)`
+    * (StreamingSpec-pinned). */
+  def mixtureRakeSink(docs: DataFrame, rowCol: String, colCol: String,
+      ref: MixtureRef, cellsPath: String, weightsPath: String,
+      checkpointDir: String, rounds: Int = 2)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeMixtureBatch(batch, batchId, rowCol, colCol, ref,
+          cellsPath, weightsPath, rounds)
+      }
+      .start()
+
   /** Wire a streaming source through windowedStats to a sink path with
     * AvailableNow semantics (the S1/S2 "daily run" as a streaming job:
     * processes everything available, then stops; checkpoint makes re-runs

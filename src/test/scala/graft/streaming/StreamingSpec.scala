@@ -868,6 +868,50 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("mixtureRakeSink: weights equal Mixture.ipfRake on every batch " +
+      "prefix; re-delivered batch ids do not double-count") {
+    implicit val ctx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_rake_")
+      .toString
+    // target profile: balanced 2x2 marginals
+    val target = Seq(("web", "en"), ("web", "ko"), ("book", "en"),
+      ("book", "ko")).toDF("source", "lang")
+    val ref = EventPipeline.mixtureRef(target, "source", "lang")
+    assert(ref.rowTn === Map("web" -> 2L, "book" -> 2L))
+    // corpus batches skewed toward (web, en)
+    val batch1 = Seq((1L, "web", "en"), (2L, "web", "en"),
+      (3L, "web", "ko"), (4L, "book", "en"))
+    val batch2 = Seq((5L, "book", "ko"), (6L, "web", "en"),
+      (7L, "book", "ko"))
+    val ms = MemoryStream[(Long, String, String)]
+    val q = EventPipeline.mixtureRakeSink(
+      ms.toDF().toDF("doc_id", "source", "lang"), "source", "lang",
+      ref, s"$dir/cells", s"$dir/weights", s"$dir/ckpt")
+    def weights() = spark.read.parquet(s"$dir/weights")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getAs[Long]("n"), r.getAs[Double]("weight"),
+        r.getAs[Double]("mass"))).toSet
+    def batchTwin(rows: Seq[(Long, String, String)]) =
+      graft.ext.Mixture.ipfRake(
+          rows.toDF("doc_id", "source", "lang"), target,
+          "source", "lang")
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getAs[Long]("n"), r.getAs[Double]("weight"),
+          r.getAs[Double]("mass"))).toSet
+    try {
+      ms.addData(batch1); q.processAllAvailable()
+      assert(weights() === batchTwin(batch1))
+      ms.addData(batch2); q.processAllAvailable()
+      assert(weights() === batchTwin(batch1 ++ batch2))
+      // idempotence: re-delivering batch 0 must not double-count
+      EventPipeline.mergeMixtureBatch(
+        batch1.toDF("doc_id", "source", "lang"), 0L, "source", "lang",
+        ref, s"$dir/cells", s"$dir/weights")
+      assert(weights() === batchTwin(batch1 ++ batch2))
+    } finally q.stop()
+  }
+
   test("distanceMonitor: per-stream W1/TV/Hellinger equal " +
       "Profile.distanceBattery on every batch prefix") {
     implicit val ctx = spark.sqlContext
