@@ -20,16 +20,18 @@ import java.nio.file.{Files, Paths}
   *  - pass 1 times every query, in sorted order. A provisional
   *    BENCH.json is written as soon as pass 1 completes, so even an
   *    external kill mid-refinement can never lose the whole run;
-  *  - pass 2 re-times only the queries where a second sample buys
-  *    signal per second spent: p1 in [Skip2Below, Skip2Above). Under
-  *    1 s, host noise dwarfs the delta (r8's own adjudication); over
-  *    Skip2Above, the re-run is expensive and the iso pass below gives
-  *    those queries their second (quieter) sample anyway;
   *  - the iso pass (System.gc() + settle, then one quiet run — the
-  *    same-JVM isolation proxy from r8) is CAPPED at the IsoCap
-  *    slowest queries with min > IsoTriggerSec, instead of unbounded;
-  *  - every optional run (pass 2, iso) checks the wall budget
-  *    (SPARK_GRAFT_BENCH_BUDGET seconds, default 1200) before starting;
+  *    same-JVM isolation proxy from r8) runs FIRST after pass 1,
+  *    capped at the IsoCap slowest queries with p1 > IsoTriggerSec:
+  *    the slow tier contributes the most headline seconds per sample,
+  *    so its second (quieter) sample is the refinement that must
+  *    never be shed (dry-run 1 of r12 ordered iso last and measured
+  *    cold-only slow queries up to 1.7× their warm minima);
+  *  - pass 2 then re-times the remaining queries in DESCENDING p1
+  *    order — when the budget sheds the tail, it sheds the sub-second
+  *    queries where host noise dwarfs the delta (r8's adjudication);
+  *  - every optional run (iso, pass 2) checks the wall budget
+  *    (SPARK_GRAFT_BENCH_BUDGET seconds, default 1450) before starting;
   *    past ~85% of budget the harness stops refining and finalizes
   *    with what it has. Pass 1 always completes — the budget only
   *    sheds refinement, never coverage;
@@ -45,9 +47,7 @@ import java.nio.file.{Files, Paths}
   */
 object Bench {
   private val IsoTriggerSec = 3.0
-  private val IsoCap = 8
-  private val Skip2Below = 1.0
-  private val Skip2Above = 6.0
+  private val IsoCap = 12
 
   /** One cheap query per fixture family — warms the session (JIT,
     * codegen cache, parquet footers for all ten tables) without a full
@@ -66,7 +66,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "1200").toDouble
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "1450").toDouble
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -158,24 +158,15 @@ object Bench {
     writeJson(currentResults(Map.empty, Map.empty), Map.empty, Map.empty,
       provisional = true)
 
-    val pass2 = names.flatMap { n =>
-      val (t1, _, ok1) = pass1(n)
-      if (ok1 && t1 >= Skip2Below && t1 < Skip2Above && budgetLeft)
-        Some(n -> runOnce(n))
-      else None
-    }.toMap
-    System.err.println(f"[bench] pass 2 done at ${elapsedSec}%.0f s (${pass2.size} queries re-timed)")
-
-    // Quiet re-run for the slowest queries: full GC + settle, then one
-    // more timed run. If the quiet time collapses (like q_g1's r8 36 s
-    // -> 1.8 s isolated), the slowness was JVM state, not the plan.
+    // Quiet re-run for the slowest queries FIRST: full GC + settle,
+    // then one more timed run. If the quiet time collapses (like
+    // q_g1's r8 36 s -> 1.8 s isolated), the slowness was JVM state,
+    // not the plan. These are the headline's biggest terms — their
+    // second sample is guaranteed before any band refinement spends
+    // budget.
     val isoCandidates = names
-      .map { n =>
-        val m = math.min(pass1(n)._1, pass2.get(n).map(_._1).getOrElse(Double.MaxValue))
-        n -> m
-      }
-      .filter { case (n, m) => m > IsoTriggerSec && pass1(n)._3 && pass2.get(n).forall(_._3) }
-      .sortBy(-_._2).take(IsoCap).map(_._1)
+      .filter(n => pass1(n)._3 && pass1(n)._1 > IsoTriggerSec)
+      .sortBy(n => -pass1(n)._1).take(IsoCap)
     val iso: Map[String, (Double, Long, Boolean)] = isoCandidates.flatMap { n =>
       if (budgetLeft) {
         System.gc(); Thread.sleep(300)
@@ -183,6 +174,16 @@ object Bench {
       } else None
     }.toMap
     System.err.println(f"[bench] iso done at ${elapsedSec}%.0f s (${iso.size} of ${isoCandidates.size} candidates run)")
+
+    // Second timed sample for everything else, most-expensive first:
+    // when the budget sheds the tail it sheds sub-second queries,
+    // where host noise dwarfs what a re-run could correct.
+    val pass2 = names
+      .filter(n => pass1(n)._3 && !iso.contains(n))
+      .sortBy(n => -pass1(n)._1)
+      .flatMap(n => if (budgetLeft) Some(n -> runOnce(n)) else None)
+      .toMap
+    System.err.println(f"[bench] pass 2 done at ${elapsedSec}%.0f s (${pass2.size} of ${names.size - iso.size} queries re-timed)")
 
     val results = currentResults(pass2, iso)
     val failed = results.collect { case (n, (_, false)) => n }
