@@ -364,20 +364,26 @@ object LinkQueries {
   }
 
   /** Per-node triangle counts shared by q_x_triangles and
-    * q_x_clustering_coef (the lpaAssign pattern): clusteringCoef
-    * grades the SAME wedge recount triangleCounts already ran — the
-    * O(m^1.5) closing join is the bench's second most expensive
-    * prefix. Deterministic, so sharing cannot move a hash; the memo
-    * holds one (node, n_tri) frame per fixture dir. */
+    * q_x_clustering_coef (the lpaAssign owner/consumer pattern):
+    * clusteringCoef grades the SAME wedge recount triangleCounts
+    * already ran — the O(m^1.5) closing join is the bench's second
+    * most expensive prefix. q_x_triangles (owner) always recomputes
+    * and refreshes the memo; q_x_clustering_coef (consumer) reuses
+    * when present — the chain is counted once per pair and never
+    * vanishes from both headlines. Deterministic, hash-stable. */
   private val triShared =
     new scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+  private def triCountsFresh(s: SparkSession, d: String): DataFrame = {
+    val t = graft.ext.Graph.triangleCounts(coPurchasePairs(s, d), "a", "b")
+      .localCheckpoint()
+    triShared.put((s, d), t)
+    t
+  }
   private def triCounts(s: SparkSession, d: String): DataFrame =
-    triShared.getOrElseUpdate((s, d),
-      graft.ext.Graph.triangleCounts(coPurchasePairs(s, d), "a", "b")
-        .localCheckpoint())
+    triShared.getOrElse((s, d), triCountsFresh(s, d))
 
   private val trianglesQ: QFn = (s, d) =>
-    triCounts(s, d)
+    triCountsFresh(s, d)
       .select(col("node").cast("long").as("part"), col("n_tri"))
 
   private val trianglesSql =
@@ -727,20 +733,28 @@ object LinkQueries {
     * the bench (the full iteration chain costs ~6 s at sf0.1), and BOTH
     * q_x_lpa and q_x_modularity need it — q_x_modularity grades the
     * very partition q_x_lpa emits. Memoize the assignment per
-    * (session, fixture dir) behind a localCheckpoint: the first query
-    * to run pays the chain once, the other reuses the ~|V|-row
-    * checkpointed result. LPA is deterministic, so sharing cannot move
-    * a hash; the cache holds only bounded per-node label frames.
+    * (session, fixture dir) behind a localCheckpoint with OWNER /
+    * CONSUMER roles: q_x_lpa (the owner) always recomputes the chain
+    * and refreshes the memo — its benched time is always the real
+    * chain cost — while q_x_modularity (the consumer) reuses the
+    * ~|V|-row checkpointed result when present, so the pair's combined
+    * cost counts the chain exactly ONCE and each query's headline is
+    * at least its own serving cost. LPA is deterministic, so sharing
+    * cannot move a hash.
     */
   private val lpaShared =
     new scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+  private def lpaAssignFresh(s: SparkSession, d: String): DataFrame = {
+    val a = graft.ext.Graph.labelPropagation(coPurchaseEdges(s, d),
+      "a", "b", lpaRounds).localCheckpoint()
+    lpaShared.put((s, d), a)
+    a
+  }
   private def lpaAssign(s: SparkSession, d: String): DataFrame =
-    lpaShared.getOrElseUpdate((s, d),
-      graft.ext.Graph.labelPropagation(coPurchaseEdges(s, d), "a", "b",
-        lpaRounds).localCheckpoint())
+    lpaShared.getOrElse((s, d), lpaAssignFresh(s, d))
 
   private val lpaQ: QFn = (s, d) =>
-    lpaAssign(s, d)
+    lpaAssignFresh(s, d)
       .select(col("node").cast("long").as("node"), col("community"))
 
   private val lpaSql = {
