@@ -168,6 +168,55 @@ object Behavior {
       .select("from_type", "to_type", "n", "frac")
   }
 
+  /** Frequent CONSECUTIVE length-3 event-type sequences with user-level
+    * support — the order-3 extension of [[transitions]] (GSP/PrefixSpan
+    * restricted to gap-0 trigrams, the shape that stays one window +
+    * one hash aggregate; Srikant & Agrawal, EDBT 1996). "view -> cart
+    * -> purchase happens for 4% of users" is a journey fact no
+    * first-order matrix can express.
+    *
+    * Shape: two lead()s over the per-user (ts, tieBreak) window
+    * (bounded by per-user history, never global), then a TWO-LEVEL
+    * aggregate — (user, trigram) first, so user support is a plain
+    * count — and a broadcast of the single distinct-user total row.
+    * O(events) window work, O(distinct trigrams) output; nothing
+    * quadratic anywhere.
+    *
+    * Determinism: counts are exact BIGINTs; support is one sig9'd
+    * integer division.
+    *
+    * @return one row per trigram with >= minUsers supporting users:
+    *         (t1, t2, t3, n_users, n_occur, support) where support =
+    *         n_users / total distinct users in the log */
+  def seqPatterns(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, minUsers: Long,
+      tieBreak: Seq[String] = Nil): DataFrame = {
+    import graft.queries.Q
+    require(minUsers >= 1, s"seqPatterns: minUsers must be >= 1, got $minUsers")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol))
+      .orderBy((col(tsCol) +: tieBreak.map(col)).map(_.asc): _*)
+    val tri = events
+      .withColumn("__t2", lead(col(typeCol), 1).over(w))
+      .withColumn("__t3", lead(col(typeCol), 2).over(w))
+      .where(col("__t2").isNotNull && col("__t3").isNotNull)
+    val perUser = tri
+      .groupBy(col(userCol).as("__u"), col(typeCol).as("t1"),
+        col("__t2").as("t2"), col("__t3").as("t3"))
+      .agg(count(lit(1)).as("__c"))
+    val pat = perUser.groupBy(col("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).cast("long").as("n_users"),
+        sum(col("__c")).cast("long").as("n_occur"))
+      .where(col("n_users") >= minUsers)
+    val uTot = events.agg(
+      count_distinct(col(userCol)).cast("long").as("__ut"))
+    pat.crossJoin(broadcast(uTot))
+      .select(col("t1"), col("t2"), col("t3"), col("n_users"),
+        col("n_occur"),
+        Q.sig9(col("n_users").cast("double") / col("__ut").cast("double"))
+          .as("support"))
+  }
+
   /** Exponentially time-decayed per-user feature: sum over events of
     * value * exp(-ln2/halfLife * age_at(`at`)) — the standard recency
     * weighting for engagement/feature-store scoring. Age is computed on
@@ -403,6 +452,113 @@ object Behavior {
       .agg(Q.dsumStable(col("c"), 13).as("rmst"))
       .select(lit(tau).cast(LongType).as("tau_days"), col("n_steps"),
         col("rmst"))
+  }
+
+  /** Grouped-time Cox proportional-hazards regression on one BINNED
+    * covariate (Cox, JRSS-B 1972; Breslow ties) — the effect-size
+    * member of the survival family: KM/Nelson–Aalen DESCRIBE the
+    * curve, the log-rank TESTS two arms, Cox quantifies "one unit
+    * more x multiplies the conversion hazard by e^beta", with
+    * censoring handled correctly.
+    *
+    * Time is the integer duration grid (grouped-time Breslow, exactly
+    * the KM grid) and the covariate is discretized to `xBins`
+    * equi-width midpoints — so the partial-likelihood state collapses
+    * to the BOUNDED (duration, x-bin) cell table and Newton–Raphson
+    * runs entirely there: per iteration, risk-set sums S0/S1/S2(t) =
+    * Σ_{t' >= t, b} n_{t',b} · x_b^k · e^{beta·x_b} come from one
+    * range join of the bounded event-time frame against the bounded
+    * cell frame, then U(beta) = Σ_t [Sx_t − D_t·S1/S0] and
+    * I(beta) = Σ_t D_t·[S2/S0 − (S1/S0)²] are bounded folds, and
+    * beta' = beta + U/I. A 100 TB log is scanned ONCE (the subject
+    * collapse + cell aggregation); `iters` Newton steps cost zero
+    * further passes.
+    *
+    * Determinism: cell counts exact BIGINTs; x midpoints sig9'd; each
+    * e^{beta·x_b} sig9'd (the libm-step contract); every sum rides
+    * [[graft.queries.Q.dsumStable]]; each ratio/update sig9'd — the
+    * full Newton trajectory is bit-identical on both engines and
+    * emitted row by row for adjudication.
+    *
+    * @param units one row per subject: duration, event indicator
+    *              (1 = event, 0 = censored), covariate
+    * @return one row per Newton iteration: (iter, beta, score, info)
+    *         — beta AFTER the step; score/info evaluated at the
+    *         pre-step beta */
+  def coxPh(units: DataFrame, durCol: String, eventCol: String,
+      xCol: String, xBins: Int = 8, iters: Int = 3): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    import graft.queries.Q
+    require(xBins >= 1 && xBins <= 64,
+      s"coxPh: xBins must be in [1, 64], got $xBins")
+    require(iters >= 1 && iters <= 8,
+      s"coxPh: iters must be in [1, 8], got $iters")
+    val spark = units.sparkSession
+    val u = units.select(col(durCol).cast(LongType).as("__t"),
+        col(eventCol).cast(LongType).as("__e"),
+        col(xCol).cast(DoubleType).as("__x"))
+      .where(col("__t").isNotNull && col("__e").isNotNull &&
+        col("__x").isNotNull)
+    val mm = u.agg(min(col("__x")).as("__lo"), max(col("__x")).as("__hi"))
+    val xb = when(col("__hi") === col("__lo"), lit(0L))
+      .otherwise(least(lit((xBins - 1).toLong), greatest(lit(0L),
+        floor((col("__x") - col("__lo")) /
+          ((col("__hi") - col("__lo")) / xBins)).cast(LongType))))
+    val xv = when(col("__hi") === col("__lo"), Q.sig9(col("__lo")))
+      .otherwise(Q.sig9(col("__lo") +
+        (col("__xb").cast(DoubleType) + lit(0.5)) *
+          ((col("__hi") - col("__lo")) / xBins)))
+    val cells = u.crossJoin(broadcast(mm))
+      .select(col("__t"), col("__e"), xb.as("__xb"), col("__lo"),
+        col("__hi"))
+      .groupBy(col("__t"), col("__xb"), col("__lo"), col("__hi"))
+      .agg(sum(col("__e")).cast(LongType).as("__d"),
+        sum(lit(1L) - col("__e")).cast(LongType).as("__c"))
+      .withColumn("__xv", xv)
+      .select(col("__t"), col("__xb"), col("__xv"),
+        col("__d"), col("__c"), (col("__d") + col("__c")).as("__cnt"))
+      .localCheckpoint() // bounded (durations x xBins); read every iter
+    val et = cells.groupBy(col("__t"))
+      .agg(sum(col("__d")).cast(LongType).as("__dd"),
+        Q.dsumStable(col("__d").cast(DoubleType) * col("__xv"), 6)
+          .as("__sx"))
+      .where(col("__dd") > 0L)
+      .localCheckpoint()
+    var fit = spark.range(1).select(lit(0.0).as("beta"))
+    val rows = (1 to iters).map { k =>
+      val ew = cells.crossJoin(broadcast(fit))
+        .withColumn("__ew", Q.sig9(exp(col("beta") * col("__xv"))))
+      val rs = et.select(col("__t"), col("__dd"), col("__sx"))
+        .join(ew.select(col("__t").as("__t2"), col("__cnt"),
+          col("__xv"), col("__ew")), col("__t2") >= col("__t"))
+        .groupBy(col("__t"), col("__dd"), col("__sx"))
+        .agg(
+          Q.dsumStable(col("__cnt").cast(DoubleType) * col("__ew"), 6)
+            .as("__s0"),
+          Q.dsumStable(col("__cnt").cast(DoubleType) * col("__xv") *
+            col("__ew"), 6).as("__s1"),
+          Q.dsumStable(col("__cnt").cast(DoubleType) * col("__xv") *
+            col("__xv") * col("__ew"), 6).as("__s2"))
+      val r1 = Q.sig9(col("__s1") / col("__s0"))
+      val ui = rs
+        .withColumn("__ut", col("__sx") -
+          col("__dd").cast(DoubleType) * r1)
+        .withColumn("__it", col("__dd").cast(DoubleType) *
+          Q.sig9(Q.sig9(col("__s2") / col("__s0")) - r1 * r1))
+        .agg(Q.dsumStable(col("__ut"), 6).as("score"),
+          Q.dsumStable(col("__it"), 6).as("info"))
+      // fit stays beta-only across iterations (no score/info collision)
+      val stepped = ui.crossJoin(broadcast(fit))
+        .select(when(col("info") =!= 0.0,
+          Q.sig9(col("beta") + Q.sig9(col("score") / col("info"))))
+          .otherwise(col("beta")).as("beta"),
+          col("score"), col("info"))
+        .localCheckpoint() // one row; cuts the iteration lineage
+      fit = stepped.select(col("beta"))
+      stepped.select(lit(k.toLong).as("iter"), col("beta"), col("score"),
+        col("info"))
+    }
+    rows.reduce(_ unionByName _)
   }
 
   /** Nelson–Aalen cumulative hazard — the additive sibling of

@@ -230,4 +230,77 @@ object Causal {
         col("delta"), col("log_lambda"), col("crossed"),
         col("first_cross_day"))
   }
+
+  /** Offline (counterfactual) policy evaluation from logged bandit
+    * feedback: IPS, capped IPS and SNIPS estimates of a target
+    * policy's value, with the logging propensities taken EMPIRICALLY
+    * from the log itself and the target policy the deterministic
+    * greedy rule "play the action with the best logged mean reward in
+    * this context" (ties to the smaller action label). Horvitz &
+    * Thompson (1952) for IPS; Swaminathan & Joachims (JMLR 2015) for
+    * the self-normalized (SNIPS) correction; Ionides (2008) for
+    * weight capping.
+    *
+    * The whole computation collapses onto the bounded (context,
+    * action) cell table after ONE corpus aggregation: a cell's rows
+    * share the same weight w = 1{a = pi(x)} * n_x / n_xa, so
+    * sum_i w_i r_i = w * sum_cell(r) and sum_i w_i = n_x per matched
+    * cell — the estimators are closed forms over |contexts|*|actions|
+    * rows. At 100 TB the log is scanned once; everything after is
+    * driver-free bounded math.
+    *
+    * Determinism: cell reward sums accumulate in exact decimal and
+    * emerge sig9'd; weights are exact integer ratios; the final
+    * cell-level sums ride [[Q.dsumStable]].
+    *
+    * @return one row: n, n_contexts, matched_rows (log rows whose
+    *         action agrees with pi), ips, ips_capped, snips */
+  def ipsPolicyEval(log: DataFrame, contextCol: String, actionCol: String,
+      rewardCol: String, cap: Double): DataFrame = {
+    require(cap > 0, s"ipsPolicyEval: cap must be positive, got $cap")
+    val cells = log
+      .where(col(contextCol).isNotNull && col(actionCol).isNotNull &&
+        col(rewardCol).isNotNull)
+      .groupBy(col(contextCol).as("__x"), col(actionCol).as("__a"))
+      .agg(count(lit(1)).as("__na"),
+        Q.dsum(col(rewardCol).cast("double")).as("__rs"))
+      .withColumn("__mean",
+        Q.sig9(col("__rs") / col("__na").cast("double")))
+    val perCtx = cells.groupBy(col("__x"))
+      .agg(sum(col("__na")).cast("long").as("__nx"),
+        max(col("__mean")).as("__mbest"))
+    // deterministic greedy target: argmax mean, ties to min action
+    val pi = cells.join(perCtx, "__x")
+      .where(col("__mean") === col("__mbest"))
+      .groupBy(col("__x")).agg(min(col("__a")).as("__abest"))
+    val matched = cells.join(perCtx, "__x").join(pi, "__x")
+      .where(col("__a") === col("__abest"))
+      .select(col("__x"), col("__na"), col("__rs"), col("__nx"),
+        (col("__nx").cast("double") / col("__na").cast("double"))
+          .as("__w"),
+        least(col("__nx").cast("double") / col("__na").cast("double"),
+          lit(cap)).as("__wc"))
+    val tot = log
+      .where(col(contextCol).isNotNull && col(actionCol).isNotNull &&
+        col(rewardCol).isNotNull)
+      .agg(count(lit(1)).cast("long").as("n"),
+        count_distinct(col(contextCol)).cast("long").as("n_contexts"))
+    // with EMPIRICAL propensities and a deterministic policy the plain
+    // self-normalizer is exact (sum w = sum_x n_x = n), so SNIPS is
+    // only informative over the CAPPED weights — the usual pairing
+    val sums = matched.agg(
+      coalesce(sum(col("__na")), lit(0L)).cast("long").as("matched_rows"),
+      coalesce(Q.dsumStable(col("__w") * col("__rs"), 6), lit(0.0))
+        .as("__swr"),
+      coalesce(Q.dsumStable(col("__wc") * col("__rs"), 6), lit(0.0))
+        .as("__swcr"),
+      coalesce(Q.dsumStable(col("__wc") * col("__na").cast("double"), 6),
+        lit(0.0)).as("__swc"))
+    tot.crossJoin(sums).select(col("n"), col("n_contexts"),
+      col("matched_rows"),
+      Q.sig9(col("__swr") / col("n").cast("double")).as("ips"),
+      Q.sig9(col("__swcr") / col("n").cast("double")).as("ips_capped"),
+      when(col("__swc") === 0.0, lit(0.0))
+        .otherwise(Q.sig9(col("__swcr") / col("__swc"))).as("snips"))
+  }
 }

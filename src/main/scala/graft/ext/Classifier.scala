@@ -900,4 +900,135 @@ object Classifier {
       .select(col("a"), col("b"), col("a_ols"), col("b_ols"), col("n"),
         lit(delta).as("delta"), lit(iters.toLong).as("iters"))
   }
+
+  /** AdaBoost over binned decision stumps (Freund & Schapire, JCSS
+    * 1997), with the ENTIRE boosting loop running on the bounded
+    * bin-cell table: a round's weight update is a function only of a
+    * row's (bin vector, label) cell, so after ONE corpus scan
+    * collapses the data to <= bins^F * 2 cells, every round — weighted
+    * stump search, weight update, ensemble train error — is bounded
+    * math on that frame. T rounds of boosting at 100 TB cost exactly
+    * one pass; nothing per-round touches the corpus.
+    *
+    * Determinism (cross-engine trajectory contract): weighted errors
+    * accumulate per-cell products in exact decimal and emerge as one
+    * sig9'd division; the weight multiplier uses the sqrt identity
+    * exp(+-alpha) = rho^{+-1}, rho = sqrt((1-err)/err) — sqrt,
+    * multiply and divide are all correctly-rounded IEEE, so the whole
+    * weight/margin chain is bit-identical without any libm term; the
+    * ensemble's sign test compares the margin PRODUCT against 1
+    * (equivalent to sign(sum alpha_t h_t) but exp-free; exact-1 ties
+    * predict 0 on both engines). alpha itself is reported via one
+    * sig9'd ln. err is clamped to [1e-9, 1 - 1e-9] before the rho so
+    * a perfect stump cannot produce an infinite weight.
+    *
+    * Candidate argmin is deterministic: minimal sig9'd error, ties to
+    * the lexicographically smallest "feature|split|polarity" key.
+    * Polarity "gt" predicts 1 when bin > split, "le" when bin <= split.
+    *
+    * @return one row per round: (round, feature, split_bin, polarity,
+    *         err, alpha, ens_err) — ens_err is the ensemble's train
+    *         error AFTER that round (the full trajectory, adjudicable
+    *         term by term) */
+  def adaboostStumps(df: DataFrame, features: Seq[String],
+      labelCol: String, rounds: Int, bins: Int = 8): DataFrame = {
+    require(features.nonEmpty, "adaboostStumps: need at least one feature")
+    require(rounds >= 1 && rounds <= 8,
+      s"rounds must be in [1, 8], got $rounds")
+    require(bins >= 2 && bins <= 64, s"bins must be in [2, 64], got $bins")
+    val spark = df.sparkSession
+    val y = col(labelCol).cast("long")
+    val base = df.where(y.isNotNull &&
+      features.map(f => col(f).cast("double").isNotNull).reduce(_ && _))
+    val mm = base.agg(
+      features.flatMap(f => Seq(
+        min(col(f).cast("double")).as(s"__lo_$f"),
+        max(col(f).cast("double")).as(s"__hi_$f"))).head,
+      features.flatMap(f => Seq(
+        min(col(f).cast("double")).as(s"__lo_$f"),
+        max(col(f).cast("double")).as(s"__hi_$f"))).tail: _*)
+    def binOf(f: String) = {
+      val x = col(f).cast("double")
+      val lo = col(s"__lo_$f"); val hi = col(s"__hi_$f")
+      when(hi === lo, lit(0L))
+        .otherwise(least(lit((bins - 1).toLong),
+          greatest(lit(0L),
+            floor((x - lo) / ((hi - lo) / bins)).cast("long"))))
+    }
+    // ONE corpus scan -> the bounded cell table the loop runs on
+    var cells = base.crossJoin(broadcast(mm))
+      .select(features.map(f => binOf(f).as(s"__b_$f")) :+ y.as("__y"): _*)
+      .groupBy(features.map(f => col(s"__b_$f")) :+ col("__y"): _*)
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__w", lit(1.0))
+      .withColumn("__m", lit(1.0))
+      .localCheckpoint()
+    val splits = spark.range(1).select(
+        explode(array(features.map(lit(_)): _*)).as("__feature"))
+      .select(col("__feature"),
+        explode(sequence(lit(0L), lit((bins - 2).toLong))).as("__s"))
+      .select(col("__feature"), col("__s"),
+        explode(array(lit("gt"), lit("le"))).as("__pol"))
+    def binFor(feature: Column) = features.map(f =>
+      when(feature === f, col(s"__b_$f"))).reduce(coalesce(_, _))
+    def hOf(feature: Column, s: Column, pol: Column) =
+      when(pol === "gt", (binFor(feature) > s).cast("long"))
+        .otherwise((binFor(feature) <= s).cast("long"))
+    val out = (1 to rounds).map { t =>
+      val wtot = cells.agg(
+        Q.dsumStable(col("__w") * col("__n").cast("double"), 6).as("__wt"))
+      val cand = cells.crossJoin(broadcast(splits))
+        .withColumn("__h", hOf(col("__feature"), col("__s"), col("__pol")))
+        .groupBy(col("__feature"), col("__s"), col("__pol"))
+        .agg(Q.dsumStable(when(col("__h") =!= col("__y"),
+          col("__w") * col("__n").cast("double")).otherwise(lit(0.0)), 6)
+          .as("__we"))
+        .crossJoin(broadcast(wtot))
+        .withColumn("__err", Q.sig9(col("__we") / col("__wt")))
+        .withColumn("__k", concat(col("__feature"), lit("|"),
+          lpad(col("__s").cast("string"), 2, "0"), lit("|"), col("__pol")))
+      val minErr = cand.agg(min(col("__err")).as("__me"))
+      val bestKey = cand.crossJoin(broadcast(minErr))
+        .where(col("__err") === col("__me"))
+        .agg(min(col("__k")).as("__bk"))
+      val errc = least(greatest(col("__err"), lit(1e-9)),
+        lit(1.0) - lit(1e-9))
+      val best = cand.crossJoin(broadcast(bestKey))
+        .where(col("__k") === col("__bk"))
+        .select(col("__feature").as("__bf"), col("__s").as("__bs"),
+          col("__pol").as("__bp"), col("__err").as("__berr"),
+          sqrt((lit(1.0) - errc) / errc).as("__rho"),
+          Q.sig9(lit(0.5) * log((lit(1.0) - errc) / errc)).as("__alpha"))
+      val updated = cells.crossJoin(broadcast(best))
+        .withColumn("__h", hOf(col("__bf"), col("__bs"), col("__bp")))
+        .withColumn("__w", when(col("__h") === col("__y"),
+          col("__w") / col("__rho")).otherwise(col("__w") * col("__rho")))
+        .withColumn("__m", when(col("__h") === 1L,
+          col("__m") * col("__rho")).otherwise(col("__m") / col("__rho")))
+        .drop("__bf", "__bs", "__bp", "__berr", "__rho", "__alpha", "__h")
+      // Z-normalize (the standard AdaBoost step): unnormalized weights
+      // shrink geometrically and would round to zero inside the
+      // fixed-scale decimal sums within a few rounds
+      val z = updated.agg(
+        Q.dsum(col("__w") * col("__n").cast("double")).as("__z"))
+      // checkpoint the bounded frame: every downstream consumer (the
+      // next round's candidate grid, z, ens) re-reads ~bins^F rows
+      // instead of re-deriving the whole prior-round DAG — the corpus
+      // is scanned exactly once, at cells0
+      cells = updated.crossJoin(broadcast(z))
+        .withColumn("__w", col("__w") / col("__z"))
+        .drop("__z")
+        .localCheckpoint()
+      val ens = cells.agg(Q.sig9(
+        sum(when((col("__m") > 1.0).cast("long") =!= col("__y"),
+          col("__n")).otherwise(lit(0L))).cast("double") /
+          sum(col("__n")).cast("double")).as("ens_err"))
+      best.crossJoin(broadcast(ens))
+        .select(lit(t.toLong).as("round"), col("__bf").as("feature"),
+          col("__bs").as("split_bin"), col("__bp").as("polarity"),
+          col("__berr").as("err"), col("__alpha").as("alpha"),
+          col("ens_err"))
+    }
+    out.reduce(_ unionByName _)
+  }
 }

@@ -164,6 +164,78 @@ object Govern {
         Q.sig9(col("n_true").cast("double") + noise).as("n_released"): _*)
   }
 
+  /** t-closeness audit over one declared quasi-identifier set and an
+    * ORDERED sensitive attribute (Li, Li & Venkatasubramanian, ICDE
+    * 2007): per equivalence class, the Earth Mover's Distance between
+    * the class's sensitive-value distribution and the table-wide one,
+    * with unit ground distance between adjacent values of the sorted
+    * domain and the standard (m-1) normalization — so t_emd is in
+    * [0, 1] and a class passes iff t_emd <= t. k-anonymity bounds who
+    * you might be; t-closeness bounds what the class LEAKS about the
+    * sensitive attribute even when the class is large.
+    *
+    * For the ordered-domain EMD the optimal transport telescopes:
+    * EMD = sum_j |sum_{i<=j} (q_i - p_i)| / (m - 1) over the sorted
+    * domain — no assignment problem, one cumulative pass.
+    *
+    * Shape: one groupBy(QI, value) cell aggregation, one groupBy(QI)
+    * roll-up, and a broadcast of the BOUNDED sorted domain (global
+    * per-value counts, |domain| rows); the cumulative fold runs inside
+    * a per-class array over that bounded domain. O(classes * m) total
+    * work after the cell aggregation — no window over anything
+    * unbounded, no per-class rescan.
+    *
+    * Determinism: q_i - p_i is a difference of exact integer ratios
+    * (bit-identical IEEE divisions on both engines), the cumulative
+    * and absolute sums accumulate in DECIMAL (exact, order-free), and
+    * the single final division is sig9'd.
+    *
+    * @return one row per equivalence class: QI columns, n_rows,
+    *         t_emd, t_close (t_emd <= t) */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, t: Double): DataFrame = {
+    require(quasiCols.nonEmpty, "tCloseness: need at least one QI column")
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    import graft.queries.Q
+    val decAcc = DecimalType(25, 15)
+    val qi = quasiCols.map(col)
+    val base = df.where(col(sensitiveCol).isNotNull)
+      .select(qi :+ col(sensitiveCol).cast("long").as("__sv"): _*)
+    // bounded sorted domain with global counts, packed into ONE row
+    val dom = base.groupBy(col("__sv")).agg(count(lit(1)).as("__gc"))
+      .agg(array_sort(collect_list(struct(col("__sv"), col("__gc"))))
+        .as("__dom"), sum(col("__gc")).cast("long").as("__nt"))
+    val cells = base.groupBy(qi :+ col("__sv"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val classes = cells.groupBy(qi: _*)
+      .agg(sum(col("__c")).cast("long").as("n_rows"),
+        map_from_entries(collect_list(struct(col("__sv"), col("__c"))))
+          .as("__cm"))
+    // cumulative |sum (q - p)| over the broadcast domain, in decimal
+    val diffs = transform(col("__dom"), e =>
+      (coalesce(element_at(col("__cm"), e.getField("__sv")), lit(0L))
+        .cast(DoubleType) / col("n_rows").cast(DoubleType) -
+        e.getField("__gc").cast(DoubleType) / col("__nt").cast(DoubleType))
+        .cast(decAcc))
+    val folded = aggregate(diffs,
+      struct(lit(0L).cast(decAcc).as("cum"), lit(0L).cast(decAcc).as("tot")),
+      (acc, d) => {
+        val cum = (acc.getField("cum") + d).cast(decAcc)
+        struct(cum.as("cum"),
+          (acc.getField("tot") + abs(cum)).cast(decAcc).as("tot"))
+      },
+      acc => acc.getField("tot"))
+    // decimal-out at scale 13 (|tot| < 100 keeps <= 15 sig digits) so
+    // the DECIMAL -> DOUBLE cast is exact on both engines before the
+    // single division + sig9
+    classes.crossJoin(broadcast(dom))
+      .select(qi :+ col("n_rows") :+
+        when(size(col("__dom")) <= 1, lit(0.0))
+          .otherwise(Q.sig9(Q.decOut(folded, 13) /
+            (size(col("__dom")) - 1).cast(DoubleType))).as("t_emd"): _*)
+      .withColumn("t_close", col("t_emd") <= t)
+  }
+
   /** Candidate-key uniqueness audit: does `cols` identify rows?
     *
     * Output: one row — total rows, distinct key combinations,

@@ -1067,4 +1067,104 @@ object TimeSeries {
           element_at(col("__st"), (col("h") + 2).cast("int")))
           .as("forecast"): _*)
   }
+
+  /** AR(2) fit by Yule–Walker plus an h-step forecast, per key — the
+    * memory-based forecaster completing the smoothing family
+    * ([[doubleEwma]] trend-extrapolates, [[holtWinters]] adds
+    * seasonality; AR(2) instead forecasts FROM the measured
+    * autocorrelation structure). Yule & Walker's moment equations at
+    * order 2 solve in closed form from the lag-1/lag-2
+    * autocorrelations: phi1 = r1(1 - r2)/(1 - r1²),
+    * phi2 = (r2 - r1²)/(1 - r1²); forecasts recurse around the series
+    * mean, x̂(+h) = mu + phi1(x̂(+h-1) - mu) + phi2(x̂(+h-2) - mu),
+    * seeded by the last two observations (Box & Jenkins 1970, ch. 3).
+    *
+    * Exactness: r1/r2 ride [[autocorr]]'s exact-integer expansion
+    * (every sum a DECIMAL(38,0) over the integer-valued series; one
+    * sig9'd division per lag), mu is one exact-integer division
+    * sig9'd, each phi is fixed IEEE over sig9'd inputs, and each
+    * forecast step is sig9'd so the h-chain stays granular —
+    * bit-identical on both engines.
+    *
+    * Plan shape: the lag pairing is [[autocorr]]'s equi-join (no
+    * window over anything unbounded; the row_number assignment is a
+    * keyed window over per-key series bounded by the time grid), the
+    * last-two lookup joins idx against the BROADCAST per-key totals.
+    * Requires a unique tsCol per key (a resampled grid), else the
+    * row_number order is ambiguous.
+    *
+    * @return one row per key per horizon h = 1..horizon: (keys..., n,
+    *         r1, r2, phi1, phi2, mu, h, forecast) — NULL fit and
+    *         forecasts when n < 3, a lag has no pairs, the series has
+    *         zero variance, or 1 - r1² = 0 */
+  def ar2Forecast(series: DataFrame, keyCols: Seq[String], tsCol: String,
+      valCol: String, horizon: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.queries.Q
+    require(horizon >= 1 && horizon <= 16,
+      s"horizon must be in [1, 16], got $horizon")
+    val dec = DecimalType(38, 0)
+    val keys = keyCols.map(col)
+    val w = Window.partitionBy(keys: _*).orderBy(col(tsCol).asc)
+    val idx = series
+      .select(keys :+ col(tsCol) :+ col(valCol).cast(LongType).as("__x"): _*)
+      .withColumn("__i", row_number().over(w))
+      .localCheckpoint() // read four times below
+    val tot = idx.groupBy(keys: _*)
+      .agg(count(lit(1)).as("__n"), sum(col("__x")).as("__s"),
+        sum(col("__x").cast(dec) * col("__x").cast(dec)).as("__q"))
+    val left = idx.select(keys :+ col("__i") :+ col("__x").as("__xl") :+
+        explode(sequence(lit(1), lit(2))).as("__lag"): _*)
+      .withColumn("__j", col("__i") + col("__lag"))
+    val right = idx.select(
+      keys :+ col("__i").as("__j") :+ col("__x").as("__xr"): _*)
+    val sums = left.join(right, keyCols :+ "__j")
+      .groupBy(keys :+ col("__lag"): _*)
+      .agg(sum(col("__xl").cast(dec) * col("__xr").cast(dec)).as("__p"),
+        sum(col("__xl")).as("__a"), sum(col("__xr")).as("__b"))
+    val n = col("__n").cast(dec)
+    val s = col("__s").cast(dec)
+    val num = n * n * col("__p") -
+      n * s * (col("__a") + col("__b")).cast(dec) +
+      (col("__n") - col("__lag")).cast(dec) * s * s
+    val den = n * n * col("__q") - n * s * s
+    val rk = sums.join(tot, keyCols)
+      .select(keys :+ col("__lag") :+
+        when(den > 0, Q.sig9(
+          num.cast(DoubleType) / den.cast(DoubleType))).as("__r"): _*)
+    val rPiv = rk.groupBy(keys: _*)
+      .agg(max(when(col("__lag") === 1, col("__r"))).as("r1"),
+        max(when(col("__lag") === 2, col("__r"))).as("r2"))
+    val lastTwo = idx
+      .join(broadcast(tot.select(keys :+ col("__n").as("__nn"): _*)),
+        keyCols)
+      .where(col("__i") >= col("__nn") - 1)
+      .groupBy(keys: _*)
+      .agg(max(when(col("__i") === col("__nn"), col("__x"))).as("__x1"),
+        max(when(col("__i") === col("__nn") - 1, col("__x"))).as("__x2"))
+    val mu = Q.sig9(col("__s").cast(DoubleType) / col("__n").cast(DoubleType))
+    val phiDen = lit(1.0) - col("r1") * col("r1")
+    val fit = rPiv.join(tot, keyCols).join(lastTwo, keyCols)
+      .withColumn("mu", mu)
+      .withColumn("phi1", when(col("__n") >= 3 && phiDen =!= 0.0,
+        Q.sig9(col("r1") * (lit(1.0) - col("r2")) / phiDen)))
+      .withColumn("phi2", when(col("__n") >= 3 && phiDen =!= 0.0,
+        Q.sig9((col("r2") - col("r1") * col("r1")) / phiDen)))
+    // unrolled recursion: each step sig9'd so the chain stays granular
+    var prev1: Column = col("__x1").cast(DoubleType)
+    var prev2: Column = col("__x2").cast(DoubleType)
+    val steps = (1 to horizon).map { h =>
+      val f = Q.sig9(col("mu") + col("phi1") * (prev1 - col("mu")) +
+        col("phi2") * (prev2 - col("mu")))
+      prev2 = prev1
+      prev1 = f
+      struct(lit(h.toLong).as("h"), f.as("forecast"))
+    }
+    fit.select(keys :+ col("__n").as("n") :+ col("r1") :+ col("r2") :+
+        col("phi1") :+ col("phi2") :+ col("mu") :+
+        explode(array(steps: _*)).as("__f"): _*)
+      .select(keys :+ col("n") :+ col("r1") :+ col("r2") :+
+        col("phi1") :+ col("phi2") :+ col("mu") :+
+        col("__f.h").as("h") :+ col("__f.forecast").as("forecast"): _*)
+  }
 }

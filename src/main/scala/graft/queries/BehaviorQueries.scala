@@ -102,6 +102,144 @@ object BehaviorQueries {
       |  CAST(c.n AS DOUBLE) / t.n_out AS frac
       |FROM c JOIN t USING (from_type)""".stripMargin
 
+  /** [[graft.ext.Behavior.coxPh]] on the KM duration grid: grouped-time
+    * Cox PH of time-to-first-purchase on LOG activity
+    * (x = ln(1 + events) — the O(1..8) covariate scale the operator's
+    * exp/decimal contract wants, with real cross-user variance at
+    * every SF), 8 covariate bins, 3 Newton iterations — "e-fold more
+    * logged activity multiplies the conversion hazard by e^beta". One
+    * row per Newton step (beta, score, info), the full trajectory
+    * adjudicated. */
+  private val coxQ: QFn = (s, d) => {
+    val pu = Tables.events(s, d).groupBy(col("user_id"))
+      .agg(min(col("ts")).as("t0"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("tp"),
+        max(col("ts")).as("tl"),
+        count(lit(1)).as("nev"))
+    val units = pu.select(
+      when(col("tp").isNotNull,
+        datediff(to_date(col("tp")), to_date(col("t0"))))
+        .otherwise(datediff(to_date(col("tl")), to_date(col("t0"))))
+        .cast("long").as("dur"),
+      col("tp").isNotNull.cast("long").as("obs"),
+      Q.sig9(log(lit(1.0) + col("nev").cast("double"))).as("x"))
+    graft.ext.Behavior.coxPh(units, "dur", "obs", "x", xBins = 8,
+      iters = 3)
+  }
+
+  private val coxSql = {
+    val iters = 3
+    val perIter = (1 to iters).map { k =>
+      val prev = if (k == 1) "it0" else s"it${k - 1}"
+      s"""ew$k AS (
+         |  SELECT c.t, c.cnt, c.xv,
+         |    ${Q.sqlSig9("exp(b.beta * c.xv)")} AS ew
+         |  FROM cells c CROSS JOIN $prev b),
+         |rs$k AS (
+         |  SELECT et.t, et.dd, et.sx,
+         |    ${Q.sqlDsumStable("CAST(e.cnt AS DOUBLE) * e.ew", 6)} AS s0,
+         |    ${Q.sqlDsumStable("CAST(e.cnt AS DOUBLE) * e.xv * e.ew", 6)}
+         |      AS s1,
+         |    ${Q.sqlDsumStable(
+              "CAST(e.cnt AS DOUBLE) * e.xv * e.xv * e.ew", 6)} AS s2
+         |  FROM et JOIN ew$k e ON e.t >= et.t
+         |  GROUP BY 1, 2, 3),
+         |ui$k AS (
+         |  SELECT ${Q.sqlDsumStable(
+              s"sx - CAST(dd AS DOUBLE) * ${Q.sqlSig9("s1 / s0")}", 6)}
+         |      AS score,
+         |    ${Q.sqlDsumStable(
+              s"CAST(dd AS DOUBLE) * ${Q.sqlSig9(
+                s"${Q.sqlSig9("s2 / s0")} - " +
+                  s"${Q.sqlSig9("s1 / s0")} * ${Q.sqlSig9("s1 / s0")}")}",
+              6)} AS info
+         |  FROM rs$k),
+         |it$k AS MATERIALIZED (
+         |  SELECT CASE WHEN ui$k.info <> 0.0 THEN
+         |      ${Q.sqlSig9(s"$prev.beta + ${Q.sqlSig9(
+                s"ui$k.score / ui$k.info")}")}
+         |    ELSE $prev.beta END AS beta, ui$k.score, ui$k.info
+         |  FROM ui$k CROSS JOIN $prev)""".stripMargin
+    }.mkString(",\n")
+    val rows = (1 to iters).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS iter, beta, score, info
+         |FROM it$k""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH pu AS (
+       |  SELECT user_id, min(ts) AS t0,
+       |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp,
+       |    max(ts) AS tl, CAST(count(*) AS BIGINT) AS nev
+       |  FROM events GROUP BY 1),
+       |un AS (
+       |  SELECT CAST(CASE WHEN tp IS NOT NULL
+       |      THEN date_diff('day', CAST(t0 AS DATE), CAST(tp AS DATE))
+       |      ELSE date_diff('day', CAST(t0 AS DATE), CAST(tl AS DATE))
+       |      END AS BIGINT) AS t,
+       |    CAST(CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+       |      AS e,
+       |    ${Q.sqlSig9("ln(1.0 + CAST(nev AS DOUBLE))")} AS x
+       |  FROM pu),
+       |mm AS (SELECT min(x) AS lo, max(x) AS hi FROM un),
+       |bn AS (
+       |  SELECT t, e,
+       |    CASE WHEN mm.hi = mm.lo THEN 0 ELSE LEAST(7, GREATEST(0,
+       |      CAST(floor((un.x - mm.lo) / ((mm.hi - mm.lo) / 8))
+       |        AS BIGINT))) END AS xb,
+       |    mm.lo AS lo, mm.hi AS hi
+       |  FROM un CROSS JOIN mm),
+       |cells AS MATERIALIZED (
+       |  SELECT t, xb,
+       |    CASE WHEN hi = lo THEN ${Q.sqlSig9("lo")}
+       |      ELSE ${Q.sqlSig9(
+            "lo + (CAST(xb AS DOUBLE) + 0.5) * ((hi - lo) / 8)")} END
+       |      AS xv,
+       |    CAST(sum(e) AS BIGINT) AS d,
+       |    CAST(sum(1 - e) AS BIGINT) AS c,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM bn GROUP BY t, xb, lo, hi),
+       |et AS MATERIALIZED (
+       |  SELECT t, CAST(sum(d) AS BIGINT) AS dd,
+       |    ${Q.sqlDsumStable("CAST(d AS DOUBLE) * xv", 6)} AS sx
+       |  FROM cells GROUP BY 1 HAVING sum(d) > 0),
+       |it0 AS (SELECT CAST(0.0 AS DOUBLE) AS beta),
+       |$perIter
+       |$rows""".stripMargin
+  }
+
+  /** [[graft.ext.Behavior.seqPatterns]] on the event log: frequent
+    * consecutive event-type trigrams with user-level support >= 5
+    * users — the order-3 journey miner beside `q_x_transitions`'s
+    * first-order matrix. */
+  private val seqMinUsers = 5L
+
+  private val seqPatternsQ: QFn = (s, d) =>
+    Behavior.seqPatterns(Tables.events(s, d), "user_id", "ts",
+      "event_type", minUsers = seqMinUsers, tieBreak = Seq("event_id"))
+
+  private val seqPatternsSql =
+    s"""WITH p AS (
+       |  SELECT user_id, event_type AS t1,
+       |    lead(event_type, 1) OVER
+       |      (PARTITION BY user_id ORDER BY ts, event_id) AS t2,
+       |    lead(event_type, 2) OVER
+       |      (PARTITION BY user_id ORDER BY ts, event_id) AS t3
+       |  FROM events),
+       |pu AS (
+       |  SELECT user_id, t1, t2, t3, CAST(count(*) AS BIGINT) AS c
+       |  FROM p WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+       |  GROUP BY 1, 2, 3, 4),
+       |pat AS (
+       |  SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n_users,
+       |    CAST(sum(c) AS BIGINT) AS n_occur
+       |  FROM pu GROUP BY 1, 2, 3
+       |  HAVING count(*) >= $seqMinUsers),
+       |ut AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS u
+       |  FROM events)
+       |SELECT t1, t2, t3, n_users, n_occur,
+       |  ${Q.sqlSig9("CAST(n_users AS DOUBLE) / CAST(u AS DOUBLE)")}
+       |    AS support
+       |FROM pat CROSS JOIN ut""".stripMargin
+
   // ===== exponentially time-decayed engagement ========================
 
   private val decayHalfLifeSec = 604800.0 // 7 days
@@ -1133,6 +1271,8 @@ object BehaviorQueries {
     "q_x_funnel" -> funnel,
     "q_x_retention" -> retentionQ,
     "q_x_transitions" -> transitionsQ,
+    "q_x_seq3" -> seqPatternsQ,
+    "q_x_coxph" -> coxQ,
     "q_x_decay" -> decayQ)
 
   val oracles: Map[String, String] = Map(
@@ -1156,5 +1296,7 @@ object BehaviorQueries {
     "q_x_funnel" -> funnelSql,
     "q_x_retention" -> retentionSql,
     "q_x_transitions" -> transitionsSql,
+    "q_x_seq3" -> seqPatternsSql,
+    "q_x_coxph" -> coxSql,
     "q_x_decay" -> decaySql)
 }

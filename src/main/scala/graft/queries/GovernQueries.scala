@@ -43,6 +43,61 @@ object GovernQueries {
       |  count(*) >= 3 AS l_diverse
       |FROM ps GROUP BY 1, 2""".stripMargin
 
+  // ===== t-closeness ===================================================
+
+  /** t-closeness over the SAME quasi-identifier set and sensitive
+    * banding as `q_x_kanon`, so the two audits read side by side: a
+    * class can be k-anonymous yet leak the balance distribution — the
+    * attack t-closeness bounds. Ordered-domain EMD (telescoped optimal
+    * transport), t = 0.2. One row per equivalence class. */
+  private val tclsT = 0.2
+
+  private val tclosenessQ: QFn = (s, d) =>
+    Govern.tCloseness(
+      Tables.customer(s, d)
+        .withColumn("bal_band", floor(col("c_acctbal") / 1000).cast("long")),
+      Seq("c_nationkey", "c_mktsegment"), "bal_band", t = tclsT)
+
+  private val tclosenessSql = {
+    val tEmd = Q.sqlSig9(
+      s"${Q.sqlDecOut("tot", 13)} / CAST(m - 1 AS DOUBLE)")
+    s"""WITH b AS (
+       |  SELECT c_nationkey, c_mktsegment,
+       |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS sv
+       |  FROM customer WHERE c_acctbal IS NOT NULL),
+       |dom AS (SELECT sv, CAST(count(*) AS BIGINT) AS gc
+       |  FROM b GROUP BY 1),
+       |mt AS (SELECT CAST(count(*) AS BIGINT) AS m,
+       |  CAST(sum(gc) AS BIGINT) AS nt FROM dom),
+       |grp AS (SELECT c_nationkey, c_mktsegment,
+       |  CAST(count(*) AS BIGINT) AS n_rows FROM b GROUP BY 1, 2),
+       |cell AS (SELECT c_nationkey, c_mktsegment, sv,
+       |  CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2, 3),
+       |grid AS (
+       |  SELECT g.c_nationkey, g.c_mktsegment, g.n_rows, d.sv,
+       |    CAST(CAST(COALESCE(cl.c, 0) AS DOUBLE) /
+       |        CAST(g.n_rows AS DOUBLE) -
+       |      CAST(d.gc AS DOUBLE) / CAST(mt.nt AS DOUBLE)
+       |      AS DECIMAL(25,15)) AS diff
+       |  FROM grp g CROSS JOIN dom d CROSS JOIN mt
+       |  LEFT JOIN cell cl ON cl.c_nationkey = g.c_nationkey
+       |    AND cl.c_mktsegment = g.c_mktsegment AND cl.sv = d.sv),
+       |cum AS (
+       |  SELECT c_nationkey, c_mktsegment, n_rows,
+       |    CAST(SUM(diff) OVER (PARTITION BY c_nationkey, c_mktsegment
+       |      ORDER BY sv) AS DECIMAL(25,15)) AS cd
+       |  FROM grid),
+       |agg AS (
+       |  SELECT c_nationkey, c_mktsegment, n_rows,
+       |    SUM(ABS(cd)) AS tot
+       |  FROM cum GROUP BY 1, 2, 3)
+       |SELECT a.c_nationkey, a.c_mktsegment, a.n_rows,
+       |  CASE WHEN mt.m <= 1 THEN 0.0 ELSE $tEmd END AS t_emd,
+       |  (CASE WHEN mt.m <= 1 THEN 0.0 ELSE $tEmd END) <= $tclsT
+       |    AS t_close
+       |FROM agg a CROSS JOIN mt""".stripMargin
+  }
+
   // ===== declared-constraint battery (FDs + keys) ======================
 
   /** Three declared FDs of very different truth status — the nation
@@ -290,6 +345,7 @@ object GovernQueries {
     .mkString("\nUNION ALL\n")
 
   val queries: Map[String, QFn] = Map(
+    "q_x_tcloseness" -> tclosenessQ,
     "q_x_kanon" -> kanonQ,
     "q_x_fd_audit" -> fdAuditQ,
     "q_x_dp_release" -> dpReleaseQ,
@@ -297,6 +353,7 @@ object GovernQueries {
     "q_x_ri_audit" -> riAuditQ)
 
   val oracles: Map[String, String] = Map(
+    "q_x_tcloseness" -> tclosenessSql,
     "q_x_kanon" -> kanonSql,
     "q_x_fd_audit" -> fdAuditSql,
     "q_x_dp_release" -> dpReleaseSql,

@@ -860,6 +860,122 @@ object LearnQueries {
        |    AS obs_rate, fit.fit
        |FROM binned JOIN fit ON binned.bin = fit.i""".stripMargin
 
+  // ===== AdaBoost over binned stumps ==================================
+
+  /** [[graft.ext.Classifier.adaboostStumps]] on the same three binned
+    * lineitem features as `q_x_stump`, predicting l_returnflag = 'R':
+    * 4 boosting rounds, 8 bins — the whole loop on the bounded
+    * bin-cell table, one corpus scan total. One row per round with the
+    * chosen stump, its weighted error, alpha, and the ensemble's
+    * train error after the round; the oracle unrolls all 4 rounds of
+    * the identical sqrt-identity weight chain. */
+  private val adaRounds = 4
+  private val adaBins = 8
+
+  private val adaboostQ: QFn = (s, d) =>
+    Classifier.adaboostStumps(
+      Tables.lineitem(s, d).select(
+        col("l_quantity").cast("double").as("qty"),
+        col("l_discount").cast("double").as("disc"),
+        col("l_extendedprice").cast("double").as("price"),
+        (col("l_returnflag") === "R").cast("int").as("y")),
+      Seq("disc", "price", "qty"), "y", rounds = adaRounds,
+      bins = adaBins)
+
+  private val adaboostSql = {
+    val b = adaBins
+    // bin expression per feature, mirroring the engine's binOf
+    def binExpr(x: String, lo: String, hi: String) =
+      s"CASE WHEN mm.$hi = mm.$lo THEN 0 ELSE LEAST(${b - 1}, " +
+        s"GREATEST(0, CAST(floor((f.$x - mm.$lo) / " +
+        s"((mm.$hi - mm.$lo) / $b)) AS BIGINT))) END"
+    val binCol = "CASE sp.feature WHEN 'disc' THEN c.bd " +
+      "WHEN 'price' THEN c.bp ELSE c.bq END"
+    val h = s"CASE WHEN sp.pol = 'gt' THEN " +
+      s"(CASE WHEN ($binCol) > sp.s THEN 1 ELSE 0 END) ELSE " +
+      s"(CASE WHEN ($binCol) <= sp.s THEN 1 ELSE 0 END) END"
+    def key(f: String, s: String, p: String) =
+      s"$f || '|' || lpad(CAST($s AS VARCHAR), 2, '0') || '|' || $p"
+    val hb = "CASE WHEN b.pol = 'gt' THEN (CASE WHEN " +
+      "(CASE b.feature WHEN 'disc' THEN c.bd WHEN 'price' THEN c.bp " +
+      "ELSE c.bq END) > b.s THEN 1 ELSE 0 END) ELSE (CASE WHEN " +
+      "(CASE b.feature WHEN 'disc' THEN c.bd WHEN 'price' THEN c.bp " +
+      "ELSE c.bq END) <= b.s THEN 1 ELSE 0 END) END"
+    val roundsSql = (1 to adaRounds).map { t =>
+      val prev = if (t == 1) "cells0" else s"cells${t - 1}"
+      s"""wt$t AS (SELECT
+         |  ${Q.sqlDsumStable("w * CAST(n AS DOUBLE)", 6)} AS wt
+         |  FROM $prev),
+         |cand$t AS MATERIALIZED (
+         |  SELECT sp.feature, CAST(sp.s AS BIGINT) AS s, sp.pol,
+         |    ${Q.sqlSig9(s"COALESCE(${Q.sqlDsumStable(
+              s"CASE WHEN ($h) <> c.y THEN c.w * CAST(c.n AS DOUBLE) " +
+                "ELSE 0.0 END", 6)}, 0.0) / max(wt$t.wt)")} AS err
+         |  FROM $prev c CROSS JOIN splits sp CROSS JOIN wt$t
+         |  GROUP BY 1, 2, 3),
+         |mer$t AS (SELECT min(err) AS me FROM cand$t),
+         |bk$t AS (SELECT min(${key("feature", "s", "pol")}) AS bk
+         |  FROM cand$t, mer$t WHERE err = me),
+         |best$t AS MATERIALIZED (
+         |  SELECT feature, s, pol, err,
+         |    sqrt((1.0 - ec) / ec) AS rho,
+         |    ${Q.sqlSig9("0.5 * ln((1.0 - ec) / ec)")} AS alpha
+         |  FROM (SELECT *, LEAST(GREATEST(err, 1e-9), 1.0 - 1e-9) AS ec
+         |        FROM cand$t) c2, bk$t
+         |  WHERE ${key("c2.feature", "c2.s", "c2.pol")} = bk$t.bk),
+         |cu$t AS (
+         |  SELECT c.bq, c.bd, c.bp, c.y, c.n,
+         |    CASE WHEN ($hb) = c.y THEN c.w / b.rho
+         |      ELSE c.w * b.rho END AS w,
+         |    CASE WHEN ($hb) = 1 THEN c.m * b.rho
+         |      ELSE c.m / b.rho END AS m
+         |  FROM $prev c CROSS JOIN best$t b),
+         |z$t AS (SELECT ${Q.sqlDsum("w * CAST(n AS DOUBLE)")} AS z
+         |  FROM cu$t),
+         |cells$t AS MATERIALIZED (
+         |  SELECT bq, bd, bp, y, n, w / z AS w, m
+         |  FROM cu$t CROSS JOIN z$t),
+         |ens$t AS (SELECT ${Q.sqlSig9(
+              "CAST(sum(CASE WHEN (CASE WHEN m > 1.0 THEN 1 ELSE 0 END) " +
+                "<> y THEN n ELSE 0 END) AS DOUBLE) / " +
+                "CAST(sum(n) AS DOUBLE)")} AS ens_err
+         |  FROM cells$t)""".stripMargin
+    }.mkString(",\n")
+    val rows = (1 to adaRounds).map { t =>
+      s"""SELECT CAST($t AS BIGINT) AS round, feature,
+         |  s AS split_bin, pol AS polarity, err, alpha, ens_err
+         |FROM best$t, ens$t""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH f AS MATERIALIZED (
+       |  SELECT CAST(l_quantity AS DOUBLE) AS xq,
+       |    CAST(l_discount AS DOUBLE) AS xd,
+       |    CAST(l_extendedprice AS DOUBLE) AS xp,
+       |    CAST(l_returnflag = 'R' AS BIGINT) AS y
+       |  FROM lineitem
+       |  WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+       |    AND l_discount IS NOT NULL AND l_extendedprice IS NOT NULL),
+       |mm AS (SELECT min(xq) AS loq, max(xq) AS hiq,
+       |  min(xd) AS lod, max(xd) AS hid,
+       |  min(xp) AS lop, max(xp) AS hip FROM f),
+       |cells0 AS MATERIALIZED (
+       |  SELECT bq, bd, bp, y, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(1.0 AS DOUBLE) AS w, CAST(1.0 AS DOUBLE) AS m
+       |  FROM (SELECT
+       |      ${binExpr("xq", "loq", "hiq")} AS bq,
+       |      ${binExpr("xd", "lod", "hid")} AS bd,
+       |      ${binExpr("xp", "lop", "hip")} AS bp,
+       |      f.y
+       |    FROM f CROSS JOIN mm)
+       |  GROUP BY 1, 2, 3, 4),
+       |splits AS (
+       |  SELECT fe.feature, se.s, pe.pol FROM
+       |    (SELECT unnest(['disc', 'price', 'qty']) AS feature) fe,
+       |    (SELECT unnest(range(0, ${b - 1})) AS s) se,
+       |    (SELECT unnest(['gt', 'le']) AS pol) pe),
+       |$roundsSql
+       |$rows""".stripMargin
+  }
+
   // ===== decision-stump split search ==================================
 
   /** [[graft.ext.Classifier.stumpSplits]]: the exact-Gini candidate
@@ -1168,6 +1284,7 @@ object LearnQueries {
     "q_x_ridge_cv" -> ridgeCvQ,
     "q_x_pr_auc" -> prAucQ,
     "q_x_stump" -> stumpQ,
+    "q_x_adaboost" -> adaboostQ,
     "q_x_huber" -> huberQ,
     "q_x_eb_shrink" -> ebQ,
     "q_x_confusion" -> confusionQ,
@@ -1191,6 +1308,7 @@ object LearnQueries {
     "q_x_ridge_cv" -> ridgeCvSql,
     "q_x_pr_auc" -> prAucSql,
     "q_x_stump" -> stumpSql,
+    "q_x_adaboost" -> adaboostSql,
     "q_x_huber" -> huberSql,
     "q_x_eb_shrink" -> ebSql,
     "q_x_confusion" -> confusionSql,

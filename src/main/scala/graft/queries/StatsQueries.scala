@@ -902,6 +902,65 @@ object StatsQueries {
        |FROM a0, a1""".stripMargin
   }
 
+  // ===== offline policy evaluation (IPS / SNIPS) ======================
+
+  /** [[graft.ext.Causal.ipsPolicyEval]] on the event log read as
+    * logged bandit feedback: context = user_id % 16, action =
+    * event_type, reward = value; empirical logging propensities; the
+    * target policy plays each context's best-logged-mean action. IPS,
+    * weight-capped IPS (cap 4) and capped-SNIPS in one row — the
+    * counterfactual "what would this policy have earned" readout that
+    * gates a ranker rollout without an online test. */
+  private val ipsCap = 4.0
+
+  private val ipsEvalQ: QFn = (s, d) =>
+    graft.ext.Causal.ipsPolicyEval(
+      Tables.events(s, d).select(
+        (col("user_id") % 16).cast("long").as("ctx"),
+        col("event_type").as("act"),
+        col("value").cast("double").as("reward")),
+      "ctx", "act", "reward", cap = ipsCap)
+
+  private val ipsEvalSql =
+    s"""WITH b AS (
+       |  SELECT CAST(user_id % 16 AS BIGINT) AS x, event_type AS a,
+       |    CAST(value AS DOUBLE) AS r
+       |  FROM events
+       |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+       |    AND value IS NOT NULL),
+       |cells AS (
+       |  SELECT x, a, CAST(count(*) AS BIGINT) AS na,
+       |    ${Q.sqlDsum("r")} AS rs
+       |  FROM b GROUP BY 1, 2),
+       |cells2 AS (SELECT x, a, na, rs,
+       |  ${Q.sqlSig9("rs / CAST(na AS DOUBLE)")} AS mean FROM cells),
+       |ctx AS (SELECT x, CAST(sum(na) AS BIGINT) AS nx,
+       |  max(mean) AS mbest FROM cells2 GROUP BY 1),
+       |pi AS (SELECT c.x, min(c.a) AS abest
+       |  FROM cells2 c JOIN ctx ON c.x = ctx.x AND c.mean = ctx.mbest
+       |  GROUP BY 1),
+       |m AS (SELECT c.x, c.na, c.rs,
+       |    CAST(ctx.nx AS DOUBLE) / CAST(c.na AS DOUBLE) AS w,
+       |    LEAST(CAST(ctx.nx AS DOUBLE) / CAST(c.na AS DOUBLE),
+       |      CAST($ipsCap AS DOUBLE)) AS wc
+       |  FROM cells2 c JOIN ctx ON c.x = ctx.x
+       |  JOIN pi ON c.x = pi.x AND c.a = pi.abest),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |  CAST(count(DISTINCT x) AS BIGINT) AS n_contexts FROM b),
+       |s AS (SELECT
+       |  CAST(COALESCE(sum(na), 0) AS BIGINT) AS matched_rows,
+       |  COALESCE(${Q.sqlDsumStable("w * rs", 6)}, 0.0) AS swr,
+       |  COALESCE(${Q.sqlDsumStable("wc * rs", 6)}, 0.0) AS swcr,
+       |  COALESCE(${Q.sqlDsumStable("wc * CAST(na AS DOUBLE)", 6)}, 0.0)
+       |    AS swc
+       |  FROM m)
+       |SELECT n, n_contexts, matched_rows,
+       |  ${Q.sqlSig9("swr / CAST(n AS DOUBLE)")} AS ips,
+       |  ${Q.sqlSig9("swcr / CAST(n AS DOUBLE)")} AS ips_capped,
+       |  CASE WHEN swc = 0.0 THEN 0.0
+       |    ELSE ${Q.sqlSig9("swcr / swc")} END AS snips
+       |FROM tot, s""".stripMargin
+
   // ===== exact weighted quantiles =====================================
 
   /** [[graft.ext.Profile.weightedQuantiles]] on lineitem: revenue-
@@ -993,6 +1052,7 @@ object StatsQueries {
   }
 
   val queries: Map[String, QFn] = Map(
+    "q_x_ips_eval" -> ipsEvalQ,
     "q_x_theil" -> theilQ,
     "q_x_weighted_quantile" -> wquantQ,
     "q_x_iv" -> ivQ,
@@ -1012,6 +1072,7 @@ object StatsQueries {
     "q_x_mcnemar" -> mcnemarQ)
 
   val oracles: Map[String, String] = Map(
+    "q_x_ips_eval" -> ipsEvalSql,
     "q_x_theil" -> theilSql,
     "q_x_weighted_quantile" -> wquantSql,
     "q_x_iv" -> ivSql,

@@ -1534,6 +1534,88 @@ object TimeSeriesQueries {
        |WHERE dd.dstat = mx.mxd
        |GROUP BY dd.event_type, dd.n, dd.total, mx.mxd""".stripMargin
 
+  /** [[graft.ext.TimeSeries.ar2Forecast]] on the daily count series
+    * per event_type, horizon 3: Yule–Walker AR(2) from the exact
+    * lag-1/lag-2 autocorrelations, forecasts recursing around the
+    * mean from the last two observed days — the memory-based
+    * forecaster beside `q_x_des`/`q_x_holt_winters`. The oracle
+    * unrolls the identical sig9'd recursion. */
+  private val ar2Q: QFn = (s, d) =>
+    TimeSeries.ar2Forecast(dailyCounts(s, d), Seq("event_type"),
+      "day", "cnt", horizon = 3)
+
+  private val ar2Sql = {
+    val num = "CAST(n AS DECIMAL(38,0)) * n * p " +
+      "- CAST(n AS DECIMAL(38,0)) * s * (a + b) " +
+      "+ CAST(n - k AS DECIMAL(38,0)) * s * s"
+    val den = "CAST(n AS DECIMAL(38,0)) * n * q " +
+      "- CAST(n AS DECIMAL(38,0)) * s * s"
+    val phiDen = "(1.0 - r1 * r1)"
+    def hRow(h: Int, f: String) =
+      s"""SELECT event_type, n, r1, r2, phi1, phi2, mu,
+         |  CAST($h AS BIGINT) AS h, $f AS forecast FROM f3""".stripMargin
+    s"""WITH dly AS ($dailySql),
+       |o AS (
+       |  SELECT event_type, cnt,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+       |      AS BIGINT) AS i
+       |  FROM dly),
+       |tot AS (
+       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(cnt) AS BIGINT) AS s,
+       |    CAST(sum(CAST(cnt AS DECIMAL(38,0)) * cnt) AS DECIMAL(38,0)) AS q
+       |  FROM o GROUP BY 1),
+       |ks AS (SELECT unnest([1, 2]) AS k),
+       |pr AS (
+       |  SELECT l.event_type, ks.k, l.cnt AS xl, r.cnt AS xr
+       |  FROM o l JOIN ks ON true JOIN o r
+       |    ON r.event_type = l.event_type AND r.i = l.i + ks.k),
+       |sm AS (
+       |  SELECT event_type, k,
+       |    CAST(sum(CAST(xl AS DECIMAL(38,0)) * xr) AS DECIMAL(38,0)) AS p,
+       |    CAST(sum(xl) AS BIGINT) AS a, CAST(sum(xr) AS BIGINT) AS b
+       |  FROM pr GROUP BY 1, 2),
+       |rk AS (
+       |  SELECT sm.event_type, sm.k,
+       |    CASE WHEN ($den) > 0 THEN
+       |      ${Q.sqlSig9(s"CAST($num AS DOUBLE) / CAST($den AS DOUBLE)")}
+       |    END AS r
+       |  FROM sm JOIN tot USING (event_type)),
+       |rp AS (
+       |  SELECT event_type, max(CASE WHEN k = 1 THEN r END) AS r1,
+       |    max(CASE WHEN k = 2 THEN r END) AS r2
+       |  FROM rk GROUP BY 1),
+       |lt AS (
+       |  SELECT o.event_type,
+       |    CAST(max(CASE WHEN o.i = tot.n THEN o.cnt END) AS BIGINT) AS x1,
+       |    CAST(max(CASE WHEN o.i = tot.n - 1 THEN o.cnt END) AS BIGINT)
+       |      AS x2
+       |  FROM o JOIN tot USING (event_type) GROUP BY 1),
+       |base AS (
+       |  SELECT rp.event_type, tot.n, rp.r1, rp.r2,
+       |    ${Q.sqlSig9("CAST(tot.s AS DOUBLE) / CAST(tot.n AS DOUBLE)")}
+       |      AS mu,
+       |    lt.x1, lt.x2,
+       |    CASE WHEN tot.n >= 3 AND $phiDen <> 0.0 THEN
+       |      ${Q.sqlSig9(s"(r1 * (1.0 - r2)) / $phiDen")} END AS phi1,
+       |    CASE WHEN tot.n >= 3 AND $phiDen <> 0.0 THEN
+       |      ${Q.sqlSig9(s"(r2 - r1 * r1) / $phiDen")} END AS phi2
+       |  FROM rp JOIN tot USING (event_type) JOIN lt USING (event_type)),
+       |f1 AS (SELECT *, ${Q.sqlSig9(
+            "mu + phi1 * (CAST(x1 AS DOUBLE) - mu) " +
+              "+ phi2 * (CAST(x2 AS DOUBLE) - mu)")} AS f1 FROM base),
+       |f2 AS (SELECT *, ${Q.sqlSig9(
+            "mu + phi1 * (f1 - mu) " +
+              "+ phi2 * (CAST(x1 AS DOUBLE) - mu)")} AS f2 FROM f1),
+       |f3 AS (SELECT *, ${Q.sqlSig9(
+            "mu + phi1 * (f2 - mu) + phi2 * (f1 - mu)")} AS f3 FROM f2)
+       |${hRow(1, "f1")}
+       |UNION ALL
+       |${hRow(2, "f2")}
+       |UNION ALL
+       |${hRow(3, "f3")}""".stripMargin
+  }
+
   /** Autocorrelation of the daily count series per event_type at lags
     * 1..14 — the weekly echo shows up as a ridge at k=7/14. Exact
     * integer numerator/denominator, one sig9'd division per lag. */
@@ -2491,6 +2573,7 @@ object TimeSeriesQueries {
     "q_x_xcorr" -> xcorrQ,
     "q_x_changepoint" -> changepointQ,
     "q_x_acf" -> acfQ,
+    "q_x_ar2" -> ar2Q,
     "q_x_pipeline7" -> pipeline7Q,
     "q_x_ewma" -> ewmaQ,
     "q_x_des" -> desQ,
@@ -2539,6 +2622,7 @@ object TimeSeriesQueries {
     "q_x_xcorr" -> xcorrSql,
     "q_x_changepoint" -> changepointSql,
     "q_x_acf" -> acfSql,
+    "q_x_ar2" -> ar2Sql,
     "q_x_pipeline7" -> pipeline7Sql,
     "q_x_ewma" -> ewmaSql,
     "q_x_des" -> desSql,

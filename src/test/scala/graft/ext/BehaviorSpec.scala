@@ -611,4 +611,37 @@ class BehaviorSpec extends SparkSpec {
     // Feb: single user single day -> everything 1.0
     assert(got("2024-02") === (1L, 1L, 1.0, 1.0))
   }
+
+  test("seqPatterns: hand-counted trigrams with user support") {
+    // u1: A B C A B C -> ABC, BCA, CAB, ABC; u2: A B C -> ABC
+    val rows =
+      Seq("A", "B", "C", "A", "B", "C").zipWithIndex.map { case (t, i) =>
+        (1L, f"2024-01-01 00:0$i%01d:00", t)
+      } ++ Seq("A", "B", "C").zipWithIndex.map { case (t, i) =>
+        (2L, f"2024-01-01 00:0$i%01d:00", t)
+      }
+    val df = rows.toDF("u", "s", "t")
+      .withColumn("ts", to_timestamp(col("s")))
+    val out = Behavior.seqPatterns(df, "u", "ts", "t", minUsers = 2L)
+      .collect()
+    assert(out.length === 1)
+    val r = out(0)
+    assert((r.getString(0), r.getString(1), r.getString(2)) ===
+      (("A", "B", "C")))
+    assert((r.getLong(3), r.getLong(4)) === ((2L, 3L)))
+    assert(r.getDouble(5) === 1.0) // both users support it
+  }
+
+  test("seqPatterns: minUsers prunes single-user sequences") {
+    val rows = Seq("A", "B", "C", "D").zipWithIndex.map { case (t, i) =>
+      (1L, f"2024-01-01 00:0$i%01d:00", t)
+    }
+    val df = rows.toDF("u", "s", "t")
+      .withColumn("ts", to_timestamp(col("s")))
+    assert(Behavior.seqPatterns(df, "u", "ts", "t", minUsers = 2L)
+      .count() === 0L)
+    assert(Behavior.seqPatterns(df, "u", "ts", "t", minUsers = 1L)
+      .count() === 2L) // ABC, BCD
+  }
+
 }

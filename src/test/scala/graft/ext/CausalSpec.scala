@@ -147,4 +147,43 @@ class CausalSpec extends SparkSpec {
     assert(out.forall(!_.getBoolean(7)))
     assert(out.forall(_.isNullAt(8)))
   }
+
+  test("ipsPolicyEval: one context, greedy picks the better action") {
+    // ctx 1: action a mean 1.0 (2 rows), action b mean 0.0 (2 rows)
+    val df = Seq((1L, "a", 1.0), (1L, "a", 1.0), (1L, "b", 0.0),
+      (1L, "b", 0.0)).toDF("x", "a", "r")
+    val out = Causal.ipsPolicyEval(df, "x", "a", "r", cap = 4.0)
+      .collect()(0)
+    assert((out.getLong(0), out.getLong(1), out.getLong(2)) ===
+      ((4L, 1L, 2L)))
+    // w = 4/2 = 2 on the matched cell; ips = 2*(1+1)/4 = 1.0
+    assert(out.getDouble(3) === 1.0)
+    assert(out.getDouble(4) === 1.0) // cap 4 not binding
+    assert(out.getDouble(5) === 1.0) // snips = (2*2)/(2*2)
+  }
+
+  test("ipsPolicyEval: weight capping binds on a rare best action") {
+    // ctx 1: 'b' once with reward 10 (mean 10), 'a' nine times reward 0
+    val rows = (1 to 9).map(_ => (1L, "a", 0.0)) :+ ((1L, "b", 10.0))
+    val df = rows.toDF("x", "a", "r")
+    val out = Causal.ipsPolicyEval(df, "x", "a", "r", cap = 4.0)
+      .collect()(0)
+    assert(out.getLong(2) === 1L)
+    // w = 10/1 = 10: ips = 10*10/10 = 10; capped = 4*10/10 = 4
+    assert(out.getDouble(3) === 10.0)
+    assert(out.getDouble(4) === 4.0)
+    // capped-SNIPS renormalizes: (4*10)/(4*1) = 10
+    assert(out.getDouble(5) === 10.0)
+  }
+
+  test("ipsPolicyEval: single-action log reduces to the mean reward") {
+    val df = Seq((1L, "a", 2.0), (1L, "a", 4.0), (2L, "a", 6.0))
+      .toDF("x", "a", "r")
+    val out = Causal.ipsPolicyEval(df, "x", "a", "r", cap = 4.0)
+      .collect()(0)
+    assert(out.getLong(2) === 3L)
+    assert(out.getDouble(3) === 4.0)
+    assert(out.getDouble(4) === 4.0)
+    assert(out.getDouble(5) === 4.0)
+  }
 }

@@ -409,4 +409,35 @@ class ClassifierSpec extends SparkSpec {
       c.getAs[Double]("b") == c.getAs[Double]("b_ols"))
     assert(c.getAs[Double]("b") == 2.0 && c.getAs[Double]("a") == 1.0)
   }
+
+  test("adaboostStumps: separable data drives ensemble error to 0") {
+    val df = ((1 to 6).map(_ => (0.0, 0L)) ++
+      (1 to 6).map(_ => (10.0, 1L))).toDF("x", "y")
+    val out = Classifier.adaboostStumps(df, Seq("x"), "y", rounds = 3,
+      bins = 8).collect().sortBy(_.getAs[Long]("round"))
+    assert(out.length === 3)
+    // a perfect stump exists; every round finds one and the ensemble
+    // is exact from round 1
+    assert(out.forall(_.getAs[Double]("err") === 0.0))
+    assert(out.forall(_.getAs[Double]("ens_err") === 0.0))
+    assert(out.forall(_.getAs[Double]("alpha") > 0.0))
+  }
+
+  test("adaboostStumps: round-1 stump and error are the hand argmin") {
+    // bins 0..7 occupied one row each; y = bin >= 4 except bin 0 noisy
+    val df = (0 to 7).map { b =>
+      (b.toDouble, if (b >= 4 || b == 0) 1L else 0L)
+    }.toDF("x", "y")
+    val out = Classifier.adaboostStumps(df, Seq("x"), "y", rounds = 2,
+      bins = 8).collect().sortBy(_.getAs[Long]("round"))
+    val r1 = out(0)
+    // gt@3 misclassifies only the noisy bin 0: err = 1/8
+    assert(r1.getAs[String]("feature") === "x")
+    assert(r1.getAs[Long]("split_bin") === 3L)
+    assert(r1.getAs[String]("polarity") === "gt")
+    assert(r1.getAs[Double]("err") === 0.125)
+    assert(r1.getAs[Double]("ens_err") === 0.125)
+    // round 2 re-weights the noisy point up; trajectory stays defined
+    assert(out(1).getAs[Double]("err") > 0.0)
+  }
 }

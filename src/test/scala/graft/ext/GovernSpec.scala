@@ -106,4 +106,34 @@ class GovernSpec extends SparkSpec {
       ((6L, 3L, 3L)))
     assert(out.getDouble(4) === 0.5)
   }
+
+  test("tCloseness: hand-computed ordered EMD per class") {
+    // global: sv1 = 3, sv2 = 3 -> p = (0.5, 0.5); domain m = 2
+    val df = Seq(("A", 1L), ("A", 1L), ("B", 2L), ("B", 2L),
+      ("C", 1L), ("C", 2L)).toDF("g", "sv")
+    val out = Govern.tCloseness(df, Seq("g"), "sv", t = 0.4)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    // A: q = (1, 0): |cum| at sv1 = 0.5, at sv2 = 0 -> EMD = 0.5
+    assert(out("A") === ((2L, 0.5, false)))
+    assert(out("B") === ((2L, 0.5, false)))
+    // C matches the global distribution exactly
+    assert(out("C") === ((2L, 0.0, true)))
+  }
+
+  test("tCloseness: single-point domain gives t = 0 everywhere") {
+    val df = Seq(("A", 7L), ("B", 7L), ("B", 7L)).toDF("g", "sv")
+    val out = Govern.tCloseness(df, Seq("g"), "sv", t = 0.1)
+      .collect().map(r => (r.getDouble(2), r.getBoolean(3)))
+    assert(out.forall(_ === ((0.0, true))))
+  }
+
+  test("tCloseness: null sensitive rows are excluded") {
+    val df = Seq(("A", Some(1L)), ("A", Some(2L)), ("A", None),
+      ("B", Some(1L)), ("B", Some(2L))).toDF("g", "sv")
+    val out = Govern.tCloseness(df, Seq("g"), "sv", t = 0.5)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // A counts 2 non-null rows, and both classes match global exactly
+    assert(out === Map("A" -> 2L, "B" -> 2L))
+  }
 }

@@ -57,4 +57,30 @@ class SurvivalSuiteSpec extends SparkSpec {
       "survival"))
     assert(empty.getLong(1) === 0L && empty.getDouble(2) === 7.0)
   }
+
+  test("coxPh: constant covariate keeps beta at exactly zero") {
+    val rows = (1 to 4).map(i => (i.toLong, 1L, 3.0)) ++
+      (1 to 3).map(i => ((i + 4).toLong, 0L, 3.0))
+    val out = Behavior.coxPh(rows.toDF("dur", "e", "x"),
+      "dur", "e", "x", xBins = 8, iters = 3).collect()
+      .sortBy(_.getLong(0))
+    assert(out.length === 3)
+    // one bin, S1/S0 = x exactly -> every score term is 0
+    assert(out.forall(_.getDouble(1) === 0.0))
+    assert(out.forall(_.getDouble(2) === 0.0))
+  }
+
+  test("coxPh: early events concentrated on high x give beta > 0") {
+    // high-x subjects all convert at t=1; low-x convert late at t=10
+    val rows = (1 to 5).map(_ => (1L, 1L, 10.0)) ++
+      (1 to 5).map(_ => (10L, 1L, 0.0))
+    val out = Behavior.coxPh(rows.toDF("dur", "e", "x"),
+      "dur", "e", "x", xBins = 8, iters = 3).collect()
+      .sortBy(_.getLong(0))
+    // at beta=0: U(t=1) = 50 - 5*5 = 25 > 0, so the first step is up
+    assert(out(0).getDouble(2) > 0.0) // score at beta 0
+    assert(out(0).getDouble(1) > 0.0) // beta after step 1
+    // later iterations keep a positive effect
+    assert(out(2).getDouble(1) > 0.0)
+  }
 }

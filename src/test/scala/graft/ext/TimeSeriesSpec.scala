@@ -680,4 +680,50 @@ class TimeSeriesSpec extends SparkSpec {
     val f = out.sortBy(_.getAs[Long]("h")).map(_.getAs[Double]("forecast"))
     assert(f(0) > f(1) && f(0) > f(2)) // the +2 season leads the -1s
   }
+
+  test("ar2Forecast: hand-solved Yule-Walker on a 5-point series") {
+    import graft.functions.GraftMath.{sig9 => s9}
+    val df = (1 to 5).map(i => ("k", i.toLong, i.toLong))
+      .toDF("key", "t", "v")
+    val out = TimeSeries.ar2Forecast(df, Seq("key"), "t", "v",
+      horizon = 3).collect().sortBy(_.getAs[Long]("h"))
+    assert(out.length === 3)
+    val r = out(0)
+    // n=5, S=15, Q=55; lag1: P=40,A=10,B=14 -> r1 = 100/250 = 0.4
+    // lag2: P=26,A=6,B=12 -> r2 = -25/250 = -0.1
+    assert(r.getAs[Double]("r1") === 0.4)
+    assert(r.getAs[Double]("r2") === -0.1)
+    val phiDen = 1.0 - 0.4 * 0.4
+    val phi1 = s9(0.4 * (1.0 - -0.1) / phiDen)
+    val phi2 = s9((-0.1 - 0.4 * 0.4) / phiDen)
+    assert(r.getAs[Double]("phi1") === phi1)
+    assert(r.getAs[Double]("phi2") === phi2)
+    val mu = s9(15.0 / 5.0)
+    assert(r.getAs[Double]("mu") === mu)
+    val f1 = s9(mu + phi1 * (5.0 - mu) + phi2 * (4.0 - mu))
+    val f2 = s9(mu + phi1 * (f1 - mu) + phi2 * (5.0 - mu))
+    val f3 = s9(mu + phi1 * (f2 - mu) + phi2 * (f1 - mu))
+    assert(out.map(_.getAs[Double]("forecast")).toSeq ===
+      Seq(f1, f2, f3))
+  }
+
+  test("ar2Forecast: constant series yields NULL fit and forecasts") {
+    val df = (1 to 6).map(i => ("k", i.toLong, 7L)).toDF("key", "t", "v")
+    val out = TimeSeries.ar2Forecast(df, Seq("key"), "t", "v",
+      horizon = 2).collect()
+    assert(out.length === 2)
+    assert(out.forall(r => r.isNullAt(r.fieldIndex("r1")) &&
+      r.isNullAt(r.fieldIndex("phi1")) &&
+      r.isNullAt(r.fieldIndex("forecast"))))
+    assert(out.forall(_.getAs[Double]("mu") === 7.0))
+  }
+
+  test("ar2Forecast: two-point series has NULL phi (n < 3)") {
+    val df = Seq(("k", 1L, 1L), ("k", 2L, 5L)).toDF("key", "t", "v")
+    val out = TimeSeries.ar2Forecast(df, Seq("key"), "t", "v",
+      horizon = 1).collect()
+    assert(out.length === 1)
+    assert(out(0).isNullAt(out(0).fieldIndex("phi1")))
+    assert(out(0).isNullAt(out(0).fieldIndex("forecast")))
+  }
 }
