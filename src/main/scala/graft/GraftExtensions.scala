@@ -52,6 +52,15 @@ object GraftExtensions {
         graft.functions.HilbertXY(children.head, children(1),
           bits.eval().asInstanceOf[Number].intValue())
       }),
+    (new FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[graft.functions.JaroWinkler].getName,
+        "jaro_winkler"),
+      (children: Seq[Expression]) => {
+        if (children.length != 2)
+          throw new IllegalArgumentException(
+            s"jaro_winkler(a, b) takes 2 arguments, got ${children.length}")
+        graft.functions.JaroWinkler(children.head, children(1))
+      }),
     (new FunctionIdentifier("sorted_jaccard"),
       new ExpressionInfo(classOf[SortedJaccard].getName, "sorted_jaccard"),
       (children: Seq[Expression]) =>

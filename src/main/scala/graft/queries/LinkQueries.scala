@@ -110,6 +110,41 @@ object LinkQueries {
       .where(col("left_id") < col("right_id"))
   }
 
+  /** Jaro–Winkler re-scoring of the FastSS edit-distance candidates
+    * (the native codegen'd `jaro_winkler` expression —
+    * [[graft.functions.JaroWinkler]], bit-matched to DuckDB's
+    * rapidfuzz port): candidate generation stays the anti-quadratic
+    * deletion-neighborhood equi-join, the scorer runs once per
+    * surviving pair inside whole-stage codegen, and the link rule
+    * keeps pairs at jw >= 0.9 — the classic blocked-then-scored
+    * record-linkage shape (block cheap, score precise). */
+  private val jwLinkQ: QFn = (s, d) => {
+    val sup = Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))
+    val pairs = FuzzyJoin.editJoin(sup, "s_suppkey", "s_name",
+        sup, "s_suppkey", "s_name", maxDist = 1)
+      .where(col("left_id") < col("right_id"))
+    val a = sup.select(col("s_suppkey").as("left_id"),
+      col("s_name").as("left_name"))
+    val b = sup.select(col("s_suppkey").as("right_id"),
+      col("s_name").as("right_name"))
+    pairs.join(a, "left_id").join(b, "right_id")
+      .withColumn("jw", Q.sig9(
+        call_function("jaro_winkler", col("left_name"), col("right_name"))))
+      .where(col("jw") >= 0.9)
+      .select(col("left_id"), col("right_id"), col("dist"), col("jw"))
+  }
+
+  private val jwLinkSql =
+    s"""SELECT left_id, right_id, dist, jw FROM (
+       |  SELECT a.s_suppkey AS left_id, b.s_suppkey AS right_id,
+       |    CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist,
+       |    ${Q.sqlSig9("jaro_winkler_similarity(a.s_name, b.s_name)")}
+       |      AS jw
+       |  FROM supplier a, supplier b
+       |  WHERE a.s_suppkey < b.s_suppkey
+       |    AND levenshtein(a.s_name, b.s_name) <= 1)
+       |WHERE jw >= 0.9""".stripMargin
+
   private val editJoinSql =
     """SELECT a.s_suppkey AS left_id, b.s_suppkey AS right_id,
       |  CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS dist
@@ -1309,6 +1344,7 @@ object LinkQueries {
     "q_x_fuzzy_join" -> fuzzyJoin,
     "q_x_contain_join" -> containQ,
     "q_x_edit_join" -> editJoin,
+    "q_x_jw_link" -> jwLinkQ,
     "q_x_pagerank" -> pagerankQ,
     "q_x_hits" -> hitsQ,
     "q_x_triangles" -> trianglesQ,
@@ -1333,6 +1369,7 @@ object LinkQueries {
     "q_x_fuzzy_join" -> fuzzyJoinSql,
     "q_x_contain_join" -> containSql,
     "q_x_edit_join" -> editJoinSql,
+    "q_x_jw_link" -> jwLinkSql,
     "q_x_pagerank" -> pagerankSql,
     "q_x_hits" -> hitsSql,
     "q_x_triangles" -> trianglesSql,
