@@ -41,7 +41,7 @@ object SparkEntry {
       PrepQueries.queries ++ LinkQueries.queries ++
       BehaviorQueries.queries ++ LearnQueries.queries ++
       TimeSeriesQueries.queries ++ StatsQueries.queries ++
-      GovernQueries.queries).map {
+      GovernQueries.queries ++ SpatialQueries.queries).map {
       case (name, fn) =>
       name -> { (s: SparkSession, d: String) =>
         // native expressions resolve through the function registry; make
@@ -60,5 +60,5 @@ object SparkEntry {
       PrepQueries.oracles ++ LinkQueries.oracles ++
       BehaviorQueries.oracles ++ LearnQueries.oracles ++
       TimeSeriesQueries.oracles ++ StatsQueries.oracles ++
-      GovernQueries.oracles
+      GovernQueries.oracles ++ SpatialQueries.oracles
 }
