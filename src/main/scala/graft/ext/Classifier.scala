@@ -1031,4 +1031,131 @@ object Classifier {
     }
     out.reduce(_ unionByName _)
   }
+
+  /** Least-squares gradient boosting over binned stumps (Friedman 2001
+    * §4.4, "LS_Boost", with shrinkage): T rounds of fitting a depth-1
+    * regression stump to the current residuals, each leaf taking the
+    * mean residual of its side, predictions advancing by lr * leaf.
+    *
+    * Same scale contract as [[adaboostStumps]]: the prediction F(x) is
+    * a function of the BIN VECTOR only, so after ONE corpus scan to
+    * the bounded cell table (bin vector, n, sum y, sum y^2) every
+    * round is closed-form cell arithmetic — residual sums per cell are
+    * sy - n*F_cell, split search is a broadcast candidate grid with
+    * exact-decimal side sums, and train MSE falls out of (sy2 -
+    * 2*F*sy + n*F^2) without ever revisiting a row. The label never
+    * needs to be carried per-row because squared loss only needs the
+    * first two label moments per cell.
+    *
+    * Determinism: sy/sy2/side sums ride [[Q.dsumStable]]; leaf values
+    * and gains are sig9'd; the F chain is plain double arithmetic over
+    * sig9'd increments (IEEE-identical across engines). Split tie-break
+    * is the deterministic min key at max gain. Label magnitude must
+    * keep |y^2| * 10^6 under 15 digits (|y| <= ~3e4) — the dsumStable
+    * scale contract.
+    *
+    * @return one row per round: round, feature, split_bin, gain,
+    *         gamma_le, gamma_gt, mse (train MSE after the round) */
+  def gbmStumps(df: DataFrame, features: Seq[String], labelCol: String,
+      rounds: Int, bins: Int = 8, lr: Double = 0.5): DataFrame = {
+    require(features.nonEmpty, "gbmStumps: need at least one feature")
+    require(rounds >= 1 && rounds <= 8,
+      s"rounds must be in [1, 8], got $rounds")
+    require(bins >= 2 && bins <= 64, s"bins must be in [2, 64], got $bins")
+    require(lr > 0 && lr <= 1, s"lr must be in (0, 1], got $lr")
+    val y = col(labelCol).cast("double")
+    val base = df.where(y.isNotNull &&
+      features.map(f => col(f).cast("double").isNotNull).reduce(_ && _))
+    val mm = base.agg(
+      features.flatMap(f => Seq(
+        min(col(f).cast("double")).as(s"__lo_$f"),
+        max(col(f).cast("double")).as(s"__hi_$f"))).head,
+      features.flatMap(f => Seq(
+        min(col(f).cast("double")).as(s"__lo_$f"),
+        max(col(f).cast("double")).as(s"__hi_$f"))).tail: _*)
+    def binOf(f: String) = {
+      val x = col(f).cast("double")
+      val lo = col(s"__lo_$f"); val hi = col(s"__hi_$f")
+      when(hi === lo, lit(0L))
+        .otherwise(least(lit((bins - 1).toLong),
+          greatest(lit(0L),
+            floor((x - lo) / ((hi - lo) / bins)).cast("long"))))
+    }
+    // ONE corpus scan -> bounded (bin vector, n, sy, sy2) cell table
+    var cells = base.crossJoin(broadcast(mm))
+      .select(features.map(f => binOf(f).as(s"__b_$f")) :+ y.as("__yv"): _*)
+      .groupBy(features.map(f => col(s"__b_$f")): _*)
+      .agg(count(lit(1)).as("__n"),
+        Q.dsumStable(col("__yv"), 6).as("__sy"),
+        Q.dsumStable(col("__yv") * col("__yv"), 6).as("__sy2"))
+      .localCheckpoint()
+    val f0 = cells.agg(Q.dsumStable(col("__sy"), 6).as("__ssy"),
+        sum(col("__n")).as("__nn"))
+      .select(Q.sig9(col("__ssy") / col("__nn").cast("double")).as("__f0"))
+    cells = cells.crossJoin(broadcast(f0))
+      .withColumn("__f", col("__f0")).drop("__f0").localCheckpoint()
+    val spark = df.sparkSession
+    val splits = spark.range(1).select(
+        explode(array(features.map(lit(_)): _*)).as("__feature"))
+      .select(col("__feature"),
+        explode(sequence(lit(0L), lit((bins - 2).toLong))).as("__s"))
+    def binFor(feature: Column) = features.map(f =>
+      when(feature === f, col(s"__b_$f"))).reduce(coalesce(_, _))
+    val out = (1 to rounds).map { t =>
+      val cand = cells.crossJoin(broadcast(splits))
+        .withColumn("__le", binFor(col("__feature")) <= col("__s"))
+        .withColumn("__rs",
+          col("__sy") - col("__n").cast("double") * col("__f"))
+        .groupBy(col("__feature"), col("__s"))
+        .agg(
+          coalesce(Q.dsumStable(when(col("__le"), col("__rs"))
+            .otherwise(lit(0.0)), 6), lit(0.0)).as("__rsle"),
+          sum(when(col("__le"), col("__n")).otherwise(lit(0L)))
+            .cast("long").as("__nle"),
+          coalesce(Q.dsumStable(when(!col("__le"), col("__rs"))
+            .otherwise(lit(0.0)), 6), lit(0.0)).as("__rsgt"),
+          sum(when(!col("__le"), col("__n")).otherwise(lit(0L)))
+            .cast("long").as("__ngt"))
+        .withColumn("__gain", Q.sig9(
+          when(col("__nle") > 0L, col("__rsle") * col("__rsle") /
+            col("__nle").cast("double")).otherwise(lit(0.0)) +
+          when(col("__ngt") > 0L, col("__rsgt") * col("__rsgt") /
+            col("__ngt").cast("double")).otherwise(lit(0.0)) -
+          (col("__rsle") + col("__rsgt")) * (col("__rsle") + col("__rsgt"))
+            / (col("__nle") + col("__ngt")).cast("double")))
+        .withColumn("__k", concat(col("__feature"), lit("|"),
+          lpad(col("__s").cast("string"), 2, "0")))
+      val maxGain = cand.agg(max(col("__gain")).as("__mg"))
+      val bestKey = cand.crossJoin(broadcast(maxGain))
+        .where(col("__gain") === col("__mg"))
+        .agg(min(col("__k")).as("__bk"))
+      val best = cand.crossJoin(broadcast(bestKey))
+        .where(col("__k") === col("__bk"))
+        .select(col("__feature").as("__bf"), col("__s").as("__bs"),
+          col("__gain").as("__bgain"),
+          when(col("__nle") > 0L, Q.sig9(col("__rsle") /
+            col("__nle").cast("double"))).otherwise(lit(0.0)).as("__gle"),
+          when(col("__ngt") > 0L, Q.sig9(col("__rsgt") /
+            col("__ngt").cast("double"))).otherwise(lit(0.0)).as("__ggt"))
+      cells = cells.crossJoin(broadcast(best))
+        .withColumn("__f", col("__f") + lit(lr) *
+          when(binFor(col("__bf")) <= col("__bs"), col("__gle"))
+            .otherwise(col("__ggt")))
+        .drop("__bf", "__bs", "__bgain", "__gle", "__ggt")
+        .localCheckpoint()
+      val mse = cells.agg(
+          Q.dsumStable(col("__sy2") - lit(2.0) * col("__f") * col("__sy") +
+            col("__n").cast("double") * col("__f") * col("__f"), 6)
+            .as("__sse"),
+          sum(col("__n")).as("__nn"))
+        .select(Q.sig9(col("__sse") / col("__nn").cast("double"))
+          .as("mse"))
+      best.crossJoin(broadcast(mse))
+        .select(lit(t.toLong).as("round"), col("__bf").as("feature"),
+          col("__bs").as("split_bin"), col("__bgain").as("gain"),
+          col("__gle").as("gamma_le"), col("__ggt").as("gamma_gt"),
+          col("mse"))
+    }
+    out.reduce(_ unionByName _)
+  }
 }

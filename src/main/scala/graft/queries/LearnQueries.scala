@@ -976,6 +976,126 @@ object LearnQueries {
        |$rows""".stripMargin
   }
 
+  // ===== least-squares gradient boosting ==============================
+
+  private val gbmRounds = 4
+  private val gbmBins = 8
+
+  /** [[graft.ext.Classifier.gbmStumps]] regressing l_quantity on
+    * binned (discount, extendedprice, tax): extendedprice carries real
+    * signal (it is price*qty), so the boosting trajectory shows
+    * genuine gain and falling MSE; the full per-round (split, leaves,
+    * gain, mse) trajectory is hash-adjudicated like q_x_adaboost's. */
+  private val gbmQ: QFn = (s, d) =>
+    Classifier.gbmStumps(
+      Tables.lineitem(s, d).select(
+        col("l_discount").cast("double").as("disc"),
+        col("l_extendedprice").cast("double").as("price"),
+        col("l_tax").cast("double").as("tax"),
+        col("l_quantity").cast("double").as("yv")),
+      Seq("disc", "price", "tax"), "yv", rounds = gbmRounds,
+      bins = gbmBins, lr = 0.5)
+
+  private val gbmSql = {
+    val b = gbmBins
+    def binExpr(x: String, lo: String, hi: String) =
+      s"CASE WHEN mm.$hi = mm.$lo THEN 0 ELSE LEAST(${b - 1}, " +
+        s"GREATEST(0, CAST(floor((f.$x - mm.$lo) / " +
+        s"((mm.$hi - mm.$lo) / $b)) AS BIGINT))) END"
+    val binCol = "CASE sp.feature WHEN 'disc' THEN c.bd " +
+      "WHEN 'price' THEN c.bp ELSE c.bt END"
+    val binColB = "CASE b.feature WHEN 'disc' THEN c.bd " +
+      "WHEN 'price' THEN c.bp ELSE c.bt END"
+    val roundsSql = (1 to gbmRounds).map { t =>
+      val prev = if (t == 1) "c0" else s"c${t - 1}"
+      s"""cand$t AS MATERIALIZED (
+         |  SELECT sp.feature, CAST(sp.s AS BIGINT) AS s,
+         |    COALESCE(${Q.sqlDsumStable(
+              s"CASE WHEN ($binCol) <= sp.s THEN " +
+                "c.sy - CAST(c.n AS DOUBLE) * c.fv ELSE 0.0 END", 6)},
+         |      0.0) AS rsle,
+         |    CAST(COALESCE(sum(CASE WHEN ($binCol) <= sp.s THEN c.n
+         |      ELSE 0 END), 0) AS BIGINT) AS nle,
+         |    COALESCE(${Q.sqlDsumStable(
+              s"CASE WHEN NOT (($binCol) <= sp.s) THEN " +
+                "c.sy - CAST(c.n AS DOUBLE) * c.fv ELSE 0.0 END", 6)},
+         |      0.0) AS rsgt,
+         |    CAST(COALESCE(sum(CASE WHEN NOT (($binCol) <= sp.s) THEN c.n
+         |      ELSE 0 END), 0) AS BIGINT) AS ngt
+         |  FROM $prev c CROSS JOIN splits sp
+         |  GROUP BY 1, 2),
+         |g$t AS (
+         |  SELECT *,
+         |    ${Q.sqlSig9(
+              "CASE WHEN nle > 0 THEN rsle * rsle / CAST(nle AS DOUBLE) " +
+                "ELSE 0.0 END + CASE WHEN ngt > 0 THEN " +
+                "rsgt * rsgt / CAST(ngt AS DOUBLE) ELSE 0.0 END - " +
+                "(rsle + rsgt) * (rsle + rsgt) / " +
+                "CAST(nle + ngt AS DOUBLE)")} AS gain,
+         |    feature || '|' || lpad(CAST(s AS VARCHAR), 2, '0') AS k
+         |  FROM cand$t),
+         |mg$t AS (SELECT max(gain) AS mg FROM g$t),
+         |bk$t AS (SELECT min(k) AS bk FROM g$t, mg$t WHERE gain = mg),
+         |best$t AS MATERIALIZED (
+         |  SELECT feature, s, gain,
+         |    CASE WHEN nle > 0 THEN
+         |      ${Q.sqlSig9("rsle / CAST(nle AS DOUBLE)")}
+         |      ELSE 0.0 END AS gle,
+         |    CASE WHEN ngt > 0 THEN
+         |      ${Q.sqlSig9("rsgt / CAST(ngt AS DOUBLE)")}
+         |      ELSE 0.0 END AS ggt
+         |  FROM g$t, bk$t WHERE k = bk),
+         |c$t AS MATERIALIZED (
+         |  SELECT c.bd, c.bp, c.bt, c.n, c.sy, c.sy2,
+         |    c.fv + 0.5 * (CASE WHEN ($binColB) <= b.s THEN b.gle
+         |      ELSE b.ggt END) AS fv
+         |  FROM $prev c CROSS JOIN best$t b),
+         |mse$t AS (
+         |  SELECT ${Q.sqlSig9("sse / CAST(nn AS DOUBLE)")} AS mse
+         |  FROM (SELECT ${Q.sqlDsumStable(
+              "sy2 - 2.0 * fv * sy + CAST(n AS DOUBLE) * fv * fv", 6)}
+         |      AS sse, CAST(sum(n) AS BIGINT) AS nn FROM c$t))""".stripMargin
+    }.mkString(",\n")
+    val rows = (1 to gbmRounds).map { t =>
+      s"""SELECT CAST($t AS BIGINT) AS round, feature,
+         |  s AS split_bin, gain, gle AS gamma_le, ggt AS gamma_gt, mse
+         |FROM best$t, mse$t""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH f AS MATERIALIZED (
+       |  SELECT CAST(l_discount AS DOUBLE) AS xd,
+       |    CAST(l_extendedprice AS DOUBLE) AS xp,
+       |    CAST(l_tax AS DOUBLE) AS xt,
+       |    CAST(l_quantity AS DOUBLE) AS yv
+       |  FROM lineitem
+       |  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+       |    AND l_extendedprice IS NOT NULL AND l_tax IS NOT NULL),
+       |mm AS (SELECT min(xd) AS lod, max(xd) AS hid,
+       |  min(xp) AS lop, max(xp) AS hip,
+       |  min(xt) AS lot, max(xt) AS hit FROM f),
+       |cells0 AS MATERIALIZED (
+       |  SELECT bd, bp, bt, CAST(count(*) AS BIGINT) AS n,
+       |    ${Q.sqlDsumStable("yv", 6)} AS sy,
+       |    ${Q.sqlDsumStable("yv * yv", 6)} AS sy2
+       |  FROM (SELECT
+       |      ${binExpr("xd", "lod", "hid")} AS bd,
+       |      ${binExpr("xp", "lop", "hip")} AS bp,
+       |      ${binExpr("xt", "lot", "hit")} AS bt,
+       |      f.yv
+       |    FROM f CROSS JOIN mm)
+       |  GROUP BY 1, 2, 3),
+       |f0 AS (SELECT ${Q.sqlSig9("ssy / CAST(nn AS DOUBLE)")} AS f0
+       |  FROM (SELECT ${Q.sqlDsumStable("sy", 6)} AS ssy,
+       |    CAST(sum(n) AS BIGINT) AS nn FROM cells0)),
+       |c0 AS MATERIALIZED (
+       |  SELECT bd, bp, bt, n, sy, sy2, f0.f0 AS fv FROM cells0, f0),
+       |splits AS (
+       |  SELECT fe.feature, se.s FROM
+       |    (SELECT unnest(['disc', 'price', 'tax']) AS feature) fe,
+       |    (SELECT unnest(range(0, ${b - 1})) AS s) se),
+       |$roundsSql
+       |$rows""".stripMargin
+  }
+
   // ===== decision-stump split search ==================================
 
   /** [[graft.ext.Classifier.stumpSplits]]: the exact-Gini candidate
@@ -1285,6 +1405,7 @@ object LearnQueries {
     "q_x_pr_auc" -> prAucQ,
     "q_x_stump" -> stumpQ,
     "q_x_adaboost" -> adaboostQ,
+    "q_x_gbm" -> gbmQ,
     "q_x_huber" -> huberQ,
     "q_x_eb_shrink" -> ebQ,
     "q_x_confusion" -> confusionQ,
@@ -1309,6 +1430,7 @@ object LearnQueries {
     "q_x_pr_auc" -> prAucSql,
     "q_x_stump" -> stumpSql,
     "q_x_adaboost" -> adaboostSql,
+    "q_x_gbm" -> gbmSql,
     "q_x_huber" -> huberSql,
     "q_x_eb_shrink" -> ebSql,
     "q_x_confusion" -> confusionSql,

@@ -440,4 +440,53 @@ class ClassifierSpec extends SparkSpec {
     // round 2 re-weights the noisy point up; trajectory stays defined
     assert(out(1).getAs[Double]("err") > 0.0)
   }
+
+  test("gbmStumps: step data is fit exactly as lr-geometric MSE decay") {
+    // y = 0 for x<5, 10 for x>=5: the optimal stump is found every
+    // round; with lr=0.5 the residual halves each round, so MSE
+    // decays by 4x per round from the baseline variance of 25
+    val df = ((1 to 6).map(_ => (0.0, 0.0)) ++
+      (1 to 6).map(_ => (10.0, 10.0))).toDF("x", "y")
+    val out = Classifier.gbmStumps(df, Seq("x"), "y", rounds = 3,
+      bins = 8, lr = 0.5).collect().sortBy(_.getAs[Long]("round"))
+    assert(out.length === 3)
+    val mses = out.map(_.getAs[Double]("mse"))
+    assert(math.abs(mses(0) - 6.25) < 1e-9)   // 25 / 4
+    assert(math.abs(mses(1) - 1.5625) < 1e-9) // 25 / 16
+    assert(math.abs(mses(2) - 0.390625) < 1e-9)
+    // leaves: round-1 residuals are -5 / +5
+    assert(math.abs(out(0).getAs[Double]("gamma_le") + 5.0) < 1e-9)
+    assert(math.abs(out(0).getAs[Double]("gamma_gt") - 5.0) < 1e-9)
+    assert(out.forall(_.getAs[Double]("gain") > 0.0))
+  }
+
+  test("gbmStumps: picks the informative feature over a constant one") {
+    val df = (0 to 7).map { b =>
+      (b.toDouble, 1.0, if (b >= 4) 8.0 else 2.0)
+    }.toDF("x", "z", "y")
+    val out = Classifier.gbmStumps(df, Seq("x", "z"), "y", rounds = 1,
+      bins = 8).collect()
+    assert(out.head.getAs[String]("feature") === "x")
+    assert(out.head.getAs[Long]("split_bin") === 3L)
+  }
+
+  test("gbmStumps: constant label yields zero gain and zero MSE") {
+    val df = (1 to 10).map(i => (i.toDouble, 3.0)).toDF("x", "y")
+    val out = Classifier.gbmStumps(df, Seq("x"), "y", rounds = 2,
+      bins = 4).collect()
+    assert(out.forall(_.getAs[Double]("mse") === 0.0))
+    assert(out.forall(_.getAs[Double]("gain") === 0.0))
+  }
+
+  test("gbmStumps: validation") {
+    val df = Seq((1.0, 1.0)).toDF("x", "y")
+    intercept[IllegalArgumentException](
+      Classifier.gbmStumps(df, Seq.empty, "y", 2))
+    intercept[IllegalArgumentException](
+      Classifier.gbmStumps(df, Seq("x"), "y", 0))
+    intercept[IllegalArgumentException](
+      Classifier.gbmStumps(df, Seq("x"), "y", 2, bins = 1))
+    intercept[IllegalArgumentException](
+      Classifier.gbmStumps(df, Seq("x"), "y", 2, lr = 0.0))
+  }
 }
