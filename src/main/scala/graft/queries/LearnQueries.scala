@@ -976,6 +976,82 @@ object LearnQueries {
        |$rows""".stripMargin
   }
 
+  // ===== leave-one-group-out ridge influence ==========================
+
+  private val logoLambda = 1.0
+
+  /** [[graft.ext.Classifier.ridgeLogoInfluence]] on the q_x_ridge
+    * regression (scaled price on quantity + intercept), grouped by
+    * supplier bucket: which supplier cohorts move the fitted slope
+    * when their rows are deleted — the one-scan group-deletion data
+    * valuation (the naive protocol refits once per group). */
+  private val logoQ: QFn = (s, d) =>
+    Classifier.ridgeLogoInfluence(
+      Tables.lineitem(s, d).select(
+        (col("l_quantity").cast("double") / 50.0).as("x1"),
+        lit(1.0).as("x2"),
+        (col("l_extendedprice").cast("double") / 100000.0).as("y"),
+        (col("l_suppkey") % 12).cast("long").as("grp")),
+      "x1", "x2", "y", "grp", lambda = logoLambda)
+
+  private val logoSql = {
+    val lam = s"CAST($logoLambda AS DOUBLE)"
+    val fa = s"(t11 + $lam)"
+    val fc = s"(t22 + $lam)"
+    val la = s"(t11 - s11 + $lam)"
+    val lb = "(t12 - s12)"
+    val lc = s"(t22 - s22 + $lam)"
+    val lr1 = "(ty1 - sy1)"
+    val lr2 = "(ty2 - sy2)"
+    s"""WITH f AS (
+       |  SELECT CAST(l_quantity AS DOUBLE) / 50.0 AS x1,
+       |    CAST(1.0 AS DOUBLE) AS x2,
+       |    CAST(l_extendedprice AS DOUBLE) / 100000.0 AS y,
+       |    CAST(l_suppkey % 12 AS BIGINT) AS grp
+       |  FROM lineitem
+       |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+       |    AND l_suppkey IS NOT NULL),
+       |g AS (
+       |  SELECT grp, CAST(count(*) AS BIGINT) AS n,
+       |    ${sqlDsum(sqlSig9("x1 * x1"))} AS s11,
+       |    ${sqlDsum(sqlSig9("x1 * x2"))} AS s12,
+       |    ${sqlDsum(sqlSig9("x2 * x2"))} AS s22,
+       |    ${sqlDsum(sqlSig9("x1 * y"))} AS sy1,
+       |    ${sqlDsum(sqlSig9("x2 * y"))} AS sy2
+       |  FROM f GROUP BY 1),
+       |tot AS (
+       |  SELECT ${Q.sqlDsumStable("s11", 6)} AS t11,
+       |    ${Q.sqlDsumStable("s12", 6)} AS t12,
+       |    ${Q.sqlDsumStable("s22", 6)} AS t22,
+       |    ${Q.sqlDsumStable("sy1", 6)} AS ty1,
+       |    ${Q.sqlDsumStable("sy2", 6)} AS ty2
+       |  FROM g),
+       |fb AS (
+       |  SELECT *,
+       |    CASE WHEN fdet <> 0 THEN ${sqlSig9(
+            s"($fc * ty1 - t12 * ty2) / fdet")} END AS w1_full,
+       |    CASE WHEN fdet <> 0 THEN ${sqlSig9(
+            s"($fa * ty2 - t12 * ty1) / fdet")} END AS w2_full
+       |  FROM (SELECT *, ${sqlSig9(s"$fa * $fc - t12 * t12")} AS fdet
+       |    FROM tot)),
+       |lo AS (
+       |  SELECT g.grp, g.n,
+       |    CASE WHEN ldet <> 0 THEN ${sqlSig9(
+            s"($lc * $lr1 - $lb * $lr2) / ldet")} END AS w1_loo,
+       |    CASE WHEN ldet <> 0 THEN ${sqlSig9(
+            s"($la * $lr2 - $lb * $lr1) / ldet")} END AS w2_loo,
+       |    g.w1_full, g.w2_full
+       |  FROM (SELECT g.*, fb.*,
+       |      ${sqlSig9(s"$la * $lc - $lb * $lb")} AS ldet
+       |    FROM g CROSS JOIN fb) g)
+       |SELECT grp, n, w1_loo, w2_loo,
+       |  CASE WHEN w1_loo IS NOT NULL AND w1_full IS NOT NULL THEN
+       |    ${sqlSig9("SQRT((w1_full - w1_loo) * (w1_full - w1_loo) + " +
+            "(w2_full - w2_loo) * (w2_full - w2_loo))")} END AS influence,
+       |  w1_full, w2_full
+       |FROM lo""".stripMargin
+  }
+
   // ===== least-squares gradient boosting ==============================
 
   private val gbmRounds = 4
@@ -1406,6 +1482,7 @@ object LearnQueries {
     "q_x_stump" -> stumpQ,
     "q_x_adaboost" -> adaboostQ,
     "q_x_gbm" -> gbmQ,
+    "q_x_logo" -> logoQ,
     "q_x_huber" -> huberQ,
     "q_x_eb_shrink" -> ebQ,
     "q_x_confusion" -> confusionQ,
@@ -1431,6 +1508,7 @@ object LearnQueries {
     "q_x_stump" -> stumpSql,
     "q_x_adaboost" -> adaboostSql,
     "q_x_gbm" -> gbmSql,
+    "q_x_logo" -> logoSql,
     "q_x_huber" -> huberSql,
     "q_x_eb_shrink" -> ebSql,
     "q_x_confusion" -> confusionSql,

@@ -441,6 +441,53 @@ class ClassifierSpec extends SparkSpec {
     assert(out(1).getAs[Double]("err") > 0.0)
   }
 
+  test("ridgeLogoInfluence: leaving a group out reproduces the fit " +
+      "on the remaining groups exactly") {
+    // group 1 on y = 2x + 1, group 2 a far-off cluster pulling the fit
+    val g1 = Seq((1.0, 3.0), (2.0, 5.0), (3.0, 7.0), (4.0, 9.0))
+    val g2 = Seq((10.0, 0.0), (11.0, 0.0))
+    val df = (g1.map { case (x, y) => (x, 1.0, y, 1L) } ++
+      g2.map { case (x, y) => (x, 1.0, y, 2L) })
+      .toDF("x1", "x2", "y", "g")
+    val out = Classifier.ridgeLogoInfluence(df, "x1", "x2", "y", "g",
+      lambda = 0.0).collect().map(r => r.getAs[Long]("g") -> r).toMap
+    // leave out g2 -> the exact fit on g1 alone
+    val fitG1 = Classifier.ridgeFit(
+      g1.map { case (x, y) => (x, 1.0, y) }.toDF("x1", "x2", "y"),
+      "x1", "x2", "y", lambda = 0.0).head()
+    assert(out(2L).getAs[Double]("w1_loo") === fitG1.getAs[Double]("w1"))
+    assert(out(2L).getAs[Double]("w2_loo") === fitG1.getAs[Double]("w2"))
+    // g2 is load-bearing: its removal moves the slope a lot
+    assert(out(2L).getAs[Double]("influence") > 1.0)
+    // full fit is attached identically on every row
+    assert(out(1L).getAs[Double]("w1_full") ===
+      out(2L).getAs[Double]("w1_full"))
+  }
+
+  test("ridgeLogoInfluence: a pattern-redundant group has zero " +
+      "influence; a degenerate leave-out yields NULLs") {
+    // both groups sit exactly on y = 2x + 1: deleting either leaves
+    // the same exact interpolating fit
+    val df = Seq((1.0, 1.0, 3.0, 1L), (2.0, 1.0, 5.0, 1L),
+      (1.0, 1.0, 3.0, 2L), (2.0, 1.0, 5.0, 2L), (3.0, 1.0, 7.0, 2L))
+      .toDF("x1", "x2", "y", "g")
+    val out = Classifier.ridgeLogoInfluence(df, "x1", "x2", "y", "g",
+      lambda = 0.0).collect().map(r => r.getAs[Long]("g") -> r).toMap
+    assert(out(1L).getAs[Double]("influence") === 0.0)
+    assert(out(2L).getAs[Double]("influence") === 0.0)
+    // removing g2 from a frame where g1 has a single x level ->
+    // collinear with the intercept -> det 0 -> NULL loo fit
+    val deg = Seq((5.0, 1.0, 2.0, 1L), (5.0, 1.0, 4.0, 1L),
+      (1.0, 1.0, 1.0, 2L), (2.0, 1.0, 2.0, 2L))
+      .toDF("x1", "x2", "y", "g")
+    val d = Classifier.ridgeLogoInfluence(deg, "x1", "x2", "y", "g",
+      lambda = 0.0).collect().map(r => r.getAs[Long]("g") -> r).toMap
+    assert(d(2L).isNullAt(d(2L).fieldIndex("w1_loo")))
+    assert(d(2L).isNullAt(d(2L).fieldIndex("influence")))
+    intercept[IllegalArgumentException](
+      Classifier.ridgeLogoInfluence(deg, "x1", "x2", "y", "g", -1.0))
+  }
+
   test("gbmStumps: step data is fit exactly as lr-geometric MSE decay") {
     // y = 0 for x<5, 10 for x>=5: the optimal stump is found every
     // round; with lr=0.5 the residual halves each round, so MSE
