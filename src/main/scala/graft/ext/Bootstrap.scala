@@ -112,25 +112,42 @@ object Bootstrap {
     require(keys.nonEmpty, "pass at least one grouping column")
     val kCols = keys.map(col)
 
+    // ONE materialized narrow base at cluster width: both the point
+    // branch and the R-way replicate branch read it (was two scans,
+    // and a single-split scan starved the R-way fan-out stage down to
+    // one core — measured 6.9 s of 32-core idle at sf0.1)
+    val base = Checkpoints.spreadCut(df.select(
+      kCols :+ col(idCol).as("__id") :+ col(valCol).as("__x"): _*))
+
     // point estimate from the UN-exploded frame (exact, no bootstrap)
-    val point = df.groupBy(kCols: _*)
-      .agg(count(col(valCol)).as("n_rows"),
-        Q.sig9(Q.davg(col(valCol))).as("point_mean"))
+    val point = base.groupBy(kCols: _*)
+      .agg(count(col("__x")).as("n_rows"),
+        Q.sig9(Q.davg(col("__x"))).as("point_mean"))
 
     // R replicate means per group: one corpus pass, ONE md5 per row,
     // then a map-side explode whose per-replicate coin is one
-    // multiply-add-mod against the embedded mixer literals
+    // multiply-add-mod against the embedded mixer literals.
+    // __xda hoists the replicate term's double->DECIMAL(38,15) cast
+    // (Double.toString — the Q.dec15 scaladoc's profiled dominant
+    // cost) out of the R-way fan-out: the summed term sig9(w·x) only
+    // depends on the BOUNDED weight w <= MaxWeight, so each row
+    // precomputes the MaxWeight possible decimal terms once and every
+    // replicate picks by weight. A weight-0 replicate contributed an
+    // exact decimal 0 before and is skipped as a NULL now — decimal
+    // addition is exact, so the sums are bit-identical.
     val (ma, mb) = mixers(salt, replicates)
-    val rep = df.select(kCols :+ col(idCol).as("__id") :+
-        col(valCol).as("__x"): _*)
-      .withColumn("__h", Hashing.hashP(
-        concat(lit(salt + ":"), col("__id").cast("string"))))
+    val xda = array((1 to MaxWeight).map(k =>
+      Q.dec15(Q.sig9(lit(k.toDouble) * col("__x")))): _*)
+    val rep = base
+      .select(kCols :+ col("__x") :+ xda.as("__xda") :+
+        Hashing.hashP(concat(lit(salt + ":"), col("__id").cast("string")))
+          .as("__h"): _*)
       .withColumn("__r", explode(sequence(lit(0), lit(replicates - 1))))
       .withColumn("__w", weight(col("__h"), col("__r"), ma, mb))
     val repMeans = rep.groupBy(kCols :+ col("__r"): _*)
       .agg(sum(col("__w")).as("__sw"),
-        Q.dsum(Q.sig9(col("__w").cast("double") * col("__x")))
-          .as("__swx"))
+        Q.dsumPre(when(col("__w") >= 1L, element_at(col("__xda"),
+          col("__w").cast("int")))).as("__swx"))
       .where(col("__sw") > 0)
       .select(kCols :+ col("__r") :+
         Q.sig9(col("__swx") / col("__sw").cast("double")).as("__m"): _*)

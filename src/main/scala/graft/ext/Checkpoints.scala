@@ -64,6 +64,39 @@ object Checkpoints {
     case None => df.localCheckpoint()
   }
 
+  /** [[cut]] that first restores cluster-width parallelism when the
+    * frame has collapsed below it. Iterative operators carry small
+    * frames between rounds (a 95k-row reach set, a centroid table's
+    * assignment); AQE rightly coalesces their post-shuffle layout to
+    * one or two partitions — and then the NEXT round's join fans the
+    * frame out 100-1000x and inherits those two partitions, leaving
+    * the rest of the cluster idle (guide §2.6: the fan-out stage must
+    * run at cluster width, not at the width of its small input). The
+    * repartition is GATED on the observed partition count so a frame
+    * that is already at or above `defaultParallelism` — every
+    * at-scale case — pays nothing; only a coalesced-small frame pays
+    * one cheap exchange of its own (small) bytes before the expensive
+    * stage. */
+  def spreadCut(df: DataFrame, dir: Option[String] = None): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    val cur = df.rdd.getNumPartitions
+    if (cur < p) cut(df.repartition(p), dir) else cut(df, dir)
+  }
+
+  /** The no-materialization half of [[spreadCut]]: gated cluster-width
+    * repartition with NO lineage cut — for a SINGLE heavy consumer
+    * (one wide decimal-moment aggregate, one expensive per-row
+    * projection) where a checkpoint would be pure overhead. Partial
+    * aggregation runs at the width of its input; when a scan yields
+    * fewer splits than cores (small files, one row group), the whole
+    * per-row decimal/hash cost serializes onto those few cores. The
+    * gate makes it free at scale: a frame already at or above
+    * `defaultParallelism` is returned untouched. */
+  def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** Test hook: forget what was installed for `sc` (specs share one
     * context per JVM and need a clean slate to exercise the
     * first-install paths). */

@@ -44,8 +44,12 @@ object Classifier {
                       err: (Column, Column) => Column): Array[Double] = {
     require(features.nonEmpty && iters >= 1 && lr > 0,
       "need features, iters >= 1, lr > 0")
-    val base = df.select((label +: features).map(col): _*)
-      .na.drop(features :+ label)
+    // ONE cluster-width materialization: the count plus every GD
+    // round re-aggregates this frame (iters + 1 consumers), and the
+    // per-round decimal-gradient work must run at cluster width
+    val base = Checkpoints.spreadCut(
+      df.select((label +: features).map(col): _*)
+        .na.drop(features :+ label))
     val n = base.count().toDouble
     require(n > 0, "empty training frame")
     var w = Array.fill(features.size)(0.0)
@@ -189,14 +193,18 @@ object Classifier {
     val x1 = col(x1Col).cast("double")
     val x2 = col(x2Col).cast("double")
     val y = col(yCol).cast("double")
-    val g = df
-      .where(x1.isNotNull && x2.isNotNull && y.isNotNull)
+    // gated cluster-width spread so the per-row sig9+decimal moment
+    // work in the partial aggregate never serializes onto a few
+    // scan-split cores (free at scale — see Checkpoints.spread)
+    val g = Checkpoints.spread(df
+        .where(x1.isNotNull && x2.isNotNull && y.isNotNull)
+        .select(x1.as("__x1"), x2.as("__x2"), y.as("__y")))
       .agg(count(lit(1)).cast("long").as("n"),
-        Q.dsum(Q.sig9(x1 * x1)).as("s11"),
-        Q.dsum(Q.sig9(x1 * x2)).as("s12"),
-        Q.dsum(Q.sig9(x2 * x2)).as("s22"),
-        Q.dsum(Q.sig9(x1 * y)).as("sy1"),
-        Q.dsum(Q.sig9(x2 * y)).as("sy2"))
+        Q.dsum(Q.sig9(col("__x1") * col("__x1"))).as("s11"),
+        Q.dsum(Q.sig9(col("__x1") * col("__x2"))).as("s12"),
+        Q.dsum(Q.sig9(col("__x2") * col("__x2"))).as("s22"),
+        Q.dsum(Q.sig9(col("__x1") * col("__y"))).as("sy1"),
+        Q.dsum(Q.sig9(col("__x2") * col("__y"))).as("sy2"))
     val a = col("s11") + lit(lambda)
     val c = col("s22") + lit(lambda)
     val det = Q.sig9(a * c - col("s12") * col("s12"))
@@ -247,22 +255,30 @@ object Classifier {
     val x1 = col(x1Col).cast("double")
     val x2 = col(x2Col).cast("double")
     val y = col(yCol).cast("double")
-    val g = df
-      .where(x1.isNotNull && x2.isNotNull && y.isNotNull &&
-        col(groupCol).isNotNull)
+    // spread: per-row sig9+decimal moment work at cluster width; cut:
+    // the O(groups) moment frame has TWO consumers (the totals rollup
+    // and the final per-group solve) — uncut, the corpus aggregated
+    // THREE times (tot is itself consumed twice)
+    val g = Checkpoints.spread(df
+        .where(x1.isNotNull && x2.isNotNull && y.isNotNull &&
+          col(groupCol).isNotNull)
+        .select(col(groupCol), x1.as("__x1"), x2.as("__x2"),
+          y.as("__y")))
       .groupBy(col(groupCol))
       .agg(count(lit(1)).cast("long").as("n"),
-        Q.dsum(Q.sig9(x1 * x1)).as("s11"),
-        Q.dsum(Q.sig9(x1 * x2)).as("s12"),
-        Q.dsum(Q.sig9(x2 * x2)).as("s22"),
-        Q.dsum(Q.sig9(x1 * y)).as("sy1"),
-        Q.dsum(Q.sig9(x2 * y)).as("sy2"))
+        Q.dsum(Q.sig9(col("__x1") * col("__x1"))).as("s11"),
+        Q.dsum(Q.sig9(col("__x1") * col("__x2"))).as("s12"),
+        Q.dsum(Q.sig9(col("__x2") * col("__x2"))).as("s22"),
+        Q.dsum(Q.sig9(col("__x1") * col("__y"))).as("sy1"),
+        Q.dsum(Q.sig9(col("__x2") * col("__y"))).as("sy2"))
+      .localCheckpoint()
     val tot = g.agg(
       Q.dsumStable(col("s11"), 6).as("t11"),
       Q.dsumStable(col("s12"), 6).as("t12"),
       Q.dsumStable(col("s22"), 6).as("t22"),
       Q.dsumStable(col("sy1"), 6).as("ty1"),
       Q.dsumStable(col("sy2"), 6).as("ty2"))
+      .localCheckpoint()
     // full-data fit once (same Cramer shape as the per-group solves)
     def solve(a: Column, b: Column, c: Column, r1: Column, r2: Column) = {
       val det = Q.sig9(a * c - b * b)
@@ -839,6 +855,9 @@ object Classifier {
           concat(lit(s"$salt:"), col(keyCol).cast("string"))),
         lit(folds.toLong)).as("fold"),
         x1.as("x1"), x2.as("x2"), y.as("y"))
+      // spread: the per-row md5 fold draw + 6 decimal moments run in
+      // the partial aggregate — cluster width, not scan-split width
+      .transform(Checkpoints.spread)
       .groupBy(col("fold"))
       .agg(count(lit(1)).cast("long").as("n"),
         sum(d15(col("x1") * col("x1"))).as("s11"),
@@ -847,6 +866,9 @@ object Classifier {
         sum(d15(col("x1") * col("y"))).as("sy1"),
         sum(d15(col("x2") * col("y"))).as("sy2"),
         sum(d15(col("y") * col("y"))).as("syy"))
+      // folds-row frame with TWO consumers (the totals rollup and the
+      // (fold, lambda) grid) — cut it or the corpus aggregates twice
+      .localCheckpoint()
     val tot = fm.agg(sum(col("n")).cast("long").as("nt"),
       sum(col("s11")).as("t11"), sum(col("s12")).as("t12"),
       sum(col("s22")).as("t22"), sum(col("sy1")).as("ty1"),
@@ -940,8 +962,14 @@ object Classifier {
       s"iters must be in [1, 16], got $iters")
     val x = col(xCol).cast("double")
     val yc = col(yCol).cast("double")
-    val base = df.where(x.isNotNull && yc.isNotNull)
-      .select(x.as("x"), yc.as("y"))
+    // ONE cluster-width materialization of the narrow (x, y) pairs:
+    // the OLS init, every IRLS pass and the final report each
+    // re-aggregate this frame (iters + 2 consumers), and the
+    // decimal-moment work per pass must run at cluster width, not at
+    // the width of a small scan (guide §2.6; measured 4 x 2.3 s
+    // passes on 3 of 32 cores at sf0.1 before the spread)
+    val base = Checkpoints.spreadCut(df.where(x.isNotNull && yc.isNotNull)
+      .select(x.as("x"), yc.as("y")))
     def solve(m: DataFrame): DataFrame = {
       val num = Q.sig9(col("sw") * col("swxy") - col("swx") * col("swy"))
       val den = Q.sig9(col("sw") * col("swxx") - col("swx") * col("swx"))
@@ -953,11 +981,14 @@ object Classifier {
             Q.sig9((col("swy") - col("b") * col("swx")) / col("sw")))
             .as("a"))
     }
+    // one-row frame, two consumers (iteration 1's broadcast and the
+    // final a_ols/b_ols report): cut it or the report re-runs the
+    // whole OLS aggregate a second time
     val ols = solve(base.agg(count(lit(1)).cast("long").as("n"),
       Q.dsum(lit(1.0)).as("sw"), Q.dsum(col("x")).as("swx"),
       Q.dsum(col("x") * col("x")).as("swxx"),
       Q.dsum(col("y")).as("swy"),
-      Q.dsum(col("x") * col("y")).as("swxy")))
+      Q.dsum(col("x") * col("y")).as("swxy"))).localCheckpoint()
     var fit = ols
     for (_ <- 1 to iters) {
       val r = col("y") - (col("a") + col("b") * col("x"))

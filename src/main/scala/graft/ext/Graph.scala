@@ -991,14 +991,25 @@ object Graph {
         .select(lit(r.toLong).as("r"), col("n_pairs"), col("n_nodes"),
           Q.sig9(col("n_pairs").cast("double") /
             col("n_nodes").cast("double")).as("avg_ball"))
-    var reach = cut(nodes.select(col("v"), col("v").as("u")))
+    // loop-carried frames are spreadCut, not plain cut: the r-ball
+    // frame is small after round r's distinct (AQE coalesces it), but
+    // round r+1's edge join fans it out by the mean degree — that
+    // stage must run at cluster width (measured 17.7 s on 2 of 32
+    // cores at sf0.1 before the spread; guide §2.6). The LAST round's
+    // frame feeds exactly one count — no cut at all, so its pair
+    // frame is never materialized to executor storage.
+    var reach = Checkpoints.spreadCut(
+      nodes.select(col("v"), col("v").as("u")), checkpointDir)
     var out = row(0, reach)
     (1 to rounds).foreach { r =>
-      reach = cut(reach
+      val nxt = reach
         .join(e, col("u") === col("src")).select(col("v"),
           col("dst").as("u"))
-        .unionByName(reach).distinct())
-      out = out.unionByName(row(r, reach))
+        .unionByName(reach).distinct()
+      if (r < rounds) {
+        reach = Checkpoints.spreadCut(nxt, checkpointDir)
+        out = out.unionByName(row(r, reach))
+      } else out = out.unionByName(row(r, nxt))
     }
     out
   }
@@ -1044,18 +1055,23 @@ object Graph {
         .select(lit(r.toLong).as("r"), col("n_nodes"), col("nf_est"),
           Q.sig9(col("nf_est") / col("n_nodes").cast("double"))
             .as("avg_ball_est"))
-    var regs = cut(Sketch.hllRegisters(
+    // spreadCut, not cut: the register table coalesces small after
+    // each round's (node, bucket) max-aggregate, and the next round's
+    // edge join fans it out by the mean degree — cluster-width rule,
+    // same as [[neighborhoodExact]] (measured 5.8 s on 2 of 32 cores
+    // at sf0.1 before the spread).
+    var regs = Checkpoints.spreadCut(Sketch.hllRegisters(
       nodes.select(col("node"), col("node").as("k")), "k", p, salt,
-      sliceCols = Seq("node")))
+      sliceCols = Seq("node")), checkpointDir)
     var out = row(0, regs)
     (1 to rounds).foreach { r =>
       val pulled = e
         .join(regs.withColumnRenamed("node", "w"),
           col("edst") === col("w"))
         .select(col("esrc").as("node"), col("bucket"), col("M"))
-      regs = cut(pulled.unionByName(regs)
+      regs = Checkpoints.spreadCut(pulled.unionByName(regs)
         .groupBy(col("node"), col("bucket"))
-        .agg(max(col("M")).cast("long").as("M")))
+        .agg(max(col("M")).cast("long").as("M")), checkpointDir)
       out = out.unionByName(row(r, regs))
     }
     out

@@ -646,10 +646,14 @@ object Profile {
     import graft.queries.Q
     require(replicates >= 2 && replicates <= 100000,
       s"replicates must be in [2, 100000], got $replicates")
-    val rows = df
+    // ONE cluster-width materialization shared by the observed-stats
+    // branch and the R-way replicate branch (each used to re-scan —
+    // and re-hash — the input; at a single-split local scan that also
+    // serialized the whole operator onto one core)
+    val rows = Checkpoints.spreadCut(df
       .filter(col(valCol).isNotNull && col(groupCol).isNotNull)
       .select(col(groupCol).as("__g"), col(valCol).cast("double")
-        .as("__x"), col(idCol).as("__id"))
+        .as("__x"), col(idCol).as("__id")))
     val stats = rows.groupBy(col("__g"))
       .agg(count(lit(1)).cast("long").as("__n"), Q.dsum(col("__x"))
         .as("__s"))
@@ -675,19 +679,24 @@ object Profile {
     val br = element_at(array(mb.map(lit): _*), col("__r") + 1)
     val u = pmod(ar * col("__h") + br, lit(Hashing.P)).cast("double") /
       lit(Hashing.P.toDouble)
+    // __xd hoists the double->DECIMAL(38,15) cast to ONE per row,
+    // BEFORE the R-way explode: the cast routes through
+    // Double.toString (the Q.dec15 scaladoc's profiled dominant cost)
+    // and used to run R times per row inside the replicate aggregate.
+    // Decimal addition is exact and a skipped NULL adds exactly what
+    // an explicit +0 did, so the replicate sums are bit-identical.
     val rep = rows
-      .withColumn("__h", Hashing.hashP(
-        concat(lit(salt + ":"), col("__id").cast("string"))))
+      .select(Q.dec15(col("__x")).as("__xd"),
+        Hashing.hashP(concat(lit(salt + ":"), col("__id").cast("string")))
+          .as("__h"))
       .crossJoin(broadcast(obs.select(col("__pa"))))
       .withColumn("__r", explode(sequence(lit(0), lit(replicates - 1))))
       .withColumn("__a", (u < col("__pa")).cast("long"))
     val perRep = rep.groupBy(col("__r"))
       .agg(sum(col("__a")).cast("long").as("__na"),
-        Q.dsum(when(col("__a") === 1L, col("__x")).otherwise(lit(0.0)))
-          .as("__sa"),
+        Q.dsumPre(when(col("__a") === 1L, col("__xd"))).as("__sa"),
         sum(lit(1L) - col("__a")).cast("long").as("__nb"),
-        Q.dsum(when(col("__a") === 0L, col("__x")).otherwise(lit(0.0)))
-          .as("__sb"))
+        Q.dsumPre(when(col("__a") === 0L, col("__xd"))).as("__sb"))
       .where(col("__na") > 0 && col("__nb") > 0)
       .select(Q.sig9(col("__sa") / col("__na").cast("double") -
         col("__sb") / col("__nb").cast("double")).as("__d"))

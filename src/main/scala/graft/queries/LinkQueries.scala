@@ -1202,12 +1202,16 @@ object LinkQueries {
     * is the scale path and runs on the SAME graph so its estimate is
     * directly readable against the exact twin). */
   private def nbrhoodEdges(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
+    // ONE distinct scan of lineitem, cut, then both directions from
+    // the materialized pair set (the un-cut union re-scanned lineitem
+    // once per direction; the operators' own edge distinct then
+    // dedups the pre-distinct frame a second time)
+    val li = graft.ext.Checkpoints.spreadCut(Tables.lineitem(s, d)
       .where(col("l_suppkey") % 16 === 1)
-      .select(col("l_suppkey"), col("l_partkey"))
-    val fwd = li.select(col("l_suppkey").as("a"),
-      (col("l_partkey") + partNodeOffset).as("b"))
-    fwd.unionAll(fwd.select(col("b").as("a"), col("a").as("b")))
+      .select(col("l_suppkey").as("a"),
+        (col("l_partkey") + partNodeOffset).as("b"))
+      .distinct())
+    li.unionAll(li.select(col("b").as("a"), col("a").as("b")))
   }
 
   private val nbrhoodRounds = 2

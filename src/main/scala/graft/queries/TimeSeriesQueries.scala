@@ -766,8 +766,12 @@ object TimeSeriesQueries {
   private val permTestQ: QFn = (s, d) => {
     val grp = pmod(graft.ext.Hashing.hash60(
       concat(lit("ab:"), col("user_id").cast("string"))), lit(2L))
-    graft.ext.Profile.permutationTest(
-      Tables.events(s, d).withColumn("grp", grp),
+    // spreadCut BELOW the md5 arm assignment: a single-split events
+    // scan otherwise pins both per-row md5s (arm + replicate coin) to
+    // one core (guide §2.6)
+    val ev = graft.ext.Checkpoints.spreadCut(Tables.events(s, d)
+      .select(col("user_id"), col("value"), col("event_id")))
+    graft.ext.Profile.permutationTest(ev.withColumn("grp", grp),
       "grp", "value", "event_id", replicates = permReps)
   }
 
