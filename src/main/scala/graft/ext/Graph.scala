@@ -172,30 +172,46 @@ object Graph {
     val e = cut(if (broadcastable) e0 else e0.repartition(col("__src")))
     val outW = cut(e.groupBy(col("__src").as("node"))
       .agg(sum(col("__w")).as("__ow")))
+    // The out-weight is STATIC across rounds: fold it onto each edge
+    // once (one join here) instead of re-joining outW inside every
+    // round (guide §2.4 — remove per-round shuffles/joins outright).
+    // __w and __ow stay separate columns, so the per-edge contribution
+    // (m * __w) / __ow associates exactly as before.
+    val ew = cut(e.join(nodeSide(outW.withColumnRenamed("node", "__src")),
+      "__src"))
     val nn = n.agg(count(lit(1)).as("__n"))
     val d = lit(damping)
     // folds to the double 1 - damping; the oracle embeds the SAME
     // double (a SQL "1.0 - 0.85" would be decimal-exact, 1 ulp off)
     val base = lit(1.0) - d
 
+    // The dangling-node SET is static too (nodes with no out-edge):
+    // flag it once on the node frame, carried through the loop frame,
+    // so the per-round dangling mass is a filter+aggregate over the
+    // already-cut mass frame instead of a mass⋈outW join per round.
+    val nd = cut(n.join(outW, Seq("node"), "left")
+      .select(col("node"), col("__ow").isNull.as("__dang")))
+
     // R0 = 1: uniform unit mass per node
-    var mass = cut(n.withColumn("m", lit(1.0)))
+    var mass = cut(nd.withColumn("m", lit(1.0)))
 
     for (_ <- 1 to iters) {
-      val contrib = e
-        .join(nodeSide(mass.withColumnRenamed("node", "__src")), "__src")
-        .join(nodeSide(outW.withColumnRenamed("node", "__src")), "__src")
+      val contrib = ew
+        .join(nodeSide(mass.select(col("node").as("__src"), col("m"))),
+          "__src")
         .groupBy(col("__dst").as("node"))
         .agg(Q.dsumStable(Q.sig9(col("m") * col("__w").cast("double") /
           col("__ow").cast("double")), SumScale).as("__s"))
-      val dangling = mass.join(outW, Seq("node"), "left")
-        .where(col("__ow").isNull)
+      val dangling = mass.where(col("__dang"))
         .agg(coalesce(Q.dsumStable(col("m"), SumScale), lit(0.0))
           .as("__dm"))
-      mass = n
+      // contrib is node-sized: under the measured budget it rides the
+      // same broadcast the scores do, so the rescale join needs no
+      // exchange at all (guide §3.1); above it, same shuffle as before.
+      mass = nd
         .crossJoin(broadcast(dangling)).crossJoin(broadcast(nn))
-        .join(contrib, Seq("node"), "left")
-        .select(col("node"), Q.sig9(base + d *
+        .join(nodeSide(contrib), Seq("node"), "left")
+        .select(col("node"), col("__dang"), Q.sig9(base + d *
           (coalesce(col("__s"), lit(0.0)) +
             col("__dm") / col("__n").cast("double"))).as("m"))
       mass = cut(mass)
@@ -245,35 +261,43 @@ object Graph {
     val e = cut(if (broadcastable) e0 else e0.repartition(col("__src")))
     val outW = cut(e.groupBy(col("__src").as("node"))
       .agg(sum(col("__w")).as("__ow")))
+    // Same static-artifact folds as [[pageRank]]: out-weight onto the
+    // edge frame once, seed + dangling flags onto the node frame once —
+    // the round body then touches only ew, the cut mass frame and the
+    // node-sized contrib (guide §2.4).
+    val ew = cut(e.join(nodeSide(outW.withColumnRenamed("node", "__src")),
+      "__src"))
     val nn = n.agg(count(lit(1)).as("__n"))
     val ss = sd.agg(count(lit(1)).as("__sn"))
     val d = lit(damping)
     val base = lit(1.0) - d
-    val seeded = n.join(nodeSide(sd.withColumn("__seed", lit(1))),
-      Seq("node"), "left")
+    val seeded = cut(n.join(nodeSide(sd.withColumn("__seed", lit(1))),
+        Seq("node"), "left")
+      .join(outW, Seq("node"), "left")
+      .select(col("node"), col("__seed"),
+        col("__ow").isNull.as("__dang")))
     // R0: mass n/|S| on each seed (unit mean; one IEEE division)
     var mass = cut(seeded
       .crossJoin(broadcast(nn)).crossJoin(broadcast(ss))
-      .select(col("node"),
+      .select(col("node"), col("__seed"), col("__dang"),
         when(col("__seed").isNotNull,
           col("__n").cast("double") / col("__sn").cast("double"))
           .otherwise(lit(0.0)).as("m")))
     for (_ <- 1 to iters) {
-      val contrib = e
-        .join(nodeSide(mass.withColumnRenamed("node", "__src")), "__src")
-        .join(nodeSide(outW.withColumnRenamed("node", "__src")), "__src")
+      val contrib = ew
+        .join(nodeSide(mass.select(col("node").as("__src"), col("m"))),
+          "__src")
         .groupBy(col("__dst").as("node"))
         .agg(Q.dsumStable(Q.sig9(col("m") * col("__w").cast("double") /
           col("__ow").cast("double")), SumScale).as("__c"))
-      val dangling = mass.join(outW, Seq("node"), "left")
-        .where(col("__ow").isNull)
+      val dangling = mass.where(col("__dang"))
         .agg(coalesce(Q.dsumStable(col("m"), SumScale), lit(0.0))
           .as("__dm"))
       mass = seeded
         .crossJoin(broadcast(dangling)).crossJoin(broadcast(nn))
         .crossJoin(broadcast(ss))
-        .join(contrib, Seq("node"), "left")
-        .select(col("node"), Q.sig9(
+        .join(nodeSide(contrib), Seq("node"), "left")
+        .select(col("node"), col("__seed"), col("__dang"), Q.sig9(
           when(col("__seed").isNotNull,
             base * (col("__n").cast("double") /
               col("__sn").cast("double")) +
@@ -337,7 +361,9 @@ object Graph {
       val total = raw.agg(
         coalesce(Q.dsumStable(col("__raw"), SumScale), lit(0.0))
           .as("__tot"))
-      val res = n.join(raw, Seq("node"), "left")
+      // raw is node-sized: under the measured budget the rescale join
+      // broadcasts it (no exchange); above it, same shuffle as before.
+      val res = n.join(nodeSide(raw), Seq("node"), "left")
         .crossJoin(broadcast(total)).crossJoin(broadcast(nn))
         .select(col("node"),
           when(col("__tot") > 0.0, Q.sig9(
@@ -1045,6 +1071,17 @@ object Graph {
       .select(col(srcCol).as("esrc"), col(dstCol).as("edst"))
       .where(col("esrc").isNotNull && col("edst").isNotNull)
       .distinct())
+    // The register table is the big side (up to |V|·2^p rows by the
+    // last round); the edge frame is two longs per edge. Under the
+    // measured budget, broadcast the EDGES so the per-round pull join
+    // never shuffles the registers — only the (node, bucket) max
+    // aggregate does, with map-side partial max (guide §3.1; the
+    // pageRank measured-budget pattern).
+    val eBytes = measure(e)._2
+    val eSide: DataFrame => DataFrame =
+      if (eBytes <= broadcastBudget(edges.sparkSession))
+        (df: DataFrame) => broadcast(df)
+      else (df: DataFrame) => df
     val nodes = e.select(col("esrc").as("node"))
       .unionByName(e.select(col("edst").as("node"))).distinct()
     val nTot = nodes.agg(count(lit(1)).cast("long").as("n_nodes"))
@@ -1065,7 +1102,7 @@ object Graph {
       sliceCols = Seq("node")), checkpointDir)
     var out = row(0, regs)
     (1 to rounds).foreach { r =>
-      val pulled = e
+      val pulled = eSide(e)
         .join(regs.withColumnRenamed("node", "w"),
           col("edst") === col("w"))
         .select(col("esrc").as("node"), col("bucket"), col("M"))

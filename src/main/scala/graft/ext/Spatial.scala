@@ -105,18 +105,26 @@ object Spatial {
       checkpointDir: Option[String] = None): DataFrame = {
     require(cell > 0, s"gridCluster: cell must be positive, got $cell")
     require(minPts > 0, s"gridCluster: minPts must be positive, got $minPts")
-    val p = pts
+    // p is consumed twice (cell counts, final assignment join) and its
+    // upstream is typically an expensive per-row derivation — cut it
+    // once at cluster width instead of re-deriving per consumer; core
+    // is the bounded occupied-cell frame consumed three times (home,
+    // probe, final join) — cut it so the cell aggregate runs once
+    // (guide §5: materialize multi-consumer intermediates).
+    val p = Checkpoints.spreadCut(pts
       .where(col(idCol).isNotNull && col(xCol).isNotNull &&
         col(yCol).isNotNull)
       .select(col(idCol), col(xCol).cast("double").as("__x"),
         col(yCol).cast("double").as("__y"))
       .withColumn("__gx", floor(col("__x") / cell).cast("long"))
-      .withColumn("__gy", floor(col("__y") / cell).cast("long"))
+      .withColumn("__gy", floor(col("__y") / cell).cast("long")),
+      checkpointDir)
     val cells = p.groupBy(col("__gx"), col("__gy"))
       .agg(count(lit(1)).as("__n"))
-    val core = cells.where(col("__n") >= minPts)
+    val core = Checkpoints.cut(cells.where(col("__n") >= minPts)
       .select(col("__gx"), col("__gy"),
-        ((col("__gx") + Off) * Side + (col("__gy") + Off)).as("__cid"))
+        ((col("__gx") + Off) * Side + (col("__gy") + Off)).as("__cid")),
+      checkpointDir)
     // 8-neighbor adjacency via the same home-vs-probe trick; self-pairs
     // keep isolated core cells as singleton clusters
     val homeC = core.select(col("__cid").as("a_id"), col("__gx"),

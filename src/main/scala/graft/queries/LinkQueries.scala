@@ -165,16 +165,38 @@ object LinkQueries {
   private val pagerankIters = 5
   private val pagerankDamp = "0.85"
 
-  private val pagerankQ: QFn = (s, d) => {
+  /** Weighted co-purchase edge frame + part node frame shared by
+    * q_x_pagerank (owner) and q_x_ppr (consumer) — both rebuild the
+    * IDENTICAL deterministic artifact from lineitem, and its
+    * basket-squared explode was each query's single most expensive
+    * prefix (the triCounts owner/consumer pattern; guide §2.4/§2.6).
+    * The basket frame is cut before the explode so the fan-out stage
+    * runs at cluster width instead of the 3 AQE-coalesced partitions
+    * of the groupBy output (guide §2.6 — starved fan-out). */
+  private val coEdgeShared = new scala.collection.concurrent.TrieMap[
+    (SparkSession, String), (DataFrame, DataFrame)]()
+  private def coEdgesFresh(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
     val ord = li.groupBy("l_orderkey")
       .agg(array_sort(array_distinct(collect_list(col("l_partkey"))))
         .as("ps"))
-    val e = ord.select(explode(col("ps")).as("a"), col("ps"))
+    val e = graft.ext.Checkpoints
+      .spread(ord.localCheckpoint())
+      .select(explode(col("ps")).as("a"), col("ps"))
       .select(col("a"), explode(col("ps")).as("b"))
       .where(col("a") =!= col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("w"))
-    val nodes = li.select(col("l_partkey")).distinct()
+      .localCheckpoint()
+    val nodes = li.select(col("l_partkey")).distinct().localCheckpoint()
+    val t = (e, nodes)
+    coEdgeShared.put((s, d), t)
+    t
+  }
+  private def coEdges(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    coEdgeShared.getOrElse((s, d), coEdgesFresh(s, d))
+
+  private val pagerankQ: QFn = (s, d) => {
+    val (e, nodes) = coEdgesFresh(s, d)
     graft.ext.Graph.pageRank(e, "a", "b", "w", nodes, "l_partkey",
         iters = pagerankIters, damping = pagerankDamp.toDouble)
       .select(col("node").cast("long").as("part"), col("rank"))
@@ -243,15 +265,7 @@ object LinkQueries {
   private val pprBrand = "Brand#23"
 
   private val pprQ: QFn = (s, d) => {
-    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
-    val ord = li.groupBy("l_orderkey")
-      .agg(array_sort(array_distinct(collect_list(col("l_partkey"))))
-        .as("ps"))
-    val e = ord.select(explode(col("ps")).as("a"), col("ps"))
-      .select(col("a"), explode(col("ps")).as("b"))
-      .where(col("a") =!= col("b"))
-      .groupBy("a", "b").agg(count(lit(1)).as("w"))
-    val nodes = li.select(col("l_partkey")).distinct()
+    val (e, nodes) = coEdges(s, d)
     val seeds = Tables.part(s, d).where(col("p_brand") === pprBrand)
       .select(col("p_partkey"))
     graft.ext.Graph.personalizedPageRank(e, "a", "b", "w", nodes,
@@ -387,16 +401,34 @@ object LinkQueries {
     * ENGINE: degree-ordered orientation (O(m^1.5) wedges); ORACLE: the
     * naive a<b<c three-way self-join — brute force adjudicates the
     * orientation trick, integer-exact. */
-  /** Co-purchase a<b pair frame shared by the triangle-family rows. */
-  private def coPurchasePairs(s: SparkSession, d: String): DataFrame = {
+  /** Raw a<b co-purchase pair frame (order multiplicities kept) —
+    * the basket-squared explode every query of the co-purchase family
+    * (triangles, clustering coef, link prediction, assortativity,
+    * k-core, LPA, modularity) used to rebuild from scratch, ~2 s of
+    * identical deterministic work per query at sf0.1. Shared with the
+    * triCounts owner/consumer discipline: q_x_triangles (owner, via
+    * triCountsFresh) always recomputes and refreshes the memo, so the
+    * build cost never vanishes from every headline; the others reuse
+    * when present. The basket frame is cut before the explode so the
+    * fan-out runs at cluster width instead of the AQE-coalesced
+    * handful of partitions of the groupBy output (guide §2.6). */
+  private val pairShared =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+  private def coPurchasePairsFresh(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
     val ord = li.groupBy("l_orderkey")
       .agg(array_sort(array_distinct(collect_list(col("l_partkey"))))
         .as("ps"))
-    ord.select(explode(col("ps")).as("a"), col("ps"))
+    val t = graft.ext.Checkpoints.spread(ord.localCheckpoint())
+      .select(explode(col("ps")).as("a"), col("ps"))
       .select(col("a"), explode(col("ps")).as("b"))
       .where(col("a") < col("b"))
+      .localCheckpoint()
+    pairShared.put((s, d), t)
+    t
   }
+  private def coPurchasePairs(s: SparkSession, d: String): DataFrame =
+    pairShared.getOrElse((s, d), coPurchasePairsFresh(s, d))
 
   /** Per-node triangle counts shared by q_x_triangles and
     * q_x_clustering_coef (the lpaAssign owner/consumer pattern):
@@ -409,7 +441,8 @@ object LinkQueries {
   private val triShared =
     new scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
   private def triCountsFresh(s: SparkSession, d: String): DataFrame = {
-    val t = graft.ext.Graph.triangleCounts(coPurchasePairs(s, d), "a", "b")
+    val t = graft.ext.Graph.triangleCounts(coPurchasePairsFresh(s, d),
+        "a", "b")
       .localCheckpoint()
     triShared.put((s, d), t)
     t
@@ -452,14 +485,7 @@ object LinkQueries {
   private val linkpredMaxPop = 50
 
   private val linkpredQ: QFn = (s, d) => {
-    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
-    val ord = li.groupBy("l_orderkey")
-      .agg(array_sort(array_distinct(collect_list(col("l_partkey"))))
-        .as("ps"))
-    val pairs = ord.select(explode(col("ps")).as("a"), col("ps"))
-      .select(col("a"), explode(col("ps")).as("b"))
-      .where(col("a") < col("b"))
-      .withColumn("w", lit(1L))
+    val pairs = coPurchasePairs(s, d).withColumn("w", lit(1L))
     graft.ext.Graph.linkPredict(pairs, "a", "b", "w", k = linkpredK,
         maxPopularity = linkpredMaxPop)
       .select(col("v").cast("long").as("v"), col("w").cast("long").as("w"),
@@ -566,18 +592,10 @@ object LinkQueries {
   private val kcoreK = 60
   private val kcoreRounds = 4
 
-  private val kcoreQ: QFn = (s, d) => {
-    val li = Tables.lineitem(s, d).select(col("l_orderkey"),
-      col("l_partkey"))
-    val ord = li.groupBy("l_orderkey")
-      .agg(array_sort(array_distinct(collect_list(col("l_partkey"))))
-        .as("ps"))
-    val e = ord.select(explode(col("ps")).as("a"), col("ps"))
-      .select(col("a"), explode(col("ps")).as("b"))
-      .where(col("a") =!= col("b")).distinct()
-    graft.ext.Graph.kCore(e, "a", "b", kcoreK, kcoreRounds)
+  private val kcoreQ: QFn = (s, d) =>
+    graft.ext.Graph.kCore(coPurchaseEdges(s, d), "a", "b", kcoreK,
+        kcoreRounds)
       .select(col("node").cast("long").as("node"), col("degree"))
-  }
 
   private val kcoreSql = {
     val rounds = (1 to kcoreRounds).map { i =>
@@ -753,15 +771,13 @@ object LinkQueries {
   private val lpaRounds = 3
 
   /** Co-purchase edge frame shared by the LPA and modularity rows. */
+  /** Symmetric distinct co-purchase edges (a≠b, both directions),
+    * derived from the shared a<b pair frame: distinct of a<b pairs
+    * union their swaps — exactly the set the old explode-then-distinct
+    * produced, without re-paying the basket-squared explode. */
   private def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d).select(col("l_orderkey"),
-      col("l_partkey"))
-    val ord = li.groupBy("l_orderkey")
-      .agg(array_sort(array_distinct(collect_list(col("l_partkey"))))
-        .as("ps"))
-    ord.select(explode(col("ps")).as("a"), col("ps"))
-      .select(col("a"), explode(col("ps")).as("b"))
-      .where(col("a") =!= col("b")).distinct()
+    val p = coPurchasePairs(s, d).select(col("a"), col("b")).distinct()
+    p.unionByName(p.select(col("b").as("a"), col("a").as("b")))
   }
 
   /** The LPA assignment is the single most expensive shared prefix on
@@ -902,16 +918,8 @@ object LinkQueries {
     * the moments exact DECIMAL(38,0) sums, so the only IEEE ops are
     * the final sig9'd divisions — the oracle replays them term for
     * term. */
-  private val assortQ: QFn = (s, d) => {
-    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
-    val ord = li.groupBy("l_orderkey")
-      .agg(array_sort(array_distinct(collect_list(col("l_partkey"))))
-        .as("ps"))
-    val pairs = ord.select(explode(col("ps")).as("a"), col("ps"))
-      .select(col("a"), explode(col("ps")).as("b"))
-      .where(col("a") < col("b"))
-    graft.ext.Graph.assortativity(pairs, "a", "b")
-  }
+  private val assortQ: QFn = (s, d) =>
+    graft.ext.Graph.assortativity(coPurchasePairs(s, d), "a", "b")
 
   private val assortSql = {
     val num = sqlSig9("CAST(sxy * n - sx * sy AS DOUBLE)")
