@@ -472,12 +472,20 @@ object TextStats {
     import graft.queries.Q
     require(k >= 1 && k <= 1000, s"k must be in [1, 1000], got $k")
     val toks = Hashing.tokens(col(textCol))
-    val tf = docs
+    // tokenize ONCE and at cluster width: the tf subtree is consumed
+    // three times below (scored / dfc / n_docs) with three different
+    // pruned schemas, so ReuseExchange cannot dedupe it — without the
+    // cut the corpus tokenizes three times, and a single-split
+    // documents scan runs each pass on one core (guide §2.6). spread
+    // is a gated no-op once the scan arrives at cluster width; the
+    // localCheckpoint holds the small aggregated (doc, token) frame.
+    val tf = Checkpoints.spread(docs.select(col(idCol), col(textCol)))
       .select(col(idCol), size(toks).cast("long").as("dl"),
         explode(toks).as("token"))
       .groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).cast("long").as("tf_cnt"),
         min(col("dl")).as("dl"))
+      .localCheckpoint()
     val dfc = tf.groupBy(col("token"))
       .agg(count(lit(1)).cast("long").as("df"))
     val nDocs = tf.select(col(idCol)).distinct()
