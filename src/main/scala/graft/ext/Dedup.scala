@@ -179,8 +179,19 @@ object Dedup {
   def spanDedup(docs: DataFrame, k: Int = 8, minOccurs: Int = 2,
                 idCol: String = "doc_id",
                 textCol: String = "text"): DataFrame = {
-    val toks = docs.select(col(idCol),
-      Hashing.tokens(col(textCol)).as("tk"))
+    // tokenize ONCE, at cluster width: toks is consumed three times
+    // (both occ builds — stats gates the join back, so they run
+    // back-to-back — plus the final reassembly join), and a
+    // single-split documents scan runs each tokenize on one core
+    // (guide §2.6; the tfidfKeywords shape). spread is a gated no-op
+    // at scale; the checkpoint holds the token frame so the window
+    // md5s downstream run at cluster width. occ itself is NOT
+    // checkpointed: materializing it measured slower cold (block-store
+    // cost) than re-hashing the windows wide.
+    val toks = Checkpoints
+      .spread(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol), Hashing.tokens(col(textCol)).as("tk"))
+      .localCheckpoint()
     val occ = toks
       .select(col(idCol), posexplode(spanWindows(col("tk"), k))
         .as(Seq("pos", "w")))
