@@ -748,10 +748,18 @@ object Profile {
   def percentRank(df: DataFrame, keyCols: Seq[String], valCol: String,
       nBins: Int = 1024): DataFrame = {
     val keys = keyCols.map(col)
+    // LAZY checkpoint: the distinct-value frame is still materialized
+    // once and shared by mm/binned/bases, but it now computes INSIDE
+    // the consumer's job instead of serially at plan-construction time
+    // — operators that build several percentRank tables (spearman's
+    // two, a battery's many) overlap those builds instead of paying
+    // them back-to-back before the job starts. The frame is
+    // deterministic (hash aggregate of exact counts), so a racy
+    // partition recompute is benign.
     val counts = df.filter(col(valCol).isNotNull)
       .groupBy(keys :+ col(valCol).cast("double").as("s"): _*)
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val mm = counts.groupBy(keys: _*)
       .agg(min(col("s")).as("lo"), max(col("s")).as("hi"),
         sum(col("c")).as("n"))
