@@ -58,11 +58,14 @@ object Dsir {
     // the B-row count frames are checkpointed: the totals are derived
     // from THEM (sum over B rows), not from a second global aggregate
     // whose plan would re-run the full tokenize+explode corpus scan —
-    // one scan per corpus, guaranteed, not left to exchange reuse
+    // one scan per corpus, guaranteed, not left to exchange reuse.
+    // LAZY (the percentRank convention): eager serialized the two
+    // corpus featurizes back-to-back at plan-construction time; lazy
+    // lets them overlap inside the consumer's job.
     val tc = targetFeats.groupBy(col("b")).agg(count(lit(1)).as("ct"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val qc = rawFeats.groupBy(col("b")).agg(count(lit(1)).as("cq"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val nt = tc.agg(sum(col("ct")).as("nt"))
     val nq = qc.agg(sum(col("cq")).as("nq"))
     // raw-side buckets drive the table: a bucket never seen in the raw
